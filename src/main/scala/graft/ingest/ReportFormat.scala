@@ -1,0 +1,85 @@
+package graft.ingest
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Partition-parallel reformulation of the reference's stateful block
+  * assembler (reference Proof.scala:104-133: a `var concat` closure over an
+  * RDD forced to one partition by `repartition(1)`).
+  *
+  * A report file is a sequence of `key: value` lines; a block ends at the
+  * line whose key matches `\bstatus\b` (Proof.scala:126). Here block
+  * boundaries are recovered with a running-count window per file, then each
+  * block folds into a key→value map — no mutable state, correct at any
+  * partition count (property-tested), one shuffle for the groupBy.
+  *
+  * Deviations from the reference, all deliberate (SURVEY §2.4):
+  *  - split on the FIRST ':' only (limit 2) — the reference's unlimited
+  *    split truncates values containing ':' such as hdfs:// URIs (Q3);
+  *  - keyed (not positional) records — robust to reordered/missing lines;
+  *  - a trailing block with no status line is dropped, matching the
+  *    reference's observable output (it never emits an unterminated block).
+  */
+object ReportFormat {
+
+  val BlockTerminatorKey = "status"
+
+  /** Read report files under `dir` (recursively, `*.TXT` like the
+    * reference's extension filter, Proof.scala:69-83) as one row per file.
+    * Executor-side read — the reference materializes whole files on the
+    * driver (Q7). `wholetext` keeps per-file line order fully deterministic
+    * (report files are KB-scale; one row per file parallelizes per-file).
+    */
+  def readReportFiles(spark: SparkSession, dir: String, ext: String = ".TXT"): DataFrame =
+    spark.read
+      .option("wholetext", "true")
+      .option("recursiveFileLookup", "true")
+      .option("pathGlobFilter", s"*$ext")
+      .text(dir)
+      // input_file_name() is URI-encoded ('[' → %5B) — decode so filename
+      // regexes (e.g. the [dd-MM-yyyyTHH_mm_ss] timestamp) see raw names
+      .select(url_decode(input_file_name()).as("file"), col("value").as("text"))
+
+  /** Explode whole-file text into ordered lines: (file, line_no, line). */
+  def toLines(files: DataFrame): DataFrame =
+    files
+      .select(col("file"), posexplode(split(col("text"), "\r?\n")))
+      .withColumnRenamed("pos", "line_no")
+      .withColumnRenamed("col", "line")
+      .filter(trim(col("line")) =!= "")
+
+  /** Assemble `key: value` lines into one row per status-terminated block:
+    * (file, block_id, kv map<string,string>, n_lines).
+    *
+    * Scale: the window partitions by file (reports are small and numerous —
+    * ideal parallelism unit); the groupBy reuses the same (file) clustering
+    * so AQE coalesces; duplicate keys within a block keep the LAST value
+    * (explicitly configured — default would throw).
+    */
+  def assembleBlocks(lines: DataFrame): DataFrame = {
+    val kvSplit = split(col("line"), ":", 2)
+    val w = Window.partitionBy(col("file")).orderBy(col("line_no"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val isEnd = col("key").rlike(s"\\b($BlockTerminatorKey)\\b")
+
+    lines.sparkSession.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
+    lines
+      .withColumn("key", trim(kvSplit.getItem(0)))
+      .withColumn("val", trim(coalesce(element_at(kvSplit, 2), lit(""))))
+      .withColumn("is_end", isEnd.cast("int"))
+      // terminator stays in its own block: running count minus self
+      .withColumn("block_id", sum(col("is_end")).over(w) - col("is_end"))
+      .groupBy(col("file"), col("block_id"))
+      .agg(
+        map_from_entries(collect_list(struct(col("key"), col("val")))).as("kv"),
+        count(lit(1)).as("n_lines"),
+        max(col("is_end")).as("has_end"))
+      .filter(col("has_end") === 1)
+      .drop("has_end")
+  }
+
+  /** Full text → blocks pipeline over a directory. */
+  def parseDirectory(spark: SparkSession, dir: String, ext: String = ".TXT"): DataFrame =
+    assembleBlocks(toLines(readReportFiles(spark, dir, ext)))
+}
