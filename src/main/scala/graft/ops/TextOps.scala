@@ -1,0 +1,292 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** LLM-training-data text operators over the `documents` table: exact and
+  * near deduplication, language ID, quality scoring, token accounting,
+  * fingerprinting (north-star extensions — SURVEY §2.2; no reference
+  * counterpart, the reference is an ingest ETL only).
+  *
+  * Tokenization contract (shared with every DuckDB oracle): lowercase,
+  * split on single spaces, drop empties. Shingles are word 3-grams over
+  * that token stream, de-duplicated per document.
+  *
+  * Portability: md5 (both engines implement the same RFC) is the only
+  * content hash used in oracle-checked queries; xxhash64 (Spark-only) stays
+  * in the rows-only LSH/SimHash queries.
+  */
+object TextOps {
+
+  /** tokens: array<string> from `text`. */
+  val toks: Column = expr("filter(split(lower(text), ' '), t -> t != '')")
+  val toksSqlD = "list_filter(string_split(lower(text), ' '), t -> t != '')"
+
+  /** Distinct word-3-gram shingles from a `toks` column. */
+  val shingles: Column = expr(
+    """array_distinct(transform(
+      |  sequence(1, greatest(size(toks) - 2, 0)),
+      |  i -> concat_ws(' ', toks[i-1], toks[i], toks[i+1])))""".stripMargin)
+
+  /** (doc_id, shingle) inverted-index edge list. Scale: this is the
+    * standard shape for distributed near-dup — one explode, then joins
+    * group by shingle. At 100 TB add a stop-shingle frequency cap to bound
+    * the quadratic per-shingle pair blowup; at test vocabulary it's exact.
+    */
+  private def shingleEdges(docs: DataFrame): DataFrame =
+    docs.withColumn("toks", toks)
+      .select(col("doc_id"), explode(shingles).as("s"))
+
+  // --------------------------------------------------------------------------
+  // q30 — exact dedup by content hash: keep the lowest doc_id per distinct
+  // text, count copies. Scale: hash-groupBy with map-side partial agg;
+  // md5(text) as the shuffle key keeps wide text off the wire... (here we
+  // group by the hash and carry min(doc_id)).
+  def q30ExactDedup(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(md5(col("text")).as("text_md5"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .orderBy(col("keep_id"))
+
+  val q30Sql: String =
+    """SELECT md5(text) AS text_md5, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+      |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin
+
+  // --------------------------------------------------------------------------
+  // q31 — exact n-gram Jaccard near-dup pairs via inverted-index self-join:
+  // explode shingles → join on shingle (a.doc_id < b.doc_id) → count
+  // intersection → Jaccard = inter / (|A| + |B| - inter) ≥ 0.5.
+  // Integer-ratio double division is bit-deterministic — oracle-safe.
+  def q31NgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val edges = shingleEdges(docs)
+    val sizes = edges.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val a = edges.as("a"); val b = edges.as("b")
+    val inter = a.join(b, col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n_sh", "na"), "id_a")
+      .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n_sh", "nb"), "id_b")
+      .withColumn("jaccard", col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  val q31Sql: String =
+    s"""WITH sh AS (
+       |  SELECT DISTINCT doc_id, s FROM (
+       |    SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+       |    FROM (SELECT doc_id, $toksSqlD AS t FROM documents),
+       |         UNNEST(generate_series(1, len(t) - 2)) AS u(i))),
+       |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+       |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT id_a, id_b,
+       |  ROUND(CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter), 6) AS jaccard
+       |FROM inter
+       |JOIN sizes sa ON sa.doc_id = id_a
+       |JOIN sizes sb ON sb.doc_id = id_b
+       |WHERE CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) >= 0.5
+       |ORDER BY id_a, id_b""".stripMargin
+
+  // --------------------------------------------------------------------------
+  // q32 — MinHash + LSH banding near-dup (the scale path: candidates come
+  // from equality joins on band signatures — no quadratic shingle blowup —
+  // then only candidates pay the exact-Jaccard verification).
+  // k=32 minhashes, 16 bands × r=2 → P(candidate | j=0.5) ≈ 0.99.
+  // Spark-only hash (xxhash64) → rows-only driver check; recall vs. the
+  // exact q31 result is asserted in TextOpsSpec.
+  def q32MinhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val withSig = docs.withColumn("toks", toks).withColumn("sh", shingles)
+      .filter(size(col("sh")) > 0)
+      .withColumn("sig", expr(
+        """transform(sequence(0, 31),
+          |  i -> array_min(transform(sh, s -> xxhash64(s, i))))""".stripMargin))
+    val banded = withSig.select(
+      col("doc_id"), col("sh"),
+      posexplode(expr("transform(sequence(0, 15), b -> xxhash64(sig[2*b], sig[2*b+1]))")))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_sig")
+    val cand = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.band_sig") === col("b.band_sig") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        col("a.sh").as("sh_a"), col("b.sh").as("sh_b"))
+      .dropDuplicates("id_a", "id_b")
+    cand
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  // --------------------------------------------------------------------------
+  // q33 — SimHash near-dup: 64-bit signature from unigram hash bit votes;
+  // candidates via 4×16-bit band equality (any pair within hamming ≤ 3
+  // shares at least one intact band — pigeonhole), verified by bit_count.
+  def q33Simhash(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val sig = docs.withColumn("toks", toks)
+      .filter(size(col("toks")) > 0)
+      .withColumn("hs", expr("transform(toks, t -> xxhash64(t))"))
+      .withColumn("simhash", expr(
+        """aggregate(sequence(0, 63), 0L, (acc, b) ->
+          |  acc | (CASE WHEN aggregate(hs, 0L,
+          |                 (a, h) -> a + CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) > 0
+          |         THEN shiftleft(1L, b) ELSE 0L END))""".stripMargin))
+      .select(col("doc_id"), col("simhash"))
+    val banded = sig.select(col("doc_id"), col("simhash"),
+      posexplode(expr(
+        "transform(sequence(0, 3), b -> (simhash >> (b * 16)) & 65535)")))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_bits")
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.band_bits") === col("b.band_bits") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        col("a.simhash").as("sh_a"), col("b.simhash").as("sh_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("hamming", expr("bit_count(sh_a ^ sh_b)"))
+      .filter(col("hamming") <= 3)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  // --------------------------------------------------------------------------
+  // q34 — language ID by stopword-set voting (n-gram-heuristic family):
+  // count hits per language set, argmax with fixed tie-break en>es>de.
+  private val enSet = "array('the', 'a', 'of', 'and', 'to', 'is')"
+  private val esSet = "array('el', 'la', 'de', 'y', 'que', 'en')"
+  private val deSet = "array('der', 'die', 'das', 'und', 'ist', 'ein')"
+
+  def q34LangId(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("toks", toks)
+      .withColumn("en_hits", expr(s"size(filter(toks, t -> array_contains($enSet, t)))"))
+      .withColumn("es_hits", expr(s"size(filter(toks, t -> array_contains($esSet, t)))"))
+      .withColumn("de_hits", expr(s"size(filter(toks, t -> array_contains($deSet, t)))"))
+      .withColumn("guess",
+        when(col("en_hits") >= col("es_hits") && col("en_hits") >= col("de_hits") && col("en_hits") >= 1, "en")
+          .when(col("es_hits") >= col("de_hits") && col("es_hits") >= 1, "es")
+          .when(col("de_hits") >= 1, "de")
+          .otherwise("unk"))
+      .groupBy(col("lang"), col("guess"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("lang"), col("guess"))
+
+  val q34Sql: String =
+    """WITH scored AS (
+      |  SELECT lang,
+      |    len(list_filter(list_filter(string_split(lower(text), ' '), t -> t != ''),
+      |        t -> list_contains(['the','a','of','and','to','is'], t))) AS en_hits,
+      |    len(list_filter(list_filter(string_split(lower(text), ' '), t -> t != ''),
+      |        t -> list_contains(['el','la','de','y','que','en'], t))) AS es_hits,
+      |    len(list_filter(list_filter(string_split(lower(text), ' '), t -> t != ''),
+      |        t -> list_contains(['der','die','das','und','ist','ein'], t))) AS de_hits
+      |  FROM documents)
+      |SELECT lang,
+      |  CASE WHEN en_hits >= es_hits AND en_hits >= de_hits AND en_hits >= 1 THEN 'en'
+      |       WHEN es_hits >= de_hits AND es_hits >= 1 THEN 'es'
+      |       WHEN de_hits >= 1 THEN 'de'
+      |       ELSE 'unk' END AS guess,
+      |  COUNT(*) AS n
+      |FROM scored GROUP BY 1, 2 ORDER BY lang, guess""".stripMargin
+
+  // --------------------------------------------------------------------------
+  // q35 — quality scoring: token count, average token length, stopword
+  // ratio, punctuation count, composite score. All per-row arithmetic on
+  // integers → exact cross-engine doubles.
+  def q35Quality(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("toks", toks)
+      .withColumn("n_tokens", size(col("toks")))
+      .withColumn("char_sum", expr("aggregate(transform(toks, t -> length(t)), 0, (a, x) -> a + x)"))
+      .withColumn("stop_hits", expr(s"size(filter(toks, t -> array_contains($enSet, t)))"))
+      .withColumn("n_punct", length(regexp_replace(col("text"), "[^.!?,;:]", "")))
+      .filter(col("n_tokens") > 0)
+      .select(
+        col("doc_id"),
+        col("n_tokens"),
+        round(col("char_sum").cast("double") / col("n_tokens"), 6).as("avg_token_len"),
+        round(col("stop_hits").cast("double") / col("n_tokens"), 6).as("stop_ratio"),
+        col("n_punct"),
+        round(
+          least(col("n_tokens"), lit(50)).cast("double") / 50.0 * 0.6 +
+            col("stop_hits").cast("double") / col("n_tokens") * 0.4, 6).as("quality_score"))
+      .orderBy(col("doc_id"))
+
+  val q35Sql: String =
+    s"""WITH t AS (SELECT doc_id, text, $toksSqlD AS toks FROM documents),
+       |m AS (SELECT doc_id,
+       |    len(toks) AS n_tokens,
+       |    list_sum(list_transform(toks, t -> length(t))) AS char_sum,
+       |    len(list_filter(toks, t -> list_contains(['the','a','of','and','to','is'], t))) AS stop_hits,
+       |    length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS n_punct
+       |  FROM t)
+       |SELECT doc_id, n_tokens,
+       |  ROUND(CAST(char_sum AS DOUBLE) / n_tokens, 6) AS avg_token_len,
+       |  ROUND(CAST(stop_hits AS DOUBLE) / n_tokens, 6) AS stop_ratio,
+       |  CAST(n_punct AS INT) AS n_punct,
+       |  ROUND(CAST(LEAST(n_tokens, 50) AS DOUBLE) / 50.0 * 0.6 +
+       |        CAST(stop_hits AS DOUBLE) / n_tokens * 0.4, 6) AS quality_score
+       |FROM m WHERE n_tokens > 0 ORDER BY doc_id""".stripMargin
+
+  // --------------------------------------------------------------------------
+  // q36 — token accounting per source: whitespace tokens + a deterministic
+  // chars/4 BPE-ish token estimate (integer arithmetic only).
+  def q36TokenCounts(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("toks", toks)
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(col("toks"))).as("total_tokens"),
+        sum(expr("(n_chars + 3) div 4")).as("est_bpe_tokens"),
+        round(sum(size(col("toks"))).cast("double") / count(lit(1)), 6).as("avg_tokens"))
+      .orderBy(col("source"))
+
+  val q36Sql: String =
+    s"""SELECT source, COUNT(*) AS n_docs,
+       |  SUM(len($toksSqlD)) AS total_tokens,
+       |  SUM((n_chars + 3) // 4) AS est_bpe_tokens,
+       |  ROUND(CAST(SUM(len($toksSqlD)) AS DOUBLE) / COUNT(*), 6) AS avg_tokens
+       |FROM documents GROUP BY source ORDER BY source""".stripMargin
+
+  // --------------------------------------------------------------------------
+  // q37 — document fingerprint: lexicographic-min md5 over the document's
+  // shingles (a 1-of-winnowing scheme; md5 is identical in both engines).
+  def q37Fingerprint(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    shingleEdges(docs)
+      .groupBy(col("doc_id"))
+      .agg(min(md5(col("s"))).as("fingerprint"), count(lit(1)).as("n_shingles"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q37Sql: String =
+    s"""SELECT doc_id, MIN(md5(s)) AS fingerprint, COUNT(*) AS n_shingles
+       |FROM (
+       |  SELECT DISTINCT doc_id, s FROM (
+       |    SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+       |    FROM (SELECT doc_id, $toksSqlD AS t FROM documents),
+       |         UNNEST(generate_series(1, len(t) - 2)) AS u(i)))
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  val catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
+    ("q30_exact_dedup", q30ExactDedup _, Some(q30Sql)),
+    ("q31_ngram_jaccard", q31NgramJaccard _, Some(q31Sql)),
+    ("q32_minhash_lsh", q32MinhashLsh _, None),
+    ("q33_simhash", q33Simhash _, None),
+    ("q34_lang_id", q34LangId _, Some(q34Sql)),
+    ("q35_quality", q35Quality _, Some(q35Sql)),
+    ("q36_token_counts", q36TokenCounts _, Some(q36Sql)),
+    ("q37_fingerprint", q37Fingerprint _, Some(q37Sql)))
+}

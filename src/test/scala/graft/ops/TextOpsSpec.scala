@@ -1,0 +1,86 @@
+package graft.ops
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Controlled-duplicate corpus for the near-dup operators (the driver test
+  * data has no duplicate texts, so recall is asserted here instead).
+  */
+class TextOpsSpec extends SparkSpec {
+
+  /** Writes a documents.parquet with planted duplicates; returns the dir. */
+  private lazy val corpusDir: String = {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog and runs far away home tonight"
+    val nearDup = "the quick brown fox jumps over the lazy dog and runs far away home today"  // 1 word changed
+    val distinct = "completely different content about spark catalyst optimizer plans and shuffles"
+    val docs = Seq(
+      (0L, base, "en", "src0", base.length.toLong),
+      (1L, base, "en", "src1", base.length.toLong),          // exact dup of 0
+      (2L, nearDup, "en", "src0", nearDup.length.toLong),    // near dup of 0/1
+      (3L, distinct, "en", "src1", distinct.length.toLong),
+      (4L, "el la de y que en palabras cortas aqui", "es", "src0", 40L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = Files.createTempDirectory("graft_docs").toString
+    docs.coalesce(1).write.parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("exact dedup groups identical texts under the lowest doc_id") {
+    val out = TextOps.q30ExactDedup(spark, corpusDir).collect()
+    assert(out.length === 4) // 5 docs, one exact-dup pair
+    val dup = out.find(_.getAs[Long]("n_copies") === 2L).get
+    assert(dup.getAs[Long]("keep_id") === 0L)
+  }
+
+  test("exact n-gram Jaccard finds both the exact and the near duplicate pair") {
+    val pairs = TextOps.q31NgramJaccard(spark, corpusDir)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"), r.getAs[Double]("jaccard")))
+    val keys = pairs.map(p => (p._1, p._2)).toSet
+    assert(keys.contains((0L, 1L)))  // exact dup: jaccard 1.0
+    assert(pairs.find(p => (p._1, p._2) == ((0L, 1L))).get._3 === 1.0)
+    assert(keys.contains((0L, 2L)) && keys.contains((1L, 2L)))  // near dups
+    assert(!keys.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("MinHash-LSH recovers every exact-Jaccard pair on the corpus (full recall here)") {
+    val exact = TextOps.q31NgramJaccard(spark, corpusDir)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = TextOps.q32MinhashLsh(spark, corpusDir)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact))  // verification step guarantees precision
+    assert(exact.subsetOf(lsh), s"LSH missed: ${exact.diff(lsh)}")
+  }
+
+  test("SimHash: identical texts at hamming 0; near-dup within 3 bits") {
+    val out = TextOps.q33Simhash(spark, corpusDir)
+      .collect().map(r => ((r.getAs[Long]("id_a"), r.getAs[Long]("id_b")), r.getAs[Long]("hamming"))).toMap
+    assert(out(0L -> 1L) === 0L)
+    assert(!out.keySet.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("language ID votes by stopword sets") {
+    val byDoc = TextOps.q34LangId(spark, corpusDir).collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[String]("guess"), r.getAs[Long]("n")))
+    assert(byDoc.contains(("en", "en", 4L)))
+    assert(byDoc.contains(("es", "es", 1L)))
+  }
+
+  test("quality metrics are exact integer ratios") {
+    val r = TextOps.q35Quality(spark, corpusDir).filter(col("doc_id") === 0L).collect()(0)
+    assert(r.getAs[Int]("n_tokens") === 15)
+    assert(r.getAs[Double]("stop_ratio") === math.rint(3.0 / 15 * 1e6) / 1e6)
+  }
+
+  test("fingerprint is stable across runs and differs for different content") {
+    val fp1 = TextOps.q37Fingerprint(spark, corpusDir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("fingerprint")).toMap
+    val fp2 = TextOps.q37Fingerprint(spark, corpusDir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("fingerprint")).toMap
+    assert(fp1 === fp2)
+    assert(fp1(0L) === fp1(1L))   // identical docs, identical fingerprint
+    assert(fp1(0L) !== fp1(3L))
+  }
+}
