@@ -1,0 +1,185 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.expressions.{Aggregator, Window}
+import org.apache.spark.sql.functions._
+
+/** Embedding/similarity operators over the `embeddings` table
+  * (vec_id long, embedding array<float> ×64, label int).
+  *
+  * Numeric portability: cosine similarities are compared to the oracle at
+  * ROUND(...,4) — per-row double folds are deterministic enough that only
+  * sub-1e-12 engine differences exist, far from the 5e-5 rounding boundary.
+  * Centroid means use scaled-long integer accumulation (floor(v*1e12+0.5))
+  * so the SUM is order-independent and exact in both engines.
+  */
+object VectorOps {
+
+  /** embedding cast to array<double> (float→double widening is exact). */
+  private val vd = expr("transform(embedding, x -> cast(x as double))")
+
+  // --------------------------------------------------------------------------
+  // q40 — brute-force cosine top-k: the exact baseline every ANN variant is
+  // judged against. Scale: the query side (5 vectors) broadcasts; the base
+  // table streams through one pass, no shuffle until the tiny per-query
+  // top-k window. At 1000 executors this is embarrassingly parallel;
+  // 100 TB of vectors → switch to q42's bucketed path.
+  def q40CosineTopk(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), vd.as("v"))
+      .withColumn("n2", expr("aggregate(v, 0.0d, (a, x) -> a + x * x)"))
+    val queries = base.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("n2").as("qn2"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id").asc)
+    base.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("dot", expr("aggregate(zip_with(v, qv, (x, y) -> x * y), 0.0d, (a, x) -> a + x)"))
+      .withColumn("sim", col("dot") / sqrt(col("n2") * col("qn2")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 10)
+      .select(col("qid"), col("rank"), col("vec_id"), round(col("sim"), 4).as("sim"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  val q40Sql: String =
+    """WITH base AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS v,
+      |    list_reduce(list_transform(embedding::DOUBLE[], x -> x * x), (a, b) -> a + b) AS n2
+      |  FROM embeddings),
+      |q AS (SELECT vec_id AS qid, v AS qv, n2 AS qn2 FROM base WHERE vec_id < 5),
+      |sims AS (
+      |  SELECT qid, vec_id,
+      |    list_reduce(list_transform(range(1, 65),
+      |        i -> v[i] * qv[i]), (a, b) -> a + b) / sqrt(n2 * qn2) AS sim
+      |  FROM base CROSS JOIN q WHERE vec_id <> qid),
+      |ranked AS (
+      |  SELECT qid, vec_id, sim,
+      |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id ASC) AS rank
+      |  FROM sims)
+      |SELECT qid, CAST(rank AS INT) AS rank, vec_id, ROUND(sim, 4) AS sim
+      |FROM ranked WHERE rank <= 10 ORDER BY qid, rank""".stripMargin
+
+  // --------------------------------------------------------------------------
+  // q41 — per-label centroids: posexplode to (label, dim, value), quantize
+  // each value to a scaled long (exact in both engines: one double multiply
+  // + floor), SUM exactly as integers, divide once at the end.
+  def q41Centroids(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("label"), posexplode(vd))
+      .withColumnRenamed("pos", "dim").withColumnRenamed("col", "v")
+      .withColumn("vq", expr("cast(floor(v * 1e12 + 0.5d) as long)"))
+      .groupBy(col("label"), col("dim"))
+      .agg(count(lit(1)).as("n"), sum(col("vq")).as("sum_q"))
+      .select(col("label"), col("dim"), col("n"),
+        round(col("sum_q").cast("double") / 1e12 / col("n"), 6).as("centroid"))
+      .orderBy(col("label"), col("dim"))
+
+  val q41Sql: String =
+    """SELECT label, CAST(dim AS INT) AS dim, COUNT(*) AS n,
+      |  ROUND(CAST(SUM(vq) AS DOUBLE) / 1e12 / COUNT(*), 6) AS centroid
+      |FROM (
+      |  SELECT label, generate_subscripts(embedding, 1) - 1 AS dim,
+      |    CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1e12 + 0.5) AS BIGINT) AS vq
+      |  FROM embeddings)
+      |GROUP BY label, dim ORDER BY label, dim""".stripMargin
+
+  // --------------------------------------------------------------------------
+  // q42 — ANN via random-hyperplane LSH: fixed seeded hyperplanes → a
+  // bucket id per vector; neighbors are only searched inside the query's
+  // bucket. Scale path for 100 TB: bucket is the shuffle/join key (equality
+  // join); plane count sets the bucket fan-out (2^planes) and should grow
+  // with table size — 6 here for the small test tables; multi-probe
+  // (flip one bit) would raise recall without another pass.
+  // Spark-only (seeded hyperplanes are a Scala constant) → rows-only check;
+  // recall vs. exact q40 is asserted in VectorOpsSpec.
+  private val numPlanes = 6
+  /** Deterministic hyperplanes: fixed-seed LCG, 64 dims each, values in
+    * [-1, 1). No java.util.Random — reproducible across JVMs by spec.
+    */
+  private[ops] val hyperplanes: Seq[Seq[Double]] = {
+    var state = 42L
+    def next(): Double = {
+      state = state * 6364136223846793005L + 1442695040888963407L
+      (state >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0
+    }
+    Seq.fill(numPlanes)(Seq.fill(64)(next()))
+  }
+
+  def q42AnnLsh(spark: SparkSession, dir: String): DataFrame = {
+    val planes = typedlit(hyperplanes)
+    val base = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), vd.as("v"))
+      .withColumn("n2", expr("aggregate(v, 0.0d, (a, x) -> a + x * x)"))
+      .withColumn("planes", planes)
+      .withColumn("bucket", expr(
+        """aggregate(sequence(0, size(planes) - 1), 0,
+          |  (acc, i) -> acc * 2 + (CASE WHEN
+          |     aggregate(zip_with(v, planes[i], (x, p) -> x * p), 0.0d, (a, x) -> a + x) > 0.0d
+          |     THEN 1 ELSE 0 END))""".stripMargin))
+      .drop("planes")
+    // Multi-probe: each query also searches every bucket at hamming
+    // distance 1 from its own (planes+1 probes) — the standard recall
+    // lever that costs no extra pass over the base table.
+    val queries = base.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("n2").as("qn2"),
+        explode(expr(
+          s"""transform(sequence(0, $numPlanes),
+             |  i -> CASE WHEN i = 0 THEN bucket ELSE bucket ^ shiftleft(1, i - 1) END)"""
+            .stripMargin)).as("bucket"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id").asc)
+    base.join(broadcast(queries), Seq("bucket"))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("dot", expr("aggregate(zip_with(v, qv, (x, y) -> x * y), 0.0d, (a, x) -> a + x)"))
+      .withColumn("sim", col("dot") / sqrt(col("n2") * col("qn2")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 10)
+      .select(col("qid"), col("rank"), col("vec_id"), round(col("sim"), 4).as("sim"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  // --------------------------------------------------------------------------
+  // q43 — typed Aggregator centroid (SURVEY §4.2 item 2: no built-in vector
+  // mean). Accumulates scaled longs per dimension — exact, order-free merge.
+  type CentroidBuf = (Array[Long], Long)
+
+  class CentroidAgg extends Aggregator[(Int, Array[Double]), CentroidBuf, Array[Double]] {
+    import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+    override def zero: CentroidBuf = (Array.empty[Long], 0L)
+    override def reduce(b: CentroidBuf, row: (Int, Array[Double])): CentroidBuf = {
+      val v = row._2
+      val acc = if (b._1.isEmpty) new Array[Long](v.length) else b._1
+      var i = 0
+      while (i < v.length) { acc(i) += math.floor(v(i) * 1e12 + 0.5).toLong; i += 1 }
+      (acc, b._2 + 1)
+    }
+    override def merge(a: CentroidBuf, b: CentroidBuf): CentroidBuf =
+      if (a._1.isEmpty) b else if (b._1.isEmpty) a
+      else {
+        var i = 0
+        while (i < a._1.length) { a._1(i) += b._1(i); i += 1 }
+        (a._1, a._2 + b._2)
+      }
+    override def finish(r: CentroidBuf): Array[Double] =
+      r._1.map(s => math.rint(s.toDouble / 1e12 / r._2 * 1e6) / 1e6)
+    override def bufferEncoder: Encoder[CentroidBuf] = ExpressionEncoder[CentroidBuf]()
+    override def outputEncoder: Encoder[Array[Double]] = ExpressionEncoder[Array[Double]]()
+  }
+
+  def q43CentroidAgg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.embeddings(spark, dir)
+      .select(col("label"), vd.as("v"))
+      .as[(Int, Array[Double])]
+      .groupByKey(_._1)
+      .agg(new CentroidAgg().toColumn.name("centroid"))
+      .toDF("label", "centroid")
+      .orderBy(col("label"))
+  }
+
+  val catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
+    ("q40_cosine_topk", q40CosineTopk _, Some(q40Sql)),
+    ("q41_centroids", q41Centroids _, Some(q41Sql)),
+    ("q42_ann_lsh", q42AnnLsh _, None),
+    ("q43_centroid_agg", q43CentroidAgg _, None))
+}
