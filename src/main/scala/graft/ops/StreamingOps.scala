@@ -1,0 +1,170 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types.DecimalType
+
+/** Typed event row for the stateful streaming operators. */
+case class EventRow(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+                    event_type: String, value: Double)
+
+/** Per-user running aggregate state/output for flatMapGroupsWithState. */
+case class UserAgg(user_id: Long, n: Long, total: Double)
+
+/** Event-time windowing over the `events` table, written once against a
+  * DataFrame so the SAME transform runs in batch (DuckDB-oracle-checkable)
+  * and under Structured Streaming (StreamingSpec drives it through
+  * MemoryStream with watermarks; SURVEY §2.2 Streaming).
+  *
+  * The reference never executes streaming — spark-streaming is an unused
+  * provided dependency (reference pom.xml:33-37) — so this whole module is
+  * [EXT] surface.
+  */
+object StreamingOps {
+
+  private def moneySum(c: org.apache.spark.sql.Column) =
+    sum(c.cast(DecimalType(18, 2))).cast("double")
+
+  /** Tumbling 10-minute windows per event type. Works on batch and
+    * streaming input alike; with streaming input callers add
+    * `.withWatermark("ts", ...)` before (see [[withWatermark10m]]).
+    */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "10 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), moneySum(col("value")).as("sum_value"))
+      .select(
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("event_type"), col("n"), col("sum_value"))
+
+  /** Sliding 10-minute windows advancing every 5 minutes (each event lands
+    * in 2 windows).
+    */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "10 minutes", "5 minutes").as("w"))
+      .agg(count(lit(1)).as("n"), moneySum(col("value")).as("sum_value"))
+      .select(
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("n"), col("sum_value"))
+
+  /** Session windows per user, 5-minute inactivity gap. */
+  def sessionAgg(events: DataFrame): DataFrame =
+    events
+      .groupBy(session_window(col("ts"), "5 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), moneySum(col("value")).as("sum_value"))
+      .select(
+        col("user_id"),
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        date_format(col("w.end"), "yyyy-MM-dd HH:mm:ss").as("session_end"),
+        col("n_events"), col("sum_value"))
+
+  /** Exactly-once style dedup on event_id (streaming: state bounded by the
+    * watermark; batch: plain distinct-by-key keeping one arbitrary-but-
+    * deterministic row since duplicates are exact copies).
+    */
+  def dedupEvents(events: DataFrame): DataFrame =
+    events.dropDuplicates("event_id")
+
+  def withWatermark10m(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "10 minutes")
+
+  /** Custom streaming state: cumulative per-user count/total, emitted on
+    * every update (KeyValueGroupedDataset.flatMapGroupsWithState — the
+    * SURVEY §2.2 stateful-processing surface). State is per-key and
+    * checkpointable; at scale the shuffle key is user_id and state size is
+    * O(|users|).
+    */
+  def runningUserTotals(ds: Dataset[EventRow]): Dataset[UserAgg] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[EventRow], state: GroupState[UserAgg]) =>
+          val prev = state.getOption.getOrElse(UserAgg(uid, 0L, 0.0))
+          var n = prev.n
+          var tot = prev.total
+          rows.foreach { r => n += 1; tot += r.value }
+          val next = UserAgg(uid, n, tot)
+          state.update(next)
+          Iterator(next)
+      }
+  }
+
+  // -------------------------- batch twins (driver contract) ----------------
+
+  def q60Tumbling(spark: SparkSession, dir: String): DataFrame =
+    tumblingCounts(Tables.events(spark, dir))
+      .orderBy(col("window_start"), col("event_type"))
+
+  val q60Sql: String =
+    """SELECT STRFTIME(time_bucket(INTERVAL '10 minutes', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+      |  event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin
+
+  def q61Sliding(spark: SparkSession, dir: String): DataFrame =
+    slidingCounts(Tables.events(spark, dir)).orderBy(col("window_start"))
+
+  val q61Sql: String =
+    """SELECT STRFTIME(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM (
+      |  SELECT value, UNNEST(generate_series(
+      |    time_bucket(INTERVAL '5 minutes', ts) - INTERVAL '5 minutes',
+      |    time_bucket(INTERVAL '5 minutes', ts),
+      |    INTERVAL '5 minutes')) AS ws
+      |  FROM events)
+      |GROUP BY ws ORDER BY window_start""".stripMargin
+
+  def q62Session(spark: SparkSession, dir: String): DataFrame =
+    sessionAgg(Tables.events(spark, dir))
+      .orderBy(col("user_id"), col("session_start"))
+
+  // Gaps-and-islands twin of session_window: a session breaks when the gap
+  // from the previous event of the same user is > 5 minutes; session end is
+  // last event + gap (Spark session_window semantics).
+  val q62Sql: String =
+    """WITH ordered AS (
+      |  SELECT user_id, ts, value,
+      |    CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+      |              > INTERVAL '5 minutes'
+      |         OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+      |         THEN 1 ELSE 0 END AS new_session
+      |  FROM events),
+      |tagged AS (
+      |  SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  FROM ordered)
+      |SELECT user_id,
+      |  STRFTIME(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+      |  STRFTIME(MAX(ts) + INTERVAL '5 minutes', '%Y-%m-%d %H:%M:%S') AS session_end,
+      |  COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM tagged GROUP BY user_id, session_id
+      |ORDER BY user_id, session_start""".stripMargin
+
+  /** Dedup twin: double the input, dedup by event_id, re-aggregate — the
+    * oracle sees the single-copy aggregate.
+    */
+  def q63Dedup(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    dedupEvents(ev.unionByName(ev))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), moneySum(col("value")).as("sum_value"))
+      .orderBy(col("event_type"))
+  }
+
+  val q63Sql: String =
+    """SELECT event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  val catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
+    ("q60_tumbling_window", q60Tumbling _, Some(q60Sql)),
+    ("q61_sliding_window", q61Sliding _, Some(q61Sql)),
+    ("q62_session_window", q62Session _, Some(q62Sql)),
+    ("q63_stream_dedup", q63Dedup _, Some(q63Sql)))
+}

@@ -1,0 +1,121 @@
+package graft.ops
+
+import java.sql.Timestamp
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+/** Drives the StreamingOps transforms under real Structured Streaming via
+  * MemoryStream: batch/stream agreement, watermark late-data semantics,
+  * stateful dedup, and custom flatMapGroupsWithState state.
+  */
+class StreamingSpec extends SparkSpec {
+
+  private def ts(minute: Int, sec: Int = 0): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 ${10 + minute / 60}%02d:${minute % 60}%02d:$sec%02d")
+
+  private def ev(id: Long, minute: Int, user: Long = 1L, typ: String = "click", v: Double = 1.5): EventRow =
+    EventRow(id, ts(minute), user, typ, v)
+
+  test("streaming tumbling aggregation equals the batch twin (complete mode)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val data = Seq(ev(1, 0), ev(2, 3), ev(3, 12), ev(4, 14, typ = "buy"), ev(5, 25))
+    val stream = MemoryStream[EventRow]
+    stream.addData(data.take(2))
+    stream.addData(data.drop(2))
+    val q = StreamingOps.tumblingCounts(stream.toDF())
+      .writeStream.format("memory").queryName("tumbling_out")
+      .outputMode(OutputMode.Complete).start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("tumbling_out").collect().map(_.toSeq).toSet
+    val batch = StreamingOps.tumblingCounts(data.toDF()).collect().map(_.toSeq).toSet
+    assert(streamed === batch)
+    assert(streamed.size === 4) // windows 10:00, 10:10 (x2 types), 10:20
+  }
+
+  test("watermark finalizes windows in append mode and drops late rows") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[EventRow]
+    val q = StreamingOps.tumblingCounts(
+      StreamingOps.withWatermark10m(stream.toDF()))
+      .writeStream.format("memory").queryName("wm_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      stream.addData(ev(1, 0), ev(2, 5), ev(3, 12))
+      q.processAllAvailable()
+      // nothing finalized yet: watermark = 10:12 - 10m = 10:02 < window ends
+      assert(spark.table("wm_out").count() === 0)
+      stream.addData(ev(4, 120)) // sentinel far in the future
+      q.processAllAvailable()
+      // watermark now 12:00-10m=11:50 → both early windows finalized
+      val out1 = spark.table("wm_out").collect()
+        .map(r => (r.getAs[String]("window_start"), r.getAs[Long]("n"))).toMap
+      assert(out1 === Map("2024-01-01 10:00:00" -> 2L, "2024-01-01 10:10:00" -> 1L))
+      // a very late event for the already-finalized 10:00 window is dropped
+      stream.addData(ev(5, 7))
+      q.processAllAvailable()
+      val out2 = spark.table("wm_out").collect()
+      assert(out2.length === 2)
+      assert(out2.map(r => r.getAs[Long]("n")).sum === 3L) // unchanged
+    } finally q.stop()
+  }
+
+  test("streaming dropDuplicates emits each event_id once across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[EventRow]
+    val q = StreamingOps.dedupEvents(stream.toDF())
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      stream.addData(ev(1, 0), ev(2, 1), ev(1, 0))
+      q.processAllAvailable()
+      stream.addData(ev(2, 1), ev(3, 2))
+      q.processAllAvailable()
+    } finally q.stop()
+    val ids = spark.table("dedup_out").collect().map(_.getAs[Long]("event_id")).sorted
+    assert(ids.toSeq === Seq(1L, 2L, 3L))
+  }
+
+  test("flatMapGroupsWithState keeps running per-user totals across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[EventRow]
+    val q = StreamingOps.runningUserTotals(stream.toDS())
+      .writeStream.format("memory").queryName("state_out")
+      .outputMode(OutputMode.Update).start()
+    try {
+      stream.addData(ev(1, 0, user = 1, v = 2.0), ev(2, 1, user = 2, v = 3.0))
+      q.processAllAvailable()
+      stream.addData(ev(3, 2, user = 1, v = 5.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    // last update per user wins
+    val last = spark.table("state_out").collect()
+      .map(r => (r.getAs[Long]("user_id"), (r.getAs[Long]("n"), r.getAs[Double]("total"))))
+      .groupBy(_._1).map { case (u, rs) => u -> rs.map(_._2).maxBy(_._1) }
+    assert(last(1L) === ((2L, 7.0)))
+    assert(last(2L) === ((1L, 3.0)))
+  }
+
+  test("streaming session windows equal the batch twin") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val data = Seq(ev(1, 0), ev(2, 2), ev(3, 20), ev(4, 21), ev(10, 3, user = 2))
+    val stream = MemoryStream[EventRow]
+    stream.addData(data)
+    val q = StreamingOps.sessionAgg(
+      StreamingOps.withWatermark10m(stream.toDF()))
+      .writeStream.format("memory").queryName("session_out")
+      .outputMode(OutputMode.Complete).start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("session_out").collect().map(_.toSeq).toSet
+    val batch = StreamingOps.sessionAgg(data.toDF()).collect().map(_.toSeq).toSet
+    assert(streamed === batch)
+    assert(streamed.size === 3) // user1: 2 sessions, user2: 1
+  }
+}
