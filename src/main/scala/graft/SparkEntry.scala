@@ -12,7 +12,7 @@ object SparkEntry {
   /** All catalogs, in presentation order. */
   private def catalogs: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
     ops.Relational.catalog ++ ops.TextOps.catalog ++ ops.VectorOps.catalog ++
-      ops.StreamingOps.catalog ++ Seq(
+      ops.StreamingOps.catalog ++ ops.Multimodal.catalog ++ Seq(
       ("q50_report_ingest", (s: SparkSession, _: String) => ingest.ReportPipeline.demoQuery(s), None))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,129 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal columns: image/audio/video as opaque `binary` with typed
+  * metadata (north-star extension; the container has no codec libraries, so
+  * the DECODE STEP IS A DETERMINISTIC FAKE — it parses a synthetic header
+  * we generate ourselves. Everything around it — schema, batch shape,
+  * mapPartitions plumbing, partitioning — is real and tested, so swapping
+  * in a real codec is a one-function change).
+  *
+  * Batch shape: typed Dataset + mapPartitions so a real decoder could
+  * amortize per-partition init (model load, codec context) exactly where
+  * the fake sits. At 100 TB the binary column dominates row size — the
+  * media table carries only (id, media, format) and all metadata joins
+  * happen on the slim decoded side.
+  */
+object Multimodal {
+
+  /** Decoded media metadata — what a real image decoder would surface. */
+  case class MediaMeta(doc_id: Long, format: String, width: Int, height: Int,
+                       n_bytes: Long, mean_byte: Double)
+
+  case class MediaRow(doc_id: Long, format: String, media: Array[Byte])
+
+  /** Synthesize a deterministic fake "image": 8-byte header
+    * [width:int32BE][height:int32BE] + the document text bytes as payload.
+    * Stands in for real image files; derived from the documents table so
+    * the driver contract can exercise it.
+    */
+  def mediaTable(spark: SparkSession, dir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("n_chars"), col("text"))
+      .as[(Long, Long, String)]
+      .map { case (id, nChars, text) =>
+        val w = (nChars % 64 + 1).toInt
+        val h = (nChars % 48 + 1).toInt
+        val payload = text.getBytes("UTF-8")
+        val buf = java.nio.ByteBuffer.allocate(8 + payload.length)
+        buf.putInt(w).putInt(h).put(payload)
+        MediaRow(id, "fakeimg", buf.array())
+      }
+  }
+
+  /** ===== STUB DECODER =====
+    * Parses the synthetic header above. A real implementation would call an
+    * image codec here (per-partition init + per-row decode); the signature,
+    * batching, and output schema are the real contract.
+    */
+  def decodeMeta(media: Dataset[MediaRow]): Dataset[MediaMeta] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      // real codec: init decoder context once per partition here
+      rows.map { r =>
+        val buf = java.nio.ByteBuffer.wrap(r.media)
+        val w = buf.getInt(); val h = buf.getInt()
+        val payload = r.media.drop(8)
+        val mean =
+          if (payload.isEmpty) 0.0
+          else payload.foldLeft(0L)((a, b) => a + (b & 0xff)).toDouble / payload.length
+        MediaMeta(r.doc_id, r.format, w, h, r.media.length.toLong, mean)
+      }
+    }
+  }
+
+  /** Resize stub: rewrites header dims, truncates payload proportionally —
+    * deterministic stand-in for a real scaler, keeps the binary contract.
+    */
+  def resize(media: Dataset[MediaRow], maxDim: Int): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val buf = java.nio.ByteBuffer.wrap(r.media)
+        val w = buf.getInt(); val h = buf.getInt()
+        val scale = math.min(1.0, maxDim.toDouble / math.max(w, h))
+        val (nw, nh) = (math.max(1, (w * scale).toInt), math.max(1, (h * scale).toInt))
+        val payload = r.media.drop(8)
+        val keep = math.max(1, (payload.length * scale).toInt)
+        val out = java.nio.ByteBuffer.allocate(8 + keep)
+        out.putInt(nw).putInt(nh).put(payload, 0, keep)
+        r.copy(media = out.array())
+      }
+    }
+  }
+
+  /** Frame sampling: view the payload as fixed-size frames, keep every
+    * k-th — the video-pipeline shape (explode to one row per kept frame).
+    */
+  def sampleFrames(media: Dataset[MediaRow], frameBytes: Int, everyK: Int): DataFrame = {
+    import media.sparkSession.implicits._
+    media.flatMap { r =>
+      val payload = r.media.drop(8)
+      payload.grouped(frameBytes).zipWithIndex
+        .filter(_._2 % everyK == 0)
+        .map { case (frame, idx) => (r.doc_id, idx, frame.length, frame) }
+    }.toDF("doc_id", "frame_idx", "frame_bytes", "frame")
+  }
+
+  /** Driver-contract query: decode metadata for every synthesized media
+    * row. Columns chosen to be derivable from the documents table so the
+    * DuckDB oracle can check the full encode→decode roundtrip.
+    */
+  def q70MediaMeta(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    decodeMeta(mediaTable(spark, dir))
+      .select(col("doc_id"), col("width"), col("height"), col("n_bytes"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q70Sql: String =
+    """SELECT doc_id,
+      |  CAST(n_chars % 64 + 1 AS INT) AS width,
+      |  CAST(n_chars % 48 + 1 AS INT) AS height,
+      |  octet_length(encode(text)) + 8 AS n_bytes
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Frame-sampling query (rows-only: frame binary is Spark-synthesized). */
+  def q71FrameSample(spark: SparkSession, dir: String): DataFrame =
+    sampleFrames(mediaTable(spark, dir), frameBytes = 32, everyK = 3)
+      .select(col("doc_id"), col("frame_idx"), col("frame_bytes"))
+      .orderBy(col("doc_id"), col("frame_idx"))
+
+  val catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
+    ("q70_media_meta", q70MediaMeta _, Some(q70Sql)),
+    ("q71_frame_sample", q71FrameSample _, None))
+}

@@ -1,0 +1,44 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class MultimodalSpec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("encode → decode roundtrip recovers header metadata and payload stats") {
+    val media = Multimodal.mediaTable(spark, dir)
+    val meta = Multimodal.decodeMeta(media).collect()
+    assert(meta.length === 500)
+    meta.foreach { m =>
+      assert(m.width >= 1 && m.width <= 64)
+      assert(m.height >= 1 && m.height <= 48)
+      assert(m.n_bytes > 8)
+      assert(m.mean_byte > 0.0 && m.mean_byte < 256.0)
+      assert(m.format === "fakeimg")
+    }
+  }
+
+  test("resize clamps dimensions and shrinks payload deterministically") {
+    val media = Multimodal.mediaTable(spark, dir)
+    val resized = Multimodal.decodeMeta(Multimodal.resize(media, maxDim = 16)).collect()
+    resized.foreach { m =>
+      assert(m.width <= 16 && m.height <= 16)
+      assert(m.width >= 1 && m.height >= 1)
+    }
+    // deterministic: same input → same bytes
+    val a = Multimodal.resize(media, 16).collect().map(r => r.doc_id -> r.media.toSeq).toMap
+    val b = Multimodal.resize(media, 16).collect().map(r => r.doc_id -> r.media.toSeq).toMap
+    assert(a === b)
+  }
+
+  test("frame sampling keeps every k-th fixed-size frame") {
+    val one = Multimodal.mediaTable(spark, dir).filter(col("doc_id") === 0L)
+    val payloadLen = Multimodal.decodeMeta(one).collect()(0).n_bytes - 8
+    val frames = Multimodal.sampleFrames(one, frameBytes = 32, everyK = 3).collect()
+    val totalFrames = (payloadLen + 31) / 32
+    val expected = (0L until totalFrames).count(_ % 3 == 0)
+    assert(frames.length === expected)
+    assert(frames.map(_.getAs[Int]("frame_idx")).forall(_ % 3 == 0))
+  }
+}
