@@ -1,0 +1,238 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Second wave of relational surface: SQL-API entry points (GROUPING SETS,
+  * correlated subqueries), pivot, percentiles, deterministic hash sampling,
+  * window analytics, CSV/JSON source roundtrips, approx distinct.
+  */
+object RelationalExt {
+
+  private def moneySum(c: org.apache.spark.sql.Column) =
+    sum(c.cast(DecimalType(18, 2))).cast("double")
+
+  // --------------------------------------------------------------------------
+  // q23 — GROUPING SETS through the spark.sql entry point (SQL API parity:
+  // the same engine surface a SQL-first user of the library hits).
+  def q23GroupingSets(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("orders")
+    spark.sql(
+      """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+        |  COALESCE(o_orderpriority, 'ALL') AS priority,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY status, priority""".stripMargin)
+  }
+
+  val q23Sql: String =
+    """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+      |  COALESCE(o_orderpriority, 'ALL') AS priority,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+      |ORDER BY status, priority""".stripMargin
+
+  // --------------------------------------------------------------------------
+  // q24 — approx_count_distinct (HLL++). Sketch internals are engine-
+  // specific → rows-only driver check; RelationalExtSpec bounds the error
+  // against the exact count.
+  def q24ApproxDistinct(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        countDistinct(col("l_partkey")).as("exact_parts"))
+      .orderBy(col("l_returnflag"))
+
+  // --------------------------------------------------------------------------
+  // q25 — correlated EXISTS + scalar subquery via spark.sql. The scalar
+  // average goes through decimal so both engines see the identical double.
+  def q25Subqueries(spark: SparkSession, dir: String): DataFrame = {
+    Tables.customer(spark, dir).createOrReplaceTempView("customer")
+    Tables.orders(spark, dir).createOrReplaceTempView("orders")
+    spark.sql(q25Sql)
+  }
+
+  val q25Sql: String =
+    """SELECT c_custkey, c_acctbal FROM customer c
+      |WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+      |                          / COUNT(*) FROM customer)
+      |  AND EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+      |              AND o.o_totalprice > 100000.0)
+      |ORDER BY c_custkey""".stripMargin
+
+  // --------------------------------------------------------------------------
+  // q26 — pivot: one column per l_returnflag value (explicit value list →
+  // no extra pass to discover values, and a scale requirement anyway).
+  def q26Pivot(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_linestatus"))
+      .pivot("l_returnflag", Seq("A", "N", "R"))
+      .agg(moneySum(col("l_quantity")))
+      .orderBy(col("l_linestatus"))
+
+  val q26Sql: String =
+    """SELECT l_linestatus,
+      |  CAST(SUM(CASE WHEN l_returnflag = 'A' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS "A",
+      |  CAST(SUM(CASE WHEN l_returnflag = 'N' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS "N",
+      |  CAST(SUM(CASE WHEN l_returnflag = 'R' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS "R"
+      |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin
+
+  // --------------------------------------------------------------------------
+  // q27 — deterministic hash sampling: portable md5-prefix predicate (the
+  // scalable alternative to seed-dependent sample(): reproducible across
+  // engines, runs, and partitionings; pushes down as a cheap filter).
+  def q27HashSample(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .filter(substring(md5(col("o_orderkey").cast("string")), 1, 1).isin("0", "1"))
+      .agg(
+        count(lit(1)).as("n_sampled"),
+        moneySum(col("o_totalprice")).as("sum_price"))
+
+  val q27Sql: String =
+    """SELECT COUNT(*) AS n_sampled,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM orders
+      |WHERE SUBSTR(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) IN ('0', '1')""".stripMargin
+
+  // --------------------------------------------------------------------------
+  // q28 — exact percentiles with linear interpolation per group.
+  def q28Percentiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(expr("percentile(l_quantity, array(0.25, 0.5, 0.75))").as("pct"))
+      .select(
+        col("l_returnflag"),
+        round(element_at(col("pct"), 1), 6).as("p25"),
+        round(element_at(col("pct"), 2), 6).as("p50"),
+        round(element_at(col("pct"), 3), 6).as("p75"))
+      .orderBy(col("l_returnflag"))
+
+  val q28Sql: String =
+    """SELECT l_returnflag,
+      |  ROUND(quantile_cont(l_quantity, 0.25), 6) AS p25,
+      |  ROUND(quantile_cont(l_quantity, 0.50), 6) AS p50,
+      |  ROUND(quantile_cont(l_quantity, 0.75), 6) AS p75
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  // --------------------------------------------------------------------------
+  // q29 — analytic window functions: first/last/nth over a full-partition
+  // frame, dense_rank and ntile.
+  def q29Analytics(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+    val full = ord.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.orders(spark, dir)
+      .select(
+        col("o_custkey"), col("o_orderkey"),
+        date_format(first(col("o_orderdate")).over(full), "yyyy-MM-dd HH:mm:ss").as("first_date"),
+        date_format(last(col("o_orderdate")).over(full), "yyyy-MM-dd HH:mm:ss").as("last_date"),
+        date_format(nth_value(col("o_orderdate"), 2).over(full), "yyyy-MM-dd HH:mm:ss").as("second_date"),
+        dense_rank().over(ord).as("drank"),
+        ntile(4).over(ord).as("quartile"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  val q29Sql: String =
+    """SELECT o_custkey, o_orderkey,
+      |  STRFTIME(FIRST_VALUE(o_orderdate) OVER w_full, '%Y-%m-%d %H:%M:%S') AS first_date,
+      |  STRFTIME(LAST_VALUE(o_orderdate) OVER w_full, '%Y-%m-%d %H:%M:%S') AS last_date,
+      |  STRFTIME(NTH_VALUE(o_orderdate, 2) OVER w_full, '%Y-%m-%d %H:%M:%S') AS second_date,
+      |  CAST(DENSE_RANK() OVER w_ord AS INT) AS drank,
+      |  CAST(NTILE(4) OVER w_ord AS INT) AS quartile
+      |FROM orders
+      |WINDOW
+      |  w_ord AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC),
+      |  w_full AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
+  // --------------------------------------------------------------------------
+  // q44 — brute-force cosine top-k using the native codegen'd Expression
+  // (same semantics as q40's lambda-fold version, same oracle; the fused
+  // single-pass loop replaces three interpreted folds per pair).
+  def q44CosineTopkNative(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.CosineSimilarity.register(spark)
+    val base = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v"))
+    val queries = base.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id").asc)
+    base.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("sim", expr("cosine_sim(v, qv)"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 10)
+      .select(col("qid"), col("rank"), col("vec_id"), round(col("sim"), 4).as("sim"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  // --------------------------------------------------------------------------
+  // q51 — CSV sink→source roundtrip: write a projection to quoted CSV, read
+  // it back with an explicit schema, aggregate. Java shortest-roundtrip
+  // double formatting makes the roundtrip value-exact, so the oracle checks
+  // the same aggregate straight off the parquet table.
+  def q51CsvRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_csv_roundtrip"
+    Tables.lineitem(spark, dir)
+      .filter(col("l_quantity") > 45.0)
+      .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"))
+      .write.mode("overwrite").option("header", "true").csv(path)
+    spark.read
+      .schema("l_orderkey LONG, l_quantity DOUBLE, l_extendedprice DOUBLE")
+      .option("header", "true")
+      .csv(path)
+      .agg(
+        count(lit(1)).as("n"),
+        moneySum(col("l_quantity")).as("sum_qty"),
+        moneySum(col("l_extendedprice")).as("sum_price"))
+  }
+
+  val q51Sql: String =
+    """SELECT COUNT(*) AS n,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM lineitem WHERE l_quantity > 45.0""".stripMargin
+
+  // --------------------------------------------------------------------------
+  // q52 — JSON: from_json with an explicit schema (typed struct access, vs
+  // q17's get_json_object string path) + a JSON-lines sink/source roundtrip.
+  def q52JsonRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_json_roundtrip"
+    Tables.events(spark, dir)
+      .withColumn("props_s", from_json(col("props"), org.apache.spark.sql.types.StructType.fromDDL("k LONG")))
+      .select(col("event_id"), col("event_type"), col("value"), col("props_s.k").as("k"))
+      .write.mode("overwrite").json(path)
+    spark.read
+      .schema("event_id LONG, event_type STRING, value DOUBLE, k LONG")
+      .json(path)
+      .groupBy((col("k") % 5).as("k_bucket"))
+      .agg(count(lit(1)).as("n"), moneySum(col("value")).as("sum_value"))
+      .orderBy(col("k_bucket"))
+  }
+
+  val q52Sql: String =
+    """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 5 AS k_bucket,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY 1 ORDER BY k_bucket""".stripMargin
+
+  val catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
+    ("q23_grouping_sets", q23GroupingSets _, Some(q23Sql)),
+    ("q24_approx_distinct", q24ApproxDistinct _, None),
+    ("q25_subqueries", q25Subqueries _, Some(q25Sql)),
+    ("q26_pivot", q26Pivot _, Some(q26Sql)),
+    ("q27_hash_sample", q27HashSample _, Some(q27Sql)),
+    ("q28_percentiles", q28Percentiles _, Some(q28Sql)),
+    ("q29_window_analytics", q29Analytics _, Some(q29Sql)),
+    ("q44_cosine_topk_native", q44CosineTopkNative _, Some(VectorOps.q40Sql)),
+    ("q51_csv_roundtrip", q51CsvRoundtrip _, Some(q51Sql)),
+    ("q52_json_roundtrip", q52JsonRoundtrip _, Some(q52Sql)))
+}

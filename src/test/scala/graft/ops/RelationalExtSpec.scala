@@ -1,0 +1,28 @@
+package graft.ops
+
+import graft.SparkSpec
+
+class RelationalExtSpec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("approx_count_distinct lands within 5% of exact") {
+    RelationalExt.q24ApproxDistinct(spark, dir).collect().foreach { r =>
+      val approx = r.getAs[Long]("approx_parts").toDouble
+      val exact = r.getAs[Long]("exact_parts").toDouble
+      assert(math.abs(approx - exact) / exact < 0.05, s"approx $approx vs exact $exact")
+    }
+  }
+
+  test("native codegen cosine expression returns the same top-k as the lambda-fold version") {
+    val a = VectorOps.q40CosineTopk(spark, dir).collect().map(_.toSeq)
+    val b = RelationalExt.q44CosineTopkNative(spark, dir).collect().map(_.toSeq)
+    assert(a.toSeq === b.toSeq)
+  }
+
+  test("hash sampling is deterministic across runs") {
+    val a = RelationalExt.q27HashSample(spark, dir).collect()(0).getAs[Long]("n_sampled")
+    val b = RelationalExt.q27HashSample(spark, dir).collect()(0).getAs[Long]("n_sampled")
+    assert(a === b)
+    assert(a > 0L)
+  }
+}
