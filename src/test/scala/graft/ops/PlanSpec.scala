@@ -1,0 +1,89 @@
+package graft.ops
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Physical-plan assertions: the scale properties claimed in the operator
+  * Scaladocs must actually appear in the plans (predicate pushdown, column
+  * pruning, broadcast choices, TakeOrderedAndProject, partial aggregation,
+  * whole-stage codegen).
+  */
+class PlanSpec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  test("q02: filters and projection push into the parquet scan") {
+    val p = plan(Relational.q02Filter(spark, dir))
+    assert(p.contains("PushedFilters"), p)
+    assert(p.matches("(?s).*PushedFilters: \\[.*GreaterThan\\(l_quantity.*"), p)
+    // pruned read schema: only the 5 referenced columns, not all 11
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(readSchema.contains("l_orderkey") && !readSchema.contains("l_shipdate"), readSchema)
+  }
+
+  test("q03: nation joins via BroadcastHashJoin") {
+    val p = plan(Relational.q03Join(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q10: global top-k plans TakeOrderedAndProject, not a full sort") {
+    val p = plan(Relational.q10GlobalTopk(spark, dir))
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q01: hash aggregation is two-phase (map-side partial before the shuffle)") {
+    val p = plan(Relational.q01Agg(spark, dir))
+    assert(p.contains("HashAggregate"), p)
+    assert(p.contains("partial_"), p) // partial aggregate functions upstream of Exchange
+  }
+
+  test("q05/q06: semi and anti joins plan as such") {
+    assert(plan(Relational.q05SemiJoin(spark, dir)).contains("LeftSemi"))
+    assert(plan(Relational.q06AntiJoin(spark, dir)).contains("LeftAnti"))
+  }
+
+  test("q20: tiny band table joins as broadcast nested loop (range predicate)") {
+    val p = plan(Relational.q20RangeJoin(spark, dir))
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q21 as-of join: single shuffle on the union timeline, no nested-loop join") {
+    val p = plan(Relational.q21AsofJoin(spark, dir))
+    assert(!p.contains("NestedLoop"), p)
+    assert(p.contains("Window"), p)
+    // exactly one exchange feeding the window (hashpartitioning on uid)
+    val exchanges = p.linesIterator.count(_.trim.startsWith("Exchange"))
+    assert(exchanges <= 2, s"expected <=2 exchanges (window + final sort), got $exchanges\n$p")
+  }
+
+  // (formatted mode hides WholeStageCodegen under AdaptiveSparkPlan before
+  // execution — codegen mode prints the actual generated subtrees.)
+  private def codegenPlan(df: DataFrame): String =
+    df.queryExecution.explainString(ExplainMode.fromString("codegen"))
+
+  test("whole-stage codegen covers the q01 aggregation pipeline") {
+    val p = codegenPlan(Relational.q01Agg(spark, dir))
+    assert(p.contains("WholeStageCodegen"), p.take(500))
+  }
+
+  test("q44 native cosine expression compiles into a whole-stage codegen subtree") {
+    val df = RelationalExt.q44CosineTopkNative(spark, dir)
+    df.collect() // materialize THIS queryExecution so AQE finalizes it
+    val executed = df.queryExecution.executedPlan.toString
+    // "*(n)" prefixes mark WholeStageCodegen stages in the plan tree; the
+    // projection computing cosine_sim must carry one
+    val cosLine = executed.linesIterator.find(_.contains("cosine_sim")).getOrElse("")
+    assert(cosLine.contains("*("), s"cosine projection not codegen'd: $cosLine")
+    // and the expression never degrades to interpreted fallback
+    assert(!classOf[org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback]
+      .isAssignableFrom(classOf[graft.functions.CosineSimilarity]))
+  }
+
+  test("events scan reads nanos as long exactly once (no double-apply of the conversion)") {
+    val df = Tables.events(spark, dir)
+    assert(df.schema("ts").dataType.typeName === "timestamp")
+  }
+}
