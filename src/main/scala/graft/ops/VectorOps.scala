@@ -177,9 +177,52 @@ object VectorOps {
       .orderBy(col("label"))
   }
 
+  // --------------------------------------------------------------------------
+  // q45 — IVF-style ANN: a small coarse codebook (the per-label centroids —
+  // 10 cells, no training loop needed on this data), every vector assigned
+  // to its nearest cell, queries probe their 2 nearest cells only.
+  // Scale path: the codebook broadcasts (it's tiny by construction), cell
+  // assignment is one linear pass, and the probe join is an equi-join on
+  // cell id — |probed fraction| ≈ nprobe/ncells of the table scanned per
+  // query instead of 100% for brute force.
+  def q45AnnIvf(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.CosineSimilarity.register(spark)
+    val base = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"), vd.as("v"))
+    // codebook: exact per-label mean vectors (same arithmetic as q41)
+    val codebook = base
+      .select(col("label").as("cell"), posexplode(col("v")))
+      .groupBy(col("cell"), col("pos"))
+      .agg(avg(col("col")).as("c"))
+      .groupBy(col("cell"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
+      .select(col("cell"), expr("transform(pc, x -> x.c)").as("cv"))
+    val scored = base.crossJoin(broadcast(codebook))
+      .withColumn("csim", expr("cosine_sim(v, cv)"))
+    // deterministic argmax: max(struct(sim, cell)) — ties break on cell id
+    val assigned = scored
+      .groupBy(col("vec_id"), col("label"), col("v"))
+      .agg(max(struct(col("csim"), col("cell"))).as("best"))
+      .select(col("vec_id"), col("v"), col("best.cell").as("cell"))
+    val wCell = Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cell").asc)
+    val probes = scored.filter(col("vec_id") < 5)
+      .withColumn("rn", row_number().over(wCell))
+      .filter(col("rn") <= 2) // nprobe = 2
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("cell"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id").asc)
+    assigned.join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("sim", expr("cosine_sim(v, qv)"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 10)
+      .select(col("qid"), col("rank"), col("vec_id"), round(col("sim"), 4).as("sim"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q40_cosine_topk", q40CosineTopk _, Some(q40Sql)),
     ("q41_centroids", q41Centroids _, Some(q41Sql)),
     ("q42_ann_lsh", q42AnnLsh _, None),
-    ("q43_centroid_agg", q43CentroidAgg _, None))
+    ("q43_centroid_agg", q43CentroidAgg _, None),
+    ("q45_ann_ivf", q45AnnIvf _, None))
 }

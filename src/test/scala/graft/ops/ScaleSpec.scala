@@ -1,0 +1,64 @@
+package graft.ops
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Scale-mechanics proofs: bucketed co-located joins eliminate the shuffle,
+  * salted joins/aggregations preserve results.
+  */
+class ScaleSpec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("bucketed tables join without any Exchange (co-located sort-merge join)") {
+    Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_quantity", "l_extendedprice")
+      .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .format("parquet").mode("overwrite").saveAsTable("li_bucketed")
+    Tables.orders(spark, dir)
+      .select("o_orderkey", "o_totalprice")
+      .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .format("parquet").mode("overwrite").saveAsTable("ord_bucketed")
+
+    val joined = spark.table("li_bucketed")
+      .join(spark.table("ord_bucketed"),
+        col("l_orderkey") === col("o_orderkey"))
+      .agg(count(lit(1)).as("n"))
+    val n = joined.collect()(0).getAs[Long]("n")
+
+    // same join un-bucketed for the expected count
+    val expected = Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .count()
+    assert(n === expected)
+
+    val plan = joined.queryExecution.executedPlan.toString
+    val joinSection = plan.linesIterator.dropWhile(!_.contains("SortMergeJoin")).mkString("\n")
+    assert(!joinSection.contains("Exchange"),
+      s"bucketed join should not shuffle either side:\n$plan")
+  }
+
+  test("salted equi-join returns exactly the plain join's rows") {
+    val li = Tables.lineitem(spark, dir)
+    val ord = Tables.orders(spark, dir)
+    val plain = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey"), col("l_linenumber"), col("o_totalprice"))
+      .collect().map(_.toSeq).sortBy(_.toString)
+    val salted = Skew.saltedEquiJoin(li, ord, "l_orderkey", "o_orderkey", 8)
+      .select(col("l_orderkey"), col("l_linenumber"), col("o_totalprice"))
+      .collect().map(_.toSeq).sortBy(_.toString)
+    assert(plain.length === salted.length)
+    assert(plain.toSeq === salted.toSeq)
+  }
+
+  test("salted two-phase aggregation matches direct aggregation") {
+    val li = Tables.lineitem(spark, dir)
+      .withColumn("qd", col("l_quantity").cast(DecimalType(18, 2)))
+    val direct = li.groupBy(col("l_returnflag")).agg(sum(col("qd")).as("s"))
+      .collect().map(r => r.getString(0) -> r.getDecimal(1)).toMap
+    val salted = Skew.saltedSum(li, "l_returnflag", "qd", 16)
+      .collect().map(r => r.getString(0) -> r.getDecimal(1)).toMap
+    assert(direct.keySet === salted.keySet)
+    direct.foreach { case (k, v) => assert(v.compareTo(salted(k)) === 0, k) }
+  }
+}

@@ -33,6 +33,18 @@ class VectorOpsSpec extends SparkSpec {
     info(f"ANN recall@10 vs exact: $recall%.2f (bucket-only probe)")
   }
 
+  test("IVF ANN probes 2 of 10 cells and reports recall vs exact") {
+    val exact = VectorOps.q40CosineTopk(spark, dir).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("vec_id"))).toSet
+    val ivf = VectorOps.q45AnnIvf(spark, dir).collect()
+    assert(ivf.nonEmpty)
+    val pairs = ivf.map(r => (r.getAs[Long]("qid"), r.getAs[Long]("vec_id"))).toSet
+    val recall = exact.intersect(pairs).size.toDouble / exact.size
+    info(f"IVF recall@10 vs exact: $recall%.2f (nprobe=2/10 cells)")
+    // every query returned a full ranked list from its probed cells
+    assert(ivf.groupBy(_.getAs[Long]("qid")).forall(_._2.length == 10))
+  }
+
   test("DataFrame centroids and typed Aggregator centroids agree") {
     val df = VectorOps.q41Centroids(spark, dir).collect()
       .map(r => (r.getAs[Int]("label"), r.getAs[Int]("dim")) -> r.getAs[Double]("centroid")).toMap
