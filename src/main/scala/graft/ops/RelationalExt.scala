@@ -224,8 +224,83 @@ object RelationalExt {
       |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
       |FROM events GROUP BY 1 ORDER BY k_bucket""".stripMargin
 
+  // --------------------------------------------------------------------------
+  // q38 — data-profiling: per-column min/max/null-count/distinct over
+  // lineitem, unpivoted to one row per column (the training-data-pipeline
+  // "know your table" operator). One pass, all aggregates fused.
+  def q38Profile(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    def prof(c: String) = struct(
+      lit(c).as("col_name"),
+      min(col(c)).cast("string").as("min_v"),
+      max(col(c)).cast("string").as("max_v"),
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_null"),
+      countDistinct(col(c)).as("n_distinct"))
+    val cols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_returnflag", "l_linestatus")
+    val profs = cols.zipWithIndex.map { case (c, i) => prof(c).as(s"prof_$i") }
+    li.agg(profs.head, profs.tail: _*)
+      .select(explode(array(cols.indices.map(i => col(s"prof_$i")): _*)).as("p"))
+      .select(col("p.col_name"), col("p.min_v"), col("p.max_v"), col("p.n_null"), col("p.n_distinct"))
+      .orderBy(col("col_name"))
+  }
+
+  val q38Sql: String =
+    """SELECT col_name, min_v, max_v, n_null, n_distinct FROM (
+      |  SELECT 'l_orderkey' AS col_name, CAST(MIN(l_orderkey) AS VARCHAR) AS min_v, CAST(MAX(l_orderkey) AS VARCHAR) AS max_v,
+      |    SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS n_null, COUNT(DISTINCT l_orderkey) AS n_distinct FROM lineitem
+      |  UNION ALL SELECT 'l_partkey', CAST(MIN(l_partkey) AS VARCHAR), CAST(MAX(l_partkey) AS VARCHAR),
+      |    SUM(CASE WHEN l_partkey IS NULL THEN 1 ELSE 0 END), COUNT(DISTINCT l_partkey) FROM lineitem
+      |  UNION ALL SELECT 'l_suppkey', CAST(MIN(l_suppkey) AS VARCHAR), CAST(MAX(l_suppkey) AS VARCHAR),
+      |    SUM(CASE WHEN l_suppkey IS NULL THEN 1 ELSE 0 END), COUNT(DISTINCT l_suppkey) FROM lineitem
+      |  UNION ALL SELECT 'l_linenumber', CAST(MIN(l_linenumber) AS VARCHAR), CAST(MAX(l_linenumber) AS VARCHAR),
+      |    SUM(CASE WHEN l_linenumber IS NULL THEN 1 ELSE 0 END), COUNT(DISTINCT l_linenumber) FROM lineitem
+      |  UNION ALL SELECT 'l_returnflag', MIN(l_returnflag), MAX(l_returnflag),
+      |    SUM(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END), COUNT(DISTINCT l_returnflag) FROM lineitem
+      |  UNION ALL SELECT 'l_linestatus', MIN(l_linestatus), MAX(l_linestatus),
+      |    SUM(CASE WHEN l_linestatus IS NULL THEN 1 ELSE 0 END), COUNT(DISTINCT l_linestatus) FROM lineitem)
+      |ORDER BY col_name""".stripMargin
+
+  // --------------------------------------------------------------------------
+  // q64 — event funnel: users whose first 'signup' is followed by a
+  // 'purchase' within 1 hour. Window-min per user (one shuffle on user_id),
+  // no self-join — the scalable sessionization shape.
+  def q64Funnel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val firstSignup = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("signup_ts"))
+    val firstPurchaseAfter = ev.filter(col("event_type") === "purchase")
+      .join(firstSignup, "user_id")
+      .filter(col("ts") >= col("signup_ts"))
+      .groupBy(col("user_id"), col("signup_ts"))
+      .agg(min(col("ts")).as("purchase_ts"))
+    firstPurchaseAfter
+      .filter(col("purchase_ts") <= col("signup_ts") + expr("INTERVAL 1 HOUR"))
+      .select(
+        col("user_id"),
+        date_format(col("signup_ts"), "yyyy-MM-dd HH:mm:ss").as("signup_s"),
+        date_format(col("purchase_ts"), "yyyy-MM-dd HH:mm:ss").as("purchase_s"))
+      .orderBy(col("user_id"))
+  }
+
+  val q64Sql: String =
+    """WITH s AS (
+      |  SELECT user_id, MIN(ts) AS signup_ts FROM events
+      |  WHERE event_type = 'signup' GROUP BY user_id),
+      |p AS (
+      |  SELECT e.user_id, s.signup_ts, MIN(e.ts) AS purchase_ts
+      |  FROM events e JOIN s ON e.user_id = s.user_id
+      |  WHERE e.event_type = 'purchase' AND e.ts >= s.signup_ts
+      |  GROUP BY e.user_id, s.signup_ts)
+      |SELECT user_id,
+      |  STRFTIME(signup_ts, '%Y-%m-%d %H:%M:%S') AS signup_s,
+      |  STRFTIME(purchase_ts, '%Y-%m-%d %H:%M:%S') AS purchase_s
+      |FROM p WHERE purchase_ts <= signup_ts + INTERVAL '1 hour'
+      |ORDER BY user_id""".stripMargin
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q23_grouping_sets", q23GroupingSets _, Some(q23Sql)),
+    ("q38_profile", q38Profile _, Some(q38Sql)),
+    ("q64_funnel", q64Funnel _, Some(q64Sql)),
     ("q24_approx_distinct", q24ApproxDistinct _, None),
     ("q25_subqueries", q25Subqueries _, Some(q25Sql)),
     ("q26_pivot", q26Pivot _, Some(q26Sql)),
