@@ -82,4 +82,55 @@ object ReportFormat {
   /** Full text → blocks pipeline over a directory. */
   def parseDirectory(spark: SparkSession, dir: String, ext: String = ".TXT"): DataFrame =
     assembleBlocks(toLines(readReportFiles(spark, dir, ext)))
+
+  /** Zip-wrapped reports (the ISU shape the reference declares but never
+    * implements — Proof.scala:215-224; zip name/dir/path/size fields at
+    * module/ISU.scala:9-13). Executor-side `binaryFiles` + ZipInputStream:
+    * each archive's `*.TXT` entries become report files whose `file` id is
+    * `zipPath!entry`, and the wrapper metadata rides along as columns
+    * (zip_name, zip_directory, zip_path, zip_size).
+    *
+    * Scale: one task per archive (binaryFiles is not splittable) — right
+    * for many-small-archives ingest; entries are materialized per archive,
+    * bounded by archive size.
+    */
+  def readZippedReports(spark: SparkSession, dir: String, ext: String = ".TXT"): DataFrame = {
+    import spark.implicits._
+    spark.sparkContext.binaryFiles(s"$dir/*.zip")
+      .flatMap { case (zipPath, pds) =>
+        val zis = new java.util.zip.ZipInputStream(pds.open())
+        try {
+          Iterator.continually(zis.getNextEntry)
+            .takeWhile(_ != null)
+            .filter(e => !e.isDirectory && e.getName.endsWith(ext))
+            .map { e =>
+              val text = new String(zis.readAllBytes(), "UTF-8")
+              (zipPath, e.getName, text.length.toLong, text)
+            }
+            .toList // materialize before the stream closes
+        } finally zis.close()
+      }
+      .toDF("zip_path", "entry", "entry_chars", "text")
+  }
+
+  /** Blocks from zip-wrapped reports, with the wrapper metadata injected
+    * into each block's kv map under the reference ISU field keys
+    * (zipName/zipDirectory/zipPath/zipSize) so [[Normalize.isuRecords]]
+    * extracts them like any other field.
+    */
+  def parseZippedDirectory(spark: SparkSession, dir: String, ext: String = ".TXT"): DataFrame = {
+    val files = readZippedReports(spark, dir, ext)
+      .withColumn("file", concat(col("zip_path"), lit("!"), col("entry")))
+    val meta = files.select(
+      col("file"),
+      map(
+        lit("zipName"), regexp_extract(col("zip_path"), "([^/]+)$", 1),
+        lit("zipDirectory"), regexp_replace(col("zip_path"), "/[^/]+$", ""),
+        lit("zipPath"), col("zip_path"),
+        lit("zipSize"), col("entry_chars").cast("string")).as("zip_kv"))
+    assembleBlocks(toLines(files.select(col("file"), col("text"))))
+      .join(meta, "file")
+      .withColumn("kv", map_concat(col("kv"), col("zip_kv")))
+      .drop("zip_kv")
+  }
 }

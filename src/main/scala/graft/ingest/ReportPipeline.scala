@@ -22,6 +22,13 @@ object ReportPipeline {
     normalize(ReportFormat.parseDirectory(spark, inputDir, ext), generationDate)
   }
 
+  /** Zip-wrapped ISU ingest: archives of report TXT entries → 32-column
+    * ISU records with wrapper metadata (zip name/dir/path/size).
+    */
+  def ingestZipped(spark: SparkSession, inputDir: String,
+                   generationDate: Column = date_format(current_timestamp(), "yyyy-MM-dd HH:mm:ss")): DataFrame =
+    Normalize.isuRecords(ReportFormat.parseZippedDirectory(spark, inputDir), "ISU", generationDate)
+
   /** Run ingest and persist to both sinks; returns #records newly appended
     * to parquet (idempotent across re-runs of the same input files).
     */

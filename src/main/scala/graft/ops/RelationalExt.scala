@@ -297,9 +297,64 @@ object RelationalExt {
       |FROM p WHERE purchase_ts <= signup_ts + INTERVAL '1 hour'
       |ORDER BY user_id""".stripMargin
 
+  // --------------------------------------------------------------------------
+  // q46 — full outer join with null-safe key handling: per-key order counts
+  // from two disjoint-ish filtered views of orders, stitched full-outer.
+  def q46FullOuter(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val hi = o.filter(col("o_totalprice") > 150000.0)
+      .groupBy(col("o_custkey").as("k_hi")).agg(count(lit(1)).as("n_hi"))
+    val lo = o.filter(col("o_totalprice") < 50000.0)
+      .groupBy(col("o_custkey").as("k_lo")).agg(count(lit(1)).as("n_lo"))
+    hi.join(lo, col("k_hi") <=> col("k_lo"), "full_outer")
+      .select(
+        coalesce(col("k_hi"), col("k_lo")).as("custkey"),
+        coalesce(col("n_hi"), lit(0L)).as("n_hi"),
+        coalesce(col("n_lo"), lit(0L)).as("n_lo"))
+      .orderBy(col("custkey"))
+  }
+
+  val q46Sql: String =
+    """WITH hi AS (SELECT o_custkey AS k_hi, COUNT(*) AS n_hi FROM orders
+      |            WHERE o_totalprice > 150000.0 GROUP BY 1),
+      |lo AS (SELECT o_custkey AS k_lo, COUNT(*) AS n_lo FROM orders
+      |       WHERE o_totalprice < 50000.0 GROUP BY 1)
+      |SELECT COALESCE(k_hi, k_lo) AS custkey,
+      |  COALESCE(n_hi, 0) AS n_hi, COALESCE(n_lo, 0) AS n_lo
+      |FROM hi FULL OUTER JOIN lo ON k_hi IS NOT DISTINCT FROM k_lo
+      |ORDER BY custkey""".stripMargin
+
+  // --------------------------------------------------------------------------
+  // q47 — array function surface over the embeddings table: slice, sort,
+  // element access, containment, size. All portable to DuckDB list ops.
+  def q47ArrayFns(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v"))
+      .select(
+        col("vec_id"),
+        size(col("v")).as("n_dims"),
+        round(element_at(col("v"), 1), 6).as("first_v"),
+        round(element_at(col("v"), -1), 6).as("last_v"),
+        round(expr("array_max(slice(v, 1, 8))"), 6).as("max_head8"),
+        round(element_at(array_sort(col("v")), 1), 6).as("min_sorted"),
+        expr("array_position(array_sort(v), array_max(v))").cast("long").as("max_rank"))
+      .orderBy(col("vec_id"))
+
+  val q47Sql: String =
+    """SELECT vec_id,
+      |  CAST(len(embedding) AS INT) AS n_dims,
+      |  ROUND(CAST(embedding[1] AS DOUBLE), 6) AS first_v,
+      |  ROUND(CAST(embedding[-1] AS DOUBLE), 6) AS last_v,
+      |  ROUND(list_max(embedding[1:8]::DOUBLE[]), 6) AS max_head8,
+      |  ROUND(list_sort(embedding::DOUBLE[])[1], 6) AS min_sorted,
+      |  CAST(list_position(list_sort(embedding::DOUBLE[]), list_max(embedding::DOUBLE[])) AS BIGINT) AS max_rank
+      |FROM embeddings ORDER BY vec_id""".stripMargin
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q23_grouping_sets", q23GroupingSets _, Some(q23Sql)),
     ("q38_profile", q38Profile _, Some(q38Sql)),
+    ("q46_full_outer", q46FullOuter _, Some(q46Sql)),
+    ("q47_array_fns", q47ArrayFns _, Some(q47Sql)),
     ("q64_funnel", q64Funnel _, Some(q64Sql)),
     ("q24_approx_distinct", q24ApproxDistinct _, None),
     ("q25_subqueries", q25Subqueries _, Some(q25Sql)),

@@ -137,6 +137,31 @@ class ReportIngestSpec extends SparkSpec {
     assert(r.getAs[String]("MODULO") === "ISU")
   }
 
+  test("zip-wrapped ISU ingest: entries extracted, wrapper metadata attached") {
+    val dir = tmpDir()
+    val zipFile = dir.resolve("batch_01.zip")
+    val zos = new java.util.zip.ZipOutputStream(java.nio.file.Files.newOutputStream(zipFile))
+    try {
+      Seq("r1.TXT" -> Seq(erpBlock(1), erpBlock(2)), "r2.TXT" -> Seq(erpBlock(3))).foreach {
+        case (name, blocks) =>
+          zos.putNextEntry(new java.util.zip.ZipEntry(name))
+          zos.write(ReportPipeline.renderReport(blocks).getBytes("UTF-8"))
+          zos.closeEntry()
+      }
+    } finally zos.close()
+    val rec = ReportPipeline.ingestZipped(spark, dir.toString,
+      generationDate = org.apache.spark.sql.functions.lit("2026-01-01 00:00:00"))
+    assert(rec.count() === 3)
+    assert(rec.columns.length === 32)
+    val r1 = rec.filter(col("ARCHIVO_PROCESADO") === "data_1.csv").collect()(0)
+    assert(r1.getAs[String]("NOMBRE_ZIP") === "batch_01.zip")
+    assert(r1.getAs[String]("RUTA_ZIP").endsWith("batch_01.zip"))
+    assert(r1.getAs[String]("TAMANO_ZIP").toLong > 0)
+    assert(r1.getAs[String]("MODULO") === "ISU")
+    // entries from the same zip, different TXT files → distinct report paths
+    assert(rec.select("RUTA_DE_REPORTE").distinct().count() === 2)
+  }
+
   test("sinks: quoteAll CSV and idempotent parquet append") {
     val dir = tmpDir()
     writeReport(dir, "r1[01-01-2020T00_00_00].TXT",

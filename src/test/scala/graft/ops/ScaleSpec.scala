@@ -38,6 +38,22 @@ class ScaleSpec extends SparkSpec {
       s"bucketed join should not shuffle either side:\n$plan")
   }
 
+  test("partitionBy write + filter read hits partition pruning, not a full scan") {
+    val out = java.nio.file.Files.createTempDirectory("graft_part").toString
+    Tables.events(spark, dir)
+      .withColumn("day", to_date(col("ts")))
+      .write.mode("overwrite").partitionBy("day").parquet(out)
+    val days = spark.read.parquet(out).select("day").distinct().count()
+    assert(days > 1, s"need multiple partitions for a pruning test, got $days")
+    val pruned = spark.read.parquet(out)
+      .filter(col("day") === lit(java.sql.Date.valueOf("2024-01-01")))
+      .agg(count(lit(1)).as("n"))
+    pruned.collect()
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), plan)
+    assert(plan.matches("(?s).*PartitionFilters: \\[[^\\]]*day[^\\]]*\\].*"), plan)
+  }
+
   test("salted equi-join returns exactly the plain join's rows") {
     val li = Tables.lineitem(spark, dir)
     val ord = Tables.orders(spark, dir)

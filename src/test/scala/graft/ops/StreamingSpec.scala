@@ -102,6 +102,28 @@ class StreamingSpec extends SparkSpec {
     assert(last(2L) === ((1L, 3.0)))
   }
 
+  test("file-based streaming source over the events parquet matches the batch aggregate") {
+    import org.apache.spark.sql.types.StructType
+    val dir = "/root/testdata/sf0.001"
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_stream_src")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      srcDir.resolve("events.parquet"))
+    val schema = StructType.fromDDL(
+      "event_id LONG, ts LONG, user_id LONG, event_type STRING, value DOUBLE, props STRING")
+    val stream = spark.readStream.schema(schema).parquet(srcDir.toString)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val q = StreamingOps.tumblingCounts(stream)
+      .writeStream.format("memory").queryName("file_src_out")
+      .outputMode(OutputMode.Complete).start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("file_src_out").collect().map(_.toSeq).toSet
+    val batch = StreamingOps.tumblingCounts(graft.Tables.events(spark, dir))
+      .collect().map(_.toSeq).toSet
+    assert(streamed === batch)
+  }
+
   test("streaming session windows equal the batch twin") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
