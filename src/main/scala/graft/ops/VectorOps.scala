@@ -189,11 +189,14 @@ object VectorOps {
     graft.functions.CosineSimilarity.register(spark)
     val base = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("label"), vd.as("v"))
-    // codebook: exact per-label mean vectors (same arithmetic as q41)
+    // codebook: exact per-label mean vectors (same scaled-long arithmetic
+    // as q41 — a raw double avg is order-dependent and could flip cell
+    // assignments between runs)
     val codebook = base
       .select(col("label").as("cell"), posexplode(col("v")))
+      .withColumn("vq", expr("cast(floor(col * 1e12 + 0.5d) as long)"))
       .groupBy(col("cell"), col("pos"))
-      .agg(avg(col("col")).as("c"))
+      .agg((sum(col("vq")).cast("double") / 1e12 / count(lit(1))).as("c"))
       .groupBy(col("cell"))
       .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
       .select(col("cell"), expr("transform(pc, x -> x.c)").as("cv"))
