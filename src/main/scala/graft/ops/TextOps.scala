@@ -86,13 +86,20 @@ object TextOps {
     val docs = Tables.documents(spark, dir)
     val edges = shingleEdges(docs)
     val sizes = edges.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    val a = edges.as("a"); val b = edges.as("b")
-    val inter = a.join(b, col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+    // carry each doc's shingle-set size on its edges (broadcast — sizes is
+    // one row per doc), so candidate pairs can be size-pruned IN the join:
+    // jac ≥ 0.5 ⇒ 3·inter ≥ na+nb and inter ≤ min(na,nb) ⇒ max ≤ 2·min.
+    // Exact (no candidate at the threshold is lost) and cuts the pair
+    // stream before the groupBy; also saves the two size re-joins after.
+    val withN = edges.join(broadcast(sizes), "doc_id")
+    val a = withN.as("a"); val b = withN.as("b")
+    a.join(b,
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id") &&
+          col("a.n_sh") <= col("b.n_sh") * 2 && col("b.n_sh") <= col("a.n_sh") * 2)
+      .groupBy(
+        col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        col("a.n_sh").as("na"), col("b.n_sh").as("nb"))
       .agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n_sh", "na"), "id_a")
-      .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n_sh", "nb"), "id_b")
       .withColumn("jaccard", col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
       .filter(col("jaccard") >= 0.5)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
