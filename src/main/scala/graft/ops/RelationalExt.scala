@@ -6,6 +6,10 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
+/** Typed row for the Dataset-API query (q48). */
+case class LineitemSlim(l_orderkey: Long, l_quantity: Double,
+                        l_extendedprice: Double, l_returnflag: String)
+
 /** Second wave of relational surface: SQL-API entry points (GROUPING SETS,
   * correlated subqueries), pivot, percentiles, deterministic hash sampling,
   * window analytics, CSV/JSON source roundtrips, approx distinct.
@@ -298,6 +302,31 @@ object RelationalExt {
       |ORDER BY user_id""".stripMargin
 
   // --------------------------------------------------------------------------
+  // q48 — typed Dataset API: case-class rows, lambda filter, groupByKey +
+  // TypedColumn aggregation (the compile-time-checked surface; same engine
+  // underneath — Catalyst still prunes/pushes the scan columns).
+  def q48TypedDataset(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"), col("l_returnflag"))
+      .as[LineitemSlim]
+      .filter(r => r.l_quantity > 25.0 && r.l_returnflag != "N")
+      .groupByKey(_.l_returnflag)
+      .agg(
+        sum(col("l_quantity").cast(DecimalType(18, 2))).cast("double").as[Double].name("sum_qty"),
+        count(lit(1)).as[Long].name("n"))
+      .toDF("l_returnflag", "sum_qty", "n")
+      .orderBy(col("l_returnflag"))
+  }
+
+  val q48Sql: String =
+    """SELECT l_returnflag,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  COUNT(*) AS n
+      |FROM lineitem WHERE l_quantity > 25.0 AND l_returnflag <> 'N'
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  // --------------------------------------------------------------------------
   // q46 — full outer join with null-safe key handling: per-key order counts
   // from two disjoint-ish filtered views of orders, stitched full-outer.
   def q46FullOuter(spark: SparkSession, dir: String): DataFrame = {
@@ -355,6 +384,7 @@ object RelationalExt {
     ("q38_profile", q38Profile _, Some(q38Sql)),
     ("q46_full_outer", q46FullOuter _, Some(q46Sql)),
     ("q47_array_fns", q47ArrayFns _, Some(q47Sql)),
+    ("q48_typed_dataset", q48TypedDataset _, Some(q48Sql)),
     ("q64_funnel", q64Funnel _, Some(q64Sql)),
     ("q24_approx_distinct", q24ApproxDistinct _, None),
     ("q25_subqueries", q25Subqueries _, Some(q25Sql)),

@@ -2,6 +2,7 @@ package graft.ops
 
 import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** LLM-training-data text operators over the `documents` table: exact and
@@ -51,16 +52,18 @@ object TextOps {
     * frequency cap to bound the quadratic per-shingle pair blowup; at test
     * vocabulary it's exact.
     */
-  private def shingleEdges(docs: DataFrame): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id")).orderBy(col("pos"))
+  /** Positional word-3-grams: (doc_id, pos, s), one row per occurrence. */
+  private def kgramEdges(docs: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     tokenEdges(docs)
       .withColumn("w1", lead(col("w"), 1).over(w))
       .withColumn("w2", lead(col("w"), 2).over(w))
       .filter(col("w2").isNotNull)
-      .select(col("doc_id"), concat_ws(" ", col("w"), col("w1"), col("w2")).as("s"))
-      .distinct()
+      .select(col("doc_id"), col("pos"), concat_ws(" ", col("w"), col("w1"), col("w2")).as("s"))
   }
+
+  private def shingleEdges(docs: DataFrame): DataFrame =
+    kgramEdges(docs).select(col("doc_id"), col("s")).distinct()
 
   // --------------------------------------------------------------------------
   // q30 — exact dedup by content hash: keep the lowest doc_id per distinct
@@ -324,6 +327,39 @@ object TextOps {
        |         UNNEST(generate_series(1, len(t) - 2)) AS u(i)))
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------------------------------------
+  // q39 — winnowing fingerprints (Schleimer/Wilkerson/Aiken scheme over word
+  // 3-grams): hash every positional k-gram, take the minimum hash of each
+  // 4-wide sliding window, keep the distinct selected hashes per document.
+  // Guarantees any shared run of ≥6 tokens yields a shared fingerprint.
+  // md5 (identical in both engines) with lexicographic min → oracle-exact.
+  def q39Winnowing(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.currentRow, 3)
+    kgramEdges(docs)
+      .withColumn("h", md5(col("s")))
+      .withColumn("wmin", min(col("h")).over(w))
+      .select(col("doc_id"), col("wmin").as("fp"))
+      .distinct()
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_fp"), min(col("fp")).as("min_fp"), max(col("fp")).as("max_fp"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q39Sql: String =
+    s"""WITH kg AS (
+       |  SELECT doc_id, i AS pos, md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS h
+       |  FROM (SELECT doc_id, $toksSqlD AS t FROM documents),
+       |       UNNEST(generate_series(1, len(t) - 2)) AS u(i)),
+       |sel AS (
+       |  SELECT DISTINCT doc_id,
+       |    MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+       |                 ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+       |  FROM kg)
+       |SELECT doc_id, COUNT(*) AS n_fp, MIN(fp) AS min_fp, MAX(fp) AS max_fp
+       |FROM sel GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q30_exact_dedup", q30ExactDedup _, Some(q30Sql)),
     ("q31_ngram_jaccard", q31NgramJaccard _, Some(q31Sql)),
@@ -332,5 +368,6 @@ object TextOps {
     ("q34_lang_id", q34LangId _, Some(q34Sql)),
     ("q35_quality", q35Quality _, Some(q35Sql)),
     ("q36_token_counts", q36TokenCounts _, Some(q36Sql)),
-    ("q37_fingerprint", q37Fingerprint _, Some(q37Sql)))
+    ("q37_fingerprint", q37Fingerprint _, Some(q37Sql)),
+    ("q39_winnowing", q39Winnowing _, Some(q39Sql)))
 }

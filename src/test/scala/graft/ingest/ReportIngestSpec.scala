@@ -162,6 +162,29 @@ class ReportIngestSpec extends SparkSpec {
     assert(rec.select("RUTA_DE_REPORTE").distinct().count() === 2)
   }
 
+  test("PERMISSIVE JSON read quarantines corrupt records instead of failing (R22 semantics)") {
+    val dir = tmpDir()
+    Fixtures.writeReport(dir, "mixed.json",
+      """{"event_id": 1, "value": 10.5}
+        |{"event_id": 2, "value": 20.0}
+        |{this is not json at all
+        |{"event_id": "not_a_number", "value": 1.0}
+        |{"event_id": 4, "value": 40.0}""".stripMargin)
+    val df = spark.read
+      .schema("event_id LONG, value DOUBLE, _corrupt_record STRING")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(dir.toString)
+      .cache()
+    try {
+      val good = df.filter(col("_corrupt_record").isNull)
+      val quarantined = df.filter(col("_corrupt_record").isNotNull)
+      assert(good.count() === 3)
+      assert(quarantined.count() === 2)
+      assert(quarantined.collect().forall(_.getAs[String]("_corrupt_record").nonEmpty))
+    } finally { df.unpersist(); () }
+  }
+
   test("sinks: quoteAll CSV and idempotent parquet append") {
     val dir = tmpDir()
     writeReport(dir, "r1[01-01-2020T00_00_00].TXT",
