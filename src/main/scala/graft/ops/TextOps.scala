@@ -360,8 +360,44 @@ object TextOps {
        |SELECT doc_id, COUNT(*) AS n_fp, MIN(fp) AS min_fp, MAX(fp) AS max_fp
        |FROM sel GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------------------------------------
+  // q65 — TF-IDF: term frequency per (doc, term) × inverse document
+  // frequency, top-5 terms per doc. Log arithmetic is per-row on identical
+  // integer ratios → round(,6) absorbs any last-ulp libm differences; exact
+  // score ties (same tf, same df) break on the term string.
+  def q65TfIdf(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val n = docs.count() // scalar: one count, reused in the closure as a literal
+    val tf = tokenEdges(docs).groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+    val df_ = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("w").asc)
+    tf.join(df_, "w")
+      .withColumn("score", col("tf") * log(lit(n.toDouble) / col("df")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select(col("doc_id"), col("rn"), col("w").as("term"), round(col("score"), 6).as("tfidf"))
+      .orderBy(col("doc_id"), col("rn"))
+  }
+
+  val q65Sql: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest($toksSqlD) AS w FROM documents),
+       |tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+       |df AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY 1),
+       |n AS (SELECT COUNT(*) AS n FROM documents),
+       |scored AS (
+       |  SELECT doc_id, w, tf * ln(CAST(n.n AS DOUBLE) / df.df) AS score
+       |  FROM tf JOIN df USING (w) CROSS JOIN n),
+       |ranked AS (
+       |  SELECT doc_id, w, score,
+       |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, w ASC) AS rn
+       |  FROM scored)
+       |SELECT doc_id, CAST(rn AS INT) AS rn, w AS term, ROUND(score, 6) AS tfidf
+       |FROM ranked WHERE rn <= 5 ORDER BY doc_id, rn""".stripMargin
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q30_exact_dedup", q30ExactDedup _, Some(q30Sql)),
+    ("q65_tfidf", q65TfIdf _, Some(q65Sql)),
     ("q31_ngram_jaccard", q31NgramJaccard _, Some(q31Sql)),
     ("q32_minhash_lsh", q32MinhashLsh _, None),
     ("q33_simhash", q33Simhash _, None),

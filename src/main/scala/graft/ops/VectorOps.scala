@@ -222,8 +222,39 @@ object VectorOps {
       .orderBy(col("qid"), col("rank"))
   }
 
+  // --------------------------------------------------------------------------
+  // q49 — embedding-cosine near-duplicate pairs (the dedup flavor of
+  // similarity): all pairs with cosine ≥ 0.4. Exact all-pairs baseline —
+  // at 100 TB the q42 LSH buckets (or q45 IVF cells) supply the candidate
+  // pairs and this exact check runs only inside buckets.
+  def q49CosineNearDup(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.CosineSimilarity.register(spark)
+    val base = Tables.embeddings(spark, dir).select(col("vec_id"), vd.as("v"))
+    val b = base.select(col("vec_id").as("vec_id_b"), col("v").as("vb"))
+    base.join(broadcast(b), col("vec_id") < col("vec_id_b"))
+      .withColumn("sim", expr("cosine_sim(v, vb)"))
+      .filter(col("sim") >= 0.4)
+      .select(col("vec_id").as("id_a"), col("vec_id_b").as("id_b"),
+        round(col("sim"), 4).as("sim"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  val q49Sql: String =
+    """WITH base AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS v,
+      |    list_reduce(list_transform(embedding::DOUBLE[], x -> x * x), (a, b) -> a + b) AS n2
+      |  FROM embeddings)
+      |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |  ROUND(list_reduce(list_transform(range(1, 65),
+      |      i -> a.v[i] * b.v[i]), (x, y) -> x + y) / sqrt(a.n2 * b.n2), 4) AS sim
+      |FROM base a JOIN base b ON a.vec_id < b.vec_id
+      |WHERE list_reduce(list_transform(range(1, 65),
+      |      i -> a.v[i] * b.v[i]), (x, y) -> x + y) / sqrt(a.n2 * b.n2) >= 0.4
+      |ORDER BY id_a, id_b""".stripMargin
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q40_cosine_topk", q40CosineTopk _, Some(q40Sql)),
+    ("q49_cosine_neardup", q49CosineNearDup _, Some(q49Sql)),
     ("q41_centroids", q41Centroids _, Some(q41Sql)),
     ("q42_ann_lsh", q42AnnLsh _, None),
     ("q43_centroid_agg", q43CentroidAgg _, None),

@@ -124,6 +124,31 @@ class StreamingSpec extends SparkSpec {
     assert(streamed === batch)
   }
 
+  test("stream-stream interval join: errors within 5 minutes after a click, per user") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[EventRow]
+    val errors = MemoryStream[EventRow]
+    val joined = clicks.toDF().withWatermark("ts", "10 minutes").alias("c")
+      .join(
+        errors.toDF().withWatermark("ts", "10 minutes").alias("e"),
+        expr("""c.user_id = e.user_id AND
+                e.ts >= c.ts AND e.ts <= c.ts + INTERVAL 5 MINUTES"""))
+      .select(col("c.event_id").as("click_id"), col("e.event_id").as("error_id"))
+    val q = joined.writeStream.format("memory").queryName("ss_join_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      clicks.addData(ev(1, 0, user = 1), ev(2, 30, user = 1), ev(3, 0, user = 2))
+      errors.addData(ev(10, 3, user = 1, typ = "error"),   // within 5m of click 1
+                     ev(11, 40, user = 1, typ = "error"),  // > 5m after click 2
+                     ev(12, 2, user = 2, typ = "error"))   // within 5m of click 3
+      q.processAllAvailable()
+    } finally q.stop()
+    val pairs = spark.table("ss_join_out").collect()
+      .map(r => (r.getAs[Long]("click_id"), r.getAs[Long]("error_id"))).toSet
+    assert(pairs === Set((1L, 10L), (3L, 12L)))
+  }
+
   test("streaming session windows equal the batch twin") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
