@@ -534,6 +534,44 @@ object Relational {
       |WHERE o_orderstatus <> 'F' AND c_mktsegment = 'BUILDING'
       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  // --------------------------------------------------------------------------
+  // q54 — supplier-side star join (completes table coverage): revenue per
+  // supplier nation. supplier (10 rows at sf0.001) and nation broadcast;
+  // lineitem streams through one shuffle for the final agg.
+  def q54SupplierRev(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val s = Tables.supplier(spark, dir)
+    val n = Tables.nation(spark, dir)
+    li.join(broadcast(s), li("l_suppkey") === s("s_suppkey"))
+      .join(broadcast(n), s("s_nationkey") === n("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        sum(discPrice).cast("double").as("revenue"),
+        countDistinct(col("s_suppkey")).as("n_suppliers"))
+      .orderBy(col("n_name"))
+  }
+
+  val q54Sql: String =
+    """SELECT n_name, COUNT(*) AS n_items,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+      |  COUNT(DISTINCT s_suppkey) AS n_suppliers
+      |FROM lineitem
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |GROUP BY n_name ORDER BY n_name""".stripMargin
+
+  // --------------------------------------------------------------------------
+  // q55 — approx_percentile sketch (KLL-style): engine-specific internals →
+  // rows-only driver check; RelationalExtSpec bounds it against exact.
+  def q55ApproxPercentile(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("approx_median"),
+        expr("percentile(l_extendedprice, 0.5)").as("exact_median"))
+      .orderBy(col("l_returnflag"))
+
   /** Registry: name → (builder, oracle SQL or None). */
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q01_agg", q01Agg _, Some(q01Sql)),
@@ -557,5 +595,7 @@ object Relational {
     ("q19_strings", q19Strings _, Some(q19Sql)),
     ("q20_range_join", q20RangeJoin _, Some(q20Sql)),
     ("q21_asof_join", q21AsofJoin _, Some(q21Sql)),
-    ("q22_star_join", q22StarJoin _, Some(q22Sql)))
+    ("q22_star_join", q22StarJoin _, Some(q22Sql)),
+    ("q54_supplier_rev", q54SupplierRev _, Some(q54Sql)),
+    ("q55_approx_percentile", q55ApproxPercentile _, None))
 }

@@ -19,6 +19,14 @@ class RelationalExtSpec extends SparkSpec {
     assert(a.toSeq === b.toSeq)
   }
 
+  test("approx_percentile lands within 2% of the exact median") {
+    Relational.q55ApproxPercentile(spark, dir).collect().foreach { r =>
+      val approx = r.getAs[Double]("approx_median")
+      val exact = r.getAs[Double]("exact_median")
+      assert(math.abs(approx - exact) / exact < 0.02, s"approx $approx vs exact $exact")
+    }
+  }
+
   test("hash sampling is deterministic across runs") {
     val a = RelationalExt.q27HashSample(spark, dir).collect()(0).getAs[Long]("n_sampled")
     val b = RelationalExt.q27HashSample(spark, dir).collect()(0).getAs[Long]("n_sampled")
