@@ -535,6 +535,32 @@ object Relational {
       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
   // --------------------------------------------------------------------------
+  // q56 — RANGE window frame: per customer, the rolling 30-day order total
+  // (value-based frame over event time, vs q09's row-based frame). Ordered
+  // on epoch seconds so the frame bound is a plain numeric range; RANGE
+  // includes peers identically in both engines.
+  def q56RangeWindow(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").cast("timestamp").cast("long")) // NTZ→TZ is identity in the UTC session
+      .rangeBetween(-30L * 86400, 0)
+    Tables.orders(spark, dir)
+      .withColumn("rolling_30d",
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).over(w).cast("double"))
+      .select(col("o_custkey"), col("o_orderkey"), col("rolling_30d"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  // Oracle orders on the same floor-to-second epoch key Spark's cast
+  // produces, so sub-second boundary rows can never diverge.
+  val q56Sql: String =
+    """SELECT o_custkey, o_orderkey,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+      |    PARTITION BY o_custkey ORDER BY CAST(FLOOR(epoch(o_orderdate)) AS BIGINT)
+      |    RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW) AS DOUBLE)
+      |    AS rolling_30d
+      |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin
+
+  // --------------------------------------------------------------------------
   // q54 — supplier-side star join (completes table coverage): revenue per
   // supplier nation. supplier (10 rows at sf0.001) and nation broadcast;
   // lineitem streams through one shuffle for the final agg.
@@ -597,5 +623,6 @@ object Relational {
     ("q21_asof_join", q21AsofJoin _, Some(q21Sql)),
     ("q22_star_join", q22StarJoin _, Some(q22Sql)),
     ("q54_supplier_rev", q54SupplierRev _, Some(q54Sql)),
+    ("q56_range_window", q56RangeWindow _, Some(q56Sql)),
     ("q55_approx_percentile", q55ApproxPercentile _, None))
 }
