@@ -38,14 +38,21 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+        try { fn(spark, sfDir).count() }
+        catch { case e: Throwable =>
+          // a failing query must not masquerade as a fast one
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          return -1.0
+        }
         (System.nanoTime() - t0) / 1e9
       }
-      name -> math.min(once(), once())
+      val (a, b) = (once(), once())
+      name -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    // total over successful queries only (-1 marks failures in the map)
+    val total = results.collect { case (_, v) if v >= 0 => v }.sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

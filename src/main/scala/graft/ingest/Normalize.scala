@@ -53,8 +53,11 @@ object Normalize {
 
     // Real count diffs (Q1 fix: reference ships placeholders "Proof"/"Proof2"
     // where official-vs-prepared column/row count differences belong).
+    // try_cast: a missing/garbage count line yields null, not an ANSI
+    // NumberFormat crash of the whole batch.
+    def tryLong(c: Column): Column = c.try_cast("long")
     def diff(official: String, prepared: String): Column =
-      (kv(official).cast("long") - kv(prepared).cast("long")).cast("string")
+      (tryLong(kv(official)) - tryLong(kv(prepared))).cast("string")
 
     val cols: Seq[Column] = shape.map {
       case (name, Some("equalsHeaders")) => siNo(kv("equalsHeaders")).as(name)
@@ -78,22 +81,23 @@ object Normalize {
   }
 
   /** Typed "official" layer on top of the all-string raw records: counts →
-    * long, dates → timestamp, SI/NO → boolean (SURVEY §1.4 mapping).
+    * long (try_cast — empty/garbage values become null instead of an ANSI
+    * crash), dates → timestamp, SI/NO → boolean (SURVEY §1.4 mapping).
     */
   def typedErp(records: DataFrame): DataFrame =
     records
       .withColumn("CONTEO_CABECERA_ASIGNADO_ENVIADO_POR_EL_SISTEMA",
-        col("CONTEO_CABECERA_ASIGNADO_ENVIADO_POR_EL_SISTEMA").cast("long"))
-      .withColumn("CONTEO_CABECERA_POR_ARCHIVO", col("CONTEO_CABECERA_POR_ARCHIVO").cast("long"))
-      .withColumn("TAMANO_DE_ARCHIVO_BYTES", col("TAMANO_DE_ARCHIVO_BYTES").cast("long"))
+        col("CONTEO_CABECERA_ASIGNADO_ENVIADO_POR_EL_SISTEMA").try_cast("long"))
+      .withColumn("CONTEO_CABECERA_POR_ARCHIVO", col("CONTEO_CABECERA_POR_ARCHIVO").try_cast("long"))
+      .withColumn("TAMANO_DE_ARCHIVO_BYTES", col("TAMANO_DE_ARCHIVO_BYTES").try_cast("long"))
       .withColumn("TOTAL_COLUMNAS_PREPARACION_DE_MARCO_DE_DATOS",
-        col("TOTAL_COLUMNAS_PREPARACION_DE_MARCO_DE_DATOS").cast("long"))
+        col("TOTAL_COLUMNAS_PREPARACION_DE_MARCO_DE_DATOS").try_cast("long"))
       .withColumn("TOTAL_REGISTROS_PREPARACION_DE_MARCO_DE_DATOS",
-        col("TOTAL_REGISTROS_PREPARACION_DE_MARCO_DE_DATOS").cast("long"))
-      .withColumn("DIFERENCIA_TOTAL_COLUMNAS", col("DIFERENCIA_TOTAL_COLUMNAS").cast("long"))
-      .withColumn("DIFERENCIA_TOTAL_REGISTROS", col("DIFERENCIA_TOTAL_REGISTROS").cast("long"))
-      .withColumn("TOTAL_COLUMNAS_OFICIAL", col("TOTAL_COLUMNAS_OFICIAL").cast("long"))
-      .withColumn("TOTAL_REGISTROS_OFICIAL", col("TOTAL_REGISTROS_OFICIAL").cast("long"))
+        col("TOTAL_REGISTROS_PREPARACION_DE_MARCO_DE_DATOS").try_cast("long"))
+      .withColumn("DIFERENCIA_TOTAL_COLUMNAS", col("DIFERENCIA_TOTAL_COLUMNAS").try_cast("long"))
+      .withColumn("DIFERENCIA_TOTAL_REGISTROS", col("DIFERENCIA_TOTAL_REGISTROS").try_cast("long"))
+      .withColumn("TOTAL_COLUMNAS_OFICIAL", col("TOTAL_COLUMNAS_OFICIAL").try_cast("long"))
+      .withColumn("TOTAL_REGISTROS_OFICIAL", col("TOTAL_REGISTROS_OFICIAL").try_cast("long"))
       .withColumn("CABECERAS_IGUALES", (col("CABECERAS_IGUALES") === "SI").as("CABECERAS_IGUALES"))
       .withColumn("FECHA_DE_GENERACION_DE_REPORTE",
         try_to_timestamp(col("FECHA_DE_GENERACION_DE_REPORTE"), lit("yyyy-MM-dd HH:mm:ss")))

@@ -38,8 +38,12 @@ object ReportFormat {
       .option("pathGlobFilter", s"*$ext")
       .text(dir)
       // input_file_name() is URI-encoded ('[' → %5B) — decode so filename
-      // regexes (e.g. the [dd-MM-yyyyTHH_mm_ss] timestamp) see raw names
-      .select(url_decode(input_file_name()).as("file"), col("value").as("text"))
+      // regexes (e.g. the [dd-MM-yyyyTHH_mm_ss] timestamp) see raw names.
+      // url_decode is form-decoding where literal '+' means space, but URI
+      // path encoding leaves '+' as-is — protect it first.
+      .select(
+        url_decode(regexp_replace(input_file_name(), "\\+", "%2B")).as("file"),
+        col("value").as("text"))
 
   /** Explode whole-file text into ordered lines: (file, line_no, line). */
   def toLines(files: DataFrame): DataFrame =
@@ -66,7 +70,9 @@ object ReportFormat {
     lines.sparkSession.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
     lines
       .withColumn("key", trim(kvSplit.getItem(0)))
-      .withColumn("val", trim(coalesce(element_at(kvSplit, 2), lit(""))))
+      // get() is 0-based and null-safe out of bounds (ANSI element_at
+      // throws on colon-less lines, killing the whole ingest)
+      .withColumn("val", trim(coalesce(get(kvSplit, lit(1)), lit(""))))
       .withColumn("is_end", isEnd.cast("int"))
       // terminator stays in its own block: running count minus self
       .withColumn("block_id", sum(col("is_end")).over(w) - col("is_end"))
@@ -104,13 +110,13 @@ object ReportFormat {
             .takeWhile(_ != null)
             .filter(e => !e.isDirectory && e.getName.endsWith(ext))
             .map { e =>
-              val text = new String(zis.readAllBytes(), "UTF-8")
-              (zipPath, e.getName, text.length.toLong, text)
+              val bytes = zis.readAllBytes()
+              (zipPath, e.getName, bytes.length.toLong, new String(bytes, "UTF-8"))
             }
             .toList // materialize before the stream closes
         } finally zis.close()
       }
-      .toDF("zip_path", "entry", "entry_chars", "text")
+      .toDF("zip_path", "entry", "entry_bytes", "text")
   }
 
   /** Blocks from zip-wrapped reports, with the wrapper metadata injected
@@ -127,7 +133,7 @@ object ReportFormat {
         lit("zipName"), regexp_extract(col("zip_path"), "([^/]+)$", 1),
         lit("zipDirectory"), regexp_replace(col("zip_path"), "/[^/]+$", ""),
         lit("zipPath"), col("zip_path"),
-        lit("zipSize"), col("entry_chars").cast("string")).as("zip_kv"))
+        lit("zipSize"), col("entry_bytes").cast("string")).as("zip_kv"))
     assembleBlocks(toLines(files.select(col("file"), col("text"))))
       .join(meta, "file")
       .withColumn("kv", map_concat(col("kv"), col("zip_kv")))

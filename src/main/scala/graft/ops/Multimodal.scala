@@ -78,7 +78,8 @@ object Multimodal {
         val scale = math.min(1.0, maxDim.toDouble / math.max(w, h))
         val (nw, nh) = (math.max(1, (w * scale).toInt), math.max(1, (h * scale).toInt))
         val payload = r.media.drop(8)
-        val keep = math.max(1, (payload.length * scale).toInt)
+        // keep=0 for an empty payload (header-only media is in-domain)
+        val keep = if (payload.isEmpty) 0 else math.max(1, (payload.length * scale).toInt)
         val out = java.nio.ByteBuffer.allocate(8 + keep)
         out.putInt(nw).putInt(nh).put(payload, 0, keep)
         r.copy(media = out.array())

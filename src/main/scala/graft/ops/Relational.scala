@@ -27,12 +27,11 @@ import org.apache.spark.sql.types.DecimalType
   */
 object Relational {
 
-  /** Exact, order-independent sum of a money-like double column: per-row cast
-    * to decimal(18,2) is deterministic (values are within 1e-13 of their .01
-    * grid point), the decimal sum is exact, final cast back to double.
+  /** See [[Num.moneySum]] — exact, order-independent money sum (values sit
+    * within 1e-13 of their .01 grid point, so the per-row decimal cast is
+    * deterministic; the decimal sum is exact).
     */
-  private def moneySum(c: Column): Column =
-    sum(c.cast(DecimalType(18, 2))).cast("double")
+  private def moneySum(c: Column): Column = Num.moneySum(c)
 
   /** Money columns sit exactly on the .01 grid (verified on the test data),
     * so casting each FACTOR to decimal is exact, and the whole product +

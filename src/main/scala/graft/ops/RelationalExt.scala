@@ -16,8 +16,7 @@ case class LineitemSlim(l_orderkey: Long, l_quantity: Double,
   */
 object RelationalExt {
 
-  private def moneySum(c: org.apache.spark.sql.Column) =
-    sum(c.cast(DecimalType(18, 2))).cast("double")
+  private def moneySum(c: org.apache.spark.sql.Column) = Num.moneySum(c)
 
   // --------------------------------------------------------------------------
   // q23 — GROUPING SETS through the spark.sql entry point (SQL API parity:
@@ -184,7 +183,9 @@ object RelationalExt {
   // double formatting makes the roundtrip value-exact, so the oracle checks
   // the same aggregate straight off the parquet table.
   def q51CsvRoundtrip(spark: SparkSession, dir: String): DataFrame = {
-    val path = s"${System.getProperty("java.io.tmpdir")}/graft_csv_roundtrip"
+    // per-application path: a shared fixed dir would let two concurrent
+    // sessions clobber each other's roundtrip mid-query
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_csv_roundtrip_${spark.sparkContext.applicationId}"
     Tables.lineitem(spark, dir)
       .filter(col("l_quantity") > 45.0)
       .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"))
@@ -209,7 +210,7 @@ object RelationalExt {
   // q52 — JSON: from_json with an explicit schema (typed struct access, vs
   // q17's get_json_object string path) + a JSON-lines sink/source roundtrip.
   def q52JsonRoundtrip(spark: SparkSession, dir: String): DataFrame = {
-    val path = s"${System.getProperty("java.io.tmpdir")}/graft_json_roundtrip"
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_json_roundtrip_${spark.sparkContext.applicationId}"
     Tables.events(spark, dir)
       .withColumn("props_s", from_json(col("props"), org.apache.spark.sql.types.StructType.fromDDL("k LONG")))
       .select(col("event_id"), col("event_type"), col("value"), col("props_s.k").as("k"))

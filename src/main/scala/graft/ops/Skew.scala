@@ -15,13 +15,17 @@ import org.apache.spark.sql.functions._
 object Skew {
 
   /** Inner equi-join with the left (big/skewed) side salted `salts` ways.
-    * The per-row salt comes from a hash of the whole row's partition offset
-    * — spreading even a single hot key across `salts` reducers.
+    * The salt hashes ALL of the row's columns — stable under task retry
+    * (monotonically_increasing_id would reassign on recomputation and,
+    * used as a shuffle key, could double-count/drop rows after a fetch
+    * failure). Identical duplicate rows share a salt — they stay together,
+    * which is correct; a hot KEY still spreads because its rows differ in
+    * the other columns.
     */
   def saltedEquiJoin(big: DataFrame, small: DataFrame,
                      bigKey: String, smallKey: String, salts: Int): DataFrame = {
     val saltedBig = big.withColumn("__salt",
-      pmod(xxhash64(monotonically_increasing_id()), lit(salts.toLong)).cast("int"))
+      pmod(xxhash64(big.columns.map(col): _*), lit(salts.toLong)).cast("int"))
     val replicatedSmall = small.withColumn("__salt",
       explode(sequence(lit(0), lit(salts - 1))))
     saltedBig.join(replicatedSmall,
@@ -38,7 +42,7 @@ object Skew {
     */
   def saltedSum(df: DataFrame, key: String, valueCol: String, salts: Int): DataFrame =
     df.withColumn("__salt",
-        pmod(xxhash64(monotonically_increasing_id()), lit(salts.toLong)).cast("int"))
+        pmod(xxhash64(df.columns.map(col): _*), lit(salts.toLong)).cast("int"))
       .groupBy(col(key), col("__salt"))
       .agg(sum(col(valueCol)).as("__partial"))
       .groupBy(col(key))

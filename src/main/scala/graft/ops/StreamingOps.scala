@@ -24,8 +24,7 @@ case class UserAgg(user_id: Long, n: Long, total: Double)
   */
 object StreamingOps {
 
-  private def moneySum(c: org.apache.spark.sql.Column) =
-    sum(c.cast(DecimalType(18, 2))).cast("double")
+  private def moneySum(c: org.apache.spark.sql.Column) = Num.moneySum(c)
 
   /** Tumbling 10-minute windows per event type. Works on batch and
     * streaming input alike; with streaming input callers add

@@ -370,12 +370,15 @@ object TextOps {
     val n = docs.count() // scalar: one count, reused in the closure as a literal
     val tf = tokenEdges(docs).groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
     val df_ = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    // rank on the ROUNDED score: ln() is not correctly rounded, so a
+    // last-ulp libm difference between engines could otherwise flip ranks
+    // at near-ties; rounding makes near-ties exact ties, broken by term.
     val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("w").asc)
     tf.join(df_, "w")
-      .withColumn("score", col("tf") * log(lit(n.toDouble) / col("df")))
+      .withColumn("score", round(col("tf") * log(lit(n.toDouble) / col("df")), 6))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 5)
-      .select(col("doc_id"), col("rn"), col("w").as("term"), round(col("score"), 6).as("tfidf"))
+      .select(col("doc_id"), col("rn"), col("w").as("term"), col("score").as("tfidf"))
       .orderBy(col("doc_id"), col("rn"))
   }
 
@@ -386,7 +389,7 @@ object TextOps {
        |df AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY 1),
        |n AS (SELECT COUNT(*) AS n FROM documents),
        |scored AS (
-       |  SELECT doc_id, w, tf * ln(CAST(n.n AS DOUBLE) / df.df) AS score
+       |  SELECT doc_id, w, ROUND(tf * ln(CAST(n.n AS DOUBLE) / df.df), 6) AS score
        |  FROM tf JOIN df USING (w) CROSS JOIN n),
        |ranked AS (
        |  SELECT doc_id, w, score,
