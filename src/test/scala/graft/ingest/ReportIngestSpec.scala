@@ -162,6 +162,40 @@ class ReportIngestSpec extends SparkSpec {
     assert(rec.select("RUTA_DE_REPORTE").distinct().count() === 2)
   }
 
+  test("colon-less and garbage lines don't crash the parse (ANSI element_at regression)") {
+    val text = "-----\n" + ReportPipeline.renderReport(Seq(erpBlock(1))) +
+      "\nseparator line without colon\n" + ReportPipeline.renderReport(Seq(erpBlock(2)))
+    val blocks = parseText(text)
+    assert(blocks.count() === 2)
+    // the colon-less line becomes a key with empty value inside its block
+    val kv = blocks.orderBy("block_id").collect()(1).getAs[Map[String, String]]("kv")
+    assert(kv.contains("separator line without colon"))
+    assert(kv("separator line without colon") === "")
+  }
+
+  test("missing or garbage numeric fields yield null counts, not an ANSI crash") {
+    val noCounts = erpBlock(1).filterNot { case (k, _) =>
+      k == "fileSize" || k == "fileColForCountRows" }
+      .map { case ("fileAntColForCountRows", _) => ("fileAntColForCountRows", "not_a_number")
+             case kv => kv }
+    val dir = tmpDir()
+    writeReport(dir, "x[01-01-2020T00_00_00].TXT", ReportPipeline.renderReport(Seq(noCounts)))
+    val rec = ReportPipeline.ingest(spark, dir.toString, "ERP",
+      generationDate = org.apache.spark.sql.functions.lit("2026-01-01 00:00:00"))
+    val typed = Normalize.typedErp(rec).collect()(0)
+    assert(typed.isNullAt(typed.fieldIndex("TAMANO_DE_ARCHIVO_BYTES")))
+    assert(typed.isNullAt(typed.fieldIndex("DIFERENCIA_TOTAL_REGISTROS")))
+  }
+
+  test("'+' in report filenames survives path decoding") {
+    val dir = tmpDir()
+    writeReport(dir, "a+b[01-01-2020T00_00_00].TXT", ReportPipeline.renderReport(Seq(erpBlock(1))))
+    val rec = ReportPipeline.ingest(spark, dir.toString, "ERP",
+      generationDate = org.apache.spark.sql.functions.lit("2026-01-01 00:00:00"))
+    val path = rec.collect()(0).getAs[String]("RUTA_DE_REPORTE")
+    assert(path.contains("a+b["), path)
+  }
+
   test("PERMISSIVE JSON read quarantines corrupt records instead of failing (R22 semantics)") {
     val dir = tmpDir()
     Fixtures.writeReport(dir, "mixed.json",

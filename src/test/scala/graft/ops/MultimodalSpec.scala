@@ -32,6 +32,20 @@ class MultimodalSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("resize handles header-only media (empty payload) without crashing") {
+    import spark.implicits._
+    val headerOnly = {
+      val buf = java.nio.ByteBuffer.allocate(8)
+      buf.putInt(32).putInt(24)
+      Seq(Multimodal.MediaRow(99L, "fakeimg", buf.array())).toDS()
+    }
+    val out = Multimodal.resize(headerOnly, maxDim = 16).collect()
+    assert(out.length === 1)
+    assert(out(0).media.length === 8)
+    val meta = Multimodal.decodeMeta(Multimodal.resize(headerOnly, 16)).collect()(0)
+    assert(meta.width <= 16 && meta.mean_byte === 0.0)
+  }
+
   test("frame sampling keeps every k-th fixed-size frame") {
     val one = Multimodal.mediaTable(spark, dir).filter(col("doc_id") === 0L)
     val payloadLen = Multimodal.decodeMeta(one).collect()(0).n_bytes - 8
