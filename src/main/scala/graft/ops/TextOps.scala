@@ -398,9 +398,33 @@ object TextOps {
        |SELECT doc_id, CAST(rn AS INT) AS rn, w AS term, ROUND(score, 6) AS tfidf
        |FROM ranked WHERE rn <= 5 ORDER BY doc_id, rn""".stripMargin
 
+  // --------------------------------------------------------------------------
+  // q66 — corpus n-gram statistics: top-20 bigrams by frequency (count desc,
+  // bigram asc). One explode + window lead + hash agg + TakeOrdered.
+  def q66NgramCounts(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    tokenEdges(Tables.documents(spark, dir))
+      .withColumn("w1", lead(col("w"), 1).over(w))
+      .filter(col("w1").isNotNull)
+      .select(concat_ws(" ", col("w"), col("w1")).as("bigram"))
+      .groupBy(col("bigram"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bigram").asc)
+      .limit(20)
+  }
+
+  val q66Sql: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, i AS pos, t[i] AS w, t[i+1] AS w1
+       |  FROM (SELECT doc_id, $toksSqlD AS t FROM documents),
+       |       UNNEST(generate_series(1, len(t) - 1)) AS u(i))
+       |SELECT w || ' ' || w1 AS bigram, COUNT(*) AS n
+       |FROM tok GROUP BY 1 ORDER BY n DESC, bigram ASC LIMIT 20""".stripMargin
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q30_exact_dedup", q30ExactDedup _, Some(q30Sql)),
     ("q65_tfidf", q65TfIdf _, Some(q65Sql)),
+    ("q66_ngram_counts", q66NgramCounts _, Some(q66Sql)),
     ("q31_ngram_jaccard", q31NgramJaccard _, Some(q31Sql)),
     ("q32_minhash_lsh", q32MinhashLsh _, None),
     ("q33_simhash", q33Simhash _, None),
