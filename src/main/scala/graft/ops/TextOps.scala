@@ -85,15 +85,23 @@ object TextOps {
   // explode shingles → join on shingle (a.doc_id < b.doc_id) → count
   // intersection → Jaccard = inter / (|A| + |B| - inter) ≥ 0.5.
   // Integer-ratio double division is bit-deterministic — oracle-safe.
+  // Carry each doc's shingle-set size on its edges (broadcast — sizes is
+  // one row per doc), so candidate pairs are size-pruned IN the join:
+  // jac ≥ 0.5 ⇒ 3·inter ≥ na+nb and inter ≤ min(na,nb) ⇒ max ≤ 2·min.
+  // Exact (no candidate at the threshold is lost), and sizes ride the
+  // groupBy keys so no re-joins afterwards.
+  //
+  // Measured alternative, rejected: a PPJoin-style prefix filter (index
+  // only the first n-⌈t·n⌉+1 shingles in global-df order) was implemented
+  // and oracle-verified, but benched 9.5s vs ~2-4s for this shape at
+  // sf0.1 — the global-frequency shuffle + per-doc rank window + candidate
+  // re-join outweigh the pruning on this small-vocabulary corpus. At a
+  // web-scale vocabulary (shingle df ≪ |docs|, pair blowup quadratic)
+  // prefix filtering is the right move; revisit when the corpus grows.
   def q31NgramJaccard(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val edges = shingleEdges(docs)
     val sizes = edges.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    // carry each doc's shingle-set size on its edges (broadcast — sizes is
-    // one row per doc), so candidate pairs can be size-pruned IN the join:
-    // jac ≥ 0.5 ⇒ 3·inter ≥ na+nb and inter ≤ min(na,nb) ⇒ max ≤ 2·min.
-    // Exact (no candidate at the threshold is lost) and cuts the pair
-    // stream before the groupBy; also saves the two size re-joins after.
     val withN = edges.join(broadcast(sizes), "doc_id")
     val a = withN.as("a"); val b = withN.as("b")
     a.join(b,
