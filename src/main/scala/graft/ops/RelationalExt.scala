@@ -328,6 +328,75 @@ object RelationalExt {
       |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
   // --------------------------------------------------------------------------
+  // q57 — map-typed column surface: per user build map<event_type, count>,
+  // prune small entries with map_filter, explode back to rows. The map is
+  // genuine intermediate state (map_from_entries → map_filter → explode);
+  // the oracle checks the equivalent relational form.
+  def q57MapOps(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("user_id"))
+      .agg(map_from_entries(collect_list(struct(col("event_type"), col("cnt")))).as("m"))
+      .withColumn("m", expr("map_filter(m, (k, v) -> v >= 3)"))
+      .select(col("user_id"), explode(col("m")).as(Seq("event_type", "cnt")))
+      .orderBy(col("user_id"), col("event_type"))
+
+  val q57Sql: String =
+    """SELECT user_id, event_type, COUNT(*) AS cnt
+      |FROM events GROUP BY user_id, event_type
+      |HAVING COUNT(*) >= 3
+      |ORDER BY user_id, event_type""".stripMargin
+
+  // --------------------------------------------------------------------------
+  // q58 — array-of-struct surface: collect each customer's orders as an
+  // array, sort it descending by price in-array, slice the top 3, inline
+  // back to rows. Same result as the q07 window formulation — here built
+  // through collect_list/sort_array/slice/inline (the nested-data path).
+  def q58ArrayStructs(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(collect_list(struct(col("o_totalprice"), col("o_orderkey"))).as("orders"))
+      // sort_array on struct sorts by fields in order → price asc, key asc;
+      // reverse for price desc (ties: orderkey desc — mirror in the oracle)
+      .withColumn("top3", slice(reverse(sort_array(col("orders"))), 1, 3))
+      .select(col("o_custkey"), posexplode(col("top3")))
+      .select(
+        col("o_custkey"),
+        (col("pos") + 1).as("rn"),
+        col("col.o_orderkey").as("o_orderkey"),
+        col("col.o_totalprice").as("o_totalprice"))
+      .orderBy(col("o_custkey"), col("rn"))
+
+  val q58Sql: String =
+    """SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+      |      ORDER BY o_totalprice DESC, o_orderkey DESC) AS INT) AS rn
+      |  FROM orders)
+      |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin
+
+  // --------------------------------------------------------------------------
+  // q59 — regexp_extract_all: tokenize part names by regex, count and take
+  // first match per row.
+  def q59RegexpAll(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir)
+      .withColumn("words", regexp_extract_all(col("p_name"), lit("[a-z]+"), lit(0)))
+      .select(
+        col("p_partkey"),
+        size(col("words")).as("n_words"),
+        element_at(col("words"), 1).as("first_word"),
+        array_join(col("words"), "_").as("joined"))
+      .orderBy(col("p_partkey"))
+
+  val q59Sql: String =
+    """SELECT p_partkey,
+      |  CAST(len(regexp_extract_all(p_name, '[a-z]+')) AS INT) AS n_words,
+      |  regexp_extract_all(p_name, '[a-z]+')[1] AS first_word,
+      |  array_to_string(regexp_extract_all(p_name, '[a-z]+'), '_') AS joined
+      |FROM part ORDER BY p_partkey""".stripMargin
+
+  // --------------------------------------------------------------------------
   // q46 — full outer join with null-safe key handling: per-key order counts
   // from two disjoint-ish filtered views of orders, stitched full-outer.
   def q46FullOuter(spark: SparkSession, dir: String): DataFrame = {
@@ -386,6 +455,9 @@ object RelationalExt {
     ("q46_full_outer", q46FullOuter _, Some(q46Sql)),
     ("q47_array_fns", q47ArrayFns _, Some(q47Sql)),
     ("q48_typed_dataset", q48TypedDataset _, Some(q48Sql)),
+    ("q57_map_ops", q57MapOps _, Some(q57Sql)),
+    ("q58_array_structs", q58ArrayStructs _, Some(q58Sql)),
+    ("q59_regexp_all", q59RegexpAll _, Some(q59Sql)),
     ("q64_funnel", q64Funnel _, Some(q64Sql)),
     ("q24_approx_distinct", q24ApproxDistinct _, None),
     ("q25_subqueries", q25Subqueries _, Some(q25Sql)),
