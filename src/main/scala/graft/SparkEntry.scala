@@ -12,6 +12,7 @@ object SparkEntry {
   /** All catalogs, in presentation order. */
   private def catalogs: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
     ops.Relational.catalog ++ ops.RelationalExt.catalog ++
+      ops.RelationalMore.catalog ++ ops.SketchOps.catalog ++
       ops.TextOps.catalog ++ ops.VectorOps.catalog ++
       ops.StreamingOps.catalog ++ ops.Multimodal.catalog ++ Seq(
       ("q50_report_ingest", (s: SparkSession, _: String) => ingest.ReportPipeline.demoQuery(s), None))

@@ -1,0 +1,167 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Third wave of relational surface: calendar-spine gap fill, batch
+  * MERGE/upsert (copy-on-write), arg-max/arg-min aggregates, and
+  * schema-evolution unions.
+  *
+  * No reference counterpart (the reference is an ingest ETL — see
+  * reference/src/main), but each is table-stakes engine surface a user
+  * migrating a reporting workload expects (SURVEY §2.2 categories:
+  * aggregation, joins, set ops, sinks/idempotency).
+  */
+object RelationalMore {
+
+  // --------------------------------------------------------------------------
+  // q53 — calendar-spine gap fill: generate the full day range between the
+  // first and last order date, left-join daily aggregates, zero-fill gaps.
+  // Scale: the spine is sequence()+explode from a 1-row aggregate — a few
+  // thousand rows regardless of fact size — so Spark broadcasts it; the
+  // fact side aggregates map-side first, one shuffle on day.
+  def q53DateSpine(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(spark, dir)
+      .select(date_trunc("day", col("o_orderdate")).as("day"), col("o_totalprice"))
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n_orders"), Num.moneySum(col("o_totalprice")).as("sum_price"))
+    val spine = daily
+      .agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"), expr("interval 1 day"))).as("day"))
+    spine.join(daily, Seq("day"), "left")
+      .select(
+        col("day"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+        coalesce(col("sum_price"), lit(0.0)).as("sum_price"))
+      .orderBy(col("day"))
+  }
+
+  val q53Sql: String =
+    """WITH daily AS (
+      |  SELECT date_trunc('day', o_orderdate) AS day, COUNT(*) AS n_orders,
+      |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |  FROM orders GROUP BY 1),
+      |spine AS (
+      |  SELECT UNNEST(generate_series(min(day), max(day), INTERVAL 1 DAY)) AS day
+      |  FROM daily)
+      |SELECT s.day, COALESCE(d.n_orders, 0) AS n_orders,
+      |       COALESCE(d.sum_price, 0.0) AS sum_price
+      |FROM spine s LEFT JOIN daily d USING (day)
+      |ORDER BY day""".stripMargin
+
+  // --------------------------------------------------------------------------
+  // q67 — batch MERGE / upsert, copy-on-write formulation: rows of the
+  // target not touched by the change-set survive via ONE anti-join on the
+  // key; the change-set (updates carry new values, inserts carry new keys)
+  // is unioned in. This is the same idempotency shape as
+  // `Sinks.appendNewReportsOnly` generalized to updates.
+  // Scale: anti-join shuffles on the merge key only (or broadcasts when the
+  // change-set is small — the common CDC case); on a partitioned table you
+  // rewrite only partitions the change-set touches (partition pruning on
+  // the join key's partition column).
+  /** Generic upsert: `changes` wins on key collision, everything else kept. */
+  def mergeByKey(target: DataFrame, changes: DataFrame, key: String): DataFrame =
+    target.join(changes.select(key).distinct(), Seq(key), "left_anti")
+      .unionByName(changes)
+
+  def q67MergeUpsert(spark: SparkSession, dir: String): DataFrame = {
+    val target = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), lit("K").as("op"), col("o_totalprice"))
+    val priceDec = col("o_totalprice").cast(DecimalType(18, 2))
+    // Deterministic synthetic CDC feed: 10% updates (+10% price, exact
+    // decimal arithmetic — SURVEY §8.4), 10% inserts under fresh keys.
+    val updates = Tables.orders(spark, dir)
+      .filter(col("o_orderkey") % 10 === 0)
+      .select(
+        col("o_orderkey"),
+        lit("U").as("op"),
+        // round(), not a downscale cast: DuckDB truncates DECIMAL(18,4)→(18,2)
+        // casts (193955.8390 → .83); round() half-ups in both engines.
+        round(priceDec * lit(new java.math.BigDecimal("1.10")), 2)
+          .cast("double").as("o_totalprice"))
+    val inserts = Tables.orders(spark, dir)
+      .filter(col("o_orderkey") % 10 === 3)
+      .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+        lit("I").as("op"), col("o_totalprice"))
+    mergeByKey(target, updates.unionByName(inserts), "o_orderkey")
+      .orderBy(col("o_orderkey"))
+  }
+
+  val q67Sql: String =
+    """WITH chg AS (
+      |  SELECT o_orderkey, 'U' AS op,
+      |         CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,2)) * 1.10, 2) AS DOUBLE) AS o_totalprice
+      |  FROM orders WHERE o_orderkey % 10 = 0
+      |  UNION ALL
+      |  SELECT o_orderkey + 10000000, 'I', o_totalprice
+      |  FROM orders WHERE o_orderkey % 10 = 3)
+      |SELECT t.o_orderkey, 'K' AS op, t.o_totalprice
+      |FROM orders t
+      |WHERE NOT EXISTS (SELECT 1 FROM chg c WHERE c.o_orderkey = t.o_orderkey)
+      |UNION ALL
+      |SELECT o_orderkey, op, o_totalprice FROM chg
+      |ORDER BY o_orderkey""".stripMargin
+
+  // --------------------------------------------------------------------------
+  // q68 — arg-max / arg-min: per customer, the priority of their most and
+  // least expensive order. Ties broken deterministically by packing
+  // (price-cents, orderkey) into one BIGINT ordering key — price cents via
+  // exact decimal (max ~5e7) shifted above the key range, so cross-engine
+  // comparison is integer, not double.
+  // Scale: max_by/min_by are single-pass hash aggregates (map-side partial)
+  // — no window sort, no self-join, one shuffle on the group key.
+  def q68ArgMax(spark: SparkSession, dir: String): DataFrame = {
+    val ord = (col("o_totalprice").cast(DecimalType(18, 2)) * 100).cast("long") *
+      10000000000L + col("o_orderkey")
+    Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(
+        max_by(col("o_orderpriority"), ord).as("top_priority"),
+        min_by(col("o_orderpriority"), ord).as("bottom_priority"),
+        max(col("o_totalprice")).as("max_price"),
+        count(lit(1)).as("n_orders"))
+      .orderBy(col("o_custkey"))
+  }
+
+  val q68Sql: String =
+    """SELECT o_custkey,
+      |  ARG_MAX(o_orderpriority, CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) * 10000000000 + o_orderkey) AS top_priority,
+      |  ARG_MIN(o_orderpriority, CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) * 10000000000 + o_orderkey) AS bottom_priority,
+      |  MAX(o_totalprice) AS max_price,
+      |  COUNT(*) AS n_orders
+      |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
+
+  // --------------------------------------------------------------------------
+  // q69 — schema-evolution union: two batches with different column order
+  // and a column added over time, merged by NAME (missing → NULL). The
+  // shape every long-lived training-data pipeline hits when a new metadata
+  // column appears mid-corpus.
+  def q69UnionByName(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val legacy = c.filter(col("c_custkey") % 3 === 0)
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      .withColumn("batch", lit("legacy"))
+    val v2 = c.filter(col("c_custkey") % 3 =!= 0)
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"), col("c_name"))
+      .withColumn("batch", lit("v2"))
+    legacy.unionByName(v2, allowMissingColumns = true)
+      .orderBy(col("c_custkey"))
+  }
+
+  val q69Sql: String =
+    """SELECT * FROM (
+      |  SELECT c_custkey, c_name, c_acctbal, 'legacy' AS batch
+      |  FROM customer WHERE c_custkey % 3 = 0
+      |  UNION ALL BY NAME
+      |  SELECT c_custkey, c_mktsegment, c_acctbal, c_name, 'v2' AS batch
+      |  FROM customer WHERE c_custkey % 3 <> 0)
+      |ORDER BY c_custkey""".stripMargin
+
+  val catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
+    ("q53_date_spine", q53DateSpine _, Some(q53Sql)),
+    ("q67_merge_upsert", q67MergeUpsert _, Some(q67Sql)),
+    ("q68_argmax", q68ArgMax _, Some(q68Sql)),
+    ("q69_union_by_name", q69UnionByName _, Some(q69Sql)))
+}

@@ -429,8 +429,94 @@ object TextOps {
        |SELECT w || ' ' || w1 AS bigram, COUNT(*) AS n
        |FROM tok GROUP BY 1 ORDER BY n DESC, bigram ASC LIMIT 20""".stripMargin
 
+  // --------------------------------------------------------------------------
+  // q72 — fuzzy matching / dirty-dimension dedup by edit distance. Standard
+  // scale shape: DISTINCT-project the (huge) fact column down to its
+  // vocabulary first, then pair the vocabulary — 100 TB of parts collapses
+  // to |vocab| rows before the quadratic step. Here the vocabulary is
+  // all-pairs'd (broadcast nested-loop on a vocabulary-sized side); a large
+  // vocabulary would first block (last token / length band — same keys the
+  // oracle uses) or LSH (q32) before the edit-distance verify.
+  def q72FuzzyMatch(spark: SparkSession, dir: String): DataFrame = {
+    val names = Tables.part(spark, dir)
+      .groupBy(col("p_name")).agg(count(lit(1)).as("n"))
+    val a = names.select(col("p_name").as("name_a"), col("n").as("n_a"))
+    val b = names.select(col("p_name").as("name_b"), col("n").as("n_b"))
+    a.join(broadcast(b),
+        col("name_a") < col("name_b") &&
+          abs(length(col("name_a")) - length(col("name_b"))) <= 2 &&
+          levenshtein(col("name_a"), col("name_b")) <= 2)
+      .select(col("name_a"), col("name_b"),
+        levenshtein(col("name_a"), col("name_b")).as("dist"),
+        col("n_a"), col("n_b"))
+      .orderBy(col("name_a"), col("name_b"))
+  }
+
+  val q72Sql: String =
+    """WITH names AS (SELECT p_name, COUNT(*) AS n FROM part GROUP BY 1)
+      |SELECT a.p_name AS name_a, b.p_name AS name_b,
+      |       CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist,
+      |       a.n AS n_a, b.n AS n_b
+      |FROM names a JOIN names b
+      |  ON a.p_name < b.p_name
+      | AND abs(len(a.p_name) - len(b.p_name)) <= 2
+      | AND levenshtein(a.p_name, b.p_name) <= 2
+      |ORDER BY name_a, name_b""".stripMargin
+
+  // --------------------------------------------------------------------------
+  // q73 — Gopher-style repetition quality filter: per document, the share
+  // of the top unigram and top bigram in the token stream; documents
+  // dominated by one n-gram are boilerplate/spam. One explode + two
+  // hash aggregations per grain (all codegen'd except the bigram window
+  // sort, which reuses the shingling lesson from §8.5).
+  def q73Repetition(spark: SparkSession, dir: String): DataFrame = {
+    val te = tokenEdges(Tables.documents(spark, dir))
+    val uni = te.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_words"), max(col("c")).as("top_uni"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val big = te.withColumn("w1", lead(col("w"), 1).over(w))
+      .filter(col("w1").isNotNull)
+      .select(col("doc_id"), concat_ws(" ", col("w"), col("w1")).as("bg"))
+      .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_bigrams"), max(col("c")).as("top_big"))
+    uni.join(big, Seq("doc_id"))
+      .select(
+        col("doc_id"), col("n_words"),
+        round(col("top_uni") / col("n_words"), 6).as("top_word_share"),
+        round(col("top_big") / col("n_bigrams"), 6).as("top_bigram_share"),
+        when(col("top_uni") / col("n_words") <= 0.10 &&
+             col("top_big") / col("n_bigrams") <= 0.04, 1).otherwise(0).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q73Sql: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, i AS pos, t[i] AS w, t[i+1] AS w1
+       |  FROM (SELECT doc_id, $toksSqlD AS t FROM documents),
+       |       UNNEST(generate_series(1, len(t))) AS u(i)),
+       |uni AS (
+       |  SELECT doc_id, SUM(c) AS n_words, MAX(c) AS top_uni
+       |  FROM (SELECT doc_id, w, COUNT(*) AS c FROM tok GROUP BY 1, 2)
+       |  GROUP BY 1),
+       |big AS (
+       |  SELECT doc_id, SUM(c) AS n_bigrams, MAX(c) AS top_big
+       |  FROM (SELECT doc_id, w || ' ' || w1 AS bg, COUNT(*) AS c FROM tok
+       |        WHERE w1 IS NOT NULL GROUP BY 1, 2)
+       |  GROUP BY 1)
+       |SELECT u.doc_id, n_words,
+       |  ROUND(top_uni / n_words, 6) AS top_word_share,
+       |  ROUND(top_big / n_bigrams, 6) AS top_bigram_share,
+       |  CASE WHEN top_uni / n_words <= 0.10 AND top_big / n_bigrams <= 0.04
+       |       THEN 1 ELSE 0 END AS keep
+       |FROM uni u JOIN big USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q30_exact_dedup", q30ExactDedup _, Some(q30Sql)),
+    ("q72_fuzzy_match", q72FuzzyMatch _, Some(q72Sql)),
+    ("q73_repetition", q73Repetition _, Some(q73Sql)),
     ("q65_tfidf", q65TfIdf _, Some(q65Sql)),
     ("q66_ngram_counts", q66NgramCounts _, Some(q66Sql)),
     ("q31_ngram_jaccard", q31NgramJaccard _, Some(q31Sql)),

@@ -1,0 +1,74 @@
+package graft.ops
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+class RelationalMoreSpec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("q53 date spine is dense (one row per day, gaps zero-filled)") {
+    val rows = RelationalMore.q53DateSpine(spark, dir).collect()
+    val days = rows.map(_.getTimestamp(0).toInstant)
+    // dense: consecutive days differ by exactly 86400s
+    days.sliding(2).foreach { case Array(a, b) =>
+      assert(java.time.Duration.between(a, b).getSeconds === 86400L)
+    }
+    // gap rows exist at this SF and are zero-filled consistently
+    val gaps = rows.filter(_.getAs[Long]("n_orders") == 0L)
+    assert(gaps.nonEmpty, "expected at least one empty day at sf0.001")
+    gaps.foreach(r => assert(r.getAs[Double]("sum_price") === 0.0))
+    // spine covers >= the number of distinct order days
+    val distinctDays = Tables.orders(spark, dir)
+      .select(date_trunc("day", col("o_orderdate"))).distinct().count()
+    assert(rows.length >= distinctDays.toInt)
+  }
+
+  test("q67 merge keeps counts consistent and changes win on collision") {
+    val target = Tables.orders(spark, dir)
+    val nTarget = target.count()
+    val nUpd = target.filter(col("o_orderkey") % 10 === 0).count()
+    val nIns = target.filter(col("o_orderkey") % 10 === 3).count()
+    val merged = RelationalMore.q67MergeUpsert(spark, dir).cache()
+    try {
+      assert(merged.count() === nTarget + nIns)
+      assert(merged.filter(col("op") === "U").count() === nUpd)
+      assert(merged.filter(col("op") === "I").count() === nIns)
+      // keys stay unique after the merge
+      assert(merged.select("o_orderkey").distinct().count() === nTarget + nIns)
+      // an updated row carries the new (higher) price
+      val one = merged.filter(col("op") === "U").limit(1).collect()(0)
+      val orig = target.filter(col("o_orderkey") === one.getAs[Long]("o_orderkey"))
+        .collect()(0).getAs[Double]("o_totalprice")
+      assert(one.getAs[Double]("o_totalprice") > orig)
+    } finally merged.unpersist()
+  }
+
+  test("q68 max_by agrees with the window-based argmax") {
+    val viaAgg = RelationalMore.q68ArgMax(spark, dir)
+      .select("o_custkey", "top_priority").collect().map(_.toSeq)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_custkey"))
+      .orderBy(
+        col("o_totalprice").desc, col("o_orderkey").desc)
+    val viaWindow = Tables.orders(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("o_custkey"), col("o_orderpriority"))
+      .orderBy(col("o_custkey"))
+      .collect().map(_.toSeq)
+    assert(viaAgg.toSeq === viaWindow.toSeq)
+  }
+
+  test("q69 unionByName fills the missing legacy column with null") {
+    val df = RelationalMore.q69UnionByName(spark, dir).cache()
+    try {
+      assert(df.count() === Tables.customer(spark, dir).count())
+      assert(df.filter(col("batch") === "legacy")
+        .filter(col("c_mktsegment").isNotNull).count() === 0L)
+      assert(df.filter(col("batch") === "v2")
+        .filter(col("c_mktsegment").isNull).count() === 0L)
+      // every batch kept its c_name
+      assert(df.filter(col("c_name").isNull).count() === 0L)
+    } finally df.unpersist()
+  }
+}

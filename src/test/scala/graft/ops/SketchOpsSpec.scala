@@ -1,0 +1,56 @@
+package graft.ops
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+class SketchOpsSpec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("q74 merged region sketches land within rank tolerance of exact percentiles") {
+    val approx = SketchOps.q74SketchRollup(spark, dir).collect()
+      .map(r => r.getAs[Number]("n_regionkey").longValue -> r).toMap
+    // exact per-region percentiles straight off customer⋈nation
+    val exact = Tables.customer(spark, dir)
+      .join(Tables.nation(spark, dir), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_regionkey"))
+      .agg(
+        expr("percentile(c_acctbal, 0.1)").as("e10"),
+        expr("percentile(c_acctbal, 0.5)").as("e50"),
+        expr("percentile(c_acctbal, 0.9)").as("e90"),
+        expr("max(c_acctbal) - min(c_acctbal)").as("range"),
+        count(lit(1)).as("n"))
+      .collect()
+    assert(exact.nonEmpty)
+    exact.foreach { r =>
+      val k = r.getAs[Number]("n_regionkey").longValue
+      val a = approx(k)
+      val range = r.getAs[Double]("range")
+      // GK guarantees rank error <= eps*n; with small n per region translate
+      // to a generous value-tolerance: 15% of the group's value range.
+      for ((ac, ec) <- Seq("p10" -> "e10", "p50" -> "e50", "p90" -> "e90")) {
+        val av = a.getAs[Double](ac)
+        val ev = r.getAs[Double](ec)
+        assert(math.abs(av - ev) <= 0.15 * range,
+          s"region $k $ac: sketch $av vs exact $ev (range $range)")
+      }
+      assert(a.getAs[Long]("n_customers") === r.getAs[Long]("n"))
+    }
+  }
+
+  test("sketch merge is associative with grouping: global quantile from region sketches matches direct sketch") {
+    import org.apache.spark.sql.Encoders
+    val sketch = udaf(SketchOps.SketchAgg, Encoders.scalaDouble)
+    val mergeQ = udaf(SketchOps.SketchMergeAgg, Encoders.BINARY)
+    val c = Tables.customer(spark, dir)
+    // two-level: nation sketches -> single merged global
+    val twoLevel = c.groupBy(col("c_nationkey")).agg(sketch(col("c_acctbal")).as("sk"))
+      .agg(mergeQ(col("sk")).as("q")).select(col("q.p50")).collect()(0).getDouble(0)
+    // one-level: direct global sketch
+    val oneLevel = c.agg(sketch(col("c_acctbal")).as("sk"))
+      .agg(mergeQ(col("sk")).as("q")).select(col("q.p50")).collect()(0).getDouble(0)
+    val exact = c.agg(expr("percentile(c_acctbal, 0.5)")).collect()(0).getDouble(0)
+    val range = c.agg(expr("max(c_acctbal) - min(c_acctbal)")).collect()(0).getDouble(0)
+    assert(math.abs(twoLevel - exact) <= 0.05 * range, s"two-level $twoLevel vs exact $exact")
+    assert(math.abs(oneLevel - exact) <= 0.05 * range, s"one-level $oneLevel vs exact $exact")
+  }
+}

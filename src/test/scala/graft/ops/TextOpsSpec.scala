@@ -74,6 +74,38 @@ class TextOpsSpec extends SparkSpec {
     assert(r.getAs[Double]("stop_ratio") === math.rint(3.0 / 15 * 1e6) / 1e6)
   }
 
+  test("fuzzy match finds edit-distance-1 neighbors and no self/dup pairs") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = TextOps.q72FuzzyMatch(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (a, b) = (r.getAs[String]("name_a"), r.getAs[String]("name_b"))
+      assert(a < b, s"pair not canonical: $a / $b")
+      assert(r.getAs[Int]("dist") >= 1 && r.getAs[Int]("dist") <= 2)
+    }
+    // a known distance-1 pair in the 8x8 name vocabulary
+    assert(rows.exists(r => r.getAs[String]("name_a") == "cold widget" &&
+      r.getAs[String]("name_b") == "old widget"))
+  }
+
+  test("repetition shares are valid ratios and keep-flag matches thresholds") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = TextOps.q73Repetition(spark, dir).collect()
+    assert(rows.length === 500)
+    rows.foreach { r =>
+      val ws = r.getAs[Double]("top_word_share")
+      val bs = r.getAs[Double]("top_bigram_share")
+      assert(ws > 0.0 && ws <= 1.0)
+      assert(bs > 0.0 && bs <= 1.0)
+      // shares are rounded to 6dp for the oracle; skip the (theoretical)
+      // boundary sliver where rounding could flip the comparison
+      if (math.abs(ws - 0.10) > 1e-5 && math.abs(bs - 0.04) > 1e-5) {
+        val expected = if (ws <= 0.10 && bs <= 0.04) 1 else 0
+        assert(r.getAs[Int]("keep") === expected)
+      }
+    }
+  }
+
   test("fingerprint is stable across runs and differs for different content") {
     val fp1 = TextOps.q37Fingerprint(spark, corpusDir).collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("fingerprint")).toMap
