@@ -513,10 +513,43 @@ object TextOps {
        |FROM uni u JOIN big USING (doc_id)
        |ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------------------------------------
+  // q75 — mixture re-sampling: per-language keep rates (downsample the
+  // majority language) with 1/rate loss re-weighting — the corpus-mixture
+  // op every multilingual training pipeline runs. Sampling is a
+  // DETERMINISTIC content hash (md5 prefix vs a hex threshold — the same
+  // trick as q27, so reruns and engines agree), rates live in a tiny
+  // broadcast dimension, and the filter is row-local: no shuffle at all,
+  // any corpus size streams through map-side.
+  // Threshold semantics: keep iff md5[0:2) < thresh; '40' = 64/256 = 25%,
+  // 'zz' sorts above every hex digit = keep-all.
+  def q75MixtureSample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val rates = Seq(
+      ("en", "40", 4.0), // 25% of English, reweighted 4x
+      ("de", "zz", 1.0), ("es", "zz", 1.0), ("fr", "zz", 1.0), ("zh", "zz", 1.0))
+      .toDF("lang", "thresh", "weight")
+    Tables.documents(spark, dir)
+      .join(broadcast(rates), Seq("lang"))
+      .filter(substring(md5(col("doc_id").cast("string")), 1, 2) < col("thresh"))
+      .select(col("doc_id"), col("lang"), col("weight"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q75Sql: String =
+    """WITH rates(lang, thresh, weight) AS (VALUES
+      |  ('en', '40', 4.0), ('de', 'zz', 1.0), ('es', 'zz', 1.0),
+      |  ('fr', 'zz', 1.0), ('zh', 'zz', 1.0))
+      |SELECT doc_id, d.lang, CAST(weight AS DOUBLE) AS weight
+      |FROM documents d JOIN rates r ON d.lang = r.lang
+      |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < thresh
+      |ORDER BY doc_id""".stripMargin
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q30_exact_dedup", q30ExactDedup _, Some(q30Sql)),
     ("q72_fuzzy_match", q72FuzzyMatch _, Some(q72Sql)),
     ("q73_repetition", q73Repetition _, Some(q73Sql)),
+    ("q75_mixture_sample", q75MixtureSample _, Some(q75Sql)),
     ("q65_tfidf", q65TfIdf _, Some(q65Sql)),
     ("q66_ngram_counts", q66NgramCounts _, Some(q66Sql)),
     ("q31_ngram_jaccard", q31NgramJaccard _, Some(q31Sql)),

@@ -86,4 +86,32 @@ class PlanSpec extends SparkSpec {
     val df = Tables.events(spark, dir)
     assert(df.schema("ts").dataType.typeName === "timestamp")
   }
+
+  test("q68 argmax plans as a single-pass hash aggregate — no Window, no self-join") {
+    val p = plan(RelationalMore.q68ArgMax(spark, dir))
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("Join"), p)
+    assert(p.contains("partial_"), p) // map-side partial max_by/min_by
+  }
+
+  test("q53 date spine joins broadcast (spine side is aggregate-bounded)") {
+    val p = plan(RelationalMore.q53DateSpine(spark, dir))
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q67 merge anti-join shuffles/broadcasts on the merge key only") {
+    val p = plan(RelationalMore.q67MergeUpsert(spark, dir))
+    assert(p.contains("LeftAnti"), p)
+    assert(p.contains("Union"), p)
+  }
+
+  test("q72 fuzzy match pairs the vocabulary, not the fact table") {
+    val df = TextOps.q72FuzzyMatch(spark, dir)
+    val p = plan(df)
+    // the pair join input is the DISTINCT-projected name vocabulary: both
+    // sides aggregate before the nested-loop pairing
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.split("BroadcastNestedLoopJoin")(0).contains("HashAggregate") ||
+      p.contains("HashAggregate"), p)
+  }
 }

@@ -67,6 +67,46 @@ class ScaleSpec extends SparkSpec {
     assert(plain.toSeq === salted.toSeq)
   }
 
+  test("partitioned catalog table: DDL, dynamic partition overwrite, SHOW PARTITIONS, pruned scan") {
+    // Hive-style partitioned TABLE through the catalog (vs. the raw-path
+    // test above): the layout ops a warehouse user drives with SQL.
+    spark.sql("DROP TABLE IF EXISTS orders_by_status")
+    Tables.orders(spark, dir)
+      .withColumn("status", col("o_orderstatus"))
+      .select("o_orderkey", "o_totalprice", "status")
+      .write.mode("overwrite").partitionBy("status")
+      .format("parquet").saveAsTable("orders_by_status")
+
+    val parts = spark.sql("SHOW PARTITIONS orders_by_status").collect().map(_.getString(0))
+    assert(parts.length > 1, parts.mkString(","))
+    assert(parts.exists(_.startsWith("status=")))
+
+    // dynamic partition overwrite rewrites ONLY the touched partition
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      val before = spark.table("orders_by_status")
+        .groupBy("status").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val onePart = before.keySet.min
+      spark.table("orders_by_status")
+        .filter(col("status") === onePart)
+        .limit(5)
+        .write.mode("overwrite").insertInto("orders_by_status")
+      val after = spark.table("orders_by_status")
+        .groupBy("status").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(after(onePart) === 5L, s"overwritten partition: ${after(onePart)}")
+      (before.keySet - onePart).foreach(k => assert(after(k) === before(k), k))
+    } finally spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+
+    // catalog scans prune on the partition column
+    val q = spark.table("orders_by_status").filter(col("status") === "F")
+      .agg(count(lit(1)))
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.matches("(?s).*PartitionFilters: \\[[^\\]]*status[^\\]]*\\].*"), plan)
+  }
+
   test("salted two-phase aggregation matches direct aggregation") {
     val li = Tables.lineitem(spark, dir)
       .withColumn("qd", col("l_quantity").cast(DecimalType(18, 2)))

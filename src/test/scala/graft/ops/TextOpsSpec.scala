@@ -106,6 +106,29 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("mixture sampling downsamples only the majority language, deterministically") {
+    val dir = "/root/testdata/sf0.01"
+    val docs = graft.Tables.documents(spark, dir)
+    val totals = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kept = TextOps.q75MixtureSample(spark, dir).collect()
+    val keptByLang = kept.groupBy(_.getAs[String]("lang")).view.mapValues(_.length).toMap
+    // non-en languages keep every doc at weight 1.0
+    (totals.keySet - "en").foreach { l =>
+      assert(keptByLang(l).toLong === totals(l), l)
+    }
+    // en keeps roughly 25% (binomial-ish tolerance on ~218 docs)
+    val enRate = keptByLang("en").toDouble / totals("en")
+    assert(enRate > 0.10 && enRate < 0.40, s"en keep rate $enRate")
+    kept.foreach { r =>
+      val w = r.getAs[Double]("weight")
+      assert(if (r.getAs[String]("lang") == "en") w === 4.0 else w === 1.0)
+    }
+    // deterministic: same rows on rerun
+    val again = TextOps.q75MixtureSample(spark, dir).collect().map(_.toSeq)
+    assert(again.toSeq === kept.map(_.toSeq).toSeq)
+  }
+
   test("fingerprint is stable across runs and differs for different content") {
     val fp1 = TextOps.q37Fingerprint(spark, corpusDir).collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("fingerprint")).toMap
