@@ -159,8 +159,36 @@ object RelationalMore {
       |  FROM customer WHERE c_custkey % 3 <> 0)
       |ORDER BY c_custkey""".stripMargin
 
+  // --------------------------------------------------------------------------
+  // q76 — statistical aggregates: correlation, stddev, covariance, simple
+  // linear regression per group. Single-pass co-moment aggregation
+  // (map-side partials, one shuffle). Cross-engine note: co-moment
+  // accumulation IS order-dependent in the last few ulps, so every output
+  // is rounded at a grain (4dp for normalized/slope values, 2dp for the
+  // price-scaled ones) orders of magnitude above the accumulation noise.
+  def q76Stats(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qty_price"),
+        round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
+        round(covar_samp(col("l_quantity"), col("l_extendedprice")), 2).as("cov_qp"),
+        round(regr_slope(col("l_extendedprice"), col("l_quantity")), 4).as("slope"),
+        round(regr_intercept(col("l_extendedprice"), col("l_quantity")), 2).as("intercept"))
+      .orderBy(col("l_returnflag"))
+
+  val q76Sql: String =
+    """SELECT l_returnflag,
+      |  ROUND(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+      |  ROUND(stddev_samp(l_quantity), 4) AS sd_qty,
+      |  ROUND(covar_samp(l_quantity, l_extendedprice), 2) AS cov_qp,
+      |  ROUND(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+      |  ROUND(regr_intercept(l_extendedprice, l_quantity), 2) AS intercept
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q53_date_spine", q53DateSpine _, Some(q53Sql)),
+    ("q76_stats", q76Stats _, Some(q76Sql)),
     ("q67_merge_upsert", q67MergeUpsert _, Some(q67Sql)),
     ("q68_argmax", q68ArgMax _, Some(q68Sql)),
     ("q69_union_by_name", q69UnionByName _, Some(q69Sql)))

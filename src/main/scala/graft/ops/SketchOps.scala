@@ -91,6 +91,65 @@ object SketchOps {
       .orderBy(col("n_regionkey"))
   }
 
+  // --------------------------------------------------------------------------
+  // Misra-Gries frequent-items summary: bounded memory (k counters),
+  // mergeable (sum counters, then subtract the (k+1)-th largest and drop
+  // non-positive — Agarwal et al., "Mergeable Summaries", PODS'12).
+  // Guarantee: every item with true frequency > N/k survives.
+  class MisraGriesAgg(k: Int) extends Aggregator[String, Map[String, Long], Map[String, Long]] {
+    def zero: Map[String, Long] = Map.empty
+    def reduce(b: Map[String, Long], w: String): Map[String, Long] =
+      b.get(w) match {
+        case Some(c) => b.updated(w, c + 1L)
+        case None if b.size < k => b.updated(w, 1L)
+        case None => b.flatMap { case (kw, c) => if (c > 1L) Some(kw -> (c - 1L)) else None }
+      }
+    def merge(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] = {
+      val summed = b.foldLeft(a) { case (m, (w, c)) => m.updated(w, m.getOrElse(w, 0L) + c) }
+      if (summed.size <= k) summed
+      else {
+        val cut = summed.values.toSeq.sorted(Ordering[Long].reverse)(k)
+        summed.flatMap { case (w, c) => if (c - cut > 0L) Some(w -> (c - cut)) else None }
+      }
+    }
+    def finish(b: Map[String, Long]): Map[String, Long] = b
+    // buffer crosses executors opaquely (kryo); the OUTPUT must be a real
+    // MapType so downstream exprs (map_keys) can consume it
+    def bufferEncoder: Encoder[Map[String, Long]] = Encoders.kryo[Map[String, Long]]
+    def outputEncoder: Encoder[Map[String, Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, Long]]()
+  }
+
+  // --------------------------------------------------------------------------
+  // q77 — heavy hitters, two-pass: (1) a Misra-Gries sketch over the token
+  // stream nominates ≤k candidate words in bounded memory — at 100 TB this
+  // replaces a full-vocabulary groupBy with a k-entry summary per
+  // partition; (2) exact counts for the tiny candidate set via a
+  // semi-joined re-aggregation. Output is therefore EXACT for every word
+  // the sketch retains (k=128 exceeds this corpus's vocabulary, so the
+  // top-10 is provably complete — with real Zipfian skew a k ≪ |vocab|
+  // still guarantees every word with freq > N/k survives pass 1).
+  def q77HeavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val mg = udaf(new MisraGriesAgg(128), Encoders.STRING)
+    val tokens = Tables.documents(spark, dir)
+      .select(explode(expr("filter(split(lower(text), ' '), t -> t != '')")).as("w"))
+    val candidates = tokens.agg(mg(col("w")).as("summary"))
+      .select(explode(map_keys(col("summary"))).as("w"))
+    tokens.join(broadcast(candidates), Seq("w"), "left_semi")
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("w").asc)
+      .limit(10)
+  }
+
+  val q77Sql: String =
+    """SELECT w, COUNT(*) AS n
+      |FROM (SELECT UNNEST(list_filter(string_split(lower(text), ' '), t -> t != '')) AS w
+      |      FROM documents)
+      |GROUP BY w ORDER BY n DESC, w ASC LIMIT 10""".stripMargin
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
-    ("q74_sketch_rollup", q74SketchRollup _, None))
+    ("q74_sketch_rollup", q74SketchRollup _, None),
+    ("q77_heavy_hitters", q77HeavyHitters _, Some(q77Sql)))
 }

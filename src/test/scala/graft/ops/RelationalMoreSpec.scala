@@ -59,6 +59,18 @@ class RelationalMoreSpec extends SparkSpec {
     assert(viaAgg.toSeq === viaWindow.toSeq)
   }
 
+  test("q76 regression slope/intercept satisfy the normal equations vs corr/stddev") {
+    RelationalMore.q76Stats(spark, dir).collect().foreach { r =>
+      val corr = r.getAs[Double]("corr_qty_price")
+      val cov = r.getAs[Double]("cov_qp")
+      val sd = r.getAs[Double]("sd_qty")
+      val slope = r.getAs[Double]("slope")
+      // slope = cov / var(x); tolerate the output rounding
+      assert(math.abs(slope - cov / (sd * sd)) < 0.01, s"$slope vs ${cov / (sd * sd)}")
+      assert(corr >= -1.0 && corr <= 1.0)
+    }
+  }
+
   test("q69 unionByName fills the missing legacy column with null") {
     val df = RelationalMore.q69UnionByName(spark, dir).cache()
     try {

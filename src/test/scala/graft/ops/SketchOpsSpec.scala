@@ -37,6 +37,33 @@ class SketchOpsSpec extends SparkSpec {
     }
   }
 
+  test("Misra-Gries with k << vocab keeps every heavy hitter and never overestimates") {
+    val mg = new SketchOps.MisraGriesAgg(4)
+    // skewed stream: 'a' x60, 'b' x25, then 30 singletons
+    val stream = Seq.fill(60)("a") ++ Seq.fill(25)("b") ++ (1 to 30).map(i => s"x$i")
+    val n = stream.length
+    // split across 3 "partitions", reduce each, then merge (mergeable-summary path)
+    val parts = stream.grouped((n + 2) / 3).toSeq
+      .map(p => p.foldLeft(mg.zero)(mg.reduce))
+    val summary = parts.reduce(mg.merge)
+    assert(summary.size <= 4)
+    // guarantee: freq > n/k = 115/4 = 28.75 -> 'a' must survive
+    assert(summary.contains("a"))
+    // MG counters never exceed the true frequency
+    assert(summary("a") <= 60L)
+    summary.get("b").foreach(c => assert(c <= 25L))
+  }
+
+  test("q77 two-pass heavy hitters returns the exact top-10 (k exceeds vocab here)") {
+    val viaSketch = SketchOps.q77HeavyHitters(spark, dir).collect().map(_.toSeq)
+    val exact = Tables.documents(spark, dir)
+      .select(explode(expr("filter(split(lower(text), ' '), t -> t != '')")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("w").asc).limit(10)
+      .collect().map(_.toSeq)
+    assert(viaSketch.toSeq === exact.toSeq)
+  }
+
   test("sketch merge is associative with grouping: global quantile from region sketches matches direct sketch") {
     import org.apache.spark.sql.Encoders
     val sketch = udaf(SketchOps.SketchAgg, Encoders.scalaDouble)
