@@ -186,9 +186,38 @@ object RelationalMore {
       |  ROUND(regr_intercept(l_extendedprice, l_quantity), 2) AS intercept
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  // --------------------------------------------------------------------------
+  // q78 — fixed-width histogram: bucket assignment is a row-local floor
+  // (codegen'd, no lookup table), then one hash aggregate — the two-pass
+  // "min/max then bucket" pattern collapses to one pass when bounds are
+  // known. Same floor arithmetic on both engines (width_bucket semantics
+  // differ between engines; floor() doesn't).
+  def q78Histogram(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(
+        least(floor(col("o_totalprice") / 60000.0), lit(9.0)).cast("int").as("bucket"),
+        col("o_totalprice"))
+      .groupBy(col("bucket"))
+      .agg(
+        count(lit(1)).as("n"),
+        min(col("o_totalprice")).as("min_price"),
+        max(col("o_totalprice")).as("max_price"))
+      .withColumn("bucket_lo", col("bucket").cast("double") * 60000.0)
+      .orderBy(col("bucket"))
+
+  val q78Sql: String =
+    """SELECT bucket, COUNT(*) AS n, MIN(o_totalprice) AS min_price,
+      |       MAX(o_totalprice) AS max_price,
+      |       CAST(bucket AS DOUBLE) * 60000.0 AS bucket_lo
+      |FROM (SELECT CAST(LEAST(FLOOR(o_totalprice / 60000.0), 9) AS INT) AS bucket,
+      |             o_totalprice
+      |      FROM orders)
+      |GROUP BY bucket ORDER BY bucket""".stripMargin
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q53_date_spine", q53DateSpine _, Some(q53Sql)),
     ("q76_stats", q76Stats _, Some(q76Sql)),
+    ("q78_histogram", q78Histogram _, Some(q78Sql)),
     ("q67_merge_upsert", q67MergeUpsert _, Some(q67Sql)),
     ("q68_argmax", q68ArgMax _, Some(q68Sql)),
     ("q69_union_by_name", q69UnionByName _, Some(q69Sql)))

@@ -70,6 +70,15 @@ object StreamingOps {
   def withWatermark10m(events: DataFrame): DataFrame =
     events.withWatermark("ts", "10 minutes")
 
+  /** Stream-static enrichment: join a stream against a (small) dimension.
+    * The dimension is broadcast to every micro-batch — no stream-side
+    * shuffle, no state; the dimension is re-resolvable per batch so slowly
+    * changing dims pick up updates. This is THE shape for enriching a
+    * 100 TB/day event stream with reference data.
+    */
+  def enrichWithDim(events: DataFrame, dim: DataFrame, key: String): DataFrame =
+    events.join(broadcast(dim), Seq(key), "left")
+
   /** Custom streaming state: cumulative per-user count/total, emitted on
     * every update (KeyValueGroupedDataset.flatMapGroupsWithState — the
     * SURVEY §2.2 stateful-processing surface). State is per-key and

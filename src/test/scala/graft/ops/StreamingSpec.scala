@@ -64,6 +64,25 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static join enriches each micro-batch from a broadcast dimension") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "segment")
+    val stream = MemoryStream[EventRow]
+    val q = StreamingOps.enrichWithDim(stream.toDF(), dim, "user_id")
+      .writeStream.format("memory").queryName("enrich_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      stream.addData(ev(1, 0, user = 1L), ev(2, 1, user = 2L))
+      q.processAllAvailable()
+      stream.addData(ev(3, 2, user = 3L)) // no dim row -> left join keeps it
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("enrich_out").collect()
+      .map(r => r.getAs[Long]("event_id") -> r.getAs[String]("segment")).toMap
+    assert(rows === Map(1L -> "gold", 2L -> "basic", 3L -> null))
+  }
+
   test("streaming dropDuplicates emits each event_id once across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
