@@ -545,8 +545,38 @@ object TextOps {
       |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < thresh
       |ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------------------------------------
+  // q79 — BPE-style pre-tokenization: GPT-2-family pre-tokenizers split on
+  // a regex (letter runs / digit runs / punctuation runs, each with an
+  // optional leading space) BEFORE byte-pair merging; counting those
+  // pieces is the standard fast token estimator. Pattern kept in the
+  // backreference-free subset so Java regex (Spark) and RE2 (DuckDB)
+  // agree byte-for-byte. Row-local → codegen'd, shuffle only for the
+  // per-source rollup.
+  private val bpePattern = " ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+| +"
+
+  def q79BpeTokens(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("source"), col("n_chars"),
+        size(regexp_extract_all(lower(col("text")), lit(bpePattern), lit(0))).as("n_pieces"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_pieces")).as("total_pieces"),
+        round(sum(col("n_chars")).cast("double") / sum(col("n_pieces")), 6)
+          .as("chars_per_piece"))
+      .orderBy(col("source"))
+
+  val q79Sql: String =
+    """SELECT source, COUNT(*) AS n_docs,
+      |  SUM(len(regexp_extract_all(lower(text), ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+| +'))) AS total_pieces,
+      |  ROUND(CAST(SUM(n_chars) AS DOUBLE)
+      |        / SUM(len(regexp_extract_all(lower(text), ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+| +'))), 6) AS chars_per_piece
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q30_exact_dedup", q30ExactDedup _, Some(q30Sql)),
+    ("q79_bpe_tokens", q79BpeTokens _, Some(q79Sql)),
     ("q72_fuzzy_match", q72FuzzyMatch _, Some(q72Sql)),
     ("q73_repetition", q73Repetition _, Some(q73Sql)),
     ("q75_mixture_sample", q75MixtureSample _, Some(q75Sql)),

@@ -24,6 +24,43 @@ class ExtensionsSpec extends SparkSpec {
     assert(nul.isNullAt(0))
   }
 
+  test("LevenshteinRewrite bounds 2-arg levenshtein filters and preserves results") {
+    import org.apache.spark.sql.functions._
+    // parquet-backed source: local relations are folded before the plan
+    // can be inspected
+    val part = graft.Tables.part(spark, "/root/testdata/sf0.001")
+    val q = part.filter(expr("levenshtein(p_name, 'cold widget') <= 2"))
+      .select("p_name").distinct()
+    val opt = q.queryExecution.optimizedPlan.toString
+    assert(opt.contains("Some(2)) >= 0"), opt)  // thresholded 3-arg form
+    assert(opt.contains("abs((length(p_name#"), opt) // band prune (rhs len folded)
+    val got = q.collect().map(_.getString(0)).toSet
+    // reference semantics recomputed driver-side
+    val all = part.select("p_name").distinct().collect().map(_.getString(0))
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    assert(got === all.filter(n => lev(n, "cold widget") <= 2).toSet)
+  }
+
+  test("LevenshteinRewrite leaves NULL tri-state behaviour intact and skips bounded calls") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val df = Seq(Some("abc"), None).toDF("s")
+    // null input row is dropped by the filter exactly as before
+    val n = df.filter(expr("levenshtein(s, 'abd') <= 1")).count()
+    assert(n === 1L)
+    // already-thresholded predicates are not double-rewritten
+    val part = graft.Tables.part(spark, "/root/testdata/sf0.001")
+    val q = part.filter(expr("levenshtein(p_name, 'abd', 1) >= 0"))
+    val occurrences = "levenshtein".r.findAllIn(q.queryExecution.optimizedPlan.toString).size
+    assert(occurrences === 1, q.queryExecution.optimizedPlan.toString)
+  }
+
   test("cosine_sim rejects non-array<double> inputs at analysis time") {
     val e = intercept[Exception] {
       spark.sql("SELECT cosine_sim('a', 'b')").collect()
