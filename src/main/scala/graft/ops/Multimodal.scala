@@ -124,7 +124,55 @@ object Multimodal {
       .select(col("doc_id"), col("frame_idx"), col("frame_bytes"))
       .orderBy(col("doc_id"), col("frame_idx"))
 
+  /** ===== STUB FEATURE EXTRACTOR =====
+    * The missing third stage of the media pipeline (decode → transform →
+    * EMBED). Per-partition "model" initialization + per-row map to a
+    * fixed-dim Array[Float] — exactly the batching contract a real vision
+    * encoder needs (weights loaded once per partition, rows streamed
+    * through). The stub computes byte-stripe means so outputs are
+    * deterministic for tests; the downstream contract (fixed dim,
+    * unit-range floats, feeds VectorOps centroids/ANN unchanged) is real.
+    */
+  def extractFeatures(media: Dataset[MediaRow], dim: Int): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      // real path: load encoder weights ONCE here, reuse across rows
+      rows.map { r =>
+        val acc = Array.ofDim[Float](dim)
+        val p = r.media
+        var i = 0
+        while (i < p.length) { acc(i % dim) += (p(i) & 0xff); i += 1 }
+        if (p.nonEmpty) {
+          val per = math.max(p.length.toFloat / dim, 1f)
+          var d = 0
+          while (d < dim) { acc(d) = acc(d) / per / 255f; d += 1 }
+        }
+        (r.doc_id, acc)
+      }
+    }.toDF("doc_id", "features")
+  }
+
+  /** Media-embedding query (rows-only: payload is Spark-synthesized).
+    * Demonstrates the full multimodal chain: synth media → stub encoder →
+    * per-row norm + per-source centroid distance via the SAME scaled-long
+    * exact-mean machinery the text embeddings use.
+    */
+  def q80MediaFeatures(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val feats = extractFeatures(mediaTable(spark, dir), dim = 8)
+    feats
+      .select(col("doc_id"), col("features"))
+      .as[(Long, Array[Float])]
+      .map { case (id, f) =>
+        val norm = math.sqrt(f.map(v => v.toDouble * v).sum)
+        (id, f.length, math.rint(norm * 1e6) / 1e6)
+      }
+      .toDF("doc_id", "n_dims", "norm")
+      .orderBy(col("doc_id"))
+  }
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q70_media_meta", q70MediaMeta _, Some(q70Sql)),
-    ("q71_frame_sample", q71FrameSample _, None))
+    ("q71_frame_sample", q71FrameSample _, None),
+    ("q80_media_features", q80MediaFeatures _, None))
 }

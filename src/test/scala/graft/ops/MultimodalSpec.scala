@@ -46,6 +46,29 @@ class MultimodalSpec extends SparkSpec {
     assert(meta.width <= 16 && meta.mean_byte === 0.0)
   }
 
+  test("stub feature extractor emits fixed-dim deterministic embeddings that feed vector ops") {
+    val media = Multimodal.mediaTable(spark, dir)
+    val f1 = Multimodal.extractFeatures(media, dim = 8).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[scala.collection.Seq[Float]]("features")).toMap
+    assert(f1.nonEmpty)
+    f1.values.foreach { v =>
+      assert(v.length === 8)
+      v.foreach(x => assert(x >= 0f && x <= 1.5f, x)) // byte-stripe means land near [0,1]
+    }
+    // deterministic across runs (a real encoder must be too, given fixed weights)
+    val f2 = Multimodal.extractFeatures(media, dim = 8).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[scala.collection.Seq[Float]]("features")).toMap
+    assert(f1 === f2)
+    // plugs into the existing vector machinery unchanged: cosine of a
+    // feature vector with itself is 1
+    import org.apache.spark.sql.functions._
+    graft.functions.CosineSimilarity.register(spark)
+    val sims = Multimodal.extractFeatures(media, dim = 8)
+      .select(expr("cosine_sim(cast(features as array<double>), cast(features as array<double>))").as("s"))
+      .collect().map(_.getDouble(0))
+    sims.foreach(s => assert(math.abs(s - 1.0) < 1e-9))
+  }
+
   test("frame sampling keeps every k-th fixed-size frame") {
     val one = Multimodal.mediaTable(spark, dir).filter(col("doc_id") === 0L)
     val payloadLen = Multimodal.decodeMeta(one).collect()(0).n_bytes - 8

@@ -54,6 +54,26 @@ class ScaleSpec extends SparkSpec {
     assert(plan.matches("(?s).*PartitionFilters: \\[[^\\]]*day[^\\]]*\\].*"), plan)
   }
 
+  test("repartitionByRange + sortWithinPartitions yields files with disjoint key ranges (zone-map-friendly)") {
+    val out = java.nio.file.Files.createTempDirectory("graft_range").toString
+    Tables.orders(spark, dir)
+      .repartitionByRange(4, col("o_orderdate"))
+      .sortWithinPartitions("o_orderdate")
+      .write.mode("overwrite").parquet(out)
+    val stats = spark.read.parquet(out)
+      .groupBy(input_file_name().as("f"))
+      .agg(min("o_orderdate").as("lo"), max("o_orderdate").as("hi"))
+      .collect()
+      .map(r => (r.getAs[java.time.LocalDateTime](1), r.getAs[java.time.LocalDateTime](2)))
+      .sortBy(_._1.toString)
+    assert(stats.length >= 3, s"want multiple range files, got ${stats.length}")
+    // equal keys land in one partition, so file ranges never interleave —
+    // parquet min/max footer stats then prune date predicates to one file
+    stats.sliding(2).foreach { case Array(a, b) =>
+      assert(!b._1.isBefore(a._2), s"overlap: $a vs $b")
+    }
+  }
+
   test("salted equi-join returns exactly the plain join's rows") {
     val li = Tables.lineitem(spark, dir)
     val ord = Tables.orders(spark, dir)

@@ -143,6 +143,33 @@ class StreamingSpec extends SparkSpec {
     assert(streamed === batch)
   }
 
+  test("AvailableNow + maxFilesPerTrigger: bounded backfill in rate-limited micro-batches, then stop") {
+    import spark.implicits._
+    // three separate files -> with maxFilesPerTrigger=1 the backfill must
+    // take >= 3 micro-batches; AvailableNow drains everything then stops
+    // on its own (the incremental-backfill shape for a 100 TB history).
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_backfill").toString
+    Seq(ev(1, 0), ev(2, 1)).toDF().coalesce(1).write.parquet(s"$srcDir/f1")
+    Seq(ev(3, 2)).toDF().coalesce(1).write.parquet(s"$srcDir/f2")
+    Seq(ev(4, 3), ev(5, 4)).toDF().coalesce(1).write.parquet(s"$srcDir/f3")
+    val schema = Seq.empty[EventRow].toDF().schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .option("recursiveFileLookup", "true")
+      .parquet(srcDir)
+    val batchSizes = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = stream.writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        batchSizes.synchronized { batchSizes += df.count() }; ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    assert(!q.isActive) // AvailableNow terminates by itself
+    assert(batchSizes.sum === 5L, batchSizes.mkString(","))
+    assert(batchSizes.count(_ > 0) >= 3, s"expected >=3 rate-limited batches: $batchSizes")
+  }
+
   test("stream-stream interval join: errors within 5 minutes after a click, per user") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
