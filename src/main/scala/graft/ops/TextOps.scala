@@ -574,8 +574,135 @@ object TextOps {
       |        / SUM(len(regexp_extract_all(lower(text), ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+| +'))), 6) AS chars_per_piece
       |FROM documents GROUP BY source ORDER BY source""".stripMargin
 
+  // --------------------------------------------------------------------------
+  // q81 — BM25 scoring (k1=1.2, b=0.75) of the corpus against a fixed term
+  // query: the standard retrieval primitive for training-data curation
+  // (query-targeted subset selection). Three int-exact aggregations (tf,
+  // df, doc length) then row-local double math — deterministic cross-
+  // engine; only ln() could differ in the last ulp, absorbed by ROUND(,6).
+  // Scale: df/avgdl are scalar broadcasts; tf is one explode + hash agg on
+  // (doc, term) — no shuffle beyond the aggregations.
+  private val bm25Terms = Seq("spark", "table")
+
+  def q81Bm25(spark: SparkSession, dir: String): DataFrame = {
+    val te = tokenEdges(Tables.documents(spark, dir))
+    val dlen = te.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val n = lit(Tables.documents(spark, dir).count()) // scalar: corpus size
+    // exact long sum / count, not avg(): incremental double accumulation
+    // is order-dependent and engine-specific
+    val avgdl = dlen.agg(
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+    val tf = te.filter(col("w").isin(bm25Terms: _*))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    tf.join(broadcast(df), "w")
+      .join(dlen, "doc_id")
+      .crossJoin(broadcast(avgdl))
+      .withColumn("idf", log((n - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
+      .withColumn("score",
+        col("idf") * col("tf") * 2.2 /
+          (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
+      .groupBy(col("doc_id"))
+      .agg(round(sum(col("score")), 6).as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id").asc)
+      .limit(20)
+  }
+
+  val q81Sql: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, t[i] AS w
+       |  FROM (SELECT doc_id, $toksSqlD AS t FROM documents),
+       |       UNNEST(generate_series(1, len(t))) AS u(i)),
+       |dlen AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY 1),
+       |stats AS (SELECT CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dlen),
+       |n AS (SELECT COUNT(*) AS n FROM documents),
+       |tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM tok
+       |       WHERE w IN ('spark', 'table') GROUP BY 1, 2),
+       |df AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY 1)
+       |SELECT doc_id, ROUND(SUM(
+       |    ln((n.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+       |    * tf.tf * 2.2
+       |    / (tf.tf + 1.2 * (0.25 + 0.75 * dlen.dl / stats.avgdl))), 6) AS bm25
+       |FROM tf JOIN df USING (w) JOIN dlen USING (doc_id), stats, n
+       |GROUP BY doc_id
+       |ORDER BY bm25 DESC, doc_id ASC LIMIT 20""".stripMargin
+
+  // --------------------------------------------------------------------------
+  // q82 — near-dup CLUSTERS from pair output: connected components by
+  // min-label propagation (each round: every vertex takes the min label in
+  // its neighborhood; converges in graph-diameter rounds — dup clusters
+  // are shallow). This is the step that turns pairwise dedup (q31/q32/q49)
+  // into canonical-document selection. Lineage is truncated per round with
+  // an eager localCheckpoint; at 100 TB use the same loop with
+  // reliable checkpointing, or large-star/small-star (Kiveris et al.) to
+  // bound rounds at O(log n) on high-diameter graphs.
+  /** edges: two Long columns (a, b), undirected. Returns (id, label). */
+  def connectedComponents(edges: DataFrame): DataFrame = {
+    val e = edges.toDF("a", "b")
+    val sym = e.union(e.select(col("b"), col("a"))) // positional union = swap
+      .distinct()
+      .localCheckpoint(true)
+    var labels = sym.select(col("a").as("id")).distinct()
+      .withColumn("label", col("id"))
+    var changed = 1L
+    while (changed > 0) {
+      val prop = sym.join(labels.withColumnRenamed("id", "b_id"), col("b") === col("b_id"))
+        .select(col("a").as("id"), col("label"))
+      val next = labels.union(prop)
+        .groupBy(col("id")).agg(min(col("label")).as("label"))
+        .localCheckpoint(true)
+      changed = next.as("n")
+        .join(labels.as("o"), col("n.id") === col("o.id"))
+        .filter(col("n.label") =!= col("o.label"))
+        .count()
+      labels = next
+    }
+    labels
+  }
+
+  def q82DedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = q31NgramJaccard(spark, dir).select(col("id_a"), col("id_b"))
+    val labels = connectedComponents(pairs)
+    val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
+    labels.join(broadcast(sizes), "label")
+      .select(col("id").as("doc_id"), col("label").as("cluster"), col("cluster_size"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q82Sql: String =
+    s"""WITH RECURSIVE sh AS (
+       |  SELECT DISTINCT doc_id, s FROM (
+       |    SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+       |    FROM (SELECT doc_id, $toksSqlD AS t FROM documents),
+       |         UNNEST(generate_series(1, len(t) - 2)) AS u(i))),
+       |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+       |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |pairs AS (
+       |  SELECT id_a, id_b FROM inter
+       |  JOIN sizes sa ON sa.doc_id = id_a
+       |  JOIN sizes sb ON sb.doc_id = id_b
+       |  WHERE CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) >= 0.5),
+       |edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+       |          UNION SELECT id_b, id_a FROM pairs),
+       |reach(a, b) AS (
+       |  SELECT a, b FROM edges
+       |  UNION
+       |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+       |labels AS (
+       |  SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster FROM reach GROUP BY a)
+       |SELECT l.doc_id, l.cluster, c.cluster_size
+       |FROM labels l
+       |JOIN (SELECT cluster, COUNT(*) AS cluster_size FROM labels GROUP BY 1) c
+       |  USING (cluster)
+       |ORDER BY l.doc_id""".stripMargin
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q30_exact_dedup", q30ExactDedup _, Some(q30Sql)),
+    ("q81_bm25", q81Bm25 _, Some(q81Sql)),
+    ("q82_dedup_clusters", q82DedupClusters _, Some(q82Sql)),
     ("q79_bpe_tokens", q79BpeTokens _, Some(q79Sql)),
     ("q72_fuzzy_match", q72FuzzyMatch _, Some(q72Sql)),
     ("q73_repetition", q73Repetition _, Some(q73Sql)),

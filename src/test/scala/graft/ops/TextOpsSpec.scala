@@ -129,6 +129,43 @@ class TextOpsSpec extends SparkSpec {
     assert(again.toSeq === kept.map(_.toSeq).toSeq)
   }
 
+  test("connected components: min label propagates across multi-hop chains") {
+    import spark.implicits._
+    // two components: a 4-node chain 10-20-30-40 (diameter 3) and a pair 50-60
+    val edges = Seq((20L, 10L), (20L, 30L), (40L, 30L), (60L, 50L)).toDF("a", "b")
+    val labels = TextOps.connectedComponents(edges).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Long]("label")).toMap
+    assert(labels === Map(10L -> 10L, 20L -> 10L, 30L -> 10L, 40L -> 10L,
+      50L -> 50L, 60L -> 50L))
+  }
+
+  test("q82 clusters are consistent with q31 pairs (every pair same cluster, sizes match)") {
+    val dir = "/root/testdata/sf0.001"
+    val pairs = TextOps.q31NgramJaccard(spark, dir).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")))
+    val rows = TextOps.q82DedupClusters(spark, dir).collect()
+    val cluster = rows.map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster")).toMap
+    assert(pairs.nonEmpty && rows.nonEmpty)
+    pairs.foreach { case (a, b) => assert(cluster(a) === cluster(b), s"pair ($a,$b)") }
+    // every clustered doc appears in at least one pair
+    val paired = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+    assert(cluster.keySet === paired)
+    // cluster id is the min member, size matches the member count
+    rows.groupBy(_.getAs[Long]("cluster")).foreach { case (c, members) =>
+      assert(members.map(_.getAs[Long]("doc_id")).min === c)
+      members.foreach(m => assert(m.getAs[Long]("cluster_size") === members.length.toLong))
+    }
+  }
+
+  test("bm25 ranks term-bearing docs and never scores a doc lacking both terms") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = TextOps.q81Bm25(spark, dir).collect()
+    assert(rows.length === 20)
+    val scores = rows.map(_.getAs[Double]("bm25"))
+    assert(scores.toSeq === scores.sortBy(-_).toSeq) // descending
+    assert(scores.forall(_ > 0.0))
+  }
+
   test("fingerprint is stable across runs and differs for different content") {
     val fp1 = TextOps.q37Fingerprint(spark, corpusDir).collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("fingerprint")).toMap
