@@ -449,8 +449,34 @@ object RelationalExt {
       |  CAST(list_position(list_sort(embedding::DOUBLE[]), list_max(embedding::DOUBLE[])) AS BIGINT) AS max_rank
       |FROM embeddings ORDER BY vec_id""".stripMargin
 
+  // --------------------------------------------------------------------------
+  // q83 — ORC sink → source roundtrip (third columnar-format surface after
+  // parquet and CSV/JSON text). ORC carries its own schema + column
+  // statistics, so the read back is footer-driven like parquet: predicate
+  // pushdown and pruning apply to the re-read.
+  def q83OrcRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_orc_roundtrip_${spark.sparkContext.applicationId}"
+    Tables.orders(spark, dir)
+      .filter(col("o_totalprice") > 300000.0)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      .write.mode("overwrite").orc(path)
+    spark.read.orc(path)
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        count(lit(1)).as("n"),
+        moneySum(col("o_totalprice")).as("sum_price"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  val q83Sql: String =
+    """SELECT o_orderstatus, COUNT(*) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM orders WHERE o_totalprice > 300000.0
+      |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q23_grouping_sets", q23GroupingSets _, Some(q23Sql)),
+    ("q83_orc_roundtrip", q83OrcRoundtrip _, Some(q83Sql)),
     ("q38_profile", q38Profile _, Some(q38Sql)),
     ("q46_full_outer", q46FullOuter _, Some(q46Sql)),
     ("q47_array_fns", q47ArrayFns _, Some(q47Sql)),

@@ -4,6 +4,7 @@ import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** LLM-training-data text operators over the `documents` table: exact and
   * near deduplication, language ID, quality scoring, token accounting,
@@ -636,7 +637,13 @@ object TextOps {
   // an eager localCheckpoint; at 100 TB use the same loop with
   // reliable checkpointing, or large-star/small-star (Kiveris et al.) to
   // bound rounds at O(log n) on high-diameter graphs.
-  /** edges: two Long columns (a, b), undirected. Returns (id, label). */
+  /** edges: two Long columns (a, b), undirected. Returns (id, label).
+    *
+    * Convergence check: labels only ever DECREASE under min-propagation
+    * and the id set is fixed, so the fixpoint is reached exactly when
+    * sum(label) stops changing — one cheap aggregate per round instead of
+    * a join-and-compare against the previous labels.
+    */
   def connectedComponents(edges: DataFrame): DataFrame = {
     val e = edges.toDF("a", "b")
     val sym = e.union(e.select(col("b"), col("a"))) // positional union = swap
@@ -644,17 +651,20 @@ object TextOps {
       .localCheckpoint(true)
     var labels = sym.select(col("a").as("id")).distinct()
       .withColumn("label", col("id"))
-    var changed = 1L
-    while (changed > 0) {
+      .localCheckpoint(true)
+    var prevSum = BigDecimal(-1)
+    var converged = false
+    while (!converged) {
       val prop = sym.join(labels.withColumnRenamed("id", "b_id"), col("b") === col("b_id"))
         .select(col("a").as("id"), col("label"))
       val next = labels.union(prop)
         .groupBy(col("id")).agg(min(col("label")).as("label"))
         .localCheckpoint(true)
-      changed = next.as("n")
-        .join(labels.as("o"), col("n.id") === col("o.id"))
-        .filter(col("n.label") =!= col("o.label"))
-        .count()
+      // exact decimal sum: immune to long overflow on huge id spaces
+      val s = BigDecimal(next.agg(sum(col("label").cast(DecimalType(38, 0))))
+        .collect()(0).getDecimal(0))
+      converged = s == prevSum
+      prevSum = s
       labels = next
     }
     labels
