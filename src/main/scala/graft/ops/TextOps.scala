@@ -660,9 +660,10 @@ object TextOps {
       val next = labels.union(prop)
         .groupBy(col("id")).agg(min(col("label")).as("label"))
         .localCheckpoint(true)
-      // exact decimal sum: immune to long overflow on huge id spaces
-      val s = BigDecimal(next.agg(sum(col("label").cast(DecimalType(38, 0))))
-        .collect()(0).getDecimal(0))
+      // exact decimal sum: immune to long overflow on huge id spaces;
+      // null (empty vertex set) folds to 0 so empty input converges
+      val s = Option(next.agg(sum(col("label").cast(DecimalType(38, 0))))
+        .collect()(0).getDecimal(0)).map(BigDecimal(_)).getOrElse(BigDecimal(0))
       converged = s == prevSum
       prevSum = s
       labels = next
@@ -709,8 +710,35 @@ object TextOps {
        |  USING (cluster)
        |ORDER BY l.doc_id""".stripMargin
 
+  // --------------------------------------------------------------------------
+  // q84 — text normalization/cleaning: collapse whitespace runs, strip
+  // non-alphanumerics, lowercase — the canonicalization step BEFORE exact
+  // dedup hashing (q30) so formatting variants collapse to one hash.
+  // Patterns stay in the shared Java-regex/RE2 subset. Row-local →
+  // whole-stage codegen; output is the canonical hash, not the cleaned
+  // text, so wide strings stay off the shuffle.
+  def q84TextClean(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        regexp_replace(
+          regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""),
+          " +", " ").as("clean"))
+      .select(
+        col("doc_id"),
+        md5(col("clean")).as("clean_hash"),
+        length(col("clean")).as("clean_len"))
+      .orderBy(col("doc_id"))
+
+  val q84Sql: String =
+    """SELECT doc_id,
+      |  md5(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS clean_hash,
+      |  CAST(len(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS INT) AS clean_len
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q30_exact_dedup", q30ExactDedup _, Some(q30Sql)),
+    ("q84_text_clean", q84TextClean _, Some(q84Sql)),
     ("q81_bm25", q81Bm25 _, Some(q81Sql)),
     ("q82_dedup_clusters", q82DedupClusters _, Some(q82Sql)),
     ("q79_bpe_tokens", q79BpeTokens _, Some(q79Sql)),

@@ -105,6 +105,17 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Union"), p)
   }
 
+  test("join strategy hints are honored: shuffle_hash and merge override the planner") {
+    val li = Tables.lineitem(spark, dir).select("l_orderkey", "l_quantity")
+    val ord = Tables.orders(spark, dir).select("o_orderkey", "o_totalprice")
+    val hashed = li.join(ord.hint("shuffle_hash"),
+      li("l_orderkey") === ord("o_orderkey"))
+    assert(plan(hashed).contains("ShuffledHashJoin"), plan(hashed))
+    val merged = li.join(ord.hint("merge"),
+      li("l_orderkey") === ord("o_orderkey"))
+    assert(plan(merged).contains("SortMergeJoin"), plan(merged))
+  }
+
   test("q72 fuzzy match pairs the vocabulary, not the fact table") {
     val df = TextOps.q72FuzzyMatch(spark, dir)
     val p = plan(df)

@@ -129,6 +129,30 @@ class TextOpsSpec extends SparkSpec {
     assert(again.toSeq === kept.map(_.toSeq).toSeq)
   }
 
+  test("connected components on an empty edge set returns no labels (and terminates)") {
+    import spark.implicits._
+    val none = Seq.empty[(Long, Long)].toDF("a", "b")
+    assert(TextOps.connectedComponents(none).collect().isEmpty)
+  }
+
+  test("text cleaning canonicalizes formatting variants to one hash") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "Hello,  World!"),
+      (2L, "hello world"),
+      (3L, "different text")).toDF("doc_id", "text")
+    val cleaned = docs.select(
+      org.apache.spark.sql.functions.md5(
+        org.apache.spark.sql.functions.regexp_replace(
+          org.apache.spark.sql.functions.regexp_replace(
+            org.apache.spark.sql.functions.lower(org.apache.spark.sql.functions.col("text")),
+            "[^a-z0-9 ]", ""),
+          " +", " ")).as("h"))
+      .collect().map(_.getString(0))
+    assert(cleaned(0) === cleaned(1)) // variants collapse
+    assert(cleaned(0) !== cleaned(2))
+  }
+
   test("connected components: min label propagates across multi-hop chains") {
     import spark.implicits._
     // two components: a 4-node chain 10-20-30-40 (diameter 3) and a pair 50-60
