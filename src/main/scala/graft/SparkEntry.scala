@@ -13,7 +13,7 @@ object SparkEntry {
   private def catalogs: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
     ops.Relational.catalog ++ ops.RelationalExt.catalog ++
       ops.RelationalMore.catalog ++ ops.SketchOps.catalog ++
-      ops.TextOps.catalog ++ ops.VectorOps.catalog ++
+      ops.TextOps.catalog ++ ops.CorpusOps.catalog ++ ops.VectorOps.catalog ++
       ops.StreamingOps.catalog ++ ops.Multimodal.catalog ++ Seq(
       ("q50_report_ingest", (s: SparkSession, _: String) => ingest.ReportPipeline.demoQuery(s), None))
 

@@ -1,0 +1,210 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Fourth wave of training-data pipeline operators: PII redaction,
+  * corpus-boilerplate detection (C4-style "remove lines seen everywhere"),
+  * sliding-window chunking for training-example packing, plus the
+  * remaining aggregate surface (bitwise / boolean aggregates,
+  * percent_rank / cume_dist windows).
+  *
+  * No reference counterpart (the reference is an ingest ETL — see
+  * reference/src/main); these are SURVEY §2.2 [EXT] categories a corpus
+  * pipeline needs at 100 TB.
+  */
+object CorpusOps {
+
+  // --------------------------------------------------------------------------
+  // q85 — PII redaction. The synthetic corpus has no natural PII, so the
+  // query deterministically injects an email on every 7th doc (identical
+  // construction in the oracle) and then runs the real redaction pass:
+  // regexp_replace to a placeholder + a redaction count. The regex stays in
+  // the RE2 ∩ java.util.regex common subset so both engines agree.
+  // Scale: row-local (regex over each doc) — embarrassingly parallel, no
+  // shuffle; stays in whole-stage codegen (regexp_replace is codegen'd).
+  private val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+
+  def q85PiiRedact(spark: SparkSession, dir: String): DataFrame = {
+    val aug = when(
+      col("doc_id") % 7 === 0,
+      concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
+        lit("@example.com now"))).otherwise(col("text"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), aug.as("aug"))
+      .select(
+        col("doc_id"),
+        md5(regexp_replace(col("aug"), emailRe, "<EMAIL>")).as("red_md5"),
+        size(regexp_extract_all(col("aug"), lit(emailRe), lit(0))).as("n_pii"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q85Sql: String =
+    s"""SELECT doc_id,
+       |  md5(regexp_replace(aug, '$emailRe', '<EMAIL>', 'g')) AS red_md5,
+       |  len(regexp_extract_all(aug, '$emailRe')) AS n_pii
+       |FROM (
+       |  SELECT doc_id,
+       |         CASE WHEN doc_id % 7 = 0
+       |              THEN text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now'
+       |              ELSE text END AS aug
+       |  FROM documents)
+       |ORDER BY doc_id""".stripMargin
+
+  // --------------------------------------------------------------------------
+  // q86 — bitwise and boolean aggregates: bit_and/bit_or/bit_xor over the
+  // key space per priority class (the bitmap/flag-fold surface), plus
+  // bool_and/bool_or and count_if. All are single-pass hash aggregates
+  // with map-side partials — one shuffle on the group key.
+  def q86BitwiseAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        expr("bit_and(o_orderkey)").as("key_and"),
+        expr("bit_or(o_orderkey)").as("key_or"),
+        expr("bit_xor(o_orderkey)").as("key_xor"),
+        expr("bool_and(o_totalprice > 1000)").as("all_over_1k"),
+        expr("bool_or(o_totalprice > 400000)").as("any_over_400k"),
+        expr("count_if(o_totalprice > 100000)").as("n_over_100k"))
+      .orderBy(col("o_orderpriority"))
+
+  val q86Sql: String =
+    """SELECT o_orderpriority,
+      |  bit_and(o_orderkey) AS key_and,
+      |  bit_or(o_orderkey) AS key_or,
+      |  bit_xor(o_orderkey) AS key_xor,
+      |  bool_and(o_totalprice > 1000) AS all_over_1k,
+      |  bool_or(o_totalprice > 400000) AS any_over_400k,
+      |  count_if(o_totalprice > 100000) AS n_over_100k
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  // --------------------------------------------------------------------------
+  // q87 — corpus boilerplate share (C4/RefinedWeb-style): a word-3-gram is
+  // "boilerplate" when it appears in ≥3 distinct documents; each doc
+  // reports what fraction of its distinct 3-grams are boilerplate (docs
+  // dominated by corpus-frequent spans are template/spam candidates).
+  // Scale: one explode + two hash aggregates (gram df, then per-doc
+  // roll-up); df is computed once for the corpus and the join back is on
+  // the gram key — the same inverted-index shape as q31, minus the
+  // quadratic pair join.
+  def q87Boilerplate(spark: SparkSession, dir: String): DataFrame = {
+    val sh = TextOps.shingleEdges(Tables.documents(spark, dir))
+    val df = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    sh.join(df, Seq("s"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_grams"),
+        sum(when(col("df") >= 3, 1L).otherwise(0L)).as("n_boiler"))
+      .select(
+        col("doc_id"), col("n_grams"), col("n_boiler"),
+        round(col("n_boiler").cast("double") / col("n_grams"), 6).as("boiler_share"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q87Sql: String =
+    s"""WITH sh AS (
+       |  SELECT DISTINCT doc_id, s FROM (
+       |    SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+       |    FROM (SELECT doc_id, ${TextOps.toksSqlD} AS t FROM documents),
+       |         UNNEST(generate_series(1, len(t) - 2)) AS u(i))),
+       |gdf AS (SELECT s, COUNT(*) AS df FROM sh GROUP BY s)
+       |SELECT sh.doc_id, COUNT(*) AS n_grams,
+       |  SUM(CASE WHEN gdf.df >= 3 THEN 1 ELSE 0 END) AS n_boiler,
+       |  ROUND(CAST(SUM(CASE WHEN gdf.df >= 3 THEN 1 ELSE 0 END) AS DOUBLE)
+       |        / COUNT(*), 6) AS boiler_share
+       |FROM sh JOIN gdf USING (s)
+       |GROUP BY sh.doc_id ORDER BY sh.doc_id""".stripMargin
+
+  // --------------------------------------------------------------------------
+  // q88 — sliding-window chunking: split each doc's token stream into
+  // windows of 32 tokens with stride 16 (the training-example packing
+  // shape: every token lands in ≤2 chunks, overlap preserves context
+  // across boundaries). Chunk content is carried as md5 so the result
+  // stays narrow.
+  // Scale: sequence()+explode is row-local fan-out — no shuffle at all
+  // until a downstream consumer groups; chunk count is ~n_tokens/stride
+  // per doc, so output size is linear in corpus size.
+  def q88Chunk(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), TextOps.toks.as("toks"))
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(1), greatest(size(col("toks")), lit(1)), lit(16)))
+          .as("start"))
+      .select(
+        col("doc_id"), col("start"),
+        size(slice(col("toks"), col("start"), lit(32))).as("n_tok"),
+        md5(concat_ws(" ", slice(col("toks"), col("start"), lit(32)))).as("chunk_md5"))
+      .orderBy(col("doc_id"), col("start"))
+
+  val q88Sql: String =
+    s"""SELECT doc_id, start,
+       |  len(t[start : start + 31]) AS n_tok,
+       |  md5(array_to_string(t[start : start + 31], ' ')) AS chunk_md5
+       |FROM (SELECT doc_id, ${TextOps.toksSqlD} AS t FROM documents),
+       |     UNNEST(generate_series(1, greatest(len(t), 1), 16)) AS u(start)
+       |ORDER BY doc_id, start""".stripMargin
+
+  // --------------------------------------------------------------------------
+  // q89 — percent_rank / cume_dist: relative standing of each order within
+  // its priority class. The window order is made a total order (price,
+  // then key) so rank-based outputs are deterministic cross-engine; the
+  // ratios are rounded at 6dp (they are exact k/n rationals — rounding
+  // only normalizes repr). Scale: one shuffle on the partition key, one
+  // sort within partitions; skewed priority classes would use the
+  // pre-aggregated-CDF reformulation instead.
+  def q89PercentRank(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .filter(col("o_orderkey") % 10 === 0) // keep the verified output small
+      .select(
+        col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cume"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  val q89Sql: String =
+    """SELECT o_orderkey, o_orderpriority, o_totalprice,
+      |  ROUND(percent_rank() OVER w, 6) AS pct_rank,
+      |  ROUND(cume_dist() OVER w, 6) AS cume
+      |FROM orders WHERE o_orderkey % 10 = 0
+      |WINDOW w AS (PARTITION BY o_orderpriority
+      |             ORDER BY o_totalprice, o_orderkey)
+      |ORDER BY o_orderkey""".stripMargin
+
+  // --------------------------------------------------------------------------
+  // q90 — deterministic train/val/test split: the split label is a pure
+  // function of the CONTENT hash (md5 hex prefix vs fixed thresholds:
+  // <'e6' = 230/256 ≈ 90% train, <'f3' = 13/256 ≈ 5% val, rest test), so
+  // exact duplicates always land in the same split (no train/test leakage
+  // through dups), reruns are stable, and both engines agree. Row-local —
+  // no shuffle, streams through map-side at any corpus size.
+  def q90Split(spark: SparkSession, dir: String): DataFrame = {
+    val prefix = substring(md5(col("text")), 1, 2)
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        when(prefix < "e6", "train")
+          .when(prefix < "f3", "val")
+          .otherwise("test").as("split"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q90Sql: String =
+    """SELECT doc_id,
+      |  CASE WHEN substring(md5(text), 1, 2) < 'e6' THEN 'train'
+      |       WHEN substring(md5(text), 1, 2) < 'f3' THEN 'val'
+      |       ELSE 'test' END AS split
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  val catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
+    ("q85_pii_redact", q85PiiRedact _, Some(q85Sql)),
+    ("q86_bitwise_agg", q86BitwiseAgg _, Some(q86Sql)),
+    ("q87_boilerplate", q87Boilerplate _, Some(q87Sql)),
+    ("q88_chunk", q88Chunk _, Some(q88Sql)),
+    ("q89_percent_rank", q89PercentRank _, Some(q89Sql)),
+    ("q90_split", q90Split _, Some(q90Sql)))
+}

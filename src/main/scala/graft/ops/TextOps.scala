@@ -63,7 +63,7 @@ object TextOps {
       .select(col("doc_id"), col("pos"), concat_ws(" ", col("w"), col("w1"), col("w2")).as("s"))
   }
 
-  private def shingleEdges(docs: DataFrame): DataFrame =
+  private[ops] def shingleEdges(docs: DataFrame): DataFrame =
     kgramEdges(docs).select(col("doc_id"), col("s")).distinct()
 
   // --------------------------------------------------------------------------

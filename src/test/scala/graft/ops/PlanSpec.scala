@@ -125,4 +125,15 @@ class PlanSpec extends SparkSpec {
     assert(p.split("BroadcastNestedLoopJoin")(0).contains("HashAggregate") ||
       p.contains("HashAggregate"), p)
   }
+
+  test("row-local corpus ops (redact/chunk/split) shuffle only for the output sort") {
+    for (df <- Seq(CorpusOps.q85PiiRedact(spark, dir),
+                   CorpusOps.q88Chunk(spark, dir),
+                   CorpusOps.q90Split(spark, dir))) {
+      val p = plan(df)
+      // the operator itself is map-side; the only exchange allowed is the
+      // rangepartitioning that implements the deterministic ORDER BY
+      assert(!p.contains("hashpartitioning"), p)
+    }
+  }
 }
