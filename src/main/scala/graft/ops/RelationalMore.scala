@@ -2,6 +2,7 @@ package graft.ops
 
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -214,11 +215,171 @@ object RelationalMore {
       |      FROM orders)
       |GROUP BY bucket ORDER BY bucket""".stripMargin
 
+  // --------------------------------------------------------------------------
+  // q91 — z-score outlier scoring: per-group mean/stddev computed once
+  // (tiny — one row per group), broadcast-joined back onto the rows, each
+  // row scored (x - mean)/sd. The join-back-on-broadcast shape is the
+  // 100 TB formulation: stats are a map-side lookup, no window over the
+  // fact table, no second shuffle. Scores rounded at 4dp, orders of
+  // magnitude above co-moment accumulation noise (SURVEY §8.4).
+  def q91Zscore(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(spark, dir)
+    val stats = orders.groupBy(col("o_orderpriority"))
+      .agg(avg(col("o_totalprice")).as("mu"), stddev_samp(col("o_totalprice")).as("sd"))
+    orders.filter(col("o_orderkey") % 97 === 0) // keep the verified output small
+      .join(broadcast(stats), Seq("o_orderpriority"))
+      .select(
+        col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"),
+        round((col("o_totalprice") - col("mu")) / col("sd"), 4).as("z"))
+      .select(col("*"), (abs(col("z")) > 3.0).as("is_outlier"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  val q91Sql: String =
+    """WITH stats AS (
+      |  SELECT o_orderpriority, AVG(o_totalprice) AS mu,
+      |         stddev_samp(o_totalprice) AS sd
+      |  FROM orders GROUP BY o_orderpriority)
+      |SELECT o_orderkey, o_orderpriority, o_totalprice,
+      |       ROUND((o_totalprice - mu) / sd, 4) AS z,
+      |       ABS(ROUND((o_totalprice - mu) / sd, 4)) > 3.0 AS is_outlier
+      |FROM orders JOIN stats USING (o_orderpriority)
+      |WHERE o_orderkey % 97 = 0
+      |ORDER BY o_orderkey""".stripMargin
+
+  // --------------------------------------------------------------------------
+  // q92 — null imputation (mean fill): values are deterministically masked
+  // (every 9th customer — the corpus has no natural nulls), then imputed
+  // with the per-segment mean of the surviving values. The mean is exact
+  // decimal sum / count (double division of exact operands — identical in
+  // both engines), rounded to the money grain. Same broadcast join-back
+  // shape as q91.
+  def q92Impute(spark: SparkSession, dir: String): DataFrame = {
+    val masked = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_mktsegment"),
+        when(col("c_custkey") % 9 === 0, lit(null))
+          .otherwise(col("c_acctbal")).as("bal"))
+    val means = masked.filter(col("bal").isNotNull)
+      .groupBy(col("c_mktsegment"))
+      .agg(round(
+        Num.moneySum(col("bal")) / count(col("bal")), 2).as("seg_mean"))
+    masked.join(broadcast(means), Seq("c_mktsegment"))
+      .select(
+        col("c_custkey"), col("c_mktsegment"),
+        coalesce(col("bal"), col("seg_mean")).as("bal_filled"),
+        col("bal").isNull.as("was_imputed"))
+      .orderBy(col("c_custkey"))
+  }
+
+  val q92Sql: String =
+    """WITH masked AS (
+      |  SELECT c_custkey, c_mktsegment,
+      |         CASE WHEN c_custkey % 9 = 0 THEN NULL ELSE c_acctbal END AS bal
+      |  FROM customer),
+      |means AS (
+      |  SELECT c_mktsegment,
+      |         ROUND(CAST(SUM(CAST(bal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(bal), 2) AS seg_mean
+      |  FROM masked WHERE bal IS NOT NULL GROUP BY c_mktsegment)
+      |SELECT c_custkey, c_mktsegment,
+      |       COALESCE(bal, seg_mean) AS bal_filled,
+      |       bal IS NULL AS was_imputed
+      |FROM masked JOIN means USING (c_mktsegment)
+      |ORDER BY c_custkey""".stripMargin
+
+  // --------------------------------------------------------------------------
+  // q93 — SCD2 (slowly-changing-dimension type 2) build: compress each
+  // customer's order-priority observation stream into validity intervals
+  // [valid_from, valid_to), current row open-ended. Classic gaps-and-
+  // islands: a change flag (lag compare) → running island id → one group
+  // per island → lead() for the closing edge.
+  // Scale: everything partitions by the entity key — two window passes and
+  // one aggregate over the SAME hashpartitioning(custkey), so Spark plans
+  // a single shuffle and reuses the partitioning; no self-join.
+  def q93Scd2(spark: SparkSession, dir: String): DataFrame = {
+    val byKey = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val islands = Tables.orders(spark, dir)
+      .filter(col("o_custkey") % 50 === 0) // keep the verified output small
+      .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"), col("o_orderpriority"))
+      .withColumn("chg",
+        when(lag(col("o_orderpriority"), 1).over(byKey) === col("o_orderpriority"), 0)
+          .otherwise(1))
+      .withColumn("island", sum(col("chg")).over(
+        byKey.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val versions = islands
+      .groupBy(col("o_custkey"), col("island"))
+      .agg(first(col("o_orderpriority")).as("priority"), // constant within the island
+        min(col("o_orderdate")).as("valid_from"),
+        count(lit(1)).as("n_obs"))
+    versions
+      .withColumn("valid_to",
+        lead(col("valid_from"), 1).over(
+          Window.partitionBy(col("o_custkey")).orderBy(col("island"))))
+      .select(col("o_custkey"), col("island").as("version"), col("priority"),
+        col("valid_from"), col("valid_to"), col("n_obs"))
+      .orderBy(col("o_custkey"), col("version"))
+  }
+
+  val q93Sql: String =
+    """WITH obs AS (
+      |  SELECT o_custkey, o_orderdate, o_orderkey, o_orderpriority,
+      |    CASE WHEN LAG(o_orderpriority) OVER w = o_orderpriority THEN 0 ELSE 1 END AS chg
+      |  FROM orders WHERE o_custkey % 50 = 0
+      |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)),
+      |isl AS (
+      |  SELECT *, SUM(chg) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |                           ROWS UNBOUNDED PRECEDING) AS island
+      |  FROM obs),
+      |versions AS (
+      |  SELECT o_custkey, island, MIN(o_orderpriority) AS priority,
+      |         MIN(o_orderdate) AS valid_from, COUNT(*) AS n_obs
+      |  FROM isl GROUP BY o_custkey, island)
+      |SELECT o_custkey, island AS version, priority, valid_from,
+      |       LEAD(valid_from) OVER (PARTITION BY o_custkey ORDER BY island) AS valid_to,
+      |       n_obs
+      |FROM versions
+      |ORDER BY o_custkey, version""".stripMargin
+
+  // --------------------------------------------------------------------------
+  // q94 — LOCF forward fill (last-observation-carried-forward): sensor-gap
+  // repair for time series. Values are deterministically masked (every 5th
+  // event), then each gap takes the most recent non-null value in its
+  // user's timeline via last(ignoreNulls) over a running frame; leading
+  // gaps (nothing to carry) stay null. The carried value is a bit-exact
+  // passthrough — no arithmetic, so no rounding policy needed.
+  // Scale: one shuffle on user_id, one window sort; same shape at any SF.
+  def q94ForwardFill(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("ts"),
+        when(col("event_id") % 5 === 0, lit(null)).otherwise(col("value")).as("v"))
+      .select(col("event_id"), col("user_id"),
+        col("v").isNull.as("was_gap"),
+        last(col("v"), ignoreNulls = true).over(w).as("v_filled"))
+      .orderBy(col("event_id"))
+  }
+
+  val q94Sql: String =
+    """SELECT event_id, user_id, (v IS NULL) AS was_gap,
+      |  LAST_VALUE(v IGNORE NULLS) OVER (
+      |    PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS UNBOUNDED PRECEDING) AS v_filled
+      |FROM (SELECT event_id, user_id, ts,
+      |             CASE WHEN event_id % 5 = 0 THEN NULL ELSE value END AS v
+      |      FROM events)
+      |ORDER BY event_id""".stripMargin
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q53_date_spine", q53DateSpine _, Some(q53Sql)),
     ("q76_stats", q76Stats _, Some(q76Sql)),
     ("q78_histogram", q78Histogram _, Some(q78Sql)),
     ("q67_merge_upsert", q67MergeUpsert _, Some(q67Sql)),
     ("q68_argmax", q68ArgMax _, Some(q68Sql)),
-    ("q69_union_by_name", q69UnionByName _, Some(q69Sql)))
+    ("q69_union_by_name", q69UnionByName _, Some(q69Sql)),
+    ("q91_zscore_outliers", q91Zscore _, Some(q91Sql)),
+    ("q92_impute", q92Impute _, Some(q92Sql)),
+    ("q93_scd2", q93Scd2 _, Some(q93Sql)),
+    ("q94_forward_fill", q94ForwardFill _, Some(q94Sql)))
 }

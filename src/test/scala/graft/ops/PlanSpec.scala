@@ -126,6 +126,14 @@ class PlanSpec extends SparkSpec {
       p.contains("HashAggregate"), p)
   }
 
+  test("q93 SCD2: windows and island aggregate reuse one hashpartitioning(custkey) shuffle") {
+    val p = plan(RelationalMore.q93Scd2(spark, dir))
+    // formatted mode prints each Exchange's partitioning in its Arguments
+    // detail line; the only non-range exchange must be the custkey one
+    val hashEx = "hashpartitioning\\(".r.findAllIn(p).size
+    assert(hashEx === 1, s"expected one data shuffle, got $hashEx:\n$p")
+  }
+
   test("row-local corpus ops (redact/chunk/split) shuffle only for the output sort") {
     for (df <- Seq(CorpusOps.q85PiiRedact(spark, dir),
                    CorpusOps.q88Chunk(spark, dir),

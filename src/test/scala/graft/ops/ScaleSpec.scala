@@ -54,6 +54,25 @@ class ScaleSpec extends SparkSpec {
     assert(plan.matches("(?s).*PartitionFilters: \\[[^\\]]*day[^\\]]*\\].*"), plan)
   }
 
+  test("dynamic partition pruning: a filtered dim join prunes fact partitions at runtime") {
+    // fact partitioned on the join key; the selective filter sits on the
+    // dim side only — static pruning can't see it, so the scan must take a
+    // runtime (dynamicpruning) subquery filter. At 100 TB this is the
+    // difference between scanning one date partition and all of them.
+    val out = java.nio.file.Files.createTempDirectory("graft_dpp").toString
+    Tables.events(spark, dir)
+      .withColumn("day", to_date(col("ts")))
+      .write.mode("overwrite").partitionBy("day").parquet(out)
+    val dim = Tables.events(spark, dir)
+      .select(to_date(col("ts")).as("day"), col("event_type")).distinct()
+    val joined = spark.read.parquet(out)
+      .join(dim.filter(col("event_type") === "purchase"), Seq("day"))
+      .agg(count(lit(1)).as("n"))
+    assert(joined.collect()(0).getAs[Long]("n") > 0)
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"), plan)
+  }
+
   test("repartitionByRange + sortWithinPartitions yields files with disjoint key ranges (zone-map-friendly)") {
     val out = java.nio.file.Files.createTempDirectory("graft_range").toString
     Tables.orders(spark, dir)

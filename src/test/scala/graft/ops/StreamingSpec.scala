@@ -259,4 +259,30 @@ class StreamingSpec extends SparkSpec {
     assert(streamed === batch)
     assert(streamed.size === 3) // user1: 2 sessions, user2: 1
   }
+
+  test("rate-micro-batch source + ProcessingTime trigger streams deterministic batches") {
+    // rate-micro-batch emits exactly rowsPerBatch sequential values per
+    // micro-batch (batch n -> values [n*10, n*10+10)), so unlike the
+    // wall-clock `rate` source the assertion is deterministic; the
+    // ProcessingTime(0) trigger fires batches back-to-back (the
+    // always-on-pipeline shape, vs AvailableNow's drain-and-stop).
+    val evens = spark.readStream.format("rate-micro-batch")
+      .option("rowsPerBatch", "10")
+      .load()
+      .filter(col("value") % 2 === 0)
+      .select(col("value"))
+    val q = evens.writeStream.format("memory").queryName("rate_out")
+      .outputMode(OutputMode.Append)
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+      .start()
+    try {
+      val deadline = System.currentTimeMillis() + 60000
+      while (spark.table("rate_out").count() < 20 &&
+             System.currentTimeMillis() < deadline) Thread.sleep(100)
+    } finally q.stop()
+    val got = spark.table("rate_out").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got.length >= 20, s"timed out with only ${got.length} rows")
+    // a contiguous prefix of the even integers — nothing skipped, nothing odd
+    assert(got === got.indices.map(_ * 2L))
+  }
 }
