@@ -73,6 +73,52 @@ class ScaleSpec extends SparkSpec {
     assert(plan.contains("dynamicpruning"), plan)
   }
 
+  test("runtime bloom filter: selective dim filter is pushed to the fact scan of a shuffle join") {
+    // the shuffle-join complement of DPP: when the fact side is too big to
+    // broadcast and not partitioned on the join key, Spark can still build
+    // a bloom filter from the filtered dim side and semi-filter the fact
+    // rows BEFORE the shuffle. Thresholds are lowered to trigger at test
+    // scale; at 100 TB the defaults (10MB creation side) do this untuned.
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold")
+      .map(k => k -> conf.getOption(k)).toMap
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force shuffle join
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+      val joined = Tables.lineitem(spark, dir)
+        .join(
+          Tables.orders(spark, dir).filter(col("o_orderpriority") === "1-URGENT"),
+          col("l_orderkey") === col("o_orderkey"))
+        .agg(count(lit(1)).as("n"))
+      assert(joined.collect()(0).getAs[Long]("n") > 0)
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("might_contain") || p.contains("bloom_filter"),
+        s"expected a runtime bloom filter on the fact side:\n$p")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None)    => conf.unset(k)
+    }
+  }
+
+  test("observe() metrics count rows and nulls in-flight, no second pass") {
+    val masked = Tables.customer(spark, dir)
+      .select(when(col("c_custkey") % 9 === 0, lit(null))
+        .otherwise(col("c_acctbal")).as("bal"))
+    val observed = Metrics.observeQuality(masked, "stage_quality", "bal")
+    // NOTE: .count() would build a SEPARATE queryExecution whose metrics
+    // this handle can't see — act through the observed frame itself
+    val total = observed.collect().length.toLong
+    val m = observed.queryExecution.observedMetrics("stage_quality")
+    assert(m.getAs[Long]("n_rows") === total)
+    val expectedNulls = masked.filter(col("bal").isNull).count()
+    assert(m.getAs[Long]("n_null") === expectedNulls && expectedNulls > 0)
+    assert(m.getAs[Double]("min_v") <= m.getAs[Double]("max_v"))
+  }
+
   test("repartitionByRange + sortWithinPartitions yields files with disjoint key ranges (zone-map-friendly)") {
     val out = java.nio.file.Files.createTempDirectory("graft_range").toString
     Tables.orders(spark, dir)
