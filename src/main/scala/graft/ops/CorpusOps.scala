@@ -200,11 +200,49 @@ object CorpusOps {
       |       ELSE 'test' END AS split
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------------------------------------
+  // q95 — sequence packing (GPT-style concat-and-chunk): within each source
+  // shard, documents are concatenated in doc_id order and cut into
+  // fixed-capacity (2048-token) training sequences; each doc reports the
+  // bin it starts in, the bin it ends in (docs straddle cuts), and its
+  // offset — pure integer window arithmetic, exact in both engines.
+  // Scale: the running sum partitions by the shard key, so it's an
+  // ordinary partitioned window (one shuffle + sort per shard), not a
+  // single-partition global cumsum.
+  def q95Pack(spark: SparkSession, dir: String): DataFrame = {
+    val cap = 2048
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), size(TextOps.toks).as("n_tok"))
+      .withColumn("cum", sum(col("n_tok")).over(w))
+      .select(
+        col("doc_id"), col("source"), col("n_tok"),
+        floor((col("cum") - col("n_tok")) / cap).cast("long").as("bin_start"),
+        floor((col("cum") - 1) / cap).cast("long").as("bin_end"),
+        ((col("cum") - col("n_tok")) % cap).as("off_in_bin"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q95Sql: String =
+    s"""SELECT doc_id, source, n_tok,
+       |  CAST(FLOOR((cum - n_tok) / 2048) AS BIGINT) AS bin_start,
+       |  CAST(FLOOR((cum - 1) / 2048) AS BIGINT) AS bin_end,
+       |  (cum - n_tok) % 2048 AS off_in_bin
+       |FROM (
+       |  SELECT doc_id, source, n_tok,
+       |         SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+       |                          ROWS UNBOUNDED PRECEDING) AS cum
+       |  FROM (SELECT doc_id, source, len(${TextOps.toksSqlD}) AS n_tok
+       |        FROM documents))
+       |ORDER BY doc_id""".stripMargin
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q85_pii_redact", q85PiiRedact _, Some(q85Sql)),
     ("q86_bitwise_agg", q86BitwiseAgg _, Some(q86Sql)),
     ("q87_boilerplate", q87Boilerplate _, Some(q87Sql)),
     ("q88_chunk", q88Chunk _, Some(q88Sql)),
     ("q89_percent_rank", q89PercentRank _, Some(q89Sql)),
-    ("q90_split", q90Split _, Some(q90Sql)))
+    ("q90_split", q90Split _, Some(q90Sql)),
+    ("q95_pack", q95Pack _, Some(q95Sql)))
 }

@@ -62,6 +62,20 @@ class CorpusOpsSpec extends SparkSpec {
     assert(chunks.map { case (s, n) => s + n - 1 }.max === 40)
   }
 
+  test("sequence packing is gapless: each doc starts where the previous one ended") {
+    val rows = CorpusOps.q95Pack(spark, corpusDir).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("doc_id"),
+        r.getAs[Int]("n_tok").toLong, r.getAs[Long]("bin_start"),
+        r.getAs[Long]("bin_end"), r.getAs[Long]("off_in_bin")))
+    for ((_, shard) <- rows.groupBy(_._1)) {
+      val byId = shard.sortBy(_._2)
+      val absStarts = byId.map { case (_, _, _, binStart, _, off) => binStart * 2048 + off }
+      val expected = byId.map(_._3).scanLeft(0L)(_ + _).init // running starts
+      assert(absStarts.toSeq === expected.toSeq)
+      assert(byId.forall { case (_, _, _, bs, be, _) => be >= bs })
+    }
+  }
+
   test("content-hash split puts exact duplicates in the same split") {
     val rows = CorpusOps.q90Split(spark, corpusDir).collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
