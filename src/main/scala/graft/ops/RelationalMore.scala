@@ -371,6 +371,25 @@ object RelationalMore {
       |      FROM events)
       |ORDER BY event_id""".stripMargin
 
+  // --------------------------------------------------------------------------
+  // q96 — the custom AS-OF JOIN operator (graft.plans.AsOf: LogicalPlan +
+  // SparkStrategy + merge SparkPlan — SURVEY §2 option (c)). Same
+  // semantics and oracle as q21's window formulation; the physical plan is
+  // one shuffle+sort per side then a forward-only streaming merge with
+  // O(1) state — no unioned timeline, no window frame buffer.
+  def q96AsofCustom(spark: SparkSession, dir: String): DataFrame = {
+    val events = Tables.events(spark, dir).select("event_id", "user_id", "ts")
+    val orders = Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
+    graft.plans.AsOf.join(
+      events, orders,
+      leftKey = "user_id", leftTime = "ts",
+      rightKey = "o_custkey", rightTime = "o_orderdate",
+      values = Seq("o_orderkey"), tieBreak = Seq("o_orderkey"))
+      .select(col("event_id"), col("user_id"), col("o_orderkey").as("asof_order"))
+      .orderBy(col("event_id"))
+  }
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q53_date_spine", q53DateSpine _, Some(q53Sql)),
     ("q76_stats", q76Stats _, Some(q76Sql)),
@@ -381,5 +400,6 @@ object RelationalMore {
     ("q91_zscore_outliers", q91Zscore _, Some(q91Sql)),
     ("q92_impute", q92Impute _, Some(q92Sql)),
     ("q93_scd2", q93Scd2 _, Some(q93Sql)),
-    ("q94_forward_fill", q94ForwardFill _, Some(q94Sql)))
+    ("q94_forward_fill", q94ForwardFill _, Some(q94Sql)),
+    ("q96_asof_custom", q96AsofCustom _, Some(Relational.q21Sql)))
 }
