@@ -237,6 +237,70 @@ object CorpusOps {
        |        FROM documents))
        |ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------------------------------------
+  // q97 — unigram LM scoring (perplexity-style quality filter): fit a
+  // corpus unigram model (count(w)/total), then score each doc by its
+  // tokens' mean log-probability — the cheap first-pass LM filter before
+  // an expensive neural scorer. Three hash aggregates + one join on the
+  // token key; the 1-row total broadcast-cross-joins. avg-of-logs is
+  // order-dependent in the last ulps → round(4) per SURVEY §8.4.
+  // Scale: the model is vocabulary-sized (shuffles on w once); scoring
+  // joins the token stream to the model on w — the classic
+  // build-small-then-join-back shape, no per-doc recomputation.
+  def q97UnigramLm(spark: SparkSession, dir: String): DataFrame = {
+    val tok = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(TextOps.toks).as("w"))
+    val model = tok.groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val total = tok.agg(count(lit(1)).as("n"))
+    tok.join(model, Seq("w"))
+      .crossJoin(broadcast(total))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_tok"),
+        round(avg(log(col("c").cast("double") / col("n"))), 4).as("avg_logprob"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q97Sql: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, UNNEST(t) AS w
+       |  FROM (SELECT doc_id, ${TextOps.toksSqlD} AS t FROM documents)),
+       |tot AS (SELECT COUNT(*) AS n FROM tok),
+       |model AS (SELECT w, COUNT(*) AS c FROM tok GROUP BY w)
+       |SELECT doc_id, COUNT(*) AS n_tok,
+       |       ROUND(AVG(LN(CAST(c AS DOUBLE) / n)), 4) AS avg_logprob
+       |FROM tok JOIN model USING (w), tot
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // --------------------------------------------------------------------------
+  // q98 — percentile-band length filter: keep documents whose length sits
+  // inside the corpus [P5, P95] band (the standard outlier-trim before
+  // training). The two thresholds are ONE 1-row aggregate broadcast onto a
+  // row-local filter — no sort of the corpus, no second aggregation pass.
+  // Filtering compares raw (unrounded) thresholds; rounding only cosmetic
+  // output columns. Spark percentile() and DuckDB quantile_cont share the
+  // (n-1)*p linear-interpolation definition (proven by q28).
+  def q98LengthBand(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val bounds = docs.agg(
+      expr("percentile(n_chars, 0.05)").as("lo"),
+      expr("percentile(n_chars, 0.95)").as("hi"))
+    docs.crossJoin(broadcast(bounds))
+      .filter(col("n_chars") >= col("lo") && col("n_chars") <= col("hi"))
+      .select(col("doc_id"), col("n_chars"),
+        round(col("lo"), 2).as("p05"), round(col("hi"), 2).as("p95"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q98Sql: String =
+    """WITH b AS (
+      |  SELECT quantile_cont(n_chars, 0.05) AS lo, quantile_cont(n_chars, 0.95) AS hi
+      |  FROM documents)
+      |SELECT doc_id, n_chars, ROUND(lo, 2) AS p05, ROUND(hi, 2) AS p95
+      |FROM documents, b
+      |WHERE n_chars >= lo AND n_chars <= hi
+      |ORDER BY doc_id""".stripMargin
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q85_pii_redact", q85PiiRedact _, Some(q85Sql)),
     ("q86_bitwise_agg", q86BitwiseAgg _, Some(q86Sql)),
@@ -244,5 +308,7 @@ object CorpusOps {
     ("q88_chunk", q88Chunk _, Some(q88Sql)),
     ("q89_percent_rank", q89PercentRank _, Some(q89Sql)),
     ("q90_split", q90Split _, Some(q90Sql)),
-    ("q95_pack", q95Pack _, Some(q95Sql)))
+    ("q95_pack", q95Pack _, Some(q95Sql)),
+    ("q97_unigram_lm", q97UnigramLm _, Some(q97Sql)),
+    ("q98_length_band", q98LengthBand _, Some(q98Sql)))
 }

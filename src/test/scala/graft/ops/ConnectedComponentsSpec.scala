@@ -1,0 +1,51 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+/** Property: distributed min-label propagation partitions vertices exactly
+  * like a sequential union-find on the same random edge list, and every
+  * component's label is its minimum vertex id.
+  */
+class ConnectedComponentsSpec extends SparkSpec {
+
+  /** Sequential reference: union-find with path compression. */
+  private def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x
+      else { val r = find(p); parent(x) = r; r }
+    }
+    for ((a, b) <- edges) {
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(ra) = rb
+    }
+    // canonical label = min id of the component
+    val ids = parent.keys.toSeq
+    val byRoot = ids.groupBy(find)
+    byRoot.flatMap { case (_, members) =>
+      val lbl = members.min; members.map(_ -> lbl)
+    }.toMap
+  }
+
+  private val edgesGen: Gen[List[(Long, Long)]] = for {
+    n <- Gen.choose(1, 40)
+    edges <- Gen.listOfN(n, for {
+      a <- Gen.choose(0L, 25L)
+      b <- Gen.choose(0L, 25L)
+    } yield (a, b))
+  } yield edges
+
+  test("min-label propagation == union-find on random graphs (chains, cycles, self-loops)") {
+    import spark.implicits._
+    val prop = Prop.forAll(edgesGen) { edges =>
+      val got = TextOps.connectedComponents(edges.toDF("a", "b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      got == unionFind(edges)
+    }
+    val result = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(8), prop)
+    assert(result.passed, result.status.toString)
+  }
+}
