@@ -149,7 +149,31 @@ object SketchOps {
       |      FROM documents)
       |GROUP BY w ORDER BY n DESC, w ASC LIMIT 10""".stripMargin
 
+  // --------------------------------------------------------------------------
+  // q99 — mergeable HLL distinct rollup (the approx-distinct analog of
+  // q74): per-nation DataSketches HLL of the customer keys, unioned per
+  // region WITHOUT rescanning customer — the hierarchy pattern (day→month,
+  // shard→global) that makes approximate distincts cheap at 100 TB: leaves
+  // aggregate once, every rollup level is a tiny sketch merge.
+  // Approximate → rows-only driver check; SketchOpsSpec bounds the error
+  // and asserts merged == direct-at-region estimates.
+  def q99HllRollup(spark: SparkSession, dir: String): DataFrame = {
+    val perNation = Tables.customer(spark, dir)
+      .groupBy(col("c_nationkey"))
+      .agg(expr("hll_sketch_agg(c_custkey)").as("sk"), count(lit(1)).as("n"))
+    val nations = Tables.nation(spark, dir)
+      .select(col("n_nationkey"), col("n_regionkey"))
+    perNation
+      .join(broadcast(nations), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_regionkey"))
+      .agg(
+        expr("hll_sketch_estimate(hll_union_agg(sk))").cast("long").as("approx_customers"),
+        sum(col("n")).as("n_customers"))
+      .orderBy(col("n_regionkey"))
+  }
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q74_sketch_rollup", q74SketchRollup _, None),
-    ("q77_heavy_hitters", q77HeavyHitters _, Some(q77Sql)))
+    ("q77_heavy_hitters", q77HeavyHitters _, Some(q77Sql)),
+    ("q99_hll_rollup", q99HllRollup _, None))
 }

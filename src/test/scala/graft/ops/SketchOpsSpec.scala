@@ -80,4 +80,28 @@ class SketchOpsSpec extends SparkSpec {
     assert(math.abs(twoLevel - exact) <= 0.05 * range, s"two-level $twoLevel vs exact $exact")
     assert(math.abs(oneLevel - exact) <= 0.05 * range, s"one-level $oneLevel vs exact $exact")
   }
+
+  test("q99 HLL rollup: merged nation sketches within 5% of exact region distincts, merge == direct") {
+    val rolled = SketchOps.q99HllRollup(spark, dir).collect()
+      .map(r => r.getAs[Number]("n_regionkey").longValue ->
+        (r.getAs[Long]("approx_customers"), r.getAs[Long]("n_customers"))).toMap
+    val exact = Tables.customer(spark, dir)
+      .join(Tables.nation(spark, dir), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_regionkey"))
+      .agg(countDistinct(col("c_custkey")).as("d"))
+      .collect().map(r => r.getAs[Number]("n_regionkey").longValue -> r.getAs[Long]("d")).toMap
+    for ((region, d) <- exact) {
+      val (approx, n) = rolled(region)
+      assert(n === d) // custkeys are unique, so counts equal distincts
+      assert(math.abs(approx - d) <= math.max(1L, (d * 0.05).toLong),
+        s"region $region: approx $approx vs exact $d")
+    }
+    // merging per-nation sketches must equal sketching the region directly
+    val direct = Tables.customer(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_regionkey"))
+      .agg(expr("hll_sketch_estimate(hll_sketch_agg(c_custkey))").cast("long").as("a"))
+      .collect().map(r => r.getAs[Number]("n_regionkey").longValue -> r.getAs[Long]("a")).toMap
+    for ((region, a) <- direct) assert(rolled(region)._1 === a, s"region $region")
+  }
 }
