@@ -301,6 +301,68 @@ object CorpusOps {
       |WHERE n_chars >= lo AND n_chars <= hi
       |ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------------------------------------
+  // q100 — the training-data pipeline end-to-end as ONE lazy plan:
+  // canonicalize (q84) → exact-dedup on the canonical hash (q30) → quality
+  // filter (length + type-token ratio) → content-hash split (q90) →
+  // per-(split, lang) corpus accounting. Integration proof that the
+  // operators compose without materialization barriers: Catalyst sees the
+  // whole pipeline (two shuffles total — dedup window on the hash, final
+  // aggregate), and the wide text column dies right after canonicalization.
+  def q100Pipeline(spark: SparkSession, dir: String): DataFrame = {
+    val clean = regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " ")
+    val canon = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), clean.as("clean"))
+      .select(col("doc_id"), col("lang"), md5(col("clean")).as("h"),
+        expr("filter(split(clean, ' '), t -> t != '')").as("toks"))
+    val kept = canon
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("h")).orderBy(col("doc_id"))))
+      .filter(col("rn") === 1) // exact dedup: lowest doc_id survives
+      .withColumn("n_tok", size(col("toks")))
+      .filter(col("n_tok") >= 20)
+      .withColumn("ttr",
+        size(array_distinct(col("toks"))).cast("double") / col("n_tok"))
+      .filter(col("ttr") >= 0.3)
+    val prefix = substring(col("h"), 1, 2)
+    kept
+      .withColumn("split",
+        when(prefix < "e6", "train").when(prefix < "f3", "val").otherwise("test"))
+      .groupBy(col("split"), col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("sum_tokens"),
+        round(avg(col("ttr")), 4).as("avg_ttr"))
+      .orderBy(col("split"), col("lang"))
+  }
+
+  val q100Sql: String =
+    """WITH c AS (
+      |  SELECT doc_id, lang,
+      |         regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g') AS clean
+      |  FROM documents),
+      |canon AS (
+      |  SELECT doc_id, lang, md5(clean) AS h,
+      |         list_filter(string_split(clean, ' '), t -> t != '') AS toks
+      |  FROM c),
+      |kept AS (
+      |  SELECT * FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY h ORDER BY doc_id) AS rn
+      |    FROM canon) WHERE rn = 1),
+      |m AS (
+      |  SELECT doc_id, lang, h, len(toks) AS n_tok,
+      |         CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS ttr
+      |  FROM kept WHERE len(toks) >= 20)
+      |SELECT
+      |  CASE WHEN substring(h, 1, 2) < 'e6' THEN 'train'
+      |       WHEN substring(h, 1, 2) < 'f3' THEN 'val'
+      |       ELSE 'test' END AS split,
+      |  lang, COUNT(*) AS n_docs, SUM(n_tok) AS sum_tokens,
+      |  ROUND(AVG(ttr), 4) AS avg_ttr
+      |FROM m WHERE ttr >= 0.3
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q85_pii_redact", q85PiiRedact _, Some(q85Sql)),
     ("q86_bitwise_agg", q86BitwiseAgg _, Some(q86Sql)),
@@ -310,5 +372,6 @@ object CorpusOps {
     ("q90_split", q90Split _, Some(q90Sql)),
     ("q95_pack", q95Pack _, Some(q95Sql)),
     ("q97_unigram_lm", q97UnigramLm _, Some(q97Sql)),
-    ("q98_length_band", q98LengthBand _, Some(q98Sql)))
+    ("q98_length_band", q98LengthBand _, Some(q98Sql)),
+    ("q100_pipeline", q100Pipeline _, Some(q100Sql)))
 }
