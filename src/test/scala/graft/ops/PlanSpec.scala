@@ -134,6 +134,12 @@ class PlanSpec extends SparkSpec {
     assert(hashEx === 1, s"expected one data shuffle, got $hashEx:\n$p")
   }
 
+  test("q100 pipeline composes into one plan with two data shuffles (dedup window + final agg)") {
+    val p = plan(CorpusOps.q100Pipeline(spark, dir))
+    val hashEx = "hashpartitioning\\(".r.findAllIn(p).size
+    assert(hashEx <= 2, s"expected <=2 data shuffles, got $hashEx:\n$p")
+  }
+
   test("row-local corpus ops (redact/chunk/split) shuffle only for the output sort") {
     for (df <- Seq(CorpusOps.q85PiiRedact(spark, dir),
                    CorpusOps.q88Chunk(spark, dir),
