@@ -241,18 +241,18 @@ object CorpusOps {
   // q97 — unigram LM scoring (perplexity-style quality filter): fit a
   // corpus unigram model (count(w)/total), then score each doc by its
   // tokens' mean log-probability — the cheap first-pass LM filter before
-  // an expensive neural scorer. Three hash aggregates + one join on the
-  // token key; the 1-row total broadcast-cross-joins. avg-of-logs is
-  // order-dependent in the last ulps → round(4) per SURVEY §8.4.
-  // Scale: the model is vocabulary-sized (shuffles on w once); scoring
-  // joins the token stream to the model on w — the classic
-  // build-small-then-join-back shape, no per-doc recomputation.
+  // an expensive neural scorer. avg-of-logs is order-dependent in the
+  // last ulps → round(4) per SURVEY §8.4.
+  // Scale: token counts come from ONE explode — the unigram count is a
+  // window over the token stream itself (Catalyst does not reuse common
+  // subplans, so a model-aggregate joined back would scan + explode the
+  // corpus twice; q87 lesson, §8.5); the corpus-total is a no-explode
+  // row-local size() sum, broadcast as one row.
   def q97UnigramLm(spark: SparkSession, dir: String): DataFrame = {
-    val tok = Tables.documents(spark, dir)
-      .select(col("doc_id"), explode(TextOps.toks).as("w"))
-    val model = tok.groupBy(col("w")).agg(count(lit(1)).as("c"))
-    val total = tok.agg(count(lit(1)).as("n"))
-    tok.join(model, Seq("w"))
+    val docs = Tables.documents(spark, dir)
+    val tok = docs.select(col("doc_id"), explode(TextOps.toks).as("w"))
+    val total = docs.agg(sum(size(TextOps.toks)).as("n"))
+    tok.withColumn("c", count(lit(1)).over(Window.partitionBy(col("w"))))
       .crossJoin(broadcast(total))
       .groupBy(col("doc_id"))
       .agg(

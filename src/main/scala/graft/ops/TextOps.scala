@@ -378,12 +378,14 @@ object TextOps {
     val docs = Tables.documents(spark, dir)
     val n = docs.count() // scalar: one count, reused in the closure as a literal
     val tf = tokenEdges(docs).groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
-    val df_ = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
     // rank on the ROUNDED score: ln() is not correctly rounded, so a
     // last-ulp libm difference between engines could otherwise flip ranks
     // at near-ties; rounding makes near-ties exact ties, broken by term.
+    // df as a COUNT window over the single tf lineage, NOT a separate
+    // aggregate joined back — Catalyst does not reuse common subplans, so
+    // the join shape scans + explodes the corpus twice (q87 lesson, §8.5).
     val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("w").asc)
-    tf.join(df_, "w")
+    tf.withColumn("df", count(lit(1)).over(Window.partitionBy(col("w"))))
       .withColumn("score", round(col("tf") * log(lit(n.toDouble) / col("df")), 6))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 5)
@@ -586,17 +588,21 @@ object TextOps {
   private val bm25Terms = Seq("spark", "table")
 
   def q81Bm25(spark: SparkSession, dir: String): DataFrame = {
-    val te = tokenEdges(Tables.documents(spark, dir))
-    val dlen = te.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
-    val n = lit(Tables.documents(spark, dir).count()) // scalar: corpus size
+    val docs = Tables.documents(spark, dir)
+    val n = lit(docs.count()) // scalar: corpus size
+    // doc length is row-local (size of the token array) — no explode, no
+    // shuffle; the exploded stream is only built for the filtered query
+    // terms. Was: dlen aggregated from a second full token explode.
+    val dlen = docs.select(col("doc_id"), size(toks).as("dl"))
+      .filter(col("dl") > 0)
     // exact long sum / count, not avg(): incremental double accumulation
     // is order-dependent and engine-specific
     val avgdl = dlen.agg(
       (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
-    val tf = te.filter(col("w").isin(bm25Terms: _*))
+    val tf = tokenEdges(docs).filter(col("w").isin(bm25Terms: _*))
       .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
-    val df = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
-    tf.join(broadcast(df), "w")
+    // term df as a window over the single tf lineage (q87 lesson, §8.5)
+    tf.withColumn("df", count(lit(1)).over(Window.partitionBy(col("w"))))
       .join(dlen, "doc_id")
       .crossJoin(broadcast(avgdl))
       .withColumn("idf", log((n - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
