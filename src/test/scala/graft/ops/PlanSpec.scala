@@ -140,6 +140,22 @@ class PlanSpec extends SparkSpec {
     assert(hashEx <= 2, s"expected <=2 data shuffles, got $hashEx:\n$p")
   }
 
+  test("single-lineage corpus queries scan the corpus once (no join-back re-scan)") {
+    // guards the §8.5 lesson: a derived aggregate joined back re-scans the
+    // corpus because Catalyst does not reuse common subplans
+    val expected = Seq(
+      (TextOps.q65TfIdf(spark, dir), 1),          // df via window, one explode
+      (CorpusOps.q87Boilerplate(spark, dir), 1),  // gram df via window
+      (CorpusOps.q97UnigramLm(spark, dir), 2))    // one explode + no-explode total
+    for ((df, maxScans) <- expected) {
+      val p = plan(df)
+      // formatted mode lists every node twice (tree + numbered details);
+      // count only the "(n) Scan parquet" detail headers
+      val scans = "\\(\\d+\\) Scan parquet".r.findAllIn(p).size
+      assert(scans <= maxScans, s"expected <=$maxScans scans, got $scans:\n$p")
+    }
+  }
+
   test("row-local corpus ops (redact/chunk/split) shuffle only for the output sort") {
     for (df <- Seq(CorpusOps.q85PiiRedact(spark, dir),
                    CorpusOps.q88Chunk(spark, dir),
