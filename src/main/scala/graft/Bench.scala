@@ -47,7 +47,14 @@ object Bench {
         (System.nanoTime() - t0) / 1e9
       }
       val (a, b) = (once(), once())
-      name -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
+      if (a < 0 || b < 0) name -> -1.0
+      else {
+        // slow queries get a third run: they dominate the total, so host-VM
+        // noise on them moves the headline number the most
+        val best2 = math.min(a, b)
+        name -> (if (best2 > 1.0) { val c = once(); if (c < 0) best2 else math.min(best2, c) }
+                 else best2)
+      }
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
