@@ -390,6 +390,56 @@ object RelationalMore {
       .orderBy(col("event_id"))
   }
 
+  // --------------------------------------------------------------------------
+  // q101 — ordered string aggregation (STRING_AGG / LISTAGG): nations per
+  // region as one comma-joined, alphabetically-ordered string. Spark has
+  // no ordered string_agg; sort_array(collect_list(...)) + array_join is
+  // the deterministic formulation (collect_list order is
+  // partition-arrival, never rely on it).
+  // Scale: collect_list is bounded by group cardinality — fine for
+  // dimension-sized groups, an anti-pattern for fact-sized ones.
+  def q101StringAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.nation(spark, dir)
+      .groupBy(col("n_regionkey"))
+      .agg(
+        array_join(sort_array(collect_list(col("n_name"))), ",").as("nations"),
+        count(lit(1)).as("n_nations"))
+      .orderBy(col("n_regionkey"))
+
+  val q101Sql: String =
+    """SELECT n_regionkey,
+      |       string_agg(n_name, ',' ORDER BY n_name) AS nations,
+      |       COUNT(*) AS n_nations
+      |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin
+
+  // --------------------------------------------------------------------------
+  // q102 — deterministic mode (most frequent value): the most common order
+  // priority per clerk-prefix cohort. Built-in mode() breaks ties
+  // arbitrarily in both engines, so the portable formulation is
+  // count-then-rank with a total order (count desc, value asc) — same
+  // two-aggregate shape both engines execute deterministically.
+  def q102Mode(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.orders(spark, dir)
+      .groupBy((col("o_custkey") % 97).as("cohort"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("cohort"))
+      .orderBy(col("cnt").desc, col("o_orderpriority").asc)
+    counts.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("cohort"), col("o_orderpriority").as("mode_priority"), col("cnt"))
+      .orderBy(col("cohort"))
+  }
+
+  val q102Sql: String =
+    """WITH counts AS (
+      |  SELECT o_custkey % 97 AS cohort, o_orderpriority, COUNT(*) AS cnt
+      |  FROM orders GROUP BY 1, 2)
+      |SELECT cohort, o_orderpriority AS mode_priority, cnt FROM (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY cohort
+      |            ORDER BY cnt DESC, o_orderpriority ASC) AS rn
+      |  FROM counts)
+      |WHERE rn = 1 ORDER BY cohort""".stripMargin
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q53_date_spine", q53DateSpine _, Some(q53Sql)),
     ("q76_stats", q76Stats _, Some(q76Sql)),
@@ -401,5 +451,7 @@ object RelationalMore {
     ("q92_impute", q92Impute _, Some(q92Sql)),
     ("q93_scd2", q93Scd2 _, Some(q93Sql)),
     ("q94_forward_fill", q94ForwardFill _, Some(q94Sql)),
-    ("q96_asof_custom", q96AsofCustom _, Some(Relational.q21Sql)))
+    ("q96_asof_custom", q96AsofCustom _, Some(Relational.q21Sql)),
+    ("q101_string_agg", q101StringAgg _, Some(q101Sql)),
+    ("q102_mode", q102Mode _, Some(q102Sql)))
 }
