@@ -48,7 +48,10 @@ object ReportFormat {
   /** Explode whole-file text into ordered lines: (file, line_no, line). */
   def toLines(files: DataFrame): DataFrame =
     files
-      .select(col("file"), posexplode(split(col("text"), "\r?\n")))
+      // a UTF-8 BOM would otherwise ride on the first line's key and make
+      // it miss every key match; CRLF is absorbed by the \r?\n split
+      .select(col("file"),
+        posexplode(split(regexp_replace(col("text"), "^\\uFEFF", ""), "\r?\n")))
       .withColumnRenamed("pos", "line_no")
       .withColumnRenamed("col", "line")
       .filter(trim(col("line")) =!= "")

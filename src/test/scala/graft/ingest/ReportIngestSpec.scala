@@ -196,6 +196,17 @@ class ReportIngestSpec extends SparkSpec {
     assert(path.contains("a+b["), path)
   }
 
+  test("UTF-8 BOM and CRLF line endings parse identically to a clean file") {
+    val clean = ReportPipeline.renderReport(Seq(erpBlock(1), erpBlock(2)))
+    val dirty = "﻿" + clean.replace("\n", "\r\n") // Windows-exported flavor
+    val a = parseText(clean).orderBy("block_id").collect()
+      .map(_.getAs[Map[String, String]]("kv"))
+    val b = parseText(dirty).orderBy("block_id").collect()
+      .map(_.getAs[Map[String, String]]("kv"))
+    assert(a.toSeq === b.toSeq)
+    assert(a.length === 2)
+  }
+
   test("PERMISSIVE JSON read quarantines corrupt records instead of failing (R22 semantics)") {
     val dir = tmpDir()
     Fixtures.writeReport(dir, "mixed.json",
