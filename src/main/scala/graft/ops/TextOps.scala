@@ -677,6 +677,71 @@ object TextOps {
     labels
   }
 
+  /** Connected components by alternating large-star / small-star
+    * contraction (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond", SoCC'14): converges in O(log² n) rounds on ANY graph, vs
+    * graph-diameter rounds for [[connectedComponents]]' min-label
+    * propagation. Same contract: edges (a, b) undirected → (id, label)
+    * with label = min id of the component. This is the 100 TB path for
+    * high-diameter graphs (long chains); q82 keeps label propagation
+    * because near-dup clusters are shallow.
+    *
+    * Large-star hangs every neighbor LARGER than the center onto the
+    * center's minimum neighbor; small-star re-hangs the smaller ones.
+    * Each op is one groupBy + one row-local rewrite — two shuffles per
+    * round, edge count never grows beyond the symmetric closure.
+    */
+  def connectedComponentsStar(edges: DataFrame): DataFrame = {
+    val e0 = edges.toDF("a", "b")
+    var e = e0.filter(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("u"), greatest(col("a"), col("b")).as("v"))
+      .distinct()
+      .localCheckpoint(true)
+    if (e.isEmpty) return e0.select(col("a").as("id"), col("a").as("label")).limit(0)
+
+    // one star op: group the symmetric edge list by center, attach each
+    // selected neighbor to min(center, its neighbors)
+    def star(edgesUV: DataFrame, large: Boolean): DataFrame = {
+      val sym = edgesUV.union(edgesUV.select(col("v").as("u"), col("u").as("v")))
+      val withMin = sym
+        .withColumn("m", least(min(col("v")).over(Window.partitionBy(col("u"))), col("u")))
+      val picked =
+        if (large) withMin.filter(col("v") > col("u"))
+        else withMin.filter(col("v") <= col("u"))
+          .select(col("v").as("x"), col("m")).union(withMin.select(col("u").as("x"), col("m")))
+      val out =
+        if (large) picked.select(col("v").as("u2"), col("m").as("v2"))
+        else picked.select(col("x").as("u2"), col("m").as("v2"))
+      out.filter(col("u2") =!= col("v2"))
+        .select(least(col("u2"), col("v2")).as("u"), greatest(col("u2"), col("v2")).as("v"))
+        .distinct()
+    }
+
+    var fingerprint = BigDecimal(-1)
+    var converged = false
+    var rounds = 0
+    while (!converged) {
+      rounds += 1
+      require(rounds < 64, "star contraction failed to converge in 64 rounds")
+      val next = star(star(e, large = true), large = false).localCheckpoint(true)
+      // order-independent edge-set fingerprint: exact decimal sum of a
+      // per-edge hash + the edge count
+      val row = next.agg(
+        sum(xxhash64(col("u"), col("v")).cast(DecimalType(38, 0))).as("s"),
+        count(lit(1)).as("c")).collect()(0)
+      val fp = Option(row.getDecimal(0)).map(BigDecimal(_)).getOrElse(BigDecimal(0)) +
+        BigDecimal(row.getLong(1))
+      converged = fp == fingerprint
+      fingerprint = fp
+      e = next
+    }
+    // fixpoint: edges are (root, child) after least/greatest normalization —
+    // children take the root's id, roots label themselves
+    e.select(col("u").as("id"), col("u").as("label"))
+      .union(e.select(col("v").as("id"), col("u").as("label")))
+      .groupBy(col("id")).agg(min(col("label")).as("label"))
+  }
+
   def q82DedupClusters(spark: SparkSession, dir: String): DataFrame = {
     val pairs = q31NgramJaccard(spark, dir).select(col("id_a"), col("id_b"))
     val labels = connectedComponents(pairs)

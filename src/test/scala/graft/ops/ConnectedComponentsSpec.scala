@@ -48,4 +48,29 @@ class ConnectedComponentsSpec extends SparkSpec {
     val result = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(8), prop)
     assert(result.passed, result.status.toString)
   }
+
+  test("large-star/small-star contraction == union-find on random graphs") {
+    import spark.implicits._
+    val prop = Prop.forAll(edgesGen) { edges =>
+      val base = unionFind(edges).filter { case (id, _) =>
+        // star contraction drops pure self-loop vertices (no real edge);
+        // they form singleton components — compare on the rest
+        edges.exists(e => (e._1 == id || e._2 == id) && e._1 != e._2)
+      }
+      val got = TextOps.connectedComponentsStar(edges.toDF("a", "b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      got == base
+    }
+    val result = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(8), prop)
+    assert(result.passed, result.status.toString)
+  }
+
+  test("star contraction resolves a 24-node chain (diameter stress) to one component") {
+    import spark.implicits._
+    val chain = (0L until 23L).map(i => (i, i + 1))
+    val labels = TextOps.connectedComponentsStar(chain.toDF("a", "b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.size === 24)
+    assert(labels.values.toSet === Set(0L))
+  }
 }
