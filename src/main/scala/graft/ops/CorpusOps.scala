@@ -363,6 +363,43 @@ object CorpusOps {
       |FROM m WHERE ttr >= 0.3
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // --------------------------------------------------------------------------
+  // q103 — token-entropy quality score: Shannon entropy of each doc's
+  // unigram distribution (H = -Σ p·log2 p). Low entropy = repetitive/
+  // template docs — the information-theoretic twin of q73's top-share
+  // filter. One explode → per-(doc,w) counts → per-doc window total →
+  // row-local p·log2 p → one hash aggregate; single lineage throughout
+  // (§8.5 lesson). Entropy rounded at 4dp over the log-accumulation noise.
+  def q103TokenEntropy(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(TextOps.toks).as("w"))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+    counts
+      .withColumn("n", sum(col("c")).over(Window.partitionBy(col("doc_id"))))
+      .withColumn("p", col("c").cast("double") / col("n"))
+      .groupBy(col("doc_id"))
+      .agg(
+        round(-sum(col("p") * log(2.0, col("p"))), 4).as("entropy"),
+        count(lit(1)).as("n_distinct"),
+        max(col("n")).as("n_tok"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q103Sql: String =
+    s"""WITH counts AS (
+       |  SELECT doc_id, w, COUNT(*) AS c FROM (
+       |    SELECT doc_id, UNNEST(t) AS w
+       |    FROM (SELECT doc_id, ${TextOps.toksSqlD} AS t FROM documents))
+       |  GROUP BY doc_id, w),
+       |probs AS (
+       |  SELECT doc_id, c,
+       |         SUM(c) OVER (PARTITION BY doc_id) AS n,
+       |         CAST(c AS DOUBLE) / SUM(c) OVER (PARTITION BY doc_id) AS p
+       |  FROM counts)
+       |SELECT doc_id, ROUND(-SUM(p * log2(p)), 4) AS entropy,
+       |       COUNT(*) AS n_distinct, MAX(n) AS n_tok
+       |FROM probs GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q85_pii_redact", q85PiiRedact _, Some(q85Sql)),
     ("q86_bitwise_agg", q86BitwiseAgg _, Some(q86Sql)),
@@ -373,5 +410,6 @@ object CorpusOps {
     ("q95_pack", q95Pack _, Some(q95Sql)),
     ("q97_unigram_lm", q97UnigramLm _, Some(q97Sql)),
     ("q98_length_band", q98LengthBand _, Some(q98Sql)),
-    ("q100_pipeline", q100Pipeline _, Some(q100Sql)))
+    ("q100_pipeline", q100Pipeline _, Some(q100Sql)),
+    ("q103_token_entropy", q103TokenEntropy _, Some(q103Sql)))
 }
