@@ -60,7 +60,15 @@ object Bench {
       .mkString("{", ",", "}")
     // total over successful queries only (-1 marks failures in the map)
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // Full per-query detail first (humans / logs). The driver only keeps
+    // the last ~2000 chars of stdout, which truncated this single long
+    // line in rounds 1-2 (BENCH parsed:null) — so the parseable summary
+    // goes LAST and stays short: total + the 5 slowest queries.
+    println(s"""{"metric":"detail","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val slow = results.filter(_._2 >= 0).sortBy(-_._2).take(5)
+      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+    val totalR = f"$total%.3f"
+    println(s"""{"metric":"total","value":$totalR,"unit":"sec","n_queries":${results.size},"queries":$slow,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -77,7 +77,7 @@ object CorpusOps {
       |  bit_xor(o_orderkey) AS key_xor,
       |  bool_and(o_totalprice > 1000) AS all_over_1k,
       |  bool_or(o_totalprice > 400000) AS any_over_400k,
-      |  count_if(o_totalprice > 100000) AS n_over_100k
+      |  CAST(count_if(o_totalprice > 100000) AS BIGINT) AS n_over_100k
       |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
   // --------------------------------------------------------------------------
@@ -111,7 +111,7 @@ object CorpusOps {
        |         UNNEST(generate_series(1, len(t) - 2)) AS u(i))),
        |gdf AS (SELECT s, COUNT(*) AS df FROM sh GROUP BY s)
        |SELECT sh.doc_id, COUNT(*) AS n_grams,
-       |  SUM(CASE WHEN gdf.df >= 3 THEN 1 ELSE 0 END) AS n_boiler,
+       |  CAST(SUM(CASE WHEN gdf.df >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
        |  ROUND(CAST(SUM(CASE WHEN gdf.df >= 3 THEN 1 ELSE 0 END) AS DOUBLE)
        |        / COUNT(*), 6) AS boiler_share
        |FROM sh JOIN gdf USING (s)
@@ -214,7 +214,7 @@ object CorpusOps {
     val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     Tables.documents(spark, dir)
-      .select(col("doc_id"), col("source"), size(TextOps.toks).as("n_tok"))
+      .select(col("doc_id"), col("source"), size(TextOps.toks).cast("long").as("n_tok"))
       .withColumn("cum", sum(col("n_tok")).over(w))
       .select(
         col("doc_id"), col("source"), col("n_tok"),
@@ -228,7 +228,7 @@ object CorpusOps {
     s"""SELECT doc_id, source, n_tok,
        |  CAST(FLOOR((cum - n_tok) / 2048) AS BIGINT) AS bin_start,
        |  CAST(FLOOR((cum - 1) / 2048) AS BIGINT) AS bin_end,
-       |  (cum - n_tok) % 2048 AS off_in_bin
+       |  CAST((cum - n_tok) % 2048 AS BIGINT) AS off_in_bin
        |FROM (
        |  SELECT doc_id, source, n_tok,
        |         SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
@@ -358,7 +358,7 @@ object CorpusOps {
       |  CASE WHEN substring(h, 1, 2) < 'e6' THEN 'train'
       |       WHEN substring(h, 1, 2) < 'f3' THEN 'val'
       |       ELSE 'test' END AS split,
-      |  lang, COUNT(*) AS n_docs, SUM(n_tok) AS sum_tokens,
+      |  lang, COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS sum_tokens,
       |  ROUND(AVG(ttr), 4) AS avg_ttr
       |FROM m WHERE ttr >= 0.3
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
@@ -397,7 +397,7 @@ object CorpusOps {
        |         CAST(c AS DOUBLE) / SUM(c) OVER (PARTITION BY doc_id) AS p
        |  FROM counts)
        |SELECT doc_id, ROUND(-SUM(p * log2(p)), 4) AS entropy,
-       |       COUNT(*) AS n_distinct, MAX(n) AS n_tok
+       |       COUNT(*) AS n_distinct, CAST(MAX(n) AS BIGINT) AS n_tok
        |FROM probs GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(

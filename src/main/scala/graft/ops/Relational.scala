@@ -415,7 +415,7 @@ object Relational {
     """SELECT l_linestatus,
       |  CAST(SUM(CAST(CASE WHEN l_returnflag = 'R' THEN l_extendedprice ELSE 0.0 END AS DECIMAL(18,2))) AS DOUBLE) AS returned_price,
       |  CAST(SUM(CAST(CASE WHEN l_returnflag <> 'R' THEN l_extendedprice ELSE 0.0 END AS DECIMAL(18,2))) AS DOUBLE) AS kept_price,
-      |  SUM(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS n_high_disc
+      |  CAST(SUM(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS n_high_disc
       |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin
 
   // --------------------------------------------------------------------------
@@ -587,15 +587,32 @@ object Relational {
       |GROUP BY n_name ORDER BY n_name""".stripMargin
 
   // --------------------------------------------------------------------------
-  // q55 — approx_percentile sketch (KLL-style): engine-specific internals →
-  // rows-only driver check; RelationalExtSpec bounds it against exact.
-  def q55ApproxPercentile(spark: SparkSession, dir: String): DataFrame =
+  // q55 — approx_percentile sketch (KLL-style). The sketch's internals are
+  // engine-specific, so the oracle-checked output carries the EXACT median
+  // (Spark percentile ≡ DuckDB quantile_cont, linear interpolation; values
+  // sit on a .005 grid so ROUND(,4) absorbs last-ulp formula differences)
+  // plus a 2%-accuracy flag the oracle pins to TRUE — the driver compare
+  // thereby asserts the sketch's error bound, not just row counts.
+  private[ops] def q55Raw(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
       .groupBy(col("l_returnflag"))
       .agg(
         expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("approx_median"),
         expr("percentile(l_extendedprice, 0.5)").as("exact_median"))
+
+  def q55ApproxPercentile(spark: SparkSession, dir: String): DataFrame =
+    q55Raw(spark, dir)
+      .select(col("l_returnflag"),
+        round(col("exact_median"), 4).as("exact_median"),
+        (abs(col("approx_median") - col("exact_median")) <=
+          col("exact_median") * 0.02).as("approx_within_2pct"))
       .orderBy(col("l_returnflag"))
+
+  val q55Sql: String =
+    """SELECT l_returnflag,
+      |  ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS exact_median,
+      |  TRUE AS approx_within_2pct
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
   /** Registry: name → (builder, oracle SQL or None). */
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
@@ -623,5 +640,5 @@ object Relational {
     ("q22_star_join", q22StarJoin _, Some(q22Sql)),
     ("q54_supplier_rev", q54SupplierRev _, Some(q54Sql)),
     ("q56_range_window", q56RangeWindow _, Some(q56Sql)),
-    ("q55_approx_percentile", q55ApproxPercentile _, None))
+    ("q55_approx_percentile", q55ApproxPercentile _, Some(q55Sql)))
 }

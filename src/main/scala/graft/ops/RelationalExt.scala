@@ -252,17 +252,17 @@ object RelationalExt {
   val q38Sql: String =
     """SELECT col_name, min_v, max_v, n_null, n_distinct FROM (
       |  SELECT 'l_orderkey' AS col_name, CAST(MIN(l_orderkey) AS VARCHAR) AS min_v, CAST(MAX(l_orderkey) AS VARCHAR) AS max_v,
-      |    SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS n_null, COUNT(DISTINCT l_orderkey) AS n_distinct FROM lineitem
+      |    CAST(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null, COUNT(DISTINCT l_orderkey) AS n_distinct FROM lineitem
       |  UNION ALL SELECT 'l_partkey', CAST(MIN(l_partkey) AS VARCHAR), CAST(MAX(l_partkey) AS VARCHAR),
-      |    SUM(CASE WHEN l_partkey IS NULL THEN 1 ELSE 0 END), COUNT(DISTINCT l_partkey) FROM lineitem
+      |    CAST(SUM(CASE WHEN l_partkey IS NULL THEN 1 ELSE 0 END) AS BIGINT), COUNT(DISTINCT l_partkey) FROM lineitem
       |  UNION ALL SELECT 'l_suppkey', CAST(MIN(l_suppkey) AS VARCHAR), CAST(MAX(l_suppkey) AS VARCHAR),
-      |    SUM(CASE WHEN l_suppkey IS NULL THEN 1 ELSE 0 END), COUNT(DISTINCT l_suppkey) FROM lineitem
+      |    CAST(SUM(CASE WHEN l_suppkey IS NULL THEN 1 ELSE 0 END) AS BIGINT), COUNT(DISTINCT l_suppkey) FROM lineitem
       |  UNION ALL SELECT 'l_linenumber', CAST(MIN(l_linenumber) AS VARCHAR), CAST(MAX(l_linenumber) AS VARCHAR),
-      |    SUM(CASE WHEN l_linenumber IS NULL THEN 1 ELSE 0 END), COUNT(DISTINCT l_linenumber) FROM lineitem
+      |    CAST(SUM(CASE WHEN l_linenumber IS NULL THEN 1 ELSE 0 END) AS BIGINT), COUNT(DISTINCT l_linenumber) FROM lineitem
       |  UNION ALL SELECT 'l_returnflag', MIN(l_returnflag), MAX(l_returnflag),
-      |    SUM(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END), COUNT(DISTINCT l_returnflag) FROM lineitem
+      |    CAST(SUM(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS BIGINT), COUNT(DISTINCT l_returnflag) FROM lineitem
       |  UNION ALL SELECT 'l_linestatus', MIN(l_linestatus), MAX(l_linestatus),
-      |    SUM(CASE WHEN l_linestatus IS NULL THEN 1 ELSE 0 END), COUNT(DISTINCT l_linestatus) FROM lineitem)
+      |    CAST(SUM(CASE WHEN l_linestatus IS NULL THEN 1 ELSE 0 END) AS BIGINT), COUNT(DISTINCT l_linestatus) FROM lineitem)
       |ORDER BY col_name""".stripMargin
 
   // --------------------------------------------------------------------------

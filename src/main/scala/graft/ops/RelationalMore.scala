@@ -334,7 +334,7 @@ object RelationalMore {
       |  SELECT o_custkey, island, MIN(o_orderpriority) AS priority,
       |         MIN(o_orderdate) AS valid_from, COUNT(*) AS n_obs
       |  FROM isl GROUP BY o_custkey, island)
-      |SELECT o_custkey, island AS version, priority, valid_from,
+      |SELECT o_custkey, CAST(island AS BIGINT) AS version, priority, valid_from,
       |       LEAD(valid_from) OVER (PARTITION BY o_custkey ORDER BY island) AS valid_to,
       |       n_obs
       |FROM versions

@@ -180,6 +180,15 @@ object TextOps {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** q32's oracle IS q31's: LSH banding only prunes CANDIDATES, and the
+    * surviving pairs pay the same exact-Jaccard ≥ 0.5 verification over the
+    * same distinct-shingle sets, so at full recall (16 bands × r=2 ⇒
+    * P(candidate | j=0.5) ≈ 0.99; recall 1.0 asserted vs q31 in
+    * TextOpsSpec and observed at sf0.01/sf0.1) the outputs are identical
+    * column-for-column. A recall miss would surface as a hash mismatch —
+    * which is exactly the regression this oracle should catch. */
+  val q32Sql: String = q31Sql
+
   // --------------------------------------------------------------------------
   // q33 — SimHash near-dup: 64-bit signature from unigram hash bit votes;
   // candidates via 4×16-bit band equality (any pair within hamming ≤ 3
@@ -311,8 +320,8 @@ object TextOps {
 
   val q36Sql: String =
     s"""SELECT source, COUNT(*) AS n_docs,
-       |  SUM(len($toksSqlD)) AS total_tokens,
-       |  SUM((n_chars + 3) // 4) AS est_bpe_tokens,
+       |  CAST(SUM(len($toksSqlD)) AS BIGINT) AS total_tokens,
+       |  CAST(SUM((n_chars + 3) // 4) AS BIGINT) AS est_bpe_tokens,
        |  ROUND(CAST(SUM(len($toksSqlD)) AS DOUBLE) / COUNT(*), 6) AS avg_tokens
        |FROM documents GROUP BY source ORDER BY source""".stripMargin
 
@@ -508,7 +517,7 @@ object TextOps {
        |  FROM (SELECT doc_id, w || ' ' || w1 AS bg, COUNT(*) AS c FROM tok
        |        WHERE w1 IS NOT NULL GROUP BY 1, 2)
        |  GROUP BY 1)
-       |SELECT u.doc_id, n_words,
+       |SELECT u.doc_id, CAST(n_words AS BIGINT) AS n_words,
        |  ROUND(top_uni / n_words, 6) AS top_word_share,
        |  ROUND(top_big / n_bigrams, 6) AS top_bigram_share,
        |  CASE WHEN top_uni / n_words <= 0.10 AND top_big / n_bigrams <= 0.04
@@ -572,7 +581,7 @@ object TextOps {
 
   val q79Sql: String =
     """SELECT source, COUNT(*) AS n_docs,
-      |  SUM(len(regexp_extract_all(lower(text), ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+| +'))) AS total_pieces,
+      |  CAST(SUM(len(regexp_extract_all(lower(text), ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+| +'))) AS BIGINT) AS total_pieces,
       |  ROUND(CAST(SUM(n_chars) AS DOUBLE)
       |        / SUM(len(regexp_extract_all(lower(text), ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+| +'))), 6) AS chars_per_piece
       |FROM documents GROUP BY source ORDER BY source""".stripMargin
@@ -819,7 +828,7 @@ object TextOps {
     ("q65_tfidf", q65TfIdf _, Some(q65Sql)),
     ("q66_ngram_counts", q66NgramCounts _, Some(q66Sql)),
     ("q31_ngram_jaccard", q31NgramJaccard _, Some(q31Sql)),
-    ("q32_minhash_lsh", q32MinhashLsh _, None),
+    ("q32_minhash_lsh", q32MinhashLsh _, Some(q32Sql)),
     ("q33_simhash", q33Simhash _, None),
     ("q34_lang_id", q34LangId _, Some(q34Sql)),
     ("q35_quality", q35Quality _, Some(q35Sql)),

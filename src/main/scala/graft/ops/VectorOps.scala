@@ -161,7 +161,7 @@ object VectorOps {
         (a._1, a._2 + b._2)
       }
     override def finish(r: CentroidBuf): Array[Double] =
-      r._1.map(s => math.rint(s.toDouble / 1e12 / r._2 * 1e6) / 1e6)
+      r._1.map(s => s.toDouble / 1e12 / r._2)
     override def bufferEncoder: Encoder[CentroidBuf] = ExpressionEncoder[CentroidBuf]()
     override def outputEncoder: Encoder[Array[Double]] = ExpressionEncoder[Array[Double]]()
   }
@@ -174,8 +174,25 @@ object VectorOps {
       .groupByKey(_._1)
       .agg(new CentroidAgg().toColumn.name("centroid"))
       .toDF("label", "centroid")
-      .orderBy(col("label"))
+      // exploded to (label, dim, centroid): the driver's pandas
+      // canonicalizer cannot sort a raw array column (r02 q43 err), and
+      // the flat shape is oracle-expressible (same SQL family as q41)
+      .select(col("label"), posexplode(col("centroid")))
+      .select(col("label"), col("pos").cast("int").as("dim"),
+        round(col("col"), 6).as("centroid"))
+      .orderBy(col("label"), col("dim"))
   }
+
+  /** Same oracle family as q41 — the Aggregator must agree with the
+    * plain scaled-long groupBy mean, column-for-column. */
+  val q43Sql: String =
+    """SELECT label, CAST(dim AS INT) AS dim,
+      |  ROUND(CAST(SUM(vq) AS DOUBLE) / 1e12 / COUNT(*), 6) AS centroid
+      |FROM (
+      |  SELECT label, generate_subscripts(embedding, 1) - 1 AS dim,
+      |    CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1e12 + 0.5) AS BIGINT) AS vq
+      |  FROM embeddings)
+      |GROUP BY label, dim ORDER BY label, dim""".stripMargin
 
   // --------------------------------------------------------------------------
   // q45 — IVF-style ANN: a small coarse codebook (the per-label centroids —
@@ -257,6 +274,6 @@ object VectorOps {
     ("q49_cosine_neardup", q49CosineNearDup _, Some(q49Sql)),
     ("q41_centroids", q41Centroids _, Some(q41Sql)),
     ("q42_ann_lsh", q42AnnLsh _, None),
-    ("q43_centroid_agg", q43CentroidAgg _, None),
+    ("q43_centroid_agg", q43CentroidAgg _, Some(q43Sql)),
     ("q45_ann_ivf", q45AnnIvf _, None))
 }

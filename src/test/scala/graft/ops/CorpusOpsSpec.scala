@@ -65,7 +65,7 @@ class CorpusOpsSpec extends SparkSpec {
   test("sequence packing is gapless: each doc starts where the previous one ended") {
     val rows = CorpusOps.q95Pack(spark, corpusDir).collect()
       .map(r => (r.getAs[String]("source"), r.getAs[Long]("doc_id"),
-        r.getAs[Int]("n_tok").toLong, r.getAs[Long]("bin_start"),
+        r.getAs[Long]("n_tok"), r.getAs[Long]("bin_start"),
         r.getAs[Long]("bin_end"), r.getAs[Long]("off_in_bin")))
     for ((_, shard) <- rows.groupBy(_._1)) {
       val byId = shard.sortBy(_._2)

@@ -20,7 +20,7 @@ class RelationalExtSpec extends SparkSpec {
   }
 
   test("approx_percentile lands within 2% of the exact median") {
-    Relational.q55ApproxPercentile(spark, dir).collect().foreach { r =>
+    Relational.q55Raw(spark, dir).collect().foreach { r =>
       val approx = r.getAs[Double]("approx_median")
       val exact = r.getAs[Double]("exact_median")
       assert(math.abs(approx - exact) / exact < 0.02, s"approx $approx vs exact $exact")

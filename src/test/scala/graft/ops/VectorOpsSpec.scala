@@ -49,10 +49,7 @@ class VectorOpsSpec extends SparkSpec {
     val df = VectorOps.q41Centroids(spark, dir).collect()
       .map(r => (r.getAs[Int]("label"), r.getAs[Int]("dim")) -> r.getAs[Double]("centroid")).toMap
     val agg = VectorOps.q43CentroidAgg(spark, dir).collect()
-      .flatMap { r =>
-        val label = r.getAs[Int]("label")
-        r.getSeq[Double](r.fieldIndex("centroid")).zipWithIndex.map { case (c, d) => (label, d) -> c }
-      }.toMap
+      .map(r => (r.getAs[Int]("label"), r.getAs[Int]("dim")) -> r.getAs[Double]("centroid")).toMap
     assert(df.keySet === agg.keySet)
     df.foreach { case (k, v) => assert(math.abs(v - agg(k)) < 1e-9, s"$k: $v vs ${agg(k)}") }
   }
