@@ -385,7 +385,11 @@ object TextOps {
   // score ties (same tf, same df) break on the term string.
   def q65TfIdf(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val n = docs.count() // scalar: one count, reused in the closure as a literal
+    // corpus size as a broadcast 1-row aggregate inside the SAME lazy plan
+    // — not an eager driver-side count() job. Counts ALL docs (incl.
+    // token-less ones, which the tf lineage can't see), over a
+    // doc_id-pruned scan.
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
     val tf = tokenEdges(docs).groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
     // rank on the ROUNDED score: ln() is not correctly rounded, so a
     // last-ulp libm difference between engines could otherwise flip ranks
@@ -395,7 +399,8 @@ object TextOps {
     // the join shape scans + explodes the corpus twice (q87 lesson, §8.5).
     val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("w").asc)
     tf.withColumn("df", count(lit(1)).over(Window.partitionBy(col("w"))))
-      .withColumn("score", round(col("tf") * log(lit(n.toDouble) / col("df")), 6))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score", round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 5)
       .select(col("doc_id"), col("rn"), col("w").as("term"), col("score").as("tfidf"))
@@ -598,23 +603,27 @@ object TextOps {
 
   def q81Bm25(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val n = lit(docs.count()) // scalar: corpus size
     // doc length is row-local (size of the token array) — no explode, no
     // shuffle; the exploded stream is only built for the filtered query
     // terms. Was: dlen aggregated from a second full token explode.
-    val dlen = docs.select(col("doc_id"), size(toks).as("dl"))
-      .filter(col("dl") > 0)
-    // exact long sum / count, not avg(): incremental double accumulation
-    // is order-dependent and engine-specific
-    val avgdl = dlen.agg(
-      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+    val dlenAll = docs.select(col("doc_id"), size(toks).cast("long").as("dl"))
+    val dlen = dlenAll.filter(col("dl") > 0)
+    // ONE broadcast 1-row aggregate carries BOTH scalars: avgdl over the
+    // tokenized docs (exact long sum / count — incremental double
+    // accumulation is order-dependent and engine-specific) and the corpus
+    // size n over ALL docs. Was: a separate eager docs.count() driver job
+    // = one extra full corpus scan per execution.
+    val stats = dlenAll.agg(
+      (sum(when(col("dl") > 0, col("dl"))).cast("double") /
+        count(when(col("dl") > 0, lit(1)))).as("avgdl"),
+      count(lit(1)).as("n"))
     val tf = tokenEdges(docs).filter(col("w").isin(bm25Terms: _*))
       .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
     // term df as a window over the single tf lineage (q87 lesson, §8.5)
     tf.withColumn("df", count(lit(1)).over(Window.partitionBy(col("w"))))
       .join(dlen, "doc_id")
-      .crossJoin(broadcast(avgdl))
-      .withColumn("idf", log((n - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
+      .crossJoin(broadcast(stats))
+      .withColumn("idf", log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
       .withColumn("score",
         col("idf") * col("tf") * 2.2 /
           (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
@@ -658,8 +667,15 @@ object TextOps {
     * and the id set is fixed, so the fixpoint is reached exactly when
     * sum(label) stops changing — one cheap aggregate per round instead of
     * a join-and-compare against the previous labels.
+    *
+    * Stalled-round guard: min-label propagation needs graph-diameter
+    * rounds; dup clusters are shallow (2-4) but a pathological
+    * high-diameter input (a chain of borderline near-dups) would balloon
+    * the round count. After `maxPropagationRounds` unconverged rounds the
+    * loop abandons its labels and restarts on [[connectedComponentsStar]]
+    * (O(log² n) rounds on any graph) — same (id, label) contract.
     */
-  def connectedComponents(edges: DataFrame): DataFrame = {
+  def connectedComponents(edges: DataFrame, maxPropagationRounds: Int = 5): DataFrame = {
     val e = edges.toDF("a", "b")
     val sym = e.union(e.select(col("b"), col("a"))) // positional union = swap
       .distinct()
@@ -669,7 +685,10 @@ object TextOps {
       .localCheckpoint(true)
     var prevSum = BigDecimal(-1)
     var converged = false
+    var rounds = 0
     while (!converged) {
+      rounds += 1
+      if (rounds > maxPropagationRounds) return connectedComponentsStar(e)
       val prop = sym.join(labels.withColumnRenamed("id", "b_id"), col("b") === col("b_id"))
         .select(col("a").as("id"), col("label"))
       val next = labels.union(prop)
@@ -751,14 +770,19 @@ object TextOps {
       .groupBy(col("id")).agg(min(col("label")).as("label"))
   }
 
-  def q82DedupClusters(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = q31NgramJaccard(spark, dir).select(col("id_a"), col("id_b"))
-    val labels = connectedComponents(pairs)
+  /** pairs (id_a, id_b) → (doc_id, cluster, cluster_size): the q82 body,
+    * factored out so specs can drive the full entry-point logic (incl. the
+    * stalled-round escape to star contraction) with synthetic edge sets. */
+  def clusterPairs(pairs: DataFrame, maxPropagationRounds: Int = 5): DataFrame = {
+    val labels = connectedComponents(pairs, maxPropagationRounds)
     val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
     labels.join(broadcast(sizes), "label")
       .select(col("id").as("doc_id"), col("label").as("cluster"), col("cluster_size"))
       .orderBy(col("doc_id"))
   }
+
+  def q82DedupClusters(spark: SparkSession, dir: String): DataFrame =
+    clusterPairs(q31NgramJaccard(spark, dir).select(col("id_a"), col("id_b")))
 
   val q82Sql: String =
     s"""WITH RECURSIVE sh AS (

@@ -144,7 +144,10 @@ class PlanSpec extends SparkSpec {
     // guards the §8.5 lesson: a derived aggregate joined back re-scans the
     // corpus because Catalyst does not reuse common subplans
     val expected = Seq(
-      (TextOps.q65TfIdf(spark, dir), 1),          // df via window, one explode
+      // df via window, one explode + a doc_id-pruned scalar-count scan
+      // (corpus size folded into the lazy plan; was an eager driver
+      // count() job, i.e. the same scan as a separate job)
+      (TextOps.q65TfIdf(spark, dir), 2),
       (CorpusOps.q87Boilerplate(spark, dir), 1),  // gram df via window
       (CorpusOps.q97UnigramLm(spark, dir), 2))    // one explode + no-explode total
     for ((df, maxScans) <- expected) {
