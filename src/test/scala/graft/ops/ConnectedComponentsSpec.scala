@@ -73,4 +73,17 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(labels.size === 24)
     assert(labels.values.toSet === Set(0L))
   }
+
+  test("q82 entry path escapes a high-diameter chain to star contraction") {
+    import spark.implicits._
+    // diameter 29 >> maxPropagationRounds 2: min-label propagation cannot
+    // converge, so clusterPairs must fall through to star contraction and
+    // still produce the exact clustering
+    val chain = (0L until 29L).map(i => (i, i + 1))
+    val rows = TextOps.clusterPairs(chain.toDF("id_a", "id_b"), maxPropagationRounds = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.length === 30)
+    assert(rows.forall { case (_, cluster, size) => cluster == 0L && size == 30L })
+    assert(rows.map(_._1).toSet === (0L until 30L).toSet)
+  }
 }
