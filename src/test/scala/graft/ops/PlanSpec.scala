@@ -159,6 +159,16 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q104 bucketed near-dup plans only equi-joins — no all-pairs nested loop") {
+    val p = plan(VectorOps.q104CosineNearDupLsh(spark, dir))
+    // the baseline twin q49 is a BroadcastNestedLoopJoin by construction;
+    // the scale path must never be — candidates come from a (band, bucket)
+    // equi-join and vectors from id-keyed equi-joins
+    assert(!p.contains("NestedLoop"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("Join"), p)
+  }
+
   test("row-local corpus ops (redact/chunk/split) shuffle only for the output sort") {
     for (df <- Seq(CorpusOps.q85PiiRedact(spark, dir),
                    CorpusOps.q88Chunk(spark, dir),

@@ -54,6 +54,18 @@ class VectorOpsSpec extends SparkSpec {
     df.foreach { case (k, v) => assert(math.abs(v - agg(k)) < 1e-9, s"$k: $v vs ${agg(k)}") }
   }
 
+  test("bucketed cosine near-dup (q104) reproduces the exact all-pairs result (recall 1.0)") {
+    // the scale-path LSH implementation must be value-identical to the
+    // O(n²) baseline twin: same pairs, same rounded sims — full recall by
+    // construction of the band parameters (32 bands × 4 planes)
+    val exact = VectorOps.q49CosineNearDup(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val lsh = VectorOps.q104CosineNearDupLsh(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(exact.nonEmpty)
+    assert(lsh === exact)
+  }
+
   test("centroid aggregation is partition-count invariant (exact integer accumulation)") {
     val a = VectorOps.q41Centroids(spark, dir).collect().map(_.toSeq).toSet
     val b = VectorOps.q41Centroids(spark, dir)
