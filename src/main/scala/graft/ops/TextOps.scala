@@ -451,9 +451,10 @@ object TextOps {
   // scale shape: DISTINCT-project the (huge) fact column down to its
   // vocabulary first, then pair the vocabulary — 100 TB of parts collapses
   // to |vocab| rows before the quadratic step. Here the vocabulary is
-  // all-pairs'd (broadcast nested-loop on a vocabulary-sized side); a large
-  // vocabulary would first block (last token / length band — same keys the
-  // oracle uses) or LSH (q32) before the edit-distance verify.
+  // all-pairs'd (broadcast nested-loop on a vocabulary-sized side) — the
+  // BASELINE TWIN for q105 below, which blocks the vocabulary with an
+  // exact q-gram count filter before the edit-distance verify and is the
+  // large-vocabulary primary path (result-identical, same oracle).
   def q72FuzzyMatch(spark: SparkSession, dir: String): DataFrame = {
     val names = Tables.part(spark, dir)
       .groupBy(col("p_name")).agg(count(lit(1)).as("n"))
@@ -479,6 +480,72 @@ object TextOps {
       | AND abs(len(a.p_name) - len(b.p_name)) <= 2
       | AND levenshtein(a.p_name, b.p_name) <= 2
       |ORDER BY name_a, name_b""".stripMargin
+
+  // --------------------------------------------------------------------------
+  // q105 — blocked fuzzy matching: the large-vocabulary scale path for
+  // q72's semantics (same oracle). Exact q-gram count filtering (Gravano
+  // et al., VLDB'01): strings within edit distance k share at least
+  // max(|a|,|b|) − q + 1 − q·k q-grams AS A MULTISET. With q=2, k=2 the
+  // bound is max_len − 5. Candidates come from an inverted-index
+  // EQUI-join on occurrence-tagged 2-grams — tagging the i-th occurrence
+  // of a repeated gram makes the multiset-intersection size a plain
+  // join + group-count, the same shape as q31 — then the exact
+  // levenshtein ≤ 2 verify runs only on pairs passing the count bound.
+  // No all-pairs join anywhere (PlanSpec-asserted).
+  //
+  // The bound is vacuous when max(|a|,|b|) ≤ 5 (such pairs may share zero
+  // grams), so strings ≤ 5 chars take a separate branch blocked on the
+  // length pair (la, lb ∈ la±2) — an equi-join on length whose blocks are
+  // bounded by the alphabet (|Σ|^5 distinct short strings), empty on this
+  // data (min name length 7). Gram-frequency skew at a 100 TB vocabulary
+  // is the AQE skew-join case; the count bound caps verify work per pair.
+  def q105FuzzyBlocked(spark: SparkSession, dir: String): DataFrame =
+    fuzzyBlockedPairs(
+      Tables.part(spark, dir).groupBy(col("p_name")).agg(count(lit(1)).as("n")))
+
+  /** names (p_name, n) → (name_a, name_b, dist, n_a, n_b): the q105 body,
+    * factored so specs can feed synthetic vocabularies (the short-string
+    * branch is empty on the test tables). */
+  def fuzzyBlockedPairs(namesIn: DataFrame): DataFrame = {
+    val names = namesIn.withColumn("len", length(col("p_name")))
+    // occurrence-tagged 2-grams: (g, occ) identifies the occ-th copy of
+    // gram g, so the equi-join below counts min(count_a(g), count_b(g))
+    val grams = names.filter(col("len") >= 2)
+      .select(col("p_name"), col("n"), col("len"),
+        posexplode(expr("transform(sequence(1, len - 1), i -> substring(p_name, i, 2))")))
+      .withColumn("occ", row_number().over(
+        Window.partitionBy(col("p_name"), col("col")).orderBy(col("pos"))))
+      .select(col("p_name"), col("n"), col("len"), col("col").as("g"), col("occ"))
+    val ga = grams.select(col("p_name").as("name_a"), col("n").as("n_a"),
+      col("len").as("len_a"), col("g"), col("occ"))
+    val gb = grams.select(col("p_name").as("name_b"), col("n").as("n_b"),
+      col("len").as("len_b"), col("g"), col("occ"))
+    val longPairs = ga.join(gb, Seq("g", "occ"))
+      .filter(col("name_a") < col("name_b") &&
+        abs(col("len_a") - col("len_b")) <= 2 &&
+        greatest(col("len_a"), col("len_b")) >= 6)
+      .groupBy(col("name_a"), col("name_b"), col("n_a"), col("n_b"),
+        col("len_a"), col("len_b"))
+      .agg(count(lit(1)).as("m"))
+      .filter(col("m") >= greatest(col("len_a"), col("len_b")) - 5)
+      .select(col("name_a"), col("name_b"), col("n_a"), col("n_b"))
+    // short class (max len ≤ 5): equi-join on the probed length pair
+    val short = names.filter(col("len") <= 5)
+    val probes = short.select(col("p_name").as("name_a"), col("n").as("n_a"),
+        col("len").as("len_a"),
+        explode(expr("sequence(greatest(len - 2, 1), least(len + 2, 5))")).as("len"))
+    val shortPairs = probes
+      .join(short.select(col("p_name").as("name_b"), col("n").as("n_b"), col("len")),
+        Seq("len"))
+      .filter(col("name_a") < col("name_b"))
+      .select(col("name_a"), col("name_b"), col("n_a"), col("n_b"))
+    longPairs.union(shortPairs)
+      .filter(levenshtein(col("name_a"), col("name_b")) <= 2)
+      .select(col("name_a"), col("name_b"),
+        levenshtein(col("name_a"), col("name_b")).as("dist"),
+        col("n_a"), col("n_b"))
+      .orderBy(col("name_a"), col("name_b"))
+  }
 
   // --------------------------------------------------------------------------
   // q73 — Gopher-style repetition quality filter: per document, the share
@@ -847,6 +914,9 @@ object TextOps {
     ("q82_dedup_clusters", q82DedupClusters _, Some(q82Sql)),
     ("q79_bpe_tokens", q79BpeTokens _, Some(q79Sql)),
     ("q72_fuzzy_match", q72FuzzyMatch _, Some(q72Sql)),
+    // same oracle as q72: the blocked path must reproduce the exact
+    // all-pairs result (the q-gram count filter has no false negatives)
+    ("q105_fuzzy_blocked", q105FuzzyBlocked _, Some(q72Sql)),
     ("q73_repetition", q73Repetition _, Some(q73Sql)),
     ("q75_mixture_sample", q75MixtureSample _, Some(q75Sql)),
     ("q65_tfidf", q65TfIdf _, Some(q65Sql)),

@@ -169,6 +169,14 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Join"), p)
   }
 
+  test("q105 blocked fuzzy match plans only equi-joins — no all-pairs nested loop") {
+    val p = plan(TextOps.q105FuzzyBlocked(spark, dir))
+    // q72 is the nested-loop baseline twin; the blocked path's candidate
+    // joins are equi (gram+occurrence inverted index / probed length pair)
+    assert(!p.contains("NestedLoop"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("row-local corpus ops (redact/chunk/split) shuffle only for the output sort") {
     for (df <- Seq(CorpusOps.q85PiiRedact(spark, dir),
                    CorpusOps.q88Chunk(spark, dir),

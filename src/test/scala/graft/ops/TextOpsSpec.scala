@@ -190,6 +190,43 @@ class TextOpsSpec extends SparkSpec {
     assert(scores.forall(_ > 0.0))
   }
 
+  test("blocked fuzzy match (q105) reproduces the exact all-pairs result") {
+    val dir = "/root/testdata/sf0.001"
+    val exact = TextOps.q72FuzzyMatch(spark, dir).collect().map(_.toSeq).toSet
+    val blocked = TextOps.q105FuzzyBlocked(spark, dir).collect().map(_.toSeq).toSet
+    assert(exact.nonEmpty)
+    assert(blocked === exact)
+  }
+
+  test("q-gram count filter is exact on a vocabulary spanning the short/long branch boundary") {
+    import spark.implicits._
+    // short strings (≤5, the vacuous-bound class), boundary lengths 5/6/7,
+    // repeated-gram strings (occurrence tagging), and a distance-3 decoy
+    val vocab = Seq(
+      "cat", "cot", "ct", "dog", "dg", "aaaa", "aaab", "abab",
+      "gear5", "gears6", "gearbox", "gearbux", "wholly-unrelated")
+      .toDF("p_name").withColumn("n", lit(1L))
+    val got = TextOps.fuzzyBlockedPairs(vocab).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+    // sequential reference: brute-force levenshtein over all pairs
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0 }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = Seq(d(i - 1)(j) + 1, d(i)(j - 1) + 1,
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1)).min
+      d(a.length)(b.length)
+    }
+    val names = vocab.collect().map(_.getString(0))
+    val want = (for {
+      a <- names; b <- names
+      if a < b && math.abs(a.length - b.length) <= 2 && lev(a, b) <= 2
+    } yield (a, b, lev(a, b))).toSet
+    assert(want.exists { case (a, b, _) => a.length <= 5 && b.length <= 5 }) // short branch live
+    assert(want.exists { case (a, b, _) => math.max(a.length, b.length) >= 6 }) // gram branch live
+    assert(got === want)
+  }
+
   test("fingerprint is stable across runs and differs for different content") {
     val fp1 = TextOps.q37Fingerprint(spark, corpusDir).collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("fingerprint")).toMap
