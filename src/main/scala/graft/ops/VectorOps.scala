@@ -25,8 +25,13 @@ object VectorOps {
   // table streams through one pass, no shuffle until the tiny per-query
   // top-k window. At 1000 executors this is embarrassingly parallel;
   // 100 TB of vectors → switch to q42's bucketed path.
-  def q40CosineTopk(spark: SparkSession, dir: String): DataFrame = {
-    val base = Tables.embeddings(spark, dir)
+  def q40CosineTopk(spark: SparkSession, dir: String): DataFrame =
+    cosineTopk(Tables.embeddings(spark, dir))
+
+  /** Factored q40 body — the exact reference the ANN spec fixtures are
+    * scored against. */
+  def cosineTopk(embeddings: DataFrame): DataFrame = {
+    val base = embeddings
       .select(col("vec_id"), vd.as("v"))
       .withColumn("n2", expr("aggregate(v, 0.0d, (a, x) -> a + x * x)"))
     val queries = base.filter(col("vec_id") < 5)
@@ -106,9 +111,16 @@ object VectorOps {
     Seq.fill(numPlanes)(Seq.fill(64)(next()))
   }
 
-  def q42AnnLsh(spark: SparkSession, dir: String): DataFrame = {
+  def q42AnnLsh(spark: SparkSession, dir: String): DataFrame =
+    annLsh(Tables.embeddings(spark, dir))
+
+  /** embeddings (vec_id, embedding) → ANN top-10 per query vector: the q42
+    * body, factored so specs can feed synthetic clustered embeddings
+    * (recall on the near-random test table caps at ~0.25 and would not
+    * discriminate a broken bucketing). */
+  def annLsh(embeddings: DataFrame): DataFrame = {
     val planes = typedlit(hyperplanes)
-    val base = Tables.embeddings(spark, dir)
+    val base = embeddings
       .select(col("vec_id"), vd.as("v"))
       .withColumn("n2", expr("aggregate(v, 0.0d, (a, x) -> a + x * x)"))
       .withColumn("planes", planes)
@@ -204,7 +216,15 @@ object VectorOps {
   // query instead of 100% for brute force.
   def q45AnnIvf(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.CosineSimilarity.register(spark)
-    val base = Tables.embeddings(spark, dir)
+    annIvf(Tables.embeddings(spark, dir))
+  }
+
+  /** embeddings (vec_id, label, embedding) → IVF ANN top-10 per query:
+    * the q45 body, factored for spec-driven synthetic clusters (label
+    * doubles as the coarse cell seed). Caller must have registered
+    * cosine_sim. */
+  def annIvf(embeddings: DataFrame): DataFrame = {
+    val base = embeddings
       .select(col("vec_id"), col("label"), vd.as("v"))
     // codebook: exact per-label mean vectors (same scaled-long arithmetic
     // as q41 — a raw double avg is order-dependent and could flip cell

@@ -45,6 +45,48 @@ class VectorOpsSpec extends SparkSpec {
     assert(ivf.groupBy(_.getAs[Long]("qid")).forall(_._2.length == 10))
   }
 
+  /** Synthetic clustered embeddings: 10 well-separated unit anchors (one
+    * per label), each vector = its anchor + small deterministic jitter.
+    * Within-cluster cosine ≈ 0.99, cross-cluster ≈ 0 — so a query's true
+    * top-10 lies inside its own cluster and a broken bucketing would
+    * visibly tank recall (the near-random real table caps recall at ~0.25
+    * regardless of correctness, which discriminates nothing).
+    */
+  private def clusteredEmbeddings = {
+    import spark.implicits._
+    // deterministic LCG jitter — no Random, reproducible by spec
+    var state = 7L
+    def next(): Double = {
+      state = state * 6364136223846793005L + 1442695040888963407L
+      (state >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0
+    }
+    val rows = for (label <- 0 until 10; i <- 0 until 30) yield {
+      val anchor = Array.tabulate(64)(d => if (d % 10 == label % 10 && d / 10 == label / 10) 10.0 else 0.0)
+      val v = anchor.map(a => (a + 0.3 * next()).toFloat)
+      (label * 30L + i, v, label)
+    }
+    rows.toDF("vec_id", "embedding", "label")
+  }
+
+  test("ANN recall is high on planted clusters (LSH and IVF vs exact)") {
+    graft.functions.CosineSimilarity.register(spark)
+    val emb = clusteredEmbeddings.cache()
+    val exact = VectorOps.cosineTopk(emb).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("vec_id"))).toSet
+    val lsh = VectorOps.annLsh(emb).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("vec_id"))).toSet
+    val ivf = VectorOps.annIvf(emb).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("vec_id"))).toSet
+    val lshRecall = exact.intersect(lsh).size.toDouble / exact.size
+    val ivfRecall = exact.intersect(ivf).size.toDouble / exact.size
+    info(f"planted-cluster recall@10: LSH $lshRecall%.2f, IVF $ivfRecall%.2f")
+    // same-cluster vectors share hyperplane signs / coarse cells almost
+    // surely — anything below this signals a broken candidate stage
+    assert(lshRecall >= 0.9, f"LSH recall $lshRecall%.2f")
+    assert(ivfRecall >= 0.9, f"IVF recall $ivfRecall%.2f")
+    emb.unpersist()
+  }
+
   test("DataFrame centroids and typed Aggregator centroids agree") {
     val df = VectorOps.q41Centroids(spark, dir).collect()
       .map(r => (r.getAs[Int]("label"), r.getAs[Int]("dim")) -> r.getAs[Double]("centroid")).toMap
