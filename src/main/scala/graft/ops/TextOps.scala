@@ -747,10 +747,20 @@ object TextOps {
     val sym = e.union(e.select(col("b"), col("a"))) // positional union = swap
       .distinct()
       .localCheckpoint(true)
-    var labels = sym.select(col("a").as("id")).distinct()
-      .withColumn("label", col("id"))
+    // initialize with the first propagation hop folded in: label =
+    // min(id, neighbors) is exactly what round 1 would compute from
+    // label = id, at the cost of one groupBy instead of a
+    // join + union + groupBy + checkpoint round
+    var labels = sym.groupBy(col("a"))
+      .agg(min(least(col("a"), col("b"))).as("label"))
+      .withColumnRenamed("a", "id")
       .localCheckpoint(true)
-    var prevSum = BigDecimal(-1)
+    def labelSum(df: DataFrame): BigDecimal =
+      // exact decimal sum: immune to long overflow on huge id spaces;
+      // null (empty vertex set) folds to 0 so empty input converges
+      Option(df.agg(sum(col("label").cast(DecimalType(38, 0))))
+        .collect()(0).getDecimal(0)).map(BigDecimal(_)).getOrElse(BigDecimal(0))
+    var prevSum = labelSum(labels)
     var converged = false
     var rounds = 0
     while (!converged) {
@@ -761,10 +771,7 @@ object TextOps {
       val next = labels.union(prop)
         .groupBy(col("id")).agg(min(col("label")).as("label"))
         .localCheckpoint(true)
-      // exact decimal sum: immune to long overflow on huge id spaces;
-      // null (empty vertex set) folds to 0 so empty input converges
-      val s = Option(next.agg(sum(col("label").cast(DecimalType(38, 0))))
-        .collect()(0).getDecimal(0)).map(BigDecimal(_)).getOrElse(BigDecimal(0))
+      val s = labelSum(next)
       converged = s == prevSum
       prevSum = s
       labels = next

@@ -325,34 +325,28 @@ object VectorOps {
 
   def q104CosineNearDupLsh(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.CosineSimilarity.register(spark)
-    val base = Tables.embeddings(spark, dir).select(col("vec_id"), vd.as("v"))
-    // one signature pass: 32 band signatures per vector, exploded to
-    // (band, bucket) keys — 32 rows per vector, each carrying only the id
-    val keyed = base
-      .withColumn("planes", typedlit(ndPlanes))
-      .withColumn("sig", expr(
-        s"""transform(sequence(0, ${ndBands - 1}), band ->
-           |  aggregate(sequence(0, ${ndPlanesPerBand - 1}), 0,
-           |    (acc, i) -> acc * 2 + (CASE WHEN
-           |      aggregate(zip_with(v, planes[band * $ndPlanesPerBand + i],
-           |        (x, p) -> x * p), 0.0d, (a, x) -> a + x) > 0.0d
-           |      THEN 1 ELSE 0 END)))""".stripMargin))
-      .select(col("vec_id"), posexplode(col("sig")))
-      .toDF("vec_id", "band", "bucket")
-    // candidates: same band + same bucket, ordered ids; dedup BEFORE the
-    // exact check so each pair's cosine is computed once
-    val cand = keyed.toDF("id_a", "band", "bucket")
-      .join(keyed.toDF("id_b", "band", "bucket"), Seq("band", "bucket"))
+    graft.functions.LshBands.register(spark, "lsh_bands_nd", ndPlanes, ndPlanesPerBand)
+    // one signature pass (native codegen'd expression — the SQL HOF
+    // composition it replaces paid planes×dims interpreted lambda evals
+    // per row and dominated the query): 32 band signatures per vector,
+    // exploded to (band, bucket) keys, each row carrying its vector so
+    // the exact check can run inside the band join
+    val keyed = Tables.embeddings(spark, dir).select(col("vec_id"), vd.as("v"))
+      .select(col("vec_id"), col("v"), posexplode(expr("lsh_bands_nd(v)")))
+      .toDF("vec_id", "v", "band", "bucket")
+    // in-bucket exact check: cosine (codegen'd native expression) and the
+    // ≥ 0.4 threshold apply on the join output itself, so only true
+    // near-dup pairs reach the dedup shuffle — a pair colliding in k of
+    // the 32 bands costs k cosine evals (k ≈ 2 on average), which is far
+    // cheaper than shuffling every candidate pair's vectors through
+    // distinct + fetch joins (measured 5× on the bench tables)
+    keyed.toDF("id_a", "va", "band", "bucket")
+      .join(keyed.toDF("id_b", "vb", "band", "bucket"), Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"))
-      .distinct()
-    // exact in-bucket check: fetch vectors via id-keyed equi-joins
-    cand
-      .join(base.select(col("vec_id").as("id_a"), col("v").as("va")), Seq("id_a"))
-      .join(base.select(col("vec_id").as("id_b"), col("v").as("vb")), Seq("id_b"))
       .withColumn("sim", expr("cosine_sim(va, vb)"))
       .filter(col("sim") >= 0.4)
-      .select(col("id_a"), col("id_b"), round(col("sim"), 4).as("sim"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(round(first(col("sim")), 4).as("sim"))
       .orderBy(col("id_a"), col("id_b"))
   }
 
