@@ -16,8 +16,10 @@ import org.apache.spark.sql.types.DecimalType
   * that token stream, de-duplicated per document.
   *
   * Portability: md5 (both engines implement the same RFC) is the only
-  * content hash used in oracle-checked queries; xxhash64 (Spark-only) stays
-  * in the rows-only LSH/SimHash queries.
+  * content hash the oracles recompute — q33's simhash token hash is the
+  * first 60 bits of md5 for exactly that reason. xxhash64 (Spark-only)
+  * appears only in q32's minhash signatures, whose oracle checks the
+  * output pair set against q31's exact result rather than the hashes.
   */
 object TextOps {
 
@@ -190,27 +192,30 @@ object TextOps {
   val q32Sql: String = q31Sql
 
   // --------------------------------------------------------------------------
-  // q33 — SimHash near-dup: 64-bit signature from unigram hash bit votes;
-  // candidates via 4×16-bit band equality (any pair within hamming ≤ 3
+  // q33 — SimHash near-dup: 60-bit signature from unigram hash bit votes;
+  // candidates via 4×15-bit band equality (any pair within hamming ≤ 3
   // shares at least one intact band — pigeonhole), verified by bit_count.
+  // Token hash = first 15 hex chars of md5 (60 bits, fits signed BIGINT in
+  // both engines) — engine-portable, unlike xxhash64, so the whole query
+  // is DuckDB-oracle-expressible.
   def q33Simhash(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    // Bit votes as 64 codegen'd SUM aggregates over exploded tokens —
+    // Bit votes as 60 codegen'd SUM aggregates over exploded tokens —
     // whole-stage-codegen HashAggregate instead of nested interpreted
     // lambda folds (measured 11.8s → sub-second at sf0.1).
-    val bitSums = Seq.tabulate(64)(b =>
+    val bitSums = Seq.tabulate(60)(b =>
       sum(when(expr(s"(h >> $b) & 1") === 1, 1).otherwise(-1)).as(s"b$b"))
-    val toLong = Seq.tabulate(64)(b =>
+    val toLong = Seq.tabulate(60)(b =>
       when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L))).reduce(_ + _)
     val sig = tokenEdges(docs)
-      .withColumn("h", xxhash64(col("w")))
+      .withColumn("h", expr("cast(conv(substring(md5(w), 1, 15), 16, 10) as bigint)"))
       .groupBy(col("doc_id"))
       .agg(bitSums.head, bitSums.tail: _*)
       .withColumn("simhash", toLong)
       .select(col("doc_id"), col("simhash"))
     val banded = sig.select(col("doc_id"), col("simhash"),
       posexplode(expr(
-        "transform(sequence(0, 3), b -> (simhash >> (b * 16)) & 65535)")))
+        "transform(sequence(0, 3), b -> (simhash >> (b * 15)) & 32767)")))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_bits")
     banded.as("a")
       .join(banded.as("b"),
@@ -224,6 +229,36 @@ object TextOps {
       .select(col("id_a"), col("id_b"), col("hamming"))
       .orderBy(col("id_a"), col("id_b"))
   }
+
+  val q33Sql: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(t) AS w
+       |  FROM (SELECT doc_id, $toksSqlD AS t FROM documents)),
+       |h AS (
+       |  SELECT doc_id,
+       |    CAST(('0x' || substr(md5(w), 1, 15))::UBIGINT AS BIGINT) AS h
+       |  FROM tok),
+       |votes AS (
+       |  SELECT doc_id, b,
+       |    SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+       |  FROM h CROSS JOIN range(60) AS r(b) GROUP BY doc_id, b),
+       |sig AS (
+       |  SELECT doc_id,
+       |    SUM(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END) AS simhash
+       |  FROM votes GROUP BY doc_id),
+       |banded AS (
+       |  SELECT doc_id, simhash, b AS band,
+       |    (simhash >> (b * 15)) & 32767 AS band_bits
+       |  FROM sig CROSS JOIN range(4) AS r(b)),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       |    a.simhash AS sh_a, b.simhash AS sh_b
+       |  FROM banded a JOIN banded b
+       |    ON a.band = b.band AND a.band_bits = b.band_bits
+       |   AND a.doc_id < b.doc_id)
+       |SELECT id_a, id_b, CAST(bit_count(xor(sh_a, sh_b)) AS INT) AS hamming
+       |FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 3
+       |ORDER BY id_a, id_b""".stripMargin
 
   // --------------------------------------------------------------------------
   // q34 — language ID by stopword-set voting (n-gram-heuristic family):
@@ -930,7 +965,7 @@ object TextOps {
     ("q66_ngram_counts", q66NgramCounts _, Some(q66Sql)),
     ("q31_ngram_jaccard", q31NgramJaccard _, Some(q31Sql)),
     ("q32_minhash_lsh", q32MinhashLsh _, Some(q32Sql)),
-    ("q33_simhash", q33Simhash _, None),
+    ("q33_simhash", q33Simhash _, Some(q33Sql)),
     ("q34_lang_id", q34LangId _, Some(q34Sql)),
     ("q35_quality", q35Quality _, Some(q35Sql)),
     ("q36_token_counts", q36TokenCounts _, Some(q36Sql)),

@@ -95,9 +95,10 @@ object VectorOps {
   // bucket. Scale path for 100 TB: bucket is the shuffle/join key (equality
   // join); plane count sets the bucket fan-out (2^planes) and should grow
   // with table size — 6 here for the small test tables; multi-probe
-  // (flip one bit) would raise recall without another pass.
-  // Spark-only (seeded hyperplanes are a Scala constant) → rows-only check;
-  // recall vs. exact q40 is asserted in VectorOpsSpec.
+  // (flip one bit) raises recall without another pass.
+  // Oracle-checked: the fixed-seed planes are embedded in q42Sql as exact
+  // double literals, so DuckDB replays the identical bucketing; recall vs.
+  // exact q40 is additionally asserted in VectorOpsSpec.
   private val numPlanes = 6
   /** Deterministic hyperplanes: fixed-seed LCG, 64 dims each, values in
     * [-1, 1). No java.util.Random — reproducible across JVMs by spec.
@@ -149,6 +150,51 @@ object VectorOps {
       .select(col("qid"), col("rank"), col("vec_id"), round(col("sim"), 4).as("sim"))
       .orderBy(col("qid"), col("rank"))
   }
+
+  /** The hyperplane matrix as a DuckDB nested-list literal, printed with
+    * Java's shortest-roundtrip Double.toString so the oracle parses back
+    * the exact same IEEE doubles. */
+  private def planesSqlLit: String =
+    hyperplanes.map(_.map(_.toString).mkString("[", ", ", "]"))
+      .mkString("[", ",\n       ", "]")
+
+  /** q42 is fully deterministic (fixed-seed planes, sequential left-fold
+    * dot products in both engines — DuckDB's list_reduce seeds with the
+    * first element, IEEE-identical to Spark's 0.0-seeded fold), so the
+    * oracle replays the same LSH: bucket signs, hamming-1 multi-probe,
+    * exact in-bucket ranking. */
+  val q42Sql: String =
+    s"""WITH planes AS (SELECT ${planesSqlLit} AS P),
+       |base AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v,
+       |    list_reduce(list_transform(embedding::DOUBLE[], x -> x * x), (a, b) -> a + b) AS n2
+       |  FROM embeddings),
+       |sig AS (
+       |  SELECT vec_id, v, n2,
+       |    list_reduce(
+       |      list_transform(range($numPlanes), i -> CASE WHEN
+       |        list_reduce(list_transform(range(1, 65), d -> v[d] * P[i + 1][d]),
+       |          (a, b) -> a + b) > 0.0
+       |        THEN 1 ELSE 0 END),
+       |      (acc, bit) -> acc * 2 + bit) AS bucket
+       |  FROM base CROSS JOIN planes),
+       |q AS (
+       |  SELECT qid, qv, qn2, unnest(probes) AS bucket FROM (
+       |    SELECT vec_id AS qid, v AS qv, n2 AS qn2,
+       |      list_transform(range(0, ${numPlanes + 1}),
+       |        i -> CASE WHEN i = 0 THEN bucket ELSE xor(bucket, (1 << (i - 1))) END) AS probes
+       |    FROM sig WHERE vec_id < 5)),
+       |sims AS (
+       |  SELECT qid, s.vec_id AS vec_id,
+       |    list_reduce(list_transform(range(1, 65), d -> s.v[d] * qv[d]), (a, b) -> a + b)
+       |      / sqrt(s.n2 * qn2) AS sim
+       |  FROM sig s JOIN q USING (bucket) WHERE s.vec_id <> qid),
+       |ranked AS (
+       |  SELECT qid, vec_id, sim,
+       |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id ASC) AS rank
+       |  FROM sims)
+       |SELECT qid, CAST(rank AS INT) AS rank, vec_id, ROUND(sim, 4) AS sim
+       |FROM ranked WHERE rank <= 10 ORDER BY qid, rank""".stripMargin
 
   // --------------------------------------------------------------------------
   // q43 — typed Aggregator centroid (SURVEY §4.2 item 2: no built-in vector
@@ -259,6 +305,51 @@ object VectorOps {
       .orderBy(col("qid"), col("rank"))
   }
 
+  /** q45 oracle: the codebook is exact by construction (scaled-long sums,
+    * order-free — the q41 policy), so cell assignment, nprobe=2 probing,
+    * and in-cell ranking all replay deterministically. Tie-breaks mirror
+    * the Spark side: assignment = max(struct(csim, cell)) ⇒ csim DESC,
+    * cell DESC; probes ⇒ csim DESC, cell ASC. */
+  val q45Sql: String =
+    """WITH base AS (
+      |  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+      |cb0 AS (
+      |  SELECT label AS cell, dim, CAST(SUM(vq) AS DOUBLE) / 1e12 / COUNT(*) AS c
+      |  FROM (
+      |    SELECT label, generate_subscripts(embedding, 1) - 1 AS dim,
+      |      CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1e12 + 0.5) AS BIGINT) AS vq
+      |    FROM embeddings)
+      |  GROUP BY label, dim),
+      |codebook AS (SELECT cell, list(c ORDER BY dim) AS cv FROM cb0 GROUP BY cell),
+      |scored AS (
+      |  SELECT b.vec_id, b.v, cb.cell,
+      |    list_reduce(list_transform(range(1, 65), d -> b.v[d] * cb.cv[d]), (x, y) -> x + y)
+      |      / sqrt(list_reduce(list_transform(b.v, x -> x * x), (x, y) -> x + y)
+      |           * list_reduce(list_transform(cb.cv, x -> x * x), (x, y) -> x + y)) AS csim
+      |  FROM base b CROSS JOIN codebook cb),
+      |assigned AS (
+      |  SELECT vec_id, v, cell FROM (
+      |    SELECT vec_id, v, cell,
+      |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell DESC) AS rn
+      |    FROM scored) WHERE rn = 1),
+      |probes AS (
+      |  SELECT vec_id AS qid, v AS qv, cell FROM (
+      |    SELECT vec_id, v, cell,
+      |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell ASC) AS rn
+      |    FROM scored WHERE vec_id < 5) WHERE rn <= 2),
+      |sims AS (
+      |  SELECT qid, a.vec_id AS vec_id,
+      |    list_reduce(list_transform(range(1, 65), d -> a.v[d] * qv[d]), (x, y) -> x + y)
+      |      / sqrt(list_reduce(list_transform(a.v, x -> x * x), (x, y) -> x + y)
+      |           * list_reduce(list_transform(qv, x -> x * x), (x, y) -> x + y)) AS sim
+      |  FROM assigned a JOIN probes USING (cell) WHERE a.vec_id <> qid),
+      |ranked AS (
+      |  SELECT qid, vec_id, sim,
+      |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id ASC) AS rank
+      |  FROM sims)
+      |SELECT qid, CAST(rank AS INT) AS rank, vec_id, ROUND(sim, 4) AS sim
+      |FROM ranked WHERE rank <= 10 ORDER BY qid, rank""".stripMargin
+
   // --------------------------------------------------------------------------
   // q49 — embedding-cosine near-duplicate pairs (the dedup flavor of
   // similarity): all pairs with cosine ≥ 0.4. Exact all-pairs BASELINE
@@ -354,9 +445,9 @@ object VectorOps {
     ("q40_cosine_topk", q40CosineTopk _, Some(q40Sql)),
     ("q49_cosine_neardup", q49CosineNearDup _, Some(q49Sql)),
     ("q41_centroids", q41Centroids _, Some(q41Sql)),
-    ("q42_ann_lsh", q42AnnLsh _, None),
+    ("q42_ann_lsh", q42AnnLsh _, Some(q42Sql)),
     ("q43_centroid_agg", q43CentroidAgg _, Some(q43Sql)),
-    ("q45_ann_ivf", q45AnnIvf _, None),
+    ("q45_ann_ivf", q45AnnIvf _, Some(q45Sql)),
     // same oracle as q49: the bucketed path must reproduce the exact
     // all-pairs result (full recall by construction of the band params)
     ("q104_cosine_neardup_lsh", q104CosineNearDupLsh _, Some(q49Sql)))
