@@ -27,15 +27,24 @@ object TextOps {
   val toks: Column = expr("filter(split(lower(text), ' '), t -> t != '')")
   val toksSqlD = "list_filter(string_split(lower(text), ' '), t -> t != '')"
 
-  /** Distinct word-3-gram shingles from a `toks` column. (Reference
-    * formulation; kept for array-shaped consumers. The hot paths use
-    * [[shingleEdges]] instead — higher-order lambdas are interpreted, not
-    * codegen'd, and cost ~15µs/eval.)
+  /** Distinct word-3-gram shingles, computed ROW-LOCALLY by the native
+    * [[graft.functions.WordShingles]] expression — no token explode, no
+    * window sort, no distinct shuffle. (History: the transform/
+    * array_distinct HOF paid ~15µs/eval interpreted lambdas; the
+    * posexplode + window-lead + distinct reformulation escaped the lambdas
+    * but shuffled and sorted the whole token stream per query — at 100 TB
+    * the dominant cost of the near-dup family. The native expression
+    * removes both.)
     */
-  val shingles: Column = expr(
-    """array_distinct(transform(
-      |  sequence(1, greatest(size(toks) - 2, 0)),
-      |  i -> concat_ws(' ', toks[i-1], toks[i], toks[i+1])))""".stripMargin)
+  private val shingles3Sql =
+    "word_shingles(filter(split(lower(text), ' '), t -> t != ''), 3)"
+
+  /** (doc_id, sh: array<string>) distinct word-3-gram shingle sets —
+    * one row-local projection, shuffle-free. */
+  private[ops] def shingleArrays(docs: DataFrame): DataFrame = {
+    graft.functions.WordShingles.register(docs.sparkSession)
+    docs.select(col("doc_id"), expr(shingles3Sql).as("sh"))
+  }
 
   /** (doc_id, pos, w) exploded token stream — row-level filter stays in
     * whole-stage codegen (unlike an array-lambda filter).
@@ -45,17 +54,21 @@ object TextOps {
       .filter(col("col") =!= "")
       .withColumnRenamed("col", "w")
 
-  /** (doc_id, shingle) DISTINCT inverted-index edge list, built with a
-    * window `lead` over the token stream — everything codegen'd except the
-    * window sort (measured: the transform/array_distinct HOF version spent
-    * ~7s at sf0.1 in interpreted lambdas; this is ~1s).
+  /** (doc_id, shingle) DISTINCT inverted-index edge list — a row-local
+    * shingle-array explode; the first shuffle in every consumer is its own
+    * join/aggregate, not the shingling.
     *
-    * Scale: this is the standard shape for distributed near-dup — one
-    * explode, then joins group by shingle. At 100 TB add a stop-shingle
-    * frequency cap to bound the quadratic per-shingle pair blowup; at test
+    * Scale: this is the standard shape for distributed near-dup — explode,
+    * then joins group by shingle. At 100 TB add a stop-shingle frequency
+    * cap to bound the quadratic per-shingle pair blowup; at test
     * vocabulary it's exact.
     */
-  /** Positional word-3-grams: (doc_id, pos, s), one row per occurrence. */
+  private[ops] def shingleEdges(docs: DataFrame): DataFrame =
+    shingleArrays(docs).select(col("doc_id"), explode(col("sh")).as("s"))
+
+  /** Positional word-3-grams: (doc_id, pos, s), one row per occurrence —
+    * window-lead over the token stream; only positional consumers (q39
+    * winnowing) pay this shuffle. */
   private def kgramEdges(docs: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     tokenEdges(docs)
@@ -64,9 +77,6 @@ object TextOps {
       .filter(col("w2").isNotNull)
       .select(col("doc_id"), col("pos"), concat_ws(" ", col("w"), col("w1"), col("w2")).as("s"))
   }
-
-  private[ops] def shingleEdges(docs: DataFrame): DataFrame =
-    kgramEdges(docs).select(col("doc_id"), col("s")).distinct()
 
   // --------------------------------------------------------------------------
   // q30 — exact dedup by content hash: keep the lowest doc_id per distinct
@@ -88,11 +98,11 @@ object TextOps {
   // explode shingles → join on shingle (a.doc_id < b.doc_id) → count
   // intersection → Jaccard = inter / (|A| + |B| - inter) ≥ 0.5.
   // Integer-ratio double division is bit-deterministic — oracle-safe.
-  // Carry each doc's shingle-set size on its edges (broadcast — sizes is
-  // one row per doc), so candidate pairs are size-pruned IN the join:
-  // jac ≥ 0.5 ⇒ 3·inter ≥ na+nb and inter ≤ min(na,nb) ⇒ max ≤ 2·min.
-  // Exact (no candidate at the threshold is lost), and sizes ride the
-  // groupBy keys so no re-joins afterwards.
+  // Each doc's shingle-set size is ROW-LOCAL (size of the shingle array —
+  // no aggregate, no join-back), so candidate pairs are size-pruned IN
+  // the join: jac ≥ 0.5 ⇒ 3·inter ≥ na+nb and inter ≤ min(na,nb) ⇒
+  // max ≤ 2·min. Exact (no candidate at the threshold is lost), and
+  // sizes ride the groupBy keys so no re-joins afterwards.
   //
   // Measured alternative, rejected: a PPJoin-style prefix filter (index
   // only the first n-⌈t·n⌉+1 shingles in global-df order) was implemented
@@ -103,9 +113,10 @@ object TextOps {
   // prefix filtering is the right move; revisit when the corpus grows.
   def q31NgramJaccard(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val edges = shingleEdges(docs)
-    val sizes = edges.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    val withN = edges.join(broadcast(sizes), "doc_id")
+    val withN = shingleArrays(docs)
+      .select(col("doc_id"), size(col("sh")).cast("long").as("n_sh"),
+        explode(col("sh")).as("s"))
+      .filter(col("n_sh") > 0)
     val a = withN.as("a"); val b = withN.as("b")
     a.join(b,
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id") &&
@@ -153,9 +164,11 @@ object TextOps {
     // aggregates over cheap xxhash64(long, i) mixes. (The nested
     // transform/array_min formulation evaluated ~14M interpreted lambdas
     // at sf0.1 — 15s; this shape is sub-second.)
-    val edgesRaw = shingleEdges(docs)
-    val base = edgesRaw.groupBy(col("doc_id")).agg(collect_list(col("s")).as("sh"))
-    val edges = edgesRaw.withColumn("h", xxhash64(col("s")))
+    // shingle arrays are row-local, so the verification side (base) is a
+    // plain projection — no collect_list re-aggregation of exploded edges
+    val base = shingleArrays(docs)
+    val edges = base.select(col("doc_id"), explode(col("sh")).as("s"))
+      .withColumn("h", xxhash64(col("s")))
     val minCols = Seq.tabulate(32)(i => min(xxhash64(col("h"), lit(i))).as(s"m$i"))
     val sig = edges.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
     // 16 bands × r=2: band signature = hash of the band's two minhashes
