@@ -44,15 +44,29 @@ object RelationalExt {
 
   // --------------------------------------------------------------------------
   // q24 — approx_count_distinct (HLL++). Sketch internals are engine-
-  // specific → rows-only driver check; RelationalExtSpec bounds the error
-  // against the exact count.
-  def q24ApproxDistinct(spark: SparkSession, dir: String): DataFrame =
+  // specific, so (q55 pattern) the oracle-checked output carries the EXACT
+  // distinct count plus a 5%-accuracy flag (default rsd 0.05) the oracle
+  // pins to TRUE — the driver compare asserts the sketch's error bound.
+  // RelationalExtSpec additionally bounds the raw estimate.
+  private[ops] def q24Raw(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
       .groupBy(col("l_returnflag"))
       .agg(
         approx_count_distinct(col("l_partkey")).as("approx_parts"),
         countDistinct(col("l_partkey")).as("exact_parts"))
       .orderBy(col("l_returnflag"))
+
+  def q24ApproxDistinct(spark: SparkSession, dir: String): DataFrame =
+    q24Raw(spark, dir)
+      .select(col("l_returnflag"), col("exact_parts"),
+        (abs(col("approx_parts") - col("exact_parts")) <=
+          col("exact_parts") * 0.05).as("approx_within_5pct"))
+      .orderBy(col("l_returnflag"))
+
+  val q24Sql: String =
+    """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS exact_parts,
+      |  TRUE AS approx_within_5pct
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
   // --------------------------------------------------------------------------
   // q25 — correlated EXISTS + scalar subquery via spark.sql. The scalar
@@ -485,7 +499,7 @@ object RelationalExt {
     ("q58_array_structs", q58ArrayStructs _, Some(q58Sql)),
     ("q59_regexp_all", q59RegexpAll _, Some(q59Sql)),
     ("q64_funnel", q64Funnel _, Some(q64Sql)),
-    ("q24_approx_distinct", q24ApproxDistinct _, None),
+    ("q24_approx_distinct", q24ApproxDistinct _, Some(q24Sql)),
     ("q25_subqueries", q25Subqueries _, Some(q25Sql)),
     ("q26_pivot", q26Pivot _, Some(q26Sql)),
     ("q27_hash_sample", q27HashSample _, Some(q27Sql)),

@@ -68,9 +68,14 @@ object SketchOps {
   // --------------------------------------------------------------------------
   // q74 — hierarchical quantile rollup: per-nation account-balance sketches
   // (leaf pass over customer), merged per region WITHOUT touching customer
-  // again. Approximate (rank error ≤ Eps) → rows-only driver check;
-  // SketchSpec bounds the error against exact percentiles.
-  def q74SketchRollup(spark: SparkSession, dir: String): DataFrame = {
+  // again. Sketch values are engine-specific, so (q55 pattern) the
+  // oracle-checked output carries the exact region median plus rank-band
+  // flags the oracle pins to TRUE: each merged sketch percentile must land
+  // inside the exact [q−0.05, q+0.05] value band (GK rank error ≤ 0.01,
+  // so the band is generous by construction). The exact twin is
+  // verification-only — the demonstrated operator is still the
+  // merge-without-rescan rollup. SketchOpsSpec bounds the raw estimates.
+  private[ops] def q74Raw(spark: SparkSession, dir: String): DataFrame = {
     val sketch = udaf(SketchAgg, Encoders.scalaDouble)
     val mergeQ = udaf(SketchMergeAgg, Encoders.BINARY)
     val perNation = Tables.customer(spark, dir)
@@ -90,6 +95,39 @@ object SketchOps {
         col("n_customers"))
       .orderBy(col("n_regionkey"))
   }
+
+  def q74SketchRollup(spark: SparkSession, dir: String): DataFrame = {
+    val approx = q74Raw(spark, dir)
+    val nations = Tables.nation(spark, dir)
+      .select(col("n_nationkey"), col("n_regionkey"))
+    val exact = Tables.customer(spark, dir)
+      .join(broadcast(nations), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_regionkey"))
+      .agg(expr(
+        "percentile(c_acctbal, array(0.05, 0.15, 0.45, 0.5, 0.55, 0.85, 0.95))").as("ep"))
+      .select(col("n_regionkey"),
+        element_at(col("ep"), 1).as("e05"), element_at(col("ep"), 2).as("e15"),
+        element_at(col("ep"), 3).as("e45"), element_at(col("ep"), 4).as("e50"),
+        element_at(col("ep"), 5).as("e55"),
+        element_at(col("ep"), 6).as("e85"), element_at(col("ep"), 7).as("e95"))
+    approx.join(broadcast(exact), "n_regionkey")
+      .select(
+        col("n_regionkey"),
+        round(col("e50"), 4).as("exact_p50"),
+        (col("p10") >= col("e05") && col("p10") <= col("e15")).as("p10_in_band"),
+        (col("p50") >= col("e45") && col("p50") <= col("e55")).as("p50_in_band"),
+        (col("p90") >= col("e85") && col("p90") <= col("e95")).as("p90_in_band"),
+        col("n_customers"))
+      .orderBy(col("n_regionkey"))
+  }
+
+  val q74Sql: String =
+    """SELECT n.n_regionkey,
+      |  ROUND(quantile_cont(c.c_acctbal, 0.5), 4) AS exact_p50,
+      |  TRUE AS p10_in_band, TRUE AS p50_in_band, TRUE AS p90_in_band,
+      |  COUNT(*) AS n_customers
+      |FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |GROUP BY n.n_regionkey ORDER BY n.n_regionkey""".stripMargin
 
   // --------------------------------------------------------------------------
   // Misra-Gries frequent-items summary: bounded memory (k counters),
@@ -155,9 +193,12 @@ object SketchOps {
   // region WITHOUT rescanning customer — the hierarchy pattern (day→month,
   // shard→global) that makes approximate distincts cheap at 100 TB: leaves
   // aggregate once, every rollup level is a tiny sketch merge.
-  // Approximate → rows-only driver check; SketchOpsSpec bounds the error
-  // and asserts merged == direct-at-region estimates.
-  def q99HllRollup(spark: SparkSession, dir: String): DataFrame = {
+  // Sketch estimates are engine-specific, so (q55 pattern) the
+  // oracle-checked output carries the exact per-region distinct (custkey
+  // is unique, so the summed leaf counts ARE the exact distinct) plus a
+  // 5%-accuracy flag the oracle pins to TRUE. SketchOpsSpec bounds the
+  // raw estimate and asserts merged == direct-at-region.
+  private[ops] def q99Raw(spark: SparkSession, dir: String): DataFrame = {
     val perNation = Tables.customer(spark, dir)
       .groupBy(col("c_nationkey"))
       .agg(expr("hll_sketch_agg(c_custkey)").as("sk"), count(lit(1)).as("n"))
@@ -172,8 +213,20 @@ object SketchOps {
       .orderBy(col("n_regionkey"))
   }
 
+  def q99HllRollup(spark: SparkSession, dir: String): DataFrame =
+    q99Raw(spark, dir)
+      .select(col("n_regionkey"), col("n_customers"),
+        (abs(col("approx_customers") - col("n_customers")) <=
+          col("n_customers") * 0.05).as("approx_within_5pct"))
+      .orderBy(col("n_regionkey"))
+
+  val q99Sql: String =
+    """SELECT n.n_regionkey, COUNT(*) AS n_customers, TRUE AS approx_within_5pct
+      |FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |GROUP BY n.n_regionkey ORDER BY n.n_regionkey""".stripMargin
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
-    ("q74_sketch_rollup", q74SketchRollup _, None),
+    ("q74_sketch_rollup", q74SketchRollup _, Some(q74Sql)),
     ("q77_heavy_hitters", q77HeavyHitters _, Some(q77Sql)),
-    ("q99_hll_rollup", q99HllRollup _, None))
+    ("q99_hll_rollup", q99HllRollup _, Some(q99Sql)))
 }

@@ -6,7 +6,7 @@ class RelationalExtSpec extends SparkSpec {
   private val dir = "/root/testdata/sf0.001"
 
   test("approx_count_distinct lands within 5% of exact") {
-    RelationalExt.q24ApproxDistinct(spark, dir).collect().foreach { r =>
+    RelationalExt.q24Raw(spark, dir).collect().foreach { r =>
       val approx = r.getAs[Long]("approx_parts").toDouble
       val exact = r.getAs[Long]("exact_parts").toDouble
       assert(math.abs(approx - exact) / exact < 0.05, s"approx $approx vs exact $exact")

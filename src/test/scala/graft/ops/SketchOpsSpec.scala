@@ -7,7 +7,7 @@ class SketchOpsSpec extends SparkSpec {
   private val dir = "/root/testdata/sf0.001"
 
   test("q74 merged region sketches land within rank tolerance of exact percentiles") {
-    val approx = SketchOps.q74SketchRollup(spark, dir).collect()
+    val approx = SketchOps.q74Raw(spark, dir).collect()
       .map(r => r.getAs[Number]("n_regionkey").longValue -> r).toMap
     // exact per-region percentiles straight off customer⋈nation
     val exact = Tables.customer(spark, dir)
@@ -82,7 +82,7 @@ class SketchOpsSpec extends SparkSpec {
   }
 
   test("q99 HLL rollup: merged nation sketches within 5% of exact region distincts, merge == direct") {
-    val rolled = SketchOps.q99HllRollup(spark, dir).collect()
+    val rolled = SketchOps.q99Raw(spark, dir).collect()
       .map(r => r.getAs[Number]("n_regionkey").longValue ->
         (r.getAs[Long]("approx_customers"), r.getAs[Long]("n_customers"))).toMap
     val exact = Tables.customer(spark, dir)
