@@ -118,11 +118,26 @@ object Multimodal {
       |  octet_length(encode(text)) + 8 AS n_bytes
       |FROM documents ORDER BY doc_id""".stripMargin
 
-  /** Frame-sampling query (rows-only: frame binary is Spark-synthesized). */
+  /** Frame-sampling query. The payload is the document's UTF-8 bytes, so
+    * the kept-frame indices and sizes are pure arithmetic over the byte
+    * length — fully oracle-checkable. */
   def q71FrameSample(spark: SparkSession, dir: String): DataFrame =
     sampleFrames(mediaTable(spark, dir), frameBytes = 32, everyK = 3)
       .select(col("doc_id"), col("frame_idx"), col("frame_bytes"))
       .orderBy(col("doc_id"), col("frame_idx"))
+
+  /** Frames of 32 payload bytes, every 3rd kept; last frame is the
+    * remainder. n_chars == octet_length(encode(text)) for this corpus
+    * (ASCII) but the oracle derives the length from the text itself. */
+  val q71Sql: String =
+    """WITH d AS (SELECT doc_id, octet_length(encode(text)) AS len FROM documents),
+      |f AS (
+      |  SELECT doc_id, len, unnest(range((len + 31) // 32)) AS idx
+      |  FROM d WHERE len > 0)
+      |SELECT doc_id, CAST(idx AS INT) AS frame_idx,
+      |  CAST(CASE WHEN (idx + 1) * 32 <= len THEN 32 ELSE len - idx * 32 END AS INT)
+      |    AS frame_bytes
+      |FROM f WHERE idx % 3 = 0 ORDER BY doc_id, frame_idx""".stripMargin
 
   /** ===== STUB FEATURE EXTRACTOR =====
     * The missing third stage of the media pipeline (decode → transform →
@@ -152,27 +167,55 @@ object Multimodal {
     }.toDF("doc_id", "features")
   }
 
-  /** Media-embedding query (rows-only: payload is Spark-synthesized).
-    * Demonstrates the full multimodal chain: synth media → stub encoder →
-    * per-row norm + per-source centroid distance via the SAME scaled-long
-    * exact-mean machinery the text embeddings use.
+  /** Media-embedding query. Demonstrates the full multimodal chain: synth
+    * media → stub encoder (n_dims comes from the extractFeatures output,
+    * so the encoder runs under the driver check) → per-row norm. The
+    * driver-compared norm is computed from the INTEGER stripe sums (exact
+    * in both engines — the media bytes are header + document UTF-8, so
+    * the oracle rebuilds them from the text); the float-normalized
+    * features keep their unit-range contract under MultimodalSpec.
     */
   def q80MediaFeatures(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val feats = extractFeatures(mediaTable(spark, dir), dim = 8)
-    feats
-      .select(col("doc_id"), col("features"))
-      .as[(Long, Array[Float])]
-      .map { case (id, f) =>
-        val norm = math.sqrt(f.map(v => v.toDouble * v).sum)
-        (id, f.length, math.rint(norm * 1e6) / 1e6)
-      }
-      .toDF("doc_id", "n_dims", "norm")
+    val media = mediaTable(spark, dir)
+    val nDims = extractFeatures(media, dim = 8)
+      .select(col("doc_id"), size(col("features")).as("n_dims"))
+    val rawNorm = media.map { r =>
+      val acc = Array.ofDim[Long](8)
+      var i = 0
+      while (i < r.media.length) { acc(i % 8) += (r.media(i) & 0xff); i += 1 }
+      (r.doc_id, math.sqrt(acc.map(v => v.toDouble * v).sum))
+    }.toDF("doc_id", "norm_raw")
+    nDims.join(rawNorm, "doc_id")
+      .select(col("doc_id"), col("n_dims"), round(col("norm_raw"), 6).as("stripe_norm"))
       .orderBy(col("doc_id"))
   }
 
+  /** Media bytes = [0,0,0,w, 0,0,0,h] header + UTF-8 text; byte i of the
+    * payload is read out of hex(encode(text)). Stripe sums stay < 2^53 so
+    * the sqrt sees the identical double in both engines. */
+  val q80Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id, n_chars, hex(encode(text)) AS hx,
+      |    octet_length(encode(text)) AS plen
+      |  FROM documents),
+      |bytes AS (
+      |  SELECT doc_id, i,
+      |    CASE
+      |      WHEN i = 3 THEN n_chars % 64 + 1
+      |      WHEN i = 7 THEN n_chars % 48 + 1
+      |      WHEN i < 8 THEN 0
+      |      ELSE ('0x' || substr(hx, 2 * (i - 8) + 1, 2))::BIGINT
+      |    END AS v
+      |  FROM d, LATERAL (SELECT unnest(range(plen + 8)) AS i) r),
+      |stripes AS (
+      |  SELECT doc_id, i % 8 AS d8, SUM(v) AS s FROM bytes GROUP BY doc_id, i % 8)
+      |SELECT doc_id, CAST(8 AS INT) AS n_dims,
+      |  ROUND(sqrt(CAST(SUM(s * s) AS DOUBLE)), 6) AS stripe_norm
+      |FROM stripes GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q70_media_meta", q70MediaMeta _, Some(q70Sql)),
-    ("q71_frame_sample", q71FrameSample _, None),
-    ("q80_media_features", q80MediaFeatures _, None))
+    ("q71_frame_sample", q71FrameSample _, Some(q71Sql)),
+    ("q80_media_features", q80MediaFeatures _, Some(q80Sql)))
 }
