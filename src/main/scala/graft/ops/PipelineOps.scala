@@ -1,0 +1,282 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Fifth wave of training-data pipeline operators: benchmark
+  * decontamination, tokenizer-vocabulary building + token-ID encoding,
+  * exact-k stratified sampling, weighted sampling without replacement
+  * (Efraimidis–Spirakis), and spherical k-means clustering over the
+  * embedding table.
+  *
+  * No reference counterpart (the reference is an ingest ETL — see
+  * reference/src/main); these are SURVEY §2.2 [EXT] categories a corpus
+  * pipeline needs at 100 TB.
+  */
+object PipelineOps {
+
+  // --------------------------------------------------------------------------
+  // q106 — eval-set n-gram decontamination: a training doc is contaminated
+  // when it shares any word n-gram with the held-out benchmark set (here
+  // the deterministic doc_id % 50 == 0 slice stands in for the eval
+  // corpus). This is the standard pre-training hygiene pass (GPT-3 §C /
+  // PaLM-style 8–13-gram overlap); n=4 on this 31-word synthetic corpus so
+  // the collision signal is exercised — n is a parameter.
+  //
+  // Scale shape: eval sets are fixed-size (benchmarks don't grow with the
+  // corpus), so the distinct eval-gram side BROADCASTS; the corpus side is
+  // one row-local shingle pass (native WordShingles — shuffle-free) and a
+  // broadcast left-join + per-doc aggregate, i.e. one shuffle on doc_id.
+  // No inverted-index self-join is needed because the right side is tiny.
+  def q106Decontaminate(spark: SparkSession, dir: String): DataFrame =
+    decontaminate(Tables.documents(spark, dir), spark)
+
+  /** documents(doc_id, text) → per-train-doc contamination counts; factored
+    * for spec-driven planted-overlap fixtures. */
+  def decontaminate(docs: DataFrame, spark: SparkSession): DataFrame = {
+    graft.functions.WordShingles.register(spark)
+    val grams = docs.select(col("doc_id"),
+      explode(expr("word_shingles(filter(split(lower(text), ' '), t -> t != ''), 4)")).as("g"))
+    val evalGrams = grams.filter(col("doc_id") % 50 === 0)
+      .select(col("g")).distinct().withColumn("hit", lit(1))
+    grams.filter(col("doc_id") % 50 =!= 0)
+      .join(broadcast(evalGrams), Seq("g"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_grams"),
+        count(col("hit")).as("n_hit"))
+      .withColumn("contaminated", col("n_hit") > 0)
+      .orderBy(col("doc_id"))
+  }
+
+  val q106Sql: String =
+    s"""WITH sh AS (
+       |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] AS g
+       |  FROM (SELECT doc_id, ${TextOps.toksSqlD} AS t FROM documents),
+       |       UNNEST(generate_series(1, len(t) - 3)) AS u(i)),
+       |ev AS (SELECT DISTINCT g FROM sh WHERE doc_id % 50 = 0)
+       |SELECT sh.doc_id, COUNT(*) AS n_grams, COUNT(ev.g) AS n_hit,
+       |       COUNT(ev.g) > 0 AS contaminated
+       |FROM sh LEFT JOIN ev ON sh.g = ev.g WHERE sh.doc_id % 50 <> 0
+       |GROUP BY sh.doc_id ORDER BY sh.doc_id""".stripMargin
+
+  // --------------------------------------------------------------------------
+  // q107 — tokenizer-vocabulary build + token-ID encoding: rank words by
+  // corpus frequency (count DESC, word ASC — a total order), keep the top
+  // K as the vocabulary (id = rank), then re-encode every document as its
+  // positional token-ID sequence with OOV → -1. K=16 against the 31-word
+  // synthetic vocab so both known and unknown tokens are exercised.
+  //
+  // Scale shape: the frequency table is a one-shuffle aggregate; the
+  // global rank window runs over the AGGREGATED (word, count) table —
+  // corpus-size-independent and orders of magnitude smaller than the
+  // corpus (for web-scale vocabs, rank via orderBy+limit+zipWithIndex
+  // instead). The vocab then BROADCASTS onto the token stream (map-side
+  // lookup, no shuffle), and re-assembly groups on doc_id — one shuffle.
+  // The encoded sequence is carried as md5 so the verified row stays
+  // narrow; a real pipeline would write the id array itself.
+  def q107VocabEncode(spark: SparkSession, dir: String): DataFrame =
+    vocabEncode(Tables.documents(spark, dir), topK = 16)
+
+  /** documents(doc_id, text) → (doc_id, n_tok, n_unk, ids_md5). */
+  def vocabEncode(docs: DataFrame, topK: Int): DataFrame = {
+    val tok = docs.select(col("doc_id"), posexplode(TextOps.toks))
+      .toDF("doc_id", "pos", "w")
+    val vocab = tok.groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .select(col("w"),
+        (row_number().over(Window.orderBy(col("c").desc, col("w"))) - 1).as("id"))
+      .filter(col("id") < topK)
+    tok.join(broadcast(vocab), Seq("w"), "left")
+      .withColumn("tid", coalesce(col("id"), lit(-1)))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_tok"),
+        count(when(col("tid") === -1, 1)).as("n_unk"),
+        expr("""md5(concat_ws(' ',
+               |  transform(array_sort(collect_list(struct(pos, tid))),
+               |            x -> cast(x.tid as string))))""".stripMargin).as("ids_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q107Sql: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, i AS pos, t[i] AS w
+       |  FROM (SELECT doc_id, ${TextOps.toksSqlD} AS t FROM documents),
+       |       UNNEST(generate_series(1, len(t))) AS u(i)),
+       |vocab AS (
+       |  SELECT w, id FROM (
+       |    SELECT w, ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, w) - 1 AS id
+       |    FROM tok GROUP BY w) WHERE id < 16),
+       |enc AS (
+       |  SELECT doc_id, pos, COALESCE(id, -1) AS tid FROM tok LEFT JOIN vocab USING (w))
+       |SELECT doc_id, COUNT(*) AS n_tok,
+       |  COUNT(CASE WHEN tid = -1 THEN 1 END) AS n_unk,
+       |  md5(string_agg(CAST(tid AS VARCHAR), ' ' ORDER BY pos)) AS ids_md5
+       |FROM enc GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // --------------------------------------------------------------------------
+  // q108 — exact-k stratified sample: exactly min(k, |stratum|) docs per
+  // language, chosen by a deterministic content-hash order (the
+  // distributed, rerun-stable equivalent of per-stratum reservoir
+  // sampling — same selection on any partitioning, any engine).
+  //
+  // Scale shape: one shuffle on the stratum key + a per-stratum sort that
+  // row_number caps at k (WindowGroupLimit pushes the limit into the sort
+  // at execution). For mega-strata the two-phase variant — sample a
+  // per-stratum hash threshold first, filter, then rank only survivors —
+  // bounds the sort input; at this k the plain window is the right plan.
+  def q108StratifiedSample(spark: SparkSession, dir: String): DataFrame =
+    stratifiedSample(Tables.documents(spark, dir), k = 20)
+
+  /** documents(doc_id, lang, text) → exactly min(k,|stratum|) per lang. */
+  def stratifiedSample(docs: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(md5(concat(col("text"), col("doc_id").cast("string"))), col("doc_id"))
+    docs.select(col("lang"), col("doc_id"), row_number().over(w).as("rn"))
+      .filter(col("rn") <= k)
+      .select(col("lang"), col("rn"), col("doc_id"))
+      .orderBy(col("lang"), col("rn"))
+  }
+
+  val q108Sql: String =
+    """SELECT lang, rn, doc_id FROM (
+      |  SELECT lang, doc_id,
+      |    ROW_NUMBER() OVER (PARTITION BY lang
+      |                       ORDER BY md5(text || CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      |  FROM documents) WHERE rn <= 20 ORDER BY lang, rn""".stripMargin
+
+  // --------------------------------------------------------------------------
+  // q109 — weighted sampling without replacement (Efraimidis–Spirakis
+  // A-Res): each doc draws a deterministic uniform u from its content hash
+  // (md5 52-bit prefix — the portable-hash policy of q27/q75/q90), gets
+  // key = ln(u)/w with w = n_chars, and the global top-k keys are the
+  // sample. Equivalent to priority u^(1/w): longer docs are proportionally
+  // more likely to be kept — the corpus-mixture shape when weights are
+  // quality/importance scores.
+  //
+  // Scale shape: key assignment is row-local (no shuffle, pushes through
+  // the scan); global top-k plans TakeOrderedAndProject (per-partition
+  // heap + driver merge of k·partitions rows, never a full sort — same
+  // plan family as q10, PlanSpec-asserted there).
+  def q109WeightedSample(spark: SparkSession, dir: String): DataFrame =
+    weightedSample(Tables.documents(spark, dir), k = 50)
+
+  /** documents(doc_id, lang, text, n_chars) → top-k E–S weighted sample,
+    * weight = n_chars. */
+  def weightedSample(docs: DataFrame, k: Int): DataFrame = {
+    // 52-bit md5 prefix → exact long (conv is codegen'd; 13 hex digits
+    // stay under 2^53 so the double division below is exact arithmetic)
+    val v = conv(substring(md5(col("text")), 1, 13), 16, 10).cast("long")
+    val u = (v.cast("double") + 0.5) / lit(4503599627370496.0) // / 2^52, u ∈ (0,1)
+    docs.select(col("doc_id"), col("lang"), col("n_chars"),
+        (log(u) / col("n_chars")).as("k"))
+      .orderBy(col("k").desc, col("doc_id"))
+      .limit(k)
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        round(col("k"), 6).as("key"))
+      .orderBy(col("key").desc, col("doc_id"))
+  }
+
+  val q109Sql: String =
+    """SELECT doc_id, lang, n_chars, ROUND(k, 6) AS key FROM (
+      |  SELECT doc_id, lang, n_chars,
+      |    LN((CAST(list_reduce(list_transform(range(1, 14),
+      |          i -> CAST(strpos('0123456789abcdef', h[i]) AS BIGINT) - 1),
+      |          (a, b) -> a * 16 + b) AS DOUBLE) + 0.5) / 4503599627370496.0)
+      |      / n_chars AS k
+      |  FROM (SELECT doc_id, lang, n_chars, md5(text) AS h FROM documents))
+      |ORDER BY k DESC, doc_id LIMIT 50""".stripMargin
+
+  // --------------------------------------------------------------------------
+  // q110 — spherical k-means over the embedding table (Lloyd iterations
+  // with cosine similarity — the standard embedding-space clustering for
+  // corpus curation / topic bucketing). Deterministic by construction:
+  // init centroids are the first k vectors by vec_id, assignment argmax
+  // tie-breaks on cluster id (max(struct(csim, cluster))), and centroid
+  // updates use the q41 scaled-long exact mean so every iteration's
+  // centroids are bit-identical across engines and partitionings.
+  //
+  // Scale shape per iteration: centroids BROADCAST (k rows), assignment is
+  // one linear pass (codegen'd native cosine_sim), and the update is one
+  // shuffle on (cluster, dim) with map-side partial sums. Iterations are a
+  // small constant; at 100 TB you init from a sample and run the same loop.
+  def q110KMeans(spark: SparkSession, dir: String): DataFrame =
+    kmeans(Tables.embeddings(spark, dir), spark, k = 8, iters = 1)
+
+  /** embeddings(vec_id, embedding) → (vec_id, cluster, sim) after `iters`
+    * Lloyd updates + a final assignment; factored for spec fixtures. */
+  def kmeans(embeddings: DataFrame, spark: SparkSession, k: Int, iters: Int): DataFrame = {
+    graft.functions.CosineSimilarity.register(spark)
+    val base = embeddings.select(col("vec_id"),
+      expr("transform(embedding, x -> cast(x as double))").as("v"))
+    var cents = base.filter(col("vec_id") < k)
+      .select(col("vec_id").cast("int").as("cluster"), col("v").as("cv"))
+    for (_ <- 1 to iters) {
+      val assigned = base.crossJoin(broadcast(cents))
+        .withColumn("csim", expr("cosine_sim(v, cv)"))
+        .groupBy(col("vec_id"))
+        .agg(max(struct(col("csim"), col("cluster"))).as("best"),
+          first(col("v")).as("v"))
+        .select(col("best.cluster").as("cluster"), col("v"))
+      cents = assigned.select(col("cluster"), posexplode(col("v")))
+        .withColumn("vq", expr("cast(floor(col * 1e12 + 0.5d) as long)"))
+        .groupBy(col("cluster"), col("pos"))
+        .agg((sum(col("vq")).cast("double") / 1e12 / count(lit(1))).as("c"))
+        .groupBy(col("cluster"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
+        .select(col("cluster"), expr("transform(pc, x -> x.c)").as("cv"))
+    }
+    base.crossJoin(broadcast(cents))
+      .withColumn("csim", expr("cosine_sim(v, cv)"))
+      .groupBy(col("vec_id"))
+      .agg(max(struct(col("csim"), col("cluster"))).as("best"))
+      .select(col("vec_id"), col("best.cluster").as("cluster"),
+        round(col("best.csim"), 4).as("sim"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** One Lloyd update replayed in SQL: init = first 8 vectors, assignment
+    * tie-break csim DESC, cluster DESC (mirrors max(struct)), update via
+    * the q41 scaled-long exact mean, final assignment rounded at 4dp. */
+  val q110Sql: String = {
+    def dot(a: String, b: String) =
+      s"list_reduce(list_transform(range(1, 65), d -> $a[d] * $b[d]), (x, y) -> x + y)"
+    def n2(a: String) =
+      s"list_reduce(list_transform($a, x -> x * x), (x, y) -> x + y)"
+    s"""WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |c0 AS (SELECT CAST(vec_id AS INT) AS cluster, v AS cv FROM base WHERE vec_id < 8),
+       |s1 AS (
+       |  SELECT b.vec_id, b.v, c.cluster,
+       |    ${dot("b.v", "c.cv")} / sqrt(${n2("b.v")} * ${n2("c.cv")}) AS csim
+       |  FROM base b CROSS JOIN c0 c),
+       |a1 AS (SELECT vec_id, v, cluster FROM (
+       |    SELECT vec_id, v, cluster,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, cluster DESC) AS rn
+       |    FROM s1) WHERE rn = 1),
+       |c1 AS (
+       |  SELECT cluster, list(c ORDER BY dim) AS cv FROM (
+       |    SELECT cluster, dim, CAST(SUM(vq) AS DOUBLE) / 1e12 / COUNT(*) AS c FROM (
+       |      SELECT cluster, generate_subscripts(v, 1) - 1 AS dim,
+       |        CAST(FLOOR(unnest(v) * 1e12 + 0.5) AS BIGINT) AS vq
+       |      FROM a1)
+       |    GROUP BY cluster, dim)
+       |  GROUP BY cluster),
+       |s2 AS (
+       |  SELECT b.vec_id, c.cluster,
+       |    ${dot("b.v", "c.cv")} / sqrt(${n2("b.v")} * ${n2("c.cv")}) AS csim
+       |  FROM base b CROSS JOIN c1 c)
+       |SELECT vec_id, cluster, ROUND(csim, 4) AS sim FROM (
+       |  SELECT vec_id, cluster, csim,
+       |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, cluster DESC) AS rn
+       |  FROM s2) WHERE rn = 1 ORDER BY vec_id""".stripMargin
+  }
+
+  val catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
+    ("q106_decontaminate", q106Decontaminate _, Some(q106Sql)),
+    ("q107_vocab_encode", q107VocabEncode _, Some(q107Sql)),
+    ("q108_stratified_sample", q108StratifiedSample _, Some(q108Sql)),
+    ("q109_weighted_sample", q109WeightedSample _, Some(q109Sql)),
+    ("q110_kmeans", q110KMeans _, Some(q110Sql)))
+}

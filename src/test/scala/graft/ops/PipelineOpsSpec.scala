@@ -1,0 +1,118 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class PipelineOpsSpec extends SparkSpec {
+
+  // --------------------------------------------------------------------- q106
+  test("decontamination flags exactly the docs sharing a 4-gram with the eval slice") {
+    import spark.implicits._
+    // doc 0 and 50 are eval (id % 50 == 0); doc 1 contains doc 50's exact
+    // 4-gram, doc 2 shares only 3-gram prefixes, doc 3 is disjoint
+    val docs = Seq(
+      (0L, "alpha beta gamma delta epsilon"),
+      (50L, "one two three four"),
+      (1L, "xx one two three four yy"),
+      (2L, "one two three nine ten eleven twelve"),
+      (3L, "p q r s t u v w")
+    ).toDF("doc_id", "text")
+    val out = PipelineOps.decontaminate(docs, spark).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_hit"), r.getAs[Boolean]("contaminated")))).toMap
+    assert(out(1L) === ((1L, true)))
+    assert(out(2L) === ((0L, false)))
+    assert(out(3L) === ((0L, false)))
+    assert(!out.contains(0L) && !out.contains(50L)) // eval docs are not scored
+  }
+
+  // --------------------------------------------------------------------- q107
+  test("vocab encode: ids follow frequency rank, OOV maps to -1, counts reconcile") {
+    import spark.implicits._
+    // freq: b×4 > a×3 > c×2 > rare×1; topK=3 keeps {b:0, a:1, c:2}, rare OOV
+    val docs = Seq(
+      (1L, "a b c b"),
+      (2L, "b a rare b"),
+      (3L, "a c")
+    ).toDF("doc_id", "text")
+    val out = PipelineOps.vocabEncode(docs, topK = 3).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[Long]("n_tok") === 4 && out(1L).getAs[Long]("n_unk") === 0)
+    assert(out(2L).getAs[Long]("n_unk") === 1)
+    // doc 1 "a b c b" → ids 1 0 2 0; doc 3 "a c" → 1 2
+    def md5Of(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(out(1L).getAs[String]("ids_md5") === md5Of("1 0 2 0"))
+    assert(out(3L).getAs[String]("ids_md5") === md5Of("1 2"))
+  }
+
+  // --------------------------------------------------------------------- q108
+  test("stratified sample returns exactly min(k, stratum size) rows per stratum, no dups") {
+    import spark.implicits._
+    val docs = (0 until 40).map(i => (i.toLong, if (i < 30) "en" else "de", s"doc number $i"))
+      .toDF("doc_id", "lang", "text")
+    val out = PipelineOps.stratifiedSample(docs, k = 10).collect()
+    val byLang = out.groupBy(_.getAs[String]("lang")).view.mapValues(_.length).toMap
+    assert(byLang === Map("en" -> 10, "de" -> 10))
+    val ids = out.map(_.getAs[Long]("doc_id"))
+    assert(ids.distinct.length === ids.length)
+    // deterministic: same selection on a different partitioning
+    val again = PipelineOps.stratifiedSample(docs.repartition(7), k = 10).collect()
+    assert(again.map(r => (r.getAs[String]("lang"), r.getAs[Int]("rn"), r.getAs[Long]("doc_id"))).toSet ===
+      out.map(r => (r.getAs[String]("lang"), r.getAs[Int]("rn"), r.getAs[Long]("doc_id"))).toSet)
+  }
+
+  // --------------------------------------------------------------------- q109
+  test("weighted sample without replacement favors heavy weights (Efraimidis–Spirakis)") {
+    import spark.implicits._
+    // 60 heavy docs (w=5000) vs 60 light (w=50): P(light beats heavy) per
+    // pair is tiny, so the top-20 should be dominated by heavy docs
+    val docs = (0 until 120).map { i =>
+      val heavy = i < 60
+      (i.toLong, "en", s"unique text payload $i", if (heavy) 5000 else 50)
+    }.toDF("doc_id", "lang", "text", "n_chars")
+    val out = PipelineOps.weightedSample(docs, k = 20).collect()
+    assert(out.length === 20)
+    val nHeavy = out.count(_.getAs[Int]("n_chars") === 5000)
+    assert(nHeavy >= 18, s"expected heavy docs to dominate, got $nHeavy/20")
+    // keys are sorted descending in the output
+    val keys = out.map(_.getAs[Double]("key"))
+    assert(keys.zip(keys.tail).forall { case (a, b) => a >= b })
+  }
+
+  // --------------------------------------------------------------------- q110
+  test("spherical k-means recovers planted clusters and iterating does not hurt") {
+    import spark.implicits._
+    // 8 well-separated anchors, 25 vectors each, deterministic jitter;
+    // vec_id 0..7 land in distinct clusters so the first-k init starts
+    // with one seed per true cluster
+    var state = 11L
+    def next(): Double = {
+      state = state * 6364136223846793005L + 1442695040888963407L
+      (state >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0
+    }
+    val rows = for (c <- 0 until 8; i <- 0 until 25) yield {
+      val anchor = Array.tabulate(64)(d => if (d / 8 == c) 10.0 else 0.0)
+      val v = anchor.map(a => (a + 0.5 * next()).toFloat)
+      // vec_id 0..7 are one per cluster (i == 0), the rest follow
+      val id = if (i == 0) c.toLong else 8L + c * 24 + (i - 1)
+      (id, v, c)
+    }
+    val emb = rows.toDF("vec_id", "embedding", "label")
+    val out = PipelineOps.kmeans(emb, spark, k = 8, iters = 2).collect()
+    assert(out.length === 200)
+    // every planted cluster maps to exactly one k-means cluster and the
+    // assignment is pure (clusters are separated by ~90° in cosine space)
+    val truth = rows.map(r => r._1 -> r._3).toMap
+    val byTruth = out.groupBy(r => truth(r.getAs[Long]("vec_id")))
+    assert(byTruth.size === 8)
+    byTruth.values.foreach { rs =>
+      assert(rs.map(_.getAs[Int]("cluster")).distinct.length === 1)
+    }
+    // mean assignment similarity after an update beats the raw-seed init
+    val sim0 = PipelineOps.kmeans(emb, spark, k = 8, iters = 0).collect()
+      .map(_.getAs[Double]("sim")).sum / 200
+    val sim2 = out.map(_.getAs[Double]("sim")).sum / 200
+    assert(sim2 >= sim0 - 1e-9, s"iterating degraded fit: $sim0 -> $sim2")
+  }
+}
