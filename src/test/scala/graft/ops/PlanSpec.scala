@@ -187,4 +187,25 @@ class PlanSpec extends SparkSpec {
       assert(!p.contains("hashpartitioning"), p)
     }
   }
+
+  test("q109 weighted sample plans TakeOrderedAndProject — key assignment is map-side") {
+    val p = plan(PipelineOps.q109WeightedSample(spark, dir))
+    assert(p.contains("TakeOrderedAndProject"), p)
+    // no shuffle before the top-k: keys are row-local over the scan
+    assert(!p.contains("hashpartitioning"), p)
+  }
+
+  test("q106 decontamination broadcasts the eval-gram side") {
+    val p = plan(PipelineOps.q106Decontaminate(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("q110 k-means assignment joins broadcast centroids — base table never shuffles for assignment") {
+    val p = plan(PipelineOps.q110KMeans(spark, dir))
+    // centroid sides are k-row aggregates → BroadcastNestedLoopJoin on the
+    // hinted crossJoin is fine (k rows), but the base side must not be the
+    // build side of any shuffle join
+    assert(p.contains("BroadcastExchange"), p)
+  }
 }
