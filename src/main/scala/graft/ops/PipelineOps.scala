@@ -273,10 +273,91 @@ object PipelineOps {
        |  FROM s2) WHERE rn = 1 ORDER BY vec_id""".stripMargin
   }
 
+  // --------------------------------------------------------------------------
+  // q111 — incremental batch dedup: before appending a new ingest batch
+  // (the deterministic doc_id % 5 == 0 slice stands in for it) to an
+  // existing corpus, drop new docs that are exact copies (content hash
+  // seen in the corpus) or near-dups (word-3-gram Jaccard ≥ 0.5 against
+  // any corpus doc). This is the DIRECTED variant of q31's self-join —
+  // the shape every continuously-ingesting pipeline runs on each batch.
+  //
+  // Scale shape: the exact pass is a shuffle equi-join on the content
+  // hash (the corpus hash set is NOT broadcast — it grows with the
+  // corpus). The near pass is the q31 inverted index restricted to
+  // new×old — candidate generation joins batch-side shingles (small)
+  // against corpus-side shingles on the shingle key, so per-shingle
+  // fan-out is |batch bucket| × |corpus bucket|, never corpus²; the
+  // q31 size-ratio prune (exact at t = 0.5) applies inside the join.
+  def q111IncrementalDedup(spark: SparkSession, dir: String): DataFrame =
+    incrementalDedup(Tables.documents(spark, dir))
+
+  /** documents(doc_id, text) → one row per new-batch doc:
+    * (doc_id, exact_dup, n_near, kept). */
+  def incrementalDedup(docs: DataFrame): DataFrame = {
+    val isNew = col("doc_id") % 5 === 0
+    val newDocs = docs.filter(isNew)
+    val oldDocs = docs.filter(!isNew)
+    val oldHashes = oldDocs.select(md5(col("text")).as("h")).distinct()
+      .withColumn("seen", lit(1))
+    val exact = newDocs.select(col("doc_id"), md5(col("text")).as("h"))
+      .join(oldHashes, Seq("h"), "left")
+      .select(col("doc_id"), (coalesce(col("seen"), lit(0)) === 1).as("exact_dup"))
+    def edges(d: DataFrame) = TextOps.shingleArrays(d)
+      .select(col("doc_id"), size(col("sh")).cast("long").as("n_sh"),
+        explode(col("sh")).as("s"))
+      .filter(col("n_sh") > 0)
+    val n = edges(newDocs).toDF("new_id", "nn", "s")
+    val o = edges(oldDocs).toDF("old_id", "no", "s")
+    val near = n.join(o,
+        n("s") === o("s") &&
+          n("nn") <= o("no") * 2 && o("no") <= n("nn") * 2)
+      .groupBy(col("new_id"), col("old_id"), col("nn"), col("no"))
+      .agg(count(lit(1)).as("inter"))
+      .filter(col("inter").cast("double") / (col("nn") + col("no") - col("inter")) >= 0.5)
+      .groupBy(col("new_id")).agg(count(lit(1)).as("n_near"))
+    exact.join(near, exact("doc_id") === near("new_id"), "left")
+      .select(col("doc_id"), col("exact_dup"),
+        coalesce(col("n_near"), lit(0L)).as("n_near"))
+      .withColumn("kept", !col("exact_dup") && col("n_near") === 0)
+      .orderBy(col("doc_id"))
+  }
+
+  val q111Sql: String = {
+    val sh3 = (src: String) =>
+      s"""SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+         |    FROM (SELECT doc_id, ${TextOps.toksSqlD} AS t FROM $src),
+         |         UNNEST(generate_series(1, len(t) - 2)) AS u(i)""".stripMargin
+    s"""WITH newd AS (SELECT * FROM documents WHERE doc_id % 5 = 0),
+       |oldd AS (SELECT * FROM documents WHERE doc_id % 5 <> 0),
+       |oldh AS (SELECT DISTINCT md5(text) AS h FROM oldd),
+       |ex AS (
+       |  SELECT n.doc_id, (oh.h IS NOT NULL) AS exact_dup
+       |  FROM (SELECT doc_id, md5(text) AS h FROM newd) n
+       |  LEFT JOIN oldh oh ON n.h = oh.h),
+       |shn AS (${sh3("newd")}),
+       |sho AS (${sh3("oldd")}),
+       |szn AS (SELECT doc_id, COUNT(*) AS n FROM shn GROUP BY doc_id),
+       |szo AS (SELECT doc_id, COUNT(*) AS n FROM sho GROUP BY doc_id),
+       |inter AS (
+       |  SELECT a.doc_id AS new_id, b.doc_id AS old_id, COUNT(*) AS inter
+       |  FROM shn a JOIN sho b ON a.s = b.s GROUP BY 1, 2),
+       |near AS (
+       |  SELECT new_id, COUNT(*) AS n_near FROM inter
+       |  JOIN szn ON szn.doc_id = new_id
+       |  JOIN szo ON szo.doc_id = old_id
+       |  WHERE CAST(inter AS DOUBLE) / (szn.n + szo.n - inter) >= 0.5
+       |  GROUP BY new_id)
+       |SELECT ex.doc_id, exact_dup, COALESCE(n_near, 0) AS n_near,
+       |  (NOT exact_dup AND COALESCE(n_near, 0) = 0) AS kept
+       |FROM ex LEFT JOIN near ON near.new_id = ex.doc_id
+       |ORDER BY ex.doc_id""".stripMargin
+  }
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q106_decontaminate", q106Decontaminate _, Some(q106Sql)),
     ("q107_vocab_encode", q107VocabEncode _, Some(q107Sql)),
     ("q108_stratified_sample", q108StratifiedSample _, Some(q108Sql)),
     ("q109_weighted_sample", q109WeightedSample _, Some(q109Sql)),
-    ("q110_kmeans", q110KMeans _, Some(q110Sql)))
+    ("q110_kmeans", q110KMeans _, Some(q110Sql)),
+    ("q111_incremental_dedup", q111IncrementalDedup _, Some(q111Sql)))
 }

@@ -80,6 +80,30 @@ class PipelineOpsSpec extends SparkSpec {
     assert(keys.zip(keys.tail).forall { case (a, b) => a >= b })
   }
 
+  // --------------------------------------------------------------------- q111
+  test("incremental dedup drops exact and near copies of the corpus, keeps novel docs") {
+    import spark.implicits._
+    // new batch = doc_id % 5 == 0. 10 is an exact copy of corpus doc 1,
+    // 15 shares 9 of its 10 3-grams with corpus doc 2 (jaccard 9/11 ≥ .5),
+    // 20 is novel.
+    val base2 = "one two three four five six seven eight nine ten eleven twelve"
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, base2),
+      (3L, "completely different corpus text here okay"),
+      (10L, "alpha beta gamma delta epsilon zeta"),
+      (15L, "one two three four five six seven eight nine ten eleven NEW"),
+      (20L, "nothing like anything else in the corpus at all")
+    ).toDF("doc_id", "text")
+    val out = PipelineOps.incrementalDedup(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Boolean]("exact_dup"), r.getAs[Long]("n_near"), r.getAs[Boolean]("kept")))).toMap
+    assert(out.keySet === Set(10L, 15L, 20L))
+    assert(out(10L)._1 === true && out(10L)._3 === false)
+    assert(out(15L)._1 === false && out(15L)._2 === 1L && out(15L)._3 === false)
+    assert(out(20L) === ((false, 0L, true)))
+  }
+
   // --------------------------------------------------------------------- q110
   test("spherical k-means recovers planted clusters and iterating does not hurt") {
     import spark.implicits._
