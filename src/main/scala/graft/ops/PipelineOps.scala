@@ -353,11 +353,79 @@ object PipelineOps {
        |ORDER BY ex.doc_id""".stripMargin
   }
 
+  // --------------------------------------------------------------------------
+  // q112 — token-budget corpus selection: keep the highest-quality docs
+  // (quality = type-token ratio here; any score plugs in) whose cumulative
+  // token count fits a global budget — the data-selection step when a
+  // training run has a token target. SEMANTICS: greedy by (score DESC,
+  // doc_id) until the budget is exhausted — exactly what the oracle's
+  // global running-sum window states.
+  //
+  // IMPLEMENTATION is the scale shape, not a global sort: bucket scores
+  // (floor(score·100)), build the per-bucket token histogram (one small
+  // aggregate), find the cutoff bucket by a running sum over the ~100-row
+  // histogram, broadcast it, and keep (a) every doc strictly above the
+  // cutoff bucket — a row-local filter — plus (b) the cutoff bucket's
+  // docs under the remaining budget via a window over THAT BUCKET ONLY
+  // (bounded: one bucket's docs, not the corpus). Equivalent to the
+  // global greedy because floor(score·100) is monotone in score, so
+  // bucket order refines score order; the selection is identical, but no
+  // corpus-wide single-partition sort ever happens.
+  private val tokenBudget = 10000L
+
+  def q112BudgetSelect(spark: SparkSession, dir: String): DataFrame =
+    budgetSelect(Tables.documents(spark, dir), tokenBudget)
+
+  /** documents(doc_id, text) → docs kept under the token budget. */
+  def budgetSelect(docs: DataFrame, budget: Long): DataFrame = {
+    val scored = docs
+      .select(col("doc_id"), TextOps.toks.as("t"))
+      .filter(size(col("t")) > 0)
+      .select(col("doc_id"), size(col("t")).cast("long").as("n_tok"),
+        round(size(array_distinct(col("t"))).cast("double") / size(col("t")), 6).as("score"))
+      .withColumn("bucket", floor(col("score") * 100).cast("int"))
+    val hist = scored.groupBy(col("bucket")).agg(sum(col("n_tok")).as("btok"))
+      .withColumn("above", coalesce(
+        sum(col("btok")).over(Window.orderBy(col("bucket").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    // 1-row cutoff descriptor (null cutb = everything fits)
+    val cut = hist.agg(
+      max(when(col("above") <= budget && col("above") + col("btok") > budget,
+        col("bucket"))).as("cutb"),
+      max(when(col("above") <= budget && col("above") + col("btok") > budget,
+        lit(budget) - col("above"))).as("rem"))
+    val withCut = scored.crossJoin(broadcast(cut))
+    val fullBuckets = withCut.filter(col("cutb").isNull || col("bucket") > col("cutb"))
+    val partialBucket = withCut.filter(col("bucket") === col("cutb"))
+      .withColumn("cum", sum(col("n_tok")).over(
+        Window.partitionBy(col("bucket")).orderBy(col("score").desc, col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter(col("cum") <= col("rem"))
+    fullBuckets.select(col("doc_id"), col("n_tok"), col("score"))
+      .union(partialBucket.select(col("doc_id"), col("n_tok"), col("score")))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The semantic definition: one global greedy running sum. The Spark
+    * side must reproduce it exactly from the bucketed two-phase shape. */
+  val q112Sql: String =
+    s"""SELECT doc_id, n_tok, score FROM (
+       |  SELECT doc_id, n_tok, score,
+       |    SUM(n_tok) OVER (ORDER BY score DESC, doc_id
+       |                     ROWS UNBOUNDED PRECEDING) AS cum
+       |  FROM (
+       |    SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tok,
+       |      ROUND(CAST(len(list_distinct(t)) AS DOUBLE) / len(t), 6) AS score
+       |    FROM (SELECT doc_id, ${TextOps.toksSqlD} AS t FROM documents)
+       |    WHERE len(t) > 0))
+       |WHERE cum <= $tokenBudget ORDER BY doc_id""".stripMargin
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q106_decontaminate", q106Decontaminate _, Some(q106Sql)),
     ("q107_vocab_encode", q107VocabEncode _, Some(q107Sql)),
     ("q108_stratified_sample", q108StratifiedSample _, Some(q108Sql)),
     ("q109_weighted_sample", q109WeightedSample _, Some(q109Sql)),
     ("q110_kmeans", q110KMeans _, Some(q110Sql)),
-    ("q111_incremental_dedup", q111IncrementalDedup _, Some(q111Sql)))
+    ("q111_incremental_dedup", q111IncrementalDedup _, Some(q111Sql)),
+    ("q112_budget_select", q112BudgetSelect _, Some(q112Sql)))
 }

@@ -104,6 +104,34 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out(20L) === ((false, 0L, true)))
   }
 
+  // --------------------------------------------------------------------- q112
+  test("budget select = global greedy by (score desc, doc_id) under the token budget") {
+    import spark.implicits._
+    // scores: A=1.0 (4 tok), D=0.8 (5), B=0.5 (6), C=0.33 (9), E=0.25 (4)
+    val docs = Seq(
+      (1L, "a b c d"),            // A
+      (2L, "a a b b c c"),        // B
+      (3L, "x y z x y z x y z"),  // C
+      (4L, "p q r s p"),          // D
+      (5L, "m m m m")             // E
+    ).toDF("doc_id", "text")
+    // budget 14: A(4) + D(9) fit; B would make 15 — greedy stops, no backfill
+    val kept = PipelineOps.budgetSelect(docs, budget = 14).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    assert(kept === Set(1L, 4L))
+  }
+
+  test("budget select splits a single score bucket deterministically by doc_id") {
+    import spark.implicits._
+    // 10 docs, identical score (same bucket), 3 tokens each; budget 7 →
+    // exactly the two lowest doc_ids survive the in-bucket running sum
+    val docs = (0 until 10).map(i => (i.toLong, "alpha beta gamma"))
+      .toDF("doc_id", "text")
+    val kept = PipelineOps.budgetSelect(docs.repartition(5), budget = 7).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    assert(kept === Set(0L, 1L))
+  }
+
   // --------------------------------------------------------------------- q110
   test("spherical k-means recovers planted clusters and iterating does not hurt") {
     import spark.implicits._
