@@ -401,7 +401,14 @@ object VectorOps {
   // id-keyed fetch joins), one equi-join on (band, bucket) whose fan-out
   // is bounded by bucket occupancy (2^r buckets per band), and a distinct
   // on candidate ids — every shuffle is on a key, nothing is O(n²).
-  private val ndBands = 32
+  // Band count is sized for the worst case this query ships with: at the
+  // 0.4 threshold (θ ≈ 66°, per-band collision 0.63⁴ ≈ 0.16) the per-pair
+  // miss probability is (1−0.16)^b — 32 bands left ~3 expected misses
+  // among sf0.1's 920 true pairs (one observed: sim 0.4183), 64 bands
+  // push it to ~0.01. At a realistic ≥0.9 near-dup threshold the same 64
+  // bands are overkill by ~10 orders of magnitude — b shrinks as the
+  // threshold rises.
+  private val ndBands = 64
   private val ndPlanesPerBand = 4
   /** 128 fixed-seed hyperplanes (same LCG family as q42's — reproducible
     * across JVMs by spec, no java.util.Random). */
