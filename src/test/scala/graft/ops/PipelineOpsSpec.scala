@@ -132,6 +132,44 @@ class PipelineOpsSpec extends SparkSpec {
     assert(kept === Set(0L, 1L))
   }
 
+  test("budget select equals the global greedy reference on random corpora at many budgets") {
+    import spark.implicits._
+    // seeded LCG corpus: 200 docs, 1–50 tokens from a 20-word vocab —
+    // dense score ties and bucket collisions, the regime where the
+    // bucket-cutoff reasoning could break
+    var state = 99L
+    def next(n: Int): Int = {
+      state = state * 6364136223846793005L + 1442695040888963407L
+      ((state >>> 33) % n).toInt
+    }
+    val vocab = (0 until 20).map(i => s"w$i")
+    val docs = (0 until 200).map { i =>
+      val toks = Seq.fill(1 + next(50))(vocab(next(20)))
+      (i.toLong, toks.mkString(" "))
+    }
+    val df = docs.toDF("doc_id", "text")
+    // JVM reference: the oracle's exact semantics (score desc, doc_id,
+    // running sum ≤ budget), with Spark's HALF_UP round(…, 6)
+    def round6(x: Double): Double =
+      new java.math.BigDecimal(java.lang.Double.toString(x))
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+    val scored = docs.map { case (id, text) =>
+      val t = text.split(" ").filter(_.nonEmpty)
+      (id, t.length.toLong, round6(t.distinct.length.toDouble / t.length))
+    }.sortBy { case (id, _, s) => (-s, id) }
+    for (budget <- Seq(50L, 500L, 2000L, 1000000L)) {
+      // the running sum is over the full ordered prefix (monotone), so the
+      // first overflowing doc also blocks everything after it
+      var cum = 0L
+      val expected = scored.flatMap { case (id, n, _) =>
+        cum += n; if (cum <= budget) Some(id) else None
+      }.toSet
+      val got = PipelineOps.budgetSelect(df, budget).collect()
+        .map(_.getAs[Long]("doc_id")).toSet
+      assert(got === expected, s"budget=$budget")
+    }
+  }
+
   // --------------------------------------------------------------------- q110
   test("spherical k-means recovers planted clusters and iterating does not hurt") {
     import spark.implicits._
