@@ -420,6 +420,73 @@ object PipelineOps {
        |    WHERE len(t) > 0))
        |WHERE cum <= $tokenBudget ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------------------------------------
+  // q113 — exact substring-span dedup (the "Deduplicating Training Data
+  // Makes Language Models Better" pass): mark every token position covered
+  // by a 10-token span that occurs MORE THAN ONCE corpus-wide (any doc,
+  // including within-doc repeats), and report per-doc duplicated-token
+  // counts — the signal used to trim repeated boilerplate/quotes before
+  // training. Fixed-k span hashing is the distributed equivalent of the
+  // paper's suffix array: every repeat of length ≥ k is covered by its
+  // k-grams, so coverage of ≥k repeats is identical.
+  //
+  // Scale shape: positional k-grams are a row-local explode (linear, ×k
+  // bytes); occurrence counting is one shuffle on the gram hash (a COUNT
+  // window over the single lineage — the q87 lesson, no join-back
+  // re-scan); coverage dedups (doc_id, pos) pairs — ≤ k rows per dup gram
+  // — and the final rollup groups by doc_id. Nothing is quadratic; the
+  // gram hash key is md5 so hot spans skew-salt like any hot key.
+  private val spanK = 10
+
+  def q113SpanDedup(spark: SparkSession, dir: String): DataFrame =
+    spanDedup(Tables.documents(spark, dir))
+
+  /** documents(doc_id, text) → (doc_id, n_tok, n_dup_tok, dup_frac). */
+  def spanDedup(docs: DataFrame): DataFrame = {
+    val base = docs.select(col("doc_id"), TextOps.toks.as("t"))
+      .select(col("doc_id"), col("t"), size(col("t")).cast("long").as("n_tok"))
+    val grams = base.filter(col("n_tok") >= spanK)
+      .select(col("doc_id"),
+        explode(sequence(lit(1), col("n_tok") - (spanK - 1))).as("i"),
+        col("t"))
+      .select(col("doc_id"), col("i"),
+        md5(concat_ws(" ", slice(col("t"), col("i"), lit(spanK)))).as("g"))
+    val covered = grams
+      .withColumn("occ", count(lit(1)).over(Window.partitionBy(col("g"))))
+      .filter(col("occ") > 1)
+      .select(col("doc_id"), explode(sequence(col("i"), col("i") + (spanK - 1))).as("p"))
+      .distinct()
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup_tok"))
+    base.select(col("doc_id"), col("n_tok"))
+      .join(covered, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tok"),
+        coalesce(col("n_dup_tok"), lit(0L)).as("n_dup_tok"))
+      .withColumn("dup_frac",
+        round(col("n_dup_tok").cast("double") / col("n_tok"), 6))
+      .orderBy(col("doc_id"))
+  }
+
+  val q113Sql: String =
+    s"""WITH base AS (
+       |  SELECT doc_id, t, CAST(len(t) AS BIGINT) AS n_tok
+       |  FROM (SELECT doc_id, ${TextOps.toksSqlD} AS t FROM documents)),
+       |grams AS (
+       |  SELECT doc_id, i, md5(array_to_string(t[i : i + ${spanK - 1}], ' ')) AS g
+       |  FROM base, UNNEST(generate_series(1, len(t) - ${spanK - 1})) AS u(i)
+       |  WHERE n_tok >= $spanK),
+       |dup AS (
+       |  SELECT doc_id, i FROM (
+       |    SELECT doc_id, i, COUNT(*) OVER (PARTITION BY g) AS occ FROM grams)
+       |  WHERE occ > 1),
+       |covered AS (
+       |  SELECT DISTINCT doc_id, p
+       |  FROM dup, UNNEST(generate_series(i, i + ${spanK - 1})) AS v(p)),
+       |cnt AS (SELECT doc_id, COUNT(*) AS n_dup_tok FROM covered GROUP BY doc_id)
+       |SELECT b.doc_id, b.n_tok, COALESCE(cnt.n_dup_tok, 0) AS n_dup_tok,
+       |  ROUND(CAST(COALESCE(cnt.n_dup_tok, 0) AS DOUBLE) / b.n_tok, 6) AS dup_frac
+       |FROM base b LEFT JOIN cnt ON cnt.doc_id = b.doc_id
+       |ORDER BY b.doc_id""".stripMargin
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q106_decontaminate", q106Decontaminate _, Some(q106Sql)),
     ("q107_vocab_encode", q107VocabEncode _, Some(q107Sql)),
@@ -427,5 +494,6 @@ object PipelineOps {
     ("q109_weighted_sample", q109WeightedSample _, Some(q109Sql)),
     ("q110_kmeans", q110KMeans _, Some(q110Sql)),
     ("q111_incremental_dedup", q111IncrementalDedup _, Some(q111Sql)),
-    ("q112_budget_select", q112BudgetSelect _, Some(q112Sql)))
+    ("q112_budget_select", q112BudgetSelect _, Some(q112Sql)),
+    ("q113_span_dedup", q113SpanDedup _, Some(q113Sql)))
 }

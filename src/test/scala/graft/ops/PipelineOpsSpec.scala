@@ -170,6 +170,27 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  // --------------------------------------------------------------------- q113
+  test("span dedup covers exactly the tokens under corpus-repeated 10-grams") {
+    import spark.implicits._
+    val common = (1 to 10).map(i => s"c$i").mkString(" ")
+    val docs = Seq(
+      (1L, common + " b1 b2 b3"),                        // shares the c-run with doc 2
+      (2L, common + " d1 d2"),
+      (3L, ((1 to 10) ++ (1 to 10)).map(i => s"x$i").mkString(" ")), // internal repeat
+      (4L, (1 to 15).map(i => s"u$i").mkString(" ")),    // unique
+      (5L, "short doc under ten tokens")                 // too short for any span
+    ).toDF("doc_id", "text")
+    val out = PipelineOps.spanDedup(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_tok"), r.getAs[Long]("n_dup_tok")))).toMap
+    assert(out(1L) === ((13L, 10L))) // only the shared c-run is covered
+    assert(out(2L) === ((12L, 10L)))
+    assert(out(3L) === ((20L, 20L))) // the x-run repeats within the doc
+    assert(out(4L) === ((15L, 0L)))
+    assert(out(5L) === ((5L, 0L)))   // < k tokens → no spans, still reported
+  }
+
   // --------------------------------------------------------------------- q110
   test("spherical k-means recovers planted clusters and iterating does not hurt") {
     import spark.implicits._
