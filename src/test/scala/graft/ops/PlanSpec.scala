@@ -208,4 +208,19 @@ class PlanSpec extends SparkSpec {
     // build side of any shuffle join
     assert(p.contains("BroadcastExchange"), p)
   }
+
+  test("q111 incremental dedup plans only equi-joins — batch×corpus, never corpus²") {
+    val p = plan(PipelineOps.q111IncrementalDedup(spark, dir))
+    assert(!p.contains("NestedLoop"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q113 span dedup counts gram occurrences in one lineage — no join-back re-scan") {
+    val p = plan(PipelineOps.q113SpanDedup(spark, dir))
+    // one scan feeds the positional-gram explode + occurrence window; the
+    // second is the per-doc n_tok base the coverage joins back onto
+    val scans = "\\(\\d+\\) Scan parquet".r.findAllIn(p).size
+    assert(scans <= 2, s"expected <=2 scans, got $scans:\n$p")
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"), p)
+  }
 }
