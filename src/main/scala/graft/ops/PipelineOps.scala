@@ -487,6 +487,56 @@ object PipelineOps {
        |FROM base b LEFT JOIN cnt ON cnt.doc_id = b.doc_id
        |ORDER BY b.doc_id""".stripMargin
 
+  // --------------------------------------------------------------------------
+  // q114 — hierarchy flatten (root + depth per node) by POINTER DOUBLING:
+  // Spark has no recursive CTE, and the naive parent-at-a-time loop is
+  // O(depth) shuffles; doubling composes ancestor jumps (anc ← anc(anc),
+  // d ← d + d(anc)) so the frontier reaches the root in O(log depth)
+  // self-equi-joins — the classic parallel list-ranking shape, and the
+  // complement of q82's min-label/star connected components (undirected
+  // clusters there, rooted trees here). The synthetic forest is
+  // parent(k) = k div 7 with roots below 7 — depth ~6 at sf0.1, so 3
+  // doubling rounds; convergence is a 1-row max(anc) aggregate per round
+  // (the same iterative-loop contract as the CC operator).
+  //
+  // Scale shape per round: one shuffle equi-join of the frontier with
+  // itself on the ancestor key + the scalar convergence check; rounds are
+  // log₂(max depth), e.g. a 1M-deep pathological chain still converges in
+  // 20 joins. The oracle is DuckDB's native WITH RECURSIVE.
+  def q114Hierarchy(spark: SparkSession, dir: String): DataFrame =
+    hierarchyFlatten(
+      Tables.customer(spark, dir).select(col("c_custkey").as("node")))
+
+  /** nodes(node: long) with parent(k) = k div 7, roots k < 7 →
+    * (custkey, root, depth). */
+  def hierarchyFlatten(nodes: DataFrame): DataFrame = {
+    var f = nodes.select(
+      col("node"),
+      when(col("node") < 7, col("node")).otherwise(expr("node div 7")).as("anc"),
+      when(col("node") < 7, 0L).otherwise(1L).as("d"))
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < 40) {
+      val g = f.select(col("node").as("g_node"), col("anc").as("g_anc"),
+        col("d").as("g_d"))
+      f = f.join(g, f("anc") === g("g_node"))
+        .select(col("node"), col("g_anc").as("anc"), (col("d") + col("g_d")).as("d"))
+        .localCheckpoint() // truncate the doubling lineage each round
+      rounds += 1
+      converged = f.agg(max(col("anc")).as("m")).head().getLong(0) < 7
+    }
+    f.select(col("node").as("custkey"), col("anc").as("root"), col("d").as("depth"))
+      .orderBy(col("custkey"))
+  }
+
+  val q114Sql: String =
+    """WITH RECURSIVE r(node, cur, depth) AS (
+      |  SELECT c_custkey, c_custkey, 0 FROM customer
+      |  UNION ALL
+      |  SELECT node, cur // 7, depth + 1 FROM r WHERE cur >= 7)
+      |SELECT node AS custkey, cur AS root, CAST(depth AS BIGINT) AS depth
+      |FROM r WHERE cur < 7 ORDER BY custkey""".stripMargin
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q106_decontaminate", q106Decontaminate _, Some(q106Sql)),
     ("q107_vocab_encode", q107VocabEncode _, Some(q107Sql)),
@@ -495,5 +545,6 @@ object PipelineOps {
     ("q110_kmeans", q110KMeans _, Some(q110Sql)),
     ("q111_incremental_dedup", q111IncrementalDedup _, Some(q111Sql)),
     ("q112_budget_select", q112BudgetSelect _, Some(q112Sql)),
-    ("q113_span_dedup", q113SpanDedup _, Some(q113Sql)))
+    ("q113_span_dedup", q113SpanDedup _, Some(q113Sql)),
+    ("q114_hierarchy", q114Hierarchy _, Some(q114Sql)))
 }

@@ -191,6 +191,19 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out(5L) === ((5L, 0L)))   // < k tokens → no spans, still reported
   }
 
+  // --------------------------------------------------------------------- q114
+  test("hierarchy flatten resolves roots and depths through pointer doubling") {
+    import spark.implicits._
+    // forest under parent(k) = k div 7: 343→49→7→1 (root), 50→7→1, 3 root
+    val nodes = Seq(1L, 3L, 7L, 49L, 50L, 343L).toDF("node")
+    val out = PipelineOps.hierarchyFlatten(nodes.repartition(3)).collect()
+      .map(r => r.getAs[Long]("custkey") ->
+        ((r.getAs[Long]("root"), r.getAs[Long]("depth")))).toMap
+    assert(out === Map(
+      1L -> ((1L, 0L)), 3L -> ((3L, 0L)), 7L -> ((1L, 1L)),
+      49L -> ((1L, 2L)), 50L -> ((1L, 2L)), 343L -> ((1L, 3L))))
+  }
+
   // --------------------------------------------------------------------- q110
   test("spherical k-means recovers planted clusters and iterating does not hurt") {
     import spark.implicits._
