@@ -504,29 +504,36 @@ object PipelineOps {
   // log₂(max depth), e.g. a 1M-deep pathological chain still converges in
   // 20 joins. The oracle is DuckDB's native WITH RECURSIVE.
   def q114Hierarchy(spark: SparkSession, dir: String): DataFrame =
-    hierarchyFlatten(
-      Tables.customer(spark, dir).select(col("c_custkey").as("node")))
+    flattenParents(
+      Tables.customer(spark, dir).select(
+        col("c_custkey").as("node"),
+        when(col("c_custkey") < 7, col("c_custkey"))
+          .otherwise(expr("c_custkey div 7")).as("parent")))
+      .select(col("node").as("custkey"), col("root"), col("depth"))
+      .orderBy(col("custkey"))
 
-  /** nodes(node: long) with parent(k) = k div 7, roots k < 7 →
-    * (custkey, root, depth). */
-  def hierarchyFlatten(nodes: DataFrame): DataFrame = {
-    var f = nodes.select(
-      col("node"),
-      when(col("node") < 7, col("node")).otherwise(expr("node div 7")).as("anc"),
-      when(col("node") < 7, 0L).otherwise(1L).as("d"))
+  /** General hierarchy flatten: parents(node, parent) — roots point to
+    * themselves — → (node, root, depth) by pointer doubling. Convergence
+    * = a round that changes no ancestor pointer (a root's self-loop is a
+    * fixed point), checked with a 1-row aggregate on the round's join. */
+  def flattenParents(parents: DataFrame): DataFrame = {
+    var f = parents.select(
+      col("node"), col("parent").as("anc"),
+      when(col("parent") === col("node"), 0L).otherwise(1L).as("d"))
     var converged = false
     var rounds = 0
     while (!converged && rounds < 40) {
       val g = f.select(col("node").as("g_node"), col("anc").as("g_anc"),
         col("d").as("g_d"))
-      f = f.join(g, f("anc") === g("g_node"))
+      val joined = f.join(g, f("anc") === g("g_node")).localCheckpoint()
+      converged = joined
+        .agg(sum(when(col("anc") =!= col("g_anc"), 1L).otherwise(0L)).as("n"))
+        .head().getLong(0) == 0L
+      f = joined
         .select(col("node"), col("g_anc").as("anc"), (col("d") + col("g_d")).as("d"))
-        .localCheckpoint() // truncate the doubling lineage each round
       rounds += 1
-      converged = f.agg(max(col("anc")).as("m")).head().getLong(0) < 7
     }
-    f.select(col("node").as("custkey"), col("anc").as("root"), col("d").as("depth"))
-      .orderBy(col("custkey"))
+    f.select(col("node"), col("anc").as("root"), col("d").as("depth"))
   }
 
   val q114Sql: String =

@@ -194,14 +194,29 @@ class PipelineOpsSpec extends SparkSpec {
   // --------------------------------------------------------------------- q114
   test("hierarchy flatten resolves roots and depths through pointer doubling") {
     import spark.implicits._
-    // forest under parent(k) = k div 7: 343→49→7→1 (root), 50→7→1, 3 root
-    val nodes = Seq(1L, 3L, 7L, 49L, 50L, 343L).toDF("node")
-    val out = PipelineOps.hierarchyFlatten(nodes.repartition(3)).collect()
-      .map(r => r.getAs[Long]("custkey") ->
+    // forest: 343→49→7→1 (root, self-loop), 50→7, 3 its own root
+    val parents = Seq((1L, 1L), (3L, 3L), (7L, 1L), (49L, 7L), (50L, 7L),
+      (343L, 49L)).toDF("node", "parent")
+    val out = PipelineOps.flattenParents(parents.repartition(3)).collect()
+      .map(r => r.getAs[Long]("node") ->
         ((r.getAs[Long]("root"), r.getAs[Long]("depth")))).toMap
     assert(out === Map(
       1L -> ((1L, 0L)), 3L -> ((3L, 0L)), 7L -> ((1L, 1L)),
       49L -> ((1L, 2L)), 50L -> ((1L, 2L)), 343L -> ((1L, 3L))))
+  }
+
+  test("hierarchy flatten handles a 120-deep chain in logarithmic rounds (40-round guard untouched)") {
+    import spark.implicits._
+    // linear chain 0←1←2←…←120: depth k for node k; doubling needs ~7
+    // rounds where a parent-hop loop would need 120
+    val parents = (0L to 120L).map(k => (k, math.max(k - 1, 0L))).toDF("node", "parent")
+    val out = PipelineOps.flattenParents(parents).collect()
+      .map(r => r.getAs[Long]("node") -> ((r.getAs[Long]("root"), r.getAs[Long]("depth"))))
+      .toMap
+    assert(out(0L) === ((0L, 0L)))
+    assert(out(1L) === ((0L, 1L)))
+    assert(out(120L) === ((0L, 120L)))
+    assert(out.size === 121 && out.values.forall(_._1 == 0L))
   }
 
   // --------------------------------------------------------------------- q110
