@@ -544,6 +544,56 @@ object PipelineOps {
       |SELECT node AS custkey, cur AS root, CAST(depth AS BIGINT) AS depth
       |FROM r WHERE cur < 7 ORDER BY custkey""".stripMargin
 
+  // --------------------------------------------------------------------------
+  // q115 — temperature-scaled mixture sampling: per-language sampling
+  // rates computed FROM the corpus itself as rate_l ∝ p_l^(α−1) (α = 0.7,
+  // normalized so the expected kept fraction is 0.5, capped at 1) — the
+  // standard multilingual rebalancing that up-samples tail languages and
+  // down-samples the head; kept docs carry weight = 1/rate so downstream
+  // statistics stay unbiased. Differs from q75, whose rates are a given
+  // dimension table: here the rate table is derived in-plan from corpus
+  // statistics (two tiny aggregates over the per-lang histogram).
+  //
+  // Scale shape: the lang histogram and its normalizer are ~|langs|-row
+  // aggregates that BROADCAST back; membership is the q27/q109 portable
+  // md5 uniform against the broadcast rate — row-local, no shuffle over
+  // the corpus beyond the histogram's one aggregate.
+  def q115TemperatureMixture(spark: SparkSession, dir: String): DataFrame =
+    temperatureMixture(Tables.documents(spark, dir), alpha = 0.7, targetFrac = 0.5)
+
+  /** documents(doc_id, lang, text) → kept docs with (rate, weight). */
+  def temperatureMixture(docs: DataFrame, alpha: Double, targetFrac: Double): DataFrame = {
+    val stats = docs.groupBy(col("lang")).agg(count(lit(1)).cast("double").as("n_l"))
+    val withP = stats.crossJoin(broadcast(stats.agg(sum(col("n_l")).as("N"))))
+      .withColumn("p", col("n_l") / col("N"))
+      .withColumn("w", pow(col("p"), alpha - 1))
+    val z = withP.agg(sum(col("p") * col("w")).as("Z"))
+    val rates = withP.crossJoin(broadcast(z))
+      .select(col("lang"), least(lit(1.0), lit(targetFrac) * col("w") / col("Z")).as("rate"))
+    val v = conv(substring(md5(col("text")), 1, 13), 16, 10).cast("long")
+    val u = (v.cast("double") + 0.5) / lit(4503599627370496.0)
+    docs.join(broadcast(rates), Seq("lang"))
+      .filter(u < col("rate"))
+      .select(col("doc_id"), col("lang"),
+        round(col("rate"), 6).as("rate"),
+        round(lit(1.0) / col("rate"), 6).as("weight"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q115Sql: String =
+    """WITH st AS (SELECT lang, CAST(COUNT(*) AS DOUBLE) AS n_l FROM documents GROUP BY lang),
+      |tot AS (SELECT SUM(n_l) AS N FROM st),
+      |wts AS (SELECT lang, n_l / N AS p, POW(n_l / N, 0.7 - 1) AS w FROM st, tot),
+      |z AS (SELECT SUM(p * w) AS Z FROM wts),
+      |rates AS (SELECT lang, LEAST(1.0, 0.5 * w / Z) AS rate FROM wts, z)
+      |SELECT d.doc_id, d.lang, ROUND(r.rate, 6) AS rate,
+      |       ROUND(1.0 / r.rate, 6) AS weight
+      |FROM documents d JOIN rates r USING (lang)
+      |WHERE (CAST(list_reduce(list_transform(range(1, 14),
+      |         i -> CAST(strpos('0123456789abcdef', md5(d.text)[i]) AS BIGINT) - 1),
+      |         (a, b) -> a * 16 + b) AS DOUBLE) + 0.5) / 4503599627370496.0 < r.rate
+      |ORDER BY d.doc_id""".stripMargin
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q106_decontaminate", q106Decontaminate _, Some(q106Sql)),
     ("q107_vocab_encode", q107VocabEncode _, Some(q107Sql)),
@@ -553,5 +603,6 @@ object PipelineOps {
     ("q111_incremental_dedup", q111IncrementalDedup _, Some(q111Sql)),
     ("q112_budget_select", q112BudgetSelect _, Some(q112Sql)),
     ("q113_span_dedup", q113SpanDedup _, Some(q113Sql)),
-    ("q114_hierarchy", q114Hierarchy _, Some(q114Sql)))
+    ("q114_hierarchy", q114Hierarchy _, Some(q114Sql)),
+    ("q115_temperature_mixture", q115TemperatureMixture _, Some(q115Sql)))
 }

@@ -219,6 +219,59 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out.size === 121 && out.values.forall(_._1 == 0L))
   }
 
+  // --------------------------------------------------------------------- q115
+  test("temperature mixture up-samples tail languages and keeps ~targetFrac overall") {
+    import spark.implicits._
+    // heavily skewed corpus: en 900, de 90, fr 10
+    val docs = ((0 until 900).map(i => (i.toLong, "en")) ++
+      (900 until 990).map(i => (i.toLong, "de")) ++
+      (990 until 1000).map(i => (i.toLong, "fr")))
+      .map { case (id, l) => (id, l, s"payload text $l $id") }
+      .toDF("doc_id", "lang", "text")
+    val out = PipelineOps.temperatureMixture(docs, alpha = 0.7, targetFrac = 0.5)
+    val rates = out.select(col("lang"), col("rate")).distinct().collect()
+      .map(r => r.getAs[String]("lang") -> r.getAs[Double]("rate")).toMap
+    // α < 1 ⇒ strictly higher sampling rate for rarer languages
+    assert(rates("fr") > rates("de") && rates("de") > rates("en"), rates.toString)
+    // expected kept fraction ≈ targetFrac (hash is uniform; 1000 draws)
+    val kept = out.count().toDouble / 1000
+    assert(kept > 0.35 && kept < 0.65, s"kept fraction $kept")
+    // weights invert rates
+    out.collect().foreach { r =>
+      assert(math.abs(r.getAs[Double]("weight") * r.getAs[Double]("rate") - 1.0) < 1e-3)
+    }
+  }
+
+  test("flattenParents matches a sequential reference on random forests") {
+    import spark.implicits._
+    var state = 5L
+    def next(n: Int): Int = {
+      state = state * 6364136223846793005L + 1442695040888963407L
+      ((state >>> 33) % n).toInt
+    }
+    for (trial <- 1 to 3) {
+      val n = 40 + trial * 30
+      // node k's parent is a uniformly random earlier node (k=0 root);
+      // every node also has a 1-in-8 chance of being its own root
+      val parent = Array.tabulate(n) { k =>
+        if (k == 0 || next(8) == 0) k else next(k)
+      }
+      def refRootDepth(k: Int): (Int, Int) = {
+        var cur = k; var d = 0
+        while (parent(cur) != cur) { cur = parent(cur); d += 1 }
+        (cur, d)
+      }
+      val df = (0 until n).map(k => (k.toLong, parent(k).toLong)).toDF("node", "parent")
+      val got = PipelineOps.flattenParents(df.repartition(4)).collect()
+        .map(r => r.getAs[Long]("node") ->
+          ((r.getAs[Long]("root"), r.getAs[Long]("depth")))).toMap
+      (0 until n).foreach { k =>
+        val (root, d) = refRootDepth(k)
+        assert(got(k.toLong) === ((root.toLong, d.toLong)), s"trial $trial node $k")
+      }
+    }
+  }
+
   // --------------------------------------------------------------------- q110
   test("spherical k-means recovers planted clusters and iterating does not hurt") {
     import spark.implicits._
