@@ -448,6 +448,73 @@ object VectorOps {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  // --------------------------------------------------------------------------
+  // q116 — contrastive pair mining for embedding training: for each anchor
+  // (vec_id < 20), the POSITIVE is its most-similar same-label vector and
+  // the HARD NEGATIVE its most-similar different-label vector — the
+  // (anchor, positive, hard-negative) triplets that make contrastive /
+  // triplet losses converge fastest. Deterministic argmax via
+  // max(struct(sim, -vec_id)): ties prefer the LOWER vector id.
+  //
+  // Scale shape: anchors broadcast (a fixed training-batch-sized set);
+  // the base table streams through ONE pass scoring both roles per row
+  // (same-label rows compete for positive, different-label for negative),
+  // and the per-anchor argmax is a map-side-partial hash aggregate — no
+  // window sort, no second scan, nothing anchored on corpus size.
+  def q116ContrastivePairs(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.CosineSimilarity.register(spark)
+    contrastivePairs(Tables.embeddings(spark, dir), nAnchors = 20)
+  }
+
+  /** embeddings(vec_id, label, embedding) → one (positive, negative)
+    * triplet row per anchor. */
+  def contrastivePairs(embeddings: DataFrame, nAnchors: Int): DataFrame = {
+    val base = embeddings.select(col("vec_id"), col("label"), vd.as("v"))
+    val anchors = base.filter(col("vec_id") < nAnchors)
+      .select(col("vec_id").as("aid"), col("label").as("alabel"), col("v").as("av"))
+    base.crossJoin(broadcast(anchors))
+      .filter(col("vec_id") =!= col("aid"))
+      .withColumn("sim", expr("cosine_sim(v, av)"))
+      .groupBy(col("aid"))
+      .agg(
+        max(when(col("label") === col("alabel"),
+          struct(col("sim"), (-col("vec_id")).as("nid")))).as("pos"),
+        max(when(col("label") =!= col("alabel"),
+          struct(col("sim"), (-col("vec_id")).as("nid")))).as("neg"))
+      .select(col("aid"),
+        (-col("pos.nid")).as("pos_id"), round(col("pos.sim"), 4).as("pos_sim"),
+        (-col("neg.nid")).as("neg_id"), round(col("neg.sim"), 4).as("neg_sim"))
+      .orderBy(col("aid"))
+  }
+
+  /** Same dot/norm fold as the q40 oracle; argmax tie-break sim DESC,
+    * vec_id ASC mirrors max(struct(sim, -vec_id)). */
+  val q116Sql: String =
+    """WITH base AS (
+      |  SELECT vec_id, label, embedding::DOUBLE[] AS v,
+      |    list_reduce(list_transform(embedding::DOUBLE[], x -> x * x), (a, b) -> a + b) AS n2
+      |  FROM embeddings),
+      |a AS (SELECT vec_id AS aid, label AS alabel, v AS av, n2 AS an2
+      |      FROM base WHERE vec_id < 20),
+      |sims AS (
+      |  SELECT aid, alabel, b.vec_id, b.label,
+      |    list_reduce(list_transform(range(1, 65), d -> b.v[d] * av[d]), (x, y) -> x + y)
+      |      / sqrt(b.n2 * an2) AS sim
+      |  FROM base b CROSS JOIN a WHERE b.vec_id <> aid),
+      |pos AS (
+      |  SELECT aid, vec_id AS pos_id, sim AS pos_sim FROM (
+      |    SELECT aid, vec_id, sim,
+      |      ROW_NUMBER() OVER (PARTITION BY aid ORDER BY sim DESC, vec_id ASC) AS rn
+      |    FROM sims WHERE label = alabel) WHERE rn = 1),
+      |neg AS (
+      |  SELECT aid, vec_id AS neg_id, sim AS neg_sim FROM (
+      |    SELECT aid, vec_id, sim,
+      |      ROW_NUMBER() OVER (PARTITION BY aid ORDER BY sim DESC, vec_id ASC) AS rn
+      |    FROM sims WHERE label <> alabel) WHERE rn = 1)
+      |SELECT aid, pos_id, ROUND(pos_sim, 4) AS pos_sim,
+      |       neg_id, ROUND(neg_sim, 4) AS neg_sim
+      |FROM pos JOIN neg USING (aid) ORDER BY aid""".stripMargin
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q40_cosine_topk", q40CosineTopk _, Some(q40Sql)),
     ("q49_cosine_neardup", q49CosineNearDup _, Some(q49Sql)),
@@ -457,5 +524,6 @@ object VectorOps {
     ("q45_ann_ivf", q45AnnIvf _, Some(q45Sql)),
     // same oracle as q49: the bucketed path must reproduce the exact
     // all-pairs result (full recall by construction of the band params)
-    ("q104_cosine_neardup_lsh", q104CosineNearDupLsh _, Some(q49Sql)))
+    ("q104_cosine_neardup_lsh", q104CosineNearDupLsh _, Some(q49Sql)),
+    ("q116_contrastive_pairs", q116ContrastivePairs _, Some(q116Sql)))
 }

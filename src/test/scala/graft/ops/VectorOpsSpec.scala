@@ -123,4 +123,19 @@ class VectorOpsSpec extends SparkSpec {
       .collect().map(_.toSeq).toSet
     assert(a === b)
   }
+
+  test("contrastive pairs mine in-cluster positives and out-of-cluster hard negatives") {
+    graft.functions.CosineSimilarity.register(spark)
+    val emb = clusteredEmbeddings // labels = planted clusters, ~0.99 in / ~0 cross
+    val rows = VectorOps.contrastivePairs(emb, nAnchors = 10).collect()
+    assert(rows.nonEmpty)
+    val label = emb.collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("label")).toMap
+    rows.foreach { r =>
+      val aid = r.getAs[Long]("aid")
+      assert(label(r.getAs[Long]("pos_id")) === label(aid), s"anchor $aid positive")
+      assert(label(r.getAs[Long]("neg_id")) !== label(aid), s"anchor $aid negative")
+      // separated clusters: the positive must dominate the hard negative
+      assert(r.getAs[Double]("pos_sim") > r.getAs[Double]("neg_sim"), s"anchor $aid margin")
+    }
+  }
 }
