@@ -440,8 +440,53 @@ object RelationalMore {
       |  FROM counts)
       |WHERE rn = 1 ORDER BY cohort""".stripMargin
 
+  // --------------------------------------------------------------------------
+  // q117 — weighted median (weight-aware percentile — not a Spark or ANSI
+  // builtin): per return flag, the lowest price at which the cumulative
+  // quantity reaches half the group's total — i.e. the median of the
+  // price distribution where each row counts l_quantity times. Quantities
+  // are integral-valued doubles → cast to long so every cumulative sum is
+  // exact and order-independent; price goes through the DECIMAL(18,2)
+  // money policy. Deterministic under price ties: whichever tied row
+  // crosses the threshold, the crossing PRICE is the same.
+  //
+  // Scale shape: one shuffle + sort per group (the unavoidable cost of an
+  // exact order statistic); for mega-groups the q112 two-phase refinement
+  // (value-bucket weight histogram → cutoff bucket → bounded in-bucket
+  // pass) bounds the sorted set the same way.
+  def q117WeightedMedian(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables.lineitem(spark, dir).select(
+      col("l_returnflag").as("flag"),
+      col("l_extendedprice").cast("decimal(18,2)").as("price"),
+      col("l_quantity").cast("long").as("qty"))
+    val w = Window.partitionBy(col("flag")).orderBy(col("price"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t.withColumn("cum", sum(col("qty")).over(w))
+      .withColumn("tot", sum(col("qty")).over(Window.partitionBy(col("flag"))))
+      .filter(col("cum") * 2 >= col("tot"))
+      .groupBy(col("flag"))
+      .agg(min(col("price")).cast("double").as("wmedian"))
+      .orderBy(col("flag"))
+  }
+
+  val q117Sql: String =
+    """WITH t AS (
+      |  SELECT l_returnflag AS flag,
+      |         CAST(l_extendedprice AS DECIMAL(18,2)) AS price,
+      |         CAST(l_quantity AS BIGINT) AS qty
+      |  FROM lineitem),
+      |c AS (
+      |  SELECT flag, price,
+      |    SUM(qty) OVER (PARTITION BY flag ORDER BY price
+      |                   ROWS UNBOUNDED PRECEDING) AS cum,
+      |    SUM(qty) OVER (PARTITION BY flag) AS tot
+      |  FROM t)
+      |SELECT flag, CAST(MIN(price) AS DOUBLE) AS wmedian
+      |FROM c WHERE cum * 2 >= tot GROUP BY flag ORDER BY flag""".stripMargin
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q53_date_spine", q53DateSpine _, Some(q53Sql)),
+    ("q117_weighted_median", q117WeightedMedian _, Some(q117Sql)),
     ("q76_stats", q76Stats _, Some(q76Sql)),
     ("q78_histogram", q78Histogram _, Some(q78Sql)),
     ("q67_merge_upsert", q67MergeUpsert _, Some(q67Sql)),

@@ -83,4 +83,26 @@ class RelationalMoreSpec extends SparkSpec {
       assert(df.filter(col("c_name").isNull).count() === 0L)
     } finally df.unpersist()
   }
+
+  test("weighted median picks the lowest value whose cumulative weight reaches half") {
+    val rows = RelationalMore.q117WeightedMedian(spark, "/root/testdata/sf0.001").collect()
+    assert(rows.nonEmpty)
+    // cross-check each flag against a driver-side reference on the tiny SF
+    val raw = graft.Tables.lineitem(spark, "/root/testdata/sf0.001")
+      .select(col("l_returnflag"), col("l_extendedprice"), col("l_quantity"))
+      .collect()
+      .map(r => (r.getString(0), BigDecimal(r.getDouble(1)).setScale(2), r.getDouble(2).toLong))
+    val expected = raw.groupBy(_._1).map { case (flag, rs) =>
+      val sorted = rs.sortBy(_._2)
+      val tot = sorted.map(_._3).sum
+      var cum = 0L
+      flag -> sorted.collectFirst {
+        case (_, price, q) if { cum += q; cum * 2 >= tot } => price.toDouble
+      }.get
+    }
+    rows.foreach { r =>
+      assert(r.getAs[Double]("wmedian") === expected(r.getAs[String]("flag")),
+        s"flag ${r.getAs[String]("flag")}")
+    }
+  }
 }
