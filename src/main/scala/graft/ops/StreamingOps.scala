@@ -170,6 +170,21 @@ object StreamingOps {
       |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Incremental corpus dedup, written once for batch AND streaming: drop
+    * incoming docs whose content hash already exists in the static corpus
+    * (stream-static LEFT ANTI join — the corpus side is a static
+    * DataFrame the planner can broadcast or shuffle per micro-batch),
+    * then keep only the FIRST arrival of each new hash (stateful
+    * dropDuplicates; bound state with a watermark upstream when the
+    * stream is event-timed). This is the streaming front door for q111's
+    * exact pass: the same lineage runs under MemoryStream in
+    * StreamingSpec and on plain DataFrames in batch.
+    */
+  def dedupAgainstCorpus(incoming: DataFrame, corpusHashes: DataFrame): DataFrame =
+    incoming.withColumn("h", md5(col("text")))
+      .join(corpusHashes, Seq("h"), "left_anti")
+      .dropDuplicates("h")
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q60_tumbling_window", q60Tumbling _, Some(q60Sql)),
     ("q61_sliding_window", q61Sliding _, Some(q61Sql)),

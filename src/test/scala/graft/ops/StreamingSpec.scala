@@ -83,6 +83,27 @@ class StreamingSpec extends SparkSpec {
     assert(rows === Map(1L -> "gold", 2L -> "basic", 3L -> null))
   }
 
+  test("stream-static anti-join dedup drops corpus copies and in-stream dups, first arrival wins") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq("old text a", "old text b").toDF("text")
+      .select(org.apache.spark.sql.functions.md5($"text").as("h"))
+    val stream = MemoryStream[(Long, String)]
+    val q = StreamingOps.dedupAgainstCorpus(
+        stream.toDF().toDF("doc_id", "text"), corpus)
+      .writeStream.format("memory").queryName("corpus_dedup_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      stream.addData((10L, "old text a"), (11L, "fresh one"))
+      q.processAllAvailable()
+      stream.addData((12L, "fresh one"), (13L, "fresh two"), (14L, "old text b"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val kept = spark.table("corpus_dedup_out").collect()
+      .map(_.getAs[Long]("doc_id")).sorted
+    assert(kept.toSeq === Seq(11L, 13L))
+  }
+
   test("streaming dropDuplicates emits each event_id once across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
