@@ -484,9 +484,102 @@ object RelationalMore {
       |SELECT flag, CAST(MIN(price) AS DOUBLE) AS wmedian
       |FROM c WHERE cum * 2 >= tot GROUP BY flag ORDER BY flag""".stripMargin
 
+  // --------------------------------------------------------------------------
+  // q119 — categorical association (chi² / mutual information / Cramér's V
+  // between lang and source): the metadata-correlation screen a corpus
+  // pipeline runs to catch confounded provenance (e.g. one crawl source
+  // dominating one language) before training-mix decisions.
+  //
+  // Numeric determinism: every cell count and marginal is an exact long;
+  // the cell-statistic SUMS are folded in a DETERMINISTIC order (cells
+  // sorted by (lang, source), aggregate() over the sorted array — DuckDB
+  // folds its ORDER BY list identically) so the doubles are bit-equal
+  // cross-engine before the final rounding, instead of relying on a
+  // partition-order-dependent SUM.
+  //
+  // Scale shape: one hash aggregate to the |langs|×|sources| contingency
+  // table, everything after is arithmetic on that tiny table (window
+  // marginals + a collect to one row) — corpus-size-independent.
+  def q119Association(spark: SparkSession, dir: String): DataFrame =
+    association(Tables.documents(spark, dir))
+
+  /** docs(lang, source) → 1-row (chi2, mi, cramers_v). The contingency
+    * grid is DENSIFIED (marginals cross-joined, absent cells n = 0):
+    * structural zeros contribute their full e_ij to chi² — dropping them
+    * understates the statistic (caught by the bijective-fixture spec);
+    * their MI term is 0 by the n·ln(n) → 0 limit. */
+  def association(docs: DataFrame): DataFrame = {
+    val cells = docs
+      .groupBy(col("lang"), col("source")).agg(count(lit(1)).as("n"))
+    val li = cells.groupBy(col("lang")).agg(sum(col("n")).as("ni"))
+    val sj = cells.groupBy(col("source")).agg(sum(col("n")).as("nj"))
+    val dense = li.crossJoin(sj)
+      .join(cells, Seq("lang", "source"), "left")
+      .withColumn("n", coalesce(col("n"), lit(0L)))
+      .crossJoin(broadcast(cells.agg(sum(col("n")).as("nn"))))
+    dense
+      .groupBy(lit(1).as("g"))
+      .agg(
+        sort_array(collect_list(struct(
+          col("lang"), col("source"), col("n"), col("ni"), col("nj"), col("nn")))).as("cs"),
+        countDistinct(col("lang")).as("r"),
+        countDistinct(col("source")).as("c"),
+        max(col("nn")).as("nn"))
+      .withColumn("chi2", expr(
+        """aggregate(cs, 0.0d, (a, x) ->
+          |  a + pow(x.n - cast(x.ni as double) * x.nj / x.nn, 2)
+          |      / (cast(x.ni as double) * x.nj / x.nn))""".stripMargin))
+      .withColumn("mi", expr(
+        """aggregate(cs, 0.0d, (a, x) ->
+          |  a + (CASE WHEN x.n > 0
+          |       THEN (cast(x.n as double) / x.nn)
+          |            * ln(cast(x.n as double) * x.nn / (cast(x.ni as double) * x.nj))
+          |       ELSE 0.0d END))""".stripMargin))
+      .select(
+        round(col("chi2"), 4).as("chi2"),
+        round(col("mi"), 6).as("mi"),
+        round(sqrt(col("chi2") / (col("nn") * (least(col("r"), col("c")) - 1))), 6)
+          .as("cramers_v"))
+  }
+
+  /** DuckDB folds list(... ORDER BY lang, source) in the same order as the
+    * Spark sort_array fold — bit-identical accumulation. */
+  val q119Sql: String =
+    """WITH cells AS (
+      |  SELECT lang, source, COUNT(*) AS n FROM documents GROUP BY lang, source),
+      |li AS (SELECT lang, SUM(n) AS ni FROM cells GROUP BY lang),
+      |sj AS (SELECT source, SUM(n) AS nj FROM cells GROUP BY source),
+      |tot AS (SELECT SUM(n) AS nn FROM cells),
+      |m AS (
+      |  SELECT l.lang, s.source, COALESCE(c.n, 0) AS n, l.ni, s.nj, t.nn
+      |  FROM li l CROSS JOIN sj s
+      |  LEFT JOIN cells c ON c.lang = l.lang AND c.source = s.source
+      |  CROSS JOIN tot t),
+      |agg AS (
+      |  SELECT
+      |    list_reduce(
+      |      list_prepend(0.0, list(
+      |        POW(n - CAST(ni AS DOUBLE) * nj / nn, 2) / (CAST(ni AS DOUBLE) * nj / nn)
+      |        ORDER BY lang, source)),
+      |      (a, b) -> a + b) AS chi2,
+      |    list_reduce(
+      |      list_prepend(0.0, list(
+      |        CASE WHEN n > 0
+      |          THEN (CAST(n AS DOUBLE) / nn)
+      |               * LN(CAST(n AS DOUBLE) * nn / (CAST(ni AS DOUBLE) * nj))
+      |          ELSE 0.0 END
+      |        ORDER BY lang, source)),
+      |      (a, b) -> a + b) AS mi,
+      |    COUNT(DISTINCT lang) AS r, COUNT(DISTINCT source) AS c, MAX(nn) AS nn
+      |  FROM m)
+      |SELECT ROUND(chi2, 4) AS chi2, ROUND(mi, 6) AS mi,
+      |       ROUND(SQRT(chi2 / (nn * (LEAST(r, c) - 1))), 6) AS cramers_v
+      |FROM agg""".stripMargin
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q53_date_spine", q53DateSpine _, Some(q53Sql)),
     ("q117_weighted_median", q117WeightedMedian _, Some(q117Sql)),
+    ("q119_association", q119Association _, Some(q119Sql)),
     ("q76_stats", q76Stats _, Some(q76Sql)),
     ("q78_histogram", q78Histogram _, Some(q78Sql)),
     ("q67_merge_upsert", q67MergeUpsert _, Some(q67Sql)),

@@ -105,4 +105,22 @@ class RelationalMoreSpec extends SparkSpec {
         s"flag ${r.getAs[String]("flag")}")
     }
   }
+
+  test("association stats: perfect correlation maxes Cramér's V, independence zeroes it") {
+    import spark.implicits._
+    // bijective lang↔source, 4 categories × 25 docs: V = 1, MI = ln(4)
+    val correlated = (0 until 100).map { i =>
+      (s"l${i % 4}", s"s${i % 4}")
+    }.toDF("lang", "source")
+    val c = RelationalMore.association(correlated).head()
+    assert(math.abs(c.getAs[Double]("cramers_v") - 1.0) < 1e-6)
+    assert(math.abs(c.getAs[Double]("mi") - math.log(4)) < 1e-4)
+    // independent uniform grid: every cell at its expected count → chi2 = 0
+    val independent = (for (l <- 0 until 4; s <- 0 until 5; _ <- 0 until 5)
+      yield (s"l$l", s"s$s")).toDF("lang", "source")
+    val ind = RelationalMore.association(independent).head()
+    assert(ind.getAs[Double]("chi2") === 0.0)
+    assert(math.abs(ind.getAs[Double]("mi")) < 1e-9)
+    assert(ind.getAs[Double]("cramers_v") === 0.0)
+  }
 }
