@@ -485,7 +485,75 @@ object RelationalMore {
       |FROM c WHERE cum * 2 >= tot GROUP BY flag ORDER BY flag""".stripMargin
 
   // --------------------------------------------------------------------------
-  // q119 — categorical association (chi² / mutual information / Cramér's V
+  // q118 — two-sample Kolmogorov–Smirnov test: D = max |ECDF₁ − ECDF₂|
+  // between the order-price distributions of two customer segments — the
+  // standard distribution-drift check between cohorts/batches. Computed
+  // INTEGER-EXACTLY: D's numerator is max |c1·n2 − c2·n1| over pooled
+  // distinct values (all longs — no double ECDFs to accumulate), with one
+  // double division at the end; the argmax value tie-breaks to the lowest
+  // price.
+  //
+  // Scale shape: the global running counts use the bucketed prefix-sum
+  // trick (per-bucket totals → running offsets over the ~bucket-count
+  // histogram → in-bucket cumsum partitioned by bucket), so no
+  // single-partition corpus-wide window exists in the plan — the same
+  // two-phase decomposition as q112.
+  def q118KsTest(spark: SparkSession, dir: String): DataFrame = {
+    val seg = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_mktsegment").as("seg"))
+      .filter(col("seg").isin("AUTOMOBILE", "BUILDING"))
+    val t = Tables.orders(spark, dir)
+      .join(seg, col("o_custkey") === col("c_custkey"))
+      .select(col("o_totalprice").as("v"),
+        when(col("seg") === "AUTOMOBILE", 1L).otherwise(0L).as("is1"))
+    val byV = t.groupBy(col("v"))
+      .agg(sum(col("is1")).as("c1"), sum(lit(1L) - col("is1")).as("c2"))
+      .withColumn("bucket", floor(col("v") / 50000).cast("long"))
+    val offsets = byV.groupBy(col("bucket"))
+      .agg(sum(col("c1")).as("b1"), sum(col("c2")).as("b2"))
+      .select(col("bucket"),
+        coalesce(sum(col("b1")).over(Window.orderBy(col("bucket"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)).as("off1"),
+        coalesce(sum(col("b2")).over(Window.orderBy(col("bucket"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)).as("off2"))
+    val tot = byV.agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))
+    val wb = Window.partitionBy(col("bucket")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byV.join(broadcast(offsets), Seq("bucket"))
+      .withColumn("cum1", col("off1") + sum(col("c1")).over(wb))
+      .withColumn("cum2", col("off2") + sum(col("c2")).over(wb))
+      .crossJoin(broadcast(tot))
+      .withColumn("num", abs(col("cum1") * col("n2") - col("cum2") * col("n1")))
+      .groupBy(col("n1"), col("n2"))
+      .agg(max(struct(col("num"), (-col("v")).as("nv"))).as("best"))
+      .select(col("n1"), col("n2"),
+        round(col("best.num").cast("double") / (col("n1") * col("n2")), 6).as("ks_d"),
+        (-col("best.nv")).as("at_value"))
+  }
+
+  val q118Sql: String =
+    """WITH seg AS (
+      |  SELECT c_custkey, c_mktsegment AS seg FROM customer
+      |  WHERE c_mktsegment IN ('AUTOMOBILE', 'BUILDING')),
+      |t AS (
+      |  SELECT o_totalprice AS v,
+      |         CASE WHEN seg = 'AUTOMOBILE' THEN 1 ELSE 0 END AS is1
+      |  FROM orders JOIN seg ON o_custkey = c_custkey),
+      |byv AS (
+      |  SELECT v, SUM(is1) AS c1, SUM(1 - is1) AS c2 FROM t GROUP BY v),
+      |cum AS (
+      |  SELECT v,
+      |    SUM(c1) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum1,
+      |    SUM(c2) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum2
+      |  FROM byv),
+      |tot AS (SELECT SUM(c1) AS n1, SUM(c2) AS n2 FROM byv),
+      |scored AS (
+      |  SELECT n1, n2, v, ABS(cum1 * n2 - cum2 * n1) AS num,
+      |    ROW_NUMBER() OVER (ORDER BY ABS(cum1 * n2 - cum2 * n1) DESC, v ASC) AS rn
+      |  FROM cum, tot)
+      |SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+      |       ROUND(CAST(num AS DOUBLE) / (n1 * n2), 6) AS ks_d, v AS at_value
+      |FROM scored WHERE rn = 1""".stripMargin
   // between lang and source): the metadata-correlation screen a corpus
   // pipeline runs to catch confounded provenance (e.g. one crawl source
   // dominating one language) before training-mix decisions.
@@ -579,6 +647,7 @@ object RelationalMore {
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q53_date_spine", q53DateSpine _, Some(q53Sql)),
     ("q117_weighted_median", q117WeightedMedian _, Some(q117Sql)),
+    ("q118_ks_test", q118KsTest _, Some(q118Sql)),
     ("q119_association", q119Association _, Some(q119Sql)),
     ("q76_stats", q76Stats _, Some(q76Sql)),
     ("q78_histogram", q78Histogram _, Some(q78Sql)),

@@ -106,6 +106,35 @@ class RelationalMoreSpec extends SparkSpec {
     }
   }
 
+  test("KS statistic matches a sequential reference on the tiny SF") {
+    val dir = "/root/testdata/sf0.001"
+    val row = RelationalMore.q118KsTest(spark, dir).head()
+    // driver-side reference: pooled sort, running counts, max gap
+    val seg = graft.Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_mktsegment")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val vs = graft.Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_totalprice")).collect()
+      .flatMap { r =>
+        seg.get(r.getLong(0)) match {
+          case Some("AUTOMOBILE") => Some((r.getDouble(1), 1))
+          case Some("BUILDING") => Some((r.getDouble(1), 0))
+          case _ => None
+        }
+      }
+    val n1 = vs.count(_._2 == 1).toLong
+    val n2 = vs.length - n1
+    var c1 = 0L; var c2 = 0L; var best = -1L
+    vs.sortBy(_._1).groupBy(_._1).toSeq.sortBy(_._1).foreach { case (_, rs) =>
+      c1 += rs.count(_._2 == 1); c2 += rs.count(_._2 == 0)
+      best = math.max(best, math.abs(c1 * n2 - c2 * n1))
+    }
+    assert(row.getAs[Long]("n1") === n1 && row.getAs[Long]("n2") === n2)
+    val expected = BigDecimal(best.toDouble / (n1 * n2))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(row.getAs[Double]("ks_d") === expected)
+  }
+
   test("association stats: perfect correlation maxes Cramér's V, independence zeroes it") {
     import spark.implicits._
     // bijective lang↔source, 4 categories × 25 docs: V = 1, MI = ln(4)
