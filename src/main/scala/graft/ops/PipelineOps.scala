@@ -594,6 +594,92 @@ object PipelineOps {
       |         (a, b) -> a * 16 + b) AS DOUBLE) + 0.5) / 4503599627370496.0 < r.rate
       |ORDER BY d.doc_id""".stripMargin
 
+  // --------------------------------------------------------------------------
+  // q120 — PageRank (power iteration) over the customer→supplier purchase
+  // graph (distinct (o_custkey → l_suppkey) edges through orders ⨝
+  // lineitem; node ids disambiguated as 2k / 2k+1): the influence/
+  // centrality measure for entity graphs. Damping 0.85, dangling mass
+  // (suppliers have no out-edges) redistributed uniformly, 3 iterations.
+  //
+  // Cross-engine determinism: ranks live on a 1e-12 integer grid and the
+  // ENTIRE iteration is integer arithmetic — contributions are floor-div
+  // shares (q div deg), incoming mass is an exact long SUM (order-free),
+  // and damping is (85·x) div 100 — so every iteration is bit-identical
+  // in Spark and the DuckDB oracle, with one double division at output.
+  //
+  // Scale shape per iteration: one shuffle join ranks⨝edges on src, one
+  // hash aggregate on dst, a broadcast 1-row dangling/total pair — the
+  // standard distributed PageRank step; iterations are a small constant
+  // and the rank table stays (node, deg, q) narrow.
+  def q120PageRank(spark: SparkSession, dir: String): DataFrame = {
+    val edges = Tables.orders(spark, dir)
+      .join(Tables.lineitem(spark, dir), col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+      .distinct()
+    pageRank(edges, iters = 3, topK = 20)
+  }
+
+  /** edges(src, dst) → top-k (node, rank) after `iters` damped power
+    * iterations on the 1e-12 integer grid. */
+  def pageRank(edges: DataFrame, iters: Int, topK: Int): DataFrame = {
+    val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val nodes = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node"))).distinct()
+    val nTbl = nodes.agg(count(lit(1)).as("nn"))
+    var ranks = nodes
+      .join(outdeg.withColumnRenamed("src", "node"), Seq("node"), "left")
+      .withColumn("deg", coalesce(col("deg"), lit(0L)))
+      .crossJoin(broadcast(nTbl))
+      .withColumn("q", expr("1000000000000 div nn"))
+      .select(col("node"), col("deg"), col("nn"), col("q"))
+    for (_ <- 1 to iters) {
+      val in = ranks.filter(col("deg") > 0)
+        .join(edges, col("node") === col("src"))
+        .select(col("dst"), expr("q div deg").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("inq"))
+        .withColumnRenamed("dst", "node")
+      val dang = ranks.filter(col("deg") === 0)
+        .agg(coalesce(sum(col("q")), lit(0L)).as("dd"))
+      ranks = ranks.drop("q")
+        .join(in, Seq("node"), "left")
+        .crossJoin(broadcast(dang))
+        .withColumn("q", expr(
+          "(15 * 1000000000000) div (100 * nn) + (85 * (coalesce(inq, 0) + dd div nn)) div 100"))
+        .select(col("node"), col("deg"), col("nn"), col("q"))
+    }
+    ranks.orderBy(col("q").desc, col("node")).limit(topK)
+      .select(col("node"), round(col("q").cast("double") / 1e12, 8).as("rank"))
+  }
+
+  val q120Sql: String = {
+    def iter(prev: String, i: Int): String =
+      s"""i$i AS (
+         |  SELECT e.dst AS node, CAST(SUM(r.q // r.deg) AS BIGINT) AS inq
+         |  FROM $prev r JOIN edges e ON r.node = e.src WHERE r.deg > 0
+         |  GROUP BY e.dst),
+         |d$i AS (SELECT CAST(COALESCE(SUM(q), 0) AS BIGINT) AS dd FROM $prev WHERE deg = 0),
+         |r$i AS (
+         |  SELECT r.node, r.deg, r.nn,
+         |    (15 * 1000000000000) // (100 * r.nn)
+         |      + (85 * (COALESCE(i.inq, 0) + dd // r.nn)) // 100 AS q
+         |  FROM $prev r LEFT JOIN i$i i ON r.node = i.node CROSS JOIN d$i)""".stripMargin
+    s"""WITH edges AS (
+       |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       |nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+       |odeg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY src),
+       |nn AS (SELECT COUNT(*) AS n FROM nodes),
+       |r0 AS (
+       |  SELECT node, CAST(COALESCE(d, 0) AS BIGINT) AS deg, n AS nn,
+       |         1000000000000 // n AS q
+       |  FROM nodes LEFT JOIN odeg ON node = odeg.src CROSS JOIN nn),
+       |${iter("r0", 1)},
+       |${iter("r1", 2)},
+       |${iter("r2", 3)}
+       |SELECT node, ROUND(CAST(q AS DOUBLE) / 1e12, 8) AS rank
+       |FROM r3 ORDER BY q DESC, node LIMIT 20""".stripMargin
+  }
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q106_decontaminate", q106Decontaminate _, Some(q106Sql)),
     ("q107_vocab_encode", q107VocabEncode _, Some(q107Sql)),
@@ -604,5 +690,6 @@ object PipelineOps {
     ("q112_budget_select", q112BudgetSelect _, Some(q112Sql)),
     ("q113_span_dedup", q113SpanDedup _, Some(q113Sql)),
     ("q114_hierarchy", q114Hierarchy _, Some(q114Sql)),
-    ("q115_temperature_mixture", q115TemperatureMixture _, Some(q115Sql)))
+    ("q115_temperature_mixture", q115TemperatureMixture _, Some(q115Sql)),
+    ("q120_pagerank", q120PageRank _, Some(q120Sql)))
 }

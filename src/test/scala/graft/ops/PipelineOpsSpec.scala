@@ -272,6 +272,25 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  // --------------------------------------------------------------------- q120
+  test("pagerank ranks high in-degree hubs first and is partition-invariant") {
+    import spark.implicits._
+    // 2,4,6 → 1 and 8 → 3: node 1 is the 3-in-degree hub, 3 a 1-in-degree
+    // sink, sources are structurally identical to each other
+    val edges = Seq((2L, 1L), (4L, 1L), (6L, 1L), (8L, 3L)).toDF("src", "dst")
+    val out = PipelineOps.pageRank(edges, iters = 3, topK = 10).collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Double]("rank")).toMap
+    assert(out.size === 6)
+    assert(out(1L) > out(3L), s"hub should out-rank the small sink: $out")
+    assert(out(3L) > out(2L), s"sink should out-rank a source: $out")
+    assert(out(2L) === out(4L) && out(4L) === out(6L) && out(6L) === out(8L))
+    // total mass stays ≈ 1 (floor-div quantization only loses ulps)
+    assert(math.abs(out.values.sum - 1.0) < 1e-3, s"mass ${out.values.sum}")
+    val again = PipelineOps.pageRank(edges.repartition(5), iters = 3, topK = 10)
+      .collect().map(r => r.getAs[Long]("node") -> r.getAs[Double]("rank")).toMap
+    assert(again === out)
+  }
+
   // --------------------------------------------------------------------- q110
   test("spherical k-means recovers planted clusters and iterating does not hurt") {
     import spark.implicits._
