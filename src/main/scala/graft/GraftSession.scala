@@ -26,6 +26,10 @@ object GraftSession {
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // a noisy-neighbor host can stall a small broadcast past the 300s
+      // default and fail an otherwise-healthy job (observed once in CI);
+      // the collect-side size limits still bound the broadcast itself
+      .config("spark.sql.broadcastTimeout", "1800")
 
   /** Local development/test session: N threads, matching shuffle width. */
   def localBuilder(cores: Int): SparkSession.Builder =
