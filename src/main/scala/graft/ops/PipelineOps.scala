@@ -680,6 +680,82 @@ object PipelineOps {
        |FROM r3 ORDER BY q DESC, node LIMIT 20""".stripMargin
   }
 
+  // --------------------------------------------------------------------------
+  // q121 — record linkage (entity resolution): match a clean entity table
+  // against a dirty copy (synthesized in-query, identically in the
+  // oracle: every 3rd customer's name loses one deterministic character)
+  // and produce a 1:1 assignment — q72/q105 stop at fuzzy candidate
+  // PAIRS; linkage needs the assignment. Pipeline: BLOCK on exact fields
+  // (nationkey, mktsegment — the standard linkage move that kills the
+  // cross product), verify candidates with bounded edit distance (≤ 3 —
+  // the 3-arg levenshtein early-exits, and the LevenshteinRewrite rule
+  // normalizes 2-arg predicates into it), then keep MUTUAL BEST pairs
+  // (each side's minimum-distance choice, ties to the lower key) — the
+  // symmetric-argmax filter that prevents one dirty record absorbing
+  // several clean ones.
+  //
+  // Scale shape: one equi-join on the block key (candidate count is
+  // Σ|block|² bounded by blocking granularity, never n²), two window
+  // argmins partitioned by each side's key, one equi-join to intersect.
+  def q121RecordLinkage(spark: SparkSession, dir: String): DataFrame = {
+    val clean = Tables.customer(spark, dir).select(
+      col("c_custkey").as("akey"), col("c_name").as("an"),
+      col("c_nationkey").as("nk"), col("c_mktsegment").as("seg"))
+    // dirty twin: key-shifted; names perturbed for custkey % 3 == 0 by
+    // dropping the (custkey % len)+1-th character
+    val pos = (col("c_custkey") % length(col("c_name"))) + 1
+    val dirty = Tables.customer(spark, dir).select(
+      (col("c_custkey") + 1000000).as("bkey"),
+      when(col("c_custkey") % 3 === 0,
+        concat(col("c_name").substr(lit(1), (pos - 1).cast("int")),
+          col("c_name").substr((pos + 1).cast("int"), length(col("c_name")))))
+        .otherwise(col("c_name")).as("bn"),
+      col("c_nationkey").as("nk"), col("c_mktsegment").as("seg"))
+    val cand = clean.join(dirty, Seq("nk", "seg"))
+      .withColumn("lev", expr("levenshtein(an, bn, 3)"))
+      .filter(col("lev") >= 0)
+      .select(col("akey"), col("bkey"), col("lev"))
+    val bestA = cand.withColumn("rn", row_number().over(
+        Window.partitionBy(col("akey")).orderBy(col("lev"), col("bkey"))))
+      .filter(col("rn") === 1).drop("rn")
+    val bestB = cand.withColumn("rn", row_number().over(
+        Window.partitionBy(col("bkey")).orderBy(col("lev"), col("akey"))))
+      .filter(col("rn") === 1).drop("rn")
+    bestA.join(bestB, Seq("akey", "bkey", "lev"))
+      .orderBy(col("akey"))
+  }
+
+  val q121Sql: String =
+    """WITH clean AS (
+      |  SELECT c_custkey AS akey, c_name AS an, c_nationkey AS nk,
+      |         c_mktsegment AS seg
+      |  FROM customer),
+      |dirty AS (
+      |  SELECT c_custkey + 1000000 AS bkey,
+      |    CASE WHEN c_custkey % 3 = 0 THEN
+      |      SUBSTR(c_name, 1, CAST(c_custkey % LENGTH(c_name) AS INT))
+      |      || SUBSTR(c_name, CAST(c_custkey % LENGTH(c_name) AS INT) + 2)
+      |    ELSE c_name END AS bn,
+      |    c_nationkey AS nk, c_mktsegment AS seg
+      |  FROM customer),
+      |cand AS (
+      |  SELECT akey, bkey, levenshtein(an, bn) AS lev
+      |  FROM clean JOIN dirty USING (nk, seg)
+      |  WHERE levenshtein(an, bn) <= 3),
+      |besta AS (
+      |  SELECT akey, bkey, lev FROM (
+      |    SELECT akey, bkey, lev,
+      |      ROW_NUMBER() OVER (PARTITION BY akey ORDER BY lev, bkey) AS rn
+      |    FROM cand) WHERE rn = 1),
+      |bestb AS (
+      |  SELECT akey, bkey, lev FROM (
+      |    SELECT akey, bkey, lev,
+      |      ROW_NUMBER() OVER (PARTITION BY bkey ORDER BY lev, akey) AS rn
+      |    FROM cand) WHERE rn = 1)
+      |SELECT akey, bkey, CAST(lev AS INT) AS lev
+      |FROM besta JOIN bestb USING (akey, bkey, lev)
+      |ORDER BY akey""".stripMargin
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q106_decontaminate", q106Decontaminate _, Some(q106Sql)),
     ("q107_vocab_encode", q107VocabEncode _, Some(q107Sql)),
@@ -691,5 +767,6 @@ object PipelineOps {
     ("q113_span_dedup", q113SpanDedup _, Some(q113Sql)),
     ("q114_hierarchy", q114Hierarchy _, Some(q114Sql)),
     ("q115_temperature_mixture", q115TemperatureMixture _, Some(q115Sql)),
-    ("q120_pagerank", q120PageRank _, Some(q120Sql)))
+    ("q120_pagerank", q120PageRank _, Some(q120Sql)),
+    ("q121_record_linkage", q121RecordLinkage _, Some(q121Sql)))
 }

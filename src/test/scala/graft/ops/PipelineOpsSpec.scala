@@ -291,6 +291,22 @@ class PipelineOpsSpec extends SparkSpec {
     assert(again === out)
   }
 
+  // --------------------------------------------------------------------- q121
+  test("record linkage recovers the true pairing through blocking + mutual best") {
+    val rows = PipelineOps.q121RecordLinkage(spark, "/root/testdata/sf0.001").collect()
+    assert(rows.nonEmpty)
+    // ground truth: the dirty twin's key is clean key + 1000000
+    val correct = rows.count(r =>
+      r.getAs[Long]("bkey") - 1000000L == r.getAs[Long]("akey"))
+    assert(correct.toDouble / rows.length >= 0.95,
+      s"$correct/${rows.length} correct")
+    // mutual best ⇒ a strict 1:1 assignment
+    assert(rows.map(_.getAs[Long]("akey")).distinct.length === rows.length)
+    assert(rows.map(_.getAs[Long]("bkey")).distinct.length === rows.length)
+    // perturbed names (every 3rd entity) still link
+    assert(rows.exists(_.getAs[Int]("lev") > 0))
+  }
+
   // --------------------------------------------------------------------- q110
   test("spherical k-means recovers planted clusters and iterating does not hurt") {
     import spark.implicits._
