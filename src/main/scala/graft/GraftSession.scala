@@ -30,6 +30,11 @@ object GraftSession {
       // default and fail an otherwise-healthy job (observed once in CI);
       // the collect-side size limits still bound the broadcast itself
       .config("spark.sql.broadcastTimeout", "1800")
+      // same failure family: under minutes-long CPU starvation the local
+      // executor's heartbeats lapse past spark.network.timeout (120s) and
+      // healthy stages get killed — iterative loops (CC, PageRank) with
+      // many small jobs are the most exposed
+      .config("spark.network.timeout", "600s")
 
   /** Local development/test session: N threads, matching shuffle width. */
   def localBuilder(cores: Int): SparkSession.Builder =

@@ -632,6 +632,11 @@ object PipelineOps {
       .crossJoin(broadcast(nTbl))
       .withColumn("q", expr("1000000000000 div nn"))
       .select(col("node"), col("deg"), col("nn"), col("q"))
+      // each iteration reads `ranks` three times (main path, incoming
+      // mass, dangling aggregate); without truncation Catalyst re-executes
+      // the previous iteration's lineage per reference — exponential in
+      // the iteration count (measured 6.3s → ~1s at sf0.1)
+      .localCheckpoint()
     for (_ <- 1 to iters) {
       val in = ranks.filter(col("deg") > 0)
         .join(edges, col("node") === col("src"))
@@ -646,6 +651,7 @@ object PipelineOps {
         .withColumn("q", expr(
           "(15 * 1000000000000) div (100 * nn) + (85 * (coalesce(inq, 0) + dd div nn)) div 100"))
         .select(col("node"), col("deg"), col("nn"), col("q"))
+        .localCheckpoint()
     }
     ranks.orderBy(col("q").desc, col("node")).limit(topK)
       .select(col("node"), round(col("q").cast("double") / 1e12, 8).as("rank"))
