@@ -621,7 +621,10 @@ object PipelineOps {
 
   /** edges(src, dst) → top-k (node, rank) after `iters` damped power
     * iterations on the 1e-12 integer grid. */
-  def pageRank(edges: DataFrame, iters: Int, topK: Int): DataFrame = {
+  def pageRank(edgesIn: DataFrame, iters: Int, topK: Int): DataFrame = {
+    // the edge list is read by outdeg, the node union, and every
+    // iteration's join — materialize its (possibly expensive) lineage once
+    val edges = edgesIn.localCheckpoint()
     val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     val nodes = edges.select(col("src").as("node"))
       .union(edges.select(col("dst").as("node"))).distinct()
@@ -717,10 +720,13 @@ object PipelineOps {
           col("c_name").substr((pos + 1).cast("int"), length(col("c_name")))))
         .otherwise(col("c_name")).as("bn"),
       col("c_nationkey").as("nk"), col("c_mktsegment").as("seg"))
+    // both argmin sides read the candidate set — materialize the block
+    // join + edit-distance pass once instead of twice
     val cand = clean.join(dirty, Seq("nk", "seg"))
       .withColumn("lev", expr("levenshtein(an, bn, 3)"))
       .filter(col("lev") >= 0)
       .select(col("akey"), col("bkey"), col("lev"))
+      .localCheckpoint()
     val bestA = cand.withColumn("rn", row_number().over(
         Window.partitionBy(col("akey")).orderBy(col("lev"), col("bkey"))))
       .filter(col("rn") === 1).drop("rn")
