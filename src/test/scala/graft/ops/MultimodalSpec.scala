@@ -19,6 +19,37 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("binaryFile source loads on-disk media blobs into the same decode path") {
+    import spark.implicits._
+    // write a handful of media blobs as loose files — the media-lake
+    // layout — then read them back through the DataFrame binaryFile
+    // source and run the standard decoder on the loaded bytes
+    val tmp = java.nio.file.Files.createTempDirectory("graft_media").toFile
+    try {
+      val blobs = Multimodal.mediaTable(spark, dir).limit(5).collect()
+      blobs.foreach { m =>
+        java.nio.file.Files.write(
+          new java.io.File(tmp, s"doc_${m.doc_id}.fakeimg").toPath, m.media)
+      }
+      val loaded = spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.fakeimg")
+        .load(tmp.getAbsolutePath)
+        .select(
+          regexp_extract(col("path"), "doc_(\\d+)\\.fakeimg$", 1).cast("long").as("doc_id"),
+          lit("fakeimg").as("format"), col("content").as("media"))
+        .as[Multimodal.MediaRow]
+      val meta = Multimodal.decodeMeta(loaded).collect()
+        .map(m => m.doc_id -> ((m.width, m.height, m.n_bytes))).toMap
+      val ids = blobs.map(_.doc_id).toSet
+      val direct = Multimodal.decodeMeta(
+          Multimodal.mediaTable(spark, dir).filter(r => ids(r.doc_id))).collect()
+        .map(m => m.doc_id -> ((m.width, m.height, m.n_bytes))).toMap
+      assert(meta === direct)
+    } finally {
+      tmp.listFiles().foreach(_.delete()); tmp.delete()
+    }
+  }
+
   test("resize clamps dimensions and shrinks payload deterministically") {
     val media = Multimodal.mediaTable(spark, dir)
     val resized = Multimodal.decodeMeta(Multimodal.resize(media, maxDim = 16)).collect()
