@@ -813,7 +813,18 @@ object TextOps {
     var rounds = 0
     while (!converged) {
       rounds += 1
-      if (rounds > maxPropagationRounds) return connectedComponentsStar(e)
+      if (rounds > maxPropagationRounds) {
+        // escape hatch for high-diameter graphs — but star contraction
+        // only emits vertices incident to a REAL edge, so restore this
+        // operator's full-vertex contract by re-attaching vertices whose
+        // only incidences are self-loops (singleton components, label =
+        // own id). Caught by a ScalaCheck graph mixing a diameter-7 path
+        // with self-loop-only vertices.
+        val star = connectedComponentsStar(e)
+        return sym.select(col("a").as("id")).distinct()
+          .join(star, Seq("id"), "left")
+          .select(col("id"), coalesce(col("label"), col("id")).as("label"))
+      }
       val prop = sym.join(labels.withColumnRenamed("id", "b_id"), col("b") === col("b_id"))
         .select(col("a").as("id"), col("label"))
       val next = labels.union(prop)

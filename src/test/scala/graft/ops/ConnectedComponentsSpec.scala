@@ -65,6 +65,20 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(result.passed, result.status.toString)
   }
 
+  test("regression: round-cap escape keeps self-loop-only singletons (ScalaCheck find)") {
+    import spark.implicits._
+    // the shrunk ScalaCheck counterexample: a diameter-7 path (forces the
+    // >5-round star escape under the default cap) PLUS self-loop-only
+    // vertices (0,0)/(16,16) that star contraction would silently drop
+    val edges = List((12L, 14L), (0L, 0L), (1L, 21L), (13L, 17L), (8L, 13L),
+      (4L, 5L), (8L, 23L), (4L, 10L), (21L, 7L), (4L, 5L), (0L, 6L),
+      (3L, 17L), (16L, 16L), (19L, 4L), (18L, 15L), (7L, 3L), (12L, 22L))
+    val got = TextOps.connectedComponents(edges.toDF("a", "b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === unionFind(edges))
+    assert(got(16L) === 16L) // the self-loop singleton survives the escape
+  }
+
   test("star contraction resolves a 24-node chain (diameter stress) to one component") {
     import spark.implicits._
     val chain = (0L until 23L).map(i => (i, i + 1))
