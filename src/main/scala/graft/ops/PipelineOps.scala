@@ -694,24 +694,52 @@ object PipelineOps {
   // against a dirty copy (synthesized in-query, identically in the
   // oracle: every 3rd customer's name loses one deterministic character)
   // and produce a 1:1 assignment — q72/q105 stop at fuzzy candidate
-  // PAIRS; linkage needs the assignment. Pipeline: BLOCK on exact fields
-  // (nationkey, mktsegment — the standard linkage move that kills the
-  // cross product), verify candidates with bounded edit distance (≤ 3 —
-  // the 3-arg levenshtein early-exits, and the LevenshteinRewrite rule
-  // normalizes 2-arg predicates into it), then keep MUTUAL BEST pairs
-  // (each side's minimum-distance choice, ties to the lower key) — the
-  // symmetric-argmax filter that prevents one dirty record absorbing
+  // PAIRS; linkage needs the assignment. Pipeline: generate candidates by
+  // BLOCKING, verify with bounded edit distance, then keep MUTUAL BEST
+  // pairs (each side's minimum-distance choice, ties to the lower key) —
+  // the symmetric-argmax filter that prevents one dirty record absorbing
   // several clean ones.
   //
-  // Scale shape: one equi-join on the block key (candidate count is
-  // Σ|block|² bounded by blocking granularity, never n²), two window
-  // argmins partitioned by each side's key, one equi-join to intersect.
+  // BLOCKING (round-4 rework): the round-3 version blocked on the exact
+  // fields (nationkey, mktsegment) alone — 25×5 = 125 FIXED blocks, so
+  // candidate pairs grew O(n²/125) and the verify pass was the bench's
+  // single most expensive stage (~1.8M edit distances at sf0.1; 10,000×
+  // that at 100× data). Now candidates come from 1-DELETION-NEIGHBORHOOD
+  // keys (the SymSpell / spelling-correction index): each side emits
+  // len+1 keys per name — the name itself plus every single-character
+  // deletion — and candidates are pairs sharing (nk, seg, key). Two names
+  // within edit distance 1 ALWAYS share a key (equal → identity key; one
+  // substitution → delete the differing position from both; one ins/del →
+  // the longer side's deletion equals the shorter side's identity), so
+  // the key space is name-derived and grows with n: block occupancy stays
+  // O(1) and candidates stay O(n) at any scale.
+  //
+  // Output invariance (why the brute-force (nk,seg)-blocked lev ≤ 3
+  // oracle is UNCHANGED): the dirty table is a same-key copy whose names
+  // are at most one deletion away, so every akey — and symmetrically
+  // every bkey — has an in-block candidate at lev ≤ 1. Under the argmin
+  // order (lev ASC, key ASC) a lev-2/3 candidate therefore never ranks
+  // first on either side, and mutual-best only intersects rank-1 rows —
+  // so restricting candidates to the complete lev ≤ 1 set (which the
+  // neighborhood join provides exactly) yields the identical assignment.
+  // PipelineOpsSpec pins this: new path ≡ coarse-blocked lev ≤ 3 path on
+  // the test tables, and the candidate count stays linear in n.
+  //
+  // Scale shape: one row-local key explode per side (×(len+1) rows), one
+  // shuffle equi-join on the (nk, seg, key) triple with O(1) buckets, a
+  // distinct on the surviving pairs, two window argmins over O(n) rows,
+  // one equi-join to intersect.
   def q121RecordLinkage(spark: SparkSession, dir: String): DataFrame = {
+    val (clean, dirty) = linkageTables(spark, dir)
+    mutualBestAssignment(neighborhoodCandidates(clean, dirty))
+  }
+
+  /** The clean/dirty linkage inputs: dirty is key-shifted (+1e6) and every
+    * 3rd name loses its (custkey % len)+1-th character. */
+  private[ops] def linkageTables(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val clean = Tables.customer(spark, dir).select(
       col("c_custkey").as("akey"), col("c_name").as("an"),
       col("c_nationkey").as("nk"), col("c_mktsegment").as("seg"))
-    // dirty twin: key-shifted; names perturbed for custkey % 3 == 0 by
-    // dropping the (custkey % len)+1-th character
     val pos = (col("c_custkey") % length(col("c_name"))) + 1
     val dirty = Tables.customer(spark, dir).select(
       (col("c_custkey") + 1000000).as("bkey"),
@@ -720,13 +748,43 @@ object PipelineOps {
           col("c_name").substr((pos + 1).cast("int"), length(col("c_name")))))
         .otherwise(col("c_name")).as("bn"),
       col("c_nationkey").as("nk"), col("c_mktsegment").as("seg"))
-    // both argmin sides read the candidate set — materialize the block
-    // join + edit-distance pass once instead of twice
-    val cand = clean.join(dirty, Seq("nk", "seg"))
+    (clean, dirty)
+  }
+
+  /** Deletion-neighborhood candidate pairs: (akey, bkey, lev ≤ 1) for every
+    * in-(nk,seg)-block pair within edit distance 1 — complete by the
+    * neighborhood-key property, linear in input size by construction. */
+  private[ops] def neighborhoodCandidates(clean: DataFrame, dirty: DataFrame): DataFrame = {
+    // i = 0 → the name itself; i ≥ 1 → the name with character i deleted
+    def keys(df: DataFrame, keyCol: String, nameCol: String) = df
+      .withColumn("i", explode(sequence(lit(0), length(col(nameCol)))))
+      .select(col("nk"), col("seg"), col(keyCol), col(nameCol),
+        when(col("i") === 0, col(nameCol))
+          .otherwise(concat(
+            expr(s"substring($nameCol, 1, i - 1)"),
+            expr(s"substring($nameCol, i + 1)"))).as("k"))
+    keys(clean, "akey", "an").join(keys(dirty, "bkey", "bn"), Seq("nk", "seg", "k"))
+      .select(col("akey"), col("an"), col("bkey"), col("bn")).distinct()
+      // sharing a deletion key only guarantees distance ≤ 2; the bounded
+      // early-exit levenshtein keeps exactly the distance ≤ 1 pairs
+      .withColumn("lev", expr("levenshtein(an, bn, 1)"))
+      .filter(col("lev") >= 0)
+      .select(col("akey"), col("bkey"), col("lev"))
+  }
+
+  /** Round-3 coarse-blocked candidates ((nk, seg) blocks, lev ≤ 3) — kept
+    * ONLY as the spec's brute-force twin for the invariance proof; the
+    * O(n²/|blocks|) growth is why it is not the shipped path. */
+  private[ops] def coarseCandidates(clean: DataFrame, dirty: DataFrame): DataFrame =
+    clean.join(dirty, Seq("nk", "seg"))
       .withColumn("lev", expr("levenshtein(an, bn, 3)"))
       .filter(col("lev") >= 0)
       .select(col("akey"), col("bkey"), col("lev"))
-      .localCheckpoint()
+
+  /** Mutual-best 1:1 assignment over (akey, bkey, lev) candidates. */
+  private[ops] def mutualBestAssignment(candIn: DataFrame): DataFrame = {
+    // both argmin sides read the candidate set — materialize it once
+    val cand = candIn.localCheckpoint()
     val bestA = cand.withColumn("rn", row_number().over(
         Window.partitionBy(col("akey")).orderBy(col("lev"), col("bkey"))))
       .filter(col("rn") === 1).drop("rn")

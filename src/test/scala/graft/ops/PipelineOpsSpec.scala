@@ -307,6 +307,26 @@ class PipelineOpsSpec extends SparkSpec {
     assert(rows.exists(_.getAs[Int]("lev") > 0))
   }
 
+  test("q121 neighborhood blocking is output-identical to coarse-blocked lev<=3 " +
+    "and candidate count stays linear") {
+    val dir = "/root/testdata/sf0.001"
+    val (clean, dirty) = PipelineOps.linkageTables(spark, dir)
+    val viaNeighborhood = PipelineOps
+      .mutualBestAssignment(PipelineOps.neighborhoodCandidates(clean, dirty))
+      .collect().map(_.toSeq).toSet
+    val viaCoarse = PipelineOps
+      .mutualBestAssignment(PipelineOps.coarseCandidates(clean, dirty))
+      .collect().map(_.toSeq).toSet
+    assert(viaNeighborhood === viaCoarse)
+    // scale property: neighborhood candidates are O(n) (each name's bucket
+    // holds its twin plus rare single-edit collisions), while the coarse
+    // path's 125 fixed blocks make candidates O(n²/125)
+    val n = clean.count()
+    val nCand = PipelineOps.neighborhoodCandidates(clean, dirty).count()
+    assert(nCand <= 3 * n, s"candidates $nCand for n=$n — expected ~n")
+    assert(nCand >= n, "every clean row's twin must be a candidate")
+  }
+
   // --------------------------------------------------------------------- q110
   test("spherical k-means recovers planted clusters and iterating does not hurt") {
     import spark.implicits._
