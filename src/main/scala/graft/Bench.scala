@@ -69,7 +69,20 @@ object Bench {
     val slow = results.filter(_._2 >= 0).sortBy(-_._2).take(5)
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
     val totalR = f"$total%.3f"
-    println(s"""{"metric":"total","value":$totalR,"unit":"sec","n_queries":${results.size},"queries":$slow,"sf":"$sfDir"}""")
+    val summary =
+      s"""{"metric":"total","value":$totalR,"unit":"sec","n_queries":${results.size},"queries":$slow,"sf":"$sfDir"}"""
+    println(summary)
+    // stdout travels through sbt's log prefixes and the driver's tail
+    // truncation (rounds 1-3 all ended with parsed:null) — a plain file is
+    // the mangling-proof channel
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench.json")
+    try {
+      val p = java.nio.file.Paths.get(outPath)
+      if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.writeString(p, summary + "\n")
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

@@ -174,9 +174,12 @@ object PipelineOps {
         (log(u) / col("n_chars")).as("k"))
       .orderBy(col("k").desc, col("doc_id"))
       .limit(k)
+      // final order by the EXACT key, as the oracle does — ordering by the
+      // rounded projection could transpose rows whose keys differ only
+      // past the 6th decimal
+      .orderBy(col("k").desc, col("doc_id"))
       .select(col("doc_id"), col("lang"), col("n_chars"),
         round(col("k"), 6).as("key"))
-      .orderBy(col("key").desc, col("doc_id"))
   }
 
   val q109Sql: String =
@@ -512,11 +515,25 @@ object PipelineOps {
       .select(col("node").as("custkey"), col("root"), col("depth"))
       .orderBy(col("custkey"))
 
-  /** General hierarchy flatten: parents(node, parent) — roots point to
-    * themselves — → (node, root, depth) by pointer doubling. Convergence
-    * = a round that changes no ancestor pointer (a root's self-loop is a
-    * fixed point), checked with a 1-row aggregate on the round's join. */
+  /** General hierarchy flatten: parents(node, parent) → (node, root, depth)
+    * by pointer doubling. Convergence = a round that changes no ancestor
+    * pointer (a root's self-loop is a fixed point), checked with a 1-row
+    * aggregate on the round's join.
+    *
+    * CLOSURE CONTRACT (fail-fast): every `parent` id must itself appear as
+    * a `node`, and roots must point to themselves. The doubling join keeps
+    * only frontier rows whose ancestor is a known node, so a violating
+    * forest would silently shrink the result — instead round 0 asserts the
+    * closure with one anti-join (a single extra shuffle, amortized by the
+    * O(log depth) join rounds that follow). */
   def flattenParents(parents: DataFrame): DataFrame = {
+    val orphaned = parents
+      .join(parents.select(col("node").as("__n")),
+        col("parent") === col("__n"), "left_anti")
+      .head(1)
+    require(orphaned.isEmpty,
+      s"flattenParents: parent ids missing from the node set (closure " +
+        s"contract violated), e.g. ${orphaned.mkString(", ")}")
     var f = parents.select(
       col("node"), col("parent").as("anc"),
       when(col("parent") === col("node"), 0L).otherwise(1L).as("d"))

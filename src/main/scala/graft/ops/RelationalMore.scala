@@ -554,9 +554,11 @@ object RelationalMore {
       |SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
       |       ROUND(CAST(num AS DOUBLE) / (n1 * n2), 6) AS ks_d, v AS at_value
       |FROM scored WHERE rn = 1""".stripMargin
-  // between lang and source): the metadata-correlation screen a corpus
-  // pipeline runs to catch confounded provenance (e.g. one crawl source
-  // dominating one language) before training-mix decisions.
+  // --------------------------------------------------------------------------
+  // q119 — categorical association (chi², MI, Cramér's V between lang and
+  // source): the metadata-correlation screen a corpus pipeline runs to
+  // catch confounded provenance (e.g. one crawl source dominating one
+  // language) before training-mix decisions.
   //
   // Numeric determinism: every cell count and marginal is an exact long;
   // the cell-statistic SUMS are folded in a DETERMINISTIC order (cells

@@ -179,6 +179,14 @@ object StreamingOps {
     * stream is event-timed). This is the streaming front door for q111's
     * exact pass: the same lineage runs under MemoryStream in
     * StreamingSpec and on plain DataFrames in batch.
+    *
+    * DETERMINISM: "first arrival wins" is well-defined only ACROSS
+    * micro-batches. When two docs with the same new hash land in the SAME
+    * micro-batch (or the op runs in batch mode), dropDuplicates keeps a
+    * partition-order-dependent row — callers needing a stable winner must
+    * resolve in-batch ties upstream (e.g. aggregate min(doc_id) per hash
+    * per batch in foreachBatch); q111's batch catalog twin does exactly
+    * that with its own deterministic aggregate.
     */
   def dedupAgainstCorpus(incoming: DataFrame, corpusHashes: DataFrame): DataFrame =
     incoming.withColumn("h", md5(col("text")))

@@ -410,8 +410,9 @@ object VectorOps {
   // threshold rises.
   private val ndBands = 64
   private val ndPlanesPerBand = 4
-  /** 128 fixed-seed hyperplanes (same LCG family as q42's — reproducible
-    * across JVMs by spec, no java.util.Random). */
+  /** ndBands × ndPlanesPerBand fixed-seed hyperplanes (currently 64×4 =
+    * 256; same LCG family as q42's — reproducible across JVMs by spec, no
+    * java.util.Random). */
   private[ops] val ndPlanes: Seq[Seq[Double]] = {
     var state = 42L
     def next(): Double = {

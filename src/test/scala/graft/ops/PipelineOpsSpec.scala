@@ -272,6 +272,15 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("flattenParents fails fast when a parent id is missing from the node set") {
+    import spark.implicits._
+    val bad = Seq((1L, 1L), (2L, 99L)).toDF("node", "parent")
+    val e = intercept[IllegalArgumentException] {
+      PipelineOps.flattenParents(bad).collect()
+    }
+    assert(e.getMessage.contains("closure"))
+  }
+
   // --------------------------------------------------------------------- q120
   test("pagerank ranks high in-degree hubs first and is partition-invariant") {
     import spark.implicits._
