@@ -205,8 +205,12 @@ object PipelineOps {
   // one linear pass (codegen'd native cosine_sim), and the update is one
   // shuffle on (cluster, dim) with map-side partial sums. Iterations are a
   // small constant; at 100 TB you init from a sample and run the same loop.
+  // Each iteration's k-row centroid table is localCheckpoint'ed (the q120
+  // lesson): without truncation, iteration i's plan re-embeds — and
+  // re-executes — every earlier iteration's full assignment+update
+  // lineage, growing the plan exponentially in `iters`.
   def q110KMeans(spark: SparkSession, dir: String): DataFrame =
-    kmeans(Tables.embeddings(spark, dir), spark, k = 8, iters = 1)
+    kmeans(Tables.embeddings(spark, dir), spark, k = 8, iters = 3)
 
   /** embeddings(vec_id, embedding) → (vec_id, cluster, sim) after `iters`
     * Lloyd updates + a final assignment; factored for spec fixtures. */
@@ -230,6 +234,10 @@ object PipelineOps {
         .groupBy(col("cluster"))
         .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
         .select(col("cluster"), expr("transform(pc, x -> x.c)").as("cv"))
+        // truncate per iteration: the k-row materialization is ~free and
+        // keeps the next iteration's plan flat instead of re-executing
+        // every earlier assignment+update (KMeansPlanSpec pins this)
+        .localCheckpoint()
     }
     base.crossJoin(broadcast(cents))
       .withColumn("csim", expr("cosine_sim(v, cv)"))
@@ -240,40 +248,49 @@ object PipelineOps {
       .orderBy(col("vec_id"))
   }
 
-  /** One Lloyd update replayed in SQL: init = first 8 vectors, assignment
-    * tie-break csim DESC, cluster DESC (mirrors max(struct)), update via
-    * the q41 scaled-long exact mean, final assignment rounded at 4dp. */
-  val q110Sql: String = {
+  /** The shipped Lloyd iterations replayed in SQL: init = first 8 vectors,
+    * assignment tie-break csim DESC, cluster DESC (mirrors max(struct)),
+    * update via the q41 scaled-long exact mean, final assignment rounded
+    * at 4dp. Every iteration is bit-identical cross-engine: the dot/norm
+    * folds run in the same fixed dimension order in both engines, and each
+    * update re-quantizes the (identical) centroid doubles onto the 1e-12
+    * long grid before the order-free exact sum. */
+  val q110Sql: String = q110SqlFor(iters = 3)
+
+  private[ops] def q110SqlFor(iters: Int): String = {
     def dot(a: String, b: String) =
       s"list_reduce(list_transform(range(1, 65), d -> $a[d] * $b[d]), (x, y) -> x + y)"
     def n2(a: String) =
       s"list_reduce(list_transform($a, x -> x * x), (x, y) -> x + y)"
+    // assignment against c(i-1) + scaled-long centroid update → c(i)
+    def iter(i: Int): String =
+      s"""s$i AS (
+         |  SELECT b.vec_id, b.v, c.cluster,
+         |    ${dot("b.v", "c.cv")} / sqrt(${n2("b.v")} * ${n2("c.cv")}) AS csim
+         |  FROM base b CROSS JOIN c${i - 1} c),
+         |a$i AS (SELECT vec_id, v, cluster FROM (
+         |    SELECT vec_id, v, cluster,
+         |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, cluster DESC) AS rn
+         |    FROM s$i) WHERE rn = 1),
+         |c$i AS (
+         |  SELECT cluster, list(c ORDER BY dim) AS cv FROM (
+         |    SELECT cluster, dim, CAST(SUM(vq) AS DOUBLE) / 1e12 / COUNT(*) AS c FROM (
+         |      SELECT cluster, generate_subscripts(v, 1) - 1 AS dim,
+         |        CAST(FLOOR(unnest(v) * 1e12 + 0.5) AS BIGINT) AS vq
+         |      FROM a$i)
+         |    GROUP BY cluster, dim)
+         |  GROUP BY cluster)""".stripMargin
     s"""WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        |c0 AS (SELECT CAST(vec_id AS INT) AS cluster, v AS cv FROM base WHERE vec_id < 8),
-       |s1 AS (
-       |  SELECT b.vec_id, b.v, c.cluster,
-       |    ${dot("b.v", "c.cv")} / sqrt(${n2("b.v")} * ${n2("c.cv")}) AS csim
-       |  FROM base b CROSS JOIN c0 c),
-       |a1 AS (SELECT vec_id, v, cluster FROM (
-       |    SELECT vec_id, v, cluster,
-       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, cluster DESC) AS rn
-       |    FROM s1) WHERE rn = 1),
-       |c1 AS (
-       |  SELECT cluster, list(c ORDER BY dim) AS cv FROM (
-       |    SELECT cluster, dim, CAST(SUM(vq) AS DOUBLE) / 1e12 / COUNT(*) AS c FROM (
-       |      SELECT cluster, generate_subscripts(v, 1) - 1 AS dim,
-       |        CAST(FLOOR(unnest(v) * 1e12 + 0.5) AS BIGINT) AS vq
-       |      FROM a1)
-       |    GROUP BY cluster, dim)
-       |  GROUP BY cluster),
-       |s2 AS (
+       |${(1 to iters).map(iter).mkString(",\n")},
+       |sf AS (
        |  SELECT b.vec_id, c.cluster,
        |    ${dot("b.v", "c.cv")} / sqrt(${n2("b.v")} * ${n2("c.cv")}) AS csim
-       |  FROM base b CROSS JOIN c1 c)
+       |  FROM base b CROSS JOIN c$iters c)
        |SELECT vec_id, cluster, ROUND(csim, 4) AS sim FROM (
        |  SELECT vec_id, cluster, csim,
        |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, cluster DESC) AS rn
-       |  FROM s2) WHERE rn = 1 ORDER BY vec_id""".stripMargin
+       |  FROM sf) WHERE rn = 1 ORDER BY vec_id""".stripMargin
   }
 
   // --------------------------------------------------------------------------

@@ -337,6 +337,19 @@ class PipelineOpsSpec extends SparkSpec {
   }
 
   // --------------------------------------------------------------------- q110
+  test("k-means final plan stays flat as iterations grow (per-iteration truncation)") {
+    import spark.implicits._
+    val emb = (0 until 20).map { i =>
+      (i.toLong, Array.tabulate(64)(d => if (d % 2 == i % 2) 1.0f else 0.1f))
+    }.toDF("vec_id", "embedding")
+    def planNodes(iters: Int): Int =
+      PipelineOps.kmeans(emb, spark, k = 2, iters = iters)
+        .queryExecution.optimizedPlan.collect { case p => p }.size
+    // without the per-iteration localCheckpoint the iter-4 plan re-embeds
+    // every earlier iteration's assignment+update lineage
+    assert(planNodes(4) === planNodes(1))
+  }
+
   test("spherical k-means recovers planted clusters and iterating does not hurt") {
     import spark.implicits._
     // 8 well-separated anchors, 25 vectors each, deterministic jitter;
