@@ -16,7 +16,8 @@ object SparkEntry {
       ops.TextOps.catalog ++ ops.CorpusOps.catalog ++ ops.VectorOps.catalog ++
       ops.PipelineOps.catalog ++
       ops.StreamingOps.catalog ++ ops.Multimodal.catalog ++ Seq(
-      ("q50_report_ingest", (s: SparkSession, _: String) => ingest.ReportPipeline.demoQuery(s), None))
+      ("q50_report_ingest", (s: SparkSession, _: String) => ingest.ReportPipeline.demoQuery(s),
+        Some(ingest.ReportPipeline.q50Sql)))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
