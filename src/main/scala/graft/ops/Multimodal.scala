@@ -5,30 +5,122 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal columns: image/audio/video as opaque `binary` with typed
-  * metadata (north-star extension; the container has no codec libraries, so
-  * the DECODE STEP IS A DETERMINISTIC FAKE — it parses a synthetic header
-  * we generate ourselves. Everything around it — schema, batch shape,
-  * mapPartitions plumbing, partitioning — is real and tested, so swapping
-  * in a real codec is a one-function change).
+  * metadata (north-star extension). The media column carries REAL PNG
+  * files: [[pngEncode]] writes spec-compliant 8-bit grayscale PNGs with
+  * nothing but the JDK (CRC32 + Deflater), metadata extraction parses the
+  * IHDR chunk, and pixel decode goes through the JDK's own ImageIO PNG
+  * codec — no external codec jars, no synthetic stand-in format.
   *
-  * Batch shape: typed Dataset + mapPartitions so a real decoder could
-  * amortize per-partition init (model load, codec context) exactly where
-  * the fake sits. At 100 TB the binary column dominates row size — the
-  * media table carries only (id, media, format) and all metadata joins
-  * happen on the slim decoded side.
+  * Batch shape: typed Dataset + mapPartitions so heavier codecs/encoders
+  * can amortize per-partition init (codec context, model weights) exactly
+  * where the JDK codec sits. At 100 TB the binary column dominates row
+  * size — the media table carries only (id, media, format) and all
+  * metadata joins happen on the slim decoded side.
+  *
+  * Oracle strategy: pixel content is a deterministic function of the
+  * document text (pixel i = text byte i mod len), so everything derived
+  * from DECODED pixels or IHDR dims is DuckDB-checkable from the documents
+  * table — while the bytes on the wire are genuine compressed PNGs whose
+  * size the oracle never needs to predict.
   */
 object Multimodal {
 
-  /** Decoded media metadata — what a real image decoder would surface. */
+  /** Decoded media metadata — IHDR dims + full-decode pixel stats. */
   case class MediaMeta(doc_id: Long, format: String, width: Int, height: Int,
                        n_bytes: Long, mean_byte: Double)
 
   case class MediaRow(doc_id: Long, format: String, media: Array[Byte])
 
-  /** Synthesize a deterministic fake "image": 8-byte header
-    * [width:int32BE][height:int32BE] + the document text bytes as payload.
-    * Stands in for real image files; derived from the documents table so
-    * the driver contract can exercise it.
+  // ------------------------------------------------------------------ codec
+
+  /** Deterministic grayscale pixels for a document: pixel i = UTF-8 text
+    * byte (i mod len); all-zero for empty text. */
+  private[ops] def pixelsFor(text: String, w: Int, h: Int): Array[Byte] = {
+    val tb = text.getBytes("UTF-8")
+    val px = Array.ofDim[Byte](w * h)
+    if (tb.nonEmpty) {
+      var i = 0
+      while (i < px.length) { px(i) = tb(i % tb.length); i += 1 }
+    }
+    px
+  }
+
+  /** Minimal real PNG encoder — 8-bit grayscale (color type 0), one IDAT,
+    * filter 0 per scanline, CRC32-correct chunks. Pure JVM (java.util.zip);
+    * MultimodalSpec proves validity by round-tripping through the JDK's
+    * ImageIO PNG codec. */
+  def pngEncode(w: Int, h: Int, pixels: Array[Byte]): Array[Byte] = {
+    require(pixels.length == w * h, s"need $w*$h pixels, got ${pixels.length}")
+    val out = new java.io.ByteArrayOutputStream(64 + pixels.length / 2)
+    out.write(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+    def chunk(tag: String, data: Array[Byte]): Unit = {
+      val len = java.nio.ByteBuffer.allocate(4).putInt(data.length).array()
+      out.write(len)
+      val tagBytes = tag.getBytes("US-ASCII")
+      val crc = new java.util.zip.CRC32()
+      crc.update(tagBytes); crc.update(data)
+      out.write(tagBytes); out.write(data)
+      out.write(java.nio.ByteBuffer.allocate(4).putInt(crc.getValue.toInt).array())
+    }
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+      .putInt(w).putInt(h)
+      .put(8.toByte)  // bit depth
+      .put(0.toByte)  // color type: grayscale
+      .put(0.toByte).put(0.toByte).put(0.toByte) // deflate, adaptive, no interlace
+    chunk("IHDR", ihdr.array())
+    // scanlines: leading filter byte 0 + raw row
+    val raw = Array.ofDim[Byte](h * (w + 1))
+    var r = 0
+    while (r < h) {
+      System.arraycopy(pixels, r * w, raw, r * (w + 1) + 1, w)
+      r += 1
+    }
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(raw); deflater.finish()
+    val cbuf = new java.io.ByteArrayOutputStream(raw.length / 2)
+    val tmp = Array.ofDim[Byte](8192)
+    while (!deflater.finished()) cbuf.write(tmp, 0, deflater.deflate(tmp))
+    deflater.end()
+    chunk("IDAT", cbuf.toByteArray)
+    chunk("IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
+  private val PngSignature =
+    Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+  /** IHDR metadata parse — the cheap width/height path that never inflates
+    * pixel data (what a 100 TB metadata sweep runs; IHDR is mandated to be
+    * the first chunk, so dims sit at fixed offsets 16/20). */
+  def pngDims(png: Array[Byte]): (Int, Int) = {
+    require(png.length >= 24 && png.take(8).sameElements(PngSignature),
+      "not a PNG (bad signature)")
+    val buf = java.nio.ByteBuffer.wrap(png)
+    (buf.getInt(16), buf.getInt(20))
+  }
+
+  /** Full pixel decode through the JDK's real ImageIO PNG codec (row-major
+    * grayscale samples). */
+  def pngPixels(png: Array[Byte]): Array[Byte] = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+    require(img != null, "ImageIO could not decode media as an image")
+    val (w, h) = (img.getWidth, img.getHeight)
+    val raster = img.getRaster
+    val px = Array.ofDim[Byte](w * h)
+    var y = 0; var i = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { px(i) = raster.getSample(x, y, 0).toByte; i += 1; x += 1 }
+      y += 1
+    }
+    px
+  }
+
+  // ------------------------------------------------------------------ table
+
+  /** The media table: one real PNG per document — dims derived from
+    * n_chars (w = n_chars % 64 + 1, h = n_chars % 48 + 1), pixels from the
+    * text — so the driver contract can check decoded values end-to-end.
     */
   def mediaTable(spark: SparkSession, dir: String): Dataset[MediaRow] = {
     import spark.implicits._
@@ -38,76 +130,76 @@ object Multimodal {
       .map { case (id, nChars, text) =>
         val w = (nChars % 64 + 1).toInt
         val h = (nChars % 48 + 1).toInt
-        val payload = text.getBytes("UTF-8")
-        val buf = java.nio.ByteBuffer.allocate(8 + payload.length)
-        buf.putInt(w).putInt(h).put(payload)
-        MediaRow(id, "fakeimg", buf.array())
+        MediaRow(id, "png", pngEncode(w, h, pixelsFor(text, w, h)))
       }
   }
 
-  /** ===== STUB DECODER =====
-    * Parses the synthetic header above. A real implementation would call an
-    * image codec here (per-partition init + per-row decode); the signature,
-    * batching, and output schema are the real contract.
-    */
+  /** Decode metadata for each media row: IHDR dims (no inflate) + full
+    * ImageIO pixel decode for the content stats. mapPartitions so a
+    * heavier codec can init once per partition. */
   def decodeMeta(media: Dataset[MediaRow]): Dataset[MediaMeta] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
-      // real codec: init decoder context once per partition here
+      // heavier codecs: init decoder context once per partition here
       rows.map { r =>
-        val buf = java.nio.ByteBuffer.wrap(r.media)
-        val w = buf.getInt(); val h = buf.getInt()
-        val payload = r.media.drop(8)
+        val (w, h) = pngDims(r.media)
+        val px = pngPixels(r.media)
         val mean =
-          if (payload.isEmpty) 0.0
-          else payload.foldLeft(0L)((a, b) => a + (b & 0xff)).toDouble / payload.length
+          if (px.isEmpty) 0.0
+          else px.foldLeft(0L)((a, b) => a + (b & 0xff)).toDouble / px.length
         MediaMeta(r.doc_id, r.format, w, h, r.media.length.toLong, mean)
       }
     }
   }
 
-  /** Resize stub: rewrites header dims, truncates payload proportionally —
-    * deterministic stand-in for a real scaler, keeps the binary contract.
-    */
+  /** Real resize: decode pixels, integer nearest-neighbor subsample to fit
+    * maxDim, re-encode as PNG. Deterministic (integer source indices). */
   def resize(media: Dataset[MediaRow], maxDim: Int): Dataset[MediaRow] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       rows.map { r =>
-        val buf = java.nio.ByteBuffer.wrap(r.media)
-        val w = buf.getInt(); val h = buf.getInt()
+        val (w, h) = pngDims(r.media)
         val scale = math.min(1.0, maxDim.toDouble / math.max(w, h))
         val (nw, nh) = (math.max(1, (w * scale).toInt), math.max(1, (h * scale).toInt))
-        val payload = r.media.drop(8)
-        // keep=0 for an empty payload (header-only media is in-domain)
-        val keep = if (payload.isEmpty) 0 else math.max(1, (payload.length * scale).toInt)
-        val out = java.nio.ByteBuffer.allocate(8 + keep)
-        out.putInt(nw).putInt(nh).put(payload, 0, keep)
-        r.copy(media = out.array())
+        if (nw == w && nh == h) r
+        else {
+          val src = pngPixels(r.media)
+          val dst = Array.ofDim[Byte](nw * nh)
+          var y = 0
+          while (y < nh) {
+            val sy = y * h / nh
+            var x = 0
+            while (x < nw) { dst(y * nw + x) = src(sy * w + x * w / nw); x += 1 }
+            y += 1
+          }
+          r.copy(media = pngEncode(nw, nh, dst))
+        }
       }
     }
   }
 
-  /** Frame sampling: view the payload as fixed-size frames, keep every
-    * k-th — the video-pipeline shape (explode to one row per kept frame).
-    */
+  /** Frame sampling over the DECODED pixel stream: view the w×h samples as
+    * fixed-size frames, keep every k-th — the video-pipeline shape
+    * (explode to one row per kept frame). */
   def sampleFrames(media: Dataset[MediaRow], frameBytes: Int, everyK: Int): DataFrame = {
     import media.sparkSession.implicits._
     media.flatMap { r =>
-      val payload = r.media.drop(8)
-      payload.grouped(frameBytes).zipWithIndex
+      pngPixels(r.media).grouped(frameBytes).zipWithIndex
         .filter(_._2 % everyK == 0)
         .map { case (frame, idx) => (r.doc_id, idx, frame.length, frame) }
     }.toDF("doc_id", "frame_idx", "frame_bytes", "frame")
   }
 
-  /** Driver-contract query: decode metadata for every synthesized media
-    * row. Columns chosen to be derivable from the documents table so the
-    * DuckDB oracle can check the full encode→decode roundtrip.
+  /** Driver-contract query: IHDR metadata for every PNG. width/height are
+    * re-derivable from n_chars and n_px = width × height, so the DuckDB
+    * oracle checks the full encode → IHDR-parse roundtrip without having
+    * to predict compressed byte sizes.
     */
   def q70MediaMeta(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     decodeMeta(mediaTable(spark, dir))
-      .select(col("doc_id"), col("width"), col("height"), col("n_bytes"))
+      .select(col("doc_id"), col("width"), col("height"),
+        (col("width") * col("height")).as("n_px"))
       .orderBy(col("doc_id"))
   }
 
@@ -115,22 +207,24 @@ object Multimodal {
     """SELECT doc_id,
       |  CAST(n_chars % 64 + 1 AS INT) AS width,
       |  CAST(n_chars % 48 + 1 AS INT) AS height,
-      |  octet_length(encode(text)) + 8 AS n_bytes
+      |  CAST((n_chars % 64 + 1) * (n_chars % 48 + 1) AS INT) AS n_px
       |FROM documents ORDER BY doc_id""".stripMargin
 
-  /** Frame-sampling query. The payload is the document's UTF-8 bytes, so
-    * the kept-frame indices and sizes are pure arithmetic over the byte
-    * length — fully oracle-checkable. */
+  /** Frame-sampling query. Decoded pixels are text bytes cycled to w×h, so
+    * the kept-frame indices and sizes are pure arithmetic over n_chars —
+    * fully oracle-checkable even though the wire bytes are compressed. */
   def q71FrameSample(spark: SparkSession, dir: String): DataFrame =
     sampleFrames(mediaTable(spark, dir), frameBytes = 32, everyK = 3)
       .select(col("doc_id"), col("frame_idx"), col("frame_bytes"))
       .orderBy(col("doc_id"), col("frame_idx"))
 
-  /** Frames of 32 payload bytes, every 3rd kept; last frame is the
-    * remainder. n_chars == octet_length(encode(text)) for this corpus
-    * (ASCII) but the oracle derives the length from the text itself. */
+  /** Frames of 32 pixels over the w×h = (n_chars%64+1)(n_chars%48+1)
+    * decoded samples, every 3rd kept; last frame is the remainder. */
   val q71Sql: String =
-    """WITH d AS (SELECT doc_id, octet_length(encode(text)) AS len FROM documents),
+    """WITH d AS (
+      |  SELECT doc_id,
+      |    CAST((n_chars % 64 + 1) * (n_chars % 48 + 1) AS BIGINT) AS len
+      |  FROM documents),
       |f AS (
       |  SELECT doc_id, len, unnest(range((len + 31) // 32)) AS idx
       |  FROM d WHERE len > 0)
@@ -140,21 +234,21 @@ object Multimodal {
       |FROM f WHERE idx % 3 = 0 ORDER BY doc_id, frame_idx""".stripMargin
 
   /** ===== STUB FEATURE EXTRACTOR =====
-    * The missing third stage of the media pipeline (decode → transform →
-    * EMBED). Per-partition "model" initialization + per-row map to a
-    * fixed-dim Array[Float] — exactly the batching contract a real vision
-    * encoder needs (weights loaded once per partition, rows streamed
-    * through). The stub computes byte-stripe means so outputs are
-    * deterministic for tests; the downstream contract (fixed dim,
-    * unit-range floats, feeds VectorOps centroids/ANN unchanged) is real.
+    * The third stage of the media pipeline (decode → transform → EMBED).
+    * The DECODE below it is real (ImageIO); the embedding itself is a
+    * deterministic pixel-stripe mean standing in for a vision encoder —
+    * per-partition "model" initialization + per-row map to a fixed-dim
+    * Array[Float], exactly the batching contract real weights need. The
+    * downstream contract (fixed dim, unit-range floats, feeds VectorOps
+    * centroids/ANN unchanged) is real.
     */
   def extractFeatures(media: Dataset[MediaRow], dim: Int): DataFrame = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       // real path: load encoder weights ONCE here, reuse across rows
       rows.map { r =>
+        val p = pngPixels(r.media)
         val acc = Array.ofDim[Float](dim)
-        val p = r.media
         var i = 0
         while (i < p.length) { acc(i % dim) += (p(i) & 0xff); i += 1 }
         if (p.nonEmpty) {
@@ -167,13 +261,14 @@ object Multimodal {
     }.toDF("doc_id", "features")
   }
 
-  /** Media-embedding query. Demonstrates the full multimodal chain: synth
-    * media → stub encoder (n_dims comes from the extractFeatures output,
-    * so the encoder runs under the driver check) → per-row norm. The
-    * driver-compared norm is computed from the INTEGER stripe sums (exact
-    * in both engines — the media bytes are header + document UTF-8, so
-    * the oracle rebuilds them from the text); the float-normalized
-    * features keep their unit-range contract under MultimodalSpec.
+  /** Media-embedding query. Demonstrates the full multimodal chain: real
+    * PNG encode → real ImageIO decode → stub encoder (n_dims comes from
+    * the extractFeatures output, so the encoder runs under the driver
+    * check) → per-row norm. The driver-compared norm is computed from the
+    * INTEGER pixel stripe sums (exact in both engines — decoded pixels are
+    * text bytes cycled to w×h, which the oracle rebuilds from the text);
+    * the float-normalized features keep their unit-range contract under
+    * MultimodalSpec.
     */
   def q80MediaFeatures(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -181,9 +276,10 @@ object Multimodal {
     val nDims = extractFeatures(media, dim = 8)
       .select(col("doc_id"), size(col("features")).as("n_dims"))
     val rawNorm = media.map { r =>
+      val p = pngPixels(r.media)
       val acc = Array.ofDim[Long](8)
       var i = 0
-      while (i < r.media.length) { acc(i % 8) += (r.media(i) & 0xff); i += 1 }
+      while (i < p.length) { acc(i % 8) += (p(i) & 0xff); i += 1 }
       (r.doc_id, math.sqrt(acc.map(v => v.toDouble * v).sum))
     }.toDF("doc_id", "norm_raw")
     nDims.join(rawNorm, "doc_id")
@@ -191,25 +287,23 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
-  /** Media bytes = [0,0,0,w, 0,0,0,h] header + UTF-8 text; byte i of the
-    * payload is read out of hex(encode(text)). Stripe sums stay < 2^53 so
-    * the sqrt sees the identical double in both engines. */
+  /** Decoded pixel i = text byte (i mod len) over w×h samples, read out of
+    * hex(encode(text)). Stripe sums stay < 2^53 so the sqrt sees the
+    * identical double in both engines. */
   val q80Sql: String =
     """WITH d AS (
-      |  SELECT doc_id, n_chars, hex(encode(text)) AS hx,
-      |    octet_length(encode(text)) AS plen
+      |  SELECT doc_id, hex(encode(text)) AS hx,
+      |    octet_length(encode(text)) AS plen,
+      |    CAST((n_chars % 64 + 1) * (n_chars % 48 + 1) AS BIGINT) AS npx
       |  FROM documents),
-      |bytes AS (
+      |px AS (
       |  SELECT doc_id, i,
-      |    CASE
-      |      WHEN i = 3 THEN n_chars % 64 + 1
-      |      WHEN i = 7 THEN n_chars % 48 + 1
-      |      WHEN i < 8 THEN 0
-      |      ELSE ('0x' || substr(hx, 2 * (i - 8) + 1, 2))::BIGINT
+      |    CASE WHEN plen = 0 THEN 0
+      |         ELSE ('0x' || substr(hx, 2 * CAST(i % plen AS BIGINT) + 1, 2))::BIGINT
       |    END AS v
-      |  FROM d, LATERAL (SELECT unnest(range(plen + 8)) AS i) r),
+      |  FROM d, LATERAL (SELECT unnest(range(npx)) AS i) r),
       |stripes AS (
-      |  SELECT doc_id, i % 8 AS d8, SUM(v) AS s FROM bytes GROUP BY doc_id, i % 8)
+      |  SELECT doc_id, i % 8 AS d8, SUM(v) AS s FROM px GROUP BY doc_id, i % 8)
       |SELECT doc_id, CAST(8 AS INT) AS n_dims,
       |  ROUND(sqrt(CAST(SUM(s * s) AS DOUBLE)), 6) AS stripe_norm
       |FROM stripes GROUP BY doc_id ORDER BY doc_id""".stripMargin
