@@ -193,9 +193,57 @@ object StreamingOps {
       .join(corpusHashes, Seq("h"), "left_anti")
       .dropDuplicates("h")
 
+  /** q122 — file-stream END-TO-END: unlike q60–q63 (batch twins of the
+    * streaming transforms), this entry EXECUTES a real Structured
+    * Streaming query. The events table is staged as a multi-file parquet
+    * landing zone, `readStream` consumes it in bounded micro-batches
+    * (maxFilesPerTrigger under Trigger.AvailableNow — the incremental
+    * replay a production backfill runs), the watermarked 15-minute
+    * tumbling aggregate maintains real streaming state across those
+    * batches, and the memory sink's complete-mode table is the result the
+    * DuckDB oracle hash-checks against the equivalent batch SQL.
+    *
+    * Scale shape: the landing-zone listing is incremental (file-source
+    * log), state is bounded by the watermark in append-mode production
+    * use (complete mode here only so the finite replay surfaces every
+    * window for the oracle), and the aggregate shuffles on (window,
+    * event_type) exactly like its batch twin.
+    */
+  def q122FileStream(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val src = s"/tmp/graft_stream_src_${new java.io.File(dir).getName}"
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .repartition(4) // ≥4 landing files → several micro-batches below
+      .write.mode("overwrite").parquet(src)
+    val schema = spark.read.parquet(src).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 2)
+      .parquet(src)
+    val agg = stream
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "15 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), moneySum(col("value")).as("sum_value"))
+      .select(
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("event_type"), col("n"), col("sum_value"))
+    val qname = "graft_q122_result"
+    val query = agg.writeStream.format("memory").queryName(qname)
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    query.awaitTermination()
+    spark.table(qname).orderBy(col("window_start"), col("event_type"))
+  }
+
+  val q122Sql: String =
+    """SELECT STRFTIME(time_bucket(INTERVAL '15 minutes', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+      |  event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q60_tumbling_window", q60Tumbling _, Some(q60Sql)),
     ("q61_sliding_window", q61Sliding _, Some(q61Sql)),
     ("q62_session_window", q62Session _, Some(q62Sql)),
-    ("q63_stream_dedup", q63Dedup _, Some(q63Sql)))
+    ("q63_stream_dedup", q63Dedup _, Some(q63Sql)),
+    ("q122_file_stream", q122FileStream _, Some(q122Sql)))
 }

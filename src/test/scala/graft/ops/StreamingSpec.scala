@@ -36,6 +36,23 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.size === 4) // windows 10:00, 10:10 (x2 types), 10:20
   }
 
+  test("q122 file-stream catalog entry executes a real streaming query and equals batch") {
+    val dir = "/root/testdata/sf0.001"
+    val streamed = StreamingOps.q122FileStream(spark, dir)
+      .collect().map(_.toSeq).toSet
+    val batch = graft.Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "15 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), Num.moneySum(col("value")).as("sum_value"))
+      .select(
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("event_type"), col("n"), col("sum_value"))
+      .collect().map(_.toSeq).toSet
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+    // rerunnable: the memory-sink query name is reusable across invocations
+    assert(StreamingOps.q122FileStream(spark, dir).count() === streamed.size)
+  }
+
   test("watermark finalizes windows in append mode and drops late rows") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
