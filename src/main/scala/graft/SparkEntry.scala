@@ -14,7 +14,7 @@ object SparkEntry {
     ops.Relational.catalog ++ ops.RelationalExt.catalog ++
       ops.RelationalMore.catalog ++ ops.SketchOps.catalog ++
       ops.TextOps.catalog ++ ops.CorpusOps.catalog ++ ops.VectorOps.catalog ++
-      ops.PipelineOps.catalog ++
+      ops.PipelineOps.catalog ++ ops.Skew.catalog ++ ops.Metrics.catalog ++
       ops.StreamingOps.catalog ++ ops.Multimodal.catalog ++ Seq(
       ("q50_report_ingest", (s: SparkSession, _: String) => ingest.ReportPipeline.demoQuery(s),
         Some(ingest.ReportPipeline.q50Sql)))

@@ -1,6 +1,7 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Skew mitigation for hot join keys (SURVEY §2.2 / builder-prompt scale
@@ -47,4 +48,34 @@ object Skew {
       .agg(sum(col(valueCol)).as("__partial"))
       .groupBy(col(key))
       .agg(sum(col("__partial")).as(s"sum_$valueCol"))
+
+  // --------------------------------------------------------------------------
+  // q123 — the salted equi-join as a CATALOG operator, not just a
+  // spec-tested utility: orders ⋈ customer through saltedEquiJoin (the
+  // big fact side salted 8 ways, the customer side replicated per salt),
+  // then revenue per nation key. The oracle is the PLAIN join SQL — the
+  // whole point of salting is result-set identity, and the hash check
+  // proves it on the driver gate, not just in SkewSpec.
+  //
+  // Scale shape: salting splits each hot custkey's rows across 8 shuffle
+  // partitions at the cost of an 8× replication of the (small) dimension
+  // — the standard trade when one key dominates (e.g. the null/default
+  // customer absorbing a crawl's unattributed orders).
+  def q123SaltedJoin(spark: SparkSession, dir: String): DataFrame =
+    saltedEquiJoin(
+      Tables.orders(spark, dir).select(col("o_custkey"), col("o_totalprice")),
+      Tables.customer(spark, dir).select(col("c_custkey"), col("c_nationkey")),
+      "o_custkey", "c_custkey", salts = 8)
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_orders"), Num.moneySum(col("o_totalprice")).as("total_rev"))
+      .orderBy(col("c_nationkey"))
+
+  val q123Sql: String =
+    """SELECT c_nationkey, COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_rev
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin
+
+  val catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
+    ("q123_salted_join", q123SaltedJoin _, Some(q123Sql)))
 }

@@ -518,7 +518,10 @@ object VectorOps {
 
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q40_cosine_topk", q40CosineTopk _, Some(q40Sql)),
-    ("q49_cosine_neardup", q49CosineNearDup _, Some(q49Sql)),
+    // q49 (exact all-pairs BNLJ near-dup) is deliberately NOT cataloged:
+    // it exists as the baseline twin the q104 LSH path is proven equal to
+    // (VectorOpsSpec asserts q104 == q49 exactly; PlanSpec pins its BNLJ
+    // shape) — an O(n²) plan has no place in the default query surface.
     ("q41_centroids", q41Centroids _, Some(q41Sql)),
     ("q42_ann_lsh", q42AnnLsh _, Some(q42Sql)),
     ("q43_centroid_agg", q43CentroidAgg _, Some(q43Sql)),
