@@ -860,8 +860,52 @@ object PipelineOps {
       |FROM besta JOIN bestb USING (akey, bkey, lev)
       |ORDER BY akey""".stripMargin
 
+  // --------------------------------------------------------------------------
+  // q127 — deterministic shuffle-and-shard for training: assign every doc
+  // a content-hash shuffle key, bucket it into a shard (hash mod
+  // n_shards), and rank it within its shard — the reproducible global
+  // permutation + sharding a training run needs for epoch order (same
+  // assignment on any partitioning, any rerun, any engine; no RNG state).
+  // The portable md5 52-bit uniform is the q27/q109 hash policy.
+  //
+  // Scale shape: key + shard are row-local (pushed into the scan); the
+  // within-shard rank is one window per shard — and a shard is exactly
+  // the unit a writer materializes sorted anyway, so the sort IS the
+  // output operation, not overhead. n_shards scales with cluster size;
+  // no global single-partition sort anywhere.
+  def q127ShuffleShard(spark: SparkSession, dir: String): DataFrame =
+    shuffleShard(Tables.documents(spark, dir), nShards = 8)
+
+  /** documents(doc_id, text) → (doc_id, shard, pos) deterministic
+    * permutation; factored for the permutation-property spec. */
+  def shuffleShard(docs: DataFrame, nShards: Int): DataFrame =
+    docs
+      .select(col("doc_id"),
+        md5(concat(col("text"), col("doc_id").cast("string"))).as("h"))
+      .withColumn("shard",
+        pmod(conv(substring(col("h"), 1, 13), 16, 10).cast("long"), lit(nShards.toLong))
+          .cast("int"))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("shard")).orderBy(col("h"), col("doc_id"))) - 1)
+      .select(col("doc_id"), col("shard"), col("pos"))
+      .orderBy(col("shard"), col("pos"))
+
+  val q127Sql: String =
+    """WITH t AS (
+      |  SELECT doc_id, md5(text || CAST(doc_id AS VARCHAR)) AS h FROM documents),
+      |s AS (
+      |  SELECT doc_id, h,
+      |    CAST(list_reduce(list_transform(range(1, 14),
+      |           i -> CAST(strpos('0123456789abcdef', h[i]) AS BIGINT) - 1),
+      |         (a, b) -> a * 16 + b) % 8 AS INT) AS shard
+      |  FROM t)
+      |SELECT doc_id, shard,
+      |  CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY h, doc_id) - 1 AS INT) AS pos
+      |FROM s ORDER BY shard, pos""".stripMargin
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q106_decontaminate", q106Decontaminate _, Some(q106Sql)),
+    ("q127_shuffle_shard", q127ShuffleShard _, Some(q127Sql)),
     ("q107_vocab_encode", q107VocabEncode _, Some(q107Sql)),
     ("q108_stratified_sample", q108StratifiedSample _, Some(q108Sql)),
     ("q109_weighted_sample", q109WeightedSample _, Some(q109Sql)),

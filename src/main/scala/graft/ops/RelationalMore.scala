@@ -646,8 +646,65 @@ object RelationalMore {
       |       ROUND(SQRT(chi2 / (nn * (LEAST(r, c) - 1))), 6) AS cramers_v
       |FROM agg""".stripMargin
 
+  // --------------------------------------------------------------------------
+  // q125 — winsorization (percentile clipping): clamp each group's values
+  // into its [P5, P95] band and report the clipped-tail counts plus the
+  // winsorized total — the outlier-robust normalization a feature/reward
+  // pipeline applies before aggregation (complements q91's z-score
+  // flagging: winsorizing REPLACES tails instead of dropping them).
+  //
+  // Numeric determinism: the percentile interpolation formula (p·(n−1)
+  // 0-based) is identical in Spark `percentile` and DuckDB
+  // `quantile_cont` (q28 parity), the mid-band sum is an exact
+  // DECIMAL(18,2) accumulation, and the winsorized total combines them in
+  // one fixed-order double expression — identical doubles both engines.
+  //
+  // Scale shape: pass 1 is a per-group percentile aggregate (3 groups →
+  // tiny result, BROADCAST back); pass 2 is one row-local clip + hash
+  // aggregate. No window over the fact table, no global sort.
+  def q125Winsorize(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"), col("l_extendedprice"))
+    val pcts = li.groupBy(col("l_returnflag")).agg(
+      expr("percentile(l_extendedprice, 0.05d)").as("p05"),
+      expr("percentile(l_extendedprice, 0.95d)").as("p95"))
+    li.join(broadcast(pcts), Seq("l_returnflag"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(when(col("l_extendedprice") < col("p05"), 1)).as("n_lo"),
+        count(when(col("l_extendedprice") > col("p95"), 1)).as("n_hi"),
+        Num.moneySum(when(col("l_extendedprice").between(col("p05"), col("p95")),
+          col("l_extendedprice"))).as("sum_mid"),
+        first(col("p05")).as("p05"), first(col("p95")).as("p95"))
+      .select(col("l_returnflag"),
+        round(col("p05"), 4).as("p05"), round(col("p95"), 4).as("p95"),
+        col("n_lo"), col("n_hi"),
+        round(col("sum_mid") + col("n_lo") * col("p05") + col("n_hi") * col("p95"), 4)
+          .as("winsorized_total"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val q125Sql: String =
+    """WITH p AS (
+      |  SELECT l_returnflag,
+      |    quantile_cont(l_extendedprice, 0.05) AS p05,
+      |    quantile_cont(l_extendedprice, 0.95) AS p95
+      |  FROM lineitem GROUP BY l_returnflag)
+      |SELECT l.l_returnflag,
+      |  ROUND(p05, 4) AS p05, ROUND(p95, 4) AS p95,
+      |  COUNT(CASE WHEN l_extendedprice < p05 THEN 1 END) AS n_lo,
+      |  COUNT(CASE WHEN l_extendedprice > p95 THEN 1 END) AS n_hi,
+      |  ROUND(CAST(SUM(CASE WHEN l_extendedprice BETWEEN p05 AND p95
+      |                 THEN CAST(l_extendedprice AS DECIMAL(18,2)) END) AS DOUBLE)
+      |        + COUNT(CASE WHEN l_extendedprice < p05 THEN 1 END) * p05
+      |        + COUNT(CASE WHEN l_extendedprice > p95 THEN 1 END) * p95, 4)
+      |    AS winsorized_total
+      |FROM lineitem l JOIN p USING (l_returnflag)
+      |GROUP BY l.l_returnflag, p05, p95 ORDER BY l.l_returnflag""".stripMargin
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q53_date_spine", q53DateSpine _, Some(q53Sql)),
+    ("q125_winsorize", q125Winsorize _, Some(q125Sql)),
     ("q117_weighted_median", q117WeightedMedian _, Some(q117Sql)),
     ("q118_ks_test", q118KsTest _, Some(q118Sql)),
     ("q119_association", q119Association _, Some(q119Sql)),

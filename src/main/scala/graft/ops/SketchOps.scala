@@ -225,8 +225,51 @@ object SketchOps {
       |FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
       |GROUP BY n.n_regionkey ORDER BY n.n_regionkey""".stripMargin
 
+  // --------------------------------------------------------------------------
+  // q126 — Count-Min Sketch point-frequency estimates: the mergeable
+  // frequency-query counterpart of q77's Misra-Gries top-k and q99's HLL
+  // distincts (completing the classic sketch triple). One CMS is built
+  // over the lineitem supplier-key stream with Spark's codegen'd
+  // `count_min_sketch` aggregate (fixed seed → deterministic binary), then
+  // the 10 highest-traffic suppliers' frequencies are answered FROM THE
+  // SKETCH and checked against the CMS guarantee est ∈ [exact,
+  // exact + ε·N]. Per the q24/q55/q99 sketch policy the oracle-checked row
+  // carries the exact count plus the bound flag pinned TRUE (estimates
+  // are engine-specific; the guarantee is not).
+  //
+  // Scale shape: the sketch is a fixed (ε, δ)-sized counter grid built
+  // with map-side partial merges — one tiny binary per partition, merged
+  // once; point queries are O(depth) lookups on the collected sketch (a
+  // driver-side probe of a KB-scale summary, not a data scan); the exact
+  // side is one hash aggregate + top-k (TakeOrderedAndProject).
+  def q126CmsFreq(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val eps = 0.0005; val confidence = 0.999
+    val li = Tables.lineitem(spark, dir).select(col("l_suppkey").cast("long").as("k"))
+    val skBytes = li
+      .agg(expr(s"count_min_sketch(k, ${eps}d, ${confidence}d, 42)").as("sk"))
+      .head().getAs[Array[Byte]]("sk")
+    val cms = org.apache.spark.util.sketch.CountMinSketch
+      .readFrom(new java.io.ByteArrayInputStream(skBytes))
+    val bound = math.ceil(eps * cms.totalCount()).toLong
+    val top = li.groupBy(col("k")).agg(count(lit(1)).as("exact_n"))
+      .orderBy(col("exact_n").desc, col("k"))
+      .limit(10).as[(Long, Long)].collect()
+    top.map { case (k, exact) =>
+      val est = cms.estimateCount(k)
+      (k, exact, est >= exact && est <= exact + bound)
+    }.toSeq.toDF("l_suppkey", "exact_n", "within_eps_bound")
+  }
+
+  val q126Sql: String =
+    """SELECT CAST(l_suppkey AS BIGINT) AS l_suppkey, COUNT(*) AS exact_n,
+      |  TRUE AS within_eps_bound
+      |FROM lineitem GROUP BY l_suppkey
+      |ORDER BY exact_n DESC, l_suppkey LIMIT 10""".stripMargin
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q74_sketch_rollup", q74SketchRollup _, Some(q74Sql)),
     ("q77_heavy_hitters", q77HeavyHitters _, Some(q77Sql)),
-    ("q99_hll_rollup", q99HllRollup _, Some(q99Sql)))
+    ("q99_hll_rollup", q99HllRollup _, Some(q99Sql)),
+    ("q126_cms_freq", q126CmsFreq _, Some(q126Sql)))
 }

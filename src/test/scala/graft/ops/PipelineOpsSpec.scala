@@ -272,6 +272,24 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  // --------------------------------------------------------------------- q127
+  test("shuffle-shard emits a deterministic permutation with contiguous per-shard ranks") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val out = PipelineOps.shuffleShard(docs, nShards = 8).collect()
+    // a permutation: every doc exactly once
+    assert(out.map(_.getAs[Long]("doc_id")).distinct.length === docs.count())
+    // contiguous 0..k-1 positions inside each shard
+    out.groupBy(_.getAs[Int]("shard")).foreach { case (s, rows) =>
+      val pos = rows.map(_.getAs[Int]("pos")).sorted
+      assert(pos === (0 until rows.length).toArray, s"shard $s")
+    }
+    // partitioning-invariant (rerun-stable epoch order)
+    val again = PipelineOps.shuffleShard(docs.repartition(7), nShards = 8)
+      .collect().map(r => r.getAs[Long]("doc_id") -> ((r.getAs[Int]("shard"), r.getAs[Int]("pos"))))
+    assert(again.toMap === out.map(r =>
+      r.getAs[Long]("doc_id") -> ((r.getAs[Int]("shard"), r.getAs[Int]("pos")))).toMap)
+  }
+
   test("flattenParents fails fast when a parent id is missing from the node set") {
     import spark.implicits._
     val bad = Seq((1L, 1L), (2L, 99L)).toDF("node", "parent")

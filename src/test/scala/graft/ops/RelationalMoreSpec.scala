@@ -152,4 +152,23 @@ class RelationalMoreSpec extends SparkSpec {
     assert(math.abs(ind.getAs[Double]("mi")) < 1e-9)
     assert(ind.getAs[Double]("cramers_v") === 0.0)
   }
+
+  test("q125 winsorization clips ~5% per tail and keeps the total inside the band") {
+    val rows = RelationalMore.q125Winsorize(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val sizes = Tables.lineitem(spark, dir).groupBy(col("l_returnflag")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      val n = sizes(r.getAs[String]("l_returnflag"))
+      val (p05, p95) = (r.getAs[Double]("p05"), r.getAs[Double]("p95"))
+      val (lo, hi) = (r.getAs[Long]("n_lo"), r.getAs[Long]("n_hi"))
+      assert(p05 < p95)
+      // interpolated percentiles put at most ~5% strictly outside each edge
+      assert(lo <= n * 0.05 + 1, s"lo=$lo n=$n")
+      assert(hi <= n * 0.05 + 1, s"hi=$hi n=$n")
+      assert(lo >= n * 0.04 - 1 && hi >= n * 0.04 - 1, "tails should be near 5%")
+      val total = r.getAs[Double]("winsorized_total")
+      assert(total >= n * p05 && total <= n * p95)
+    }
+  }
 }

@@ -104,4 +104,18 @@ class SketchOpsSpec extends SparkSpec {
       .collect().map(r => r.getAs[Number]("n_regionkey").longValue -> r.getAs[Long]("a")).toMap
     for ((region, a) <- direct) assert(rolled(region)._1 === a, s"region $region")
   }
+
+  test("q126 CMS point estimates honor the overcount-only eps bound on the exact top-10") {
+    val rows = SketchOps.q126CmsFreq(spark, dir).collect()
+    assert(rows.length === 10)
+    assert(rows.forall(_.getAs[Boolean]("within_eps_bound")))
+    // the exact side must agree with a plain groupBy top-10
+    val expected = Tables.lineitem(spark, dir)
+      .groupBy(col("l_suppkey").cast("long").as("k"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("k")).limit(10)
+      .collect().map(r => (r.getAs[Long]("k"), r.getAs[Long]("n"))).toSeq
+    val got = rows.map(r => (r.getAs[Long]("l_suppkey"), r.getAs[Long]("exact_n"))).toSeq
+    assert(got === expected)
+  }
 }
