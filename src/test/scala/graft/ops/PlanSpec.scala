@@ -223,4 +223,26 @@ class PlanSpec extends SparkSpec {
     assert(scans <= 2, s"expected <=2 scans, got $scans:\n$p")
     assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"), p)
   }
+
+  test("q121 neighborhood linkage plans only equi-joins — no block-local cross product") {
+    val (clean, dirty) = PipelineOps.linkageTables(spark, dir)
+    val p = plan(PipelineOps.neighborhoodCandidates(clean, dirty))
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"), p)
+    // the join key includes the deletion-neighborhood key, not just the
+    // 125-value (nk, seg) pair — the round-4 scale fix (at this SF the
+    // planner broadcasts the small side, so check the join's key list)
+    val keyLine = p.linesIterator.find(l => l.contains("keys") && l.contains("k#"))
+    assert(keyLine.isDefined, p)
+  }
+
+  test("q123 salted join: the salted fact side shuffles on (key, salt)") {
+    val p = plan(Skew.q123SaltedJoin(spark, dir))
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("__salt"), p)
+  }
+
+  test("q125 winsorize broadcasts the 3-row percentile table onto the clip pass") {
+    val p = plan(RelationalMore.q125Winsorize(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
 }
