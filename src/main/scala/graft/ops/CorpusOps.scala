@@ -400,7 +400,44 @@ object CorpusOps {
        |       COUNT(*) AS n_distinct, CAST(MAX(n) AS BIGINT) AS n_tok
        |FROM probs GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------------------------------------
+  // q129 — relational DIVISION (containment join): docs whose token set
+  // contains EVERY term of a query set — the classic "for all" operator
+  // (suppliers-supplying-all-parts) in its corpus form (boolean AND
+  // retrieval). No division primitive exists in Spark or SQL; the
+  // standard reduction is: match tokens against the term set, count
+  // DISTINCT matched terms per doc, keep docs hitting |terms|.
+  //
+  // Scale shape: the term set is tiny and becomes a row-local IN filter
+  // (pushed into the scan projection — no join for the match), the
+  // distinct-count is one hash aggregate on doc_id, and the |terms|
+  // comparison is a 1-row broadcast-free literal. Nothing scans the
+  // corpus twice; fan-out is matched tokens only.
+  private val divisionTerms = Seq("scan", "join", "hash")
+
+  def q129Division(spark: SparkSession, dir: String): DataFrame = {
+    val terms = divisionTerms.map(lit)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(TextOps.toks).as("w"))
+      .filter(col("w").isin(divisionTerms: _*))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("w")).as("n_terms"))
+      .filter(col("n_terms") === terms.length)
+      .select(col("doc_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q129Sql: String = {
+    val inList = divisionTerms.map(t => s"'$t'").mkString(", ")
+    s"""SELECT doc_id FROM (
+       |  SELECT doc_id, COUNT(DISTINCT w) AS c
+       |  FROM (SELECT doc_id, unnest(${TextOps.toksSqlD}) AS w FROM documents)
+       |  WHERE w IN ($inList) GROUP BY doc_id)
+       |WHERE c = ${divisionTerms.length} ORDER BY doc_id""".stripMargin
+  }
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
+    ("q129_division", q129Division _, Some(q129Sql)),
     ("q85_pii_redact", q85PiiRedact _, Some(q85Sql)),
     ("q86_bitwise_agg", q86BitwiseAgg _, Some(q86Sql)),
     ("q87_boilerplate", q87Boilerplate _, Some(q87Sql)),

@@ -702,9 +702,56 @@ object RelationalMore {
       |FROM lineitem l JOIN p USING (l_returnflag)
       |GROUP BY l.l_returnflag, p05, p95 ORDER BY l.l_returnflag""".stripMargin
 
+  // --------------------------------------------------------------------------
+  // q128 — BINNED range join: the scale path for interval joins. q20's
+  // point-in-interval join is a BroadcastNestedLoopJoin — correct when the
+  // interval side is tiny, O(n·m) the moment it is not. Binning turns it
+  // into an EQUI-join: discretize the range dimension into fixed-width
+  // bins, replicate each interval to the (few) bins it overlaps, map each
+  // point to its bin, hash-join on the bin key, then apply the exact
+  // range predicate inside the join. Identical result, and the only
+  // fan-out is interval_span/bin_width replicas per interval — the
+  // standard trick (Spark's own range-join hints on Databricks, Trino's
+  // spatial partitioning) expressed with stock operators.
+  //
+  // The 60 overlapping price bands are generated in-plan (deterministic);
+  // bin width 1000 bounds replication at ⌈1500/1000⌉+1 = 3 bins/interval.
+  //
+  // Scale shape: one row-local bin assignment per side, one shuffle
+  // equi-join on bin, one hash aggregate on the band id. No nested loop
+  // anywhere (PlanSpec pins it — the deliberate contrast to q20).
+  def q128BinnedRangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val binW = 1000
+    val bands = spark.range(0, 60).select(
+      col("id").as("band_id"),
+      (col("id") * 1000).cast("double").as("lo"),
+      (col("id") * 1000 + 1500).cast("double").as("hi"))
+    val bandBins = bands.withColumn("bin",
+      explode(sequence(floor(col("lo") / binW), floor(col("hi") / binW))))
+    val pts = Tables.lineitem(spark, dir)
+      .select(col("l_extendedprice").as("price"))
+      .withColumn("bin", floor(col("price") / binW))
+    pts.join(bandBins, Seq("bin"))
+      .filter(col("price") >= col("lo") && col("price") < col("hi"))
+      .groupBy(col("band_id"), col("lo"), col("hi"))
+      .agg(count(lit(1)).as("n"), Num.moneySum(col("price")).as("sum_price"))
+      .orderBy(col("band_id"))
+  }
+
+  val q128Sql: String =
+    """WITH bands AS (
+      |  SELECT i AS band_id, i * 1000.0 AS lo, i * 1000.0 + 1500 AS hi
+      |  FROM (SELECT unnest(range(60)) AS i))
+      |SELECT band_id, lo, hi, COUNT(*) AS n,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM bands JOIN lineitem
+      |  ON l_extendedprice >= lo AND l_extendedprice < hi
+      |GROUP BY band_id, lo, hi ORDER BY band_id""".stripMargin
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q53_date_spine", q53DateSpine _, Some(q53Sql)),
     ("q125_winsorize", q125Winsorize _, Some(q125Sql)),
+    ("q128_binned_range_join", q128BinnedRangeJoin _, Some(q128Sql)),
     ("q117_weighted_median", q117WeightedMedian _, Some(q117Sql)),
     ("q118_ks_test", q118KsTest _, Some(q118Sql)),
     ("q119_association", q119Association _, Some(q119Sql)),

@@ -3,6 +3,7 @@ package graft.ops
 import java.nio.file.Files
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions.array_contains
 
 /** Planted-content corpus for the fourth-wave pipeline operators: a known
   * email for redaction, a shared boilerplate phrase for the corpus-frequency
@@ -81,5 +82,22 @@ class CorpusOpsSpec extends SparkSpec {
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
     assert(rows(5L) === rows(6L)) // same text → same split, no leakage
     assert(rows.values.forall(Set("train", "val", "test")))
+  }
+
+  test("q129 relational division keeps exactly the docs containing every term") {
+    val dir = "/root/testdata/sf0.001"
+    val got = CorpusOps.q129Division(spark, dir).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    val expected = graft.Tables.documents(spark, dir)
+      .filter(Seq("scan", "join", "hash")
+        .map(t => array_contains(TextOps.toks, t)).reduce(_ && _))
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(got === expected)
+    assert(got.nonEmpty)
+    // and it excludes docs matching only a strict subset of the terms
+    val partial = graft.Tables.documents(spark, dir)
+      .filter(array_contains(TextOps.toks, "scan") && !array_contains(TextOps.toks, "join"))
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(partial.nonEmpty && partial.forall(!got.contains(_)))
   }
 }

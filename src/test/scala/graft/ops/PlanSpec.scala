@@ -245,4 +245,11 @@ class PlanSpec extends SparkSpec {
     val p = plan(RelationalMore.q125Winsorize(spark, dir))
     assert(p.contains("BroadcastHashJoin"), p)
   }
+
+  test("q128 binned range join plans an equi-join — the scale contrast to q20's BNLJ") {
+    val p = plan(RelationalMore.q128BinnedRangeJoin(spark, dir))
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"), p)
+    val keyLine = p.linesIterator.find(l => l.contains("keys") && l.contains("bin#"))
+    assert(keyLine.isDefined, p)
+  }
 }

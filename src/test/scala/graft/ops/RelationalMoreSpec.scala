@@ -153,6 +153,24 @@ class RelationalMoreSpec extends SparkSpec {
     assert(ind.getAs[Double]("cramers_v") === 0.0)
   }
 
+  test("q128 binned range join equals the direct theta join") {
+    import org.apache.spark.sql.DataFrame
+    val binned = RelationalMore.q128BinnedRangeJoin(spark, dir)
+      .collect().map(_.toSeq).toSet
+    val bands = spark.range(0, 60).select(
+      col("id").as("band_id"),
+      (col("id") * 1000).cast("double").as("lo"),
+      (col("id") * 1000 + 1500).cast("double").as("hi"))
+    val direct: DataFrame = Tables.lineitem(spark, dir)
+      .select(col("l_extendedprice").as("price"))
+      .join(bands, col("price") >= col("lo") && col("price") < col("hi"))
+      .groupBy(col("band_id"), col("lo"), col("hi"))
+      .agg(count(lit(1)).as("n"),
+        graft.ops.Num.moneySum(col("price")).as("sum_price"))
+    assert(binned === direct.collect().map(_.toSeq).toSet)
+    assert(binned.nonEmpty)
+  }
+
   test("q125 winsorization clips ~5% per tail and keeps the total inside the band") {
     val rows = RelationalMore.q125Winsorize(spark, dir).collect()
     assert(rows.nonEmpty)
