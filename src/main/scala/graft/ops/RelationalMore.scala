@@ -748,10 +748,53 @@ object RelationalMore {
       |  ON l_extendedprice >= lo AND l_extendedprice < hi
       |GROUP BY band_id, lo, hi ORDER BY band_id""".stripMargin
 
+  // --------------------------------------------------------------------------
+  // q130 — equi-depth histogram (NTILE semantics WITHOUT a global sort):
+  // the 9 interior decile edges come from one interpolated-percentile
+  // aggregate (cross-engine exact, q28 parity), broadcast back, and each
+  // row's bucket is the codegen'd count of edges ≤ value — so the whole
+  // corpus never sorts, while NTILE(10) would drag every row through one
+  // ordered partition. Equi-depth summaries are the drift-detection /
+  // optimizer-statistics shape (equal mass per bucket, adaptive bounds),
+  // complementing q78's fixed-width histogram.
+  //
+  // Boundary semantics: a value equal to an edge lands in the UPPER
+  // bucket (strict `v >= edge` count), identical in both engines.
+  def q130EquiDepthHist(spark: SparkSession, dir: String): DataFrame = {
+    val k = 10
+    val li = Tables.lineitem(spark, dir).select(col("l_extendedprice").as("v"))
+    val edges = li.agg(expr(
+      s"percentile(v, array(${(1 until k).map(i => s"${i.toDouble / k}d").mkString(", ")}))")
+      .as("es"))
+    val bucket = (0 until k - 1)
+      .map(i => (col("v") >= col("es").getItem(i)).cast("int"))
+      .reduce(_ + _)
+    li.crossJoin(broadcast(edges))
+      .select(col("v"), bucket.as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        round(min(col("v")), 2).as("lo"), round(max(col("v")), 2).as("hi"))
+      .orderBy(col("bucket"))
+  }
+
+  val q130Sql: String = {
+    val ps = (1 until 10).map(i => (i.toDouble / 10).toString).mkString(", ")
+    val bucket = (1 to 9).map(i => s"CAST(v >= es[$i] AS INT)").mkString(" + ")
+    s"""WITH e AS (
+       |  SELECT quantile_cont(l_extendedprice, [$ps]) AS es FROM lineitem),
+       |b AS (
+       |  SELECT l_extendedprice AS v, $bucket AS bucket
+       |  FROM lineitem, e)
+       |SELECT bucket, COUNT(*) AS n,
+       |  ROUND(MIN(v), 2) AS lo, ROUND(MAX(v), 2) AS hi
+       |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin
+  }
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q53_date_spine", q53DateSpine _, Some(q53Sql)),
     ("q125_winsorize", q125Winsorize _, Some(q125Sql)),
     ("q128_binned_range_join", q128BinnedRangeJoin _, Some(q128Sql)),
+    ("q130_equidepth_hist", q130EquiDepthHist _, Some(q130Sql)),
     ("q117_weighted_median", q117WeightedMedian _, Some(q117Sql)),
     ("q118_ks_test", q118KsTest _, Some(q118Sql)),
     ("q119_association", q119Association _, Some(q119Sql)),

@@ -272,6 +272,47 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("deletion-neighborhood candidates are exactly the in-block lev<=1 pairs " +
+    "on random perturbed names") {
+    import spark.implicits._
+    // small alphabet + short strings force hash-bucket collisions and
+    // distance-1 pairs between DIFFERENT entities, not just planted twins
+    val rnd = new scala.util.Random(7)
+    def randStr() = (0 until 3 + rnd.nextInt(5))
+      .map(_ => ('a' + rnd.nextInt(4)).toChar).mkString
+    val cleanNames = (0 until 60).map(i => (i.toLong, randStr()))
+    val dirtyNames = cleanNames.map { case (i, s) =>
+      val m = rnd.nextInt(4) match {
+        case 0 => s
+        case 1 if s.length > 1 => s.substring(0, 1) + s.substring(2) // deletion
+        case 2 => s + ('a' + rnd.nextInt(4)).toChar                  // insertion
+        case _ => ('a' + rnd.nextInt(4)).toChar + s.substring(1)     // substitution
+      }
+      (i + 1000L, m)
+    }
+    val clean = cleanNames.toDF("akey", "an")
+      .withColumn("nk", lit(0)).withColumn("seg", lit("S"))
+    val dirty = dirtyNames.toDF("bkey", "bn")
+      .withColumn("nk", lit(0)).withColumn("seg", lit("S"))
+    val got = PipelineOps.neighborhoodCandidates(clean, dirty).collect()
+      .map(r => (r.getAs[Long]("akey"), r.getAs[Long]("bkey"), r.getAs[Int]("lev"))).toSet
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val expected = (for {
+      (ak, an) <- cleanNames
+      (bk, bn) <- dirtyNames
+      d = lev(an, bn) if d <= 1
+    } yield (ak, bk, d)).toSet
+    assert(got === expected)
+    assert(expected.exists(_._3 == 1) && expected.size > cleanNames.size,
+      "fixture should include non-twin distance-1 pairs")
+  }
+
   // --------------------------------------------------------------------- q127
   test("shuffle-shard emits a deterministic permutation with contiguous per-shard ranks") {
     val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")

@@ -171,6 +171,22 @@ class RelationalMoreSpec extends SparkSpec {
     assert(binned.nonEmpty)
   }
 
+  test("q130 equi-depth histogram balances bucket mass and tiles the value range") {
+    val rows = RelationalMore.q130EquiDepthHist(spark, dir).collect()
+    assert(rows.map(_.getAs[Int]("bucket")).toSeq === (0 until 10))
+    val n = Tables.lineitem(spark, dir).count()
+    rows.foreach { r =>
+      val c = r.getAs[Long]("n")
+      assert(math.abs(c - n / 10.0) <= n * 0.02 + 1, s"bucket ${r.getAs[Int]("bucket")}: $c vs ${n / 10}")
+      assert(r.getAs[Double]("lo") <= r.getAs[Double]("hi"))
+    }
+    // buckets tile: next bucket's lo is >= previous hi
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b.getAs[Double]("lo") >= a.getAs[Double]("hi"))
+    }
+    assert(rows.map(_.getAs[Long]("n")).sum === n)
+  }
+
   test("q125 winsorization clips ~5% per tail and keeps the total inside the band") {
     val rows = RelationalMore.q125Winsorize(spark, dir).collect()
     assert(rows.nonEmpty)
