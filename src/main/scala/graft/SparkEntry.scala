@@ -13,7 +13,8 @@ object SparkEntry {
   private def catalogs: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
     ops.Relational.catalog ++ ops.RelationalExt.catalog ++
       ops.RelationalMore.catalog ++ ops.SketchOps.catalog ++
-      ops.TextOps.catalog ++ ops.CorpusOps.catalog ++ ops.VectorOps.catalog ++
+      ops.TextOps.catalog ++ ops.CorpusOps.catalog ++ ops.EventOps.catalog ++
+      ops.VectorOps.catalog ++
       ops.PipelineOps.catalog ++ ops.Skew.catalog ++ ops.Metrics.catalog ++
       ops.StreamingOps.catalog ++ ops.Multimodal.catalog ++ Seq(
       ("q50_report_ingest", (s: SparkSession, _: String) => ingest.ReportPipeline.demoQuery(s),

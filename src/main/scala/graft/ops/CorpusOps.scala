@@ -436,8 +436,154 @@ object CorpusOps {
        |WHERE c = ${divisionTerms.length} ORDER BY doc_id""".stripMargin
   }
 
+  // --------------------------------------------------------------------------
+  // q133 — population stability index (PSI) drift: has the document-length
+  // distribution shifted between the established crawl sources (src0–src9,
+  // the "reference" population) and the newly onboarded ones (src10–src19,
+  // "current")? The standard pre-training data-quality gate before mixing
+  // a new source into the corpus: PSI = Σ_bins (p_cur − p_ref)·ln(p_cur/
+  // p_ref) with the conventional <0.1 / <0.25 / ≥0.25 bands.
+  //
+  // Determinism: bin counts are exact longs from ONE conditional hash
+  // aggregate (count_if per side — a single corpus scan, no per-side
+  // re-scan); proportions use a fixed continuity correction (+0.5 per
+  // bin, +0.5·|bins| per total) so empty bins never hit ln(0); the
+  // 12-term double sum folds in bin order via sort_array + aggregate()
+  // (q119's pattern) — bit-equal cross-engine before the final rounding.
+  //
+  // Scale: the corpus collapses to a 12-row grid in the first aggregate;
+  // the spine join and the fold are constant-size. One scan, one shuffle.
+  def q133PsiDrift(spark: SparkSession, dir: String): DataFrame = {
+    val binned = Tables.documents(spark, dir)
+      .select(
+        expr("cast(least(n_chars div 50, 11) as bigint)").as("bin"),
+        (regexp_extract(col("source"), "([0-9]+)$", 1).cast("int") < 10).as("is_ref"))
+      .groupBy(col("bin"))
+      .agg(count_if(col("is_ref")).as("ref_n"), count_if(!col("is_ref")).as("cur_n"))
+    spark.range(0, 12).select(col("id").as("bin"))
+      .join(binned, Seq("bin"), "left")
+      .na.fill(0L, Seq("ref_n", "cur_n"))
+      .groupBy(lit(1).as("g"))
+      .agg(
+        sort_array(collect_list(struct(col("bin"), col("ref_n"), col("cur_n")))).as("cs"),
+        sum(col("ref_n")).as("n_ref"), sum(col("cur_n")).as("n_cur"))
+      .withColumn("psi", expr(
+        """aggregate(cs, 0.0d, (a, x) ->
+          |  a + (((x.cur_n + 0.5d) / (n_cur + 6.0d)) - ((x.ref_n + 0.5d) / (n_ref + 6.0d)))
+          |      * ln(((x.cur_n + 0.5d) / (n_cur + 6.0d))
+          |           / ((x.ref_n + 0.5d) / (n_ref + 6.0d))))""".stripMargin))
+      .select(col("n_ref"), col("n_cur"), round(col("psi"), 6).as("psi"),
+        when(round(col("psi"), 6) < 0.1, lit("stable"))
+          .when(round(col("psi"), 6) < 0.25, lit("moderate"))
+          .otherwise(lit("major")).as("drift_band"))
+  }
+
+  val q133Sql: String =
+    """WITH binned AS (
+      |  SELECT LEAST(n_chars // 50, 11) AS bin,
+      |         CAST(regexp_extract(source, '([0-9]+)$', 1) AS INT) < 10 AS is_ref
+      |  FROM documents),
+      |cnt AS (
+      |  SELECT bin,
+      |    COUNT(*) FILTER (is_ref) AS ref_n,
+      |    COUNT(*) FILTER (NOT is_ref) AS cur_n
+      |  FROM binned GROUP BY bin),
+      |grid AS (
+      |  SELECT s.bin, COALESCE(ref_n, 0) AS ref_n, COALESCE(cur_n, 0) AS cur_n
+      |  FROM (SELECT UNNEST(generate_series(0, 11)) AS bin) s
+      |  LEFT JOIN cnt ON cnt.bin = s.bin),
+      |tot AS (SELECT SUM(ref_n) AS n_ref, SUM(cur_n) AS n_cur FROM grid),
+      |agg AS (
+      |  SELECT n_ref, n_cur,
+      |    list_reduce(list_prepend(0.0, list(
+      |      (((cur_n + 0.5) / (n_cur + 6.0)) - ((ref_n + 0.5) / (n_ref + 6.0)))
+      |      * LN(((cur_n + 0.5) / (n_cur + 6.0)) / ((ref_n + 0.5) / (n_ref + 6.0)))
+      |      ORDER BY bin)), (a, b) -> a + b) AS psi
+      |  FROM grid CROSS JOIN tot GROUP BY n_ref, n_cur)
+      |SELECT CAST(n_ref AS BIGINT) AS n_ref, CAST(n_cur AS BIGINT) AS n_cur,
+      |  ROUND(psi, 6) AS psi,
+      |  CASE WHEN ROUND(psi, 6) < 0.1 THEN 'stable'
+      |       WHEN ROUND(psi, 6) < 0.25 THEN 'moderate'
+      |       ELSE 'major' END AS drift_band
+      |FROM agg""".stripMargin
+
+  // --------------------------------------------------------------------------
+  // q134 — token co-occurrence mining (pointwise mutual information): the
+  // top associated token pairs over the corpus, the classic collocation /
+  // phrase-discovery statistic. PMI(a,b) = ln(N·c_ab / (df_a·df_b)) over
+  // DOC-level co-occurrence, restricted to the top-100 document-frequency
+  // vocabulary with a minimum pair support of 5 docs.
+  //
+  // Scale shape: the unbounded "all token pairs" blowup is capped by the
+  // vocabulary gate — the vocab is a ~100-row aggregate (its rank window
+  // runs over the aggregated (token, df) table, corpus-size-independent,
+  // q107's pattern) that rides along as a BROADCAST df-lookup map; each
+  // doc then intersects row-locally and fans out at most C(100,2) pairs.
+  // df_a/df_b come from element_at on the broadcast map AT EXPLODE TIME
+  // (they ride the groupBy keys), so the pair aggregate needs NO join
+  // back onto the vocabulary — the q65/q81 one-lineage lesson. Two text
+  // scans total (vocab build + pair pass) and a column-pruned count.
+  // Determinism: all PMI inputs are exact longs; one fixed double
+  // expression, rounded; top-20 order totally tie-broken by (t1, t2).
+  def q134PmiPairs(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val docTokens = "array_distinct(filter(split(lower(text), ' '), t -> t != ''))"
+    val dt = docs.select(col("doc_id"), explode(expr(docTokens)).as("w"))
+    val vocab = dt.groupBy(col("w")).agg(count(lit(1)).as("df"))
+      .withColumn("rk", row_number().over(Window.orderBy(col("df").desc, col("w"))))
+      .filter(col("rk") <= 100)
+    val vocabMap = vocab
+      .agg(map_from_entries(sort_array(collect_list(struct(col("w"), col("df"))))).as("vm"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    docs.crossJoin(broadcast(vocabMap))
+      .select(
+        expr(s"sort_array(filter($docTokens, t -> element_at(vm, t) is not null))")
+          .as("dv"),
+        col("vm"))
+      .select(explode(col("dv")).as("t1"), col("dv"), col("vm"))
+      .select(col("t1"), explode(col("dv")).as("t2"), col("vm"))
+      .filter(col("t1") < col("t2"))
+      .groupBy(col("t1"), col("t2"),
+        element_at(col("vm"), col("t1")).as("df_a"),
+        element_at(col("vm"), col("t2")).as("df_b"))
+      .agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= 5)
+      .crossJoin(broadcast(nDocs))
+      .withColumn("pmi", round(
+        log(col("c_ab").cast("double") * col("n_docs") /
+          (col("df_a").cast("double") * col("df_b"))), 6))
+      .select(col("t1"), col("t2"), col("c_ab"), col("pmi"))
+      .orderBy(col("pmi").desc, col("t1"), col("t2"))
+      .limit(20)
+  }
+
+  val q134Sql: String =
+    s"""WITH dt AS (
+       |  SELECT doc_id, UNNEST(list_distinct(${TextOps.toksSqlD})) AS w FROM documents),
+       |vocab AS (
+       |  SELECT w, df FROM (
+       |    SELECT w, COUNT(*) AS df,
+       |           ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, w) AS rk
+       |    FROM dt GROUP BY w) WHERE rk <= 100),
+       |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+       |pairs AS (
+       |  SELECT a.w AS t1, b.w AS t2, COUNT(*) AS c_ab
+       |  FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.w < b.w
+       |  JOIN vocab va ON va.w = a.w
+       |  JOIN vocab vb ON vb.w = b.w
+       |  GROUP BY 1, 2 HAVING COUNT(*) >= 5)
+       |SELECT t1, t2, c_ab,
+       |  ROUND(LN(CAST(c_ab AS DOUBLE) * n_docs / (CAST(va.df AS DOUBLE) * vb.df)), 6) AS pmi
+       |FROM pairs
+       |JOIN vocab va ON va.w = t1
+       |JOIN vocab vb ON vb.w = t2
+       |CROSS JOIN n
+       |ORDER BY pmi DESC, t1, t2 LIMIT 20""".stripMargin
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q129_division", q129Division _, Some(q129Sql)),
+    ("q133_psi_drift", q133PsiDrift _, Some(q133Sql)),
+    ("q134_pmi_pairs", q134PmiPairs _, Some(q134Sql)),
     ("q85_pii_redact", q85PiiRedact _, Some(q85Sql)),
     ("q86_bitwise_agg", q86BitwiseAgg _, Some(q86Sql)),
     ("q87_boilerplate", q87Boilerplate _, Some(q87Sql)),

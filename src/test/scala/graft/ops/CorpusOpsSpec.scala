@@ -100,4 +100,51 @@ class CorpusOpsSpec extends SparkSpec {
       .collect().map(_.getAs[Long]("doc_id")).toSet
     assert(partial.nonEmpty && partial.forall(!got.contains(_)))
   }
+
+  /** docs with controlled (source, n_chars) only — q133 reads nothing else. */
+  private def psiDir(refLens: Seq[Long], curLens: Seq[Long]): String = {
+    import spark.implicits._
+    val rows =
+      refLens.zipWithIndex.map { case (n, i) => (i.toLong, "x", "en", "src0", n) } ++
+        curLens.zipWithIndex.map { case (n, i) =>
+          (1000L + i, "x", "en", "src10", n)
+        }
+    val d = Files.createTempDirectory("graft_psi").toString
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$d/documents.parquet")
+    d
+  }
+
+  test("q133 PSI is exactly zero for identical distributions, 'major' under a full shift") {
+    val same = CorpusOps.q133PsiDrift(spark,
+      psiDir(Seq(60L, 160L, 260L), Seq(60L, 160L, 260L))).collect().head
+    assert(same.getAs[Double]("psi") === 0.0)
+    assert(same.getAs[String]("drift_band") === "stable")
+    // ref mass all in bin 1, cur mass all in bin 11 → large PSI
+    val shifted = CorpusOps.q133PsiDrift(spark,
+      psiDir(Seq.fill(4)(60L), Seq.fill(4)(580L))).collect().head
+    assert(shifted.getAs[Double]("psi") > 0.25)
+    assert(shifted.getAs[String]("drift_band") === "major")
+  }
+
+  test("q134 PMI scores the planted collocation and enforces min support") {
+    import spark.implicits._
+    // alpha∧beta in 6 docs, alpha alone in 2 more (df_a=8, df_b=6, N=20);
+    // gamma∧delta co-occur only 4 times — below the support-5 gate.
+    val rows =
+      (1 to 6).map(i => (i.toLong, s"alpha beta f$i", "en", "src0", 10L)) ++
+        (7 to 8).map(i => (i.toLong, s"alpha f$i", "en", "src0", 10L)) ++
+        (9 to 12).map(i => (i.toLong, s"gamma delta f$i", "en", "src0", 10L)) ++
+        (13 to 20).map(i => (i.toLong, s"u$i v$i", "en", "src0", 10L))
+    val d = Files.createTempDirectory("graft_pmi").toString
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$d/documents.parquet")
+    val got = CorpusOps.q134PmiPairs(spark, d).collect()
+    assert(got.length === 1) // gamma/delta and all filler pairs gated out
+    val r = got.head
+    assert(r.getAs[String]("t1") === "alpha" && r.getAs[String]("t2") === "beta")
+    assert(r.getAs[Long]("c_ab") === 6L)
+    // pmi = ln(N·c_ab/(df_a·df_b)) = ln(20·6/(8·6)) = ln(2.5)
+    assert(r.getAs[Double]("pmi") === math.rint(math.log(2.5) * 1e6) / 1e6)
+  }
 }

@@ -1,0 +1,74 @@
+package graft.ops
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+
+/** Handcrafted event log for the behavioral-analytics operators: known
+  * cohort/active-week structure for the retention matrix, and a planted
+  * equal-timestamp pair to pin the event_id tie-break in the transition
+  * chain. `ts` is written as nanos-since-epoch longs — the same physical
+  * shape `Tables.events` reads from the driver-generated parquet.
+  */
+class EventOpsSpec extends SparkSpec {
+
+  // Mon 2024-01-01 00:00:00 UTC
+  private val w0 = 1704067200L * 1000000000L
+  private val day = 86400L * 1000000000L
+
+  private def ev(id: Long, tsNanos: Long, user: Long, typ: String): (Long, Long, Long, String, Double, String) =
+    (id, tsNanos, user, typ, 1.0, "{}")
+
+  private lazy val dir: String = {
+    import spark.implicits._
+    val rows = Seq(
+      // user 1: active weeks 0, 1, 3 (cohort = week 0)
+      ev(1, w0, 1, "view"),
+      ev(2, w0, 1, "click"), // same ts as id=1: id order decides the chain
+      ev(3, w0 + 7 * day, 1, "purchase"),
+      ev(4, w0 + 22 * day, 1, "view"),
+      // user 2: two events in week 0 only (collect_set dedups the week)
+      ev(5, w0 + 1 * day, 2, "view"),
+      ev(6, w0 + 3 * day, 2, "view"),
+      // user 3: first seen week 1, also active week 2 (cohort = week 1)
+      ev(7, w0 + 9 * day, 3, "signup"),
+      ev(8, w0 + 15 * day, 3, "purchase"))
+    val d = Files.createTempDirectory("graft_events").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.parquet(s"$d/events.parquet")
+    d
+  }
+
+  // week index of w0 under the q131 epoch (Mon 1970-01-05)
+  private val wk0 = java.time.temporal.ChronoUnit.DAYS.between(
+    java.time.LocalDate.of(1970, 1, 5), java.time.LocalDate.of(2024, 1, 1)) / 7
+
+  test("q131 cohort retention: cohorts, offsets, sizes, and rates") {
+    val got = EventOps.q131CohortRetention(spark, dir).collect()
+      .map(r => (r.getAs[Long]("cohort"), r.getAs[Long]("week_offset")) ->
+        ((r.getAs[Long]("active_users"), r.getAs[Long]("cohort_size"),
+          r.getAs[Double]("retention_rate")))).toMap
+    assert(got.size === 5)
+    // cohort week0: users 1 and 2; only user 1 returns (weeks 1 and 3)
+    assert(got((wk0, 0L)) === ((2L, 2L, 1.0)))
+    assert(got((wk0, 1L)) === ((1L, 2L, 0.5)))
+    assert(got((wk0, 3L)) === ((1L, 2L, 0.5)))
+    // cohort week1: user 3 alone, retained in its week 1 (= offset 1)
+    assert(got((wk0 + 1, 0L)) === ((1L, 1L, 1.0)))
+    assert(got((wk0 + 1, 1L)) === ((1L, 1L, 1.0)))
+  }
+
+  test("q132 transitions: equal-ts events chain by event_id; probabilities normalize per origin") {
+    val got = EventOps.q132EventTransitions(spark, dir).collect()
+      .map(r => (r.getAs[String]("from_type"), r.getAs[String]("to_type")) ->
+        ((r.getAs[Long]("n_trans"), r.getAs[Double]("p")))).toMap
+    // user1 chain: view →(tie: id 1 before 2) click → purchase → view
+    // user2 chain: view → view;  user3 chain: signup → purchase
+    assert(got(("view", "click")) === ((1L, 0.5)))   // view fans out 1/2, 1/2
+    assert(got(("view", "view")) === ((1L, 0.5)))
+    assert(got(("click", "purchase")) === ((1L, 1.0)))
+    assert(got(("purchase", "view")) === ((1L, 1.0)))
+    assert(got(("signup", "purchase")) === ((1L, 1.0)))
+    assert(got.size === 5)
+  }
+}
