@@ -790,8 +790,130 @@ object RelationalMore {
        |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin
   }
 
+  // --------------------------------------------------------------------------
+  // q135 — snapshot reconciliation ("data diff"): given two versions of a
+  // keyed table, emit every added / removed / changed row with before and
+  // after values — the migration-validation / CDC-audit operator. Version
+  // B is a deterministic mutation of orders (q67's CDC conventions: exact
+  // decimal price arithmetic so the changed values are bit-equal
+  // cross-engine): keys ≡7 (mod 10) deleted, keys ≡0 updated (+5% price),
+  // keys ≡3 re-inserted under fresh keys.
+  //
+  // Shape: ONE full-outer equi-join on the key; presence tests and the
+  // column-level compare are row-local; unchanged rows are dropped
+  // in-join-output so only the (typically tiny) diff survives the plan.
+  // At 100 TB each side shuffles once on the key — and not at all if the
+  // snapshots are bucketed on it (ScaleSpec's zero-Exchange property).
+  def q135TableDiff(spark: SparkSession, dir: String): DataFrame = {
+    val cols = Seq("o_orderkey", "o_orderstatus", "o_totalprice")
+    val a = Tables.orders(spark, dir).select(cols.map(col): _*)
+    val priceDec = col("o_totalprice").cast(DecimalType(18, 2))
+    val b = a.filter(col("o_orderkey") % 10 =!= 7)
+      .withColumn("o_totalprice",
+        when(col("o_orderkey") % 10 === 0,
+          round(priceDec * lit(new java.math.BigDecimal("1.05")), 2).cast("double"))
+          .otherwise(col("o_totalprice")))
+      .unionByName(a.filter(col("o_orderkey") % 10 === 3)
+        .withColumn("o_orderkey", col("o_orderkey") + 20000000L))
+    a.as("a").join(b.as("b"), Seq("o_orderkey"), "full_outer")
+      .withColumn("change_type",
+        when(col("a.o_orderstatus").isNull, lit("added"))
+          .when(col("b.o_orderstatus").isNull, lit("removed"))
+          .when(col("a.o_totalprice") =!= col("b.o_totalprice") ||
+            col("a.o_orderstatus") =!= col("b.o_orderstatus"), lit("changed"))
+          .otherwise(lit("same")))
+      .filter(col("change_type") =!= "same")
+      .select(col("o_orderkey"), col("change_type"),
+        col("a.o_totalprice").as("old_price"), col("b.o_totalprice").as("new_price"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  val q135Sql: String =
+    """WITH b AS (
+      |  SELECT o_orderkey, o_orderstatus,
+      |    CASE WHEN o_orderkey % 10 = 0
+      |         THEN CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,2)) * 1.05, 2) AS DOUBLE)
+      |         ELSE o_totalprice END AS o_totalprice
+      |  FROM orders WHERE o_orderkey % 10 <> 7
+      |  UNION ALL
+      |  SELECT o_orderkey + 20000000, o_orderstatus, o_totalprice
+      |  FROM orders WHERE o_orderkey % 10 = 3),
+      |d AS (
+      |  SELECT COALESCE(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+      |    CASE WHEN a.o_orderkey IS NULL THEN 'added'
+      |         WHEN b.o_orderkey IS NULL THEN 'removed'
+      |         WHEN a.o_totalprice <> b.o_totalprice
+      |              OR a.o_orderstatus <> b.o_orderstatus THEN 'changed'
+      |         ELSE 'same' END AS change_type,
+      |    a.o_totalprice AS old_price, b.o_totalprice AS new_price
+      |  FROM orders a FULL OUTER JOIN b ON a.o_orderkey = b.o_orderkey)
+      |SELECT o_orderkey, change_type, old_price, new_price
+      |FROM d WHERE change_type <> 'same' ORDER BY o_orderkey""".stripMargin
+
+  // --------------------------------------------------------------------------
+  // q136 — robust outlier detection via the median absolute deviation:
+  // modified z-score 0.6745·(x − median)/MAD with the conventional 3.5
+  // cutoff (Iglewicz–Hoaglin). The robust complement to q91's mean/stddev
+  // z-score — a 10×-corrupted value inflates the stddev and hides itself,
+  // but barely moves the median/MAD.
+  //
+  // INTEGER-EXACT throughout: `value` sits on the cent grid, so the whole
+  // statistic lives in half-cent units — p = 2·cents − 2·median(cents)
+  // (the 0.5-quantile interpolation is a midpoint, so 2× it is an exact
+  // long), dev2 = |p|, mad4 = 2·median(dev2). The cutoff becomes the pure
+  // integer predicate 1349·|p| > 3500·mad4 (both sides of |z| > 3.5
+  // scaled by 1000·mad4/…), and the reported score is integer basis
+  // points sign(p)·(13490·|p| div mad4) — no double is ever compared or
+  // rounded, so no cross-engine rounding boundary exists (a round(z, 4)
+  // version of this query flaked exactly there at sf0.1: 3.8522 vs
+  // 3.8523 on one grid-valued row).
+  //
+  // Three row-local passes over the table (median → MAD → scoring; the
+  // deviation quantile cannot start before the median lands); both
+  // group-stat tables are |groups|-row aggregates that BROADCAST back —
+  // the base table never sorts globally and never joins shuffled.
+  def q136MadOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val cents = (col("value").cast(DecimalType(12, 2)) * 100).cast("long")
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("event_type"), col("value"), cents.as("x_c"))
+    val med = ev.groupBy(col("event_type"))
+      .agg((expr("percentile(x_c, 0.5d)") * 2).cast("long").as("med2"))
+    val withDev = ev.join(broadcast(med), Seq("event_type"))
+      .withColumn("p", col("x_c") * 2 - col("med2"))
+    val mad = withDev.groupBy(col("event_type"))
+      .agg((expr("percentile(abs(p), 0.5d)") * 2).cast("long").as("mad4"))
+    withDev.join(broadcast(mad), Seq("event_type"))
+      .filter(col("mad4") > 0 && abs(col("p")) * 1349L > col("mad4") * 3500L)
+      .withColumn("mod_z_bp",
+        signum(col("p")).cast("long") * expr("(13490 * abs(p)) div mad4"))
+      .select(col("event_id"), col("event_type"), col("value"), col("mod_z_bp"))
+      .orderBy(col("event_id"))
+  }
+
+  val q136Sql: String =
+    """WITH e AS (
+      |  SELECT event_id, event_type, value,
+      |         CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS x_c
+      |  FROM events),
+      |med AS (
+      |  SELECT event_type, CAST(2 * quantile_cont(x_c, 0.5) AS BIGINT) AS med2
+      |  FROM e GROUP BY event_type),
+      |d AS (
+      |  SELECT e.event_id, e.event_type, e.value, 2 * x_c - med2 AS p
+      |  FROM e JOIN med ON e.event_type = med.event_type),
+      |mad AS (
+      |  SELECT event_type, CAST(2 * quantile_cont(ABS(p), 0.5) AS BIGINT) AS mad4
+      |  FROM d GROUP BY event_type)
+      |SELECT event_id, d.event_type, value,
+      |  CAST(SIGN(p) AS BIGINT) * ((13490 * ABS(p)) // mad4) AS mod_z_bp
+      |FROM d JOIN mad ON d.event_type = mad.event_type
+      |WHERE mad4 > 0 AND 1349 * ABS(p) > 3500 * mad4
+      |ORDER BY event_id""".stripMargin
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q53_date_spine", q53DateSpine _, Some(q53Sql)),
+    ("q135_table_diff", q135TableDiff _, Some(q135Sql)),
+    ("q136_mad_outliers", q136MadOutliers _, Some(q136Sql)),
     ("q125_winsorize", q125Winsorize _, Some(q125Sql)),
     ("q128_binned_range_join", q128BinnedRangeJoin _, Some(q128Sql)),
     ("q130_equidepth_hist", q130EquiDepthHist _, Some(q130Sql)),

@@ -252,4 +252,14 @@ class PlanSpec extends SparkSpec {
     val keyLine = p.linesIterator.find(l => l.contains("keys") && l.contains("bin#"))
     assert(keyLine.isDefined, p)
   }
+
+  test("q131/q132 event analytics collapse the log without any join") {
+    assert(!plan(EventOps.q131CohortRetention(spark, dir)).contains("Join"))
+    assert(!plan(EventOps.q132EventTransitions(spark, dir)).contains("Join"))
+  }
+
+  test("q134 PMI: vocabulary and totals ride broadcasts — no shuffle join anywhere") {
+    val p = plan(CorpusOps.q134PmiPairs(spark, dir))
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p)
+  }
 }

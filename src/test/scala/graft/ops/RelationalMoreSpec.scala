@@ -205,4 +205,41 @@ class RelationalMoreSpec extends SparkSpec {
       assert(total >= n * p05 && total <= n * p95)
     }
   }
+
+  test("q135 table diff classifies added/removed/changed against the mutation spec") {
+    val byType = RelationalMore.q135TableDiff(spark, dir).collect()
+      .groupBy(_.getAs[String]("change_type"))
+      .map { case (t, rs) => t -> rs.map(_.getAs[Long]("o_orderkey")).toSet }
+    val keys = Tables.orders(spark, dir).select(col("o_orderkey"))
+      .collect().map(_.getLong(0)).toSet
+    assert(byType("added") === keys.filter(_ % 10 == 3).map(_ + 20000000L))
+    assert(byType("removed") === keys.filter(_ % 10 == 7))
+    assert(byType("changed") === keys.filter(_ % 10 == 0))
+    // presence columns: adds have no before-value, removes no after-value
+    RelationalMore.q135TableDiff(spark, dir).collect().foreach { r =>
+      r.getAs[String]("change_type") match {
+        case "added"   => assert(r.isNullAt(r.fieldIndex("old_price")))
+        case "removed" => assert(r.isNullAt(r.fieldIndex("new_price")))
+        case _ => assert(!r.isNullAt(r.fieldIndex("old_price")) &&
+          !r.isNullAt(r.fieldIndex("new_price")))
+      }
+    }
+  }
+
+  test("q136 MAD flags exactly the planted extreme, with the hand-computed score") {
+    import spark.implicits._
+    // group: 3×10.00, 3×11.00, 3×12.00, one 100.00 → median 11.00 cents=1100,
+    // p = 2·cents − 2200, MAD half-cents mad4 = 400; only the 100.00 row
+    // passes 1349·|p| > 3500·400, score = (13490·17800) div 400 = 600305.
+    val vals = Seq(10.0, 10.0, 10.0, 11.0, 11.0, 11.0, 12.0, 12.0, 12.0, 100.0)
+    val d = java.nio.file.Files.createTempDirectory("graft_mad").toString
+    vals.zipWithIndex
+      .map { case (v, i) => (i.toLong, 1704067200L * 1000000000L, 1L, "view", v, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.parquet(s"$d/events.parquet")
+    val got = RelationalMore.q136MadOutliers(spark, d).collect()
+    assert(got.length === 1)
+    assert(got.head.getAs[Double]("value") === 100.0)
+    assert(got.head.getAs[Long]("mod_z_bp") === 600305L)
+  }
 }
