@@ -119,7 +119,133 @@ object EventOps {
       |        SUM(n_trans) OVER (PARTITION BY from_type), 6) AS p
       |FROM cnt ORDER BY from_type, to_type""".stripMargin
 
+  // --------------------------------------------------------------------------
+  // q137 — sessionization: assign every event to a session (30-minute
+  // inactivity gap rule) and emit the per-session summary table — the
+  // batch twin of q62's session_window aggregate, in the "session table"
+  // form downstream joins expect (id, bounds, length, duration).
+  // Gaps-and-islands: a lag() gap flag over the (ts, event_id)-total-
+  // ordered per-user chain, running-sum'd into a session index.
+  //
+  // Scale: one shuffle+sort on user_id feeds BOTH windows and the final
+  // per-session aggregate (same partitioning, no second exchange);
+  // session durations are exact epoch-microsecond longs, so nothing here
+  // compares or rounds a double.
+  def q137Sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val chain = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val running = chain.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val gapUs = 1800L * 1000000L
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .withColumn("new_sess",
+        when(unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(chain)) > gapUs
+          || lag(col("ts"), 1).over(chain).isNull, 1L).otherwise(0L))
+      .withColumn("session_idx", sum(col("new_sess")).over(running))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(
+        date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("start_s"),
+        date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss").as("end_s"),
+        count(lit(1)).as("n_events"),
+        ((unix_micros(max(col("ts"))) - unix_micros(min(col("ts")))) / lit(1000000L))
+          .cast("long").as("duration_sec"))
+      .orderBy(col("user_id"), col("session_idx"))
+  }
+
+  val q137Sql: String =
+    """WITH flagged AS (
+      |  SELECT user_id, ts, event_id,
+      |    CASE WHEN LAG(ts) OVER w IS NULL
+      |           OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000
+      |         THEN 1 ELSE 0 END AS new_sess
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |sess AS (
+      |  SELECT user_id, ts,
+      |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                        ROWS UNBOUNDED PRECEDING) AS session_idx
+      |  FROM flagged)
+      |SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+      |  STRFTIME(MIN(ts), '%Y-%m-%d %H:%M:%S') AS start_s,
+      |  STRFTIME(MAX(ts), '%Y-%m-%d %H:%M:%S') AS end_s,
+      |  COUNT(*) AS n_events,
+      |  (epoch_us(MAX(ts)) - epoch_us(MIN(ts))) // 1000000 AS duration_sec
+      |FROM sess GROUP BY user_id, session_idx
+      |ORDER BY user_id, session_idx""".stripMargin
+
+  // --------------------------------------------------------------------------
+  // q138 — A/B experiment readout: users hash-split into variants (q27's
+  // portable md5 policy — deterministic, engine-independent, no RNG
+  // state), per-user conversion = "ever purchased", and the two-proportion
+  // pooled z-test on the conversion rates. The analytics-engine form of
+  // "did the experiment move the metric". Conversion is a HIGH-VALUE
+  // purchase (value ≥ 150, ~45% of users at every SF) — a plain
+  // "ever purchased" metric saturates at p = 1 on this dense log and
+  // the pooled variance (and the z denominator) collapses to zero.
+  //
+  // Scale: one hash aggregate to per-user flags (map-side partial), one
+  // conditional aggregate to the 4 experiment counters, then scalar
+  // arithmetic on a 1-row frame. Counters are exact longs; the z formula
+  // is a single fixed-order double expression mirrored token-for-token in
+  // the oracle (q118/q119's accepted determinism class).
+  def q138AbTest(spark: SparkSession, dir: String): DataFrame = {
+    val perUser = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("value"))
+      .groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === "purchase" && col("value") >= 150.0, 1L)
+        .otherwise(0L)).as("conv"))
+      .withColumn("variant",
+        when(substring(md5(col("user_id").cast("string")), 1, 1)
+          .isin("0", "1", "2", "3", "4", "5", "6", "7"), lit("A")).otherwise(lit("B")))
+    perUser
+      .groupBy(lit(1).as("g"))
+      .agg(
+        count_if(col("variant") === "A").as("n_a"),
+        sum(when(col("variant") === "A", col("conv")).otherwise(0L)).as("x_a"),
+        count_if(col("variant") === "B").as("n_b"),
+        sum(when(col("variant") === "B", col("conv")).otherwise(0L)).as("x_b"))
+      .withColumn("p_a", col("x_a").cast("double") / col("n_a"))
+      .withColumn("p_b", col("x_b").cast("double") / col("n_b"))
+      .withColumn("pp", (col("x_a") + col("x_b")).cast("double") / (col("n_a") + col("n_b")))
+      .withColumn("z", (col("p_a") - col("p_b")) /
+        sqrt(col("pp") * (lit(1.0) - col("pp")) *
+          (lit(1.0) / col("n_a") + lit(1.0) / col("n_b"))))
+      .select(
+        col("n_a"), col("x_a"), col("n_b"), col("x_b"),
+        round(col("p_a"), 6).as("p_a"), round(col("p_b"), 6).as("p_b"),
+        round(col("z"), 6).as("z"),
+        (abs(col("z")) > 1.96).as("significant"))
+  }
+
+  val q138Sql: String =
+    """WITH pu AS (
+      |  SELECT user_id,
+      |    MAX(CASE WHEN event_type = 'purchase' AND value >= 150 THEN 1 ELSE 0 END) AS conv,
+      |    CASE WHEN SUBSTR(md5(CAST(user_id AS VARCHAR)), 1, 1)
+      |           IN ('0','1','2','3','4','5','6','7') THEN 'A' ELSE 'B' END AS variant
+      |  FROM events GROUP BY user_id),
+      |c AS (
+      |  SELECT
+      |    COUNT(*) FILTER (variant = 'A') AS n_a,
+      |    SUM(CASE WHEN variant = 'A' THEN conv ELSE 0 END) AS x_a,
+      |    COUNT(*) FILTER (variant = 'B') AS n_b,
+      |    SUM(CASE WHEN variant = 'B' THEN conv ELSE 0 END) AS x_b
+      |  FROM pu),
+      |s AS (
+      |  SELECT n_a, x_a, n_b, x_b,
+      |    CAST(x_a AS DOUBLE) / n_a AS p_a,
+      |    CAST(x_b AS DOUBLE) / n_b AS p_b,
+      |    CAST(x_a + x_b AS DOUBLE) / (n_a + n_b) AS pp
+      |  FROM c)
+      |SELECT CAST(n_a AS BIGINT) AS n_a, CAST(x_a AS BIGINT) AS x_a,
+      |  CAST(n_b AS BIGINT) AS n_b, CAST(x_b AS BIGINT) AS x_b,
+      |  ROUND(p_a, 6) AS p_a, ROUND(p_b, 6) AS p_b,
+      |  ROUND((p_a - p_b) / SQRT(pp * (1.0 - pp) * (1.0 / n_a + 1.0 / n_b)), 6) AS z,
+      |  ABS((p_a - p_b) / SQRT(pp * (1.0 - pp) * (1.0 / n_a + 1.0 / n_b))) > 1.96 AS significant
+      |FROM s""".stripMargin
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q131_cohort_retention", q131CohortRetention _, Some(q131Sql)),
-    ("q132_event_transitions", q132EventTransitions _, Some(q132Sql)))
+    ("q132_event_transitions", q132EventTransitions _, Some(q132Sql)),
+    ("q137_sessionize", q137Sessionize _, Some(q137Sql)),
+    ("q138_ab_test", q138AbTest _, Some(q138Sql)))
 }

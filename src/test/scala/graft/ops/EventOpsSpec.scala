@@ -71,4 +71,48 @@ class EventOpsSpec extends SparkSpec {
     assert(got(("signup", "purchase")) === ((1L, 1.0)))
     assert(got.size === 5)
   }
+
+  test("q137 sessionize splits on the 30-minute gap and measures durations exactly") {
+    import spark.implicits._
+    val min = 60L * 1000000000L
+    // user 7: events at 0, +10min (same session), +50min (gap 40min > 30 → new)
+    val rows = Seq(
+      ev(1, w0, 7, "view"), ev(2, w0 + 10 * min, 7, "click"),
+      ev(3, w0 + 50 * min, 7, "view"),
+      // user 8: single event → one session of duration 0
+      ev(4, w0 + 5 * min, 8, "view"))
+    val d = Files.createTempDirectory("graft_sess").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.parquet(s"$d/events.parquet")
+    val got = EventOps.q137Sessionize(spark, d).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("session_idx")) ->
+        ((r.getAs[Long]("n_events"), r.getAs[Long]("duration_sec")))).toMap
+    assert(got === Map(
+      (7L, 1L) -> ((2L, 600L)), (7L, 2L) -> ((1L, 0L)), (8L, 1L) -> ((1L, 0L))))
+  }
+
+  test("q138 z-statistic matches a sequential reference on the real sf0.001 log") {
+    val sfDir = "/root/testdata/sf0.001"
+    val events = graft.Tables.events(spark, sfDir)
+      .select("user_id", "event_type", "value").collect()
+    def variant(u: Long): String = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(u.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      if (h.charAt(0) <= '7') "A" else "B"
+    }
+    val conv = events.groupBy(_.getAs[Long]("user_id")).toSeq.map { case (u, es) =>
+      variant(u) -> es.exists(e =>
+        e.getAs[String]("event_type") == "purchase" && e.getAs[Double]("value") >= 150.0)
+    }
+    val (na, xa) = (conv.count(_._1 == "A"), conv.count(c => c._1 == "A" && c._2))
+    val (nb, xb) = (conv.count(_._1 == "B"), conv.count(c => c._1 == "B" && c._2))
+    val (pa, pb) = (xa.toDouble / na, xb.toDouble / nb)
+    val pp = (xa + xb).toDouble / (na + nb)
+    val z = (pa - pb) / math.sqrt(pp * (1.0 - pp) * (1.0 / na + 1.0 / nb))
+    val r = EventOps.q138AbTest(spark, sfDir).collect().head
+    assert(r.getAs[Long]("n_a") === na.toLong && r.getAs[Long]("x_a") === xa.toLong)
+    assert(r.getAs[Long]("n_b") === nb.toLong && r.getAs[Long]("x_b") === xb.toLong)
+    assert(math.abs(r.getAs[Double]("z") - z) < 1e-5)
+    assert(r.getAs[Boolean]("significant") === (math.abs(z) > 1.96))
+  }
 }
