@@ -243,9 +243,68 @@ object EventOps {
       |  ABS((p_a - p_b) / SQRT(pp * (1.0 - pp) * (1.0 / n_a + 1.0 / n_b))) > 1.96 AS significant
       |FROM s""".stripMargin
 
+  // --------------------------------------------------------------------------
+  // q139 — rolling 7-day active users (DAU / WAU / stickiness): for every
+  // calendar day, the distinct users active that day, the distinct users
+  // active in the trailing 7-day window, and their ratio — the standard
+  // engagement report.
+  //
+  // Scale shape: a sliding-window DISTINCT count can't ride an ordinary
+  // window frame (distinct isn't decomposable), and the naive day-range
+  // self-join is quadratic in the window width. The exact linear shape is
+  // REPLICATE-TO-WINDOW: dedup to (user, day) pairs first (bounding the
+  // fan-out), explode each pair to the ≤7 window-END days it contributes
+  // to (row-local), then ONE hash aggregate per day — count(distinct
+  // user) for WAU, and the offset-0 rows (unique per (user, day) after
+  // the dedup) counted directly for DAU. For much wider windows (28/90
+  // day) replication×width stops being free — switch to the q99 HLL
+  // sketch-merge rollup and accept the ±% error.
+  // Windows ending past the last active day are clipped by a broadcast
+  // 1-row max; leading windows are legitimately partial.
+  def q139RollingActive(spark: SparkSession, dir: String): DataFrame = {
+    val ud = Tables.events(spark, dir)
+      .select(col("user_id"),
+        datediff(to_date(col("ts")), lit("1970-01-01")).as("d"))
+      .distinct()
+    val mx = ud.agg(max(col("d")).as("mx"))
+    ud.select(col("user_id"), col("d"), explode(sequence(lit(0), lit(6))).as("k"))
+      .withColumn("day", col("d") + col("k"))
+      .crossJoin(broadcast(mx))
+      .filter(col("day") <= col("mx"))
+      .groupBy(col("day"))
+      .agg(
+        countDistinct(col("user_id")).as("wau"),
+        count_if(col("k") === 0).as("dau"))
+      .select(
+        date_format(date_add(to_date(lit("1970-01-01")), col("day")), "yyyy-MM-dd")
+          .as("date_s"),
+        col("dau"), col("wau"),
+        round(col("dau").cast("double") / col("wau"), 6).as("stickiness"))
+      .orderBy(col("date_s"))
+  }
+
+  val q139Sql: String =
+    """WITH ud AS (
+      |  SELECT DISTINCT user_id,
+      |    DATE_DIFF('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d
+      |  FROM events),
+      |b AS (SELECT MAX(d) AS mx FROM ud),
+      |r AS (
+      |  SELECT user_id, d + k AS day, k
+      |  FROM ud, UNNEST(generate_series(0, 6)) AS t(k)),
+      |agg AS (
+      |  SELECT day, COUNT(DISTINCT user_id) AS wau,
+      |         COUNT(*) FILTER (k = 0) AS dau
+      |  FROM r, b WHERE day <= mx GROUP BY day)
+      |SELECT STRFTIME(DATE '1970-01-01' + CAST(day AS INTEGER), '%Y-%m-%d') AS date_s,
+      |  CAST(dau AS BIGINT) AS dau, CAST(wau AS BIGINT) AS wau,
+      |  ROUND(CAST(dau AS DOUBLE) / wau, 6) AS stickiness
+      |FROM agg ORDER BY date_s""".stripMargin
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q131_cohort_retention", q131CohortRetention _, Some(q131Sql)),
     ("q132_event_transitions", q132EventTransitions _, Some(q132Sql)),
     ("q137_sessionize", q137Sessionize _, Some(q137Sql)),
-    ("q138_ab_test", q138AbTest _, Some(q138Sql)))
+    ("q138_ab_test", q138AbTest _, Some(q138Sql)),
+    ("q139_rolling_active", q139RollingActive _, Some(q139Sql)))
 }

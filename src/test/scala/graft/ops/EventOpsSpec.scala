@@ -91,6 +91,23 @@ class EventOpsSpec extends SparkSpec {
       (7L, 1L) -> ((2L, 600L)), (7L, 2L) -> ((1L, 0L)), (8L, 1L) -> ((1L, 0L))))
   }
 
+  test("q139 rolling-active: trailing windows carry users forward, clipped at the last day") {
+    import spark.implicits._
+    // user 1 active on days 0 and 3, user 2 on day 3 only
+    val rows = Seq(
+      ev(1, w0, 1, "view"), ev(2, w0 + 3 * day, 1, "view"),
+      ev(3, w0 + 3 * day, 2, "view"))
+    val d = Files.createTempDirectory("graft_roll").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.parquet(s"$d/events.parquet")
+    val got = EventOps.q139RollingActive(spark, d).collect()
+      .map(r => r.getAs[String]("date_s") ->
+        ((r.getAs[Long]("dau"), r.getAs[Long]("wau")))).toMap
+    assert(got === Map(
+      "2024-01-01" -> ((1L, 1L)), "2024-01-02" -> ((0L, 1L)),
+      "2024-01-03" -> ((0L, 1L)), "2024-01-04" -> ((2L, 2L))))
+  }
+
   test("q138 z-statistic matches a sequential reference on the real sf0.001 log") {
     val sfDir = "/root/testdata/sf0.001"
     val events = graft.Tables.events(spark, sfDir)

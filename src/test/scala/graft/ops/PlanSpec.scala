@@ -262,4 +262,18 @@ class PlanSpec extends SparkSpec {
     val p = plan(CorpusOps.q134PmiPairs(spark, dir))
     assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p)
   }
+
+  test("q137 sessionize: both windows and the session aggregate share ONE user_id exchange") {
+    val p = plan(EventOps.q137Sessionize(spark, dir))
+    val hashExchanges = p.linesIterator.count(l =>
+      l.trim.startsWith("Arguments: hashpartitioning"))
+    assert(hashExchanges === 1, p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("q139 rolling-active: replicate-to-window plans no shuffle join (1-row bound broadcast only)") {
+    val p = plan(EventOps.q139RollingActive(spark, dir))
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p)
+    assert(p.contains("Generate"), p) // the row-local ×7 fan-out
+  }
 }
