@@ -131,7 +131,11 @@ object EventOps {
   // per-session aggregate (same partitioning, no second exchange);
   // session durations are exact epoch-microsecond longs, so nothing here
   // compares or rounds a double.
-  def q137Sessionize(spark: SparkSession, dir: String): DataFrame = {
+  /** (user_id, session_idx, start_ts, end_ts, n_events) session table —
+    * the shared gaps-and-islands core of q137/q140. One shuffle+sort on
+    * user_id serves the lag flag, the running index, and the aggregate.
+    */
+  private[ops] def sessions(spark: SparkSession, dir: String): DataFrame = {
     val chain = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
     val running = chain.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val gapUs = 1800L * 1000000L
@@ -142,14 +146,20 @@ object EventOps {
           || lag(col("ts"), 1).over(chain).isNull, 1L).otherwise(0L))
       .withColumn("session_idx", sum(col("new_sess")).over(running))
       .groupBy(col("user_id"), col("session_idx"))
-      .agg(
-        date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("start_s"),
-        date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss").as("end_s"),
-        count(lit(1)).as("n_events"),
-        ((unix_micros(max(col("ts"))) - unix_micros(min(col("ts")))) / lit(1000000L))
+      .agg(min(col("ts")).as("start_ts"), max(col("ts")).as("end_ts"),
+        count(lit(1)).as("n_events"))
+  }
+
+  def q137Sessionize(spark: SparkSession, dir: String): DataFrame =
+    sessions(spark, dir)
+      .select(
+        col("user_id"), col("session_idx"),
+        date_format(col("start_ts"), "yyyy-MM-dd HH:mm:ss").as("start_s"),
+        date_format(col("end_ts"), "yyyy-MM-dd HH:mm:ss").as("end_s"),
+        col("n_events"),
+        ((unix_micros(col("end_ts")) - unix_micros(col("start_ts"))) / lit(1000000L))
           .cast("long").as("duration_sec"))
       .orderBy(col("user_id"), col("session_idx"))
-  }
 
   val q137Sql: String =
     """WITH flagged AS (
@@ -301,10 +311,82 @@ object EventOps {
       |  ROUND(CAST(dau AS DOUBLE) / wau, 6) AS stickiness
       |FROM agg ORDER BY date_s""".stripMargin
 
+
+  // --------------------------------------------------------------------------
+  // q140 — interval-overlap JOIN: user sessions (derived in-plan by the
+  // q137 core) × 20 synthetic 36-hour campaign windows spaced every 33
+  // hours from the first event day; per window, how many sessions
+  // overlapped and for how long. The interval×interval generalization of
+  // q128's point-in-interval join.
+  //
+  // Scale shape: both interval sets replicate to the DAY BINS they span
+  // (row-local explode, fan-out = interval length in days), the join is
+  // an EQUI-join on bin with the exact strict-overlap predicate in-join,
+  // and a pair spanning several shared bins is counted exactly once by
+  // the FIRST-SHARED-BIN predicate (bin = max(first_bin_a, first_bin_b))
+  // — no post-join distinct shuffle, the standard dedup-free binned
+  // interval join. Overlap durations are exact epoch-microsecond longs.
+  // (At this window count a broadcast theta join would also work — the
+  // binned shape is the one that survives both sides growing to 100 TB.)
+  def q140IntervalOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val dayUs = 86400L * 1000000L
+    val sess = sessions(spark, dir)
+      .select(col("user_id"), col("session_idx"),
+        unix_micros(col("start_ts")).as("su"), unix_micros(col("end_ts")).as("eu"))
+      .withColumn("bin", explode(expr(s"sequence(su div $dayUs, eu div $dayUs)")))
+    val win = Tables.events(spark, dir)
+      .agg(unix_micros(date_trunc("day", min(col("ts")))).as("d0us"))
+      .select(explode(sequence(lit(0L), lit(19L))).as("w_id"), col("d0us"))
+      .withColumn("ws", col("d0us") + col("w_id") * lit(118800000000L)) // 33 h
+      .withColumn("we", col("ws") + lit(129600000000L))                 // 36 h
+      .withColumn("bin", explode(expr(s"sequence(ws div $dayUs, we div $dayUs)")))
+    sess.join(win, Seq("bin"))
+      .filter(greatest(col("su"), col("ws")) < least(col("eu"), col("we")))
+      .filter(col("bin") === greatest(
+        expr(s"su div $dayUs"), expr(s"ws div $dayUs")))
+      .groupBy(col("w_id"))
+      .agg(
+        count(lit(1)).as("n_sessions"),
+        sum(expr(s"(least(eu, we) - greatest(su, ws)) div 1000000"))
+          .as("total_overlap_sec"))
+      .orderBy(col("w_id"))
+  }
+
+  val q140Sql: String =
+    """WITH flagged AS (
+      |  SELECT user_id, ts, event_id,
+      |    CASE WHEN LAG(ts) OVER w IS NULL
+      |           OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000
+      |         THEN 1 ELSE 0 END AS new_sess
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |sess AS (
+      |  SELECT user_id, ts,
+      |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                        ROWS UNBOUNDED PRECEDING) AS session_idx
+      |  FROM flagged),
+      |sessions AS (
+      |  SELECT user_id, session_idx,
+      |         epoch_us(MIN(ts)) AS su, epoch_us(MAX(ts)) AS eu
+      |  FROM sess GROUP BY user_id, session_idx),
+      |b0 AS (SELECT epoch_us(date_trunc('day', MIN(ts))) AS d0us FROM events),
+      |win AS (
+      |  SELECT k AS w_id,
+      |         d0us + k * 118800000000 AS ws,
+      |         d0us + k * 118800000000 + 129600000000 AS we
+      |  FROM b0, UNNEST(generate_series(0, 19)) AS t(k)),
+      |ov AS (
+      |  SELECT w_id, (LEAST(eu, we) - GREATEST(su, ws)) // 1000000 AS osec
+      |  FROM sessions JOIN win ON GREATEST(su, ws) < LEAST(eu, we))
+      |SELECT w_id, COUNT(*) AS n_sessions,
+      |  CAST(SUM(osec) AS BIGINT) AS total_overlap_sec
+      |FROM ov GROUP BY w_id ORDER BY w_id""".stripMargin
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q131_cohort_retention", q131CohortRetention _, Some(q131Sql)),
     ("q132_event_transitions", q132EventTransitions _, Some(q132Sql)),
     ("q137_sessionize", q137Sessionize _, Some(q137Sql)),
     ("q138_ab_test", q138AbTest _, Some(q138Sql)),
-    ("q139_rolling_active", q139RollingActive _, Some(q139Sql)))
+    ("q139_rolling_active", q139RollingActive _, Some(q139Sql)),
+    ("q140_interval_overlap", q140IntervalOverlap _, Some(q140Sql)))
 }

@@ -108,6 +108,29 @@ class EventOpsSpec extends SparkSpec {
       "2024-01-03" -> ((0L, 1L)), "2024-01-04" -> ((2L, 2L))))
   }
 
+  test("q140 interval overlap: bin-spanning pairs count once, zero-length sessions never") {
+    import spark.implicits._
+    val min = 60L * 1000000000L
+    val rows = Seq(
+      // session [10:00, 10:20] — inside window 0 → 1200s
+      ev(1, w0 + 600 * min, 1, "view"), ev(2, w0 + 620 * min, 1, "view"),
+      // session [23:50, 00:10] — CROSSES the day-bin edge but must count once
+      ev(3, w0 + 1430 * min, 2, "view"), ev(4, w0 + 1450 * min, 2, "view"),
+      // single-event session: zero length, strict overlap excludes it
+      ev(5, w0 + 720 * min, 3, "view"))
+    val d = Files.createTempDirectory("graft_iv").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.parquet(s"$d/events.parquet")
+    val got = EventOps.q140IntervalOverlap(spark, d).collect()
+      .map(r => r.getAs[Long]("w_id") ->
+        ((r.getAs[Long]("n_sessions"), r.getAs[Long]("total_overlap_sec")))).toMap
+    // window 0 = [day0 00:00, day0+36h): both real sessions fall inside
+    assert(got(0L) === ((2L, 2400L)))
+    // window 1 = [33h, 69h): only the bin-crossing session's tail? no —
+    // [23:50, 24:10] ends before 33h, so window 1 sees nothing
+    assert(!got.contains(1L))
+  }
+
   test("q138 z-statistic matches a sequential reference on the real sf0.001 log") {
     val sfDir = "/root/testdata/sf0.001"
     val events = graft.Tables.events(spark, sfDir)

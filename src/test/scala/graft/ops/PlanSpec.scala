@@ -276,4 +276,11 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p)
     assert(p.contains("Generate"), p) // the row-local ×7 fan-out
   }
+
+  test("q140 interval-overlap joins on the day bin — no nested-loop pair blowup") {
+    val p = plan(EventOps.q140IntervalOverlap(spark, dir))
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"), p)
+    val keyLine = p.linesIterator.find(l => l.contains("keys") && l.contains("bin#"))
+    assert(keyLine.isDefined, p)
+  }
 }
