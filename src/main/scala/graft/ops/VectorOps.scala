@@ -516,8 +516,72 @@ object VectorOps {
       |       neg_id, ROUND(neg_sim, 4) AS neg_sim
       |FROM pos JOIN neg USING (aid) ORDER BY aid""".stripMargin
 
+  // --------------------------------------------------------------------------
+  // q141 — embedding covariance matrix: the d×d sample covariance of the
+  // corpus embeddings — the front end of PCA / whitening / drift checks
+  // on a learned representation (top eigenvector via power iteration on
+  // the d×d result is a driver-side triviality once this table exists;
+  // the distributed work is exactly these sums).
+  //
+  // Determinism (q41's scaled-long policy, pairwise edition): floats are
+  // quantized to an exact 1e-6 grid (cast to double first so both engines
+  // multiply in double), every Σqᵢqⱼ and Σqᵢ is an EXACT long (bounds:
+  // |q| ≤ 1e6, so Σqᵢqⱼ ≤ n·1e12 and Σqᵢ·Σqⱼ ≤ n²·1e12 — fine through
+  // n ~ 1e6 rows; beyond that, lower the grid a decimal), and the final
+  // covariance is one fixed-order double expression over exact longs.
+  //
+  // Scale shape: the pair fan-out is ROW-LOCAL (posexplode the quantized
+  // array twice, j ≥ i) — d(d+1)/2 cells per row straight into a
+  // map-side-partial hash aggregate with d² result groups; no self-join,
+  // no shuffle of vector data, ONE shuffle of 2080-cell partials. The
+  // marginal sums and n ride a 65-row broadcast and a 1-row broadcast.
+  def q141CovMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val qArr = expr(
+      "transform(embedding, x -> cast(floor(cast(x as double) * 1000000.0 + 0.5) as bigint))")
+    val withQ = Tables.embeddings(spark, dir).select(qArr.as("qs"))
+    val pairs = withQ
+      .select(posexplode(col("qs")).as(Seq("i0", "qi")), col("qs"))
+      .select(col("i0"), col("qi"), posexplode(col("qs")).as(Seq("j0", "qj")))
+      .filter(col("j0") >= col("i0"))
+      .groupBy((col("i0") + 1).as("i"), (col("j0") + 1).as("j"))
+      .agg(sum(col("qi") * col("qj")).as("sij"))
+    val marg = withQ
+      .select(posexplode(col("qs")).as(Seq("i0", "q")))
+      .groupBy((col("i0") + 1).as("i")).agg(sum(col("q")).as("s"))
+    val n = Tables.embeddings(spark, dir).agg(count(lit(1)).as("n"))
+    pairs
+      .join(broadcast(marg.select(col("i"), col("s").as("si"))), Seq("i"))
+      .join(broadcast(marg.select(col("i").as("j"), col("s").as("sj"))), Seq("j"))
+      .crossJoin(broadcast(n))
+      .select(col("i"), col("j"),
+        round(((col("sij").cast("double") - col("si").cast("double") * col("sj") / col("n"))
+          / (col("n") - 1) / lit(1000000000000.0)), 8).as("cov"))
+      .orderBy(col("i"), col("j"))
+  }
+
+  val q141Sql: String =
+    """WITH v AS (
+      |  SELECT vec_id, i,
+      |    CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS q
+      |  FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS t(i)),
+      |pairs AS (
+      |  SELECT a.i AS i, b.i AS j, SUM(a.q * b.q) AS sij
+      |  FROM v a JOIN v b ON a.vec_id = b.vec_id AND b.i >= a.i
+      |  GROUP BY 1, 2),
+      |marg AS (SELECT i, SUM(q) AS s FROM v GROUP BY i),
+      |n AS (SELECT COUNT(*) AS n FROM embeddings)
+      |SELECT p.i, p.j,
+      |  ROUND((CAST(sij AS DOUBLE) - CAST(ma.s AS DOUBLE) * mb.s / n)
+      |        / (n - 1) / 1000000000000.0, 8) AS cov
+      |FROM pairs p
+      |JOIN marg ma ON ma.i = p.i
+      |JOIN marg mb ON mb.i = p.j
+      |CROSS JOIN n
+      |ORDER BY p.i, p.j""".stripMargin
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q40_cosine_topk", q40CosineTopk _, Some(q40Sql)),
+    ("q141_cov_matrix", q141CovMatrix _, Some(q141Sql)),
     // q49 (exact all-pairs BNLJ near-dup) is deliberately NOT cataloged:
     // it exists as the baseline twin the q104 LSH path is proven equal to
     // (VectorOpsSpec asserts q104 == q49 exactly; PlanSpec pins its BNLJ

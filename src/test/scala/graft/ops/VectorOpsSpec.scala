@@ -138,4 +138,25 @@ class VectorOpsSpec extends SparkSpec {
       assert(r.getAs[Double]("pos_sim") > r.getAs[Double]("neg_sim"), s"anchor $aid margin")
     }
   }
+
+  test("q141 covariance matrix matches a sequential quantized reference") {
+    val vecs = graft.Tables.embeddings(spark, dir)
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).toArray.map(x =>
+        math.floor(x.toDouble * 1000000.0 + 0.5).toLong))
+    val n = vecs.length
+    val d = vecs.head.length
+    val got = VectorOps.q141CovMatrix(spark, dir).collect()
+      .map(r => (r.getAs[Int]("i"), r.getAs[Int]("j")) -> r.getAs[Double]("cov")).toMap
+    assert(got.size === d * (d + 1) / 2)
+    for (i <- 1 to d; j <- i to d) {
+      val sij = vecs.map(v => v(i - 1) * v(j - 1)).sum
+      val si = vecs.map(_(i - 1)).sum
+      val sj = vecs.map(_(j - 1)).sum
+      val want = (sij.toDouble - si.toDouble * sj / n) / (n - 1) / 1e12
+      assert(math.abs(got((i, j)) - want) < 1e-8, s"cell ($i,$j)")
+    }
+    // sanity: every diagonal cell is a variance, strictly positive here
+    for (i <- 1 to d) assert(got((i, i)) > 0.0, s"var($i)")
+  }
 }
