@@ -910,8 +910,108 @@ object RelationalMore {
       |WHERE mad4 > 0 AND 1349 * ABS(p) > 3500 * mad4
       |ORDER BY event_id""".stripMargin
 
+  // --------------------------------------------------------------------------
+  // q142 — Z-ORDER layout key: interleave the bits of (customer, order-day)
+  // into one space-filling-curve key and report the per-curve-bucket
+  // bounding boxes. This is the data-layout operator behind multi-column
+  // data skipping at 100 TB: sorting/partitioning the table by z instead
+  // of a single column makes EVERY bucket a small rectangle in BOTH
+  // dimensions, so min/max file stats prune scans for predicates on
+  // either column (a single-column sort gives perfect pruning on one
+  // dimension and none on the other). The curve math is pure integer bit
+  // arithmetic — bit-identical cross-engine by construction — and the
+  // whole operator is one row-local projection + one hash aggregate.
+  // Domain cap: 16 bits per dimension (customer < 2^14, day < 2^12 at
+  // every SF here); wider domains scale the interleave width.
+  private def zInterleave(mk: (String, Int, Int) => String): String =
+    (0 until 16).map(b =>
+      s"${mk("x", b, 2 * b)} + ${mk("y", b, 2 * b + 1)}").mkString(" + ")
+
+  // Both dimensions are first NORMALIZED to the full 16-bit range by a
+  // data-derived integer max-scale ((v·65535) div max) — without this, a
+  // narrow dimension contributes only low interleave bits, the curve's top
+  // bits are all the wide dimension's, and per-bucket rectangles collapse
+  // to single-column slices (observed at sf0.001: custkey spans 8 bits vs
+  // the day index's 12). With both dims full-width, the fixed power-of-two
+  // bucket divisor (top 6 z-bits) yields ≤64 ALIGNED dyadic rectangles,
+  // each spanning ≤1/8 of every dimension — SF-invariant by construction.
+  def q142ZOrder(spark: SparkSession, dir: String): DataFrame = {
+    val b = Tables.orders(spark, dir)
+      .select(
+        col("o_custkey").cast("long").as("x"),
+        datediff(to_date(col("o_orderdate")), lit("1995-01-01")).cast("long").as("y"))
+    val bounds = b.agg(
+      greatest(max(col("x")), lit(1L)).as("mx"),
+      greatest(max(col("y")), lit(1L)).as("my"))
+    b.crossJoin(broadcast(bounds))
+      .withColumn("xs", expr("(x * 65535) div mx"))
+      .withColumn("ys", expr("(y * 65535) div my"))
+      .withColumn("bucket", expr(
+        s"(${zInterleave((c, bb, k) => s"shiftleft(shiftright(${c}s, $bb) & 1, $k)")}) div 67108864"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col("x")).as("min_x"), max(col("x")).as("max_x"),
+        min(col("y")).as("min_y"), max(col("y")).as("max_y"))
+      .orderBy(col("bucket"))
+  }
+
+  val q142Sql: String = {
+    val z = zInterleave((c, b, k) => s"((($c >> $b) & 1) << $k)")
+    val zs = z.replace("(x ", "(xs ").replace("(y ", "(ys ")
+    s"""WITH b AS (
+       |  SELECT CAST(o_custkey AS BIGINT) AS x,
+       |    CAST(DATE_DIFF('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS y
+       |  FROM orders),
+       |bd AS (SELECT GREATEST(MAX(x), 1) AS mx, GREATEST(MAX(y), 1) AS my FROM b),
+       |zt AS (
+       |  SELECT x, y, ($zs) AS z FROM (
+       |    SELECT x, y, (x * 65535) // mx AS xs, (y * 65535) // my AS ys
+       |    FROM b, bd))
+       |SELECT z // 67108864 AS bucket, COUNT(*) AS n,
+       |  MIN(x) AS min_x, MAX(x) AS max_x, MIN(y) AS min_y, MAX(y) AS max_y
+       |FROM zt GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
+  // --------------------------------------------------------------------------
+  // q143 — incremental materialized-view maintenance: a stored per-customer
+  // order aggregate (95% of the table, already aggregated) is brought up to
+  // date by aggregating ONLY the delta batch and merging partials — the
+  // mergeable-aggregate law (count/sum are commutative monoids) that makes
+  // warehouse MVs delta-proportional instead of recompute-proportional.
+  // The ORACLE is the full recompute over the whole table: the hash match
+  // IS the maintenance-correctness statement merge(old, Δ) ≡ recompute.
+  //
+  // Scale: the expensive path aggregates only the delta (map-side
+  // partials); the merge shuffles |groups| partial rows, not data. Money
+  // sums stay exact DECIMAL through both aggregation levels (SURVEY §8.4);
+  // the derived average divides after the final cast, identically ordered
+  // in both engines.
+  def q143IncrementalMv(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    def partial(df: DataFrame): DataFrame = df.groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n"), sum(col("o_totalprice").cast(DecimalType(18, 2))).as("s"))
+    val stored = partial(o.filter(col("o_orderkey") % 20 =!= 0)) // the MV
+    val delta = partial(o.filter(col("o_orderkey") % 20 === 0))  // new batch
+    stored.unionByName(delta)
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("n")).as("n_orders"), sum(col("s")).as("sdec"))
+      .select(col("o_custkey"), col("n_orders"),
+        col("sdec").cast("double").as("sum_price"),
+        round(col("sdec").cast("double") / col("n_orders"), 6).as("avg_price"))
+      .orderBy(col("o_custkey"))
+  }
+
+  val q143Sql: String =
+    """SELECT o_custkey, COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+      |  ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6)
+      |    AS avg_price
+      |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q53_date_spine", q53DateSpine _, Some(q53Sql)),
+    ("q142_zorder_layout", q142ZOrder _, Some(q142Sql)),
+    ("q143_incremental_mv", q143IncrementalMv _, Some(q143Sql)),
     ("q135_table_diff", q135TableDiff _, Some(q135Sql)),
     ("q136_mad_outliers", q136MadOutliers _, Some(q136Sql)),
     ("q125_winsorize", q125Winsorize _, Some(q125Sql)),

@@ -226,6 +226,45 @@ class RelationalMoreSpec extends SparkSpec {
     }
   }
 
+  test("q142 z-order buckets are small rectangles in BOTH dimensions") {
+    val rows = RelationalMore.q142ZOrder(spark, dir).collect()
+    assert(rows.length > 4, "expected a non-degenerate bucket count")
+    val globalX = rows.map(_.getAs[Long]("max_x")).max - rows.map(_.getAs[Long]("min_x")).min
+    val globalY = rows.map(_.getAs[Long]("max_y")).max - rows.map(_.getAs[Long]("min_y")).min
+    rows.foreach { r =>
+      assert(r.getAs[Long]("max_x") - r.getAs[Long]("min_x") <= globalX / 4 + 1,
+        s"bucket ${r.getAs[Long]("bucket")} x-span")
+      assert(r.getAs[Long]("max_y") - r.getAs[Long]("min_y") <= globalY / 4 + 1,
+        s"bucket ${r.getAs[Long]("bucket")} y-span")
+    }
+    // contrast: slicing by x alone leaves some slice spanning ~all of y —
+    // single-column layout prunes one dimension and none of the other
+    val o = Tables.orders(spark, dir).select(
+      col("o_custkey").cast("long").as("x"),
+      datediff(to_date(col("o_orderdate")), lit("1995-01-01")).cast("long").as("y"))
+    val xSliced = o.withColumn("bucket", expr("x div 64"))
+      .groupBy("bucket").agg(min(col("y")).as("lo"), max(col("y")).as("hi"))
+      .collect()
+    assert(xSliced.exists(r => r.getAs[Long]("hi") - r.getAs[Long]("lo") > globalY / 2))
+  }
+
+  test("q143 incremental merge equals the full recompute (mergeable-aggregate law)") {
+    val merged = RelationalMore.q143IncrementalMv(spark, dir).collect()
+    val full = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"),
+        Num.moneySum(col("o_totalprice")).as("sum_price"))
+      .collect()
+      .map(r => r.getAs[Long]("o_custkey") ->
+        ((r.getAs[Long]("n_orders"), r.getAs[Double]("sum_price")))).toMap
+    assert(merged.length === full.size)
+    merged.foreach { r =>
+      val (n, s) = full(r.getAs[Long]("o_custkey"))
+      assert(r.getAs[Long]("n_orders") === n)
+      assert(r.getAs[Double]("sum_price") === s) // exact decimal merge — bit-equal
+    }
+  }
+
   test("q136 MAD flags exactly the planted extreme, with the hand-computed score") {
     import spark.implicits._
     // group: 3×10.00, 3×11.00, 3×12.00, one 100.00 → median 11.00 cents=1100,
