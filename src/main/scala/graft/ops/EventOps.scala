@@ -382,11 +382,70 @@ object EventOps {
       |  CAST(SUM(osec) AS BIGINT) AS total_overlap_sec
       |FROM ov GROUP BY w_id ORDER BY w_id""".stripMargin
 
+  // --------------------------------------------------------------------------
+  // q144 — last-touch marketing attribution: every purchase is credited to
+  // the most recent click/view touch by the same user within the prior 7
+  // days (channel = props.k mod 5); purchases with no eligible touch are
+  // 'organic'. Per channel: attributed conversions and exact revenue.
+  //
+  // Shape: the q21 as-of pattern on the SINGLE user timeline — last(
+  // channel, ignoreNulls) and last(touch time) carried forward by one
+  // (ts, event_id)-ordered window per user (a purchase and a touch at the
+  // SAME timestamp order by event_id: larger id wins the "most recent"
+  // slot — deterministic, mirrored in the oracle). One shuffle on
+  // user_id, then a 5-row channel aggregate. Revenue sums are exact
+  // DECIMAL (SURVEY §8.4); the 7-day window is exact microseconds.
+  def q144Attribution(spark: SparkSession, dir: String): DataFrame = {
+    val tl = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val isTouch = col("event_type").isin("click", "view")
+    val channel = concat(lit("ch"),
+      (get_json_object(col("props"), "$.k").cast("long") % 5).cast("string"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+        col("value"), col("props"))
+      .withColumn("t_ch", when(isTouch, channel))
+      .withColumn("t_us", when(isTouch, unix_micros(col("ts"))))
+      .withColumn("last_ch", last(col("t_ch"), ignoreNulls = true).over(tl))
+      .withColumn("last_us", last(col("t_us"), ignoreNulls = true).over(tl))
+      .filter(col("event_type") === "purchase")
+      .withColumn("channel",
+        when(col("last_us").isNotNull &&
+          unix_micros(col("ts")) - col("last_us") <= 604800000000L, col("last_ch"))
+          .otherwise(lit("organic")))
+      .groupBy(col("channel"))
+      .agg(count(lit(1)).as("n_conversions"),
+        Num.moneySum(col("value")).as("revenue"))
+      .orderBy(col("channel"))
+  }
+
+  val q144Sql: String =
+    """WITH tl AS (
+      |  SELECT user_id, ts, event_id, event_type, value,
+      |    LAST_VALUE(CASE WHEN event_type IN ('click', 'view')
+      |      THEN 'ch' || CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) % 5 AS VARCHAR)
+      |      END IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |            ROWS UNBOUNDED PRECEDING) AS last_ch,
+      |    LAST_VALUE(CASE WHEN event_type IN ('click', 'view')
+      |      THEN epoch_us(ts) END IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |            ROWS UNBOUNDED PRECEDING) AS last_us
+      |  FROM events)
+      |SELECT
+      |  CASE WHEN last_us IS NOT NULL AND epoch_us(ts) - last_us <= 604800000000
+      |       THEN last_ch ELSE 'organic' END AS channel,
+      |  COUNT(*) AS n_conversions,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |FROM tl WHERE event_type = 'purchase'
+      |GROUP BY 1 ORDER BY channel""".stripMargin
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q131_cohort_retention", q131CohortRetention _, Some(q131Sql)),
     ("q132_event_transitions", q132EventTransitions _, Some(q132Sql)),
     ("q137_sessionize", q137Sessionize _, Some(q137Sql)),
     ("q138_ab_test", q138AbTest _, Some(q138Sql)),
     ("q139_rolling_active", q139RollingActive _, Some(q139Sql)),
-    ("q140_interval_overlap", q140IntervalOverlap _, Some(q140Sql)))
+    ("q140_interval_overlap", q140IntervalOverlap _, Some(q140Sql)),
+    ("q144_attribution", q144Attribution _, Some(q144Sql)))
 }

@@ -131,6 +131,30 @@ class EventOpsSpec extends SparkSpec {
     assert(!got.contains(1L))
   }
 
+  test("q144 attribution: 7-day expiry, same-ts id ordering, organic fallback") {
+    import spark.implicits._
+    def evp(id: Long, ts: Long, u: Long, typ: String, v: Double, k: Int) =
+      (id, ts, u, typ, v, s"""{"k": $k}""")
+    val rows = Seq(
+      // u1: view(ch2) then purchase next day → attributed to ch2
+      evp(1, w0, 1, "view", 0.0, 7), evp(2, w0 + day, 1, "purchase", 10.0, 0),
+      // u2: click(ch3) then purchase 8 days later → window expired → organic
+      evp(3, w0, 2, "click", 0.0, 3), evp(4, w0 + 8 * day, 2, "purchase", 20.0, 0),
+      // u3: purchase with no touch at all → organic
+      evp(5, w0, 3, "purchase", 5.0, 0),
+      // u4: touch and purchase at the SAME ts — touch has the lower id, so
+      // the ordered window sees it first → attributed to ch0
+      evp(6, w0, 4, "view", 0.0, 0), evp(7, w0, 4, "purchase", 8.0, 0))
+    val d = Files.createTempDirectory("graft_attr").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.parquet(s"$d/events.parquet")
+    val got = EventOps.q144Attribution(spark, d).collect()
+      .map(r => r.getAs[String]("channel") ->
+        ((r.getAs[Long]("n_conversions"), r.getAs[Double]("revenue")))).toMap
+    assert(got === Map(
+      "ch2" -> ((1L, 10.0)), "ch0" -> ((1L, 8.0)), "organic" -> ((2L, 25.0))))
+  }
+
   test("q138 z-statistic matches a sequential reference on the real sf0.001 log") {
     val sfDir = "/root/testdata/sf0.001"
     val events = graft.Tables.events(spark, sfDir)
