@@ -308,8 +308,126 @@ object Multimodal {
       |  ROUND(sqrt(CAST(SUM(s * s) AS DOUBLE)), 6) AS stripe_norm
       |FROM stripes GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------------------------ audio
+
+  case class AudioRow(doc_id: Long, media: Array[Byte])
+
+  /** Deterministic 16-bit PCM samples for a document: sample i =
+    * (text byte (i mod len) − 128) · 256 — centered, full-scale-ish. */
+  private[ops] def samplesFor(text: String, n: Int): Array[Short] = {
+    val tb = text.getBytes("UTF-8")
+    val s = Array.ofDim[Short](n)
+    if (tb.nonEmpty) {
+      var i = 0
+      while (i < n) { s(i) = (((tb(i % tb.length) & 0xff) - 128) * 256).toShort; i += 1 }
+    }
+    s
+  }
+
+  /** Minimal real WAV encoder — RIFF/PCM, 16-bit mono little-endian.
+    * Pure JVM; MultimodalSpec proves validity by round-tripping through
+    * the JDK's own javax.sound.sampled WAV codec. */
+  def wavEncode(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1)                       // PCM
+      .putShort(1)                       // mono
+      .putInt(sampleRate)
+      .putInt(sampleRate * 2)            // byte rate
+      .putShort(2)                       // block align
+      .putShort(16)                      // bits per sample
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    samples.foreach(buf.putShort)
+    buf.array()
+  }
+
+  /** Header parse + sample decode: (sampleRate, channels, bits, samples).
+    * Fixed 44-byte canonical-WAV offsets (what [[wavEncode]] writes). */
+  def wavParse(wav: Array[Byte]): (Int, Int, Int, Array[Short]) = {
+    val buf = java.nio.ByteBuffer.wrap(wav).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    require(wav.length >= 44 &&
+      new String(wav, 0, 4, "US-ASCII") == "RIFF" &&
+      new String(wav, 8, 4, "US-ASCII") == "WAVE", "not a RIFF/WAVE file")
+    val channels = buf.getShort(22).toInt
+    val rate = buf.getInt(24)
+    val bits = buf.getShort(34).toInt
+    val dataLen = buf.getInt(40)
+    val samples = Array.ofDim[Short](dataLen / 2)
+    var i = 0
+    while (i < samples.length) { samples(i) = buf.getShort(44 + 2 * i); i += 1 }
+    (rate, channels, bits, samples)
+  }
+
+  /** One real WAV per document: n_chars%2000+100 samples at 16 kHz. */
+  def audioTable(spark: SparkSession, dir: String): Dataset[AudioRow] = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("n_chars"), col("text"))
+      .as[(Long, Long, String)]
+      .map { case (id, nChars, text) =>
+        AudioRow(id, wavEncode(16000, samplesFor(text, (nChars % 2000 + 100).toInt)))
+      }
+  }
+
+  /** q145 — audio metadata + waveform stats over DECODED samples: header
+    * fields (real parse of the wire bytes), exact duration, zero-crossing
+    * count, and integer energy Σs² — every output an exact integer, so
+    * the oracle (which rebuilds the same PCM from the text via
+    * hex(encode(text))) is boundary-free. Same mapPartitions
+    * per-partition-init contract as the image path.
+    */
+  def q145AudioMeta(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    audioTable(spark, dir).mapPartitions { rows =>
+      // heavier codecs: init decoder once per partition here
+      rows.map { r =>
+        val (rate, _, _, s) = wavParse(r.media)
+        var zc = 0L; var energy = 0L
+        var i = 0
+        while (i < s.length) {
+          if (i > 0 && s(i).toLong * s(i - 1) < 0) zc += 1
+          energy += s(i).toLong * s(i); i += 1
+        }
+        (r.doc_id, rate, s.length.toLong, s.length.toLong * 1000 / rate, zc, energy)
+      }
+    }.toDF("doc_id", "sample_rate", "n_samples", "duration_ms", "zero_cross", "energy")
+      .orderBy(col("doc_id"))
+  }
+
+  val q145Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id, hex(encode(text)) AS hx,
+      |    octet_length(encode(text)) AS plen,
+      |    CAST(n_chars % 2000 + 100 AS BIGINT) AS ns
+      |  FROM documents),
+      |sm AS (
+      |  SELECT doc_id, i,
+      |    CASE WHEN plen = 0 THEN 0
+      |         ELSE (('0x' || substr(hx, 2 * CAST(i % plen AS BIGINT) + 1, 2))::BIGINT - 128) * 256
+      |    END AS s
+      |  FROM d, LATERAL (SELECT unnest(range(ns)) AS i) r),
+      |lagged AS (
+      |  SELECT doc_id, s, LAG(s) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+      |  FROM sm),
+      |agg AS (
+      |  SELECT doc_id,
+      |    SUM(CASE WHEN s * prev < 0 THEN 1 ELSE 0 END) AS zero_cross,
+      |    SUM(s * s) AS energy
+      |  FROM lagged GROUP BY doc_id)
+      |SELECT d.doc_id, 16000 AS sample_rate, ns AS n_samples,
+      |  ns * 1000 // 16000 AS duration_ms,
+      |  CAST(zero_cross AS BIGINT) AS zero_cross,
+      |  CAST(energy AS BIGINT) AS energy
+      |FROM d JOIN agg ON d.doc_id = agg.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q70_media_meta", q70MediaMeta _, Some(q70Sql)),
     ("q71_frame_sample", q71FrameSample _, Some(q71Sql)),
-    ("q80_media_features", q80MediaFeatures _, Some(q80Sql)))
+    ("q80_media_features", q80MediaFeatures _, Some(q80Sql)),
+    ("q145_audio_meta", q145AudioMeta _, Some(q145Sql)))
 }

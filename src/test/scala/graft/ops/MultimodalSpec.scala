@@ -123,4 +123,45 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.length === expected)
     assert(frames.map(_.getAs[Int]("frame_idx")).forall(_ % 3 == 0))
   }
+
+  test("wavEncode emits valid WAVs: the JDK sound codec decodes them sample-exactly") {
+    val samples = Multimodal.samplesFor("audio fixture text", 300)
+    val wav = Multimodal.wavEncode(16000, samples)
+    val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(wav))
+    val fmt = in.getFormat
+    assert(fmt.getSampleRate === 16000f)
+    assert(fmt.getChannels === 1)
+    assert(fmt.getSampleSizeInBits === 16)
+    assert(!fmt.isBigEndian)
+    val raw = in.readAllBytes()
+    assert(raw.length === samples.length * 2)
+    val decoded = Array.tabulate(samples.length) { i =>
+      ((raw(2 * i) & 0xff) | (raw(2 * i + 1) << 8)).toShort
+    }
+    assert(decoded.sameElements(samples))
+    // and our own parser agrees with the JDK codec
+    val (rate, ch, bits, parsed) = Multimodal.wavParse(wav)
+    assert(rate === 16000 && ch === 1 && bits === 16)
+    assert(parsed.sameElements(samples))
+  }
+
+  test("q145 waveform stats match a sequential reference on the tiny SF") {
+    val dir = "/root/testdata/sf0.001"
+    val got = Multimodal.q145AudioMeta(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_samples"), r.getAs[Long]("zero_cross"),
+          r.getAs[Long]("energy")))).toMap
+    val docs = graft.Tables.documents(spark, dir)
+      .select("doc_id", "n_chars", "text").collect()
+    assert(got.size === docs.length)
+    docs.foreach { d =>
+      val n = (d.getAs[Long]("n_chars") % 2000 + 100).toInt
+      val s = Multimodal.samplesFor(d.getAs[String]("text"), n)
+      val zc = (1 until n).count(i => s(i).toLong * s(i - 1) < 0).toLong
+      val energy = s.map(v => v.toLong * v).sum
+      assert(got(d.getAs[Long]("doc_id")) === ((n.toLong, zc, energy)),
+        s"doc ${d.getAs[Long]("doc_id")}")
+    }
+  }
 }
