@@ -986,19 +986,25 @@ object RelationalMore {
   // sums stay exact DECIMAL through both aggregation levels (SURVEY §8.4);
   // the derived average divides after the final cast, identically ordered
   // in both engines.
-  def q143IncrementalMv(spark: SparkSession, dir: String): DataFrame = {
-    val o = Tables.orders(spark, dir)
-    def partial(df: DataFrame): DataFrame = df.groupBy(col("o_custkey"))
-      .agg(count(lit(1)).as("n"), sum(col("o_totalprice").cast(DecimalType(18, 2))).as("s"))
-    val stored = partial(o.filter(col("o_orderkey") % 20 =!= 0)) // the MV
-    val delta = partial(o.filter(col("o_orderkey") % 20 === 0))  // new batch
-    stored.unionByName(delta)
-      .groupBy(col("o_custkey"))
+  /** Partial (count, exact-decimal sum) per key over (key, value) rows. */
+  private[ops] def mvPartial(df: DataFrame, key: String, value: String): DataFrame =
+    df.groupBy(col(key))
+      .agg(count(lit(1)).as("n"), sum(col(value).cast(DecimalType(18, 2))).as("s"))
+
+  /** Merge any number of partial tables into the final MV row shape. */
+  private[ops] def mvMerge(key: String, partials: DataFrame*): DataFrame =
+    partials.reduce(_.unionByName(_))
+      .groupBy(col(key))
       .agg(sum(col("n")).as("n_orders"), sum(col("s")).as("sdec"))
-      .select(col("o_custkey"), col("n_orders"),
+      .select(col(key), col("n_orders"),
         col("sdec").cast("double").as("sum_price"),
         round(col("sdec").cast("double") / col("n_orders"), 6).as("avg_price"))
-      .orderBy(col("o_custkey"))
+
+  def q143IncrementalMv(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val stored = mvPartial(o.filter(col("o_orderkey") % 20 =!= 0), "o_custkey", "o_totalprice")
+    val delta = mvPartial(o.filter(col("o_orderkey") % 20 === 0), "o_custkey", "o_totalprice")
+    mvMerge("o_custkey", stored, delta).orderBy(col("o_custkey"))
   }
 
   val q143Sql: String =

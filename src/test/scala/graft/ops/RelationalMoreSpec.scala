@@ -265,6 +265,33 @@ class RelationalMoreSpec extends SparkSpec {
     }
   }
 
+  test("merge law: partial-then-merge equals direct aggregation for ANY split (property)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import spark.implicits._
+    val rowsGen = for {
+      n <- Gen.choose(1, 60)
+      rows <- Gen.listOfN(n, for {
+        k <- Gen.choose(0L, 7L)
+        cents <- Gen.choose(0L, 999999L) // values on the exact .01 grid
+      } yield (k, cents / 100.0))
+      splitMod <- Gen.choose(2, 9)
+      splitRem <- Gen.choose(0, 8)
+    } yield (rows, splitMod, splitRem.min(splitMod - 1))
+    val prop = Prop.forAll(rowsGen) { case (rows, m, r) =>
+      val df = rows.toDF("k", "v")
+      val idx = df.withColumn("i", monotonically_increasing_id())
+      val a = RelationalMore.mvPartial(idx.filter(col("i") % m === r), "k", "v")
+      val b = RelationalMore.mvPartial(idx.filter(col("i") % m =!= r), "k", "v")
+      val merged = RelationalMore.mvMerge("k", a, b).collect()
+        .map(x => x.getLong(0) -> ((x.getLong(1), x.getDouble(2)))).toMap
+      val direct = RelationalMore.mvMerge("k", RelationalMore.mvPartial(df, "k", "v"))
+        .collect().map(x => x.getLong(0) -> ((x.getLong(1), x.getDouble(2)))).toMap
+      merged == direct // exact decimal partials → bit-equal merge
+    }
+    val result = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(6), prop)
+    assert(result.passed, result.status.toString)
+  }
+
   test("q136 MAD flags exactly the planted extreme, with the hand-computed score") {
     import spark.implicits._
     // group: 3×10.00, 3×11.00, 3×12.00, one 100.00 → median 11.00 cents=1100,
