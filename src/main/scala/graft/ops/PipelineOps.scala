@@ -579,6 +579,26 @@ object PipelineOps {
       |FROM r WHERE cur < 7 ORDER BY custkey""".stripMargin
 
   // --------------------------------------------------------------------------
+  // q146 — the SAME hierarchy flatten through Spark's own WITH RECURSIVE
+  // (recursive CTEs landed in Spark 4): the declarative twin of q114's
+  // pointer doubling, sharing q114's oracle; PipelineOpsSpec asserts the
+  // two produce identical results. Trade-off pinned here: the recursive
+  // CTE executes one ITERATION PER PARENT HOP (O(depth) joins — each
+  // iteration is the previous frontier joined one step up), while q114's
+  // doubling runs O(log depth) rounds — for deep chains at 100 TB the
+  // doubling operator is the scale path, the CTE is the ergonomic one.
+  def q146RecursiveCte(spark: SparkSession, dir: String): DataFrame = {
+    Tables.customer(spark, dir).createOrReplaceTempView("customer")
+    spark.sql(
+      """WITH RECURSIVE r(node, cur, depth) AS (
+        |  SELECT c_custkey, c_custkey, CAST(0 AS BIGINT) FROM customer
+        |  UNION ALL
+        |  SELECT node, cur div 7, depth + 1 FROM r WHERE cur >= 7)
+        |SELECT node AS custkey, cur AS root, depth
+        |FROM r WHERE cur < 7 ORDER BY custkey""".stripMargin)
+  }
+
+  // --------------------------------------------------------------------------
   // q115 — temperature-scaled mixture sampling: per-language sampling
   // rates computed FROM the corpus itself as rate_l ∝ p_l^(α−1) (α = 0.7,
   // normalized so the expected kept fraction is 0.5, capped at 1) — the
@@ -914,6 +934,7 @@ object PipelineOps {
     ("q112_budget_select", q112BudgetSelect _, Some(q112Sql)),
     ("q113_span_dedup", q113SpanDedup _, Some(q113Sql)),
     ("q114_hierarchy", q114Hierarchy _, Some(q114Sql)),
+    ("q146_recursive_cte", q146RecursiveCte _, Some(q114Sql)),
     ("q115_temperature_mixture", q115TemperatureMixture _, Some(q115Sql)),
     ("q120_pagerank", q120PageRank _, Some(q120Sql)),
     ("q121_record_linkage", q121RecordLinkage _, Some(q121Sql)))

@@ -219,6 +219,17 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out.size === 121 && out.values.forall(_._1 == 0L))
   }
 
+  test("q146 recursive CTE equals q114 pointer doubling on the real table") {
+    val dir = "/root/testdata/sf0.001"
+    def asMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getAs[Long]("custkey") ->
+        ((r.getAs[Long]("root"), r.getAs[Long]("depth")))).toMap
+    val doubling = asMap(PipelineOps.q114Hierarchy(spark, dir))
+    val recursive = asMap(PipelineOps.q146RecursiveCte(spark, dir))
+    assert(recursive === doubling)
+    assert(recursive.nonEmpty)
+  }
+
   // --------------------------------------------------------------------- q115
   test("temperature mixture up-samples tail languages and keeps ~targetFrac overall") {
     import spark.implicits._
