@@ -488,8 +488,37 @@ object RelationalExt {
       |FROM orders WHERE o_totalprice > 300000.0
       |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
+  // --------------------------------------------------------------------------
+  // q147 — LATERAL correlated subquery (SQL API parity, Spark 4 lateral
+  // join support): top-2 orders per customer written the ergonomic way —
+  // a per-row correlated subquery with ORDER BY + LIMIT — rather than the
+  // q07 window formulation. Catalyst DECORRELATES it: the plan is a hash
+  // join + per-key limit, not N correlated executions (the probe plan
+  // shows BroadcastHashJoin — no re-scan per customer row).
+  // Deterministic: the inner ordering totalizes ties with o_orderkey.
+  def q147LateralTopk(spark: SparkSession, dir: String): DataFrame = {
+    Tables.customer(spark, dir).createOrReplaceTempView("customer")
+    Tables.orders(spark, dir).createOrReplaceTempView("orders")
+    spark.sql(
+      """SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+        |FROM customer c, LATERAL (
+        |  SELECT o_orderkey, o_totalprice FROM orders
+        |  WHERE o_custkey = c.c_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+        |ORDER BY c.c_custkey, o.o_orderkey""".stripMargin)
+  }
+
+  val q147Sql: String =
+    """SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+      |FROM customer c, LATERAL (
+      |  SELECT o_orderkey, o_totalprice FROM orders
+      |  WHERE o_custkey = c.c_custkey
+      |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+      |ORDER BY c.c_custkey, o.o_orderkey""".stripMargin
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q23_grouping_sets", q23GroupingSets _, Some(q23Sql)),
+    ("q147_lateral_topk", q147LateralTopk _, Some(q147Sql)),
     ("q83_orc_roundtrip", q83OrcRoundtrip _, Some(q83Sql)),
     ("q38_profile", q38Profile _, Some(q38Sql)),
     ("q46_full_outer", q46FullOuter _, Some(q46Sql)),

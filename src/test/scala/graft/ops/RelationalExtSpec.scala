@@ -33,4 +33,23 @@ class RelationalExtSpec extends SparkSpec {
     assert(a === b)
     assert(a > 0L)
   }
+
+  test("q147 lateral top-k equals the window formulation and decorrelates") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val lateral = RelationalExt.q147LateralTopk(spark, dir).collect()
+      .map(r => (r.getAs[Long]("c_custkey"), r.getAs[Long]("o_orderkey"))).toSet
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val windowed = graft.Tables.orders(spark, dir)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 2)
+      .join(graft.Tables.customer(spark, dir),
+        col("o_custkey") === col("c_custkey"), "left_semi")
+      .collect().map(r => (r.getAs[Long]("o_custkey"), r.getAs[Long]("o_orderkey"))).toSet
+    assert(lateral === windowed && lateral.nonEmpty)
+    // Catalyst decorrelates the subquery: one join, no per-row re-execution
+    val p = RelationalExt.q147LateralTopk(spark, dir).queryExecution
+      .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(p.contains("HashJoin") && !p.contains("CartesianProduct"), p)
+  }
 }
