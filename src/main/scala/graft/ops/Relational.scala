@@ -615,6 +615,39 @@ object Relational {
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
   /** Registry: name → (builder, oracle SQL or None). */
+  // --------------------------------------------------------------------------
+  // q148 — MULTISET set operations (INTERSECT ALL / EXCEPT ALL): unlike
+  // q12's set semantics, these keep duplicate multiplicities — intersect
+  // keeps min(countA, countB) copies per value, except subtracts counts.
+  // The priority multisets of finished vs open orders make the
+  // distinction observable (every priority value occurs thousands of
+  // times; plain INTERSECT would collapse each to one row).
+  // Scale: Catalyst plans both as a single aggregate-style shuffle on the
+  // value (count-based rewrite), not a pairwise join.
+  def q148SetOpsAll(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val a = o.filter(col("o_orderstatus") === "F").select(col("o_orderpriority").as("p"))
+    val b = o.filter(col("o_orderstatus") === "O").select(col("o_orderpriority").as("p"))
+    val inter = a.intersectAll(b).groupBy(col("p"))
+      .agg(count(lit(1)).as("n")).withColumn("tag", lit("intersect_all"))
+    val diff = a.exceptAll(b).groupBy(col("p"))
+      .agg(count(lit(1)).as("n")).withColumn("tag", lit("except_all"))
+    inter.unionByName(diff).select(col("tag"), col("p"), col("n"))
+      .orderBy(col("tag"), col("p"))
+  }
+
+  val q148Sql: String =
+    """SELECT 'intersect_all' AS tag, p, COUNT(*) AS n FROM (
+      |  SELECT o_orderpriority AS p FROM orders WHERE o_orderstatus = 'F'
+      |  INTERSECT ALL
+      |  SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'O') GROUP BY p
+      |UNION ALL
+      |SELECT 'except_all', p, COUNT(*) FROM (
+      |  SELECT o_orderpriority AS p FROM orders WHERE o_orderstatus = 'F'
+      |  EXCEPT ALL
+      |  SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'O') GROUP BY p
+      |ORDER BY tag, p""".stripMargin
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q01_agg", q01Agg _, Some(q01Sql)),
     ("q02_filter_project", q02Filter _, Some(q02Sql)),
@@ -628,6 +661,7 @@ object Relational {
     ("q10_global_topk", q10GlobalTopk _, Some(q10Sql)),
     ("q11_distinct", q11Distinct _, Some(q11Sql)),
     ("q12_set_ops", q12SetOps _, Some(q12Sql)),
+    ("q148_set_ops_all", q148SetOpsAll _, Some(q148Sql)),
     ("q13_rollup", q13Rollup _, Some(q13Sql)),
     ("q14_cube", q14Cube _, Some(q14Sql)),
     ("q15_count_distinct", q15CountDistinct _, Some(q15Sql)),

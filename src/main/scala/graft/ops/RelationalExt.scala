@@ -489,6 +489,33 @@ object RelationalExt {
       |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
   // --------------------------------------------------------------------------
+  // q149 — UNPIVOT / melt (the inverse of q26's pivot): the wide
+  // per-returnflag aggregate is melted back to long form with the typed
+  // Dataset.unpivot API, and the ORACLE is the DIRECT long-form
+  // aggregation — so the hash match is the pivot→unpivot roundtrip law.
+  // Absent (status, flag) combos surface as NULL cells in the wide form
+  // and are dropped, exactly matching the direct GROUP BY's row set.
+  // Scale: unpivot is a row-local Expand (3 rows per wide row), no
+  // shuffle beyond the originating aggregate's.
+  def q149Unpivot(spark: SparkSession, dir: String): DataFrame = {
+    val wide = Tables.lineitem(spark, dir)
+      .groupBy(col("l_linestatus"))
+      .pivot("l_returnflag", Seq("A", "N", "R"))
+      .agg(moneySum(col("l_quantity")))
+    wide.unpivot(
+        Array(col("l_linestatus")),
+        Array(col("A"), col("N"), col("R")),
+        "returnflag", "sum_qty")
+      .filter(col("sum_qty").isNotNull)
+      .orderBy(col("l_linestatus"), col("returnflag"))
+  }
+
+  val q149Sql: String =
+    """SELECT l_linestatus, l_returnflag AS returnflag,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem GROUP BY 1, 2 ORDER BY l_linestatus, returnflag""".stripMargin
+
+  // --------------------------------------------------------------------------
   // q147 — LATERAL correlated subquery (SQL API parity, Spark 4 lateral
   // join support): top-2 orders per customer written the ergonomic way —
   // a per-row correlated subquery with ORDER BY + LIMIT — rather than the
@@ -519,6 +546,7 @@ object RelationalExt {
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q23_grouping_sets", q23GroupingSets _, Some(q23Sql)),
     ("q147_lateral_topk", q147LateralTopk _, Some(q147Sql)),
+    ("q149_unpivot", q149Unpivot _, Some(q149Sql)),
     ("q83_orc_roundtrip", q83OrcRoundtrip _, Some(q83Sql)),
     ("q38_profile", q38Profile _, Some(q38Sql)),
     ("q46_full_outer", q46FullOuter _, Some(q46Sql)),

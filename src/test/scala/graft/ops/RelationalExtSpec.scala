@@ -34,6 +34,18 @@ class RelationalExtSpec extends SparkSpec {
     assert(a > 0L)
   }
 
+  test("q148 multiset semantics: intersectAll keeps min counts, exceptAll subtracts") {
+    import spark.implicits._
+    val a = Seq("x", "x", "x", "y", "z").toDF("p")
+    val b = Seq("x", "y", "y").toDF("p")
+    val inter = a.intersectAll(b).collect().map(_.getString(0)).groupBy(identity)
+      .view.mapValues(_.length).toMap
+    assert(inter === Map("x" -> 1, "y" -> 1)) // min(3,1), min(1,2); z: min(1,0)=0
+    val diff = a.exceptAll(b).collect().map(_.getString(0)).groupBy(identity)
+      .view.mapValues(_.length).toMap
+    assert(diff === Map("x" -> 2, "z" -> 1)) // 3-1, 1-0; y: 1-2 → 0
+  }
+
   test("q147 lateral top-k equals the window formulation and decorrelates") {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._
