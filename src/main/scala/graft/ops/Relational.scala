@@ -648,6 +648,39 @@ object Relational {
       |  SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'O') GROUP BY p
       |ORDER BY tag, p""".stripMargin
 
+  // --------------------------------------------------------------------------
+  // q150 — bucketed co-located join as a CATALOG operator: both sides are
+  // written bucketed+sorted on the join key (8 buckets, external tables
+  // under a temp path), then joined — the layout that makes the join
+  // ZERO-EXCHANGE (neither side shuffles; ScaleSpec asserts the plan has
+  // no Exchange under the SortMergeJoin, and the q150 spec re-asserts it
+  // on this exact query). At 100 TB this is THE recurring-join shape:
+  // pay the shuffle once at write time, never again per query. The
+  // oracle is the plain join over the raw parquet — result identity
+  // under the bucketed layout is the hash check.
+  def q150BucketedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q150").toString
+    Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_quantity"))
+      .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .format("parquet").mode("overwrite")
+      .option("path", s"$tmp/li").saveAsTable("graft_q150_li")
+    Tables.orders(spark, dir).select(col("o_orderkey"), col("o_orderpriority"))
+      .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .format("parquet").mode("overwrite")
+      .option("path", s"$tmp/ord").saveAsTable("graft_q150_ord")
+    spark.table("graft_q150_li")
+      .join(spark.table("graft_q150_ord"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_lines"), moneySum(col("l_quantity")).as("sum_qty"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val q150Sql: String =
+    """SELECT o_orderpriority, COUNT(*) AS n_lines,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q01_agg", q01Agg _, Some(q01Sql)),
     ("q02_filter_project", q02Filter _, Some(q02Sql)),
@@ -662,6 +695,7 @@ object Relational {
     ("q11_distinct", q11Distinct _, Some(q11Sql)),
     ("q12_set_ops", q12SetOps _, Some(q12Sql)),
     ("q148_set_ops_all", q148SetOpsAll _, Some(q148Sql)),
+    ("q150_bucketed_join", q150BucketedJoin _, Some(q150Sql)),
     ("q13_rollup", q13Rollup _, Some(q13Sql)),
     ("q14_cube", q14Cube _, Some(q14Sql)),
     ("q15_count_distinct", q15CountDistinct _, Some(q15Sql)),

@@ -38,6 +38,30 @@ class ScaleSpec extends SparkSpec {
       s"bucketed join should not shuffle either side:\n$plan")
   }
 
+  test("q150 catalog entry joins its bucketed tables with zero Exchange under the join") {
+    // broadcast would hide the property at this tiny SF (AQE happily
+    // broadcasts sf0.001 lineitem); the bucketed layout matters exactly in
+    // the big-big regime, so pin the check there
+    val keys = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+    val prev = keys.map(k => k -> spark.conf.getOption(k)).toMap
+    keys.foreach(spark.conf.set(_, "-1"))
+    try {
+      val df = Relational.q150BucketedJoin(spark, dir)
+      df.collect()
+      // keep only the AQE final plan (the echoed "Initial Plan" repeats the
+      // whole tree and would re-introduce the above-join Exchanges)
+      val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+      val joinSection = plan.linesIterator
+        .dropWhile(!_.contains("SortMergeJoin")).mkString("\n")
+      assert(joinSection.nonEmpty, plan)
+      assert(!joinSection.contains("Exchange"),
+        s"q150's bucketed join must not shuffle either side:\n$plan")
+    } finally prev.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+    }
+  }
+
   test("partitionBy write + filter read hits partition pruning, not a full scan") {
     val out = java.nio.file.Files.createTempDirectory("graft_part").toString
     Tables.events(spark, dir)
