@@ -1014,11 +1014,46 @@ object RelationalMore {
       |    AS avg_price
       |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
 
+  // --------------------------------------------------------------------------
+  // q151 — Benford's-law first-digit audit: the classic forensic
+  // data-quality screen — compare the observed leading-digit distribution
+  // of order totals against log10(1 + 1/d). Organic multiplicative data
+  // follows it; fabricated or truncated feeds don't. Digit extraction is
+  // EXACT (floor → bigint → first character of the decimal string — no
+  // double log in the digit path); proportions are exact-int ratios;
+  // the expectation is a fixed constant expression. One hash aggregate
+  // to a 9-row grid.
+  def q151Benford(spark: SparkSession, dir: String): DataFrame = {
+    val digit = expr("cast(substr(cast(cast(floor(o_totalprice) as bigint) as string), 1, 1) as int)")
+    val byDigit = Tables.orders(spark, dir)
+      .filter(col("o_totalprice") >= 1.0)
+      .select(digit.as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    byDigit
+      .crossJoin(broadcast(byDigit.agg(sum(col("n")).as("tot"))))
+      .select(col("digit"), col("n"),
+        round(col("n").cast("double") / col("tot"), 6).as("p_obs"),
+        round(log(10.0, lit(1.0) + lit(1.0) / col("digit")), 6).as("p_benford"))
+      .orderBy(col("digit"))
+  }
+
+  val q151Sql: String =
+    """WITH d AS (
+      |  SELECT CAST(SUBSTR(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit
+      |  FROM orders WHERE o_totalprice >= 1.0),
+      |c AS (SELECT digit, COUNT(*) AS n FROM d GROUP BY digit),
+      |t AS (SELECT SUM(n) AS tot FROM c)
+      |SELECT digit, n,
+      |  ROUND(CAST(n AS DOUBLE) / tot, 6) AS p_obs,
+      |  ROUND(LOG10(1.0 + 1.0 / digit), 6) AS p_benford
+      |FROM c CROSS JOIN t ORDER BY digit""".stripMargin
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q53_date_spine", q53DateSpine _, Some(q53Sql)),
     ("q142_zorder_layout", q142ZOrder _, Some(q142Sql)),
     ("q143_incremental_mv", q143IncrementalMv _, Some(q143Sql)),
     ("q135_table_diff", q135TableDiff _, Some(q135Sql)),
+    ("q151_benford", q151Benford _, Some(q151Sql)),
     ("q136_mad_outliers", q136MadOutliers _, Some(q136Sql)),
     ("q125_winsorize", q125Winsorize _, Some(q125Sql)),
     ("q128_binned_range_join", q128BinnedRangeJoin _, Some(q128Sql)),

@@ -292,6 +292,16 @@ class RelationalMoreSpec extends SparkSpec {
     assert(result.passed, result.status.toString)
   }
 
+  test("q151 Benford audit covers digits 1-9 with proportions that sum to one") {
+    val rows = RelationalMore.q151Benford(spark, dir).collect()
+    assert(rows.map(_.getAs[Int]("digit")).toSeq === (1 to 9))
+    assert(math.abs(rows.map(_.getAs[Double]("p_obs")).sum - 1.0) < 1e-4)
+    assert(math.abs(rows.map(_.getAs[Double]("p_benford")).sum - 1.0) < 1e-4)
+    // expectation is monotonically decreasing in the digit
+    val exp = rows.map(_.getAs[Double]("p_benford"))
+    assert(exp.zip(exp.tail).forall { case (a, b) => a > b })
+  }
+
   test("q136 MAD flags exactly the planted extreme, with the hand-computed score") {
     import spark.implicits._
     // group: 3×10.00, 3×11.00, 3×12.00, one 100.00 → median 11.00 cents=1100,
