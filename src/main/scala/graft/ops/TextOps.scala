@@ -948,6 +948,44 @@ object TextOps {
        |ORDER BY l.doc_id""".stripMargin
 
   // --------------------------------------------------------------------------
+  // q152 — dedup SURVIVORSHIP (cluster-representative selection): the step
+  // after clustering — keep exactly one document per near-dup cluster and
+  // account for the drops. Representative = longest document, ties to the
+  // smallest doc_id, chosen by a single-pass max_by over an EXACT packed
+  // integer key (n_chars·1e8 − doc_id — q68's trick, so the cross-engine
+  // comparison is integer, never double). Completes the dedup story:
+  // detect (q31) → cluster (q82) → select survivor → drop the rest.
+  // Scale: one slim join of cluster labels to (doc_id, n_chars) + one
+  // hash aggregate per cluster; no window sort.
+  def q152ClusterReps(spark: SparkSession, dir: String): DataFrame = {
+    val byLen = expr("n_chars * 100000000 - doc_id")
+    q82DedupClusters(spark, dir)
+      .join(Tables.documents(spark, dir).select(col("doc_id"), col("n_chars")), "doc_id")
+      .groupBy(col("cluster"), col("cluster_size"))
+      .agg(
+        max_by(col("doc_id"), byLen).as("rep_doc_id"),
+        max(col("n_chars")).as("rep_n_chars"))
+      .select(col("cluster"), col("cluster_size"), col("rep_doc_id"),
+        col("rep_n_chars"), (col("cluster_size") - 1).as("n_dropped"))
+      .orderBy(col("cluster"))
+  }
+
+  val q152Sql: String = {
+    val prefix = q82Sql.substring(0, q82Sql.indexOf("SELECT l.doc_id"))
+    prefix +
+      """SELECT l.cluster, c.cluster_size,
+        |  ARG_MAX(l.doc_id, d.n_chars * 100000000 - l.doc_id) AS rep_doc_id,
+        |  MAX(d.n_chars) AS rep_n_chars,
+        |  c.cluster_size - 1 AS n_dropped
+        |FROM labels l
+        |JOIN documents d ON d.doc_id = l.doc_id
+        |JOIN (SELECT cluster, COUNT(*) AS cluster_size FROM labels GROUP BY 1) c
+        |  USING (cluster)
+        |GROUP BY l.cluster, c.cluster_size
+        |ORDER BY l.cluster""".stripMargin
+  }
+
+  // --------------------------------------------------------------------------
   // q84 — text normalization/cleaning: collapse whitespace runs, strip
   // non-alphanumerics, lowercase — the canonicalization step BEFORE exact
   // dedup hashing (q30) so formatting variants collapse to one hash.
@@ -978,6 +1016,7 @@ object TextOps {
     ("q84_text_clean", q84TextClean _, Some(q84Sql)),
     ("q81_bm25", q81Bm25 _, Some(q81Sql)),
     ("q82_dedup_clusters", q82DedupClusters _, Some(q82Sql)),
+    ("q152_cluster_reps", q152ClusterReps _, Some(q152Sql)),
     ("q79_bpe_tokens", q79BpeTokens _, Some(q79Sql)),
     ("q72_fuzzy_match", q72FuzzyMatch _, Some(q72Sql)),
     // same oracle as q72: the blocked path must reproduce the exact

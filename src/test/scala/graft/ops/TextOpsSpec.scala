@@ -236,4 +236,24 @@ class TextOpsSpec extends SparkSpec {
     assert(fp1(0L) === fp1(1L))   // identical docs, identical fingerprint
     assert(fp1(0L) !== fp1(3L))
   }
+
+  test("q152 survivors: one per cluster, a member, with the cluster's max length") {
+    val dir = "/root/testdata/sf0.001"
+    val members = TextOps.q82DedupClusters(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster"))
+    val lens = graft.Tables.documents(spark, dir)
+      .select("doc_id", "n_chars").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_chars")).toMap
+    val reps = TextOps.q152ClusterReps(spark, dir).collect()
+    assert(reps.map(_.getAs[Long]("cluster")).distinct.length === reps.length)
+    assert(reps.map(_.getAs[Long]("cluster")).toSet === members.map(_._2).toSet)
+    reps.foreach { r =>
+      val cl = r.getAs[Long]("cluster")
+      val rep = r.getAs[Long]("rep_doc_id")
+      val clMembers = members.filter(_._2 == cl).map(_._1)
+      assert(clMembers.contains(rep), s"cluster $cl rep not a member")
+      assert(lens(rep) === clMembers.map(lens).max, s"cluster $cl rep not longest")
+      assert(r.getAs[Long]("n_dropped") === clMembers.length - 1)
+    }
+  }
 }
