@@ -580,10 +580,55 @@ object CorpusOps {
        |CROSS JOIN n
        |ORDER BY pmi DESC, t1, t2 LIMIT 20""".stripMargin
 
+  // --------------------------------------------------------------------------
+  // q153 — readability scoring (Flesch reading ease), the classic
+  // text-difficulty quality feature: 206.835 − 1.015·(words/sentences) −
+  // 84.6·(syllables/words), with syllables approximated as vowel-group
+  // runs. ENTIRELY in integer arithmetic: the score is emitted in
+  // truncated millis via one integral division — flesch_milli =
+  // (206835·s·w − 1015·w² − 84600·y·s + OFF·s·w) div (s·w) − OFF with
+  // OFF = 1e7 keeping the numerator positive (floor ≡ truncation in both
+  // engines only for non-negative operands; q136's rounding-boundary
+  // lesson applied). Row-local regex counting → whole-stage codegen; no
+  // shuffle at all before the output sort.
+  def q153Readability(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(TextOps.toks).as("w"),
+        expr("greatest(1, size(regexp_extract_all(text, '[.!?]+', 0)))").as("s"),
+        expr("size(regexp_extract_all(lower(text), '[aeiouy]+', 0))").as("y"))
+      .filter(col("w") > 0)
+    docs.select(
+        col("doc_id"), col("w").as("n_words"), col("s").as("n_sentences"),
+        col("y").as("n_syllables"),
+        expr("cast(1000 * w as bigint) div s").as("wps_milli"),
+        expr("cast(1000 * y as bigint) div w").as("spw_milli"),
+        expr("""(cast(206835 as bigint) * s * w - 1015 * w * w - 84600 * y * s
+               | + 10000000 * s * w) div (cast(s as bigint) * w) - 10000000"""
+          .stripMargin.replace("\n", " ")).as("flesch_milli"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q153Sql: String =
+    s"""WITH c AS (
+       |  SELECT doc_id,
+       |    len(${TextOps.toksSqlD}) AS w,
+       |    GREATEST(1, len(regexp_extract_all(text, '[.!?]+'))) AS s,
+       |    len(regexp_extract_all(lower(text), '[aeiouy]+')) AS y
+       |  FROM documents)
+       |SELECT doc_id, CAST(w AS BIGINT) AS n_words, CAST(s AS BIGINT) AS n_sentences,
+       |  CAST(y AS BIGINT) AS n_syllables,
+       |  CAST(1000 AS BIGINT) * w // s AS wps_milli,
+       |  CAST(1000 AS BIGINT) * y // w AS spw_milli,
+       |  (CAST(206835 AS BIGINT) * s * w - 1015 * w * w - 84600 * y * s
+       |   + 10000000 * s * w) // (CAST(s AS BIGINT) * w) - 10000000 AS flesch_milli
+       |FROM c WHERE w > 0 ORDER BY doc_id""".stripMargin
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q129_division", q129Division _, Some(q129Sql)),
     ("q133_psi_drift", q133PsiDrift _, Some(q133Sql)),
     ("q134_pmi_pairs", q134PmiPairs _, Some(q134Sql)),
+    ("q153_readability", q153Readability _, Some(q153Sql)),
     ("q85_pii_redact", q85PiiRedact _, Some(q85Sql)),
     ("q86_bitwise_agg", q86BitwiseAgg _, Some(q86Sql)),
     ("q87_boilerplate", q87Boilerplate _, Some(q87Sql)),

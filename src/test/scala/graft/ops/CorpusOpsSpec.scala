@@ -127,6 +127,23 @@ class CorpusOpsSpec extends SparkSpec {
     assert(shifted.getAs[String]("drift_band") === "major")
   }
 
+  test("q153 readability matches the hand-computed Flesch millis") {
+    import spark.implicits._
+    // "the quick brown fox. it jumps!" → w=6, sentences=2, vowel groups=6
+    // flesch = 206.835 − 1.015·(6/2) − 84.6·(6/6) = 119.19 → 119190 millis
+    val d = Files.createTempDirectory("graft_read").toString
+    Seq((1L, "the quick brown fox. it jumps!", "en", "src0", 30L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$d/documents.parquet")
+    val r = CorpusOps.q153Readability(spark, d).collect().head
+    assert(r.getAs[Int]("n_words") === 6)
+    assert(r.getAs[Int]("n_sentences") === 2)
+    assert(r.getAs[Int]("n_syllables") === 6)
+    assert(r.getAs[Long]("wps_milli") === 3000L)
+    assert(r.getAs[Long]("spw_milli") === 1000L)
+    assert(r.getAs[Long]("flesch_milli") === 119190L)
+  }
+
   test("q134 PMI scores the planted collocation and enforces min support") {
     import spark.implicits._
     // alpha∧beta in 6 docs, alpha alone in 2 more (df_a=8, df_b=6, N=20);
