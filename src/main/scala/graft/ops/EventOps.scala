@@ -440,6 +440,38 @@ object EventOps {
       |FROM tl WHERE event_type = 'purchase'
       |GROUP BY 1 ORDER BY channel""".stripMargin
 
+  // --------------------------------------------------------------------------
+  // q154 — sequential pattern mining, the n-gram extension of q132's
+  // transition matrix: the top-20 length-3 event paths (trigrams) across
+  // all user chains, by support. Same single (ts, event_id)-total-ordered
+  // window shuffle as q132/q137 — lead(1) and lead(2) ride one sort —
+  // then a hash aggregate to the |types|³ grid and a TakeOrderedAndProject
+  // top-k (count desc, path asc: fully tie-broken).
+  def q154EventPaths(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("e2", lead(col("event_type"), 1).over(w))
+      .withColumn("e3", lead(col("event_type"), 2).over(w))
+      .filter(col("e3").isNotNull)
+      .groupBy(col("event_type").as("e1"), col("e2"), col("e3"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("e1"), col("e2"), col("e3"))
+      .limit(20)
+  }
+
+  val q154Sql: String =
+    """WITH chain AS (
+      |  SELECT event_type AS e1,
+      |    LEAD(event_type, 1) OVER w AS e2,
+      |    LEAD(event_type, 2) OVER w AS e3
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+      |SELECT e1, e2, e3, COUNT(*) AS n
+      |FROM chain WHERE e3 IS NOT NULL
+      |GROUP BY 1, 2, 3
+      |ORDER BY n DESC, e1, e2, e3 LIMIT 20""".stripMargin
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q131_cohort_retention", q131CohortRetention _, Some(q131Sql)),
     ("q132_event_transitions", q132EventTransitions _, Some(q132Sql)),
@@ -447,5 +479,6 @@ object EventOps {
     ("q138_ab_test", q138AbTest _, Some(q138Sql)),
     ("q139_rolling_active", q139RollingActive _, Some(q139Sql)),
     ("q140_interval_overlap", q140IntervalOverlap _, Some(q140Sql)),
-    ("q144_attribution", q144Attribution _, Some(q144Sql)))
+    ("q144_attribution", q144Attribution _, Some(q144Sql)),
+    ("q154_event_paths", q154EventPaths _, Some(q154Sql)))
 }

@@ -425,9 +425,52 @@ object Multimodal {
       |FROM d JOIN agg ON d.doc_id = agg.doc_id
       |ORDER BY d.doc_id""".stripMargin
 
+  // --------------------------------------------------------------------------
+  // q155 — cross-modal feature join: one record per document combining
+  // image metadata (real PNG decode), audio stats (real WAV decode), and
+  // text features. Executes the file-header claim as a catalog operator:
+  // ALL joins happen on the slim decoded side (a few ints per doc) —
+  // the binary payloads are projected away before any shuffle, so at
+  // 100 TB the exchanges carry metadata, not media.
+  def q155MultimodalJoin(spark: SparkSession, dir: String): DataFrame = {
+    val img = decodeMeta(mediaTable(spark, dir))
+      .select(col("doc_id"), col("width"), col("height"))
+    val audio = q145AudioMeta(spark, dir)
+      .select(col("doc_id"), col("n_samples"), col("energy"))
+    val text = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(graft.ops.TextOps.toks).as("n_words"), col("lang"))
+    img.join(audio, "doc_id").join(text, "doc_id")
+      .orderBy(col("doc_id"))
+  }
+
+  val q155Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id, hex(encode(text)) AS hx,
+      |    octet_length(encode(text)) AS plen,
+      |    CAST(n_chars % 2000 + 100 AS BIGINT) AS ns
+      |  FROM documents),
+      |sm AS (
+      |  SELECT doc_id, i,
+      |    CASE WHEN plen = 0 THEN 0
+      |         ELSE (('0x' || substr(hx, 2 * CAST(i % plen AS BIGINT) + 1, 2))::BIGINT - 128) * 256
+      |    END AS s
+      |  FROM d, LATERAL (SELECT unnest(range(ns)) AS i) r),
+      |agg AS (SELECT doc_id, SUM(s * s) AS energy FROM sm GROUP BY doc_id)
+      |SELECT doc.doc_id,
+      |  CAST(doc.n_chars % 64 + 1 AS INT) AS width,
+      |  CAST(doc.n_chars % 48 + 1 AS INT) AS height,
+      |  CAST(doc.n_chars % 2000 + 100 AS BIGINT) AS n_samples,
+      |  CAST(agg.energy AS BIGINT) AS energy,
+      |  CAST(len(list_filter(string_split(lower(doc.text), ' '), t -> t != '')) AS INT) AS n_words,
+      |  doc.lang
+      |FROM documents doc JOIN agg ON agg.doc_id = doc.doc_id
+      |ORDER BY doc.doc_id""".stripMargin
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q70_media_meta", q70MediaMeta _, Some(q70Sql)),
     ("q71_frame_sample", q71FrameSample _, Some(q71Sql)),
     ("q80_media_features", q80MediaFeatures _, Some(q80Sql)),
-    ("q145_audio_meta", q145AudioMeta _, Some(q145Sql)))
+    ("q145_audio_meta", q145AudioMeta _, Some(q145Sql)),
+    ("q155_multimodal_join", q155MultimodalJoin _, Some(q155Sql)))
 }
