@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -1048,12 +1048,56 @@ object RelationalMore {
       |  ROUND(LOG10(1.0 + 1.0 / digit), 6) AS p_benford
       |FROM c CROSS JOIN t ORDER BY digit""".stripMargin
 
+  // --------------------------------------------------------------------------
+  // q156 — right-to-be-forgotten purge propagation: given a deletion
+  // request list (keys ≡ 0 mod 97 here), report the purge impact across
+  // EVERY table carrying the key — the GDPR/CCPA erasure audit that
+  // precedes the actual rewrite (which is q67's copy-on-write anti-join
+  // per table). Each table is ONE pass: broadcast the request list, left
+  // join a presence marker, count rows and marked rows together — no
+  // second scan, no count(*) subqueries.
+  private def purgeStats(df: DataFrame, key: Column, name: String,
+                         forget: DataFrame): DataFrame =
+    df.select(key.as("k"))
+      .join(broadcast(forget.withColumn("m", lit(1))), Seq("k"), "left")
+      .agg(count(lit(1)).as("n_before"), count(col("m")).as("n_purged"))
+      .select(lit(name).as("table_name"), col("n_before"), col("n_purged"),
+        (col("n_before") - col("n_purged")).as("n_after"))
+
+  def q156ForgetUser(spark: SparkSession, dir: String): DataFrame = {
+    val forget = Tables.customer(spark, dir)
+      .filter(col("c_custkey") % 97 === 0).select(col("c_custkey").as("k"))
+    purgeStats(Tables.customer(spark, dir), col("c_custkey"), "customer", forget)
+      .unionByName(purgeStats(Tables.orders(spark, dir), col("o_custkey"), "orders", forget))
+      .unionByName(purgeStats(Tables.events(spark, dir), col("user_id"), "events", forget))
+      .orderBy(col("table_name"))
+  }
+
+  val q156Sql: String =
+    """WITH f AS (SELECT c_custkey AS k FROM customer WHERE c_custkey % 97 = 0),
+      |c AS (
+      |  SELECT 'customer' AS table_name, COUNT(*) AS n_before,
+      |    CAST(COUNT(*) FILTER (c_custkey IN (SELECT k FROM f)) AS BIGINT) AS n_purged
+      |  FROM customer),
+      |o AS (
+      |  SELECT 'orders', COUNT(*),
+      |    CAST(COUNT(*) FILTER (o_custkey IN (SELECT k FROM f)) AS BIGINT)
+      |  FROM orders),
+      |e AS (
+      |  SELECT 'events', COUNT(*),
+      |    CAST(COUNT(*) FILTER (user_id IN (SELECT k FROM f)) AS BIGINT)
+      |  FROM events)
+      |SELECT table_name, n_before, n_purged, n_before - n_purged AS n_after
+      |FROM (SELECT * FROM c UNION ALL SELECT * FROM o UNION ALL SELECT * FROM e)
+      |ORDER BY table_name""".stripMargin
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q53_date_spine", q53DateSpine _, Some(q53Sql)),
     ("q142_zorder_layout", q142ZOrder _, Some(q142Sql)),
     ("q143_incremental_mv", q143IncrementalMv _, Some(q143Sql)),
     ("q135_table_diff", q135TableDiff _, Some(q135Sql)),
     ("q151_benford", q151Benford _, Some(q151Sql)),
+    ("q156_forget_user", q156ForgetUser _, Some(q156Sql)),
     ("q136_mad_outliers", q136MadOutliers _, Some(q136Sql)),
     ("q125_winsorize", q125Winsorize _, Some(q125Sql)),
     ("q128_binned_range_join", q128BinnedRangeJoin _, Some(q128Sql)),
