@@ -1091,6 +1091,78 @@ object RelationalMore {
       |FROM (SELECT * FROM c UNION ALL SELECT * FROM o UNION ALL SELECT * FROM e)
       |ORDER BY table_name""".stripMargin
 
+  // --------------------------------------------------------------------------
+  // q158 — RFM customer segmentation: recency (days since last order),
+  // frequency (order count), monetary (exact cents) scored into quintiles
+  // and mapped to named segments — the standard CRM/marketing analytics
+  // report. Quintile scores use q130's EQUI-DEPTH EDGE pattern: the four
+  // 20/40/60/80-percentile edges per metric come from ONE broadcast
+  // aggregate and each row's score is 1 + (count of edges ≤ metric),
+  // row-local — no global NTILE sort of the customer table. All three
+  // metrics are exact integers (days / counts / cents), so edge
+  // comparisons are deterministic cross-engine (percentile interpolation
+  // parity per q28).
+  def q158RfmSegments(spark: SparkSession, dir: String): DataFrame = {
+    val perCust = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(max(col("o_orderdate")).as("last_order"),
+        count(lit(1)).as("frequency"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).as("sdec"))
+    val rfm = perCust
+      .crossJoin(broadcast(perCust.agg(max(col("last_order")).as("now"))))
+      .select(col("o_custkey"),
+        datediff(col("now"), col("last_order")).cast("long").as("recency"),
+        col("frequency"),
+        (col("sdec") * 100).cast("long").as("monetary_cents"))
+    val edges = rfm.agg(
+      expr("percentile(recency, array(0.2d, 0.4d, 0.6d, 0.8d))").as("re"),
+      expr("percentile(frequency, array(0.2d, 0.4d, 0.6d, 0.8d))").as("fe"),
+      expr("percentile(monetary_cents, array(0.2d, 0.4d, 0.6d, 0.8d))").as("me"))
+    def score(metric: Column, es: String): Column =
+      (0 until 4).map(i => (metric >= col(es).getItem(i)).cast("int")).reduce(_ + _) + 1
+    rfm.crossJoin(broadcast(edges))
+      .select(col("o_custkey"),
+        // LOW recency is good: invert the bucket (5 = most recent)
+        (lit(6) - score(col("recency"), "re")).as("r_score"),
+        score(col("frequency"), "fe").as("f_score"),
+        score(col("monetary_cents"), "me").as("m_score"))
+      .withColumn("segment",
+        when(col("r_score") >= 4 && col("f_score") >= 4, lit("champion"))
+          .when(col("r_score") <= 2 && col("f_score") >= 4, lit("at_risk_loyal"))
+          .when(col("r_score") >= 4 && col("f_score") <= 2, lit("recent_light"))
+          .otherwise(lit("regular")))
+      .orderBy(col("o_custkey"))
+  }
+
+  val q158Sql: String =
+    """WITH rfm AS (
+      |  SELECT o_custkey,
+      |    CAST(DATE_DIFF('day', MAX(o_orderdate),
+      |         (SELECT MAX(o_orderdate) FROM orders)) AS BIGINT) AS recency,
+      |    COUNT(*) AS frequency,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS monetary_cents
+      |  FROM orders GROUP BY o_custkey),
+      |e AS (
+      |  SELECT quantile_cont(recency, [0.2, 0.4, 0.6, 0.8]) AS re,
+      |    quantile_cont(frequency, [0.2, 0.4, 0.6, 0.8]) AS fe,
+      |    quantile_cont(monetary_cents, [0.2, 0.4, 0.6, 0.8]) AS me
+      |  FROM rfm),
+      |scored AS (
+      |  SELECT o_custkey,
+      |    6 - (1 + CAST(recency >= re[1] AS INT) + CAST(recency >= re[2] AS INT)
+      |           + CAST(recency >= re[3] AS INT) + CAST(recency >= re[4] AS INT)) AS r_score,
+      |    1 + CAST(frequency >= fe[1] AS INT) + CAST(frequency >= fe[2] AS INT)
+      |      + CAST(frequency >= fe[3] AS INT) + CAST(frequency >= fe[4] AS INT) AS f_score,
+      |    1 + CAST(monetary_cents >= me[1] AS INT) + CAST(monetary_cents >= me[2] AS INT)
+      |      + CAST(monetary_cents >= me[3] AS INT) + CAST(monetary_cents >= me[4] AS INT) AS m_score
+      |  FROM rfm CROSS JOIN e)
+      |SELECT o_custkey, r_score, f_score, m_score,
+      |  CASE WHEN r_score >= 4 AND f_score >= 4 THEN 'champion'
+      |       WHEN r_score <= 2 AND f_score >= 4 THEN 'at_risk_loyal'
+      |       WHEN r_score >= 4 AND f_score <= 2 THEN 'recent_light'
+      |       ELSE 'regular' END AS segment
+      |FROM scored ORDER BY o_custkey""".stripMargin
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q53_date_spine", q53DateSpine _, Some(q53Sql)),
     ("q142_zorder_layout", q142ZOrder _, Some(q142Sql)),
@@ -1098,6 +1170,7 @@ object RelationalMore {
     ("q135_table_diff", q135TableDiff _, Some(q135Sql)),
     ("q151_benford", q151Benford _, Some(q151Sql)),
     ("q156_forget_user", q156ForgetUser _, Some(q156Sql)),
+    ("q158_rfm_segments", q158RfmSegments _, Some(q158Sql)),
     ("q136_mad_outliers", q136MadOutliers _, Some(q136Sql)),
     ("q125_winsorize", q125Winsorize _, Some(q125Sql)),
     ("q128_binned_range_join", q128BinnedRangeJoin _, Some(q128Sql)),

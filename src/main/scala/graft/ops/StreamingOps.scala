@@ -240,10 +240,64 @@ object StreamingOps {
       |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
       |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin
 
+  /** q157 — STREAM-STREAM interval join end-to-end: clicks and purchases
+    * are consumed as two watermarked file streams off the same staged
+    * landing zone and interval-joined (purchase within 30 minutes after a
+    * click, same user) in real micro-batches. INNER stream-stream joins
+    * emit each match as it is found (the watermark governs state
+    * EVICTION, not emission), so the finite AvailableNow replay yields
+    * the exact batch-join match set regardless of file slicing — which is
+    * precisely what the DuckDB batch oracle checks. The joined pairs are
+    * then compacted per user in a follow-up batch aggregate over the
+    * sink table (the streaming part under test is the join state).
+    *
+    * Scale: both sides shuffle on user_id once; state per side is bounded
+    * by the watermark + the 30-minute join range.
+    */
+  def q157StreamJoin(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val src = s"/tmp/graft_ssjoin_src_${new java.io.File(dir).getName}"
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+      .repartition(4)
+      .write.mode("overwrite").parquet(src)
+    val schema = spark.read.parquet(src).schema
+    def side(t: String) = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 2).parquet(src)
+      .filter(col("event_type") === t)
+      .withWatermark("ts", "10 minutes")
+    val joined = side("click").alias("c")
+      .join(side("purchase").alias("p"),
+        expr("""c.user_id = p.user_id AND
+                p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTES"""))
+      .select(col("c.user_id").as("user_id"),
+        col("c.event_id").as("click_id"), col("p.event_id").as("purchase_id"))
+    val qname = "graft_q157_result"
+    val query = joined.writeStream.format("memory").queryName(qname)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    query.awaitTermination()
+    spark.table(qname)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_pairs"), countDistinct(col("click_id")).as("n_clicks"))
+      .orderBy(col("user_id"))
+  }
+
+  val q157Sql: String =
+    """WITH c AS (
+      |  SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'),
+      |p AS (
+      |  SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase')
+      |SELECT c.user_id, COUNT(*) AS n_pairs,
+      |  COUNT(DISTINCT c.event_id) AS n_clicks
+      |FROM c JOIN p ON c.user_id = p.user_id
+      | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL '30 minutes'
+      |GROUP BY c.user_id ORDER BY c.user_id""".stripMargin
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q60_tumbling_window", q60Tumbling _, Some(q60Sql)),
     ("q61_sliding_window", q61Sliding _, Some(q61Sql)),
     ("q62_session_window", q62Session _, Some(q62Sql)),
     ("q63_stream_dedup", q63Dedup _, Some(q63Sql)),
-    ("q122_file_stream", q122FileStream _, Some(q122Sql)))
+    ("q122_file_stream", q122FileStream _, Some(q122Sql)),
+    ("q157_stream_join", q157StreamJoin _, Some(q157Sql)))
 }

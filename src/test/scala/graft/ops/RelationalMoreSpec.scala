@@ -292,6 +292,25 @@ class RelationalMoreSpec extends SparkSpec {
     assert(result.passed, result.status.toString)
   }
 
+  test("q158 RFM scores are 1..5, roughly equi-depth, and segments cover the rules") {
+    val rows = RelationalMore.q158RfmSegments(spark, dir).collect()
+    val n = rows.length.toDouble
+    Seq("r_score", "f_score", "m_score").foreach { c =>
+      val scores = rows.map(_.getAs[Int](c))
+      assert(scores.forall(v => v >= 1 && v <= 5), c)
+      // equi-depth up to tie distortion: no bucket hoards the population
+      scores.groupBy(identity).values.foreach(b => assert(b.length <= n * 0.45, c))
+    }
+    rows.foreach { r =>
+      val (rs, fs) = (r.getAs[Int]("r_score"), r.getAs[Int]("f_score"))
+      val seg = r.getAs[String]("segment")
+      if (rs >= 4 && fs >= 4) assert(seg === "champion")
+      else if (rs <= 2 && fs >= 4) assert(seg === "at_risk_loyal")
+      else if (rs >= 4 && fs <= 2) assert(seg === "recent_light")
+      else assert(seg === "regular")
+    }
+  }
+
   test("q151 Benford audit covers digits 1-9 with proportions that sum to one") {
     val rows = RelationalMore.q151Benford(spark, dir).collect()
     assert(rows.map(_.getAs[Int]("digit")).toSeq === (1 to 9))
