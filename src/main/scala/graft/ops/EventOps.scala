@@ -5,17 +5,19 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Behavioral analytics over the `events` stream table: cohort retention
-  * and event-sequence transition statistics — the two standard product /
-  * engagement reports an analytics engine is expected to produce from a
-  * raw event log (the reference has no event analytics at all; this is
-  * [EXT] north-star surface, see SURVEY.md §2.2).
+/** Behavioral analytics over the `events` stream table: cohort retention,
+  * transition/path mining, sessionization, A/B readout, rolling active
+  * users, interval-overlap joins, and attribution — the standard product /
+  * engagement reports an analytics engine produces from a raw event log
+  * (the reference has no event analytics at all; this is [EXT] north-star
+  * surface, see SURVEY.md §2.2 and §8.6).
   *
-  * Scale shape shared by both: ONE shuffle on `user_id` collapses the
-  * event log to per-user state (a bounded set of active weeks, or the
-  * lead-ordered event chain), after which everything is arithmetic on a
-  * cohort×offset / type×type grid that is orders of magnitude smaller
-  * than the log. No driver-side iteration, no second scan of the log.
+  * Scale shape shared across the family: ONE shuffle on `user_id`
+  * collapses the log to per-user state (active-week sets, the ordered
+  * event chain, session islands), after which everything is arithmetic on
+  * a grid orders of magnitude smaller than the log. No driver-side
+  * iteration; replicate-to-window and bin joins keep the remaining
+  * operators linear.
   */
 object EventOps {
 

@@ -923,6 +923,102 @@ object PipelineOps {
       |  CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY h, doc_id) - 1 AS INT) AS pos
       |FROM s ORDER BY shard, pos""".stripMargin
 
+  // --------------------------------------------------------------------------
+  // q159 — GROUP-AWARE train/val/test split: the whole SOURCE (crawl
+  // domain) lands in one split, preventing near-duplicate leakage between
+  // train and eval through shared provenance (documents from one domain
+  // correlate even when their text hashes differ — q90's content-hash
+  // split cannot see that). Split = md5 of the GROUP key, thresholded
+  // like q90 — row-local, shuffle-free, deterministic on any engine.
+  def q159GroupSplit(spark: SparkSession, dir: String): DataFrame = {
+    val prefix = substring(md5(col("source")), 1, 2)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        when(prefix < "cc", "train").when(prefix < "e6", "val")
+          .otherwise("test").as("split"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q159Sql: String =
+    """SELECT doc_id, source,
+      |  CASE WHEN SUBSTR(md5(source), 1, 2) < 'cc' THEN 'train'
+      |       WHEN SUBSTR(md5(source), 1, 2) < 'e6' THEN 'val'
+      |       ELSE 'test' END AS split
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // --------------------------------------------------------------------------
+  // q160 — temporal split with EMBARGO (purged time-series split): train
+  // strictly before the cutoff, test strictly after cutoff + embargo, the
+  // gap rows DROPPED — the leakage hygiene for forecasting/backtest data
+  // where windowed features straddling the boundary would leak the future
+  // into training. Cutoff = day 20 of the log, embargo = 2 days; exact
+  // integer day arithmetic, row-local.
+  def q160TemporalSplit(spark: SparkSession, dir: String): DataFrame = {
+    val d = datediff(to_date(col("ts")), lit("2024-01-01"))
+    Tables.events(spark, dir)
+      .select(col("event_id"), d.as("day"))
+      .withColumn("split",
+        when(col("day") < 20, "train")
+          .when(col("day") >= 22, "test")
+          .otherwise("embargo"))
+      .filter(col("split") =!= "embargo")
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n"),
+        min(col("day")).as("min_day"), max(col("day")).as("max_day"))
+      .orderBy(col("split"))
+  }
+
+  val q160Sql: String =
+    """WITH d AS (
+      |  SELECT event_id,
+      |    DATE_DIFF('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day
+      |  FROM events),
+      |s AS (
+      |  SELECT day,
+      |    CASE WHEN day < 20 THEN 'train'
+      |         WHEN day >= 22 THEN 'test'
+      |         ELSE 'embargo' END AS split
+      |  FROM d)
+      |SELECT split, COUNT(*) AS n,
+      |  CAST(MIN(day) AS INT) AS min_day, CAST(MAX(day) AS INT) AS max_day
+      |FROM s WHERE split <> 'embargo'
+      |GROUP BY split ORDER BY split""".stripMargin
+
+  // --------------------------------------------------------------------------
+  // q161 — label-balance downsampling: equalize class sizes by keeping
+  // exactly min-class-count docs per language, selected in deterministic
+  // content-hash order (q108's distributed-reservoir pattern — identical
+  // selection on any partitioning/rerun/engine). The minority count rides
+  // a broadcast 1-row aggregate; the per-class cap is a WindowGroupLimit-
+  // prunable rank, not a global sort.
+  def q161LabelBalance(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("lang"))
+    val minCount = docs.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+      .agg(min(col("n")).as("k"))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    docs
+      .withColumn("rk", row_number().over(w))
+      .crossJoin(broadcast(minCount))
+      .filter(col("rk") <= col("k"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_kept"), min(col("doc_id")).as("first_kept"))
+      .orderBy(col("lang"))
+  }
+
+  val q161Sql: String =
+    """WITH k AS (
+      |  SELECT MIN(n) AS k FROM (
+      |    SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang)),
+      |r AS (
+      |  SELECT doc_id, lang,
+      |    ROW_NUMBER() OVER (PARTITION BY lang
+      |                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      |  FROM documents)
+      |SELECT lang, COUNT(*) AS n_kept, MIN(doc_id) AS first_kept
+      |FROM r, k WHERE rk <= k.k
+      |GROUP BY lang ORDER BY lang""".stripMargin
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q106_decontaminate", q106Decontaminate _, Some(q106Sql)),
     ("q127_shuffle_shard", q127ShuffleShard _, Some(q127Sql)),
@@ -937,5 +1033,8 @@ object PipelineOps {
     ("q146_recursive_cte", q146RecursiveCte _, Some(q114Sql)),
     ("q115_temperature_mixture", q115TemperatureMixture _, Some(q115Sql)),
     ("q120_pagerank", q120PageRank _, Some(q120Sql)),
-    ("q121_record_linkage", q121RecordLinkage _, Some(q121Sql)))
+    ("q121_record_linkage", q121RecordLinkage _, Some(q121Sql)),
+    ("q159_group_split", q159GroupSplit _, Some(q159Sql)),
+    ("q160_temporal_split", q160TemporalSplit _, Some(q160Sql)),
+    ("q161_label_balance", q161LabelBalance _, Some(q161Sql)))
 }

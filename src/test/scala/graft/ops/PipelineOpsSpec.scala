@@ -230,6 +230,31 @@ class PipelineOpsSpec extends SparkSpec {
     assert(recursive.nonEmpty)
   }
 
+  test("q159 group split: every source lands wholly in one split") {
+    val rows = PipelineOps.q159GroupSplit(spark, "/root/testdata/sf0.001").collect()
+    val bySource = rows.groupBy(_.getAs[String]("source"))
+      .view.mapValues(_.map(_.getAs[String]("split")).toSet)
+    bySource.foreach { case (src, splits) =>
+      assert(splits.size === 1, s"source $src leaked across splits: $splits")
+    }
+    assert(rows.map(_.getAs[String]("split")).toSet.size > 1)
+  }
+
+  test("q160 temporal split: train/test day ranges respect the embargo gap") {
+    val rows = PipelineOps.q160TemporalSplit(spark, "/root/testdata/sf0.001").collect()
+      .map(r => r.getAs[String]("split") ->
+        ((r.getAs[Int]("min_day"), r.getAs[Int]("max_day")))).toMap
+    assert(rows("train")._2 < 20)
+    assert(rows("test")._1 >= 22)
+    assert(rows("test")._1 - rows("train")._2 >= 2) // the embargo gap
+  }
+
+  test("q161 label balance keeps exactly the minority count in every class") {
+    val counts = PipelineOps.q161LabelBalance(spark, "/root/testdata/sf0.001").collect()
+      .map(_.getAs[Long]("n_kept")).toSet
+    assert(counts.size === 1, s"classes not equalized: $counts")
+  }
+
   // --------------------------------------------------------------------- q115
   test("temperature mixture up-samples tail languages and keeps ~targetFrac overall") {
     import spark.implicits._
