@@ -474,6 +474,25 @@ object EventOps {
       |GROUP BY 1, 2, 3
       |ORDER BY n DESC, e1, e2, e3 LIMIT 20""".stripMargin
 
+  // --------------------------------------------------------------------------
+  // q162 — seasonality profile: the hour-of-day × day-of-week activity
+  // grid (counts + exact revenue), the standard traffic-shape heatmap
+  // behind capacity planning and anomaly baselines. Time-dimension
+  // extraction is row-local (UTC sessions, so dayofweek/hour are
+  // unambiguous); ONE hash aggregate to a 7×24 grid.
+  def q162Seasonality(spark: SparkSession, dir: String): DataFrame = {
+    Tables.events(spark, dir)
+      .groupBy(dayofweek(col("ts")).as("dow"), hour(col("ts")).as("hod"))
+      .agg(count(lit(1)).as("n"),
+        graft.ops.Num.moneySum(col("value")).as("sum_value"))
+      .orderBy(col("dow"), col("hod"))
+  }
+
+  val q162Sql: String =
+    """SELECT dayofweek(ts) + 1 AS dow, hour(ts) AS hod, COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY 1, 2 ORDER BY dow, hod""".stripMargin
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q131_cohort_retention", q131CohortRetention _, Some(q131Sql)),
     ("q132_event_transitions", q132EventTransitions _, Some(q132Sql)),
@@ -482,5 +501,6 @@ object EventOps {
     ("q139_rolling_active", q139RollingActive _, Some(q139Sql)),
     ("q140_interval_overlap", q140IntervalOverlap _, Some(q140Sql)),
     ("q144_attribution", q144Attribution _, Some(q144Sql)),
-    ("q154_event_paths", q154EventPaths _, Some(q154Sql)))
+    ("q154_event_paths", q154EventPaths _, Some(q154Sql)),
+    ("q162_seasonality", q162Seasonality _, Some(q162Sql)))
 }

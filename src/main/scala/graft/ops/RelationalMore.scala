@@ -1163,6 +1163,84 @@ object RelationalMore {
       |       ELSE 'regular' END AS segment
       |FROM scored ORDER BY o_custkey""".stripMargin
 
+  // --------------------------------------------------------------------------
+  // q163 — referential-integrity audit: for each declared FK relation,
+  // count child rows, orphans (child key with no parent), parents, and
+  // childless parents — the constraint screen a lakehouse runs since
+  // nothing enforces FKs at write time. Each side is ONE marker left
+  // join + conditional count (q156's pattern, no count(*) subqueries);
+  // the join shuffles on the key exactly once per direction.
+  private def fkAudit(child: DataFrame, ckey: Column, parent: DataFrame,
+                      pkey: Column, name: String): DataFrame = {
+    val p = parent.select(pkey.as("k")).distinct()
+    val c = child.select(ckey.as("k"))
+    val orphans = c.join(p.withColumn("m", lit(1)), Seq("k"), "left")
+      .agg(count(lit(1)).as("n_child"), count_if(col("m").isNull).as("n_orphan"))
+    val childless = p.join(c.distinct().withColumn("m", lit(1)), Seq("k"), "left")
+      .agg(count(lit(1)).as("n_parents"), count_if(col("m").isNull).as("n_childless"))
+    orphans.crossJoin(childless)
+      .select(lit(name).as("relation"), col("n_child"), col("n_orphan"),
+        col("n_parents"), col("n_childless"))
+  }
+
+  def q163FkAudit(spark: SparkSession, dir: String): DataFrame =
+    fkAudit(Tables.orders(spark, dir), col("o_custkey"),
+        Tables.customer(spark, dir), col("c_custkey"), "orders->customer")
+      .unionByName(fkAudit(Tables.lineitem(spark, dir), col("l_orderkey"),
+        Tables.orders(spark, dir), col("o_orderkey"), "lineitem->orders"))
+      .orderBy(col("relation"))
+
+  val q163Sql: String =
+    """WITH oc AS (
+      |  SELECT 'orders->customer' AS relation,
+      |    (SELECT COUNT(*) FROM orders) AS n_child,
+      |    (SELECT COUNT(*) FROM orders
+      |     WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)) AS n_orphan,
+      |    (SELECT COUNT(DISTINCT c_custkey) FROM customer) AS n_parents,
+      |    (SELECT COUNT(*) FROM (SELECT DISTINCT c_custkey FROM customer)
+      |     WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)) AS n_childless),
+      |lo AS (
+      |  SELECT 'lineitem->orders',
+      |    (SELECT COUNT(*) FROM lineitem),
+      |    (SELECT COUNT(*) FROM lineitem
+      |     WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)),
+      |    (SELECT COUNT(DISTINCT o_orderkey) FROM orders),
+      |    (SELECT COUNT(*) FROM (SELECT DISTINCT o_orderkey FROM orders)
+      |     WHERE o_orderkey NOT IN (SELECT l_orderkey FROM lineitem)))
+      |SELECT * FROM oc UNION ALL SELECT * FROM lo ORDER BY relation""".stripMargin
+
+  // --------------------------------------------------------------------------
+  // q164 — SKYLINE / Pareto frontier: customers not strictly dominated on
+  // (order frequency, lifetime spend) — the multi-criteria "best tradeoff"
+  // operator (no SQL primitive exists). Spark runs the LINEAR 2-D
+  // formulation: sort by frequency DESC once, and a point is on the
+  // frontier iff its spend exceeds the running max spend over all
+  // STRICTLY-higher frequencies (a RANGE frame ending at 1 PRECEDING in
+  // frequency units — equal frequencies never dominate each other). The
+  // ORACLE is the O(n²) NOT EXISTS definition, so the hash match proves
+  // the window reformulation IS the skyline. Metrics are exact integers.
+  def q164Skyline(spark: SparkSession, dir: String): DataFrame = {
+    val rfm = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("f"),
+        (sum(col("o_totalprice").cast(DecimalType(18, 2))) * 100).cast("long").as("m"))
+    val stronger = Window.orderBy(col("f").desc)
+      .rangeBetween(Window.unboundedPreceding, -1)
+    rfm.withColumn("mx", max(col("m")).over(stronger))
+      .filter(col("mx").isNull || col("m") > col("mx"))
+      .select(col("o_custkey"), col("f"), col("m"))
+      .orderBy(col("o_custkey"))
+  }
+
+  val q164Sql: String =
+    """WITH rfm AS (
+      |  SELECT o_custkey, COUNT(*) AS f,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS m
+      |  FROM orders GROUP BY o_custkey)
+      |SELECT o_custkey, f, m FROM rfm p
+      |WHERE NOT EXISTS (SELECT 1 FROM rfm q WHERE q.f > p.f AND q.m > p.m)
+      |ORDER BY o_custkey""".stripMargin
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q53_date_spine", q53DateSpine _, Some(q53Sql)),
     ("q142_zorder_layout", q142ZOrder _, Some(q142Sql)),
@@ -1171,6 +1249,8 @@ object RelationalMore {
     ("q151_benford", q151Benford _, Some(q151Sql)),
     ("q156_forget_user", q156ForgetUser _, Some(q156Sql)),
     ("q158_rfm_segments", q158RfmSegments _, Some(q158Sql)),
+    ("q163_fk_audit", q163FkAudit _, Some(q163Sql)),
+    ("q164_skyline", q164Skyline _, Some(q164Sql)),
     ("q136_mad_outliers", q136MadOutliers _, Some(q136Sql)),
     ("q125_winsorize", q125Winsorize _, Some(q125Sql)),
     ("q128_binned_range_join", q128BinnedRangeJoin _, Some(q128Sql)),

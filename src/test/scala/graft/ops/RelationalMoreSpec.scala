@@ -311,6 +311,29 @@ class RelationalMoreSpec extends SparkSpec {
     }
   }
 
+  test("q164 skyline keeps exactly the planted non-dominated customers") {
+    import spark.implicits._
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    // (custkey → f orders totalling m): A(3,300) B(2,400) C(1,500) on the
+    // frontier; D(2,100) dominated by A, E(1,50) dominated by A/B
+    val rows = Seq(
+      (1L, 100.0), (2L, 100.0), (3L, 100.0),       // A = cust 1
+      (4L, 200.0), (5L, 200.0),                    // B = cust 2
+      (6L, 500.0),                                 // C = cust 3
+      (7L, 50.0), (8L, 50.0),                      // D = cust 4
+      (9L, 50.0))                                  // E = cust 5
+    val cust = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 2L, 5L -> 2L,
+      6L -> 3L, 7L -> 4L, 8L -> 4L, 9L -> 5L)
+    val d = java.nio.file.Files.createTempDirectory("graft_sky").toString
+    rows.map { case (ok, p) => (ok, cust(ok), "O", p, ts, "1-URGENT") }
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .coalesce(1).write.parquet(s"$d/orders.parquet")
+    val got = RelationalMore.q164Skyline(spark, d).collect()
+      .map(_.getAs[Long]("o_custkey")).toSet
+    assert(got === Set(1L, 2L, 3L))
+  }
+
   test("q151 Benford audit covers digits 1-9 with proportions that sum to one") {
     val rows = RelationalMore.q151Benford(spark, dir).collect()
     assert(rows.map(_.getAs[Int]("digit")).toSeq === (1 to 9))
