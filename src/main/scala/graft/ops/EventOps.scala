@@ -493,6 +493,87 @@ object EventOps {
       |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
       |FROM events GROUP BY 1, 2 ORDER BY dow, hod""".stripMargin
 
+  // --------------------------------------------------------------------------
+  // q165 — session-scoped ORDERED funnel: within each q137 session, did
+  // the user view, then click after the view, then purchase after the
+  // click? Reports per step: sessions reaching it, conversion vs the
+  // previous step, and overall — the product-funnel table (q64 is the
+  // two-step signup→purchase pair; this is the general in-session ordered
+  // chain). Step order is enforced on FIRST-occurrence times (min ts per
+  // type per session; a click before any view doesn't count), which makes
+  // the whole funnel ONE conditional aggregate over the sessionized
+  // stream — same single user_id exchange as q137, then a 3-row summary.
+  // Rates are exact-int ratios rounded at 6.
+  def q165SessionFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val chain = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val running = chain.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val gapUs = 1800L * 1000000L
+    def firstTs(t: String) = min(when(col("event_type") === t, col("ts")))
+    val perSession = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("new_sess",
+        when(unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(chain)) > gapUs
+          || lag(col("ts"), 1).over(chain).isNull, 1L).otherwise(0L))
+      .withColumn("session_idx", sum(col("new_sess")).over(running))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(firstTs("view").as("tv"), firstTs("click").as("tc"),
+        firstTs("purchase").as("tp"))
+    val f = perSession.select(
+      lit(1L).as("n_sessions"),
+      when(col("tv").isNotNull, 1L).otherwise(0L).as("s1"),
+      when(col("tv").isNotNull && col("tc") > col("tv"), 1L).otherwise(0L).as("s2"),
+      when(col("tv").isNotNull && col("tc") > col("tv") && col("tp") > col("tc"), 1L)
+        .otherwise(0L).as("s3"))
+      .agg(sum(col("n_sessions")).as("n_total"), sum(col("s1")).as("n1"),
+        sum(col("s2")).as("n2"), sum(col("s3")).as("n3"))
+    f.select(explode(array(
+        struct(lit(1).as("step"), lit("view").as("name"), col("n1").as("n_reached"),
+          col("n_total").as("n_prev")),
+        struct(lit(2).as("step"), lit("click_after_view").as("name"), col("n2").as("n_reached"),
+          col("n1").as("n_prev")),
+        struct(lit(3).as("step"), lit("purchase_after_click").as("name"), col("n3").as("n_reached"),
+          col("n2").as("n_prev")))).as("x"), col("n_total"))
+      .select(col("x.step").as("step"), col("x.name").as("name"),
+        col("x.n_reached").as("n_reached"),
+        round(col("x.n_reached").cast("double") / col("x.n_prev"), 6).as("step_rate"),
+        round(col("x.n_reached").cast("double") / col("n_total"), 6).as("overall_rate"))
+      .orderBy(col("step"))
+  }
+
+  val q165Sql: String =
+    """WITH flagged AS (
+      |  SELECT user_id, ts, event_id, event_type,
+      |    CASE WHEN LAG(ts) OVER w IS NULL
+      |           OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000
+      |         THEN 1 ELSE 0 END AS new_sess
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |sess AS (
+      |  SELECT user_id, ts, event_type,
+      |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                        ROWS UNBOUNDED PRECEDING) AS session_idx
+      |  FROM flagged),
+      |ps AS (
+      |  SELECT user_id, session_idx,
+      |    MIN(CASE WHEN event_type = 'view' THEN ts END) AS tv,
+      |    MIN(CASE WHEN event_type = 'click' THEN ts END) AS tc,
+      |    MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS tp
+      |  FROM sess GROUP BY user_id, session_idx),
+      |agg AS (
+      |  SELECT COUNT(*) AS n_total,
+      |    SUM(CASE WHEN tv IS NOT NULL THEN 1 ELSE 0 END) AS n1,
+      |    SUM(CASE WHEN tv IS NOT NULL AND tc > tv THEN 1 ELSE 0 END) AS n2,
+      |    SUM(CASE WHEN tv IS NOT NULL AND tc > tv AND tp > tc THEN 1 ELSE 0 END) AS n3
+      |  FROM ps)
+      |SELECT step, name, CAST(n_reached AS BIGINT) AS n_reached,
+      |  ROUND(CAST(n_reached AS DOUBLE) / n_prev, 6) AS step_rate,
+      |  ROUND(CAST(n_reached AS DOUBLE) / n_total, 6) AS overall_rate
+      |FROM agg, LATERAL (VALUES
+      |  (1, 'view', n1, n_total),
+      |  (2, 'click_after_view', n2, n1),
+      |  (3, 'purchase_after_click', n3, n2)) AS t(step, name, n_reached, n_prev)
+      |ORDER BY step""".stripMargin
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q131_cohort_retention", q131CohortRetention _, Some(q131Sql)),
     ("q132_event_transitions", q132EventTransitions _, Some(q132Sql)),
@@ -502,5 +583,6 @@ object EventOps {
     ("q140_interval_overlap", q140IntervalOverlap _, Some(q140Sql)),
     ("q144_attribution", q144Attribution _, Some(q144Sql)),
     ("q154_event_paths", q154EventPaths _, Some(q154Sql)),
-    ("q162_seasonality", q162Seasonality _, Some(q162Sql)))
+    ("q162_seasonality", q162Seasonality _, Some(q162Sql)),
+    ("q165_session_funnel", q165SessionFunnel _, Some(q165Sql)))
 }

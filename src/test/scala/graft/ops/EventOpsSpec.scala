@@ -155,6 +155,28 @@ class EventOpsSpec extends SparkSpec {
       "ch2" -> ((1L, 10.0)), "ch0" -> ((1L, 8.0)), "organic" -> ((2L, 25.0))))
   }
 
+  test("q165 funnel: order-enforced steps over handcrafted sessions") {
+    import spark.implicits._
+    val min = 60L * 1000000000L
+    // 4 single-session users: A full funnel; B view only; C click with NO
+    // prior view (must not count as step 2); D view→purchase, no click
+    val rows = Seq(
+      ev(1, w0, 1, "view"), ev(2, w0 + min, 1, "click"), ev(3, w0 + 2 * min, 1, "purchase"),
+      ev(4, w0, 2, "view"),
+      ev(5, w0, 3, "click"), ev(6, w0 + min, 3, "purchase"),
+      ev(7, w0, 4, "view"), ev(8, w0 + min, 4, "purchase"))
+    val d = Files.createTempDirectory("graft_funnel").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.parquet(s"$d/events.parquet")
+    val got = EventOps.q165SessionFunnel(spark, d).collect()
+      .map(r => r.getAs[Int]("step") ->
+        ((r.getAs[Long]("n_reached"), r.getAs[Double]("step_rate"),
+          r.getAs[Double]("overall_rate")))).toMap
+    assert(got(1) === ((3L, 0.75, 0.75)))      // A, B, D of 4 sessions
+    assert(got(2) === ((1L, 0.333333, 0.25)))  // only A clicked after viewing
+    assert(got(3) === ((1L, 1.0, 0.25)))       // A purchased after the click
+  }
+
   test("q138 z-statistic matches a sequential reference on the real sf0.001 log") {
     val sfDir = "/root/testdata/sf0.001"
     val events = graft.Tables.events(spark, sfDir)
