@@ -73,13 +73,17 @@ object Bench {
       s"""{"metric":"total","value":$totalR,"unit":"sec","n_queries":${results.size},"queries":$slow,"sf":"$sfDir"}"""
     println(summary)
     // stdout travels through sbt's log prefixes and the driver's tail
-    // truncation (rounds 1-3 all ended with parsed:null) — a plain file is
-    // the mangling-proof channel
+    // truncation (rounds 1-4 all ended with parsed:null) — a plain file is
+    // the mangling-proof channel, so it carries the COMPLETE per-query map
+    // (the round-4 file held only total + top-5, which left cross-round
+    // comparison to the 55 queries that survived stdout truncation)
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench.json")
     try {
       val p = java.nio.file.Paths.get(outPath)
       if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
-      java.nio.file.Files.writeString(p, summary + "\n")
+      val full =
+        s"""{"metric":"total","value":$totalR,"unit":"sec","n_queries":${results.size},"queries":$qs,"sf":"$sfDir"}"""
+      java.nio.file.Files.writeString(p, full + "\n")
     } catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
     }

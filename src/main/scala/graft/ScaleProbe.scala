@@ -1,0 +1,136 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dev-side decade-scale probe (SURVEY §8.5): re-runs the near-duplicate
+  * family (q31/q32/q104/q113/q121) and the round-5 window fixes
+  * (q107/q134/q164) on synthetic documents/embeddings/orders tables at
+  * 1×/2×/5×/10× the sf0.1 row counts — one decade PAST the driver's
+  * largest sweep, where candidate-pair growth and band-recall boundaries
+  * show up first (round 3's q104 boundary was only visible at sf0.1).
+  *
+  * The generator is hash-derived (xxhash64 → tokens/vector components), so
+  * it is deterministic, fully distributed (no driver-side materialization
+  * — the same shape a 100 TB generator would take), and plants the
+  * structures the operators hunt: exact duplicates (~2%), near-duplicate
+  * token edits (~3%), and near-identical embedding pairs (~2.5%) on top
+  * of 10 Gaussian-ish label clusters.
+  *
+  * Output: one JSON line per (scale, query) with wall seconds + result
+  * rows, and a per-scale candidate-count line (LSH band-bucket pairs),
+  * consumed by SURVEY §8.5. Not part of the driver contract.
+  */
+object ScaleProbe {
+
+  private val vocab = Seq("batch", "part", "spark", "line", "column", "order",
+    "small", "sort", "fast", "value", "scan", "query", "agg", "table", "hash",
+    "join", "group", "filter", "read", "write", "plan", "stage", "task",
+    "shuffle", "merge", "index", "cache", "disk", "row", "wide", "vector")
+
+  /** documents: 5000·m rows, 8–90 tokens from the 31-word vocab; id%53==2
+    * copies id-2 verbatim (exact dup), id%37==1 copies id-1 with one
+    * appended token (near dup). Same five columns as the driver table.
+    */
+  private def genDocuments(spark: SparkSession, dir: String, m: Int): Unit = {
+    val n = 5000L * m
+    val vocabCol = array(vocab.map(lit): _*)
+    val base = when(col("id") % 53 === 2 && col("id") >= 2, col("id") - 2)
+      .when(col("id") % 37 === 1 && col("id") >= 1, col("id") - 1)
+      .otherwise(col("id"))
+    val nTok = (pmod(xxhash64(base, lit(17)), lit(83)) + 8).cast("int")
+    val toks = transform(sequence(lit(1), nTok),
+      i => element_at(vocabCol, (pmod(xxhash64(base, i), lit(31)) + 1).cast("int")))
+    val nearDup = col("id") % 37 === 1 && col("id") % 53 =!= 2 && col("id") >= 1
+    val text = concat_ws(" ",
+      when(nearDup, concat(toks, array(element_at(vocabCol,
+        (pmod(xxhash64(col("id"), lit(99)), lit(31)) + 1).cast("int")))))
+        .otherwise(toks))
+    spark.range(n).select(
+      col("id").as("doc_id"),
+      text.as("text"),
+      element_at(array(Seq("en", "en", "de", "fr", "es", "zh").map(lit): _*),
+        (pmod(xxhash64(col("id"), lit(5)), lit(6)) + 1).cast("int")).as("lang"),
+      concat(lit("src"), pmod(xxhash64(col("id"), lit(11)), lit(20))).as("source"))
+      .withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+  }
+
+  /** embeddings: 2000·m rows, 64-dim float vectors around 10 hash-derived
+    * centroids (label = id%10); id%41==3 repeats id-1's vector with ~1%
+    * noise — the near-identical pair q104/q49 hunt.
+    */
+  private def genEmbeddings(spark: SparkSession, dir: String, m: Int): Unit = {
+    val n = 2000L * m
+    val base = when(col("id") % 41 === 3 && col("id") >= 1, col("id") - 1)
+      .otherwise(col("id"))
+    def unit(seedA: org.apache.spark.sql.Column, seedB: org.apache.spark.sql.Column) =
+      pmod(xxhash64(seedA, seedB), lit(2001)).cast("double") / 1000.0 - 1.0
+    val label = pmod(base, lit(10))
+    val vec = transform(sequence(lit(0), lit(63)), d =>
+      (unit(label * 1000, d) + // centroid component
+        unit(base, d + 64) * 0.3 + // per-vector spread
+        when(col("id") % 41 === 3, unit(col("id"), d + 128) * 0.01)
+          .otherwise(lit(0.0)) // near-dup jitter
+        ).cast("float"))
+    spark.range(n).select(
+      col("id").as("vec_id"),
+      vec.as("embedding"),
+      label.cast("int").as("label"))
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+  }
+
+  /** orders: 150000·m rows over 15000·m customers (TPC-H-ish 10 orders per
+    * customer, hash-spread so per-customer frequency varies) — q164's input.
+    */
+  private def genOrders(spark: SparkSession, dir: String, m: Int): Unit = {
+    val n = 150000L * m
+    val nCust = 15000L * m
+    spark.range(n).select(
+      (col("id") + 1).as("o_orderkey"),
+      (pmod(xxhash64(col("id"), lit(3)), lit(nCust)) + 1).as("o_custkey"),
+      element_at(array(lit("O"), lit("F"), lit("P")),
+        (pmod(xxhash64(col("id"), lit(7)), lit(3)) + 1).cast("int")).as("o_orderstatus"),
+      round(pmod(xxhash64(col("id"), lit(13)), lit(19900001)).cast("double") / 100.0 + 1000.0, 2)
+        .as("o_totalprice"),
+      to_timestamp(date_add(lit(java.sql.Date.valueOf("2023-01-01")),
+        pmod(xxhash64(col("id"), lit(19)), lit(730)).cast("int"))).as("o_orderdate"),
+      element_at(array(Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW").map(lit): _*),
+        (pmod(xxhash64(col("id"), lit(23)), lit(5)) + 1).cast("int")).as("o_orderpriority"))
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+  }
+
+  private val probeQueries = Seq(
+    "q31_ngram_jaccard", "q32_minhash_lsh", "q104_cosine_neardup_lsh",
+    "q113_span_dedup", "q121_record_linkage",
+    "q107_vocab_encode", "q134_pmi_pairs", "q164_skyline")
+
+  def main(args: Array[String]): Unit = {
+    val scales = if (args.nonEmpty) args.map(_.toInt).toSeq else Seq(1, 2, 5, 10)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = GraftSession.localBuilder(cpus.toInt).appName("graft-scaleprobe").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    scales.foreach { m =>
+      val dir =
+        if (m == 1) "/root/testdata/sf0.1"
+        else {
+          val d = java.nio.file.Paths.get("target", "tmp", s"scaleprobe_x$m")
+            .toAbsolutePath.toString
+          genDocuments(spark, d, m); genEmbeddings(spark, d, m); genOrders(spark, d, m)
+          d
+        }
+      probeQueries.foreach { name =>
+        val fn = SparkEntry.queries(name)
+        val t0 = System.nanoTime()
+        val rows =
+          try fn(spark, dir).count()
+          catch { case e: Throwable =>
+            System.err.println(s"[probe] x$m $name FAILED: ${e.getMessage}"); -1L }
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"""{"probe":"$name","scale_x":$m,"sec":$sec%.2f,"rows":$rows}""")
+      }
+    }
+    spark.stop()
+  }
+}

@@ -47,6 +47,26 @@ object Normalize {
                  generationDate: Column = date_format(current_timestamp(), "yyyy-MM-dd HH:mm:ss")): DataFrame =
     records(blocks, ReportSchemas.isuColumns, module, generationDate)
 
+  /** The 20-column prototype shape (reference Main.scala:16-26,109-112):
+    * pure keyed extraction, no metadata columns, no SI/NO re-encoding
+    * (the prototype's `splitInfo` passes values through raw), and the
+    * `TAMANO_DE_ARCHIVO_(BYTES)` paren spelling. A consumer replaying old
+    * prototype outputs byte-compares against exactly this header set.
+    */
+  def protoRecords(blocks: DataFrame): DataFrame =
+    blocks.select(ReportSchemas.protoColumns.map { case (name, key) =>
+      coalesce(element_at(col("kv"), key), lit("")).as(name)
+    }: _*)
+
+  /** Rename to the reference's exact legacy header spelling
+    * (`GEBERATION_DATE`, Proof.scala:27) for byte-identical output
+    * fidelity — apply just before [[Sinks.writeCsv]] when a downstream
+    * consumer diffs headers byte-for-byte.
+    */
+  def withLegacyHeader(records: DataFrame): DataFrame =
+    records.withColumnRenamed("GENERATION_DATE",
+      ReportSchemas.legacyGenerationDateSpelling)
+
   private def records(blocks: DataFrame, shape: Seq[(String, Option[String])],
                       module: String, generationDate: Column): DataFrame = {
     def kv(key: String): Column = element_at(col("kv"), key)

@@ -65,10 +65,51 @@ object ReportSchemas {
     head ++ zipCols ++ tail
   }
 
+  /** The 20-column prototype variant (reference Main.scala:16-26 header
+    * string; Main.scala:109-112 `splitInfo`). The prototype maps block
+    * values POSITIONALLY, silently skipping value indices 9-10 (as the
+    * shipped ERP parser also does — Proof.scala:172-181), has NO metadata
+    * columns, NO SI/NO re-encoding of equalsHeaders (raw true/false
+    * passes through), and spells the size column with parens:
+    * `TAMANO_DE_ARCHIVO_(BYTES)`. Keyed extraction reproduces exactly the
+    * columns it emits — the skipped positions simply have no mapping.
+    */
+  val protoColumns: Seq[(String, String)] = Seq(
+    "ARCHIVO_PROCESADO" -> "file",
+    "NOMBRE_DE_TABLA_ASIGNADO_EN_LANDING_RAW_POR_ARCHIVO" -> "tableNameFromFile",
+    "NOMBRE_DE_TABLA_ASIGNADO_EN_LOS_PARAMETROS" -> "tableNameFromJson",
+    "CABECERA_ASIGNADA" -> "headersFromJson",
+    "CONTEO_CABECERA_ASIGNADO_ENVIADO_POR_EL_SISTEMA" -> "countHeadersFromJson",
+    "CONTEO_CABECERA_POR_ARCHIVO" -> "countHeadersFromFile",
+    "CABECERA_IDENTIFICADA_EN_EL_ARCHIVO" -> "headersFromFile",
+    "CABECERAS_IGUALES" -> "equalsHeaders",
+    "NOMBRE_DE_DIRECTORIO" -> "fileDirectory",
+    "RUTA_EN_LANDING_RAW_ARCHIVO_SIN_TRANSFORMAR" -> "filePath",
+    "TAMANO_DE_ARCHIVO_(BYTES)" -> "fileSize",
+    "VALIDACION_SHA" -> "fileValidSha",
+    "FORMATO_DE_ALMACENAMIENTO_DE_ARCHIVO_TRANSFORMADO" -> "fileColForSchema",
+    "NOMBRE_TABLA" -> "fileTableName",
+    "RUTA_EN_LANDINGRAW" -> "fileColForPathTable",
+    "TOTAL_COLUMNAS_PREPARACION_DE_MARCO_DE_DATOS" -> "fileAntColForCountColumns",
+    "TOTAL_REGISTROS_PREPARACION_DE_MARCO_DE_DATOS" -> "fileAntColForCountRows",
+    "TOTAL_COLUMNAS_OFICIAL" -> "fileColForCountColumns",
+    "TOTAL_REGISTROS_OFICIAL" -> "fileColForCountRows",
+    "ESTADO_DEL_PROCESO" -> "status")
+
   /** The reference's misspelled final header (Proof.scala:27), for
     * byte-identical header fidelity when required.
     */
   val legacyGenerationDateSpelling = "GEBERATION_DATE"
+
+  /** ERP header exactly as the reference's `;`-separated config string
+    * emits it (Proof.scala:27) — identical to [[erpColumns]] except the
+    * misspelled final column.
+    */
+  val legacyErpHeader: Seq[String] =
+    erpColumns.map(_._1).map {
+      case "GENERATION_DATE" => legacyGenerationDateSpelling
+      case other => other
+    }
 
   /** Dynamic all-nullable-string schema from a header list — the reference's
     * generateSchema (Proof.scala:276-284) in one expression.

@@ -515,9 +515,10 @@ object CorpusOps {
   // vocabulary with a minimum pair support of 5 docs.
   //
   // Scale shape: the unbounded "all token pairs" blowup is capped by the
-  // vocabulary gate — the vocab is a ~100-row aggregate (its rank window
-  // runs over the aggregated (token, df) table, corpus-size-independent,
-  // q107's pattern) that rides along as a BROADCAST df-lookup map; each
+  // vocabulary gate — the vocab is a 100-row `orderBy(...).limit(100)`
+  // top-K cut (TakeOrderedAndProject: per-partition heaps, no full-table
+  // rank window through one task — q107's pattern) that rides along as a
+  // BROADCAST df-lookup map; each
   // doc then intersects row-locally and fans out at most C(100,2) pairs.
   // df_a/df_b come from element_at on the broadcast map AT EXPLODE TIME
   // (they ride the groupBy keys), so the pair aggregate needs NO join
@@ -529,9 +530,9 @@ object CorpusOps {
     val docs = Tables.documents(spark, dir)
     val docTokens = "array_distinct(filter(split(lower(text), ' '), t -> t != ''))"
     val dt = docs.select(col("doc_id"), explode(expr(docTokens)).as("w"))
+    // (df DESC, w) is a total order, so limit(100) ≡ rk<=100 distributed.
     val vocab = dt.groupBy(col("w")).agg(count(lit(1)).as("df"))
-      .withColumn("rk", row_number().over(Window.orderBy(col("df").desc, col("w"))))
-      .filter(col("rk") <= 100)
+      .orderBy(col("df").desc, col("w")).limit(100)
     val vocabMap = vocab
       .agg(map_from_entries(sort_array(collect_list(struct(col("w"), col("df"))))).as("vm"))
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))

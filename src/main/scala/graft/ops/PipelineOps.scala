@@ -69,11 +69,12 @@ object PipelineOps {
   // positional token-ID sequence with OOV → -1. K=16 against the 31-word
   // synthetic vocab so both known and unknown tokens are exercised.
   //
-  // Scale shape: the frequency table is a one-shuffle aggregate; the
-  // global rank window runs over the AGGREGATED (word, count) table —
-  // corpus-size-independent and orders of magnitude smaller than the
-  // corpus (for web-scale vocabs, rank via orderBy+limit+zipWithIndex
-  // instead). The vocab then BROADCASTS onto the token stream (map-side
+  // Scale shape: the frequency table is a one-shuffle aggregate; the top-K
+  // cut is `orderBy(...).limit(K)` — TakeOrderedAndProject, a per-partition
+  // heap of K rows merged on the driver, NEVER a full-vocabulary rank
+  // window through one task. Ids are then assigned by a rank window over
+  // the ALREADY-LIMITED K rows (bounded input — the only window in the
+  // plan). The vocab then BROADCASTS onto the token stream (map-side
   // lookup, no shuffle), and re-assembly groups on doc_id — one shuffle.
   // The encoded sequence is carried as md5 so the verified row stays
   // narrow; a real pipeline would write the id array itself.
@@ -84,10 +85,12 @@ object PipelineOps {
   def vocabEncode(docs: DataFrame, topK: Int): DataFrame = {
     val tok = docs.select(col("doc_id"), posexplode(TextOps.toks))
       .toDF("doc_id", "pos", "w")
+    // (c DESC, w) is a TOTAL order, so limit(K) ≡ rank<=K — but the plan
+    // is a distributed top-K heap instead of a single-partition window.
     val vocab = tok.groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w")).limit(topK)
       .select(col("w"),
         (row_number().over(Window.orderBy(col("c").desc, col("w"))) - 1).as("id"))
-      .filter(col("id") < topK)
     tok.join(broadcast(vocab), Seq("w"), "left")
       .withColumn("tid", coalesce(col("id"), lit(-1)))
       .groupBy(col("doc_id"))

@@ -808,13 +808,20 @@ object RelationalMore {
     val cols = Seq("o_orderkey", "o_orderstatus", "o_totalprice")
     val a = Tables.orders(spark, dir).select(cols.map(col): _*)
     val priceDec = col("o_totalprice").cast(DecimalType(18, 2))
+    // Re-inserted keys are offset by the CURRENT max key (broadcast 1-row
+    // scalar), not a constant — a hardcoded offset collides with real keys
+    // once max(o_orderkey) outgrows it and the synthetic 'added' rows would
+    // fan out the full-outer join at larger sweep scales.
+    val maxKey = a.agg(max(col("o_orderkey")).as("__maxk"))
     val b = a.filter(col("o_orderkey") % 10 =!= 7)
       .withColumn("o_totalprice",
         when(col("o_orderkey") % 10 === 0,
           round(priceDec * lit(new java.math.BigDecimal("1.05")), 2).cast("double"))
           .otherwise(col("o_totalprice")))
       .unionByName(a.filter(col("o_orderkey") % 10 === 3)
-        .withColumn("o_orderkey", col("o_orderkey") + 20000000L))
+        .crossJoin(broadcast(maxKey))
+        .withColumn("o_orderkey", col("o_orderkey") + col("__maxk"))
+        .drop("__maxk"))
     a.as("a").join(b.as("b"), Seq("o_orderkey"), "full_outer")
       .withColumn("change_type",
         when(col("a.o_orderstatus").isNull, lit("added"))
@@ -836,7 +843,8 @@ object RelationalMore {
       |         ELSE o_totalprice END AS o_totalprice
       |  FROM orders WHERE o_orderkey % 10 <> 7
       |  UNION ALL
-      |  SELECT o_orderkey + 20000000, o_orderstatus, o_totalprice
+      |  SELECT o_orderkey + (SELECT MAX(o_orderkey) FROM orders),
+      |    o_orderstatus, o_totalprice
       |  FROM orders WHERE o_orderkey % 10 = 3),
       |d AS (
       |  SELECT COALESCE(a.o_orderkey, b.o_orderkey) AS o_orderkey,
@@ -1212,24 +1220,42 @@ object RelationalMore {
   // --------------------------------------------------------------------------
   // q164 — SKYLINE / Pareto frontier: customers not strictly dominated on
   // (order frequency, lifetime spend) — the multi-criteria "best tradeoff"
-  // operator (no SQL primitive exists). Spark runs the LINEAR 2-D
-  // formulation: sort by frequency DESC once, and a point is on the
-  // frontier iff its spend exceeds the running max spend over all
-  // STRICTLY-higher frequencies (a RANGE frame ending at 1 PRECEDING in
-  // frequency units — equal frequencies never dominate each other). The
-  // ORACLE is the O(n²) NOT EXISTS definition, so the hash match proves
-  // the window reformulation IS the skyline. Metrics are exact integers.
+  // operator (no SQL primitive exists). The 2-D skyline test only ever
+  // consults PER-FREQUENCY MAXIMA: p is dominated iff max{ m : f' > f }
+  // exceeds p.m strictly (ties survive — strict domination, exactly the
+  // NOT EXISTS oracle; a point whose spend EQUALS the max over higher
+  // frequencies is NOT dominated, hence the >= below). So the plan is
+  // three bounded passes instead of one global window over all customers:
+  //   1. collapse rfm to the (f, max m) grid — one shuffle, and the grid
+  //      is bounded by |distinct order counts| (~dozens), not customers;
+  //   2. prefix-max over STRICTLY-higher frequencies on that grid — the
+  //      only single-partition window, over the bounded grid only;
+  //   3. broadcast the grid back onto rfm and filter row-locally.
+  // At 100 TB the per-customer table never funnels through one task.
+  // Metrics are exact integers, so no cross-engine rounding boundary.
   def q164Skyline(spark: SparkSession, dir: String): DataFrame = {
     val rfm = Tables.orders(spark, dir)
       .groupBy(col("o_custkey"))
       .agg(count(lit(1)).as("f"),
         (sum(col("o_totalprice").cast(DecimalType(18, 2))) * 100).cast("long").as("m"))
-    val stronger = Window.orderBy(col("f").desc)
-      .rangeBetween(Window.unboundedPreceding, -1)
-    rfm.withColumn("mx", max(col("m")).over(stronger))
-      .filter(col("mx").isNull || col("m") > col("mx"))
-      .select(col("o_custkey"), col("f"), col("m"))
+    skyline(rfm, col("f"), col("m"), Seq(col("o_custkey")))
       .orderBy(col("o_custkey"))
+  }
+
+  /** 2-D skyline under STRICT domination (kept iff no row has both dims
+    * strictly greater). `points` must have one row per entity; the window
+    * runs over the bounded distinct-`f` grid, never over `points` itself.
+    */
+  def skyline(points: DataFrame, f: Column, m: Column, keep: Seq[Column]): DataFrame = {
+    val grid = points.groupBy(f.as("__f")).agg(max(m).as("__fm"))
+    val stronger = Window.orderBy(col("__f").desc)
+      .rangeBetween(Window.unboundedPreceding, -1)
+    val frontier = grid
+      .withColumn("__mx", max(col("__fm")).over(stronger))
+      .select(col("__f"), col("__mx"))
+    points.join(broadcast(frontier), f === col("__f"))
+      .filter(col("__mx").isNull || m >= col("__mx"))
+      .select(keep ++ Seq(f, m): _*)
   }
 
   val q164Sql: String =

@@ -162,6 +162,60 @@ class ReportIngestSpec extends SparkSpec {
     assert(rec.select("RUTA_DE_REPORTE").distinct().count() === 2)
   }
 
+  test("prototype-20 records: golden header incl. paren spelling, raw equalsHeaders, skipped-index quirk") {
+    val blocks = parseText(ReportPipeline.renderReport(Seq(erpBlock(1, equalsHeaders = "true"))))
+    val rec = Normalize.protoRecords(blocks)
+    // golden: the reference's 20-column header string verbatim
+    // (Main.scala:16-26) — incl. TAMANO_DE_ARCHIVO_(BYTES) with parens
+    val golden = ("ARCHIVO_PROCESADO;NOMBRE_DE_TABLA_ASIGNADO_EN_LANDING_RAW_POR_ARCHIVO;" +
+      "NOMBRE_DE_TABLA_ASIGNADO_EN_LOS_PARAMETROS;CABECERA_ASIGNADA;" +
+      "CONTEO_CABECERA_ASIGNADO_ENVIADO_POR_EL_SISTEMA;CONTEO_CABECERA_POR_ARCHIVO;" +
+      "CABECERA_IDENTIFICADA_EN_EL_ARCHIVO;CABECERAS_IGUALES;NOMBRE_DE_DIRECTORIO;" +
+      "RUTA_EN_LANDING_RAW_ARCHIVO_SIN_TRANSFORMAR;TAMANO_DE_ARCHIVO_(BYTES);" +
+      "VALIDACION_SHA;FORMATO_DE_ALMACENAMIENTO_DE_ARCHIVO_TRANSFORMADO;NOMBRE_TABLA;" +
+      "RUTA_EN_LANDINGRAW;TOTAL_COLUMNAS_PREPARACION_DE_MARCO_DE_DATOS;" +
+      "TOTAL_REGISTROS_PREPARACION_DE_MARCO_DE_DATOS;TOTAL_COLUMNAS_OFICIAL;" +
+      "TOTAL_REGISTROS_OFICIAL;ESTADO_DEL_PROCESO").split(";").toSeq
+    assert(rec.columns.toSeq === golden)
+    val r = rec.collect()(0)
+    // prototype has NO SI/NO caster (Main.scala readFiles) — raw value rides
+    assert(r.getAs[String]("CABECERAS_IGUALES") === "true")
+    assert(r.getAs[String]("ARCHIVO_PROCESADO") === "data_1.csv")
+    assert(r.getAs[String]("TAMANO_DE_ARCHIVO_(BYTES)") === "1001")
+    assert(r.getAs[String]("ESTADO_DEL_PROCESO") === "FINISHED")
+    // the positionally-skipped value indices 9-10 (Main.scala:109-112) have
+    // no keyed mapping — no metadata column sneaks into the 20-col shape
+    assert(!rec.columns.exists(c => c == "MODULO" || c == "GENERATION_DATE"))
+  }
+
+  test("legacy-fidelity CSV header is byte-identical to the reference config string (Proof.scala:27)") {
+    val dir = tmpDir()
+    writeReport(dir, "r1[01-01-2020T00_00_00].TXT",
+      ReportPipeline.renderReport(Seq(erpBlock(1))))
+    val rec = ReportPipeline.ingest(spark, dir.toString, "ERP",
+      generationDate = lit("2026-01-01 00:00:00"))
+    val out = tmpDir().resolve("legacy_csv").toString
+    Sinks.writeCsv(Normalize.withLegacyHeader(rec), out)
+    // the reference's exact `;`-separated header config (Proof.scala:27),
+    // incl. the GEBERATION_DATE misspelling, as a quoteAll CSV header line
+    val legacy = "MODULO;TIPO_DE_REPORTE;RUTA_DE_REPORTE;FECHA_DE_GENERACION_DE_REPORTE;" +
+      "ARCHIVO_PROCESADO;NOMBRE_DE_TABLA_ASIGNADO_EN_LANDING_RAW_POR_ARCHIVO;" +
+      "NOMBRE_DE_TABLA_ASIGNADO_EN_LOS_PARAMETROS;CABECERA_ASIGNADA;" +
+      "CONTEO_CABECERA_ASIGNADO_ENVIADO_POR_EL_SISTEMA;CONTEO_CABECERA_POR_ARCHIVO;" +
+      "CABECERA_IDENTIFICADA_EN_EL_ARCHIVO;CABECERAS_IGUALES;NOMBRE_DE_DIRECTORIO;" +
+      "RUTA_EN_LANDING_RAW_ARCHIVO_SIN_TRANSFORMAR;TAMANO_DE_ARCHIVO_BYTES;" +
+      "VALIDACION_SHA;FORMATO_DE_ALMACENAMIENTO_DE_ARCHIVO_TRANSFORMADO;NOMBRE_TABLA;" +
+      "RUTA_EN_LANDINGRAW;TOTAL_COLUMNAS_PREPARACION_DE_MARCO_DE_DATOS;" +
+      "TOTAL_REGISTROS_PREPARACION_DE_MARCO_DE_DATOS;DIFERENCIA_TOTAL_COLUMNAS;" +
+      "DIFERENCIA_TOTAL_REGISTROS;TOTAL_COLUMNAS_OFICIAL;TOTAL_REGISTROS_OFICIAL;" +
+      "ESTADO_DEL_PROCESO;GEBERATION_DATE"
+    val expectedHeader = legacy.split(";").map(c => "\"" + c + "\"").mkString(",")
+    assert(ReportSchemas.legacyErpHeader === legacy.split(";").toSeq)
+    val headerLine = spark.sparkContext.textFile(out).collect()
+      .find(_.startsWith("\"MODULO\"")).get
+    assert(headerLine === expectedHeader)
+  }
+
   test("colon-less and garbage lines don't crash the parse (ANSI element_at regression)") {
     val text = "-----\n" + ReportPipeline.renderReport(Seq(erpBlock(1))) +
       "\nseparator line without colon\n" + ReportPipeline.renderReport(Seq(erpBlock(2)))

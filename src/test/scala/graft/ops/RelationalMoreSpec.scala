@@ -212,7 +212,9 @@ class RelationalMoreSpec extends SparkSpec {
       .map { case (t, rs) => t -> rs.map(_.getAs[Long]("o_orderkey")).toSet }
     val keys = Tables.orders(spark, dir).select(col("o_orderkey"))
       .collect().map(_.getLong(0)).toSet
-    assert(byType("added") === keys.filter(_ % 10 == 3).map(_ + 20000000L))
+    // re-inserted keys are offset by the live max key (collision-proof at
+    // any sweep scale), not a constant
+    assert(byType("added") === keys.filter(_ % 10 == 3).map(_ + keys.max))
     assert(byType("removed") === keys.filter(_ % 10 == 7))
     assert(byType("changed") === keys.filter(_ % 10 == 0))
     // presence columns: adds have no before-value, removes no after-value
@@ -332,6 +334,28 @@ class RelationalMoreSpec extends SparkSpec {
     val got = RelationalMore.q164Skyline(spark, d).collect()
       .map(_.getAs[Long]("o_custkey")).toSet
     assert(got === Set(1L, 2L, 3L))
+  }
+
+  test("q164 skyline keeps a point whose spend TIES the max at higher frequency (strict domination)") {
+    import spark.implicits._
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    // A = cust 1: f=3, m=300. T = cust 2: f=1, m=300 — m ties A's max, so
+    // under the oracle's STRICT domination (q.f > p.f AND q.m > p.m) T is
+    // NOT dominated and must survive; a `m > mx` reformulation drops it.
+    // D = cust 3: f=2, m=200 — strictly dominated by A, must go.
+    val rows = Seq(
+      (1L, 1L, 100.0), (2L, 1L, 100.0), (3L, 1L, 100.0), // A: 3 × 100
+      (4L, 2L, 300.0),                                   // T: 1 × 300
+      (5L, 3L, 100.0), (6L, 3L, 100.0))                  // D: 2 × 100
+    val d = java.nio.file.Files.createTempDirectory("graft_sky_tie").toString
+    rows.map { case (ok, ck, p) => (ok, ck, "O", p, ts, "1-URGENT") }
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .coalesce(1).write.parquet(s"$d/orders.parquet")
+    val got = RelationalMore.q164Skyline(spark, d).collect()
+      .map(r => r.getAs[Long]("o_custkey") -> r.getAs[Long]("m")).toMap
+    assert(got.keySet === Set(1L, 2L))
+    assert(got(1L) === 30000L && got(2L) === 30000L) // exact cent-grid ties
   }
 
   test("q151 Benford audit covers digits 1-9 with proportions that sum to one") {
