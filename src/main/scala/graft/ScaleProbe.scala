@@ -28,9 +28,16 @@ object ScaleProbe {
     "join", "group", "filter", "read", "write", "plan", "stage", "task",
     "shuffle", "merge", "index", "cache", "disk", "row", "wide", "vector")
 
-  /** documents: 5000·m rows, 8–90 tokens from the 31-word vocab; id%53==2
-    * copies id-2 verbatim (exact dup), id%37==1 copies id-1 with one
-    * appended token (near dup). Same five columns as the driver table.
+  /** documents: 5000·m rows, 8–90 tokens; id%53==2 copies id-2 verbatim
+    * (exact dup), id%37==1 copies id-1 with one appended token (near dup).
+    * Same five columns as the driver table.
+    *
+    * Token = base-word + a hash class of cardinality 31·m, so the DISTINCT
+    * vocabulary grows with the corpus (~961·m types — Heaps-law-ish). A
+    * fixed tiny vocab makes shingle posting lists grow linearly with
+    * corpus size and candidate pairs quadratically — a property of
+    * degenerate text, not of the operators; the first probe run measured
+    * exactly that artifact (q31 went super-linear against a 31-type vocab).
     */
   private def genDocuments(spark: SparkSession, dir: String, m: Int): Unit = {
     val n = 5000L * m
@@ -39,12 +46,13 @@ object ScaleProbe {
       .when(col("id") % 37 === 1 && col("id") >= 1, col("id") - 1)
       .otherwise(col("id"))
     val nTok = (pmod(xxhash64(base, lit(17)), lit(83)) + 8).cast("int")
-    val toks = transform(sequence(lit(1), nTok),
-      i => element_at(vocabCol, (pmod(xxhash64(base, i), lit(31)) + 1).cast("int")))
+    def tokAt(seed: org.apache.spark.sql.Column) = concat(
+      element_at(vocabCol, (pmod(xxhash64(seed), lit(31)) + 1).cast("int")),
+      pmod(xxhash64(seed, lit(7)), lit(31L * m)))
+    val toks = transform(sequence(lit(1), nTok), i => tokAt(xxhash64(base, i)))
     val nearDup = col("id") % 37 === 1 && col("id") % 53 =!= 2 && col("id") >= 1
     val text = concat_ws(" ",
-      when(nearDup, concat(toks, array(element_at(vocabCol,
-        (pmod(xxhash64(col("id"), lit(99)), lit(31)) + 1).cast("int")))))
+      when(nearDup, concat(toks, array(tokAt(xxhash64(col("id"), lit(99))))))
         .otherwise(toks))
     spark.range(n).select(
       col("id").as("doc_id"),
@@ -56,9 +64,20 @@ object ScaleProbe {
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
   }
 
-  /** embeddings: 2000·m rows, 64-dim float vectors around 10 hash-derived
-    * centroids (label = id%10); id%41==3 repeats id-1's vector with ~1%
+  /** embeddings: 2000·m rows, 64-dim float vectors with a mild 10-cluster
+    * structure (label = id%10); id%41==3 repeats id-1's vector with ~1%
     * noise — the near-identical pair q104/q49 hunt.
+    *
+    * Calibration: spread dominates centroid (1.0 vs 0.3), so within-cluster
+    * cosine sits ≈ 0.08 and cross-pair cosine concentrates at 0 with
+    * σ ≈ 1/√64 = 0.125. At q104's catalog threshold 0.4 (3.2σ) chance
+    * pairs therefore still grow ~quadratically — that is the THRESHOLD's
+    * semantics on 64-dim data, measured deliberately; at the realistic 0.9
+    * probe threshold (6.6σ) chance pairs are ~1e-11/pair and only the
+    * planted jitter copies (cosine ≈ 0.99996) survive. The first-run
+    * generator weighted centroids 1.0/0.3 the other way, which pushed
+    * within-cluster cosine to ≈ 0.92 and flooded the 0.4 threshold with
+    * entire clusters — a generator artifact, not an operator behavior.
     */
   private def genEmbeddings(spark: SparkSession, dir: String, m: Int): Unit = {
     val n = 2000L * m
@@ -68,8 +87,8 @@ object ScaleProbe {
       pmod(xxhash64(seedA, seedB), lit(2001)).cast("double") / 1000.0 - 1.0
     val label = pmod(base, lit(10))
     val vec = transform(sequence(lit(0), lit(63)), d =>
-      (unit(label * 1000, d) + // centroid component
-        unit(base, d + 64) * 0.3 + // per-vector spread
+      (unit(label * 1000, d) * 0.3 + // mild centroid component
+        unit(base, d + 64) + // dominant per-vector spread
         when(col("id") % 41 === 3, unit(col("id"), d + 128) * 0.01)
           .otherwise(lit(0.0)) // near-dup jitter
         ).cast("float"))
@@ -78,6 +97,23 @@ object ScaleProbe {
       vec.as("embedding"),
       label.cast("int").as("label"))
       .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+  }
+
+  /** customer: 15000·m rows with TPC-H-shaped names — q121's input (the
+    * linkage operator derives its dirty side in-query by deleting one
+    * name character, so only the clean table is generated).
+    */
+  private def genCustomer(spark: SparkSession, dir: String, m: Int): Unit = {
+    val n = 15000L * m
+    spark.range(n).select(
+      (col("id") + 1).as("c_custkey"),
+      format_string("Customer#%09d", col("id") + 1).as("c_name"),
+      pmod(xxhash64(col("id"), lit(29)), lit(25)).cast("int").as("c_nationkey"),
+      round(pmod(xxhash64(col("id"), lit(31)), lit(1099999)).cast("double") / 100.0 - 999.99, 2)
+        .as("c_acctbal"),
+      element_at(array(Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY").map(lit): _*),
+        (pmod(xxhash64(col("id"), lit(37)), lit(5)) + 1).cast("int")).as("c_mktsegment"))
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
   }
 
   /** orders: 150000·m rows over 15000·m customers (TPC-H-ish 10 orders per
@@ -111,25 +147,40 @@ object ScaleProbe {
     val spark = GraftSession.localBuilder(cpus.toInt).appName("graft-scaleprobe").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    def timed(name: String, m: Int)(run: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val rows =
+        try run
+        catch { case e: Throwable =>
+          System.err.println(s"[probe] x$m $name FAILED: ${e.getMessage}"); -1L }
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"""{"probe":"$name","scale_x":$m,"sec":$sec%.2f,"rows":$rows}""")
+    }
+
     scales.foreach { m =>
       val dir =
         if (m == 1) "/root/testdata/sf0.1"
         else {
           val d = java.nio.file.Paths.get("target", "tmp", s"scaleprobe_x$m")
             .toAbsolutePath.toString
-          genDocuments(spark, d, m); genEmbeddings(spark, d, m); genOrders(spark, d, m)
+          genDocuments(spark, d, m); genEmbeddings(spark, d, m)
+          genOrders(spark, d, m); genCustomer(spark, d, m)
           d
         }
-      probeQueries.foreach { name =>
-        val fn = SparkEntry.queries(name)
-        val t0 = System.nanoTime()
-        val rows =
-          try fn(spark, dir).count()
-          catch { case e: Throwable =>
-            System.err.println(s"[probe] x$m $name FAILED: ${e.getMessage}"); -1L }
-        val sec = (System.nanoTime() - t0) / 1e9
-        println(f"""{"probe":"$name","scale_x":$m,"sec":$sec%.2f,"rows":$rows}""")
-      }
+      probeQueries.foreach { name => timed(name, m)(SparkEntry.queries(name)(spark, dir).count()) }
+      // the parameterized near-dup surface at a REALISTIC threshold: 0.9
+      // with (16 bands × 8 planes) — per-pair miss ≈ 0.4%; only planted
+      // jitter copies survive, so rows should track n/41 linearly while
+      // the catalog's worst-case 0.4/(64×4) setting above grows with the
+      // chance-pair quadratic
+      val emb = Tables.embeddings(spark, dir)
+      timed("neardup_t0.9_b16r8", m)(
+        ops.VectorOps.cosineNearDup(spark, emb, 0.9, 16, 8).count())
+      // pre-threshold LSH candidate fan-out — the capacity-plan curve
+      timed("candidates_b64r4", m)(
+        ops.VectorOps.bandCandidatePairs(spark, emb, 64, 4).count())
+      timed("candidates_b16r8", m)(
+        ops.VectorOps.bandCandidatePairs(spark, emb, 16, 8).count())
     }
     spark.stop()
   }

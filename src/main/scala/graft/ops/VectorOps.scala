@@ -410,43 +410,82 @@ object VectorOps {
   // threshold rises.
   private val ndBands = 64
   private val ndPlanesPerBand = 4
-  /** ndBands × ndPlanesPerBand fixed-seed hyperplanes (currently 64×4 =
-    * 256; same LCG family as q42's — reproducible across JVMs by spec, no
-    * java.util.Random). */
-  private[ops] val ndPlanes: Seq[Seq[Double]] = {
+  /** bands × planesPerBand fixed-seed 64-dim hyperplanes (same LCG family
+    * as q42's — reproducible across JVMs by spec, no java.util.Random).
+    * The fill order is the plane-matrix contract: (64, 4) must reproduce
+    * q104's shipped planes bit-for-bit, so any (b, r) derives from the
+    * same state-42 sequence.
+    */
+  private[graft] def ndPlanesFor(bands: Int, planesPerBand: Int): Seq[Seq[Double]] = {
     var state = 42L
     def next(): Double = {
       state = state * 6364136223846793005L + 1442695040888963407L
       (state >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0
     }
-    Seq.fill(ndBands * ndPlanesPerBand)(Seq.fill(64)(next()))
+    Seq.fill(bands * planesPerBand)(Seq.fill(64)(next()))
   }
+  private[ops] val ndPlanes: Seq[Seq[Double]] = ndPlanesFor(ndBands, ndPlanesPerBand)
 
-  def q104CosineNearDupLsh(spark: SparkSession, dir: String): DataFrame = {
+  def q104CosineNearDupLsh(spark: SparkSession, dir: String): DataFrame =
+    cosineNearDup(spark, Tables.embeddings(spark, dir),
+      threshold = 0.4, bands = ndBands, planesPerBand = ndPlanesPerBand)
+
+  /** Parameterized cosine near-duplicate pairs — the library surface behind
+    * q104. `threshold` is the exact cosine cut; (`bands`, `planesPerBand`)
+    * are THE scale knobs: per-pair band collision is (1−θ/π)^r, so as the
+    * threshold rises toward a realistic near-dup setting (≥ 0.9, θ ≤ 26°)
+    * r grows and b shrinks — e.g. (16, 8) at 0.9 keeps per-pair miss
+    * ≈ 0.4% while cutting candidate fan-out by orders of magnitude vs the
+    * (64, 4) worst-case setting q104 ships for its 0.4 catalog threshold.
+    */
+  def cosineNearDup(spark: SparkSession, embeddings: DataFrame, threshold: Double,
+                    bands: Int, planesPerBand: Int): DataFrame = {
     graft.functions.CosineSimilarity.register(spark)
-    graft.functions.LshBands.register(spark, "lsh_bands_nd", ndPlanes, ndPlanesPerBand)
-    // one signature pass (native codegen'd expression — the SQL HOF
-    // composition it replaces paid planes×dims interpreted lambda evals
-    // per row and dominated the query): 32 band signatures per vector,
-    // exploded to (band, bucket) keys, each row carrying its vector so
-    // the exact check can run inside the band join
-    val keyed = Tables.embeddings(spark, dir).select(col("vec_id"), vd.as("v"))
-      .select(col("vec_id"), col("v"), posexplode(expr("lsh_bands_nd(v)")))
-      .toDF("vec_id", "v", "band", "bucket")
     // in-bucket exact check: cosine (codegen'd native expression) and the
-    // ≥ 0.4 threshold apply on the join output itself, so only true
-    // near-dup pairs reach the dedup shuffle — a pair colliding in k of
-    // the 32 bands costs k cosine evals (k ≈ 2 on average), which is far
-    // cheaper than shuffling every candidate pair's vectors through
-    // distinct + fetch joins (measured 5× on the bench tables)
+    // threshold apply on the join output itself, so only true near-dup
+    // pairs reach the dedup shuffle — a pair colliding in k bands costs k
+    // cosine evals (k small on average), which is far cheaper than
+    // shuffling every candidate pair's vectors through distinct + fetch
+    // joins (measured 5× on the bench tables)
+    val keyed = bandKeyed(spark, embeddings, bands, planesPerBand)
     keyed.toDF("id_a", "va", "band", "bucket")
       .join(keyed.toDF("id_b", "vb", "band", "bucket"), Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .withColumn("sim", expr("cosine_sim(va, vb)"))
-      .filter(col("sim") >= 0.4)
+      .filter(col("sim") >= threshold)
       .groupBy(col("id_a"), col("id_b"))
       .agg(round(first(col("sim")), 4).as("sim"))
       .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** Distinct LSH candidate pairs for a (bands, planesPerBand) setting —
+    * the pre-threshold fan-out a capacity plan is sized against (the
+    * ScaleProbe measures this curve across synthetic decades).
+    */
+  private[graft] def bandCandidatePairs(spark: SparkSession, embeddings: DataFrame,
+                                        bands: Int, planesPerBand: Int): DataFrame = {
+    val keyed = bandKeyed(spark, embeddings, bands, planesPerBand)
+      .drop("v")
+    keyed.toDF("id_a", "band", "bucket")
+      .join(keyed.toDF("id_b", "band", "bucket"), Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+  }
+
+  /** One signature pass (native codegen'd expression — the SQL HOF
+    * composition it replaces paid planes×dims interpreted lambda evals per
+    * row and dominated the query): `bands` band signatures per vector,
+    * exploded to (band, bucket) keys, each row carrying its vector so the
+    * exact check can run inside the band join.
+    */
+  private def bandKeyed(spark: SparkSession, embeddings: DataFrame,
+                        bands: Int, planesPerBand: Int): DataFrame = {
+    val fn = s"lsh_bands_${bands}x$planesPerBand"
+    graft.functions.LshBands.register(spark, fn,
+      ndPlanesFor(bands, planesPerBand), planesPerBand)
+    embeddings.select(col("vec_id"), vd.as("v"))
+      .select(col("vec_id"), col("v"), posexplode(expr(s"$fn(v)")))
+      .toDF("vec_id", "v", "band", "bucket")
   }
 
   // --------------------------------------------------------------------------
