@@ -1,0 +1,238 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Feature-engineering / encoding operators for ML data prep: distributed
+  * global indexing, target encoding, the hashing trick, an n-gram language
+  * model, and graph triangle counting — [EXT] north-star surface (the
+  * reference has nothing comparable).
+  *
+  * Hash portability rule for this file: Spark's hash()/xxhash64() have no
+  * DuckDB twin, so every cross-engine hash goes through md5 hex (identical
+  * by spec in both) — Spark `conv(substring(md5(w),1,8),16,10)`, DuckDB
+  * `('0x' || substr(md5(w),1,8))::BIGINT` (proven equal by q138/q33).
+  */
+object EncodeOps {
+
+  // --------------------------------------------------------------------------
+  // q169 — distributed dense global row index: assign 0..n-1 by o_orderkey
+  // order WITHOUT a global sort through one task. The naive
+  // row_number().over(Window.orderBy(key)) funnels the whole table through
+  // a single partition — exactly the plan class PlanLintSpec bans. The
+  // scalable classic is two-pass:
+  //   1. range-bucket the key (bucket = key div width, width from a
+  //      broadcast max — 257 buckets in key order);
+  //   2. per-bucket counts → exclusive prefix sum, a window over the
+  //      BOUNDED bucket grid only (allowlisted);
+  //   3. broadcast the offsets back; index = bucket offset + (rank within
+  //      bucket), where the in-bucket rank is a PARTITIONED window.
+  // Equivalence to the oracle's global row_number is exact because buckets
+  // partition the keyspace in order. This is the batch version of
+  // zipWithIndex that stays in the DataFrame/codegen world.
+  def q169GlobalIndex(spark: SparkSession, dir: String): DataFrame = {
+    val keys = Tables.orders(spark, dir).select(col("o_orderkey"))
+    val mx = keys.agg(max(col("o_orderkey")).as("mx"))
+    val bucketed = keys.crossJoin(broadcast(mx))
+      .withColumn("bucket", expr("o_orderkey div (mx div 256 + 1)"))
+      .drop("mx")
+    val offsets = bucketed.groupBy(col("bucket")).agg(count(lit(1)).as("cnt"))
+      .withColumn("offset",
+        coalesce(sum(col("cnt")).over(
+          Window.orderBy(col("bucket")).rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("bucket"), col("offset"))
+    bucketed.join(broadcast(offsets), Seq("bucket"))
+      .select(col("o_orderkey"),
+        (col("offset") + row_number().over(
+          Window.partitionBy(col("bucket")).orderBy(col("o_orderkey"))) - 1).as("idx"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  val q169Sql: String =
+    """SELECT o_orderkey,
+      |  ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1 AS idx
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
+  // --------------------------------------------------------------------------
+  // q170 — smoothed mean target encoding: replace a categorical with the
+  // smoothed mean of a numeric target, enc = (Σ_seg y + m·prior)/(n_seg+m)
+  // with prior = global mean and m = 20 pseudo-observations — the standard
+  // leakage-resistant categorical encoder.
+  //
+  // Scale: one map-side-partial aggregate per segment + a broadcast 1-row
+  // global aggregate; the encoder table (|categories| rows) then broadcasts
+  // onto the training scan for free. Numerics: both means stay exact
+  // rationals in cents — enc = (scents·gn + m·gcents)/(100·gn·(n+m)) — so
+  // the ONLY float op is the final division (same expression both engines).
+  def q170TargetEncoding(spark: SparkSession, dir: String): DataFrame = {
+    val m = 20
+    val cents = (sum(col("c_acctbal").cast(DecimalType(18, 2))) * 100).cast(DecimalType(38, 0))
+    val c = Tables.customer(spark, dir)
+    val glob = c.agg(cents.as("gcents"), count(lit(1)).as("gn"))
+    c.groupBy(col("c_mktsegment"))
+      .agg(cents.as("scents"), count(lit(1)).as("n_cust"))
+      .crossJoin(broadcast(glob))
+      .select(col("c_mktsegment"), col("n_cust"),
+        round(col("gcents").cast("double") / (lit(100.0) * col("gn")), 2).as("prior"),
+        round((col("scents") * col("gn") + lit(m) * col("gcents")).cast("double")
+          / (lit(100.0) * col("gn") * (col("n_cust") + m)), 4).as("enc"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  val q170Sql: String =
+    """WITH g AS (
+      |  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) * 100 AS DECIMAL(38,0)) AS gcents,
+      |         COUNT(*) AS gn
+      |  FROM customer),
+      |s AS (
+      |  SELECT c_mktsegment,
+      |    CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) * 100 AS DECIMAL(38,0)) AS scents,
+      |    COUNT(*) AS n_cust
+      |  FROM customer GROUP BY c_mktsegment)
+      |SELECT c_mktsegment, n_cust,
+      |  ROUND(CAST(gcents AS DOUBLE) / (100e0 * gn), 2) AS prior,
+      |  ROUND(CAST(scents * gn + 20 * gcents AS DOUBLE)
+      |        / (100e0 * gn * (n_cust + 20)), 4) AS enc
+      |FROM s, g ORDER BY c_mktsegment""".stripMargin
+
+  // --------------------------------------------------------------------------
+  // q171 — feature hashing (the hashing trick): project an unbounded token
+  // vocabulary into 64 fixed buckets via a portable md5-derived hash, and
+  // report per-bucket load + type collisions — the collision profile that
+  // sizes a hashed feature space.
+  //
+  // Scale: one explode + one hash aggregate; bucket assignment is a
+  // row-local projection (no vocabulary table, no join — the entire point
+  // of the hashing trick at 100 TB: the encoder is stateless).
+  private val bucketExpr =
+    "cast(conv(substring(md5(w), 1, 8), 16, 10) as bigint) % 64"
+
+  def q171FeatureHash(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(explode(TextOps.toks).as("w"))
+      .select(col("w"), expr(bucketExpr).as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_tok"), countDistinct(col("w")).as("n_types"))
+      .orderBy(col("bucket"))
+
+  val q171Sql: String =
+    s"""WITH tok AS (
+       |  SELECT unnest(t) AS w
+       |  FROM (SELECT ${TextOps.toksSqlD} AS t FROM documents))
+       |SELECT (('0x' || substr(md5(w), 1, 8))::BIGINT) % 64 AS bucket,
+       |  COUNT(*) AS n_tok, COUNT(DISTINCT w) AS n_types
+       |FROM tok GROUP BY 1 ORDER BY bucket""".stripMargin
+
+  // --------------------------------------------------------------------------
+  // q173 — bigram language model scoring: fit add-k-smoothed bigram
+  // probabilities P(w2|w1) = (C(w1w2)+k)/(C(w1·)+k·V) on the corpus and
+  // score each document by its mean bigram log-probability — the n-gram
+  // upgrade of q97's unigram filter (repetitive low-quality text scores
+  // high, incoherent token soup scores low).
+  //
+  // Scale: the q97/q87 one-lineage rule — bigram and left-context counts
+  // are COUNT windows over the single exploded token stream (partitioned
+  // by the bigram / by w1: no join-back, no second corpus scan); V rides a
+  // broadcast 1-row aggregate. Shuffles: doc_id (lead window), w1
+  // (counts), doc_id (final agg). avg-of-ln rounds at 4 (§8.4).
+  def q173BigramLm(spark: SparkSession, dir: String): DataFrame = {
+    val byPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val bigrams = Tables.documents(spark, dir)
+      .select(col("doc_id"), posexplode(TextOps.toks))
+      .toDF("doc_id", "pos", "w1")
+      .withColumn("w2", lead(col("w1"), 1).over(byPos))
+      .filter(col("w2").isNotNull)
+    val v = bigrams.agg(countDistinct(col("w2")).as("v"))
+    bigrams
+      .withColumn("c2", count(lit(1)).over(Window.partitionBy(col("w1"), col("w2"))))
+      .withColumn("c1", count(lit(1)).over(Window.partitionBy(col("w1"))))
+      .crossJoin(broadcast(v))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(log((col("c2") + 0.5) / (col("c1") + lit(0.5) * col("v")))), 4)
+          .as("avg_logprob"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q173Sql: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, i AS pos, t[i] AS w1, t[i+1] AS w2
+       |  FROM (SELECT doc_id, ${TextOps.toksSqlD} AS t FROM documents),
+       |       UNNEST(generate_series(1, len(t) - 1)) AS u(i)),
+       |v AS (SELECT COUNT(DISTINCT w2) AS v FROM tok),
+       |cnt AS (
+       |  SELECT doc_id,
+       |    COUNT(*) OVER (PARTITION BY w1, w2) AS c2,
+       |    COUNT(*) OVER (PARTITION BY w1) AS c1
+       |  FROM tok)
+       |SELECT doc_id, COUNT(*) AS n_bigrams,
+       |  ROUND(AVG(LN((c2 + 0.5e0) / (c1 + 0.5e0 * v))), 4) AS avg_logprob
+       |FROM cnt, v GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // --------------------------------------------------------------------------
+  // q174 — triangle counting on the token co-occurrence graph: nodes are
+  // the top-100-df tokens, edges are pairs co-occurring in ≥ 40 documents,
+  // triangles counted once via the ordered-orientation three-way self-join
+  // (a<b, b<c, a<c) — the clustering-structure primitive.
+  //
+  // Scale: the vocabulary is a TakeOrderedAndProject top-K (q107 pattern)
+  // broadcast into the per-doc pair fan-out, so pair generation is bounded
+  // by K²/2 per doc, not corpus vocabulary; the triangle join runs on the
+  // EDGE table (≤ K²/2 rows total — corpus-size-independent). On a general
+  // graph the same plan applies after degree-ordering the edges (orient
+  // low→high degree), which bounds the per-node fan-out.
+  def q174Triangles(spark: SparkSession, dir: String): DataFrame = {
+    val dt = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(array_distinct(TextOps.toks)).as("w"))
+    val vocab = dt.groupBy(col("w")).agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("w")).limit(100).select(col("w"))
+    val vt = dt.join(broadcast(vocab), Seq("w"))
+    val edges = vt.as("a").join(vt.as("b"),
+        col("a.doc_id") === col("b.doc_id") && col("a.w") < col("b.w"))
+      .groupBy(col("a.w").as("s"), col("b.w").as("t"))
+      .agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 40)
+      .select(col("s"), col("t"))
+    val tri = edges.as("e1")
+      .join(edges.as("e2"), col("e1.t") === col("e2.s"))
+      .join(edges.as("e3"),
+        col("e3.s") === col("e1.s") && col("e3.t") === col("e2.t"))
+    val nodes = edges.select(col("s").as("w")).union(edges.select(col("t").as("w")))
+      .distinct().agg(count(lit(1)).as("n_nodes"))
+    val counts = edges.agg(count(lit(1)).as("n_edges"))
+      .crossJoin(tri.agg(count(lit(1)).as("n_triangles")))
+    nodes.crossJoin(counts).select(col("n_nodes"), col("n_edges"), col("n_triangles"))
+  }
+
+  val q174Sql: String =
+    s"""WITH dt AS (
+       |  SELECT doc_id, unnest(t) AS w
+       |  FROM (SELECT doc_id, list_distinct(${TextOps.toksSqlD}) AS t FROM documents)),
+       |vocab AS (
+       |  SELECT w FROM (
+       |    SELECT w, COUNT(*) AS df FROM dt GROUP BY w
+       |    ORDER BY df DESC, w LIMIT 100)),
+       |vt AS (SELECT dt.doc_id, dt.w FROM dt JOIN vocab USING (w)),
+       |edges AS (
+       |  SELECT a.w AS s, b.w AS t
+       |  FROM vt a JOIN vt b ON a.doc_id = b.doc_id AND a.w < b.w
+       |  GROUP BY 1, 2 HAVING COUNT(*) >= 40),
+       |tri AS (
+       |  SELECT COUNT(*) AS n_triangles
+       |  FROM edges e1 JOIN edges e2 ON e1.t = e2.s
+       |       JOIN edges e3 ON e3.s = e1.s AND e3.t = e2.t),
+       |nn AS (SELECT COUNT(*) AS n_nodes FROM
+       |       (SELECT s AS w FROM edges UNION SELECT t FROM edges)),
+       |ne AS (SELECT COUNT(*) AS n_edges FROM edges)
+       |SELECT n_nodes, n_edges, n_triangles FROM nn, ne, tri""".stripMargin
+
+  val catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
+    ("q169_global_index", q169GlobalIndex _, Some(q169Sql)),
+    ("q170_target_encoding", q170TargetEncoding _, Some(q170Sql)),
+    ("q171_feature_hash", q171FeatureHash _, Some(q171Sql)),
+    ("q173_bigram_lm", q173BigramLm _, Some(q173Sql)),
+    ("q174_triangles", q174Triangles _, Some(q174Sql)))
+}

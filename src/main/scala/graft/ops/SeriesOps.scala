@@ -1,0 +1,224 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Time-series / longitudinal statistics over the event log and orders
+  * fact: engagement stickiness, changepoint detection, time-weighted
+  * aggregation, and higher statistical moments — the operators a metrics
+  * warehouse layers on top of the raw analytics in [[EventOps]] ([EXT]
+  * north-star surface; the reference has none of this).
+  *
+  * Shared scale shape: the log collapses to a per-entity or per-day grid
+  * in ONE shuffle, and every subsequent window/aggregate runs on that grid
+  * (bounded by the calendar span or the user population, both orders of
+  * magnitude below the event count). Numeric policy per Relational.scala:
+  * exact decimal/integer sums, one double expression at the end, ROUND.
+  */
+object SeriesOps {
+
+  private def day(c: Column): Column = to_date(c)
+
+  // --------------------------------------------------------------------------
+  // q166 — DAU/WAU/MAU stickiness ratios: for every active day, distinct
+  // users that day / trailing 7 days / trailing 28 days, plus the
+  // DAU/WAU and DAU/MAU engagement ratios product teams track.
+  //
+  // Scale: the log dedups to (day, user) pairs in ONE shuffle (map-side
+  // partial distinct); the trailing windows are the q139 REPLICATE-TO-
+  // WINDOW shape — each pair fans out row-locally to the ≤28 target days
+  // it covers, then ONE hash countDistinct per window length. No range
+  // self-join of the log against itself, no window-frame distinct (which
+  // Spark cannot express anyway). Fan-out is 35× the DEDUPED pair table,
+  // not the log. Ratios are int/int double divisions — IEEE-deterministic.
+  def q166Stickiness(spark: SparkSession, dir: String): DataFrame = {
+    val du = Tables.events(spark, dir)
+      .select(day(col("ts")).as("day"), col("user_id")).distinct()
+    def trailing(n: Int, out: String): DataFrame = du
+      .select(explode(expr(s"sequence(day, date_add(day, ${n - 1}), interval 1 day)")).as("day"),
+        col("user_id"))
+      .groupBy(col("day")).agg(countDistinct(col("user_id")).as(out))
+    du.groupBy(col("day")).agg(countDistinct(col("user_id")).as("dau"))
+      .join(trailing(7, "wau"), Seq("day"))   // inner: fan-out days past the
+      .join(trailing(28, "mau"), Seq("day"))  // data end drop here
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("dau"), col("wau"), col("mau"),
+        round(col("dau").cast("double") / col("wau"), 4).as("dau_wau"),
+        round(col("dau").cast("double") / col("mau"), 4).as("dau_mau"))
+      .orderBy(col("day"))
+  }
+
+  val q166Sql: String =
+    """WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+      |dau AS (SELECT day, COUNT(DISTINCT user_id) AS dau FROM du GROUP BY day),
+      |wau AS (SELECT d.day, COUNT(DISTINCT u.user_id) AS wau
+      |        FROM dau d JOIN du u ON u.day BETWEEN d.day - 6 AND d.day GROUP BY d.day),
+      |mau AS (SELECT d.day, COUNT(DISTINCT u.user_id) AS mau
+      |        FROM dau d JOIN du u ON u.day BETWEEN d.day - 27 AND d.day GROUP BY d.day)
+      |SELECT STRFTIME(d.day, '%Y-%m-%d') AS day, d.dau, w.wau, m.mau,
+      |  ROUND(CAST(d.dau AS DOUBLE) / w.wau, 4) AS dau_wau,
+      |  ROUND(CAST(d.dau AS DOUBLE) / m.mau, 4) AS dau_mau
+      |FROM dau d JOIN wau w USING (day) JOIN mau m USING (day)
+      |ORDER BY day""".stripMargin
+
+  // --------------------------------------------------------------------------
+  // q167 — CUSUM changepoint statistic on daily revenue: the running sum of
+  // deviations from the global daily mean; a sustained level shift makes
+  // |CUSUM| ramp, so its extremes locate candidate changepoints.
+  //
+  // Scale: orders collapse to the per-day revenue grid in ONE shuffle; the
+  // running windows are single-partition BUT over the bounded calendar
+  // grid (~2 years of days), never over orders — PlanLintSpec allowlists
+  // exactly this case. Numerics: revenue in exact decimal cents; the
+  // deviation sum is the ALL-INTEGER identity cum·n − k·tot (no per-day
+  // float mean subtraction accumulating error), carried in DECIMAL(38)
+  // because k·tot overflows a long at warehouse scale; ONE double division
+  // at the end, rounded.
+  def q167Cusum(spark: SparkSession, dir: String): DataFrame = {
+    val cents = (sum(col("o_totalprice").cast(DecimalType(18, 2))) * 100)
+      .cast(DecimalType(38, 0))
+    val byDay = Tables.orders(spark, dir)
+      .groupBy(day(col("o_orderdate")).as("day")).agg(cents.as("rev_cents"))
+    val ord = Window.orderBy(col("day"))
+    val tot = byDay.agg(sum(col("rev_cents")).cast(DecimalType(38, 0)).as("tot"),
+      count(lit(1)).as("n"))
+    byDay
+      .withColumn("k", row_number().over(ord))
+      .withColumn("cum", sum(col("rev_cents")).over(ord).cast(DecimalType(38, 0)))
+      .crossJoin(broadcast(tot))
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        round(col("rev_cents").cast("double") / 100.0, 2).as("rev"),
+        round((col("cum") * col("n") - col("k") * col("tot")).cast("double")
+          / (lit(100.0) * col("n")), 2).as("cusum"))
+      .orderBy(col("day"))
+  }
+
+  val q167Sql: String =
+    """WITH byday AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS day,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS DECIMAL(38,0)) AS rev_cents
+      |  FROM orders GROUP BY 1),
+      |g AS (SELECT CAST(SUM(rev_cents) AS DECIMAL(38,0)) AS tot, COUNT(*) AS n FROM byday),
+      |w AS (
+      |  SELECT day, rev_cents,
+      |    ROW_NUMBER() OVER (ORDER BY day) AS k,
+      |    CAST(SUM(rev_cents) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS DECIMAL(38,0)) AS cum
+      |  FROM byday)
+      |SELECT STRFTIME(day, '%Y-%m-%d') AS day,
+      |  ROUND(CAST(rev_cents AS DOUBLE) / 100e0, 2) AS rev,
+      |  ROUND(CAST(cum * n - k * tot AS DOUBLE) / (100e0 * n), 2) AS cusum
+      |FROM w, g ORDER BY day""".stripMargin
+
+  // --------------------------------------------------------------------------
+  // q168 — time-weighted average of `value` per user: each event's value
+  // holds until the next event (step function), so the mean is
+  // Σ vᵢ·Δtᵢ / Σ Δtᵢ — the correct average for IRREGULARLY sampled series
+  // (a plain avg() overweights bursts).
+  //
+  // Scale: one user_id shuffle for the lead() window; everything after is
+  // a per-user aggregate on the same exchange. Numerics: Δt is exact µs
+  // (both engines truncate the parquet nanos to µs); v quantizes to
+  // floor(v·1e6) — one double multiply + floor, deterministic IEEE — and
+  // the v·Δt products sum as exact DECIMAL(38) integers (HUGEINT in the
+  // oracle), so the sum is order-independent; ONE double division, ROUND.
+  def q168TimeWeightedAvg(spark: SparkSession, dir: String): DataFrame = {
+    val byTs = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .withColumn("dt", unix_micros(lead(col("ts"), 1).over(byTs)) - unix_micros(col("ts")))
+      .withColumn("contrib",
+        floor(col("value") * 1e6).cast(DecimalType(38, 0)) * col("dt"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("dt")).as("span_us"),
+        sum(col("contrib")).as("wsum"))
+      .filter(col("n_events") >= 2 && col("span_us") > 0)
+      .select(col("user_id"), col("n_events"),
+        round(col("wsum").cast("double") / (lit(1e6) * col("span_us")), 4).as("twa"))
+      .orderBy(col("user_id"))
+  }
+
+  val q168Sql: String =
+    """WITH e AS (
+      |  SELECT user_id,
+      |    epoch_us(LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) - epoch_us(ts) AS dt,
+      |    value
+      |  FROM events),
+      |agg AS (
+      |  SELECT user_id, COUNT(*) AS n_events, SUM(dt) AS span_us,
+      |    SUM(CAST(FLOOR(value * 1e6) AS HUGEINT) * dt) AS wsum
+      |  FROM e GROUP BY user_id)
+      |SELECT user_id, n_events,
+      |  ROUND(CAST(wsum AS DOUBLE) / (1e6 * span_us), 4) AS twa
+      |FROM agg WHERE n_events >= 2 AND span_us > 0
+      |ORDER BY user_id""".stripMargin
+
+  // --------------------------------------------------------------------------
+  // q175 — higher moments per group: skewness and excess kurtosis of order
+  // value by priority, from raw integer power sums. Engine-builtin
+  // skewness()/kurtosis() implementations disagree on the estimator
+  // (population vs sample, bias correction), so both sides compute the
+  // POPULATION moments from the same four exact sums — cent units cancel
+  // in the standardized ratios.
+  //
+  // Scale: one map-side-partial hash aggregate; the shuffle carries 4
+  // power sums × |groups|. Numerics: cents fit DECIMAL(10); the c⁴ sum
+  // stays within DECIMAL(38) up to ~10¹² rows of 10⁶-dollar orders
+  // (1e31·1e12 < 1e38 headroom documented here). Central-moment formulas
+  // are the SAME double expression tree on both engines (exact int
+  // inputs → IEEE-deterministic); pow()'s last-ulp slack absorbs in
+  // ROUND(,4) (q65 ln() precedent).
+  def q175Moments(spark: SparkSession, dir: String): DataFrame = {
+    val c = (col("o_totalprice").cast(DecimalType(18, 2)) * 100).cast(DecimalType(10, 0))
+    val agg = Tables.orders(spark, dir)
+      .select(col("o_orderpriority"), c.as("c"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("c")).cast(DecimalType(38, 0)).as("s1"),
+        sum(col("c") * col("c")).cast(DecimalType(38, 0)).as("s2"),
+        sum(col("c") * col("c") * col("c")).cast(DecimalType(38, 0)).as("s3"),
+        sum(col("c") * col("c") * col("c") * col("c")).cast(DecimalType(38, 0)).as("s4"))
+    val n = col("n").cast("double")
+    val m1 = col("s1").cast("double") / n
+    val m2 = col("s2").cast("double") / n - m1 * m1
+    val m3 = col("s3").cast("double") / n - lit(3.0) * m1 * (col("s2").cast("double") / n) +
+      lit(2.0) * m1 * m1 * m1
+    val m4 = col("s4").cast("double") / n - lit(4.0) * m1 * (col("s3").cast("double") / n) +
+      lit(6.0) * m1 * m1 * (col("s2").cast("double") / n) - lit(3.0) * m1 * m1 * m1 * m1
+    agg.select(col("o_orderpriority"), col("n"),
+      round(m1 / 100.0, 2).as("mean"),
+      round(m3 / pow(m2, 1.5), 4).as("skewness"),
+      round(m4 / (m2 * m2) - 3.0, 4).as("kurtosis_excess"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val q175Sql: String =
+    """WITH agg AS (
+      |  SELECT o_orderpriority, COUNT(*) AS n,
+      |    SUM(c) AS s1, SUM(c*c) AS s2, SUM(c*c*c) AS s3, SUM(c*c*c*c) AS s4
+      |  FROM (SELECT o_orderpriority,
+      |          CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS HUGEINT) AS c
+      |        FROM orders) GROUP BY o_orderpriority),
+      |m AS (
+      |  SELECT o_orderpriority, n,
+      |    CAST(s1 AS DOUBLE) / n AS m1,
+      |    CAST(s2 AS DOUBLE) / n AS r2,
+      |    CAST(s3 AS DOUBLE) / n AS r3,
+      |    CAST(s4 AS DOUBLE) / n AS r4
+      |  FROM agg)
+      |SELECT o_orderpriority, n,
+      |  ROUND(m1 / 100e0, 2) AS mean,
+      |  ROUND((r3 - 3.0 * m1 * r2 + 2.0 * m1 * m1 * m1)
+      |        / POW(r2 - m1 * m1, 1.5), 4) AS skewness,
+      |  ROUND((r4 - 4.0 * m1 * r3 + 6.0 * m1 * m1 * r2 - 3.0 * m1 * m1 * m1 * m1)
+      |        / ((r2 - m1 * m1) * (r2 - m1 * m1)) - 3.0, 4) AS kurtosis_excess
+      |FROM m ORDER BY o_orderpriority""".stripMargin
+
+  val catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
+    ("q166_stickiness", q166Stickiness _, Some(q166Sql)),
+    ("q167_cusum", q167Cusum _, Some(q167Sql)),
+    ("q168_time_weighted_avg", q168TimeWeightedAvg _, Some(q168Sql)),
+    ("q175_moments", q175Moments _, Some(q175Sql)))
+}

@@ -618,8 +618,78 @@ object VectorOps {
       |CROSS JOIN n
       |ORDER BY p.i, p.j""".stripMargin
 
+  // --------------------------------------------------------------------------
+  // q172 — semantic deduplication (SemDeDup-style): partition the embedding
+  // space by nearest seed centroid, then remove within-cluster cosine
+  // near-duplicates (≥ 0.85) keeping the lowest id — the embedding-space
+  // analogue of MinHash dedup, used to prune semantically redundant
+  // training examples.
+  //
+  // Scale: the 8 seed centroids BROADCAST into a row-local argmax
+  // assignment (k rows by construction — PlanLint-allowlisted cross join,
+  // q110's pattern); within-cluster pair generation goes through the SAME
+  // banded-LSH equi-join as q104 with the cluster id APPENDED to the join
+  // key, so no cluster ever sees an all-pairs plan. At 0.85 the per-pair
+  // band-miss probability is (1−(1−θ/π)⁴)⁶⁴ ≈ 8e-18 — recall is exact for
+  // every pair the threshold admits, which is why the brute-force oracle
+  // hash-matches (q104's full-recall argument, restated at this
+  // threshold). Tie-break: argmax prefers the LOWER centroid id on exact
+  // sim ties (max(struct(sim, -cid))) — mirrored in the oracle's
+  // ROW_NUMBER ORDER BY sim DESC, cid ASC.
+  def q172SemanticDedup(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.CosineSimilarity.register(spark)
+    val emb = Tables.embeddings(spark, dir)
+    val seeds = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), vd.as("cv"))
+    val assigned = emb.select(col("vec_id"), vd.as("v"))
+      .crossJoin(broadcast(seeds))
+      .withColumn("sim", expr("cosine_sim(v, cv)"))
+      .groupBy(col("vec_id"))
+      .agg(max(struct(col("sim"), (-col("cid")).as("nc"))).as("m"))
+      .select(col("vec_id"), (-col("m.nc")).as("cluster"))
+    val keyed = bandKeyed(spark, emb, ndBands, ndPlanesPerBand)
+      .join(assigned, Seq("vec_id"))
+    val removed = keyed.toDF("id_a", "va", "band", "bucket", "cluster")
+      .join(keyed.toDF("id_b", "vb", "band", "bucket", "cluster"),
+        Seq("cluster", "band", "bucket"))
+      .filter(col("id_a") < col("id_b") && expr("cosine_sim(va, vb)") >= 0.85)
+      .select(col("cluster"), col("id_b").as("vec_id")).distinct()
+    assigned.join(removed, Seq("cluster", "vec_id"), "left_anti")
+      .groupBy(col("cluster")).agg(count(lit(1)).as("n_kept"))
+      .join(assigned.groupBy(col("cluster")).agg(count(lit(1)).as("n_vecs")), Seq("cluster"))
+      .select(col("cluster"), col("n_vecs"), (col("n_vecs") - col("n_kept")).as("n_removed"))
+      .orderBy(col("cluster"))
+  }
+
+  val q172Sql: String =
+    """WITH base AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS v,
+      |    list_reduce(list_transform(embedding::DOUBLE[], x -> x * x), (a, b) -> a + b) AS n2
+      |  FROM embeddings),
+      |seeds AS (SELECT vec_id AS cid, v AS cv, n2 AS cn2 FROM base WHERE vec_id < 8),
+      |assigned AS (
+      |  SELECT vec_id, cid AS cluster FROM (
+      |    SELECT b.vec_id, s.cid,
+      |      ROW_NUMBER() OVER (PARTITION BY b.vec_id
+      |        ORDER BY list_reduce(list_transform(range(1, 65),
+      |          i -> b.v[i] * s.cv[i]), (x, y) -> x + y) / sqrt(b.n2 * s.cn2) DESC,
+      |          s.cid ASC) AS rk
+      |    FROM base b CROSS JOIN seeds s) WHERE rk = 1),
+      |removed AS (
+      |  SELECT DISTINCT aa.cluster, bb.vec_id
+      |  FROM assigned aa JOIN base a ON a.vec_id = aa.vec_id
+      |  JOIN assigned bb ON bb.cluster = aa.cluster AND bb.vec_id > aa.vec_id
+      |  JOIN base b ON b.vec_id = bb.vec_id
+      |  WHERE list_reduce(list_transform(range(1, 65),
+      |          i -> a.v[i] * b.v[i]), (x, y) -> x + y) / sqrt(a.n2 * b.n2) >= 0.85)
+      |SELECT cluster, COUNT(*) AS n_vecs,
+      |  COUNT(*) FILTER (WHERE r.vec_id IS NOT NULL) AS n_removed
+      |FROM assigned LEFT JOIN removed r USING (cluster, vec_id)
+      |GROUP BY cluster ORDER BY cluster""".stripMargin
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q40_cosine_topk", q40CosineTopk _, Some(q40Sql)),
+    ("q172_semantic_dedup", q172SemanticDedup _, Some(q172Sql)),
     ("q141_cov_matrix", q141CovMatrix _, Some(q141Sql)),
     // q49 (exact all-pairs BNLJ near-dup) is deliberately NOT cataloged:
     // it exists as the baseline twin the q104 LSH path is proven equal to

@@ -38,7 +38,11 @@ class PlanLintSpec extends SparkSpec {
     "q112_budget_select" ->
       "prefix sum over the score-bucket histogram — floor(score*100) with score in [0,1] caps it at 101 rows",
     "q118_ks_test" ->
-      "prefix sum over the price-bucket histogram (floor(v/50000)) — bounded by the price domain, not row count")
+      "prefix sum over the price-bucket histogram (floor(v/50000)) — bounded by the price domain, not row count",
+    "q167_cusum" ->
+      "running sum/rank over the per-day revenue grid — bounded by the order-date calendar span, not orders",
+    "q169_global_index" ->
+      "exclusive prefix sum over the 257-row bucket-count grid (bucket = key div width, width = maxkey/256) — domain-bounded; the per-row rank window is partitioned by bucket")
 
   /** name → reason a no-equi-key join is still scale-safe there. */
   private val joinAllow: Map[String, String] = Map(
@@ -49,7 +53,9 @@ class PlanLintSpec extends SparkSpec {
     "q119_association" ->
       "contingency densification — both sides are distinct-category marginals (|langs| × |sources|), corpus-size-independent",
     "q72_fuzzy_match" ->
-      "documented all-pairs BASELINE twin over the distinct-name vocabulary (broadcast side is the vocabulary, not the fact table); q105 is the blocked scale path with the same oracle")
+      "documented all-pairs BASELINE twin over the distinct-name vocabulary (broadcast side is the vocabulary, not the fact table); q105 is the blocked scale path with the same oracle",
+    "q172_semantic_dedup" ->
+      "broadcast(8 seed centroids) cross join — k rows by construction (nearest-centroid assignment pass, q110's pattern); pair generation itself is the banded equi-join")
 
   private def bounded(p: LogicalPlan): Boolean = p.maxRows.exists(_ <= boundedRows)
 
