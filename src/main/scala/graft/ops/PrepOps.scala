@@ -1,0 +1,350 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Data-prep / governance operator batch: sub-document containment dedup,
+  * small-file compaction planning, Spark-4 Variant semi-structured access,
+  * CCNet-style reference-LM quality filtering, a k-anonymity audit, a
+  * one-pass data-quality rule engine, and mutual-information feature
+  * relevance — [EXT] north-star surface (the reference has nothing
+  * comparable; its only "governance" is an idempotency anti-join,
+  * /root/reference/src/main/scala/.../Proof.scala:160-175, covered by R21).
+  */
+object PrepOps {
+
+  // --------------------------------------------------------------------------
+  // q176 — sub-document CONTAINMENT dedup: directed pairs where ≥ 80% of
+  // the contained doc's 3-gram shingles appear in the container,
+  // |A∩B|/|A| ≥ τ — the asymmetric cousin of q31's Jaccard that catches
+  // quote-expansions and excerpt duplicates symmetric measures miss
+  // (a 100-word excerpt inside a 10k-word page has Jaccard ≈ 0.01 but
+  // containment 1.0).
+  //
+  // Scale: q31's inverted-index shape — explode shingles, equi-join on the
+  // shingle, count intersections per pair; shingle-set sizes are row-local
+  // so both direction ratios are computed in the aggregate with NO
+  // join-back. Unlike Jaccard there is no size-ratio candidate prune
+  // (containment is size-asymmetric by design); at 100 TB the standard
+  // stop-shingle df cap bounds the per-shingle pair fan-out (TextOps
+  // shingleEdges note). Ratios are integer-ratio doubles (bit-identical
+  // cross-engine); filter on the RAW ratio, round only for display.
+  def q176Containment(spark: SparkSession, dir: String): DataFrame = {
+    val withN = TextOps.shingleArrays(Tables.documents(spark, dir))
+      .select(col("doc_id"), size(col("sh")).cast("long").as("n_sh"),
+        explode(col("sh")).as("s"))
+      .filter(col("n_sh") > 0)
+    val a = withN.as("a"); val b = withN.as("b")
+    a.join(b, col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("ia"), col("b.doc_id").as("ib"),
+        col("a.n_sh").as("na"), col("b.n_sh").as("nb"))
+      .agg(count(lit(1)).as("inter"))
+      .select(explode(array(
+        struct(col("ia").as("id_sub"), col("ib").as("id_super"),
+          (col("inter").cast("double") / col("na")).as("cont")),
+        struct(col("ib").as("id_sub"), col("ia").as("id_super"),
+          (col("inter").cast("double") / col("nb")).as("cont")))).as("d"))
+      .filter(col("d.cont") >= 0.8)
+      .select(col("d.id_sub").as("id_sub"), col("d.id_super").as("id_super"),
+        round(col("d.cont"), 6).as("containment"))
+      .orderBy(col("id_sub"), col("id_super"))
+  }
+
+  val q176Sql: String =
+    s"""WITH sh AS (
+       |  SELECT DISTINCT doc_id, s FROM (
+       |    SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+       |    FROM (SELECT doc_id, ${TextOps.toksSqlD} AS t FROM documents),
+       |         UNNEST(generate_series(1, len(t) - 2)) AS u(i))),
+       |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT a.doc_id AS ia, b.doc_id AS ib, COUNT(*) AS c
+       |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |dirs AS (
+       |  SELECT ia AS id_sub, ib AS id_super, CAST(c AS DOUBLE) / sa.n_sh AS cont
+       |  FROM inter JOIN sizes sa ON sa.doc_id = ia
+       |  UNION ALL
+       |  SELECT ib, ia, CAST(c AS DOUBLE) / sb.n_sh
+       |  FROM inter JOIN sizes sb ON sb.doc_id = ib)
+       |SELECT id_sub, id_super, ROUND(cont, 6) AS containment
+       |FROM dirs WHERE cont >= 0.8 ORDER BY id_sub, id_super""".stripMargin
+
+  // --------------------------------------------------------------------------
+  // q177 — small-file COMPACTION PLANNER: assign key-ordered files to
+  // target-size output bins by cumulative byte offset (bin = floor(bytes
+  // before this file / target)) — exactly Spark's own
+  // files.maxPartitionBytes split semantics, applied as a layout-
+  // maintenance plan (the "compact 10k small files into N big ones without
+  // breaking sort order" operation every 100 TB table needs periodically).
+  //
+  // Scale: a global EXCLUSIVE cumsum without a global sort through one
+  // task — q169's two-pass bucket shape: range-bucket the key from a
+  // broadcast max (257 buckets in key order), per-bucket byte totals →
+  // exclusive prefix sum over the BOUNDED bucket grid only (allowlisted),
+  // broadcast offsets back, finish with a PARTITIONED in-bucket cumsum.
+  def q177CompactionPlan(spark: SparkSession, dir: String): DataFrame = {
+    val target = 32768L // 32 KiB output bins
+    val files = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("n_chars").as("bytes"))
+    val mx = files.agg(max(col("doc_id")).as("mx"))
+    val bucketed = files.crossJoin(broadcast(mx))
+      .withColumn("bucket", expr("doc_id div (mx div 256 + 1)"))
+      .drop("mx")
+    val offsets = bucketed.groupBy(col("bucket")).agg(sum(col("bytes")).as("bb"))
+      .withColumn("boff", coalesce(sum(col("bb")).over(
+        Window.orderBy(col("bucket")).rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("bucket"), col("boff"))
+    bucketed.join(broadcast(offsets), Seq("bucket"))
+      .withColumn("cum_before", col("boff") + coalesce(sum(col("bytes")).over(
+        Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("bin", expr(s"cum_before div $target"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_files"), sum(col("bytes")).as("bytes"),
+        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+      .orderBy(col("bin"))
+  }
+
+  val q177Sql: String =
+    """WITH c AS (
+      |  SELECT doc_id, n_chars AS bytes,
+      |    COALESCE(SUM(n_chars) OVER (ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+      |  FROM documents)
+      |SELECT cum_before // 32768 AS bin, COUNT(*) AS n_files, SUM(bytes) AS bytes,
+      |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+      |FROM c GROUP BY 1 ORDER BY bin""".stripMargin
+
+  // --------------------------------------------------------------------------
+  // q178 — Spark 4 VARIANT semi-structured access: parse the events.props
+  // JSON into VariantType once and extract typed fields with variant_get —
+  // the engine-native path for open-schema columns (vs q17's
+  // get_json_object string re-parsing: Variant parses once into a binary
+  // form; repeated field extraction is then structural, not textual).
+  //
+  // Scale: row-local parse + extract inside whole-stage codegen, then one
+  // map-side-partial aggregate — no schema inference pass over the corpus,
+  // which is the point of Variant for 100 TB of heterogeneous JSON.
+  def q178VariantJson(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_type"),
+        expr("variant_get(parse_json(props), '$.k', 'int')").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"), sum(col("k")).cast("long").as("sum_k"))
+      .orderBy(col("event_type"))
+
+  val q178Sql: String =
+    """SELECT event_type, COUNT(*) AS n,
+      |  MIN(json_extract_string(props, '$.k')::INTEGER) AS min_k,
+      |  MAX(json_extract_string(props, '$.k')::INTEGER) AS max_k,
+      |  CAST(SUM(json_extract_string(props, '$.k')::INTEGER) AS BIGINT) AS sum_k
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // --------------------------------------------------------------------------
+  // q179 — CCNet-style quality filter: fit an add-k bigram LM on a trusted
+  // reference slice (sources src0-src2 stand in for "wikipedia"), score
+  // EVERY document by mean bigram log-probability under that reference
+  // model, and keep the top half by score — the cross-entropy filtering
+  // step of CCNet/ccnet-like pipelines (documents that look like the
+  // reference corpus score high; token soup and boilerplate score low).
+  // Differs from q173, which trains on the whole corpus (self-perplexity):
+  // here the model is fit on the trusted slice only and applied out-of-
+  // domain, with add-k mass covering unseen bigrams.
+  //
+  // Scale: the q97/q173 one-lineage rule — reference counts are
+  // FILTERED count windows over the single exploded token stream
+  // (count_if(is_ref) partitioned by the bigram / by w1): no reference-
+  // model join-back, no second corpus scan. V and the median cutoff ride
+  // broadcast 1-row aggregates. The median is Spark's exact interpolated
+  // percentile — identical arithmetic to DuckDB quantile_cont, computed
+  // over scores already rounded to the 1e-4 grid (§8.4).
+  def q179CcnetFilter(spark: SparkSession, dir: String): DataFrame = {
+    val byPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val bigrams = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        col("source").isin("src0", "src1", "src2").as("is_ref"),
+        posexplode(TextOps.toks))
+      .toDF("doc_id", "is_ref", "pos", "w1")
+      .withColumn("w2", lead(col("w1"), 1).over(byPos))
+      .filter(col("w2").isNotNull)
+    val v = bigrams.filter(col("is_ref")).agg(countDistinct(col("w2")).as("v"))
+    val scored = bigrams
+      .withColumn("c2", count_if(col("is_ref"))
+        .over(Window.partitionBy(col("w1"), col("w2"))))
+      .withColumn("c1", count_if(col("is_ref"))
+        .over(Window.partitionBy(col("w1"))))
+      .crossJoin(broadcast(v))
+      .groupBy(col("doc_id"))
+      .agg(round(avg(log((col("c2") + 0.5) / (col("c1") + lit(0.5) * col("v")))), 4)
+        .as("lp"))
+    val med = scored.agg(expr("percentile(lp, 0.5)").as("med"))
+    scored.crossJoin(broadcast(med))
+      .filter(col("lp") >= col("med"))
+      .select(col("doc_id"), col("lp"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q179Sql: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, is_ref, t[i] AS w1, t[i+1] AS w2
+       |  FROM (SELECT doc_id, source IN ('src0','src1','src2') AS is_ref,
+       |          ${TextOps.toksSqlD} AS t FROM documents),
+       |       UNNEST(generate_series(1, len(t) - 1)) AS u(i)),
+       |v AS (SELECT COUNT(DISTINCT w2) AS v FROM tok WHERE is_ref),
+       |cnt AS (
+       |  SELECT doc_id,
+       |    COUNT(*) FILTER (is_ref) OVER (PARTITION BY w1, w2) AS c2,
+       |    COUNT(*) FILTER (is_ref) OVER (PARTITION BY w1) AS c1
+       |  FROM tok),
+       |scored AS (
+       |  SELECT doc_id, ROUND(AVG(LN((c2 + 0.5e0) / (c1 + 0.5e0 * v))), 4) AS lp
+       |  FROM cnt, v GROUP BY doc_id),
+       |med AS (SELECT quantile_cont(lp, 0.5) AS med FROM scored)
+       |SELECT doc_id, lp FROM scored, med WHERE lp >= med ORDER BY doc_id""".stripMargin
+
+  // --------------------------------------------------------------------------
+  // q180 — K-ANONYMITY audit: group the table by its quasi-identifier
+  // tuple (market segment, nation, account-balance band) and report how
+  // many equivalence classes — and rows — fall below k=5, the re-
+  // identification risk screen run before any demographic slice of a
+  // training corpus ships.
+  //
+  // Scale: one hash groupBy on the QI tuple + a 1-row re-aggregate; the
+  // balance band goes through exact cents (×100 as long) so the band
+  // boundary is integer arithmetic in both engines, then floor-div — no
+  // float banding at the boundary.
+  def q180KAnonymity(spark: SparkSession, dir: String): DataFrame = {
+    val k = 5
+    Tables.customer(spark, dir)
+      .select(col("c_mktsegment"), col("c_nationkey"),
+        floor((col("c_acctbal").cast(DecimalType(18, 2)) * 100).cast("long")
+          / 100000.0).cast("long").as("bal_band"))
+      .groupBy(col("c_mktsegment"), col("c_nationkey"), col("bal_band"))
+      .agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("n_groups"),
+        count_if(col("n") < k).as("n_risky_groups"),
+        sum(when(col("n") < k, col("n")).otherwise(0L)).as("n_risky_rows"),
+        min(col("n")).as("min_group"))
+  }
+
+  val q180Sql: String =
+    """WITH g AS (
+      |  SELECT c_mktsegment, c_nationkey,
+      |    CAST(FLOOR(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      / 100000.0) AS BIGINT) AS bal_band,
+      |    COUNT(*) AS n
+      |  FROM customer GROUP BY 1, 2, 3)
+      |SELECT COUNT(*) AS n_groups,
+      |  COUNT(*) FILTER (n < 5) AS n_risky_groups,
+      |  CAST(COALESCE(SUM(n) FILTER (n < 5), 0) AS BIGINT) AS n_risky_rows,
+      |  MIN(n) AS min_group
+      |FROM g""".stripMargin
+
+  // --------------------------------------------------------------------------
+  // q181 — one-pass DATA-QUALITY rule engine: N declarative screens
+  // evaluated as conditional aggregates in a SINGLE scan per table, then
+  // unpivoted to one row per rule — the dbt-test / Deequ pattern where
+  // rule count must not multiply scan count (at 100 TB, 20 rules × full
+  // scan each is the difference between a nightly check and an impossible
+  // one).
+  //
+  // Scale: count_if collapses each rule to a counter inside one map-side-
+  // partial aggregate; stack() is a row-local unpivot of the 1-row result.
+  def q181DqRules(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir).agg(
+      count(lit(1)).as("n"),
+      count_if(col("l_quantity") > 45).as("v_qty"),
+      count_if(col("l_tax") > 0.06).as("v_tax"),
+      count_if(col("l_discount") > 0.08).as("v_disc"))
+    val ord = Tables.orders(spark, dir).agg(
+      count(lit(1)).as("n"),
+      count_if(col("o_totalprice") > 400000.0).as("v_price"),
+      count_if(!col("o_orderstatus").isin("O", "F", "P")).as("v_status"))
+    li.selectExpr(
+      """stack(3,
+        |  'li_qty_gt_45', n, v_qty,
+        |  'li_tax_gt_6pct', n, v_tax,
+        |  'li_discount_gt_8pct', n, v_disc) as (rule, n_checked, n_violations)"""
+        .stripMargin)
+      .union(ord.selectExpr(
+        """stack(2,
+          |  'ord_price_gt_400k', n, v_price,
+          |  'ord_status_invalid', n, v_status) as (rule, n_checked, n_violations)"""
+          .stripMargin))
+      .orderBy(col("rule"))
+  }
+
+  val q181Sql: String =
+    """WITH li AS (
+      |  SELECT COUNT(*) AS n,
+      |    COUNT(*) FILTER (l_quantity > 45) AS v_qty,
+      |    COUNT(*) FILTER (l_tax > 0.06) AS v_tax,
+      |    COUNT(*) FILTER (l_discount > 0.08) AS v_disc
+      |  FROM lineitem),
+      |ord AS (
+      |  SELECT COUNT(*) AS n,
+      |    COUNT(*) FILTER (o_totalprice > 400000.0) AS v_price,
+      |    COUNT(*) FILTER (o_orderstatus NOT IN ('O','F','P')) AS v_status
+      |  FROM orders)
+      |SELECT rule, n_checked, n_violations FROM (
+      |  SELECT 'li_qty_gt_45' AS rule, n AS n_checked, v_qty AS n_violations FROM li
+      |  UNION ALL SELECT 'li_tax_gt_6pct', n, v_tax FROM li
+      |  UNION ALL SELECT 'li_discount_gt_8pct', n, v_disc FROM li
+      |  UNION ALL SELECT 'ord_price_gt_400k', n, v_price FROM ord
+      |  UNION ALL SELECT 'ord_status_invalid', n, v_status FROM ord)
+      |ORDER BY rule""".stripMargin
+
+  // --------------------------------------------------------------------------
+  // q182 — MUTUAL INFORMATION feature relevance: I(X;Y) in nats between
+  // event type and day-of-week, Σ p(x,y)·ln(p(x,y)/(p(x)p(y))) — the
+  // model-free "is this feature worth keeping" screen (q134's PMI ranks
+  // individual PAIRS; MI integrates the whole contingency table into one
+  // relevance score). Day-of-week numbering differs across engines
+  // (Spark 1=Sun, DuckDB 0=Sun) but MI is invariant under relabeling, so
+  // only the statistic — not the labels — crosses the oracle boundary.
+  //
+  // Scale: one groupBy on the joint cell, marginals re-aggregated FROM the
+  // joint table (bounded |X|·|Y| rows, never a second corpus scan) and
+  // broadcast back. ~35 double terms summed then rounded at 4 — the
+  // q118/q119 accepted determinism class (§8.4).
+  def q182MutualInfo(spark: SparkSession, dir: String): DataFrame = {
+    val joint = Tables.events(spark, dir)
+      .select(col("event_type").as("x"), dayofweek(col("ts")).as("y"))
+      .groupBy(col("x"), col("y")).agg(count(lit(1)).as("nxy"))
+    val mx = joint.groupBy(col("x")).agg(sum(col("nxy")).as("nx"))
+    val my = joint.groupBy(col("y")).agg(sum(col("nxy")).as("ny"))
+    val tot = joint.agg(sum(col("nxy")).as("n"))
+    joint.join(broadcast(mx), Seq("x")).join(broadcast(my), Seq("y"))
+      .crossJoin(broadcast(tot))
+      .agg(count(lit(1)).as("n_cells"),
+        round(sum(col("nxy").cast("double") / col("n") *
+          log(col("nxy").cast("double") * col("n") / (col("nx") * col("ny")))), 4)
+          .as("mi_nats"))
+  }
+
+  val q182Sql: String =
+    """WITH joint AS (
+      |  SELECT event_type AS x, dayofweek(ts) AS y, COUNT(*) AS nxy
+      |  FROM events GROUP BY 1, 2),
+      |mx AS (SELECT x, SUM(nxy) AS nx FROM joint GROUP BY x),
+      |my AS (SELECT y, SUM(nxy) AS ny FROM joint GROUP BY y),
+      |tot AS (SELECT SUM(nxy) AS n FROM joint)
+      |SELECT COUNT(*) AS n_cells,
+      |  ROUND(SUM(CAST(nxy AS DOUBLE) / n *
+      |    LN(CAST(nxy AS DOUBLE) * n / (nx * ny))), 4) AS mi_nats
+      |FROM joint JOIN mx USING (x) JOIN my USING (y), tot""".stripMargin
+
+  val catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
+    ("q176_containment", q176Containment _, Some(q176Sql)),
+    ("q177_compaction_plan", q177CompactionPlan _, Some(q177Sql)),
+    ("q178_variant_json", q178VariantJson _, Some(q178Sql)),
+    ("q179_ccnet_filter", q179CcnetFilter _, Some(q179Sql)),
+    ("q180_k_anonymity", q180KAnonymity _, Some(q180Sql)),
+    ("q181_dq_rules", q181DqRules _, Some(q181Sql)),
+    ("q182_mutual_info", q182MutualInfo _, Some(q182Sql)))
+}

@@ -42,7 +42,9 @@ class PlanLintSpec extends SparkSpec {
     "q167_cusum" ->
       "running sum/rank over the per-day revenue grid — bounded by the order-date calendar span, not orders",
     "q169_global_index" ->
-      "exclusive prefix sum over the 257-row bucket-count grid (bucket = key div width, width = maxkey/256) — domain-bounded; the per-row rank window is partitioned by bucket")
+      "exclusive prefix sum over the 257-row bucket-count grid (bucket = key div width, width = maxkey/256) — domain-bounded; the per-row rank window is partitioned by bucket",
+    "q177_compaction_plan" ->
+      "q169's two-pass shape: exclusive prefix sum over the 257-row bucket byte-total grid only; the per-file cumsum window is partitioned by bucket")
 
   /** name → reason a no-equi-key join is still scale-safe there. */
   private val joinAllow: Map[String, String] = Map(
