@@ -299,11 +299,97 @@ object StreamingOps {
       | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL '30 minutes'
       |GROUP BY c.user_id ORDER BY c.user_id""".stripMargin
 
+  /** q184 — transformWithState END-TO-END (the Spark 4 arbitrary-stateful
+    * API succeeding flatMapGroupsWithState): per-user running totals kept
+    * in a typed ValueState by a [[UserTotalsProcessor]], executed over the
+    * staged events landing zone in real micro-batches on the RocksDB state
+    * store (transformWithState requires it; the provider is restored after
+    * the run). Money rides the state as exact cent longs — every update is
+    * integer arithmetic, so the emitted totals are exact regardless of
+    * micro-batch slicing. Update-mode emissions land in the memory sink
+    * once per (user, batch); the final per-user state is selected with a
+    * max_by on the strictly-increasing event count — no reliance on sink
+    * arrival order.
+    *
+    * Scale: state is O(|users|) fixed-size values behind the user_id
+    * shuffle — the canonical shape for a 100 TB/day per-entity running
+    * aggregate; RocksDB spills it off-heap and checkpoints incrementally.
+    */
+  def q184TransformWithState(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode, Trigger}
+    import spark.implicits._
+    val src = eventsZone(spark, dir)
+    val schema = spark.read.parquet(src).schema
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProvider = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 2).parquet(src)
+        .as[EventRow]
+      val updates = stream.groupByKey(_.user_id)
+        .transformWithState(new UserTotalsProcessor,
+          TimeMode.None(), OutputMode.Update())
+      val qname = "graft_q184_result"
+      val query = updates.toDF().writeStream.format("memory").queryName(qname)
+        .outputMode("update").trigger(Trigger.AvailableNow()).start()
+      query.awaitTermination()
+      spark.table(qname)
+        .groupBy(col("user_id"))
+        .agg(max(col("n")).as("n"),
+          max_by(col("cents"), col("n")).as("cents"))
+        .select(col("user_id"), col("n"),
+          (col("cents") / 100.0).as("total"))
+        .orderBy(col("user_id"))
+    } finally {
+      prevProvider match {
+        case Some(p) => spark.conf.set(providerKey, p)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
+  val q184Sql: String =
+    """SELECT user_id, COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q60_tumbling_window", q60Tumbling _, Some(q60Sql)),
     ("q61_sliding_window", q61Sliding _, Some(q61Sql)),
     ("q62_session_window", q62Session _, Some(q62Sql)),
     ("q63_stream_dedup", q63Dedup _, Some(q63Sql)),
     ("q122_file_stream", q122FileStream _, Some(q122Sql)),
-    ("q157_stream_join", q157StreamJoin _, Some(q157Sql)))
+    ("q157_stream_join", q157StreamJoin _, Some(q157Sql)),
+    ("q184_transform_with_state", q184TransformWithState _, Some(q184Sql)))
+}
+
+/** Per-user running (count, cent-exact total) update row. */
+case class UserTotals(user_id: Long, n: Long, cents: Long)
+
+/** transformWithState processor: one ValueState[UserTotals] per user,
+  * updated per micro-batch and emitted on every update (q184). Values on
+  * the .01 grid become exact cent longs (`math.round(v * 100)`), so state
+  * updates commute with micro-batch slicing.
+  */
+class UserTotalsProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[Long, EventRow, UserTotals] {
+  import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+
+  @transient private var state: ValueState[UserTotals] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    state = getHandle.getValueState[UserTotals]("totals",
+      org.apache.spark.sql.Encoders.product[UserTotals], TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[EventRow],
+                               timerValues: TimerValues): Iterator[UserTotals] = {
+    val prev = Option(state.get()).getOrElse(UserTotals(key, 0L, 0L))
+    var n = prev.n; var cents = prev.cents
+    rows.foreach { r => n += 1; cents += math.round(r.value * 100) }
+    val next = UserTotals(key, n, cents)
+    state.update(next)
+    Iterator.single(next)
+  }
 }
