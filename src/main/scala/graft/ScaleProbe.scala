@@ -139,7 +139,11 @@ object ScaleProbe {
   private val probeQueries = Seq(
     "q31_ngram_jaccard", "q32_minhash_lsh", "q104_cosine_neardup_lsh",
     "q113_span_dedup", "q121_record_linkage",
-    "q107_vocab_encode", "q134_pmi_pairs", "q164_skyline")
+    "q107_vocab_encode", "q134_pmi_pairs", "q164_skyline",
+    // round-5 additions on the same generated tables: the containment
+    // inverted-index join (q31's family, no size prune), the one-window
+    // novelty attribution, and BPE training over the Heaps-bounded vocab
+    "q176_containment", "q185_novelty", "q183_bpe_train")
 
   def main(args: Array[String]): Unit = {
     val scales = if (args.nonEmpty) args.map(_.toInt).toSeq else Seq(1, 2, 5, 10)
