@@ -229,8 +229,89 @@ object EncodeOps {
        |ne AS (SELECT COUNT(*) AS n_edges FROM edges)
        |SELECT n_nodes, n_edges, n_triangles FROM nn, ne, tri""".stripMargin
 
+  // --------------------------------------------------------------------------
+  // q186 — WEIGHT-OF-EVIDENCE encoding: per category, ln of the smoothed
+  // odds ratio ln((pos_s+0.5)/(pos+1) ÷ (neg_s+0.5)/(neg+1)) against a
+  // binary label (account in credit) — the scorecard-modeling categorical
+  // encoder that complements q170's mean target encoding (WOE is for
+  // binary targets and is monotone in the category's event rate).
+  //
+  // Scale: one conditional-count groupBy per category + a broadcast 1-row
+  // label-total aggregate; exact long counts everywhere, the ln is the
+  // only float op and its argument is an integer-ratio double.
+  def q186WoeEncoding(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+      .select(col("c_mktsegment"), (col("c_acctbal") > 0).as("pos"))
+    val tot = c.agg(count_if(col("pos")).as("p_tot"),
+      count_if(!col("pos")).as("n_tot"))
+    c.groupBy(col("c_mktsegment"))
+      .agg(count_if(col("pos")).as("p_s"), count_if(!col("pos")).as("n_s"))
+      .crossJoin(broadcast(tot))
+      .select(col("c_mktsegment"), col("p_s"), col("n_s"),
+        round(log(((col("p_s") + 0.5) / (col("p_tot") + 1)) /
+          ((col("n_s") + 0.5) / (col("n_tot") + 1))), 4).as("woe"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  val q186Sql: String =
+    """WITH t AS (
+      |  SELECT COUNT(*) FILTER (c_acctbal > 0) AS p_tot,
+      |         COUNT(*) FILTER (c_acctbal <= 0) AS n_tot
+      |  FROM customer)
+      |SELECT c_mktsegment,
+      |  COUNT(*) FILTER (c_acctbal > 0) AS p_s,
+      |  COUNT(*) FILTER (c_acctbal <= 0) AS n_s,
+      |  ROUND(LN(((COUNT(*) FILTER (c_acctbal > 0) + 0.5e0) / (p_tot + 1)) /
+      |           ((COUNT(*) FILTER (c_acctbal <= 0) + 0.5e0) / (n_tot + 1))), 4) AS woe
+      |FROM customer, t GROUP BY c_mktsegment, p_tot, n_tot
+      |ORDER BY c_mktsegment""".stripMargin
+
+  // --------------------------------------------------------------------------
+  // q187 — Johnson-Lindenstrauss RANDOM PROJECTION: project the 64-d
+  // embeddings to 16-d with a deterministic Rademacher (±1/√16) matrix
+  // derived from md5(i || '_' || j) parity — the dimensionality-reduction
+  // front door for cheaper ANN / clustering passes. The matrix is
+  // engine-portable by construction (md5 is specified identically), so
+  // the oracle re-derives the SAME projection.
+  //
+  // Scale: the 1024-entry matrix is built ONCE as a 1-row aggregate and
+  // broadcast; projection is a row-local fixed-order fold (left fold over
+  // the input index — bit-identical in both engines: no shuffled sum
+  // order), arrays stay packed. At 100 TB this is a map-only pass.
+  private val jlMatSql: String =
+    "transform(flatten(transform(sequence(0, 63), i -> transform(sequence(0, 15)," +
+      " j -> concat(cast(i as string), '_', cast(j as string))))), " +
+      "s -> case when cast(conv(substring(md5(s), 1, 2), 16, 10) as int) % 2 = 0" +
+      " then 0.25d else -0.25d end)"
+
+  def q187JlProjection(spark: SparkSession, dir: String): DataFrame = {
+    val mat = Tables.embeddings(spark, dir).limit(1)
+      .select(expr(jlMatSql).as("m"))
+    Tables.embeddings(spark, dir)
+      .crossJoin(broadcast(mat))
+      .select(col("vec_id"), expr(
+        """transform(sequence(0, 15), j -> round(aggregate(sequence(0, 63), 0d,
+          |  (acc, i) -> acc + cast(element_at(embedding, i + 1) as double)
+          |              * element_at(m, i * 16 + j + 1)), 6))""".stripMargin).as("proj"))
+      .orderBy(col("vec_id"))
+  }
+
+  val q187Sql: String =
+    """WITH m AS (
+      |  SELECT list_transform(flatten(list_transform(range(0, 64), i ->
+      |    list_transform(range(0, 16), j -> i::VARCHAR || '_' || j::VARCHAR))),
+      |    s -> CASE WHEN ('0x' || substr(md5(s), 1, 2))::BIGINT % 2 = 0
+      |              THEN 0.25 ELSE -0.25 END) AS m)
+      |SELECT vec_id,
+      |  list_transform(range(0, 16), j -> ROUND(list_reduce(
+      |    list_transform(range(0, 64), i -> embedding[i + 1]::DOUBLE * m[i * 16 + j + 1]),
+      |    (a, b) -> a + b), 6)) AS proj
+      |FROM embeddings, m ORDER BY vec_id""".stripMargin
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q169_global_index", q169GlobalIndex _, Some(q169Sql)),
+    ("q186_woe_encoding", q186WoeEncoding _, Some(q186Sql)),
+    ("q187_jl_projection", q187JlProjection _, Some(q187Sql)),
     ("q170_target_encoding", q170TargetEncoding _, Some(q170Sql)),
     ("q171_feature_hash", q171FeatureHash _, Some(q171Sql)),
     ("q173_bigram_lm", q173BigramLm _, Some(q173Sql)),

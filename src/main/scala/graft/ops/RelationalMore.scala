@@ -1023,6 +1023,57 @@ object RelationalMore {
       |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
 
   // --------------------------------------------------------------------------
+  // q189 — incremental VARIANCE maintenance: extend q143's mergeable-
+  // aggregate law to second moments. The stored stats table carries
+  // (n, Σcents, Σcents²) per priority; a delta batch (orders on/after the
+  // 1999-01-01 cutoff) is aggregated alone and MERGED — component-wise
+  // addition, never a rescan of history — then mean/variance are derived
+  // from the merged moments. The oracle recomputes directly over the
+  // whole table with the same closed form: hash match ⇔
+  // merge(old, Δ) ≡ recompute, for moments where naive float accumulation
+  // would drift (cents² sums overflow long at sf≳0.3, so they ride
+  // DECIMAL(38,0) — exact at any scale).
+  //
+  // Scale: each side is a map-side-partial aggregate; the merge shuffles
+  // |groups| rows. The only doubles are the final mean/var expressions,
+  // token-identical in both engines.
+  private def momentPartial(df: DataFrame): DataFrame = {
+    val cents = (col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+      .cast(DecimalType(38, 0))
+    df.groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), sum(cents).as("s"),
+        sum(cents * cents).as("q"))
+  }
+
+  def q189IncrementalStats(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val cutoff = "1999-01-01"
+    val stored = momentPartial(o.filter(col("o_orderdate") < cutoff))
+    val delta = momentPartial(o.filter(col("o_orderdate") >= cutoff))
+    stored.unionByName(delta)
+      .groupBy(col("o_orderpriority"))
+      .agg(sum(col("n")).as("n"), sum(col("s")).as("s"), sum(col("q")).as("q"))
+      .select(col("o_orderpriority"), col("n"),
+        round(col("s").cast("double") / (col("n") * 100), 4).as("mean_price"),
+        round((col("q").cast("double") - col("s").cast("double") * col("s").cast("double")
+          / col("n")) / ((col("n") - 1) * 10000), 4).as("var_price"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val q189Sql: String =
+    """WITH m AS (
+      |  SELECT o_orderpriority, COUNT(*) AS n,
+      |    SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS DECIMAL(38,0))) AS s,
+      |    SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS DECIMAL(38,0))
+      |      * CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS DECIMAL(38,0))) AS q
+      |  FROM orders GROUP BY o_orderpriority)
+      |SELECT o_orderpriority, n,
+      |  ROUND(CAST(s AS DOUBLE) / (n * 100), 4) AS mean_price,
+      |  ROUND((CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n)
+      |        / ((n - 1) * 10000), 4) AS var_price
+      |FROM m ORDER BY o_orderpriority""".stripMargin
+
+  // --------------------------------------------------------------------------
   // q151 — Benford's-law first-digit audit: the classic forensic
   // data-quality screen — compare the observed leading-digit distribution
   // of order totals against log10(1 + 1/d). Organic multiplicative data
@@ -1271,6 +1322,7 @@ object RelationalMore {
     ("q53_date_spine", q53DateSpine _, Some(q53Sql)),
     ("q142_zorder_layout", q142ZOrder _, Some(q142Sql)),
     ("q143_incremental_mv", q143IncrementalMv _, Some(q143Sql)),
+    ("q189_incremental_stats", q189IncrementalStats _, Some(q189Sql)),
     ("q135_table_diff", q135TableDiff _, Some(q135Sql)),
     ("q151_benford", q151Benford _, Some(q151Sql)),
     ("q156_forget_user", q156ForgetUser _, Some(q156Sql)),

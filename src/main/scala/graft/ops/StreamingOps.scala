@@ -355,6 +355,40 @@ object StreamingOps {
       |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** q188 — dropDuplicatesWithinWatermark END-TO-END (the Spark 3.5+
+    * bounded-state streaming dedup): the landing zone is consumed TWICE
+    * (two file streams unioned — every event arrives as a genuine
+    * duplicate), watermarked, and deduplicated on event_id with state
+    * that — unlike plain dropDuplicates — is EVICTED once the watermark
+    * passes an id's first arrival. The deduped append stream lands in the
+    * memory sink and is batch-aggregated per type (q157's sink-then-
+    * aggregate pattern); the oracle sees the single-copy totals.
+    *
+    * Scale: this is the dedup to run forever on a 100 TB/day feed —
+    * q63's dropDuplicates keeps every key seen since the epoch, this
+    * keeps a watermark-wide sliding set behind the same event_id shuffle.
+    */
+  def q188DedupWithinWatermark(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val src = eventsZone(spark, dir)
+    val schema = spark.read.parquet(src).schema
+    def feed() = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 2).parquet(src)
+    val deduped = feed().unionByName(feed())
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+    val qname = "graft_q188_result"
+    val query = deduped.writeStream.format("memory").queryName(qname)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    query.awaitTermination()
+    spark.table(qname)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), moneySum(col("value")).as("sum_value"))
+      .orderBy(col("event_type"))
+  }
+
+  val q188Sql: String = q63Sql
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q60_tumbling_window", q60Tumbling _, Some(q60Sql)),
     ("q61_sliding_window", q61Sliding _, Some(q61Sql)),
@@ -362,7 +396,8 @@ object StreamingOps {
     ("q63_stream_dedup", q63Dedup _, Some(q63Sql)),
     ("q122_file_stream", q122FileStream _, Some(q122Sql)),
     ("q157_stream_join", q157StreamJoin _, Some(q157Sql)),
-    ("q184_transform_with_state", q184TransformWithState _, Some(q184Sql)))
+    ("q184_transform_with_state", q184TransformWithState _, Some(q184Sql)),
+    ("q188_dedup_within_watermark", q188DedupWithinWatermark _, Some(q188Sql)))
 }
 
 /** Per-user running (count, cent-exact total) update row. */
