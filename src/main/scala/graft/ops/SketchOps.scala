@@ -267,9 +267,61 @@ object SketchOps {
       |FROM lineitem GROUP BY l_suppkey
       |ORDER BY exact_n DESC, l_suppkey LIMIT 10""".stripMargin
 
+  // --------------------------------------------------------------------------
+  // q191 — HLL SET ALGEBRA: estimate the audience overlap |click ∩
+  // purchase| by inclusion-exclusion over three sketches, est(A) + est(B)
+  // − est(A∪B) — the segment-overlap question every audience/cohort
+  // system answers from sketches because exact distinct-intersections
+  // need a full shuffle of both sides. Per the q24/q55/q99 sketch policy
+  // the oracle-checked row carries the EXACT counts (from the same
+  // per-user pass) plus a 5%-accuracy flag pinned TRUE; SketchOpsSpec
+  // bounds the raw estimate.
+  //
+  // Scale: one per-user aggregate (the same shuffle the exact twin needs
+  // here anyway, since membership is per-user), then three sketches built
+  // over its |users| rows merge to ONE summary row — at 100 TB the
+  // sketches are built per shard/day once and the intersection is
+  // answered from KB-sized state, which is the point.
+  private[ops] def q191Raw(spark: SparkSession, dir: String): DataFrame = {
+    val perUser = Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === "click", 1).otherwise(0)).as("a"),
+        max(when(col("event_type") === "purchase", 1).otherwise(0)).as("b"))
+    perUser.agg(
+      count_if(col("a") === 1).as("n_click"),
+      count_if(col("b") === 1).as("n_purchase"),
+      count_if(col("a") === 1 && col("b") === 1).as("n_both"),
+      expr("hll_sketch_estimate(hll_sketch_agg(CASE WHEN a = 1 THEN user_id END))")
+        .as("ea"),
+      expr("hll_sketch_estimate(hll_sketch_agg(CASE WHEN b = 1 THEN user_id END))")
+        .as("eb"),
+      expr("hll_sketch_estimate(hll_sketch_agg(CASE WHEN a = 1 OR b = 1 THEN user_id END))")
+        .as("eu"))
+      .withColumn("approx_both", (col("ea") + col("eb") - col("eu")).cast("long"))
+  }
+
+  def q191HllIntersect(spark: SparkSession, dir: String): DataFrame =
+    q191Raw(spark, dir)
+      .select(col("n_click"), col("n_purchase"), col("n_both"),
+        (abs(col("approx_both") - col("n_both")) <= col("n_both") * 0.05)
+          .as("approx_within_5pct"))
+
+  val q191Sql: String =
+    """WITH u AS (
+      |  SELECT user_id,
+      |    MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS a,
+      |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS b
+      |  FROM events GROUP BY user_id)
+      |SELECT COUNT(*) FILTER (a = 1) AS n_click,
+      |  COUNT(*) FILTER (b = 1) AS n_purchase,
+      |  COUNT(*) FILTER (a = 1 AND b = 1) AS n_both,
+      |  TRUE AS approx_within_5pct
+      |FROM u""".stripMargin
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q74_sketch_rollup", q74SketchRollup _, Some(q74Sql)),
     ("q77_heavy_hitters", q77HeavyHitters _, Some(q77Sql)),
     ("q99_hll_rollup", q99HllRollup _, Some(q99Sql)),
-    ("q126_cms_freq", q126CmsFreq _, Some(q126Sql)))
+    ("q126_cms_freq", q126CmsFreq _, Some(q126Sql)),
+    ("q191_hll_intersect", q191HllIntersect _, Some(q191Sql)))
 }

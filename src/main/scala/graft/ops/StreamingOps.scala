@@ -389,6 +389,70 @@ object StreamingOps {
 
   val q188Sql: String = q63Sql
 
+  /** q190 — foreachBatch INCREMENTAL UPSERT: the streaming-maintenance
+    * pattern for sinks without native streaming support. Each micro-batch
+    * is collapsed to its per-user latest row (argmax on the unique
+    * (ts, event_id) order), merged with the current materialized state,
+    * and written to a NEW parquet version under a fixed per-(process,dir)
+    * slot — write-new-then-advance, never overwrite-in-place of a table
+    * being read, so a crashed batch can't corrupt the current version.
+    * The final version is the result; the oracle is the batch
+    * latest-row-per-user query (argmax is a commutative monoid under a
+    * total order, so incremental merge ≡ global argmax for ANY batch
+    * slicing).
+    *
+    * Scale: per batch the expensive aggregate runs on the BATCH only;
+    * the merge shuffles |users| state rows, not history. The version dirs
+    * are bounded by the batch count and reclaimed at the next call (and
+    * by `clean`).
+    */
+  def q190ForeachBatchUpsert(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val src = eventsZone(spark, dir)
+    val schema = spark.read.parquet(src).schema
+    val base = Staging.pathFor("q190_target", dir)
+    // reclaim the slot from any previous run in this or an earlier process
+    val baseP = java.nio.file.Paths.get(base)
+    if (java.nio.file.Files.exists(baseP)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(baseP).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount).foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+    def latestPerUser(df: DataFrame): DataFrame = df
+      .groupBy(col("user_id"))
+      .agg(max_by(
+        struct(col("ts"), col("event_id"), col("value")),
+        struct(col("ts"), col("event_id"))).as("s"))
+      .select(col("user_id"), col("s.ts").as("ts"),
+        col("s.event_id").as("event_id"), col("s.value").as("value"))
+    @volatile var version = -1
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 2).parquet(src)
+    val query = stream.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val fresh = latestPerUser(batch.toDF())
+        val merged =
+          if (version < 0) fresh
+          else latestPerUser(
+            batch.sparkSession.read.parquet(s"$base/v$version").unionByName(fresh))
+        merged.write.mode("overwrite").parquet(s"$base/v${version + 1}")
+        version += 1
+        ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    query.awaitTermination()
+    spark.read.parquet(s"$base/v$version")
+      .select(col("user_id"), col("event_id").as("last_event_id"),
+        col("value").as("last_value"))
+      .orderBy(col("user_id"))
+  }
+
+  val q190Sql: String =
+    """SELECT user_id, event_id AS last_event_id, value AS last_value
+      |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+      |        ORDER BY ts DESC, event_id DESC) AS rn FROM events)
+      |WHERE rn = 1 ORDER BY user_id""".stripMargin
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q60_tumbling_window", q60Tumbling _, Some(q60Sql)),
     ("q61_sliding_window", q61Sliding _, Some(q61Sql)),
@@ -397,7 +461,8 @@ object StreamingOps {
     ("q122_file_stream", q122FileStream _, Some(q122Sql)),
     ("q157_stream_join", q157StreamJoin _, Some(q157Sql)),
     ("q184_transform_with_state", q184TransformWithState _, Some(q184Sql)),
-    ("q188_dedup_within_watermark", q188DedupWithinWatermark _, Some(q188Sql)))
+    ("q188_dedup_within_watermark", q188DedupWithinWatermark _, Some(q188Sql)),
+    ("q190_foreach_batch_upsert", q190ForeachBatchUpsert _, Some(q190Sql)))
 }
 
 /** Per-user running (count, cent-exact total) update row. */
