@@ -222,6 +222,22 @@ object StreamingOps {
         .write.mode("overwrite").parquet(path)
     }
 
+  /** Run a streaming query under a bounded state-partition count.
+    * `spark.sql.shuffle.partitions` pins the STATE STORE partition count
+    * for the life of a streaming checkpoint — it should be sized to
+    * per-partition state volume, not to the session's batch-CPU setting:
+    * every micro-batch pays a per-store open/commit, so 32 stores × N
+    * batches × 2 join sides on a small-state topology is pure overhead
+    * (measured ~40% of q157's wall time at local[32]). Batch plans inside
+    * the scope are unaffected in result, only in split count.
+    */
+  private def withStatePartitions[T](spark: SparkSession, n: Int)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, n.toString)
+    try body finally spark.conf.set(key, prev)
+  }
+
   def q122FileStream(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
     val src = eventsZone(spark, dir)
@@ -237,9 +253,11 @@ object StreamingOps {
         date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
         col("event_type"), col("n"), col("sum_value"))
     val qname = "graft_q122_result"
-    val query = agg.writeStream.format("memory").queryName(qname)
-      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
-    query.awaitTermination()
+    withStatePartitions(spark, 8) {
+      val query = agg.writeStream.format("memory").queryName(qname)
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      query.awaitTermination()
+    }
     spark.table(qname).orderBy(col("window_start"), col("event_type"))
   }
 
@@ -279,9 +297,11 @@ object StreamingOps {
       .select(col("c.user_id").as("user_id"),
         col("c.event_id").as("click_id"), col("p.event_id").as("purchase_id"))
     val qname = "graft_q157_result"
-    val query = joined.writeStream.format("memory").queryName(qname)
-      .outputMode("append").trigger(Trigger.AvailableNow()).start()
-    query.awaitTermination()
+    withStatePartitions(spark, 8) {
+      val query = joined.writeStream.format("memory").queryName(qname)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      query.awaitTermination()
+    }
     spark.table(qname)
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_pairs"), countDistinct(col("click_id")).as("n_clicks"))
@@ -332,9 +352,11 @@ object StreamingOps {
         .transformWithState(new UserTotalsProcessor,
           TimeMode.None(), OutputMode.Update())
       val qname = "graft_q184_result"
-      val query = updates.toDF().writeStream.format("memory").queryName(qname)
-        .outputMode("update").trigger(Trigger.AvailableNow()).start()
-      query.awaitTermination()
+      withStatePartitions(spark, 8) {
+        val query = updates.toDF().writeStream.format("memory").queryName(qname)
+          .outputMode("update").trigger(Trigger.AvailableNow()).start()
+        query.awaitTermination()
+      }
       spark.table(qname)
         .groupBy(col("user_id"))
         .agg(max(col("n")).as("n"),
@@ -378,9 +400,11 @@ object StreamingOps {
       .withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark("event_id")
     val qname = "graft_q188_result"
-    val query = deduped.writeStream.format("memory").queryName(qname)
-      .outputMode("append").trigger(Trigger.AvailableNow()).start()
-    query.awaitTermination()
+    withStatePartitions(spark, 8) {
+      val query = deduped.writeStream.format("memory").queryName(qname)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      query.awaitTermination()
+    }
     spark.table(qname)
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"), moneySum(col("value")).as("sum_value"))
@@ -428,19 +452,21 @@ object StreamingOps {
     @volatile var version = -1
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 2).parquet(src)
-    val query = stream.writeStream
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-        val fresh = latestPerUser(batch.toDF())
-        val merged =
-          if (version < 0) fresh
-          else latestPerUser(
-            batch.sparkSession.read.parquet(s"$base/v$version").unionByName(fresh))
-        merged.write.mode("overwrite").parquet(s"$base/v${version + 1}")
-        version += 1
-        ()
-      }
-      .trigger(Trigger.AvailableNow()).start()
-    query.awaitTermination()
+    withStatePartitions(spark, 8) {
+      val query = stream.writeStream
+        .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+          val fresh = latestPerUser(batch.toDF())
+          val merged =
+            if (version < 0) fresh
+            else latestPerUser(
+              batch.sparkSession.read.parquet(s"$base/v$version").unionByName(fresh))
+          merged.write.mode("overwrite").parquet(s"$base/v${version + 1}")
+          version += 1
+          ()
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      query.awaitTermination()
+    }
     spark.read.parquet(s"$base/v$version")
       .select(col("user_id"), col("event_id").as("last_event_id"),
         col("value").as("last_value"))
