@@ -308,8 +308,68 @@ object EncodeOps {
       |    (a, b) -> a + b), 6)) AS proj
       |FROM embeddings, m ORDER BY vec_id""".stripMargin
 
+  // --------------------------------------------------------------------------
+  // q195 — ORDER-PRESERVING dense dictionary encoding: map the corpus
+  // vocabulary to ids 0..|V|-1 such that w1 < w2 ⇔ id1 < id2 — the
+  // encoding that keeps range predicates (`w BETWEEN 'a' AND 'b'`) and
+  // sort order valid on the ENCODED column, which frequency-ranked vocabs
+  // (q107) destroy. The naive plan is row_number() over a global ORDER BY
+  // w — one task for the whole vocabulary, the banned plan class. This is
+  // q169's two-pass shape transplanted to a STRING domain:
+  //   1. bucket = first character of the token — buckets partition the
+  //      vocabulary INTO CONTIGUOUS LEXICOGRAPHIC RANGES (every token
+  //      sharing a leading char is adjacent in sorted order), so
+  //      per-bucket dense ranks + bucket offsets compose to the exact
+  //      global rank;
+  //   2. exclusive prefix sum of bucket sizes over the bucket grid —
+  //      bounded by the leading-character alphabet, not the vocabulary
+  //      (allowlisted in PlanLintSpec);
+  //   3. id = offset + rank-within-bucket (PARTITIONED window).
+  // The dictionary itself is the output — Heaps'-law-small relative to the
+  // corpus (the synthetic corpus vocabulary is ~31 words at every SF, so
+  // the domain is widened with the part-name color words to spread the
+  // bucket grid across the alphabet). EncodeMoreSpec checks the complete
+  // dictionary against a JVM-side sort on a planted multi-bucket
+  // vocabulary.
+  /** Order-preserving dense ids for the distinct values of `w` in `words`,
+    * with no global single-partition sort. Returns (w, id), id 0-based.
+    */
+  def sortedDictionary(words: DataFrame): DataFrame = {
+    val bucketed = words.select(col("w")).distinct()
+      .withColumn("bucket", substring(col("w"), 1, 1))
+    val offsets = bucketed.groupBy(col("bucket")).agg(count(lit(1)).as("cnt"))
+      .withColumn("offset",
+        coalesce(sum(col("cnt")).over(
+          Window.orderBy(col("bucket")).rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("bucket"), col("offset"))
+    bucketed.join(broadcast(offsets), Seq("bucket"))
+      .select(col("w"),
+        (col("offset") + row_number().over(
+          Window.partitionBy(col("bucket")).orderBy(col("w"))) - 1).as("id"))
+  }
+
+  def q195SortedDict(spark: SparkSession, dir: String): DataFrame = {
+    val words = Tables.documents(spark, dir)
+      .select(explode(TextOps.toks).as("w"))
+      .unionByName(Tables.part(spark, dir)
+        .select(explode(split(lower(col("p_name")), " ")).as("w"))
+        .filter(col("w") =!= ""))
+    sortedDictionary(words).orderBy(col("w"))
+  }
+
+  val q195Sql: String =
+    s"""WITH v AS (
+       |  SELECT DISTINCT w FROM (
+       |    SELECT unnest(t) AS w
+       |    FROM (SELECT ${TextOps.toksSqlD} AS t FROM documents)
+       |    UNION
+       |    SELECT unnest(list_filter(string_split(lower(p_name), ' '), t -> t != '')) AS w
+       |    FROM part))
+       |SELECT w, ROW_NUMBER() OVER (ORDER BY w) - 1 AS id FROM v ORDER BY w""".stripMargin
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q169_global_index", q169GlobalIndex _, Some(q169Sql)),
+    ("q195_sorted_dict", q195SortedDict _, Some(q195Sql)),
     ("q186_woe_encoding", q186WoeEncoding _, Some(q186Sql)),
     ("q187_jl_projection", q187JlProjection _, Some(q187Sql)),
     ("q170_target_encoding", q170TargetEncoding _, Some(q170Sql)),

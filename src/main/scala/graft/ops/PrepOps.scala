@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -339,6 +339,59 @@ object PrepOps {
       |    LN(CAST(nxy AS DOUBLE) * n / (nx * ny))), 4) AS mi_nats
       |FROM joint JOIN mx USING (x) JOIN my USING (y), tot""".stripMargin
 
+  // --------------------------------------------------------------------------
+  // q192 — rendezvous (highest-random-weight) shard planner: assign every
+  // doc to argmax_s h(doc, s) over the shard set, then audit what an
+  // 8 → 9 shard expansion moves. HRW's defining property — ONLY docs whose
+  // new argmax IS the added shard relocate (expected n/9 of the corpus;
+  // mod-hash resharding, q127's shape, moves ~8/9) — is what makes
+  // rebalancing a 100 TB corpus an append, not a rewrite. The result
+  // carries BOTH n_moved and n_moved_to_new so the oracle hash pins the
+  // invariant n_moved = n_moved_to_new, not just the counts.
+  //
+  // Scale: completely row-local — the candidate set is a literal array of
+  // n (hash, shard) structs folded with greatest(); no shard table, no
+  // join, no shuffle before the final 8-row aggregate. Hash is the
+  // md5-prefix portability idiom (file header of EncodeOps).
+  private def hrwShard(id: Column, shards: Int): Column = {
+    val cands = (0 until shards).map { s =>
+      struct(
+        conv(substring(md5(concat(id.cast("string"), lit(":" + s))), 1, 8), 16, 10)
+          .cast("long").as("h"),
+        lit(s).as("s"))
+    }
+    greatest(cands: _*).getField("s")
+  }
+
+  def q192RendezvousShard(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        hrwShard(col("doc_id"), 8).as("shard8"),
+        hrwShard(col("doc_id"), 9).as("shard9"))
+      .groupBy(col("shard8"))
+      .agg(count(lit(1)).as("n_docs"),
+        count_if(col("shard9") =!= col("shard8")).as("n_moved"),
+        count_if(col("shard9") =!= col("shard8") && col("shard9") === 8)
+          .as("n_moved_to_new"))
+      .orderBy(col("shard8"))
+
+  val q192Sql: String =
+    """WITH s8 AS (
+      |  SELECT doc_id, arg_max(s, h) AS shard8 FROM (
+      |    SELECT doc_id, r.range AS s,
+      |      ('0x' || substr(md5(doc_id::VARCHAR || ':' || r.range::VARCHAR), 1, 8))::BIGINT AS h
+      |    FROM documents, range(0, 8) r) GROUP BY doc_id),
+      |s9 AS (
+      |  SELECT doc_id, arg_max(s, h) AS shard9 FROM (
+      |    SELECT doc_id, r.range AS s,
+      |      ('0x' || substr(md5(doc_id::VARCHAR || ':' || r.range::VARCHAR), 1, 8))::BIGINT AS h
+      |    FROM documents, range(0, 9) r) GROUP BY doc_id)
+      |SELECT shard8, COUNT(*) AS n_docs,
+      |  CAST(COUNT(*) FILTER (shard9 <> shard8) AS BIGINT) AS n_moved,
+      |  CAST(COUNT(*) FILTER (shard9 <> shard8 AND shard9 = 8) AS BIGINT) AS n_moved_to_new
+      |FROM s8 JOIN s9 USING (doc_id)
+      |GROUP BY shard8 ORDER BY shard8""".stripMargin
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q176_containment", q176Containment _, Some(q176Sql)),
     ("q177_compaction_plan", q177CompactionPlan _, Some(q177Sql)),
@@ -346,5 +399,6 @@ object PrepOps {
     ("q179_ccnet_filter", q179CcnetFilter _, Some(q179Sql)),
     ("q180_k_anonymity", q180KAnonymity _, Some(q180Sql)),
     ("q181_dq_rules", q181DqRules _, Some(q181Sql)),
-    ("q182_mutual_info", q182MutualInfo _, Some(q182Sql)))
+    ("q182_mutual_info", q182MutualInfo _, Some(q182Sql)),
+    ("q192_rendezvous_shard", q192RendezvousShard _, Some(q192Sql)))
 }

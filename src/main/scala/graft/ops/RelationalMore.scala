@@ -835,6 +835,85 @@ object RelationalMore {
       .orderBy(col("o_orderkey"))
   }
 
+  // --------------------------------------------------------------------------
+  // q196 — CDC changelog APPLY: reduce an out-of-order stream of keyed
+  // I/U/D change records onto a snapshot — the operator behind
+  // Delta/Iceberg/Hudi MERGE and every Debezium-style replication sink.
+  // q67 covers last-write upsert; this adds the two hard CDC semantics:
+  // DELETES, and out-of-ORDER arrival (a sequence number decides, not file
+  // order — an update with seq 2 must survive a delete with seq 1, and a
+  // later delete must erase earlier updates).
+  //
+  // Shape: snapshot enters the log as seq-0 'K' rows; ONE hash groupBy on
+  // the key takes max_by(packed row, seq) — the winner-per-key reduction
+  // is a commutative/associative argmax (seqs unique per key), so
+  // map-side partials apply and ANY arrival order gives the same answer;
+  // 'D' winners drop row-locally after the agg. One shuffle total at any
+  // scale; no join, no window.
+  //
+  // Synthetic feed (deterministic, q67's exact-decimal conventions):
+  //   seq 1 'D' keys ≡0 (mod 14)   — later resurrected by the seq-2 'U'
+  //   seq 2 'U' keys ≡0 (mod 7)    — +20% price, exact decimal round
+  //   seq 3 'D' keys ≡3 (mod 5)    — final delete (beats the 'U' when both)
+  //   seq 1 'I' keys ≡6 (mod 10)   — fresh keys offset by broadcast max+…
+  //   seq 2 'U' keys ≡6 (mod 20)   — update-after-insert, +30%
+  def q196CdcApply(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir).select(col("o_orderkey"), col("o_totalprice"))
+    val priceDec = col("o_totalprice").cast(DecimalType(18, 2))
+    val nullPrice = lit(null).cast("double")
+    val maxKey = o.agg(max(col("o_orderkey")).as("__maxk"))
+    // fresh-key selectors run on the ORIGINAL key (the oracle's WHERE does
+    // too); only then is the broadcast max offset applied
+    def fresh(sel: Column): DataFrame = o.filter(sel).crossJoin(broadcast(maxKey))
+      .withColumn("o_orderkey", col("o_orderkey") + col("__maxk")).drop("__maxk")
+    val log = o.select(col("o_orderkey"), lit(0L).as("seq"), lit("K").as("op"),
+        col("o_totalprice"))
+      .unionByName(o.filter(col("o_orderkey") % 14 === 0)
+        .select(col("o_orderkey"), lit(1L).as("seq"), lit("D").as("op"), nullPrice.as("o_totalprice")))
+      .unionByName(o.filter(col("o_orderkey") % 7 === 0)
+        .select(col("o_orderkey"), lit(2L).as("seq"), lit("U").as("op"),
+          round(priceDec * lit(new java.math.BigDecimal("1.20")), 2)
+            .cast("double").as("o_totalprice")))
+      .unionByName(o.filter(col("o_orderkey") % 5 === 3)
+        .select(col("o_orderkey"), lit(3L).as("seq"), lit("D").as("op"), nullPrice.as("o_totalprice")))
+      .unionByName(fresh(col("o_orderkey") % 10 === 6)
+        .select(col("o_orderkey"), lit(1L).as("seq"), lit("I").as("op"), col("o_totalprice")))
+      .unionByName(fresh(col("o_orderkey") % 20 === 6)
+        .select(col("o_orderkey"), lit(2L).as("seq"), lit("U").as("op"),
+          round(priceDec * lit(new java.math.BigDecimal("1.30")), 2)
+            .cast("double").as("o_totalprice")))
+    log.groupBy(col("o_orderkey"))
+      .agg(max_by(struct(col("op"), col("o_totalprice")), col("seq")).as("w"))
+      .select(col("o_orderkey"), col("w.op").as("op"),
+        col("w.o_totalprice").as("o_totalprice"))
+      .filter(col("op") =!= "D")
+      .orderBy(col("o_orderkey"))
+  }
+
+  val q196Sql: String =
+    """WITH mk AS (SELECT MAX(o_orderkey) AS maxk FROM orders),
+      |log AS (
+      |  SELECT o_orderkey, 0 AS seq, 'K' AS op, o_totalprice FROM orders
+      |  UNION ALL
+      |  SELECT o_orderkey, 1, 'D', NULL FROM orders WHERE o_orderkey % 14 = 0
+      |  UNION ALL
+      |  SELECT o_orderkey, 2, 'U',
+      |    CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,2)) * 1.20, 2) AS DOUBLE)
+      |  FROM orders WHERE o_orderkey % 7 = 0
+      |  UNION ALL
+      |  SELECT o_orderkey, 3, 'D', NULL FROM orders WHERE o_orderkey % 5 = 3
+      |  UNION ALL
+      |  SELECT o_orderkey + maxk, 1, 'I', o_totalprice
+      |  FROM orders, mk WHERE o_orderkey % 10 = 6
+      |  UNION ALL
+      |  SELECT o_orderkey + maxk, 2, 'U',
+      |    CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,2)) * 1.30, 2) AS DOUBLE)
+      |  FROM orders, mk WHERE o_orderkey % 20 = 6),
+      |w AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderkey ORDER BY seq DESC) AS rn
+      |      FROM log)
+      |SELECT o_orderkey, op, o_totalprice FROM w
+      |WHERE rn = 1 AND op <> 'D' ORDER BY o_orderkey""".stripMargin
+
   val q135Sql: String =
     """WITH b AS (
       |  SELECT o_orderkey, o_orderstatus,
@@ -1324,6 +1403,7 @@ object RelationalMore {
     ("q143_incremental_mv", q143IncrementalMv _, Some(q143Sql)),
     ("q189_incremental_stats", q189IncrementalStats _, Some(q189Sql)),
     ("q135_table_diff", q135TableDiff _, Some(q135Sql)),
+    ("q196_cdc_apply", q196CdcApply _, Some(q196Sql)),
     ("q151_benford", q151Benford _, Some(q151Sql)),
     ("q156_forget_user", q156ForgetUser _, Some(q156Sql)),
     ("q158_rfm_segments", q158RfmSegments _, Some(q158Sql)),

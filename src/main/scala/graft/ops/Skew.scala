@@ -76,6 +76,61 @@ object Skew {
       |FROM orders JOIN customer ON o_custkey = c_custkey
       |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin
 
+  // --------------------------------------------------------------------------
+  // q194 — explicit bloom-filter semi-join reduction: build a Bloom sketch
+  // over the join keys of a SELECTIVE dimension slice, broadcast the
+  // sketch, and drop fact rows BEFORE they reach the join shuffle. The
+  // exact equi-join afterwards removes the sketch's false positives, so
+  // the result is bit-identical to the plain join — the bloom only cuts
+  // shuffle volume, never changes semantics.
+  //
+  // Spark 4's AQE injects runtime bloom filters inside a single query
+  // (ScaleSpec pins that); the EXPLICIT operator is for what the optimizer
+  // can't do: reuse one sketch across many statements / micro-batches, or
+  // prune before an expensive intermediate op the planner won't see
+  // through. A 100M-key dim at 1% fpp is a ~115 MB sketch — broadcastable
+  // when the dim's ROWS are not; expected leak past the prune is
+  // |fact| · fpp, removed by the join.
+  //
+  // The sketch build is `df.stat.bloomFilter` (driver-merged, fixed-seed
+  // murmur3 — deterministic, and insertion-order-free since bloom insert
+  // is bitwise OR). The `count()` sizing pass scans only the dim slice.
+  /** Prune `fact` rows whose `factKey` cannot be in `dim`'s `dimKey` set,
+    * then exact-join. Result == fact ⋈ dim, with the fact side reduced
+    * before the shuffle.
+    */
+  def bloomPruneJoin(fact: DataFrame, dim: DataFrame,
+                     factKey: String, dimKey: String, fpp: Double): DataFrame = {
+    val nKeys = math.max(dim.select(dimKey).distinct().count(), 1L)
+    val bf = dim.stat.bloomFilter(dimKey, nKeys, fpp)
+    val bc = fact.sparkSession.sparkContext.broadcast(bf)
+    val mightContain = udf((k: java.lang.Long) =>
+      k != null && bc.value.mightContainLong(k))
+    fact.filter(mightContain(col(factKey)))
+      .join(dim, col(factKey) === col(dimKey))
+  }
+
+  def q194BloomPruneJoin(spark: SparkSession, dir: String): DataFrame = {
+    val dim = Tables.customer(spark, dir)
+      .filter(col("c_mktsegment") === "BUILDING" && col("c_acctbal") > 9000)
+      .select(col("c_custkey"))
+    bloomPruneJoin(
+      Tables.orders(spark, dir).select(col("o_custkey"), col("o_orderpriority"),
+        col("o_totalprice")),
+      dim, "o_custkey", "c_custkey", fpp = 0.01)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"), Num.moneySum(col("o_totalprice")).as("total_rev"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val q194Sql: String =
+    """SELECT o_orderpriority, COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_rev
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 9000
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
-    ("q123_salted_join", q123SaltedJoin _, Some(q123Sql)))
+    ("q123_salted_join", q123SaltedJoin _, Some(q123Sql)),
+    ("q194_bloom_prune_join", q194BloomPruneJoin _, Some(q194Sql)))
 }

@@ -44,7 +44,11 @@ class PlanLintSpec extends SparkSpec {
     "q169_global_index" ->
       "exclusive prefix sum over the 257-row bucket-count grid (bucket = key div width, width = maxkey/256) — domain-bounded; the per-row rank window is partitioned by bucket",
     "q177_compaction_plan" ->
-      "q169's two-pass shape: exclusive prefix sum over the 257-row bucket byte-total grid only; the per-file cumsum window is partitioned by bucket")
+      "q169's two-pass shape: exclusive prefix sum over the 257-row bucket byte-total grid only; the per-file cumsum window is partitioned by bucket",
+    "q193_exact_auc" ->
+      "q169's two-pass shape: exclusive prefix sum over the 257-row score-bucket count grid; the per-row rank window is partitioned by bucket",
+    "q195_sorted_dict" ->
+      "q169's two-pass shape on a string domain: exclusive prefix sum over the leading-character bucket grid (bounded by the alphabet); the per-token rank window is partitioned by bucket")
 
   /** name → reason a no-equi-key join is still scale-safe there. */
   private val joinAllow: Map[String, String] = Map(

@@ -94,4 +94,18 @@ class EncodeMoreSpec extends SparkSpec {
     assert(r(0).getAs[Double]("mean_price") === 200.0)
     assert(r(0).getAs[Double]("var_price") === 10000.0)
   }
+
+  test("q195 sorted dictionary: dense order-preserving ids across many buckets") {
+    import spark.implicits._
+    // 400 distinct words spread over buckets a..t, shuffled and duplicated
+    // on input — ids must come back 0..399 in exact lexicographic order
+    // even though no global sort window ever runs
+    val words = (0 until 400).map(i => f"${('a' + i % 20).toChar}%cword${i / 20}%02d")
+    val input = scala.util.Random.shuffle(words ++ words.take(100)).toDF("w")
+    val got = EncodeOps.sortedDictionary(input)
+      .collect().map(r => (r.getAs[String]("w"), r.getAs[Long]("id")))
+      .sortBy(_._2)
+    val want = words.distinct.sorted.zipWithIndex.map { case (w, i) => (w, i.toLong) }
+    assert(got.toSeq === want)
+  }
 }

@@ -134,6 +134,34 @@ class PrepOpsSpec extends SparkSpec {
       "ord_price_gt_400k" -> ((2L, 1L)), "ord_status_invalid" -> ((2L, 1L))))
   }
 
+  test("q192 HRW resharding: every mover lands on the ADDED shard, counts match an independent replica") {
+    val d = docsDir((1L to 200L).map(i => (i, s"text $i", "en", "s")))
+    val rows = PrepOps.q192RendezvousShard(spark, d).collect()
+    // the HRW invariant: a doc moves under 8→9 expansion IFF its new argmax
+    // IS shard 8 — so per group n_moved must equal n_moved_to_new exactly
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_moved") === r.getAs[Long]("n_moved_to_new"),
+        s"shard ${r.getAs[Int]("shard8")}: a doc moved to an OLD shard")
+    }
+    assert(rows.map(_.getAs[Long]("n_docs")).sum === 200L)
+    // independent JVM-side replica of the md5-prefix HRW argmax
+    def h(id: Long, s: Int): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"$id:$s".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 8), 16)
+    }
+    def argmax(id: Long, n: Int): Int = (0 until n).maxBy(s => (h(id, s), s))
+    val expected = (1L to 200L).groupBy(argmax(_, 8)).map { case (s8, ids) =>
+      s8 -> ((ids.size.toLong, ids.count(id => argmax(id, 9) != s8).toLong))
+    }
+    val got = rows.map(r => r.getAs[Int]("shard8") ->
+      ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_moved")))).toMap
+    assert(got === expected)
+    // expansion moved SOME docs, but far fewer than mod-hash's ~8/9
+    val moved = rows.map(_.getAs[Long]("n_moved")).sum
+    assert(moved > 0L && moved < 100L, s"moved $moved of 200 — not HRW-minimal")
+  }
+
   test("q182 MI: independent features score 0, dependent features score ln 2") {
     import spark.implicits._
     val ns = 1000000000L

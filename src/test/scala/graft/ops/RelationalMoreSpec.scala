@@ -384,4 +384,29 @@ class RelationalMoreSpec extends SparkSpec {
     assert(got.head.getAs[Double]("value") === 100.0)
     assert(got.head.getAs[Long]("mod_z_bp") === 600305L)
   }
+
+  test("q196 CDC apply: out-of-order seq wins, deletes erase, resurrection works") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft_cdc").toString
+    // keys chosen to hit every CDC path; maxk = 63 so fresh keys are 63+k:
+    //   1  → untouched 'K'
+    //   7  → 'U' seq 2 only (price ×1.2)
+    //   14 → 'D' seq 1 then 'U' seq 2: the LATER update resurrects the row
+    //   3  → 'D' seq 3: deleted
+    //   63 → 'U' seq 2 then 'D' seq 3: the LATER delete wins over the update
+    //   6  → fresh key 69 as 'U' (insert seq 1 then update seq 2, ×1.3)
+    //   16 → fresh key 79 as 'I' (insert only)
+    Seq(1L, 3L, 6L, 7L, 14L, 16L, 63L)
+      .map(k => (k, 1L, "O", 100.0, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), "1-URGENT"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .coalesce(1).write.parquet(s"$d/orders.parquet")
+    val got = RelationalMore.q196CdcApply(spark, d).collect()
+      .map(r => r.getAs[Long]("o_orderkey") ->
+        ((r.getAs[String]("op"), r.getAs[Double]("o_totalprice")))).toMap
+    assert(got === Map(
+      1L -> (("K", 100.0)), 7L -> (("U", 120.0)), 14L -> (("U", 120.0)),
+      6L -> (("K", 100.0)), 16L -> (("K", 100.0)),
+      69L -> (("U", 130.0)), 79L -> (("I", 100.0))))
+  }
 }

@@ -176,6 +176,22 @@ class ScaleSpec extends SparkSpec {
     assert(plain.toSeq === salted.toSeq)
   }
 
+  test("bloom-prune join returns exactly the plain join's rows") {
+    // the sketch prune may leak false positives into the join input, but
+    // NEVER into the join output — result equivalence is the contract
+    val dim = Tables.customer(spark, dir)
+      .filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+    val fact = Tables.orders(spark, dir).select(col("o_custkey"), col("o_totalprice"))
+    val plain = fact.join(dim, col("o_custkey") === col("c_custkey"))
+      .select(col("o_custkey"), col("o_totalprice"))
+      .collect().map(_.toSeq).sortBy(_.toString)
+    val pruned = Skew.bloomPruneJoin(fact, dim, "o_custkey", "c_custkey", 0.01)
+      .select(col("o_custkey"), col("o_totalprice"))
+      .collect().map(_.toSeq).sortBy(_.toString)
+    assert(plain.length === pruned.length)
+    assert(plain.toSeq === pruned.toSeq)
+  }
+
   test("partitioned catalog table: DDL, dynamic partition overwrite, SHOW PARTITIONS, pruned scan") {
     // Hive-style partitioned TABLE through the catalog (vs. the raw-path
     // test above): the layout ops a warehouse user drives with SQL.
