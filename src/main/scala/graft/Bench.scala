@@ -13,13 +13,10 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.broadcastTimeout", "1800") // noisy-host insurance
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // the library session (extensions, AQE, nanosAsLong, UTC, timeout
+    // insurance) — benching under a bespoke session diverged from the
+    // library config in round 5 and failed every events-table query
+    val spark = GraftSession.localBuilder(cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     // warmup: exercise scan/shuffle/window/join/codegen paths across every
@@ -57,32 +54,34 @@ object Bench {
                  else best2)
       }
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // failures are reported by NAME, never as numeric sentinels mixed
+    // into the timing map (a -1.0 in the map poisons totals and parsers)
+    val ok = results.filter(_._2 >= 0)
+    val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    val qs = ok.map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }
       .mkString("{", ",", "}")
-    // total over successful queries only (-1 marks failures in the map)
-    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    val total = ok.map(_._2).sum
+    val totalR = f"$total%.3f"
     // Full per-query detail first (humans / logs). The driver only keeps
     // the last ~2000 chars of stdout, which truncated this single long
     // line in rounds 1-2 (BENCH parsed:null) — so the parseable summary
     // goes LAST and stays short: total + the 5 slowest queries.
-    println(s"""{"metric":"detail","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
-    val slow = results.filter(_._2 >= 0).sortBy(-_._2).take(5)
+    println(s"""{"metric":"detail","value":$totalR,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    val slow = ok.sortBy(-_._2).take(5)
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
-    val totalR = f"$total%.3f"
     val summary =
-      s"""{"metric":"total","value":$totalR,"unit":"sec","n_queries":${results.size},"queries":$slow,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$totalR,"unit":"sec","n_queries":${results.size},"n_failed":${results.size - ok.size},"queries":$slow,"sf":"$sfDir"}"""
     println(summary)
-    // stdout travels through sbt's log prefixes and the driver's tail
-    // truncation (rounds 1-4 all ended with parsed:null) — a plain file is
-    // the mangling-proof channel, so it carries the COMPLETE per-query map
-    // (the round-4 file held only total + top-5, which left cross-round
-    // comparison to the 55 queries that survived stdout truncation)
+    // stdout travels through the driver's tail truncation — a plain file
+    // is the mangling-proof channel, so it carries the COMPLETE per-query
+    // map plus the explicit failed-query list
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench.json")
     try {
       val p = java.nio.file.Paths.get(outPath)
       if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
       val full =
-        s"""{"metric":"total","value":$totalR,"unit":"sec","n_queries":${results.size},"queries":$qs,"sf":"$sfDir"}"""
+        s"""{"metric":"total","value":$totalR,"unit":"sec","n_queries":${results.size},"queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
       java.nio.file.Files.writeString(p, full + "\n")
     } catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")

@@ -7,13 +7,10 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir, prefixes @ _*) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.broadcastTimeout", "1800") // noisy-host insurance
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // the library session (extensions, AQE, nanosAsLong, UTC, broadcast/
+    // network timeout insurance) — verifying under a bespoke session bit
+    // us in round 5 when the session-level parquet flags diverged
+    val spark = GraftSession.localBuilder(cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     // optional dev-only name-prefix filter (driver always passes 2 args)

@@ -287,26 +287,35 @@ object EncodeOps {
   def q187JlProjection(spark: SparkSession, dir: String): DataFrame = {
     val mat = Tables.embeddings(spark, dir).limit(1)
       .select(expr(jlMatSql).as("m"))
-    Tables.embeddings(spark, dir)
+    val projected = Tables.embeddings(spark, dir)
       .crossJoin(broadcast(mat))
       .select(col("vec_id"), expr(
         """transform(sequence(0, 15), j -> round(aggregate(sequence(0, 63), 0d,
           |  (acc, i) -> acc + cast(element_at(embedding, i + 1) as double)
           |              * element_at(m, i * 16 + j + 1)), 6))""".stripMargin).as("proj"))
+    // flatten to scalar columns: array-typed result cells break hash/sort
+    // tooling downstream (pandas can't lexsort ndarray cells), and scalar
+    // doubles are the layout a projection sink would write anyway
+    projected
+      .select(col("vec_id") +: (0 until 16).map(j =>
+        element_at(col("proj"), j + 1).as(s"p$j")): _*)
       .orderBy(col("vec_id"))
   }
 
-  val q187Sql: String =
-    """WITH m AS (
+  val q187Sql: String = {
+    val cols = (0 until 16)
+      .map(j => s"ROUND(list_reduce(list_transform(range(0, 64), i -> " +
+        s"embedding[i + 1]::DOUBLE * m[i * 16 + $j + 1]), (a, b) -> a + b), 6) AS p$j")
+      .mkString(",\n      |  ")
+    s"""WITH m AS (
       |  SELECT list_transform(flatten(list_transform(range(0, 64), i ->
       |    list_transform(range(0, 16), j -> i::VARCHAR || '_' || j::VARCHAR))),
       |    s -> CASE WHEN ('0x' || substr(md5(s), 1, 2))::BIGINT % 2 = 0
       |              THEN 0.25 ELSE -0.25 END) AS m)
       |SELECT vec_id,
-      |  list_transform(range(0, 16), j -> ROUND(list_reduce(
-      |    list_transform(range(0, 64), i -> embedding[i + 1]::DOUBLE * m[i * 16 + j + 1]),
-      |    (a, b) -> a + b), 6)) AS proj
+      |  $cols
       |FROM embeddings, m ORDER BY vec_id""".stripMargin
+  }
 
   // --------------------------------------------------------------------------
   // q195 — ORDER-PRESERVING dense dictionary encoding: map the corpus

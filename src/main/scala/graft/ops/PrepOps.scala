@@ -115,7 +115,8 @@ object PrepOps {
       |    COALESCE(SUM(n_chars) OVER (ORDER BY doc_id
       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
       |  FROM documents)
-      |SELECT cum_before // 32768 AS bin, COUNT(*) AS n_files, SUM(bytes) AS bytes,
+      |SELECT CAST(cum_before // 32768 AS BIGINT) AS bin, COUNT(*) AS n_files,
+      |  CAST(SUM(bytes) AS BIGINT) AS bytes,
       |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
       |FROM c GROUP BY 1 ORDER BY bin""".stripMargin
 

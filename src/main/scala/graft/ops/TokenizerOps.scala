@@ -92,7 +92,7 @@ object TokenizerOps {
        |${bpeRoundSql(1)},
        |${bpeRoundSql(2)},
        |${bpeRoundSql(3)}
-       |SELECT round, x || ' ' || y AS pair, cnt
+       |SELECT round, x || ' ' || y AS pair, CAST(cnt AS BIGINT) AS cnt
        |FROM (SELECT * FROM m1 UNION ALL SELECT * FROM m2 UNION ALL SELECT * FROM m3)
        |ORDER BY round""".stripMargin
 

@@ -53,7 +53,8 @@ class EncodeMoreSpec extends SparkSpec {
     val e0x2 = e0.map(_ * 2)
     val d = embDir(Seq((1L, e0, 0), (2L, e0x2, 0)))
     val got = EncodeOps.q187JlProjection(spark, d).collect()
-      .map(r => r.getAs[Long]("vec_id") -> r.getSeq[Double](1)).toMap
+      .map(r => r.getAs[Long]("vec_id") ->
+        (0 until 16).map(j => r.getAs[Double](s"p$j"))).toMap
     val expected = (0 until 16).map(j => sign(0, j))
     assert(got(1L) === expected)
     assert(got(2L) === expected.map(_ * 2))

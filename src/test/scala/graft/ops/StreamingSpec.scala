@@ -160,17 +160,21 @@ class StreamingSpec extends SparkSpec {
   }
 
   test("file-based streaming source over the events parquet matches the batch aggregate") {
-    import org.apache.spark.sql.types.StructType
     val dir = "/root/testdata/sf0.001"
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val srcDir = java.nio.file.Files.createTempDirectory("graft_stream_src")
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$dir/events.parquet"),
       srcDir.resolve("events.parquet"))
-    val schema = StructType.fromDDL(
-      "event_id LONG, ts LONG, user_id LONG, event_type STRING, value DOUBLE, props STRING")
-    val stream = spark.readStream.schema(schema).parquet(srcDir.toString)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    // derive the stream schema from the footer and mirror Tables.events'
+    // nanos-vs-micros adaptation (the generated ts type has changed
+    // across data drops)
+    val footer = spark.read.parquet(srcDir.toString).schema
+    val raw = spark.readStream.schema(footer).parquet(srcDir.toString)
+    val stream =
+      if (footer("ts").dataType == org.apache.spark.sql.types.LongType)
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      else raw
     val q = StreamingOps.tumblingCounts(stream)
       .writeStream.format("memory").queryName("file_src_out")
       .outputMode(OutputMode.Complete).start()
