@@ -1,0 +1,539 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Round-6 curation/analytics operators — [EXT] north-star surface:
+  * perceptual-hash media dedup, association rules, robust scaling on exact
+  * bounded-domain quantiles, zone-map file skipping, time-decay profiles,
+  * l-diversity, the end-to-end pretraining curation funnel, and Zipf-law
+  * corpus diagnostics.
+  *
+  * Numeric policy per ops/Relational.scala header: exact integer/decimal
+  * arithmetic everywhere order matters; doubles only in per-row ops or
+  * fixed-order folds; ROUND(…,6) before hashing.
+  */
+object CurateOps {
+
+  // --------------------------------------------------------------------------
+  // q197 — PERCEPTUAL-HASH image near-dup (aHash): decode each PNG once,
+  // downsample to an 8×8 grid (nearest-neighbor — integer source indices),
+  // hash bit k = sample_k·64 > Σsamples (strict, all-integer — no float
+  // mean), giving a 64-bit signature split into 4×16-bit bands. Near-dups
+  // are pairs at Hamming distance ≤ 3: by pigeonhole, distance < 4 bands
+  // forces at least one band to match EXACTLY, so the banded equi-join has
+  // guaranteed 100% recall — the LSH candidate set provably contains every
+  // true pair, and the in-join bit_count check removes false positives.
+  //
+  // Scale: ONE decode pass per side (mapPartitions — codec init once per
+  // partition, the Multimodal rule), then a 4-way banded equi-join on
+  // (band_idx, band_value) — never all-pairs; candidates carry 4 shorts
+  // per side, not payloads. The oracle replays the same pixel math from
+  // `text` (pixel i = text byte i mod len — the mediaTable contract) and
+  // can use a plain all-pairs join because the ≤3 threshold makes the
+  // banded and exhaustive results provably identical.
+  private[ops] def pHashBands(media: Dataset[Multimodal.MediaRow]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val (w, h) = Multimodal.pngDims(r.media)
+        val px = Multimodal.pngPixels(r.media)
+        val samp = Array.tabulate(64) { k =>
+          val sy = (k / 8) * h / 8
+          val sx = (k % 8) * w / 8
+          if (px.isEmpty) 0L else (px(sy * w + sx) & 0xff).toLong
+        }
+        val tot = samp.sum
+        def band(b: Int): Long = {
+          var v = 0L
+          var j = 0
+          while (j < 16) {
+            if (samp(b * 16 + j) * 64 > tot) v |= (1L << j)
+            j += 1
+          }
+          v
+        }
+        (r.doc_id, band(0), band(1), band(2), band(3))
+      }
+    }.toDF("doc_id", "b0", "b1", "b2", "b3")
+  }
+
+  def q197PhashDedup(spark: SparkSession, dir: String): DataFrame =
+    phashPairs(pHashBands(Multimodal.mediaTable(spark, dir)), maxHamming = 3)
+
+  /** (doc_id, b0..b3) → near-dup pairs at Hamming ≤ maxHamming. Banded
+    * equi-join is exact (zero recall loss) for maxHamming < 4.
+    */
+  def phashPairs(hashes: DataFrame, maxHamming: Int): DataFrame = {
+    require(maxHamming < 4, "pigeonhole guarantee needs maxHamming < #bands")
+    def side(p: String): DataFrame =
+      hashes.select(
+        col("doc_id").as(s"${p}id"), col("b0").as(s"${p}0"), col("b1").as(s"${p}1"),
+        col("b2").as(s"${p}2"), col("b3").as(s"${p}3"))
+        .select(col(s"${p}id"), col(s"${p}0"), col(s"${p}1"), col(s"${p}2"), col(s"${p}3"),
+          explode(expr(
+            s"array(named_struct('bi', 0, 'bv', ${p}0), named_struct('bi', 1, 'bv', ${p}1), " +
+              s"named_struct('bi', 2, 'bv', ${p}2), named_struct('bi', 3, 'bv', ${p}3))")).as("e"))
+        .select(col(s"${p}id"), col(s"${p}0"), col(s"${p}1"), col(s"${p}2"), col(s"${p}3"),
+          col("e.bi").as(s"${p}bi"), col("e.bv").as(s"${p}bv"))
+    side("a").join(side("b"),
+        col("abi") === col("bbi") && col("abv") === col("bbv") && col("aid") < col("bid"))
+      .select(col("aid").as("doc_a"), col("bid").as("doc_b"),
+        col("a0"), col("a1"), col("a2"), col("a3"),
+        col("b0"), col("b1"), col("b2"), col("b3"))
+      .distinct() // a pair matching in >1 band appears once
+      .withColumn("hamming", expr(
+        "cast(bit_count(a0 ^ b0) + bit_count(a1 ^ b1) + " +
+          "bit_count(a2 ^ b2) + bit_count(a3 ^ b3) as int)"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val q197Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS plen,
+      |    CAST(n_chars % 64 + 1 AS BIGINT) AS w, CAST(n_chars % 48 + 1 AS BIGINT) AS h
+      |  FROM documents),
+      |samp AS (
+      |  SELECT doc_id, k,
+      |    CASE WHEN plen = 0 THEN 0
+      |      ELSE ('0x' || substr(hx,
+      |        2 * CAST((((k // 8) * h // 8) * w + ((k % 8) * w // 8)) % plen AS BIGINT) + 1,
+      |        2))::BIGINT
+      |    END AS v
+      |  FROM d, LATERAL (SELECT unnest(range(64)) AS k) g),
+      |tot AS (SELECT doc_id, SUM(v) AS t FROM samp GROUP BY doc_id),
+      |bands AS (
+      |  SELECT s.doc_id, CAST(k // 16 AS INT) AS b,
+      |    CAST(SUM(CASE WHEN s.v * 64 > t.t
+      |                  THEN (1::BIGINT << CAST(k % 16 AS INT)) ELSE 0 END) AS BIGINT) AS bv
+      |  FROM samp s JOIN tot t USING (doc_id) GROUP BY s.doc_id, k // 16),
+      |hashes AS (
+      |  SELECT doc_id,
+      |    MAX(CASE WHEN b=0 THEN bv END) AS b0, MAX(CASE WHEN b=1 THEN bv END) AS b1,
+      |    MAX(CASE WHEN b=2 THEN bv END) AS b2, MAX(CASE WHEN b=3 THEN bv END) AS b3
+      |  FROM bands GROUP BY doc_id)
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |  CAST(bit_count(xor(a.b0,b.b0)) + bit_count(xor(a.b1,b.b1))
+      |     + bit_count(xor(a.b2,b.b2)) + bit_count(xor(a.b3,b.b3)) AS INT) AS hamming
+      |FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id
+      |WHERE bit_count(xor(a.b0,b.b0)) + bit_count(xor(a.b1,b.b1))
+      |    + bit_count(xor(a.b2,b.b2)) + bit_count(xor(a.b3,b.b3)) <= 3
+      |ORDER BY doc_a, doc_b""".stripMargin
+
+  // --------------------------------------------------------------------------
+  // q198 — MARKET-BASKET association rules: for part pairs co-ordered at
+  // least twice, support / confidence / lift — the co-occurrence mining
+  // every recommender / "data products bought together" report runs.
+  //
+  // Scale: pair fan-out is a SELF-JOIN ON THE ORDER KEY (co-partitioned,
+  // one shuffle) bounded by basket size (TPC-H ≤ 7 items/order — fan-out
+  // is O(rows·basket), never O(parts²)); per-item counts are a
+  // dimension-sized table BROADCAST onto the pair aggregate; the order
+  // total is a broadcast 1-row aggregate. Counts are exact longs; the
+  // three ratios are per-row double divisions (deterministic), ROUND 6.
+  def q198MarketBasket(spark: SparkSession, dir: String): DataFrame = {
+    val items = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val nOrd = items.agg(countDistinct(col("l_orderkey")).as("n_orders"))
+    val itemCnt = items.groupBy(col("l_partkey")).agg(count(lit(1)).as("c"))
+    val a = items.select(col("l_orderkey").as("ok"), col("l_partkey").as("p1"))
+    val b = items.select(col("l_orderkey").as("ok"), col("l_partkey").as("p2"))
+    a.join(b, Seq("ok")).filter(col("p1") < col("p2"))
+      .groupBy(col("p1"), col("p2")).agg(count(lit(1)).as("c12"))
+      .filter(col("c12") >= 2)
+      .join(broadcast(itemCnt.select(col("l_partkey").as("p1"), col("c").as("c1"))), Seq("p1"))
+      .join(broadcast(itemCnt.select(col("l_partkey").as("p2"), col("c").as("c2"))), Seq("p2"))
+      .crossJoin(broadcast(nOrd))
+      .select(col("p1"), col("p2"), col("c12"),
+        round(col("c12") / col("n_orders"), 6).as("support"),
+        round(col("c12") / col("c1"), 6).as("confidence"),
+        round(col("n_orders").cast("double") * col("c12")
+          / (col("c1").cast("double") * col("c2")), 6).as("lift"))
+      .orderBy(col("p1"), col("p2"))
+  }
+
+  val q198Sql: String =
+    """WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM items),
+      |ic AS (SELECT l_partkey, COUNT(*) AS c FROM items GROUP BY 1),
+      |p AS (
+      |  SELECT a.l_partkey AS p1, b.l_partkey AS p2, COUNT(*) AS c12
+      |  FROM items a JOIN items b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      |  GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+      |SELECT p1, p2, c12,
+      |  ROUND(c12 / n_orders, 6) AS support,
+      |  ROUND(c12 / i1.c, 6) AS confidence,
+      |  ROUND(n_orders::DOUBLE * c12 / (i1.c::DOUBLE * i2.c), 6) AS lift
+      |FROM p, n
+      |JOIN ic i1 ON p.p1 = i1.l_partkey
+      |JOIN ic i2 ON p.p2 = i2.l_partkey
+      |ORDER BY p1, p2""".stripMargin
+
+  // --------------------------------------------------------------------------
+  // q199 — ROBUST SCALING (median/IQR) on EXACT bounded-domain quantiles:
+  // per-segment robust z-score of account balances. The naive exact
+  // quantile sorts every group's values through few tasks; this plan
+  // exploits the BOUNDED VALUE DOMAIN (cents in ±1e6): one hash groupBy to
+  // the (segment, cents) VALUE HISTOGRAM, a cumulative count over that
+  // bounded grid (window partitioned BY SEGMENT), then each quartile reads
+  // two histogram rows by rank — the classic exact-quantile-via-histogram
+  // shape that stays exact at any row count.
+  //
+  // Determinism: cents are exact longs; (n-1)·q is exact for dyadic q
+  // (.25/.5/.75); interpolation lo + frac·(hi−lo) is exact dyadic-scaled
+  // integer arithmetic ≤ 2^53 — bit-identical to DuckDB quantile_cont over
+  // the same cents (regardless of which algebraically-equal interpolation
+  // form the engine uses). The per-row z division is IEEE-deterministic.
+  def q199RobustScale(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir).select(
+      col("c_custkey"), col("c_mktsegment").as("seg"),
+      (col("c_acctbal").cast(DecimalType(18, 2)) * 100).cast("long").as("cents"))
+    val hist = cust.groupBy(col("seg"), col("cents")).agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum(col("cnt")).over(
+        Window.partitionBy(col("seg")).orderBy(col("cents"))
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("n", sum(col("cnt")).over(Window.partitionBy(col("seg"))))
+    def vAt(idx: org.apache.spark.sql.Column) =
+      min(when(col("cum") > idx, col("cents")))
+    def loIdx(q: Double) = floor((col("n") - 1).cast("double") * lit(q)).cast("long")
+    def hiIdx(q: Double) = ceil((col("n") - 1).cast("double") * lit(q)).cast("long")
+    val quart = hist.groupBy(col("seg")).agg(
+      max(col("n")).as("n"),
+      vAt(loIdx(0.25)).as("lo25"), vAt(hiIdx(0.25)).as("hi25"),
+      vAt(loIdx(0.50)).as("lo50"), vAt(hiIdx(0.50)).as("hi50"),
+      vAt(loIdx(0.75)).as("lo75"), vAt(hiIdx(0.75)).as("hi75"))
+    def interp(q: Double, lo: String, hi: String) = {
+      val hq = (col("n") - 1).cast("double") * lit(q)
+      val frac = hq - floor(hq).cast("double")
+      (col(lo).cast("double") + frac * (col(hi).cast("double") - col(lo).cast("double"))) / 100.0
+    }
+    val p = quart.select(col("seg"),
+      interp(0.25, "lo25", "hi25").as("p25"),
+      interp(0.50, "lo50", "hi50").as("p50"),
+      interp(0.75, "lo75", "hi75").as("p75"))
+    cust.join(broadcast(p), Seq("seg"))
+      .select(col("c_custkey"), col("seg").as("c_mktsegment"),
+        round((col("cents") / 100.0 - col("p50")) / (col("p75") - col("p25")), 6)
+          .as("robust_z"))
+      .orderBy(col("c_custkey"))
+  }
+
+  val q199Sql: String =
+    """WITH c AS (
+      |  SELECT c_custkey, c_mktsegment AS seg,
+      |    CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      |  FROM customer),
+      |q AS (
+      |  SELECT seg, quantile_cont(cents, 0.25) AS p25c,
+      |    quantile_cont(cents, 0.5) AS p50c, quantile_cont(cents, 0.75) AS p75c
+      |  FROM c GROUP BY seg)
+      |SELECT c_custkey, seg AS c_mktsegment,
+      |  ROUND((cents / 100.0 - p50c / 100.0) / (p75c / 100.0 - p25c / 100.0), 6)
+      |    AS robust_z
+      |FROM c JOIN q USING (seg) ORDER BY c_custkey""".stripMargin
+
+  // --------------------------------------------------------------------------
+  // q200 — ZONE-MAP file skipping audit: build the min/max manifest a
+  // data-skipping layout (Delta/Iceberg stats, parquet row-group pruning)
+  // keeps per file — here per key-range "file" of the orders table — and
+  // report, for a set of date predicates, how many files a scan could skip
+  // and how many rows it must still read. The capacity-planning twin of
+  // q177's compaction planner: q177 decides the layout, this measures what
+  // the layout buys.
+  //
+  // Scale: the manifest is one hash groupBy (|files| rows — thousands per
+  // PB, not billions); the predicate grid is a bounded literal broadcast;
+  // the audit never touches row-level data again.
+  def q200ZoneMapPrune(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val files = Tables.orders(spark, dir)
+      .groupBy(expr("o_orderkey div 1024").as("file_id"))
+      .agg(min(col("o_orderdate")).as("mn"), max(col("o_orderdate")).as("mx"),
+        count(lit(1)).as("n"))
+    val preds = Seq(
+      (1, "1994-01-01", "1994-06-30"),
+      (2, "1995-01-01", "1995-12-31"),
+      (3, "1993-07-01", "1993-09-30"),
+      (4, "1998-06-01", "1998-12-31"))
+      .toDF("pred_id", "lo_s", "hi_s")
+      .select(col("pred_id"), to_date(col("lo_s")).as("lo"), to_date(col("hi_s")).as("hi"))
+    val skip = col("mx") < col("lo") || col("mn") > col("hi")
+    files.crossJoin(broadcast(preds)) // bounded literal grid
+      .groupBy(col("pred_id"))
+      .agg(count(lit(1)).as("n_files"),
+        count_if(skip).as("n_files_skipped"),
+        count_if(!skip).as("n_files_scanned"),
+        coalesce(sum(when(!skip, col("n"))), lit(0L)).as("rows_scanned"))
+      .orderBy(col("pred_id"))
+  }
+
+  val q200Sql: String =
+    """WITH f AS (
+      |  SELECT o_orderkey // 1024 AS file_id, MIN(o_orderdate) AS mn,
+      |    MAX(o_orderdate) AS mx, COUNT(*) AS n
+      |  FROM orders GROUP BY 1),
+      |p(pred_id, lo, hi) AS (VALUES
+      |  (1, DATE '1994-01-01', DATE '1994-06-30'),
+      |  (2, DATE '1995-01-01', DATE '1995-12-31'),
+      |  (3, DATE '1993-07-01', DATE '1993-09-30'),
+      |  (4, DATE '1998-06-01', DATE '1998-12-31'))
+      |SELECT pred_id, COUNT(*) AS n_files,
+      |  COUNT(*) FILTER (mx < lo OR mn > hi) AS n_files_skipped,
+      |  COUNT(*) FILTER (NOT (mx < lo OR mn > hi)) AS n_files_scanned,
+      |  CAST(COALESCE(SUM(n) FILTER (NOT (mx < lo OR mn > hi)), 0) AS BIGINT)
+      |    AS rows_scanned
+      |FROM f, p GROUP BY pred_id ORDER BY pred_id""".stripMargin
+
+  // --------------------------------------------------------------------------
+  // q201 — TIME-DECAY user profile: per user, half-life-weighted spend
+  // Σ value·2^(−weeks_ago) — the recency-weighted feature every
+  // engagement/LTV model starts from. Exactness trick: weights are
+  // POWERS OF TWO (half-life = 7 days, integer week buckets), so
+  // v/2^k is an EXACT double scaling, and the per-user fold runs in
+  // fixed k order — no engine-dependent float summation anywhere:
+  // per-(user, week) sums ride DECIMAL cents, the ≤63-term decay fold is
+  // order-pinned by sort_array.
+  //
+  // Scale: one shuffle to the (user, week) grid with map-side partial
+  // decimal sums, one shuffle to the user — the bounded per-user week
+  // array (horizon-capped at 62) replaces a window. The anchor date is a
+  // broadcast 1-row aggregate.
+  def q201DecayProfile(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val anchor = ev.agg(max(to_date(col("ts"))).as("tmax"))
+    ev.crossJoin(broadcast(anchor))
+      .withColumn("k", least(expr("datediff(tmax, to_date(ts)) div 7"), lit(62L)).cast("int"))
+      .groupBy(col("user_id"), col("k"))
+      .agg(sum(col("value").cast(DecimalType(18, 2))).cast("double").as("v"))
+      .groupBy(col("user_id"))
+      .agg(sort_array(collect_list(struct(col("k"), col("v")))).as("arr"))
+      .select(col("user_id"),
+        round(expr("aggregate(arr, cast(0 as double), " +
+          "(acc, e) -> acc + e.v / cast(shiftleft(cast(1 as bigint), e.k) as double))"), 6)
+          .as("decayed_spend"))
+      .orderBy(col("user_id"))
+  }
+
+  val q201Sql: String =
+    """WITH t AS (SELECT MAX(CAST(ts AS DATE)) AS tmax FROM events),
+      |wk AS (
+      |  SELECT user_id,
+      |    CAST(LEAST(date_diff('day', CAST(ts AS DATE), tmax) // 7, 62) AS INT) AS k,
+      |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
+      |  FROM events, t GROUP BY 1, 2)
+      |SELECT user_id,
+      |  ROUND(list_reduce(
+      |    list_prepend(0.0, list(v / (1::BIGINT << k)::DOUBLE ORDER BY k)),
+      |    (a, b) -> a + b), 6) AS decayed_spend
+      |FROM wk GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  // --------------------------------------------------------------------------
+  // q202 — L-DIVERSITY audit: k-anonymity (q180) asks "is every
+  // quasi-identifier group big enough?"; l-diversity asks the stronger
+  // question "does every QI group carry enough DISTINCT sensitive values
+  // that membership reveals nothing?" — here QI = (nation, balance band)
+  // on customers, sensitive = the order priorities of their orders.
+  //
+  // Scale: fact-dim join shuffles on the customer key (both sides
+  // co-partitioned — the dim is NOT broadcast because at 100 TB the
+  // customer table is fact-sized); then two-level hash aggregation:
+  // (QI, sensitive) partial counts → per-QI distinct count. No windows.
+  def q202LDiversity(spark: SparkSession, dir: String): DataFrame = {
+    val qi = Tables.customer(spark, dir).select(
+      col("c_custkey"), col("c_nationkey"),
+      floor((col("c_acctbal").cast(DecimalType(18, 2)) * 100).cast("long")
+        / 100000.0).cast("long").as("bal_band"))
+    Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderpriority"))
+      .join(qi, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey"), col("bal_band"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("nrow"))
+      .groupBy(col("c_nationkey"), col("bal_band"))
+      .agg(sum(col("nrow")).as("n_rows"), count(lit(1)).as("l"))
+      .withColumn("diverse", col("l") >= 3)
+      .orderBy(col("c_nationkey"), col("bal_band"))
+  }
+
+  val q202Sql: String =
+    """WITH g AS (
+      |  SELECT c_nationkey,
+      |    CAST(FLOOR(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      / 100000.0) AS BIGINT) AS bal_band,
+      |    o_orderpriority, COUNT(*) AS nrow
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  GROUP BY 1, 2, 3)
+      |SELECT c_nationkey, bal_band, CAST(SUM(nrow) AS BIGINT) AS n_rows,
+      |  COUNT(*) AS l, COUNT(*) >= 3 AS diverse
+      |FROM g GROUP BY 1, 2 ORDER BY c_nationkey, bal_band""".stripMargin
+
+  // --------------------------------------------------------------------------
+  // q203 — PRETRAINING CURATION FUNNEL: the end-to-end document filter
+  // chain — length screen → lexical-diversity screen → stopword-signal
+  // screen → exact dedup (first occurrence among survivors) →
+  // eval-set decontamination — with per-stage in/out counts, i.e. the
+  // yield report every corpus curation run ships. Composes the catalog's
+  // individual operators (q35/q30/q106 families) into ONE lazy plan.
+  //
+  // Scale: stages 1–3 are row-local flags in a single scan; dedup is a
+  // min-over-md5 window (PARTITIONED by the hash — survivor selection
+  // among stage-3 passers via a conditional window min); decontamination
+  // re-uses q106's broadcast eval-gram join (eval sets are fixed-size).
+  // One gram-side shuffle on doc_id, one window shuffle on md5 — the
+  // funnel never rescans the corpus per stage.
+  def q203CurationFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val all = Tables.documents(spark, dir)
+    val train = all.filter(col("doc_id") % 50 =!= 0)
+      .withColumn("toks", TextOps.toks)
+      .withColumn("h", md5(col("text").cast("binary")))
+      .withColumn("n", size(col("toks")))
+      .withColumn("dr", size(array_distinct(col("toks"))).cast("double") / col("n"))
+      .withColumn("sw", size(expr("filter(toks, x -> x = 'the' or x = 'a')")))
+    // eval grams from the held-out slice of the FULL corpus (q106 contract);
+    // the native WordShingles expression guards docs shorter than the gram
+    graft.functions.WordShingles.register(spark)
+    val grams = all.select(col("doc_id"),
+      explode(expr("word_shingles(filter(split(lower(text), ' '), t -> t != ''), 4)")).as("g"))
+    val evalGrams = grams.filter(col("doc_id") % 50 === 0)
+      .select(col("g")).distinct().withColumn("hit", lit(1))
+    val hits = grams.filter(col("doc_id") % 50 =!= 0)
+      .join(broadcast(evalGrams), Seq("g"), "left")
+      .groupBy(col("doc_id")).agg(count(col("hit")).as("n_hit"))
+    val flagged = train.join(hits, Seq("doc_id"), "left")
+      .withColumn("s1", col("n").between(15, 80))
+      .withColumn("s2", col("s1") && col("dr") >= 0.45)
+      .withColumn("s3", col("s2") && col("sw") >= 2)
+      .withColumn("first_surv",
+        min(when(col("s3"), col("doc_id"))).over(Window.partitionBy(col("h"))))
+      .withColumn("s4", col("s3") && col("doc_id") === col("first_surv"))
+      .withColumn("s5", col("s4") && coalesce(col("n_hit"), lit(0L)) === 0)
+    flagged.agg(
+      count(lit(1)).as("n0"), count_if(col("s1")).as("n1"),
+      count_if(col("s2")).as("n2"), count_if(col("s3")).as("n3"),
+      count_if(col("s4")).as("n4"), count_if(col("s5")).as("n5"))
+      .select(expr(
+        "stack(5, " +
+          "1, 'length', n0, n1, " +
+          "2, 'diversity', n1, n2, " +
+          "3, 'stopwords', n2, n3, " +
+          "4, 'exact_dedup', n3, n4, " +
+          "5, 'decontaminate', n4, n5) as (stage, stage_name, docs_in, docs_out)"))
+  }
+
+  val q203Sql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, md5(text) AS h, ${TextOps.toksSqlD} AS toks
+       |  FROM documents WHERE doc_id % 50 <> 0),
+       |sh AS (
+       |  SELECT DISTINCT doc_id, t[i]||' '||t[i+1]||' '||t[i+2]||' '||t[i+3] AS g
+       |  FROM (SELECT doc_id, ${TextOps.toksSqlD} AS t FROM documents),
+       |       UNNEST(generate_series(1, len(t) - 3)) AS u(i)),
+       |ev AS (SELECT DISTINCT g FROM sh WHERE doc_id % 50 = 0),
+       |hits AS (
+       |  SELECT sh.doc_id, COUNT(ev.g) AS n_hit
+       |  FROM sh LEFT JOIN ev USING (g) WHERE sh.doc_id % 50 <> 0
+       |  GROUP BY sh.doc_id),
+       |f AS (
+       |  SELECT t.doc_id, h, len(toks) AS n,
+       |    len(list_distinct(toks))::DOUBLE / len(toks) AS dr,
+       |    len(list_filter(toks, x -> x IN ('the', 'a'))) AS sw,
+       |    COALESCE(n_hit, 0) AS n_hit
+       |  FROM t LEFT JOIN hits ON t.doc_id = hits.doc_id),
+       |s AS (
+       |  SELECT doc_id, h, n_hit,
+       |    (n BETWEEN 15 AND 80) AS s1,
+       |    (n BETWEEN 15 AND 80) AND dr >= 0.45 AS s2,
+       |    (n BETWEEN 15 AND 80) AND dr >= 0.45 AND sw >= 2 AS s3
+       |  FROM f),
+       |s2 AS (
+       |  SELECT *, s3 AND doc_id = MIN(CASE WHEN s3 THEN doc_id END)
+       |    OVER (PARTITION BY h) AS s4
+       |  FROM s),
+       |s3t AS (SELECT *, s4 AND n_hit = 0 AS s5 FROM s2),
+       |agg AS (
+       |  SELECT COUNT(*) AS n0, COUNT(*) FILTER (s1) AS n1,
+       |    COUNT(*) FILTER (s2) AS n2, COUNT(*) FILTER (s3) AS n3,
+       |    COUNT(*) FILTER (s4) AS n4, COUNT(*) FILTER (s5) AS n5
+       |  FROM s3t)
+       |SELECT CAST(1 AS INT) AS stage, 'length' AS stage_name, n0 AS docs_in, n1 AS docs_out FROM agg
+       |UNION ALL SELECT CAST(2 AS INT), 'diversity', n1, n2 FROM agg
+       |UNION ALL SELECT CAST(3 AS INT), 'stopwords', n2, n3 FROM agg
+       |UNION ALL SELECT CAST(4 AS INT), 'exact_dedup', n3, n4 FROM agg
+       |UNION ALL SELECT CAST(5 AS INT), 'decontaminate', n4, n5 FROM agg
+       |ORDER BY stage""".stripMargin
+
+  // --------------------------------------------------------------------------
+  // q204 — ZIPF-LAW fit: log-log OLS of frequency vs rank over the top-K
+  // tokens — the corpus-statistics diagnostic behind tokenizer sizing and
+  // vocabulary-truncation decisions (a healthy natural corpus fits slope
+  // ≈ −1; synthetic/templated corpora flatten).
+  //
+  // Scale: the frequency table is one shuffle; the top-K cut is
+  // orderBy+limit → TakeOrderedAndProject (per-partition heaps, K rows to
+  // the driver-side merge — q107's rule, never a global rank window); the
+  // rank window then runs over the ALREADY-BOUNDED K rows. The OLS sums
+  // run as a FIXED-ORDER fold over the rank-sorted point array (both
+  // engines fold rank-ascending on ln values pre-rounded to 1e-6), so the
+  // regression is deterministic cross-engine.
+  def q204ZipfFit(spark: SparkSession, dir: String): DataFrame = {
+    val top = Tables.documents(spark, dir)
+      .select(explode(TextOps.toks).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("f"))
+      .orderBy(col("f").desc, col("w")).limit(30)
+    top
+      .withColumn("rank", row_number().over(Window.orderBy(col("f").desc, col("w"))))
+      .select(round(log(col("rank")), 6).as("x"), round(log(col("f")), 6).as("y"),
+        col("rank"))
+      .agg(sort_array(collect_list(struct(col("rank"), col("x"), col("y")))).as("pts"),
+        count(lit(1)).cast("double").as("k"))
+      .select(col("k"), expr(
+        "aggregate(pts, array(cast(0 as double), cast(0 as double), " +
+          "cast(0 as double), cast(0 as double)), " +
+          "(acc, e) -> array(acc[0] + e.x, acc[1] + e.y, " +
+          "acc[2] + e.x * e.y, acc[3] + e.x * e.x))").as("s"))
+      .select(col("k").cast("int").as("n_points"),
+        round((col("k") * col("s")(2) - col("s")(0) * col("s")(1))
+          / (col("k") * col("s")(3) - col("s")(0) * col("s")(0)), 6).as("slope"),
+        round((col("s")(1) - (col("k") * col("s")(2) - col("s")(0) * col("s")(1))
+          / (col("k") * col("s")(3) - col("s")(0) * col("s")(0)) * col("s")(0))
+          / col("k"), 6).as("intercept"))
+  }
+
+  val q204Sql: String =
+    s"""WITH freq AS (
+       |  SELECT w, COUNT(*) AS f FROM (
+       |    SELECT unnest(${TextOps.toksSqlD}) AS w FROM documents)
+       |  GROUP BY w ORDER BY f DESC, w LIMIT 30),
+       |r AS (
+       |  SELECT ROW_NUMBER() OVER (ORDER BY f DESC, w) AS rank,
+       |    ROUND(ln(ROW_NUMBER() OVER (ORDER BY f DESC, w)), 6) AS x,
+       |    ROUND(ln(f), 6) AS y
+       |  FROM freq),
+       |acc AS (
+       |  SELECT COUNT(*)::DOUBLE AS k,
+       |    list_reduce(
+       |      list_prepend([0.0, 0.0, 0.0, 0.0], list([x, y] ORDER BY rank)),
+       |      (a, e) -> [a[1] + e[1], a[2] + e[2],
+       |                 a[3] + e[1] * e[2], a[4] + e[1] * e[1]]) AS s
+       |  FROM r)
+       |SELECT CAST(k AS INT) AS n_points,
+       |  ROUND((k * s[3] - s[1] * s[2]) / (k * s[4] - s[1] * s[1]), 6) AS slope,
+       |  ROUND((s[2] - (k * s[3] - s[1] * s[2]) / (k * s[4] - s[1] * s[1]) * s[1]) / k, 6)
+       |    AS intercept
+       |FROM acc""".stripMargin
+
+  val catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
+    ("q197_phash_dedup", q197PhashDedup _, Some(q197Sql)),
+    ("q198_market_basket", q198MarketBasket _, Some(q198Sql)),
+    ("q199_robust_scale", q199RobustScale _, Some(q199Sql)),
+    ("q200_zonemap_prune", q200ZoneMapPrune _, Some(q200Sql)),
+    ("q201_decay_profile", q201DecayProfile _, Some(q201Sql)),
+    ("q202_l_diversity", q202LDiversity _, Some(q202Sql)),
+    ("q203_curation_funnel", q203CurationFunnel _, Some(q203Sql)),
+    ("q204_zipf_fit", q204ZipfFit _, Some(q204Sql)))
+}
