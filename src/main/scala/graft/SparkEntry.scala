@@ -16,7 +16,7 @@ object SparkEntry {
       ops.TextOps.catalog ++ ops.CorpusOps.catalog ++ ops.EventOps.catalog ++
       ops.VectorOps.catalog ++
       ops.SeriesOps.catalog ++ ops.EncodeOps.catalog ++ ops.PrepOps.catalog ++
-      ops.TokenizerOps.catalog ++ ops.CurateOps.catalog ++
+      ops.TokenizerOps.catalog ++ ops.CurateOps.catalog ++ ops.RagOps.catalog ++
       ops.PipelineOps.catalog ++ ops.Skew.catalog ++ ops.Metrics.catalog ++
       ops.StreamingOps.catalog ++ ops.Multimodal.catalog ++ Seq(
       ("q50_report_ingest", (s: SparkSession, _: String) => ingest.ReportPipeline.demoQuery(s),

@@ -527,8 +527,226 @@ object CurateOps {
        |    AS intercept
        |FROM acc""".stripMargin
 
+  // --------------------------------------------------------------------------
+  // q206 — TRIANGLE COUNT on the co-purchase graph (edges = part pairs
+  // co-ordered ≥ 2 times, q198's support floor): total triangles plus the
+  // global clustering coefficient 3T / #wedges — the graph-cohesion
+  // diagnostic for recommendation/link data.
+  //
+  // Scale: the scalable algorithm — ORIENT each edge from the
+  // lower-(degree, id) endpoint to the higher, so every triangle is
+  // counted exactly once and the path-join fan-out is bounded by the
+  // oriented out-degree (O(m^1.5) total work — Schank/Wagner), never the
+  // raw degree of hub nodes. Wedge counts come from the degree table
+  // (Σ d·(d−1)/2 — exact longs). The oracle counts unordered triangles
+  // directly (p1<p2<p3 closed triples) — provably the same total.
+  def q206TriangleCount(spark: SparkSession, dir: String): DataFrame = {
+    val items = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val a = items.select(col("l_orderkey").as("ok"), col("l_partkey").as("p1"))
+    val b = items.select(col("l_orderkey").as("ok"), col("l_partkey").as("p2"))
+    val edges = a.join(b, Seq("ok")).filter(col("p1") < col("p2"))
+      .groupBy(col("p1"), col("p2")).agg(count(lit(1)).as("c12"))
+      .filter(col("c12") >= 2).select(col("p1"), col("p2"))
+    val deg = edges.select(col("p1").as("v")).union(edges.select(col("p2").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("d"))
+    val wedges = deg.agg(sum(expr("d * (d - 1) div 2")).as("n_wedges"),
+      count(lit(1)).as("n_nodes"))
+    // orient: lo = endpoint with smaller (degree, id); every triangle has
+    // exactly one vertex with two out-edges under this total order
+    val oriented = edges
+      .join(broadcast(deg.select(col("v").as("p1"), col("d").as("d1"))), Seq("p1"))
+      .join(broadcast(deg.select(col("v").as("p2"), col("d").as("d2"))), Seq("p2"))
+      .select(
+        when(struct(col("d1"), col("p1")) < struct(col("d2"), col("p2")), col("p1"))
+          .otherwise(col("p2")).as("lo"),
+        when(struct(col("d1"), col("p1")) < struct(col("d2"), col("p2")), col("p2"))
+          .otherwise(col("p1")).as("hi"))
+    // path a→b→c implies a ≺ c (transitivity of the orientation order),
+    // so the closing edge is always oriented a→c — a pure equi-join
+    val paths = oriented.select(col("lo").as("a"), col("hi").as("b"))
+      .join(oriented.select(col("lo").as("b"), col("hi").as("c")), Seq("b"))
+    val tri = paths
+      .join(oriented.select(col("lo").as("a"), col("hi").as("c")), Seq("a", "c"))
+      .agg(count(lit(1)).as("n_triangles"))
+    edges.agg(count(lit(1)).as("n_edges")).crossJoin(broadcast(tri))
+      .crossJoin(broadcast(wedges))
+      .select(col("n_nodes"), col("n_edges"), col("n_triangles"), col("n_wedges"),
+        round(lit(3.0) * col("n_triangles") / col("n_wedges"), 6).as("clustering_coeff"))
+  }
+
+  val q206Sql: String =
+    """WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |e AS (
+      |  SELECT a.l_partkey AS p1, b.l_partkey AS p2
+      |  FROM items a JOIN items b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+      |deg AS (
+      |  SELECT v, COUNT(*) AS d FROM (
+      |    SELECT p1 AS v FROM e UNION ALL SELECT p2 FROM e) GROUP BY v),
+      |tri AS (
+      |  SELECT COUNT(*) AS n_triangles
+      |  FROM e e1 JOIN e e2 ON e1.p2 = e2.p1 AND e1.p1 < e2.p1
+      |  JOIN e e3 ON e3.p1 = e1.p1 AND e3.p2 = e2.p2)
+      |SELECT (SELECT COUNT(*) FROM deg) AS n_nodes,
+      |  (SELECT COUNT(*) FROM e) AS n_edges,
+      |  (SELECT n_triangles FROM tri) AS n_triangles,
+      |  (SELECT CAST(SUM(d * (d - 1) // 2) AS BIGINT) FROM deg) AS n_wedges,
+      |  ROUND(3.0::DOUBLE * (SELECT n_triangles FROM tri)
+      |    / (SELECT SUM(d * (d - 1) // 2) FROM deg), 6) AS clustering_coeff""".stripMargin
+
+  // --------------------------------------------------------------------------
+  // q207 — WINSORIZED per-segment statistics: clamp balances at the 1/16
+  // and 15/16 quantiles, then report the clamped mean/std — outlier-robust
+  // feature moments. The clamp quantiles are DYADIC on purpose: with
+  // integer cents and dyadic fractions, linear interpolation is exact in
+  // double REGARDLESS of which algebraically-equal form an engine uses
+  // (lo+f·(hi−lo) vs (1−f)·lo+f·hi diverge in FP for non-dyadic f — the
+  // reason p01/p99 would flake cross-engine; 1/16 ≈ p06 is the nearest
+  // dyadic screen).
+  //
+  // Scale: q199's bounded-domain histogram quantile (one hash groupBy to
+  // the value grid, windows partitioned by segment), then ONE exact-moment
+  // pass: interior sums Σc, Σc² ride long/decimal integer arithmetic and
+  // the clamped tails enter as count·bound products in fixed order — no
+  // order-dependent float accumulation anywhere.
+  def q207WinsorStats(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir).select(
+      col("c_mktsegment").as("seg"),
+      (col("c_acctbal").cast(DecimalType(18, 2)) * 100).cast("long").as("cents"))
+    val hist = cust.groupBy(col("seg"), col("cents")).agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum(col("cnt")).over(
+        Window.partitionBy(col("seg")).orderBy(col("cents"))
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("n", sum(col("cnt")).over(Window.partitionBy(col("seg"))))
+    val qLo = 0.0625; val qHi = 0.9375
+    def vAt(idx: org.apache.spark.sql.Column) = min(when(col("cum") > idx, col("cents")))
+    def loIdx(q: Double) = floor((col("n") - 1).cast("double") * lit(q)).cast("long")
+    def hiIdx(q: Double) = ceil((col("n") - 1).cast("double") * lit(q)).cast("long")
+    val bounds = hist.groupBy(col("seg")).agg(
+      max(col("n")).as("n"),
+      vAt(loIdx(qLo)).as("lo_l"), vAt(hiIdx(qLo)).as("lo_h"),
+      vAt(loIdx(qHi)).as("hi_l"), vAt(hiIdx(qHi)).as("hi_h"))
+    def interp(q: Double, lo: String, hi: String) = {
+      val hq = (col("n") - 1).cast("double") * lit(q)
+      val frac = hq - floor(hq).cast("double")
+      col(lo).cast("double") + frac * (col(hi).cast("double") - col(lo).cast("double"))
+    }
+    val b = bounds.select(col("seg"),
+      interp(qLo, "lo_l", "lo_h").as("plo"), interp(qHi, "hi_l", "hi_h").as("phi"))
+    cust.join(broadcast(b), Seq("seg"))
+      .groupBy(col("seg"))
+      .agg(
+        count(lit(1)).as("n"),
+        count_if(col("cents") < col("plo")).as("n_lo"),
+        count_if(col("cents") > col("phi")).as("n_hi"),
+        sum(when(col("cents").between(col("plo"), col("phi")), col("cents"))
+          .otherwise(0L)).as("s1"),
+        sum(when(col("cents").between(col("plo"), col("phi")),
+          col("cents").cast(DecimalType(38, 0)) * col("cents"))
+          .otherwise(lit(0).cast(DecimalType(38, 0)))).as("s2"),
+        max(col("plo")).as("plo"), max(col("phi")).as("phi"))
+      .withColumn("mean_c",
+        (col("s1").cast("double") + col("n_lo") * col("plo") + col("n_hi") * col("phi"))
+          / col("n"))
+      .withColumn("ex2",
+        (col("s2").cast("double") + col("n_lo") * (col("plo") * col("plo"))
+          + col("n_hi") * (col("phi") * col("phi"))) / col("n"))
+      .withColumn("variance",
+        (col("ex2") - col("mean_c") * col("mean_c")) * col("n") / (col("n") - 1))
+      .select(col("seg").as("c_mktsegment"), col("n"),
+        round(col("plo") / 100.0, 6).as("p_lo"),
+        round(col("phi") / 100.0, 6).as("p_hi"),
+        round(col("mean_c") / 100.0, 6).as("mean_w"),
+        round(sqrt(col("variance")) / 100.0, 6).as("std_w"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  val q207Sql: String =
+    """WITH c AS (
+      |  SELECT c_mktsegment AS seg,
+      |    CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      |  FROM customer),
+      |b AS (
+      |  SELECT seg, quantile_cont(cents, 0.0625) AS plo,
+      |    quantile_cont(cents, 0.9375) AS phi
+      |  FROM c GROUP BY seg),
+      |m AS (
+      |  SELECT seg, plo, phi, COUNT(*) AS n,
+      |    COUNT(*) FILTER (cents < plo) AS n_lo,
+      |    COUNT(*) FILTER (cents > phi) AS n_hi,
+      |    CAST(COALESCE(SUM(cents) FILTER (cents BETWEEN plo AND phi), 0) AS DOUBLE) AS s1,
+      |    CAST(COALESCE(SUM(cents * cents) FILTER (cents BETWEEN plo AND phi), 0) AS DOUBLE) AS s2
+      |  FROM c JOIN b USING (seg) GROUP BY seg, plo, phi),
+      |st AS (
+      |  SELECT seg, n, plo, phi,
+      |    (s1 + n_lo * plo + n_hi * phi) / n AS mean_c,
+      |    (s2 + n_lo * (plo * plo) + n_hi * (phi * phi)) / n AS ex2
+      |  FROM m)
+      |SELECT seg AS c_mktsegment, n,
+      |  ROUND(plo / 100.0, 6) AS p_lo, ROUND(phi / 100.0, 6) AS p_hi,
+      |  ROUND(mean_c / 100.0, 6) AS mean_w,
+      |  ROUND(sqrt((ex2 - mean_c * mean_c) * n / (n - 1)) / 100.0, 6) AS std_w
+      |FROM st ORDER BY c_mktsegment""".stripMargin
+
+  // --------------------------------------------------------------------------
+  // q210 — DATASET-MIXTURE planner: given per-source token counts, target
+  // mixture weights, and a token budget, compute each source's sampling
+  // rate, epoch count (oversampling factor), and expected contribution —
+  // the "data mixture table" a pretraining run is configured from.
+  //
+  // Scale: per-source token counts are one hash aggregate over the corpus
+  // (sources are a bounded domain); the planner math is row-local
+  // arithmetic on that bounded grid against a broadcast 1-row total. The
+  // weights are a literal broadcast config table.
+  def q210MixturePlan(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val weights = Seq(("src0", 3L), ("src1", 3L), ("src2", 2L))
+      .toDF("source", "w") // unlisted sources default to weight 1
+    val tokens = Tables.documents(spark, dir)
+      .withColumn("n_tok", size(TextOps.toks))
+      .groupBy(col("source")).agg(sum(col("n_tok")).as("tokens"))
+      .join(broadcast(weights), Seq("source"), "left")
+      .withColumn("w", coalesce(col("w"), lit(1L)))
+    val totals = tokens.agg(sum(col("w")).as("w_tot"), sum(col("tokens")).as("tok_tot"))
+    tokens.crossJoin(broadcast(totals))
+      // budget = half the corpus tokens; integer div keeps it exact
+      .withColumn("share", col("w").cast("double") / col("w_tot"))
+      // explicit floor: double→long CAST truncates in Spark but rounds in
+      // other engines — floor is the portable spelling
+      .withColumn("target_tokens",
+        expr("cast(floor(share * cast(tok_tot div 2 as double)) as long)"))
+      .withColumn("epochs", round(col("target_tokens").cast("double") / col("tokens"), 6))
+      .select(col("source"), col("tokens"), col("w"),
+        round(col("share"), 6).as("share"), col("target_tokens"), col("epochs"))
+      .orderBy(col("source"))
+  }
+
+  val q210Sql: String =
+    s"""WITH tok AS (
+       |  SELECT source, CAST(SUM(len(${TextOps.toksSqlD})) AS BIGINT) AS tokens
+       |  FROM documents GROUP BY source),
+       |w(source, w) AS (VALUES ('src0', 3), ('src1', 3), ('src2', 2)),
+       |t AS (
+       |  SELECT tok.source, tokens, CAST(COALESCE(w.w, 1) AS BIGINT) AS w
+       |  FROM tok LEFT JOIN w ON tok.source = w.source),
+       |tot AS (
+       |  SELECT CAST(SUM(w) AS BIGINT) AS w_tot, CAST(SUM(tokens) AS BIGINT) AS tok_tot
+       |  FROM t)
+       |SELECT source, tokens, w,
+       |  ROUND(w::DOUBLE / w_tot, 6) AS share,
+       |  CAST(FLOOR(w::DOUBLE / w_tot * CAST(tok_tot // 2 AS DOUBLE)) AS BIGINT)
+       |    AS target_tokens,
+       |  ROUND(CAST(FLOOR(w::DOUBLE / w_tot * CAST(tok_tot // 2 AS DOUBLE)) AS BIGINT)
+       |    ::DOUBLE / tokens, 6) AS epochs
+       |FROM t, tot ORDER BY source""".stripMargin
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q197_phash_dedup", q197PhashDedup _, Some(q197Sql)),
+    ("q206_triangle_count", q206TriangleCount _, Some(q206Sql)),
+    ("q207_winsor_stats", q207WinsorStats _, Some(q207Sql)),
+    ("q210_mixture_plan", q210MixturePlan _, Some(q210Sql)),
     ("q198_market_basket", q198MarketBasket _, Some(q198Sql)),
     ("q199_robust_scale", q199RobustScale _, Some(q199Sql)),
     ("q200_zonemap_prune", q200ZoneMapPrune _, Some(q200Sql)),

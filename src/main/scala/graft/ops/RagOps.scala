@@ -1,0 +1,234 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Retrieval-pipeline operators — [EXT] north-star surface: product
+  * quantization (the memory-compression backbone of billion-vector ANN),
+  * reciprocal-rank fusion of heterogeneous retrieval rankings, and
+  * overlap-chunking with provenance spans (RAG ingestion).
+  */
+object RagOps {
+
+  // --------------------------------------------------------------------------
+  // q205 — PRODUCT QUANTIZATION (Jégou et al.): split the 64-d embedding
+  // into 4 subspaces of 16 dims, learn a 4-codeword codebook per subspace
+  // (init = first K vectors by vec_id, one Lloyd L2 update — q110's
+  // deterministic k-means recipe per subspace), then encode every vector
+  // as 4 small codes + its reconstruction error. PQ is how a 100 TB vector
+  // corpus fits RAM: 64 floats → 4 bytes, with ADC distance computed
+  // against the tiny codebook.
+  //
+  // Determinism: assignment argmin tie-breaks on code (min(struct(d2,
+  // code))); the L2 fold runs in fixed dimension order; centroid updates
+  // use the scaled-long exact mean (order-free integer sums); the final
+  // error is a fixed-order 4-term sum. Bit-identical cross-engine.
+  //
+  // Scale: codebooks are S×K rows — always broadcast; assignment/encode
+  // are linear passes; the update shuffles on (subspace, code, dim) with
+  // map-side partial sums. The one-row-per-(vec, subspace) fan-out is ×4,
+  // not ×dims.
+  def q205PqEncode(spark: SparkSession, dir: String): DataFrame = {
+    val S = 4; val D = 16; val K = 4
+    val sub = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v"))
+      .select(col("vec_id"), explode(expr(
+        s"transform(sequence(0, ${S - 1}), s -> named_struct('s', s, 'sv', slice(v, s * $D + 1, $D)))")).as("e"))
+      .select(col("vec_id"), col("e.s").as("s"), col("e.sv").as("sv"))
+    val d2 = "aggregate(zip_with(sv, cv, (a, b) -> (a - b) * (a - b)), " +
+      "cast(0 as double), (acc, x) -> acc + x)"
+    def assign(cb: DataFrame): DataFrame =
+      sub.join(broadcast(cb), Seq("s"))
+        .withColumn("d2", expr(d2))
+        .groupBy(col("vec_id"), col("s"))
+        .agg(min(struct(col("d2"), col("code"))).as("best"), first(col("sv")).as("sv"))
+        .select(col("vec_id"), col("s"), col("best.code").as("code"),
+          col("best.d2").as("d2"), col("sv"))
+    val init = sub.filter(col("vec_id") < K)
+      .select(col("s"), col("vec_id").cast("int").as("code"), col("sv").as("cv"))
+    val updated = assign(init)
+      .select(col("s"), col("code"), posexplode(col("sv")))
+      .withColumn("vq", expr("cast(floor(col * 1e12 + 0.5d) as long)"))
+      .groupBy(col("s"), col("code"), col("pos"))
+      .agg((sum(col("vq")).cast("double") / 1e12 / count(lit(1))).as("c"))
+      .groupBy(col("s"), col("code"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
+      .select(col("s"), col("code"), expr("transform(pc, x -> x.c)").as("cv"))
+      .localCheckpoint() // truncate the Lloyd lineage (q110 lesson)
+    assign(updated)
+      .groupBy(col("vec_id"))
+      .agg(
+        max(when(col("s") === 0, col("code"))).as("c0"),
+        max(when(col("s") === 1, col("code"))).as("c1"),
+        max(when(col("s") === 2, col("code"))).as("c2"),
+        max(when(col("s") === 3, col("code"))).as("c3"),
+        max(when(col("s") === 0, col("d2"))).as("e0"),
+        max(when(col("s") === 1, col("d2"))).as("e1"),
+        max(when(col("s") === 2, col("d2"))).as("e2"),
+        max(when(col("s") === 3, col("d2"))).as("e3"))
+      .select(col("vec_id"), col("c0"), col("c1"), col("c2"), col("c3"),
+        round(col("e0") + col("e1") + col("e2") + col("e3"), 6).as("rec_err"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** The shipped PQ fit replayed in DuckDB: per subspace, init from the
+    * first K subvectors, one scaled-long Lloyd update, encode with
+    * (d2 ASC, code ASC) tie-break — mirrors min(struct(d2, code)).
+    */
+  val q205Sql: String = {
+    val d2 = "list_reduce(list_transform(range(1, 17), " +
+      "d -> (sv[d] - cv[d]) * (sv[d] - cv[d])), (x, y) -> x + y)"
+    s"""WITH sub AS (
+       |  SELECT vec_id, s,
+       |    list_transform(embedding[s * 16 + 1 : s * 16 + 16], x -> x::DOUBLE) AS sv
+       |  FROM embeddings, UNNEST(range(4)) AS g(s)),
+       |init AS (
+       |  SELECT s, CAST(vec_id AS INT) AS code, sv AS cv FROM sub WHERE vec_id < 4),
+       |a0 AS (
+       |  SELECT vec_id, s, code, sv FROM (
+       |    SELECT b.vec_id, b.s, c.code, b.sv,
+       |      ROW_NUMBER() OVER (PARTITION BY b.vec_id, b.s
+       |        ORDER BY $d2 ASC, c.code ASC) AS rn
+       |    FROM sub b JOIN init c USING (s)) WHERE rn = 1),
+       |cb AS (
+       |  SELECT s, code, list(c ORDER BY dim) AS cv FROM (
+       |    SELECT s, code, dim, CAST(SUM(vq) AS DOUBLE) / 1e12 / COUNT(*) AS c FROM (
+       |      SELECT s, code, generate_subscripts(sv, 1) AS dim,
+       |        CAST(FLOOR(unnest(sv) * 1e12 + 0.5) AS BIGINT) AS vq
+       |      FROM a0)
+       |    GROUP BY s, code, dim)
+       |  GROUP BY s, code),
+       |enc AS (
+       |  SELECT vec_id, s, code, d2 FROM (
+       |    SELECT b.vec_id, b.s, c.code, $d2 AS d2,
+       |      ROW_NUMBER() OVER (PARTITION BY b.vec_id, b.s
+       |        ORDER BY $d2 ASC, c.code ASC) AS rn
+       |    FROM sub b JOIN cb c USING (s)) WHERE rn = 1)
+       |SELECT vec_id,
+       |  MAX(CASE WHEN s=0 THEN code END) AS c0, MAX(CASE WHEN s=1 THEN code END) AS c1,
+       |  MAX(CASE WHEN s=2 THEN code END) AS c2, MAX(CASE WHEN s=3 THEN code END) AS c3,
+       |  ROUND(MAX(CASE WHEN s=0 THEN d2 END) + MAX(CASE WHEN s=1 THEN d2 END)
+       |      + MAX(CASE WHEN s=2 THEN d2 END) + MAX(CASE WHEN s=3 THEN d2 END), 6)
+       |    AS rec_err
+       |FROM enc GROUP BY vec_id ORDER BY vec_id""".stripMargin
+  }
+
+  // --------------------------------------------------------------------------
+  // q208 — RECIPROCAL-RANK FUSION (Cormack et al.): fuse two retrieval
+  // rankings — BM25 and TF-IDF — into one list per query term via
+  // RRF(d) = Σ 1/(60 + rank_i(d)), the standard hybrid-search merge that
+  // needs no score calibration between retrievers.
+  //
+  // Determinism: both ranks are integer row_numbers with (score DESC,
+  // doc_id) total-order tie-breaks; the fused score is a fixed two-term
+  // sum of exact-integer-denominator divisions.
+  //
+  // Scale: query terms are a top-K broadcast (TakeOrderedAndProject);
+  // scoring is one pass over the posting lists (term-partitioned); the
+  // rank windows partition BY TERM; corpus stats (N, avgdl) ride broadcast
+  // 1-row aggregates.
+  def q208RrfFusion(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), TextOps.toks.as("toks"))
+      .withColumn("dl", size(col("toks")))
+    // avgdl = exact long sum / count (engine AVG accumulators differ)
+    val nDocs = docs.agg(count(lit(1)).cast("double").as("n_docs"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+    val posting = docs.select(col("doc_id"), col("dl"), explode(col("toks")).as("w"))
+      .groupBy(col("w"), col("doc_id"), col("dl")).agg(count(lit(1)).as("tf"))
+    val df = posting.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    val queries = df.orderBy(col("df").desc, col("w")).limit(3)
+      .select(col("w"), col("df"))
+    val scored = posting.join(broadcast(queries), Seq("w"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("idf", log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
+      .withColumn("bm25", col("idf") * (col("tf") * 2.2)
+        / (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
+      .withColumn("tfidf", col("tf") * log(col("n_docs") / col("df")))
+    val byTerm = Window.partitionBy(col("w"))
+    val ranked = scored
+      .withColumn("r_bm25", row_number().over(byTerm.orderBy(col("bm25").desc, col("doc_id"))))
+      .withColumn("r_tfidf", row_number().over(byTerm.orderBy(col("tfidf").desc, col("doc_id"))))
+      .withColumn("rrf", round(lit(1.0) / (col("r_bm25") + 60) + lit(1.0) / (col("r_tfidf") + 60), 6))
+      .withColumn("r_fused", row_number().over(byTerm.orderBy(col("rrf").desc, col("doc_id"))))
+    ranked.filter(col("r_fused") <= 5)
+      .select(col("w").as("term"), col("r_fused"), col("doc_id"),
+        col("r_bm25"), col("r_tfidf"), col("rrf"))
+      .orderBy(col("term"), col("r_fused"))
+  }
+
+  val q208Sql: String =
+    s"""WITH docs AS (
+       |  SELECT doc_id, ${TextOps.toksSqlD} AS toks FROM documents),
+       |stats AS (
+       |  SELECT COUNT(*)::DOUBLE AS n_docs,
+       |    CAST(SUM(len(toks)) AS DOUBLE) / COUNT(*) AS avgdl FROM docs),
+       |posting AS (
+       |  SELECT w, doc_id, dl, COUNT(*) AS tf FROM (
+       |    SELECT doc_id, len(toks) AS dl, unnest(toks) AS w FROM docs)
+       |  GROUP BY 1, 2, 3),
+       |dfreq AS (SELECT w, COUNT(*) AS df FROM posting GROUP BY w),
+       |queries AS (SELECT w, df FROM dfreq ORDER BY df DESC, w LIMIT 3),
+       |scored AS (
+       |  SELECT p.w, p.doc_id,
+       |    ln((n_docs - q.df + 0.5) / (q.df + 0.5) + 1.0)
+       |      * (p.tf::DOUBLE * 2.2::DOUBLE)
+       |      / (p.tf + 1.2::DOUBLE * (0.25 + 0.75::DOUBLE * p.dl / avgdl)) AS bm25,
+       |    p.tf * ln(n_docs / q.df) AS tfidf
+       |  FROM posting p JOIN queries q USING (w), stats),
+       |ranked AS (
+       |  SELECT w, doc_id,
+       |    ROW_NUMBER() OVER (PARTITION BY w ORDER BY bm25 DESC, doc_id) AS r_bm25,
+       |    ROW_NUMBER() OVER (PARTITION BY w ORDER BY tfidf DESC, doc_id) AS r_tfidf
+       |  FROM scored),
+       |fused AS (
+       |  SELECT w, doc_id, r_bm25, r_tfidf,
+       |    ROUND(1.0::DOUBLE / (r_bm25 + 60) + 1.0::DOUBLE / (r_tfidf + 60), 6) AS rrf
+       |  FROM ranked),
+       |final AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY w ORDER BY rrf DESC, doc_id) AS r_fused
+       |  FROM fused)
+       |SELECT w AS term, CAST(r_fused AS INT) AS r_fused, doc_id,
+       |  CAST(r_bm25 AS INT) AS r_bm25, CAST(r_tfidf AS INT) AS r_tfidf, rrf
+       |FROM final WHERE r_fused <= 5 ORDER BY term, r_fused""".stripMargin
+
+  // --------------------------------------------------------------------------
+  // q209 — OVERLAP CHUNKING with provenance: split every document into
+  // 8-token windows at stride 4 (50% overlap — the RAG ingestion default),
+  // carrying (start, end) token spans and a chunk content hash for
+  // chunk-level dedup downstream.
+  //
+  // Scale: fully row-local — the chunk fan-out is size/stride per doc, no
+  // shuffle until a consumer aggregates. The span arithmetic is integer;
+  // the hash is md5 of the joined token slice (engine-portable).
+  def q209ChunkOverlap(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), TextOps.toks.as("toks"))
+      .withColumn("n", size(col("toks")))
+      .select(col("doc_id"), col("n"), col("toks"),
+        posexplode(expr("sequence(1, greatest(n - 7, 1), 4)")))
+      .select(col("doc_id"), (col("pos") + 1).as("chunk_id"),
+        col("col").as("start_tok"),
+        least(col("col") + 7, col("n")).as("end_tok"),
+        md5(expr("cast(concat_ws(' ', slice(toks, col, 8)) as binary)")).as("chunk_md5"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+
+  val q209Sql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, ${TextOps.toksSqlD} AS toks FROM documents),
+       |c AS (
+       |  SELECT doc_id, s, len(toks) AS n,
+       |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY s) AS chunk_id,
+       |    array_to_string(toks[s : s + 7], ' ') AS chunk
+       |  FROM t, UNNEST(generate_series(1, greatest(len(toks) - 7, 1), 4)) AS g(s))
+       |SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id, s AS start_tok,
+       |  LEAST(s + 7, n) AS end_tok, md5(chunk) AS chunk_md5
+       |FROM c ORDER BY doc_id, chunk_id""".stripMargin
+
+  val catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
+    ("q205_pq_encode", q205PqEncode _, Some(q205Sql)),
+    ("q208_rrf_fusion", q208RrfFusion _, Some(q208Sql)),
+    ("q209_chunk_overlap", q209ChunkOverlap _, Some(q209Sql)))
+}
