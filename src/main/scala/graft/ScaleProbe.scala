@@ -136,6 +136,20 @@ object ScaleProbe {
       .write.mode("overwrite").parquet(s"$dir/orders.parquet")
   }
 
+  /** lineitem: 600000·m rows, 4 items per order over a parts domain that
+    * scales with m (2000·m) — q198/q206's input. Scaling the domain with
+    * the corpus keeps pair-collision density constant (a FIXED parts
+    * domain would make co-purchase pair counts grow quadratically — the
+    * q31 degenerate-vocab lesson applied to baskets).
+    */
+  private def genLineitem(spark: SparkSession, dir: String, m: Int): Unit = {
+    val n = 600000L * m
+    spark.range(n).select(
+      (col("id") / 4 + 1).cast("long").as("l_orderkey"),
+      (pmod(xxhash64(col("id"), lit(43)), lit(2000L * m)) + 1).as("l_partkey"))
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+  }
+
   private val probeQueries = Seq(
     "q31_ngram_jaccard", "q32_minhash_lsh", "q104_cosine_neardup_lsh",
     "q113_span_dedup", "q121_record_linkage",
@@ -143,7 +157,14 @@ object ScaleProbe {
     // round-5 additions on the same generated tables: the containment
     // inverted-index join (q31's family, no size prune), the one-window
     // novelty attribution, and BPE training over the Heaps-bounded vocab
-    "q176_containment", "q185_novelty", "q183_bpe_train")
+    "q176_containment", "q185_novelty", "q183_bpe_train",
+    // round-6 additions: the banded-hamming phash join (decode + LSH),
+    // basket pair fan-out and its triangle closure, the bounded-histogram
+    // quantile scaler, the one-plan curation funnel, per-subspace PQ fit,
+    // and row-local chunking
+    "q197_phash_dedup", "q198_market_basket", "q206_triangle_count",
+    "q199_robust_scale", "q203_curation_funnel", "q205_pq_encode",
+    "q209_chunk_overlap")
 
   def main(args: Array[String]): Unit = {
     val scales = if (args.nonEmpty) args.map(_.toInt).toSeq else Seq(1, 2, 5, 10)
@@ -169,6 +190,7 @@ object ScaleProbe {
             .toAbsolutePath.toString
           genDocuments(spark, d, m); genEmbeddings(spark, d, m)
           genOrders(spark, d, m); genCustomer(spark, d, m)
+          genLineitem(spark, d, m)
           d
         }
       probeQueries.foreach { name => timed(name, m)(SparkEntry.queries(name)(spark, dir).count()) }

@@ -479,8 +479,81 @@ object StreamingOps {
       |        ORDER BY ts DESC, event_id DESC) AS rn FROM events)
       |WHERE rn = 1 ORDER BY user_id""".stripMargin
 
+  // --------------------------------------------------------------------------
+  // q211 — stream-stream LEFT OUTER interval join e2e: q157's click→
+  // purchase attribution, but clicks with NO purchase in their 30-minute
+  // window are ALSO emitted (purchase_id null) — the semantics every
+  // "sessions without conversion" stream needs. The subtlety this entry
+  // pins: a null row can only be emitted once the GLOBAL watermark (min
+  // over both streams' max-event-time, minus the 10-minute delay) closes
+  // the click's join window; clicks newer than wm − 30min stay in state
+  // when the AvailableNow run drains, and are NOT in the result. The
+  // batch oracle states that closure rule explicitly — matched pairs are
+  // watermark-independent, unmatched clicks appear iff
+  // click.ts + 30min < min(max_click_ts, max_purchase_ts) − 10min.
+  //
+  // Scale: identical to q157 (shuffle per side on user_id,
+  // watermark-bounded state) — the outer semantics add no state beyond
+  // the left rows the inner join already buffers.
+  def q211StreamOuterJoin(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val src = eventsZone(spark, dir)
+    val schema = spark.read.parquet(src).schema
+    def side(t: String) = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 2).parquet(src)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+      .filter(col("event_type") === t)
+      .withWatermark("ts", "10 minutes")
+    val joined = side("click").alias("c")
+      .join(side("purchase").alias("p"),
+        expr("""c.user_id = p.user_id AND
+                p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTES"""),
+        "leftOuter")
+      .select(col("c.user_id").as("user_id"),
+        col("c.event_id").as("click_id"), col("p.event_id").as("purchase_id"))
+    val qname = "graft_q211_result"
+    withStatePartitions(spark, 8) {
+      val query = joined.writeStream.format("memory").queryName(qname)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      query.awaitTermination()
+    }
+    spark.table(qname)
+      .groupBy(col("user_id"))
+      .agg(count(col("purchase_id")).as("n_matched"),
+        count_if(col("purchase_id").isNull).as("n_unmatched_closed"))
+      .orderBy(col("user_id"))
+  }
+
+  val q211Sql: String =
+    """WITH c AS (
+      |  SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'),
+      |p AS (
+      |  SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'),
+      |wm AS (
+      |  SELECT LEAST((SELECT MAX(ts) FROM c), (SELECT MAX(ts) FROM p))
+      |    - INTERVAL '10 minutes' AS w),
+      |matched AS (
+      |  SELECT c.user_id, COUNT(*) AS n_matched
+      |  FROM c JOIN p ON c.user_id = p.user_id
+      |    AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL '30 minutes'
+      |  GROUP BY c.user_id),
+      |unmatched AS (
+      |  SELECT c.user_id, COUNT(*) AS n_unmatched
+      |  FROM c, wm
+      |  WHERE c.ts + INTERVAL '30 minutes' < wm.w
+      |    AND NOT EXISTS (
+      |      SELECT 1 FROM p WHERE p.user_id = c.user_id
+      |        AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL '30 minutes')
+      |  GROUP BY c.user_id)
+      |SELECT COALESCE(m.user_id, u.user_id) AS user_id,
+      |  CAST(COALESCE(n_matched, 0) AS BIGINT) AS n_matched,
+      |  CAST(COALESCE(n_unmatched, 0) AS BIGINT) AS n_unmatched_closed
+      |FROM matched m FULL OUTER JOIN unmatched u ON m.user_id = u.user_id
+      |ORDER BY user_id""".stripMargin
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q60_tumbling_window", q60Tumbling _, Some(q60Sql)),
+    ("q211_stream_outer_join", q211StreamOuterJoin _, Some(q211Sql)),
     ("q61_sliding_window", q61Sliding _, Some(q61Sql)),
     ("q62_session_window", q62Session _, Some(q62Sql)),
     ("q63_stream_dedup", q63Dedup _, Some(q63Sql)),

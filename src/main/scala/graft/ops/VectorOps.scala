@@ -687,8 +687,86 @@ object VectorOps {
       |FROM assigned LEFT JOIN removed r USING (cluster, vec_id)
       |GROUP BY cluster ORDER BY cluster""".stripMargin
 
+  // --------------------------------------------------------------------------
+  // q212 — EMBEDDING-SPACE OUTLIER filter: assign every vector to its
+  // nearest seed centroid (q172's broadcast argmax), then flag vectors
+  // whose similarity-to-centroid z-score sits below −2 within their
+  // cluster — the "drop embedding-space junk before training" screen
+  // (mislabeled/degenerate samples land far from every centroid).
+  //
+  // Determinism: the per-row cosine is a fixed-order fold; cluster
+  // mean/std go through the scaled-long policy (sims quantized to the
+  // 1e-12 grid, Σq as exact longs, Σq² as DECIMAL(38,0)) so the moments
+  // are order-free; the z division is per-row IEEE.
+  //
+  // Scale: one broadcast-assignment pass, one hash agg to the k-row
+  // cluster-stats table, broadcast back — two linear passes, no windows.
+  def q212EmbeddingOutliers(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.CosineSimilarity.register(spark)
+    val emb = Tables.embeddings(spark, dir)
+    val seeds = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), vd.as("cv"))
+    val assigned = emb.select(col("vec_id"), vd.as("v"))
+      .crossJoin(broadcast(seeds))
+      .withColumn("sim", expr("cosine_sim(v, cv)"))
+      .groupBy(col("vec_id"))
+      .agg(max(struct(col("sim"), (-col("cid")).as("nc"))).as("m"))
+      .select(col("vec_id"), (-col("m.nc")).as("cluster"), col("m.sim").as("sim"))
+      .withColumn("sq", expr("cast(floor(sim * 1e12 + 0.5d) as long)"))
+    val stats = assigned.groupBy(col("cluster")).agg(
+      count(lit(1)).as("n"),
+      sum(col("sq")).as("s1"),
+      sum(col("sq").cast(org.apache.spark.sql.types.DecimalType(38, 0)) * col("sq")).as("s2"))
+      .withColumn("mean_s", col("s1").cast("double") / 1e12 / col("n"))
+      .withColumn("ex2", col("s2").cast("double") / 1e24 / col("n"))
+      // singleton clusters have no spread: std (and so z/is_outlier) is
+      // null rather than a divide-by-zero
+      .withColumn("std_s", when(col("n") > 1,
+        sqrt((col("ex2") - col("mean_s") * col("mean_s"))
+          * col("n") / (col("n") - 1))))
+      .select(col("cluster"), col("mean_s"), col("std_s"))
+    assigned.join(broadcast(stats), Seq("cluster"))
+      .withColumn("z", (col("sim") - col("mean_s")) / col("std_s"))
+      .select(col("vec_id"), col("cluster"), round(col("sim"), 6).as("sim"),
+        round(col("z"), 4).as("z"), (col("z") < -2.0).as("is_outlier"))
+      .orderBy(col("vec_id"))
+  }
+
+  val q212Sql: String =
+    """WITH base AS (
+      |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v,
+      |    list_reduce(list_transform(embedding, x -> x::DOUBLE * x), (a, b) -> a + b) AS n2
+      |  FROM embeddings),
+      |seeds AS (SELECT vec_id AS cid, v AS cv, n2 AS cn2 FROM base WHERE vec_id < 8),
+      |assigned AS (
+      |  SELECT vec_id, cid AS cluster, sim,
+      |    CAST(FLOOR(sim * 1e12 + 0.5) AS BIGINT) AS sq FROM (
+      |    SELECT b.vec_id, s.cid,
+      |      list_reduce(list_transform(range(1, 65), i -> b.v[i] * s.cv[i]),
+      |        (x, y) -> x + y) / sqrt(b.n2 * s.cn2) AS sim,
+      |      ROW_NUMBER() OVER (PARTITION BY b.vec_id
+      |        ORDER BY list_reduce(list_transform(range(1, 65), i -> b.v[i] * s.cv[i]),
+      |          (x, y) -> x + y) / sqrt(b.n2 * s.cn2) DESC, s.cid ASC) AS rk
+      |    FROM base b CROSS JOIN seeds s) WHERE rk = 1),
+      |stats AS (
+      |  SELECT cluster, COUNT(*) AS n,
+      |    CAST(SUM(sq) AS DOUBLE) / 1e12 / COUNT(*) AS mean_s,
+      |    CAST(SUM(sq::HUGEINT * sq) AS DOUBLE) / 1e24 / COUNT(*) AS ex2
+      |  FROM assigned GROUP BY cluster),
+      |st AS (
+      |  SELECT cluster, mean_s,
+      |    CASE WHEN n > 1
+      |         THEN sqrt((ex2 - mean_s * mean_s) * n / (n - 1)) END AS std_s
+      |  FROM stats)
+      |SELECT vec_id, cluster, ROUND(sim, 6) AS sim,
+      |  ROUND((sim - mean_s) / std_s, 4) AS z,
+      |  (sim - mean_s) / std_s < -2.0 AS is_outlier
+      |FROM assigned JOIN st USING (cluster)
+      |ORDER BY vec_id""".stripMargin
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q40_cosine_topk", q40CosineTopk _, Some(q40Sql)),
+    ("q212_embedding_outliers", q212EmbeddingOutliers _, Some(q212Sql)),
     ("q172_semantic_dedup", q172SemanticDedup _, Some(q172Sql)),
     ("q141_cov_matrix", q141CovMatrix _, Some(q141Sql)),
     // q49 (exact all-pairs BNLJ near-dup) is deliberately NOT cataloged:

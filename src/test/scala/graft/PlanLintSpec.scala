@@ -61,7 +61,9 @@ class PlanLintSpec extends SparkSpec {
     "q72_fuzzy_match" ->
       "documented all-pairs BASELINE twin over the distinct-name vocabulary (broadcast side is the vocabulary, not the fact table); q105 is the blocked scale path with the same oracle",
     "q172_semantic_dedup" ->
-      "broadcast(8 seed centroids) cross join — k rows by construction (nearest-centroid assignment pass, q110's pattern); pair generation itself is the banded equi-join")
+      "broadcast(8 seed centroids) cross join — k rows by construction (nearest-centroid assignment pass, q110's pattern); pair generation itself is the banded equi-join",
+    "q212_embedding_outliers" ->
+      "broadcast(8 seed centroids) cross join — k rows by construction (q172's assignment pass); the stats join-back is an equi-join on cluster")
 
   private def bounded(p: LogicalPlan): Boolean = p.maxRows.exists(_ <= boundedRows)
 

@@ -48,4 +48,23 @@ class StreamingMoreSpec extends SparkSpec {
     assert(math.abs(est - exact) <= exact * 0.05,
       s"est $est vs exact $exact beyond 5%")
   }
+
+  test("q211 left-outer stream join: null rows emit only for watermark-closed clicks") {
+    val min = 60L * ns
+    // u1: matched pair. u2: unmatched click whose 30-min window closes
+    // well before the watermark (wm = min(maxClick, maxPurchase) - 10min
+    // = t0 + 90min). u3: unmatched click AT t0+100min — its window is
+    // still open at drain time, so it must stay in state and NOT appear.
+    // u4: purchase with no click — the left-outer join never emits it.
+    val d = eventsDir(Seq(
+      (1L, t0, 1L, "click", 1.0),
+      (2L, t0 + 10 * min, 1L, "purchase", 5.0),
+      (3L, t0, 2L, "click", 1.0),
+      (4L, t0 + 100 * min, 3L, "click", 1.0),
+      (5L, t0 + 100 * min, 4L, "purchase", 9.0)))
+    val got = StreamingOps.q211StreamOuterJoin(spark, d).collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        ((r.getAs[Long]("n_matched"), r.getAs[Long]("n_unmatched_closed")))).toMap
+    assert(got === Map(1L -> ((1L, 0L)), 2L -> ((0L, 1L))))
+  }
 }

@@ -159,4 +159,33 @@ class VectorOpsSpec extends SparkSpec {
     // sanity: every diagonal cell is a variance, strictly positive here
     for (i <- 1 to d) assert(got((i, i)) > 0.0, s"var($i)")
   }
+
+  test("q212 flags exactly the planted embedding-space outlier") {
+    import spark.implicits._
+    // seeds 0..7 = unit axes; 17 near-copies of seed 0 (tiny jitter on a
+    // non-seed dim) and ONE vector pointing mostly off-axis: it still
+    // assigns to cluster 0 (sim ~0.29, higher than to any other seed) but
+    // sits far below the cluster's tight similarity distribution -> the
+    // only z < -2.
+    def axis(k: Int): Array[Float] =
+      Array.tabulate(64)(i => if (i == k) 1.0f else 0.0f)
+    val members = (0 until 17).map { j =>
+      val v = axis(0); v(8) = 0.001f * (j + 1); (8L + j, v, 0)
+    }
+    val outlier = {
+      val v = Array.fill(64)(0.0f); v(0) = 0.3f; v(9) = 1.0f; (25L, v, 0)
+    }
+    val rows = (0 until 8).map(k => (k.toLong, axis(k), 0)) ++ members :+ outlier
+    val dir = java.nio.file.Files.createTempDirectory("graft_q212").toString
+    rows.toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.parquet(s"$dir/embeddings.parquet")
+    val got = VectorOps.q212EmbeddingOutliers(spark, dir).collect()
+    val flagged = got.filter(_.getAs[Boolean]("is_outlier")).map(_.getAs[Long]("vec_id"))
+    assert(flagged.toSeq === Seq(25L))
+    val byId = got.map(r => r.getAs[Long]("vec_id") -> r).toMap
+    assert(byId(25L).getAs[Long]("cluster") === 0L)
+    assert(byId(25L).getAs[Double]("z") < -2.0)
+    // the tight members sit above the mean of their own cluster's spread
+    assert(byId(10L).getAs[Double]("z") > -1.0)
+  }
 }
