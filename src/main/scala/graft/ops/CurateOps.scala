@@ -62,7 +62,11 @@ object CurateOps {
   }
 
   def q197PhashDedup(spark: SparkSession, dir: String): DataFrame =
-    phashPairs(pHashBands(Multimodal.mediaTable(spark, dir)), maxHamming = 3)
+    // materialize the signature table (doc_id + 4 shorts) before the
+    // self-join: without it both join sides re-decode every PNG — at scale
+    // the persisted signature table IS the artifact this operator builds
+    phashPairs(pHashBands(Multimodal.mediaTable(spark, dir)).localCheckpoint(),
+      maxHamming = 3)
 
   /** (doc_id, b0..b3) → near-dup pairs at Hamming ≤ maxHamming. Banded
     * equi-join is exact (zero recall loss) for maxHamming < 4.
@@ -137,8 +141,11 @@ object CurateOps {
   // total is a broadcast 1-row aggregate. Counts are exact longs; the
   // three ratios are per-row double divisions (deterministic), ROUND 6.
   def q198MarketBasket(spark: SparkSession, dir: String): DataFrame = {
+    // the distinct-items shuffle feeds FOUR consumers (order total, item
+    // counts, both pair-join sides) — materialize it once instead of
+    // re-running the dedup per branch (at scale: a persisted staging table)
     val items = Tables.lineitem(spark, dir)
-      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .select(col("l_orderkey"), col("l_partkey")).distinct().localCheckpoint()
     val nOrd = items.agg(countDistinct(col("l_orderkey")).as("n_orders"))
     val itemCnt = items.groupBy(col("l_partkey")).agg(count(lit(1)).as("c"))
     val a = items.select(col("l_orderkey").as("ok"), col("l_partkey").as("p1"))
@@ -542,12 +549,15 @@ object CurateOps {
   // directly (p1<p2<p3 closed triples) — provably the same total.
   def q206TriangleCount(spark: SparkSession, dir: String): DataFrame = {
     val items = Tables.lineitem(spark, dir)
-      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .select(col("l_orderkey"), col("l_partkey")).distinct().localCheckpoint()
     val a = items.select(col("l_orderkey").as("ok"), col("l_partkey").as("p1"))
     val b = items.select(col("l_orderkey").as("ok"), col("l_partkey").as("p2"))
+    // the edge table feeds degree counts, the orientation, and the edge
+    // total — materialize once; its size is |co-purchase pairs|, tiny
+    // next to the basket self-join that produces it
     val edges = a.join(b, Seq("ok")).filter(col("p1") < col("p2"))
       .groupBy(col("p1"), col("p2")).agg(count(lit(1)).as("c12"))
-      .filter(col("c12") >= 2).select(col("p1"), col("p2"))
+      .filter(col("c12") >= 2).select(col("p1"), col("p2")).localCheckpoint()
     val deg = edges.select(col("p1").as("v")).union(edges.select(col("p2").as("v")))
       .groupBy(col("v")).agg(count(lit(1)).as("d"))
     val wedges = deg.agg(sum(expr("d * (d - 1) div 2")).as("n_wedges"),
