@@ -30,25 +30,33 @@ object RagOps {
   // are linear passes; the update shuffles on (subspace, code, dim) with
   // map-side partial sums. The one-row-per-(vec, subspace) fan-out is ×4,
   // not ×dims.
-  def q205PqEncode(spark: SparkSession, dir: String): DataFrame = {
-    val S = 4; val D = 16; val K = 4
-    val sub = Tables.embeddings(spark, dir)
+  /** (vec_id, s, sv): every vector split into 4 16-dim subvectors. */
+  private[ops] def pqSub(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
       .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v"))
       .select(col("vec_id"), explode(expr(
-        s"transform(sequence(0, ${S - 1}), s -> named_struct('s', s, 'sv', slice(v, s * $D + 1, $D)))")).as("e"))
+        "transform(sequence(0, 3), s -> named_struct('s', s, 'sv', slice(v, s * 16 + 1, 16)))")).as("e"))
       .select(col("vec_id"), col("e.s").as("s"), col("e.sv").as("sv"))
-    val d2 = "aggregate(zip_with(sv, cv, (a, b) -> (a - b) * (a - b)), " +
-      "cast(0 as double), (acc, x) -> acc + x)"
-    def assign(cb: DataFrame): DataFrame =
-      sub.join(broadcast(cb), Seq("s"))
-        .withColumn("d2", expr(d2))
-        .groupBy(col("vec_id"), col("s"))
-        .agg(min(struct(col("d2"), col("code"))).as("best"), first(col("sv")).as("sv"))
-        .select(col("vec_id"), col("s"), col("best.code").as("code"),
-          col("best.d2").as("d2"), col("sv"))
-    val init = sub.filter(col("vec_id") < K)
+
+  private val d2Sub = "aggregate(zip_with(sv, cv, (a, b) -> (a - b) * (a - b)), " +
+    "cast(0 as double), (acc, x) -> acc + x)"
+
+  /** Nearest-codeword assignment per (vector, subspace); tie-break on code. */
+  private[ops] def pqAssign(sub: DataFrame, cb: DataFrame): DataFrame =
+    sub.join(broadcast(cb), Seq("s"))
+      .withColumn("d2", expr(d2Sub))
+      .groupBy(col("vec_id"), col("s"))
+      .agg(min(struct(col("d2"), col("code"))).as("best"), first(col("sv")).as("sv"))
+      .select(col("vec_id"), col("s"), col("best.code").as("code"),
+        col("best.d2").as("d2"), col("sv"))
+
+  /** Deterministic PQ codebook: init = first K subvectors by vec_id, one
+    * scaled-long Lloyd update, checkpointed (q110 lineage lesson).
+    */
+  private[ops] def pqCodebook(sub: DataFrame): DataFrame = {
+    val init = sub.filter(col("vec_id") < 4)
       .select(col("s"), col("vec_id").cast("int").as("code"), col("sv").as("cv"))
-    val updated = assign(init)
+    pqAssign(sub, init)
       .select(col("s"), col("code"), posexplode(col("sv")))
       .withColumn("vq", expr("cast(floor(col * 1e12 + 0.5d) as long)"))
       .groupBy(col("s"), col("code"), col("pos"))
@@ -56,8 +64,12 @@ object RagOps {
       .groupBy(col("s"), col("code"))
       .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
       .select(col("s"), col("code"), expr("transform(pc, x -> x.c)").as("cv"))
-      .localCheckpoint() // truncate the Lloyd lineage (q110 lesson)
-    assign(updated)
+      .localCheckpoint()
+  }
+
+  def q205PqEncode(spark: SparkSession, dir: String): DataFrame = {
+    val sub = pqSub(spark, dir)
+    pqAssign(sub, pqCodebook(sub))
       .groupBy(col("vec_id"))
       .agg(
         max(when(col("s") === 0, col("code"))).as("c0"),
@@ -77,10 +89,14 @@ object RagOps {
     * first K subvectors, one scaled-long Lloyd update, encode with
     * (d2 ASC, code ASC) tie-break — mirrors min(struct(d2, code)).
     */
-  val q205Sql: String = {
-    val d2 = "list_reduce(list_transform(range(1, 17), " +
-      "d -> (sv[d] - cv[d]) * (sv[d] - cv[d])), (x, y) -> x + y)"
-    s"""WITH sub AS (
+  private val pqD2Sql = "list_reduce(list_transform(range(1, 17), " +
+    "d -> (sv[d] - cv[d]) * (sv[d] - cv[d])), (x, y) -> x + y)"
+
+  /** Shared PQ CTE chain: subvectors → init codebook → one Lloyd update →
+    * per-(vector, subspace) codes. Reused by q205 and q213.
+    */
+  private val pqSqlCtes: String =
+    s"""sub AS (
        |  SELECT vec_id, s,
        |    list_transform(embedding[s * 16 + 1 : s * 16 + 16], x -> x::DOUBLE) AS sv
        |  FROM embeddings, UNNEST(range(4)) AS g(s)),
@@ -90,7 +106,7 @@ object RagOps {
        |  SELECT vec_id, s, code, sv FROM (
        |    SELECT b.vec_id, b.s, c.code, b.sv,
        |      ROW_NUMBER() OVER (PARTITION BY b.vec_id, b.s
-       |        ORDER BY $d2 ASC, c.code ASC) AS rn
+       |        ORDER BY $pqD2Sql ASC, c.code ASC) AS rn
        |    FROM sub b JOIN init c USING (s)) WHERE rn = 1),
        |cb AS (
        |  SELECT s, code, list(c ORDER BY dim) AS cv FROM (
@@ -102,10 +118,13 @@ object RagOps {
        |  GROUP BY s, code),
        |enc AS (
        |  SELECT vec_id, s, code, d2 FROM (
-       |    SELECT b.vec_id, b.s, c.code, $d2 AS d2,
+       |    SELECT b.vec_id, b.s, c.code, $pqD2Sql AS d2,
        |      ROW_NUMBER() OVER (PARTITION BY b.vec_id, b.s
-       |        ORDER BY $d2 ASC, c.code ASC) AS rn
-       |    FROM sub b JOIN cb c USING (s)) WHERE rn = 1)
+       |        ORDER BY $pqD2Sql ASC, c.code ASC) AS rn
+       |    FROM sub b JOIN cb c USING (s)) WHERE rn = 1)""".stripMargin
+
+  val q205Sql: String = {
+    s"""WITH $pqSqlCtes
        |SELECT vec_id,
        |  MAX(CASE WHEN s=0 THEN code END) AS c0, MAX(CASE WHEN s=1 THEN code END) AS c1,
        |  MAX(CASE WHEN s=2 THEN code END) AS c2, MAX(CASE WHEN s=3 THEN code END) AS c3,
@@ -113,6 +132,111 @@ object RagOps {
        |      + MAX(CASE WHEN s=2 THEN d2 END) + MAX(CASE WHEN s=3 THEN d2 END), 6)
        |    AS rec_err
        |FROM enc GROUP BY vec_id ORDER BY vec_id""".stripMargin
+  }
+
+  // --------------------------------------------------------------------------
+  // q213 — IVF-PQ ANN SEARCH: the full billion-vector serving stack in one
+  // plan — a coarse quantizer (8 IVF lists = seed centroids, nprobe=2)
+  // prunes the corpus to two lists per query, then candidates are scored
+  // by ASYMMETRIC DISTANCE (ADC): the query's exact subvectors against
+  // each candidate's 4 PQ codes via a (query × subspace × codeword)
+  // lookup table — candidates' raw vectors are NEVER touched, which is
+  // the point: at scale the index is codes (4 bytes/vector) + two tiny
+  // broadcast tables (coarse centroids, ADC LUT).
+  //
+  // Determinism: every distance is a fixed-order fold; coarse/probe/final
+  // ranks tie-break on id; the 4-term ADC sum is assembled by fixed-order
+  // pivot addition (never an unordered SUM over doubles).
+  //
+  // Scale: coarse assignment + probe are broadcast passes; the candidate
+  // set is an equi-join on the list id; ADC scoring is an equi-join
+  // against the 48-row broadcast LUT. No shuffle touches full vectors
+  // after the one-time coarse pass.
+  def q213IvfPqSearch(spark: SparkSession, dir: String): DataFrame = {
+    val full = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v"))
+    val seeds = full.filter(col("vec_id") < 8)
+      .select(col("vec_id").cast("int").as("cid"), col("v").as("cv"))
+    val d2Full = "aggregate(zip_with(%s, cv, (a, b) -> (a - b) * (a - b)), " +
+      "cast(0 as double), (acc, x) -> acc + x)"
+    val coarse = full.crossJoin(broadcast(seeds))
+      .withColumn("d2", expr(d2Full.format("v")))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("d2"), col("cid"))).as("best"))
+      .select(col("vec_id"), col("best.cid").as("list"))
+    val sub = pqSub(spark, dir)
+    val cb = pqCodebook(sub)
+    val codes = pqAssign(sub, cb).select(col("vec_id"), col("s"), col("code"))
+    val queries = full.filter(col("vec_id").between(100, 102))
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val probe = queries.crossJoin(broadcast(seeds))
+      .withColumn("d2", expr(d2Full.format("qv")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("d2"), col("cid"))))
+      .filter(col("rn") <= 2).select(col("qid"), col("cid").as("list"))
+    val qsub = queries.select(col("qid"), explode(expr(
+      "transform(sequence(0, 3), s -> named_struct('s', s, 'sv', slice(qv, s * 16 + 1, 16)))")).as("e"))
+      .select(col("qid"), col("e.s").as("s"), col("e.sv").as("sv"))
+    val adc = qsub.join(broadcast(cb), Seq("s"))
+      .withColumn("d2", expr(d2Sub))
+      .select(col("qid"), col("s"), col("code"), col("d2"))
+    val cands = coarse.join(broadcast(probe), Seq("list"))
+      .select(col("qid"), col("vec_id"))
+    cands.join(codes, Seq("vec_id"))
+      .join(broadcast(adc), Seq("qid", "s", "code"))
+      .groupBy(col("qid"), col("vec_id"))
+      .agg(max(when(col("s") === 0, col("d2"))).as("a0"),
+        max(when(col("s") === 1, col("d2"))).as("a1"),
+        max(when(col("s") === 2, col("d2"))).as("a2"),
+        max(when(col("s") === 3, col("d2"))).as("a3"))
+      .withColumn("adc", col("a0") + col("a1") + col("a2") + col("a3"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("adc"), col("vec_id"))))
+      .filter(col("rank") <= 5)
+      .select(col("qid"), col("rank"), col("vec_id"), round(col("adc"), 6).as("adc_dist"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  val q213Sql: String = {
+    def d2Full(a: String, b: String) =
+      s"list_reduce(list_transform(range(1, 65), i -> ($a[i] - $b[i]) * ($a[i] - $b[i])), (x, y) -> x + y)"
+    s"""WITH $pqSqlCtes,
+       |base AS (
+       |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+       |seeds AS (SELECT CAST(vec_id AS INT) AS cid, v AS cv FROM base WHERE vec_id < 8),
+       |coarse AS (
+       |  SELECT vec_id, cid AS list FROM (
+       |    SELECT b.vec_id, s.cid,
+       |      ROW_NUMBER() OVER (PARTITION BY b.vec_id
+       |        ORDER BY ${d2Full("b.v", "s.cv")} ASC, s.cid ASC) AS rn
+       |    FROM base b CROSS JOIN seeds s) WHERE rn = 1),
+       |queries AS (SELECT vec_id AS qid, v AS qv FROM base WHERE vec_id BETWEEN 100 AND 102),
+       |probe AS (
+       |  SELECT qid, cid AS list FROM (
+       |    SELECT q.qid, s.cid,
+       |      ROW_NUMBER() OVER (PARTITION BY q.qid
+       |        ORDER BY ${d2Full("q.qv", "s.cv")} ASC, s.cid ASC) AS rn
+       |    FROM queries q CROSS JOIN seeds s) WHERE rn <= 2),
+       |qsub AS (
+       |  SELECT qid, s, qv[s * 16 + 1 : s * 16 + 16] AS sv
+       |  FROM queries, UNNEST(range(4)) AS g(s)),
+       |adc AS (
+       |  SELECT qid, c.s, c.code, $pqD2Sql AS d2
+       |  FROM qsub JOIN cb c USING (s)),
+       |cands AS (SELECT p.qid, c.vec_id FROM coarse c JOIN probe p USING (list)),
+       |scored AS (
+       |  SELECT qid, vec_id,
+       |    MAX(CASE WHEN s=0 THEN d2 END) + MAX(CASE WHEN s=1 THEN d2 END)
+       |      + MAX(CASE WHEN s=2 THEN d2 END) + MAX(CASE WHEN s=3 THEN d2 END) AS adc
+       |  FROM (
+       |    SELECT ca.qid, ca.vec_id, e.s, a.d2
+       |    FROM cands ca JOIN enc e ON ca.vec_id = e.vec_id
+       |    JOIN adc a ON a.qid = ca.qid AND a.s = e.s AND a.code = e.code)
+       |  GROUP BY qid, vec_id)
+       |SELECT qid, CAST(rank AS INT) AS rank, vec_id, ROUND(adc, 6) AS adc_dist FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc ASC, vec_id ASC) AS rank
+       |  FROM scored)
+       |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
   }
 
   // --------------------------------------------------------------------------
