@@ -10,6 +10,11 @@ import org.apache.spark.sql.SparkSession
   * make per-query numbers non-reproducible).
   */
 object Bench {
+  // JSON numbers must use '.' regardless of JVM default locale — f"$v%.4f"
+  // under a comma-decimal locale emits invalid JSON (the parsed:null class)
+  private def num(v: Double, digits: Int): String =
+    String.format(java.util.Locale.ROOT, "%." + digits + "f", Double.box(v))
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -59,17 +64,17 @@ object Bench {
     val ok = results.filter(_._2 >= 0)
     val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    val qs = ok.map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }
+    val qs = ok.map { case (k, v) => "\"" + k + "\":" + num(v, 4) }
       .mkString("{", ",", "}")
     val total = ok.map(_._2).sum
-    val totalR = f"$total%.3f"
+    val totalR = num(total, 3)
     // Full per-query detail first (humans / logs). The driver only keeps
     // the last ~2000 chars of stdout, which truncated this single long
     // line in rounds 1-2 (BENCH parsed:null) — so the parseable summary
     // goes LAST and stays short: total + the 5 slowest queries.
     println(s"""{"metric":"detail","value":$totalR,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
     val slow = ok.sortBy(-_._2).take(5)
-      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+      .map { case (k, v) => "\"" + k + "\":" + num(v, 3) }.mkString("{", ",", "}")
     val summary =
       s"""{"metric":"total","value":$totalR,"unit":"sec","n_queries":${results.size},"n_failed":${results.size - ok.size},"queries":$slow,"sf":"$sfDir"}"""
     println(summary)

@@ -226,7 +226,11 @@ object CurateOps {
       interp(0.75, "lo75", "hi75").as("p75"))
     cust.join(broadcast(p), Seq("seg"))
       .select(col("c_custkey"), col("seg").as("c_mktsegment"),
-        round((col("cents") / 100.0 - col("p50")) / (col("p75") - col("p25")), 6)
+        // zero-IQR guard: on a degenerate segment (all balances equal)
+        // Spark's Divide yields NULL but DuckDB's IEEE division yields
+        // ±inf/nan — both engines must agree on NULL
+        when(col("p75") =!= col("p25"),
+          round((col("cents") / 100.0 - col("p50")) / (col("p75") - col("p25")), 6))
           .as("robust_z"))
       .orderBy(col("c_custkey"))
   }
@@ -241,8 +245,9 @@ object CurateOps {
       |    quantile_cont(cents, 0.5) AS p50c, quantile_cont(cents, 0.75) AS p75c
       |  FROM c GROUP BY seg)
       |SELECT c_custkey, seg AS c_mktsegment,
-      |  ROUND((cents / 100.0 - p50c / 100.0) / (p75c / 100.0 - p25c / 100.0), 6)
-      |    AS robust_z
+      |  CASE WHEN p75c <> p25c THEN
+      |    ROUND((cents / 100.0 - p50c / 100.0) / (p75c / 100.0 - p25c / 100.0), 6)
+      |  END AS robust_z
       |FROM c JOIN q USING (seg) ORDER BY c_custkey""".stripMargin
 
   // --------------------------------------------------------------------------
@@ -503,12 +508,16 @@ object CurateOps {
           "cast(0 as double), cast(0 as double)), " +
           "(acc, e) -> array(acc[0] + e.x, acc[1] + e.y, " +
           "acc[2] + e.x * e.y, acc[3] + e.x * e.x))").as("s"))
+      // single-point guard: with k=1 the OLS denominator k·Σx²−(Σx)² is 0
+      // (Spark Divide → NULL, DuckDB → nan); both engines pin to NULL
+      .withColumn("den", col("k") * col("s")(3) - col("s")(0) * col("s")(0))
       .select(col("k").cast("int").as("n_points"),
-        round((col("k") * col("s")(2) - col("s")(0) * col("s")(1))
-          / (col("k") * col("s")(3) - col("s")(0) * col("s")(0)), 6).as("slope"),
-        round((col("s")(1) - (col("k") * col("s")(2) - col("s")(0) * col("s")(1))
-          / (col("k") * col("s")(3) - col("s")(0) * col("s")(0)) * col("s")(0))
-          / col("k"), 6).as("intercept"))
+        when(col("den") =!= 0,
+          round((col("k") * col("s")(2) - col("s")(0) * col("s")(1))
+            / col("den"), 6)).as("slope"),
+        when(col("den") =!= 0,
+          round((col("s")(1) - (col("k") * col("s")(2) - col("s")(0) * col("s")(1))
+            / col("den") * col("s")(0)) / col("k"), 6)).as("intercept"))
   }
 
   val q204Sql: String =
@@ -529,9 +538,11 @@ object CurateOps {
        |                 a[3] + e[1] * e[2], a[4] + e[1] * e[1]]) AS s
        |  FROM r)
        |SELECT CAST(k AS INT) AS n_points,
-       |  ROUND((k * s[3] - s[1] * s[2]) / (k * s[4] - s[1] * s[1]), 6) AS slope,
-       |  ROUND((s[2] - (k * s[3] - s[1] * s[2]) / (k * s[4] - s[1] * s[1]) * s[1]) / k, 6)
-       |    AS intercept
+       |  CASE WHEN k * s[4] - s[1] * s[1] <> 0 THEN
+       |    ROUND((k * s[3] - s[1] * s[2]) / (k * s[4] - s[1] * s[1]), 6) END AS slope,
+       |  CASE WHEN k * s[4] - s[1] * s[1] <> 0 THEN
+       |    ROUND((s[2] - (k * s[3] - s[1] * s[2]) / (k * s[4] - s[1] * s[1]) * s[1]) / k, 6)
+       |  END AS intercept
        |FROM acc""".stripMargin
 
   // --------------------------------------------------------------------------
@@ -582,7 +593,11 @@ object CurateOps {
     edges.agg(count(lit(1)).as("n_edges")).crossJoin(broadcast(tri))
       .crossJoin(broadcast(wedges))
       .select(col("n_nodes"), col("n_edges"), col("n_triangles"), col("n_wedges"),
-        round(lit(3.0) * col("n_triangles") / col("n_wedges"), 6).as("clustering_coeff"))
+        // zero-wedge guard: an edgeless/degenerate graph has n_wedges=0
+        // (Spark Divide → NULL, DuckDB → nan); both engines pin to NULL
+        when(col("n_wedges") > 0,
+          round(lit(3.0) * col("n_triangles") / col("n_wedges"), 6))
+          .as("clustering_coeff"))
   }
 
   val q206Sql: String =
@@ -603,8 +618,10 @@ object CurateOps {
       |  (SELECT COUNT(*) FROM e) AS n_edges,
       |  (SELECT n_triangles FROM tri) AS n_triangles,
       |  (SELECT CAST(SUM(d * (d - 1) // 2) AS BIGINT) FROM deg) AS n_wedges,
-      |  ROUND(3.0::DOUBLE * (SELECT n_triangles FROM tri)
-      |    / (SELECT SUM(d * (d - 1) // 2) FROM deg), 6) AS clustering_coeff""".stripMargin
+      |  CASE WHEN (SELECT SUM(d * (d - 1) // 2) FROM deg) > 0 THEN
+      |    ROUND(3.0::DOUBLE * (SELECT n_triangles FROM tri)
+      |      / (SELECT SUM(d * (d - 1) // 2) FROM deg), 6)
+      |  END AS clustering_coeff""".stripMargin
 
   // --------------------------------------------------------------------------
   // q207 — WINSORIZED per-segment statistics: clamp balances at the 1/16
@@ -664,7 +681,10 @@ object CurateOps {
         (col("s2").cast("double") + col("n_lo") * (col("plo") * col("plo"))
           + col("n_hi") * (col("phi") * col("phi"))) / col("n"))
       .withColumn("variance",
-        (col("ex2") - col("mean_c") * col("mean_c")) * col("n") / (col("n") - 1))
+        // n=1 guard: Bessel's n-1 denominator — Spark Divide NULLs on /0,
+        // DuckDB IEEE-divides to nan; pin both to NULL for singleton groups
+        when(col("n") > 1,
+          (col("ex2") - col("mean_c") * col("mean_c")) * col("n") / (col("n") - 1)))
       .select(col("seg").as("c_mktsegment"), col("n"),
         round(col("plo") / 100.0, 6).as("p_lo"),
         round(col("phi") / 100.0, 6).as("p_hi"),
@@ -697,7 +717,9 @@ object CurateOps {
       |SELECT seg AS c_mktsegment, n,
       |  ROUND(plo / 100.0, 6) AS p_lo, ROUND(phi / 100.0, 6) AS p_hi,
       |  ROUND(mean_c / 100.0, 6) AS mean_w,
-      |  ROUND(sqrt((ex2 - mean_c * mean_c) * n / (n - 1)) / 100.0, 6) AS std_w
+      |  CASE WHEN n > 1 THEN
+      |    ROUND(sqrt((ex2 - mean_c * mean_c) * n / (n - 1)) / 100.0, 6)
+      |  END AS std_w
       |FROM st ORDER BY c_mktsegment""".stripMargin
 
   // --------------------------------------------------------------------------

@@ -570,6 +570,11 @@ object PipelineOps {
         .select(col("node"), col("g_anc").as("anc"), (col("d") + col("g_d")).as("d"))
       rounds += 1
     }
+    // fail loudly, never silently truncate: 40 doubling rounds cover any
+    // depth ≤ 2^40, so non-convergence means a cycle or a broken forest
+    require(converged,
+      s"flattenParents: no convergence after $rounds doubling rounds — " +
+        "the parent graph likely contains a cycle")
     f.select(col("node"), col("anc").as("root"), col("d").as("depth"))
   }
 

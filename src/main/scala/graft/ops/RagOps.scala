@@ -354,5 +354,6 @@ object RagOps {
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q205_pq_encode", q205PqEncode _, Some(q205Sql)),
     ("q208_rrf_fusion", q208RrfFusion _, Some(q208Sql)),
-    ("q209_chunk_overlap", q209ChunkOverlap _, Some(q209Sql)))
+    ("q209_chunk_overlap", q209ChunkOverlap _, Some(q209Sql)),
+    ("q213_ivfpq_search", q213IvfPqSearch _, Some(q213Sql)))
 }

@@ -383,33 +383,42 @@ object VectorOps {
 
   // --------------------------------------------------------------------------
   // q104 — bucketed cosine near-dup: the scale-path primary for q49's
-  // semantics. Banded random-hyperplane LSH (32 bands × 4 planes) generates
-  // candidate pairs through a plain shuffle EQUI-join on (band, bucket) —
-  // no all-pairs nested loop anywhere in the plan (PlanSpec asserts this) —
-  // then the exact cosine ≥ 0.4 check runs only on the deduped candidates.
+  // semantics, shipped at the REALISTIC near-dup setting — threshold 0.9
+  // (θ ≤ 26°) with 16 bands × 8 planes. Banded random-hyperplane LSH
+  // generates candidate pairs through a plain shuffle EQUI-join on
+  // (band, bucket) — no all-pairs nested loop anywhere in the plan
+  // (PlanSpec asserts this) — then the exact cosine ≥ 0.9 check runs only
+  // on colliding candidates. At r=8 a non-dup pair (cosine ≈ 0, p_plane ≈
+  // 0.5) collides in a band with prob 2⁻⁸, so candidate fan-out is ~n·b/256
+  // — linear, orders of magnitude below the 0.4/(64×4) stress setting whose
+  // OUTPUT itself is O(n²) on 64-dim data (kept as a spec-only equality
+  // twin vs the exact baseline, per the q49 precedent; SURVEY §8.7 probe).
+  //
+  // PLANTED TWINS: the synthetic embeddings are near-orthogonal (max true
+  // cosine 0.60 at sf0.1), so a ≥0.9 query over the raw table is vacuously
+  // empty. Every 10th vector therefore gets a deterministic twin — id
+  // offset +10,000,000, dim 0 scaled by the dyadic 1.25, the same IEEE
+  // double op in Spark and DuckDB — with cosine(v, twin) ≥ 0.987 for any
+  // v and all cross-pair cosines unchanged (≤ 0.61). The TRUE result is
+  // exactly the n/10 planted pairs: linear in corpus size, hash-checkable,
+  // and it exercises the LSH match path rather than an empty intersection.
   //
   // Recall: hyperplanes are a fixed-seed constant, so candidate generation
-  // is deterministic; VectorOpsSpec asserts q104 == q49 exactly (recall
-  // 1.0) on the test tables. The 0.4 threshold (θ ≈ 66°) on near-random
-  // test embeddings is LSH's worst case — every true pair sits barely
-  // above threshold, so the band count must be generous (32) and pruning
-  // is marginal HERE. At a real near-dup threshold (≥ 0.9, θ ≤ 26°) the
-  // same shape with wider bands (r 8–16) prunes the candidate set by
-  // orders of magnitude; r and b are the knobs that grow with table size.
+  // is deterministic; at sim ≥ 0.987 the per-pair miss probability is
+  // (1 − 0.948⁸)¹⁶ ≈ 4e-8 — VectorOpsSpec asserts q104 equals the exact
+  // O(n²) baseline over the same planted corpus (recall 1.0), and the
+  // spec-only stress twin re-proves equality at the adversarial 0.4
+  // threshold with its generous (64 × 4) banding.
   //
   // Scale shape: 3 linear scans of the base table (signature pass + two
   // id-keyed fetch joins), one equi-join on (band, bucket) whose fan-out
-  // is bounded by bucket occupancy (2^r buckets per band), and a distinct
-  // on candidate ids — every shuffle is on a key, nothing is O(n²).
-  // Band count is sized for the worst case this query ships with: at the
-  // 0.4 threshold (θ ≈ 66°, per-band collision 0.63⁴ ≈ 0.16) the per-pair
-  // miss probability is (1−0.16)^b — 32 bands left ~3 expected misses
-  // among sf0.1's 920 true pairs (one observed: sim 0.4183), 64 bands
-  // push it to ~0.01. At a realistic ≥0.9 near-dup threshold the same 64
-  // bands are overkill by ~10 orders of magnitude — b shrinks as the
-  // threshold rises.
-  private val ndBands = 64
-  private val ndPlanesPerBand = 4
+  // is bounded by bucket occupancy (2^r buckets per band) — every shuffle
+  // is on a key, nothing is O(n²).
+  private[ops] val ndBands = 64
+  private[ops] val ndPlanesPerBand = 4
+  private val ndRealBands = 16
+  private val ndRealPlanesPerBand = 8
+  private val ndRealThreshold = 0.9
   /** bands × planesPerBand fixed-seed 64-dim hyperplanes (same LCG family
     * as q42's — reproducible across JVMs by spec, no java.util.Random).
     * The fill order is the plane-matrix contract: (64, 4) must reproduce
@@ -426,9 +435,39 @@ object VectorOps {
   }
   private[ops] val ndPlanes: Seq[Seq[Double]] = ndPlanesFor(ndBands, ndPlanesPerBand)
 
+  /** Base ∪ deterministic twins of every 10th vector (see q104 comment). */
+  private[ops] def plantedTwinCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.embeddings(spark, dir).select(col("vec_id"), vd.as("embedding"))
+    base.unionAll(base.filter(col("vec_id") % 10 === 0)
+      .select((col("vec_id") + 10000000L).as("vec_id"),
+        expr("concat(array(embedding[0] * 1.25d), slice(embedding, 2, 63))")
+          .as("embedding")))
+  }
+
   def q104CosineNearDupLsh(spark: SparkSession, dir: String): DataFrame =
-    cosineNearDup(spark, Tables.embeddings(spark, dir),
-      threshold = 0.4, bands = ndBands, planesPerBand = ndPlanesPerBand)
+    cosineNearDup(spark, plantedTwinCorpus(spark, dir),
+      threshold = ndRealThreshold, bands = ndRealBands,
+      planesPerBand = ndRealPlanesPerBand)
+
+  val q104Sql: String =
+    """WITH corpus AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+      |  UNION ALL
+      |  SELECT vec_id + 10000000,
+      |    list_prepend(v[1] * 1.25, v[2:]) FROM (
+      |      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+      |  WHERE vec_id % 10 = 0),
+      |base AS (
+      |  SELECT vec_id, v,
+      |    list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b) AS n2
+      |  FROM corpus)
+      |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |  ROUND(list_reduce(list_transform(range(1, 65),
+      |      i -> a.v[i] * b.v[i]), (x, y) -> x + y) / sqrt(a.n2 * b.n2), 4) AS sim
+      |FROM base a JOIN base b ON a.vec_id < b.vec_id
+      |WHERE list_reduce(list_transform(range(1, 65),
+      |      i -> a.v[i] * b.v[i]), (x, y) -> x + y) / sqrt(a.n2 * b.n2) >= 0.9
+      |ORDER BY id_a, id_b""".stripMargin
 
   /** Parameterized cosine near-duplicate pairs — the library surface behind
     * q104. `threshold` is the exact cosine cut; (`bands`, `planesPerBand`)
@@ -777,8 +816,11 @@ object VectorOps {
     ("q42_ann_lsh", q42AnnLsh _, Some(q42Sql)),
     ("q43_centroid_agg", q43CentroidAgg _, Some(q43Sql)),
     ("q45_ann_ivf", q45AnnIvf _, Some(q45Sql)),
-    // same oracle as q49: the bucketed path must reproduce the exact
-    // all-pairs result (full recall by construction of the band params)
-    ("q104_cosine_neardup_lsh", q104CosineNearDupLsh _, Some(q49Sql)),
+    // the realistic-threshold (0.9, 16×8) entry over the planted-twin
+    // corpus; the oracle is the exact all-pairs SQL over the same corpus
+    // (full recall by construction of the band params). The adversarial
+    // 0.4/(64×4) stress setting lives in VectorOpsSpec only — its OUTPUT
+    // is O(n²), so it has no place in the default query surface.
+    ("q104_cosine_neardup_lsh", q104CosineNearDupLsh _, Some(q104Sql)),
     ("q116_contrastive_pairs", q116ContrastivePairs _, Some(q116Sql)))
 }

@@ -127,6 +127,40 @@ class RagOpsSpec extends SparkSpec {
     assert(got.toSeq === Seq((1, 1, 8), (2, 5, 12)))
   }
 
+  test("q213 IVF-PQ: a query identical to a corpus vector retrieves it at ADC 0") {
+    import spark.implicits._
+    // Corpus: vectors 0..7 = fill(i) are the 8 IVF seeds (each its own
+    // list); queries 100..102 duplicate fills 0,1,2. PQ init (vec_id<4)
+    // plus one Lloyd step gives codebooks {0,1,2,5} per subspace (code 3's
+    // centroid absorbs fills 3..7 -> mean 5), so fills 0/1/2 encode
+    // exactly. Probing 2 lists per query, every ADC distance is
+    // 64*(fill diff)^2 — hand-computable end to end.
+    def v(fill: Float): Array[Float] = Array.fill(64)(fill)
+    val rows = (0 until 8).map(i => (i.toLong, v(i.toFloat), 0)) ++
+      Seq((100L, v(0f), 0), (101L, v(1f), 0), (102L, v(2f), 0))
+    val d = dirWith { d =>
+      rows.toDF("vec_id", "embedding", "label")
+        .coalesce(1).write.parquet(s"$d/embeddings.parquet")
+    }
+    val got = RagOps.q213IvfPqSearch(spark, d).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Int]("rank")) ->
+        ((r.getAs[Long]("vec_id"), r.getAs[Double]("adc_dist")))).toMap
+    // qid 100 (fill 0) probes lists {0,1}: exact twin vec 0 first (id
+    // tie-break), itself second, then the fill-1 pair at 64.0
+    assert(got((100L, 1)) === ((0L, 0.0)))
+    assert(got((100L, 2)) === ((100L, 0.0)))
+    assert(got((100L, 3)) === ((1L, 64.0)))
+    assert(got((100L, 4)) === ((101L, 64.0)))
+    // qid 101 (fill 1) probes lists {1,0} (cid tie-break 0 < 2)
+    assert(got((101L, 1)) === ((1L, 0.0)))
+    assert(got((101L, 2)) === ((101L, 0.0)))
+    assert(got((101L, 3)) === ((0L, 64.0)))
+    // qid 102 (fill 2) probes lists {2,1}
+    assert(got((102L, 1)) === ((2L, 0.0)))
+    assert(got((102L, 2)) === ((102L, 0.0)))
+    assert(got((102L, 3)) === ((1L, 64.0)))
+  }
+
   test("q210 mixture plan: rates follow the weight table and budget") {
     import spark.implicits._
     // two sources, 100 tokens each; src0 weight 3, srcX default 1.

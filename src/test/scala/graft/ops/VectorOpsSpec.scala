@@ -98,12 +98,36 @@ class VectorOpsSpec extends SparkSpec {
 
   test("bucketed cosine near-dup (q104) reproduces the exact all-pairs result (recall 1.0)") {
     // the scale-path LSH implementation must be value-identical to the
-    // O(n²) baseline twin: same pairs, same rounded sims — full recall by
-    // construction of the band parameters (32 bands × 4 planes)
-    val exact = VectorOps.q49CosineNearDup(spark, dir).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // O(n²) baseline twin over the SAME planted-twin corpus: same pairs,
+    // same rounded sims — full recall by construction of the band
+    // parameters (16 bands × 8 planes at the 0.9 threshold)
+    graft.functions.CosineSimilarity.register(spark)
+    val corpus = VectorOps.plantedTwinCorpus(spark, dir)
+    val b = corpus.select(col("vec_id").as("vec_id_b"), col("embedding").as("vb"))
+    val exact = corpus.join(broadcast(b), col("vec_id") < col("vec_id_b"))
+      .withColumn("sim", expr("cosine_sim(embedding, vb)"))
+      .filter(col("sim") >= 0.9)
+      .select(col("vec_id").as("id_a"), col("vec_id_b").as("id_b"),
+        round(col("sim"), 4).as("sim"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     val lsh = VectorOps.q104CosineNearDupLsh(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(exact.nonEmpty)
+    assert(lsh === exact)
+  }
+
+  test("stress twin: 0.4/(64x4) LSH equals the exact q49 baseline (spec-only)") {
+    // the adversarial LOW-threshold configuration — every true pair sits
+    // barely above the cut, so banding must be generous and the OUTPUT is
+    // O(n²) on near-random 64-dim data. Demoted from the catalog (q49
+    // precedent); equality vs the exact all-pairs baseline is pinned here.
+    val exact = VectorOps.q49CosineNearDup(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val lsh = VectorOps.cosineNearDup(spark,
+        spark.read.parquet(s"$dir/embeddings.parquet"),
+        threshold = 0.4, bands = VectorOps.ndBands,
+        planesPerBand = VectorOps.ndPlanesPerBand)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(exact.nonEmpty)
     assert(lsh === exact)
   }
