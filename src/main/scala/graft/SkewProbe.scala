@@ -1,0 +1,136 @@
+package graft
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dev-side skew-resilience probe (SURVEY §8.11): a fact table whose join
+  * key is genuinely skewed — ONE key holds ~20% of all rows, the rest
+  * spread uniformly over the dimension domain — joined three ways at
+  * m × 600k fact rows:
+  *
+  *   1. `plain_aqe_skew`  — plain equi-join, AQE skew-join ON (thresholds
+  *      sized to the probe volume). Records whether the live final plan
+  *      actually took the skew split (`skew=true` on the sort-merge join)
+  *      and the task-time spread after splitting.
+  *   2. `plain_no_skew`   — plain equi-join, AQE skew-join OFF: the
+  *      straggler baseline (max task ≫ p50 task).
+  *   3. `salted_16`       — [[ops.Skew.saltedEquiJoin]] 16 ways, skew-join
+  *      OFF: the explicit mitigation for paths AQE can't rewrite.
+  *
+  * Besides wall/task times (host-noisy), it emits a DETERMINISTIC balance
+  * metric: exact rows per shuffle partition, computed with the same
+  * Murmur3 hash Spark's HashPartitioning uses (`hash()` = Murmur3 seed
+  * 42), for the plain key vs the (key, salt) pair. The broadcast escape
+  * is disabled throughout — the probe models the dim-too-big-to-broadcast
+  * regime where skew actually bites. Not part of the driver contract.
+  */
+object SkewProbe {
+
+  private val DimN = 60000L
+
+  /** fact: 600k·m rows; key 1 holds ~20%, rest uniform over the dim
+    * domain. dim: one row per key.
+    */
+  private[graft] def genFact(spark: SparkSession, m: Int): DataFrame =
+    spark.range(600000L * m).select(
+      when(pmod(xxhash64(col("id"), lit(3)), lit(5)) === 0, lit(1L))
+        .otherwise(pmod(xxhash64(col("id"), lit(5)), lit(DimN)) + 1).as("k"),
+      (pmod(xxhash64(col("id"), lit(7)), lit(100000)).cast("double") / 100.0).as("v"))
+
+  private[graft] def genDim(spark: SparkSession): DataFrame =
+    spark.range(DimN).select((col("id") + 1).as("dk"),
+      pmod(xxhash64(col("id"), lit(11)), lit(25)).cast("int").as("grp"))
+
+  /** Collects per-stage task durations; reports the heaviest stage. */
+  private class TaskSpread extends SparkListener {
+    val byStage = scala.collection.concurrent.TrieMap[Int, scala.collection.mutable.ArrayBuffer[Long]]()
+    override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
+      val buf = byStage.getOrElseUpdate(e.stageId, scala.collection.mutable.ArrayBuffer[Long]())
+      buf.synchronized { buf += e.taskInfo.duration }
+    }
+    /** (p50, max) task millis of the stage with the largest total time. */
+    def heaviest: (Long, Long) = {
+      val stages = byStage.values.map(_.toSeq).filter(_.nonEmpty)
+      if (stages.isEmpty) (0L, 0L)
+      else {
+        val h = stages.maxBy(_.sum).sorted
+        (h(h.length / 2), h.last)
+      }
+    }
+  }
+
+  private def withConfs(spark: SparkSession, kv: (String, String)*)(body: => Unit): Unit = {
+    val old = kv.map { case (k, _) => k -> spark.conf.getOption(k) }
+    kv.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body
+    finally old.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val scales = if (args.nonEmpty) args.map(_.toInt).toSeq else Seq(10)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = GraftSession.localBuilder(cpus.toInt).appName("graft-skewprobe").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val shufP = spark.conf.get("spark.sql.shuffle.partitions").toInt
+
+    scales.foreach { m =>
+      val fact = genFact(spark, m).localCheckpoint() // freeze input, probe the JOIN
+      val dim = genDim(spark).localCheckpoint()
+
+      // deterministic balance: exact rows per shuffle partition (Murmur3)
+      def maxPart(df: DataFrame, cols: Seq[String]): Long =
+        df.groupBy(pmod(hash(cols.map(col): _*), lit(shufP)).as("p"))
+          .count().agg(max("count")).head().getLong(0)
+      val plainMax = maxPart(fact, Seq("k"))
+      val saltedMax = maxPart(
+        fact.withColumn("__salt",
+          pmod(xxhash64(fact.columns.map(col): _*), lit(16L)).cast("int")),
+        Seq("k", "__salt"))
+      println(java.lang.String.format(java.util.Locale.ROOT,
+        """{"probe":"skew_partition_balance","scale_x":%d,"rows":%d,"shuffle_partitions":%d,"plain_max_part_rows":%d,"salted16_max_part_rows":%d}""",
+        Int.box(m), Long.box(600000L * m), Int.box(shufP),
+        Long.box(plainMax), Long.box(saltedMax)))
+
+      def run(name: String, skewJoin: Boolean)(build: => DataFrame): Unit = {
+        val listener = new TaskSpread
+        spark.sparkContext.addSparkListener(listener)
+        var skewFlag = false
+        val t0 = System.nanoTime()
+        withConfs(spark,
+          "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+          "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
+          "spark.sql.adaptive.skewJoin.enabled" -> skewJoin.toString,
+          // size AQE's skew detection to the probe volume (defaults are
+          // 256 MB cluster-scale): hot partition ≈ 20·m MB vs ~2·m MB
+          // median → factor ~10 ≫ 5
+          "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "8MB",
+          "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "4MB") {
+          // inspect the AGGREGATED query's plan AFTER execution — that is
+          // the AQE final plan where the skew split (if any) is visible
+          val agg = build.agg(count(lit(1)).as("n"), sum("v").as("sv"))
+          agg.collect()
+          skewFlag = agg.queryExecution.executedPlan.toString.contains("skew=true")
+        }
+        val sec = (System.nanoTime() - t0) / 1e9
+        spark.sparkContext.removeSparkListener(listener)
+        val (p50, mx) = listener.heaviest
+        println(java.lang.String.format(java.util.Locale.ROOT,
+          """{"probe":"%s","scale_x":%d,"sec":%.2f,"join_task_p50_ms":%d,"join_task_max_ms":%d,"skew_split_active":%b}""",
+          name, Int.box(m), Double.box(sec), Long.box(p50), Long.box(mx),
+          Boolean.box(skewFlag)))
+      }
+
+      run("plain_aqe_skew", skewJoin = true)(
+        fact.join(dim, col("k") === col("dk")))
+      run("plain_no_skew", skewJoin = false)(
+        fact.join(dim, col("k") === col("dk")))
+      run("salted_16", skewJoin = false)(
+        ops.Skew.saltedEquiJoin(fact, dim, "k", "dk", 16))
+    }
+    spark.stop()
+  }
+}

@@ -24,7 +24,8 @@ object Tables {
     * a future unit change in any table flips zero query results.
     */
   private def tsNormalized(df: DataFrame, column: String): DataFrame =
-    df.schema(column).dataType match {
+    if (!df.columns.contains(column)) df // minimal spec fixtures project it away
+    else df.schema(column).dataType match {
       case org.apache.spark.sql.types.LongType =>
         df.withColumn(column, timestamp_micros(expr(s"$column div 1000")))
       case org.apache.spark.sql.types.TimestampNTZType =>

@@ -563,19 +563,25 @@ object CurateOps {
       .select(col("l_orderkey"), col("l_partkey")).distinct().localCheckpoint()
     val a = items.select(col("l_orderkey").as("ok"), col("l_partkey").as("p1"))
     val b = items.select(col("l_orderkey").as("ok"), col("l_partkey").as("p2"))
-    // the edge table feeds degree counts, the orientation, and the edge
-    // total — materialize once; its size is |co-purchase pairs|, tiny
-    // next to the basket self-join that produces it
     val edges = a.join(b, Seq("ok")).filter(col("p1") < col("p2"))
       .groupBy(col("p1"), col("p2")).agg(count(lit(1)).as("c12"))
-      .filter(col("c12") >= 2).select(col("p1"), col("p2")).localCheckpoint()
-    val deg = edges.select(col("p1").as("v")).union(edges.select(col("p2").as("v")))
+      .filter(col("c12") >= 2).select(col("p1"), col("p2"))
+    triangleStats(edges)
+  }
+
+  /** Per-node degree of an undirected (p1, p2) edge list. */
+  private[graft] def degreeOf(edges: DataFrame): DataFrame =
+    edges.select(col("p1").as("v")).union(edges.select(col("p2").as("v")))
       .groupBy(col("v")).agg(count(lit(1)).as("d"))
-    val wedges = deg.agg(sum(expr("d * (d - 1) div 2")).as("n_wedges"),
-      count(lit(1)).as("n_nodes"))
-    // orient: lo = endpoint with smaller (degree, id); every triangle has
-    // exactly one vertex with two out-edges under this total order
-    val oriented = edges
+
+  /** Orient each edge from the lower-(degree, id) endpoint to the higher
+    * — every triangle is counted exactly once and the path-join fan-out
+    * is bounded by the oriented out-degree (≤ √(2m) on any graph), never
+    * the raw degree of hub nodes. GraphProbe measures exactly this bound
+    * on Zipf-degree graphs.
+    */
+  private[graft] def orientEdges(edges: DataFrame, deg: DataFrame): DataFrame =
+    edges
       .join(broadcast(deg.select(col("v").as("p1"), col("d").as("d1"))), Seq("p1"))
       .join(broadcast(deg.select(col("v").as("p2"), col("d").as("d2"))), Seq("p2"))
       .select(
@@ -583,6 +589,20 @@ object CurateOps {
           .otherwise(col("p2")).as("lo"),
         when(struct(col("d1"), col("p1")) < struct(col("d2"), col("p2")), col("p2"))
           .otherwise(col("p1")).as("hi"))
+
+  /** Triangle count + clustering coefficient over an undirected edge
+    * list (p1, p2), p1 < p2, deduplicated (Schank/Wagner orientation —
+    * O(m^1.5) total work).
+    */
+  private[graft] def triangleStats(edgesIn: DataFrame): DataFrame = {
+    // the edge table feeds degree counts, the orientation, and the edge
+    // total — materialize once; its size is |edges|, tiny next to the
+    // joins that may produce it
+    val edges = edgesIn.localCheckpoint()
+    val deg = degreeOf(edges)
+    val wedges = deg.agg(sum(expr("d * (d - 1) div 2")).as("n_wedges"),
+      count(lit(1)).as("n_nodes"))
+    val oriented = orientEdges(edges, deg)
     // path a→b→c implies a ≺ c (transitivity of the orientation order),
     // so the closing edge is always oriented a→c — a pure equi-join
     val paths = oriented.select(col("lo").as("a"), col("hi").as("b"))

@@ -1397,7 +1397,58 @@ object RelationalMore {
       |WHERE NOT EXISTS (SELECT 1 FROM rfm q WHERE q.f > p.f AND q.m > p.m)
       |ORDER BY o_custkey""".stripMargin
 
+  // --------------------------------------------------------------------------
+  // q214 — COST-BASED-OPTIMIZER STATS ROUND-TRIP: register the parquet
+  // tables in the session catalog, `ANALYZE TABLE … COMPUTE STATISTICS FOR
+  // COLUMNS`, and return the optimizer-visible statistics (row count, null
+  // count, min/max) read back out of the catalog. This is the maintenance
+  // operation a warehouse runs after every load so Catalyst's CBO can
+  // reorder joins and broadcast filtered dimensions (CboSpec pins the plan
+  // effect: with stats + spark.sql.cbo.enabled a selective dim filter
+  // flips a sort-merge join to broadcast).
+  //
+  // Only EXACT stats are emitted (row/null counts, min/max) — ANALYZE's
+  // distinct counts are HyperLogLog++ approximations and would not be
+  // oracle-stable. The DROP/CREATE pair makes the entry idempotent, and
+  // the tables are external (LOCATION-backed), so dropping them never
+  // touches the read-only parquet. Scale: ANALYZE is one distributed
+  // aggregate scan per table; the catalog read-back is metadata-only.
+  def q214CboStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val specs = Seq(("nation", "n_nationkey"), ("customer", "c_acctbal"),
+      ("part", "p_retailprice"))
+    specs.map { case (t, c) =>
+      val tbl = s"graft_cbo_$t"
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      spark.sql(s"CREATE TABLE $tbl USING parquet LOCATION '$dir/$t.parquet'")
+      spark.sql(s"ANALYZE TABLE $tbl COMPUTE STATISTICS FOR COLUMNS $c")
+      val st = spark.sessionState.catalog
+        .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(tbl))
+        .stats.getOrElse(sys.error(s"ANALYZE left no stats on $tbl"))
+      val cs = st.colStats(c)
+      (t, c, st.rowCount.get.toLong, cs.nullCount.get.toLong,
+        cs.min.get.toString.toDouble, cs.max.get.toString.toDouble)
+    }.toDF("tbl", "col", "row_cnt", "null_cnt", "min_v", "max_v")
+      .orderBy(col("tbl"))
+  }
+
+  val q214Sql: String =
+    """SELECT 'nation' AS tbl, 'n_nationkey' AS col, COUNT(*) AS row_cnt,
+      |  COUNT(*) - COUNT(n_nationkey) AS null_cnt,
+      |  CAST(MIN(n_nationkey) AS DOUBLE) AS min_v,
+      |  CAST(MAX(n_nationkey) AS DOUBLE) AS max_v FROM nation
+      |UNION ALL
+      |SELECT 'customer', 'c_acctbal', COUNT(*), COUNT(*) - COUNT(c_acctbal),
+      |  CAST(MIN(c_acctbal) AS DOUBLE), CAST(MAX(c_acctbal) AS DOUBLE)
+      |FROM customer
+      |UNION ALL
+      |SELECT 'part', 'p_retailprice', COUNT(*), COUNT(*) - COUNT(p_retailprice),
+      |  CAST(MIN(p_retailprice) AS DOUBLE), CAST(MAX(p_retailprice) AS DOUBLE)
+      |FROM part
+      |ORDER BY tbl""".stripMargin
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
+    ("q214_cbo_stats", q214CboStats _, Some(q214Sql)),
     ("q53_date_spine", q53DateSpine _, Some(q53Sql)),
     ("q142_zorder_layout", q142ZOrder _, Some(q142Sql)),
     ("q143_incremental_mv", q143IncrementalMv _, Some(q143Sql)),

@@ -231,7 +231,7 @@ object StreamingOps {
     * (measured ~40% of q157's wall time at local[32]). Batch plans inside
     * the scope are unaffected in result, only in split count.
     */
-  private def withStatePartitions[T](spark: SparkSession, n: Int)(body: => T): T = {
+  private[graft] def withStatePartitions[T](spark: SparkSession, n: Int)(body: => T): T = {
     val key = "spark.sql.shuffle.partitions"
     val prev = spark.conf.get(key)
     spark.conf.set(key, n.toString)
@@ -281,21 +281,35 @@ object StreamingOps {
     * Scale: both sides shuffle on user_id once; state per side is bounded
     * by the watermark + the 30-minute join range.
     */
-  def q157StreamJoin(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.streaming.Trigger
-    val src = eventsZone(spark, dir) // shared with q122: same immutable zone
+  /** One watermarked side of the click→purchase interval join, off an
+    * arbitrary staged zone — shared by the catalog entries (hash zone,
+    * 2 files/trigger) and StreamProbe (time-ordered many-file zone).
+    */
+  private[graft] def sideStream(spark: SparkSession, src: String, t: String,
+      filesPerTrigger: Int): DataFrame = {
     val schema = spark.read.parquet(src).schema
-    def side(t: String) = spark.readStream.schema(schema)
-      .option("maxFilesPerTrigger", 2).parquet(src)
+    spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", filesPerTrigger).parquet(src)
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
       .filter(col("event_type") === t)
       .withWatermark("ts", "10 minutes")
-    val joined = side("click").alias("c")
-      .join(side("purchase").alias("p"),
+  }
+
+  /** The q157/q211 stream-stream interval-join topology (un-sunk). */
+  private[graft] def intervalJoined(spark: SparkSession, src: String,
+      joinType: String, filesPerTrigger: Int): DataFrame =
+    sideStream(spark, src, "click", filesPerTrigger).alias("c")
+      .join(sideStream(spark, src, "purchase", filesPerTrigger).alias("p"),
         expr("""c.user_id = p.user_id AND
-                p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTES"""))
+                p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTES"""),
+        joinType)
       .select(col("c.user_id").as("user_id"),
         col("c.event_id").as("click_id"), col("p.event_id").as("purchase_id"))
+
+  def q157StreamJoin(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val src = eventsZone(spark, dir) // shared with q122: same immutable zone
+    val joined = intervalJoined(spark, src, "inner", 2)
     val qname = "graft_q157_result"
     withStatePartitions(spark, 8) {
       val query = joined.writeStream.format("memory").queryName(qname)
@@ -335,25 +349,47 @@ object StreamingOps {
     * shuffle — the canonical shape for a 100 TB/day per-entity running
     * aggregate; RocksDB spills it off-heap and checkpoints incrementally.
     */
-  def q184TransformWithState(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.streaming.{OutputMode, TimeMode, Trigger}
-    import spark.implicits._
-    val src = eventsZone(spark, dir)
-    val schema = spark.read.parquet(src).schema
+  /** Run `body` on the RocksDB state store (transformWithState requires
+    * it), restoring the previous provider after — shared by q184 and
+    * StreamProbe.
+    */
+  private[graft] def withRocksDb[T](spark: SparkSession)(body: => T): T = {
     val providerKey = "spark.sql.streaming.stateStore.providerClass"
     val prevProvider = spark.conf.getOption(providerKey)
     spark.conf.set(providerKey,
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try {
-      val stream = spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 2).parquet(src)
-        .as[EventRow]
-      val updates = stream.groupByKey(_.user_id)
-        .transformWithState(new UserTotalsProcessor,
-          TimeMode.None(), OutputMode.Update())
+    try body
+    finally prevProvider match {
+      case Some(p) => spark.conf.set(providerKey, p)
+      case None => spark.conf.unset(providerKey)
+    }
+  }
+
+  /** The q184 per-user running-totals transformWithState topology
+    * (un-sunk; caller must be inside [[withRocksDb]]).
+    */
+  private[graft] def userTotalsUpdates(spark: SparkSession, src: String,
+      filesPerTrigger: Int): DataFrame = {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    import spark.implicits._
+    val schema = spark.read.parquet(src).schema
+    spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", filesPerTrigger).parquet(src)
+      .as[EventRow]
+      .groupByKey(_.user_id)
+      .transformWithState(new UserTotalsProcessor,
+        TimeMode.None(), OutputMode.Update())
+      .toDF()
+  }
+
+  def q184TransformWithState(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val src = eventsZone(spark, dir)
+    withRocksDb(spark) {
+      val updates = userTotalsUpdates(spark, src, 2)
       val qname = "graft_q184_result"
       withStatePartitions(spark, 8) {
-        val query = updates.toDF().writeStream.format("memory").queryName(qname)
+        val query = updates.writeStream.format("memory").queryName(qname)
           .outputMode("update").trigger(Trigger.AvailableNow()).start()
         query.awaitTermination()
       }
@@ -364,11 +400,6 @@ object StreamingOps {
         .select(col("user_id"), col("n"),
           (col("cents") / 100.0).as("total"))
         .orderBy(col("user_id"))
-    } finally {
-      prevProvider match {
-        case Some(p) => spark.conf.set(providerKey, p)
-        case None => spark.conf.unset(providerKey)
-      }
     }
   }
 
@@ -390,15 +421,21 @@ object StreamingOps {
     * q63's dropDuplicates keeps every key seen since the epoch, this
     * keeps a watermark-wide sliding set behind the same event_id shuffle.
     */
+  /** The q188 double-feed dedup-within-watermark topology (un-sunk). */
+  private[graft] def dedupWithinWmStream(spark: SparkSession, src: String,
+      filesPerTrigger: Int): DataFrame = {
+    val schema = spark.read.parquet(src).schema
+    def feed() = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", filesPerTrigger).parquet(src)
+    feed().unionByName(feed())
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+  }
+
   def q188DedupWithinWatermark(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
     val src = eventsZone(spark, dir)
-    val schema = spark.read.parquet(src).schema
-    def feed() = spark.readStream.schema(schema)
-      .option("maxFilesPerTrigger", 2).parquet(src)
-    val deduped = feed().unionByName(feed())
-      .withWatermark("ts", "10 minutes")
-      .dropDuplicatesWithinWatermark("event_id")
+    val deduped = dedupWithinWmStream(spark, src, 2)
     val qname = "graft_q188_result"
     withStatePartitions(spark, 8) {
       val query = deduped.writeStream.format("memory").queryName(qname)
@@ -498,19 +535,7 @@ object StreamingOps {
   def q211StreamOuterJoin(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
     val src = eventsZone(spark, dir)
-    val schema = spark.read.parquet(src).schema
-    def side(t: String) = spark.readStream.schema(schema)
-      .option("maxFilesPerTrigger", 2).parquet(src)
-      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
-      .filter(col("event_type") === t)
-      .withWatermark("ts", "10 minutes")
-    val joined = side("click").alias("c")
-      .join(side("purchase").alias("p"),
-        expr("""c.user_id = p.user_id AND
-                p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTES"""),
-        "leftOuter")
-      .select(col("c.user_id").as("user_id"),
-        col("c.event_id").as("click_id"), col("p.event_id").as("purchase_id"))
+    val joined = intervalJoined(spark, src, "leftOuter", 2)
     val qname = "graft_q211_result"
     withStatePartitions(spark, 8) {
       val query = joined.writeStream.format("memory").queryName(qname)

@@ -63,7 +63,9 @@ class PlanLintSpec extends SparkSpec {
     "q172_semantic_dedup" ->
       "broadcast(8 seed centroids) cross join — k rows by construction (nearest-centroid assignment pass, q110's pattern); pair generation itself is the banded equi-join",
     "q212_embedding_outliers" ->
-      "broadcast(8 seed centroids) cross join — k rows by construction (q172's assignment pass); the stats join-back is an equi-join on cluster")
+      "broadcast(8 seed centroids) cross join — k rows by construction (q172's assignment pass); the stats join-back is an equi-join on cluster",
+    "q213_ivfpq_search" ->
+      "broadcast(8 IVF seed centroids) cross joins — k rows by construction (coarse assignment + query probe, q45's pattern); candidate scoring is an equi-join on the list id and the 48-row broadcast ADC LUT")
 
   private def bounded(p: LogicalPlan): Boolean = p.maxRows.exists(_ <= boundedRows)
 

@@ -149,17 +149,21 @@ class ScaleSpec extends SparkSpec {
       .repartitionByRange(4, col("o_orderdate"))
       .sortWithinPartitions("o_orderdate")
       .write.mode("overwrite").parquet(out)
+    // compare as epoch micros — the loader normalizes the column to
+    // TimestampType whatever unit the generator wrote, so the external
+    // row type must not be assumed (Timestamp vs LocalDateTime)
     val stats = spark.read.parquet(out)
       .groupBy(input_file_name().as("f"))
-      .agg(min("o_orderdate").as("lo"), max("o_orderdate").as("hi"))
+      .agg(min(unix_micros(col("o_orderdate").cast("timestamp"))).as("lo"),
+        max(unix_micros(col("o_orderdate").cast("timestamp"))).as("hi"))
       .collect()
-      .map(r => (r.getAs[java.time.LocalDateTime](1), r.getAs[java.time.LocalDateTime](2)))
-      .sortBy(_._1.toString)
+      .map(r => (r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
     assert(stats.length >= 3, s"want multiple range files, got ${stats.length}")
     // equal keys land in one partition, so file ranges never interleave —
     // parquet min/max footer stats then prune date predicates to one file
     stats.sliding(2).foreach { case Array(a, b) =>
-      assert(!b._1.isBefore(a._2), s"overlap: $a vs $b")
+      assert(b._1 >= a._2, s"overlap: $a vs $b")
     }
   }
 
@@ -174,6 +178,54 @@ class ScaleSpec extends SparkSpec {
       .collect().map(_.toSeq).sortBy(_.toString)
     assert(plain.length === salted.length)
     assert(plain.toSeq === salted.toSeq)
+  }
+
+  test("AQE skew-join splits the hot partition (skew=true in the final plan)") {
+    // SkewProbe's input at 1×: one key holds 20% of 600k fact rows. With
+    // 64 shuffle partitions the hot partition is ~2 MB vs ~120 KB median
+    // (factor ~17 > 5), so with thresholds sized to the volume AQE MUST
+    // take the skew split — this pins the safety net the catalog relies
+    // on for un-salted joins.
+    val fact = graft.SkewProbe.genFact(spark, 1).localCheckpoint()
+    val dim = graft.SkewProbe.genDim(spark).localCheckpoint()
+    val confs = Seq(
+      "spark.sql.shuffle.partitions" -> "64",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "256KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "128KB")
+    val old = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val agg = fact.join(dim, col("k") === col("dk"))
+        .agg(count(lit(1)).as("n"), sum("v").as("sv"))
+      agg.collect()
+      val plan = agg.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"expected AQE skew split in the final plan:\n$plan")
+    } finally old.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  test("salting bounds the max shuffle-partition row count on a 20%-hot key") {
+    // deterministic balance check with the SAME Murmur3 hash Spark's
+    // HashPartitioning uses: salting 16 ways must cut the hot partition
+    // by at least 4× (expected ~9×: 120k hot rows spread over 16 salts)
+    val fact = graft.SkewProbe.genFact(spark, 1).localCheckpoint()
+    val p = 32
+    def maxPart(df: org.apache.spark.sql.DataFrame, cols: Seq[String]): Long =
+      df.groupBy(pmod(hash(cols.map(col): _*), lit(p)).as("part"))
+        .count().agg(max("count")).head().getLong(0)
+    val plainMax = maxPart(fact, Seq("k"))
+    val saltedMax = maxPart(
+      fact.withColumn("__salt",
+        pmod(xxhash64(fact.columns.map(col): _*), lit(16L)).cast("int")),
+      Seq("k", "__salt"))
+    assert(plainMax > 100000L, s"generator should plant a ~120k-row hot partition, got $plainMax")
+    assert(saltedMax * 4 < plainMax,
+      s"salted max partition $saltedMax should be ≪ plain $plainMax")
   }
 
   test("bloom-prune join returns exactly the plain join's rows") {
