@@ -393,7 +393,56 @@ object PrepOps {
       |FROM s8 JOIN s9 USING (doc_id)
       |GROUP BY shard8 ORDER BY shard8""".stripMargin
 
+  // --------------------------------------------------------------------------
+  // q216 — DIFFERENTIALLY-PRIVATE histogram release (Laplace mechanism):
+  // per-(event_type, weekday) event counts released with Laplace(1/ε)
+  // noise, ε = 1 split over nothing (each event contributes to exactly one
+  // cell, so per-cell sensitivity is 1 and the release is ε-DP under
+  // event-level adjacency). Completes the privacy family: q180 k-anonymity
+  // suppresses small groups, q202 l-diversity audits attribute disclosure,
+  // this releases AGGREGATES with a formal guarantee.
+  //
+  // Determinism (the testable-DP trick): the Laplace draw uses the q115
+  // portable md5 uniform over the CELL KEY + a release tag as the
+  // inverse-CDF input — a fixed released noise per cell, reproducible in
+  // both engines, exactly what a production "publish once" release pins
+  // anyway (re-drawing noise per query would leak ε per read). u is a
+  // dyadic rational, so 1−2|u−½| is exact; ln() is the only correctly-
+  // rounded-risk op and the result is rounded to 6dp (q204's ln
+  // precedent). Scale: one hash aggregate over the corpus; noise is
+  // row-local on the |cells| rows.
+  def q216DpCounts(spark: SparkSession, dir: String): DataFrame = {
+    val eps = 1.0
+    val cells = Tables.events(spark, dir)
+      .groupBy(col("event_type"), dayofweek(col("ts")).as("dow"))
+      .agg(count(lit(1)).as("n"))
+    val v = conv(substring(md5(concat_ws(":", col("event_type"), col("dow"),
+      lit("dp-release-1"))), 1, 13), 16, 10).cast("long")
+    val u = (v.cast("double") + 0.5) / lit(4503599627370496.0)
+    val uc = u - 0.5
+    val noise = -signum(uc) * log(lit(1.0) - lit(2.0) * abs(uc)) / eps
+    cells.select(col("event_type"), col("dow"),
+      round(col("n") + noise, 6).as("noisy_n"), lit(eps).as("epsilon"))
+      .orderBy(col("event_type"), col("dow"))
+  }
+
+  val q216Sql: String =
+    """WITH cells AS (
+      |  SELECT event_type, dayofweek(ts) + 1 AS dow, COUNT(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |noise AS (
+      |  SELECT event_type, dow, n,
+      |    (('0x' || substr(md5(event_type || ':' || dow::VARCHAR || ':dp-release-1'), 1, 13))::BIGINT
+      |      + 0.5) / 4503599627370496.0 - 0.5 AS uc
+      |  FROM cells)
+      |SELECT event_type, dow,
+      |  ROUND(n + (CASE WHEN uc >= 0 THEN -1.0 ELSE 1.0 END) * ln(1.0 - 2.0 * abs(uc)), 6)
+      |    AS noisy_n,
+      |  CAST(1.0 AS DOUBLE) AS epsilon
+      |FROM noise ORDER BY event_type, dow""".stripMargin
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
+    ("q216_dp_counts", q216DpCounts _, Some(q216Sql)),
     ("q176_containment", q176Containment _, Some(q176Sql)),
     ("q177_compaction_plan", q177CompactionPlan _, Some(q177Sql)),
     ("q178_variant_json", q178VariantJson _, Some(q178Sql)),

@@ -351,8 +351,117 @@ object RagOps {
        |  LEAST(s + 7, n) AS end_tok, md5(chunk) AS chunk_md5
        |FROM c ORDER BY doc_id, chunk_id""".stripMargin
 
+  // --------------------------------------------------------------------------
+  // q217 — RESIDUAL VECTOR QUANTIZATION (2-stage RVQ): quantize each
+  // vector against a coarse full-vector codebook, then quantize the
+  // RESIDUAL against a second codebook fit on the residuals — the additive
+  // codec behind modern neural audio codecs and coarse-to-fine ANN
+  // (reconstruction v̂ = cb1[c1] + cb2[c2], error falls with every stage
+  // where PQ splits dimensions instead). Same deterministic Lloyd recipe
+  // as q205: init = first K vectors by vec_id, one scaled-long-mean
+  // update, (d2, code) tie-break — bit-identical cross-engine.
+  //
+  // Scale: both codebooks are K-row broadcasts; assignment and residual
+  // subtraction are linear row-local passes; the codebook update shuffles
+  // on (code, dim) with map-side partial sums. Nothing touches pairs.
+  /** (vec_id, v): full 64-d vectors as doubles. */
+  private def rvqVecs(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v"))
+
+  private val d2Vec = "aggregate(zip_with(v, cv, (a, b) -> (a - b) * (a - b)), " +
+    "cast(0 as double), (acc, x) -> acc + x)"
+
+  /** Nearest-codeword assignment over FULL vectors; tie-break on code. */
+  private[ops] def vqAssign(vecs: DataFrame, cb: DataFrame): DataFrame =
+    vecs.crossJoin(broadcast(cb))
+      .withColumn("d2", expr(d2Vec))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("d2"), col("code"))).as("best"), first(col("v")).as("v"))
+      .select(col("vec_id"), col("best.code").as("code"),
+        col("best.d2").as("d2"), col("v"))
+
+  /** Deterministic K=4 full-vector codebook: init = first 4 vectors by
+    * vec_id, one scaled-long Lloyd update (q205's recipe, un-subspaced).
+    */
+  private[ops] def vqCodebook(vecs: DataFrame): DataFrame = {
+    val init = vecs.filter(col("vec_id") < 4)
+      .select(col("vec_id").cast("int").as("code"), col("v").as("cv"))
+    vqAssign(vecs, init)
+      .select(col("code"), posexplode(col("v")))
+      .withColumn("vq", expr("cast(floor(col * 1e12 + 0.5d) as long)"))
+      .groupBy(col("code"), col("pos"))
+      .agg((sum(col("vq")).cast("double") / 1e12 / count(lit(1))).as("c"))
+      .groupBy(col("code"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
+      .select(col("code"), expr("transform(pc, x -> x.c)").as("cv"))
+      .localCheckpoint()
+  }
+
+  def q217RvqEncode(spark: SparkSession, dir: String): DataFrame = {
+    val vecs = rvqVecs(spark, dir)
+    val cb1 = vqCodebook(vecs)
+    val resid = vqAssign(vecs, cb1)
+      .join(broadcast(cb1), Seq("code"))
+      .select(col("vec_id"), col("code").as("c1"),
+        expr("zip_with(v, cv, (a, b) -> a - b)").as("v"))
+      .localCheckpoint() // stage 2 reads residuals for init, fit, and encode
+    val cb2 = vqCodebook(resid.select(col("vec_id"), col("v")))
+    vqAssign(resid.select(col("vec_id"), col("v")), cb2)
+      .join(resid.select(col("vec_id"), col("c1")), Seq("vec_id"))
+      .select(col("vec_id"), col("c1"), col("code").as("c2"),
+        round(col("d2"), 6).as("rec_err"))
+      .orderBy(col("vec_id"))
+  }
+
+  val q217Sql: String = {
+    def d2(a: String, b: String) =
+      s"list_reduce(list_transform(range(1, 65), i -> ($a[i] - $b[i]) * ($a[i] - $b[i])), (x, y) -> x + y)"
+    def assign(src: String, cb: String) =
+      s"""SELECT vec_id, code, v FROM (
+         |    SELECT b.vec_id, c.code, b.v,
+         |      ROW_NUMBER() OVER (PARTITION BY b.vec_id
+         |        ORDER BY ${d2("b.v", "c.cv")} ASC, c.code ASC) AS rn
+         |    FROM $src b CROSS JOIN $cb c) WHERE rn = 1""".stripMargin
+    def fit(assigned: String) =
+      s"""SELECT code, list(c ORDER BY dim) AS cv FROM (
+         |    SELECT code, dim, CAST(SUM(vq) AS DOUBLE) / 1e12 / COUNT(*) AS c FROM (
+         |      SELECT code, generate_subscripts(v, 1) AS dim,
+         |        CAST(FLOOR(unnest(v) * 1e12 + 0.5) AS BIGINT) AS vq
+         |      FROM $assigned)
+         |    GROUP BY code, dim)
+         |  GROUP BY code""".stripMargin
+    s"""WITH base AS (
+       |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+       |init1 AS (SELECT CAST(vec_id AS INT) AS code, v AS cv FROM base WHERE vec_id < 4),
+       |a0 AS (${assign("base", "init1")}),
+       |cb1 AS (${fit("a0")}),
+       |e1 AS (
+       |  SELECT vec_id, code AS c1, v, cv FROM (
+       |    SELECT b.vec_id, c.code, b.v, c.cv,
+       |      ROW_NUMBER() OVER (PARTITION BY b.vec_id
+       |        ORDER BY ${d2("b.v", "c.cv")} ASC, c.code ASC) AS rn
+       |    FROM base b CROSS JOIN cb1 c) WHERE rn = 1),
+       |res AS (
+       |  SELECT vec_id, c1,
+       |    list_transform(range(1, 65), i -> v[i] - cv[i]) AS v FROM e1),
+       |init2 AS (SELECT CAST(vec_id AS INT) AS code, v AS cv FROM res WHERE vec_id < 4),
+       |b0 AS (${assign("res", "init2")}),
+       |cb2 AS (${fit("b0")}),
+       |e2 AS (
+       |  SELECT vec_id, code AS c2, d2 FROM (
+       |    SELECT b.vec_id, c.code, ${d2("b.v", "c.cv")} AS d2,
+       |      ROW_NUMBER() OVER (PARTITION BY b.vec_id
+       |        ORDER BY ${d2("b.v", "c.cv")} ASC, c.code ASC) AS rn
+       |    FROM res b CROSS JOIN cb2 c) WHERE rn = 1)
+       |SELECT r.vec_id, r.c1, e2.c2, ROUND(e2.d2, 6) AS rec_err
+       |FROM res r JOIN e2 ON r.vec_id = e2.vec_id
+       |ORDER BY r.vec_id""".stripMargin
+  }
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q205_pq_encode", q205PqEncode _, Some(q205Sql)),
+    ("q217_rvq_encode", q217RvqEncode _, Some(q217Sql)),
     ("q208_rrf_fusion", q208RrfFusion _, Some(q208Sql)),
     ("q209_chunk_overlap", q209ChunkOverlap _, Some(q209Sql)),
     ("q213_ivfpq_search", q213IvfPqSearch _, Some(q213Sql)))

@@ -576,8 +576,53 @@ object StreamingOps {
       |FROM matched m FULL OUTER JOIN unmatched u ON m.user_id = u.user_id
       |ORDER BY user_id""".stripMargin
 
+  // --------------------------------------------------------------------------
+  // q215 — STREAM-STATIC ENRICHMENT JOIN e2e: the most common production
+  // streaming shape — a fact stream joined to a dimension SNAPSHOT (static
+  // DataFrame) — is STATELESS: every micro-batch plans a fresh broadcast
+  // hash join against the dim, with no watermark and no state store (the
+  // static side is re-resolvable per batch, which is also how dim updates
+  // between batches become visible). This entry pins that: the events
+  // landing zone streams in bounded micro-batches, each joined to the
+  // customer dim via an explicit broadcast, appended to the sink, then
+  // batch-aggregated per (segment, type) for the oracle (q157's
+  // sink-then-aggregate pattern).
+  //
+  // Scale: the fact stream never shuffles — enrichment is map-side against
+  // the broadcast dim; only the small post-hoc aggregate shuffles. A dim
+  // too big to broadcast would make this a per-batch shuffle join — that
+  // regime is q123/q194's territory (salting / bloom-prune).
+  def q215StreamStaticEnrich(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val src = eventsZone(spark, dir)
+    val schema = spark.read.parquet(src).schema
+    val dim = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val enriched = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 2).parquet(src)
+      .select(col("user_id"), col("event_type"), col("value"))
+      .join(broadcast(dim), col("user_id") === col("c_custkey"))
+    val qname = "graft_q215_result"
+    withStatePartitions(spark, 8) {
+      val query = enriched.writeStream.format("memory").queryName(qname)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      query.awaitTermination()
+    }
+    spark.table(qname)
+      .groupBy(col("c_mktsegment"), col("event_type"))
+      .agg(count(lit(1)).as("n"), moneySum(col("value")).as("sum_value"))
+      .orderBy(col("c_mktsegment"), col("event_type"))
+  }
+
+  val q215Sql: String =
+    """SELECT c_mktsegment, event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events JOIN customer ON user_id = c_custkey
+      |GROUP BY 1, 2 ORDER BY c_mktsegment, event_type""".stripMargin
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q60_tumbling_window", q60Tumbling _, Some(q60Sql)),
+    ("q215_stream_static_enrich", q215StreamStaticEnrich _, Some(q215Sql)),
     ("q211_stream_outer_join", q211StreamOuterJoin _, Some(q211Sql)),
     ("q61_sliding_window", q61Sliding _, Some(q61Sql)),
     ("q62_session_window", q62Session _, Some(q62Sql)),

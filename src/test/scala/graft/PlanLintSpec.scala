@@ -65,7 +65,9 @@ class PlanLintSpec extends SparkSpec {
     "q212_embedding_outliers" ->
       "broadcast(8 seed centroids) cross join — k rows by construction (q172's assignment pass); the stats join-back is an equi-join on cluster",
     "q213_ivfpq_search" ->
-      "broadcast(8 IVF seed centroids) cross joins — k rows by construction (coarse assignment + query probe, q45's pattern); candidate scoring is an equi-join on the list id and the 48-row broadcast ADC LUT")
+      "broadcast(8 IVF seed centroids) cross joins — k rows by construction (coarse assignment + query probe, q45's pattern); candidate scoring is an equi-join on the list id and the 48-row broadcast ADC LUT",
+    "q217_rvq_encode" ->
+      "broadcast(4-codeword codebook) cross joins per RVQ stage — k rows by construction (q110's Lloyd assignment pass); residual join-back is an equi-join on code/vec_id")
 
   private def bounded(p: LogicalPlan): Boolean = p.maxRows.exists(_ <= boundedRows)
 

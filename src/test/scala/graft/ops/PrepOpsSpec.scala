@@ -21,6 +21,34 @@ class PrepOpsSpec extends SparkSpec {
     d
   }
 
+  test("q216 DP release: noise is reproducible, nonzero per cell, and Laplace-bounded") {
+    import spark.implicits._
+    val d = Files.createTempDirectory("graft_prep_ev").toString
+    val base = java.sql.Timestamp.valueOf("2024-01-01 10:00:00") // a Monday
+    (0 until 300).map { i =>
+      (i.toLong, new java.sql.Timestamp(base.getTime + i * 3600_000L),
+        (i % 7).toLong, if (i % 3 == 0) "click" else "view", 1.0, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.parquet(s"$d/events.parquet")
+
+    val r1 = PrepOps.q216DpCounts(spark, d).collect()
+    val r2 = PrepOps.q216DpCounts(spark, d).collect()
+    // published-once semantics: the release is a pure function of the data
+    assert(r1.map(_.toSeq).toSeq === r2.map(_.toSeq).toSeq)
+    val truth = spark.read.parquet(s"$d/events.parquet")
+      .groupBy(col("event_type"), dayofweek(col("ts")).as("dow"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    r1.foreach { r =>
+      val key = (r.getAs[String]("event_type"), r.getAs[Int]("dow"))
+      val noise = r.getAs[Double]("noisy_n") - truth(key)
+      assert(noise !== 0.0, s"cell $key drew exactly zero noise")
+      // |Laplace(1)| < 30 has probability 1 - e^-30 — a failure here means
+      // the inverse-CDF transform broke, not bad luck
+      assert(math.abs(noise) < 30.0, s"cell $key noise $noise out of bounds")
+    }
+  }
+
   test("q176 containment is DIRECTED: excerpt ⊂ page, not the reverse") {
     // doc 1 = a 6-token excerpt (4 shingles), doc 2 = the same text plus a
     // long unique tail. Every shingle of 1 appears in 2 ⇒ cont(1⊂2) = 1.0;

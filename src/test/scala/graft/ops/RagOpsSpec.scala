@@ -37,6 +37,28 @@ class RagOpsSpec extends SparkSpec {
     }
   }
 
+  test("q217 RVQ: vectors equal to stage-1 codewords encode with zero residual and zero error") {
+    import spark.implicits._
+    // q205's planted shape: the first 4 vectors are the stage-1 init
+    // codewords and vectors 4-7 repeat them exactly, so cb1 converges to
+    // the codewords, every residual is the zero vector, and stage 2
+    // assigns everything to code 0 (tie-break) with rec_err == 0
+    def v(fill: Float): Array[Float] = Array.fill(64)(fill)
+    val rows = (0 until 4).map(i => (i.toLong, v(i.toFloat), 0)) ++
+      (0 until 4).map(i => (i + 4L, v(i.toFloat), 0))
+    val d = dirWith { d =>
+      rows.toDF("vec_id", "embedding", "label")
+        .coalesce(1).write.parquet(s"$d/embeddings.parquet")
+    }
+    val got = RagOps.q217RvqEncode(spark, d).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        ((r.getAs[Int]("c1"), r.getAs[Int]("c2"), r.getAs[Double]("rec_err")))).toMap
+    for (i <- 0 until 4) {
+      assert(got(i.toLong) === ((i, 0, 0.0)))
+      assert(got(i + 4L) === ((i, 0, 0.0)))
+    }
+  }
+
   test("q206 triangle count: one planted triangle plus a dangling edge") {
     import spark.implicits._
     // co-purchase >= 2 edges: (1,2),(2,3),(1,3) form a triangle; (3,4)

@@ -22,6 +22,22 @@ class StreamingMoreSpec extends SparkSpec {
   private val ns = 1000000000L
   private val t0 = 1704067200L * ns
 
+  test("q215 stream-static enrichment equals the batch join, stateless across batches") {
+    val dir = "/root/testdata/sf0.001"
+    val streamed = StreamingOps.q215StreamStaticEnrich(spark, dir)
+      .collect().map(_.toSeq)
+    val batch = graft.Tables.events(spark, dir)
+      .join(graft.Tables.customer(spark, dir),
+        col("user_id") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        graft.ops.Num.moneySum(col("value")).as("sum_value"))
+      .orderBy(col("c_mktsegment"), col("event_type"))
+      .collect().map(_.toSeq)
+    assert(streamed.nonEmpty)
+    assert(streamed.toSeq === batch.toSeq)
+  }
+
   test("q190 upsert keeps the per-user LATEST row; ts ties break on event_id") {
     // user 1: later ts wins regardless of event_id order; user 2: two
     // events at the SAME ts — the higher event_id must win (the total
