@@ -20,6 +20,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
       (exprs: Seq[Expression]) => CosineSimilarity(exprs.head, exprs(1))))
+    extensions.injectFunction((
+      FunctionIdentifier("unaccent"),
+      new ExpressionInfo(classOf[StripAccentsExpr].getName, "unaccent"),
+      (exprs: Seq[Expression]) => StripAccentsExpr(exprs.head)))
     extensions.injectOptimizerRule(_ => LevenshteinRewrite)
   }
 }

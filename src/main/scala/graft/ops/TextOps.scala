@@ -1011,8 +1011,50 @@ object TextOps {
       |  CAST(len(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS INT) AS clean_len
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------------------------------------
+  // q218 — UNICODE NORMALIZATION for dedup keys: accent-fold text with the
+  // native `unaccent` expression (graft.functions.StripAccentsExpr — NFD,
+  // drop combining marks, NFC) so 'café'/'café'(decomposed)/'cafe' hash to
+  // ONE exact-dup key — the step q84's ASCII canonicalizer cannot do on
+  // multilingual corpora. The driver corpus is pure ASCII, so the entry
+  // first SYNTHESIZES accented text deterministically in-plan
+  // (translate 'aeinouc' → composed accented forms — same function both
+  // engines), then proves the fold restores it: the oracle runs DuckDB's
+  // utf8proc strip_accents over the identically-dirtied text, and the
+  // hash compare pins JDK-Normalizer ≡ utf8proc on this alphabet.
+  //
+  // Scale: row-local, single codegen'd static call per row, inside
+  // whole-stage codegen — no shuffle, wide strings never leave the scan.
+  /** Composed accented forms for a-e-i-n-o-u-c, as explicit escapes so
+    * source-encoding normalization can never silently diverge the Spark
+    * and oracle translate tables.
+    */
+  private val accentedAlphabet = "\u00e1\u00e9\u00ed\u00f1\u00f3\u00fa\u00e7"
+
+  def q218UnicodeNormalize(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.UnicodeNorm.register(spark)
+    Tables.documents(spark, dir)
+      .withColumn("dirty", translate(lower(col("text")), "aeinouc", accentedAlphabet))
+      .select(col("doc_id"),
+        md5(expr("unaccent(dirty)")).as("restored_hash"),
+        (length(col("dirty")) - length(translate(col("dirty"), accentedAlphabet, "")))
+          .as("n_accented"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q218Sql: String =
+    s"""WITH d AS (
+      |  SELECT doc_id, translate(lower(text), 'aeinouc', '$accentedAlphabet') AS dirty
+      |  FROM documents)
+      |SELECT doc_id,
+      |  md5(strip_accents(nfc_normalize(dirty))) AS restored_hash,
+      |  CAST(length(dirty) - length(translate(dirty, '$accentedAlphabet', '')) AS INT)
+      |    AS n_accented
+      |FROM d ORDER BY doc_id""".stripMargin
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q30_exact_dedup", q30ExactDedup _, Some(q30Sql)),
+    ("q218_unicode_normalize", q218UnicodeNormalize _, Some(q218Sql)),
     ("q84_text_clean", q84TextClean _, Some(q84Sql)),
     ("q81_bm25", q81Bm25 _, Some(q81Sql)),
     ("q82_dedup_clusters", q82DedupClusters _, Some(q82Sql)),

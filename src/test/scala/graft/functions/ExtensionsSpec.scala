@@ -17,6 +17,25 @@ class ExtensionsSpec extends SparkSpec {
     assert(math.abs(orth.getDouble(0)) < 1e-12)
   }
 
+  test("unaccent folds composed AND decomposed forms to the same ASCII, null passes through") {
+    // composed \u00e9 and decomposed e + combining acute U+0301 must both
+    // fold to 'e' -- the property that makes it a dedup KEY function
+    val composed = "caf\u00e9"
+    val decomposed = "cafe\u0301"
+    val accented = "\u00e1\u00e9\u00ed\u00f1\u00f3\u00fa\u00e7"
+    val r = spark.sql(
+      s"SELECT unaccent('$composed') AS a, unaccent('$decomposed') AS b, " +
+        s"unaccent('$accented') AS c, " +
+        "unaccent(CAST(NULL AS STRING)) AS d").collect()(0)
+    assert(r.getString(0) === "cafe")
+    assert(r.getString(1) === "cafe")
+    assert(r.getString(2) === "aeinouc")
+    assert(r.isNullAt(3))
+    // interpreted path (direct eval) agrees with the codegen'd SQL path
+    assert(UnicodeNorm.strip(
+      org.apache.spark.unsafe.types.UTF8String.fromString(decomposed)).toString === "cafe")
+  }
+
   test("cosine_sim null semantics: zero-norm and null input yield null") {
     val zero = spark.sql("SELECT cosine_sim(array(0.0d, 0.0d), array(1.0d, 1.0d)) AS s").collect()(0)
     assert(zero.isNullAt(0))
