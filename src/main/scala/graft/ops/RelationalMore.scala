@@ -1447,8 +1447,46 @@ object RelationalMore {
       |FROM part
       |ORDER BY tbl""".stripMargin
 
+  // --------------------------------------------------------------------------
+  // q219 — SCHEMA-EVOLUTION READ (mergeSchema): two generations of the
+  // same landing table — v1 written WITHOUT the priority column, v2
+  // written WITH it — read back as ONE dataset via parquet schema merging,
+  // the production reality of any long-lived drop zone (columns get added;
+  // history doesn't get rewritten). Old files surface the new column as
+  // NULL; the aggregate groups on it with a sentinel for the pre-evolution
+  // rows. The oracle reconstructs the same split from the source table.
+  //
+  // Scale: mergeSchema pays one footer read per file at planning (fine —
+  // a real deployment pins the merged schema in a catalog after one
+  // inference pass); the scan itself stays columnar with pushdown. The
+  // staged generations are written once per (process, dir) (Staging).
+  def q219SchemaEvolution(spark: SparkSession, dir: String): DataFrame = {
+    val slot = Staging.ensure("q219_evo", dir) { path =>
+      val o = Tables.orders(spark, dir)
+      o.filter(pmod(col("o_orderkey"), lit(2)) === 0) // generation 1: no priority
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .write.mode("overwrite").parquet(path)
+      o.filter(pmod(col("o_orderkey"), lit(2)) === 1) // generation 2: adds it
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          col("o_orderpriority"))
+        .write.mode("append").parquet(path)
+    }
+    spark.read.option("mergeSchema", "true").parquet(slot)
+      .groupBy(coalesce(col("o_orderpriority"), lit("pre-evolution")).as("prio"))
+      .agg(count(lit(1)).as("n"), Num.moneySum(col("o_totalprice")).as("total"))
+      .orderBy(col("prio"))
+  }
+
+  val q219Sql: String =
+    """SELECT CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority
+      |            ELSE 'pre-evolution' END AS prio,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM orders GROUP BY 1 ORDER BY prio""".stripMargin
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q214_cbo_stats", q214CboStats _, Some(q214Sql)),
+    ("q219_schema_evolution", q219SchemaEvolution _, Some(q219Sql)),
     ("q53_date_spine", q53DateSpine _, Some(q53Sql)),
     ("q142_zorder_layout", q142ZOrder _, Some(q142Sql)),
     ("q143_incremental_mv", q143IncrementalMv _, Some(q143Sql)),

@@ -318,7 +318,87 @@ object SketchOps {
       |  TRUE AS approx_within_5pct
       |FROM u""".stripMargin
 
+  // --------------------------------------------------------------------------
+  // q220 — KMV (k-minimum-values) SOURCE-SIMILARITY matrix: one 64-value
+  // bottom-k sketch of the token-hash set per source, then pairwise
+  // Jaccard ESTIMATES from sketch pairs — the corpus-level dedup triage
+  // that says which SOURCES overlap before any doc-level near-dup runs
+  // (Beyer et al., "On synopses for distinct-value estimation"). The
+  // estimator: merge two sketches, keep the k smallest of the union, and
+  // count how many live in both — |∩ bottom-k(∪)| / k.
+  //
+  // Determinism: the "random" permutation is the q115 portable md5→long
+  // hash, so both engines compute the IDENTICAL sketch (no estimate-vs-
+  // exact gap to round away — the oracle replays the estimator itself).
+  // Scale: after the one tokenize+distinct pass, everything operates on
+  // |sources| × k rows; the pair join is sketch×sketch (k-bounded), never
+  // corpus×corpus. Sketches are mergeable, so per-shard bottom-k unions
+  // compose (the q74/q99 rollup property, for set similarity).
+  def q220SourceSimilarity(spark: SparkSession, dir: String): DataFrame = {
+    val k = 64
+    val hashes = Tables.documents(spark, dir)
+      .select(col("source"), explode(TextOps.toks).as("tok"))
+      .select(col("source"),
+        conv(substring(md5(col("tok")), 1, 13), 16, 10).cast("long").as("h"))
+      .distinct()
+    val sketch = hashes
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("source")).orderBy(col("h"))))
+      .filter(col("rn") <= k)
+      .select(col("source"), col("h"))
+      .localCheckpoint() // consumed by both sides of the pair join
+    val a = sketch.select(col("source").as("s1"), col("h"))
+    val b = sketch.select(col("source").as("s2"), col("h"))
+    val merged = a.join(broadcast(b.select(col("s2")).distinct()), col("s1") < col("s2"))
+      .select(col("s1"), col("s2"), col("h"), lit(1).as("in1"))
+      .unionByName(
+        b.join(broadcast(a.select(col("s1")).distinct()), col("s1") < col("s2"))
+          .select(col("s1"), col("s2"), col("h"), lit(0).as("in1")))
+    merged
+      .groupBy(col("s1"), col("s2"), col("h"))
+      .agg(count(lit(1)).as("sides")) // 2 = hash present in both sketches
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("s1"), col("s2")).orderBy(col("h"))))
+      .filter(col("rn") <= k)
+      .groupBy(col("s1"), col("s2"))
+      .agg((sum(when(col("sides") === 2, 1).otherwise(0)).cast("double") / k)
+        .as("est_jaccard"))
+      .select(col("s1"), col("s2"), round(col("est_jaccard"), 6).as("est_jaccard"))
+      .orderBy(col("s1"), col("s2"))
+  }
+
+  val q220Sql: String =
+    s"""WITH hashes AS (
+       |  SELECT DISTINCT source,
+       |    ('0x' || substr(md5(tok), 1, 13))::BIGINT AS h
+       |  FROM (SELECT source, unnest(${TextOps.toksSqlD}) AS tok FROM documents)),
+       |sketch AS (
+       |  SELECT source, h FROM (
+       |    SELECT source, h,
+       |      ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rn
+       |    FROM hashes) WHERE rn <= 64),
+       |pairs AS (
+       |  SELECT a.source AS s1, b.source AS s2
+       |  FROM (SELECT DISTINCT source FROM sketch) a
+       |  JOIN (SELECT DISTINCT source FROM sketch) b ON a.source < b.source),
+       |merged AS (
+       |  SELECT p.s1, p.s2, s.h,
+       |    MAX(CASE WHEN s.source = p.s1 THEN 1 ELSE 0 END)
+       |      + MAX(CASE WHEN s.source = p.s2 THEN 1 ELSE 0 END) AS sides
+       |  FROM pairs p JOIN sketch s ON s.source IN (p.s1, p.s2)
+       |  GROUP BY p.s1, p.s2, s.h),
+       |bottomk AS (
+       |  SELECT s1, s2, sides FROM (
+       |    SELECT s1, s2, sides,
+       |      ROW_NUMBER() OVER (PARTITION BY s1, s2 ORDER BY h) AS rn
+       |    FROM merged) WHERE rn <= 64)
+       |SELECT s1, s2,
+       |  ROUND(CAST(SUM(CASE WHEN sides = 2 THEN 1 ELSE 0 END) AS DOUBLE) / 64, 6)
+       |    AS est_jaccard
+       |FROM bottomk GROUP BY s1, s2 ORDER BY s1, s2""".stripMargin
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
+    ("q220_source_similarity", q220SourceSimilarity _, Some(q220Sql)),
     ("q74_sketch_rollup", q74SketchRollup _, Some(q74Sql)),
     ("q77_heavy_hitters", q77HeavyHitters _, Some(q77Sql)),
     ("q99_hll_rollup", q99HllRollup _, Some(q99Sql)),

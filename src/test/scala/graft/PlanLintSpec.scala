@@ -67,7 +67,9 @@ class PlanLintSpec extends SparkSpec {
     "q213_ivfpq_search" ->
       "broadcast(8 IVF seed centroids) cross joins — k rows by construction (coarse assignment + query probe, q45's pattern); candidate scoring is an equi-join on the list id and the 48-row broadcast ADC LUT",
     "q217_rvq_encode" ->
-      "broadcast(4-codeword codebook) cross joins per RVQ stage — k rows by construction (q110's Lloyd assignment pass); residual join-back is an equi-join on code/vec_id")
+      "broadcast(4-codeword codebook) cross joins per RVQ stage — k rows by construction (q110's Lloyd assignment pass); residual join-back is an equi-join on code/vec_id",
+    "q220_source_similarity" ->
+      "pair expansion joins each source's 64-row KMV sketch against the broadcast distinct-source list (~|sources| rows, q119's marginal pattern) — corpus-size-independent after the one tokenize+distinct pass")
 
   private def bounded(p: LogicalPlan): Boolean = p.maxRows.exists(_ <= boundedRows)
 

@@ -6,6 +6,17 @@ import org.apache.spark.sql.functions._
 class RelationalMoreSpec extends SparkSpec {
   private val dir = "/root/testdata/sf0.001"
 
+  test("q219 mergeSchema read surfaces the evolved column as NULL on old files") {
+    val out = RelationalMore.q219SchemaEvolution(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // generation-1 rows (even keys, written without the column) must all
+    // land in the sentinel group, and the split must cover every order
+    val o = Tables.orders(spark, dir)
+    assert(out("pre-evolution") === o.filter(col("o_orderkey") % 2 === 0).count())
+    assert(out.values.sum === o.count())
+    assert(out.keySet.size >= 2, "evolved rows must group by real priorities")
+  }
+
   test("q53 date spine is dense (one row per day, gaps zero-filled)") {
     val rows = RelationalMore.q53DateSpine(spark, dir).collect()
     val days = rows.map(_.getTimestamp(0).toInstant)

@@ -6,6 +6,26 @@ import org.apache.spark.sql.functions._
 class SketchOpsSpec extends SparkSpec {
   private val dir = "/root/testdata/sf0.001"
 
+  test("q220 KMV similarity: identical sources estimate 1.0, disjoint sources 0.0") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft_kmv").toString
+    // srcA and srcB share the exact token set (est must be 1.0 — the
+    // sketches are identical); srcC is disjoint (est must be 0.0)
+    val shared = (1 to 200).map(i => s"tok$i").mkString(" ")
+    val other = (1 to 200).map(i => s"zzz$i").mkString(" ")
+    Seq(
+      (1L, shared, "en", "srcA"), (2L, shared, "en", "srcB"),
+      (3L, other, "en", "srcC"))
+      .map { case (id, text, lang, src) => (id, text, lang, src, text.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$d/documents.parquet")
+    val got = SketchOps.q220SourceSimilarity(spark, d).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getAs[Double]("est_jaccard")).toMap
+    assert(got(("srcA", "srcB")) === 1.0)
+    assert(got(("srcA", "srcC")) === 0.0)
+    assert(got(("srcB", "srcC")) === 0.0)
+  }
+
   test("q74 merged region sketches land within rank tolerance of exact percentiles") {
     val approx = SketchOps.q74Raw(spark, dir).collect()
       .map(r => r.getAs[Number]("n_regionkey").longValue -> r).toMap
