@@ -113,7 +113,71 @@ object Metrics {
       |        / (2.0 * COUNT(*) FILTER (pos) * COUNT(*) FILTER (NOT pos)), 6) AS auc
       |FROM r""".stripMargin
 
+  // --------------------------------------------------------------------------
+  // q224 — CALIBRATION AUDIT (reliability diagram + Expected Calibration
+  // Error): bin predicted probabilities into 10 equal-width confidence
+  // bins; per bin report count, mean confidence, and observed positive
+  // rate; ECE = Σ_b (n_b/N)·|acc_b − conf_b|. q193 measures RANKING
+  // quality (AUC); this measures PROBABILITY quality — the model-eval
+  // pair every scored-data pipeline ships together.
+  //
+  // The score is the q193 synthetic model made probabilistic: a dyadic
+  // md5 uniform scaled by 0.8 plus a 0.2 class shift, so positives
+  // concentrate in high bins and the diagram is non-trivial.
+  //
+  // Determinism: the per-bin mean confidence is an exact scaled-long sum
+  // (floor(p·1e12) per row, order-free long Σ), accuracy is an integer
+  // ratio; both are rounded to 6 dp BEFORE the gap so every engine
+  // compares identical doubles; the 10-term ECE sum runs in pinned bin
+  // order via a sorted-array fold (q201's order-pinning rule).
+  //
+  // Scale: one hash aggregate to 10 rows + a broadcast 1-row ECE join —
+  // nothing else touches the corpus.
+  def q224Calibration(spark: SparkSession, dir: String): DataFrame = {
+    val u = (conv(substring(md5(concat(lit("cal:"), col("event_id").cast("string"))), 1, 13),
+      16, 10).cast("long").cast("double") + 0.5) / lit(4503599627370496.0)
+    val bins = Tables.events(spark, dir)
+      .select((col("event_type") === "purchase").as("pos"),
+        (u * 0.8 + when(col("event_type") === "purchase", 0.2).otherwise(0.0)).as("p"))
+      .withColumn("bin", floor(col("p") * 10).cast("int"))
+      .withColumn("pq", floor(col("p") * 1e12).cast("long"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), count_if(col("pos")).as("n_pos"),
+        round(sum(col("pq")).cast("double") / 1e12 / count(lit(1)), 6).as("conf"),
+        round(count_if(col("pos")).cast("double") / count(lit(1)), 6).as("acc"))
+    val ece = bins
+      .agg(sort_array(collect_list(struct(col("bin"),
+          (col("n") * abs(col("acc") - col("conf"))).as("t")))).as("ts"),
+        sum(col("n")).as("nTot"))
+      .select(round(expr(
+        "aggregate(ts, cast(0 as double), (a, x) -> a + x.t)") / col("nTot"), 6).as("ece"))
+    bins.crossJoin(broadcast(ece))
+      .select(col("bin"), col("n"), col("n_pos"), col("conf"), col("acc"), col("ece"))
+      .orderBy(col("bin"))
+  }
+
+  val q224Sql: String =
+    """WITH sc AS (
+      |  SELECT event_type = 'purchase' AS pos,
+      |    (('0x' || substr(md5('cal:' || event_id::VARCHAR), 1, 13))::BIGINT + 0.5)
+      |      / 4503599627370496.0 * 0.8
+      |      + CASE WHEN event_type = 'purchase' THEN 0.2 ELSE 0.0 END AS p
+      |  FROM events),
+      |b AS (
+      |  SELECT CAST(FLOOR(p * 10) AS INT) AS bin, COUNT(*) AS n,
+      |    CAST(COUNT(*) FILTER (pos) AS BIGINT) AS n_pos,
+      |    ROUND(CAST(SUM(CAST(FLOOR(p * 1e12) AS BIGINT)) AS DOUBLE) / 1e12 / COUNT(*), 6)
+      |      AS conf,
+      |    ROUND(CAST(COUNT(*) FILTER (pos) AS DOUBLE) / COUNT(*), 6) AS acc
+      |  FROM sc GROUP BY 1),
+      |e AS (
+      |  SELECT ROUND(list_reduce(list(n * abs(acc - conf) ORDER BY bin),
+      |    (x, y) -> x + y) / SUM(n), 6) AS ece FROM b)
+      |SELECT bin, n, n_pos, conf, acc, ece
+      |FROM b CROSS JOIN e ORDER BY bin""".stripMargin
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q124_observe_quality", q124ObserveQuality _, Some(q124Sql)),
+    ("q224_calibration", q224Calibration _, Some(q224Sql)),
     ("q193_exact_auc", q193ExactAuc _, Some(q193Sql)))
 }

@@ -752,6 +752,67 @@ object PipelineOps {
   }
 
   // --------------------------------------------------------------------------
+  // q221 — MULTI-SOURCE BFS HOP DISTANCE over the undirected customer—
+  // supplier purchase graph (q120's edge set, both directions): minimum
+  // hop count from a small seed set (customers with key ≤ 3) to every
+  // reachable node, capped at 4 hops — the reachability/blast-radius
+  // primitive (lineage impact, fraud rings, contamination spread) that
+  // complements q120 (centrality), q82 (components), q206 (cohesion).
+  //
+  // Spark shape: classic frontier iteration — per round ONE equi-join
+  // frontier⨝edges on src (shuffle on the edge key), a distinct, and an
+  // anti-join against the visited set; `dist` stays (node, hop) narrow
+  // and is localCheckpoint'ed per round (q120's lineage-truncation
+  // lesson). Rounds are a fixed small constant (the hop cap), so total
+  // work is O(hops · |edges touched|) — never materializing paths.
+  // All arithmetic is integer; results are exact in both engines.
+  //
+  // Oracle: DuckDB recursive CTE with UNION (set) semantics — (node, hop)
+  // pairs dedup globally, the hop < 4 guard bounds recursion, and the
+  // outer MIN(hop) collapses multi-hop rediscoveries.
+  def q221BfsDistance(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.orders(spark, dir)
+      .join(Tables.lineitem(spark, dir), col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+      .distinct()
+    val edges = base
+      .union(base.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint()
+    var dist = Tables.customer(spark, dir)
+      .filter(col("c_custkey") <= 3)
+      .select((col("c_custkey") * 2).as("node"), lit(0).as("hop"))
+      .localCheckpoint()
+    var frontier = dist.select(col("node"))
+    for (h <- 1 to 4) {
+      val next = frontier.join(edges, col("node") === col("src"))
+        .select(col("dst").as("node")).distinct()
+        .join(dist, Seq("node"), "left_anti")
+        .withColumn("hop", lit(h))
+        .localCheckpoint()
+      dist = dist.union(next).localCheckpoint()
+      frontier = next.select(col("node"))
+    }
+    dist.groupBy(col("hop"))
+      .agg(count(lit(1)).as("n_nodes"), min(col("node")).as("min_node"),
+        max(col("node")).as("max_node"))
+      .orderBy(col("hop"))
+  }
+
+  val q221Sql: String =
+    """WITH RECURSIVE e1 AS (
+      |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+      |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+      |edges AS (SELECT src, dst FROM e1 UNION ALL SELECT dst, src FROM e1),
+      |reach(node, hop) AS (
+      |  SELECT c_custkey * 2, 0 FROM customer WHERE c_custkey <= 3
+      |  UNION
+      |  SELECT e.dst, r.hop + 1
+      |  FROM reach r JOIN edges e ON r.node = e.src WHERE r.hop < 4)
+      |SELECT hop, COUNT(*) AS n_nodes, MIN(node) AS min_node, MAX(node) AS max_node
+      |FROM (SELECT node, MIN(hop) AS hop FROM reach GROUP BY node)
+      |GROUP BY hop ORDER BY hop""".stripMargin
+
+  // --------------------------------------------------------------------------
   // q121 — record linkage (entity resolution): match a clean entity table
   // against a dirty copy (synthesized in-query, identically in the
   // oracle: every 3rd customer's name loses one deterministic character)
@@ -1041,6 +1102,7 @@ object PipelineOps {
     ("q146_recursive_cte", q146RecursiveCte _, Some(q114Sql)),
     ("q115_temperature_mixture", q115TemperatureMixture _, Some(q115Sql)),
     ("q120_pagerank", q120PageRank _, Some(q120Sql)),
+    ("q221_bfs_distance", q221BfsDistance _, Some(q221Sql)),
     ("q121_record_linkage", q121RecordLinkage _, Some(q121Sql)),
     ("q159_group_split", q159GroupSplit _, Some(q159Sql)),
     ("q160_temporal_split", q160TemporalSplit _, Some(q160Sql)),

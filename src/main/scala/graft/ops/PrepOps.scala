@@ -441,7 +441,100 @@ object PrepOps {
       |  CAST(1.0 AS DOUBLE) AS epsilon
       |FROM noise ORDER BY event_type, dow""".stripMargin
 
+  // --------------------------------------------------------------------------
+  // q223 — t-CLOSENESS AUDIT (Li, Li, Venkatasubramanian): for each
+  // quasi-identifier group (nation, segment), the Earth Mover's Distance
+  // between the group's distribution of the ordered sensitive attribute
+  // (account balance, 10 global equi-width bins) and the global
+  // distribution; a group "breaches" when EMD > t. Completes the privacy
+  // triad: q180 k-anonymity (group size), q202 l-diversity (distinct
+  // sensitive values), q223 distribution closeness (the attack l-diversity
+  // misses — skewed-but-diverse groups).
+  //
+  // For an ordered attribute, EMD = (1/(B−1)) Σᵢ |Σ_{j≤i} (qⱼ − pⱼ)|.
+  // Exactness: bins are integer-division buckets on exact cents; the
+  // cumulative difference is kept as the EXACT integer numerator
+  // |cumqᵢ·N − cumpᵢ·n_g| (one bigint product each) over denominator
+  // n_g·N — summed as exact longs, ONE double division at output, round
+  // 6 dp. Bit-identical cross-engine, no float accumulation anywhere.
+  //
+  // Scale: two hash aggregates over the corpus (per-group-bin, per-bin),
+  // a dense groups×10 grid built by exploding a bounded literal (no
+  // join), the global 10-row bin table broadcast-joined in, and a
+  // 10-row-per-group window partitioned by group. No all-pairs, no
+  // unpartitioned window.
+  def q223TCloseness(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cust = Tables.customer(spark, dir).select(
+      col("c_nationkey"), col("c_mktsegment").as("seg"),
+      (col("c_acctbal").cast(DecimalType(18, 2)) * 100).cast("long").as("cents"))
+    val rng = cust.agg(min(col("cents")).as("minc"), max(col("cents")).as("maxc"),
+      count(lit(1)).as("nTot"))
+    val binned = cust.crossJoin(broadcast(rng))
+      .withColumn("bin", expr("((cents - minc) * 10) div (maxc - minc + 1)"))
+      .select(col("c_nationkey"), col("seg"), col("bin"))
+    val gbin = binned.groupBy(col("c_nationkey"), col("seg"), col("bin"))
+      .agg(count(lit(1)).as("ng_b"))
+    val glob = binned.groupBy(col("bin")).agg(count(lit(1)).as("n_b"))
+    val grid = binned.groupBy(col("c_nationkey"), col("seg"))
+      .agg(count(lit(1)).as("n_g"))
+      .withColumn("bin", explode(array((0 until 10).map(b => lit(b.toLong)): _*)))
+    val w = Window.partitionBy(col("c_nationkey"), col("seg")).orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val t = 0.15
+    grid
+      .join(gbin, Seq("c_nationkey", "seg", "bin"), "left")
+      .join(broadcast(glob), Seq("bin"), "left")
+      .crossJoin(broadcast(rng.select(col("nTot"))))
+      .withColumn("cumq", sum(coalesce(col("ng_b"), lit(0L))).over(w))
+      .withColumn("cump", sum(coalesce(col("n_b"), lit(0L))).over(w))
+      .withColumn("d", abs(col("cumq") * col("nTot") - col("cump") * col("n_g")))
+      .groupBy(col("c_nationkey"), col("seg"))
+      .agg(max(col("n_g")).as("n_g"),
+        round(sum(col("d")).cast("double") /
+          (lit(9.0) * max(col("n_g")) * max(col("nTot"))), 6).as("emd"))
+      .withColumn("breach", col("emd") > t)
+      .orderBy(col("c_nationkey"), col("seg"))
+  }
+
+  val q223Sql: String =
+    """WITH cust AS (
+      |  SELECT c_nationkey, c_mktsegment AS seg,
+      |    CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      |  FROM customer),
+      |rng AS (SELECT MIN(cents) AS minc, MAX(cents) AS maxc,
+      |  COUNT(*) AS nTot FROM cust),
+      |binned AS (
+      |  SELECT c_nationkey, seg, ((cents - minc) * 10) // (maxc - minc + 1) AS bin
+      |  FROM cust CROSS JOIN rng),
+      |gbin AS (SELECT c_nationkey, seg, bin, COUNT(*) AS ng_b
+      |  FROM binned GROUP BY 1, 2, 3),
+      |gtot AS (SELECT bin, COUNT(*) AS n_b FROM binned GROUP BY bin),
+      |grid AS (
+      |  SELECT c_nationkey, seg, n_g, CAST(r.range AS BIGINT) AS bin
+      |  FROM (SELECT c_nationkey, seg, COUNT(*) AS n_g FROM binned GROUP BY 1, 2)
+      |  CROSS JOIN range(0, 10) r),
+      |cum AS (
+      |  SELECT g.c_nationkey, g.seg, g.bin, g.n_g, nTot,
+      |    SUM(COALESCE(ng_b, 0)) OVER (PARTITION BY g.c_nationkey, g.seg
+      |      ORDER BY g.bin ROWS UNBOUNDED PRECEDING) AS cumq,
+      |    SUM(COALESCE(n_b, 0)) OVER (PARTITION BY g.c_nationkey, g.seg
+      |      ORDER BY g.bin ROWS UNBOUNDED PRECEDING) AS cump
+      |  FROM grid g
+      |  LEFT JOIN gbin ON g.c_nationkey = gbin.c_nationkey
+      |    AND g.seg = gbin.seg AND g.bin = gbin.bin
+      |  LEFT JOIN gtot ON g.bin = gtot.bin
+      |  CROSS JOIN (SELECT nTot FROM rng))
+      |SELECT c_nationkey, seg, MAX(n_g) AS n_g,
+      |  ROUND(CAST(SUM(ABS(cumq * nTot - cump * n_g)) AS DOUBLE)
+      |    / (9.0 * MAX(n_g) * MAX(nTot)), 6) AS emd,
+      |  ROUND(CAST(SUM(ABS(cumq * nTot - cump * n_g)) AS DOUBLE)
+      |    / (9.0 * MAX(n_g) * MAX(nTot)), 6) > 0.15 AS breach
+      |FROM cum GROUP BY c_nationkey, seg
+      |ORDER BY c_nationkey, seg""".stripMargin
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
+    ("q223_t_closeness", q223TCloseness _, Some(q223Sql)),
     ("q216_dp_counts", q216DpCounts _, Some(q216Sql)),
     ("q176_containment", q176Containment _, Some(q176Sql)),
     ("q177_compaction_plan", q177CompactionPlan _, Some(q177Sql)),

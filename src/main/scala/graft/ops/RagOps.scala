@@ -459,7 +459,116 @@ object RagOps {
        |ORDER BY r.vec_id""".stripMargin
   }
 
+  // --------------------------------------------------------------------------
+  // q222 — MAXIMAL MARGINAL RELEVANCE re-ranking (Carbonell & Goldstein):
+  // retrieve top-16 candidates by query cosine, then greedily select 8
+  // balancing relevance against redundancy — score(d) = λ·rel(d) −
+  // (1−λ)·max_{s∈S} sim(d, s), λ = 0.5. The diversity stage every RAG
+  // retrieval stack runs after ANN candidate generation (q40/q42/q45
+  // produce candidates; this is the re-ranker).
+  //
+  // Scale shape: the corpus is touched ONCE — a linear cosine scan into a
+  // TakeOrderedAndProject top-16 (q107's rule). Everything after operates
+  // on the BOUNDED candidate set: the 16×16 similarity matrix is a
+  // broadcast cross of 16-row frames, and each of the 7 greedy rounds
+  // joins frames of ≤16 rows. Per-query work after the scan is O(k²) on
+  // k = 16 regardless of corpus size — the standard MMR contract.
+  //
+  // Determinism: the query vector is the exact scaled-long dim-wise mean
+  // of vectors 0–3; cosines fold in fixed dim order and are rounded to
+  // 6 dp BEFORE any comparison; greedy argmax ties break on vec_id. The
+  // oracle unrolls the same 8 greedy steps as chained CTEs (q217's
+  // generated-SQL precedent).
+  private val mmrK = 8
+  private val mmrCand = 16
+
+  private def cosExpr(a: String, b: String): String =
+    s"round(aggregate(zip_with($a, $b, (x, y) -> x * y), cast(0 as double), (acc, x) -> acc + x)" +
+      s" / (sqrt(aggregate($a, cast(0 as double), (acc, x) -> acc + x * x))" +
+      s" * sqrt(aggregate($b, cast(0 as double), (acc, x) -> acc + x * x))), 6)"
+
+  def q222MmrRerank(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v"))
+    val qv = base.filter(col("vec_id") < 4)
+      .select(posexplode(col("v")))
+      .withColumn("vq", expr("cast(floor(col * 1e12 + 0.5d) as long)"))
+      .groupBy(col("pos"))
+      .agg((sum(col("vq")).cast("double") / 1e12 / count(lit(1))).as("c"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
+      .select(expr("transform(pc, x -> x.c)").as("q"))
+    val cand = base.crossJoin(broadcast(qv))
+      .withColumn("rel", expr(cosExpr("v", "q")))
+      .select(col("vec_id"), col("v"), col("rel"))
+      .orderBy(col("rel").desc, col("vec_id"))
+      .limit(mmrCand)
+      .localCheckpoint()
+    val sims = cand.select(col("vec_id").as("ia"), col("v").as("va"))
+      .crossJoin(broadcast(cand.select(col("vec_id").as("ib"), col("v").as("vb"))))
+      .filter(col("ia") =!= col("ib"))
+      .select(col("ia"), col("ib"), expr(cosExpr("va", "vb")).as("s"))
+      .localCheckpoint()
+    val rels = cand.select(col("vec_id"), col("rel")).localCheckpoint()
+    var selected = rels.orderBy(col("rel").desc, col("vec_id")).limit(1)
+      .select(col("vec_id"), col("rel").as("score"), lit(1).as("rank"))
+      .localCheckpoint()
+    for (k <- 2 to mmrK) {
+      val selIds = selected.select(col("vec_id").as("sel_id"))
+      val maxSim = sims.join(broadcast(selIds), col("ib") === col("sel_id"))
+        .groupBy(col("ia")).agg(max(col("s")).as("ms"))
+      val pick = rels.join(selIds, col("vec_id") === col("sel_id"), "left_anti")
+        .join(maxSim, col("vec_id") === col("ia"))
+        .select(col("vec_id"),
+          round(lit(0.5) * col("rel") - lit(0.5) * col("ms"), 6).as("score"))
+        .orderBy(col("score").desc, col("vec_id"))
+        .limit(1)
+        .withColumn("rank", lit(k))
+      selected = selected.union(pick).localCheckpoint()
+    }
+    selected.select(col("rank"), col("vec_id"), col("score")).orderBy(col("rank"))
+  }
+
+  val q222Sql: String = {
+    def cosSql(a: String, b: String): String =
+      s"ROUND(list_reduce(list_transform(range(1, 65), i -> $a[i] * $b[i]), (x, y) -> x + y)" +
+        s" / (sqrt(list_reduce(list_transform(range(1, 65), i -> $a[i] * $a[i]), (x, y) -> x + y))" +
+        s" * sqrt(list_reduce(list_transform(range(1, 65), i -> $b[i] * $b[i]), (x, y) -> x + y))), 6)"
+    val steps = (2 to mmrK).map { k =>
+      s"""p$k AS MATERIALIZED (
+         |  SELECT c.vec_id, ROUND(0.5 * c.rel - 0.5 * m.ms, 6) AS score, $k AS rank
+         |  FROM cand c JOIN (
+         |    SELECT s.ia AS vec_id, MAX(s.s) AS ms FROM sims s
+         |    WHERE s.ib IN (SELECT vec_id FROM u${k - 1}) GROUP BY s.ia) m
+         |    ON c.vec_id = m.vec_id
+         |  WHERE c.vec_id NOT IN (SELECT vec_id FROM u${k - 1})
+         |  ORDER BY score DESC, c.vec_id LIMIT 1),
+         |u$k AS MATERIALIZED (SELECT * FROM u${k - 1} UNION ALL SELECT * FROM p$k)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH base AS (
+       |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+       |qv AS (
+       |  SELECT list(c ORDER BY dim) AS q FROM (
+       |    SELECT dim, CAST(SUM(vq) AS DOUBLE) / 1e12 / COUNT(*) AS c FROM (
+       |      SELECT generate_subscripts(v, 1) AS dim,
+       |        CAST(FLOOR(unnest(v) * 1e12 + 0.5) AS BIGINT) AS vq
+       |      FROM base WHERE vec_id < 4)
+       |    GROUP BY dim)),
+       |cand AS MATERIALIZED (
+       |  SELECT vec_id, v, ${cosSql("v", "q")} AS rel
+       |  FROM base CROSS JOIN qv
+       |  ORDER BY rel DESC, vec_id LIMIT $mmrCand),
+       |sims AS MATERIALIZED (
+       |  SELECT a.vec_id AS ia, b.vec_id AS ib, ${cosSql("a.v", "b.v")} AS s
+       |  FROM cand a CROSS JOIN cand b WHERE a.vec_id <> b.vec_id),
+       |u1 AS MATERIALIZED (
+       |  SELECT vec_id, rel AS score, 1 AS rank FROM cand
+       |  ORDER BY rel DESC, vec_id LIMIT 1),
+       |$steps
+       |SELECT rank, vec_id, score FROM u$mmrK ORDER BY rank""".stripMargin
+  }
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
+    ("q222_mmr_rerank", q222MmrRerank _, Some(q222Sql)),
     ("q205_pq_encode", q205PqEncode _, Some(q205Sql)),
     ("q217_rvq_encode", q217RvqEncode _, Some(q217Sql)),
     ("q208_rrf_fusion", q208RrfFusion _, Some(q208Sql)),

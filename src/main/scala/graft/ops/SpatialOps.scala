@@ -1,0 +1,107 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Spatial operators — [EXT] north-star surface absent from the reference
+  * (reference `Proof.scala` has no geometry of any kind): a grid-bucketed
+  * ε-neighborhood join, the canonical scale-safe shape for "find all
+  * points near each station" on coordinates.
+  *
+  * The test tables carry no coordinates, so both engines derive identical
+  * synthetic positions from the q115/q216 portable md5 uniform: a dyadic
+  * rational (v + 0.5) / 2^52 from the first 13 hex digits of
+  * md5(tag || key) — bit-identical in Spark and DuckDB, so every
+  * downstream IEEE product/compare agrees across engines.
+  */
+object SpatialOps {
+
+  /** Portable md5 uniform in (0,1): dyadic, exact in double. */
+  private[ops] def mdUniform(tag: String, key: Column): Column = {
+    val v = conv(substring(md5(concat(lit(tag + ":"), key.cast("string"))), 1, 13), 16, 10)
+      .cast("long")
+    (v.cast("double") + 0.5) / lit(4503599627370496.0)
+  }
+
+  private def mdUniformSql(tag: String, key: String): String =
+    s"(('0x' || substr(md5('$tag:' || $key::VARCHAR), 1, 13))::BIGINT + 0.5) / 4503599627370496.0"
+
+  // --------------------------------------------------------------------------
+  // q225 — GRID-BUCKETED ε-NEIGHBORHOOD JOIN: customers are points in the
+  // unit square, suppliers are stations; for each station report how many
+  // customers lie within ε (L2) and the distance to the nearest one.
+  //
+  // Scale shape: NEVER all-pairs. Cell size = ε, so a point can only match
+  // a station in its own or one of the 8 adjacent cells. The station side
+  // is exploded ×9 onto its neighborhood cells and the match is a pure
+  // equi-join on (cx, cy) — both sides shuffle on the cell key, candidate
+  // count is bounded by local density, and the plan survives both sides
+  // being 100 TB (no broadcast required; AQE may still choose one). The
+  // exact ε test runs inside the join on the ×9-pruned candidates only.
+  //
+  // Determinism: coordinates are dyadic rationals (exact doubles);
+  // dx·dx + dy·dy is two IEEE products and one sum in fixed order; the
+  // ε² compare and min-distance argmin are exact; sqrt is correctly
+  // rounded; the output distance is rounded to 6 dp.
+  def q225GridEpsJoin(spark: SparkSession, dir: String): DataFrame = {
+    val eps = 0.08
+    val inv = 1.0 / eps
+    val pts = Tables.customer(spark, dir).select(
+      col("c_custkey").as("pk"),
+      mdUniform("px", col("c_custkey")).as("x"),
+      mdUniform("py", col("c_custkey")).as("y"))
+      .withColumn("cx", floor(col("x") * inv).cast("long"))
+      .withColumn("cy", floor(col("y") * inv).cast("long"))
+    val stations = Tables.supplier(spark, dir).select(
+      col("s_suppkey").as("sk"),
+      mdUniform("sx", col("s_suppkey")).as("sx"),
+      mdUniform("sy", col("s_suppkey")).as("sy"))
+    val exploded = stations
+      .withColumn("dcx", explode(array((-1 to 1).map(lit): _*)))
+      .withColumn("dcy", explode(array((-1 to 1).map(lit): _*)))
+      .withColumn("cx", floor(col("sx") * inv).cast("long") + col("dcx"))
+      .withColumn("cy", floor(col("sy") * inv).cast("long") + col("dcy"))
+      .select(col("sk"), col("sx"), col("sy"), col("cx"), col("cy"))
+    val d2 = (col("x") - col("sx")) * (col("x") - col("sx")) +
+      (col("y") - col("sy")) * (col("y") - col("sy"))
+    val near = exploded.join(pts, Seq("cx", "cy"))
+      .withColumn("d2", d2)
+      .filter(col("d2") <= lit(eps * eps))
+      .groupBy(col("sk"))
+      .agg(count(lit(1)).as("n_within"),
+        round(sqrt(min(col("d2"))), 6).as("min_dist"))
+    Tables.supplier(spark, dir).select(col("s_suppkey").as("sk"))
+      .join(near, Seq("sk"), "left")
+      .select(col("sk").as("s_suppkey"),
+        coalesce(col("n_within"), lit(0L)).as("n_within"), col("min_dist"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  /** Oracle: literal all-pairs filter (feasible at oracle scale only). */
+  val q225Sql: String = {
+    val eps = "0.08"
+    s"""WITH pts AS (
+       |  SELECT c_custkey AS pk,
+       |    ${mdUniformSql("px", "c_custkey")} AS x,
+       |    ${mdUniformSql("py", "c_custkey")} AS y
+       |  FROM customer),
+       |st AS (
+       |  SELECT s_suppkey AS sk,
+       |    ${mdUniformSql("sx", "s_suppkey")} AS sx,
+       |    ${mdUniformSql("sy", "s_suppkey")} AS sy
+       |  FROM supplier),
+       |near AS (
+       |  SELECT sk, COUNT(*) AS n_within,
+       |    ROUND(sqrt(MIN((x - sx) * (x - sx) + (y - sy) * (y - sy))), 6) AS min_dist
+       |  FROM st CROSS JOIN pts
+       |  WHERE (x - sx) * (x - sx) + (y - sy) * (y - sy) <= $eps * $eps
+       |  GROUP BY sk)
+       |SELECT s.s_suppkey, COALESCE(n.n_within, 0) AS n_within, n.min_dist
+       |FROM supplier s LEFT JOIN near n ON s.s_suppkey = n.sk
+       |ORDER BY s.s_suppkey""".stripMargin
+  }
+
+  val catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
+    ("q225_grid_eps_join", q225GridEpsJoin _, Some(q225Sql)))
+}

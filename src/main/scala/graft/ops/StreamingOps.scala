@@ -450,6 +450,61 @@ object StreamingOps {
 
   val q188Sql: String = q63Sql
 
+  /** q226 — CHAINED MULTI-STATEFUL streaming (Spark 3.5+/4.x): ONE query
+    * runs dropDuplicatesWithinWatermark(event_id) FOLLOWED BY a tumbling
+    * 1-day event-time aggregation, both stateful, in append mode — the
+    * "dedup the at-least-once feed, then window it" production topology
+    * that previously needed two jobs with an intermediate landing zone.
+    * The landing zone is consumed twice (q188's double feed) so every
+    * event genuinely arrives duplicated; the dedup stage must remove the
+    * copies BEFORE the window counts them.
+    *
+    * Emission semantics pinned by the oracle: in append mode a window row
+    * is emitted only once the watermark (max event time − 10 min, global
+    * across the run) passes the WINDOW END — so the final partial day
+    * stays in state and OUT of the result at drain. Dedup state is
+    * watermark-evicted; window state is one row per open (window, type).
+    *
+    * Scale: dedup shuffles on event_id, the window agg on (window, type)
+    * — two bounded-state operators behind map-side partials; state for
+    * each tracks the watermark span, never the stream length (§8.10).
+    */
+  private[graft] def dedupThenWindowStream(spark: SparkSession, src: String,
+      filesPerTrigger: Int): DataFrame = {
+    val schema = spark.read.parquet(src).schema
+    def feed() = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", filesPerTrigger).parquet(src)
+    feed().unionByName(feed())
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+      .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), moneySum(col("value")).as("sum_value"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("event_type"), col("n"), col("sum_value"))
+  }
+
+  def q226DedupThenWindow(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val src = eventsZone(spark, dir)
+    val agg = dedupThenWindowStream(spark, src, 2)
+    val qname = "graft_q226_result"
+    withStatePartitions(spark, 8) {
+      val query = agg.writeStream.format("memory").queryName(qname)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      query.awaitTermination()
+    }
+    spark.table(qname).orderBy(col("window_start"), col("event_type"))
+  }
+
+  val q226Sql: String =
+    """SELECT STRFTIME(time_bucket(INTERVAL '1 day', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+      |  event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events
+      |WHERE time_bucket(INTERVAL '1 day', ts) + INTERVAL '1 day'
+      |  <= (SELECT MAX(ts) - INTERVAL '10 minutes' FROM events)
+      |GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin
+
   /** q190 — foreachBatch INCREMENTAL UPSERT: the streaming-maintenance
     * pattern for sinks without native streaming support. Each micro-batch
     * is collapsed to its per-user latest row (argmax on the unique
@@ -631,6 +686,7 @@ object StreamingOps {
     ("q157_stream_join", q157StreamJoin _, Some(q157Sql)),
     ("q184_transform_with_state", q184TransformWithState _, Some(q184Sql)),
     ("q188_dedup_within_watermark", q188DedupWithinWatermark _, Some(q188Sql)),
+    ("q226_dedup_then_window", q226DedupThenWindow _, Some(q226Sql)),
     ("q190_foreach_batch_upsert", q190ForeachBatchUpsert _, Some(q190Sql)))
 }
 

@@ -1,0 +1,170 @@
+package graft.ops
+
+import graft.SparkSpec
+import java.nio.file.Files
+
+/** Round-7 operator batch: BFS hop distance, MMR re-ranking, t-closeness,
+  * calibration/ECE, grid ε-join, and the chained dedup→window streaming
+  * topology — planted fixtures with hand-computable expectations.
+  */
+class Round7OpsSpec extends SparkSpec {
+
+  private def dirWith(write: String => Unit): String = {
+    val d = Files.createTempDirectory("graft_r7").toString
+    write(d)
+    d
+  }
+
+  test("q221 BFS: hop distances follow the planted path graph") {
+    import spark.implicits._
+    // cust1 -(o100)- supp10 -(o101)- cust5 -(o102)- supp20 -(o103)- cust7
+    // seeds = custkey <= 3 → cust1 only. Node ids: cust c → 2c, supp s → 2s+1.
+    val d = dirWith { d =>
+      Seq((1L, "c1", 0, 0.0, "A"), (5L, "c5", 0, 0.0, "A"), (7L, "c7", 0, 0.0, "A"))
+        .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+        .coalesce(1).write.parquet(s"$d/customer.parquet")
+      Seq((100L, 1L), (101L, 5L), (102L, 5L), (103L, 7L))
+        .toDF("o_orderkey", "o_custkey")
+        .coalesce(1).write.parquet(s"$d/orders.parquet")
+      Seq((100L, 10L), (101L, 10L), (102L, 20L), (103L, 20L))
+        .toDF("l_orderkey", "l_suppkey")
+        .coalesce(1).write.parquet(s"$d/lineitem.parquet")
+    }
+    val got = PipelineOps.q221BfsDistance(spark, d).collect()
+      .map(r => r.getAs[Int]("hop") ->
+        ((r.getAs[Long]("n_nodes"), r.getAs[Long]("min_node"), r.getAs[Long]("max_node"))))
+      .toMap
+    assert(got === Map(
+      0 -> ((1L, 2L, 2L)),    // cust1
+      1 -> ((1L, 21L, 21L)),  // supp10
+      2 -> ((1L, 10L, 10L)),  // cust5
+      3 -> ((1L, 41L, 41L)),  // supp20
+      4 -> ((1L, 14L, 14L)))) // cust7
+  }
+
+  test("q222 MMR: diversification promotes the orthogonal vector over redundant near-duplicates") {
+    import spark.implicits._
+    // q = mean(v0..v3) = (.5, .5, 0, ...). Corpus: e1 ×3 (ids 0,1,4),
+    // e2 ×3 (ids 2,3,5), the (1,1) diagonal (id 6, rel 1.0), e3 (id 7,
+    // rel 0, orthogonal to everything). Pure relevance order is
+    // 6,0,1,2,3,4,5,7; MMR must interleave axes and pull 7 up to rank 4.
+    def vec(hot: Seq[(Int, Float)]): Array[Float] = {
+      val a = Array.fill(64)(0.0f); hot.foreach { case (i, x) => a(i) = x }; a
+    }
+    val rows = Seq(
+      (0L, vec(Seq(0 -> 1f))), (1L, vec(Seq(0 -> 1f))),
+      (2L, vec(Seq(1 -> 1f))), (3L, vec(Seq(1 -> 1f))),
+      (4L, vec(Seq(0 -> 1f))), (5L, vec(Seq(1 -> 1f))),
+      (6L, vec(Seq(0 -> 1f, 1 -> 1f))), (7L, vec(Seq(2 -> 1f))))
+    val d = dirWith { d =>
+      rows.toDF("vec_id", "embedding")
+        .coalesce(1).write.parquet(s"$d/embeddings.parquet")
+    }
+    val got = RagOps.q222MmrRerank(spark, d).collect()
+      .map(r => r.getAs[Int]("rank") -> r.getAs[Long]("vec_id"))
+    assert(got.sortBy(_._1).map(_._2).toSeq === Seq(6L, 0L, 2L, 7L, 1L, 3L, 4L, 5L))
+  }
+
+  test("q223 t-closeness: two point-mass groups at opposite ends of the range have EMD 0.5") {
+    import spark.implicits._
+    // Nation 0: two customers at 0.00; nation 1: two at 9.00. Global bins:
+    // half the mass in bin 0, half in bin 9. Each group's cumulative diff
+    // is |±4| for bins 0..8 → EMD = 36 / (9·2·4) = 0.5 for both.
+    val d = dirWith { d =>
+      Seq((1L, "c", 0, 0.0, "A"), (2L, "c", 0, 0.0, "A"),
+          (3L, "c", 1, 9.0, "A"), (4L, "c", 1, 9.0, "A"))
+        .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+        .coalesce(1).write.parquet(s"$d/customer.parquet")
+    }
+    val got = PrepOps.q223TCloseness(spark, d).collect()
+      .map(r => r.getAs[Int]("c_nationkey") ->
+        ((r.getAs[Long]("n_g"), r.getAs[Double]("emd"), r.getAs[Boolean]("breach"))))
+      .toMap
+    assert(got === Map(0 -> ((2L, 0.5, true)), 1 -> ((2L, 0.5, true))))
+  }
+
+  test("q224 calibration: bins partition the corpus, conf stays in-bin, ECE matches its definition") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = Metrics.q224Calibration(spark, dir).collect()
+    val nTot = rows.map(_.getAs[Long]("n")).sum
+    assert(nTot === 1000L)
+    var ece = 0.0
+    rows.sortBy(_.getAs[Int]("bin")).foreach { r =>
+      val bin = r.getAs[Int]("bin"); val n = r.getAs[Long]("n")
+      val conf = r.getAs[Double]("conf"); val acc = r.getAs[Double]("acc")
+      assert(conf >= bin / 10.0 - 1e-9 && conf < (bin + 1) / 10.0 + 1e-9)
+      assert(acc >= 0.0 && acc <= 1.0)
+      ece += n * math.abs(acc - conf)
+    }
+    val expected = BigDecimal(ece / nTot)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(rows.head.getAs[Double]("ece") === expected)
+    // the 0.2 class shift must make high bins purer in positives
+    val byBin = rows.map(r => r.getAs[Int]("bin") -> r.getAs[Double]("acc")).toMap
+    assert(byBin.filter(_._1 >= 8).values.sum / byBin.count(_._1 >= 8) >
+      byBin.filter(_._1 <= 1).values.sum / math.max(1, byBin.count(_._1 <= 1)))
+  }
+
+  test("q225 grid ε-join equals the brute-force all-pairs result") {
+    // The grid prune must be lossless: a point can only be within ε of a
+    // station in the station's own or 8 adjacent cells (cell size = ε).
+    // Run the catalog entry on real keys and compare against a brute
+    // force computed with the same md5-derived coordinates.
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val got = SpatialOps.q225GridEpsJoin(spark, dir).collect()
+      .map(r => (r.getAs[Long]("s_suppkey"), r.getAs[Long]("n_within"),
+        Option(r.getAs[java.lang.Double]("min_dist")).map(_.doubleValue)))
+    val eps = 0.08
+    val cust = graft.Tables.customer(spark, dir).selectExpr(
+      "c_custkey",
+      "(cast(conv(substring(md5(concat('px:', cast(c_custkey as string))), 1, 13), 16, 10) as long) + 0.5d) / 4503599627370496.0d as x",
+      "(cast(conv(substring(md5(concat('py:', cast(c_custkey as string))), 1, 13), 16, 10) as long) + 0.5d) / 4503599627370496.0d as y")
+    val supp = graft.Tables.supplier(spark, dir).selectExpr(
+      "s_suppkey",
+      "(cast(conv(substring(md5(concat('sx:', cast(s_suppkey as string))), 1, 13), 16, 10) as long) + 0.5d) / 4503599627370496.0d as sx",
+      "(cast(conv(substring(md5(concat('sy:', cast(s_suppkey as string))), 1, 13), 16, 10) as long) + 0.5d) / 4503599627370496.0d as sy")
+    val brute = supp.crossJoin(cust)
+      .withColumn("d2", expr("(x - sx) * (x - sx) + (y - sy) * (y - sy)"))
+      .filter(col("d2") <= eps * eps)
+      .groupBy(col("s_suppkey"))
+      .agg(count(lit(1)).as("n_within"), round(sqrt(min(col("d2"))), 6).as("min_dist"))
+      .collect()
+      .map(r => r.getAs[Long]("s_suppkey") ->
+        ((r.getAs[Long]("n_within"), r.getAs[Double]("min_dist")))).toMap
+    got.foreach { case (sk, n, md) =>
+      brute.get(sk) match {
+        case Some((bn, bd)) => assert(n === bn && md.contains(bd), s"station $sk")
+        case None           => assert(n === 0L && md.isEmpty, s"station $sk")
+      }
+    }
+    assert(got.count(_._2 > 0) === brute.size)
+  }
+
+  test("q226 chained dedup→window: double-fed events collapse and the open window is withheld") {
+    import spark.implicits._
+    val day = 86400L * 1000000000L // nanos
+    val t0 = java.time.Instant.parse("2024-01-01T00:00:00Z").getEpochSecond * 1000000000L
+    def ev(id: Long, ns: Long, typ: String, v: Double): (Long, Long, Long, String, Double, String) =
+      (id, ns, 1L, typ, v, "{}")
+    val d = dirWith { d =>
+      Seq(
+        ev(1, t0 + 3600L * 1000000000L, "A", 1.0),
+        ev(2, t0 + 7200L * 1000000000L, "A", 2.0),
+        ev(3, t0 + 7200L * 1000000000L, "B", 3.0),
+        ev(4, t0 + day + 3600L * 1000000000L, "A", 4.0),
+        // final, partial day: sets the watermark to 11:50, leaving its own
+        // window (end = Jan 4) open and withheld
+        ev(5, t0 + 2 * day + 43200L * 1000000000L, "C", 5.0))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.parquet(s"$d/events.parquet")
+    }
+    val got = StreamingOps.q226DedupThenWindow(spark, d).collect()
+      .map(r => (r.getAs[String]("window_start"), r.getAs[String]("event_type"),
+        r.getAs[Long]("n"), r.getAs[Double]("sum_value")))
+    assert(got.toSeq === Seq(
+      ("2024-01-01 00:00:00", "A", 2L, 3.0),
+      ("2024-01-01 00:00:00", "B", 1L, 3.0),
+      ("2024-01-02 00:00:00", "A", 1L, 4.0)))
+  }
+}
