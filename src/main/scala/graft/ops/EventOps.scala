@@ -574,7 +574,52 @@ object EventOps {
       |  (3, 'purchase_after_click', n3, n2)) AS t(step, name, n_reached, n_prev)
       |ORDER BY step""".stripMargin
 
+  // --------------------------------------------------------------------------
+  // q228 — WATERMARK-DELAY / OUT-OF-ORDERNESS AUDIT: for each candidate
+  // watermark delay, how many events would arrive LATE (event time behind
+  // the per-user running max at their arrival position) and be dropped by
+  // a streaming job with that delay? Arrival order is pinned to event_id
+  // (the generator's monotone ingest id). This is the measurement that
+  // SIZES the `withWatermark` delay for q60/q157/q188/q226 — pick the
+  // smallest delay whose drop count is acceptable.
+  //
+  // Scale: ONE window partitioned by user_id (the stream's key — never a
+  // global single-partition sort), lateness in exact integer micros, then
+  // a ×4 bounded literal delay-grid explode and one hash aggregate to 4
+  // rows. Percentages are integer-ratio doubles rounded at output.
+  def q228LatenessAudit(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+      .withColumn("late_us", max(col("us")).over(w) - col("us"))
+      .withColumn("delay_s", explode(array(Seq(60L, 300L, 600L, 3600L).map(lit): _*)))
+      .groupBy(col("delay_s"))
+      .agg(count(lit(1)).as("n_events"),
+        count_if(col("late_us") > col("delay_s") * 1000000L).as("n_dropped"),
+        round(count_if(col("late_us") > col("delay_s") * 1000000L).cast("double") * 100
+          / count(lit(1)), 6).as("pct_dropped"),
+        max(col("late_us")).as("max_late_us"))
+      .orderBy(col("delay_s"))
+  }
+
+  val q228Sql: String =
+    """WITH l AS (
+      |  SELECT user_id, event_id,
+      |    MAX(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY event_id
+      |      ROWS UNBOUNDED PRECEDING) - epoch_us(ts) AS late_us
+      |  FROM events),
+      |g AS (SELECT late_us, delay_s FROM l
+      |  CROSS JOIN (VALUES (60::BIGINT), (300::BIGINT), (600::BIGINT), (3600::BIGINT)) AS d(delay_s))
+      |SELECT CAST(delay_s AS BIGINT) AS delay_s, COUNT(*) AS n_events,
+      |  CAST(COUNT(*) FILTER (late_us > delay_s * 1000000) AS BIGINT) AS n_dropped,
+      |  ROUND(CAST(COUNT(*) FILTER (late_us > delay_s * 1000000) AS DOUBLE) * 100
+      |    / COUNT(*), 6) AS pct_dropped,
+      |  MAX(late_us) AS max_late_us
+      |FROM g GROUP BY delay_s ORDER BY delay_s""".stripMargin
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
+    ("q228_lateness_audit", q228LatenessAudit _, Some(q228Sql)),
     ("q131_cohort_retention", q131CohortRetention _, Some(q131Sql)),
     ("q132_event_transitions", q132EventTransitions _, Some(q132Sql)),
     ("q137_sessionize", q137Sessionize _, Some(q137Sql)),

@@ -543,7 +543,43 @@ object RelationalExt {
       |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
       |ORDER BY c.c_custkey, o.o_orderkey""".stripMargin
 
+  // --------------------------------------------------------------------------
+  // q227 — CUSTOM DATASOURCE V2 scan with pushdown (graft.sources.
+  // SynthSource): reads the deterministic synthetic table through the
+  // full DSv2 stack — the id-range predicate is CONSUMED by the source
+  // (narrows the generated range and prunes grid partitions), the
+  // aggregate's column needs prune the reader to (bucket, score), and
+  // the residual bucket predicate is the only filter Spark evaluates.
+  // PlanSpec asserts all three on the executed plan; the oracle
+  // regenerates the identical rows from range() + the portable md5.
+  //
+  // Determinism: score is the dyadic md5 uniform; the per-bucket sum
+  // rides exact scaled longs (floor(score·1e12)), one double division
+  // at output.
+  def q227Dsv2Pushdown(spark: SparkSession, dir: String): DataFrame =
+    spark.read.format("graft-synth")
+      .option("rows", 100000L).option("partitions", 8)
+      .load()
+      .filter(col("id") >= 20000L && col("id") < 30000L && col("bucket") < 10)
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(floor(col("score") * 1e12).cast("long")).cast("double") / 1e12, 6)
+          .as("sum_score"))
+      .orderBy(col("bucket"))
+
+  val q227Sql: String =
+    """WITH s AS (
+      |  SELECT range AS id, CAST(range % 97 AS INT) AS bucket,
+      |    (('0x' || substr(md5('synth:' || range::VARCHAR), 1, 13))::BIGINT + 0.5)
+      |      / 4503599627370496.0 AS score
+      |  FROM range(20000, 30000))
+      |SELECT bucket, COUNT(*) AS n,
+      |  ROUND(CAST(SUM(CAST(FLOOR(score * 1e12) AS BIGINT)) AS DOUBLE) / 1e12, 6)
+      |    AS sum_score
+      |FROM s WHERE bucket < 10 GROUP BY bucket ORDER BY bucket""".stripMargin
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
+    ("q227_dsv2_pushdown", q227Dsv2Pushdown _, Some(q227Sql)),
     ("q23_grouping_sets", q23GroupingSets _, Some(q23Sql)),
     ("q147_lateral_topk", q147LateralTopk _, Some(q147Sql)),
     ("q149_unpivot", q149Unpivot _, Some(q149Sql)),

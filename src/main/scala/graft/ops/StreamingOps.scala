@@ -505,6 +505,54 @@ object StreamingOps {
       |  <= (SELECT MAX(ts) - INTERVAL '10 minutes' FROM events)
       |GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin
 
+  /** q230 — CHECKPOINT RESTART / EXACTLY-ONCE ACROSS RUNS: the operations
+    * contract the whole streaming family depends on, exercised end-to-end.
+    * Half the landing files are processed by a first AvailableNow run
+    * writing to a parquet file sink under a checkpoint; the remaining
+    * files land; a SECOND run with the SAME checkpoint+sink processes
+    * ONLY the new files (the file-source offset log) and commits them
+    * atomically (the sink's _spark_metadata log). If restart recovery
+    * double-processed or dropped anything, the per-type totals would
+    * diverge from the batch oracle — the hash compare IS the
+    * exactly-once proof.
+    *
+    * Scale: this is the daily reality of a 100 TB/day feed — jobs
+    * restart; correctness must come from the checkpoint contract, not
+    * from "the job never dies". Fresh per-invocation work dirs keep the
+    * entry idempotent under bench/verify re-runs.
+    */
+  def q230CheckpointRestart(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    import java.nio.file.{Files, Path}
+    val zoneAll = eventsZone(spark, dir)
+    val work = Files.createTempDirectory("graft_q230").toString
+    val zone = s"$work/zone"; val cp = s"$work/cp"; val sink = s"$work/sink"
+    Files.createDirectories(Path.of(zone))
+    val schema = spark.read.parquet(zoneAll).schema
+    val parts = new java.io.File(zoneAll).listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      .sortBy(_.getName)
+    val (first, rest) = parts.splitAt(parts.length / 2)
+    def drain(): Unit = {
+      val q = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(zone)
+        .writeStream.format("parquet")
+        .option("path", sink).option("checkpointLocation", cp)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    first.foreach(f => Files.copy(f.toPath, Path.of(zone, f.getName)))
+    drain() // run 1: checkpoints the first half
+    rest.foreach(f => Files.copy(f.toPath, Path.of(zone, f.getName)))
+    drain() // run 2, same checkpoint: must pick up ONLY the new files
+    spark.read.parquet(sink)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), moneySum(col("value")).as("sum_value"))
+      .orderBy(col("event_type"))
+  }
+
+  val q230Sql: String = q63Sql
+
   /** q190 — foreachBatch INCREMENTAL UPSERT: the streaming-maintenance
     * pattern for sinks without native streaming support. Each micro-batch
     * is collapsed to its per-user latest row (argmax on the unique
@@ -687,6 +735,7 @@ object StreamingOps {
     ("q184_transform_with_state", q184TransformWithState _, Some(q184Sql)),
     ("q188_dedup_within_watermark", q188DedupWithinWatermark _, Some(q188Sql)),
     ("q226_dedup_then_window", q226DedupThenWindow _, Some(q226Sql)),
+    ("q230_checkpoint_restart", q230CheckpointRestart _, Some(q230Sql)),
     ("q190_foreach_batch_upsert", q190ForeachBatchUpsert _, Some(q190Sql)))
 }
 

@@ -803,8 +803,83 @@ object VectorOps {
       |FROM assigned JOIN st USING (cluster)
       |ORDER BY vec_id""".stripMargin
 
+  // --------------------------------------------------------------------------
+  // q229 — MATRYOSHKA PREFIX-DIMENSION RECALL EVAL: can the 64-d corpus be
+  // served from its first 16 (or 32) dimensions? For each query, compare
+  // the exact top-4 neighbor set under full-dim cosine against the top-4
+  // under prefix-dim cosine and report recall@4 — the measurement behind
+  // the "truncate MRL embeddings to cut ANN cost 4×" decision (Kusupati
+  // et al.). Complements q205/q217 (quantization) with the OTHER
+  // compression axis (dimension truncation).
+  //
+  // Scale: one corpus pass computes all three cosines per (query, vec)
+  // against the broadcast 4-row query side; per-query rank windows are
+  // partitioned by qid; the overlap join runs on 4·k rows. Cosines are
+  // rounded to 6 dp BEFORE ranking, ties break on vec_id — identical
+  // ranking in both engines.
+  def q229MatryoshkaEval(spark: SparkSession, dir: String): DataFrame = {
+    def cosAt(d: Int): org.apache.spark.sql.Column = round(
+      expr(s"aggregate(zip_with(slice(v, 1, $d), slice(qv, 1, $d), (x, y) -> x * y), 0.0d, (a, x) -> a + x)") /
+        sqrt(expr(s"aggregate(slice(v, 1, $d), 0.0d, (a, x) -> a + x * x)") *
+          expr(s"aggregate(slice(qv, 1, $d), 0.0d, (a, x) -> a + x * x)")), 6)
+    val base = Tables.embeddings(spark, dir).select(col("vec_id"), vd.as("v"))
+    val queries = base.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val scored = base.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        cosAt(64).as("s64"), cosAt(32).as("s32"), cosAt(16).as("s16"))
+    def top4(simCol: String) = scored
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col(simCol).desc, col("vec_id"))))
+      .filter(col("rk") <= 4).select(col("qid"), col("vec_id"))
+    val full = top4("s64")
+    def overlap(d: Int) = full.join(top4(s"s$d"), Seq("qid", "vec_id"))
+      .groupBy(col("qid")).agg(count(lit(1)).as(s"n$d"))
+    queries.select(col("qid"))
+      .join(overlap(16), Seq("qid"), "left")
+      .join(overlap(32), Seq("qid"), "left")
+      .select(col("qid"),
+        round(coalesce(col("n16"), lit(0L)).cast("double") / 4, 6).as("recall16"),
+        round(coalesce(col("n32"), lit(0L)).cast("double") / 4, 6).as("recall32"))
+      .orderBy(col("qid"))
+  }
+
+  val q229Sql: String = {
+    def cosAt(d: Int): String =
+      s"ROUND(list_reduce(list_transform(range(1, ${d + 1}), i -> v[i] * qv[i]), (a, b) -> a + b)" +
+        s" / sqrt(list_reduce(list_transform(range(1, ${d + 1}), i -> v[i] * v[i]), (a, b) -> a + b)" +
+        s" * list_reduce(list_transform(range(1, ${d + 1}), i -> qv[i] * qv[i]), (a, b) -> a + b)), 6)"
+    s"""WITH base AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |q AS (SELECT vec_id AS qid, v AS qv FROM base WHERE vec_id < 4),
+       |sc AS MATERIALIZED (
+       |  SELECT qid, vec_id, ${cosAt(64)} AS s64, ${cosAt(32)} AS s32,
+       |    ${cosAt(16)} AS s16
+       |  FROM base CROSS JOIN q WHERE vec_id <> qid),
+       |t64 AS (SELECT qid, vec_id FROM (
+       |  SELECT qid, vec_id, ROW_NUMBER() OVER (PARTITION BY qid
+       |    ORDER BY s64 DESC, vec_id) AS rk FROM sc) WHERE rk <= 4),
+       |t32 AS (SELECT qid, vec_id FROM (
+       |  SELECT qid, vec_id, ROW_NUMBER() OVER (PARTITION BY qid
+       |    ORDER BY s32 DESC, vec_id) AS rk FROM sc) WHERE rk <= 4),
+       |t16 AS (SELECT qid, vec_id FROM (
+       |  SELECT qid, vec_id, ROW_NUMBER() OVER (PARTITION BY qid
+       |    ORDER BY s16 DESC, vec_id) AS rk FROM sc) WHERE rk <= 4),
+       |o16 AS (SELECT t64.qid, COUNT(*) AS n16 FROM t64
+       |  JOIN t16 ON t64.qid = t16.qid AND t64.vec_id = t16.vec_id GROUP BY 1),
+       |o32 AS (SELECT t64.qid, COUNT(*) AS n32 FROM t64
+       |  JOIN t32 ON t64.qid = t32.qid AND t64.vec_id = t32.vec_id GROUP BY 1)
+       |SELECT q.qid,
+       |  ROUND(COALESCE(n16, 0) / 4.0, 6) AS recall16,
+       |  ROUND(COALESCE(n32, 0) / 4.0, 6) AS recall32
+       |FROM q LEFT JOIN o16 ON q.qid = o16.qid LEFT JOIN o32 ON q.qid = o32.qid
+       |ORDER BY q.qid""".stripMargin
+  }
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q40_cosine_topk", q40CosineTopk _, Some(q40Sql)),
+    ("q229_matryoshka_eval", q229MatryoshkaEval _, Some(q229Sql)),
     ("q212_embedding_outliers", q212EmbeddingOutliers _, Some(q212Sql)),
     ("q172_semantic_dedup", q172SemanticDedup _, Some(q172Sql)),
     ("q141_cov_matrix", q141CovMatrix _, Some(q141Sql)),

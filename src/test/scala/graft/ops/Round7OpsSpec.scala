@@ -141,6 +141,77 @@ class Round7OpsSpec extends SparkSpec {
     assert(got.count(_._2 > 0) === brute.size)
   }
 
+  test("q228 lateness audit: planted out-of-order events count against exactly the right delays") {
+    import spark.implicits._
+    // user 1 arrival order (by event_id): t0, t0+1h, t0+1h-120s (2 min
+    // late), t0+2h, t0+2h-30min (30 min late). Lateness > delay drops:
+    // delay 60s → both stragglers; 300/600s → only the 30-min one;
+    // 3600s → none.
+    val h = 3600L * 1000000000L
+    val t0 = java.time.Instant.parse("2024-03-01T00:00:00Z").getEpochSecond * 1000000000L
+    def ev(id: Long, ns: Long): (Long, Long, Long, String, Double, String) =
+      (id, ns, 1L, "view", 1.0, "{}")
+    val d = dirWith { d =>
+      Seq(ev(1, t0), ev(2, t0 + h), ev(3, t0 + h - 120L * 1000000000L),
+        ev(4, t0 + 2 * h), ev(5, t0 + 2 * h - 1800L * 1000000000L))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.parquet(s"$d/events.parquet")
+    }
+    val got = EventOps.q228LatenessAudit(spark, d).collect()
+      .map(r => r.getAs[Long]("delay_s") ->
+        ((r.getAs[Long]("n_dropped"), r.getAs[Long]("max_late_us")))).toMap
+    assert(got === Map(
+      60L -> ((2L, 1800000000L)), 300L -> ((1L, 1800000000L)),
+      600L -> ((1L, 1800000000L)), 3600L -> ((0L, 1800000000L))))
+  }
+
+  test("q229 matryoshka: identical prefixes break prefix recall, full dims keep it") {
+    import spark.implicits._
+    // Queries 0-3 = e1. Corpus vectors 4-9: all share the SAME first 32
+    // dims (strongly e1-aligned) and differ only in dims 33+ — so s16/s32
+    // CANNOT tell them apart (rank = id order), while full-dim cosine
+    // ranks them by their tail mass. Vectors 4-7 carry increasing tail
+    // noise (worse full cosine), 8-9 are clean.
+    def vec(tail: Float): Array[Float] = {
+      val a = Array.fill(64)(0.0f); a(0) = 1.0f
+      if (tail != 0f) { a(40) = tail }
+      a
+    }
+    val rows = (0L to 3L).map(i => (i, vec(0f))) ++ Seq(
+      (4L, vec(1.0f)), (5L, vec(1.5f)), (6L, vec(2.0f)), (7L, vec(2.5f)),
+      (8L, vec(0f)), (9L, vec(0f)))
+    val d = dirWith { d =>
+      rows.toDF("vec_id", "embedding")
+        .coalesce(1).write.parquet(s"$d/embeddings.parquet")
+    }
+    val got = VectorOps.q229MatryoshkaEval(spark, d).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Double]("recall16"),
+        r.getAs[Double]("recall32")))
+    // For qid 0: by s64 the tail-noise vectors rank below the clean ones,
+    // so top-4 = {1,2,3,8}; by s16/s32 everyone ties at 1.0 and the id
+    // tie-break gives top-4 = {1,2,3,4} → overlap 3/4 for every query.
+    got.foreach { case (_, r16, r32) =>
+      assert(r16 === 0.75 && r32 === 0.75)
+    }
+  }
+
+  test("q230 checkpoint restart: two-run sink equals the batch aggregate with no double-processing") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val got = StreamingOps.q230CheckpointRestart(spark, dir).collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("n"),
+        r.getAs[Double]("sum_value")))
+    val want = graft.Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .orderBy(col("event_type")).collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("n"),
+        r.getAs[Double]("sum_value")))
+    assert(got.toSeq === want.toSeq)
+    assert(got.map(_._2).sum === 1000L) // every event exactly once
+  }
+
   test("q226 chained dedup→window: double-fed events collapse and the open window is withheld") {
     import spark.implicits._
     val day = 86400L * 1000000000L // nanos
