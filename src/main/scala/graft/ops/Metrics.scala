@@ -176,8 +176,79 @@ object Metrics {
       |SELECT bin, n, n_pos, conf, acc, ece
       |FROM b CROSS JOIN e ORDER BY bin""".stripMargin
 
+  // --------------------------------------------------------------------------
+  // q232 — SPLIT-CONFORMAL PREDICTION INTERVAL + coverage audit: hash-split
+  // lineitem into calibration/test halves, score a fixed base predictor
+  // (price ≈ $30/unit), take q̂ = the ⌈(1−α)(n+1)⌉-th smallest calibration
+  // residual (α = 0.25), and report the test-set coverage of |y−ŷ| ≤ q̂ —
+  // finite-sample ≥ 75% guaranteed under exchangeability. Completes the
+  // model-eval family: q193 ranks, q224 calibrates probabilities, q232
+  // bounds regression error with a distribution-free interval.
+  //
+  // Scale: the k-th order statistic is EXACT and sample-free via q169's
+  // two-pass bucketed rank (range-bucket → bounded 257-row prefix grid →
+  // in-bucket partitioned rank); residuals are exact cent longs; the
+  // split is the portable md5 hash. One pass for residuals, one broadcast
+  // q̂ join for coverage.
+  def q232Conformal(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val u = (conv(substring(md5(concat_ws(":", lit("conf"), col("l_orderkey"),
+      col("l_linenumber"))), 1, 13), 16, 10).cast("long").cast("double") + 0.5) /
+      lit(4503599627370496.0)
+    val base = Tables.lineitem(spark, dir).select(
+      (abs(expr("cast(cast(l_extendedprice as decimal(18,2)) * 100 as bigint)") -
+        expr("cast(cast(l_quantity as decimal(18,2)) * 100 as bigint)") * 3000L)).as("r"),
+      (u < 0.5).as("is_cal"))
+    val calib = base.filter(col("is_cal")).select(col("r"))
+    val kTbl = calib.agg(count(lit(1)).as("n_cal"),
+      ceil(lit(0.75) * (count(lit(1)) + 1)).cast("long").as("k"),
+      max(col("r")).as("mx"))
+    val bucketed = calib.crossJoin(broadcast(kTbl))
+      .withColumn("bucket", expr("r div (mx div 256 + 1)"))
+      .select(col("r"), col("bucket"))
+    val offsets = bucketed.groupBy(col("bucket")).agg(count(lit(1)).as("cnt"))
+      .withColumn("off", coalesce(sum(col("cnt")).over(
+        Window.orderBy(col("bucket")).rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val target = offsets.crossJoin(broadcast(kTbl))
+      .filter(col("off") < col("k") && col("off") + col("cnt") >= col("k"))
+      .select(col("bucket"), col("off"), col("k"))
+    val qhat = bucketed.join(broadcast(target), Seq("bucket"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("bucket")).orderBy(col("r"))))
+      .filter(col("off") + col("rn") === col("k"))
+      .select(col("r").as("qhat_cents"))
+    base.filter(!col("is_cal")).crossJoin(broadcast(qhat))
+      .crossJoin(broadcast(kTbl.select(col("n_cal"))))
+      .agg(max(col("n_cal")).as("n_cal"), count(lit(1)).as("n_test"),
+        (max(col("qhat_cents")) / 100.0).as("qhat"),
+        round(count_if(col("r") <= col("qhat_cents")).cast("double") /
+          count(lit(1)), 6).as("coverage"))
+  }
+
+  val q232Sql: String =
+    """WITH base AS (
+      |  SELECT ABS(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |           - CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) * 3000) AS r,
+      |    (('0x' || substr(md5('conf:' || l_orderkey::VARCHAR || ':'
+      |        || l_linenumber::VARCHAR), 1, 13))::BIGINT + 0.5)
+      |      / 4503599627370496.0 < 0.5 AS is_cal
+      |  FROM lineitem),
+      |k AS (SELECT COUNT(*) AS n_cal,
+      |  CAST(CEIL(0.75 * (COUNT(*) + 1)) AS BIGINT) AS kk
+      |  FROM base WHERE is_cal),
+      |q AS (SELECT r AS qhat_cents FROM (
+      |    SELECT r, ROW_NUMBER() OVER (ORDER BY r) AS rn
+      |    FROM base WHERE is_cal) x, k WHERE x.rn = k.kk)
+      |SELECT MAX(n_cal) AS n_cal, COUNT(*) AS n_test,
+      |  MAX(qhat_cents) / 100.0 AS qhat,
+      |  ROUND(CAST(COUNT(*) FILTER (r <= qhat_cents) AS DOUBLE) / COUNT(*), 6)
+      |    AS coverage
+      |FROM base CROSS JOIN q CROSS JOIN (SELECT n_cal FROM k) kk
+      |WHERE NOT is_cal""".stripMargin
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q124_observe_quality", q124ObserveQuality _, Some(q124Sql)),
     ("q224_calibration", q224Calibration _, Some(q224Sql)),
+    ("q232_conformal", q232Conformal _, Some(q232Sql)),
     ("q193_exact_auc", q193ExactAuc _, Some(q193Sql)))
 }

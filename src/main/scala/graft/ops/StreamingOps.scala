@@ -553,6 +553,92 @@ object StreamingOps {
 
   val q230Sql: String = q63Sql
 
+  /** q231 — TIMER-BASED SESSIONIZATION via transformWithState EVENT-TIME
+    * TIMERS (the Spark-4 stateful API surface q184's ValueState does not
+    * touch): per-user sessions close either when a successor event
+    * arrives beyond the 30-minute gap (emitted inline from
+    * handleInputRows) or when the event-time watermark passes
+    * session_end + gap (emitted from handleExpiredTimer) — the custom-
+    * state twin of q62's built-in session_window, needed the moment
+    * session logic outgrows the built-in (per-session caps, inactivity
+    * depending on event type, etc.).
+    *
+    * The landing zone is TIME-ORDERED (range-partitioned on ts with
+    * pinned mod-times — §8.10's probe-zone shape): batches advance event
+    * time monotonically, so a fired timer can never be contradicted by a
+    * later batch (later files hold later timestamps only). The oracle
+    * states the closure rule: every non-final island per user, plus the
+    * final island iff end + 30 min ≤ final watermark (max ts − 10 min).
+    *
+    * Scale: state is ONE ValueState row + one timer per active user;
+    * timers are watermark-evicted. The stream shuffles once on user_id.
+    */
+  def q231TimerSessions(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode, Trigger}
+    val src = Staging.ensure("events_zone_ordered", dir) { path =>
+      Tables.events(spark, dir)
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+        .repartitionByRange(4, col("ts"))
+        .sortWithinPartitions(col("ts"))
+        .write.mode("overwrite").parquet(path)
+      val parts = new java.io.File(path).listFiles()
+        .filter(f => f.getName.startsWith("part-")).sortBy(_.getName)
+      val base = System.currentTimeMillis() - (parts.length + 10) * 1000L
+      parts.zipWithIndex.foreach { case (f, i) => f.setLastModified(base + i * 1000L) }
+    }
+    val schema = spark.read.parquet(src).schema
+    withRocksDb(spark) {
+      import spark.implicits._
+      val sessions = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+        .withWatermark("ts", "10 minutes")
+        .as[EventRow]
+        .groupByKey(_.user_id)
+        .transformWithState(new SessionTimerProcessor(1800L * 1000000L),
+          TimeMode.EventTime(), OutputMode.Append())
+        .toDF()
+      val qname = "graft_q231_result"
+      withStatePartitions(spark, 8) {
+        val query = sessions.writeStream.format("memory").queryName(qname)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        query.awaitTermination()
+      }
+      spark.table(qname)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_sessions"), sum(col("n")).as("n_events"),
+          (sum(col("cents")) / 100.0).as("total_value"))
+        .orderBy(col("user_id"))
+    }
+  }
+
+  val q231Sql: String =
+    """WITH c AS (
+      |  SELECT user_id, epoch_us(ts) AS us,
+      |    CAST(ROUND(value * 100) AS BIGINT) AS cents
+      |  FROM events),
+      |f AS (
+      |  SELECT user_id, us, cents,
+      |    CASE WHEN us - LAG(us) OVER w > 1800000000
+      |         OR LAG(us) OVER w IS NULL THEN 1 ELSE 0 END AS new_sess
+      |  FROM c WINDOW w AS (PARTITION BY user_id ORDER BY us)),
+      |isl AS (
+      |  SELECT user_id, us, cents,
+      |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY us
+      |      ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM f),
+      |sess AS (
+      |  SELECT user_id, sid, MAX(us) AS end_us, COUNT(*) AS n,
+      |    CAST(SUM(cents) AS BIGINT) AS cents
+      |  FROM isl GROUP BY user_id, sid),
+      |wm AS (SELECT MAX(epoch_us(ts)) - 600000000 AS w FROM events),
+      |emitted AS (
+      |  SELECT s.* FROM sess s CROSS JOIN wm
+      |  WHERE s.sid < (SELECT MAX(sid) FROM sess x WHERE x.user_id = s.user_id)
+      |     OR s.end_us + 1800000000 <= wm.w)
+      |SELECT user_id, COUNT(*) AS n_sessions, CAST(SUM(n) AS BIGINT) AS n_events,
+      |  CAST(SUM(cents) AS DOUBLE) / 100.0 AS total_value
+      |FROM emitted GROUP BY user_id ORDER BY user_id""".stripMargin
+
   /** q190 — foreachBatch INCREMENTAL UPSERT: the streaming-maintenance
     * pattern for sinks without native streaming support. Each micro-batch
     * is collapsed to its per-user latest row (argmax on the unique
@@ -736,11 +822,83 @@ object StreamingOps {
     ("q188_dedup_within_watermark", q188DedupWithinWatermark _, Some(q188Sql)),
     ("q226_dedup_then_window", q226DedupThenWindow _, Some(q226Sql)),
     ("q230_checkpoint_restart", q230CheckpointRestart _, Some(q230Sql)),
+    ("q231_timer_sessions", q231TimerSessions _, Some(q231Sql)),
     ("q190_foreach_batch_upsert", q190ForeachBatchUpsert _, Some(q190Sql)))
 }
 
 /** Per-user running (count, cent-exact total) update row. */
 case class UserTotals(user_id: Long, n: Long, cents: Long)
+
+/** One closed (or in-flight) session: bounds in exact epoch micros. */
+case class SessionAcc(user_id: Long, start_us: Long, end_us: Long,
+                      n: Long, cents: Long)
+
+/** transformWithState processor with EVENT-TIME TIMERS (q231): per-user
+  * session accumulation; a session emits either inline when a successor
+  * row arrives beyond the gap, or from handleExpiredTimer once the
+  * watermark passes end + gap. Within a batch, rows are sorted by event
+  * time (the per-key iterator carries no order guarantee); session
+  * composition depends only on ts gaps, so equal-ts ties cannot change
+  * the result. Timer expiry is guarded against staleness: it only closes
+  * the state session whose close time it matches (an extension re-arms a
+  * later timer; the stale one then no-ops).
+  */
+class SessionTimerProcessor(gapUs: Long)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[Long, EventRow, SessionAcc] {
+  import org.apache.spark.sql.streaming.{ExpiredTimerInfo, TimeMode, TimerValues, TTLConfig, ValueState}
+
+  @transient private var state: ValueState[SessionAcc] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    state = getHandle.getValueState[SessionAcc]("session",
+      org.apache.spark.sql.Encoders.product[SessionAcc], TTLConfig.NONE)
+
+  private def micros(ts: java.sql.Timestamp): Long =
+    (ts.getTime / 1000L) * 1000000L + ts.getNanos / 1000L
+
+  private def closeTimerMs(s: SessionAcc): Long =
+    (s.end_us + gapUs + 999L) / 1000L // ceil to ms: never fire early
+
+  override def handleInputRows(key: Long, rows: Iterator[EventRow],
+                               timerValues: TimerValues): Iterator[SessionAcc] = {
+    val sorted = rows.toSeq.sortBy(r => micros(r.ts))
+    var closed = List.empty[SessionAcc]
+    var cur = Option(state.get())
+    val prevTimer = cur.map(closeTimerMs)
+    sorted.foreach { r =>
+      val us = micros(r.ts)
+      val cents = math.round(r.value * 100)
+      cur match {
+        case Some(s) if us - s.end_us <= gapUs =>
+          cur = Some(s.copy(end_us = math.max(s.end_us, us),
+            n = s.n + 1, cents = s.cents + cents))
+        case Some(s) =>
+          closed ::= s
+          cur = Some(SessionAcc(key, us, us, 1L, cents))
+        case None =>
+          cur = Some(SessionAcc(key, us, us, 1L, cents))
+      }
+    }
+    cur.foreach { s =>
+      state.update(s)
+      val t = closeTimerMs(s)
+      if (!prevTimer.contains(t)) {
+        prevTimer.foreach(getHandle.deleteTimer)
+        getHandle.registerTimer(t)
+      }
+    }
+    closed.reverse.iterator
+  }
+
+  override def handleExpiredTimer(key: Long, timerValues: TimerValues,
+      expiredTimerInfo: ExpiredTimerInfo): Iterator[SessionAcc] = {
+    val s = state.get()
+    if (s != null && expiredTimerInfo.getExpiryTimeInMs() >= closeTimerMs(s)) {
+      state.clear()
+      Iterator.single(s)
+    } else Iterator.empty
+  }
+}
 
 /** transformWithState processor: one ValueState[UserTotals] per user,
   * updated per micro-batch and emitted on every update (q184). Values on

@@ -212,6 +212,49 @@ class Round7OpsSpec extends SparkSpec {
     assert(got.map(_._2).sum === 1000L) // every event exactly once
   }
 
+  test("q231 timer sessions: successor-closed and timer-closed sessions emit, the last open one is withheld") {
+    import spark.implicits._
+    // user 1: session A (t0, t0+10m), session B (t0+2h), session C (t0+10h).
+    // user 2's event at t0+12h drives the final watermark to t0+11h50m, so
+    // C's timer (t0+10h30m) fires; user 2's own session (end+gap t0+12h30m
+    // > watermark) stays open and is withheld.
+    val m = 60L * 1000000000L
+    val t0 = java.time.Instant.parse("2024-05-01T00:00:00Z").getEpochSecond * 1000000000L
+    def ev(id: Long, ns: Long, user: Long): (Long, Long, Long, String, Double, String) =
+      (id, ns, user, "view", 1.0, "{}")
+    val d = dirWith { d =>
+      Seq(ev(1, t0, 1), ev(2, t0 + 10 * m, 1), ev(3, t0 + 120 * m, 1),
+        ev(4, t0 + 600 * m, 1), ev(5, t0 + 720 * m, 2))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.parquet(s"$d/events.parquet")
+    }
+    val got = StreamingOps.q231TimerSessions(spark, d).collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        ((r.getAs[Long]("n_sessions"), r.getAs[Long]("n_events"),
+          r.getAs[Double]("total_value")))).toMap
+    assert(got === Map(1L -> ((3L, 4L, 4.0))))
+  }
+
+  test("q232 conformal: the bucketed two-pass k-th order statistic matches a direct sort") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val row = Metrics.q232Conformal(spark, dir).head()
+    val nCal = row.getAs[Long]("n_cal"); val nTest = row.getAs[Long]("n_test")
+    val qhat = row.getAs[Double]("qhat"); val cov = row.getAs[Double]("coverage")
+    val total = graft.Tables.lineitem(spark, dir).count()
+    assert(nCal + nTest === total)
+    // independent qhat: direct residual sort on the calibration half
+    val rs = graft.Tables.lineitem(spark, dir).selectExpr(
+      "abs(cast(cast(l_extendedprice as decimal(18,2)) * 100 as bigint)" +
+        " - cast(cast(l_quantity as decimal(18,2)) * 100 as bigint) * 3000) as r",
+      "(cast(conv(substring(md5(concat_ws(':', 'conf', l_orderkey, l_linenumber)), 1, 13), 16, 10) as long) + 0.5d) / 4503599627370496.0d < 0.5d as is_cal")
+      .filter(col("is_cal")).select(col("r")).collect().map(_.getAs[Long]("r")).sorted
+    val k = math.ceil(0.75 * (nCal + 1)).toLong.toInt
+    assert(qhat === rs(k - 1) / 100.0)
+    // finite-sample guarantee holds with slack on the test half
+    assert(cov >= 0.70 && cov <= 1.0)
+  }
+
   test("q226 chained dedup→window: double-fed events collapse and the open window is withheld") {
     import spark.implicits._
     val day = 86400L * 1000000000L // nanos
