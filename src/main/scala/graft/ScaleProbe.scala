@@ -140,15 +140,35 @@ object ScaleProbe {
     * scales with m (2000·m) — q198/q206's input. Scaling the domain with
     * the corpus keeps pair-collision density constant (a FIXED parts
     * domain would make co-purchase pair counts grow quadratically — the
-    * q31 degenerate-vocab lesson applied to baskets).
+    * q31 degenerate-vocab lesson applied to baskets). Round-7 additions:
+    * l_suppkey over a 1000·m supplier domain (q221's bipartite edges),
+    * l_linenumber/l_quantity/l_extendedprice (q232's residuals).
     */
   private def genLineitem(spark: SparkSession, dir: String, m: Int): Unit = {
     val n = 600000L * m
     spark.range(n).select(
       (col("id") / 4 + 1).cast("long").as("l_orderkey"),
-      (pmod(xxhash64(col("id"), lit(43)), lit(2000L * m)) + 1).as("l_partkey"))
+      (pmod(xxhash64(col("id"), lit(43)), lit(2000L * m)) + 1).as("l_partkey"),
+      (pmod(xxhash64(col("id"), lit(47)), lit(1000L * m)) + 1).as("l_suppkey"),
+      (pmod(col("id"), lit(4)) + 1).cast("int").as("l_linenumber"),
+      (pmod(xxhash64(col("id"), lit(53)), lit(50)) + 1).cast("double").as("l_quantity"),
+      round((pmod(xxhash64(col("id"), lit(53)), lit(50)) + 1).cast("double") *
+        (pmod(xxhash64(col("id"), lit(59)), lit(500001)).cast("double") / 100.0 + 100.0), 2)
+        .as("l_extendedprice"))
       .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
   }
+
+  /** supplier: 1000·m rows (sf0.1's customer:supplier ratio) — q225's
+    * station side and q221's supplier nodes.
+    */
+  private def genSupplier(spark: SparkSession, dir: String, m: Int): Unit =
+    spark.range(1000L * m).select(
+      (col("id") + 1).as("s_suppkey"),
+      format_string("Supplier#%09d", col("id") + 1).as("s_name"),
+      pmod(xxhash64(col("id"), lit(61)), lit(25)).cast("int").as("s_nationkey"),
+      round(pmod(xxhash64(col("id"), lit(67)), lit(1099999)).cast("double") / 100.0 - 999.99, 2)
+        .as("s_acctbal"))
+      .write.mode("overwrite").parquet(s"$dir/supplier.parquet")
 
   private val probeQueries = Seq(
     "q31_ngram_jaccard", "q32_minhash_lsh", "q104_cosine_neardup_lsh",
@@ -164,7 +184,13 @@ object ScaleProbe {
     // and row-local chunking
     "q197_phash_dedup", "q198_market_basket", "q206_triangle_count",
     "q199_robust_scale", "q203_curation_funnel", "q205_pq_encode",
-    "q209_chunk_overlap")
+    "q209_chunk_overlap",
+    // round-7 additions: frontier BFS over the bipartite purchase graph,
+    // bounded-candidate MMR (corpus scan + O(k²) greedy), t-closeness
+    // dense-grid EMD, the 3×3-cell spatial equi-join, prefix-dim recall
+    // eval, and the two-pass conformal order statistic
+    "q221_bfs_distance", "q222_mmr_rerank", "q223_t_closeness",
+    "q225_grid_eps_join", "q229_matryoshka_eval", "q232_conformal")
 
   def main(args: Array[String]): Unit = {
     val scales = if (args.nonEmpty) args.map(_.toInt).toSeq else Seq(1, 2, 5, 10)
@@ -190,10 +216,15 @@ object ScaleProbe {
             .toAbsolutePath.toString
           genDocuments(spark, d, m); genEmbeddings(spark, d, m)
           genOrders(spark, d, m); genCustomer(spark, d, m)
-          genLineitem(spark, d, m)
+          genLineitem(spark, d, m); genSupplier(spark, d, m)
           d
         }
-      probeQueries.foreach { name => timed(name, m)(SparkEntry.queries(name)(spark, dir).count()) }
+      val only = sys.env.get("SPARK_GRAFT_PROBE_ONLY")
+        .map(_.split(",").toSet).getOrElse(probeQueries.toSet)
+      probeQueries.filter(only).foreach { name =>
+        timed(name, m)(SparkEntry.queries(name)(spark, dir).count()) }
+      if (sys.env.contains("SPARK_GRAFT_PROBE_ONLY")) { /* filtered run: skip the fixed extras */ }
+      else {
       // the parameterized near-dup surface at a REALISTIC threshold: 0.9
       // with (16 bands × 8 planes) — per-pair miss ≈ 0.4%; only planted
       // jitter copies survive, so rows should track n/41 linearly while
@@ -207,6 +238,7 @@ object ScaleProbe {
         ops.VectorOps.bandCandidatePairs(spark, emb, 64, 4).count())
       timed("candidates_b16r8", m)(
         ops.VectorOps.bandCandidatePairs(spark, emb, 16, 8).count())
+      }
     }
     spark.stop()
   }

@@ -83,7 +83,15 @@ object StreamProbe {
         (s, z) => ops.StreamingOps.userTotalsUpdates(s, z, 2)),
       Probe("dedup_within_wm", "append",
         (s, z) => ops.StreamingOps.dedupWithinWmStream(s, z, 2)
-          .select("event_id", "event_type", "value")))
+          .select("event_id", "event_type", "value")),
+      // round-7 topologies: chained multi-stateful (dedup state + window
+      // state in ONE query — both must stay watermark-bounded) and
+      // timer-based sessions (state = one row + one timer per ACTIVE user;
+      // closed sessions must leave state via timer eviction)
+      Probe("dedup_then_window", "append",
+        (s, z) => ops.StreamingOps.dedupThenWindowStream(s, z, 2)),
+      Probe("timer_sessions", "append",
+        (s, z) => ops.StreamingOps.timerSessionStream(s, z, 2)))
 
     scales.foreach { m =>
       val dir = java.nio.file.Paths.get("target", "tmp", s"streamprobe_x$m")
@@ -100,7 +108,7 @@ object StreamProbe {
           q
         }
         val query = ops.StreamingOps.withStatePartitions(spark, 8) {
-          if (p.name == "transform_with_state")
+          if (p.name == "transform_with_state" || p.name == "timer_sessions")
             ops.StreamingOps.withRocksDb(spark)(run())
           else run()
         }

@@ -1484,7 +1484,69 @@ object RelationalMore {
       |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
       |FROM orders GROUP BY 1 ORDER BY prio""".stripMargin
 
+  // --------------------------------------------------------------------------
+  // q234 — GROUP-WISE OLS REGRESSION from sufficient statistics: per
+  // return flag, fit extendedprice ~ quantity in ONE distributed pass —
+  // slope, intercept, and R² all derive from the five exact moment sums
+  // (n, Σx, Σy, Σxy, Σx², Σy²). This is the "sufficient-statistics ML"
+  // pattern: at 100 TB the model fits from one map-side-combinable
+  // aggregate, never a per-group data collect (contrast q204, which fits
+  // on a bounded top-K grid).
+  //
+  // Exactness: x/y are exact cent longs; every Σ rides DECIMAL(38,0)
+  // (order-free integer sums); slope's numerator/denominator are exact
+  // decimal products with ONE double division; R²'s squared terms exceed
+  // decimal-38 range, so a/b/c are cast to double AFTER the exact
+  // first-order differences — identical IEEE expressions both engines.
+  def q234GroupwiseOls(spark: SparkSession, dir: String): DataFrame = {
+    val d38 = DecimalType(38, 0)
+    val base = Tables.lineitem(spark, dir).select(
+      col("l_returnflag"),
+      expr("cast(cast(l_quantity as decimal(18,2)) * 100 as decimal(18,0))").as("x"),
+      expr("cast(cast(l_extendedprice as decimal(18,2)) * 100 as decimal(18,0))").as("y"))
+    base.groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).cast(d38).as("sx"), sum(col("y")).cast(d38).as("sy"),
+        sum(col("x") * col("y")).cast(d38).as("sxy"),
+        sum(col("x") * col("x")).cast(d38).as("sxx"),
+        sum(col("y") * col("y")).cast(d38).as("syy"))
+      .withColumn("a", (col("sxy") * col("n") - col("sx") * col("sy")).cast("double"))
+      .withColumn("b", (col("sxx") * col("n") - col("sx") * col("sx")).cast("double"))
+      .withColumn("c", (col("syy") * col("n") - col("sy") * col("sy")).cast("double"))
+      .select(col("l_returnflag"), col("n"),
+        round(col("a") / col("b"), 6).as("slope"),
+        round((col("sy").cast("double") - col("a") / col("b") * col("sx").cast("double"))
+          / col("n") / 100.0, 2).as("intercept"),
+        round(col("a") * col("a") / (col("b") * col("c")), 6).as("r2"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val q234Sql: String =
+    """WITH b AS (
+      |  SELECT l_returnflag,
+      |    CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS HUGEINT) AS x,
+      |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS HUGEINT) AS y
+      |  FROM lineitem),
+      |m AS (
+      |  SELECT l_returnflag, COUNT(*) AS n,
+      |    SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy,
+      |    SUM(x * x) AS sxx, SUM(y * y) AS syy
+      |  FROM b GROUP BY 1),
+      |d AS (
+      |  SELECT l_returnflag, n,
+      |    CAST(sxy * n - sx * sy AS DOUBLE) AS a,
+      |    CAST(sxx * n - sx * sx AS DOUBLE) AS bb,
+      |    CAST(syy * n - sy * sy AS DOUBLE) AS c,
+      |    CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd
+      |  FROM m)
+      |SELECT l_returnflag, n,
+      |  ROUND(a / bb, 6) AS slope,
+      |  ROUND((syd - a / bb * sxd) / n / 100.0, 2) AS intercept,
+      |  ROUND(a * a / (bb * c), 6) AS r2
+      |FROM d ORDER BY l_returnflag""".stripMargin
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
+    ("q234_groupwise_ols", q234GroupwiseOls _, Some(q234Sql)),
     ("q214_cbo_stats", q214CboStats _, Some(q214Sql)),
     ("q219_schema_evolution", q219SchemaEvolution _, Some(q219Sql)),
     ("q53_date_spine", q53DateSpine _, Some(q53Sql)),

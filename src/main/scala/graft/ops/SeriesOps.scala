@@ -113,6 +113,94 @@ object SeriesOps {
       |FROM w, g ORDER BY day""".stripMargin
 
   // --------------------------------------------------------------------------
+  // q233 — STL-LITE SEASONAL DECOMPOSITION of daily revenue: trend =
+  // centered 7-day moving average, seasonal = per-weekday mean of the
+  // detrended series, residual = observed − trend − seasonal, with a
+  // 2σ residual anomaly flag — the decomposition that turns q167's "a
+  // shift happened" into "Tuesday was anomalous AFTER accounting for
+  // trend and weekday shape".
+  //
+  // Scale: orders collapse to the bounded per-day grid in ONE shuffle;
+  // the ±3-day window runs over that grid (q167's allowlisted case); the
+  // weekday profile is a 7-row broadcast.
+  //
+  // Exactness: everything through the residual is integer/decimal —
+  // detrended numerator d7 = 7y − Σ₇y (exact), seasonal numerator per
+  // weekday (exact sums), residual = (d7·cnt_w − s_num)/(7·cnt_w) one
+  // double division; the z-score reads exact scaled-long moments (the
+  // residual is re-gridded to 1e-4 dollars with an explicit
+  // floor(x·1e4 + 0.5) spelled identically in both engines).
+  def q233StlDecompose(spark: SparkSession, dir: String): DataFrame = {
+    val cents = (sum(col("o_totalprice").cast(DecimalType(18, 2))) * 100)
+      .cast(DecimalType(38, 0))
+    val byDay = Tables.orders(spark, dir)
+      .groupBy(day(col("o_orderdate")).as("day")).agg(cents.as("y"))
+    val w7 = Window.orderBy(col("day")).rowsBetween(-3, 3)
+    val t = byDay
+      .withColumn("sum7", sum(col("y")).over(w7).cast(DecimalType(38, 0)))
+      .withColumn("cnt7", count(lit(1)).over(w7))
+      .filter(col("cnt7") === 7)
+      .withColumn("d7", (col("y") * 7 - col("sum7")).cast(DecimalType(38, 0)))
+      .withColumn("dow", dayofweek(col("day")))
+    val seas = t.groupBy(col("dow"))
+      .agg(sum(col("d7")).cast(DecimalType(38, 0)).as("s_num"),
+        count(lit(1)).as("s_cnt"))
+    val r = t.join(broadcast(seas), Seq("dow"))
+      .withColumn("resid",
+        (col("d7") * col("s_cnt") - col("s_num")).cast("double") /
+          (lit(700.0) * col("s_cnt"))) // dollars
+      .withColumn("rq", floor(col("resid") * 1e4 + 0.5).cast("long"))
+    val st = r.agg(count(lit(1)).as("n"),
+      sum(col("rq")).cast(DecimalType(38, 0)).as("s1"),
+      sum((col("rq").cast(DecimalType(38, 0)) * col("rq"))).cast(DecimalType(38, 0)).as("s2"))
+    r.crossJoin(broadcast(st))
+      .withColumn("mu", col("s1").cast("double") / col("n"))
+      .withColumn("sigma", sqrt(
+        (col("s2") * col("n") - col("s1") * col("s1")).cast("double")) /
+        col("n").cast("double"))
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        round(col("y").cast("double") / 100.0, 2).as("rev"),
+        round(col("sum7").cast("double") / 700.0, 2).as("trend"),
+        round(col("s_num").cast("double") / (lit(700.0) * col("s_cnt")), 2).as("seasonal"),
+        round(col("resid"), 2).as("resid"),
+        (abs(col("rq") - col("mu")) > lit(2.0) * col("sigma")).as("anomaly"))
+      .orderBy(col("day"))
+  }
+
+  val q233Sql: String =
+    """WITH byday AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS day,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS DECIMAL(38,0)) AS y
+      |  FROM orders GROUP BY 1),
+      |t AS (
+      |  SELECT day, y,
+      |    CAST(SUM(y) OVER w AS DECIMAL(38,0)) AS sum7,
+      |    COUNT(*) OVER w AS cnt7,
+      |    dayofweek(day) + 1 AS dow
+      |  FROM byday WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+      |tf AS (SELECT *, CAST(y * 7 - sum7 AS DECIMAL(38,0)) AS d7 FROM t WHERE cnt7 = 7),
+      |seas AS (
+      |  SELECT dow, CAST(SUM(d7) AS DECIMAL(38,0)) AS s_num, COUNT(*) AS s_cnt
+      |  FROM tf GROUP BY dow),
+      |r AS (
+      |  SELECT tf.*, s_num, s_cnt,
+      |    CAST(d7 * s_cnt - s_num AS DOUBLE) / (700.0 * s_cnt) AS resid
+      |  FROM tf JOIN seas USING (dow)),
+      |rq AS (SELECT *, CAST(FLOOR(resid * 1e4 + 0.5) AS BIGINT) AS q FROM r),
+      |st AS (
+      |  SELECT COUNT(*) AS n, CAST(SUM(q) AS DECIMAL(38,0)) AS s1,
+      |    CAST(SUM(CAST(q AS DECIMAL(38,0)) * q) AS DECIMAL(38,0)) AS s2
+      |  FROM rq)
+      |SELECT STRFTIME(day, '%Y-%m-%d') AS day,
+      |  ROUND(CAST(y AS DOUBLE) / 100e0, 2) AS rev,
+      |  ROUND(CAST(sum7 AS DOUBLE) / 700e0, 2) AS trend,
+      |  ROUND(CAST(s_num AS DOUBLE) / (700e0 * s_cnt), 2) AS seasonal,
+      |  ROUND(resid, 2) AS resid,
+      |  ABS(q - CAST(s1 AS DOUBLE) / n)
+      |    > 2.0 * sqrt(CAST(s2 * n - s1 * s1 AS DOUBLE)) / n AS anomaly
+      |FROM rq CROSS JOIN st ORDER BY day""".stripMargin
+
+  // --------------------------------------------------------------------------
   // q168 — time-weighted average of `value` per user: each event's value
   // holds until the next event (step function), so the mean is
   // Σ vᵢ·Δtᵢ / Σ Δtᵢ — the correct average for IRREGULARLY sampled series
@@ -219,6 +307,7 @@ object SeriesOps {
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q166_stickiness", q166Stickiness _, Some(q166Sql)),
     ("q167_cusum", q167Cusum _, Some(q167Sql)),
+    ("q233_stl_decompose", q233StlDecompose _, Some(q233Sql)),
     ("q168_time_weighted_avg", q168TimeWeightedAvg _, Some(q168Sql)),
     ("q175_moments", q175Moments _, Some(q175Sql)))
 }

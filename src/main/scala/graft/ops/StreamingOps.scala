@@ -573,8 +573,28 @@ object StreamingOps {
     * Scale: state is ONE ValueState row + one timer per active user;
     * timers are watermark-evicted. The stream shuffles once on user_id.
     */
+  /** The q231 timer-session topology (un-sunk): watermark → groupByKey →
+    * transformWithState with event-time timers. Caller must wrap in
+    * [[withRocksDb]]. Shared with StreamProbe so probe and catalog run
+    * the same code.
+    */
+  private[graft] def timerSessionStream(spark: SparkSession, src: String,
+      filesPerTrigger: Int): DataFrame = {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    import spark.implicits._
+    val schema = spark.read.parquet(src).schema
+    spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", filesPerTrigger).parquet(src)
+      .withWatermark("ts", "10 minutes")
+      .as[EventRow]
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionTimerProcessor(1800L * 1000000L),
+        TimeMode.EventTime(), OutputMode.Append())
+      .toDF()
+  }
+
   def q231TimerSessions(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.streaming.{OutputMode, TimeMode, Trigger}
+    import org.apache.spark.sql.streaming.Trigger
     val src = Staging.ensure("events_zone_ordered", dir) { path =>
       Tables.events(spark, dir)
         .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
@@ -586,17 +606,8 @@ object StreamingOps {
       val base = System.currentTimeMillis() - (parts.length + 10) * 1000L
       parts.zipWithIndex.foreach { case (f, i) => f.setLastModified(base + i * 1000L) }
     }
-    val schema = spark.read.parquet(src).schema
     withRocksDb(spark) {
-      import spark.implicits._
-      val sessions = spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1).parquet(src)
-        .withWatermark("ts", "10 minutes")
-        .as[EventRow]
-        .groupByKey(_.user_id)
-        .transformWithState(new SessionTimerProcessor(1800L * 1000000L),
-          TimeMode.EventTime(), OutputMode.Append())
-        .toDF()
+      val sessions = timerSessionStream(spark, src, 1)
       val qname = "graft_q231_result"
       withStatePartitions(spark, 8) {
         val query = sessions.writeStream.format("memory").queryName(qname)

@@ -41,6 +41,8 @@ class PlanLintSpec extends SparkSpec {
       "prefix sum over the price-bucket histogram (floor(v/50000)) — bounded by the price domain, not row count",
     "q167_cusum" ->
       "running sum/rank over the per-day revenue grid — bounded by the order-date calendar span, not orders",
+    "q233_stl_decompose" ->
+      "q167's case: the ±3-day moving-average window runs over the bounded per-day revenue grid, not orders",
     "q169_global_index" ->
       "exclusive prefix sum over the 257-row bucket-count grid (bucket = key div width, width = maxkey/256) — domain-bounded; the per-row rank window is partitioned by bucket",
     "q177_compaction_plan" ->

@@ -255,6 +255,51 @@ class Round7OpsSpec extends SparkSpec {
     assert(cov >= 0.70 && cov <= 1.0)
   }
 
+  test("q233 STL: a planted revenue spike is the only anomaly; flat days decompose to zero residual") {
+    import spark.implicits._
+    // 21 days of $100/day with one $800 spike on day 11 (index 10).
+    val d0 = java.time.LocalDate.of(2024, 1, 1)
+    val d = dirWith { d =>
+      (0 until 21).map { i =>
+        val price = if (i == 10) 800.0 else 100.0
+        (i.toLong + 1, 1L, "O", price,
+          java.sql.Timestamp.valueOf(d0.plusDays(i).atStartOfDay), "1-URGENT")
+      }.toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+        .coalesce(1).write.parquet(s"$d/orders.parquet")
+    }
+    val rows = SeriesOps.q233StlDecompose(spark, d).collect()
+    assert(rows.length === 15) // days 4..18 have a full ±3 window
+    val anomalies = rows.filter(_.getAs[Boolean]("anomaly"))
+      .map(_.getAs[String]("day"))
+    assert(anomalies.toSeq === Seq("2024-01-11"))
+    // a day far from the spike: flat trend, zero-ish residual
+    val far = rows.find(_.getAs[String]("day") == "2024-01-17").get
+    assert(far.getAs[Double]("rev") === 100.0)
+    assert(far.getAs[Double]("trend") === 100.0)
+  }
+
+  test("q234 group-wise OLS: an exact linear relation recovers slope, intercept, and R² = 1") {
+    import spark.implicits._
+    // y_cents = 2 x_cents + 500 exactly → slope 2, intercept $5.00, r2 1.
+    val d = dirWith { d =>
+      (1 to 40).map { i =>
+        val qty = (i % 10) + 1.0
+        (i.toLong, 1L, 1L, i, qty, (2 * qty * 100 + 500) / 100.0,
+          0.0, 0.0, if (i % 2 == 0) "R" else "N", "O",
+          java.sql.Timestamp.valueOf("2024-01-01 00:00:00"))
+      }.toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate")
+        .coalesce(1).write.parquet(s"$d/lineitem.parquet")
+    }
+    val got = RelationalMore.q234GroupwiseOls(spark, d).collect()
+      .map(r => r.getAs[String]("l_returnflag") ->
+        ((r.getAs[Long]("n"), r.getAs[Double]("slope"),
+          r.getAs[Double]("intercept"), r.getAs[Double]("r2")))).toMap
+    assert(got === Map("R" -> ((20L, 2.0, 5.0, 1.0)), "N" -> ((20L, 2.0, 5.0, 1.0))))
+  }
+
   test("q226 chained dedup→window: double-fed events collapse and the open window is withheld") {
     import spark.implicits._
     val day = 86400L * 1000000000L // nanos
