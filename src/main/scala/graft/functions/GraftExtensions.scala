@@ -24,6 +24,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("unaccent"),
       new ExpressionInfo(classOf[StripAccentsExpr].getName, "unaccent"),
       (exprs: Seq[Expression]) => StripAccentsExpr(exprs.head)))
+    extensions.injectFunction((
+      FunctionIdentifier("jaro_winkler"),
+      new ExpressionInfo(classOf[JaroWinklerExpr].getName, "jaro_winkler"),
+      (exprs: Seq[Expression]) => JaroWinklerExpr(exprs.head, exprs(1))))
     extensions.injectOptimizerRule(_ => LevenshteinRewrite)
   }
 }

@@ -625,7 +625,59 @@ object CorpusOps {
        |   + 10000000 * s * w) // (CAST(s AS BIGINT) * w) - 10000000 AS flesch_milli
        |FROM c WHERE w > 0 ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------------------------------------
+  // q238 — POSITIONAL PHRASE SEARCH over an inverted index: the retrieval
+  // primitive BM25 (q81) cannot express — "these words ADJACENT, in this
+  // order". Build the positional postings once (posexplode → (doc, pos,
+  // tok)), derive bigram postings with ONE self-equi-join on (doc_id,
+  // pos+1) — co-partitioned, no fan-out beyond true bigram count — pick
+  // the corpus's top bigram (count desc, lexical tie-break), and return
+  // every document containing that phrase with its occurrence count and
+  // first hit position.
+  //
+  // Scale: postings are linear in token count and shuffle on doc_id, so
+  // the bigram join is a partition-local zip; the phrase lookup is an
+  // equi-join against a broadcast 1-row phrase. This is exactly how
+  // phrase queries run in a distributed search index: postings joined on
+  // (doc, pos+k), never a regex rescan of the corpus.
+  def q238PhraseSearch(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+      .filter(col("tok") =!= "")
+    val bigrams = toks.as("a")
+      .join(toks.as("b"),
+        col("a.doc_id") === col("b.doc_id") && col("b.pos") === col("a.pos") + 1)
+      .select(col("a.doc_id").as("doc_id"), col("a.pos").as("pos"),
+        concat(col("a.tok"), lit(" "), col("b.tok")).as("bigram"))
+    val top = bigrams.groupBy(col("bigram")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("bigram")).limit(1)
+      .select(col("bigram").as("phrase"))
+    bigrams.join(broadcast(top), col("bigram") === col("phrase"))
+      .groupBy(col("doc_id"), col("phrase"))
+      .agg(count(lit(1)).as("n_occ"), min(col("pos")).as("first_pos"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q238Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, pos - 1 AS pos, arr[pos] AS tok FROM (
+      |    SELECT doc_id, string_split(text, ' ') AS arr,
+      |      unnest(generate_series(1, len(string_split(text, ' ')))) AS pos
+      |    FROM documents)
+      |  WHERE arr[pos] <> ''),
+      |bigrams AS (
+      |  SELECT a.doc_id, a.pos, a.tok || ' ' || b.tok AS bigram
+      |  FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+      |top AS (
+      |  SELECT bigram AS phrase FROM bigrams GROUP BY 1
+      |  ORDER BY COUNT(*) DESC, bigram LIMIT 1)
+      |SELECT doc_id, phrase, COUNT(*) AS n_occ,
+      |  CAST(MIN(pos) AS INT) AS first_pos
+      |FROM bigrams JOIN top ON bigram = phrase
+      |GROUP BY 1, 2 ORDER BY doc_id""".stripMargin
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
+    ("q238_phrase_search", q238PhraseSearch _, Some(q238Sql)),
     ("q129_division", q129Division _, Some(q129Sql)),
     ("q133_psi_drift", q133PsiDrift _, Some(q133Sql)),
     ("q134_pmi_pairs", q134PmiPairs _, Some(q134Sql)),

@@ -618,7 +618,87 @@ object EventOps {
       |  MAX(late_us) AS max_late_us
       |FROM g GROUP BY delay_s ORDER BY delay_s""".stripMargin
 
+  // --------------------------------------------------------------------------
+  // q237 — KAPLAN-MEIER SURVIVAL CURVE for user churn: per user, duration
+  // = days between first and last event; a user whose last event precedes
+  // the study end (global max ts) by >14 days is a churn EVENT, otherwise
+  // right-CENSORED (still active at observation end — the distinction
+  // naive "avg lifetime" metrics get wrong, biasing lifetime low). The KM
+  // estimator S(t) = Π_{u≤t} (1 − d_u/n_u) handles censoring correctly:
+  // censored users leave the risk set without counting as deaths.
+  //
+  // Scale: ONE shuffle on user_id collapses the log to per-user (t0, t1);
+  // the curve lives on the bounded distinct-duration DAY grid (calendar-
+  // span-bounded — the global cum window over it is the PlanLint
+  // allowlisted bounded-grid case). The survival product is computed as
+  // exp(Σ ln·) so it stays a windowed SUM (no product aggregate in
+  // Spark); factors are exact rationals rounded only at output (6 dp; the
+  // §8.4 ln/exp-at-output policy, q204's precedent). d_u = n_u (everyone
+  // at risk dies at the max duration) would hit ln(0), so that term is
+  // excluded and a windowed zero-flag pins survival to exactly 0.0 —
+  // identical CASE in the oracle.
+  def q237KaplanMeier(spark: SparkSession, dir: String): DataFrame = {
+    val perUser = Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(min(col("ts")).as("t0"), max(col("ts")).as("t1"))
+    val g = perUser.agg(max(col("t1")).as("tend"), count(lit(1)).as("total"))
+    val durs = perUser.crossJoin(broadcast(g))
+      .withColumn("dur", datediff(to_date(col("t1")), to_date(col("t0"))))
+      .withColumn("churn",
+        (col("t1") < col("tend") - expr("INTERVAL 14 DAYS")).cast("int"))
+    val byDur = durs.groupBy(col("dur"))
+      .agg(sum(col("churn")).as("d"),
+        (count(lit(1)) - sum(col("churn"))).as("c"),
+        first(col("total")).as("total"))
+    val wPrev = Window.orderBy(col("dur"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wCum = Window.orderBy(col("dur"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byDur
+      .withColumn("n_risk",
+        col("total") - coalesce(sum(col("d") + col("c")).over(wPrev), lit(0L)))
+      .withColumn("lnf",
+        when(col("d") < col("n_risk"),
+          log((col("n_risk") - col("d")).cast("double") / col("n_risk")))
+          .otherwise(lit(0.0)))
+      .withColumn("dead",
+        max(when(col("d") === col("n_risk"), 1).otherwise(0)).over(wCum))
+      .select(col("dur"), col("n_risk"), col("d"), col("c"),
+        when(col("dead") === 1, lit(0.0))
+          .otherwise(round(exp(sum(col("lnf")).over(wCum)), 6)).as("survival"))
+      .orderBy(col("dur"))
+  }
+
+  val q237Sql: String =
+    """WITH peru AS (
+      |  SELECT user_id, MIN(ts) AS t0, MAX(ts) AS t1 FROM events GROUP BY 1),
+      |g AS (SELECT MAX(t1) AS tend, COUNT(*) AS total FROM peru),
+      |d AS (
+      |  SELECT datediff('day', CAST(t0 AS DATE), CAST(t1 AS DATE)) AS dur,
+      |    CASE WHEN t1 < tend - INTERVAL 14 DAY THEN 1 ELSE 0 END AS churn,
+      |    total
+      |  FROM peru, g),
+      |byd AS (
+      |  SELECT dur, CAST(SUM(churn) AS BIGINT) AS d,
+      |    CAST(COUNT(*) - SUM(churn) AS BIGINT) AS c,
+      |    ANY_VALUE(total) AS total
+      |  FROM d GROUP BY 1),
+      |w AS (
+      |  SELECT dur, d, c,
+      |    total - COALESCE(SUM(d + c) OVER (ORDER BY dur
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_risk
+      |  FROM byd)
+      |SELECT dur, CAST(n_risk AS BIGINT) AS n_risk, d, c,
+      |  CASE WHEN MAX(CASE WHEN d = n_risk THEN 1 ELSE 0 END) OVER cum = 1 THEN 0.0
+      |    ELSE ROUND(EXP(SUM(CASE WHEN d < n_risk
+      |      THEN LN(CAST(n_risk - d AS DOUBLE) / n_risk) ELSE 0 END) OVER cum), 6)
+      |  END AS survival
+      |FROM w
+      |WINDOW cum AS (ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |ORDER BY dur""".stripMargin
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
+    ("q237_kaplan_meier", q237KaplanMeier _, Some(q237Sql)),
     ("q228_lateness_audit", q228LatenessAudit _, Some(q228Sql)),
     ("q131_cohort_retention", q131CohortRetention _, Some(q131Sql)),
     ("q132_event_transitions", q132EventTransitions _, Some(q132Sql)),

@@ -246,7 +246,90 @@ object Metrics {
       |FROM base CROSS JOIN q CROSS JOIN (SELECT n_cal FROM k) kk
       |WHERE NOT is_cal""".stripMargin
 
+  // --------------------------------------------------------------------------
+  // q239 — POISSON BOOTSTRAP CONFIDENCE INTERVALS for the per-priority
+  // mean order value: the resampling scheme that works at 100 TB. A
+  // classic bootstrap resamples n rows WITH replacement B times — a
+  // shuffle per replicate. The Poisson bootstrap instead gives every row
+  // an independent Poisson(1) weight per replicate (n·B weight draws ≈
+  // multinomial resample for large n), so all B = 32 replicates ride ONE
+  // linear pass: explode ×32, one map-side-combinable weighted aggregate.
+  // CI = 2nd / 31st order statistic of the 32 replicate means (~94%).
+  //
+  // Determinism: weights come from the portable md5 uniform
+  // (conv-substring pattern, §8.4) pushed through the hard-coded
+  // Poisson(1) inverse CDF — identical decimal literals in both engines,
+  // so every engine draws the SAME weight for the same (order, replicate).
+  // Replicate means are exact cent-long ratios rounded to 6 dp BEFORE the
+  // order-statistic selection.
+  //
+  // Scale: ×32 row multiplier into a hash aggregate of 5·32 rows; the
+  // order-statistic sort is a 32-element array per group. Nothing global.
+  private val poissonCum = Seq(
+    0.36787944117144233, 0.7357588823428847, 0.9196986029286058,
+    0.9810118431238463, 0.9963401531726563, 0.9994058151824183)
+
+  def q239PoissonBootstrap(spark: SparkSession, dir: String): DataFrame = {
+    val u = (conv(substring(md5(concat(lit("boot:"), col("o_orderkey").cast("string"),
+      lit(":"), col("r").cast("string"))), 1, 13), 16, 10)
+      .cast("long").cast("double") + 0.5) / lit(4503599627370496.0)
+    val w = poissonCum.zipWithIndex.foldRight(lit(6): org.apache.spark.sql.Column) {
+      case ((c, k), acc) => when(col("u") < c, k).otherwise(acc)
+    }
+    val rep = Tables.orders(spark, dir)
+      .select(col("o_orderpriority").as("prio"), col("o_orderkey"),
+        expr("cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)").as("cents"))
+      .withColumn("r", explode(sequence(lit(0), lit(31))))
+      .withColumn("u", u)
+      .withColumn("w", w)
+    val perRep = rep.groupBy(col("prio"), col("r"))
+      .agg(sum(col("w") * col("cents")).as("wx"), sum(col("w")).as("sw"),
+        sum(col("cents")).as("sx"), count(lit(1)).as("n"))
+      .withColumn("mean_r", round(col("wx").cast("double") / col("sw") / 100.0, 6))
+    // per (prio, r) the group holds every order of the priority once, so
+    // n and sx are already the per-priority count / exact total
+    perRep.groupBy(col("prio"))
+      .agg(first(col("n")).as("n"),
+        round(first(col("sx")).cast("double") / first(col("n")) / 100.0, 6).as("mean"),
+        element_at(sort_array(collect_list(col("mean_r"))), 2).as("ci_lo"),
+        element_at(sort_array(collect_list(col("mean_r"))), 31).as("ci_hi"))
+      .orderBy(col("prio"))
+  }
+
+  val q239Sql: String =
+    """WITH rep AS (
+      |  SELECT o_orderpriority AS prio, o_orderkey,
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+      |    unnest(generate_series(0, 31)) AS r
+      |  FROM orders),
+      |uw AS (
+      |  SELECT prio, cents,
+      |    (('0x' || substr(md5('boot:' || o_orderkey::VARCHAR || ':' || r::VARCHAR), 1, 13))::BIGINT
+      |      + 0.5) / 4503599627370496.0 AS u, r
+      |  FROM rep),
+      |pw AS (
+      |  SELECT prio, r, cents,
+      |    CASE WHEN u < 0.36787944117144233 THEN 0
+      |         WHEN u < 0.7357588823428847 THEN 1
+      |         WHEN u < 0.9196986029286058 THEN 2
+      |         WHEN u < 0.9810118431238463 THEN 3
+      |         WHEN u < 0.9963401531726563 THEN 4
+      |         WHEN u < 0.9994058151824183 THEN 5
+      |         ELSE 6 END AS w
+      |  FROM uw),
+      |pr AS (
+      |  SELECT prio, r,
+      |    ROUND(CAST(SUM(w * cents) AS DOUBLE) / SUM(w) / 100.0, 6) AS mean_r,
+      |    SUM(cents) AS sx, COUNT(*) AS n
+      |  FROM pw GROUP BY 1, 2)
+      |SELECT prio, CAST(ANY_VALUE(n) AS BIGINT) AS n,
+      |  ROUND(CAST(ANY_VALUE(sx) AS DOUBLE) / ANY_VALUE(n) / 100.0, 6) AS mean,
+      |  list_sort(list(mean_r))[2] AS ci_lo,
+      |  list_sort(list(mean_r))[31] AS ci_hi
+      |FROM pr GROUP BY prio ORDER BY prio""".stripMargin
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
+    ("q239_poisson_bootstrap", q239PoissonBootstrap _, Some(q239Sql)),
     ("q124_observe_quality", q124ObserveQuality _, Some(q124Sql)),
     ("q224_calibration", q224Calibration _, Some(q224Sql)),
     ("q232_conformal", q232Conformal _, Some(q232Sql)),

@@ -1545,8 +1545,172 @@ object RelationalMore {
       |  ROUND(a * a / (bb * c), 6) AS r2
       |FROM d ORDER BY l_returnflag""".stripMargin
 
+  // --------------------------------------------------------------------------
+  // q236 — GINI COEFFICIENT + LORENZ SUMMARY per nation over customer
+  // account balances: inequality audit via the rank formulation
+  //   G = (2·Σ k·x₍ₖ₎ − (n+1)·Σx) / (n·Σx),  x ascending —
+  // the one-pass-after-rank identity (no pairwise |xᵢ−xⱼ| join, which is
+  // O(n²) and the naive formulation). Also emits the Lorenz-curve bottom-
+  // half share (fraction of total balance held by the poorer half).
+  //
+  // Scale: rank window is PARTITIONED by nation (never global); both
+  // aggregates are map-side-combinable sums; one shuffle on nation.
+  // Exactness: balances ride exact cent DECIMAL(38,0); Σk·x is exact
+  // (rank ties carry identical x, so the sum is tie-order invariant);
+  // ONE double division at output.
+  def q236Gini(spark: SparkSession, dir: String): DataFrame = {
+    val d38 = DecimalType(38, 0)
+    val c = Tables.customer(spark, dir).select(
+      col("c_nationkey"),
+      expr("cast(cast(c_acctbal as decimal(18,2)) * 100 as decimal(18,0))").as("cents"))
+    val w = Window.partitionBy(col("c_nationkey")).orderBy(col("cents"), col("c_nationkey"))
+    val ranked = c.withColumn("k", row_number().over(w).cast(d38))
+      .withColumn("half", (col("k") * 2 <= count(lit(1)).over(
+        Window.partitionBy(col("c_nationkey")))).cast("int"))
+    val agg = ranked.groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("cents")).cast(d38).as("sx"),
+        sum(col("k") * col("cents")).cast(d38).as("skx"),
+        sum(when(col("half") === 1, col("cents")).otherwise(lit(0))).cast(d38).as("bot"))
+    agg.join(broadcast(Tables.nation(spark, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), col("n"),
+        round((col("skx") * 2 - col("sx") * (col("n") + 1)).cast("double") /
+          (col("sx") * col("n")).cast("double"), 6).as("gini"),
+        round(col("bot").cast("double") / col("sx").cast("double"), 6).as("bottom_half_share"))
+      .orderBy(col("n_name"))
+  }
+
+  val q236Sql: String =
+    """WITH c AS (
+      |  SELECT c_nationkey,
+      |    CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS HUGEINT) AS cents
+      |  FROM customer),
+      |r AS (
+      |  SELECT c_nationkey, cents,
+      |    ROW_NUMBER() OVER (PARTITION BY c_nationkey ORDER BY cents) AS k,
+      |    COUNT(*) OVER (PARTITION BY c_nationkey) AS nn
+      |  FROM c),
+      |a AS (
+      |  SELECT c_nationkey, COUNT(*) AS n,
+      |    SUM(cents) AS sx, SUM(k * cents) AS skx,
+      |    SUM(CASE WHEN k * 2 <= nn THEN cents ELSE 0 END) AS bot
+      |  FROM r GROUP BY 1)
+      |SELECT n_name, n,
+      |  ROUND(CAST(skx * 2 - sx * (n + 1) AS DOUBLE) / CAST(sx * n AS DOUBLE), 6) AS gini,
+      |  ROUND(CAST(bot AS DOUBLE) / CAST(sx AS DOUBLE), 6) AS bottom_half_share
+      |FROM a JOIN nation ON c_nationkey = n_nationkey
+      |ORDER BY n_name""".stripMargin
+
+  // --------------------------------------------------------------------------
+  // q240 — K-FOLD CROSS-VALIDATED REGRESSION from sufficient statistics:
+  // q234's one-pass OLS extended to model EVALUATION without a second
+  // data pass. Rows get a deterministic fold (portable md5 mod 5); ONE
+  // aggregate produces per-(group, fold) moment sums; the fold-f training
+  // stats are the group TOTALS minus fold f's own (exact decimal
+  // subtraction — the leave-one-out trick), and the held-out SSE expands
+  // algebraically over the fold's sufficient statistics:
+  //   SSE_f = Σ(y−a−bx)² = syy − 2a·sy − 2b·sxy + n·a² + 2ab·sx + b²·sxx.
+  // So train AND test metrics for all 5 folds come from one shuffle of
+  // 15 tiny rows — no per-fold data replication, no second scan. At
+  // 100 TB this is the only way k-fold CV is affordable.
+  //
+  // Exactness: moment sums ride DECIMAL(38,0) cents; coefficients and the
+  // SSE expansion are double with the identical operation order in both
+  // engines (mirrored literally in the oracle), rounded at output.
+  def q240CvOls(spark: SparkSession, dir: String): DataFrame = {
+    val d38 = DecimalType(38, 0)
+    val base = Tables.lineitem(spark, dir).select(
+      col("l_returnflag").as("flag"),
+      expr("cast(conv(substring(md5(concat('cv:', l_orderkey, ':', l_linenumber)), 1, 8), 16, 10) as bigint) % 5")
+        .as("fold"),
+      expr("cast(cast(l_quantity as decimal(18,2)) * 100 as decimal(18,0))").as("x"),
+      expr("cast(cast(l_extendedprice as decimal(18,2)) * 100 as decimal(18,0))").as("y"))
+    val perFold = base.groupBy(col("flag"), col("fold"))
+      .agg(count(lit(1)).cast(d38).as("n"),
+        sum(col("x")).cast(d38).as("sx"), sum(col("y")).cast(d38).as("sy"),
+        sum(col("x") * col("y")).cast(d38).as("sxy"),
+        sum(col("x") * col("x")).cast(d38).as("sxx"),
+        sum(col("y") * col("y")).cast(d38).as("syy"))
+    val totals = perFold.groupBy(col("flag"))
+      .agg(sum(col("n")).cast(d38).as("tn"), sum(col("sx")).cast(d38).as("tsx"),
+        sum(col("sy")).cast(d38).as("tsy"), sum(col("sxy")).cast(d38).as("tsxy"),
+        sum(col("sxx")).cast(d38).as("tsxx"), sum(col("syy")).cast(d38).as("tsyy"))
+    perFold.join(broadcast(totals), Seq("flag"))
+      // exact decimal train stats (totals minus the held-out fold)
+      .withColumn("rn", (col("tn") - col("n")).cast(d38))
+      .withColumn("rsx", (col("tsx") - col("sx")).cast(d38))
+      .withColumn("rsy", (col("tsy") - col("sy")).cast(d38))
+      .withColumn("rsxy", (col("tsxy") - col("sxy")).cast(d38))
+      .withColumn("rsxx", (col("tsxx") - col("sxx")).cast(d38))
+      .withColumn("num", (col("rsxy") * col("rn") - col("rsx") * col("rsy")).cast("double"))
+      .withColumn("den", (col("rsxx") * col("rn") - col("rsx") * col("rsx")).cast("double"))
+      .withColumn("b", col("num") / col("den"))
+      .withColumn("a",
+        (col("rsy").cast("double") - col("b") * col("rsx").cast("double"))
+          / col("rn").cast("double"))
+      .withColumn("sse",
+        col("syy").cast("double")
+          - lit(2.0) * col("a") * col("sy").cast("double")
+          - lit(2.0) * col("b") * col("sxy").cast("double")
+          + col("n").cast("double") * col("a") * col("a")
+          + lit(2.0) * col("a") * col("b") * col("sx").cast("double")
+          + col("b") * col("b") * col("sxx").cast("double"))
+      .select(col("flag"), col("fold"),
+        (col("rn").cast("long")).as("n_train"), (col("n").cast("long")).as("n_test"),
+        round(col("b"), 6).as("slope"),
+        round(col("a") / 100.0, 2).as("intercept"),
+        round(sqrt(col("sse") / col("n").cast("double")) / 100.0, 4).as("rmse"))
+      .orderBy(col("flag"), col("fold"))
+  }
+
+  val q240Sql: String =
+    """WITH b AS (
+      |  SELECT l_returnflag AS flag,
+      |    ('0x' || substr(md5('cv:' || l_orderkey::VARCHAR || ':' || l_linenumber::VARCHAR), 1, 8))::BIGINT % 5 AS fold,
+      |    CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS HUGEINT) AS x,
+      |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS HUGEINT) AS y
+      |  FROM lineitem),
+      |pf AS (
+      |  SELECT flag, fold, COUNT(*) AS n,
+      |    SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy,
+      |    SUM(x * x) AS sxx, SUM(y * y) AS syy
+      |  FROM b GROUP BY 1, 2),
+      |t AS (
+      |  SELECT flag, SUM(n) AS tn, SUM(sx) AS tsx, SUM(sy) AS tsy,
+      |    SUM(sxy) AS tsxy, SUM(sxx) AS tsxx, SUM(syy) AS tsyy
+      |  FROM pf GROUP BY 1),
+      |d AS (
+      |  SELECT pf.flag, fold, n, sx, sy, sxy, sxx, syy,
+      |    tn - n AS rn, tsx - sx AS rsx, tsy - sy AS rsy,
+      |    tsxy - sxy AS rsxy, tsxx - sxx AS rsxx
+      |  FROM pf JOIN t ON pf.flag = t.flag),
+      |c AS (
+      |  SELECT flag, fold, n, rn,
+      |    CAST(rsxy * rn - rsx * rsy AS DOUBLE) / CAST(rsxx * rn - rsx * rsx AS DOUBLE) AS bb,
+      |    sx, sy, sxy, sxx, syy, rsx, rsy
+      |  FROM d),
+      |e AS (
+      |  SELECT flag, fold, n, rn, bb,
+      |    (CAST(rsy AS DOUBLE) - bb * CAST(rsx AS DOUBLE)) / CAST(rn AS DOUBLE) AS a,
+      |    sx, sy, sxy, sxx, syy
+      |  FROM c)
+      |SELECT flag, CAST(fold AS BIGINT) AS fold,
+      |  CAST(rn AS BIGINT) AS n_train, CAST(n AS BIGINT) AS n_test,
+      |  ROUND(bb, 6) AS slope,
+      |  ROUND(a / 100.0, 2) AS intercept,
+      |  ROUND(SQRT((CAST(syy AS DOUBLE)
+      |    - 2.0 * a * CAST(sy AS DOUBLE)
+      |    - 2.0 * bb * CAST(sxy AS DOUBLE)
+      |    + CAST(n AS DOUBLE) * a * a
+      |    + 2.0 * a * bb * CAST(sx AS DOUBLE)
+      |    + bb * bb * CAST(sxx AS DOUBLE)) / CAST(n AS DOUBLE)) / 100.0, 4) AS rmse
+      |FROM e ORDER BY flag, fold""".stripMargin
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q234_groupwise_ols", q234GroupwiseOls _, Some(q234Sql)),
+    ("q236_gini", q236Gini _, Some(q236Sql)),
+    ("q240_cv_ols", q240CvOls _, Some(q240Sql)),
     ("q214_cbo_stats", q214CboStats _, Some(q214Sql)),
     ("q219_schema_evolution", q219SchemaEvolution _, Some(q219Sql)),
     ("q53_date_spine", q53DateSpine _, Some(q53Sql)),

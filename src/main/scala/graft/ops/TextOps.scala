@@ -1052,9 +1052,51 @@ object TextOps {
       |    AS n_accented
       |FROM d ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------------------------------------
+  // q235 — JARO-WINKLER BLOCKED NAME MATCH with the native codegen'd
+  // `jaro_winkler` expression (graft.functions.JaroWinklerExpr): candidate
+  // pairs come from a (brand, first-token) blocking equi-join — never
+  // all-pairs — then JW scores the survivors in-join, inside whole-stage
+  // codegen. The record-linkage scorer q72/q105's Levenshtein family
+  // lacks: JW weights shared prefixes, which is where real entity names
+  // agree. The oracle recomputes every pair with DuckDB's independent
+  // rapidfuzz-derived jaro_winkler_similarity, pinning the expression's
+  // semantics (match window, transposition halving, >0.7 boost gate,
+  // 4-cap prefix) by hash across the whole part corpus.
+  //
+  // Scale: block key = (p_brand, tok0) keeps per-block fan-out bounded by
+  // the name vocabulary, both sides shuffle on the block key; the JW call
+  // is a static per-pair evaluation with no state.
+  def q235JaroWinklerMatch(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.JaroWinkler.register(spark)
+    val p = Tables.part(spark, dir)
+      .select(col("p_partkey"), col("p_name"), col("p_brand"),
+        split(col("p_name"), " ").getItem(0).as("tok0"))
+    val a = p.toDF("a_key", "a_name", "brand", "tok0")
+    val b = p.toDF("b_key", "b_name", "brand", "tok0")
+    a.join(b, Seq("brand", "tok0"))
+      .filter(col("a_key") < col("b_key"))
+      .withColumn("jw", expr("jaro_winkler(a_name, b_name)"))
+      .filter(col("jw") >= 0.85)
+      .select(col("a_key"), col("b_key"), round(col("jw"), 6).as("jw"))
+      .orderBy(col("a_key"), col("b_key"))
+  }
+
+  val q235Sql: String =
+    """WITH p AS (
+      |  SELECT p_partkey, p_name, p_brand, split_part(p_name, ' ', 1) AS tok0
+      |  FROM part)
+      |SELECT a.p_partkey AS a_key, b.p_partkey AS b_key,
+      |  ROUND(jaro_winkler_similarity(a.p_name, b.p_name), 6) AS jw
+      |FROM p a JOIN p b
+      |  ON a.p_brand = b.p_brand AND a.tok0 = b.tok0 AND a.p_partkey < b.p_partkey
+      |WHERE jaro_winkler_similarity(a.p_name, b.p_name) >= 0.85
+      |ORDER BY 1, 2""".stripMargin
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q30_exact_dedup", q30ExactDedup _, Some(q30Sql)),
     ("q218_unicode_normalize", q218UnicodeNormalize _, Some(q218Sql)),
+    ("q235_jaro_winkler_match", q235JaroWinklerMatch _, Some(q235Sql)),
     ("q84_text_clean", q84TextClean _, Some(q84Sql)),
     ("q81_bm25", q81Bm25 _, Some(q81Sql)),
     ("q82_dedup_clusters", q82DedupClusters _, Some(q82Sql)),

@@ -52,12 +52,16 @@ class PlanLintSpec extends SparkSpec {
     "q232_conformal" ->
       "q169's two-pass shape: exclusive prefix sum over the 257-row residual-bucket count grid; the k-th-order-statistic rank window is partitioned by bucket",
     "q195_sorted_dict" ->
-      "q169's two-pass shape on a string domain: exclusive prefix sum over the leading-character bucket grid (bounded by the alphabet); the per-token rank window is partitioned by bucket")
+      "q169's two-pass shape on a string domain: exclusive prefix sum over the leading-character bucket grid (bounded by the alphabet); the per-token rank window is partitioned by bucket",
+    "q237_kaplan_meier" ->
+      "at-risk / survival cum windows run over the distinct-duration DAY grid — bounded by the calendar span of the log, not by users or events")
 
   /** name → reason a no-equi-key join is still scale-safe there. */
   private val joinAllow: Map[String, String] = Map(
     "q232_conformal" ->
       "broadcast 1-row sides by construction: the (n_cal, k, max) aggregate, the rank-k bucket row, and the single q-hat order statistic — q169's two-pass rank then joins back equi on bucket",
+    "q237_kaplan_meier" ->
+      "broadcast 1-row side by construction: the (study-end, total-users) global aggregate joined onto per-user durations",
     "q110_kmeans" ->
       "broadcast(centroids) cross join — k rows by construction (Lloyd assignment pass)",
     "q45_ann_ivf" ->
