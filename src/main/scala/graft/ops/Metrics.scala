@@ -2,6 +2,7 @@ package graft.ops
 
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** In-flight data-quality counters via `Dataset.observe` — the
@@ -328,8 +329,96 @@ object Metrics {
       |  list_sort(list(mean_r))[31] AS ci_hi
       |FROM pr GROUP BY prio ORDER BY prio""".stripMargin
 
+  // --------------------------------------------------------------------------
+  // q241 — ISOTONIC CALIBRATION (PAV) on a bounded bin grid: fit the
+  // best monotone non-decreasing map from predicted score to observed
+  // positive rate — the calibrator sklearn's IsotonicRegression ships,
+  // recast for 100 TB. The corpus collapses to 50 weighted score bins in
+  // ONE hash aggregate; the pool-adjacent-violators solution is then
+  // computed EXACTLY on that grid via the minimax identity
+  //   fit_i = max_{j≤i} min_{k≥i} wmean(y[j..k])
+  // (no iterative pooling): interval means come from exact prefix sums,
+  // the (j,k) interval grid is 50×50/2 rows by construction, and the
+  // min/max collapse is a per-j descending running min + a per-k max —
+  // all partitioned windows except the 50-row prefix sum.
+  //
+  // Scores/labels reuse q224's deterministic construction, so q224
+  // (reliability bins + ECE) and q241 (the monotone recalibration map)
+  // are two readouts of the same pipeline stage.
+  def q241IsotonicCalibration(spark: SparkSession, dir: String): DataFrame = {
+    val u = (conv(substring(md5(concat(lit("cal:"), col("event_id").cast("string"))), 1, 13),
+      16, 10).cast("long").cast("double") + 0.5) / lit(4503599627370496.0)
+    val bins = Tables.events(spark, dir)
+      .select((col("event_type") === "purchase").as("pos"),
+        (u * 0.8 + when(col("event_type") === "purchase", 0.2).otherwise(0.0)).as("p"))
+      .withColumn("bin", floor(col("p") * 50).cast("int"))
+      .withColumn("pq", floor(col("p") * 1e12).cast("long"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("w"), count_if(col("pos")).as("y"),
+        sum(col("pq")).as("spq"))
+    val wCum = Window.orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = bins
+      .withColumn("cw", sum(col("w")).over(wCum))
+      .withColumn("cy", sum(col("y")).over(wCum))
+    // interval grid (j ≤ k): wmean over bins j..k from exact prefix sums
+    val a = cum.select(col("bin").as("j"), (col("cw") - col("w")).as("pw"),
+      (col("cy") - col("y")).as("py"))
+    val b = cum.select(col("bin").as("k"), col("cw"), col("cy"))
+    val pairs = a.join(b, col("k") >= col("j"))
+      .withColumn("wmean",
+        (col("cy") - col("py")).cast("double") / (col("cw") - col("pw")).cast("double"))
+    // min over k ≥ i within each j (descending running min), then max over j ≤ i
+    val wMinDesc = Window.partitionBy(col("j")).orderBy(col("k").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fit = pairs
+      .withColumn("runmin", min(col("wmean")).over(wMinDesc))
+      .groupBy(col("k").as("bin"))
+      .agg(round(max(col("runmin")), 6).as("iso_fit"))
+    bins.join(fit, Seq("bin"))
+      .select(col("bin"), col("w").as("n"),
+        round(col("spq").cast("double") / 1e12 / col("w"), 6).as("conf"),
+        round(col("y").cast("double") / col("w"), 6).as("raw_acc"),
+        col("iso_fit"))
+      .orderBy(col("bin"))
+  }
+
+  val q241Sql: String =
+    """WITH sc AS (
+      |  SELECT event_type = 'purchase' AS pos,
+      |    (('0x' || substr(md5('cal:' || event_id::VARCHAR), 1, 13))::BIGINT + 0.5)
+      |      / 4503599627370496.0 * 0.8
+      |      + CASE WHEN event_type = 'purchase' THEN 0.2 ELSE 0.0 END AS p
+      |  FROM events),
+      |bins AS (
+      |  SELECT CAST(FLOOR(p * 50) AS INT) AS bin, COUNT(*) AS w,
+      |    CAST(COUNT(*) FILTER (pos) AS BIGINT) AS y,
+      |    CAST(SUM(CAST(FLOOR(p * 1e12) AS BIGINT)) AS BIGINT) AS spq
+      |  FROM sc GROUP BY 1),
+      |cum AS (
+      |  SELECT bin, w, y, spq,
+      |    SUM(w) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cw,
+      |    SUM(y) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cy
+      |  FROM bins),
+      |pairs AS (
+      |  SELECT a.bin AS j, b.bin AS k,
+      |    CAST(b.cy - (a.cy - a.y) AS DOUBLE) / CAST(b.cw - (a.cw - a.w) AS DOUBLE) AS wmean
+      |  FROM cum a JOIN cum b ON b.bin >= a.bin),
+      |mins AS (
+      |  SELECT j, k,
+      |    MIN(wmean) OVER (PARTITION BY j ORDER BY k DESC ROWS UNBOUNDED PRECEDING) AS runmin
+      |  FROM pairs),
+      |fit AS (
+      |  SELECT k AS bin, ROUND(MAX(runmin), 6) AS iso_fit FROM mins GROUP BY 1)
+      |SELECT bins.bin, w AS n,
+      |  ROUND(CAST(spq AS DOUBLE) / 1e12 / w, 6) AS conf,
+      |  ROUND(CAST(y AS DOUBLE) / w, 6) AS raw_acc, iso_fit
+      |FROM bins JOIN fit ON bins.bin = fit.bin
+      |ORDER BY bins.bin""".stripMargin
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q239_poisson_bootstrap", q239PoissonBootstrap _, Some(q239Sql)),
+    ("q241_isotonic_calibration", q241IsotonicCalibration _, Some(q241Sql)),
     ("q124_observe_quality", q124ObserveQuality _, Some(q124Sql)),
     ("q224_calibration", q224Calibration _, Some(q224Sql)),
     ("q232_conformal", q232Conformal _, Some(q232Sql)),

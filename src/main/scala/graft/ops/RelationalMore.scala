@@ -1707,10 +1707,105 @@ object RelationalMore {
       |    + bb * bb * CAST(sxx AS DOUBLE)) / CAST(n AS DOUBLE)) / 100.0, 4) AS rmse
       |FROM e ORDER BY flag, fold""".stripMargin
 
+  // --------------------------------------------------------------------------
+  // q243 — MERKLE-BUCKET REPLICA DIFF (anti-entropy repair): find the
+  // row-level divergence between two replicas of a table WITHOUT a full
+  // row-by-row compare. Each replica collapses to per-bucket digests
+  // (bucket = key mod 256; digest = order-free exact sum of row hashes +
+  // row count) in one map-side-combinable pass; only buckets whose
+  // digests DISAGREE are opened for the row-level full-outer diff. With
+  // sparse drift this prunes almost all data — and the bucket count is a
+  // dial (65 536 at 100 TB makes the opened fraction ∝ drift rate). This
+  // is Cassandra/Dynamo anti-entropy, and the scale path q135's direct
+  // full-table diff cannot take.
+  //
+  // Replica B is staged in-plan from orders with deterministic drift
+  // (md5-keyed: drop ~1%, mutate ~1%, insert ~1% new keys), so the
+  // expected diff is portable and the oracle rebuilds both replicas
+  // identically.
+  def q243MerkleDiff(spark: SparkSession, dir: String): DataFrame = {
+    val a = Tables.orders(spark, dir).select(
+      col("o_orderkey").as("key"),
+      concat_ws("|", col("o_orderstatus"), col("o_orderpriority"),
+        expr("cast(cast(o_totalprice as decimal(18,2)) as string)")).as("payload"))
+      .withColumn("u",
+        expr("cast(conv(substring(md5(concat('mut:', key)), 1, 8), 16, 10) as bigint)"))
+    val b = a.filter(col("u") % 101 =!= 0)
+      .select(col("key"),
+        when(col("u") % 97 === 0, concat(col("payload"), lit("*")))
+          .otherwise(col("payload")).as("payload"))
+      .unionAll(a.filter(col("u") % 103 === 0)
+        .select((col("key") + 1000000000L).as("key"),
+          concat(lit("new:"), col("key").cast("string")).as("payload")))
+    def digests(t: DataFrame): DataFrame = t
+      .withColumn("bucket", pmod(col("key"), lit(256)).cast("int"))
+      .withColumn("h",
+        expr("cast(conv(substring(md5(concat(key, '#', payload)), 1, 13), 16, 10) as bigint)"))
+      .groupBy(col("bucket"))
+      .agg(sum(col("h").cast(DecimalType(38, 0))).as("dig"), count(lit(1)).as("cnt"))
+    val dirty = digests(a.select(col("key"), col("payload"))).as("da")
+      .join(digests(b).as("db"), Seq("bucket"), "full_outer")
+      .filter(col("da.dig").isNull || col("db.dig").isNull ||
+        col("da.dig") =!= col("db.dig") || col("da.cnt") =!= col("db.cnt"))
+      .select(col("bucket"))
+    val inDirty = broadcast(dirty)
+    val aOpen = a.withColumn("bucket", pmod(col("key"), lit(256)).cast("int"))
+      .join(inDirty, Seq("bucket"), "left_semi").select(col("bucket"), col("key"), col("payload"))
+    val bOpen = b.withColumn("bucket", pmod(col("key"), lit(256)).cast("int"))
+      .join(inDirty, Seq("bucket"), "left_semi").select(col("key"), col("payload"))
+    aOpen.as("x").join(bOpen.as("y"), Seq("key"), "full_outer")
+      .withColumn("change",
+        when(col("x.payload").isNull, "added")
+          .when(col("y.payload").isNull, "removed")
+          .when(col("x.payload") =!= col("y.payload"), "changed"))
+      .filter(col("change").isNotNull)
+      .select(pmod(col("key"), lit(256)).cast("int").as("bucket"), col("key"), col("change"))
+      .orderBy(col("change"), col("key"))
+  }
+
+  val q243Sql: String =
+    """WITH a AS (
+      |  SELECT o_orderkey AS key,
+      |    o_orderstatus || '|' || o_orderpriority || '|'
+      |      || CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR) AS payload,
+      |    ('0x' || substr(md5('mut:' || o_orderkey::VARCHAR), 1, 8))::BIGINT AS u
+      |  FROM orders),
+      |b AS (
+      |  SELECT key, CASE WHEN u % 97 = 0 THEN payload || '*' ELSE payload END AS payload
+      |  FROM a WHERE u % 101 <> 0
+      |  UNION ALL
+      |  SELECT key + 1000000000, 'new:' || key::VARCHAR FROM a WHERE u % 103 = 0),
+      |da AS (
+      |  SELECT key % 256 AS bucket,
+      |    SUM(('0x' || substr(md5(key::VARCHAR || '#' || payload), 1, 13))::BIGINT) AS dig,
+      |    COUNT(*) AS cnt
+      |  FROM a GROUP BY 1),
+      |db AS (
+      |  SELECT key % 256 AS bucket,
+      |    SUM(('0x' || substr(md5(key::VARCHAR || '#' || payload), 1, 13))::BIGINT) AS dig,
+      |    COUNT(*) AS cnt
+      |  FROM b GROUP BY 1),
+      |dirty AS (
+      |  SELECT COALESCE(da.bucket, db.bucket) AS bucket
+      |  FROM da FULL OUTER JOIN db ON da.bucket = db.bucket
+      |  WHERE da.dig IS NULL OR db.dig IS NULL
+      |    OR da.dig <> db.dig OR da.cnt <> db.cnt),
+      |ao AS (SELECT key, payload FROM a WHERE key % 256 IN (SELECT bucket FROM dirty)),
+      |bo AS (SELECT key, payload FROM b WHERE key % 256 IN (SELECT bucket FROM dirty))
+      |SELECT CAST(COALESCE(ao.key, bo.key) % 256 AS INT) AS bucket,
+      |  COALESCE(ao.key, bo.key) AS key,
+      |  CASE WHEN ao.payload IS NULL THEN 'added'
+      |       WHEN bo.payload IS NULL THEN 'removed'
+      |       WHEN ao.payload <> bo.payload THEN 'changed' END AS change
+      |FROM ao FULL OUTER JOIN bo ON ao.key = bo.key
+      |WHERE (ao.payload IS NULL OR bo.payload IS NULL OR ao.payload <> bo.payload)
+      |ORDER BY change, key""".stripMargin
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q234_groupwise_ols", q234GroupwiseOls _, Some(q234Sql)),
     ("q236_gini", q236Gini _, Some(q236Sql)),
     ("q240_cv_ols", q240CvOls _, Some(q240Sql)),
+    ("q243_merkle_diff", q243MerkleDiff _, Some(q243Sql)),
     ("q214_cbo_stats", q214CboStats _, Some(q214Sql)),
     ("q219_schema_evolution", q219SchemaEvolution _, Some(q219Sql)),
     ("q53_date_spine", q53DateSpine _, Some(q53Sql)),

@@ -1093,10 +1093,78 @@ object TextOps {
       |WHERE jaro_winkler_similarity(a.p_name, b.p_name) >= 0.85
       |ORDER BY 1, 2""".stripMargin
 
+  // --------------------------------------------------------------------------
+  // q242 — EXACT SET-SIMILARITY JOIN via PPJoin-style PREFIX FILTERING:
+  // the candidate-generation upgrade over q31's full inverted index. Under
+  // a canonical global token order (document frequency asc, then lexical),
+  // two shingle sets with Jaccard ≥ t MUST share a token inside each
+  // other's first (n − ⌈t·n⌉ + 1) tokens — so only those PREFIX postings
+  // enter the self-join. Rare tokens come first in the order, so prefix
+  // postings are the SHORT lists: candidate volume tracks rare-token
+  // co-occurrence instead of total co-occurrence, which is the difference
+  // between feasible and quadratic on a skewed vocabulary at 100 TB.
+  // Survivors are verified EXACTLY (row-local array_intersect on the full
+  // sets) — the filter is provably lossless, which the oracle checks by
+  // computing the SAME result from a plain inverted-index join.
+  //
+  // Exactness: prefix length and the length filter use integer
+  // arithmetic only (⌈3n/5⌉ = (3n+4) div 5 — never t·n in floating
+  // point, whose rounding could shorten a prefix and drop a true pair).
+  def q242PrefixFilterJoin(spark: SparkSession, dir: String): DataFrame = {
+    val sets = shingleArrays(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("sh"), size(col("sh")).cast("long").as("n"))
+      .filter(col("n") > 0)
+    val postings = sets.select(col("doc_id"), col("n"), explode(col("sh")).as("s"))
+    val freq = postings.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    val ranked = postings.join(freq, Seq("s"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("df"), col("s"))))
+      .filter(col("rk") <= expr("n - ((n * 3 + 4) div 5) + 1"))
+    val cand = ranked.as("a").join(ranked.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id") &&
+          col("a.n") * 5 >= col("b.n") * 3 && col("b.n") * 5 >= col("a.n") * 3)
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    cand
+      .join(sets.select(col("doc_id").as("id_a"), col("sh").as("sa"), col("n").as("na")),
+        Seq("id_a"))
+      .join(sets.select(col("doc_id").as("id_b"), col("sh").as("sb"), col("n").as("nb")),
+        Seq("id_b"))
+      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))).cast("long"))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+      .filter(col("jaccard") >= 0.6)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** Oracle: plain inverted-index exact Jaccard at t = 0.6 — independent
+    * of the prefix filter, so a lossy filter would hash-mismatch.
+    */
+  val q242Sql: String =
+    s"""WITH sh AS (
+       |  SELECT DISTINCT doc_id, s FROM (
+       |    SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+       |    FROM (SELECT doc_id, $toksSqlD AS t FROM documents),
+       |         UNNEST(generate_series(1, len(t) - 2)) AS u(i))),
+       |n AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+       |pairs AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+       |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT id_a, id_b,
+       |  ROUND(CAST(inter AS DOUBLE) / (na.n + nb.n - inter), 6) AS jaccard
+       |FROM pairs
+       |JOIN n na ON id_a = na.doc_id
+       |JOIN n nb ON id_b = nb.doc_id
+       |WHERE CAST(inter AS DOUBLE) / (na.n + nb.n - inter) >= 0.6
+       |ORDER BY 1, 2""".stripMargin
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q30_exact_dedup", q30ExactDedup _, Some(q30Sql)),
     ("q218_unicode_normalize", q218UnicodeNormalize _, Some(q218Sql)),
     ("q235_jaro_winkler_match", q235JaroWinklerMatch _, Some(q235Sql)),
+    ("q242_prefix_filter_join", q242PrefixFilterJoin _, Some(q242Sql)),
     ("q84_text_clean", q84TextClean _, Some(q84Sql)),
     ("q81_bm25", q81Bm25 _, Some(q81Sql)),
     ("q82_dedup_clusters", q82DedupClusters _, Some(q82Sql)),

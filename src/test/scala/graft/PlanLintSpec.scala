@@ -54,7 +54,9 @@ class PlanLintSpec extends SparkSpec {
     "q195_sorted_dict" ->
       "q169's two-pass shape on a string domain: exclusive prefix sum over the leading-character bucket grid (bounded by the alphabet); the per-token rank window is partitioned by bucket",
     "q237_kaplan_meier" ->
-      "at-risk / survival cum windows run over the distinct-duration DAY grid — bounded by the calendar span of the log, not by users or events")
+      "at-risk / survival cum windows run over the distinct-duration DAY grid — bounded by the calendar span of the log, not by users or events",
+    "q241_isotonic_calibration" ->
+      "prefix sum over the 50-row score-bin grid (floor(p*50), p in [0,1]) — domain-bounded; the minimax running-min window is partitioned by interval start j")
 
   /** name → reason a no-equi-key join is still scale-safe there. */
   private val joinAllow: Map[String, String] = Map(
@@ -62,6 +64,8 @@ class PlanLintSpec extends SparkSpec {
       "broadcast 1-row sides by construction: the (n_cal, k, max) aggregate, the rank-k bucket row, and the single q-hat order statistic — q169's two-pass rank then joins back equi on bucket",
     "q237_kaplan_meier" ->
       "broadcast 1-row side by construction: the (study-end, total-users) global aggregate joined onto per-user durations",
+    "q241_isotonic_calibration" ->
+      "50×50 interval-grid self-join of the bounded score-bin table (k >= j range condition) — both sides are 50-row aggregates by construction, corpus-size-independent",
     "q110_kmeans" ->
       "broadcast(centroids) cross join — k rows by construction (Lloyd assignment pass)",
     "q45_ann_ivf" ->

@@ -135,6 +135,85 @@ class Round7bOpsSpec extends SparkSpec {
     }
   }
 
+  test("q241: isotonic fit is monotone and pools the planted violator") {
+    import spark.implicits._
+    val d = Files.createTempDirectory("graft_r7b_iso").toString
+    val ts = Timestamp.valueOf("2024-01-01 00:00:00")
+    // deterministic md5 scores land events across bins; the fit must be
+    // non-decreasing in bin and each fit value must lie in [0,1]
+    (1L to 2000L).map(k =>
+      (k, ts, k % 100, if (k % 3 == 0) "purchase" else "view", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.parquet(s"$d/events.parquet")
+    val rows = Metrics.q241IsotonicCalibration(spark, d).collect()
+      .map(r => (r.getInt(0), r.getDouble(4)))
+    assert(rows.length > 10)
+    val fits = rows.sortBy(_._1).map(_._2)
+    assert(fits.zip(fits.tail).forall { case (x, y) => x <= y }, "fit not monotone")
+    assert(fits.forall(f => f >= 0.0 && f <= 1.0))
+    // raw accuracies are NOT monotone on this construction (mixture of
+    // shifted positives) while the fit is — i.e. PAV actually pooled
+    val raw = Metrics.q241IsotonicCalibration(spark, d).collect()
+      .sortBy(_.getInt(0)).map(_.getDouble(3))
+    assert(raw.zip(raw.tail).exists { case (x, y) => x > y }, "fixture has no violator")
+  }
+
+  test("q241 minimax identity == classic PAV pooling on a hand case") {
+    // y = [1,3,2] unit weights → PAV pools the last two: [1, 2.5, 2.5]
+    def pav(y: Seq[Double]): Seq[Double] = {
+      val n = y.length
+      (0 until n).map { i =>
+        (0 to i).map { j =>
+          (i until n).map { k => y.slice(j, k + 1).sum / (k - j + 1) }.min
+        }.max
+      }
+    }
+    assert(pav(Seq(1, 3, 2)) === Seq(1.0, 2.5, 2.5))
+    assert(pav(Seq(3, 2, 1)) === Seq(2.0, 2.0, 2.0))
+    assert(pav(Seq(1, 2, 3)) === Seq(1.0, 2.0, 3.0))
+  }
+
+  test("q242: prefix filter reproduces the exact Jaccard pairs") {
+    import spark.implicits._
+    val d = Files.createTempDirectory("graft_r7b_pp").toString
+    // docs 1/2: 10-word texts differing in the last word → shingle sets
+    // share 7 of 8 → J = 7/9 ≈ 0.778 ≥ 0.6; doc 3 disjoint; doc 4 shares
+    // a common token with everything but stays far below threshold
+    Seq(
+      (1L, "a b c d e f g h i j", "en", "s", 0L),
+      (2L, "a b c d e f g h i k", "en", "s", 0L),
+      (3L, "p q r s t u v w x y", "en", "s", 0L),
+      (4L, "a b z p q z a b z z", "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$d/documents.parquet")
+    val got = TextOps.q242PrefixFilterJoin(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got === Array((1L, 2L, 0.777778)))
+  }
+
+  test("q243: merkle diff classifies planted drift and prunes clean buckets") {
+    import spark.implicits._
+    val d = Files.createTempDirectory("graft_r7b_mk").toString
+    val ts = Timestamp.valueOf("2024-01-01 00:00:00")
+    // keys 1..4000: the md5-derived drift classes are data-independent,
+    // so recompute them here to get the expected answer
+    (1L to 4000L).map(k => (k, k, "O", 100.0 + (k % 7), ts, "P1"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .coalesce(1).write.parquet(s"$d/orders.parquet")
+    def u(k: Long): BigInt = BigInt(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s"mut:$k".getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString, 16)
+    val removed = (1L to 4000L).filter(k => u(k) % 101 == 0)
+    val changed = (1L to 4000L).filter(k => u(k) % 97 == 0 && u(k) % 101 != 0)
+    val added = (1L to 4000L).filter(k => u(k) % 103 == 0)
+    val got = RelationalMore.q243MerkleDiff(spark, d).collect()
+      .map(r => r.getString(2) -> r.getLong(1))
+    assert(got.filter(_._1 == "removed").map(_._2).sorted === removed)
+    assert(got.filter(_._1 == "changed").map(_._2).sorted === changed)
+    assert(got.filter(_._1 == "added").map(_._2).sorted === added.map(_ + 1000000000L))
+  }
+
   test("q237: planted durations/censoring recover the hand-computed KM curve") {
     import spark.implicits._
     val d = Files.createTempDirectory("graft_r7b_km").toString
