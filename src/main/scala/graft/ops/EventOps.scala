@@ -4,6 +4,7 @@ import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Behavioral analytics over the `events` stream table: cohort retention,
   * transition/path mining, sessionization, A/B readout, rolling active
@@ -697,8 +698,68 @@ object EventOps {
       |WINDOW cum AS (ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
       |ORDER BY dur""".stripMargin
 
+  // --------------------------------------------------------------------------
+  // q246 — BOT-LIKENESS SCORING from inter-arrival regularity + behavioral
+  // diversity: humans arrive bursty (inter-event gap cv² ≈ 1, the Poisson
+  // signature) and mix event types; schedulers arrive metronomically
+  // (cv² → 0) with narrow type repertoires. Per user: gap cv² =
+  // (n·Σg² − (Σg)²) / (Σg)² over millisecond gaps, and the Gini-Simpson
+  // type diversity 1 − Σ(c/n)² = (n² − Σc²)/n² — BOTH exact integer
+  // rationals with one double division each (no entropy/ln, so no libm
+  // cross-engine risk). Flag = cv² < 0.75 (the sf0.01 5th-percentile
+  // region; Poisson media sits at ≈ 0.95).
+  //
+  // Scale: ONE shuffle on user_id for the lag window; gap moments ride
+  // DECIMAL(38) (ms gaps square past int64 at month-long idles); the
+  // diversity aggregate is a second map-side-combinable pass; the final
+  // join is per-user slim rows.
+  def q246BotScore(spark: SparkSession, dir: String): DataFrame = {
+    val d38 = DecimalType(38, 0)
+    val gaps = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+      .withColumn("gap", expr("(us - lag(us) over (partition by user_id order by us, event_id)) div 1000"))
+      .filter(col("gap").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_gaps"),
+        sum(col("gap").cast(d38)).cast(d38).as("sg"),
+        sum((col("gap").cast(d38) * col("gap"))).cast(d38).as("sg2"))
+      .filter(col("n_gaps") >= 19)
+    val div = Tables.events(spark, dir)
+      .groupBy(col("user_id"), col("event_type")).agg(count(lit(1)).as("c"))
+      .groupBy(col("user_id"))
+      .agg(sum(col("c")).as("n_ev"), sum(col("c") * col("c")).as("sc2"))
+    gaps.join(div, Seq("user_id"))
+      .select(col("user_id"), col("n_gaps"),
+        round((col("sg2") * col("n_gaps") - col("sg") * col("sg")).cast("double") /
+          (col("sg") * col("sg")).cast("double"), 6).as("cv2"),
+        round((col("n_ev") * col("n_ev") - col("sc2")).cast("double") /
+          (col("n_ev") * col("n_ev")).cast("double"), 6).as("simpson"),
+        ((col("sg2") * col("n_gaps") - col("sg") * col("sg")).cast("double") <
+          (col("sg") * col("sg")).cast("double") * 0.75).as("is_bot"))
+      .orderBy(col("user_id"))
+  }
+
+  val q246Sql: String =
+    """WITH g AS (
+      |  SELECT user_id,
+      |    (epoch_us(ts) - LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)) // 1000 AS gap
+      |  FROM events),
+      |m AS (
+      |  SELECT user_id, COUNT(*) AS n_gaps,
+      |    SUM(CAST(gap AS HUGEINT)) AS sg, SUM(CAST(gap AS HUGEINT) * gap) AS sg2
+      |  FROM g WHERE gap IS NOT NULL GROUP BY 1 HAVING COUNT(*) >= 19),
+      |tc AS (SELECT user_id, event_type, COUNT(*) AS c FROM events GROUP BY 1, 2),
+      |dv AS (SELECT user_id, SUM(c) AS n_ev, SUM(c * c) AS sc2 FROM tc GROUP BY 1)
+      |SELECT m.user_id, n_gaps,
+      |  ROUND(CAST(sg2 * n_gaps - sg * sg AS DOUBLE) / CAST(sg * sg AS DOUBLE), 6) AS cv2,
+      |  ROUND(CAST(n_ev * n_ev - sc2 AS DOUBLE) / CAST(n_ev * n_ev AS DOUBLE), 6) AS simpson,
+      |  CAST(sg2 * n_gaps - sg * sg AS DOUBLE) < CAST(sg * sg AS DOUBLE) * 0.75 AS is_bot
+      |FROM m JOIN dv ON m.user_id = dv.user_id
+      |ORDER BY m.user_id""".stripMargin
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q237_kaplan_meier", q237KaplanMeier _, Some(q237Sql)),
+    ("q246_bot_score", q246BotScore _, Some(q246Sql)),
     ("q228_lateness_audit", q228LatenessAudit _, Some(q228Sql)),
     ("q131_cohort_retention", q131CohortRetention _, Some(q131Sql)),
     ("q132_event_transitions", q132EventTransitions _, Some(q132Sql)),

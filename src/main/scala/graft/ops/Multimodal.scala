@@ -467,7 +467,75 @@ object Multimodal {
       |FROM documents doc JOIN agg ON agg.doc_id = doc.doc_id
       |ORDER BY doc.doc_id""".stripMargin
 
+  // --------------------------------------------------------------------------
+  // q244 — ENERGY-BASED VOICE-ACTIVITY SEGMENTATION over decoded audio:
+  // the classic VAD front-end for a speech-training pipeline. Each WAV is
+  // decoded ONCE (same mapPartitions contract as q145) and collapsed
+  // row-locally to per-10ms-frame energies (160 samples @16 kHz, exact
+  // integer Σs²) — the binary payload never leaves the decode task; only
+  // the slim (doc, frame, energy) stream shuffles. Active frames (energy
+  // above the corpus-median threshold) merge into maximal runs with the
+  // gaps-and-islands window (frame − row_number per doc), and runs
+  // shorter than 2 frames drop (min-duration rule). Trailing partial
+  // frames are excluded (pinned in the oracle via i < (ns//160)*160).
+  //
+  // Everything is exact integers end-to-end — no float boundary anywhere.
+  def q244VadSegments(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val frames = audioTable(spark, dir).mapPartitions { rows =>
+      rows.flatMap { r =>
+        val (_, _, _, s) = wavParse(r.media)
+        val nf = s.length / 160
+        (0 until nf).iterator.map { f =>
+          var fe = 0L
+          var i = f * 160
+          while (i < (f + 1) * 160) { fe += s(i).toLong * s(i); i += 1 }
+          (r.doc_id, f, fe)
+        }
+      }
+    }.toDF("doc_id", "f", "fe")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("f"))
+    frames.filter(col("fe") > 21100000000L)
+      .withColumn("grp", col("f") - row_number().over(w))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("f")).as("start_frame"), max(col("f")).as("end_frame"),
+        count(lit(1)).as("n_frames"), sum(col("fe")).as("energy"))
+      .filter(col("n_frames") >= 2)
+      .select(col("doc_id"), col("start_frame"), col("end_frame"),
+        col("n_frames"), col("energy"))
+      .orderBy(col("doc_id"), col("start_frame"))
+  }
+
+  val q244Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id, hex(encode(text)) AS hx,
+      |    octet_length(encode(text)) AS plen,
+      |    CAST(n_chars % 2000 + 100 AS BIGINT) AS ns
+      |  FROM documents),
+      |sm AS (
+      |  SELECT doc_id, i,
+      |    CASE WHEN plen = 0 THEN 0
+      |         ELSE (('0x' || substr(hx, 2 * CAST(i % plen AS BIGINT) + 1, 2))::BIGINT - 128) * 256
+      |    END AS s
+      |  FROM d, LATERAL (SELECT unnest(range(ns)) AS i) r
+      |  WHERE i < (ns // 160) * 160),
+      |fr AS (
+      |  SELECT doc_id, CAST(i // 160 AS INT) AS f, SUM(s * s) AS fe
+      |  FROM sm GROUP BY 1, 2),
+      |act AS (
+      |  SELECT doc_id, f, fe,
+      |    f - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY f) AS grp
+      |  FROM fr WHERE fe > 21100000000)
+      |SELECT doc_id, CAST(MIN(f) AS INT) AS start_frame,
+      |  CAST(MAX(f) AS INT) AS end_frame,
+      |  COUNT(*) AS n_frames, CAST(SUM(fe) AS BIGINT) AS energy
+      |FROM act GROUP BY doc_id, grp
+      |HAVING COUNT(*) >= 2
+      |ORDER BY doc_id, start_frame""".stripMargin
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
+    ("q244_vad_segments", q244VadSegments _, Some(q244Sql)),
     ("q70_media_meta", q70MediaMeta _, Some(q70Sql)),
     ("q71_frame_sample", q71FrameSample _, Some(q71Sql)),
     ("q80_media_features", q80MediaFeatures _, Some(q80Sql)),

@@ -304,8 +304,65 @@ object SeriesOps {
       |        / ((r2 - m1 * m1) * (r2 - m1 * m1)) - 3.0, 4) AS kurtosis_excess
       |FROM m ORDER BY o_orderpriority""".stripMargin
 
+  // --------------------------------------------------------------------------
+  // q245 — EWMA ONE-STEP-AHEAD FORECAST with DYADIC weights (α = 1/2):
+  // forecast_t = Σ_{i=1..14} 2^(14−i)·y_{t−i} / (2^14 − 1) — exponential
+  // smoothing truncated at 14 lags and renormalized. The α = 1/2 choice
+  // is deliberate: every weight is a power of two, so the weighted sum is
+  // an EXACT integer (cents × integer weights, decimal Σ) and the single
+  // division at output is the only float op — no libm pow, no float
+  // accumulation order to diverge across engines. Sequential-recurrence
+  // smoothing becomes a 14-offset self-join ON THE BOUNDED DAY GRID (the
+  // corpus collapses to per-day revenue in one shuffle first), which is
+  // how a recursive filter goes distributed: reformulate as a finite
+  // convolution, never iterate over rows.
+  //
+  // Output: per day (with full 14-day history) actual, forecast, and the
+  // absolute percentage error as an exact rational |y·W − num| / (y·W).
+  def q245EwmaForecast(spark: SparkSession, dir: String): DataFrame = {
+    val d38 = DecimalType(38, 0)
+    val cents = (sum(col("o_totalprice").cast(DecimalType(18, 2))) * 100)
+      .cast(d38)
+    val grid = Tables.orders(spark, dir)
+      .groupBy(day(col("o_orderdate")).as("day")).agg(cents.as("y"))
+      .withColumn("rn", row_number().over(Window.orderBy(col("day"))))
+    val contrib = grid
+      .withColumn("i", explode(sequence(lit(1), lit(14))))
+      .select((col("rn") + col("i")).as("trn"),
+        (col("y") * expr("cast(shiftleft(1L, 14 - i) as decimal(18,0))")).cast(d38).as("wy"))
+      .groupBy(col("trn"))
+      .agg(sum(col("wy")).cast(d38).as("num"), count(lit(1)).as("k"))
+      .filter(col("k") === 14)
+    grid.join(contrib, col("rn") === col("trn"))
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        round(col("y").cast("double") / 100.0, 2).as("rev"),
+        round(col("num").cast("double") / 16383.0 / 100.0, 2).as("forecast"),
+        round(abs(col("y") * 16383 - col("num")).cast("double") /
+          (col("y") * 16383).cast("double"), 6).as("ape"))
+      .orderBy(col("day"))
+  }
+
+  val q245Sql: String =
+    """WITH byday AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS day,
+      |    CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS DECIMAL(38,0)) AS HUGEINT) AS y
+      |  FROM orders GROUP BY 1),
+      |grid AS (
+      |  SELECT day, y, ROW_NUMBER() OVER (ORDER BY day) AS rn FROM byday),
+      |contrib AS (
+      |  SELECT rn + i AS trn, SUM(y * (1::BIGINT << (14 - i))) AS num, COUNT(*) AS k
+      |  FROM grid, LATERAL (SELECT unnest(range(1, 15)) AS i) o
+      |  GROUP BY 1 HAVING COUNT(*) = 14)
+      |SELECT STRFTIME(day, '%Y-%m-%d') AS day,
+      |  ROUND(CAST(y AS DOUBLE) / 100.0, 2) AS rev,
+      |  ROUND(CAST(num AS DOUBLE) / 16383.0 / 100.0, 2) AS forecast,
+      |  ROUND(CAST(ABS(y * 16383 - num) AS DOUBLE) / CAST(y * 16383 AS DOUBLE), 6) AS ape
+      |FROM grid JOIN contrib ON rn = trn
+      |ORDER BY day""".stripMargin
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q166_stickiness", q166Stickiness _, Some(q166Sql)),
+    ("q245_ewma_forecast", q245EwmaForecast _, Some(q245Sql)),
     ("q167_cusum", q167Cusum _, Some(q167Sql)),
     ("q233_stl_decompose", q233StlDecompose _, Some(q233Sql)),
     ("q168_time_weighted_avg", q168TimeWeightedAvg _, Some(q168Sql)),

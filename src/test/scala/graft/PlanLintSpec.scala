@@ -56,7 +56,9 @@ class PlanLintSpec extends SparkSpec {
     "q237_kaplan_meier" ->
       "at-risk / survival cum windows run over the distinct-duration DAY grid — bounded by the calendar span of the log, not by users or events",
     "q241_isotonic_calibration" ->
-      "prefix sum over the 50-row score-bin grid (floor(p*50), p in [0,1]) — domain-bounded; the minimax running-min window is partitioned by interval start j")
+      "prefix sum over the 50-row score-bin grid (floor(p*50), p in [0,1]) — domain-bounded; the minimax running-min window is partitioned by interval start j",
+    "q245_ewma_forecast" ->
+      "row_number over the per-day revenue grid — bounded by the order-date calendar span (q167/q233's case); the convolution join is equi on the day rank")
 
   /** name → reason a no-equi-key join is still scale-safe there. */
   private val joinAllow: Map[String, String] = Map(

@@ -214,6 +214,67 @@ class Round7bOpsSpec extends SparkSpec {
     assert(got.filter(_._1 == "added").map(_._2).sorted === added.map(_ + 1000000000L))
   }
 
+  test("q244: VAD islands merge adjacent loud frames and drop short blips") {
+    import spark.implicits._
+    val d = Files.createTempDirectory("graft_r7b_vad").toString
+    // sample model: s = (byte − 128)·256, repeating text bytes; spaces
+    // (s = −24576, s² ≈ 6·10⁸) are LOUD, letters (≈ −7900, s² ≈ 6·10⁷)
+    // quiet. 160-sample frames over a 960-sample doc (n_chars % 2000
+    // + 100 = 960 via n_chars = 860). Build text so frames 0-1 and 3-5
+    // are space-heavy (active) and frame 2 is quiet → two islands, both
+    // ≥ 2 frames; a doc with alternating single active frames yields none.
+    val loud = " ".*(80) + "a" * 80   // frame: 80 spaces → Σs² ≈ 4.9e10 > 2.11e10
+    val quiet = "a" * 160
+    val text1 = loud + loud + quiet + loud + loud + loud  // 960 chars
+    val text2 = (loud + quiet + quiet) * 2                // islands of 1 frame
+    Seq((1L, text1, "en", "s", 860L), (2L, text2, "en", "s", 860L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$d/documents.parquet")
+    val got = Multimodal.q244VadSegments(spark, d).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+    assert(got === Array((1L, 0, 1, 2L), (1L, 3, 5, 3L)))
+  }
+
+  test("q245: EWMA forecast of a constant series is exact with zero error") {
+    import spark.implicits._
+    val d = Files.createTempDirectory("graft_r7b_ewma").toString
+    // 20 days of constant $100 revenue → forecast = 16383·10000/16383 =
+    // exactly $100 for days 15..20, ape = 0
+    val rows = (1 to 20).map { k =>
+      (k.toLong, 1L, "O", 100.0, Timestamp.valueOf(f"2024-01-$k%02d 00:00:00"), "P1")
+    }
+    rows.toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+      "o_orderdate", "o_orderpriority")
+      .coalesce(1).write.parquet(s"$d/orders.parquet")
+    val got = SeriesOps.q245EwmaForecast(spark, d).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+    assert(got.length === 6) // days 15..20 have full 14-day history
+    got.foreach { case (_, rev, f, ape) =>
+      assert(rev === 100.0 && f === 100.0 && ape === 0.0)
+    }
+    assert(got.head._1 === "2024-01-15" && got.last._1 === "2024-01-20")
+  }
+
+  test("q246: a metronomic single-type user flags as bot, a bursty one does not") {
+    import spark.implicits._
+    val d = Files.createTempDirectory("graft_r7b_bot").toString
+    val t0 = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    // user 1: exactly every 60s, all 'view' → cv2 = 0, simpson = 0, bot
+    // user 2: gaps alternate 10s/290s (cv2 ≈ 0.87), mixed types → human
+    val bot = (0 until 21).map(i => (100L + i, new Timestamp(t0 + i * 60000L), 1L, "view", 1.0, "{}"))
+    var acc = 0L
+    val human = (0 until 21).map { i =>
+      val r = (200L + i, new Timestamp(t0 + acc), 2L, if (i % 2 == 0) "view" else "purchase", 1.0, "{}")
+      acc += (if (i % 2 == 0) 10000L else 290000L); r
+    }
+    (bot ++ human).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.parquet(s"$d/events.parquet")
+    val rows = EventOps.q246BotScore(spark, d).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(2), r.getDouble(3), r.getBoolean(4)))).toMap
+    assert(rows(1L)._1 === 0.0 && rows(1L)._2 === 0.0 && rows(1L)._3 === true)
+    assert(rows(2L)._1 > 0.75 && rows(2L)._2 > 0.4 && rows(2L)._3 === false)
+  }
+
   test("q237: planted durations/censoring recover the hand-computed KM curve") {
     import spark.implicits._
     val d = Files.createTempDirectory("graft_r7b_km").toString
