@@ -28,6 +28,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("jaro_winkler"),
       new ExpressionInfo(classOf[JaroWinklerExpr].getName, "jaro_winkler"),
       (exprs: Seq[Expression]) => JaroWinklerExpr(exprs.head, exprs(1))))
+    extensions.injectFunction((
+      FunctionIdentifier("geohash_q"),
+      new ExpressionInfo(classOf[GeohashExpr].getName, "geohash_q"),
+      (exprs: Seq[Expression]) => GeohashExpr(exprs.head, exprs(1))))
     extensions.injectOptimizerRule(_ => LevenshteinRewrite)
   }
 }

@@ -102,6 +102,57 @@ object SpatialOps {
        |ORDER BY s.s_suppkey""".stripMargin
   }
 
+  // --------------------------------------------------------------------------
+  // q247 — GEOHASH ENCODING with the native codegen'd `geohash_q`
+  // expression: customers get deterministic coordinates (portable md5 →
+  // 20-bit quantized lat/lon integers — integer-exact end to end, no
+  // float quantization boundary), and the expression interleaves the
+  // bits into the standard geohash-8 cell string. Geohash prefixes ARE
+  // the hierarchical spatial index: a prefix-k equality is a grid-cell
+  // join (q225's dyadic cells, but as the industry-standard encoding a
+  // user can hand to any geo system). The oracle rebuilds the interleave
+  // independently in SQL from shifts/masks and base32 table lookups, so
+  // the hash compare pins every bit of the expression.
+  //
+  // Scale: row-local, one static call per row inside whole-stage codegen.
+  def q247Geohash(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GeohashQ.register(spark)
+    Tables.customer(spark, dir)
+      .select(col("c_custkey"),
+        expr("cast(conv(substring(md5(concat('glat:', c_custkey)), 1, 8), 16, 10) as bigint) % 1048576")
+          .as("latq"),
+        expr("cast(conv(substring(md5(concat('glon:', c_custkey)), 1, 8), 16, 10) as bigint) % 1048576")
+          .as("lonq"))
+      .select(col("c_custkey"),
+        expr("geohash_q(latq, lonq)").as("geohash"),
+        round((col("latq") * 180).cast("double") / 1048576 - 90, 6).as("lat"),
+        round((col("lonq") * 360).cast("double") / 1048576 - 180, 6).as("lon"))
+      .orderBy(col("c_custkey"))
+  }
+
+  val q247Sql: String =
+    """WITH c AS (
+      |  SELECT c_custkey,
+      |    ('0x' || substr(md5('glat:' || c_custkey::VARCHAR), 1, 8))::BIGINT % 1048576 AS latq,
+      |    ('0x' || substr(md5('glon:' || c_custkey::VARCHAR), 1, 8))::BIGINT % 1048576 AS lonq
+      |  FROM customer),
+      |g AS (
+      |  SELECT c_custkey, latq, lonq,
+      |    CAST(SUM((((lonq >> j) & 1) << (2 * j + 1)) + (((latq >> j) & 1) << (2 * j))) AS BIGINT) AS gi
+      |  FROM c, LATERAL (SELECT unnest(range(20)) AS j) r
+      |  GROUP BY 1, 2, 3),
+      |ch AS (
+      |  SELECT c_custkey, latq, lonq,
+      |    string_agg(substr('0123456789bcdefghjkmnpqrstuvwxyz',
+      |      CAST((gi >> (35 - 5 * k)) & 31 AS INT) + 1, 1), '' ORDER BY k) AS gh
+      |  FROM g, LATERAL (SELECT unnest(range(8)) AS k) s
+      |  GROUP BY 1, 2, 3)
+      |SELECT c_custkey, gh AS geohash,
+      |  ROUND(CAST(latq * 180 AS DOUBLE) / 1048576 - 90, 6) AS lat,
+      |  ROUND(CAST(lonq * 360 AS DOUBLE) / 1048576 - 180, 6) AS lon
+      |FROM ch ORDER BY c_custkey""".stripMargin
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
+    ("q247_geohash", q247Geohash _, Some(q247Sql)),
     ("q225_grid_eps_join", q225GridEpsJoin _, Some(q225Sql)))
 }

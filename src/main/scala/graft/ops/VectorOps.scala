@@ -877,8 +877,76 @@ object VectorOps {
        |ORDER BY q.qid""".stripMargin
   }
 
+  // --------------------------------------------------------------------------
+  // q248 — CLUSTERING QUALITY via the CENTROID-MARGIN SILHOUETTE: per
+  // vector, a = L2² distance to its own (nearest) centroid, b = distance
+  // to the runner-up; s = (b − a)/max(a, b) ∈ [0,1] measures how
+  // decisively the vector belongs to its cluster (the simplified
+  // silhouette — sklearn's medoid-free variant — which needs only the
+  // k broadcast centroids, never pairwise points, so it runs at 100 TB
+  // where the classic pairwise silhouette cannot). Reported per cluster:
+  // size and mean margin.
+  //
+  // Determinism: both distances come from a sort_array over the 8
+  // per-centroid rows (ties broken by centroid id); the per-vector fold
+  // over dims is sequential and identical in both engines; s is
+  // quantized to an exact 1e-9 long BEFORE the per-cluster mean (the
+  // scaled-long Σ policy — double sums never cross engines).
+  def q248Silhouette(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val seeds = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), vd.as("cv"))
+    emb.select(col("vec_id"), vd.as("v"))
+      .crossJoin(broadcast(seeds))
+      .withColumn("d", expr(
+        "aggregate(zip_with(v, cv, (x, y) -> (x - y) * (x - y)), cast(0 as double), (acc, t) -> acc + t)"))
+      .groupBy(col("vec_id"))
+      .agg(sort_array(collect_list(struct(col("d"), col("cid")))).as("arr"))
+      .select(col("vec_id"),
+        col("arr").getItem(0).getField("cid").as("cluster"),
+        col("arr").getItem(0).getField("d").as("a"),
+        col("arr").getItem(1).getField("d").as("b"))
+      .withColumn("sq",
+        when(greatest(col("a"), col("b")) === 0.0, lit(0L))
+          .otherwise(floor((col("b") - col("a")) / greatest(col("a"), col("b")) * 1e9)
+            .cast("long")))
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("sq")).cast("double") / 1e9 / count(lit(1)), 6).as("mean_margin"))
+      .orderBy(col("cluster"))
+  }
+
+  val q248Sql: String =
+    """WITH base AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |seeds AS (SELECT vec_id AS cid, v AS cv FROM base WHERE vec_id < 8),
+      |dist AS (
+      |  SELECT b.vec_id, s.cid,
+      |    list_reduce(list_transform(range(1, 65),
+      |      i -> (b.v[i] - s.cv[i]) * (b.v[i] - s.cv[i])), (x, y) -> x + y) AS d
+      |  FROM base b CROSS JOIN seeds s),
+      |rk AS (
+      |  SELECT vec_id, cid, d,
+      |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS r
+      |  FROM dist),
+      |sv AS (
+      |  SELECT vec_id,
+      |    MIN(CASE WHEN r = 1 THEN cid END) AS cluster,
+      |    MIN(CASE WHEN r = 1 THEN d END) AS a,
+      |    MIN(CASE WHEN r = 2 THEN d END) AS b
+      |  FROM rk WHERE r <= 2 GROUP BY 1),
+      |q AS (
+      |  SELECT vec_id, cluster,
+      |    CASE WHEN GREATEST(a, b) = 0.0 THEN 0
+      |         ELSE CAST(FLOOR((b - a) / GREATEST(a, b) * 1e9) AS BIGINT) END AS sq
+      |  FROM sv)
+      |SELECT cluster, COUNT(*) AS n,
+      |  ROUND(CAST(SUM(sq) AS DOUBLE) / 1e9 / COUNT(*), 6) AS mean_margin
+      |FROM q GROUP BY cluster ORDER BY cluster""".stripMargin
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q40_cosine_topk", q40CosineTopk _, Some(q40Sql)),
+    ("q248_silhouette", q248Silhouette _, Some(q248Sql)),
     ("q229_matryoshka_eval", q229MatryoshkaEval _, Some(q229Sql)),
     ("q212_embedding_outliers", q212EmbeddingOutliers _, Some(q212Sql)),
     ("q172_semantic_dedup", q172SemanticDedup _, Some(q172Sql)),

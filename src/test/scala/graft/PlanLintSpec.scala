@@ -68,6 +68,8 @@ class PlanLintSpec extends SparkSpec {
       "broadcast 1-row side by construction: the (study-end, total-users) global aggregate joined onto per-user durations",
     "q241_isotonic_calibration" ->
       "50×50 interval-grid self-join of the bounded score-bin table (k >= j range condition) — both sides are 50-row aggregates by construction, corpus-size-independent",
+    "q248_silhouette" ->
+      "broadcast(8 seed centroids) cross join — k rows by construction (q172's assignment pass); everything downstream is per-vector arithmetic",
     "q110_kmeans" ->
       "broadcast(centroids) cross join — k rows by construction (Lloyd assignment pass)",
     "q45_ann_ivf" ->

@@ -275,6 +275,40 @@ class Round7bOpsSpec extends SparkSpec {
     assert(rows(2L)._1 > 0.75 && rows(2L)._2 > 0.4 && rows(2L)._3 === false)
   }
 
+  test("geohash_q: canonical Wikipedia point encodes to u4pruydq") {
+    // (57.64911, 10.40744) → geohash 'u4pruydqqvj'; the 40-bit quantized
+    // prefix must reproduce its first 8 characters
+    val latq = math.floor((57.64911 + 90.0) / 180.0 * 1048576).toLong
+    val lonq = math.floor((10.40744 + 180.0) / 360.0 * 1048576).toLong
+    assert(graft.functions.GeohashQ.encode(latq, lonq).toString === "u4pruydq")
+    // corner cells
+    assert(graft.functions.GeohashQ.encode(0L, 0L).toString === "00000000")
+    assert(graft.functions.GeohashQ.encode(1048575L, 1048575L).toString === "zzzzzzzz")
+  }
+
+  test("q248: separated planted clusters give margin ~1, straddlers score low") {
+    import spark.implicits._
+    val d = Files.createTempDirectory("graft_r7b_sil").toString
+    def vec(hot: Int, x: Float): Array[Float] = {
+      val a = Array.fill(64)(0.0f); a(hot) = x; a
+    }
+    // centroids: ids 0..7 = axis vectors on dims 0..7. Points 100..102 sit
+    // exactly ON centroid 2's axis (a = 0 → margin 1); point 103 is
+    // equidistant-ish between axes 0 and 1 (low margin)
+    val rows =
+      (0L to 7L).map(i => (i, vec(i.toInt, 1.0f))) ++
+        Seq((100L, vec(2, 1.0f)), (101L, vec(2, 1.0f)), (102L, vec(2, 1.0f))) ++
+        Seq((103L, { val a = Array.fill(64)(0.0f); a(0) = 0.9f; a(1) = 0.88f; a }))
+    rows.map { case (id, v) => (id, v, 0) }.toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.parquet(s"$d/embeddings.parquet")
+    val got = VectorOps.q248Silhouette(spark, d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got(2L)._1 === 4L)            // centroid 2 + three planted members
+    assert(got(2L)._2 > 0.7)             // exact members pull the mean up
+    assert(got(0L)._1 === 2L)            // centroid 0 + the straddler
+    assert(got(0L)._2 < 0.6)             // straddler drags the margin down
+  }
+
   test("q237: planted durations/censoring recover the hand-computed KM curve") {
     import spark.implicits._
     val d = Files.createTempDirectory("graft_r7b_km").toString
