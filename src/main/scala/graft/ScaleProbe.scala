@@ -158,6 +158,25 @@ object ScaleProbe {
       .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
   }
 
+  /** part: 2000·m rows with 5-token color names over a vocabulary that
+    * SCALES with m (92·m colors — the q31 Heaps-law lesson: a fixed color
+    * vocab would grow (brand, first-token) block density linearly and
+    * blocked-pair counts quadratically as a generator artifact; real
+    * catalogs grow their naming vocabulary with size) — q235's input.
+    */
+  private def genPart(spark: SparkSession, dir: String, m: Int): Unit = {
+    val n = 2000L * m
+    def colorAt(seed: org.apache.spark.sql.Column) =
+      concat(lit("color"), pmod(xxhash64(seed), lit(92L * m)))
+    spark.range(n).select(
+      (col("id") + 1).as("p_partkey"),
+      concat_ws(" ", (1 to 5).map(i => colorAt(xxhash64(col("id"), lit(i)))): _*)
+        .as("p_name"),
+      concat(lit("Brand#"), (pmod(xxhash64(col("id"), lit(71)), lit(25)) + 1))
+        .as("p_brand"))
+      .write.mode("overwrite").parquet(s"$dir/part.parquet")
+  }
+
   /** supplier: 1000·m rows (sf0.1's customer:supplier ratio) — q225's
     * station side and q221's supplier nodes.
     */
@@ -190,7 +209,15 @@ object ScaleProbe {
     // dense-grid EMD, the 3×3-cell spatial equi-join, prefix-dim recall
     // eval, and the two-pass conformal order statistic
     "q221_bfs_distance", "q222_mmr_rerank", "q223_t_closeness",
-    "q225_grid_eps_join", "q229_matryoshka_eval", "q232_conformal")
+    "q225_grid_eps_join", "q229_matryoshka_eval", "q232_conformal",
+    // round-7b additions: blocked Jaro-Winkler matching (native expr over
+    // (brand, token) blocks), positional bigram join, the PPJoin prefix
+    // filter vs its full-index twin, merkle-bucket diff (two digest
+    // passes + dirty-bucket row diff), per-doc audio decode + VAD
+    // islands, and the bounded-grid EWMA convolution
+    "q235_jaro_winkler_match", "q238_phrase_search",
+    "q242_prefix_filter_join", "q243_merkle_diff", "q244_vad_segments",
+    "q245_ewma_forecast")
 
   def main(args: Array[String]): Unit = {
     val scales = if (args.nonEmpty) args.map(_.toInt).toSeq else Seq(1, 2, 5, 10)
@@ -217,6 +244,7 @@ object ScaleProbe {
           genDocuments(spark, d, m); genEmbeddings(spark, d, m)
           genOrders(spark, d, m); genCustomer(spark, d, m)
           genLineitem(spark, d, m); genSupplier(spark, d, m)
+          genPart(spark, d, m)
           d
         }
       val only = sys.env.get("SPARK_GRAFT_PROBE_ONLY")

@@ -757,9 +757,103 @@ object EventOps {
       |FROM m JOIN dv ON m.user_id = dv.user_id
       |ORDER BY m.user_id""".stripMargin
 
+  // --------------------------------------------------------------------------
+  // q250 — INCREMENTAL SESSIONIZATION: merge a new event batch into an
+  // existing sessions table WITHOUT reprocessing history — the lakehouse
+  // pattern for daily session jobs at 100 TB, where q137's full recompute
+  // is unaffordable. The split point T (80% of the log's time span,
+  // integer-exact micros) stands in for "yesterday's watermark": old
+  // events ≤ T were already sessionized; the new batch is events > T with
+  // NO late data (the same closure assumption the streaming entries pin).
+  // Only each AFFECTED user's LAST stored session can interact with new
+  // events, so the merge re-runs islands over {that one carried session +
+  // the user's new events}; every other stored session passes through
+  // untouched.
+  //
+  // Correctness is proven by construction: the ORACLE sessionizes the
+  // FULL log in one pass — the incremental path must reproduce it
+  // exactly (hash compare), which is the incremental-algebra equivalence
+  // a production job relies on.
+  def q250IncrementalSessions(spark: SparkSession, dir: String): DataFrame = {
+    val gapUs = 1800000000L // 30 min, q137's rule
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_id"))
+    val span = ev.agg(min(col("us")).as("lo"), max(col("us")).as("hi"))
+      .select(expr("lo + (hi - lo) * 8 div 10").as("t_split"))
+    val staged = ev.crossJoin(broadcast(span))
+    val old = staged.filter(col("us") <= col("t_split"))
+    val fresh = staged.filter(col("us") > col("t_split"))
+
+    def islands(rows: DataFrame): DataFrame = {
+      // rows: (user_id, us, start_us, end_us, cnt) — weighted islands
+      val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("start_us"))
+      rows
+        .withColumn("new_sess",
+          when(col("us") - lag(col("end_us"), 1).over(w) > gapUs || lag(col("end_us"), 1).over(w).isNull, 1)
+            .otherwise(0))
+        .withColumn("grp", sum(col("new_sess")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("grp"))
+        .agg(min(col("start_us")).as("start_us"), max(col("end_us")).as("end_us"),
+          sum(col("cnt")).as("n_events"))
+    }
+
+    val oldSessions = islands(old.select(col("user_id"), col("us"),
+      col("us").as("start_us"), col("us").as("end_us"), lit(1L).as("cnt")))
+      .select(col("user_id"), col("start_us"), col("end_us"), col("n_events"))
+    val affected = fresh.select(col("user_id")).distinct()
+    val untouchedUsers = oldSessions.join(affected, Seq("user_id"), "left_anti")
+    val affectedOld = oldSessions.join(affected, Seq("user_id"), "left_semi")
+    val wLast = Window.partitionBy(col("user_id")).orderBy(col("start_us").desc)
+    val lastSession = affectedOld
+      .withColumn("rk", row_number().over(wLast)).filter(col("rk") === 1).drop("rk")
+    val earlierSessions = affectedOld
+      .withColumn("rk", row_number().over(wLast)).filter(col("rk") > 1).drop("rk")
+    val mergedInput =
+      lastSession.select(col("user_id"), col("end_us").as("us"),
+        col("start_us"), col("end_us"), col("n_events").as("cnt"))
+        .unionByName(fresh.select(col("user_id"), col("us"),
+          col("us").as("start_us"), col("us").as("end_us"), lit(1L).as("cnt")))
+    val merged = islands(mergedInput)
+      .select(col("user_id"), col("start_us"), col("end_us"), col("n_events"))
+    untouchedUsers.unionByName(earlierSessions).unionByName(merged)
+      .withColumn("session_idx", row_number().over(
+        Window.partitionBy(col("user_id")).orderBy(col("start_us"))))
+      .select(col("user_id"), col("session_idx"),
+        col("start_us"), col("end_us"), col("n_events"),
+        ((col("end_us") - col("start_us")) / 1000000L).cast("long").as("duration_sec"))
+      .orderBy(col("user_id"), col("session_idx"))
+  }
+
+  /** Oracle: FULL-LOG sessionization — the incremental path must equal it. */
+  val q250Sql: String =
+    """WITH flagged AS (
+      |  SELECT user_id, epoch_us(ts) AS us,
+      |    CASE WHEN LAG(epoch_us(ts)) OVER w IS NULL
+      |           OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000
+      |         THEN 1 ELSE 0 END AS new_sess
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+      |sess AS (
+      |  SELECT user_id, us,
+      |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY us
+      |      ROWS UNBOUNDED PRECEDING) AS grp
+      |  FROM flagged),
+      |agg AS (
+      |  SELECT user_id, grp, MIN(us) AS start_us, MAX(us) AS end_us,
+      |    COUNT(*) AS n_events
+      |  FROM sess GROUP BY 1, 2)
+      |SELECT user_id,
+      |  CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY start_us) AS INT)
+      |    AS session_idx,
+      |  start_us, end_us, CAST(n_events AS BIGINT) AS n_events,
+      |  (end_us - start_us) // 1000000 AS duration_sec
+      |FROM agg ORDER BY user_id, session_idx""".stripMargin
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q237_kaplan_meier", q237KaplanMeier _, Some(q237Sql)),
     ("q246_bot_score", q246BotScore _, Some(q246Sql)),
+    ("q250_incremental_sessions", q250IncrementalSessions _, Some(q250Sql)),
     ("q228_lateness_audit", q228LatenessAudit _, Some(q228Sql)),
     ("q131_cohort_retention", q131CohortRetention _, Some(q131Sql)),
     ("q132_event_transitions", q132EventTransitions _, Some(q132Sql)),

@@ -533,8 +533,81 @@ object PrepOps {
       |FROM cum GROUP BY c_nationkey, seg
       |ORDER BY c_nationkey, seg""".stripMargin
 
+  // --------------------------------------------------------------------------
+  // q249 — CROSS-SOURCE QUANTILE NORMALIZATION (distribution matching):
+  // map each source's document-length distribution onto the GLOBAL
+  // distribution — the standardization step that makes per-source quality
+  // thresholds comparable when sources have wildly different length
+  // profiles. For each source decile i: source value = the smallest
+  // length whose within-source cumulative count reaches ⌈i·n_s/10⌉, and
+  // its normalized image = the global value at the SAME fractional rank
+  // ⌈(r/n_s)·N⌉. Every rank is computed with integer ceil-division
+  // ((a+b−1) div b) — the entire operator is integer-exact, no float
+  // boundary anywhere.
+  //
+  // Scale: the corpus collapses to per-(source, length) counts in ONE
+  // shuffle; cumulative windows run per source (partitioned) and over the
+  // bounded distinct-length grid; the decile lookups are bounded-grid
+  // range joins (|sources|·9 probe rows × |lengths|), corpus-independent.
+  def q249QuantileNormalize(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val srcGrid = docs.groupBy(col("source"), col("n_chars"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(
+        Window.partitionBy(col("source")).orderBy(col("n_chars"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val srcN = srcGrid.groupBy(col("source")).agg(sum(col("c")).as("n_s"))
+    val gGrid = docs.groupBy(col("n_chars")).agg(count(lit(1)).as("c"))
+      .withColumn("gcum", sum(col("c")).over(
+        Window.orderBy(col("n_chars"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("n_chars").as("g_val"), col("c").as("g_c"), col("gcum"))
+    val probes = srcN
+      .withColumn("decile", explode(sequence(lit(1), lit(9))))
+      .withColumn("r", expr("(decile * n_s + 9) div 10"))
+    val srcVal = probes.join(srcGrid, Seq("source"))
+      .filter(col("cum") >= col("r"))
+      .groupBy(col("source"), col("decile"), col("r"), col("n_s"))
+      .agg(min(col("n_chars")).as("src_value"))
+    val gTot = gGrid.agg(sum(col("g_c")).cast("long").as("n_g"))
+    val mapped = srcVal.crossJoin(broadcast(gTot))
+      .withColumn("rg", expr("(r * n_g + n_s - 1) div n_s"))
+      .join(gGrid, col("gcum") >= col("rg"))
+      .groupBy(col("source"), col("decile"), col("src_value"))
+      .agg(min(col("g_val")).as("mapped_value"))
+    mapped.orderBy(col("source"), col("decile"))
+  }
+
+  val q249Sql: String =
+    """WITH sg AS (
+      |  SELECT source, n_chars, COUNT(*) AS c,
+      |    SUM(COUNT(*)) OVER (PARTITION BY source ORDER BY n_chars
+      |      ROWS UNBOUNDED PRECEDING) AS cum
+      |  FROM documents GROUP BY 1, 2),
+      |sn AS (SELECT source, SUM(c) AS n_s FROM sg GROUP BY 1),
+      |gg AS (
+      |  SELECT n_chars, COUNT(*) AS c,
+      |    SUM(COUNT(*)) OVER (ORDER BY n_chars ROWS UNBOUNDED PRECEDING) AS gcum
+      |  FROM documents GROUP BY 1),
+      |gt AS (SELECT SUM(c) AS n_g FROM gg),
+      |probes AS (
+      |  SELECT source, n_s, decile, (decile * n_s + 9) // 10 AS r
+      |  FROM sn, LATERAL (SELECT unnest(range(1, 10)) AS decile) d),
+      |sv AS (
+      |  SELECT p.source, p.decile, p.r, p.n_s, MIN(sg.n_chars) AS src_value
+      |  FROM probes p JOIN sg ON p.source = sg.source AND sg.cum >= p.r
+      |  GROUP BY 1, 2, 3, 4),
+      |mp AS (
+      |  SELECT sv.source, sv.decile, sv.src_value, MIN(gg.n_chars) AS mapped_value
+      |  FROM sv, gt, gg
+      |  WHERE gg.gcum >= (sv.r * gt.n_g + sv.n_s - 1) // sv.n_s
+      |  GROUP BY 1, 2, 3)
+      |SELECT source, CAST(decile AS INT) AS decile, src_value, mapped_value
+      |FROM mp ORDER BY source, decile""".stripMargin
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q223_t_closeness", q223TCloseness _, Some(q223Sql)),
+    ("q249_quantile_normalize", q249QuantileNormalize _, Some(q249Sql)),
     ("q216_dp_counts", q216DpCounts _, Some(q216Sql)),
     ("q176_containment", q176Containment _, Some(q176Sql)),
     ("q177_compaction_plan", q177CompactionPlan _, Some(q177Sql)),

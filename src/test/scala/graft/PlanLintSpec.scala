@@ -58,7 +58,9 @@ class PlanLintSpec extends SparkSpec {
     "q241_isotonic_calibration" ->
       "prefix sum over the 50-row score-bin grid (floor(p*50), p in [0,1]) — domain-bounded; the minimax running-min window is partitioned by interval start j",
     "q245_ewma_forecast" ->
-      "row_number over the per-day revenue grid — bounded by the order-date calendar span (q167/q233's case); the convolution join is equi on the day rank")
+      "row_number over the per-day revenue grid — bounded by the order-date calendar span (q167/q233's case); the convolution join is equi on the day rank",
+    "q249_quantile_normalize" ->
+      "prefix sum over the distinct-document-length grid — bounded by the length domain, not the corpus; the per-source cum window is partitioned by source")
 
   /** name → reason a no-equi-key join is still scale-safe there. */
   private val joinAllow: Map[String, String] = Map(
@@ -70,6 +72,10 @@ class PlanLintSpec extends SparkSpec {
       "50×50 interval-grid self-join of the bounded score-bin table (k >= j range condition) — both sides are 50-row aggregates by construction, corpus-size-independent",
     "q248_silhouette" ->
       "broadcast(8 seed centroids) cross join — k rows by construction (q172's assignment pass); everything downstream is per-vector arithmetic",
+    "q249_quantile_normalize" ->
+      "bounded-grid range lookups: broadcast 1-row global total, then (|sources|·9 decile probes) × distinct-length grid with cum >= rank — both sides domain-bounded aggregates, corpus-size-independent",
+    "q250_incremental_sessions" ->
+      "broadcast 1-row side by construction: the (min, max) span aggregate that derives the batch split point",
     "q110_kmeans" ->
       "broadcast(centroids) cross join — k rows by construction (Lloyd assignment pass)",
     "q45_ann_ivf" ->

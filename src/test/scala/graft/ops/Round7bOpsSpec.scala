@@ -309,6 +309,58 @@ class Round7bOpsSpec extends SparkSpec {
     assert(got(0L)._2 < 0.6)             // straddler drags the margin down
   }
 
+  test("q249: planted skewed source maps its deciles onto the global scale") {
+    import spark.implicits._
+    val d = Files.createTempDirectory("graft_r7b_qn").toString
+    // source A: lengths 1..100 (uniform); source B: lengths 1..10 — B's
+    // decile i sits at value i, whose global image must stretch across
+    // the combined distribution
+    val rows = (1L to 100L).map(k => (k, "x", "en", "A", k)) ++
+      (101L to 110L).map(k => (k, "x", "en", "B", k - 100L))
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$d/documents.parquet")
+    val got = PrepOps.q249QuantileNormalize(spark, d).collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+    // A's median: r = ceil(5·100/10) = 50 → value 50. Global rank:
+    // ceil(50/100·110) = 55; value with gcum ≥ 55: lengths 1..10 have
+    // gcum 2·len (A+B both), beyond 10 gcum = len + 10 → v = 45
+    assert(got(("A", 5)) === ((50L, 45L)))
+    // B's median: r = ceil(5·10/10) = 5 → value 5; global rank ceil(5/10·110)
+    // = 55 → 45: B's tiny median maps to the global mid-scale
+    assert(got(("B", 5)) === ((5L, 45L)))
+    // monotonicity of the mapping per source
+    Seq("A", "B").foreach { s =>
+      val m = (1 to 9).map(i => got((s, i))._2)
+      assert(m.zip(m.tail).forall { case (x, y) => x <= y })
+    }
+  }
+
+  test("q250: incremental merge equals full recompute on a crafted batch boundary") {
+    import spark.implicits._
+    val d = Files.createTempDirectory("graft_r7b_inc").toString
+    val t0 = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    def ev(id: Long, minute: Long, u: Long) =
+      (id, new Timestamp(t0 + minute * 60000L), u, "view", 1.0, "{}")
+    // span 0..1000 min → split at 800. user 1: events at 790, 810 (gap 20
+    // min < 30 → the carried session MUST merge with the new batch);
+    // user 2: 700, then 900 (gap > 30 → stays two sessions); user 3 all
+    // old; user 4 all new
+    Seq(ev(1, 0, 1), ev(2, 790, 1), ev(3, 810, 1), ev(4, 1000, 9),
+      ev(5, 700, 2), ev(6, 900, 2), ev(7, 100, 3), ev(8, 130, 3),
+      ev(9, 850, 4), ev(10, 860, 4))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.parquet(s"$d/events.parquet")
+    val got = EventOps.q250IncrementalSessions(spark, d).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(4), r.getLong(5)))
+    assert(got === Array(
+      (1L, 1, 1L, 0L),        // user1 session at min 0
+      (1L, 2, 2L, 1200L),     // user1 merged session 790-810 (20 min)
+      (2L, 1, 1L, 0L), (2L, 2, 1L, 0L),
+      (3L, 1, 2L, 1800L),     // untouched old user
+      (4L, 1, 2L, 600L),      // new-only user
+      (9L, 1, 1L, 0L)))       // the span-max event
+  }
+
   test("q237: planted durations/censoring recover the hand-computed KM curve") {
     import spark.implicits._
     val d = Files.createTempDirectory("graft_r7b_km").toString
