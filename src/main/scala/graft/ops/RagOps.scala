@@ -567,7 +567,98 @@ object RagOps {
        |SELECT rank, vec_id, score FROM u$mmrK ORDER BY rank""".stripMargin
   }
 
+  // --------------------------------------------------------------------------
+  // q251 — nDCG@10 RETRIEVAL EVALUATION: the graded-ranking readout that
+  // completes the eval family (q193 AUC = probability ordering, q229 =
+  // prefix-dim recall, q208 = fusion). Per query vector: candidates
+  // ranked by cosine (rounded to 6 dp BEFORE ranking, vec_id tie-break —
+  // q229's rule), relevance = label match, DCG@10 = Σ rel_i·disc_i and
+  // IDCG = cum-discount at min(10, |relevant|).
+  //
+  // Determinism: the log2 discounts are HARD-CODED decimal literals
+  // (both engines parse the same strings to the same doubles — no libm
+  // log at query time), the DCG fold runs in pinned rank order via a
+  // sorted-array reduce (q201's rule), and IDCG is a literal-array
+  // lookup. Scale: one corpus pass against 5 broadcast queries; the
+  // per-query rank window is partitioned by query.
+  private val ndcgDisc = Seq(
+    "1.0", "0.6309297535714575", "0.5", "0.43067655807339306",
+    "0.38685280723454163", "0.3562071871080222", "0.3333333333333333",
+    "0.31546487678572877", "0.3010299956639812", "0.2890648263178879")
+  private val ndcgCum = Seq(
+    "1.0", "1.6309297535714575", "2.1309297535714578", "2.5616063116448506",
+    "2.9484591188793923", "3.3046663059874146", "3.637999639320748",
+    "3.953464516106477", "4.254494511770458", "4.543559338088346")
+
+  def q251Ndcg(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"),
+        expr("transform(embedding, x -> cast(x as double))").as("v"))
+    val queries = base.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("label").as("qlabel"), col("v").as("qv"))
+    val relTot = base.groupBy(col("label")).agg(count(lit(1)).as("n_label"))
+    val sim = round(
+      expr("aggregate(zip_with(v, qv, (x, y) -> x * y), 0.0d, (a, x) -> a + x)") /
+        sqrt(expr("aggregate(v, 0.0d, (a, x) -> a + x * x)") *
+          expr("aggregate(qv, 0.0d, (a, x) -> a + x * x)")), 6)
+    val discArr = array(ndcgDisc.map(s => lit(s.toDouble)): _*)
+    val cumArr = array(ndcgCum.map(s => lit(s.toDouble)): _*)
+    val top = base.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("qlabel"), col("vec_id"), col("label"), sim.as("sim"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id"))))
+      .filter(col("rk") <= 10)
+      .withColumn("g",
+        (col("label") === col("qlabel")).cast("int").cast("double") *
+          element_at(discArr, col("rk")))
+    top.groupBy(col("qid"), col("qlabel"))
+      .agg(expr("aggregate(sort_array(collect_list(struct(rk, g))), 0.0d, (a, s) -> a + s.g)")
+        .as("dcg"))
+      .join(broadcast(relTot), col("qlabel") === col("label"))
+      .withColumn("n_rel", col("n_label") - 1) // the query itself is excluded
+      .select(col("qid"), col("n_rel"),
+        round(col("dcg"), 6).as("dcg"),
+        round(col("dcg") / element_at(cumArr,
+          greatest(least(col("n_rel"), lit(10L)), lit(1L)).cast("int")), 6)
+          .as("ndcg"))
+      .orderBy(col("qid"))
+  }
+
+  val q251Sql: String = {
+    val discList = ndcgDisc.mkString("[", ", ", "]")
+    val cumList = ndcgCum.mkString("[", ", ", "]")
+    s"""WITH base AS (
+       |  SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS v
+       |  FROM embeddings),
+       |q AS (SELECT vec_id AS qid, label AS qlabel, v AS qv FROM base WHERE vec_id < 5),
+       |rt AS (SELECT label, COUNT(*) AS n_label FROM base GROUP BY 1),
+       |sc AS (
+       |  SELECT qid, qlabel, b.vec_id, b.label,
+       |    ROUND(list_reduce(list_transform(range(1, 65), i -> b.v[i] * qv[i]), (a, x) -> a + x)
+       |      / sqrt(list_reduce(list_transform(range(1, 65), i -> b.v[i] * b.v[i]), (a, x) -> a + x)
+       |        * list_reduce(list_transform(range(1, 65), i -> qv[i] * qv[i]), (a, x) -> a + x)), 6)
+       |      AS sim
+       |  FROM base b CROSS JOIN q WHERE b.vec_id <> qid),
+       |rk AS (
+       |  SELECT qid, qlabel, vec_id, label, sim,
+       |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rk
+       |  FROM sc QUALIFY rk <= 10),
+       |dg AS (
+       |  SELECT qid, qlabel,
+       |    list_reduce(
+       |      list(CASE WHEN label = qlabel THEN 1.0 ELSE 0.0 END * ($discList)[rk]
+       |        ORDER BY rk), (a, b) -> a + b) AS dcg
+       |  FROM rk GROUP BY 1, 2)
+       |SELECT qid, rt.n_label - 1 AS n_rel,
+       |  ROUND(dcg, 6) AS dcg,
+       |  ROUND(dcg / ($cumList)[CAST(GREATEST(LEAST(rt.n_label - 1, 10), 1) AS INT)], 6) AS ndcg
+       |FROM dg JOIN rt ON dg.qlabel = rt.label
+       |ORDER BY qid""".stripMargin
+  }
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
+    ("q251_ndcg", q251Ndcg _, Some(q251Sql)),
     ("q222_mmr_rerank", q222MmrRerank _, Some(q222Sql)),
     ("q205_pq_encode", q205PqEncode _, Some(q205Sql)),
     ("q217_rvq_encode", q217RvqEncode _, Some(q217Sql)),

@@ -76,6 +76,8 @@ class PlanLintSpec extends SparkSpec {
       "bounded-grid range lookups: broadcast 1-row global total, then (|sources|·9 decile probes) × distinct-length grid with cum >= rank — both sides domain-bounded aggregates, corpus-size-independent",
     "q250_incremental_sessions" ->
       "broadcast 1-row side by construction: the (min, max) span aggregate that derives the batch split point",
+    "q251_ndcg" ->
+      "broadcast(5 query vectors) cross join — k rows by construction (q229's one-pass eval shape); the rank window is partitioned by query",
     "q110_kmeans" ->
       "broadcast(centroids) cross join — k rows by construction (Lloyd assignment pass)",
     "q45_ann_ivf" ->

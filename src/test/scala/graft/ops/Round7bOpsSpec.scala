@@ -361,6 +361,32 @@ class Round7bOpsSpec extends SparkSpec {
       (9L, 1, 1L, 0L)))       // the span-max event
   }
 
+  test("q251: planted ranking gives hand-computed DCG and perfect-retrieval nDCG 1") {
+    import spark.implicits._
+    val d = Files.createTempDirectory("graft_r7b_ndcg").toString
+    def vec(hot: Seq[(Int, Float)]): Array[Float] = {
+      val a = Array.fill(64)(0.0f); hot.foreach { case (i, x) => a(i) = x }; a
+    }
+    // query 0 (label 1) on axis 0. Candidates: ids 10-14 label 1 sit at
+    // decreasing axis-0 similarity; ids 20-26 label 2 orthogonal-ish.
+    // Top-10 = the 5 relevant first (ranks 1-5), then 5 irrelevant →
+    // DCG = cum5 = 2.9484591…; IDCG = cum at min(10, n_rel=4? no:
+    // n_label(1) = 6 incl. query → n_rel = 5) = cum5 → nDCG = 1.
+    val rows =
+      Seq((0L, vec(Seq(0 -> 1f)), 1)) ++
+        (0 until 5).map(i => (10L + i, vec(Seq(0 -> 1f, 1 -> (0.1f * (i + 1)))), 1)) ++
+        (0 until 7).map(i => (20L + i, vec(Seq(2 -> 1f, 3 -> (0.1f * (i + 1)))), 2))
+    rows.toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.parquet(s"$d/embeddings.parquet")
+    val got = RagOps.q251Ndcg(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(got.length === 1)
+    val (qid, nRel, dcg, ndcg) = got.head
+    assert(qid === 0L && nRel === 5L)
+    assert(dcg === 2.948459) // cum-discount at 5, rounded
+    assert(ndcg === 1.0)     // all relevant docs ranked on top
+  }
+
   test("q237: planted durations/censoring recover the hand-computed KM curve") {
     import spark.implicits._
     val d = Files.createTempDirectory("graft_r7b_km").toString
