@@ -820,8 +820,60 @@ object StreamingOps {
       |FROM events JOIN customer ON user_id = c_custkey
       |GROUP BY 1, 2 ORDER BY c_mktsegment, event_type""".stripMargin
 
+  // --------------------------------------------------------------------------
+  // q252 — STREAMING TOP-K LEADERBOARD via transformWithState MAP STATE:
+  // the third Spark-4 state primitive (q184 = ValueState, q231 = event
+  // timers, this = MapState). Each user's state is a map holding ONLY the
+  // current top-3 distinct cent values — inserts prune below rank 3
+  // every batch, so per-key state is O(k) forever, the invariant that
+  // makes a leaderboard runnable on an unbounded 100 TB feed (a naive
+  // collect-then-rank keeps the full value history). Update-mode
+  // emissions are monotone in (v1, v2, v3), so the memory-sink reduce
+  // max(struct(…)) recovers exactly the final state per user; the oracle
+  // is the batch top-3-distinct per user.
+  def q252MapStateTopk(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode, Trigger}
+    import spark.implicits._
+    val src = eventsZone(spark, dir)
+    withRocksDb(spark) {
+      val schema = spark.read.parquet(src).schema
+      val updates = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 2).parquet(src)
+        .as[EventRow]
+        .groupByKey(_.user_id)
+        .transformWithState(new TopValuesProcessor,
+          TimeMode.None(), OutputMode.Update())
+        .toDF()
+      val qname = "graft_q252_result"
+      withStatePartitions(spark, 8) {
+        val query = updates.writeStream.format("memory").queryName(qname)
+          .outputMode("update").trigger(Trigger.AvailableNow()).start()
+        query.awaitTermination()
+      }
+      spark.table(qname)
+        .groupBy(col("user_id"))
+        .agg(max(struct(col("v1"), col("v2"), col("v3"))).as("m"))
+        .select(col("user_id"),
+          nullif(col("m.v1"), lit(-1L)).as("top1"),
+          nullif(col("m.v2"), lit(-1L)).as("top2"),
+          nullif(col("m.v3"), lit(-1L)).as("top3"))
+        .orderBy(col("user_id"))
+    }
+  }
+
+  val q252Sql: String =
+    """WITH d AS (
+      |  SELECT DISTINCT user_id,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      |  FROM events),
+      |l AS (
+      |  SELECT user_id, list_sort(list(cents), 'DESC') AS ls FROM d GROUP BY 1)
+      |SELECT user_id, ls[1] AS top1, ls[2] AS top2, ls[3] AS top3
+      |FROM l ORDER BY user_id""".stripMargin
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q60_tumbling_window", q60Tumbling _, Some(q60Sql)),
+    ("q252_mapstate_topk", q252MapStateTopk _, Some(q252Sql)),
     ("q215_stream_static_enrich", q215StreamStaticEnrich _, Some(q215Sql)),
     ("q211_stream_outer_join", q211StreamOuterJoin _, Some(q211Sql)),
     ("q61_sliding_window", q61Sliding _, Some(q61Sql)),
@@ -934,5 +986,41 @@ class UserTotalsProcessor
     val next = UserTotals(key, n, cents)
     state.update(next)
     Iterator.single(next)
+  }
+}
+
+/** Per-user top-3 distinct cent values (−1 sentinel pads short lists). */
+case class TopValues(user_id: Long, v1: Long, v2: Long, v3: Long)
+
+/** transformWithState processor exercising MAP state (q252): one
+  * MapState[cents → unit] per user holds the CURRENT top-3 distinct
+  * values — inserts then prunes everything below rank 3, so state is
+  * O(k) per key no matter how long the stream runs. Emitted rows are
+  * monotonically non-decreasing in (v1, v2, v3), which is what lets the
+  * sink reduce with max(struct(..)) to the final leaderboard.
+  */
+class TopValuesProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[Long, EventRow, TopValues] {
+  import org.apache.spark.sql.streaming.{MapState, OutputMode, TimeMode, TimerValues, TTLConfig}
+
+  @transient private var state: MapState[Long, Boolean] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    state = getHandle.getMapState[Long, Boolean]("topv",
+      org.apache.spark.sql.Encoders.scalaLong,
+      org.apache.spark.sql.Encoders.scalaBoolean, TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[EventRow],
+                               timerValues: TimerValues): Iterator[TopValues] = {
+    rows.foreach { r => state.updateValue(math.round(r.value * 100), true) }
+    val sorted = {
+      val b = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val it = state.keys()
+      while (it.hasNext) b += it.next()
+      b.sortBy(-_).toSeq
+    }
+    sorted.drop(3).foreach(state.removeKey)
+    val top = sorted.take(3).padTo(3, -1L)
+    Iterator.single(TopValues(key, top(0), top(1), top(2)))
   }
 }

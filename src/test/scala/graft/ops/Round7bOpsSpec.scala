@@ -387,6 +387,25 @@ class Round7bOpsSpec extends SparkSpec {
     assert(ndcg === 1.0)     // all relevant docs ranked on top
   }
 
+  test("q252: MapState leaderboard keeps top-3 distinct and pads short lists") {
+    import spark.implicits._
+    val d = Files.createTempDirectory("graft_r7b_ms").toString
+    val t0 = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    def ev(id: Long, u: Long, v: Double) =
+      (id, new Timestamp(t0 + id * 60000L), u, "view", v, "{}")
+    // user 1: five distinct values (9,7,5 must survive, 1 and 3 pruned),
+    // value 9.0 arrives TWICE (distinctness via map keys); user 2: one value
+    Seq(ev(1, 1, 5.0), ev(2, 1, 1.0), ev(3, 1, 9.0), ev(4, 1, 7.0),
+      ev(5, 1, 3.0), ev(6, 1, 9.0), ev(7, 2, 4.5))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.parquet(s"$d/events.parquet")
+    val got = StreamingOps.q252MapStateTopk(spark, d).collect()
+      .map(r => (r.getLong(0), r.get(1), r.get(2), r.get(3)))
+    assert(got === Array(
+      (1L, 900L, 700L, 500L),
+      (2L, 450L, null, null)))
+  }
+
   test("q237: planted durations/censoring recover the hand-computed KM curve") {
     import spark.implicits._
     val d = Files.createTempDirectory("graft_r7b_km").toString
