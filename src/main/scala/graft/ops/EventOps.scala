@@ -850,10 +850,96 @@ object EventOps {
       |  (end_us - start_us) // 1000000 AS duration_sec
       |FROM agg ORDER BY user_id, session_idx""".stripMargin
 
+  // --------------------------------------------------------------------------
+  // q254 — SHAPLEY-VALUE CHANNEL ATTRIBUTION: the game-theoretic upgrade
+  // over q144's rule-based attribution. Each user's touched channel SET
+  // (click/signup/error/view as a 4-bit mask) defines the coalition; the
+  // characteristic function v(S) = observed conversion rate of users
+  // whose set is exactly S (unobserved coalitions contribute 0 — the
+  // standard data-driven MTA formulation). The Shapley value
+  //   φ_i = Σ_{S ∌ i} |S|!·(k−|S|−1)!·[v(S∪{i}) − v(S)] / k!
+  // runs ENTIRELY on the dense 16-row subset lattice: the corpus
+  // collapses to per-mask (n, conversions) in one shuffle, the lattice
+  // and weights are literals, and the only floats are the v ratios and
+  // the pinned-order φ fold (sorted-subset array reduce, q201's rule).
+  //
+  // Scale: corpus-size-independent after the first aggregate — the
+  // lattice is 2^k rows with k = |channels|, never user-count.
+  def q254ShapleyAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val bit = when(col("event_type") === "click", 1)
+      .when(col("event_type") === "signup", 2)
+      .when(col("event_type") === "error", 4)
+      .when(col("event_type") === "view", 8).otherwise(0)
+    val perUser = ev.select(col("user_id"), bit.as("b"),
+        (col("event_type") === "purchase").cast("int").as("conv"))
+      .groupBy(col("user_id"))
+      .agg(expr("bit_or(b)").as("mask"), max(col("conv")).as("converted"))
+    val byMask = perUser.groupBy(col("mask"))
+      .agg(count(lit(1)).as("n"), sum(col("converted")).as("c"))
+    // v(S) = MONOTONE CLOSURE max over observed coalitions T ⊆ S of
+    // rate(T) (0 if none): raw "v = 0 for unobserved" leaks negative
+    // credit to never-touched channels (their marginals hit v = 0
+    // supersets); the closure keeps v monotone so marginals are ≥ 0 and
+    // untouched channels get EXACTLY zero. One 16×|observed| subset join.
+    val lattice = spark.range(16).select(col("id").cast("int").as("s"))
+      .join(byMask, expr("(mask & s) = mask"), "left")
+      .groupBy(col("s"))
+      .agg(coalesce(max(col("c").cast("double") / col("n")), lit(0.0)).as("v"))
+    val channels = Seq(("click", 1), ("signup", 2), ("error", 4), ("view", 8))
+    val chan = channels.map { case (nm, b) => struct(lit(nm).as("ch"), lit(b).as("bit")) }
+    val pairs = spark.range(16).select(col("id").cast("int").as("s"))
+      .withColumn("c", explode(array(chan: _*)))
+      .select(col("s"), col("c.ch").as("ch"), col("c.bit").as("bit"))
+      .filter(expr("(s & bit) = 0"))
+      .withColumn("w", // |S|!·(k−|S|−1)! for k = 4
+        element_at(array(lit(6), lit(2), lit(2), lit(6)),
+          expr("bit_count(s)") + 1))
+    val scored = pairs
+      .join(lattice.select(col("s").as("s0"), col("v").as("v0")), col("s") === col("s0"))
+      .join(lattice.select(col("s").as("s1"), col("v").as("v1")),
+        expr("(s | bit) = s1"))
+      .withColumn("term", col("w") * (col("v1") - col("v0")))
+    scored.groupBy(col("ch"))
+      .agg(expr("aggregate(sort_array(collect_list(struct(s, term))), 0.0d, (a, t) -> a + t.term)")
+        .as("num"))
+      .select(col("ch"), round(col("num") / 24.0, 6).as("shapley"))
+      .orderBy(col("ch"))
+  }
+
+  val q254Sql: String =
+    """WITH pu AS (
+      |  SELECT user_id,
+      |    bit_or(CASE event_type WHEN 'click' THEN 1 WHEN 'signup' THEN 2
+      |      WHEN 'error' THEN 4 WHEN 'view' THEN 8 ELSE 0 END) AS mask,
+      |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
+      |  FROM events GROUP BY 1),
+      |bm AS (SELECT mask, COUNT(*) AS n, SUM(converted) AS c FROM pu GROUP BY 1),
+      |lat AS (
+      |  SELECT s, COALESCE(MAX(CAST(c AS DOUBLE) / n), 0.0) AS v
+      |  FROM (SELECT unnest(range(16)) AS s) g LEFT JOIN bm ON (mask & s) = mask
+      |  GROUP BY s),
+      |ch AS (SELECT * FROM (VALUES ('click', 1), ('signup', 2), ('error', 4),
+      |  ('view', 8)) AS t(ch, bit)),
+      |pairs AS (
+      |  SELECT g.s, ch.ch, ch.bit,
+      |    ([6, 2, 2, 6])[bit_count(g.s) + 1] AS w
+      |  FROM (SELECT unnest(range(16)) AS s) g CROSS JOIN ch
+      |  WHERE (g.s & ch.bit) = 0),
+      |terms AS (
+      |  SELECT p.ch, p.s, p.w * (v1.v - v0.v) AS term
+      |  FROM pairs p
+      |  JOIN lat v0 ON p.s = v0.s
+      |  JOIN lat v1 ON (p.s | p.bit) = v1.s)
+      |SELECT ch,
+      |  ROUND(list_reduce(list(term ORDER BY s), (a, b) -> a + b) / 24.0, 6) AS shapley
+      |FROM terms GROUP BY ch ORDER BY ch""".stripMargin
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q237_kaplan_meier", q237KaplanMeier _, Some(q237Sql)),
     ("q246_bot_score", q246BotScore _, Some(q246Sql)),
     ("q250_incremental_sessions", q250IncrementalSessions _, Some(q250Sql)),
+    ("q254_shapley_attribution", q254ShapleyAttribution _, Some(q254Sql)),
     ("q228_lateness_audit", q228LatenessAudit _, Some(q228Sql)),
     ("q131_cohort_retention", q131CohortRetention _, Some(q131Sql)),
     ("q132_event_transitions", q132EventTransitions _, Some(q132Sql)),

@@ -1801,11 +1801,83 @@ object RelationalMore {
       |WHERE (ao.payload IS NULL OR bo.payload IS NULL OR ao.payload <> bo.payload)
       |ORDER BY change, key""".stripMargin
 
+  // --------------------------------------------------------------------------
+  // q253 — TRANSITIVE CASCADE DELETE with post-state integrity audit:
+  // q156 purges rows that carry the forgotten key directly; real
+  // referential graphs need the TRANSITIVE hop — lineitem rows reference
+  // the user only THROUGH orders (no custkey column), so the cascade is
+  // forget → orders (semi-join on custkey) → lineitem (semi-join on the
+  // purged orderkeys). The result reports, per table, before/purged/after
+  // counts AND the post-delete orphan count (children whose parent was
+  // removed) — which must be ZERO; emitting the invariant makes the
+  // compliance job self-auditing instead of trusted.
+  //
+  // Scale: every step is a semi/anti equi-join on the FK chain — no
+  // broadcast assumptions about the forget set (it is keyed and shuffles
+  // with the fact tables), which matters when a regulator hands over
+  // millions of subjects.
+  def q253CascadeDelete(spark: SparkSession, dir: String): DataFrame = {
+    val forget = Tables.customer(spark, dir)
+      .filter(col("c_custkey") % 97 === 0).select(col("c_custkey").as("k"))
+    val cust = Tables.customer(spark, dir)
+    val orders = Tables.orders(spark, dir)
+    val li = Tables.lineitem(spark, dir)
+    val custAfter = cust.join(forget, cust("c_custkey") === forget("k"), "left_anti")
+    val ordPurged = orders.join(forget, orders("o_custkey") === forget("k"), "left_semi")
+      .select(col("o_orderkey"))
+    val ordAfter = orders.join(forget, orders("o_custkey") === forget("k"), "left_anti")
+    val liAfter = li.join(ordPurged, li("l_orderkey") === ordPurged("o_orderkey"), "left_anti")
+    def stats(name: String, before: DataFrame, after: DataFrame,
+        orphans: DataFrame): DataFrame = {
+      val b = before.agg(count(lit(1)).as("n_before"))
+      val a = after.agg(count(lit(1)).as("n_after"))
+      val o = orphans.agg(count(lit(1)).as("n_orphans_after"))
+      b.crossJoin(a).crossJoin(o)
+        .select(lit(name).as("table_name"), col("n_before"),
+          (col("n_before") - col("n_after")).as("n_purged"),
+          col("n_after"), col("n_orphans_after"))
+    }
+    val orphanOrders = ordAfter.join(custAfter.select(col("c_custkey")),
+      ordAfter("o_custkey") === col("c_custkey"), "left_anti")
+    val orphanLi = liAfter.join(ordAfter.select(col("o_orderkey").as("ok")),
+      liAfter("l_orderkey") === col("ok"), "left_anti")
+    stats("customer", cust, custAfter, custAfter.limit(0))
+      .unionByName(stats("orders", orders, ordAfter, orphanOrders))
+      .unionByName(stats("lineitem", li, liAfter, orphanLi))
+      .orderBy(col("table_name"))
+  }
+
+  val q253Sql: String =
+    """WITH f AS (SELECT c_custkey AS k FROM customer WHERE c_custkey % 97 = 0),
+      |op AS (SELECT o_orderkey FROM orders WHERE o_custkey IN (SELECT k FROM f)),
+      |ca AS (SELECT * FROM customer WHERE c_custkey NOT IN (SELECT k FROM f)),
+      |oa AS (SELECT * FROM orders WHERE o_custkey NOT IN (SELECT k FROM f)),
+      |la AS (SELECT * FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM op))
+      |SELECT 'customer' AS table_name,
+      |  (SELECT COUNT(*) FROM customer) AS n_before,
+      |  (SELECT COUNT(*) FROM customer) - (SELECT COUNT(*) FROM ca) AS n_purged,
+      |  (SELECT COUNT(*) FROM ca) AS n_after,
+      |  0::BIGINT AS n_orphans_after
+      |UNION ALL
+      |SELECT 'lineitem',
+      |  (SELECT COUNT(*) FROM lineitem),
+      |  (SELECT COUNT(*) FROM lineitem) - (SELECT COUNT(*) FROM la),
+      |  (SELECT COUNT(*) FROM la),
+      |  (SELECT COUNT(*) FROM la WHERE l_orderkey NOT IN (SELECT o_orderkey FROM oa))
+      |UNION ALL
+      |SELECT 'orders',
+      |  (SELECT COUNT(*) FROM orders),
+      |  (SELECT COUNT(*) FROM orders) - (SELECT COUNT(*) FROM oa),
+      |  (SELECT COUNT(*) FROM oa),
+      |  (SELECT COUNT(*) FROM oa WHERE o_custkey NOT IN (SELECT c_custkey FROM ca))
+      |ORDER BY table_name""".stripMargin
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q234_groupwise_ols", q234GroupwiseOls _, Some(q234Sql)),
     ("q236_gini", q236Gini _, Some(q236Sql)),
     ("q240_cv_ols", q240CvOls _, Some(q240Sql)),
     ("q243_merkle_diff", q243MerkleDiff _, Some(q243Sql)),
+    ("q253_cascade_delete", q253CascadeDelete _, Some(q253Sql)),
     ("q214_cbo_stats", q214CboStats _, Some(q214Sql)),
     ("q219_schema_evolution", q219SchemaEvolution _, Some(q219Sql)),
     ("q53_date_spine", q53DateSpine _, Some(q53Sql)),

@@ -78,6 +78,10 @@ class PlanLintSpec extends SparkSpec {
       "broadcast 1-row side by construction: the (min, max) span aggregate that derives the batch split point",
     "q251_ndcg" ->
       "broadcast(5 query vectors) cross join — k rows by construction (q229's one-pass eval shape); the rank window is partitioned by query",
+    "q253_cascade_delete" ->
+      "cross joins of 1-row count aggregates by construction (the per-table before/after/orphan stats row)",
+    "q254_shapley_attribution" ->
+      "16-row subset-lattice joins by construction ((mask & s) = mask closure and the channel-pair grid) — both sides are 2^k-bounded aggregates, corpus-size-independent",
     "q110_kmeans" ->
       "broadcast(centroids) cross join — k rows by construction (Lloyd assignment pass)",
     "q45_ann_ivf" ->

@@ -406,6 +406,61 @@ class Round7bOpsSpec extends SparkSpec {
       (2L, 450L, null, null)))
   }
 
+  test("q253: transitive cascade purges lineitems of purged orders, zero orphans") {
+    import spark.implicits._
+    val d = Files.createTempDirectory("graft_r7b_casc").toString
+    val ts = Timestamp.valueOf("2024-01-01 00:00:00")
+    // customers 97 and 194 are forgotten (k % 97 = 0); order 10 belongs to
+    // 97 → its 2 lineitems must cascade even though they carry no custkey
+    Seq((97L, "c", 0, 0.0, "S"), (194L, "c", 0, 0.0, "S"), (5L, "c", 0, 0.0, "S"))
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+      .coalesce(1).write.parquet(s"$d/customer.parquet")
+    Seq((10L, 97L, "O", 1.0, ts, "P"), (11L, 5L, "O", 1.0, ts, "P"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .coalesce(1).write.parquet(s"$d/orders.parquet")
+    Seq((10L, 1L, 1L, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", ts),
+      (10L, 2L, 1L, 2, 1.0, 1.0, 0.0, 0.0, "N", "O", ts),
+      (11L, 3L, 1L, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", ts))
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate")
+      .coalesce(1).write.parquet(s"$d/lineitem.parquet")
+    val got = RelationalMore.q253CascadeDelete(spark, d).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(got("customer") === ((3L, 2L, 1L, 0L)))
+    assert(got("orders") === ((2L, 1L, 1L, 0L)))
+    assert(got("lineitem") === ((3L, 2L, 1L, 0L)))
+  }
+
+  test("q254: Shapley attribution satisfies efficiency and isolates the causal channel") {
+    import spark.implicits._
+    val d = Files.createTempDirectory("graft_r7b_shap").toString
+    val t0 = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    var id = 0L
+    def user(u: Long, types: Seq[String]) = types.map { t =>
+      id += 1; (id, new Timestamp(t0 + id * 1000L), u, t, 1.0, "{}")
+    }
+    // click alone always converts; view alone never; click+view converts.
+    // 4 users per profile → v({click}) = 1, v({view}) = 0, v({click,view}) = 1
+    val rows =
+      (1L to 4L).flatMap(u => user(u, Seq("click", "purchase"))) ++
+        (5L to 8L).flatMap(u => user(u, Seq("view"))) ++
+        (9L to 12L).flatMap(u => user(u, Seq("click", "view", "purchase")))
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.parquet(s"$d/events.parquet")
+    val got = EventOps.q254ShapleyAttribution(spark, d).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // under the monotone closure: v(S) = 1 iff S ⊇ {click} → click gets
+    // the full credit, every other channel exactly zero
+    assert(got("click") === 1.0)
+    assert(got("view") === 0.0)
+    assert(got("error") === 0.0 && got("signup") === 0.0)
+    // Shapley efficiency: Σφ = v(full) − v(∅) = 1
+    assert(math.abs(got.values.sum - 1.0) < 1e-5)
+  }
+
   test("q237: planted durations/censoring recover the hand-computed KM curve") {
     import spark.implicits._
     val d = Files.createTempDirectory("graft_r7b_km").toString
