@@ -534,8 +534,102 @@ object Multimodal {
       |HAVING COUNT(*) >= 2
       |ORDER BY doc_id, start_frame""".stripMargin
 
+  // --------------------------------------------------------------------------
+  // q256 — VIDEO SCENE-CUT DETECTION from per-frame difference hashes:
+  // the shot-segmentation front-end of a video-training pipeline. Each
+  // "video" decodes ONCE (mapPartitions, q244's contract) into a sequence
+  // of frame dHashes — 8 bits per frame comparing adjacent bytes of a
+  // 9-byte window at stride 8 over the sample stream (windows overlap, so
+  // the hash is locality-preserving: gradual content drifts keep small
+  // hamming steps, content discontinuities spike them). A cut fires where
+  // consecutive-frame hamming distance ≥ 5; scenes are the islands
+  // between cuts. Integer-exact end-to-end; the oracle rebuilds the same
+  // dHash stream from hex(encode(text)) in SQL.
+  //
+  // Scale: per-video work is row-local; only the slim (doc, frame, hash)
+  // stream shuffles for the lag window, partitioned by video.
+  def q256SceneCuts(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val frames = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"), col("n_chars"))
+      .as[(Long, String, Long)]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, text, nChars) =>
+          val ns = (nChars % 2000 + 100).toInt
+          val bytes = text.getBytes("UTF-8")
+          val plen = bytes.length
+          def b(i: Int): Int = if (plen == 0) 0 else bytes(i % plen) & 0xff
+          val nf = if (ns >= 9) (ns - 9) / 8 + 1 else 0
+          (0 until nf).iterator.map { f =>
+            val o = f * 8
+            var h = 0
+            var j = 0
+            while (j < 8) { if (b(o + j) > b(o + j + 1)) h |= 1 << j; j += 1 }
+            (id, f, h)
+          }
+        }
+      }.toDF("doc_id", "f", "h")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("f"))
+    val withCut = frames
+      .withColumn("prev", lag(col("h"), 1).over(w))
+      .withColumn("cut",
+        when(col("prev").isNotNull && expr("bit_count(h ^ prev)") >= 5, 1).otherwise(0))
+      .withColumn("scene", sum(col("cut")).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)))
+    val scenes = withCut.groupBy(col("doc_id"), col("scene"))
+      .agg(count(lit(1)).as("len"))
+    withCut.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_frames"), sum(col("cut")).as("n_cuts"))
+      .join(scenes.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_scenes"), max(col("len")).as("max_scene_frames")),
+        Seq("doc_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q256Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id, hex(encode(text)) AS hx,
+      |    octet_length(encode(text)) AS plen,
+      |    CAST(n_chars % 2000 + 100 AS BIGINT) AS ns
+      |  FROM documents),
+      |fr AS (
+      |  SELECT doc_id, hx, plen, unnest(range((ns - 9) // 8 + 1)) AS f
+      |  FROM d WHERE ns >= 9),
+      |bits AS (
+      |  SELECT doc_id, f,
+      |    CAST(SUM(CASE WHEN
+      |        ('0x' || substr(hx, 2 * CAST((f * 8 + j) % plen AS BIGINT) + 1, 2))::INT >
+      |        ('0x' || substr(hx, 2 * CAST((f * 8 + j + 1) % plen AS BIGINT) + 1, 2))::INT
+      |      THEN 1 << CAST(j AS INT) ELSE 0 END) AS INT) AS h
+      |  FROM fr, LATERAL (SELECT unnest(range(8)) AS j) s
+      |  GROUP BY 1, 2),
+      |wc AS (
+      |  SELECT doc_id, f, h,
+      |    LAG(h) OVER (PARTITION BY doc_id ORDER BY f) AS prev
+      |  FROM bits),
+      |cuts AS (
+      |  SELECT doc_id, f,
+      |    CASE WHEN prev IS NOT NULL AND bit_count(xor(h, prev)) >= 5
+      |      THEN 1 ELSE 0 END AS cut
+      |  FROM wc),
+      |sc AS (
+      |  SELECT doc_id, f, cut,
+      |    SUM(cut) OVER (PARTITION BY doc_id ORDER BY f ROWS UNBOUNDED PRECEDING)
+      |      AS scene
+      |  FROM cuts),
+      |sl AS (SELECT doc_id, scene, COUNT(*) AS len FROM sc GROUP BY 1, 2)
+      |SELECT sc2.doc_id, sc2.n_frames, sc2.n_cuts, sg.n_scenes, sg.max_scene_frames
+      |FROM (SELECT doc_id, COUNT(*) AS n_frames, CAST(SUM(cut) AS BIGINT) AS n_cuts
+      |      FROM sc GROUP BY 1) sc2
+      |JOIN (SELECT doc_id, COUNT(*) AS n_scenes, MAX(len) AS max_scene_frames
+      |      FROM sl GROUP BY 1) sg ON sc2.doc_id = sg.doc_id
+      |ORDER BY sc2.doc_id""".stripMargin
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q244_vad_segments", q244VadSegments _, Some(q244Sql)),
+    ("q256_scene_cuts", q256SceneCuts _, Some(q256Sql)),
     ("q70_media_meta", q70MediaMeta _, Some(q70Sql)),
     ("q71_frame_sample", q71FrameSample _, Some(q71Sql)),
     ("q80_media_features", q80MediaFeatures _, Some(q80Sql)),

@@ -152,7 +152,114 @@ object SpatialOps {
       |  ROUND(CAST(lonq * 360 AS DOUBLE) / 1048576 - 180, 6) AS lon
       |FROM ch ORDER BY c_custkey""".stripMargin
 
+  // --------------------------------------------------------------------------
+  // q255 — GRID-ACCELERATED DBSCAN: density clustering composed from two
+  // verified pieces — q225's 3×3-cell ε-neighbor equi-join (never
+  // all-pairs) and q82's min-label connected components. Core points
+  // (≥ minPts neighbors within ε, self included) cluster via CC over
+  // core-core edges; border points take the SMALLEST cluster label among
+  // their core neighbors (the deterministic tie rule — textbook DBSCAN
+  // is scan-order-dependent there); the rest is noise. Labels are min
+  // member ids, so the whole result is integer-deterministic.
+  //
+  // Scale: neighbor discovery is the grid equi-join (local density ×
+  // points, not points²); CC is the pointer-doubling/propagation loop
+  // with its bounded-round escape; everything else is equi-joins.
+  // Oracle: all-pairs neighbors + recursive-CTE reachability (oracle
+  // scale only), independent of both the grid and the CC loop.
+  def q255Dbscan(spark: SparkSession, dir: String): DataFrame = {
+    val eps = 0.08
+    val minPts = 4
+    val inv = 1.0 / eps
+    val pts = Tables.supplier(spark, dir).select(
+      col("s_suppkey").as("pk"),
+      mdUniform("sx", col("s_suppkey")).as("x"),
+      mdUniform("sy", col("s_suppkey")).as("y"))
+    val cells = pts
+      .withColumn("cx", floor(col("x") * inv).cast("long"))
+      .withColumn("cy", floor(col("y") * inv).cast("long"))
+    val exploded = cells
+      .withColumn("dcx", explode(array((-1 to 1).map(lit): _*)))
+      .withColumn("dcy", explode(array((-1 to 1).map(lit): _*)))
+      .select(col("pk").as("qk"), col("x").as("qx"), col("y").as("qy"),
+        (col("cx") + col("dcx")).as("cx"), (col("cy") + col("dcy")).as("cy"))
+    val d2 = (col("qx") - col("x")) * (col("qx") - col("x")) +
+      (col("qy") - col("y")) * (col("qy") - col("y"))
+    val nbr = exploded.join(cells, Seq("cx", "cy"))
+      .filter(col("qk") =!= col("pk")).withColumn("d2", d2)
+      .filter(col("d2") <= lit(eps * eps))
+      .select(col("qk"), col("pk").as("nk"))
+    val degree = nbr.groupBy(col("qk")).agg((count(lit(1)) + 1).as("deg"))
+    val core = degree.filter(col("deg") >= minPts).select(col("qk").as("ck"))
+    val coreEdges = nbr
+      .join(core, nbr("qk") === core("ck"), "left_semi")
+      .join(core, nbr("nk") === core("ck"), "left_semi")
+      .filter(col("qk") < col("nk"))
+      .select(col("qk").as("id_a"), col("nk").as("id_b"))
+    val ccLabels = TextOps.clusterPairs(coreEdges)
+      .select(col("doc_id").as("ck"), col("cluster"))
+    val coreLabels = core
+      .join(ccLabels, Seq("ck"), "left")
+      .select(col("ck"), coalesce(col("cluster"), col("ck")).as("cluster"))
+    val borderLabels = nbr
+      .join(core.select(col("ck")), nbr("nk") === col("ck"), "left_semi")
+      .join(core.select(col("ck").as("qck")), nbr("qk") === col("qck"), "left_anti")
+      .join(coreLabels.select(col("ck").as("nk"), col("cluster")), Seq("nk"))
+      .groupBy(col("qk")).agg(min(col("cluster")).as("cluster"))
+      .select(col("qk").as("pk2"), col("cluster"))
+    pts.select(col("pk"))
+      .join(coreLabels.select(col("ck").as("pk"), col("cluster").as("core_cluster")),
+        Seq("pk"), "left")
+      .join(borderLabels.withColumnRenamed("pk2", "pk"), Seq("pk"), "left")
+      .select(col("pk").as("s_suppkey"),
+        when(col("core_cluster").isNotNull, "core")
+          .when(col("cluster").isNotNull, "border")
+          .otherwise("noise").as("role"),
+        coalesce(col("core_cluster"), col("cluster")).as("cluster"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  val q255Sql: String = {
+    val ux = mdUniformSql("sx", "s_suppkey")
+    val uy = mdUniformSql("sy", "s_suppkey")
+    s"""WITH RECURSIVE pts AS (
+       |  SELECT s_suppkey AS pk, $ux AS x, $uy AS y FROM supplier),
+       |nbr AS (
+       |  SELECT a.pk AS qk, b.pk AS nk
+       |  FROM pts a JOIN pts b ON a.pk <> b.pk
+       |    AND (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= 0.0064),
+       |core AS (
+       |  SELECT qk AS ck FROM nbr GROUP BY qk HAVING COUNT(*) + 1 >= 4),
+       |ce AS (
+       |  SELECT qk AS a, nk AS b FROM nbr
+       |  WHERE qk IN (SELECT ck FROM core) AND nk IN (SELECT ck FROM core)),
+       |reach(a, b) AS (
+       |  SELECT a, b FROM ce
+       |  UNION
+       |  SELECT r.a, e.b FROM reach r JOIN ce e ON r.b = e.a),
+       |cl AS (
+       |  SELECT ck, COALESCE(lbl.cluster, ck) AS cluster
+       |  FROM core LEFT JOIN (
+       |    SELECT a AS ck2, LEAST(a, MIN(b)) AS cluster FROM reach GROUP BY a) lbl
+       |    ON core.ck = lbl.ck2),
+       |border AS (
+       |  SELECT n.qk, MIN(cl.cluster) AS cluster
+       |  FROM nbr n JOIN cl ON n.nk = cl.ck
+       |  WHERE n.qk NOT IN (SELECT ck FROM core)
+       |  GROUP BY n.qk)
+       |SELECT p.pk AS s_suppkey,
+       |  CASE WHEN cl.cluster IS NOT NULL THEN 'core'
+       |       WHEN border.cluster IS NOT NULL THEN 'border'
+       |       ELSE 'noise' END AS role,
+       |  COALESCE(cl.cluster, border.cluster) AS cluster
+       |FROM pts p
+       |LEFT JOIN cl ON p.pk = cl.ck
+       |LEFT JOIN border ON p.pk = border.qk
+       |ORDER BY p.pk""".stripMargin
+  }
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q247_geohash", q247Geohash _, Some(q247Sql)),
+    ("q255_dbscan", q255Dbscan _, Some(q255Sql)),
     ("q225_grid_eps_join", q225GridEpsJoin _, Some(q225Sql)))
 }
