@@ -676,8 +676,79 @@ object CorpusOps {
       |FROM bigrams JOIN top ON bigram = phrase
       |GROUP BY 1, 2 ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------------------------------------
+  // q257 — SPLIT LEAKAGE AUDIT: near-duplicate pairs (q31's exact
+  // inverted-index Jaccard) that STRADDLE the q90 content-hash split are
+  // train→eval leaks — the eval doc has a ≥0.5-Jaccard twin in training,
+  // so the metric is contaminated even though no document is shared
+  // verbatim (the failure q106's exact decontamination cannot see). The
+  // audit reports, per (split_a, split_b) ordered pair class, how many
+  // near-dup pairs land there — anything off the diagonal is leakage,
+  // and the cross-split rate is the number a dedup-aware splitter (group
+  // split on cluster id, q159's shape) must drive to zero.
+  //
+  // Scale: reuses the near-dup join (banded/inverted, never all-pairs)
+  // plus two slim equi-joins to attach split labels.
+  def q257SplitLeakage(spark: SparkSession, dir: String): DataFrame = {
+    val prefix = substring(md5(col("text")), 1, 2)
+    val splits = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        when(prefix < "e6", "train").when(prefix < "f3", "val")
+          .otherwise("test").as("split"))
+    val pairs = TextOps.q31NgramJaccard(spark, dir)
+      .select(col("id_a"), col("id_b"))
+    val labeled = pairs
+      .join(splits.select(col("doc_id").as("id_a"), col("split").as("sa")), Seq("id_a"))
+      .join(splits.select(col("doc_id").as("id_b"), col("split").as("sb")), Seq("id_b"))
+      .withColumn("split_a", least(col("sa"), col("sb")))
+      .withColumn("split_b", greatest(col("sa"), col("sb")))
+    val total = labeled.agg(count(lit(1)).as("tot"))
+    labeled.groupBy(col("split_a"), col("split_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .crossJoin(broadcast(total))
+      .withColumn("leak", col("split_a") =!= col("split_b"))
+      .withColumn("pct_of_pairs",
+        round(col("n_pairs").cast("double") * 100 / col("tot"), 6))
+      .select(col("split_a"), col("split_b"), col("n_pairs"), col("leak"),
+        col("pct_of_pairs"))
+      .orderBy(col("split_a"), col("split_b"))
+  }
+
+  val q257Sql: String =
+    s"""WITH sh AS (
+       |  SELECT DISTINCT doc_id, s FROM (
+       |    SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+       |    FROM (SELECT doc_id, ${TextOps.toksSqlD} AS t FROM documents),
+       |         UNNEST(generate_series(1, len(t) - 2)) AS u(i))),
+       |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+       |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |pairs AS (
+       |  SELECT id_a, id_b FROM inter
+       |  JOIN sizes sa ON sa.doc_id = id_a
+       |  JOIN sizes sb ON sb.doc_id = id_b
+       |  WHERE CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) >= 0.5),
+       |sp AS (
+       |  SELECT doc_id,
+       |    CASE WHEN substring(md5(text), 1, 2) < 'e6' THEN 'train'
+       |         WHEN substring(md5(text), 1, 2) < 'f3' THEN 'val'
+       |         ELSE 'test' END AS split
+       |  FROM documents),
+       |lab AS (
+       |  SELECT LEAST(a.split, b.split) AS split_a,
+       |    GREATEST(a.split, b.split) AS split_b
+       |  FROM pairs JOIN sp a ON id_a = a.doc_id JOIN sp b ON id_b = b.doc_id)
+       |SELECT split_a, split_b, COUNT(*) AS n_pairs,
+       |  split_a <> split_b AS leak,
+       |  ROUND(CAST(COUNT(*) AS DOUBLE) * 100 / (SELECT COUNT(*) FROM lab), 6)
+       |    AS pct_of_pairs
+       |FROM lab GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q238_phrase_search", q238PhraseSearch _, Some(q238Sql)),
+    ("q257_split_leakage", q257SplitLeakage _, Some(q257Sql)),
     ("q129_division", q129Division _, Some(q129Sql)),
     ("q133_psi_drift", q133PsiDrift _, Some(q133Sql)),
     ("q134_pmi_pairs", q134PmiPairs _, Some(q134Sql)),

@@ -1872,12 +1872,79 @@ object RelationalMore {
       |  (SELECT COUNT(*) FROM oa WHERE o_custkey NOT IN (SELECT c_custkey FROM ca))
       |ORDER BY table_name""".stripMargin
 
+  // --------------------------------------------------------------------------
+  // q258 — LEARNING CURVE in ONE PASS via nested hash prefixes: model
+  // quality (OLS R², q234's statistic) at 10%, 20%, …, 100% of the data,
+  // where each fraction is a SUPERSET of the previous (hash-bucket
+  // prefix — the property that makes learning curves comparable). The
+  // trick: sufficient statistics per hash-decile bucket, then cumulative
+  // sums over the 10-row bucket grid give every fraction's EXACT moments
+  // — ten model fits from one scan, no per-fraction sampling jobs.
+  def q258LearningCurve(spark: SparkSession, dir: String): DataFrame = {
+    val d38 = DecimalType(38, 0)
+    val base = Tables.lineitem(spark, dir).select(
+      expr("cast(conv(substring(md5(concat('lc:', l_orderkey, ':', l_linenumber)), 1, 8), 16, 10) as bigint) % 10")
+        .as("bucket"),
+      expr("cast(cast(l_quantity as decimal(18,2)) * 100 as decimal(18,0))").as("x"),
+      expr("cast(cast(l_extendedprice as decimal(18,2)) * 100 as decimal(18,0))").as("y"))
+    val perBucket = base.groupBy(col("bucket"))
+      .agg(count(lit(1)).cast(d38).as("n"),
+        sum(col("x")).cast(d38).as("sx"), sum(col("y")).cast(d38).as("sy"),
+        sum(col("x") * col("y")).cast(d38).as("sxy"),
+        sum(col("x") * col("x")).cast(d38).as("sxx"),
+        sum(col("y") * col("y")).cast(d38).as("syy"))
+    val wCum = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perBucket
+      .withColumn("cn", sum(col("n")).over(wCum).cast(d38))
+      .withColumn("csx", sum(col("sx")).over(wCum).cast(d38))
+      .withColumn("csy", sum(col("sy")).over(wCum).cast(d38))
+      .withColumn("csxy", sum(col("sxy")).over(wCum).cast(d38))
+      .withColumn("csxx", sum(col("sxx")).over(wCum).cast(d38))
+      .withColumn("csyy", sum(col("syy")).over(wCum).cast(d38))
+      .withColumn("a", (col("csxy") * col("cn") - col("csx") * col("csy")).cast("double"))
+      .withColumn("b", (col("csxx") * col("cn") - col("csx") * col("csx")).cast("double"))
+      .withColumn("c", (col("csyy") * col("cn") - col("csy") * col("csy")).cast("double"))
+      .select(((col("bucket") + 1) * 10).cast("int").as("pct"),
+        col("cn").cast("long").as("n"),
+        round(col("a") / col("b"), 6).as("slope"),
+        round(col("a") * col("a") / (col("b") * col("c")), 6).as("r2"))
+      .orderBy(col("pct"))
+  }
+
+  val q258Sql: String =
+    """WITH b AS (
+      |  SELECT ('0x' || substr(md5('lc:' || l_orderkey::VARCHAR || ':' || l_linenumber::VARCHAR), 1, 8))::BIGINT % 10 AS bucket,
+      |    CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS HUGEINT) AS x,
+      |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS HUGEINT) AS y
+      |  FROM lineitem),
+      |pb AS (
+      |  SELECT bucket, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+      |    SUM(x * y) AS sxy, SUM(x * x) AS sxx, SUM(y * y) AS syy
+      |  FROM b GROUP BY 1),
+      |cm AS (
+      |  SELECT bucket,
+      |    SUM(n) OVER w AS cn, SUM(sx) OVER w AS csx, SUM(sy) OVER w AS csy,
+      |    SUM(sxy) OVER w AS csxy, SUM(sxx) OVER w AS csxx, SUM(syy) OVER w AS csyy
+      |  FROM pb WINDOW w AS (ORDER BY bucket ROWS UNBOUNDED PRECEDING)),
+      |d AS (
+      |  SELECT bucket, cn,
+      |    CAST(csxy * cn - csx * csy AS DOUBLE) AS a,
+      |    CAST(csxx * cn - csx * csx AS DOUBLE) AS bb,
+      |    CAST(csyy * cn - csy * csy AS DOUBLE) AS c
+      |  FROM cm)
+      |SELECT CAST((bucket + 1) * 10 AS INT) AS pct, CAST(cn AS BIGINT) AS n,
+      |  ROUND(a / bb, 6) AS slope,
+      |  ROUND(a * a / (bb * c), 6) AS r2
+      |FROM d ORDER BY pct""".stripMargin
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q234_groupwise_ols", q234GroupwiseOls _, Some(q234Sql)),
     ("q236_gini", q236Gini _, Some(q236Sql)),
     ("q240_cv_ols", q240CvOls _, Some(q240Sql)),
     ("q243_merkle_diff", q243MerkleDiff _, Some(q243Sql)),
     ("q253_cascade_delete", q253CascadeDelete _, Some(q253Sql)),
+    ("q258_learning_curve", q258LearningCurve _, Some(q258Sql)),
     ("q214_cbo_stats", q214CboStats _, Some(q214Sql)),
     ("q219_schema_evolution", q219SchemaEvolution _, Some(q219Sql)),
     ("q53_date_spine", q53DateSpine _, Some(q53Sql)),

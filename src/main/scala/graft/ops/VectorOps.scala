@@ -944,9 +944,69 @@ object VectorOps {
       |  ROUND(CAST(SUM(sq) AS DOUBLE) / 1e9 / COUNT(*), 6) AS mean_margin
       |FROM q GROUP BY cluster ORDER BY cluster""".stripMargin
 
+  // --------------------------------------------------------------------------
+  // q259 — DIVERSIFIED UNCERTAINTY ACQUISITION (active learning): pick
+  // the next labeling batch as the most-uncertain points SUBJECT TO a
+  // per-cluster cap — pure uncertainty sampling collapses onto one
+  // confusing region; the cluster cap (q172's 8 broadcast seed centroids)
+  // forces coverage. Uncertainty is the deterministic md5 acquisition
+  // score (stand-in for a model's 1 − max-prob, same shape the real
+  // scorer emits); selection = rank by (uncertainty desc, vec_id) within
+  // cluster, keep 2 per cluster.
+  //
+  // Scale: one broadcast-assignment pass + a window PARTITIONED by
+  // cluster — never a global uncertainty sort.
+  def q259Acquisition(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.CosineSimilarity.register(spark)
+    val emb = Tables.embeddings(spark, dir)
+    val seeds = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), vd.as("cv"))
+    val assigned = emb.select(col("vec_id"), vd.as("v"))
+      .crossJoin(broadcast(seeds))
+      .withColumn("sim", expr("cosine_sim(v, cv)"))
+      .groupBy(col("vec_id"))
+      .agg(max(struct(col("sim"), (-col("cid")).as("nc"))).as("m"))
+      .select(col("vec_id"), (-col("m.nc")).as("cluster"))
+    val u = (conv(substring(md5(concat(lit("unc:"), col("vec_id").cast("string"))), 1, 13),
+      16, 10).cast("long").cast("double") + 0.5) / lit(4503599627370496.0)
+    assigned.withColumn("unc", round(u, 6))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("cluster")).orderBy(col("unc").desc, col("vec_id"))))
+      .filter(col("rk") <= 2)
+      .select(col("cluster"), col("rk"), col("vec_id"), col("unc"))
+      .orderBy(col("cluster"), col("rk"))
+  }
+
+  val q259Sql: String =
+    """WITH base AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS v,
+      |    list_reduce(list_transform(embedding::DOUBLE[], x -> x * x), (a, b) -> a + b) AS n2
+      |  FROM embeddings),
+      |seeds AS (SELECT vec_id AS cid, v AS cv, n2 AS cn2 FROM base WHERE vec_id < 8),
+      |assigned AS (
+      |  SELECT vec_id, cid AS cluster FROM (
+      |    SELECT b.vec_id, s.cid,
+      |      ROW_NUMBER() OVER (PARTITION BY b.vec_id
+      |        ORDER BY list_reduce(list_transform(range(1, 65),
+      |          i -> b.v[i] * s.cv[i]), (x, y) -> x + y) / sqrt(b.n2 * s.cn2) DESC,
+      |          s.cid ASC) AS rk
+      |    FROM base b CROSS JOIN seeds s) WHERE rk = 1),
+      |scored AS (
+      |  SELECT vec_id, cluster,
+      |    ROUND((('0x' || substr(md5('unc:' || vec_id::VARCHAR), 1, 13))::BIGINT + 0.5)
+      |      / 4503599627370496.0, 6) AS unc
+      |  FROM assigned),
+      |rk AS (
+      |  SELECT cluster, vec_id, unc,
+      |    ROW_NUMBER() OVER (PARTITION BY cluster ORDER BY unc DESC, vec_id) AS rk
+      |  FROM scored QUALIFY rk <= 2)
+      |SELECT cluster, CAST(rk AS INT) AS rk, vec_id, unc
+      |FROM rk ORDER BY cluster, rk""".stripMargin
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q40_cosine_topk", q40CosineTopk _, Some(q40Sql)),
     ("q248_silhouette", q248Silhouette _, Some(q248Sql)),
+    ("q259_acquisition", q259Acquisition _, Some(q259Sql)),
     ("q229_matryoshka_eval", q229MatryoshkaEval _, Some(q229Sql)),
     ("q212_embedding_outliers", q212EmbeddingOutliers _, Some(q212Sql)),
     ("q172_semantic_dedup", q172SemanticDedup _, Some(q172Sql)),

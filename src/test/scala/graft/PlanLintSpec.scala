@@ -60,7 +60,9 @@ class PlanLintSpec extends SparkSpec {
     "q245_ewma_forecast" ->
       "row_number over the per-day revenue grid — bounded by the order-date calendar span (q167/q233's case); the convolution join is equi on the day rank",
     "q249_quantile_normalize" ->
-      "prefix sum over the distinct-document-length grid — bounded by the length domain, not the corpus; the per-source cum window is partitioned by source")
+      "prefix sum over the distinct-document-length grid — bounded by the length domain, not the corpus; the per-source cum window is partitioned by source",
+    "q258_learning_curve" ->
+      "prefix sums over the 10-row hash-decile bucket grid — bounded by construction, not by lineitem")
 
   /** name → reason a no-equi-key join is still scale-safe there. */
   private val joinAllow: Map[String, String] = Map(
@@ -82,6 +84,10 @@ class PlanLintSpec extends SparkSpec {
       "cross joins of 1-row count aggregates by construction (the per-table before/after/orphan stats row)",
     "q254_shapley_attribution" ->
       "16-row subset-lattice joins by construction ((mask & s) = mask closure and the channel-pair grid) — both sides are 2^k-bounded aggregates, corpus-size-independent",
+    "q257_split_leakage" ->
+      "broadcast 1-row side by construction: the total-pair-count aggregate for the percentage column",
+    "q259_acquisition" ->
+      "broadcast(8 seed centroids) cross join — k rows by construction (q172's assignment pass); the acquisition rank window is partitioned by cluster",
     "q110_kmeans" ->
       "broadcast(centroids) cross join — k rows by construction (Lloyd assignment pass)",
     "q45_ann_ivf" ->

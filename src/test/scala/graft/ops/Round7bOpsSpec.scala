@@ -506,6 +506,81 @@ class Round7bOpsSpec extends SparkSpec {
     rows.filter(_._2 == "core").foreach { case (_, _, cl) => assert(coreIds(cl)) }
   }
 
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("q257: a near-dup pair straddling the hash split is reported as leakage") {
+    import spark.implicits._
+    val d = Files.createTempDirectory("graft_r7b_leak").toString
+    // search deterministically for two 10-token texts differing in the last
+    // token with jaccard >= 0.5 whose md5 land in different split ranges
+    def split(t: String): String = {
+      val p = md5hex(t).substring(0, 2)
+      if (p < "e6") "train" else if (p < "f3") "val" else "test"
+    }
+    val base = "w1 w2 w3 w4 w5 w6 w7 w8 w9"
+    val pair = (0 until 2000).iterator.map { k =>
+      (s"$base tok$k", s"$base alt$k")
+    }.find { case (a, b) => split(a) == "train" && split(b) != "train" }.get
+    Seq((1L, pair._1, "en", "s", 0L), (2L, pair._2, "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$d/documents.parquet")
+    val got = CorpusOps.q257SplitLeakage(spark, d).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getBoolean(3)))
+    assert(got.length === 1)
+    assert(got.head._3 === 1L && got.head._4 === true) // one pair, flagged leak
+  }
+
+  test("q258: nested learning curve on exact linear data gives r2 = 1 at every fraction") {
+    import spark.implicits._
+    val d = Files.createTempDirectory("graft_r7b_lc").toString
+    val rows = (1L to 400L).map { k =>
+      val x = (k % 23 + 1).toDouble
+      (k, 1L, 1L, (k % 5 + 1).toInt, x, 2.0 * x + 3.0, 0.0, 0.0, "N", "O",
+        Timestamp.valueOf("2024-01-01 00:00:00"))
+    }
+    rows.toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+      "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+      "l_returnflag", "l_linestatus", "l_shipdate")
+      .coalesce(1).write.parquet(s"$d/lineitem.parquet")
+    val got = RelationalMore.q258LearningCurve(spark, d).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(got.length === 10)
+    assert(got.map(_._1) === (1 to 10).map(_ * 10).toArray)
+    val ns = got.map(_._2)
+    assert(ns.zip(ns.tail).forall { case (a, b) => a < b }) // strictly nested
+    assert(ns.last === 400L)
+    got.foreach { case (_, _, slope, r2) =>
+      assert(slope === 2.0 && r2 === 1.0)
+    }
+  }
+
+  test("q259: acquisition caps each cluster at 2, ordered by uncertainty") {
+    import spark.implicits._
+    val d = Files.createTempDirectory("graft_r7b_acq").toString
+    def vec(hot: Int): Array[Float] = {
+      val a = Array.fill(64)(0.0f); a(hot) = 1.0f; a
+    }
+    // 8 axis centroids + 6 extra members of cluster 0 — only 2 of the 7
+    // cluster-0 points may be acquired
+    val rows = (0L to 7L).map(i => (i, vec(i.toInt), 0)) ++
+      (100L to 105L).map(i => (i, vec(0), 0))
+    rows.toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.parquet(s"$d/embeddings.parquet")
+    val got = VectorOps.q259Acquisition(spark, d).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    val byCluster = got.groupBy(_._1)
+    assert(byCluster(0L).length === 2)
+    byCluster.values.foreach { g =>
+      assert(g.length <= 2)
+      if (g.length == 2) {
+        val s = g.sortBy(_._2)
+        assert(s(0)._4 >= s(1)._4) // rank 1 at least as uncertain as rank 2
+      }
+    }
+  }
+
   test("q237: planted durations/censoring recover the hand-computed KM curve") {
     import spark.implicits._
     val d = Files.createTempDirectory("graft_r7b_km").toString
