@@ -91,7 +91,11 @@ object StreamProbe {
       Probe("dedup_then_window", "append",
         (s, z) => ops.StreamingOps.dedupThenWindowStream(s, z, 2)),
       Probe("timer_sessions", "append",
-        (s, z) => ops.StreamingOps.timerSessionStream(s, z, 2)))
+        (s, z) => ops.StreamingOps.timerSessionStream(s, z, 2)),
+      // round-7b: MapState top-k — state must stay ≤ 3 map entries per
+      // user (≈ |users|·3 rows) no matter how long the stream runs
+      Probe("mapstate_topk", "update",
+        (s, z) => ops.StreamingOps.topValuesUpdates(s, z, 2)))
 
     scales.foreach { m =>
       val dir = java.nio.file.Paths.get("target", "tmp", s"streamprobe_x$m")
@@ -108,7 +112,8 @@ object StreamProbe {
           q
         }
         val query = ops.StreamingOps.withStatePartitions(spark, 8) {
-          if (p.name == "transform_with_state" || p.name == "timer_sessions")
+          if (p.name == "transform_with_state" || p.name == "timer_sessions" ||
+              p.name == "mapstate_topk")
             ops.StreamingOps.withRocksDb(spark)(run())
           else run()
         }

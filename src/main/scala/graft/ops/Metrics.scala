@@ -4,6 +4,7 @@ import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** In-flight data-quality counters via `Dataset.observe` — the
   * production-pipeline surface for "how many rows / nulls / out-of-range
@@ -416,9 +417,151 @@ object Metrics {
       |FROM bins JOIN fit ON bins.bin = fit.bin
       |ORDER BY bins.bin""".stripMargin
 
+  // --------------------------------------------------------------------------
+  // q260 — HISTOGRAM-BASED BEST-SPLIT FINDER (the LightGBM/XGBoost
+  // histogram-algorithm core): for each group, find the feature threshold
+  // that maximally reduces squared error of the target — from ONE pass.
+  // The feature (quantity) collapses to its bounded value grid with per-
+  // bin sufficient stats (n, Σy); cumulative sums over the grid give
+  // every candidate split's left/right stats simultaneously; gain(s) =
+  // S_L²/n_L + S_R²/n_R − S²/n (the SSE-reduction identity). This is how
+  // tree learners scale to 100 TB: histograms shuffle, rows never do.
+  //
+  // Exactness: Σy ride DECIMAL(38) cents; each candidate's gain is three
+  // double divisions of exact decimals, identical expression both
+  // engines; the argmax is max_by over (gain, −s) with gain rounded to
+  // 4 dp BEFORE comparison so the winner is boundary-stable.
+  def q260BestSplit(spark: SparkSession, dir: String): DataFrame = {
+    val d38 = DecimalType(38, 0)
+    val bins = Tables.lineitem(spark, dir)
+      .select(col("l_returnflag").as("flag"),
+        col("l_quantity").cast("int").as("q"),
+        expr("cast(cast(l_extendedprice as decimal(18,2)) * 100 as decimal(18,0))").as("y"))
+      .groupBy(col("flag"), col("q"))
+      .agg(count(lit(1)).cast(d38).as("n"), sum(col("y")).cast(d38).as("sy"))
+    val wCum = Window.partitionBy(col("flag")).orderBy(col("q"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = bins.groupBy(col("flag"))
+      .agg(sum(col("n")).cast(d38).as("tn"), sum(col("sy")).cast(d38).as("tsy"))
+    val gains = bins
+      .withColumn("nl", sum(col("n")).over(wCum).cast(d38))
+      .withColumn("syl", sum(col("sy")).over(wCum).cast(d38))
+      .join(broadcast(tot), Seq("flag"))
+      .filter(col("nl") < col("tn")) // a split must leave a right side
+      .withColumn("gain", round(
+        (col("syl") * col("syl")).cast("double") / col("nl").cast("double")
+          + ((col("tsy") - col("syl")) * (col("tsy") - col("syl"))).cast("double")
+            / (col("tn") - col("nl")).cast("double")
+          - (col("tsy") * col("tsy")).cast("double") / col("tn").cast("double"), 4))
+    gains.groupBy(col("flag"))
+      .agg(max(struct(col("gain"), (-col("q")).as("nq"))).as("m"),
+        first(col("tn")).cast("long").as("n_rows"))
+      .select(col("flag"), (-col("m.nq")).as("split_at_q_lte"),
+        round(col("m.gain") / 1e8, 4).as("gain_dollars_sq"), col("n_rows"))
+      .orderBy(col("flag"))
+  }
+
+  val q260Sql: String =
+    """WITH b AS (
+      |  SELECT l_returnflag AS flag, CAST(l_quantity AS INT) AS q,
+      |    COUNT(*) AS n,
+      |    SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS HUGEINT)) AS sy
+      |  FROM lineitem GROUP BY 1, 2),
+      |t AS (SELECT flag, SUM(n) AS tn, SUM(sy) AS tsy FROM b GROUP BY 1),
+      |c AS (
+      |  SELECT b.flag, q,
+      |    SUM(n) OVER w AS nl, SUM(sy) OVER w AS syl, tn, tsy
+      |  FROM b JOIN t ON b.flag = t.flag
+      |  WINDOW w AS (PARTITION BY b.flag ORDER BY q ROWS UNBOUNDED PRECEDING)),
+      |g AS (
+      |  SELECT flag, q,
+      |    ROUND(CAST(syl * syl AS DOUBLE) / CAST(nl AS DOUBLE)
+      |      + CAST((tsy - syl) * (tsy - syl) AS DOUBLE) / CAST(tn - nl AS DOUBLE)
+      |      - CAST(tsy * tsy AS DOUBLE) / CAST(tn AS DOUBLE), 4) AS gain,
+      |    tn
+      |  FROM c WHERE nl < tn),
+      |rk AS (
+      |  SELECT flag, q, gain, tn,
+      |    ROW_NUMBER() OVER (PARTITION BY flag ORDER BY gain DESC, q) AS r
+      |  FROM g QUALIFY r = 1)
+      |SELECT flag, CAST(q AS INT) AS split_at_q_lte,
+      |  ROUND(gain / 1e8, 4) AS gain_dollars_sq,
+      |  CAST(tn AS BIGINT) AS n_rows
+      |FROM rk ORDER BY flag""".stripMargin
+
+  // --------------------------------------------------------------------------
+  // q261 — MANN-WHITNEY U TEST on a bounded value grid: the rank-sum
+  // two-sample test (does returned-lineitem quantity stochastically
+  // dominate non-returned?) computed EXACTLY without any global rank
+  // window: on a discrete domain, U = Σ_{a<b} n1(a)·n2(b) + ½Σ n1(v)·n2(v)
+  // falls out of cumulative counts over the 50-value grid — integers to
+  // the end. The tie-corrected normal approximation (the only floats:
+  // one sqrt, one division) gives the z statistic.
+  def q261MannWhitney(spark: SparkSession, dir: String): DataFrame = {
+    val d38 = DecimalType(38, 0)
+    val grid = Tables.lineitem(spark, dir)
+      .select(col("l_quantity").cast("int").as("q"),
+        (col("l_returnflag") === "R").cast("int").as("g1"))
+      .groupBy(col("q"))
+      .agg(count_if(col("g1") === 1).cast(d38).as("n1"),
+        count_if(col("g1") === 0).cast(d38).as("n2"))
+    val wPrev = Window.orderBy(col("q"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val parts = grid
+      .withColumn("c2prev", coalesce(sum(col("n2")).over(wPrev), lit(0)).cast(d38))
+      .agg(sum(col("n1") * col("c2prev")).cast(d38).as("u_lt"),
+        sum(col("n1") * col("n2")).cast(d38).as("u_tie"),
+        sum(col("n1")).cast(d38).as("t1"), sum(col("n2")).cast(d38).as("t2"),
+        sum((col("n1") + col("n2")) * (col("n1") + col("n2")) * (col("n1") + col("n2")))
+          .cast(d38).as("st3"),
+        sum(col("n1") + col("n2")).cast(d38).as("nn"))
+    parts.select(
+      (col("u_lt") * 2 + col("u_tie")).cast(d38).as("u2"), // 2·U (keeps ties integral)
+      col("t1").cast("long").as("n_group1"), col("t2").cast("long").as("n_group2"),
+      col("st3"), col("nn"))
+      .withColumn("mu2", (col("n_group1") * col("n_group2")).cast(d38)) // 2·E[U] = n1·n2
+      .withColumn("var_num", // Var[U]·12·(n(n−1)) exact: n1·n2·((n³−n) − Σ(t³−t))
+        (col("n_group1") * col("n_group2") *
+          ((col("nn") * col("nn") * col("nn") - col("nn")) -
+            (col("st3") - col("nn")))).cast(d38))
+      .select(col("n_group1"), col("n_group2"),
+        (col("u2").cast("double") / 2).as("u"),
+        round((col("u2") - col("mu2")).cast("double") /
+          (lit(2.0) * sqrt(col("var_num").cast("double") /
+            (lit(12.0) * (col("nn") * (col("nn") - 1)).cast("double")))), 6).as("z"))
+      .withColumn("u", round(col("u"), 1))
+      .select(col("n_group1"), col("n_group2"), col("u"), col("z"))
+  }
+
+  val q261Sql: String =
+    """WITH g AS (
+      |  SELECT CAST(l_quantity AS INT) AS q,
+      |    CAST(COUNT(*) FILTER (l_returnflag = 'R') AS HUGEINT) AS n1,
+      |    CAST(COUNT(*) FILTER (l_returnflag <> 'R') AS HUGEINT) AS n2
+      |  FROM lineitem GROUP BY 1),
+      |c AS (
+      |  SELECT q, n1, n2,
+      |    COALESCE(SUM(n2) OVER (ORDER BY q ROWS BETWEEN UNBOUNDED PRECEDING
+      |      AND 1 PRECEDING), 0) AS c2prev
+      |  FROM g),
+      |p AS (
+      |  SELECT SUM(n1 * c2prev) AS u_lt, SUM(n1 * n2) AS u_tie,
+      |    SUM(n1) AS t1, SUM(n2) AS t2,
+      |    SUM((n1 + n2) * (n1 + n2) * (n1 + n2)) AS st3,
+      |    SUM(n1 + n2) AS nn
+      |  FROM c)
+      |SELECT CAST(t1 AS BIGINT) AS n_group1, CAST(t2 AS BIGINT) AS n_group2,
+      |  ROUND(CAST(u_lt * 2 + u_tie AS DOUBLE) / 2, 1) AS u,
+      |  ROUND(CAST((u_lt * 2 + u_tie) - t1 * t2 AS DOUBLE) /
+      |    (2.0 * sqrt(CAST(t1 * t2 * ((nn * nn * nn - nn) - (st3 - nn)) AS DOUBLE) /
+      |      (12.0 * CAST(nn * (nn - 1) AS DOUBLE)))), 6) AS z
+      |FROM p""".stripMargin
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q239_poisson_bootstrap", q239PoissonBootstrap _, Some(q239Sql)),
     ("q241_isotonic_calibration", q241IsotonicCalibration _, Some(q241Sql)),
+    ("q260_best_split", q260BestSplit _, Some(q260Sql)),
+    ("q261_mann_whitney", q261MannWhitney _, Some(q261Sql)),
     ("q124_observe_quality", q124ObserveQuality _, Some(q124Sql)),
     ("q224_calibration", q224Calibration _, Some(q224Sql)),
     ("q232_conformal", q232Conformal _, Some(q232Sql)),

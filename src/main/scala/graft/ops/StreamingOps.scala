@@ -831,19 +831,26 @@ object StreamingOps {
   // emissions are monotone in (v1, v2, v3), so the memory-sink reduce
   // max(struct(…)) recovers exactly the final state per user; the oracle
   // is the batch top-3-distinct per user.
-  def q252MapStateTopk(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.streaming.{OutputMode, TimeMode, Trigger}
+  /** The q252 MapState top-k topology (un-sunk; StreamProbe replays it). */
+  private[graft] def topValuesUpdates(spark: SparkSession, src: String,
+      filesPerTrigger: Int): DataFrame = {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
     import spark.implicits._
+    val schema = spark.read.parquet(src).schema
+    spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", filesPerTrigger).parquet(src)
+      .as[EventRow]
+      .groupByKey(_.user_id)
+      .transformWithState(new TopValuesProcessor,
+        TimeMode.None(), OutputMode.Update())
+      .toDF()
+  }
+
+  def q252MapStateTopk(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
     val src = eventsZone(spark, dir)
     withRocksDb(spark) {
-      val schema = spark.read.parquet(src).schema
-      val updates = spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 2).parquet(src)
-        .as[EventRow]
-        .groupByKey(_.user_id)
-        .transformWithState(new TopValuesProcessor,
-          TimeMode.None(), OutputMode.Update())
-        .toDF()
+      val updates = topValuesUpdates(spark, src, 2)
       val qname = "graft_q252_result"
       withStatePartitions(spark, 8) {
         val query = updates.writeStream.format("memory").queryName(qname)

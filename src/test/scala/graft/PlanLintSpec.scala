@@ -62,7 +62,9 @@ class PlanLintSpec extends SparkSpec {
     "q249_quantile_normalize" ->
       "prefix sum over the distinct-document-length grid — bounded by the length domain, not the corpus; the per-source cum window is partitioned by source",
     "q258_learning_curve" ->
-      "prefix sums over the 10-row hash-decile bucket grid — bounded by construction, not by lineitem")
+      "prefix sums over the 10-row hash-decile bucket grid — bounded by construction, not by lineitem",
+    "q261_mann_whitney" ->
+      "prefix sum over the 50-value quantity grid — bounded by the discrete feature domain, not lineitem")
 
   /** name → reason a no-equi-key join is still scale-safe there. */
   private val joinAllow: Map[String, String] = Map(

@@ -581,6 +581,46 @@ class Round7bOpsSpec extends SparkSpec {
     }
   }
 
+  test("q260: planted step in the target puts the best split exactly at the step") {
+    import spark.implicits._
+    val d = Files.createTempDirectory("graft_r7b_split").toString
+    // y = $100 for q ≤ 10, $900 for q > 10 → splitting at q = 10 separates
+    // the two regimes perfectly and must win for the single flag
+    val rows = (1L to 300L).map { k =>
+      val q = (k % 20 + 1).toDouble
+      val y = if (q <= 10) 100.0 else 900.0
+      (k, 1L, 1L, 1, q, y, 0.0, 0.0, "N", "O", Timestamp.valueOf("2024-01-01 00:00:00"))
+    }
+    rows.toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+      "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+      "l_returnflag", "l_linestatus", "l_shipdate")
+      .coalesce(1).write.parquet(s"$d/lineitem.parquet")
+    val got = Metrics.q260BestSplit(spark, d).collect()
+    assert(got.length === 1)
+    assert(got.head.getInt(1) === 10)
+    assert(got.head.getDouble(2) > 0.0)
+  }
+
+  test("q261: fully separated planted groups give U = 0 and the exact z") {
+    import spark.implicits._
+    val d = Files.createTempDirectory("graft_r7b_mw").toString
+    // R quantities {1,1,2,2} all below N {3,3,4,4}: U = 0; with the tie
+    // correction z = −8/√(80/7) = −2.366432
+    val rows = Seq((1L, 1.0, "R"), (2L, 1.0, "R"), (3L, 2.0, "R"), (4L, 2.0, "R"),
+      (5L, 3.0, "N"), (6L, 3.0, "N"), (7L, 4.0, "N"), (8L, 4.0, "N"))
+      .map { case (k, q, f) =>
+        (k, 1L, 1L, 1, q, 1.0, 0.0, 0.0, f, "O", Timestamp.valueOf("2024-01-01 00:00:00"))
+      }
+    rows.toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+      "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+      "l_returnflag", "l_linestatus", "l_shipdate")
+      .coalesce(1).write.parquet(s"$d/lineitem.parquet")
+    val r = Metrics.q261MannWhitney(spark, d).collect().head
+    assert(r.getLong(0) === 4L && r.getLong(1) === 4L)
+    assert(r.getDouble(2) === 0.0)
+    assert(r.getDouble(3) === -2.366432)
+  }
+
   test("q237: planted durations/censoring recover the hand-computed KM curve") {
     import spark.implicits._
     val d = Files.createTempDirectory("graft_r7b_km").toString
