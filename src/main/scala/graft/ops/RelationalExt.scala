@@ -578,6 +578,69 @@ object RelationalExt {
       |    AS sum_score
       |FROM s WHERE bucket < 10 GROUP BY bucket ORDER BY bucket""".stripMargin
 
+  // --------------------------------------------------------------------------
+  // q262 — MALFORMED-RECORD HANDLING on a dirty CSV feed: the ingestion
+  // reality q51's clean roundtrip never meets. A landing file is staged
+  // with two deliberate corruption classes (wrong arity on every key
+  // ≡ 0 mod 13, a non-numeric amount on ≡ 1 mod 13); the entry reads it
+  // TWICE — PERMISSIVE with columnNameOfCorruptRecord (quarantine the
+  // bad lines, keep the batch) and DROPMALFORMED (the strict view) — and
+  // reports total/corrupt/kept counts plus the exact clean-row sum. The
+  // invariant a production feed relies on is visible in the result:
+  // permissive-kept == dropmalformed-kept, and corrupt row COUNT is
+  // preserved, never silently dropped.
+  def q262CsvMalformed(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val slot = Staging.ensure("q262_csv", dir) { path =>
+      Tables.orders(spark, dir).select(
+        when(col("o_orderkey") % 13 === 0,
+          concat(col("o_orderkey").cast("string"), lit(",oops,extra")))
+          .when(col("o_orderkey") % 13 === 1,
+            concat(col("o_orderkey").cast("string"), lit(",not_a_number")))
+          .otherwise(concat(col("o_orderkey").cast("string"), lit(","),
+            col("o_totalprice").cast(DecimalType(18, 2)).cast("string")))
+          .as("value"))
+        .write.mode("overwrite").text(path)
+    }
+    val schema = StructType(Seq(
+      StructField("k", LongType), StructField("price", DoubleType),
+      StructField("_corrupt", StringType)))
+    val perm = spark.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt")
+      .csv(slot)
+      .select(col("k"), col("price"), col("_corrupt"))
+      .agg(count(lit(1)).as("n_total"),
+        count_if(col("_corrupt").isNotNull).as("n_corrupt"),
+        count_if(col("_corrupt").isNull).as("n_kept_permissive"),
+        sum(when(col("_corrupt").isNull,
+          expr("cast(cast(price as decimal(18,2)) * 100 as decimal(38,0))"))).as("cents"))
+    // count(price), not count(*): CSV column pruning means an aggregate
+    // that parses NO fields also detects no malformation — the count must
+    // reference the column whose parse failures define "malformed"
+    val strict = spark.read
+      .schema(StructType(Seq(
+        StructField("k", LongType), StructField("price", DoubleType))))
+      .option("mode", "DROPMALFORMED").csv(slot)
+      .agg(count(col("price")).as("n_kept_dropmalformed"))
+    perm.crossJoin(broadcast(strict))
+      .select(col("n_total"), col("n_corrupt"), col("n_kept_permissive"),
+        col("n_kept_dropmalformed"),
+        round(col("cents").cast("double") / 100.0, 2).as("clean_total"))
+  }
+
+  val q262Sql: String =
+    """SELECT COUNT(*) AS n_total,
+      |  CAST(COUNT(*) FILTER (WHERE o_orderkey % 13 IN (0, 1)) AS BIGINT) AS n_corrupt,
+      |  CAST(COUNT(*) FILTER (WHERE o_orderkey % 13 NOT IN (0, 1)) AS BIGINT)
+      |    AS n_kept_permissive,
+      |  CAST(COUNT(*) FILTER (WHERE o_orderkey % 13 NOT IN (0, 1)) AS BIGINT)
+      |    AS n_kept_dropmalformed,
+      |  ROUND(CAST(SUM(CASE WHEN o_orderkey % 13 NOT IN (0, 1)
+      |    THEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS HUGEINT) END)
+      |    AS DOUBLE) / 100.0, 2) AS clean_total
+      |FROM orders""".stripMargin
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q227_dsv2_pushdown", q227Dsv2Pushdown _, Some(q227Sql)),
     ("q23_grouping_sets", q23GroupingSets _, Some(q23Sql)),
@@ -600,5 +663,6 @@ object RelationalExt {
     ("q29_window_analytics", q29Analytics _, Some(q29Sql)),
     ("q44_cosine_topk_native", q44CosineTopkNative _, Some(VectorOps.q40Sql)),
     ("q51_csv_roundtrip", q51CsvRoundtrip _, Some(q51Sql)),
-    ("q52_json_roundtrip", q52JsonRoundtrip _, Some(q52Sql)))
+    ("q52_json_roundtrip", q52JsonRoundtrip _, Some(q52Sql)),
+    ("q262_csv_malformed", q262CsvMalformed _, Some(q262Sql)))
 }

@@ -90,6 +90,8 @@ class PlanLintSpec extends SparkSpec {
       "broadcast 1-row side by construction: the total-pair-count aggregate for the percentage column",
     "q259_acquisition" ->
       "broadcast(8 seed centroids) cross join — k rows by construction (q172's assignment pass); the acquisition rank window is partitioned by cluster",
+    "q262_csv_malformed" ->
+      "cross join of two 1-row aggregates by construction (the permissive and dropmalformed count rows)",
     "q110_kmeans" ->
       "broadcast(centroids) cross join — k rows by construction (Lloyd assignment pass)",
     "q45_ann_ivf" ->

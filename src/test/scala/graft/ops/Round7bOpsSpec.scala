@@ -621,6 +621,22 @@ class Round7bOpsSpec extends SparkSpec {
     assert(r.getDouble(3) === -2.366432)
   }
 
+  test("q262: corrupt CSV rows are quarantined, strict and permissive agree") {
+    import spark.implicits._
+    val d = Files.createTempDirectory("graft_r7b_csv").toString
+    val ts = Timestamp.valueOf("2024-01-01 00:00:00")
+    // keys 13, 26 → arity-corrupt; 1, 14 → number-corrupt; rest clean
+    val rows = (1L to 26L).map(k => (k, k, "O", 100.0, ts, "P"))
+    rows.toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+      "o_orderdate", "o_orderpriority")
+      .coalesce(1).write.parquet(s"$d/orders.parquet")
+    val r = RelationalExt.q262CsvMalformed(spark, d).collect().head
+    assert(r.getLong(0) === 26L)                    // total lines
+    assert(r.getLong(1) === 4L)                     // 13,26 arity + 1,14 numeric
+    assert(r.getLong(2) === 22L && r.getLong(3) === 22L) // both modes agree
+    assert(r.getDouble(4) === 2200.0)               // 22 clean × $100
+  }
+
   test("q237: planted durations/censoring recover the hand-computed KM curve") {
     import spark.implicits._
     val d = Files.createTempDirectory("graft_r7b_km").toString
