@@ -935,11 +935,66 @@ object EventOps {
       |  ROUND(list_reduce(list(term ORDER BY s), (a, b) -> a + b) / 24.0, 6) AS shapley
       |FROM terms GROUP BY ch ORDER BY ch""".stripMargin
 
+  // --------------------------------------------------------------------------
+  // q264 — MARKOV NEXT-EVENT BASELINE with held-out evaluation: the
+  // first model every sequence task needs beaten. Train users (odd ids)
+  // fit the bigram transition matrix; for test users (even ids), each
+  // transition's prediction is the train-argmax next type given the
+  // previous, and the readout is per-previous-type accuracy. Both the
+  // matrix and the eval are exact counts on the |types|² grid — the
+  // model "fits" in one aggregate, evaluation in one join.
+  //
+  // Determinism: argmax ties break lexically (rank by count desc, next
+  // asc); transitions order by (ts, event_id) — q132's rule.
+  def q264MarkovEval(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val trans = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev", lag(col("event_type"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .select(col("user_id"), col("prev"), col("event_type").as("next"))
+    val train = trans.filter(col("user_id") % 2 === 1)
+      .groupBy(col("prev"), col("next")).agg(count(lit(1)).as("c"))
+    val pred = train
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("prev")).orderBy(col("c").desc, col("next"))))
+      .filter(col("rk") === 1)
+      .select(col("prev"), col("next").as("predicted"))
+    trans.filter(col("user_id") % 2 === 0)
+      .join(broadcast(pred), Seq("prev"))
+      .groupBy(col("prev"), col("predicted"))
+      .agg(count(lit(1)).as("n_test"),
+        count_if(col("next") === col("predicted")).as("n_correct"))
+      .withColumn("accuracy",
+        round(col("n_correct").cast("double") / col("n_test"), 6))
+      .orderBy(col("prev"))
+  }
+
+  val q264Sql: String =
+    """WITH t AS (
+      |  SELECT user_id, event_type AS next,
+      |    LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      |  FROM events QUALIFY prev IS NOT NULL),
+      |tr AS (
+      |  SELECT prev, next, COUNT(*) AS c FROM t WHERE user_id % 2 = 1 GROUP BY 1, 2),
+      |p AS (
+      |  SELECT prev, next AS predicted FROM (
+      |    SELECT prev, next, ROW_NUMBER() OVER (PARTITION BY prev
+      |      ORDER BY c DESC, next) AS rk FROM tr) WHERE rk = 1)
+      |SELECT t.prev, predicted, COUNT(*) AS n_test,
+      |  CAST(COUNT(*) FILTER (WHERE next = predicted) AS BIGINT) AS n_correct,
+      |  ROUND(CAST(COUNT(*) FILTER (WHERE next = predicted) AS DOUBLE) / COUNT(*), 6)
+      |    AS accuracy
+      |FROM t JOIN p ON t.prev = p.prev
+      |WHERE user_id % 2 = 0
+      |GROUP BY 1, 2 ORDER BY t.prev""".stripMargin
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q237_kaplan_meier", q237KaplanMeier _, Some(q237Sql)),
     ("q246_bot_score", q246BotScore _, Some(q246Sql)),
     ("q250_incremental_sessions", q250IncrementalSessions _, Some(q250Sql)),
     ("q254_shapley_attribution", q254ShapleyAttribution _, Some(q254Sql)),
+    ("q264_markov_eval", q264MarkovEval _, Some(q264Sql)),
     ("q228_lateness_audit", q228LatenessAudit _, Some(q228Sql)),
     ("q131_cohort_retention", q131CohortRetention _, Some(q131Sql)),
     ("q132_event_transitions", q132EventTransitions _, Some(q132Sql)),

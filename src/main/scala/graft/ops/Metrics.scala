@@ -490,6 +490,70 @@ object Metrics {
       |FROM rk ORDER BY flag""".stripMargin
 
   // --------------------------------------------------------------------------
+  // q265 — PRECISION/RECALL CURVE + BEST-F1 THRESHOLD from score bins:
+  // the classification-eval readout q193 (AUC) and q224 (calibration)
+  // don't give — what operating point to SHIP. Scores collapse to the
+  // 50-bin grid; suffix sums over it give every threshold's exact TP/FP
+  // simultaneously; F1 = 2TP/(2TP + FP + FN) stays an integer rational
+  // until one division. The best row is flagged via a max-F1 window over
+  // the same bounded grid.
+  def q265PrCurve(spark: SparkSession, dir: String): DataFrame = {
+    val u = (conv(substring(md5(concat(lit("cal:"), col("event_id").cast("string"))), 1, 13),
+      16, 10).cast("long").cast("double") + 0.5) / lit(4503599627370496.0)
+    val bins = Tables.events(spark, dir)
+      .select((col("event_type") === "purchase").as("pos"),
+        (u * 0.8 + when(col("event_type") === "purchase", 0.2).otherwise(0.0)).as("p"))
+      .withColumn("bin", floor(col("p") * 50).cast("int"))
+      .groupBy(col("bin"))
+      .agg(count_if(col("pos")).as("np"), count_if(!col("pos")).as("nn"))
+    val wSuf = Window.orderBy(col("bin").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    bins
+      .withColumn("tp", sum(col("np")).over(wSuf))
+      .withColumn("fp", sum(col("nn")).over(wSuf))
+      .withColumn("totp", sum(col("np")).over(wAll))
+      .withColumn("f1", round(lit(2.0) * col("tp") /
+        (lit(2.0) * col("tp") + col("fp") + (col("totp") - col("tp"))), 6))
+      .withColumn("best_f1", max(col("f1")).over(wAll))
+      .select(round(col("bin") / 50.0, 2).as("threshold"),
+        col("tp"), col("fp"),
+        round(col("tp").cast("double") / (col("tp") + col("fp")), 6).as("precision"),
+        round(col("tp").cast("double") / col("totp"), 6).as("recall"),
+        col("f1"), (col("f1") === col("best_f1")).as("is_best"))
+      .orderBy(col("threshold"))
+  }
+
+  val q265Sql: String =
+    """WITH sc AS (
+      |  SELECT event_type = 'purchase' AS pos,
+      |    (('0x' || substr(md5('cal:' || event_id::VARCHAR), 1, 13))::BIGINT + 0.5)
+      |      / 4503599627370496.0 * 0.8
+      |      + CASE WHEN event_type = 'purchase' THEN 0.2 ELSE 0.0 END AS p
+      |  FROM events),
+      |b AS (
+      |  SELECT CAST(FLOOR(p * 50) AS INT) AS bin,
+      |    CAST(COUNT(*) FILTER (WHERE pos) AS BIGINT) AS np,
+      |    CAST(COUNT(*) FILTER (WHERE NOT pos) AS BIGINT) AS nn
+      |  FROM sc GROUP BY 1),
+      |s AS (
+      |  SELECT bin,
+      |    SUM(np) OVER (ORDER BY bin DESC ROWS UNBOUNDED PRECEDING) AS tp,
+      |    SUM(nn) OVER (ORDER BY bin DESC ROWS UNBOUNDED PRECEDING) AS fp,
+      |    SUM(np) OVER () AS totp
+      |  FROM b),
+      |f AS (
+      |  SELECT bin, tp, fp, totp,
+      |    ROUND(2.0 * tp / (2.0 * tp + fp + (totp - tp)), 6) AS f1
+      |  FROM s)
+      |SELECT ROUND(bin / 50.0, 2) AS threshold, tp, fp,
+      |  ROUND(CAST(tp AS DOUBLE) / (tp + fp), 6) AS precision,
+      |  ROUND(CAST(tp AS DOUBLE) / totp, 6) AS recall,
+      |  f1, f1 = MAX(f1) OVER () AS is_best
+      |FROM f ORDER BY threshold""".stripMargin
+
+  // --------------------------------------------------------------------------
   // q261 — MANN-WHITNEY U TEST on a bounded value grid: the rank-sum
   // two-sample test (does returned-lineitem quantity stochastically
   // dominate non-returned?) computed EXACTLY without any global rank
@@ -562,6 +626,7 @@ object Metrics {
     ("q241_isotonic_calibration", q241IsotonicCalibration _, Some(q241Sql)),
     ("q260_best_split", q260BestSplit _, Some(q260Sql)),
     ("q261_mann_whitney", q261MannWhitney _, Some(q261Sql)),
+    ("q265_pr_curve", q265PrCurve _, Some(q265Sql)),
     ("q124_observe_quality", q124ObserveQuality _, Some(q124Sql)),
     ("q224_calibration", q224Calibration _, Some(q224Sql)),
     ("q232_conformal", q232Conformal _, Some(q232Sql)),

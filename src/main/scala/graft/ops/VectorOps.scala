@@ -4,6 +4,7 @@ import graft.Tables
 import org.apache.spark.sql.{DataFrame, Encoder, Encoders, SparkSession}
 import org.apache.spark.sql.expressions.{Aggregator, Window}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Embedding/similarity operators over the `embeddings` table
   * (vec_id long, embedding array<float> ×64, label int).
@@ -1003,10 +1004,90 @@ object VectorOps {
       |SELECT cluster, CAST(rk AS INT) AS rk, vec_id, unc
       |FROM rk ORDER BY cluster, rk""".stripMargin
 
+  // --------------------------------------------------------------------------
+  // q263 — EMBEDDING DRIFT MONITOR: did the embedding distribution move
+  // between two production batches? Split the corpus into cohorts A/B
+  // (vec_id halves standing in for week-1/week-2 batches), compute per-
+  // DIMENSION mean and variance for each cohort in ONE pass (explode to
+  // (dim, value) with exact 1e6-scaled-long moments — 64·2 grid rows),
+  // and report each dimension's mean shift in pooled-σ units plus the
+  // variance ratio. The per-dim readout localizes WHICH dimensions moved
+  // — the signal a scalar drift score (q133's PSI) cannot give.
+  //
+  // Exactness: all moments are exact integer sums; shift/ratio are two
+  // double divisions at output, rounded 6 dp.
+  def q263EmbeddingDrift(spark: SparkSession, dir: String): DataFrame = {
+    val d38 = DecimalType(38, 0)
+    val half = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), vd.as("v"))
+      .crossJoin(broadcast(Tables.embeddings(spark, dir)
+        .agg(max(col("vec_id")).as("mx"))))
+      .withColumn("cohort", (col("vec_id") * 2 <= col("mx")).cast("int"))
+    val byDim = half
+      .select(col("cohort"), posexplode(col("v")).as(Seq("dim", "x")))
+      .withColumn("q", floor(col("x") * 1e6 + 0.5).cast("long"))
+      .groupBy(col("dim"), col("cohort"))
+      .agg(count(lit(1)).cast(d38).as("n"),
+        sum(col("q")).cast(d38).as("s1"),
+        sum(col("q").cast(d38) * col("q")).cast(d38).as("s2"))
+    val a = byDim.filter(col("cohort") === 1)
+      .select(col("dim"), col("n").as("na"), col("s1").as("sa1"), col("s2").as("sa2"))
+    val b = byDim.filter(col("cohort") === 0)
+      .select(col("dim"), col("n").as("nb"), col("s1").as("sb1"), col("s2").as("sb2"))
+    a.join(b, Seq("dim"))
+      .withColumn("va", (col("sa2") * col("na") - col("sa1") * col("sa1")).cast("double") /
+        (col("na") * col("na")).cast("double"))
+      .withColumn("vb", (col("sb2") * col("nb") - col("sb1") * col("sb1")).cast("double") /
+        (col("nb") * col("nb")).cast("double"))
+      // zero-variance guard (q199's rule): Spark's Divide yields NULL on
+      // /0 while DuckDB yields NaN/inf — pin degenerate dims explicitly
+      .withColumn("shift",
+        when(col("va") + col("vb") > 0.0,
+          (col("sa1").cast("double") / col("na").cast("double") -
+            col("sb1").cast("double") / col("nb").cast("double")) /
+            sqrt((col("va") + col("vb")) / 2.0))
+          .otherwise(lit(0.0)))
+      .select(col("dim"),
+        round(col("shift"), 6).as("mean_shift_sigma"),
+        when(col("vb") > 0.0, round(col("va") / col("vb"), 6)).as("var_ratio"),
+        (abs(col("shift")) > 0.1).as("drifted"))
+      .orderBy(col("dim"))
+  }
+
+  val q263Sql: String =
+    """WITH base AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS v,
+      |    CAST(vec_id * 2 <= (SELECT MAX(vec_id) FROM embeddings) AS INT) AS cohort
+      |  FROM embeddings),
+      |e AS (
+      |  SELECT cohort, i - 1 AS dim,
+      |    CAST(FLOOR(v[i] * 1e6 + 0.5) AS BIGINT) AS q
+      |  FROM base, LATERAL (SELECT unnest(generate_series(1, len(v))) AS i) u),
+      |m AS (
+      |  SELECT dim, cohort, COUNT(*) AS n,
+      |    SUM(CAST(q AS HUGEINT)) AS s1, SUM(CAST(q AS HUGEINT) * q) AS s2
+      |  FROM e GROUP BY 1, 2),
+      |j AS (
+      |  SELECT a.dim,
+      |    CAST(a.s2 * a.n - a.s1 * a.s1 AS DOUBLE) / CAST(a.n * a.n AS DOUBLE) AS va,
+      |    CAST(b.s2 * b.n - b.s1 * b.s1 AS DOUBLE) / CAST(b.n * b.n AS DOUBLE) AS vb,
+      |    (CAST(a.s1 AS DOUBLE) / CAST(a.n AS DOUBLE)
+      |      - CAST(b.s1 AS DOUBLE) / CAST(b.n AS DOUBLE)) AS md,
+      |    a.n AS na, b.n AS nb
+      |  FROM m a JOIN m b ON a.dim = b.dim AND a.cohort = 1 AND b.cohort = 0)
+      |SELECT CAST(dim AS INT) AS dim,
+      |  ROUND(CASE WHEN va + vb > 0.0 THEN md / sqrt((va + vb) / 2.0)
+      |    ELSE 0.0 END, 6) AS mean_shift_sigma,
+      |  CASE WHEN vb > 0.0 THEN ROUND(va / vb, 6) END AS var_ratio,
+      |  ABS(CASE WHEN va + vb > 0.0 THEN md / sqrt((va + vb) / 2.0)
+      |    ELSE 0.0 END) > 0.1 AS drifted
+      |FROM j ORDER BY dim""".stripMargin
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q40_cosine_topk", q40CosineTopk _, Some(q40Sql)),
     ("q248_silhouette", q248Silhouette _, Some(q248Sql)),
     ("q259_acquisition", q259Acquisition _, Some(q259Sql)),
+    ("q263_embedding_drift", q263EmbeddingDrift _, Some(q263Sql)),
     ("q229_matryoshka_eval", q229MatryoshkaEval _, Some(q229Sql)),
     ("q212_embedding_outliers", q212EmbeddingOutliers _, Some(q212Sql)),
     ("q172_semantic_dedup", q172SemanticDedup _, Some(q172Sql)),

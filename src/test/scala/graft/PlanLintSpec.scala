@@ -64,7 +64,9 @@ class PlanLintSpec extends SparkSpec {
     "q258_learning_curve" ->
       "prefix sums over the 10-row hash-decile bucket grid — bounded by construction, not by lineitem",
     "q261_mann_whitney" ->
-      "prefix sum over the 50-value quantity grid — bounded by the discrete feature domain, not lineitem")
+      "prefix sum over the 50-value quantity grid — bounded by the discrete feature domain, not lineitem",
+    "q265_pr_curve" ->
+      "suffix/total sums over the 50-row score-bin grid (floor(p*50), p in [0,1]) — domain-bounded, not event-count")
 
   /** name → reason a no-equi-key join is still scale-safe there. */
   private val joinAllow: Map[String, String] = Map(
@@ -92,6 +94,8 @@ class PlanLintSpec extends SparkSpec {
       "broadcast(8 seed centroids) cross join — k rows by construction (q172's assignment pass); the acquisition rank window is partitioned by cluster",
     "q262_csv_malformed" ->
       "cross join of two 1-row aggregates by construction (the permissive and dropmalformed count rows)",
+    "q263_embedding_drift" ->
+      "broadcast 1-row side by construction: the max-vec-id aggregate that derives the cohort split",
     "q110_kmeans" ->
       "broadcast(centroids) cross join — k rows by construction (Lloyd assignment pass)",
     "q45_ann_ivf" ->

@@ -637,6 +637,76 @@ class Round7bOpsSpec extends SparkSpec {
     assert(r.getDouble(4) === 2200.0)               // 22 clean × $100
   }
 
+  test("q263: a planted per-dim shift in cohort A is localized to that dim") {
+    import spark.implicits._
+    val d = Files.createTempDirectory("graft_r7b_drift").toString
+    // ids 0..99: dim 5 reads 1.0 for the A cohort (low ids... cohort 1 is
+    // vec_id*2 <= max) and 0.0 for B; dim 7 is uniform noise-free 0.5 in
+    // both — only dim 5 may flag
+    def vec(id: Long): Array[Float] = {
+      val a = Array.fill(64)(0.2f)
+      a(7) = 0.5f // constant in BOTH cohorts → degenerate-variance guard path
+      val jit = (id % 7).toFloat / 70.0f
+      a(5) = (if (id * 2 <= 99) 1.0f else 0.0f) + jit
+      a(3) = 0.2f + jit // jitter only: no drift
+      a
+    }
+    (0L to 99L).map(id => (id, vec(id), 0)).toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.parquet(s"$d/embeddings.parquet")
+    val got = VectorOps.q263EmbeddingDrift(spark, d).collect()
+      .map(r => r.getInt(0) -> ((r.getDouble(1), r.getBoolean(3)))).toMap
+    assert(got(5)._2 === true)            // the planted shift flags
+    assert(math.abs(got(3)._1) < 0.1 && got(3)._2 === false) // jitter dim clean
+    assert(got(7)._1 === 0.0 && got(7)._2 === false) // guarded degenerate dim
+  }
+
+  test("q264: test transitions are scored against the train argmax") {
+    import spark.implicits._
+    val d = Files.createTempDirectory("graft_r7b_mkv").toString
+    val t0 = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    var id = 0L
+    def seq(u: Long, types: Seq[String]) = types.map { t =>
+      id += 1; (id, new Timestamp(t0 + id * 1000L), u, t, 1.0, "{}")
+    }
+    // train user 1 (odd): view→click, view→click, view→purchase →
+    // argmax(view) = click. test user 2 (even): view→click, view→purchase
+    // → accuracy for prev=view is 1/2
+    val rows = seq(1L, Seq("view", "click", "view", "click", "view", "purchase")) ++
+      seq(2L, Seq("view", "click", "view", "purchase"))
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.parquet(s"$d/events.parquet")
+    val got = EventOps.q264MarkovEval(spark, d).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .toList
+    // prev=view: predicted click, 2 test transitions, 1 correct
+    assert(got.contains(("view", "click", 2L, 1L, 0.5)))
+    // prev=click: train argmax = view (click→view twice); test has
+    // click→view once → perfect
+    assert(got.contains(("click", "view", 1L, 1L, 1.0)))
+  }
+
+  test("q265: the PR sweep has monotone recall and a flagged best-F1 row") {
+    import spark.implicits._
+    val d = Files.createTempDirectory("graft_r7b_pr").toString
+    val ts = Timestamp.valueOf("2024-01-01 00:00:00")
+    (1L to 2000L).map(k =>
+      (k, ts, k % 50, if (k % 4 == 0) "purchase" else "view", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.parquet(s"$d/events.parquet")
+    val rows = Metrics.q265PrCurve(spark, d).collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getDouble(3), r.getDouble(4),
+        r.getDouble(5), r.getBoolean(6)))
+      .sortBy(_._1)
+    // recall non-increasing in threshold; exactly the max-f1 rows flagged
+    val recalls = rows.map(_._4)
+    assert(recalls.zip(recalls.tail).forall { case (a, b) => a >= b })
+    val maxF1 = rows.map(_._5).max
+    assert(rows.filter(_._6).forall(_._5 == maxF1))
+    assert(rows.exists(_._6))
+    // low thresholds capture every positive
+    assert(rows.head._4 === 1.0)
+  }
+
   test("q237: planted durations/censoring recover the hand-computed KM curve") {
     import spark.implicits._
     val d = Files.createTempDirectory("graft_r7b_km").toString
