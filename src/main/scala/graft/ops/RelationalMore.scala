@@ -1938,6 +1938,177 @@ object RelationalMore {
       |  ROUND(a * a / (bb * c), 6) AS r2
       |FROM d ORDER BY pct""".stripMargin
 
+  // --------------------------------------------------------------------------
+  // q266 — V-OPTIMAL HISTOGRAM via dynamic programming on the bounded
+  // value grid: the minimum-SSE 4-bucket histogram of l_quantity — the
+  // construction query optimizers use for selectivity estimation, where
+  // equi-width (q78) and equi-depth (q130) are heuristics. The corpus
+  // collapses to per-value counts with prefix sums (W, S = Σv·n,
+  // Q = Σv²·n — SSE(a..b) = Q − S²/W falls out of differences); the DP
+  //   dp_k(v) = min_{s<v} dp_{k-1}(s) + SSE(s+1..v)
+  // runs k−1 = 3 bounded rounds of 50×50 index-grid joins, and the
+  // optimal boundaries come back by 3 argmin-backtrack joins. Rows never
+  // enter the DP — at 100 TB the histogram build is one aggregate plus
+  // constant-size planning.
+  //
+  // Determinism: SSE/dp are doubles with IDENTICAL arithmetic both
+  // engines; argmins tie-break on the smaller split index (min-struct /
+  // row_number(cost, s)).
+  def q266VOptimalHist(spark: SparkSession, dir: String): DataFrame = {
+    val nBins = 4
+    val grid = Tables.lineitem(spark, dir)
+      .select(col("l_quantity").cast("int").as("v"))
+      .groupBy(col("v")).agg(count(lit(1)).as("n"))
+      .withColumn("i", row_number().over(Window.orderBy(col("v"))))
+    val wCum = Window.orderBy(col("i"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pre = grid
+      .withColumn("cw", sum(col("n")).over(wCum))
+      .withColumn("cs", sum(col("v") * col("n")).over(wCum))
+      .withColumn("cq", sum(col("v").cast("long") * col("v") * col("n")).over(wCum))
+      .select(col("i"), col("v"), col("n"), col("cw"), col("cs"), col("cq"))
+    // sse of index range (a..b]: prefix rows a (exclusive base, i=a) and b
+    def sse(aw: org.apache.spark.sql.Column, as_ : org.apache.spark.sql.Column,
+        aq: org.apache.spark.sql.Column, bw: org.apache.spark.sql.Column,
+        bs: org.apache.spark.sql.Column, bq: org.apache.spark.sql.Column) = {
+      val w = bw - aw; val s = bs - as_; val q = bq - aq
+      q.cast("double") - (s * s).cast("double") / w.cast("double")
+    }
+    val zero = pre.select(lit(0).as("i"), lit(0L).as("cw"), lit(0L).as("cs"),
+      lit(0L).as("cq")).limit(1).unionByName(
+      pre.select(col("i"), col("cw"), col("cs"), col("cq")))
+    val ends = pre.select(col("i").as("e"), col("cw").as("ew"),
+      col("cs").as("es"), col("cq").as("eq"))
+    // dp1(v) = sse(0..v]
+    val dp = ends.join(zero.filter(col("i") === 0), ends("e") > col("i"))
+      .select(col("e").as("v"),
+        sse(col("cw"), col("cs"), col("cq"), col("ew"), col("es"), col("eq")).as("cost"),
+        lit(0).as("arg"))
+    val dpByLevel = scala.collection.mutable.Map(1 -> dp)
+    (2 to nBins).foreach { k =>
+      val prev = dpByLevel(k - 1)
+        .select(col("v").as("s"), col("cost").as("pcost"))
+        .join(zero.select(col("i").as("s"), col("cw").as("sw"),
+          col("cs").as("ss"), col("cq").as("sq")), Seq("s"))
+      val cand = ends.join(prev, col("e") > col("s"))
+        .withColumn("cost", col("pcost") +
+          sse(col("sw"), col("ss"), col("sq"), col("ew"), col("es"), col("eq")))
+      val next = cand
+        .groupBy(col("e").as("v"))
+        .agg(min(struct(col("cost"), col("s"))).as("m"))
+        .select(col("v"), col("m.cost").as("cost"), col("m.s").as("arg"))
+      dpByLevel(k) = next
+    }
+    val top = pre.agg(max(col("i")).as("vmax"))
+    // backtrack boundaries: s3 = arg(dp4, vmax); s2 = arg(dp3, s3); s1 = arg(dp2, s2)
+    val s3 = dpByLevel(4).join(broadcast(top), col("v") === col("vmax"))
+      .select(col("arg").as("s3"))
+    val s2 = dpByLevel(3).join(broadcast(s3), col("v") === col("s3"))
+      .select(col("arg").as("s2"), col("s3"))
+    val s1 = dpByLevel(2).join(broadcast(s2), col("v") === col("s2"))
+      .select(col("arg").as("s1"), col("s2"), col("s3"))
+    val bounds = s1.crossJoin(broadcast(top))
+      .select(explode(array(
+        struct(lit(1).as("bin"), (col("s1") * 0).as("lo_i"), col("s1").as("hi_i")),
+        struct(lit(2).as("bin"), col("s1").as("lo_i"), col("s2").as("hi_i")),
+        struct(lit(3).as("bin"), col("s2").as("lo_i"), col("s3").as("hi_i")),
+        struct(lit(4).as("bin"), col("s3").as("lo_i"), col("vmax").as("hi_i"))))
+        .as("b"))
+      .select(col("b.bin").as("bin"), col("b.lo_i").as("lo_i"), col("b.hi_i").as("hi_i"))
+    bounds
+      .join(zero.select(col("i").as("lo_i"), col("cw").as("aw"),
+        col("cs").as("as_"), col("cq").as("aq")), Seq("lo_i"))
+      .join(pre.select(col("i").as("hi_i"), col("v").as("hi_v"), col("cw").as("bw"),
+        col("cs").as("bs"), col("cq").as("bq")), Seq("hi_i"))
+      .join(pre.select(col("i").as("lo_idx"), col("v").as("lo_v")),
+        col("lo_i") === col("lo_idx"), "left")
+      .select(col("bin"),
+        coalesce(col("lo_v") + 1, lit(1)).as("lo"), col("hi_v").as("hi"),
+        (col("bw") - col("aw")).as("n"),
+        round(sse(col("aw"), col("as_"), col("aq"),
+          col("bw"), col("bs"), col("bq")), 4).as("sse"))
+      .orderBy(col("bin"))
+  }
+
+  val q266Sql: String =
+    """WITH g AS (
+      |  SELECT CAST(l_quantity AS INT) AS v, COUNT(*) AS n FROM lineitem GROUP BY 1),
+      |p0 AS (
+      |  SELECT v, n, ROW_NUMBER() OVER (ORDER BY v) AS i FROM g),
+      |pre AS (
+      |  SELECT i, v, n,
+      |    SUM(n) OVER w AS cw, SUM(v * n) OVER w AS cs,
+      |    SUM(CAST(v AS BIGINT) * v * n) OVER w AS cq
+      |  FROM p0 WINDOW w AS (ORDER BY i ROWS UNBOUNDED PRECEDING)),
+      |z AS (
+      |  SELECT 0 AS i, 0::BIGINT AS cw, 0::BIGINT AS cs, 0::BIGINT AS cq
+      |  UNION ALL SELECT i, cw, cs, cq FROM pre),
+      |dp1 AS (
+      |  SELECT e.i AS v,
+      |    CAST(e.cq AS DOUBLE) - CAST(e.cs * e.cs AS DOUBLE) / CAST(e.cw AS DOUBLE)
+      |      AS cost,
+      |    0 AS arg
+      |  FROM pre e),
+      |dp2 AS (
+      |  SELECT v, cost, arg FROM (
+      |    SELECT e.i AS v,
+      |      d.cost + (CAST(e.cq - s.cq AS DOUBLE)
+      |        - CAST((e.cs - s.cs) * (e.cs - s.cs) AS DOUBLE)
+      |          / CAST(e.cw - s.cw AS DOUBLE)) AS cost,
+      |      s.i AS arg,
+      |      ROW_NUMBER() OVER (PARTITION BY e.i ORDER BY
+      |        d.cost + (CAST(e.cq - s.cq AS DOUBLE)
+      |          - CAST((e.cs - s.cs) * (e.cs - s.cs) AS DOUBLE)
+      |            / CAST(e.cw - s.cw AS DOUBLE)), s.i) AS rk
+      |    FROM pre e JOIN dp1 d ON d.v < e.i JOIN z s ON s.i = d.v)
+      |  WHERE rk = 1),
+      |dp3 AS (
+      |  SELECT v, cost, arg FROM (
+      |    SELECT e.i AS v,
+      |      d.cost + (CAST(e.cq - s.cq AS DOUBLE)
+      |        - CAST((e.cs - s.cs) * (e.cs - s.cs) AS DOUBLE)
+      |          / CAST(e.cw - s.cw AS DOUBLE)) AS cost,
+      |      s.i AS arg,
+      |      ROW_NUMBER() OVER (PARTITION BY e.i ORDER BY
+      |        d.cost + (CAST(e.cq - s.cq AS DOUBLE)
+      |          - CAST((e.cs - s.cs) * (e.cs - s.cs) AS DOUBLE)
+      |            / CAST(e.cw - s.cw AS DOUBLE)), s.i) AS rk
+      |    FROM pre e JOIN dp2 d ON d.v < e.i JOIN z s ON s.i = d.v)
+      |  WHERE rk = 1),
+      |dp4 AS (
+      |  SELECT v, cost, arg FROM (
+      |    SELECT e.i AS v,
+      |      d.cost + (CAST(e.cq - s.cq AS DOUBLE)
+      |        - CAST((e.cs - s.cs) * (e.cs - s.cs) AS DOUBLE)
+      |          / CAST(e.cw - s.cw AS DOUBLE)) AS cost,
+      |      s.i AS arg,
+      |      ROW_NUMBER() OVER (PARTITION BY e.i ORDER BY
+      |        d.cost + (CAST(e.cq - s.cq AS DOUBLE)
+      |          - CAST((e.cs - s.cs) * (e.cs - s.cs) AS DOUBLE)
+      |            / CAST(e.cw - s.cw AS DOUBLE)), s.i) AS rk
+      |    FROM pre e JOIN dp3 d ON d.v < e.i JOIN z s ON s.i = d.v)
+      |  WHERE rk = 1),
+      |vm AS (SELECT MAX(i) AS vmax FROM pre),
+      |b3 AS (SELECT arg AS s3 FROM dp4, vm WHERE v = vmax),
+      |b2 AS (SELECT dp3.arg AS s2, s3 FROM dp3, b3 WHERE dp3.v = s3),
+      |b1 AS (SELECT dp2.arg AS s1, s2, s3 FROM dp2, b2 WHERE dp2.v = s2),
+      |bounds AS (
+      |  SELECT 1 AS bin, 0 AS lo_i, s1 AS hi_i FROM b1, vm
+      |  UNION ALL SELECT 2, s1, s2 FROM b1, vm
+      |  UNION ALL SELECT 3, s2, s3 FROM b1, vm
+      |  UNION ALL SELECT 4, s3, vmax FROM b1, vm)
+      |SELECT bin,
+      |  COALESCE(lp.v + 1, 1) AS lo, hp.v AS hi,
+      |  hp.cw - a.cw AS n,
+      |  ROUND(CAST(hp.cq - a.cq AS DOUBLE)
+      |    - CAST((hp.cs - a.cs) * (hp.cs - a.cs) AS DOUBLE)
+      |      / CAST(hp.cw - a.cw AS DOUBLE), 4) AS sse
+      |FROM bounds
+      |JOIN z a ON a.i = bounds.lo_i
+      |JOIN pre hp ON hp.i = bounds.hi_i
+      |LEFT JOIN pre lp ON lp.i = bounds.lo_i
+      |ORDER BY bin""".stripMargin
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q234_groupwise_ols", q234GroupwiseOls _, Some(q234Sql)),
     ("q236_gini", q236Gini _, Some(q236Sql)),
@@ -1945,6 +2116,7 @@ object RelationalMore {
     ("q243_merkle_diff", q243MerkleDiff _, Some(q243Sql)),
     ("q253_cascade_delete", q253CascadeDelete _, Some(q253Sql)),
     ("q258_learning_curve", q258LearningCurve _, Some(q258Sql)),
+    ("q266_voptimal_hist", q266VOptimalHist _, Some(q266Sql)),
     ("q214_cbo_stats", q214CboStats _, Some(q214Sql)),
     ("q219_schema_evolution", q219SchemaEvolution _, Some(q219Sql)),
     ("q53_date_spine", q53DateSpine _, Some(q53Sql)),

@@ -66,7 +66,9 @@ class PlanLintSpec extends SparkSpec {
     "q261_mann_whitney" ->
       "prefix sum over the 50-value quantity grid — bounded by the discrete feature domain, not lineitem",
     "q265_pr_curve" ->
-      "suffix/total sums over the 50-row score-bin grid (floor(p*50), p in [0,1]) — domain-bounded, not event-count")
+      "suffix/total sums over the 50-row score-bin grid (floor(p*50), p in [0,1]) — domain-bounded, not event-count",
+    "q266_voptimal_hist" ->
+      "rank + prefix sums over the distinct-quantity value grid — bounded by the 50-value feature domain, not lineitem")
 
   /** name → reason a no-equi-key join is still scale-safe there. */
   private val joinAllow: Map[String, String] = Map(
@@ -96,6 +98,8 @@ class PlanLintSpec extends SparkSpec {
       "cross join of two 1-row aggregates by construction (the permissive and dropmalformed count rows)",
     "q263_embedding_drift" ->
       "broadcast 1-row side by construction: the max-vec-id aggregate that derives the cohort split",
+    "q266_voptimal_hist" ->
+      "bounded 50×50 index-grid DP joins (e > s range condition) and broadcast 1-row backtrack rows — all sides are value-domain aggregates, corpus-size-independent",
     "q110_kmeans" ->
       "broadcast(centroids) cross join — k rows by construction (Lloyd assignment pass)",
     "q45_ann_ivf" ->

@@ -707,6 +707,29 @@ class Round7bOpsSpec extends SparkSpec {
     assert(rows.head._4 === 1.0)
   }
 
+  test("q266: the DP finds the planted four tight clusters as optimal bins") {
+    import spark.implicits._
+    val d = Files.createTempDirectory("graft_r7b_vopt").toString
+    val ts = Timestamp.valueOf("2024-01-01 00:00:00")
+    // quantities cluster at {1,2}, {10,11}, {20,21}, {30,31} (100 rows
+    // each value) → the SSE-optimal 4-bucket histogram is exactly those
+    // pairs; any boundary crossing a gap costs orders of magnitude more
+    val qs = Seq(1, 2, 10, 11, 20, 21, 30, 31)
+    val rows = for (q <- qs; r <- 1 to 100) yield
+      (q * 1000L + r, 1L, 1L, 1, q.toDouble, 1.0, 0.0, 0.0, "N", "O", ts)
+    rows.toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+      "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+      "l_returnflag", "l_linestatus", "l_shipdate")
+      .coalesce(1).write.parquet(s"$d/lineitem.parquet")
+    val got = RelationalMore.q266VOptimalHist(spark, d).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getLong(3), r.getDouble(4)))
+    // bins PARTITION the value axis (lo = previous hi + 1), so the gap
+    // regions attach to the following bin; contents are the four clusters
+    assert(got === Array(
+      (1, 1, 2, 200L, 50.0), (2, 3, 11, 200L, 50.0),
+      (3, 12, 21, 200L, 50.0), (4, 22, 31, 200L, 50.0)))
+  }
+
   test("q237: planted durations/censoring recover the hand-computed KM curve") {
     import spark.implicits._
     val d = Files.createTempDirectory("graft_r7b_km").toString
