@@ -794,7 +794,60 @@ object CurateOps {
        |    ::DOUBLE / tokens, 6) AS epochs
        |FROM t, tot ORDER BY source""".stripMargin
 
+  // --------------------------------------------------------------------------
+  // q268 — TWO-HOP GRAPH FEATURE AGGREGATION (GNN message passing in
+  // relational form): over the bipartite supplier–part purchase graph,
+  // round 1 averages each supplier's neighbor-part base feature, round 2
+  // averages each part's neighbor-supplier round-1 state — the
+  // GraphSAGE-mean layer, where each round is ONE equi-join + one
+  // aggregate, the only shape message passing can take at 100 TB.
+  //
+  // Exactness: the base feature is an exact cent long (min neighbor
+  // price); each round's mean uses INTEGER floor-division (Σ div n), so
+  // state stays integral across rounds — no float accumulation between
+  // hops (the q201 lesson applied to iterative aggregation).
+  def q268GraphAggregation(spark: SparkSession, dir: String): DataFrame = {
+    val edges = Tables.lineitem(spark, dir)
+      .select(col("l_partkey").as("p"), col("l_suppkey").as("s"),
+        expr("cast(cast(l_extendedprice as decimal(18,2)) * 100 as bigint)").as("cents"))
+    val base = edges.groupBy(col("p")).agg(min(col("cents")).as("x"))
+    val dedges = edges.select(col("p"), col("s")).distinct()
+    val h1 = dedges.join(base, Seq("p"))
+      .groupBy(col("s"))
+      .agg(expr("sum(x) div count(1)").as("h1"))
+    val h2 = dedges.join(h1, Seq("s"))
+      .groupBy(col("p"))
+      .agg(expr("sum(h1) div count(1)").as("h2"), count(lit(1)).as("n_sup"))
+    base.join(h2, Seq("p"))
+      .select(col("p").as("partkey"),
+        round(col("x") / 100.0, 2).as("own_price"),
+        round(col("h2") / 100.0, 2).as("neighborhood_price"),
+        col("n_sup"))
+      .orderBy(col("partkey"))
+  }
+
+  val q268Sql: String =
+    """WITH e AS (
+      |  SELECT l_partkey AS p, l_suppkey AS s,
+      |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      |  FROM lineitem),
+      |base AS (SELECT p, MIN(cents) AS x FROM e GROUP BY 1),
+      |de AS (SELECT DISTINCT p, s FROM e),
+      |h1 AS (
+      |  SELECT s, SUM(x) // COUNT(*) AS h1
+      |  FROM de JOIN base USING (p) GROUP BY 1),
+      |h2 AS (
+      |  SELECT p, SUM(h1) // COUNT(*) AS h2, COUNT(*) AS n_sup
+      |  FROM de JOIN h1 USING (s) GROUP BY 1)
+      |SELECT p AS partkey,
+      |  ROUND(x / 100.0, 2) AS own_price,
+      |  ROUND(h2 / 100.0, 2) AS neighborhood_price,
+      |  n_sup
+      |FROM base JOIN h2 USING (p)
+      |ORDER BY partkey""".stripMargin
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
+    ("q268_graph_aggregation", q268GraphAggregation _, Some(q268Sql)),
     ("q197_phash_dedup", q197PhashDedup _, Some(q197Sql)),
     ("q206_triangle_count", q206TriangleCount _, Some(q206Sql)),
     ("q207_winsor_stats", q207WinsorStats _, Some(q207Sql)),

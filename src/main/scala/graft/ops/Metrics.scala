@@ -554,6 +554,73 @@ object Metrics {
       |FROM f ORDER BY threshold""".stripMargin
 
   // --------------------------------------------------------------------------
+  // q267 — CUPED VARIANCE REDUCTION (controlled-experiment sensitivity):
+  // the pre-experiment covariate adjustment every experimentation
+  // platform runs — y_adj = y − θ·(x − x̄) with θ = cov(x,y)/var(x),
+  // where x = a user's PRE-period activity and y the experiment-period
+  // metric. Reported: θ, the raw and adjusted metric variance, and the
+  // variance-reduction percentage ρ² = A²/(B·C) — which is how much
+  // smaller an A/B test this org needs to run.
+  //
+  // Exactness: per-user (x, y) are integer event counts split at the
+  // integer-micros midpoint; all five moments ride DECIMAL(38); θ and
+  // the reductions are ratios of EXACT integer quantities (A = nΣxy −
+  // ΣxΣy, B = nΣx² − (Σx)², C = nΣy² − (Σy)², var_adj numerator =
+  // C·B − A²) with one double division each at output.
+  def q267Cuped(spark: SparkSession, dir: String): DataFrame = {
+    val d38 = DecimalType(38, 0)
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"))
+    val span = ev.agg(min(col("us")).as("lo"), max(col("us")).as("hi"))
+      .select(expr("lo + (hi - lo) div 2").as("mid"))
+    val xy = ev.crossJoin(broadcast(span))
+      .groupBy(col("user_id"))
+      .agg(count_if(col("us") <= col("mid")).as("x"),
+        count_if(col("us") > col("mid")).as("y"))
+    val m = xy.agg(count(lit(1)).cast(d38).as("n"),
+      sum(col("x")).cast(d38).as("sx"), sum(col("y")).cast(d38).as("sy"),
+      sum(col("x") * col("y")).cast(d38).as("sxy"),
+      sum(col("x") * col("x")).cast(d38).as("sxx"),
+      sum(col("y") * col("y")).cast(d38).as("syy"))
+    m.withColumn("a", (col("sxy") * col("n") - col("sx") * col("sy")).cast(d38))
+      .withColumn("b", (col("sxx") * col("n") - col("sx") * col("sx")).cast(d38))
+      .withColumn("c", (col("syy") * col("n") - col("sy") * col("sy")).cast(d38))
+      .select(col("n").cast("long").as("n_users"),
+        round(col("a").cast("double") / col("b").cast("double"), 6).as("theta"),
+        round(col("c").cast("double") /
+          (col("n") * col("n")).cast("double"), 4).as("var_y"),
+        round((col("c") * col("b") - col("a") * col("a")).cast("double") /
+          (col("b") * col("n") * col("n")).cast("double"), 4).as("var_y_adj"),
+        round((col("a") * col("a")).cast("double") /
+          (col("b") * col("c")).cast("double") * 100, 4).as("reduction_pct"))
+  }
+
+  val q267Sql: String =
+    """WITH ev AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+      |sp AS (SELECT MIN(us) + (MAX(us) - MIN(us)) // 2 AS mid FROM ev),
+      |xy AS (
+      |  SELECT user_id,
+      |    CAST(COUNT(*) FILTER (WHERE us <= mid) AS HUGEINT) AS x,
+      |    CAST(COUNT(*) FILTER (WHERE us > mid) AS HUGEINT) AS y
+      |  FROM ev, sp GROUP BY 1),
+      |m AS (
+      |  SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+      |    SUM(x * y) AS sxy, SUM(x * x) AS sxx, SUM(y * y) AS syy
+      |  FROM xy),
+      |d AS (
+      |  SELECT n, sxy * n - sx * sy AS a, sxx * n - sx * sx AS b,
+      |    syy * n - sy * sy AS c
+      |  FROM m)
+      |SELECT CAST(n AS BIGINT) AS n_users,
+      |  ROUND(CAST(a AS DOUBLE) / CAST(b AS DOUBLE), 6) AS theta,
+      |  ROUND(CAST(c AS DOUBLE) / CAST(n * n AS DOUBLE), 4) AS var_y,
+      |  ROUND(CAST(c * b - a * a AS DOUBLE) / CAST(b * n * n AS DOUBLE), 4)
+      |    AS var_y_adj,
+      |  ROUND(CAST(a * a AS DOUBLE) / CAST(b * c AS DOUBLE) * 100, 4)
+      |    AS reduction_pct
+      |FROM d""".stripMargin
+
+  // --------------------------------------------------------------------------
   // q261 — MANN-WHITNEY U TEST on a bounded value grid: the rank-sum
   // two-sample test (does returned-lineitem quantity stochastically
   // dominate non-returned?) computed EXACTLY without any global rank
@@ -627,6 +694,7 @@ object Metrics {
     ("q260_best_split", q260BestSplit _, Some(q260Sql)),
     ("q261_mann_whitney", q261MannWhitney _, Some(q261Sql)),
     ("q265_pr_curve", q265PrCurve _, Some(q265Sql)),
+    ("q267_cuped", q267Cuped _, Some(q267Sql)),
     ("q124_observe_quality", q124ObserveQuality _, Some(q124Sql)),
     ("q224_calibration", q224Calibration _, Some(q224Sql)),
     ("q232_conformal", q232Conformal _, Some(q232Sql)),

@@ -100,6 +100,8 @@ class PlanLintSpec extends SparkSpec {
       "broadcast 1-row side by construction: the max-vec-id aggregate that derives the cohort split",
     "q266_voptimal_hist" ->
       "bounded 50×50 index-grid DP joins (e > s range condition) and broadcast 1-row backtrack rows — all sides are value-domain aggregates, corpus-size-independent",
+    "q267_cuped" ->
+      "broadcast 1-row side by construction: the (min, max) span aggregate that derives the pre/post midpoint",
     "q110_kmeans" ->
       "broadcast(centroids) cross join — k rows by construction (Lloyd assignment pass)",
     "q45_ann_ivf" ->

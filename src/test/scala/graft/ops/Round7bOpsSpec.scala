@@ -730,6 +730,54 @@ class Round7bOpsSpec extends SparkSpec {
       (3, 12, 21, 200L, 50.0), (4, 22, 31, 200L, 50.0)))
   }
 
+  test("q267: perfectly correlated pre/post gives ~100% variance reduction") {
+    import spark.implicits._
+    val d = Files.createTempDirectory("graft_r7b_cuped").toString
+    val t0 = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val dayMs = 86400000L
+    var id = 0L
+    // user u emits u events in days 0..9 (pre) and u events in days
+    // 10..19 (post) → y = x exactly → theta = 1, var_y_adj = 0
+    val rows = (1L to 8L).flatMap { u =>
+      (1L to u).flatMap { k =>
+        Seq(0L, 10L).map { off =>
+          id += 1
+          (id, new Timestamp(t0 + (off + (k % 10)) * dayMs + id), u, "view", 1.0, "{}")
+        }
+      }
+    }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.parquet(s"$d/events.parquet")
+    val r = Metrics.q267Cuped(spark, d).collect().head
+    assert(r.getLong(0) === 8L)
+    assert(r.getDouble(1) === 1.0)      // theta
+    assert(r.getDouble(3) === 0.0)      // adjusted variance vanishes
+    assert(r.getDouble(4) === 100.0)    // full reduction
+  }
+
+  test("q268: two-hop aggregation propagates the planted expensive part") {
+    import spark.implicits._
+    val d = Files.createTempDirectory("graft_r7b_gnn").toString
+    val ts = Timestamp.valueOf("2024-01-01 00:00:00")
+    // parts 1,2 sold by supplier 10; parts 2,3 by supplier 20.
+    // x = min price cents: p1=100, p2=200, p3=400 (dollars 1, 2, 4)
+    // h1(10) = (100+200)/2 = 150; h1(20) = (200+400)/2 = 300
+    // h2: p1 ← {10} = 150; p2 ← {10,20} = 225; p3 ← {20} = 300
+    val rows = Seq((1L, 1L, 10L, 1.0), (2L, 2L, 10L, 2.0),
+      (3L, 2L, 20L, 2.0), (4L, 3L, 20L, 4.0))
+      .map { case (o, p, s, pr) =>
+        (o, p, s, 1, 1.0, pr, 0.0, 0.0, "N", "O", ts)
+      }
+    rows.toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+      "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+      "l_returnflag", "l_linestatus", "l_shipdate")
+      .coalesce(1).write.parquet(s"$d/lineitem.parquet")
+    val got = CurateOps.q268GraphAggregation(spark, d).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getLong(3)))
+    assert(got === Array(
+      (1L, 1.0, 1.5, 1L), (2L, 2.0, 2.25, 2L), (3L, 4.0, 3.0, 1L)))
+  }
+
   test("q237: planted durations/censoring recover the hand-computed KM curve") {
     import spark.implicits._
     val d = Files.createTempDirectory("graft_r7b_km").toString
