@@ -217,7 +217,12 @@ object ScaleProbe {
     // islands, and the bounded-grid EWMA convolution
     "q235_jaro_winkler_match", "q238_phrase_search",
     "q242_prefix_filter_join", "q243_merkle_diff", "q244_vad_segments",
-    "q245_ewma_forecast")
+    "q245_ewma_forecast",
+    // round-7b tail: leakage audit (near-dup join + split labels),
+    // quantile-normalization bounded grids, v-optimal DP, two-hop
+    // graph aggregation, scene-cut dHash stream
+    "q257_split_leakage", "q249_quantile_normalize", "q266_voptimal_hist",
+    "q268_graph_aggregation", "q256_scene_cuts")
 
   def main(args: Array[String]): Unit = {
     val scales = if (args.nonEmpty) args.map(_.toInt).toSeq else Seq(1, 2, 5, 10)

@@ -621,6 +621,116 @@ object Metrics {
       |FROM d""".stripMargin
 
   // --------------------------------------------------------------------------
+  // q269 — MATCHED-COHORT BALANCE (observational causal readout):
+  // purchase-heavy users (more purchases than views — the "converted"
+  // behavioral segment; every user buys SOMETHING on this feed, so
+  // any-purchase would leave an empty control) vs the rest differ in
+  // activity, so their raw spend comparison is confounded. Exact-bin matching on the activity
+  // covariate (n_events div 5, capped — 21 bins) reweights the control
+  // side to the treated bin distribution over COMMON SUPPORT, and the
+  // result reports the activity SMD plus raw vs matched control spend —
+  // the confounding collapse made visible in one row.
+  //
+  // Exactness: per-bin counts/sums are exact; the reweighted control
+  // mean is a Σ of per-bin rationals folded in PINNED bin order (q201's
+  // sorted-array rule); SMD uses exact moments with one sqrt at output.
+  def q269MatchedBalance(spark: SparkSession, dir: String): DataFrame = {
+    val d38 = DecimalType(38, 0)
+    val perUser = Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_ev"),
+        (count_if(col("event_type") === "purchase") >
+          count_if(col("event_type") === "view")).cast("int").as("t"),
+        sum(expr("cast(cast(value as decimal(18,2)) * 100 as bigint)")).as("spend"))
+      .withColumn("bin", least(expr("n_ev div 5"), lit(20L)).cast("int"))
+    val byBin = perUser.groupBy(col("t"), col("bin"))
+      .agg(count(lit(1)).cast(d38).as("n"), sum(col("spend")).cast(d38).as("s"),
+        sum(col("n_ev")).cast(d38).as("sx"),
+        sum(col("n_ev") * col("n_ev")).cast(d38).as("sxx"))
+    val tb = byBin.filter(col("t") === 1)
+      .select(col("bin"), col("n").as("nt"), col("s").as("st"),
+        col("sx").as("sxt"), col("sxx").as("sxxt"))
+    val cb = byBin.filter(col("t") === 0)
+      .select(col("bin"), col("n").as("nc"), col("s").as("sc"),
+        col("sx").as("sxc"), col("sxx").as("sxxc"))
+    val joined = tb.join(cb, Seq("bin"), "full_outer")
+    joined.agg(
+      sum(coalesce(col("nt"), lit(0))).cast(d38).as("n_t"),
+      sum(coalesce(col("nc"), lit(0))).cast(d38).as("n_c"),
+      sum(coalesce(col("st"), lit(0))).cast(d38).as("s_t"),
+      sum(coalesce(col("sc"), lit(0))).cast(d38).as("s_c"),
+      sum(coalesce(col("sxt"), lit(0))).cast(d38).as("sx_t"),
+      sum(coalesce(col("sxc"), lit(0))).cast(d38).as("sx_c"),
+      sum(coalesce(col("sxxt"), lit(0))).cast(d38).as("sxx_t"),
+      sum(coalesce(col("sxxc"), lit(0))).cast(d38).as("sxx_c"),
+      // common support: bins where both sides exist
+      sum(when(col("nt").isNotNull && col("nc").isNotNull, col("nt"))
+        .otherwise(lit(0))).cast(d38).as("n_t_sup"),
+      expr("aggregate(sort_array(collect_list(case when nt is not null and nc is not null " +
+        "then struct(bin, cast(nt as double) * cast(sc as double) / cast(nc as double)) end)), " +
+        "cast(0 as double), (a, x) -> a + x.col2)").as("wsum"))
+      .select(col("n_t").cast("long").as("n_treated"),
+        col("n_c").cast("long").as("n_control"),
+        round((col("sx_t").cast("double") / col("n_t").cast("double") -
+          col("sx_c").cast("double") / col("n_c").cast("double")) /
+          sqrt(((col("sxx_t") * col("n_t") - col("sx_t") * col("sx_t")).cast("double") /
+            (col("n_t") * col("n_t")).cast("double") +
+            (col("sxx_c") * col("n_c") - col("sx_c") * col("sx_c")).cast("double") /
+              (col("n_c") * col("n_c")).cast("double")) / 2.0), 6).as("smd_activity"),
+        round(col("s_t").cast("double") / col("n_t").cast("double") / 100.0, 2)
+          .as("spend_treated"),
+        round(col("s_c").cast("double") / col("n_c").cast("double") / 100.0, 2)
+          .as("spend_control_raw"),
+        round(col("wsum") / col("n_t_sup").cast("double") / 100.0, 2)
+          .as("spend_control_matched"),
+        round(col("n_t_sup").cast("double") * 100 / col("n_t").cast("double"), 4)
+          .as("pct_treated_on_support"))
+  }
+
+  val q269Sql: String =
+    """WITH pu AS (
+      |  SELECT user_id, COUNT(*) AS n_ev,
+      |    CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') >
+      |      COUNT(*) FILTER (WHERE event_type = 'view') AS INT) AS t,
+      |    SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS spend,
+      |    CAST(LEAST(COUNT(*) // 5, 20) AS INT) AS bin
+      |  FROM events GROUP BY 1),
+      |bb AS (
+      |  SELECT t, bin, CAST(COUNT(*) AS HUGEINT) AS n, SUM(spend) AS s,
+      |    SUM(CAST(n_ev AS HUGEINT)) AS sx, SUM(CAST(n_ev AS HUGEINT) * n_ev) AS sxx
+      |  FROM pu GROUP BY 1, 2),
+      |j AS (
+      |  SELECT COALESCE(tb.bin, cb.bin) AS bin, tb.n AS nt, tb.s AS st,
+      |    tb.sx AS sxt, tb.sxx AS sxxt,
+      |    cb.n AS nc, cb.s AS sc, cb.sx AS sxc, cb.sxx AS sxxc
+      |  FROM (SELECT * FROM bb WHERE t = 1) tb
+      |  FULL OUTER JOIN (SELECT * FROM bb WHERE t = 0) cb ON tb.bin = cb.bin),
+      |a AS (
+      |  SELECT SUM(COALESCE(nt, 0)) AS n_t, SUM(COALESCE(nc, 0)) AS n_c,
+      |    SUM(COALESCE(st, 0)) AS s_t, SUM(COALESCE(sc, 0)) AS s_c,
+      |    SUM(COALESCE(sxt, 0)) AS sx_t, SUM(COALESCE(sxc, 0)) AS sx_c,
+      |    SUM(COALESCE(sxxt, 0)) AS sxx_t, SUM(COALESCE(sxxc, 0)) AS sxx_c,
+      |    SUM(CASE WHEN nt IS NOT NULL AND nc IS NOT NULL THEN nt ELSE 0 END)
+      |      AS n_t_sup,
+      |    list_reduce(list(CAST(nt AS DOUBLE) * CAST(sc AS DOUBLE) / CAST(nc AS DOUBLE)
+      |      ORDER BY bin) FILTER (WHERE nt IS NOT NULL AND nc IS NOT NULL),
+      |      (x, y) -> x + y) AS wsum
+      |  FROM j)
+      |SELECT CAST(n_t AS BIGINT) AS n_treated, CAST(n_c AS BIGINT) AS n_control,
+      |  ROUND((CAST(sx_t AS DOUBLE) / CAST(n_t AS DOUBLE)
+      |      - CAST(sx_c AS DOUBLE) / CAST(n_c AS DOUBLE)) /
+      |    sqrt((CAST(sxx_t * n_t - sx_t * sx_t AS DOUBLE) / CAST(n_t * n_t AS DOUBLE)
+      |      + CAST(sxx_c * n_c - sx_c * sx_c AS DOUBLE) / CAST(n_c * n_c AS DOUBLE))
+      |      / 2.0), 6) AS smd_activity,
+      |  ROUND(CAST(s_t AS DOUBLE) / CAST(n_t AS DOUBLE) / 100.0, 2) AS spend_treated,
+      |  ROUND(CAST(s_c AS DOUBLE) / CAST(n_c AS DOUBLE) / 100.0, 2)
+      |    AS spend_control_raw,
+      |  ROUND(wsum / CAST(n_t_sup AS DOUBLE) / 100.0, 2) AS spend_control_matched,
+      |  ROUND(CAST(n_t_sup AS DOUBLE) * 100 / CAST(n_t AS DOUBLE), 4)
+      |    AS pct_treated_on_support
+      |FROM a""".stripMargin
+
+  // --------------------------------------------------------------------------
   // q261 — MANN-WHITNEY U TEST on a bounded value grid: the rank-sum
   // two-sample test (does returned-lineitem quantity stochastically
   // dominate non-returned?) computed EXACTLY without any global rank
@@ -695,6 +805,7 @@ object Metrics {
     ("q261_mann_whitney", q261MannWhitney _, Some(q261Sql)),
     ("q265_pr_curve", q265PrCurve _, Some(q265Sql)),
     ("q267_cuped", q267Cuped _, Some(q267Sql)),
+    ("q269_matched_balance", q269MatchedBalance _, Some(q269Sql)),
     ("q124_observe_quality", q124ObserveQuality _, Some(q124Sql)),
     ("q224_calibration", q224Calibration _, Some(q224Sql)),
     ("q232_conformal", q232Conformal _, Some(q232Sql)),

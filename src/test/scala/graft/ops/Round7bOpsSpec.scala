@@ -778,6 +778,35 @@ class Round7bOpsSpec extends SparkSpec {
       (1L, 1.0, 1.5, 1L), (2L, 2.0, 2.25, 2L), (3L, 4.0, 3.0, 1L)))
   }
 
+  test("q269: bin matching moves the control spend toward the treated profile") {
+    import spark.implicits._
+    val d = Files.createTempDirectory("graft_r7b_match").toString
+    val t0 = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    var id = 0L
+    def user(u: Long, nPurch: Int, nView: Int, v: Double) =
+      (Seq.fill(nPurch)("purchase") ++ Seq.fill(nView)("view")).map { t =>
+        id += 1; (id, new Timestamp(t0 + id * 1000L), u, t, v, "{}")
+      }
+    // treated (p > v) users are HIGH-activity (bin 2: 10-14 events);
+    // control users exist in bin 2 (same activity, spend $2) and bin 0
+    // (low activity, spend $10) — matched control mean must use ONLY the
+    // bin-2 controls → $2·12 = 24 vs the raw control mean pulled up by
+    // the off-support bin-0 users
+    val rows =
+      (1L to 3L).flatMap(u => user(u, 7, 5, 1.0)) ++    // treated, bin 2, 12 ev
+        (4L to 6L).flatMap(u => user(u, 2, 10, 2.0)) ++ // control, bin 2, 12 ev
+        (7L to 9L).flatMap(u => user(u, 1, 3, 10.0))    // control, bin 0, 4 ev
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.parquet(s"$d/events.parquet")
+    val r = Metrics.q269MatchedBalance(spark, d).collect().head
+    assert(r.getLong(0) === 3L && r.getLong(1) === 6L)
+    assert(r.getDouble(3) === 12.0)  // treated spend: 12 events × $1
+    // raw control: (3·24 + 3·40)/6 = 32; matched: only bin-2 → 24
+    assert(r.getDouble(4) === 32.0)
+    assert(r.getDouble(5) === 24.0)
+    assert(r.getDouble(6) === 100.0) // every treated user on support
+  }
+
   test("q237: planted durations/censoring recover the hand-computed KM curve") {
     import spark.implicits._
     val d = Files.createTempDirectory("graft_r7b_km").toString
