@@ -846,8 +846,53 @@ object CurateOps {
       |FROM base JOIN h2 USING (p)
       |ORDER BY partkey""".stripMargin
 
+  // --------------------------------------------------------------------------
+  // q270 — DEGREE ASSORTATIVITY of the supplier–part purchase graph: do
+  // high-degree parts trade with high-degree suppliers (r > 0, hub-hub
+  // coupling) or with the periphery (r < 0, hub-and-spoke)? r is the
+  // Pearson correlation of endpoint degrees over EDGES — the number that
+  // predicts whether q206/q221-style traversals will hit hub fan-out.
+  // One distinct-edge pass, two degree equi-joins, exact integer moments,
+  // one sqrt at output.
+  def q270Assortativity(spark: SparkSession, dir: String): DataFrame = {
+    val d38 = DecimalType(38, 0)
+    val edges = Tables.lineitem(spark, dir)
+      .select(col("l_partkey").as("p"), col("l_suppkey").as("s")).distinct()
+    val degP = edges.groupBy(col("p")).agg(count(lit(1)).as("dp"))
+    val degS = edges.groupBy(col("s")).agg(count(lit(1)).as("ds"))
+    edges.join(degP, Seq("p")).join(degS, Seq("s"))
+      .agg(count(lit(1)).cast(d38).as("n"),
+        sum(col("dp")).cast(d38).as("sx"), sum(col("ds")).cast(d38).as("sy"),
+        sum(col("dp") * col("ds")).cast(d38).as("sxy"),
+        sum(col("dp") * col("dp")).cast(d38).as("sxx"),
+        sum(col("ds") * col("ds")).cast(d38).as("syy"))
+      .select(col("n").cast("long").as("n_edges"),
+        round((col("sxy") * col("n") - col("sx") * col("sy")).cast("double") /
+          sqrt((col("sxx") * col("n") - col("sx") * col("sx")).cast("double") *
+            (col("syy") * col("n") - col("sy") * col("sy")).cast("double")), 6)
+          .as("assortativity"))
+  }
+
+  val q270Sql: String =
+    """WITH e AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
+      |dp AS (SELECT p, COUNT(*) AS dp FROM e GROUP BY 1),
+      |ds AS (SELECT s, COUNT(*) AS ds FROM e GROUP BY 1),
+      |m AS (
+      |  SELECT COUNT(*) AS n,
+      |    SUM(CAST(dp AS HUGEINT)) AS sx, SUM(CAST(ds AS HUGEINT)) AS sy,
+      |    SUM(CAST(dp AS HUGEINT) * ds) AS sxy,
+      |    SUM(CAST(dp AS HUGEINT) * dp) AS sxx,
+      |    SUM(CAST(ds AS HUGEINT) * ds) AS syy
+      |  FROM e JOIN dp USING (p) JOIN ds USING (s))
+      |SELECT CAST(n AS BIGINT) AS n_edges,
+      |  ROUND(CAST(sxy * n - sx * sy AS DOUBLE) /
+      |    sqrt(CAST(sxx * n - sx * sx AS DOUBLE) * CAST(syy * n - sy * sy AS DOUBLE)),
+      |    6) AS assortativity
+      |FROM m""".stripMargin
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q268_graph_aggregation", q268GraphAggregation _, Some(q268Sql)),
+    ("q270_assortativity", q270Assortativity _, Some(q270Sql)),
     ("q197_phash_dedup", q197PhashDedup _, Some(q197Sql)),
     ("q206_triangle_count", q206TriangleCount _, Some(q206Sql)),
     ("q207_winsor_stats", q207WinsorStats _, Some(q207Sql)),

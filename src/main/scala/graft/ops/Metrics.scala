@@ -731,6 +731,87 @@ object Metrics {
       |FROM a""".stripMargin
 
   // --------------------------------------------------------------------------
+  // q271 — CUMULATIVE GAINS / LIFT CHART by score decile: "if we contact
+  // the top-k% by model score, what share of all converters do we
+  // reach?" — the targeting readout marketing ships next to q193's AUC
+  // and q265's operating point. Scores (q224's construction) collapse to
+  // 10 population deciles via the exact two-pass bucketed rank (q169's
+  // shape on the 50-bin score grid: bin counts → prefix offsets →
+  // in-bin rank, all partitioned); per decile: positives captured,
+  // cumulative capture rate, and lift = capture_rate / population_rate —
+  // every number an integer rational with one division at output.
+  def q271GainsChart(spark: SparkSession, dir: String): DataFrame = {
+    val u = (conv(substring(md5(concat(lit("cal:"), col("event_id").cast("string"))), 1, 13),
+      16, 10).cast("long").cast("double") + 0.5) / lit(4503599627370496.0)
+    val scored = Tables.events(spark, dir)
+      .select(col("event_id"),
+        (col("event_type") === "purchase").as("pos"),
+        (u * 0.8 + when(col("event_type") === "purchase", 0.2).otherwise(0.0)).as("p"))
+      .withColumn("bin", floor(col("p") * 50).cast("int"))
+      .withColumn("pq", floor(col("p") * 1e12).cast("long"))
+    val offsets = scored.groupBy(col("bin")).agg(count(lit(1)).as("cnt"))
+      .withColumn("offset", coalesce(sum(col("cnt")).over(
+        Window.orderBy(col("bin").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("bin"), col("offset"))
+    val tot = scored.agg(count(lit(1)).as("n_all"),
+      count_if(col("pos")).as("pos_all"))
+    // global DESCENDING rank (best scores first) via bucket offsets +
+    // in-bucket rank; decile = (rank−1)·10 div n
+    scored.join(broadcast(offsets), Seq("bin"))
+      .withColumn("rk", col("offset") + row_number().over(
+        Window.partitionBy(col("bin"))
+          .orderBy(col("pq").desc, col("event_id"))))
+      .crossJoin(broadcast(tot))
+      .withColumn("decile", expr("((rk - 1) * 10 div n_all) + 1").cast("int"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n"), count_if(col("pos")).as("n_pos"),
+        first(col("n_all")).as("n_all"), first(col("pos_all")).as("pos_all"))
+      .withColumn("cum_pos", sum(col("n_pos")).over(
+        Window.orderBy(col("decile"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("cum_n", sum(col("n")).over(
+        Window.orderBy(col("decile"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("decile"), col("n"), col("n_pos"),
+        round(col("cum_pos").cast("double") / col("pos_all"), 6).as("gain"),
+        round((col("cum_pos") * col("n_all")).cast("double") /
+          (col("cum_n") * col("pos_all")).cast("double"), 6).as("lift"))
+      .orderBy(col("decile"))
+  }
+
+  val q271Sql: String =
+    """WITH sc AS (
+      |  SELECT event_id, event_type = 'purchase' AS pos,
+      |    (('0x' || substr(md5('cal:' || event_id::VARCHAR), 1, 13))::BIGINT + 0.5)
+      |      / 4503599627370496.0 * 0.8
+      |      + CASE WHEN event_type = 'purchase' THEN 0.2 ELSE 0.0 END AS p
+      |  FROM events),
+      |q AS (
+      |  SELECT pos,
+      |    ROW_NUMBER() OVER (ORDER BY CAST(FLOOR(p * 1e12) AS BIGINT) DESC, event_id)
+      |      AS rk,
+      |    COUNT(*) OVER () AS n_all,
+      |    CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) OVER () AS BIGINT) AS pos_all
+      |  FROM sc),
+      |d AS (
+      |  SELECT CAST(((rk - 1) * 10) // n_all + 1 AS INT) AS decile, pos,
+      |    n_all, pos_all
+      |  FROM q),
+      |g AS (
+      |  SELECT decile, COUNT(*) AS n,
+      |    CAST(COUNT(*) FILTER (WHERE pos) AS BIGINT) AS n_pos,
+      |    ANY_VALUE(n_all) AS n_all, ANY_VALUE(pos_all) AS pos_all
+      |  FROM d GROUP BY 1)
+      |SELECT decile, n, n_pos,
+      |  ROUND(CAST(SUM(n_pos) OVER w AS DOUBLE) / pos_all, 6) AS gain,
+      |  ROUND(CAST(SUM(n_pos) OVER w * n_all AS DOUBLE)
+      |    / CAST(SUM(n) OVER w * pos_all AS DOUBLE), 6) AS lift
+      |FROM g
+      |WINDOW w AS (ORDER BY decile ROWS UNBOUNDED PRECEDING)
+      |ORDER BY decile""".stripMargin
+
+  // --------------------------------------------------------------------------
   // q261 — MANN-WHITNEY U TEST on a bounded value grid: the rank-sum
   // two-sample test (does returned-lineitem quantity stochastically
   // dominate non-returned?) computed EXACTLY without any global rank
@@ -806,6 +887,7 @@ object Metrics {
     ("q265_pr_curve", q265PrCurve _, Some(q265Sql)),
     ("q267_cuped", q267Cuped _, Some(q267Sql)),
     ("q269_matched_balance", q269MatchedBalance _, Some(q269Sql)),
+    ("q271_gains_chart", q271GainsChart _, Some(q271Sql)),
     ("q124_observe_quality", q124ObserveQuality _, Some(q124Sql)),
     ("q224_calibration", q224Calibration _, Some(q224Sql)),
     ("q232_conformal", q232Conformal _, Some(q232Sql)),

@@ -67,6 +67,8 @@ class PlanLintSpec extends SparkSpec {
       "prefix sum over the 50-value quantity grid — bounded by the discrete feature domain, not lineitem",
     "q265_pr_curve" ->
       "suffix/total sums over the 50-row score-bin grid (floor(p*50), p in [0,1]) — domain-bounded, not event-count",
+    "q271_gains_chart" ->
+      "q169's two-pass shape descending: exclusive prefix sum over the 50-row score-bin grid + cum sums over the 10-row decile grid; the per-row rank window is partitioned by bin",
     "q266_voptimal_hist" ->
       "rank + prefix sums over the distinct-quantity value grid — bounded by the 50-value feature domain, not lineitem")
 
@@ -102,6 +104,8 @@ class PlanLintSpec extends SparkSpec {
       "bounded 50×50 index-grid DP joins (e > s range condition) and broadcast 1-row backtrack rows — all sides are value-domain aggregates, corpus-size-independent",
     "q267_cuped" ->
       "broadcast 1-row side by construction: the (min, max) span aggregate that derives the pre/post midpoint",
+    "q271_gains_chart" ->
+      "broadcast 1-row side by construction: the (n_all, pos_all) totals joined onto the ranked rows",
     "q110_kmeans" ->
       "broadcast(centroids) cross join — k rows by construction (Lloyd assignment pass)",
     "q45_ann_ivf" ->

@@ -807,6 +807,46 @@ class Round7bOpsSpec extends SparkSpec {
     assert(r.getDouble(6) === 100.0) // every treated user on support
   }
 
+  test("q270: planted hub-and-spoke graph is disassortative") {
+    import spark.implicits._
+    val d = Files.createTempDirectory("graft_r7b_assort").toString
+    val ts = Timestamp.valueOf("2024-01-01 00:00:00")
+    // hub part 1 links suppliers 1..6 (deg 1 each); parts 2..4 pair up
+    // with the one high-degree supplier 10 → high-degree endpoints meet
+    // LOW-degree ones → r < 0
+    val edges = (1L to 6L).map(s => (1L, s)) ++ (2L to 4L).map(p => (p, 10L))
+    edges.zipWithIndex.map { case ((p, s), i) =>
+      (i.toLong, p, s, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", ts)
+    }.toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+      "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+      "l_returnflag", "l_linestatus", "l_shipdate")
+      .coalesce(1).write.parquet(s"$d/lineitem.parquet")
+    val r = CurateOps.q270Assortativity(spark, d).collect().head
+    assert(r.getLong(0) === 9L)
+    assert(r.getDouble(1) < -0.5)
+  }
+
+  test("q271: gains curve is monotone, ends at 1, and decile-1 lift beats average") {
+    import spark.implicits._
+    val d = Files.createTempDirectory("graft_r7b_gain").toString
+    val ts = Timestamp.valueOf("2024-01-01 00:00:00")
+    (1L to 3000L).map(k =>
+      (k, ts, k % 50, if (k % 5 == 0) "purchase" else "view", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.parquet(s"$d/events.parquet")
+    val rows = Metrics.q271GainsChart(spark, d).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(3), r.getDouble(4)))
+      .sortBy(_._1)
+    assert(rows.length === 10)
+    assert(rows.map(_._2).sum === 3000L)
+    val gains = rows.map(_._3)
+    assert(gains.zip(gains.tail).forall { case (a, b) => a <= b })
+    assert(gains.last === 1.0)
+    // positives were shifted +0.2 → the top decile must over-capture
+    assert(rows.head._4 > 1.5)
+    assert(rows.last._4 === 1.0) // full-population lift is exactly 1
+  }
+
   test("q237: planted durations/censoring recover the hand-computed KM curve") {
     import spark.implicits._
     val d = Files.createTempDirectory("graft_r7b_km").toString
