@@ -1088,7 +1088,75 @@ object PipelineOps {
       |FROM r, k WHERE rk <= k.k
       |GROUP BY lang ORDER BY lang""".stripMargin
 
+  // --------------------------------------------------------------------------
+  // q272 — SORTED-NEIGHBORHOOD BLOCKING for record linkage: the third
+  // classic ER candidate-generation family next to q-gram blocking
+  // (q105) and similarity blocking (q235). Clean + dirty names sort into
+  // ONE global order; only pairs within a rank window of 3 become
+  // candidates, then exact Levenshtein ≤ 1 verifies. The sequential
+  // "sliding window over a sorted list" reformulates scale-safe as:
+  // (1) q169's two-pass bucketed GLOBAL RANK (prefix-12 buckets — a
+  // string prefix, so bucket order ≡ name order), (2) rank-block
+  // equi-join (block = (rk−1) div 4; one side exploded to {blk, blk+1}
+  // covers every |Δrk| ≤ 3 pair exactly once under rk_a < rk_b).
+  // No global sort, no window over the corpus, no all-pairs.
+  def q272SortedNeighborhood(spark: SparkSession, dir: String): DataFrame = {
+    val (clean, dirty) = linkageTables(spark, dir)
+    val uni = clean.select(col("akey").as("id"), col("an").as("name"), lit("a").as("side"))
+      .unionByName(dirty.select(col("bkey").as("id"), col("bn").as("name"),
+        lit("b").as("side")))
+    val bucketed = uni.withColumn("bk", substring(col("name"), 1, 12))
+    val offsets = bucketed.groupBy(col("bk")).agg(count(lit(1)).as("cnt"))
+      .withColumn("offset", coalesce(sum(col("cnt")).over(
+        Window.orderBy(col("bk")).rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("bk"), col("offset"))
+    val ranked = bucketed.join(broadcast(offsets), Seq("bk"))
+      .withColumn("rk", col("offset") + row_number().over(
+        Window.partitionBy(col("bk")).orderBy(col("name"), col("side"), col("id"))))
+      .select(col("id"), col("name"), col("side"), col("rk"))
+    val aSide = ranked
+      .withColumn("blk", explode(array(expr("(rk - 1) div 4"), expr("(rk - 1) div 4 + 1"))))
+    val bSide = ranked.select(col("id").as("id_b"), col("name").as("name_b"),
+      col("side").as("side_b"), col("rk").as("rk_b"))
+      .withColumn("blk", expr("(rk_b - 1) div 4"))
+    aSide.join(bSide, Seq("blk"))
+      .filter(col("rk") < col("rk_b") && col("rk_b") - col("rk") <= 3 &&
+        col("side") =!= col("side_b"))
+      .filter(levenshtein(col("name"), col("name_b")) <= 1)
+      .select(
+        when(col("side") === "a", col("id")).otherwise(col("id_b")).as("clean_key"),
+        when(col("side") === "a", col("id_b")).otherwise(col("id")).as("dirty_key"))
+      .distinct()
+      .orderBy(col("clean_key"), col("dirty_key"))
+  }
+
+  val q272Sql: String =
+    """WITH cl AS (SELECT c_custkey AS id, c_name AS name, 'a' AS side FROM customer),
+      |dt AS (
+      |  SELECT c_custkey + 1000000 AS id,
+      |    CASE WHEN c_custkey % 3 = 0 THEN
+      |      substr(c_name, 1, CAST(c_custkey % length(c_name) AS INT))
+      |        || substr(c_name, CAST(c_custkey % length(c_name) AS INT) + 2)
+      |    ELSE c_name END AS name, 'b' AS side
+      |  FROM customer),
+      |uni AS (SELECT * FROM cl UNION ALL SELECT * FROM dt),
+      |r AS (
+      |  SELECT id, name, side,
+      |    ROW_NUMBER() OVER (ORDER BY name, side, id) AS rk
+      |  FROM uni),
+      |pairs AS (
+      |  SELECT a.id AS ida, a.side AS sa, a.name AS na,
+      |    b.id AS idb, b.side AS sb, b.name AS nb
+      |  FROM r a JOIN r b
+      |    ON b.rk > a.rk AND b.rk - a.rk <= 3 AND a.side <> b.side
+      |  WHERE levenshtein(a.name, b.name) <= 1)
+      |SELECT DISTINCT
+      |  CASE WHEN sa = 'a' THEN ida ELSE idb END AS clean_key,
+      |  CASE WHEN sa = 'a' THEN idb ELSE ida END AS dirty_key
+      |FROM pairs ORDER BY clean_key, dirty_key""".stripMargin
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
+    ("q272_sorted_neighborhood", q272SortedNeighborhood _, Some(q272Sql)),
     ("q106_decontaminate", q106Decontaminate _, Some(q106Sql)),
     ("q127_shuffle_shard", q127ShuffleShard _, Some(q127Sql)),
     ("q107_vocab_encode", q107VocabEncode _, Some(q107Sql)),

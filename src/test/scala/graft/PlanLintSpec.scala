@@ -69,6 +69,8 @@ class PlanLintSpec extends SparkSpec {
       "suffix/total sums over the 50-row score-bin grid (floor(p*50), p in [0,1]) — domain-bounded, not event-count",
     "q271_gains_chart" ->
       "q169's two-pass shape descending: exclusive prefix sum over the 50-row score-bin grid + cum sums over the 10-row decile grid; the per-row rank window is partitioned by bin",
+    "q272_sorted_neighborhood" ->
+      "q169's two-pass shape on a string domain: exclusive prefix sum over the name-prefix-12 bucket grid (domain-bounded); the per-name rank window is partitioned by bucket",
     "q266_voptimal_hist" ->
       "rank + prefix sums over the distinct-quantity value grid — bounded by the 50-value feature domain, not lineitem")
 

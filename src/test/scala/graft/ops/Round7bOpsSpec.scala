@@ -847,6 +847,29 @@ class Round7bOpsSpec extends SparkSpec {
     assert(rows.last._4 === 1.0) // full-population lift is exactly 1
   }
 
+  test("q272: sorted neighborhood links each dirty name to its clean twin") {
+    import spark.implicits._
+    val d = Files.createTempDirectory("graft_r7b_sn").toString
+    // customers 3, 6 are the % 3 == 0 mutation candidates; every dirty
+    // name sorts adjacent to its clean original, so the window-3 pass
+    // must link ALL of them with lev ≤ 1 (exact copies and 1-deletions)
+    (1L to 9L).map(k => (k, f"Customer#$k%09d", 0, 0.0, "S"))
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+      .coalesce(1).write.parquet(s"$d/customer.parquet")
+    val got = PipelineOps.q272SortedNeighborhood(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // unmutated dirty names are exact copies → sort adjacent → linked;
+    // key 9's LATE-string deletion also stays sort-local → linked
+    Seq(1L, 2L, 4L, 5L, 7L, 8L, 9L).foreach(k =>
+      assert(got.contains((k, k + 1000000L)), s"missing self link $k"))
+    // keys 3 and 6 mutate MID-STRING ('Cusomer…', 'Customr…'), which
+    // breaks sort locality — the documented single-pass sorted-
+    // neighborhood miss (q105's q-gram blocking catches these; that is
+    // why production ER runs multiple blocking passes)
+    assert(!got.contains((3L, 1000003L)))
+    assert(!got.contains((6L, 1000006L)))
+  }
+
   test("q237: planted durations/censoring recover the hand-computed KM curve") {
     import spark.implicits._
     val d = Files.createTempDirectory("graft_r7b_km").toString
