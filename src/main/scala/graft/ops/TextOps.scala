@@ -1160,8 +1160,103 @@ object TextOps {
        |WHERE CAST(inter AS DOUBLE) / (na.n + nb.n - inter) >= 0.6
        |ORDER BY 1, 2""".stripMargin
 
+  // --------------------------------------------------------------------------
+  // q273 — LSH PARAMETER PLANNER: before running MinHash-LSH at 100 TB,
+  // which (bands, rows) setting actually catches THIS corpus's
+  // duplicates? The collision s-curve P(s) = 1 − (1 − s^r)^b is folded
+  // over the MEASURED near-dup similarity histogram (q31's exact pairs,
+  // binned on a 20-cell grid) to estimate each config's expected recall
+  // on the true duplicate population — the capacity-planning readout
+  // that turns the b/r choice from folklore into arithmetic.
+  //
+  // Determinism: r and b are powers of two, so s^r and (1−s^r)^b are
+  // REPEATED-SQUARING chains (p2 = p·p, p4 = p2·p2, …) — identical IEEE
+  // multiplication sequences in both engines, no libm pow; the
+  // per-config fold over the 20-bin histogram runs in pinned bin order.
+  def q273LshPlanner(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = q31NgramJaccard(spark, dir)
+      .withColumn("bin", least(floor(col("jaccard") * 20), lit(19.0)).cast("int"))
+      .groupBy(col("bin")).agg(count(lit(1)).as("cnt"))
+      .withColumn("s", (col("bin").cast("double") + 0.5) / 20.0)
+    val configs = Seq((64, 4), (32, 8), (16, 8), (8, 16))
+    val cfg = configs.map { case (b, r) => struct(lit(b).as("b"), lit(r).as("r")) }
+    val joined = pairs.crossJoin(
+      broadcast(spark.range(1).select(explode(array(cfg: _*)).as("c"))
+        .select(col("c.b").as("b"), col("c.r").as("r"))))
+      .withColumn("p2", col("s") * col("s"))
+      .withColumn("p4", col("p2") * col("p2"))
+      .withColumn("p8", col("p4") * col("p4"))
+      .withColumn("p16", col("p8") * col("p8"))
+      .withColumn("sr", when(col("r") === 4, col("p4"))
+        .when(col("r") === 8, col("p8")).otherwise(col("p16")))
+      .withColumn("y", lit(1.0) - col("sr"))
+      .withColumn("y2", col("y") * col("y"))
+      .withColumn("y4", col("y2") * col("y2"))
+      .withColumn("y8", col("y4") * col("y4"))
+      .withColumn("y16", col("y8") * col("y8"))
+      .withColumn("y32", col("y16") * col("y16"))
+      .withColumn("y64", col("y32") * col("y32"))
+      .withColumn("pb", when(col("b") === 8, col("y8"))
+        .when(col("b") === 16, col("y16"))
+        .when(col("b") === 32, col("y32")).otherwise(col("y64")))
+      .withColumn("collide", lit(1.0) - col("pb"))
+    joined.groupBy(col("b"), col("r"))
+      .agg(sum(col("cnt")).as("n_pairs"),
+        expr("aggregate(sort_array(collect_list(struct(bin, cnt * collide))), " +
+          "cast(0 as double), (a, x) -> a + x.col2)").as("wsum"))
+      .select(col("b"), col("r"), col("n_pairs"),
+        round(col("wsum") / col("n_pairs"), 6).as("est_recall"))
+      .orderBy(col("b"), col("r"))
+  }
+
+  val q273Sql: String =
+    s"""WITH sh AS (
+       |  SELECT DISTINCT doc_id, s FROM (
+       |    SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+       |    FROM (SELECT doc_id, $toksSqlD AS t FROM documents),
+       |         UNNEST(generate_series(1, len(t) - 2)) AS u(i))),
+       |n AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+       |inter AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+       |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |pj AS (
+       |  SELECT ROUND(CAST(inter AS DOUBLE) / (na.n_sh + nb.n_sh - inter), 6) AS j
+       |  FROM inter JOIN n na ON id_a = na.doc_id JOIN n nb ON id_b = nb.doc_id
+       |  WHERE CAST(inter AS DOUBLE) / (na.n_sh + nb.n_sh - inter) >= 0.5),
+       |hist AS (
+       |  SELECT CAST(LEAST(FLOOR(j * 20), 19.0) AS INT) AS bin, COUNT(*) AS cnt,
+       |    (CAST(CAST(LEAST(FLOOR(j * 20), 19.0) AS INT) AS DOUBLE) + 0.5) / 20.0 AS s
+       |  FROM pj GROUP BY 1),
+       |cfg AS (SELECT * FROM (VALUES (64, 4), (32, 8), (16, 8), (8, 16)) AS t(b, r)),
+       |c1 AS (
+       |  SELECT bin, cnt, b, r, s, s * s AS p2 FROM hist CROSS JOIN cfg),
+       |c2 AS (SELECT *, p2 * p2 AS p4 FROM c1),
+       |c3 AS (SELECT *, p4 * p4 AS p8 FROM c2),
+       |c4 AS (SELECT *, p8 * p8 AS p16 FROM c3),
+       |c5 AS (
+       |  SELECT bin, cnt, b, r,
+       |    1.0 - CASE r WHEN 4 THEN p4 WHEN 8 THEN p8 ELSE p16 END AS y
+       |  FROM c4),
+       |c6 AS (SELECT *, y * y AS y2 FROM c5),
+       |c7 AS (SELECT *, y2 * y2 AS y4 FROM c6),
+       |c8 AS (SELECT *, y4 * y4 AS y8 FROM c7),
+       |c9 AS (SELECT *, y8 * y8 AS y16 FROM c8),
+       |c10 AS (SELECT *, y16 * y16 AS y32 FROM c9),
+       |c11 AS (SELECT *, y32 * y32 AS y64 FROM c10),
+       |c12 AS (
+       |  SELECT bin, cnt, b, r,
+       |    1.0 - CASE b WHEN 8 THEN y8 WHEN 16 THEN y16 WHEN 32 THEN y32
+       |      ELSE y64 END AS collide
+       |  FROM c11)
+       |SELECT b, r, CAST(SUM(cnt) AS BIGINT) AS n_pairs,
+       |  ROUND(list_reduce(list(cnt * collide ORDER BY bin), (x, y) -> x + y)
+       |    / SUM(cnt), 6) AS est_recall
+       |FROM c12 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q30_exact_dedup", q30ExactDedup _, Some(q30Sql)),
+    ("q273_lsh_planner", q273LshPlanner _, Some(q273Sql)),
     ("q218_unicode_normalize", q218UnicodeNormalize _, Some(q218Sql)),
     ("q235_jaro_winkler_match", q235JaroWinklerMatch _, Some(q235Sql)),
     ("q242_prefix_filter_join", q242PrefixFilterJoin _, Some(q242Sql)),

@@ -108,6 +108,8 @@ class PlanLintSpec extends SparkSpec {
       "broadcast 1-row side by construction: the (min, max) span aggregate that derives the pre/post midpoint",
     "q271_gains_chart" ->
       "broadcast 1-row side by construction: the (n_all, pos_all) totals joined onto the ranked rows",
+    "q273_lsh_planner" ->
+      "broadcast 4-row (bands, rows) config grid crossed with the 20-bin similarity histogram — both sides bounded by construction",
     "q110_kmeans" ->
       "broadcast(centroids) cross join — k rows by construction (Lloyd assignment pass)",
     "q45_ann_ivf" ->

@@ -870,6 +870,28 @@ class Round7bOpsSpec extends SparkSpec {
     assert(!got.contains((6L, 1000006L)))
   }
 
+  test("q273: more bands always raises estimated recall; high-sim pairs ≈ caught") {
+    import spark.implicits._
+    val d = Files.createTempDirectory("graft_r7b_lsh").toString
+    // two exact near-dup pairs (high jaccard) — every config should
+    // estimate near-certain recall on them, and recall must be monotone
+    // in the banding aggressiveness (64×4 most aggressive)
+    Seq(
+      (1L, "a b c d e f g h i j k l", "en", "s", 0L),
+      (2L, "a b c d e f g h i j k m", "en", "s", 0L),
+      (3L, "p q r s t u v w x y z a1", "en", "s", 0L),
+      (4L, "p q r s t u v w x y z a2", "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$d/documents.parquet")
+    val got = TextOps.q273LshPlanner(spark, d).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(got.values.forall(_._1 === 2L)) // both planted pairs in the histogram
+    assert(got((64, 4))._2 > 0.99)         // aggressive banding catches them
+    assert(got((64, 4))._2 >= got((32, 8))._2)
+    assert(got((32, 8))._2 >= got((16, 8))._2)
+    assert(got((16, 8))._2 >= got((8, 16))._2)
+  }
+
   test("q237: planted durations/censoring recover the hand-computed KM curve") {
     import spark.implicits._
     val d = Files.createTempDirectory("graft_r7b_km").toString
