@@ -2109,6 +2109,36 @@ object RelationalMore {
       |LEFT JOIN pre lp ON lp.i = bounds.lo_i
       |ORDER BY bin""".stripMargin
 
+  // --------------------------------------------------------------------------
+  // q274 — HIVE-STYLE PARTITION PRUNING end-to-end: stage orders
+  // partitioned BY PRIORITY on disk (directory-keyed layout —
+  // `partitionBy` at write time), then read ONE priority back. The
+  // filter resolves against the directory keys, so 4/5 of the files are
+  // never opened — the layout decision that turns a 100 TB scan into a
+  // 20 TB one before a single row is read. Round7bOpsSpec pins the plan
+  // evidence (PartitionFilters on the scan node + a pruned file count);
+  // the oracle checks the VALUES the pruned read produced.
+  def q274PartitionPruning(spark: SparkSession, dir: String): DataFrame = {
+    val slot = Staging.ensure("q274_part", dir) { path =>
+      Tables.orders(spark, dir).write.mode("overwrite")
+        .partitionBy("o_orderpriority").parquet(path)
+    }
+    prunedRead(spark, slot)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), Num.moneySum(col("o_totalprice")).as("total"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  /** The pruned scan itself (spec asserts its plan's PartitionFilters). */
+  private[ops] def prunedRead(spark: SparkSession, slot: String): DataFrame =
+    spark.read.parquet(slot).filter(col("o_orderpriority") === "1-URGENT")
+
+  val q274Sql: String =
+    """SELECT o_orderstatus, COUNT(*) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM orders WHERE o_orderpriority = '1-URGENT'
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q234_groupwise_ols", q234GroupwiseOls _, Some(q234Sql)),
     ("q236_gini", q236Gini _, Some(q236Sql)),
@@ -2117,6 +2147,7 @@ object RelationalMore {
     ("q253_cascade_delete", q253CascadeDelete _, Some(q253Sql)),
     ("q258_learning_curve", q258LearningCurve _, Some(q258Sql)),
     ("q266_voptimal_hist", q266VOptimalHist _, Some(q266Sql)),
+    ("q274_partition_pruning", q274PartitionPruning _, Some(q274Sql)),
     ("q214_cbo_stats", q214CboStats _, Some(q214Sql)),
     ("q219_schema_evolution", q219SchemaEvolution _, Some(q219Sql)),
     ("q53_date_spine", q53DateSpine _, Some(q53Sql)),

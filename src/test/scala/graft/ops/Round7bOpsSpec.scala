@@ -892,6 +892,33 @@ class Round7bOpsSpec extends SparkSpec {
     assert(got((16, 8))._2 >= got((8, 16))._2)
   }
 
+  test("q274: the partition filter reaches the scan and prunes the layout") {
+    import spark.implicits._
+    val d = Files.createTempDirectory("graft_r7b_pp2").toString
+    val ts = Timestamp.valueOf("2024-01-01 00:00:00")
+    val prios = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+    (1L to 100L).map(k => (k, k, "O", 100.0, ts, prios((k % 5).toInt)))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .coalesce(1).write.parquet(s"$d/orders.parquet")
+    val rows = RelationalMore.q274PartitionPruning(spark, d).collect()
+    assert(rows.length === 1 && rows.head.getLong(1) === 20L)
+    // plan evidence: the priority predicate must be a PARTITION filter on
+    // the scan (resolved against directory keys), not a data filter
+    val slot = Staging.pathFor("q274_part", d)
+    val plan = RelationalMore.prunedRead(spark, slot)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      plan.contains("o_orderpriority"), plan.take(500))
+    // and the pruned scan actually touches fewer files than the full one
+    val allFiles = spark.read.parquet(slot).inputFiles.length
+    val scan = RelationalMore.prunedRead(spark, slot).queryExecution.executedPlan
+      .collectLeaves().head
+    val scanned = scan.asInstanceOf[org.apache.spark.sql.execution.FileSourceScanExec]
+      .selectedPartitions.totalNumberOfFiles
+    assert(scanned < allFiles, s"scanned=$scanned all=$allFiles")
+  }
+
   test("q237: planted durations/censoring recover the hand-computed KM curve") {
     import spark.implicits._
     val d = Files.createTempDirectory("graft_r7b_km").toString
