@@ -2139,6 +2139,44 @@ object RelationalMore {
       |FROM orders WHERE o_orderpriority = '1-URGENT'
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // --------------------------------------------------------------------------
+  // q275 — PARTIAL TOP-K PER GROUP: q07's window rank shuffles EVERY row
+  // to its group's partition; at 100 TB the winning plan prunes first —
+  // each input partition keeps only its own top-3 per customer (bounded
+  // in-task heap, the combiner step Spark's window operator lacks), so
+  // the shuffle carries ≤ 3·partitions rows per key instead of all of
+  // them, and the final exact rank runs over candidates only. Pruning is
+  // lossless by a dominance argument (any global top-3 row is top-3 in
+  // its own partition), which the shared q07 oracle verifies by hash.
+  def q275PartialTopk(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pruned = Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      .as[(Long, Long, Double)]
+      .mapPartitions { it =>
+        // dequeues the WORST row under (price desc, key asc) ranking
+        val worstFirst: Ordering[(Double, Long)] =
+          Ordering.by { case (p, k) => (-p, k) }
+        val m = scala.collection.mutable.Map
+          .empty[Long, scala.collection.mutable.PriorityQueue[(Double, Long)]]
+        it.foreach { case (c, o, p) =>
+          val q = m.getOrElseUpdate(c,
+            scala.collection.mutable.PriorityQueue.empty[(Double, Long)](worstFirst))
+          q.enqueue((p, o))
+          if (q.size > 3) q.dequeue()
+        }
+        m.iterator.flatMap { case (c, q) =>
+          q.iterator.map { case (p, o) => (c, o, p) }
+        }
+      }.toDF("o_custkey", "o_orderkey", "o_totalprice")
+    pruned
+      .withColumn("rn", row_number().over(Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)))
+      .filter(col("rn") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rn"))
+      .orderBy(col("o_custkey"), col("rn"))
+  }
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q234_groupwise_ols", q234GroupwiseOls _, Some(q234Sql)),
     ("q236_gini", q236Gini _, Some(q236Sql)),
@@ -2148,6 +2186,9 @@ object RelationalMore {
     ("q258_learning_curve", q258LearningCurve _, Some(q258Sql)),
     ("q266_voptimal_hist", q266VOptimalHist _, Some(q266Sql)),
     ("q274_partition_pruning", q274PartitionPruning _, Some(q274Sql)),
+    // same oracle as q07: the partial path must reproduce the exact
+    // window-rank result (per-partition pruning has no false negatives)
+    ("q275_partial_topk", q275PartialTopk _, Some(Relational.q07Sql)),
     ("q214_cbo_stats", q214CboStats _, Some(q214Sql)),
     ("q219_schema_evolution", q219SchemaEvolution _, Some(q219Sql)),
     ("q53_date_spine", q53DateSpine _, Some(q53Sql)),

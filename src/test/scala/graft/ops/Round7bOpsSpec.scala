@@ -919,6 +919,25 @@ class Round7bOpsSpec extends SparkSpec {
     assert(scanned < allFiles, s"scanned=$scanned all=$allFiles")
   }
 
+  test("q275: partial top-k equals the window rank at any partition count") {
+    import spark.implicits._
+    val d = Files.createTempDirectory("graft_r7b_ptk").toString
+    val ts = Timestamp.valueOf("2024-01-01 00:00:00")
+    // prices engineered with heavy ties so partition-local pruning must
+    // honor the (price desc, key asc) tie-break to stay lossless
+    (1L to 200L).map(k => (k, k % 10, "O", (k % 7).toDouble * 100, ts, "P"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .repartition(7) // many partitions → real pruning paths
+      .write.parquet(s"$d/orders.parquet")
+    val partial = RelationalMore.q275PartialTopk(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    val window = Relational.q07TopkPerGroup(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    assert(partial === window)
+    assert(partial.length === 30) // 10 customers × top 3
+  }
+
   test("q237: planted durations/censoring recover the hand-computed KM curve") {
     import spark.implicits._
     val d = Files.createTempDirectory("graft_r7b_km").toString
