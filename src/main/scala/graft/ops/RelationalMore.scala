@@ -2140,6 +2140,84 @@ object RelationalMore {
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
   // --------------------------------------------------------------------------
+  // q276 — LAYOUT EFFECTIVENESS A/B: does the q142 Z-order layout
+  // actually beat time-clustering for THIS workload? Every row gets its
+  // block id under BOTH layouts (z-block = top 10 interleave bits;
+  // natural block = order week), and a bounded probe workload (5 point
+  // customer lookups + 5 week scans) counts how many blocks each layout
+  // would open per query — the data-skipping readout that justifies (or
+  // kills) a re-layout job before anyone runs it. Z-order should win the
+  // point lookups and lose the pure time scans: the tradeoff, measured.
+  //
+  // All integer arithmetic (the q142 normalize + interleave, div-based
+  // blocks, data-derived probe values); counts are exact.
+  def q276LayoutEffectiveness(spark: SparkSession, dir: String): DataFrame = {
+    val b = Tables.orders(spark, dir)
+      .select(col("o_custkey").cast("long").as("x"),
+        datediff(to_date(col("o_orderdate")), lit("1995-01-01")).cast("long").as("y"))
+    val bounds = b.agg(
+      greatest(max(col("x")), lit(1L)).as("mx"),
+      greatest(max(col("y")), lit(1L)).as("my"))
+    val rows = b.crossJoin(broadcast(bounds))
+      .withColumn("xs", expr("(x * 65535) div mx"))
+      .withColumn("ys", expr("(y * 65535) div my"))
+      .withColumn("zblk", expr(
+        s"(${zInterleave((c, bb, k) => s"shiftleft(shiftright(${c}s, $bb) & 1, $k)")}) div 4194304"))
+      .withColumn("natblk", expr("y div 7"))
+    val idx = explode(sequence(lit(1), lit(5)))
+    val pointProbes = spark.range(1).select(idx.as("i"))
+      .crossJoin(broadcast(bounds))
+      .select(col("i"), expr("(mx * i) div 6").as("px"))
+    val weekProbes = spark.range(1).select(idx.as("i"))
+      .crossJoin(broadcast(bounds))
+      .select(col("i"), expr("((my div 7) * i) div 6").as("pw"))
+    val point = rows.join(broadcast(pointProbes), col("x") === col("px"))
+      .groupBy(col("i")).agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("zblk")).as("blocks_zorder"),
+        countDistinct(col("natblk")).as("blocks_natural"))
+      .select(lit("point_customer").as("probe"), col("i"), col("n_rows"),
+        col("blocks_zorder"), col("blocks_natural"))
+    val week = rows.join(broadcast(weekProbes), expr("y div 7") === col("pw"))
+      .groupBy(col("i")).agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("zblk")).as("blocks_zorder"),
+        countDistinct(col("natblk")).as("blocks_natural"))
+      .select(lit("week_range").as("probe"), col("i"), col("n_rows"),
+        col("blocks_zorder"), col("blocks_natural"))
+    point.unionByName(week).orderBy(col("probe"), col("i"))
+  }
+
+  val q276Sql: String = {
+    val z = zInterleave((c, bb, k) => s"((($c >> $bb) & 1) << $k)")
+    val zs = z.replace("(x ", "(xs ").replace("(y ", "(ys ")
+    s"""WITH b AS (
+       |  SELECT CAST(o_custkey AS BIGINT) AS x,
+       |    CAST(DATE_DIFF('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS y
+       |  FROM orders),
+       |bd AS (SELECT GREATEST(MAX(x), 1) AS mx, GREATEST(MAX(y), 1) AS my FROM b),
+       |r AS (
+       |  SELECT x, y, ($zs) // 4194304 AS zblk, y // 7 AS natblk FROM (
+       |    SELECT x, y, (x * 65535) // mx AS xs, (y * 65535) // my AS ys
+       |    FROM b, bd)),
+       |pp AS (SELECT i, (mx * i) // 6 AS px FROM bd,
+       |  (SELECT unnest(range(1, 6)) AS i) g),
+       |wp AS (SELECT i, ((my // 7) * i) // 6 AS pw FROM bd,
+       |  (SELECT unnest(range(1, 6)) AS i) g),
+       |point AS (
+       |  SELECT 'point_customer' AS probe, i, COUNT(*) AS n_rows,
+       |    CAST(COUNT(DISTINCT zblk) AS BIGINT) AS blocks_zorder,
+       |    CAST(COUNT(DISTINCT natblk) AS BIGINT) AS blocks_natural
+       |  FROM r JOIN pp ON x = px GROUP BY 2),
+       |week AS (
+       |  SELECT 'week_range' AS probe, i, COUNT(*) AS n_rows,
+       |    CAST(COUNT(DISTINCT zblk) AS BIGINT) AS blocks_zorder,
+       |    CAST(COUNT(DISTINCT natblk) AS BIGINT) AS blocks_natural
+       |  FROM r JOIN wp ON y // 7 = pw GROUP BY 2)
+       |SELECT probe, CAST(i AS INT) AS i, n_rows, blocks_zorder, blocks_natural
+       |FROM (SELECT * FROM point UNION ALL SELECT * FROM week)
+       |ORDER BY probe, i""".stripMargin
+  }
+
+  // --------------------------------------------------------------------------
   // q275 — PARTIAL TOP-K PER GROUP: q07's window rank shuffles EVERY row
   // to its group's partition; at 100 TB the winning plan prunes first —
   // each input partition keeps only its own top-3 per customer (bounded
@@ -2189,6 +2267,7 @@ object RelationalMore {
     // same oracle as q07: the partial path must reproduce the exact
     // window-rank result (per-partition pruning has no false negatives)
     ("q275_partial_topk", q275PartialTopk _, Some(Relational.q07Sql)),
+    ("q276_layout_effectiveness", q276LayoutEffectiveness _, Some(q276Sql)),
     ("q214_cbo_stats", q214CboStats _, Some(q214Sql)),
     ("q219_schema_evolution", q219SchemaEvolution _, Some(q219Sql)),
     ("q53_date_spine", q53DateSpine _, Some(q53Sql)),

@@ -110,6 +110,8 @@ class PlanLintSpec extends SparkSpec {
       "broadcast 1-row side by construction: the (n_all, pos_all) totals joined onto the ranked rows",
     "q273_lsh_planner" ->
       "broadcast 4-row (bands, rows) config grid crossed with the 20-bin similarity histogram — both sides bounded by construction",
+    "q276_layout_effectiveness" ->
+      "broadcast 1-row bounds and 5-row probe grids by construction (q142's normalize pattern); the probe lookups are equi-joins on the probed value",
     "q110_kmeans" ->
       "broadcast(centroids) cross join — k rows by construction (Lloyd assignment pass)",
     "q45_ann_ivf" ->

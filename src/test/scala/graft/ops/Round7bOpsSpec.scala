@@ -938,6 +938,30 @@ class Round7bOpsSpec extends SparkSpec {
     assert(partial.length === 30) // 10 customers × top 3
   }
 
+  test("q276: the layout A/B shows time-clustering winning week scans") {
+    import spark.implicits._
+    val d = Files.createTempDirectory("graft_r7b_layout").toString
+    // 60 customers × 6 orders spread over a year: week scans are
+    // contiguous in the natural layout (1 block) and scattered under
+    // z-order; point lookups are at worst no worse under z-order
+    val rows = for (c <- 1L to 60L; k <- 0L to 5L) yield
+      (c * 10 + k, c, "O", 100.0,
+        Timestamp.valueOf(f"1995-${(k * 2 + 1)}%02d-15 00:00:00"), "P")
+    rows.toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+      "o_orderdate", "o_orderpriority")
+      .coalesce(1).write.parquet(s"$d/orders.parquet")
+    val got = RelationalMore.q276LayoutEffectiveness(spark, d).collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val weeks = got.filter(_._1 == "week_range")
+    assert(weeks.nonEmpty)
+    weeks.foreach { case (_, n, zb, nb) =>
+      assert(nb === 1L)          // natural layout: one contiguous block
+      assert(zb >= nb && n > 0)  // z-order scatters time locality
+    }
+    val points = got.filter(_._1 == "point_customer")
+    points.foreach { case (_, n, zb, nb) => assert(zb <= n && nb <= n) }
+  }
+
   test("q237: planted durations/censoring recover the hand-computed KM curve") {
     import spark.implicits._
     val d = Files.createTempDirectory("graft_r7b_km").toString
