@@ -941,12 +941,13 @@ class Round7bOpsSpec extends SparkSpec {
   test("q276: the layout A/B shows time-clustering winning week scans") {
     import spark.implicits._
     val d = Files.createTempDirectory("graft_r7b_layout").toString
-    // 60 customers × 6 orders spread over a year: week scans are
-    // contiguous in the natural layout (1 block) and scattered under
-    // z-order; point lookups are at worst no worse under z-order
+    // 60 customers × 6 orders covering EVERY day 0..329 after 1995-01-01,
+    // so every probed week has rows; week scans are contiguous in the
+    // natural layout and scattered under z-order
+    val day0 = Timestamp.valueOf("1995-01-01 00:00:00").getTime
     val rows = for (c <- 1L to 60L; k <- 0L to 5L) yield
       (c * 10 + k, c, "O", 100.0,
-        Timestamp.valueOf(f"1995-${(k * 2 + 1)}%02d-15 00:00:00"), "P")
+        new Timestamp(day0 + (((c - 1) * 6 + k) % 330) * 86400000L), "P")
     rows.toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
       "o_orderdate", "o_orderpriority")
       .coalesce(1).write.parquet(s"$d/orders.parquet")
