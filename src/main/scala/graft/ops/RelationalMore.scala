@@ -2218,6 +2218,107 @@ object RelationalMore {
   }
 
   // --------------------------------------------------------------------------
+  // q277 — JOIN CARDINALITY ESTIMATION AUDIT: how good would a System-R
+  // style histogram estimate of |orders ⋈ lineitem| be on this data?
+  // Both sides bucket on the join key (256 range buckets); the classic
+  // per-bucket estimate n_A·n_B / max(V_A, V_B) (containment-of-values
+  // assumption) is compared against the TRUE per-bucket join count, and
+  // the summary q-error = max(est/true, true/est) is the number a CBO
+  // engineer tracks. Everything is exact integers until the per-bucket
+  // division; totals fold in pinned bucket order.
+  //
+  // Output: the 8 worst-estimated buckets (by |log-ish| q-error, rank
+  // deterministic) + a TOTAL row — small, auditable, hash-stable.
+  def q277JoinEstimate(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir).select(col("o_orderkey").as("k"))
+    val l = Tables.lineitem(spark, dir).select(col("l_orderkey").as("k"))
+    val mx = o.agg(greatest(max(col("k")), lit(1L)).as("mx"))
+    def bucketed(t: DataFrame): DataFrame = t.crossJoin(broadcast(mx))
+      .withColumn("b", expr("k div (mx div 256 + 1)"))
+    val sa = bucketed(o).groupBy(col("b"))
+      .agg(count(lit(1)).as("na"), countDistinct(col("k")).as("va"))
+    val sb = bucketed(l).groupBy(col("b"))
+      .agg(count(lit(1)).as("nb"), countDistinct(col("k")).as("vb"))
+    val truth = bucketed(o.join(l, Seq("k")).select(col("k")))
+      .groupBy(col("b")).agg(count(lit(1)).as("true_rows"))
+    val per = sa.join(sb, Seq("b"), "full_outer")
+      .join(truth, Seq("b"), "full_outer")
+      .select(col("b"),
+        coalesce(col("na"), lit(0L)).as("na"), coalesce(col("nb"), lit(0L)).as("nb"),
+        coalesce(col("va"), lit(0L)).as("va"), coalesce(col("vb"), lit(0L)).as("vb"),
+        coalesce(col("true_rows"), lit(0L)).as("true_rows"))
+      .withColumn("est",
+        when(greatest(col("va"), col("vb")) > 0,
+          (col("na") * col("nb")).cast("double") /
+            greatest(col("va"), col("vb")).cast("double")).otherwise(lit(0.0)))
+      .withColumn("qerr",
+        when(col("true_rows") > 0 && col("est") > 0.0,
+          greatest(col("est") / col("true_rows"), col("true_rows") / col("est")))
+          .otherwise(lit(0.0)))
+    val worst = per
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("qerr").desc, col("b"))))
+      .filter(col("rk") <= 8)
+      .select(concat(lit("bucket_"), col("b")).as("scope"),
+        col("true_rows"), round(col("est"), 2).as("est_rows"),
+        round(col("qerr"), 4).as("q_error"))
+    val tot = per.agg(sum(col("true_rows")).as("true_rows"),
+      expr("aggregate(sort_array(collect_list(struct(b, est))), cast(0 as double), (a, x) -> a + x.est)")
+        .as("est_sum"))
+      .select(lit("TOTAL").as("scope"), col("true_rows"),
+        round(col("est_sum"), 2).as("est_rows"),
+        round(greatest(col("est_sum") / col("true_rows"),
+          col("true_rows") / col("est_sum")), 4).as("q_error"))
+    worst.unionByName(tot).orderBy(col("scope"))
+  }
+
+  val q277Sql: String =
+    """WITH mx AS (SELECT GREATEST(MAX(o_orderkey), 1) AS mx FROM orders),
+      |oa AS (
+      |  SELECT o_orderkey // (mx // 256 + 1) AS b, COUNT(*) AS na,
+      |    COUNT(DISTINCT o_orderkey) AS va
+      |  FROM orders, mx GROUP BY 1),
+      |lb AS (
+      |  SELECT l_orderkey // (mx // 256 + 1) AS b, COUNT(*) AS nb,
+      |    COUNT(DISTINCT l_orderkey) AS vb
+      |  FROM lineitem, mx GROUP BY 1),
+      |tr AS (
+      |  SELECT o_orderkey // (mx // 256 + 1) AS b, COUNT(*) AS true_rows
+      |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey, mx GROUP BY 1),
+      |per AS (
+      |  SELECT COALESCE(oa.b, lb.b, tr.b) AS b,
+      |    COALESCE(na, 0) AS na, COALESCE(nb, 0) AS nb,
+      |    COALESCE(va, 0) AS va, COALESCE(vb, 0) AS vb,
+      |    COALESCE(true_rows, 0) AS true_rows
+      |  FROM oa FULL OUTER JOIN lb ON oa.b = lb.b
+      |  FULL OUTER JOIN tr ON COALESCE(oa.b, lb.b) = tr.b),
+      |est AS (
+      |  SELECT b, true_rows,
+      |    CASE WHEN GREATEST(va, vb) > 0
+      |      THEN CAST(na * nb AS DOUBLE) / CAST(GREATEST(va, vb) AS DOUBLE)
+      |      ELSE 0.0 END AS est
+      |  FROM per),
+      |q AS (
+      |  SELECT b, true_rows, est,
+      |    CASE WHEN true_rows > 0 AND est > 0.0
+      |      THEN GREATEST(est / true_rows, true_rows / est) ELSE 0.0 END AS qerr
+      |  FROM est),
+      |worst AS (
+      |  SELECT 'bucket_' || b::VARCHAR AS scope, true_rows,
+      |    ROUND(est, 2) AS est_rows, ROUND(qerr, 4) AS q_error
+      |  FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY qerr DESC, b) AS rk FROM q)
+      |  WHERE rk <= 8),
+      |tot AS (
+      |  SELECT 'TOTAL' AS scope, CAST(SUM(true_rows) AS BIGINT) AS true_rows,
+      |    ROUND(list_reduce(list(est ORDER BY b), (x, y) -> x + y), 2) AS est_rows,
+      |    ROUND(GREATEST(
+      |      list_reduce(list(est ORDER BY b), (x, y) -> x + y) / SUM(true_rows),
+      |      SUM(true_rows) / list_reduce(list(est ORDER BY b), (x, y) -> x + y)),
+      |      4) AS q_error
+      |  FROM q)
+      |SELECT * FROM worst UNION ALL SELECT * FROM tot ORDER BY scope""".stripMargin
+
+  // --------------------------------------------------------------------------
   // q275 — PARTIAL TOP-K PER GROUP: q07's window rank shuffles EVERY row
   // to its group's partition; at 100 TB the winning plan prunes first —
   // each input partition keeps only its own top-3 per customer (bounded
@@ -2268,6 +2369,7 @@ object RelationalMore {
     // window-rank result (per-partition pruning has no false negatives)
     ("q275_partial_topk", q275PartialTopk _, Some(Relational.q07Sql)),
     ("q276_layout_effectiveness", q276LayoutEffectiveness _, Some(q276Sql)),
+    ("q277_join_estimate", q277JoinEstimate _, Some(q277Sql)),
     ("q214_cbo_stats", q214CboStats _, Some(q214Sql)),
     ("q219_schema_evolution", q219SchemaEvolution _, Some(q219Sql)),
     ("q53_date_spine", q53DateSpine _, Some(q53Sql)),

@@ -71,6 +71,8 @@ class PlanLintSpec extends SparkSpec {
       "q169's two-pass shape descending: exclusive prefix sum over the 50-row score-bin grid + cum sums over the 10-row decile grid; the per-row rank window is partitioned by bin",
     "q272_sorted_neighborhood" ->
       "q169's two-pass shape on a string domain: exclusive prefix sum over the name-prefix-12 bucket grid (domain-bounded); the per-name rank window is partitioned by bucket",
+    "q277_join_estimate" ->
+      "worst-bucket rank over the 256-row key-range bucket grid — bounded by construction, not by either join side",
     "q266_voptimal_hist" ->
       "rank + prefix sums over the distinct-quantity value grid — bounded by the 50-value feature domain, not lineitem")
 
@@ -112,6 +114,8 @@ class PlanLintSpec extends SparkSpec {
       "broadcast 4-row (bands, rows) config grid crossed with the 20-bin similarity histogram — both sides bounded by construction",
     "q276_layout_effectiveness" ->
       "broadcast 1-row bounds and 5-row probe grids by construction (q142's normalize pattern); the probe lookups are equi-joins on the probed value",
+    "q277_join_estimate" ->
+      "broadcast 1-row max-key aggregate by construction (the range-bucket width); everything else is equi-joined bucket grids",
     "q110_kmeans" ->
       "broadcast(centroids) cross join — k rows by construction (Lloyd assignment pass)",
     "q45_ann_ivf" ->

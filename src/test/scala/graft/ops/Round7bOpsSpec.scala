@@ -963,6 +963,35 @@ class Round7bOpsSpec extends SparkSpec {
     points.foreach { case (_, n, zb, nb) => assert(zb <= n && nb <= n) }
   }
 
+  test("q277: the V-based estimate is exact on an FK join, even under key skew") {
+    import spark.implicits._
+    val d = Files.createTempDirectory("graft_r7b_joinest").toString
+    val ts = Timestamp.valueOf("2024-01-01 00:00:00")
+    // orders 1..512 (1 row each, PK); lineitem: 2 rows per order except
+    // key 1 with 100 (skew). With va = na (PK side) the estimate
+    // na·nb/max(va,vb) collapses to nb = the true FK-join count in EVERY
+    // bucket — per-bucket and TOTAL q-error must be exactly 1 (skew only
+    // hurts when BOTH sides are non-unique)
+    (1L to 512L).map(k => (k, k, "O", 1.0, ts, "P"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .coalesce(1).write.parquet(s"$d/orders.parquet")
+    val li = (1L to 512L).flatMap(k => Seq.fill(if (k == 1) 100 else 2)(k))
+      .zipWithIndex.map { case (k, i) =>
+        (k, 1L, 1L, i, 1.0, 1.0, 0.0, 0.0, "N", "O", ts)
+      }
+    li.toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+      "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+      "l_returnflag", "l_linestatus", "l_shipdate")
+      .coalesce(1).write.parquet(s"$d/lineitem.parquet")
+    val got = RelationalMore.q277JoinEstimate(spark, d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    val tot = got.find(_._1 == "TOTAL").get
+    assert(tot._2 === 100L + 511L * 2)
+    assert(tot._4 === 1.0) // V-based estimate is exact when V == bucket keys
+    assert(got.count(_._1 != "TOTAL") === 8)
+  }
+
   test("q237: planted durations/censoring recover the hand-computed KM curve") {
     import spark.implicits._
     val d = Files.createTempDirectory("graft_r7b_km").toString
