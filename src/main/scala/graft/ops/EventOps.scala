@@ -989,12 +989,55 @@ object EventOps {
       |WHERE user_id % 2 = 0
       |GROUP BY 1, 2 ORDER BY t.prev""".stripMargin
 
+  // --------------------------------------------------------------------------
+  // q278 — WEEKDAY×HOUR ACTIVITY HEATMAP with per-weekday peak: the
+  // capacity-planning grid behind batch-window scheduling — one hash
+  // aggregate to the 7×24 UTC grid, per-cell share of the weekday's
+  // traffic (exact integer ratio), and each weekday's peak hour (max
+  // count, earliest-hour tie-break) flagged in place. Weekday indexing
+  // uses q131's epoch arithmetic (days-since-Monday-1970-01-05 mod 7) —
+  // bit-identical in both engines, no locale week rules.
+  def q278ActivityHeatmap(spark: SparkSession, dir: String): DataFrame = {
+    val grid = Tables.events(spark, dir)
+      .select(
+        expr("cast(pmod(datediff(to_date(ts), date'1970-01-05'), 7) as int)").as("dow"),
+        hour(col("ts")).as("hr"))
+      .groupBy(col("dow"), col("hr")).agg(count(lit(1)).as("n"))
+    val wDow = Window.partitionBy(col("dow"))
+    grid
+      .withColumn("dow_total", sum(col("n")).over(wDow))
+      .withColumn("mx", max(struct(col("n"), (-col("hr")).cast("long").as("nh"))).over(wDow))
+      .select(col("dow"), col("hr"), col("n"),
+        round(col("n").cast("double") / col("dow_total"), 6).as("share_of_dow"),
+        (col("n") === col("mx.n") && col("hr") === -col("mx.nh")).as("is_peak"))
+      .orderBy(col("dow"), col("hr"))
+  }
+
+  val q278Sql: String =
+    """WITH g AS (
+      |  SELECT CAST((DATE_DIFF('day', DATE '1970-01-05', CAST(ts AS DATE)) % 7 + 7) % 7 AS INT) AS dow,
+      |    CAST(EXTRACT(hour FROM ts) AS INT) AS hr, COUNT(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |w AS (
+      |  SELECT dow, hr, n,
+      |    SUM(n) OVER (PARTITION BY dow) AS dow_total,
+      |    MAX(n) OVER (PARTITION BY dow) AS mx_n
+      |  FROM g),
+      |p AS (
+      |  SELECT dow, MIN(hr) AS peak_hr FROM w WHERE n = mx_n GROUP BY dow)
+      |SELECT w.dow, hr, n,
+      |  ROUND(CAST(n AS DOUBLE) / dow_total, 6) AS share_of_dow,
+      |  (n = mx_n AND hr = peak_hr) AS is_peak
+      |FROM w JOIN p ON w.dow = p.dow
+      |ORDER BY w.dow, hr""".stripMargin
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q237_kaplan_meier", q237KaplanMeier _, Some(q237Sql)),
     ("q246_bot_score", q246BotScore _, Some(q246Sql)),
     ("q250_incremental_sessions", q250IncrementalSessions _, Some(q250Sql)),
     ("q254_shapley_attribution", q254ShapleyAttribution _, Some(q254Sql)),
     ("q264_markov_eval", q264MarkovEval _, Some(q264Sql)),
+    ("q278_activity_heatmap", q278ActivityHeatmap _, Some(q278Sql)),
     ("q228_lateness_audit", q228LatenessAudit _, Some(q228Sql)),
     ("q131_cohort_retention", q131CohortRetention _, Some(q131Sql)),
     ("q132_event_transitions", q132EventTransitions _, Some(q132Sql)),

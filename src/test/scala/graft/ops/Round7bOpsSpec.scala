@@ -992,6 +992,32 @@ class Round7bOpsSpec extends SparkSpec {
     assert(got.count(_._1 != "TOTAL") === 8)
   }
 
+  test("q278: the heatmap flags one peak per weekday with earliest-hour ties") {
+    import spark.implicits._
+    val d = Files.createTempDirectory("graft_r7b_heat").toString
+    // Monday 2024-01-01 (dow 0): 3 events at 09h, 3 at 14h (tie → 09h
+    // peaks), 1 at 20h; Tuesday: single event at 07h
+    def ev(id: Long, day: String, h: Int) =
+      (id, Timestamp.valueOf(f"$day $h%02d:30:00"), 1L, "view", 1.0, "{}")
+    val rows = Seq(
+      ev(1, "2024-01-01", 9), ev(2, "2024-01-01", 9), ev(3, "2024-01-01", 9),
+      ev(4, "2024-01-01", 14), ev(5, "2024-01-01", 14), ev(6, "2024-01-01", 14),
+      ev(7, "2024-01-01", 20), ev(8, "2024-01-02", 7))
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.parquet(s"$d/events.parquet")
+    val got = EventOps.q278ActivityHeatmap(spark, d).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getDouble(3), r.getBoolean(4)))
+    val monday = got.filter(_._1 == 0)
+    assert(monday.map(_._3).sum === 7L)
+    assert(monday.filter(_._5) === monday.filter(t => t._2 == 9)) // tie → 9h
+    assert(monday.find(_._2 == 9).get._4 === round6(3.0 / 7))
+    val tuesday = got.filter(_._1 == 1)
+    assert(tuesday === Array((1, 7, 1L, 1.0, true)))
+  }
+
+  private def round6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
   test("q237: planted durations/censoring recover the hand-computed KM curve") {
     import spark.implicits._
     val d = Files.createTempDirectory("graft_r7b_km").toString
