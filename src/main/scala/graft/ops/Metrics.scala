@@ -495,8 +495,12 @@ object Metrics {
   // don't give — what operating point to SHIP. Scores collapse to the
   // 50-bin grid; suffix sums over it give every threshold's exact TP/FP
   // simultaneously; F1 = 2TP/(2TP + FP + FN) stays an integer rational
-  // until one division. The best row is flagged via a max-F1 window over
-  // the same bounded grid.
+  // all the way to the OUTPUT: precision/recall/F1 ship as exact
+  // parts-per-million BIGINT floor-divisions of the exact counts
+  // (§8.4 portability policy — the round-7 driver flipped a 6th-decimal
+  // ROUND of the double quotient on cells whose true value had a 4/5 in
+  // the 7th decimal; integer div is bit-identical in every engine). The
+  // best row is flagged via a max over the INTEGER f1_ppm.
   def q265PrCurve(spark: SparkSession, dir: String): DataFrame = {
     val u = (conv(substring(md5(concat(lit("cal:"), col("event_id").cast("string"))), 1, 13),
       16, 10).cast("long").cast("double") + 0.5) / lit(4503599627370496.0)
@@ -514,15 +518,15 @@ object Metrics {
       .withColumn("tp", sum(col("np")).over(wSuf))
       .withColumn("fp", sum(col("nn")).over(wSuf))
       .withColumn("totp", sum(col("np")).over(wAll))
-      .withColumn("f1", round(lit(2.0) * col("tp") /
-        (lit(2.0) * col("tp") + col("fp") + (col("totp") - col("tp"))), 6))
-      .withColumn("best_f1", max(col("f1")).over(wAll))
-      .select(round(col("bin") / 50.0, 2).as("threshold"),
+      // F1 = 2TP/(2TP+FP+FN), FN = totp−tp ⇒ denominator = tp+fp+totp
+      .withColumn("f1_ppm", expr("(2000000L * tp) div (tp + fp + totp)"))
+      .withColumn("best_f1", max(col("f1_ppm")).over(wAll))
+      .select((col("bin") * 2).cast("int").as("threshold_pct"),
         col("tp"), col("fp"),
-        round(col("tp").cast("double") / (col("tp") + col("fp")), 6).as("precision"),
-        round(col("tp").cast("double") / col("totp"), 6).as("recall"),
-        col("f1"), (col("f1") === col("best_f1")).as("is_best"))
-      .orderBy(col("threshold"))
+        expr("(1000000L * tp) div (tp + fp)").as("precision_ppm"),
+        expr("(1000000L * tp) div totp").as("recall_ppm"),
+        col("f1_ppm"), (col("f1_ppm") === col("best_f1")).as("is_best"))
+      .orderBy(col("threshold_pct"))
   }
 
   val q265Sql: String =
@@ -545,13 +549,14 @@ object Metrics {
       |  FROM b),
       |f AS (
       |  SELECT bin, tp, fp, totp,
-      |    ROUND(2.0 * tp / (2.0 * tp + fp + (totp - tp)), 6) AS f1
+      |    CAST((2000000 * tp) // (tp + fp + totp) AS BIGINT) AS f1_ppm
       |  FROM s)
-      |SELECT ROUND(bin / 50.0, 2) AS threshold, tp, fp,
-      |  ROUND(CAST(tp AS DOUBLE) / (tp + fp), 6) AS precision,
-      |  ROUND(CAST(tp AS DOUBLE) / totp, 6) AS recall,
-      |  f1, f1 = MAX(f1) OVER () AS is_best
-      |FROM f ORDER BY threshold""".stripMargin
+      |SELECT CAST(bin * 2 AS INT) AS threshold_pct,
+      |  CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+      |  CAST((1000000 * tp) // (tp + fp) AS BIGINT) AS precision_ppm,
+      |  CAST((1000000 * tp) // totp AS BIGINT) AS recall_ppm,
+      |  f1_ppm, f1_ppm = MAX(f1_ppm) OVER () AS is_best
+      |FROM f ORDER BY threshold_pct""".stripMargin
 
   // --------------------------------------------------------------------------
   // q267 — CUPED VARIANCE REDUCTION (controlled-experiment sensitivity):

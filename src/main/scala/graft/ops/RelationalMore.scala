@@ -1951,9 +1951,13 @@ object RelationalMore {
   // enter the DP — at 100 TB the histogram build is one aggregate plus
   // constant-size planning.
   //
-  // Determinism: SSE/dp are doubles with IDENTICAL arithmetic both
-  // engines; argmins tie-break on the smaller split index (min-struct /
-  // row_number(cost, s)).
+  // Determinism (§8.4 portability policy): the DP objective is EXACT
+  // fixed-point BIGINT — sse_e4 = 10⁴·Q − (10⁴·S²) div W, a pure integer
+  // floor-division identical in every engine — so the argmin and its
+  // index tie-break (min-struct / row_number(cost, s)) can never flip on
+  // a 1-ulp double difference (the round-7 driver flipped a split index
+  // exactly that way). Magnitudes: at sf0.1, 10⁴·S² ≈ 2.3e18 < 2⁶³; a
+  // 100 TB build would lift the same arithmetic to DECIMAL(38,0).
   def q266VOptimalHist(spark: SparkSession, dir: String): DataFrame = {
     val nBins = 4
     val grid = Tables.lineitem(spark, dir)
@@ -1967,32 +1971,26 @@ object RelationalMore {
       .withColumn("cs", sum(col("v") * col("n")).over(wCum))
       .withColumn("cq", sum(col("v").cast("long") * col("v") * col("n")).over(wCum))
       .select(col("i"), col("v"), col("n"), col("cw"), col("cs"), col("cq"))
-    // sse of index range (a..b]: prefix rows a (exclusive base, i=a) and b
-    def sse(aw: org.apache.spark.sql.Column, as_ : org.apache.spark.sql.Column,
-        aq: org.apache.spark.sql.Column, bw: org.apache.spark.sql.Column,
-        bs: org.apache.spark.sql.Column, bq: org.apache.spark.sql.Column) = {
-      val w = bw - aw; val s = bs - as_; val q = bq - aq
-      q.cast("double") - (s * s).cast("double") / w.cast("double")
-    }
+    // sse_e4 of index range (a..b] from prefix rows a (exclusive) and b,
+    // as an exact fixed-point long (named columns so `div` parses)
+    val sseE4 = expr("10000L * (bq - aq) - (10000L * (bs - as_) * (bs - as_)) div (bw - aw)")
     val zero = pre.select(lit(0).as("i"), lit(0L).as("cw"), lit(0L).as("cs"),
       lit(0L).as("cq")).limit(1).unionByName(
       pre.select(col("i"), col("cw"), col("cs"), col("cq")))
-    val ends = pre.select(col("i").as("e"), col("cw").as("ew"),
-      col("cs").as("es"), col("cq").as("eq"))
+    val ends = pre.select(col("i").as("e"), col("cw").as("bw"),
+      col("cs").as("bs"), col("cq").as("bq"))
     // dp1(v) = sse(0..v]
     val dp = ends.join(zero.filter(col("i") === 0), ends("e") > col("i"))
-      .select(col("e").as("v"),
-        sse(col("cw"), col("cs"), col("cq"), col("ew"), col("es"), col("eq")).as("cost"),
-        lit(0).as("arg"))
+      .withColumnsRenamed(Map("cw" -> "aw", "cs" -> "as_", "cq" -> "aq"))
+      .select(col("e").as("v"), sseE4.as("cost"), lit(0).as("arg"))
     val dpByLevel = scala.collection.mutable.Map(1 -> dp)
     (2 to nBins).foreach { k =>
       val prev = dpByLevel(k - 1)
         .select(col("v").as("s"), col("cost").as("pcost"))
-        .join(zero.select(col("i").as("s"), col("cw").as("sw"),
-          col("cs").as("ss"), col("cq").as("sq")), Seq("s"))
+        .join(zero.select(col("i").as("s"), col("cw").as("aw"),
+          col("cs").as("as_"), col("cq").as("aq")), Seq("s"))
       val cand = ends.join(prev, col("e") > col("s"))
-        .withColumn("cost", col("pcost") +
-          sse(col("sw"), col("ss"), col("sq"), col("ew"), col("es"), col("eq")))
+        .withColumn("cost", col("pcost") + sseE4)
       val next = cand
         .groupBy(col("e").as("v"))
         .agg(min(struct(col("cost"), col("s"))).as("m"))
@@ -2025,8 +2023,7 @@ object RelationalMore {
       .select(col("bin"),
         coalesce(col("lo_v") + 1, lit(1)).as("lo"), col("hi_v").as("hi"),
         (col("bw") - col("aw")).as("n"),
-        round(sse(col("aw"), col("as_"), col("aq"),
-          col("bw"), col("bs"), col("bq")), 4).as("sse"))
+        sseE4.as("sse_e4"))
       .orderBy(col("bin"))
   }
 
@@ -2045,47 +2042,40 @@ object RelationalMore {
       |  UNION ALL SELECT i, cw, cs, cq FROM pre),
       |dp1 AS (
       |  SELECT e.i AS v,
-      |    CAST(e.cq AS DOUBLE) - CAST(e.cs * e.cs AS DOUBLE) / CAST(e.cw AS DOUBLE)
-      |      AS cost,
+      |    10000 * e.cq - (10000 * e.cs * e.cs) // e.cw AS cost,
       |    0 AS arg
       |  FROM pre e),
       |dp2 AS (
       |  SELECT v, cost, arg FROM (
       |    SELECT e.i AS v,
-      |      d.cost + (CAST(e.cq - s.cq AS DOUBLE)
-      |        - CAST((e.cs - s.cs) * (e.cs - s.cs) AS DOUBLE)
-      |          / CAST(e.cw - s.cw AS DOUBLE)) AS cost,
+      |      d.cost + (10000 * (e.cq - s.cq)
+      |        - (10000 * (e.cs - s.cs) * (e.cs - s.cs)) // (e.cw - s.cw)) AS cost,
       |      s.i AS arg,
       |      ROW_NUMBER() OVER (PARTITION BY e.i ORDER BY
-      |        d.cost + (CAST(e.cq - s.cq AS DOUBLE)
-      |          - CAST((e.cs - s.cs) * (e.cs - s.cs) AS DOUBLE)
-      |            / CAST(e.cw - s.cw AS DOUBLE)), s.i) AS rk
+      |        d.cost + (10000 * (e.cq - s.cq)
+      |          - (10000 * (e.cs - s.cs) * (e.cs - s.cs)) // (e.cw - s.cw)), s.i) AS rk
       |    FROM pre e JOIN dp1 d ON d.v < e.i JOIN z s ON s.i = d.v)
       |  WHERE rk = 1),
       |dp3 AS (
       |  SELECT v, cost, arg FROM (
       |    SELECT e.i AS v,
-      |      d.cost + (CAST(e.cq - s.cq AS DOUBLE)
-      |        - CAST((e.cs - s.cs) * (e.cs - s.cs) AS DOUBLE)
-      |          / CAST(e.cw - s.cw AS DOUBLE)) AS cost,
+      |      d.cost + (10000 * (e.cq - s.cq)
+      |        - (10000 * (e.cs - s.cs) * (e.cs - s.cs)) // (e.cw - s.cw)) AS cost,
       |      s.i AS arg,
       |      ROW_NUMBER() OVER (PARTITION BY e.i ORDER BY
-      |        d.cost + (CAST(e.cq - s.cq AS DOUBLE)
-      |          - CAST((e.cs - s.cs) * (e.cs - s.cs) AS DOUBLE)
-      |            / CAST(e.cw - s.cw AS DOUBLE)), s.i) AS rk
+      |        d.cost + (10000 * (e.cq - s.cq)
+      |          - (10000 * (e.cs - s.cs) * (e.cs - s.cs)) // (e.cw - s.cw)), s.i) AS rk
       |    FROM pre e JOIN dp2 d ON d.v < e.i JOIN z s ON s.i = d.v)
       |  WHERE rk = 1),
       |dp4 AS (
       |  SELECT v, cost, arg FROM (
       |    SELECT e.i AS v,
-      |      d.cost + (CAST(e.cq - s.cq AS DOUBLE)
-      |        - CAST((e.cs - s.cs) * (e.cs - s.cs) AS DOUBLE)
-      |          / CAST(e.cw - s.cw AS DOUBLE)) AS cost,
+      |      d.cost + (10000 * (e.cq - s.cq)
+      |        - (10000 * (e.cs - s.cs) * (e.cs - s.cs)) // (e.cw - s.cw)) AS cost,
       |      s.i AS arg,
       |      ROW_NUMBER() OVER (PARTITION BY e.i ORDER BY
-      |        d.cost + (CAST(e.cq - s.cq AS DOUBLE)
-      |          - CAST((e.cs - s.cs) * (e.cs - s.cs) AS DOUBLE)
-      |            / CAST(e.cw - s.cw AS DOUBLE)), s.i) AS rk
+      |        d.cost + (10000 * (e.cq - s.cq)
+      |          - (10000 * (e.cs - s.cs) * (e.cs - s.cs)) // (e.cw - s.cw)), s.i) AS rk
       |    FROM pre e JOIN dp3 d ON d.v < e.i JOIN z s ON s.i = d.v)
       |  WHERE rk = 1),
       |vm AS (SELECT MAX(i) AS vmax FROM pre),
@@ -2099,10 +2089,10 @@ object RelationalMore {
       |  UNION ALL SELECT 4, s3, vmax FROM b1, vm)
       |SELECT bin,
       |  COALESCE(lp.v + 1, 1) AS lo, hp.v AS hi,
-      |  hp.cw - a.cw AS n,
-      |  ROUND(CAST(hp.cq - a.cq AS DOUBLE)
-      |    - CAST((hp.cs - a.cs) * (hp.cs - a.cs) AS DOUBLE)
-      |      / CAST(hp.cw - a.cw AS DOUBLE), 4) AS sse
+      |  CAST(hp.cw - a.cw AS BIGINT) AS n,
+      |  CAST(10000 * (hp.cq - a.cq)
+      |    - (10000 * (hp.cs - a.cs) * (hp.cs - a.cs)) // (hp.cw - a.cw)
+      |    AS BIGINT) AS sse_e4
       |FROM bounds
       |JOIN z a ON a.i = bounds.lo_i
       |JOIN pre hp ON hp.i = bounds.hi_i

@@ -693,18 +693,38 @@ class Round7bOpsSpec extends SparkSpec {
       (k, ts, k % 50, if (k % 4 == 0) "purchase" else "view", 1.0, "{}"))
       .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
       .coalesce(1).write.parquet(s"$d/events.parquet")
-    val rows = Metrics.q265PrCurve(spark, d).collect()
-      .map(r => (r.getDouble(0), r.getLong(1), r.getDouble(3), r.getDouble(4),
-        r.getDouble(5), r.getBoolean(6)))
+    val full = Metrics.q265PrCurve(spark, d).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getBoolean(6)))
       .sortBy(_._1)
     // recall non-increasing in threshold; exactly the max-f1 rows flagged
-    val recalls = rows.map(_._4)
+    val recalls = full.map(_._5)
     assert(recalls.zip(recalls.tail).forall { case (a, b) => a >= b })
-    val maxF1 = rows.map(_._5).max
-    assert(rows.filter(_._6).forall(_._5 == maxF1))
-    assert(rows.exists(_._6))
+    val maxF1 = full.map(_._6).max
+    assert(full.filter(_._7).forall(_._6 == maxF1))
+    assert(full.exists(_._7))
     // low thresholds capture every positive
-    assert(rows.head._4 === 1.0)
+    assert(full.head._5 === 1000000L)
+    // §8.4 portability pin: every ppm cell is the EXACT BigInt floor of
+    // the rational it names — no double ever enters the hashed output
+    val totp = full.head._2  // tp at the lowest threshold = all positives
+    full.foreach { case (_, tp, fp, prec, rec, f1, _) =>
+      assert(prec === (BigInt(1000000) * tp / (tp + fp)).toLong)
+      assert(rec === (BigInt(1000000) * tp / totp).toLong)
+      assert(f1 === (BigInt(2000000) * tp / (tp + fp + totp)).toLong)
+    }
+  }
+
+  test("q265 class pin: a 7th-decimal rounding-boundary quotient ships as exact floor-div ppm") {
+    import spark.implicits._
+    // precision = 1/128 = 0.0078125 exactly — round(., 6) is HALF_UP
+    // 0.007813 in Spark but round-half-even 0.007812 in C-library engines:
+    // the exact cross-engine flip that failed q265 in round 7. The ppm
+    // floor-div is 7812 everywhere, by construction.
+    val r = Seq((1L, 127L)).toDF("tp", "fp")
+      .selectExpr("(1000000L * tp) div (tp + fp) AS precision_ppm")
+      .collect().head.getLong(0)
+    assert(r === 7812L)
   }
 
   test("q266: the DP finds the planted four tight clusters as optimal bins") {
@@ -722,12 +742,14 @@ class Round7bOpsSpec extends SparkSpec {
       "l_returnflag", "l_linestatus", "l_shipdate")
       .coalesce(1).write.parquet(s"$d/lineitem.parquet")
     val got = RelationalMore.q266VOptimalHist(spark, d).collect()
-      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getLong(3), r.getDouble(4)))
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getLong(3), r.getLong(4)))
     // bins PARTITION the value axis (lo = previous hi + 1), so the gap
-    // regions attach to the following bin; contents are the four clusters
+    // regions attach to the following bin; contents are the four clusters.
+    // Each {v, v+1}×100 cluster has exact SSE 50 → sse_e4 = 500000 (the
+    // 10⁴·S² term divides W exactly here, so fixed-point == true SSE)
     assert(got === Array(
-      (1, 1, 2, 200L, 50.0), (2, 3, 11, 200L, 50.0),
-      (3, 12, 21, 200L, 50.0), (4, 22, 31, 200L, 50.0)))
+      (1, 1, 2, 200L, 500000L), (2, 3, 11, 200L, 500000L),
+      (3, 12, 21, 200L, 500000L), (4, 22, 31, 200L, 500000L)))
   }
 
   test("q267: perfectly correlated pre/post gives ~100% variance reduction") {
