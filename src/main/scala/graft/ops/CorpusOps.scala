@@ -99,7 +99,7 @@ object CorpusOps {
         sum(when(col("df") >= 3, 1L).otherwise(0L)).as("n_boiler"))
       .select(
         col("doc_id"), col("n_grams"), col("n_boiler"),
-        round(col("n_boiler").cast("double") / col("n_grams"), 6).as("boiler_share"))
+        Num.pround(col("n_boiler").cast("double") / col("n_grams"), 6).as("boiler_share"))
       .orderBy(col("doc_id"))
   }
 
@@ -112,8 +112,8 @@ object CorpusOps {
        |gdf AS (SELECT s, COUNT(*) AS df FROM sh GROUP BY s)
        |SELECT sh.doc_id, COUNT(*) AS n_grams,
        |  CAST(SUM(CASE WHEN gdf.df >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
-       |  ROUND(CAST(SUM(CASE WHEN gdf.df >= 3 THEN 1 ELSE 0 END) AS DOUBLE)
-       |        / COUNT(*), 6) AS boiler_share
+       |  FLOOR((CAST(SUM(CASE WHEN gdf.df >= 3 THEN 1 ELSE 0 END) AS DOUBLE)
+       |        / COUNT(*)) * 1e6 + 0.5) / 1e6 AS boiler_share
        |FROM sh JOIN gdf USING (s)
        |GROUP BY sh.doc_id ORDER BY sh.doc_id""".stripMargin
 
@@ -161,15 +161,15 @@ object CorpusOps {
       .filter(col("o_orderkey") % 10 === 0) // keep the verified output small
       .select(
         col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"),
-        round(percent_rank().over(w), 6).as("pct_rank"),
-        round(cume_dist().over(w), 6).as("cume"))
+        Num.pround(percent_rank().over(w), 6).as("pct_rank"),
+        Num.pround(cume_dist().over(w), 6).as("cume"))
       .orderBy(col("o_orderkey"))
   }
 
   val q89Sql: String =
     """SELECT o_orderkey, o_orderpriority, o_totalprice,
-      |  ROUND(percent_rank() OVER w, 6) AS pct_rank,
-      |  ROUND(cume_dist() OVER w, 6) AS cume
+      |  FLOOR((percent_rank() OVER w) * 1e6 + 0.5) / 1e6 AS pct_rank,
+      |  FLOOR((cume_dist() OVER w) * 1e6 + 0.5) / 1e6 AS cume
       |FROM orders WHERE o_orderkey % 10 = 0
       |WINDOW w AS (PARTITION BY o_orderpriority
       |             ORDER BY o_totalprice, o_orderkey)
@@ -257,7 +257,7 @@ object CorpusOps {
       .groupBy(col("doc_id"))
       .agg(
         count(lit(1)).as("n_tok"),
-        round(avg(log(col("c").cast("double") / col("n"))), 4).as("avg_logprob"))
+        Num.pround(avg(log(col("c").cast("double") / col("n"))), 4).as("avg_logprob"))
       .orderBy(col("doc_id"))
   }
 
@@ -268,7 +268,7 @@ object CorpusOps {
        |tot AS (SELECT COUNT(*) AS n FROM tok),
        |model AS (SELECT w, COUNT(*) AS c FROM tok GROUP BY w)
        |SELECT doc_id, COUNT(*) AS n_tok,
-       |       ROUND(AVG(LN(CAST(c AS DOUBLE) / n)), 4) AS avg_logprob
+       |       FLOOR((AVG(LN(CAST(c AS DOUBLE) / n))) * 1e4 + 0.5) / 1e4 AS avg_logprob
        |FROM tok JOIN model USING (w), tot
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
@@ -288,7 +288,7 @@ object CorpusOps {
     docs.crossJoin(broadcast(bounds))
       .filter(col("n_chars") >= col("lo") && col("n_chars") <= col("hi"))
       .select(col("doc_id"), col("n_chars"),
-        round(col("lo"), 2).as("p05"), round(col("hi"), 2).as("p95"))
+        Num.pround(col("lo"), 2).as("p05"), Num.pround(col("hi"), 2).as("p95"))
       .orderBy(col("doc_id"))
   }
 
@@ -296,7 +296,7 @@ object CorpusOps {
     """WITH b AS (
       |  SELECT quantile_cont(n_chars, 0.05) AS lo, quantile_cont(n_chars, 0.95) AS hi
       |  FROM documents)
-      |SELECT doc_id, n_chars, ROUND(lo, 2) AS p05, ROUND(hi, 2) AS p95
+      |SELECT doc_id, n_chars, FLOOR((lo) * 1e2 + 0.5) / 1e2 AS p05, FLOOR((hi) * 1e2 + 0.5) / 1e2 AS p95
       |FROM documents, b
       |WHERE n_chars >= lo AND n_chars <= hi
       |ORDER BY doc_id""".stripMargin
@@ -333,7 +333,7 @@ object CorpusOps {
       .agg(
         count(lit(1)).as("n_docs"),
         sum(col("n_tok")).as("sum_tokens"),
-        round(avg(col("ttr")), 4).as("avg_ttr"))
+        Num.pround(avg(col("ttr")), 4).as("avg_ttr"))
       .orderBy(col("split"), col("lang"))
   }
 
@@ -359,7 +359,7 @@ object CorpusOps {
       |       WHEN substring(h, 1, 2) < 'f3' THEN 'val'
       |       ELSE 'test' END AS split,
       |  lang, COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS sum_tokens,
-      |  ROUND(AVG(ttr), 4) AS avg_ttr
+      |  FLOOR((AVG(ttr)) * 1e4 + 0.5) / 1e4 AS avg_ttr
       |FROM m WHERE ttr >= 0.3
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
@@ -379,7 +379,7 @@ object CorpusOps {
       .withColumn("p", col("c").cast("double") / col("n"))
       .groupBy(col("doc_id"))
       .agg(
-        round(-sum(col("p") * log(2.0, col("p"))), 4).as("entropy"),
+        Num.pround(-sum(col("p") * log(2.0, col("p"))), 4).as("entropy"),
         count(lit(1)).as("n_distinct"),
         max(col("n")).as("n_tok"))
       .orderBy(col("doc_id"))
@@ -396,7 +396,7 @@ object CorpusOps {
        |         SUM(c) OVER (PARTITION BY doc_id) AS n,
        |         CAST(c AS DOUBLE) / SUM(c) OVER (PARTITION BY doc_id) AS p
        |  FROM counts)
-       |SELECT doc_id, ROUND(-SUM(p * log2(p)), 4) AS entropy,
+       |SELECT doc_id, FLOOR((-SUM(p * log2(p))) * 1e4 + 0.5) / 1e4 AS entropy,
        |       COUNT(*) AS n_distinct, CAST(MAX(n) AS BIGINT) AS n_tok
        |FROM probs GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
@@ -472,9 +472,9 @@ object CorpusOps {
           |  a + (((x.cur_n + 0.5d) / (n_cur + 6.0d)) - ((x.ref_n + 0.5d) / (n_ref + 6.0d)))
           |      * ln(((x.cur_n + 0.5d) / (n_cur + 6.0d))
           |           / ((x.ref_n + 0.5d) / (n_ref + 6.0d))))""".stripMargin))
-      .select(col("n_ref"), col("n_cur"), round(col("psi"), 6).as("psi"),
-        when(round(col("psi"), 6) < 0.1, lit("stable"))
-          .when(round(col("psi"), 6) < 0.25, lit("moderate"))
+      .select(col("n_ref"), col("n_cur"), Num.pround(col("psi"), 6).as("psi"),
+        when(Num.pround(col("psi"), 6) < 0.1, lit("stable"))
+          .when(Num.pround(col("psi"), 6) < 0.25, lit("moderate"))
           .otherwise(lit("major")).as("drift_band"))
   }
 
@@ -501,9 +501,9 @@ object CorpusOps {
       |      ORDER BY bin)), (a, b) -> a + b) AS psi
       |  FROM grid CROSS JOIN tot GROUP BY n_ref, n_cur)
       |SELECT CAST(n_ref AS BIGINT) AS n_ref, CAST(n_cur AS BIGINT) AS n_cur,
-      |  ROUND(psi, 6) AS psi,
-      |  CASE WHEN ROUND(psi, 6) < 0.1 THEN 'stable'
-      |       WHEN ROUND(psi, 6) < 0.25 THEN 'moderate'
+      |  FLOOR((psi) * 1e6 + 0.5) / 1e6 AS psi,
+      |  CASE WHEN FLOOR((psi) * 1e6 + 0.5) / 1e6 < 0.1 THEN 'stable'
+      |       WHEN FLOOR((psi) * 1e6 + 0.5) / 1e6 < 0.25 THEN 'moderate'
       |       ELSE 'major' END AS drift_band
       |FROM agg""".stripMargin
 
@@ -550,7 +550,7 @@ object CorpusOps {
       .agg(count(lit(1)).as("c_ab"))
       .filter(col("c_ab") >= 5)
       .crossJoin(broadcast(nDocs))
-      .withColumn("pmi", round(
+      .withColumn("pmi", Num.pround(
         log(col("c_ab").cast("double") * col("n_docs") /
           (col("df_a").cast("double") * col("df_b"))), 6))
       .select(col("t1"), col("t2"), col("c_ab"), col("pmi"))
@@ -574,7 +574,7 @@ object CorpusOps {
        |  JOIN vocab vb ON vb.w = b.w
        |  GROUP BY 1, 2 HAVING COUNT(*) >= 5)
        |SELECT t1, t2, c_ab,
-       |  ROUND(LN(CAST(c_ab AS DOUBLE) * n_docs / (CAST(va.df AS DOUBLE) * vb.df)), 6) AS pmi
+       |  FLOOR((LN(CAST(c_ab AS DOUBLE) * n_docs / (CAST(va.df AS DOUBLE) * vb.df))) * 1e6 + 0.5) / 1e6 AS pmi
        |FROM pairs
        |JOIN vocab va ON va.w = t1
        |JOIN vocab vb ON vb.w = t2
@@ -708,7 +708,7 @@ object CorpusOps {
       .crossJoin(broadcast(total))
       .withColumn("leak", col("split_a") =!= col("split_b"))
       .withColumn("pct_of_pairs",
-        round(col("n_pairs").cast("double") * 100 / col("tot"), 6))
+        Num.pround(col("n_pairs").cast("double") * 100 / col("tot"), 6))
       .select(col("split_a"), col("split_b"), col("n_pairs"), col("leak"),
         col("pct_of_pairs"))
       .orderBy(col("split_a"), col("split_b"))
@@ -742,7 +742,7 @@ object CorpusOps {
        |  FROM pairs JOIN sp a ON id_a = a.doc_id JOIN sp b ON id_b = b.doc_id)
        |SELECT split_a, split_b, COUNT(*) AS n_pairs,
        |  split_a <> split_b AS leak,
-       |  ROUND(CAST(COUNT(*) AS DOUBLE) * 100 / (SELECT COUNT(*) FROM lab), 6)
+       |  FLOOR((CAST(COUNT(*) AS DOUBLE) * 100 / (SELECT COUNT(*) FROM lab)) * 1e6 + 0.5) / 1e6
        |    AS pct_of_pairs
        |FROM lab GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 

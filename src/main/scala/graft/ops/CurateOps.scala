@@ -14,7 +14,7 @@ import org.apache.spark.sql.types.DecimalType
   *
   * Numeric policy per ops/Relational.scala header: exact integer/decimal
   * arithmetic everywhere order matters; doubles only in per-row ops or
-  * fixed-order folds; ROUND(…,6) before hashing.
+  * fixed-order folds; FLOOR((…) * 1e6 + 0.5) / 1e6 before hashing.
   */
 object CurateOps {
 
@@ -157,9 +157,9 @@ object CurateOps {
       .join(broadcast(itemCnt.select(col("l_partkey").as("p2"), col("c").as("c2"))), Seq("p2"))
       .crossJoin(broadcast(nOrd))
       .select(col("p1"), col("p2"), col("c12"),
-        round(col("c12") / col("n_orders"), 6).as("support"),
-        round(col("c12") / col("c1"), 6).as("confidence"),
-        round(col("n_orders").cast("double") * col("c12")
+        Num.pround(col("c12") / col("n_orders"), 6).as("support"),
+        Num.pround(col("c12") / col("c1"), 6).as("confidence"),
+        Num.pround(col("n_orders").cast("double") * col("c12")
           / (col("c1").cast("double") * col("c2")), 6).as("lift"))
       .orderBy(col("p1"), col("p2"))
   }
@@ -174,9 +174,9 @@ object CurateOps {
       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
       |  GROUP BY 1, 2 HAVING COUNT(*) >= 2)
       |SELECT p1, p2, c12,
-      |  ROUND(c12 / n_orders, 6) AS support,
-      |  ROUND(c12 / i1.c, 6) AS confidence,
-      |  ROUND(n_orders::DOUBLE * c12 / (i1.c::DOUBLE * i2.c), 6) AS lift
+      |  FLOOR((c12 / n_orders) * 1e6 + 0.5) / 1e6 AS support,
+      |  FLOOR((c12 / i1.c) * 1e6 + 0.5) / 1e6 AS confidence,
+      |  FLOOR((n_orders::DOUBLE * c12 / (i1.c::DOUBLE * i2.c)) * 1e6 + 0.5) / 1e6 AS lift
       |FROM p, n
       |JOIN ic i1 ON p.p1 = i1.l_partkey
       |JOIN ic i2 ON p.p2 = i2.l_partkey
@@ -230,7 +230,7 @@ object CurateOps {
         // Spark's Divide yields NULL but DuckDB's IEEE division yields
         // ±inf/nan — both engines must agree on NULL
         when(col("p75") =!= col("p25"),
-          round((col("cents") / 100.0 - col("p50")) / (col("p75") - col("p25")), 6))
+          Num.pround((col("cents") / 100.0 - col("p50")) / (col("p75") - col("p25")), 6))
           .as("robust_z"))
       .orderBy(col("c_custkey"))
   }
@@ -246,7 +246,7 @@ object CurateOps {
       |  FROM c GROUP BY seg)
       |SELECT c_custkey, seg AS c_mktsegment,
       |  CASE WHEN p75c <> p25c THEN
-      |    ROUND((cents / 100.0 - p50c / 100.0) / (p75c / 100.0 - p25c / 100.0), 6)
+      |    FLOOR(((cents / 100.0 - p50c / 100.0) / (p75c / 100.0 - p25c / 100.0)) * 1e6 + 0.5) / 1e6
       |  END AS robust_z
       |FROM c JOIN q USING (seg) ORDER BY c_custkey""".stripMargin
 
@@ -326,7 +326,7 @@ object CurateOps {
       .groupBy(col("user_id"))
       .agg(sort_array(collect_list(struct(col("k"), col("v")))).as("arr"))
       .select(col("user_id"),
-        round(expr("aggregate(arr, cast(0 as double), " +
+        Num.pround(expr("aggregate(arr, cast(0 as double), " +
           "(acc, e) -> acc + e.v / cast(shiftleft(cast(1 as bigint), e.k) as double))"), 6)
           .as("decayed_spend"))
       .orderBy(col("user_id"))
@@ -340,9 +340,9 @@ object CurateOps {
       |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
       |  FROM events, t GROUP BY 1, 2)
       |SELECT user_id,
-      |  ROUND(list_reduce(
+      |  FLOOR((list_reduce(
       |    list_prepend(0.0, list(v / (1::BIGINT << k)::DOUBLE ORDER BY k)),
-      |    (a, b) -> a + b), 6) AS decayed_spend
+      |    (a, b) -> a + b)) * 1e6 + 0.5) / 1e6 AS decayed_spend
       |FROM wk GROUP BY user_id ORDER BY user_id""".stripMargin
 
   // --------------------------------------------------------------------------
@@ -499,7 +499,7 @@ object CurateOps {
       .orderBy(col("f").desc, col("w")).limit(30)
     top
       .withColumn("rank", row_number().over(Window.orderBy(col("f").desc, col("w"))))
-      .select(round(log(col("rank")), 6).as("x"), round(log(col("f")), 6).as("y"),
+      .select(Num.pround(log(col("rank")), 6).as("x"), Num.pround(log(col("f")), 6).as("y"),
         col("rank"))
       .agg(sort_array(collect_list(struct(col("rank"), col("x"), col("y")))).as("pts"),
         count(lit(1)).cast("double").as("k"))
@@ -513,10 +513,10 @@ object CurateOps {
       .withColumn("den", col("k") * col("s")(3) - col("s")(0) * col("s")(0))
       .select(col("k").cast("int").as("n_points"),
         when(col("den") =!= 0,
-          round((col("k") * col("s")(2) - col("s")(0) * col("s")(1))
+          Num.pround((col("k") * col("s")(2) - col("s")(0) * col("s")(1))
             / col("den"), 6)).as("slope"),
         when(col("den") =!= 0,
-          round((col("s")(1) - (col("k") * col("s")(2) - col("s")(0) * col("s")(1))
+          Num.pround((col("s")(1) - (col("k") * col("s")(2) - col("s")(0) * col("s")(1))
             / col("den") * col("s")(0)) / col("k"), 6)).as("intercept"))
   }
 
@@ -527,8 +527,8 @@ object CurateOps {
        |  GROUP BY w ORDER BY f DESC, w LIMIT 30),
        |r AS (
        |  SELECT ROW_NUMBER() OVER (ORDER BY f DESC, w) AS rank,
-       |    ROUND(ln(ROW_NUMBER() OVER (ORDER BY f DESC, w)), 6) AS x,
-       |    ROUND(ln(f), 6) AS y
+       |    FLOOR((ln(ROW_NUMBER() OVER (ORDER BY f DESC, w))) * 1e6 + 0.5) / 1e6 AS x,
+       |    FLOOR((ln(f)) * 1e6 + 0.5) / 1e6 AS y
        |  FROM freq),
        |acc AS (
        |  SELECT COUNT(*)::DOUBLE AS k,
@@ -539,9 +539,9 @@ object CurateOps {
        |  FROM r)
        |SELECT CAST(k AS INT) AS n_points,
        |  CASE WHEN k * s[4] - s[1] * s[1] <> 0 THEN
-       |    ROUND((k * s[3] - s[1] * s[2]) / (k * s[4] - s[1] * s[1]), 6) END AS slope,
+       |    FLOOR(((k * s[3] - s[1] * s[2]) / (k * s[4] - s[1] * s[1])) * 1e6 + 0.5) / 1e6 END AS slope,
        |  CASE WHEN k * s[4] - s[1] * s[1] <> 0 THEN
-       |    ROUND((s[2] - (k * s[3] - s[1] * s[2]) / (k * s[4] - s[1] * s[1]) * s[1]) / k, 6)
+       |    FLOOR(((s[2] - (k * s[3] - s[1] * s[2]) / (k * s[4] - s[1] * s[1]) * s[1]) / k) * 1e6 + 0.5) / 1e6
        |  END AS intercept
        |FROM acc""".stripMargin
 
@@ -616,7 +616,7 @@ object CurateOps {
         // zero-wedge guard: an edgeless/degenerate graph has n_wedges=0
         // (Spark Divide → NULL, DuckDB → nan); both engines pin to NULL
         when(col("n_wedges") > 0,
-          round(lit(3.0) * col("n_triangles") / col("n_wedges"), 6))
+          Num.pround(lit(3.0) * col("n_triangles") / col("n_wedges"), 6))
           .as("clustering_coeff"))
   }
 
@@ -639,8 +639,8 @@ object CurateOps {
       |  (SELECT n_triangles FROM tri) AS n_triangles,
       |  (SELECT CAST(SUM(d * (d - 1) // 2) AS BIGINT) FROM deg) AS n_wedges,
       |  CASE WHEN (SELECT SUM(d * (d - 1) // 2) FROM deg) > 0 THEN
-      |    ROUND(3.0::DOUBLE * (SELECT n_triangles FROM tri)
-      |      / (SELECT SUM(d * (d - 1) // 2) FROM deg), 6)
+      |    FLOOR((3.0::DOUBLE * (SELECT n_triangles FROM tri)
+      |      / (SELECT SUM(d * (d - 1) // 2) FROM deg)) * 1e6 + 0.5) / 1e6
       |  END AS clustering_coeff""".stripMargin
 
   // --------------------------------------------------------------------------
@@ -706,10 +706,10 @@ object CurateOps {
         when(col("n") > 1,
           (col("ex2") - col("mean_c") * col("mean_c")) * col("n") / (col("n") - 1)))
       .select(col("seg").as("c_mktsegment"), col("n"),
-        round(col("plo") / 100.0, 6).as("p_lo"),
-        round(col("phi") / 100.0, 6).as("p_hi"),
-        round(col("mean_c") / 100.0, 6).as("mean_w"),
-        round(sqrt(col("variance")) / 100.0, 6).as("std_w"))
+        Num.pround(col("plo") / 100.0, 6).as("p_lo"),
+        Num.pround(col("phi") / 100.0, 6).as("p_hi"),
+        Num.pround(col("mean_c") / 100.0, 6).as("mean_w"),
+        Num.pround(sqrt(col("variance")) / 100.0, 6).as("std_w"))
       .orderBy(col("c_mktsegment"))
   }
 
@@ -735,10 +735,10 @@ object CurateOps {
       |    (s2 + n_lo * (plo * plo) + n_hi * (phi * phi)) / n AS ex2
       |  FROM m)
       |SELECT seg AS c_mktsegment, n,
-      |  ROUND(plo / 100.0, 6) AS p_lo, ROUND(phi / 100.0, 6) AS p_hi,
-      |  ROUND(mean_c / 100.0, 6) AS mean_w,
+      |  FLOOR((plo / 100.0) * 1e6 + 0.5) / 1e6 AS p_lo, FLOOR((phi / 100.0) * 1e6 + 0.5) / 1e6 AS p_hi,
+      |  FLOOR((mean_c / 100.0) * 1e6 + 0.5) / 1e6 AS mean_w,
       |  CASE WHEN n > 1 THEN
-      |    ROUND(sqrt((ex2 - mean_c * mean_c) * n / (n - 1)) / 100.0, 6)
+      |    FLOOR((sqrt((ex2 - mean_c * mean_c) * n / (n - 1)) / 100.0) * 1e6 + 0.5) / 1e6
       |  END AS std_w
       |FROM st ORDER BY c_mktsegment""".stripMargin
 
@@ -769,9 +769,9 @@ object CurateOps {
       // other engines — floor is the portable spelling
       .withColumn("target_tokens",
         expr("cast(floor(share * cast(tok_tot div 2 as double)) as long)"))
-      .withColumn("epochs", round(col("target_tokens").cast("double") / col("tokens"), 6))
+      .withColumn("epochs", Num.pround(col("target_tokens").cast("double") / col("tokens"), 6))
       .select(col("source"), col("tokens"), col("w"),
-        round(col("share"), 6).as("share"), col("target_tokens"), col("epochs"))
+        Num.pround(col("share"), 6).as("share"), col("target_tokens"), col("epochs"))
       .orderBy(col("source"))
   }
 
@@ -787,11 +787,11 @@ object CurateOps {
        |  SELECT CAST(SUM(w) AS BIGINT) AS w_tot, CAST(SUM(tokens) AS BIGINT) AS tok_tot
        |  FROM t)
        |SELECT source, tokens, w,
-       |  ROUND(w::DOUBLE / w_tot, 6) AS share,
+       |  FLOOR((w::DOUBLE / w_tot) * 1e6 + 0.5) / 1e6 AS share,
        |  CAST(FLOOR(w::DOUBLE / w_tot * CAST(tok_tot // 2 AS DOUBLE)) AS BIGINT)
        |    AS target_tokens,
-       |  ROUND(CAST(FLOOR(w::DOUBLE / w_tot * CAST(tok_tot // 2 AS DOUBLE)) AS BIGINT)
-       |    ::DOUBLE / tokens, 6) AS epochs
+       |  FLOOR((CAST(FLOOR(w::DOUBLE / w_tot * CAST(tok_tot // 2 AS DOUBLE)) AS BIGINT)
+       |    ::DOUBLE / tokens) * 1e6 + 0.5) / 1e6 AS epochs
        |FROM t, tot ORDER BY source""".stripMargin
 
   // --------------------------------------------------------------------------
@@ -820,8 +820,8 @@ object CurateOps {
       .agg(expr("sum(h1) div count(1)").as("h2"), count(lit(1)).as("n_sup"))
     base.join(h2, Seq("p"))
       .select(col("p").as("partkey"),
-        round(col("x") / 100.0, 2).as("own_price"),
-        round(col("h2") / 100.0, 2).as("neighborhood_price"),
+        Num.pround(col("x") / 100.0, 2).as("own_price"),
+        Num.pround(col("h2") / 100.0, 2).as("neighborhood_price"),
         col("n_sup"))
       .orderBy(col("partkey"))
   }
@@ -840,8 +840,8 @@ object CurateOps {
       |  SELECT p, SUM(h1) // COUNT(*) AS h2, COUNT(*) AS n_sup
       |  FROM de JOIN h1 USING (s) GROUP BY 1)
       |SELECT p AS partkey,
-      |  ROUND(x / 100.0, 2) AS own_price,
-      |  ROUND(h2 / 100.0, 2) AS neighborhood_price,
+      |  FLOOR((x / 100.0) * 1e2 + 0.5) / 1e2 AS own_price,
+      |  FLOOR((h2 / 100.0) * 1e2 + 0.5) / 1e2 AS neighborhood_price,
       |  n_sup
       |FROM base JOIN h2 USING (p)
       |ORDER BY partkey""".stripMargin
@@ -867,7 +867,7 @@ object CurateOps {
         sum(col("dp") * col("dp")).cast(d38).as("sxx"),
         sum(col("ds") * col("ds")).cast(d38).as("syy"))
       .select(col("n").cast("long").as("n_edges"),
-        round((col("sxy") * col("n") - col("sx") * col("sy")).cast("double") /
+        Num.pround((col("sxy") * col("n") - col("sx") * col("sy")).cast("double") /
           sqrt((col("sxx") * col("n") - col("sx") * col("sx")).cast("double") *
             (col("syy") * col("n") - col("sy") * col("sy")).cast("double")), 6)
           .as("assortativity"))
@@ -885,9 +885,9 @@ object CurateOps {
       |    SUM(CAST(ds AS HUGEINT) * ds) AS syy
       |  FROM e JOIN dp USING (p) JOIN ds USING (s))
       |SELECT CAST(n AS BIGINT) AS n_edges,
-      |  ROUND(CAST(sxy * n - sx * sy AS DOUBLE) /
-      |    sqrt(CAST(sxx * n - sx * sx AS DOUBLE) * CAST(syy * n - sy * sy AS DOUBLE)),
-      |    6) AS assortativity
+      |  FLOOR((CAST(sxy * n - sx * sy AS DOUBLE) /
+      |    sqrt(CAST(sxx * n - sx * sx AS DOUBLE) * CAST(syy * n - sy * sy AS DOUBLE)))
+      |    * 1e6 + 0.5) / 1e6 AS assortativity
       |FROM m""".stripMargin
 
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(

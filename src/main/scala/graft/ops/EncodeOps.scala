@@ -76,8 +76,8 @@ object EncodeOps {
       .agg(cents.as("scents"), count(lit(1)).as("n_cust"))
       .crossJoin(broadcast(glob))
       .select(col("c_mktsegment"), col("n_cust"),
-        round(col("gcents").cast("double") / (lit(100.0) * col("gn")), 2).as("prior"),
-        round((col("scents") * col("gn") + lit(m) * col("gcents")).cast("double")
+        Num.pround(col("gcents").cast("double") / (lit(100.0) * col("gn")), 2).as("prior"),
+        Num.pround((col("scents") * col("gn") + lit(m) * col("gcents")).cast("double")
           / (lit(100.0) * col("gn") * (col("n_cust") + m)), 4).as("enc"))
       .orderBy(col("c_mktsegment"))
   }
@@ -93,9 +93,9 @@ object EncodeOps {
       |    COUNT(*) AS n_cust
       |  FROM customer GROUP BY c_mktsegment)
       |SELECT c_mktsegment, n_cust,
-      |  ROUND(CAST(gcents AS DOUBLE) / (100e0 * gn), 2) AS prior,
-      |  ROUND(CAST(scents * gn + 20 * gcents AS DOUBLE)
-      |        / (100e0 * gn * (n_cust + 20)), 4) AS enc
+      |  FLOOR((CAST(gcents AS DOUBLE) / (100e0 * gn)) * 1e2 + 0.5) / 1e2 AS prior,
+      |  FLOOR((CAST(scents * gn + 20 * gcents AS DOUBLE)
+      |        / (100e0 * gn * (n_cust + 20))) * 1e4 + 0.5) / 1e4 AS enc
       |FROM s, g ORDER BY c_mktsegment""".stripMargin
 
   // --------------------------------------------------------------------------
@@ -152,7 +152,7 @@ object EncodeOps {
       .crossJoin(broadcast(v))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"),
-        round(avg(log((col("c2") + 0.5) / (col("c1") + lit(0.5) * col("v")))), 4)
+        Num.pround(avg(log((col("c2") + 0.5) / (col("c1") + lit(0.5) * col("v")))), 4)
           .as("avg_logprob"))
       .orderBy(col("doc_id"))
   }
@@ -169,7 +169,7 @@ object EncodeOps {
        |    COUNT(*) OVER (PARTITION BY w1) AS c1
        |  FROM tok)
        |SELECT doc_id, COUNT(*) AS n_bigrams,
-       |  ROUND(AVG(LN((c2 + 0.5e0) / (c1 + 0.5e0 * v))), 4) AS avg_logprob
+       |  FLOOR((AVG(LN((c2 + 0.5e0) / (c1 + 0.5e0 * v)))) * 1e4 + 0.5) / 1e4 AS avg_logprob
        |FROM cnt, v GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   // --------------------------------------------------------------------------
@@ -248,7 +248,7 @@ object EncodeOps {
       .agg(count_if(col("pos")).as("p_s"), count_if(!col("pos")).as("n_s"))
       .crossJoin(broadcast(tot))
       .select(col("c_mktsegment"), col("p_s"), col("n_s"),
-        round(log(((col("p_s") + 0.5) / (col("p_tot") + 1)) /
+        Num.pround(log(((col("p_s") + 0.5) / (col("p_tot") + 1)) /
           ((col("n_s") + 0.5) / (col("n_tot") + 1))), 4).as("woe"))
       .orderBy(col("c_mktsegment"))
   }
@@ -261,8 +261,8 @@ object EncodeOps {
       |SELECT c_mktsegment,
       |  COUNT(*) FILTER (c_acctbal > 0) AS p_s,
       |  COUNT(*) FILTER (c_acctbal <= 0) AS n_s,
-      |  ROUND(LN(((COUNT(*) FILTER (c_acctbal > 0) + 0.5e0) / (p_tot + 1)) /
-      |           ((COUNT(*) FILTER (c_acctbal <= 0) + 0.5e0) / (n_tot + 1))), 4) AS woe
+      |  FLOOR((LN(((COUNT(*) FILTER (c_acctbal > 0) + 0.5e0) / (p_tot + 1)) /
+      |           ((COUNT(*) FILTER (c_acctbal <= 0) + 0.5e0) / (n_tot + 1)))) * 1e4 + 0.5) / 1e4 AS woe
       |FROM customer, t GROUP BY c_mktsegment, p_tot, n_tot
       |ORDER BY c_mktsegment""".stripMargin
 
@@ -290,9 +290,9 @@ object EncodeOps {
     val projected = Tables.embeddings(spark, dir)
       .crossJoin(broadcast(mat))
       .select(col("vec_id"), expr(
-        """transform(sequence(0, 15), j -> round(aggregate(sequence(0, 63), 0d,
+        """transform(sequence(0, 15), j -> floor(aggregate(sequence(0, 63), 0d,
           |  (acc, i) -> acc + cast(element_at(embedding, i + 1) as double)
-          |              * element_at(m, i * 16 + j + 1)), 6))""".stripMargin).as("proj"))
+          |              * element_at(m, i * 16 + j + 1)) * 1e6 + 0.5) / 1e6)""".stripMargin).as("proj"))
     // flatten to scalar columns: array-typed result cells break hash/sort
     // tooling downstream (pandas can't lexsort ndarray cells), and scalar
     // doubles are the layout a projection sink would write anyway
@@ -304,8 +304,8 @@ object EncodeOps {
 
   val q187Sql: String = {
     val cols = (0 until 16)
-      .map(j => s"ROUND(list_reduce(list_transform(range(0, 64), i -> " +
-        s"embedding[i + 1]::DOUBLE * m[i * 16 + $j + 1]), (a, b) -> a + b), 6) AS p$j")
+      .map(j => s"FLOOR((list_reduce(list_transform(range(0, 64), i -> " +
+        s"embedding[i + 1]::DOUBLE * m[i * 16 + $j + 1]), (a, b) -> a + b)) * 1e6 + 0.5) / 1e6 AS p$j")
       .mkString(",\n      |  ")
     s"""WITH m AS (
       |  SELECT list_transform(flatten(list_transform(range(0, 64), i ->

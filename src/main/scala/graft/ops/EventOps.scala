@@ -60,7 +60,7 @@ object EventOps {
       .withColumn("cohort_size", cohortSize)
       .select(
         col("cohort"), col("week_offset"), col("active_users"), col("cohort_size"),
-        round(col("active_users").cast("double") / col("cohort_size"), 6)
+        Num.pround(col("active_users").cast("double") / col("cohort_size"), 6)
           .as("retention_rate"))
       .orderBy(col("cohort"), col("week_offset"))
   }
@@ -81,7 +81,7 @@ object EventOps {
       |      OVER (PARTITION BY cohort) AS cohort_size
       |  FROM act)
       |SELECT cohort, week_offset, active_users, cohort_size,
-      |  ROUND(CAST(active_users AS DOUBLE) / cohort_size, 6) AS retention_rate
+      |  FLOOR((CAST(active_users AS DOUBLE) / cohort_size) * 1e6 + 0.5) / 1e6 AS retention_rate
       |FROM sized ORDER BY cohort, week_offset""".stripMargin
 
   // --------------------------------------------------------------------------
@@ -104,7 +104,7 @@ object EventOps {
       .groupBy(col("event_type").as("from_type"), col("to_type"))
       .agg(count(lit(1)).as("n_trans"))
       .withColumn("p",
-        round(col("n_trans").cast("double") /
+        Num.pround(col("n_trans").cast("double") /
           sum(col("n_trans")).over(Window.partitionBy(col("from_type"))), 6))
       .orderBy(col("from_type"), col("to_type"))
   }
@@ -118,8 +118,8 @@ object EventOps {
       |  SELECT from_type, to_type, COUNT(*) AS n_trans
       |  FROM chain WHERE to_type IS NOT NULL GROUP BY 1, 2)
       |SELECT from_type, to_type, n_trans,
-      |  ROUND(CAST(n_trans AS DOUBLE) /
-      |        SUM(n_trans) OVER (PARTITION BY from_type), 6) AS p
+      |  FLOOR((CAST(n_trans AS DOUBLE) /
+      |        SUM(n_trans) OVER (PARTITION BY from_type)) * 1e6 + 0.5) / 1e6 AS p
       |FROM cnt ORDER BY from_type, to_type""".stripMargin
 
   // --------------------------------------------------------------------------
@@ -224,8 +224,8 @@ object EventOps {
           (lit(1.0) / col("n_a") + lit(1.0) / col("n_b"))))
       .select(
         col("n_a"), col("x_a"), col("n_b"), col("x_b"),
-        round(col("p_a"), 6).as("p_a"), round(col("p_b"), 6).as("p_b"),
-        round(col("z"), 6).as("z"),
+        Num.pround(col("p_a"), 6).as("p_a"), Num.pround(col("p_b"), 6).as("p_b"),
+        Num.pround(col("z"), 6).as("z"),
         (abs(col("z")) > 1.96).as("significant"))
   }
 
@@ -251,8 +251,8 @@ object EventOps {
       |  FROM c)
       |SELECT CAST(n_a AS BIGINT) AS n_a, CAST(x_a AS BIGINT) AS x_a,
       |  CAST(n_b AS BIGINT) AS n_b, CAST(x_b AS BIGINT) AS x_b,
-      |  ROUND(p_a, 6) AS p_a, ROUND(p_b, 6) AS p_b,
-      |  ROUND((p_a - p_b) / SQRT(pp * (1.0 - pp) * (1.0 / n_a + 1.0 / n_b)), 6) AS z,
+      |  FLOOR((p_a) * 1e6 + 0.5) / 1e6 AS p_a, FLOOR((p_b) * 1e6 + 0.5) / 1e6 AS p_b,
+      |  FLOOR(((p_a - p_b) / SQRT(pp * (1.0 - pp) * (1.0 / n_a + 1.0 / n_b))) * 1e6 + 0.5) / 1e6 AS z,
       |  ABS((p_a - p_b) / SQRT(pp * (1.0 - pp) * (1.0 / n_a + 1.0 / n_b))) > 1.96 AS significant
       |FROM s""".stripMargin
 
@@ -292,7 +292,7 @@ object EventOps {
         date_format(date_add(to_date(lit("1970-01-01")), col("day")), "yyyy-MM-dd")
           .as("date_s"),
         col("dau"), col("wau"),
-        round(col("dau").cast("double") / col("wau"), 6).as("stickiness"))
+        Num.pround(col("dau").cast("double") / col("wau"), 6).as("stickiness"))
       .orderBy(col("date_s"))
   }
 
@@ -311,7 +311,7 @@ object EventOps {
       |  FROM r, b WHERE day <= mx GROUP BY day)
       |SELECT STRFTIME(DATE '1970-01-01' + CAST(day AS INTEGER), '%Y-%m-%d') AS date_s,
       |  CAST(dau AS BIGINT) AS dau, CAST(wau AS BIGINT) AS wau,
-      |  ROUND(CAST(dau AS DOUBLE) / wau, 6) AS stickiness
+      |  FLOOR((CAST(dau AS DOUBLE) / wau) * 1e6 + 0.5) / 1e6 AS stickiness
       |FROM agg ORDER BY date_s""".stripMargin
 
 
@@ -536,8 +536,8 @@ object EventOps {
           col("n2").as("n_prev")))).as("x"), col("n_total"))
       .select(col("x.step").as("step"), col("x.name").as("name"),
         col("x.n_reached").as("n_reached"),
-        round(col("x.n_reached").cast("double") / col("x.n_prev"), 6).as("step_rate"),
-        round(col("x.n_reached").cast("double") / col("n_total"), 6).as("overall_rate"))
+        Num.pround(col("x.n_reached").cast("double") / col("x.n_prev"), 6).as("step_rate"),
+        Num.pround(col("x.n_reached").cast("double") / col("n_total"), 6).as("overall_rate"))
       .orderBy(col("step"))
   }
 
@@ -567,8 +567,8 @@ object EventOps {
       |    SUM(CASE WHEN tv IS NOT NULL AND tc > tv AND tp > tc THEN 1 ELSE 0 END) AS n3
       |  FROM ps)
       |SELECT step, name, CAST(n_reached AS BIGINT) AS n_reached,
-      |  ROUND(CAST(n_reached AS DOUBLE) / n_prev, 6) AS step_rate,
-      |  ROUND(CAST(n_reached AS DOUBLE) / n_total, 6) AS overall_rate
+      |  FLOOR((CAST(n_reached AS DOUBLE) / n_prev) * 1e6 + 0.5) / 1e6 AS step_rate,
+      |  FLOOR((CAST(n_reached AS DOUBLE) / n_total) * 1e6 + 0.5) / 1e6 AS overall_rate
       |FROM agg, LATERAL (VALUES
       |  (1, 'view', n1, n_total),
       |  (2, 'click_after_view', n2, n1),
@@ -598,7 +598,7 @@ object EventOps {
       .groupBy(col("delay_s"))
       .agg(count(lit(1)).as("n_events"),
         count_if(col("late_us") > col("delay_s") * 1000000L).as("n_dropped"),
-        round(count_if(col("late_us") > col("delay_s") * 1000000L).cast("double") * 100
+        Num.pround(count_if(col("late_us") > col("delay_s") * 1000000L).cast("double") * 100
           / count(lit(1)), 6).as("pct_dropped"),
         max(col("late_us")).as("max_late_us"))
       .orderBy(col("delay_s"))
@@ -614,8 +614,8 @@ object EventOps {
       |  CROSS JOIN (VALUES (60::BIGINT), (300::BIGINT), (600::BIGINT), (3600::BIGINT)) AS d(delay_s))
       |SELECT CAST(delay_s AS BIGINT) AS delay_s, COUNT(*) AS n_events,
       |  CAST(COUNT(*) FILTER (late_us > delay_s * 1000000) AS BIGINT) AS n_dropped,
-      |  ROUND(CAST(COUNT(*) FILTER (late_us > delay_s * 1000000) AS DOUBLE) * 100
-      |    / COUNT(*), 6) AS pct_dropped,
+      |  FLOOR((CAST(COUNT(*) FILTER (late_us > delay_s * 1000000) AS DOUBLE) * 100
+      |    / COUNT(*)) * 1e6 + 0.5) / 1e6 AS pct_dropped,
       |  MAX(late_us) AS max_late_us
       |FROM g GROUP BY delay_s ORDER BY delay_s""".stripMargin
 
@@ -666,7 +666,7 @@ object EventOps {
         max(when(col("d") === col("n_risk"), 1).otherwise(0)).over(wCum))
       .select(col("dur"), col("n_risk"), col("d"), col("c"),
         when(col("dead") === 1, lit(0.0))
-          .otherwise(round(exp(sum(col("lnf")).over(wCum)), 6)).as("survival"))
+          .otherwise(Num.pround(exp(sum(col("lnf")).over(wCum)), 6)).as("survival"))
       .orderBy(col("dur"))
   }
 
@@ -691,8 +691,8 @@ object EventOps {
       |  FROM byd)
       |SELECT dur, CAST(n_risk AS BIGINT) AS n_risk, d, c,
       |  CASE WHEN MAX(CASE WHEN d = n_risk THEN 1 ELSE 0 END) OVER cum = 1 THEN 0.0
-      |    ELSE ROUND(EXP(SUM(CASE WHEN d < n_risk
-      |      THEN LN(CAST(n_risk - d AS DOUBLE) / n_risk) ELSE 0 END) OVER cum), 6)
+      |    ELSE FLOOR((EXP(SUM(CASE WHEN d < n_risk
+      |      THEN LN(CAST(n_risk - d AS DOUBLE) / n_risk) ELSE 0 END) OVER cum)) * 1e6 + 0.5) / 1e6
       |  END AS survival
       |FROM w
       |WINDOW cum AS (ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
@@ -730,9 +730,9 @@ object EventOps {
       .agg(sum(col("c")).as("n_ev"), sum(col("c") * col("c")).as("sc2"))
     gaps.join(div, Seq("user_id"))
       .select(col("user_id"), col("n_gaps"),
-        round((col("sg2") * col("n_gaps") - col("sg") * col("sg")).cast("double") /
+        Num.pround((col("sg2") * col("n_gaps") - col("sg") * col("sg")).cast("double") /
           (col("sg") * col("sg")).cast("double"), 6).as("cv2"),
-        round((col("n_ev") * col("n_ev") - col("sc2")).cast("double") /
+        Num.pround((col("n_ev") * col("n_ev") - col("sc2")).cast("double") /
           (col("n_ev") * col("n_ev")).cast("double"), 6).as("simpson"),
         ((col("sg2") * col("n_gaps") - col("sg") * col("sg")).cast("double") <
           (col("sg") * col("sg")).cast("double") * 0.75).as("is_bot"))
@@ -751,8 +751,8 @@ object EventOps {
       |tc AS (SELECT user_id, event_type, COUNT(*) AS c FROM events GROUP BY 1, 2),
       |dv AS (SELECT user_id, SUM(c) AS n_ev, SUM(c * c) AS sc2 FROM tc GROUP BY 1)
       |SELECT m.user_id, n_gaps,
-      |  ROUND(CAST(sg2 * n_gaps - sg * sg AS DOUBLE) / CAST(sg * sg AS DOUBLE), 6) AS cv2,
-      |  ROUND(CAST(n_ev * n_ev - sc2 AS DOUBLE) / CAST(n_ev * n_ev AS DOUBLE), 6) AS simpson,
+      |  FLOOR((CAST(sg2 * n_gaps - sg * sg AS DOUBLE) / CAST(sg * sg AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS cv2,
+      |  FLOOR((CAST(n_ev * n_ev - sc2 AS DOUBLE) / CAST(n_ev * n_ev AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS simpson,
       |  CAST(sg2 * n_gaps - sg * sg AS DOUBLE) < CAST(sg * sg AS DOUBLE) * 0.75 AS is_bot
       |FROM m JOIN dv ON m.user_id = dv.user_id
       |ORDER BY m.user_id""".stripMargin
@@ -903,7 +903,7 @@ object EventOps {
     scored.groupBy(col("ch"))
       .agg(expr("aggregate(sort_array(collect_list(struct(s, term))), 0.0d, (a, t) -> a + t.term)")
         .as("num"))
-      .select(col("ch"), round(col("num") / 24.0, 6).as("shapley"))
+      .select(col("ch"), Num.pround(col("num") / 24.0, 6).as("shapley"))
       .orderBy(col("ch"))
   }
 
@@ -932,7 +932,7 @@ object EventOps {
       |  JOIN lat v0 ON p.s = v0.s
       |  JOIN lat v1 ON (p.s | p.bit) = v1.s)
       |SELECT ch,
-      |  ROUND(list_reduce(list(term ORDER BY s), (a, b) -> a + b) / 24.0, 6) AS shapley
+      |  FLOOR((list_reduce(list(term ORDER BY s), (a, b) -> a + b) / 24.0) * 1e6 + 0.5) / 1e6 AS shapley
       |FROM terms GROUP BY ch ORDER BY ch""".stripMargin
 
   // --------------------------------------------------------------------------
@@ -966,7 +966,7 @@ object EventOps {
       .agg(count(lit(1)).as("n_test"),
         count_if(col("next") === col("predicted")).as("n_correct"))
       .withColumn("accuracy",
-        round(col("n_correct").cast("double") / col("n_test"), 6))
+        Num.pround(col("n_correct").cast("double") / col("n_test"), 6))
       .orderBy(col("prev"))
   }
 
@@ -983,7 +983,7 @@ object EventOps {
       |      ORDER BY c DESC, next) AS rk FROM tr) WHERE rk = 1)
       |SELECT t.prev, predicted, COUNT(*) AS n_test,
       |  CAST(COUNT(*) FILTER (WHERE next = predicted) AS BIGINT) AS n_correct,
-      |  ROUND(CAST(COUNT(*) FILTER (WHERE next = predicted) AS DOUBLE) / COUNT(*), 6)
+      |  FLOOR((CAST(COUNT(*) FILTER (WHERE next = predicted) AS DOUBLE) / COUNT(*)) * 1e6 + 0.5) / 1e6
       |    AS accuracy
       |FROM t JOIN p ON t.prev = p.prev
       |WHERE user_id % 2 = 0
@@ -1008,7 +1008,7 @@ object EventOps {
       .withColumn("dow_total", sum(col("n")).over(wDow))
       .withColumn("mx", max(struct(col("n"), (-col("hr")).cast("long").as("nh"))).over(wDow))
       .select(col("dow"), col("hr"), col("n"),
-        round(col("n").cast("double") / col("dow_total"), 6).as("share_of_dow"),
+        Num.pround(col("n").cast("double") / col("dow_total"), 6).as("share_of_dow"),
         (col("n") === col("mx.n") && col("hr") === -col("mx.nh")).as("is_peak"))
       .orderBy(col("dow"), col("hr"))
   }
@@ -1026,7 +1026,7 @@ object EventOps {
       |p AS (
       |  SELECT dow, MIN(hr) AS peak_hr FROM w WHERE n = mx_n GROUP BY dow)
       |SELECT w.dow, hr, n,
-      |  ROUND(CAST(n AS DOUBLE) / dow_total, 6) AS share_of_dow,
+      |  FLOOR((CAST(n AS DOUBLE) / dow_total) * 1e6 + 0.5) / 1e6 AS share_of_dow,
       |  (n = mx_n AND hr = peak_hr) AS is_peak
       |FROM w JOIN p ON w.dow = p.dow
       |ORDER BY w.dow, hr""".stripMargin

@@ -95,7 +95,7 @@ object Metrics {
       .agg(
         count_if(col("pos")).as("n_pos"),
         count_if(!col("pos")).as("n_neg"),
-        round(
+        Num.pround(
           (lit(2) * sum(when(col("pos"), col("rk")).otherwise(0L))
             - count_if(col("pos")) * (count_if(col("pos")) + 1)).cast("double")
             / (lit(2.0) * count_if(col("pos")) * count_if(!col("pos"))), 6).as("auc"))
@@ -110,9 +110,9 @@ object Metrics {
       |r AS (SELECT pos, ROW_NUMBER() OVER (ORDER BY score, event_id) AS rk FROM sc)
       |SELECT CAST(COUNT(*) FILTER (pos) AS BIGINT) AS n_pos,
       |  CAST(COUNT(*) FILTER (NOT pos) AS BIGINT) AS n_neg,
-      |  ROUND(CAST(2 * SUM(CASE WHEN pos THEN rk ELSE 0 END)
+      |  FLOOR((CAST(2 * SUM(CASE WHEN pos THEN rk ELSE 0 END)
       |             - COUNT(*) FILTER (pos) * (COUNT(*) FILTER (pos) + 1) AS DOUBLE)
-      |        / (2.0 * COUNT(*) FILTER (pos) * COUNT(*) FILTER (NOT pos)), 6) AS auc
+      |        / (2.0 * COUNT(*) FILTER (pos) * COUNT(*) FILTER (NOT pos))) * 1e6 + 0.5) / 1e6 AS auc
       |FROM r""".stripMargin
 
   // --------------------------------------------------------------------------
@@ -145,13 +145,13 @@ object Metrics {
       .withColumn("pq", floor(col("p") * 1e12).cast("long"))
       .groupBy(col("bin"))
       .agg(count(lit(1)).as("n"), count_if(col("pos")).as("n_pos"),
-        round(sum(col("pq")).cast("double") / 1e12 / count(lit(1)), 6).as("conf"),
-        round(count_if(col("pos")).cast("double") / count(lit(1)), 6).as("acc"))
+        Num.pround(sum(col("pq")).cast("double") / 1e12 / count(lit(1)), 6).as("conf"),
+        Num.pround(count_if(col("pos")).cast("double") / count(lit(1)), 6).as("acc"))
     val ece = bins
       .agg(sort_array(collect_list(struct(col("bin"),
           (col("n") * abs(col("acc") - col("conf"))).as("t")))).as("ts"),
         sum(col("n")).as("nTot"))
-      .select(round(expr(
+      .select(Num.pround(expr(
         "aggregate(ts, cast(0 as double), (a, x) -> a + x.t)") / col("nTot"), 6).as("ece"))
     bins.crossJoin(broadcast(ece))
       .select(col("bin"), col("n"), col("n_pos"), col("conf"), col("acc"), col("ece"))
@@ -168,13 +168,13 @@ object Metrics {
       |b AS (
       |  SELECT CAST(FLOOR(p * 10) AS INT) AS bin, COUNT(*) AS n,
       |    CAST(COUNT(*) FILTER (pos) AS BIGINT) AS n_pos,
-      |    ROUND(CAST(SUM(CAST(FLOOR(p * 1e12) AS BIGINT)) AS DOUBLE) / 1e12 / COUNT(*), 6)
+      |    FLOOR((CAST(SUM(CAST(FLOOR(p * 1e12) AS BIGINT)) AS DOUBLE) / 1e12 / COUNT(*)) * 1e6 + 0.5) / 1e6
       |      AS conf,
-      |    ROUND(CAST(COUNT(*) FILTER (pos) AS DOUBLE) / COUNT(*), 6) AS acc
+      |    FLOOR((CAST(COUNT(*) FILTER (pos) AS DOUBLE) / COUNT(*)) * 1e6 + 0.5) / 1e6 AS acc
       |  FROM sc GROUP BY 1),
       |e AS (
-      |  SELECT ROUND(list_reduce(list(n * abs(acc - conf) ORDER BY bin),
-      |    (x, y) -> x + y) / SUM(n), 6) AS ece FROM b)
+      |  SELECT FLOOR((list_reduce(list(n * abs(acc - conf) ORDER BY bin),
+      |    (x, y) -> x + y) / SUM(n)) * 1e6 + 0.5) / 1e6 AS ece FROM b)
       |SELECT bin, n, n_pos, conf, acc, ece
       |FROM b CROSS JOIN e ORDER BY bin""".stripMargin
 
@@ -223,7 +223,7 @@ object Metrics {
       .crossJoin(broadcast(kTbl.select(col("n_cal"))))
       .agg(max(col("n_cal")).as("n_cal"), count(lit(1)).as("n_test"),
         (max(col("qhat_cents")) / 100.0).as("qhat"),
-        round(count_if(col("r") <= col("qhat_cents")).cast("double") /
+        Num.pround(count_if(col("r") <= col("qhat_cents")).cast("double") /
           count(lit(1)), 6).as("coverage"))
   }
 
@@ -243,7 +243,7 @@ object Metrics {
       |    FROM base WHERE is_cal) x, k WHERE x.rn = k.kk)
       |SELECT MAX(n_cal) AS n_cal, COUNT(*) AS n_test,
       |  MAX(qhat_cents) / 100.0 AS qhat,
-      |  ROUND(CAST(COUNT(*) FILTER (r <= qhat_cents) AS DOUBLE) / COUNT(*), 6)
+      |  FLOOR((CAST(COUNT(*) FILTER (r <= qhat_cents) AS DOUBLE) / COUNT(*)) * 1e6 + 0.5) / 1e6
       |    AS coverage
       |FROM base CROSS JOIN q CROSS JOIN (SELECT n_cal FROM k) kk
       |WHERE NOT is_cal""".stripMargin
@@ -287,12 +287,12 @@ object Metrics {
     val perRep = rep.groupBy(col("prio"), col("r"))
       .agg(sum(col("w") * col("cents")).as("wx"), sum(col("w")).as("sw"),
         sum(col("cents")).as("sx"), count(lit(1)).as("n"))
-      .withColumn("mean_r", round(col("wx").cast("double") / col("sw") / 100.0, 6))
+      .withColumn("mean_r", Num.pround(col("wx").cast("double") / col("sw") / 100.0, 6))
     // per (prio, r) the group holds every order of the priority once, so
     // n and sx are already the per-priority count / exact total
     perRep.groupBy(col("prio"))
       .agg(first(col("n")).as("n"),
-        round(first(col("sx")).cast("double") / first(col("n")) / 100.0, 6).as("mean"),
+        Num.pround(first(col("sx")).cast("double") / first(col("n")) / 100.0, 6).as("mean"),
         element_at(sort_array(collect_list(col("mean_r"))), 2).as("ci_lo"),
         element_at(sort_array(collect_list(col("mean_r"))), 31).as("ci_hi"))
       .orderBy(col("prio"))
@@ -321,11 +321,11 @@ object Metrics {
       |  FROM uw),
       |pr AS (
       |  SELECT prio, r,
-      |    ROUND(CAST(SUM(w * cents) AS DOUBLE) / SUM(w) / 100.0, 6) AS mean_r,
+      |    FLOOR((CAST(SUM(w * cents) AS DOUBLE) / SUM(w) / 100.0) * 1e6 + 0.5) / 1e6 AS mean_r,
       |    SUM(cents) AS sx, COUNT(*) AS n
       |  FROM pw GROUP BY 1, 2)
       |SELECT prio, CAST(ANY_VALUE(n) AS BIGINT) AS n,
-      |  ROUND(CAST(ANY_VALUE(sx) AS DOUBLE) / ANY_VALUE(n) / 100.0, 6) AS mean,
+      |  FLOOR((CAST(ANY_VALUE(sx) AS DOUBLE) / ANY_VALUE(n) / 100.0) * 1e6 + 0.5) / 1e6 AS mean,
       |  list_sort(list(mean_r))[2] AS ci_lo,
       |  list_sort(list(mean_r))[31] AS ci_hi
       |FROM pr GROUP BY prio ORDER BY prio""".stripMargin
@@ -375,11 +375,11 @@ object Metrics {
     val fit = pairs
       .withColumn("runmin", min(col("wmean")).over(wMinDesc))
       .groupBy(col("k").as("bin"))
-      .agg(round(max(col("runmin")), 6).as("iso_fit"))
+      .agg(Num.pround(max(col("runmin")), 6).as("iso_fit"))
     bins.join(fit, Seq("bin"))
       .select(col("bin"), col("w").as("n"),
-        round(col("spq").cast("double") / 1e12 / col("w"), 6).as("conf"),
-        round(col("y").cast("double") / col("w"), 6).as("raw_acc"),
+        Num.pround(col("spq").cast("double") / 1e12 / col("w"), 6).as("conf"),
+        Num.pround(col("y").cast("double") / col("w"), 6).as("raw_acc"),
         col("iso_fit"))
       .orderBy(col("bin"))
   }
@@ -410,10 +410,10 @@ object Metrics {
       |    MIN(wmean) OVER (PARTITION BY j ORDER BY k DESC ROWS UNBOUNDED PRECEDING) AS runmin
       |  FROM pairs),
       |fit AS (
-      |  SELECT k AS bin, ROUND(MAX(runmin), 6) AS iso_fit FROM mins GROUP BY 1)
+      |  SELECT k AS bin, FLOOR((MAX(runmin)) * 1e6 + 0.5) / 1e6 AS iso_fit FROM mins GROUP BY 1)
       |SELECT bins.bin, w AS n,
-      |  ROUND(CAST(spq AS DOUBLE) / 1e12 / w, 6) AS conf,
-      |  ROUND(CAST(y AS DOUBLE) / w, 6) AS raw_acc, iso_fit
+      |  FLOOR((CAST(spq AS DOUBLE) / 1e12 / w) * 1e6 + 0.5) / 1e6 AS conf,
+      |  FLOOR((CAST(y AS DOUBLE) / w) * 1e6 + 0.5) / 1e6 AS raw_acc, iso_fit
       |FROM bins JOIN fit ON bins.bin = fit.bin
       |ORDER BY bins.bin""".stripMargin
 
@@ -448,7 +448,7 @@ object Metrics {
       .withColumn("syl", sum(col("sy")).over(wCum).cast(d38))
       .join(broadcast(tot), Seq("flag"))
       .filter(col("nl") < col("tn")) // a split must leave a right side
-      .withColumn("gain", round(
+      .withColumn("gain", Num.pround(
         (col("syl") * col("syl")).cast("double") / col("nl").cast("double")
           + ((col("tsy") - col("syl")) * (col("tsy") - col("syl"))).cast("double")
             / (col("tn") - col("nl")).cast("double")
@@ -457,7 +457,7 @@ object Metrics {
       .agg(max(struct(col("gain"), (-col("q")).as("nq"))).as("m"),
         first(col("tn")).cast("long").as("n_rows"))
       .select(col("flag"), (-col("m.nq")).as("split_at_q_lte"),
-        round(col("m.gain") / 1e8, 4).as("gain_dollars_sq"), col("n_rows"))
+        Num.pround(col("m.gain") / 1e8, 4).as("gain_dollars_sq"), col("n_rows"))
       .orderBy(col("flag"))
   }
 
@@ -475,9 +475,9 @@ object Metrics {
       |  WINDOW w AS (PARTITION BY b.flag ORDER BY q ROWS UNBOUNDED PRECEDING)),
       |g AS (
       |  SELECT flag, q,
-      |    ROUND(CAST(syl * syl AS DOUBLE) / CAST(nl AS DOUBLE)
+      |    FLOOR((CAST(syl * syl AS DOUBLE) / CAST(nl AS DOUBLE)
       |      + CAST((tsy - syl) * (tsy - syl) AS DOUBLE) / CAST(tn - nl AS DOUBLE)
-      |      - CAST(tsy * tsy AS DOUBLE) / CAST(tn AS DOUBLE), 4) AS gain,
+      |      - CAST(tsy * tsy AS DOUBLE) / CAST(tn AS DOUBLE)) * 1e4 + 0.5) / 1e4 AS gain,
       |    tn
       |  FROM c WHERE nl < tn),
       |rk AS (
@@ -485,7 +485,7 @@ object Metrics {
       |    ROW_NUMBER() OVER (PARTITION BY flag ORDER BY gain DESC, q) AS r
       |  FROM g QUALIFY r = 1)
       |SELECT flag, CAST(q AS INT) AS split_at_q_lte,
-      |  ROUND(gain / 1e8, 4) AS gain_dollars_sq,
+      |  FLOOR((gain / 1e8) * 1e4 + 0.5) / 1e4 AS gain_dollars_sq,
       |  CAST(tn AS BIGINT) AS n_rows
       |FROM rk ORDER BY flag""".stripMargin
 
@@ -591,12 +591,12 @@ object Metrics {
       .withColumn("b", (col("sxx") * col("n") - col("sx") * col("sx")).cast(d38))
       .withColumn("c", (col("syy") * col("n") - col("sy") * col("sy")).cast(d38))
       .select(col("n").cast("long").as("n_users"),
-        round(col("a").cast("double") / col("b").cast("double"), 6).as("theta"),
-        round(col("c").cast("double") /
+        Num.pround(col("a").cast("double") / col("b").cast("double"), 6).as("theta"),
+        Num.pround(col("c").cast("double") /
           (col("n") * col("n")).cast("double"), 4).as("var_y"),
-        round((col("c") * col("b") - col("a") * col("a")).cast("double") /
+        Num.pround((col("c") * col("b") - col("a") * col("a")).cast("double") /
           (col("b") * col("n") * col("n")).cast("double"), 4).as("var_y_adj"),
-        round((col("a") * col("a")).cast("double") /
+        Num.pround((col("a") * col("a")).cast("double") /
           (col("b") * col("c")).cast("double") * 100, 4).as("reduction_pct"))
   }
 
@@ -617,11 +617,11 @@ object Metrics {
       |    syy * n - sy * sy AS c
       |  FROM m)
       |SELECT CAST(n AS BIGINT) AS n_users,
-      |  ROUND(CAST(a AS DOUBLE) / CAST(b AS DOUBLE), 6) AS theta,
-      |  ROUND(CAST(c AS DOUBLE) / CAST(n * n AS DOUBLE), 4) AS var_y,
-      |  ROUND(CAST(c * b - a * a AS DOUBLE) / CAST(b * n * n AS DOUBLE), 4)
+      |  FLOOR((CAST(a AS DOUBLE) / CAST(b AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS theta,
+      |  FLOOR((CAST(c AS DOUBLE) / CAST(n * n AS DOUBLE)) * 1e4 + 0.5) / 1e4 AS var_y,
+      |  FLOOR((CAST(c * b - a * a AS DOUBLE) / CAST(b * n * n AS DOUBLE)) * 1e4 + 0.5) / 1e4
       |    AS var_y_adj,
-      |  ROUND(CAST(a * a AS DOUBLE) / CAST(b * c AS DOUBLE) * 100, 4)
+      |  FLOOR((CAST(a * a AS DOUBLE) / CAST(b * c AS DOUBLE) * 100) * 1e4 + 0.5) / 1e4
       |    AS reduction_pct
       |FROM d""".stripMargin
 
@@ -676,19 +676,19 @@ object Metrics {
         "cast(0 as double), (a, x) -> a + x.col2)").as("wsum"))
       .select(col("n_t").cast("long").as("n_treated"),
         col("n_c").cast("long").as("n_control"),
-        round((col("sx_t").cast("double") / col("n_t").cast("double") -
+        Num.pround((col("sx_t").cast("double") / col("n_t").cast("double") -
           col("sx_c").cast("double") / col("n_c").cast("double")) /
           sqrt(((col("sxx_t") * col("n_t") - col("sx_t") * col("sx_t")).cast("double") /
             (col("n_t") * col("n_t")).cast("double") +
             (col("sxx_c") * col("n_c") - col("sx_c") * col("sx_c")).cast("double") /
               (col("n_c") * col("n_c")).cast("double")) / 2.0), 6).as("smd_activity"),
-        round(col("s_t").cast("double") / col("n_t").cast("double") / 100.0, 2)
+        Num.pround(col("s_t").cast("double") / col("n_t").cast("double") / 100.0, 2)
           .as("spend_treated"),
-        round(col("s_c").cast("double") / col("n_c").cast("double") / 100.0, 2)
+        Num.pround(col("s_c").cast("double") / col("n_c").cast("double") / 100.0, 2)
           .as("spend_control_raw"),
-        round(col("wsum") / col("n_t_sup").cast("double") / 100.0, 2)
+        Num.pround(col("wsum") / col("n_t_sup").cast("double") / 100.0, 2)
           .as("spend_control_matched"),
-        round(col("n_t_sup").cast("double") * 100 / col("n_t").cast("double"), 4)
+        Num.pround(col("n_t_sup").cast("double") * 100 / col("n_t").cast("double"), 4)
           .as("pct_treated_on_support"))
   }
 
@@ -722,16 +722,16 @@ object Metrics {
       |      (x, y) -> x + y) AS wsum
       |  FROM j)
       |SELECT CAST(n_t AS BIGINT) AS n_treated, CAST(n_c AS BIGINT) AS n_control,
-      |  ROUND((CAST(sx_t AS DOUBLE) / CAST(n_t AS DOUBLE)
+      |  FLOOR(((CAST(sx_t AS DOUBLE) / CAST(n_t AS DOUBLE)
       |      - CAST(sx_c AS DOUBLE) / CAST(n_c AS DOUBLE)) /
       |    sqrt((CAST(sxx_t * n_t - sx_t * sx_t AS DOUBLE) / CAST(n_t * n_t AS DOUBLE)
       |      + CAST(sxx_c * n_c - sx_c * sx_c AS DOUBLE) / CAST(n_c * n_c AS DOUBLE))
-      |      / 2.0), 6) AS smd_activity,
-      |  ROUND(CAST(s_t AS DOUBLE) / CAST(n_t AS DOUBLE) / 100.0, 2) AS spend_treated,
-      |  ROUND(CAST(s_c AS DOUBLE) / CAST(n_c AS DOUBLE) / 100.0, 2)
+      |      / 2.0)) * 1e6 + 0.5) / 1e6 AS smd_activity,
+      |  FLOOR((CAST(s_t AS DOUBLE) / CAST(n_t AS DOUBLE) / 100.0) * 1e2 + 0.5) / 1e2 AS spend_treated,
+      |  FLOOR((CAST(s_c AS DOUBLE) / CAST(n_c AS DOUBLE) / 100.0) * 1e2 + 0.5) / 1e2
       |    AS spend_control_raw,
-      |  ROUND(wsum / CAST(n_t_sup AS DOUBLE) / 100.0, 2) AS spend_control_matched,
-      |  ROUND(CAST(n_t_sup AS DOUBLE) * 100 / CAST(n_t AS DOUBLE), 4)
+      |  FLOOR((wsum / CAST(n_t_sup AS DOUBLE) / 100.0) * 1e2 + 0.5) / 1e2 AS spend_control_matched,
+      |  FLOOR((CAST(n_t_sup AS DOUBLE) * 100 / CAST(n_t AS DOUBLE)) * 1e4 + 0.5) / 1e4
       |    AS pct_treated_on_support
       |FROM a""".stripMargin
 
@@ -779,8 +779,8 @@ object Metrics {
         Window.orderBy(col("decile"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .select(col("decile"), col("n"), col("n_pos"),
-        round(col("cum_pos").cast("double") / col("pos_all"), 6).as("gain"),
-        round((col("cum_pos") * col("n_all")).cast("double") /
+        Num.pround(col("cum_pos").cast("double") / col("pos_all"), 6).as("gain"),
+        Num.pround((col("cum_pos") * col("n_all")).cast("double") /
           (col("cum_n") * col("pos_all")).cast("double"), 6).as("lift"))
       .orderBy(col("decile"))
   }
@@ -809,9 +809,9 @@ object Metrics {
       |    ANY_VALUE(n_all) AS n_all, ANY_VALUE(pos_all) AS pos_all
       |  FROM d GROUP BY 1)
       |SELECT decile, n, n_pos,
-      |  ROUND(CAST(SUM(n_pos) OVER w AS DOUBLE) / pos_all, 6) AS gain,
-      |  ROUND(CAST(SUM(n_pos) OVER w * n_all AS DOUBLE)
-      |    / CAST(SUM(n) OVER w * pos_all AS DOUBLE), 6) AS lift
+      |  FLOOR((CAST(SUM(n_pos) OVER w AS DOUBLE) / pos_all) * 1e6 + 0.5) / 1e6 AS gain,
+      |  FLOOR((CAST(SUM(n_pos) OVER w * n_all AS DOUBLE)
+      |    / CAST(SUM(n) OVER w * pos_all AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS lift
       |FROM g
       |WINDOW w AS (ORDER BY decile ROWS UNBOUNDED PRECEDING)
       |ORDER BY decile""".stripMargin
@@ -853,10 +853,10 @@ object Metrics {
             (col("st3") - col("nn")))).cast(d38))
       .select(col("n_group1"), col("n_group2"),
         (col("u2").cast("double") / 2).as("u"),
-        round((col("u2") - col("mu2")).cast("double") /
+        Num.pround((col("u2") - col("mu2")).cast("double") /
           (lit(2.0) * sqrt(col("var_num").cast("double") /
             (lit(12.0) * (col("nn") * (col("nn") - 1)).cast("double")))), 6).as("z"))
-      .withColumn("u", round(col("u"), 1))
+      .withColumn("u", Num.pround(col("u"), 1))
       .select(col("n_group1"), col("n_group2"), col("u"), col("z"))
   }
 
@@ -878,10 +878,10 @@ object Metrics {
       |    SUM(n1 + n2) AS nn
       |  FROM c)
       |SELECT CAST(t1 AS BIGINT) AS n_group1, CAST(t2 AS BIGINT) AS n_group2,
-      |  ROUND(CAST(u_lt * 2 + u_tie AS DOUBLE) / 2, 1) AS u,
-      |  ROUND(CAST((u_lt * 2 + u_tie) - t1 * t2 AS DOUBLE) /
+      |  FLOOR((CAST(u_lt * 2 + u_tie AS DOUBLE) / 2) * 1e1 + 0.5) / 1e1 AS u,
+      |  FLOOR((CAST((u_lt * 2 + u_tie) - t1 * t2 AS DOUBLE) /
       |    (2.0 * sqrt(CAST(t1 * t2 * ((nn * nn * nn - nn) - (st3 - nn)) AS DOUBLE) /
-      |      (12.0 * CAST(nn * (nn - 1) AS DOUBLE)))), 6) AS z
+      |      (12.0 * CAST(nn * (nn - 1) AS DOUBLE))))) * 1e6 + 0.5) / 1e6 AS z
       |FROM p""".stripMargin
 
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(

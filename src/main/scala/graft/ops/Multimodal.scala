@@ -283,7 +283,7 @@ object Multimodal {
       (r.doc_id, math.sqrt(acc.map(v => v.toDouble * v).sum))
     }.toDF("doc_id", "norm_raw")
     nDims.join(rawNorm, "doc_id")
-      .select(col("doc_id"), col("n_dims"), round(col("norm_raw"), 6).as("stripe_norm"))
+      .select(col("doc_id"), col("n_dims"), Num.pround(col("norm_raw"), 6).as("stripe_norm"))
       .orderBy(col("doc_id"))
   }
 
@@ -305,7 +305,7 @@ object Multimodal {
       |stripes AS (
       |  SELECT doc_id, i % 8 AS d8, SUM(v) AS s FROM px GROUP BY doc_id, i % 8)
       |SELECT doc_id, CAST(8 AS INT) AS n_dims,
-      |  ROUND(sqrt(CAST(SUM(s * s) AS DOUBLE)), 6) AS stripe_norm
+      |  FLOOR((sqrt(CAST(SUM(s * s) AS DOUBLE))) * 1e6 + 0.5) / 1e6 AS stripe_norm
       |FROM stripes GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   // ------------------------------------------------------------------ audio

@@ -13,4 +13,24 @@ object Num {
     */
   def moneySum(c: Column): Column =
     sum(c.cast(DecimalType(18, 2))).cast("double")
+
+  /** PORTABLE round of a double to n decimals: floor(x·10ⁿ + 0.5)/10ⁿ.
+    *
+    * `round(double, n)` is NOT portable across engines — Spark routes the
+    * double through BigDecimal HALF_UP while C-library engines round the
+    * scaled double — so when the true value sits within an ulp of a
+    * 10⁻ⁿ·(k+½) boundary the two disagree on the last digit (the class
+    * that failed q136/q249/q263 in earlier rounds and q265/q266 in round
+    * 7). floor-based rounding is three IEEE double ops + an exact floor:
+    * bit-identical in every engine given the same input double (which
+    * hashed doubles already guarantee via the fixed-order-fold and
+    * scaled-long policies). Values equal round() everywhere except cells
+    * ON a boundary, where every engine now moves together.
+    *
+    * SQL oracle twin: `FLOOR((x) * 1eN + 0.5) / 1eN`.
+    */
+  def pround(c: Column, n: Int): Column = {
+    val p = math.pow(10, n)
+    floor(c * lit(p) + lit(0.5)) / lit(p)
+  }
 }

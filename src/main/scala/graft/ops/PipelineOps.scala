@@ -182,11 +182,11 @@ object PipelineOps {
       // past the 6th decimal
       .orderBy(col("k").desc, col("doc_id"))
       .select(col("doc_id"), col("lang"), col("n_chars"),
-        round(col("k"), 6).as("key"))
+        Num.pround(col("k"), 6).as("key"))
   }
 
   val q109Sql: String =
-    """SELECT doc_id, lang, n_chars, ROUND(k, 6) AS key FROM (
+    """SELECT doc_id, lang, n_chars, FLOOR((k) * 1e6 + 0.5) / 1e6 AS key FROM (
       |  SELECT doc_id, lang, n_chars,
       |    LN((CAST(list_reduce(list_transform(range(1, 14),
       |          i -> CAST(strpos('0123456789abcdef', h[i]) AS BIGINT) - 1),
@@ -247,7 +247,7 @@ object PipelineOps {
       .groupBy(col("vec_id"))
       .agg(max(struct(col("csim"), col("cluster"))).as("best"))
       .select(col("vec_id"), col("best.cluster").as("cluster"),
-        round(col("best.csim"), 4).as("sim"))
+        Num.pround(col("best.csim"), 4).as("sim"))
       .orderBy(col("vec_id"))
   }
 
@@ -290,7 +290,7 @@ object PipelineOps {
        |  SELECT b.vec_id, c.cluster,
        |    ${dot("b.v", "c.cv")} / sqrt(${n2("b.v")} * ${n2("c.cv")}) AS csim
        |  FROM base b CROSS JOIN c$iters c)
-       |SELECT vec_id, cluster, ROUND(csim, 4) AS sim FROM (
+       |SELECT vec_id, cluster, FLOOR((csim) * 1e4 + 0.5) / 1e4 AS sim FROM (
        |  SELECT vec_id, cluster, csim,
        |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, cluster DESC) AS rn
        |  FROM sf) WHERE rn = 1 ORDER BY vec_id""".stripMargin
@@ -405,7 +405,7 @@ object PipelineOps {
       .select(col("doc_id"), TextOps.toks.as("t"))
       .filter(size(col("t")) > 0)
       .select(col("doc_id"), size(col("t")).cast("long").as("n_tok"),
-        round(size(array_distinct(col("t"))).cast("double") / size(col("t")), 6).as("score"))
+        Num.pround(size(array_distinct(col("t"))).cast("double") / size(col("t")), 6).as("score"))
       .withColumn("bucket", floor(col("score") * 100).cast("int"))
     val hist = scored.groupBy(col("bucket")).agg(sum(col("n_tok")).as("btok"))
       .withColumn("above", coalesce(
@@ -438,7 +438,7 @@ object PipelineOps {
        |                     ROWS UNBOUNDED PRECEDING) AS cum
        |  FROM (
        |    SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tok,
-       |      ROUND(CAST(len(list_distinct(t)) AS DOUBLE) / len(t), 6) AS score
+       |      FLOOR((CAST(len(list_distinct(t)) AS DOUBLE) / len(t)) * 1e6 + 0.5) / 1e6 AS score
        |    FROM (SELECT doc_id, ${TextOps.toksSqlD} AS t FROM documents)
        |    WHERE len(t) > 0))
        |WHERE cum <= $tokenBudget ORDER BY doc_id""".stripMargin
@@ -485,7 +485,7 @@ object PipelineOps {
       .select(col("doc_id"), col("n_tok"),
         coalesce(col("n_dup_tok"), lit(0L)).as("n_dup_tok"))
       .withColumn("dup_frac",
-        round(col("n_dup_tok").cast("double") / col("n_tok"), 6))
+        Num.pround(col("n_dup_tok").cast("double") / col("n_tok"), 6))
       .orderBy(col("doc_id"))
   }
 
@@ -506,7 +506,7 @@ object PipelineOps {
        |  FROM dup, UNNEST(generate_series(i, i + ${spanK - 1})) AS v(p)),
        |cnt AS (SELECT doc_id, COUNT(*) AS n_dup_tok FROM covered GROUP BY doc_id)
        |SELECT b.doc_id, b.n_tok, COALESCE(cnt.n_dup_tok, 0) AS n_dup_tok,
-       |  ROUND(CAST(COALESCE(cnt.n_dup_tok, 0) AS DOUBLE) / b.n_tok, 6) AS dup_frac
+       |  FLOOR((CAST(COALESCE(cnt.n_dup_tok, 0) AS DOUBLE) / b.n_tok) * 1e6 + 0.5) / 1e6 AS dup_frac
        |FROM base b LEFT JOIN cnt ON cnt.doc_id = b.doc_id
        |ORDER BY b.doc_id""".stripMargin
 
@@ -637,8 +637,8 @@ object PipelineOps {
     docs.join(broadcast(rates), Seq("lang"))
       .filter(u < col("rate"))
       .select(col("doc_id"), col("lang"),
-        round(col("rate"), 6).as("rate"),
-        round(lit(1.0) / col("rate"), 6).as("weight"))
+        Num.pround(col("rate"), 6).as("rate"),
+        Num.pround(lit(1.0) / col("rate"), 6).as("weight"))
       .orderBy(col("doc_id"))
   }
 
@@ -648,8 +648,8 @@ object PipelineOps {
       |wts AS (SELECT lang, n_l / N AS p, POW(n_l / N, 0.7 - 1) AS w FROM st, tot),
       |z AS (SELECT SUM(p * w) AS Z FROM wts),
       |rates AS (SELECT lang, LEAST(1.0, 0.5 * w / Z) AS rate FROM wts, z)
-      |SELECT d.doc_id, d.lang, ROUND(r.rate, 6) AS rate,
-      |       ROUND(1.0 / r.rate, 6) AS weight
+      |SELECT d.doc_id, d.lang, FLOOR((r.rate) * 1e6 + 0.5) / 1e6 AS rate,
+      |       FLOOR((1.0 / r.rate) * 1e6 + 0.5) / 1e6 AS weight
       |FROM documents d JOIN rates r USING (lang)
       |WHERE (CAST(list_reduce(list_transform(range(1, 14),
       |         i -> CAST(strpos('0123456789abcdef', md5(d.text)[i]) AS BIGINT) - 1),
@@ -719,7 +719,7 @@ object PipelineOps {
         .localCheckpoint()
     }
     ranks.orderBy(col("q").desc, col("node")).limit(topK)
-      .select(col("node"), round(col("q").cast("double") / 1e12, 8).as("rank"))
+      .select(col("node"), Num.pround(col("q").cast("double") / 1e12, 8).as("rank"))
   }
 
   val q120Sql: String = {
@@ -747,7 +747,7 @@ object PipelineOps {
        |${iter("r0", 1)},
        |${iter("r1", 2)},
        |${iter("r2", 3)}
-       |SELECT node, ROUND(CAST(q AS DOUBLE) / 1e12, 8) AS rank
+       |SELECT node, FLOOR((CAST(q AS DOUBLE) / 1e12) * 1e8 + 0.5) / 1e8 AS rank
        |FROM r3 ORDER BY q DESC, node LIMIT 20""".stripMargin
   }
 

@@ -49,7 +49,7 @@ object PrepOps {
           (col("inter").cast("double") / col("nb")).as("cont")))).as("d"))
       .filter(col("d.cont") >= 0.8)
       .select(col("d.id_sub").as("id_sub"), col("d.id_super").as("id_super"),
-        round(col("d.cont"), 6).as("containment"))
+        Num.pround(col("d.cont"), 6).as("containment"))
       .orderBy(col("id_sub"), col("id_super"))
   }
 
@@ -70,7 +70,7 @@ object PrepOps {
        |  UNION ALL
        |  SELECT ib, ia, CAST(c AS DOUBLE) / sb.n_sh
        |  FROM inter JOIN sizes sb ON sb.doc_id = ib)
-       |SELECT id_sub, id_super, ROUND(cont, 6) AS containment
+       |SELECT id_sub, id_super, FLOOR((cont) * 1e6 + 0.5) / 1e6 AS containment
        |FROM dirs WHERE cont >= 0.8 ORDER BY id_sub, id_super""".stripMargin
 
   // --------------------------------------------------------------------------
@@ -181,7 +181,7 @@ object PrepOps {
         .over(Window.partitionBy(col("w1"))))
       .crossJoin(broadcast(v))
       .groupBy(col("doc_id"))
-      .agg(round(avg(log((col("c2") + 0.5) / (col("c1") + lit(0.5) * col("v")))), 4)
+      .agg(Num.pround(avg(log((col("c2") + 0.5) / (col("c1") + lit(0.5) * col("v")))), 4)
         .as("lp"))
     val med = scored.agg(expr("percentile(lp, 0.5)").as("med"))
     scored.crossJoin(broadcast(med))
@@ -203,7 +203,7 @@ object PrepOps {
        |    COUNT(*) FILTER (is_ref) OVER (PARTITION BY w1) AS c1
        |  FROM tok),
        |scored AS (
-       |  SELECT doc_id, ROUND(AVG(LN((c2 + 0.5e0) / (c1 + 0.5e0 * v))), 4) AS lp
+       |  SELECT doc_id, FLOOR((AVG(LN((c2 + 0.5e0) / (c1 + 0.5e0 * v)))) * 1e4 + 0.5) / 1e4 AS lp
        |  FROM cnt, v GROUP BY doc_id),
        |med AS (SELECT quantile_cont(lp, 0.5) AS med FROM scored)
        |SELECT doc_id, lp FROM scored, med WHERE lp >= med ORDER BY doc_id""".stripMargin
@@ -323,7 +323,7 @@ object PrepOps {
     joint.join(broadcast(mx), Seq("x")).join(broadcast(my), Seq("y"))
       .crossJoin(broadcast(tot))
       .agg(count(lit(1)).as("n_cells"),
-        round(sum(col("nxy").cast("double") / col("n") *
+        Num.pround(sum(col("nxy").cast("double") / col("n") *
           log(col("nxy").cast("double") * col("n") / (col("nx") * col("ny")))), 4)
           .as("mi_nats"))
   }
@@ -336,8 +336,8 @@ object PrepOps {
       |my AS (SELECT y, SUM(nxy) AS ny FROM joint GROUP BY y),
       |tot AS (SELECT SUM(nxy) AS n FROM joint)
       |SELECT COUNT(*) AS n_cells,
-      |  ROUND(SUM(CAST(nxy AS DOUBLE) / n *
-      |    LN(CAST(nxy AS DOUBLE) * n / (nx * ny))), 4) AS mi_nats
+      |  FLOOR((SUM(CAST(nxy AS DOUBLE) / n *
+      |    LN(CAST(nxy AS DOUBLE) * n / (nx * ny)))) * 1e4 + 0.5) / 1e4 AS mi_nats
       |FROM joint JOIN mx USING (x) JOIN my USING (y), tot""".stripMargin
 
   // --------------------------------------------------------------------------
@@ -422,7 +422,7 @@ object PrepOps {
     val uc = u - 0.5
     val noise = -signum(uc) * log(lit(1.0) - lit(2.0) * abs(uc)) / eps
     cells.select(col("event_type"), col("dow"),
-      round(col("n") + noise, 6).as("noisy_n"), lit(eps).as("epsilon"))
+      Num.pround(col("n") + noise, 6).as("noisy_n"), lit(eps).as("epsilon"))
       .orderBy(col("event_type"), col("dow"))
   }
 
@@ -436,7 +436,7 @@ object PrepOps {
       |      + 0.5) / 4503599627370496.0 - 0.5 AS uc
       |  FROM cells)
       |SELECT event_type, dow,
-      |  ROUND(n + (CASE WHEN uc >= 0 THEN -1.0 ELSE 1.0 END) * ln(1.0 - 2.0 * abs(uc)), 6)
+      |  FLOOR((n + (CASE WHEN uc >= 0 THEN -1.0 ELSE 1.0 END) * ln(1.0 - 2.0 * abs(uc))) * 1e6 + 0.5) / 1e6
       |    AS noisy_n,
       |  CAST(1.0 AS DOUBLE) AS epsilon
       |FROM noise ORDER BY event_type, dow""".stripMargin
@@ -491,7 +491,7 @@ object PrepOps {
       .withColumn("d", abs(col("cumq") * col("nTot") - col("cump") * col("n_g")))
       .groupBy(col("c_nationkey"), col("seg"))
       .agg(max(col("n_g")).as("n_g"),
-        round(sum(col("d")).cast("double") /
+        Num.pround(sum(col("d")).cast("double") /
           (lit(9.0) * max(col("n_g")) * max(col("nTot"))), 6).as("emd"))
       .withColumn("breach", col("emd") > t)
       .orderBy(col("c_nationkey"), col("seg"))
@@ -526,10 +526,10 @@ object PrepOps {
       |  LEFT JOIN gtot ON g.bin = gtot.bin
       |  CROSS JOIN (SELECT nTot FROM rng))
       |SELECT c_nationkey, seg, MAX(n_g) AS n_g,
-      |  ROUND(CAST(SUM(ABS(cumq * nTot - cump * n_g)) AS DOUBLE)
-      |    / (9.0 * MAX(n_g) * MAX(nTot)), 6) AS emd,
-      |  ROUND(CAST(SUM(ABS(cumq * nTot - cump * n_g)) AS DOUBLE)
-      |    / (9.0 * MAX(n_g) * MAX(nTot)), 6) > 0.15 AS breach
+      |  FLOOR((CAST(SUM(ABS(cumq * nTot - cump * n_g)) AS DOUBLE)
+      |    / (9.0 * MAX(n_g) * MAX(nTot))) * 1e6 + 0.5) / 1e6 AS emd,
+      |  FLOOR((CAST(SUM(ABS(cumq * nTot - cump * n_g)) AS DOUBLE)
+      |    / (9.0 * MAX(n_g) * MAX(nTot))) * 1e6 + 0.5) / 1e6 > 0.15 AS breach
       |FROM cum GROUP BY c_nationkey, seg
       |ORDER BY c_nationkey, seg""".stripMargin
 

@@ -81,7 +81,7 @@ object RagOps {
         max(when(col("s") === 2, col("d2"))).as("e2"),
         max(when(col("s") === 3, col("d2"))).as("e3"))
       .select(col("vec_id"), col("c0"), col("c1"), col("c2"), col("c3"),
-        round(col("e0") + col("e1") + col("e2") + col("e3"), 6).as("rec_err"))
+        Num.pround(col("e0") + col("e1") + col("e2") + col("e3"), 6).as("rec_err"))
       .orderBy(col("vec_id"))
   }
 
@@ -128,8 +128,8 @@ object RagOps {
        |SELECT vec_id,
        |  MAX(CASE WHEN s=0 THEN code END) AS c0, MAX(CASE WHEN s=1 THEN code END) AS c1,
        |  MAX(CASE WHEN s=2 THEN code END) AS c2, MAX(CASE WHEN s=3 THEN code END) AS c3,
-       |  ROUND(MAX(CASE WHEN s=0 THEN d2 END) + MAX(CASE WHEN s=1 THEN d2 END)
-       |      + MAX(CASE WHEN s=2 THEN d2 END) + MAX(CASE WHEN s=3 THEN d2 END), 6)
+       |  FLOOR((MAX(CASE WHEN s=0 THEN d2 END) + MAX(CASE WHEN s=1 THEN d2 END)
+       |      + MAX(CASE WHEN s=2 THEN d2 END) + MAX(CASE WHEN s=3 THEN d2 END)) * 1e6 + 0.5) / 1e6
        |    AS rec_err
        |FROM enc GROUP BY vec_id ORDER BY vec_id""".stripMargin
   }
@@ -193,7 +193,7 @@ object RagOps {
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("qid")).orderBy(col("adc"), col("vec_id"))))
       .filter(col("rank") <= 5)
-      .select(col("qid"), col("rank"), col("vec_id"), round(col("adc"), 6).as("adc_dist"))
+      .select(col("qid"), col("rank"), col("vec_id"), Num.pround(col("adc"), 6).as("adc_dist"))
       .orderBy(col("qid"), col("rank"))
   }
 
@@ -233,7 +233,7 @@ object RagOps {
        |    FROM cands ca JOIN enc e ON ca.vec_id = e.vec_id
        |    JOIN adc a ON a.qid = ca.qid AND a.s = e.s AND a.code = e.code)
        |  GROUP BY qid, vec_id)
-       |SELECT qid, CAST(rank AS INT) AS rank, vec_id, ROUND(adc, 6) AS adc_dist FROM (
+       |SELECT qid, CAST(rank AS INT) AS rank, vec_id, FLOOR((adc) * 1e6 + 0.5) / 1e6 AS adc_dist FROM (
        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc ASC, vec_id ASC) AS rank
        |  FROM scored)
        |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
@@ -275,7 +275,7 @@ object RagOps {
     val ranked = scored
       .withColumn("r_bm25", row_number().over(byTerm.orderBy(col("bm25").desc, col("doc_id"))))
       .withColumn("r_tfidf", row_number().over(byTerm.orderBy(col("tfidf").desc, col("doc_id"))))
-      .withColumn("rrf", round(lit(1.0) / (col("r_bm25") + 60) + lit(1.0) / (col("r_tfidf") + 60), 6))
+      .withColumn("rrf", Num.pround(lit(1.0) / (col("r_bm25") + 60) + lit(1.0) / (col("r_tfidf") + 60), 6))
       .withColumn("r_fused", row_number().over(byTerm.orderBy(col("rrf").desc, col("doc_id"))))
     ranked.filter(col("r_fused") <= 5)
       .select(col("w").as("term"), col("r_fused"), col("doc_id"),
@@ -309,7 +309,7 @@ object RagOps {
        |  FROM scored),
        |fused AS (
        |  SELECT w, doc_id, r_bm25, r_tfidf,
-       |    ROUND(1.0::DOUBLE / (r_bm25 + 60) + 1.0::DOUBLE / (r_tfidf + 60), 6) AS rrf
+       |    FLOOR((1.0::DOUBLE / (r_bm25 + 60) + 1.0::DOUBLE / (r_tfidf + 60)) * 1e6 + 0.5) / 1e6 AS rrf
        |  FROM ranked),
        |final AS (
        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY w ORDER BY rrf DESC, doc_id) AS r_fused
@@ -410,7 +410,7 @@ object RagOps {
     vqAssign(resid.select(col("vec_id"), col("v")), cb2)
       .join(resid.select(col("vec_id"), col("c1")), Seq("vec_id"))
       .select(col("vec_id"), col("c1"), col("code").as("c2"),
-        round(col("d2"), 6).as("rec_err"))
+        Num.pround(col("d2"), 6).as("rec_err"))
       .orderBy(col("vec_id"))
   }
 
@@ -454,7 +454,7 @@ object RagOps {
        |      ROW_NUMBER() OVER (PARTITION BY b.vec_id
        |        ORDER BY ${d2("b.v", "c.cv")} ASC, c.code ASC) AS rn
        |    FROM res b CROSS JOIN cb2 c) WHERE rn = 1)
-       |SELECT r.vec_id, r.c1, e2.c2, ROUND(e2.d2, 6) AS rec_err
+       |SELECT r.vec_id, r.c1, e2.c2, FLOOR((e2.d2) * 1e6 + 0.5) / 1e6 AS rec_err
        |FROM res r JOIN e2 ON r.vec_id = e2.vec_id
        |ORDER BY r.vec_id""".stripMargin
   }
@@ -483,9 +483,9 @@ object RagOps {
   private val mmrCand = 16
 
   private def cosExpr(a: String, b: String): String =
-    s"round(aggregate(zip_with($a, $b, (x, y) -> x * y), cast(0 as double), (acc, x) -> acc + x)" +
+    s"floor(aggregate(zip_with($a, $b, (x, y) -> x * y), cast(0 as double), (acc, x) -> acc + x)" +
       s" / (sqrt(aggregate($a, cast(0 as double), (acc, x) -> acc + x * x))" +
-      s" * sqrt(aggregate($b, cast(0 as double), (acc, x) -> acc + x * x))), 6)"
+      s" * sqrt(aggregate($b, cast(0 as double), (acc, x) -> acc + x * x))) * 1e6 + 0.5) / 1e6"
 
   def q222MmrRerank(spark: SparkSession, dir: String): DataFrame = {
     val base = Tables.embeddings(spark, dir)
@@ -519,7 +519,7 @@ object RagOps {
       val pick = rels.join(selIds, col("vec_id") === col("sel_id"), "left_anti")
         .join(maxSim, col("vec_id") === col("ia"))
         .select(col("vec_id"),
-          round(lit(0.5) * col("rel") - lit(0.5) * col("ms"), 6).as("score"))
+          Num.pround(lit(0.5) * col("rel") - lit(0.5) * col("ms"), 6).as("score"))
         .orderBy(col("score").desc, col("vec_id"))
         .limit(1)
         .withColumn("rank", lit(k))
@@ -530,12 +530,12 @@ object RagOps {
 
   val q222Sql: String = {
     def cosSql(a: String, b: String): String =
-      s"ROUND(list_reduce(list_transform(range(1, 65), i -> $a[i] * $b[i]), (x, y) -> x + y)" +
+      s"FLOOR((list_reduce(list_transform(range(1, 65), i -> $a[i] * $b[i]), (x, y) -> x + y)" +
         s" / (sqrt(list_reduce(list_transform(range(1, 65), i -> $a[i] * $a[i]), (x, y) -> x + y))" +
-        s" * sqrt(list_reduce(list_transform(range(1, 65), i -> $b[i] * $b[i]), (x, y) -> x + y))), 6)"
+        s" * sqrt(list_reduce(list_transform(range(1, 65), i -> $b[i] * $b[i]), (x, y) -> x + y)))) * 1e6 + 0.5) / 1e6"
     val steps = (2 to mmrK).map { k =>
       s"""p$k AS MATERIALIZED (
-         |  SELECT c.vec_id, ROUND(0.5 * c.rel - 0.5 * m.ms, 6) AS score, $k AS rank
+         |  SELECT c.vec_id, FLOOR((0.5 * c.rel - 0.5 * m.ms) * 1e6 + 0.5) / 1e6 AS score, $k AS rank
          |  FROM cand c JOIN (
          |    SELECT s.ia AS vec_id, MAX(s.s) AS ms FROM sims s
          |    WHERE s.ib IN (SELECT vec_id FROM u${k - 1}) GROUP BY s.ia) m
@@ -597,7 +597,7 @@ object RagOps {
     val queries = base.filter(col("vec_id") < 5)
       .select(col("vec_id").as("qid"), col("label").as("qlabel"), col("v").as("qv"))
     val relTot = base.groupBy(col("label")).agg(count(lit(1)).as("n_label"))
-    val sim = round(
+    val sim = Num.pround(
       expr("aggregate(zip_with(v, qv, (x, y) -> x * y), 0.0d, (a, x) -> a + x)") /
         sqrt(expr("aggregate(v, 0.0d, (a, x) -> a + x * x)") *
           expr("aggregate(qv, 0.0d, (a, x) -> a + x * x)")), 6)
@@ -618,8 +618,8 @@ object RagOps {
       .join(broadcast(relTot), col("qlabel") === col("label"))
       .withColumn("n_rel", col("n_label") - 1) // the query itself is excluded
       .select(col("qid"), col("n_rel"),
-        round(col("dcg"), 6).as("dcg"),
-        round(col("dcg") / element_at(cumArr,
+        Num.pround(col("dcg"), 6).as("dcg"),
+        Num.pround(col("dcg") / element_at(cumArr,
           greatest(least(col("n_rel"), lit(10L)), lit(1L)).cast("int")), 6)
           .as("ndcg"))
       .orderBy(col("qid"))
@@ -635,9 +635,9 @@ object RagOps {
        |rt AS (SELECT label, COUNT(*) AS n_label FROM base GROUP BY 1),
        |sc AS (
        |  SELECT qid, qlabel, b.vec_id, b.label,
-       |    ROUND(list_reduce(list_transform(range(1, 65), i -> b.v[i] * qv[i]), (a, x) -> a + x)
+       |    FLOOR((list_reduce(list_transform(range(1, 65), i -> b.v[i] * qv[i]), (a, x) -> a + x)
        |      / sqrt(list_reduce(list_transform(range(1, 65), i -> b.v[i] * b.v[i]), (a, x) -> a + x)
-       |        * list_reduce(list_transform(range(1, 65), i -> qv[i] * qv[i]), (a, x) -> a + x)), 6)
+       |        * list_reduce(list_transform(range(1, 65), i -> qv[i] * qv[i]), (a, x) -> a + x))) * 1e6 + 0.5) / 1e6
        |      AS sim
        |  FROM base b CROSS JOIN q WHERE b.vec_id <> qid),
        |rk AS (
@@ -651,8 +651,8 @@ object RagOps {
        |        ORDER BY rk), (a, b) -> a + b) AS dcg
        |  FROM rk GROUP BY 1, 2)
        |SELECT qid, rt.n_label - 1 AS n_rel,
-       |  ROUND(dcg, 6) AS dcg,
-       |  ROUND(dcg / ($cumList)[CAST(GREATEST(LEAST(rt.n_label - 1, 10), 1) AS INT)], 6) AS ndcg
+       |  FLOOR((dcg) * 1e6 + 0.5) / 1e6 AS dcg,
+       |  FLOOR((dcg / ($cumList)[CAST(GREATEST(LEAST(rt.n_label - 1, 10), 1) AS INT)]) * 1e6 + 0.5) / 1e6 AS ndcg
        |FROM dg JOIN rt ON dg.qlabel = rt.label
        |ORDER BY qid""".stripMargin
   }

@@ -61,8 +61,8 @@ object Relational {
         moneySum(col("l_extendedprice")).as("sum_base_price"),
         sum(discPrice).cast("double").as("sum_disc_price"),
         sum(discPrice * (decOne + frac2(col("l_tax")))).cast("double").as("sum_charge"),
-        round(moneySum(col("l_quantity")) / count(lit(1)), 6).as("avg_qty"),
-        round(moneySum(col("l_extendedprice")) / count(lit(1)), 6).as("avg_price"),
+        Num.pround(moneySum(col("l_quantity")) / count(lit(1)), 6).as("avg_qty"),
+        Num.pround(moneySum(col("l_extendedprice")) / count(lit(1)), 6).as("avg_price"),
         count(lit(1)).as("cnt"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
   }
@@ -73,8 +73,8 @@ object Relational {
       |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
       |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
       |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))) * (CAST(1 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
-      |  ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS avg_qty,
-      |  ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS avg_price,
+      |  FLOOR((CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)) * 1e6 + 0.5) / 1e6 AS avg_qty,
+      |  FLOOR((CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)) * 1e6 + 0.5) / 1e6 AS avg_price,
       |  COUNT(*) AS cnt
       |FROM lineitem
       |WHERE l_shipdate < TIMESTAMP '1998-09-01'
@@ -603,14 +603,14 @@ object Relational {
   def q55ApproxPercentile(spark: SparkSession, dir: String): DataFrame =
     q55Raw(spark, dir)
       .select(col("l_returnflag"),
-        round(col("exact_median"), 4).as("exact_median"),
+        Num.pround(col("exact_median"), 4).as("exact_median"),
         (abs(col("approx_median") - col("exact_median")) <=
           col("exact_median") * 0.02).as("approx_within_2pct"))
       .orderBy(col("l_returnflag"))
 
   val q55Sql: String =
     """SELECT l_returnflag,
-      |  ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS exact_median,
+      |  FLOOR((quantile_cont(l_extendedprice, 0.5)) * 1e4 + 0.5) / 1e4 AS exact_median,
       |  TRUE AS approx_within_2pct
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 

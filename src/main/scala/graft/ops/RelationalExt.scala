@@ -127,16 +127,16 @@ object RelationalExt {
       .agg(expr("percentile(l_quantity, array(0.25, 0.5, 0.75))").as("pct"))
       .select(
         col("l_returnflag"),
-        round(element_at(col("pct"), 1), 6).as("p25"),
-        round(element_at(col("pct"), 2), 6).as("p50"),
-        round(element_at(col("pct"), 3), 6).as("p75"))
+        Num.pround(element_at(col("pct"), 1), 6).as("p25"),
+        Num.pround(element_at(col("pct"), 2), 6).as("p50"),
+        Num.pround(element_at(col("pct"), 3), 6).as("p75"))
       .orderBy(col("l_returnflag"))
 
   val q28Sql: String =
     """SELECT l_returnflag,
-      |  ROUND(quantile_cont(l_quantity, 0.25), 6) AS p25,
-      |  ROUND(quantile_cont(l_quantity, 0.50), 6) AS p50,
-      |  ROUND(quantile_cont(l_quantity, 0.75), 6) AS p75
+      |  FLOOR((quantile_cont(l_quantity, 0.25)) * 1e6 + 0.5) / 1e6 AS p25,
+      |  FLOOR((quantile_cont(l_quantity, 0.50)) * 1e6 + 0.5) / 1e6 AS p50,
+      |  FLOOR((quantile_cont(l_quantity, 0.75)) * 1e6 + 0.5) / 1e6 AS p75
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
   // --------------------------------------------------------------------------
@@ -187,7 +187,7 @@ object RelationalExt {
       .withColumn("sim", expr("cosine_sim(v, qv)"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 10)
-      .select(col("qid"), col("rank"), col("vec_id"), round(col("sim"), 4).as("sim"))
+      .select(col("qid"), col("rank"), col("vec_id"), Num.pround(col("sim"), 4).as("sim"))
       .orderBy(col("qid"), col("rank"))
   }
 
@@ -446,20 +446,20 @@ object RelationalExt {
       .select(
         col("vec_id"),
         size(col("v")).as("n_dims"),
-        round(element_at(col("v"), 1), 6).as("first_v"),
-        round(element_at(col("v"), -1), 6).as("last_v"),
-        round(expr("array_max(slice(v, 1, 8))"), 6).as("max_head8"),
-        round(element_at(array_sort(col("v")), 1), 6).as("min_sorted"),
+        Num.pround(element_at(col("v"), 1), 6).as("first_v"),
+        Num.pround(element_at(col("v"), -1), 6).as("last_v"),
+        Num.pround(expr("array_max(slice(v, 1, 8))"), 6).as("max_head8"),
+        Num.pround(element_at(array_sort(col("v")), 1), 6).as("min_sorted"),
         expr("array_position(array_sort(v), array_max(v))").cast("long").as("max_rank"))
       .orderBy(col("vec_id"))
 
   val q47Sql: String =
     """SELECT vec_id,
       |  CAST(len(embedding) AS INT) AS n_dims,
-      |  ROUND(CAST(embedding[1] AS DOUBLE), 6) AS first_v,
-      |  ROUND(CAST(embedding[-1] AS DOUBLE), 6) AS last_v,
-      |  ROUND(list_max(embedding[1:8]::DOUBLE[]), 6) AS max_head8,
-      |  ROUND(list_sort(embedding::DOUBLE[])[1], 6) AS min_sorted,
+      |  FLOOR((CAST(embedding[1] AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS first_v,
+      |  FLOOR((CAST(embedding[-1] AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS last_v,
+      |  FLOOR((list_max(embedding[1:8]::DOUBLE[])) * 1e6 + 0.5) / 1e6 AS max_head8,
+      |  FLOOR((list_sort(embedding::DOUBLE[])[1]) * 1e6 + 0.5) / 1e6 AS min_sorted,
       |  CAST(list_position(list_sort(embedding::DOUBLE[]), list_max(embedding::DOUBLE[])) AS BIGINT) AS max_rank
       |FROM embeddings ORDER BY vec_id""".stripMargin
 
@@ -563,7 +563,7 @@ object RelationalExt {
       .filter(col("id") >= 20000L && col("id") < 30000L && col("bucket") < 10)
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n"),
-        round(sum(floor(col("score") * 1e12).cast("long")).cast("double") / 1e12, 6)
+        Num.pround(sum(floor(col("score") * 1e12).cast("long")).cast("double") / 1e12, 6)
           .as("sum_score"))
       .orderBy(col("bucket"))
 
@@ -574,7 +574,7 @@ object RelationalExt {
       |      / 4503599627370496.0 AS score
       |  FROM range(20000, 30000))
       |SELECT bucket, COUNT(*) AS n,
-      |  ROUND(CAST(SUM(CAST(FLOOR(score * 1e12) AS BIGINT)) AS DOUBLE) / 1e12, 6)
+      |  FLOOR((CAST(SUM(CAST(FLOOR(score * 1e12) AS BIGINT)) AS DOUBLE) / 1e12) * 1e6 + 0.5) / 1e6
       |    AS sum_score
       |FROM s WHERE bucket < 10 GROUP BY bucket ORDER BY bucket""".stripMargin
 
@@ -626,7 +626,7 @@ object RelationalExt {
     perm.crossJoin(broadcast(strict))
       .select(col("n_total"), col("n_corrupt"), col("n_kept_permissive"),
         col("n_kept_dropmalformed"),
-        round(col("cents").cast("double") / 100.0, 2).as("clean_total"))
+        Num.pround(col("cents").cast("double") / 100.0, 2).as("clean_total"))
   }
 
   val q262Sql: String =
@@ -636,9 +636,9 @@ object RelationalExt {
       |    AS n_kept_permissive,
       |  CAST(COUNT(*) FILTER (WHERE o_orderkey % 13 NOT IN (0, 1)) AS BIGINT)
       |    AS n_kept_dropmalformed,
-      |  ROUND(CAST(SUM(CASE WHEN o_orderkey % 13 NOT IN (0, 1)
+      |  FLOOR((CAST(SUM(CASE WHEN o_orderkey % 13 NOT IN (0, 1)
       |    THEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS HUGEINT) END)
-      |    AS DOUBLE) / 100.0, 2) AS clean_total
+      |    AS DOUBLE) / 100.0) * 1e2 + 0.5) / 1e2 AS clean_total
       |FROM orders""".stripMargin
 
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(

@@ -171,20 +171,20 @@ object RelationalMore {
     Tables.lineitem(spark, dir)
       .groupBy(col("l_returnflag"))
       .agg(
-        round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qty_price"),
-        round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
-        round(covar_samp(col("l_quantity"), col("l_extendedprice")), 2).as("cov_qp"),
-        round(regr_slope(col("l_extendedprice"), col("l_quantity")), 4).as("slope"),
-        round(regr_intercept(col("l_extendedprice"), col("l_quantity")), 2).as("intercept"))
+        Num.pround(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qty_price"),
+        Num.pround(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
+        Num.pround(covar_samp(col("l_quantity"), col("l_extendedprice")), 2).as("cov_qp"),
+        Num.pround(regr_slope(col("l_extendedprice"), col("l_quantity")), 4).as("slope"),
+        Num.pround(regr_intercept(col("l_extendedprice"), col("l_quantity")), 2).as("intercept"))
       .orderBy(col("l_returnflag"))
 
   val q76Sql: String =
     """SELECT l_returnflag,
-      |  ROUND(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
-      |  ROUND(stddev_samp(l_quantity), 4) AS sd_qty,
-      |  ROUND(covar_samp(l_quantity, l_extendedprice), 2) AS cov_qp,
-      |  ROUND(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
-      |  ROUND(regr_intercept(l_extendedprice, l_quantity), 2) AS intercept
+      |  FLOOR((corr(l_quantity, l_extendedprice)) * 1e4 + 0.5) / 1e4 AS corr_qty_price,
+      |  FLOOR((stddev_samp(l_quantity)) * 1e4 + 0.5) / 1e4 AS sd_qty,
+      |  FLOOR((covar_samp(l_quantity, l_extendedprice)) * 1e2 + 0.5) / 1e2 AS cov_qp,
+      |  FLOOR((regr_slope(l_extendedprice, l_quantity)) * 1e4 + 0.5) / 1e4 AS slope,
+      |  FLOOR((regr_intercept(l_extendedprice, l_quantity)) * 1e2 + 0.5) / 1e2 AS intercept
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
   // --------------------------------------------------------------------------
@@ -230,7 +230,7 @@ object RelationalMore {
       .join(broadcast(stats), Seq("o_orderpriority"))
       .select(
         col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"),
-        round((col("o_totalprice") - col("mu")) / col("sd"), 4).as("z"))
+        Num.pround((col("o_totalprice") - col("mu")) / col("sd"), 4).as("z"))
       .select(col("*"), (abs(col("z")) > 3.0).as("is_outlier"))
       .orderBy(col("o_orderkey"))
   }
@@ -241,8 +241,8 @@ object RelationalMore {
       |         stddev_samp(o_totalprice) AS sd
       |  FROM orders GROUP BY o_orderpriority)
       |SELECT o_orderkey, o_orderpriority, o_totalprice,
-      |       ROUND((o_totalprice - mu) / sd, 4) AS z,
-      |       ABS(ROUND((o_totalprice - mu) / sd, 4)) > 3.0 AS is_outlier
+      |       FLOOR(((o_totalprice - mu) / sd) * 1e4 + 0.5) / 1e4 AS z,
+      |       ABS(FLOOR(((o_totalprice - mu) / sd) * 1e4 + 0.5) / 1e4) > 3.0 AS is_outlier
       |FROM orders JOIN stats USING (o_orderpriority)
       |WHERE o_orderkey % 97 = 0
       |ORDER BY o_orderkey""".stripMargin
@@ -261,7 +261,7 @@ object RelationalMore {
           .otherwise(col("c_acctbal")).as("bal"))
     val means = masked.filter(col("bal").isNotNull)
       .groupBy(col("c_mktsegment"))
-      .agg(round(
+      .agg(Num.pround(
         Num.moneySum(col("bal")) / count(col("bal")), 2).as("seg_mean"))
     masked.join(broadcast(means), Seq("c_mktsegment"))
       .select(
@@ -278,7 +278,7 @@ object RelationalMore {
       |  FROM customer),
       |means AS (
       |  SELECT c_mktsegment,
-      |         ROUND(CAST(SUM(CAST(bal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(bal), 2) AS seg_mean
+      |         FLOOR((CAST(SUM(CAST(bal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(bal)) * 1e2 + 0.5) / 1e2 AS seg_mean
       |  FROM masked WHERE bal IS NOT NULL GROUP BY c_mktsegment)
       |SELECT c_custkey, c_mktsegment,
       |       COALESCE(bal, seg_mean) AS bal_filled,
@@ -527,7 +527,7 @@ object RelationalMore {
       .groupBy(col("n1"), col("n2"))
       .agg(max(struct(col("num"), (-col("v")).as("nv"))).as("best"))
       .select(col("n1"), col("n2"),
-        round(col("best.num").cast("double") / (col("n1") * col("n2")), 6).as("ks_d"),
+        Num.pround(col("best.num").cast("double") / (col("n1") * col("n2")), 6).as("ks_d"),
         (-col("best.nv")).as("at_value"))
   }
 
@@ -552,7 +552,7 @@ object RelationalMore {
       |    ROW_NUMBER() OVER (ORDER BY ABS(cum1 * n2 - cum2 * n1) DESC, v ASC) AS rn
       |  FROM cum, tot)
       |SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
-      |       ROUND(CAST(num AS DOUBLE) / (n1 * n2), 6) AS ks_d, v AS at_value
+      |       FLOOR((CAST(num AS DOUBLE) / (n1 * n2)) * 1e6 + 0.5) / 1e6 AS ks_d, v AS at_value
       |FROM scored WHERE rn = 1""".stripMargin
   // --------------------------------------------------------------------------
   // q119 — categorical association (chi², MI, Cramér's V between lang and
@@ -606,9 +606,9 @@ object RelationalMore {
           |            * ln(cast(x.n as double) * x.nn / (cast(x.ni as double) * x.nj))
           |       ELSE 0.0d END))""".stripMargin))
       .select(
-        round(col("chi2"), 4).as("chi2"),
-        round(col("mi"), 6).as("mi"),
-        round(sqrt(col("chi2") / (col("nn") * (least(col("r"), col("c")) - 1))), 6)
+        Num.pround(col("chi2"), 4).as("chi2"),
+        Num.pround(col("mi"), 6).as("mi"),
+        Num.pround(sqrt(col("chi2") / (col("nn") * (least(col("r"), col("c")) - 1))), 6)
           .as("cramers_v"))
   }
 
@@ -642,8 +642,8 @@ object RelationalMore {
       |      (a, b) -> a + b) AS mi,
       |    COUNT(DISTINCT lang) AS r, COUNT(DISTINCT source) AS c, MAX(nn) AS nn
       |  FROM m)
-      |SELECT ROUND(chi2, 4) AS chi2, ROUND(mi, 6) AS mi,
-      |       ROUND(SQRT(chi2 / (nn * (LEAST(r, c) - 1))), 6) AS cramers_v
+      |SELECT FLOOR((chi2) * 1e4 + 0.5) / 1e4 AS chi2, FLOOR((mi) * 1e6 + 0.5) / 1e6 AS mi,
+      |       FLOOR((SQRT(chi2 / (nn * (LEAST(r, c) - 1)))) * 1e6 + 0.5) / 1e6 AS cramers_v
       |FROM agg""".stripMargin
 
   // --------------------------------------------------------------------------
@@ -677,9 +677,9 @@ object RelationalMore {
           col("l_extendedprice"))).as("sum_mid"),
         first(col("p05")).as("p05"), first(col("p95")).as("p95"))
       .select(col("l_returnflag"),
-        round(col("p05"), 4).as("p05"), round(col("p95"), 4).as("p95"),
+        Num.pround(col("p05"), 4).as("p05"), Num.pround(col("p95"), 4).as("p95"),
         col("n_lo"), col("n_hi"),
-        round(col("sum_mid") + col("n_lo") * col("p05") + col("n_hi") * col("p95"), 4)
+        Num.pround(col("sum_mid") + col("n_lo") * col("p05") + col("n_hi") * col("p95"), 4)
           .as("winsorized_total"))
       .orderBy(col("l_returnflag"))
   }
@@ -691,13 +691,13 @@ object RelationalMore {
       |    quantile_cont(l_extendedprice, 0.95) AS p95
       |  FROM lineitem GROUP BY l_returnflag)
       |SELECT l.l_returnflag,
-      |  ROUND(p05, 4) AS p05, ROUND(p95, 4) AS p95,
+      |  FLOOR((p05) * 1e4 + 0.5) / 1e4 AS p05, FLOOR((p95) * 1e4 + 0.5) / 1e4 AS p95,
       |  COUNT(CASE WHEN l_extendedprice < p05 THEN 1 END) AS n_lo,
       |  COUNT(CASE WHEN l_extendedprice > p95 THEN 1 END) AS n_hi,
-      |  ROUND(CAST(SUM(CASE WHEN l_extendedprice BETWEEN p05 AND p95
+      |  FLOOR((CAST(SUM(CASE WHEN l_extendedprice BETWEEN p05 AND p95
       |                 THEN CAST(l_extendedprice AS DECIMAL(18,2)) END) AS DOUBLE)
       |        + COUNT(CASE WHEN l_extendedprice < p05 THEN 1 END) * p05
-      |        + COUNT(CASE WHEN l_extendedprice > p95 THEN 1 END) * p95, 4)
+      |        + COUNT(CASE WHEN l_extendedprice > p95 THEN 1 END) * p95) * 1e4 + 0.5) / 1e4
       |    AS winsorized_total
       |FROM lineitem l JOIN p USING (l_returnflag)
       |GROUP BY l.l_returnflag, p05, p95 ORDER BY l.l_returnflag""".stripMargin
@@ -773,7 +773,7 @@ object RelationalMore {
       .select(col("v"), bucket.as("bucket"))
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n"),
-        round(min(col("v")), 2).as("lo"), round(max(col("v")), 2).as("hi"))
+        Num.pround(min(col("v")), 2).as("lo"), Num.pround(max(col("v")), 2).as("hi"))
       .orderBy(col("bucket"))
   }
 
@@ -786,7 +786,7 @@ object RelationalMore {
        |  SELECT l_extendedprice AS v, $bucket AS bucket
        |  FROM lineitem, e)
        |SELECT bucket, COUNT(*) AS n,
-       |  ROUND(MIN(v), 2) AS lo, ROUND(MAX(v), 2) AS hi
+       |  FLOOR((MIN(v)) * 1e2 + 0.5) / 1e2 AS lo, FLOOR((MAX(v)) * 1e2 + 0.5) / 1e2 AS hi
        |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin
   }
 
@@ -1085,7 +1085,7 @@ object RelationalMore {
       .agg(sum(col("n")).as("n_orders"), sum(col("s")).as("sdec"))
       .select(col(key), col("n_orders"),
         col("sdec").cast("double").as("sum_price"),
-        round(col("sdec").cast("double") / col("n_orders"), 6).as("avg_price"))
+        Num.pround(col("sdec").cast("double") / col("n_orders"), 6).as("avg_price"))
 
   def q143IncrementalMv(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(spark, dir)
@@ -1097,7 +1097,7 @@ object RelationalMore {
   val q143Sql: String =
     """SELECT o_custkey, COUNT(*) AS n_orders,
       |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
-      |  ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6)
+      |  FLOOR((CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)) * 1e6 + 0.5) / 1e6
       |    AS avg_price
       |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
 
@@ -1133,8 +1133,8 @@ object RelationalMore {
       .groupBy(col("o_orderpriority"))
       .agg(sum(col("n")).as("n"), sum(col("s")).as("s"), sum(col("q")).as("q"))
       .select(col("o_orderpriority"), col("n"),
-        round(col("s").cast("double") / (col("n") * 100), 4).as("mean_price"),
-        round((col("q").cast("double") - col("s").cast("double") * col("s").cast("double")
+        Num.pround(col("s").cast("double") / (col("n") * 100), 4).as("mean_price"),
+        Num.pround((col("q").cast("double") - col("s").cast("double") * col("s").cast("double")
           / col("n")) / ((col("n") - 1) * 10000), 4).as("var_price"))
       .orderBy(col("o_orderpriority"))
   }
@@ -1147,9 +1147,9 @@ object RelationalMore {
       |      * CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS DECIMAL(38,0))) AS q
       |  FROM orders GROUP BY o_orderpriority)
       |SELECT o_orderpriority, n,
-      |  ROUND(CAST(s AS DOUBLE) / (n * 100), 4) AS mean_price,
-      |  ROUND((CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n)
-      |        / ((n - 1) * 10000), 4) AS var_price
+      |  FLOOR((CAST(s AS DOUBLE) / (n * 100)) * 1e4 + 0.5) / 1e4 AS mean_price,
+      |  FLOOR(((CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n)
+      |        / ((n - 1) * 10000)) * 1e4 + 0.5) / 1e4 AS var_price
       |FROM m ORDER BY o_orderpriority""".stripMargin
 
   // --------------------------------------------------------------------------
@@ -1170,8 +1170,8 @@ object RelationalMore {
     byDigit
       .crossJoin(broadcast(byDigit.agg(sum(col("n")).as("tot"))))
       .select(col("digit"), col("n"),
-        round(col("n").cast("double") / col("tot"), 6).as("p_obs"),
-        round(log(10.0, lit(1.0) + lit(1.0) / col("digit")), 6).as("p_benford"))
+        Num.pround(col("n").cast("double") / col("tot"), 6).as("p_obs"),
+        Num.pround(log(10.0, lit(1.0) + lit(1.0) / col("digit")), 6).as("p_benford"))
       .orderBy(col("digit"))
   }
 
@@ -1182,8 +1182,8 @@ object RelationalMore {
       |c AS (SELECT digit, COUNT(*) AS n FROM d GROUP BY digit),
       |t AS (SELECT SUM(n) AS tot FROM c)
       |SELECT digit, n,
-      |  ROUND(CAST(n AS DOUBLE) / tot, 6) AS p_obs,
-      |  ROUND(LOG10(1.0 + 1.0 / digit), 6) AS p_benford
+      |  FLOOR((CAST(n AS DOUBLE) / tot) * 1e6 + 0.5) / 1e6 AS p_obs,
+      |  FLOOR((LOG10(1.0 + 1.0 / digit)) * 1e6 + 0.5) / 1e6 AS p_benford
       |FROM c CROSS JOIN t ORDER BY digit""".stripMargin
 
   // --------------------------------------------------------------------------
@@ -1514,10 +1514,10 @@ object RelationalMore {
       .withColumn("b", (col("sxx") * col("n") - col("sx") * col("sx")).cast("double"))
       .withColumn("c", (col("syy") * col("n") - col("sy") * col("sy")).cast("double"))
       .select(col("l_returnflag"), col("n"),
-        round(col("a") / col("b"), 6).as("slope"),
-        round((col("sy").cast("double") - col("a") / col("b") * col("sx").cast("double"))
+        Num.pround(col("a") / col("b"), 6).as("slope"),
+        Num.pround((col("sy").cast("double") - col("a") / col("b") * col("sx").cast("double"))
           / col("n") / 100.0, 2).as("intercept"),
-        round(col("a") * col("a") / (col("b") * col("c")), 6).as("r2"))
+        Num.pround(col("a") * col("a") / (col("b") * col("c")), 6).as("r2"))
       .orderBy(col("l_returnflag"))
   }
 
@@ -1540,9 +1540,9 @@ object RelationalMore {
       |    CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd
       |  FROM m)
       |SELECT l_returnflag, n,
-      |  ROUND(a / bb, 6) AS slope,
-      |  ROUND((syd - a / bb * sxd) / n / 100.0, 2) AS intercept,
-      |  ROUND(a * a / (bb * c), 6) AS r2
+      |  FLOOR((a / bb) * 1e6 + 0.5) / 1e6 AS slope,
+      |  FLOOR(((syd - a / bb * sxd) / n / 100.0) * 1e2 + 0.5) / 1e2 AS intercept,
+      |  FLOOR((a * a / (bb * c)) * 1e6 + 0.5) / 1e6 AS r2
       |FROM d ORDER BY l_returnflag""".stripMargin
 
   // --------------------------------------------------------------------------
@@ -1575,9 +1575,9 @@ object RelationalMore {
     agg.join(broadcast(Tables.nation(spark, dir)),
         col("c_nationkey") === col("n_nationkey"))
       .select(col("n_name"), col("n"),
-        round((col("skx") * 2 - col("sx") * (col("n") + 1)).cast("double") /
+        Num.pround((col("skx") * 2 - col("sx") * (col("n") + 1)).cast("double") /
           (col("sx") * col("n")).cast("double"), 6).as("gini"),
-        round(col("bot").cast("double") / col("sx").cast("double"), 6).as("bottom_half_share"))
+        Num.pround(col("bot").cast("double") / col("sx").cast("double"), 6).as("bottom_half_share"))
       .orderBy(col("n_name"))
   }
 
@@ -1597,8 +1597,8 @@ object RelationalMore {
       |    SUM(CASE WHEN k * 2 <= nn THEN cents ELSE 0 END) AS bot
       |  FROM r GROUP BY 1)
       |SELECT n_name, n,
-      |  ROUND(CAST(skx * 2 - sx * (n + 1) AS DOUBLE) / CAST(sx * n AS DOUBLE), 6) AS gini,
-      |  ROUND(CAST(bot AS DOUBLE) / CAST(sx AS DOUBLE), 6) AS bottom_half_share
+      |  FLOOR((CAST(skx * 2 - sx * (n + 1) AS DOUBLE) / CAST(sx * n AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS gini,
+      |  FLOOR((CAST(bot AS DOUBLE) / CAST(sx AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS bottom_half_share
       |FROM a JOIN nation ON c_nationkey = n_nationkey
       |ORDER BY n_name""".stripMargin
 
@@ -1658,9 +1658,9 @@ object RelationalMore {
           + col("b") * col("b") * col("sxx").cast("double"))
       .select(col("flag"), col("fold"),
         (col("rn").cast("long")).as("n_train"), (col("n").cast("long")).as("n_test"),
-        round(col("b"), 6).as("slope"),
-        round(col("a") / 100.0, 2).as("intercept"),
-        round(sqrt(col("sse") / col("n").cast("double")) / 100.0, 4).as("rmse"))
+        Num.pround(col("b"), 6).as("slope"),
+        Num.pround(col("a") / 100.0, 2).as("intercept"),
+        Num.pround(sqrt(col("sse") / col("n").cast("double")) / 100.0, 4).as("rmse"))
       .orderBy(col("flag"), col("fold"))
   }
 
@@ -1697,14 +1697,14 @@ object RelationalMore {
       |  FROM c)
       |SELECT flag, CAST(fold AS BIGINT) AS fold,
       |  CAST(rn AS BIGINT) AS n_train, CAST(n AS BIGINT) AS n_test,
-      |  ROUND(bb, 6) AS slope,
-      |  ROUND(a / 100.0, 2) AS intercept,
-      |  ROUND(SQRT((CAST(syy AS DOUBLE)
+      |  FLOOR((bb) * 1e6 + 0.5) / 1e6 AS slope,
+      |  FLOOR((a / 100.0) * 1e2 + 0.5) / 1e2 AS intercept,
+      |  FLOOR((SQRT((CAST(syy AS DOUBLE)
       |    - 2.0 * a * CAST(sy AS DOUBLE)
       |    - 2.0 * bb * CAST(sxy AS DOUBLE)
       |    + CAST(n AS DOUBLE) * a * a
       |    + 2.0 * a * bb * CAST(sx AS DOUBLE)
-      |    + bb * bb * CAST(sxx AS DOUBLE)) / CAST(n AS DOUBLE)) / 100.0, 4) AS rmse
+      |    + bb * bb * CAST(sxx AS DOUBLE)) / CAST(n AS DOUBLE)) / 100.0) * 1e4 + 0.5) / 1e4 AS rmse
       |FROM e ORDER BY flag, fold""".stripMargin
 
   // --------------------------------------------------------------------------
@@ -1907,8 +1907,8 @@ object RelationalMore {
       .withColumn("c", (col("csyy") * col("cn") - col("csy") * col("csy")).cast("double"))
       .select(((col("bucket") + 1) * 10).cast("int").as("pct"),
         col("cn").cast("long").as("n"),
-        round(col("a") / col("b"), 6).as("slope"),
-        round(col("a") * col("a") / (col("b") * col("c")), 6).as("r2"))
+        Num.pround(col("a") / col("b"), 6).as("slope"),
+        Num.pround(col("a") * col("a") / (col("b") * col("c")), 6).as("r2"))
       .orderBy(col("pct"))
   }
 
@@ -1934,8 +1934,8 @@ object RelationalMore {
       |    CAST(csyy * cn - csy * csy AS DOUBLE) AS c
       |  FROM cm)
       |SELECT CAST((bucket + 1) * 10 AS INT) AS pct, CAST(cn AS BIGINT) AS n,
-      |  ROUND(a / bb, 6) AS slope,
-      |  ROUND(a * a / (bb * c), 6) AS r2
+      |  FLOOR((a / bb) * 1e6 + 0.5) / 1e6 AS slope,
+      |  FLOOR((a * a / (bb * c)) * 1e6 + 0.5) / 1e6 AS r2
       |FROM d ORDER BY pct""".stripMargin
 
   // --------------------------------------------------------------------------
@@ -2250,14 +2250,14 @@ object RelationalMore {
         Window.orderBy(col("qerr").desc, col("b"))))
       .filter(col("rk") <= 8)
       .select(concat(lit("bucket_"), col("b")).as("scope"),
-        col("true_rows"), round(col("est"), 2).as("est_rows"),
-        round(col("qerr"), 4).as("q_error"))
+        col("true_rows"), Num.pround(col("est"), 2).as("est_rows"),
+        Num.pround(col("qerr"), 4).as("q_error"))
     val tot = per.agg(sum(col("true_rows")).as("true_rows"),
       expr("aggregate(sort_array(collect_list(struct(b, est))), cast(0 as double), (a, x) -> a + x.est)")
         .as("est_sum"))
       .select(lit("TOTAL").as("scope"), col("true_rows"),
-        round(col("est_sum"), 2).as("est_rows"),
-        round(greatest(col("est_sum") / col("true_rows"),
+        Num.pround(col("est_sum"), 2).as("est_rows"),
+        Num.pround(greatest(col("est_sum") / col("true_rows"),
           col("true_rows") / col("est_sum")), 4).as("q_error"))
     worst.unionByName(tot).orderBy(col("scope"))
   }
@@ -2295,16 +2295,16 @@ object RelationalMore {
       |  FROM est),
       |worst AS (
       |  SELECT 'bucket_' || b::VARCHAR AS scope, true_rows,
-      |    ROUND(est, 2) AS est_rows, ROUND(qerr, 4) AS q_error
+      |    FLOOR((est) * 1e2 + 0.5) / 1e2 AS est_rows, FLOOR((qerr) * 1e4 + 0.5) / 1e4 AS q_error
       |  FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY qerr DESC, b) AS rk FROM q)
       |  WHERE rk <= 8),
       |tot AS (
       |  SELECT 'TOTAL' AS scope, CAST(SUM(true_rows) AS BIGINT) AS true_rows,
-      |    ROUND(list_reduce(list(est ORDER BY b), (x, y) -> x + y), 2) AS est_rows,
-      |    ROUND(GREATEST(
+      |    FLOOR((list_reduce(list(est ORDER BY b), (x, y) -> x + y)) * 1e2 + 0.5) / 1e2 AS est_rows,
+      |    FLOOR((GREATEST(
       |      list_reduce(list(est ORDER BY b), (x, y) -> x + y) / SUM(true_rows),
-      |      SUM(true_rows) / list_reduce(list(est ORDER BY b), (x, y) -> x + y)),
-      |      4) AS q_error
+      |      SUM(true_rows) / list_reduce(list(est ORDER BY b), (x, y) -> x + y)))
+      |      * 1e4 + 0.5) / 1e4 AS q_error
       |  FROM q)
       |SELECT * FROM worst UNION ALL SELECT * FROM tot ORDER BY scope""".stripMargin
 

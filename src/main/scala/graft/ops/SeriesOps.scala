@@ -46,8 +46,8 @@ object SeriesOps {
       .join(trailing(28, "mau"), Seq("day"))  // data end drop here
       .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
         col("dau"), col("wau"), col("mau"),
-        round(col("dau").cast("double") / col("wau"), 4).as("dau_wau"),
-        round(col("dau").cast("double") / col("mau"), 4).as("dau_mau"))
+        Num.pround(col("dau").cast("double") / col("wau"), 4).as("dau_wau"),
+        Num.pround(col("dau").cast("double") / col("mau"), 4).as("dau_mau"))
       .orderBy(col("day"))
   }
 
@@ -59,8 +59,8 @@ object SeriesOps {
       |mau AS (SELECT d.day, COUNT(DISTINCT u.user_id) AS mau
       |        FROM dau d JOIN du u ON u.day BETWEEN d.day - 27 AND d.day GROUP BY d.day)
       |SELECT STRFTIME(d.day, '%Y-%m-%d') AS day, d.dau, w.wau, m.mau,
-      |  ROUND(CAST(d.dau AS DOUBLE) / w.wau, 4) AS dau_wau,
-      |  ROUND(CAST(d.dau AS DOUBLE) / m.mau, 4) AS dau_mau
+      |  FLOOR((CAST(d.dau AS DOUBLE) / w.wau) * 1e4 + 0.5) / 1e4 AS dau_wau,
+      |  FLOOR((CAST(d.dau AS DOUBLE) / m.mau) * 1e4 + 0.5) / 1e4 AS dau_mau
       |FROM dau d JOIN wau w USING (day) JOIN mau m USING (day)
       |ORDER BY day""".stripMargin
 
@@ -90,8 +90,8 @@ object SeriesOps {
       .withColumn("cum", sum(col("rev_cents")).over(ord).cast(DecimalType(38, 0)))
       .crossJoin(broadcast(tot))
       .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
-        round(col("rev_cents").cast("double") / 100.0, 2).as("rev"),
-        round((col("cum") * col("n") - col("k") * col("tot")).cast("double")
+        Num.pround(col("rev_cents").cast("double") / 100.0, 2).as("rev"),
+        Num.pround((col("cum") * col("n") - col("k") * col("tot")).cast("double")
           / (lit(100.0) * col("n")), 2).as("cusum"))
       .orderBy(col("day"))
   }
@@ -108,8 +108,8 @@ object SeriesOps {
       |    CAST(SUM(rev_cents) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS DECIMAL(38,0)) AS cum
       |  FROM byday)
       |SELECT STRFTIME(day, '%Y-%m-%d') AS day,
-      |  ROUND(CAST(rev_cents AS DOUBLE) / 100e0, 2) AS rev,
-      |  ROUND(CAST(cum * n - k * tot AS DOUBLE) / (100e0 * n), 2) AS cusum
+      |  FLOOR((CAST(rev_cents AS DOUBLE) / 100e0) * 1e2 + 0.5) / 1e2 AS rev,
+      |  FLOOR((CAST(cum * n - k * tot AS DOUBLE) / (100e0 * n)) * 1e2 + 0.5) / 1e2 AS cusum
       |FROM w, g ORDER BY day""".stripMargin
 
   // --------------------------------------------------------------------------
@@ -159,10 +159,10 @@ object SeriesOps {
         (col("s2") * col("n") - col("s1") * col("s1")).cast("double")) /
         col("n").cast("double"))
       .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
-        round(col("y").cast("double") / 100.0, 2).as("rev"),
-        round(col("sum7").cast("double") / 700.0, 2).as("trend"),
-        round(col("s_num").cast("double") / (lit(700.0) * col("s_cnt")), 2).as("seasonal"),
-        round(col("resid"), 2).as("resid"),
+        Num.pround(col("y").cast("double") / 100.0, 2).as("rev"),
+        Num.pround(col("sum7").cast("double") / 700.0, 2).as("trend"),
+        Num.pround(col("s_num").cast("double") / (lit(700.0) * col("s_cnt")), 2).as("seasonal"),
+        Num.pround(col("resid"), 2).as("resid"),
         (abs(col("rq") - col("mu")) > lit(2.0) * col("sigma")).as("anomaly"))
       .orderBy(col("day"))
   }
@@ -192,10 +192,10 @@ object SeriesOps {
       |    CAST(SUM(CAST(q AS DECIMAL(38,0)) * q) AS DECIMAL(38,0)) AS s2
       |  FROM rq)
       |SELECT STRFTIME(day, '%Y-%m-%d') AS day,
-      |  ROUND(CAST(y AS DOUBLE) / 100e0, 2) AS rev,
-      |  ROUND(CAST(sum7 AS DOUBLE) / 700e0, 2) AS trend,
-      |  ROUND(CAST(s_num AS DOUBLE) / (700e0 * s_cnt), 2) AS seasonal,
-      |  ROUND(resid, 2) AS resid,
+      |  FLOOR((CAST(y AS DOUBLE) / 100e0) * 1e2 + 0.5) / 1e2 AS rev,
+      |  FLOOR((CAST(sum7 AS DOUBLE) / 700e0) * 1e2 + 0.5) / 1e2 AS trend,
+      |  FLOOR((CAST(s_num AS DOUBLE) / (700e0 * s_cnt)) * 1e2 + 0.5) / 1e2 AS seasonal,
+      |  FLOOR((resid) * 1e2 + 0.5) / 1e2 AS resid,
       |  ABS(q - CAST(s1 AS DOUBLE) / n)
       |    > 2.0 * sqrt(CAST(s2 * n - s1 * s1 AS DOUBLE)) / n AS anomaly
       |FROM rq CROSS JOIN st ORDER BY day""".stripMargin
@@ -224,7 +224,7 @@ object SeriesOps {
         sum(col("contrib")).as("wsum"))
       .filter(col("n_events") >= 2 && col("span_us") > 0)
       .select(col("user_id"), col("n_events"),
-        round(col("wsum").cast("double") / (lit(1e6) * col("span_us")), 4).as("twa"))
+        Num.pround(col("wsum").cast("double") / (lit(1e6) * col("span_us")), 4).as("twa"))
       .orderBy(col("user_id"))
   }
 
@@ -239,7 +239,7 @@ object SeriesOps {
       |    SUM(CAST(FLOOR(value * 1e6) AS HUGEINT) * dt) AS wsum
       |  FROM e GROUP BY user_id)
       |SELECT user_id, n_events,
-      |  ROUND(CAST(wsum AS DOUBLE) / (1e6 * span_us), 4) AS twa
+      |  FLOOR((CAST(wsum AS DOUBLE) / (1e6 * span_us)) * 1e4 + 0.5) / 1e4 AS twa
       |FROM agg WHERE n_events >= 2 AND span_us > 0
       |ORDER BY user_id""".stripMargin
 
@@ -276,9 +276,9 @@ object SeriesOps {
     val m4 = col("s4").cast("double") / n - lit(4.0) * m1 * (col("s3").cast("double") / n) +
       lit(6.0) * m1 * m1 * (col("s2").cast("double") / n) - lit(3.0) * m1 * m1 * m1 * m1
     agg.select(col("o_orderpriority"), col("n"),
-      round(m1 / 100.0, 2).as("mean"),
-      round(m3 / pow(m2, 1.5), 4).as("skewness"),
-      round(m4 / (m2 * m2) - 3.0, 4).as("kurtosis_excess"))
+      Num.pround(m1 / 100.0, 2).as("mean"),
+      Num.pround(m3 / pow(m2, 1.5), 4).as("skewness"),
+      Num.pround(m4 / (m2 * m2) - 3.0, 4).as("kurtosis_excess"))
       .orderBy(col("o_orderpriority"))
   }
 
@@ -297,11 +297,11 @@ object SeriesOps {
       |    CAST(s4 AS DOUBLE) / n AS r4
       |  FROM agg)
       |SELECT o_orderpriority, n,
-      |  ROUND(m1 / 100e0, 2) AS mean,
-      |  ROUND((r3 - 3.0 * m1 * r2 + 2.0 * m1 * m1 * m1)
-      |        / POW(r2 - m1 * m1, 1.5), 4) AS skewness,
-      |  ROUND((r4 - 4.0 * m1 * r3 + 6.0 * m1 * m1 * r2 - 3.0 * m1 * m1 * m1 * m1)
-      |        / ((r2 - m1 * m1) * (r2 - m1 * m1)) - 3.0, 4) AS kurtosis_excess
+      |  FLOOR((m1 / 100e0) * 1e2 + 0.5) / 1e2 AS mean,
+      |  FLOOR(((r3 - 3.0 * m1 * r2 + 2.0 * m1 * m1 * m1)
+      |        / POW(r2 - m1 * m1, 1.5)) * 1e4 + 0.5) / 1e4 AS skewness,
+      |  FLOOR(((r4 - 4.0 * m1 * r3 + 6.0 * m1 * m1 * r2 - 3.0 * m1 * m1 * m1 * m1)
+      |        / ((r2 - m1 * m1) * (r2 - m1 * m1)) - 3.0) * 1e4 + 0.5) / 1e4 AS kurtosis_excess
       |FROM m ORDER BY o_orderpriority""".stripMargin
 
   // --------------------------------------------------------------------------
@@ -335,9 +335,9 @@ object SeriesOps {
       .filter(col("k") === 14)
     grid.join(contrib, col("rn") === col("trn"))
       .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
-        round(col("y").cast("double") / 100.0, 2).as("rev"),
-        round(col("num").cast("double") / 16383.0 / 100.0, 2).as("forecast"),
-        round(abs(col("y") * 16383 - col("num")).cast("double") /
+        Num.pround(col("y").cast("double") / 100.0, 2).as("rev"),
+        Num.pround(col("num").cast("double") / 16383.0 / 100.0, 2).as("forecast"),
+        Num.pround(abs(col("y") * 16383 - col("num")).cast("double") /
           (col("y") * 16383).cast("double"), 6).as("ape"))
       .orderBy(col("day"))
   }
@@ -354,9 +354,9 @@ object SeriesOps {
       |  FROM grid, LATERAL (SELECT unnest(range(1, 15)) AS i) o
       |  GROUP BY 1 HAVING COUNT(*) = 14)
       |SELECT STRFTIME(day, '%Y-%m-%d') AS day,
-      |  ROUND(CAST(y AS DOUBLE) / 100.0, 2) AS rev,
-      |  ROUND(CAST(num AS DOUBLE) / 16383.0 / 100.0, 2) AS forecast,
-      |  ROUND(CAST(ABS(y * 16383 - num) AS DOUBLE) / CAST(y * 16383 AS DOUBLE), 6) AS ape
+      |  FLOOR((CAST(y AS DOUBLE) / 100.0) * 1e2 + 0.5) / 1e2 AS rev,
+      |  FLOOR((CAST(num AS DOUBLE) / 16383.0 / 100.0) * 1e2 + 0.5) / 1e2 AS forecast,
+      |  FLOOR((CAST(ABS(y * 16383 - num) AS DOUBLE) / CAST(y * 16383 AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS ape
       |FROM grid JOIN contrib ON rn = trn
       |ORDER BY day""".stripMargin
 

@@ -89,9 +89,9 @@ object SketchOps {
       .agg(mergeQ(col("sk")).as("q"), sum(col("n")).as("n_customers"))
       .select(
         col("n_regionkey"),
-        round(col("q.p10"), 2).as("p10"),
-        round(col("q.p50"), 2).as("p50"),
-        round(col("q.p90"), 2).as("p90"),
+        Num.pround(col("q.p10"), 2).as("p10"),
+        Num.pround(col("q.p50"), 2).as("p50"),
+        Num.pround(col("q.p90"), 2).as("p90"),
         col("n_customers"))
       .orderBy(col("n_regionkey"))
   }
@@ -113,7 +113,7 @@ object SketchOps {
     approx.join(broadcast(exact), "n_regionkey")
       .select(
         col("n_regionkey"),
-        round(col("e50"), 4).as("exact_p50"),
+        Num.pround(col("e50"), 4).as("exact_p50"),
         (col("p10") >= col("e05") && col("p10") <= col("e15")).as("p10_in_band"),
         (col("p50") >= col("e45") && col("p50") <= col("e55")).as("p50_in_band"),
         (col("p90") >= col("e85") && col("p90") <= col("e95")).as("p90_in_band"),
@@ -123,7 +123,7 @@ object SketchOps {
 
   val q74Sql: String =
     """SELECT n.n_regionkey,
-      |  ROUND(quantile_cont(c.c_acctbal, 0.5), 4) AS exact_p50,
+      |  FLOOR((quantile_cont(c.c_acctbal, 0.5)) * 1e4 + 0.5) / 1e4 AS exact_p50,
       |  TRUE AS p10_in_band, TRUE AS p50_in_band, TRUE AS p90_in_band,
       |  COUNT(*) AS n_customers
       |FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
@@ -363,7 +363,7 @@ object SketchOps {
       .groupBy(col("s1"), col("s2"))
       .agg((sum(when(col("sides") === 2, 1).otherwise(0)).cast("double") / k)
         .as("est_jaccard"))
-      .select(col("s1"), col("s2"), round(col("est_jaccard"), 6).as("est_jaccard"))
+      .select(col("s1"), col("s2"), Num.pround(col("est_jaccard"), 6).as("est_jaccard"))
       .orderBy(col("s1"), col("s2"))
   }
 
@@ -393,7 +393,7 @@ object SketchOps {
        |      ROW_NUMBER() OVER (PARTITION BY s1, s2 ORDER BY h) AS rn
        |    FROM merged) WHERE rn <= 64)
        |SELECT s1, s2,
-       |  ROUND(CAST(SUM(CASE WHEN sides = 2 THEN 1 ELSE 0 END) AS DOUBLE) / 64, 6)
+       |  FLOOR((CAST(SUM(CASE WHEN sides = 2 THEN 1 ELSE 0 END) AS DOUBLE) / 64) * 1e6 + 0.5) / 1e6
        |    AS est_jaccard
        |FROM bottomk GROUP BY s1, s2 ORDER BY s1, s2""".stripMargin
 

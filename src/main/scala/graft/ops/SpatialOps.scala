@@ -70,7 +70,7 @@ object SpatialOps {
       .filter(col("d2") <= lit(eps * eps))
       .groupBy(col("sk"))
       .agg(count(lit(1)).as("n_within"),
-        round(sqrt(min(col("d2"))), 6).as("min_dist"))
+        Num.pround(sqrt(min(col("d2"))), 6).as("min_dist"))
     Tables.supplier(spark, dir).select(col("s_suppkey").as("sk"))
       .join(near, Seq("sk"), "left")
       .select(col("sk").as("s_suppkey"),
@@ -93,7 +93,7 @@ object SpatialOps {
        |  FROM supplier),
        |near AS (
        |  SELECT sk, COUNT(*) AS n_within,
-       |    ROUND(sqrt(MIN((x - sx) * (x - sx) + (y - sy) * (y - sy))), 6) AS min_dist
+       |    FLOOR((sqrt(MIN((x - sx) * (x - sx) + (y - sy) * (y - sy)))) * 1e6 + 0.5) / 1e6 AS min_dist
        |  FROM st CROSS JOIN pts
        |  WHERE (x - sx) * (x - sx) + (y - sy) * (y - sy) <= $eps * $eps
        |  GROUP BY sk)
@@ -125,8 +125,8 @@ object SpatialOps {
           .as("lonq"))
       .select(col("c_custkey"),
         expr("geohash_q(latq, lonq)").as("geohash"),
-        round((col("latq") * 180).cast("double") / 1048576 - 90, 6).as("lat"),
-        round((col("lonq") * 360).cast("double") / 1048576 - 180, 6).as("lon"))
+        Num.pround((col("latq") * 180).cast("double") / 1048576 - 90, 6).as("lat"),
+        Num.pround((col("lonq") * 360).cast("double") / 1048576 - 180, 6).as("lon"))
       .orderBy(col("c_custkey"))
   }
 
@@ -148,8 +148,8 @@ object SpatialOps {
       |  FROM g, LATERAL (SELECT unnest(range(8)) AS k) s
       |  GROUP BY 1, 2, 3)
       |SELECT c_custkey, gh AS geohash,
-      |  ROUND(CAST(latq * 180 AS DOUBLE) / 1048576 - 90, 6) AS lat,
-      |  ROUND(CAST(lonq * 360 AS DOUBLE) / 1048576 - 180, 6) AS lon
+      |  FLOOR((CAST(latq * 180 AS DOUBLE) / 1048576 - 90) * 1e6 + 0.5) / 1e6 AS lat,
+      |  FLOOR((CAST(lonq * 360 AS DOUBLE) / 1048576 - 180) * 1e6 + 0.5) / 1e6 AS lon
       |FROM ch ORDER BY c_custkey""".stripMargin
 
   // --------------------------------------------------------------------------

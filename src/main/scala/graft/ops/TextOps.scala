@@ -127,7 +127,7 @@ object TextOps {
       .agg(count(lit(1)).as("inter"))
       .withColumn("jaccard", col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
       .filter(col("jaccard") >= 0.5)
-      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+      .select(col("id_a"), col("id_b"), Num.pround(col("jaccard"), 6).as("jaccard"))
       .orderBy(col("id_a"), col("id_b"))
   }
 
@@ -143,7 +143,7 @@ object TextOps {
        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
        |  GROUP BY 1, 2)
        |SELECT id_a, id_b,
-       |  ROUND(CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter), 6) AS jaccard
+       |  FLOOR((CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter)) * 1e6 + 0.5) / 1e6 AS jaccard
        |FROM inter
        |JOIN sizes sa ON sa.doc_id = id_a
        |JOIN sizes sb ON sb.doc_id = id_b
@@ -191,7 +191,7 @@ object TextOps {
       .withColumn("jaccard",
         col("inter").cast("double") / (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
       .filter(col("jaccard") >= 0.5)
-      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+      .select(col("id_a"), col("id_b"), Num.pround(col("jaccard"), 6).as("jaccard"))
       .orderBy(col("id_a"), col("id_b"))
   }
 
@@ -328,10 +328,10 @@ object TextOps {
       .select(
         col("doc_id"),
         col("n_tokens"),
-        round(col("char_sum").cast("double") / col("n_tokens"), 6).as("avg_token_len"),
-        round(col("stop_hits").cast("double") / col("n_tokens"), 6).as("stop_ratio"),
+        Num.pround(col("char_sum").cast("double") / col("n_tokens"), 6).as("avg_token_len"),
+        Num.pround(col("stop_hits").cast("double") / col("n_tokens"), 6).as("stop_ratio"),
         col("n_punct"),
-        round(
+        Num.pround(
           least(col("n_tokens"), lit(50)).cast("double") / 50.0 * 0.6 +
             col("stop_hits").cast("double") / col("n_tokens") * 0.4, 6).as("quality_score"))
       .orderBy(col("doc_id"))
@@ -345,11 +345,11 @@ object TextOps {
        |    length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS n_punct
        |  FROM t)
        |SELECT doc_id, n_tokens,
-       |  ROUND(CAST(char_sum AS DOUBLE) / n_tokens, 6) AS avg_token_len,
-       |  ROUND(CAST(stop_hits AS DOUBLE) / n_tokens, 6) AS stop_ratio,
+       |  FLOOR((CAST(char_sum AS DOUBLE) / n_tokens) * 1e6 + 0.5) / 1e6 AS avg_token_len,
+       |  FLOOR((CAST(stop_hits AS DOUBLE) / n_tokens) * 1e6 + 0.5) / 1e6 AS stop_ratio,
        |  CAST(n_punct AS INT) AS n_punct,
-       |  ROUND(CAST(LEAST(n_tokens, 50) AS DOUBLE) / 50.0 * 0.6 +
-       |        CAST(stop_hits AS DOUBLE) / n_tokens * 0.4, 6) AS quality_score
+       |  FLOOR((CAST(LEAST(n_tokens, 50) AS DOUBLE) / 50.0 * 0.6 +
+       |        CAST(stop_hits AS DOUBLE) / n_tokens * 0.4) * 1e6 + 0.5) / 1e6 AS quality_score
        |FROM m WHERE n_tokens > 0 ORDER BY doc_id""".stripMargin
 
   // --------------------------------------------------------------------------
@@ -363,14 +363,14 @@ object TextOps {
         count(lit(1)).as("n_docs"),
         sum(size(col("toks"))).as("total_tokens"),
         sum(expr("(n_chars + 3) div 4")).as("est_bpe_tokens"),
-        round(sum(size(col("toks"))).cast("double") / count(lit(1)), 6).as("avg_tokens"))
+        Num.pround(sum(size(col("toks"))).cast("double") / count(lit(1)), 6).as("avg_tokens"))
       .orderBy(col("source"))
 
   val q36Sql: String =
     s"""SELECT source, COUNT(*) AS n_docs,
        |  CAST(SUM(len($toksSqlD)) AS BIGINT) AS total_tokens,
        |  CAST(SUM((n_chars + 3) // 4) AS BIGINT) AS est_bpe_tokens,
-       |  ROUND(CAST(SUM(len($toksSqlD)) AS DOUBLE) / COUNT(*), 6) AS avg_tokens
+       |  FLOOR((CAST(SUM(len($toksSqlD)) AS DOUBLE) / COUNT(*)) * 1e6 + 0.5) / 1e6 AS avg_tokens
        |FROM documents GROUP BY source ORDER BY source""".stripMargin
 
   // --------------------------------------------------------------------------
@@ -448,7 +448,7 @@ object TextOps {
     val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("w").asc)
     tf.withColumn("df", count(lit(1)).over(Window.partitionBy(col("w"))))
       .crossJoin(broadcast(nDocs))
-      .withColumn("score", round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6))
+      .withColumn("score", Num.pround(col("tf") * log(col("n_docs").cast("double") / col("df")), 6))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 5)
       .select(col("doc_id"), col("rn"), col("w").as("term"), col("score").as("tfidf"))
@@ -462,13 +462,13 @@ object TextOps {
        |df AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY 1),
        |n AS (SELECT COUNT(*) AS n FROM documents),
        |scored AS (
-       |  SELECT doc_id, w, ROUND(tf * ln(CAST(n.n AS DOUBLE) / df.df), 6) AS score
+       |  SELECT doc_id, w, FLOOR((tf * ln(CAST(n.n AS DOUBLE) / df.df)) * 1e6 + 0.5) / 1e6 AS score
        |  FROM tf JOIN df USING (w) CROSS JOIN n),
        |ranked AS (
        |  SELECT doc_id, w, score,
        |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, w ASC) AS rn
        |  FROM scored)
-       |SELECT doc_id, CAST(rn AS INT) AS rn, w AS term, ROUND(score, 6) AS tfidf
+       |SELECT doc_id, CAST(rn AS INT) AS rn, w AS term, FLOOR((score) * 1e6 + 0.5) / 1e6 AS tfidf
        |FROM ranked WHERE rn <= 5 ORDER BY doc_id, rn""".stripMargin
 
   // --------------------------------------------------------------------------
@@ -616,8 +616,8 @@ object TextOps {
     uni.join(big, Seq("doc_id"))
       .select(
         col("doc_id"), col("n_words"),
-        round(col("top_uni") / col("n_words"), 6).as("top_word_share"),
-        round(col("top_big") / col("n_bigrams"), 6).as("top_bigram_share"),
+        Num.pround(col("top_uni") / col("n_words"), 6).as("top_word_share"),
+        Num.pround(col("top_big") / col("n_bigrams"), 6).as("top_bigram_share"),
         when(col("top_uni") / col("n_words") <= 0.10 &&
              col("top_big") / col("n_bigrams") <= 0.04, 1).otherwise(0).as("keep"))
       .orderBy(col("doc_id"))
@@ -638,8 +638,8 @@ object TextOps {
        |        WHERE w1 IS NOT NULL GROUP BY 1, 2)
        |  GROUP BY 1)
        |SELECT u.doc_id, CAST(n_words AS BIGINT) AS n_words,
-       |  ROUND(top_uni / n_words, 6) AS top_word_share,
-       |  ROUND(top_big / n_bigrams, 6) AS top_bigram_share,
+       |  FLOOR((top_uni / n_words) * 1e6 + 0.5) / 1e6 AS top_word_share,
+       |  FLOOR((top_big / n_bigrams) * 1e6 + 0.5) / 1e6 AS top_bigram_share,
        |  CASE WHEN top_uni / n_words <= 0.10 AND top_big / n_bigrams <= 0.04
        |       THEN 1 ELSE 0 END AS keep
        |FROM uni u JOIN big USING (doc_id)
@@ -695,15 +695,15 @@ object TextOps {
       .agg(
         count(lit(1)).as("n_docs"),
         sum(col("n_pieces")).as("total_pieces"),
-        round(sum(col("n_chars")).cast("double") / sum(col("n_pieces")), 6)
+        Num.pround(sum(col("n_chars")).cast("double") / sum(col("n_pieces")), 6)
           .as("chars_per_piece"))
       .orderBy(col("source"))
 
   val q79Sql: String =
     """SELECT source, COUNT(*) AS n_docs,
       |  CAST(SUM(len(regexp_extract_all(lower(text), ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+| +'))) AS BIGINT) AS total_pieces,
-      |  ROUND(CAST(SUM(n_chars) AS DOUBLE)
-      |        / SUM(len(regexp_extract_all(lower(text), ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+| +'))), 6) AS chars_per_piece
+      |  FLOOR((CAST(SUM(n_chars) AS DOUBLE)
+      |        / SUM(len(regexp_extract_all(lower(text), ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+| +')))) * 1e6 + 0.5) / 1e6 AS chars_per_piece
       |FROM documents GROUP BY source ORDER BY source""".stripMargin
 
   // --------------------------------------------------------------------------
@@ -743,7 +743,7 @@ object TextOps {
         col("idf") * col("tf") * 2.2 /
           (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
       .groupBy(col("doc_id"))
-      .agg(round(sum(col("score")), 6).as("bm25"))
+      .agg(Num.pround(sum(col("score")), 6).as("bm25"))
       .orderBy(col("bm25").desc, col("doc_id").asc)
       .limit(20)
   }
@@ -759,10 +759,10 @@ object TextOps {
        |tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM tok
        |       WHERE w IN ('spark', 'table') GROUP BY 1, 2),
        |df AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY 1)
-       |SELECT doc_id, ROUND(SUM(
+       |SELECT doc_id, FLOOR((SUM(
        |    ln((n.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
        |    * tf.tf * 2.2
-       |    / (tf.tf + 1.2 * (0.25 + 0.75 * dlen.dl / stats.avgdl))), 6) AS bm25
+       |    / (tf.tf + 1.2 * (0.25 + 0.75 * dlen.dl / stats.avgdl)))) * 1e6 + 0.5) / 1e6 AS bm25
        |FROM tf JOIN df USING (w) JOIN dlen USING (doc_id), stats, n
        |GROUP BY doc_id
        |ORDER BY bm25 DESC, doc_id ASC LIMIT 20""".stripMargin
@@ -1078,7 +1078,7 @@ object TextOps {
       .filter(col("a_key") < col("b_key"))
       .withColumn("jw", expr("jaro_winkler(a_name, b_name)"))
       .filter(col("jw") >= 0.85)
-      .select(col("a_key"), col("b_key"), round(col("jw"), 6).as("jw"))
+      .select(col("a_key"), col("b_key"), Num.pround(col("jw"), 6).as("jw"))
       .orderBy(col("a_key"), col("b_key"))
   }
 
@@ -1087,7 +1087,7 @@ object TextOps {
       |  SELECT p_partkey, p_name, p_brand, split_part(p_name, ' ', 1) AS tok0
       |  FROM part)
       |SELECT a.p_partkey AS a_key, b.p_partkey AS b_key,
-      |  ROUND(jaro_winkler_similarity(a.p_name, b.p_name), 6) AS jw
+      |  FLOOR((jaro_winkler_similarity(a.p_name, b.p_name)) * 1e6 + 0.5) / 1e6 AS jw
       |FROM p a JOIN p b
       |  ON a.p_brand = b.p_brand AND a.tok0 = b.tok0 AND a.p_partkey < b.p_partkey
       |WHERE jaro_winkler_similarity(a.p_name, b.p_name) >= 0.85
@@ -1134,7 +1134,7 @@ object TextOps {
       .withColumn("jaccard",
         col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
       .filter(col("jaccard") >= 0.6)
-      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+      .select(col("id_a"), col("id_b"), Num.pround(col("jaccard"), 6).as("jaccard"))
       .orderBy(col("id_a"), col("id_b"))
   }
 
@@ -1153,7 +1153,7 @@ object TextOps {
        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
        |  GROUP BY 1, 2)
        |SELECT id_a, id_b,
-       |  ROUND(CAST(inter AS DOUBLE) / (na.n + nb.n - inter), 6) AS jaccard
+       |  FLOOR((CAST(inter AS DOUBLE) / (na.n + nb.n - inter)) * 1e6 + 0.5) / 1e6 AS jaccard
        |FROM pairs
        |JOIN n na ON id_a = na.doc_id
        |JOIN n nb ON id_b = nb.doc_id
@@ -1205,7 +1205,7 @@ object TextOps {
         expr("aggregate(sort_array(collect_list(struct(bin, cnt * collide))), " +
           "cast(0 as double), (a, x) -> a + x.col2)").as("wsum"))
       .select(col("b"), col("r"), col("n_pairs"),
-        round(col("wsum") / col("n_pairs"), 6).as("est_recall"))
+        Num.pround(col("wsum") / col("n_pairs"), 6).as("est_recall"))
       .orderBy(col("b"), col("r"))
   }
 
@@ -1221,7 +1221,7 @@ object TextOps {
        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
        |  GROUP BY 1, 2),
        |pj AS (
-       |  SELECT ROUND(CAST(inter AS DOUBLE) / (na.n_sh + nb.n_sh - inter), 6) AS j
+       |  SELECT FLOOR((CAST(inter AS DOUBLE) / (na.n_sh + nb.n_sh - inter)) * 1e6 + 0.5) / 1e6 AS j
        |  FROM inter JOIN n na ON id_a = na.doc_id JOIN n nb ON id_b = nb.doc_id
        |  WHERE CAST(inter AS DOUBLE) / (na.n_sh + nb.n_sh - inter) >= 0.5),
        |hist AS (
@@ -1250,8 +1250,8 @@ object TextOps {
        |      ELSE y64 END AS collide
        |  FROM c11)
        |SELECT b, r, CAST(SUM(cnt) AS BIGINT) AS n_pairs,
-       |  ROUND(list_reduce(list(cnt * collide ORDER BY bin), (x, y) -> x + y)
-       |    / SUM(cnt), 6) AS est_recall
+       |  FLOOR((list_reduce(list(cnt * collide ORDER BY bin), (x, y) -> x + y)
+       |    / SUM(cnt)) * 1e6 + 0.5) / 1e6 AS est_recall
        |FROM c12 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(

@@ -115,7 +115,7 @@ object TokenizerOps {
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_sh"),
         count_if(col("first_doc") < col("doc_id")).as("n_dup"))
-      .withColumn("dup_frac", round(col("n_dup").cast("double") / col("n_sh"), 6))
+      .withColumn("dup_frac", Num.pround(col("n_dup").cast("double") / col("n_sh"), 6))
       .orderBy(col("doc_id"))
 
   val q185Sql: String =
@@ -127,7 +127,7 @@ object TokenizerOps {
        |f AS (SELECT doc_id, s, MIN(doc_id) OVER (PARTITION BY s) AS first_doc FROM sh)
        |SELECT doc_id, COUNT(*) AS n_sh,
        |  COUNT(*) FILTER (first_doc < doc_id) AS n_dup,
-       |  ROUND(CAST(COUNT(*) FILTER (first_doc < doc_id) AS DOUBLE) / COUNT(*), 6)
+       |  FLOOR((CAST(COUNT(*) FILTER (first_doc < doc_id) AS DOUBLE) / COUNT(*)) * 1e6 + 0.5) / 1e6
        |    AS dup_frac
        |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin
 

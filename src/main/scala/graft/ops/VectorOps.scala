@@ -10,7 +10,7 @@ import org.apache.spark.sql.types.DecimalType
   * (vec_id long, embedding array<float> ×64, label int).
   *
   * Numeric portability: cosine similarities are compared to the oracle at
-  * ROUND(...,4) — per-row double folds are deterministic enough that only
+  * FLOOR((...) * 1e4 + 0.5) / 1e4 — per-row double folds are deterministic enough that only
   * sub-1e-12 engine differences exist, far from the 5e-5 rounding boundary.
   * Centroid means use scaled-long integer accumulation (floor(v*1e12+0.5))
   * so the SUM is order-independent and exact in both engines.
@@ -44,7 +44,7 @@ object VectorOps {
       .withColumn("sim", col("dot") / sqrt(col("n2") * col("qn2")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 10)
-      .select(col("qid"), col("rank"), col("vec_id"), round(col("sim"), 4).as("sim"))
+      .select(col("qid"), col("rank"), col("vec_id"), Num.pround(col("sim"), 4).as("sim"))
       .orderBy(col("qid"), col("rank"))
   }
 
@@ -63,7 +63,7 @@ object VectorOps {
       |  SELECT qid, vec_id, sim,
       |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id ASC) AS rank
       |  FROM sims)
-      |SELECT qid, CAST(rank AS INT) AS rank, vec_id, ROUND(sim, 4) AS sim
+      |SELECT qid, CAST(rank AS INT) AS rank, vec_id, FLOOR((sim) * 1e4 + 0.5) / 1e4 AS sim
       |FROM ranked WHERE rank <= 10 ORDER BY qid, rank""".stripMargin
 
   // --------------------------------------------------------------------------
@@ -78,12 +78,12 @@ object VectorOps {
       .groupBy(col("label"), col("dim"))
       .agg(count(lit(1)).as("n"), sum(col("vq")).as("sum_q"))
       .select(col("label"), col("dim"), col("n"),
-        round(col("sum_q").cast("double") / 1e12 / col("n"), 6).as("centroid"))
+        Num.pround(col("sum_q").cast("double") / 1e12 / col("n"), 6).as("centroid"))
       .orderBy(col("label"), col("dim"))
 
   val q41Sql: String =
     """SELECT label, CAST(dim AS INT) AS dim, COUNT(*) AS n,
-      |  ROUND(CAST(SUM(vq) AS DOUBLE) / 1e12 / COUNT(*), 6) AS centroid
+      |  FLOOR((CAST(SUM(vq) AS DOUBLE) / 1e12 / COUNT(*)) * 1e6 + 0.5) / 1e6 AS centroid
       |FROM (
       |  SELECT label, generate_subscripts(embedding, 1) - 1 AS dim,
       |    CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1e12 + 0.5) AS BIGINT) AS vq
@@ -148,7 +148,7 @@ object VectorOps {
       .withColumn("sim", col("dot") / sqrt(col("n2") * col("qn2")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 10)
-      .select(col("qid"), col("rank"), col("vec_id"), round(col("sim"), 4).as("sim"))
+      .select(col("qid"), col("rank"), col("vec_id"), Num.pround(col("sim"), 4).as("sim"))
       .orderBy(col("qid"), col("rank"))
   }
 
@@ -194,7 +194,7 @@ object VectorOps {
        |  SELECT qid, vec_id, sim,
        |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id ASC) AS rank
        |  FROM sims)
-       |SELECT qid, CAST(rank AS INT) AS rank, vec_id, ROUND(sim, 4) AS sim
+       |SELECT qid, CAST(rank AS INT) AS rank, vec_id, FLOOR((sim) * 1e4 + 0.5) / 1e4 AS sim
        |FROM ranked WHERE rank <= 10 ORDER BY qid, rank""".stripMargin
 
   // --------------------------------------------------------------------------
@@ -238,7 +238,7 @@ object VectorOps {
       // the flat shape is oracle-expressible (same SQL family as q41)
       .select(col("label"), posexplode(col("centroid")))
       .select(col("label"), col("pos").cast("int").as("dim"),
-        round(col("col"), 6).as("centroid"))
+        Num.pround(col("col"), 6).as("centroid"))
       .orderBy(col("label"), col("dim"))
   }
 
@@ -246,7 +246,7 @@ object VectorOps {
     * plain scaled-long groupBy mean, column-for-column. */
   val q43Sql: String =
     """SELECT label, CAST(dim AS INT) AS dim,
-      |  ROUND(CAST(SUM(vq) AS DOUBLE) / 1e12 / COUNT(*), 6) AS centroid
+      |  FLOOR((CAST(SUM(vq) AS DOUBLE) / 1e12 / COUNT(*)) * 1e6 + 0.5) / 1e6 AS centroid
       |FROM (
       |  SELECT label, generate_subscripts(embedding, 1) - 1 AS dim,
       |    CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1e12 + 0.5) AS BIGINT) AS vq
@@ -302,7 +302,7 @@ object VectorOps {
       .withColumn("sim", expr("cosine_sim(v, qv)"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 10)
-      .select(col("qid"), col("rank"), col("vec_id"), round(col("sim"), 4).as("sim"))
+      .select(col("qid"), col("rank"), col("vec_id"), Num.pround(col("sim"), 4).as("sim"))
       .orderBy(col("qid"), col("rank"))
   }
 
@@ -348,7 +348,7 @@ object VectorOps {
       |  SELECT qid, vec_id, sim,
       |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id ASC) AS rank
       |  FROM sims)
-      |SELECT qid, CAST(rank AS INT) AS rank, vec_id, ROUND(sim, 4) AS sim
+      |SELECT qid, CAST(rank AS INT) AS rank, vec_id, FLOOR((sim) * 1e4 + 0.5) / 1e4 AS sim
       |FROM ranked WHERE rank <= 10 ORDER BY qid, rank""".stripMargin
 
   // --------------------------------------------------------------------------
@@ -365,7 +365,7 @@ object VectorOps {
       .withColumn("sim", expr("cosine_sim(v, vb)"))
       .filter(col("sim") >= 0.4)
       .select(col("vec_id").as("id_a"), col("vec_id_b").as("id_b"),
-        round(col("sim"), 4).as("sim"))
+        Num.pround(col("sim"), 4).as("sim"))
       .orderBy(col("id_a"), col("id_b"))
   }
 
@@ -375,8 +375,8 @@ object VectorOps {
       |    list_reduce(list_transform(embedding::DOUBLE[], x -> x * x), (a, b) -> a + b) AS n2
       |  FROM embeddings)
       |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-      |  ROUND(list_reduce(list_transform(range(1, 65),
-      |      i -> a.v[i] * b.v[i]), (x, y) -> x + y) / sqrt(a.n2 * b.n2), 4) AS sim
+      |  FLOOR((list_reduce(list_transform(range(1, 65),
+      |      i -> a.v[i] * b.v[i]), (x, y) -> x + y) / sqrt(a.n2 * b.n2)) * 1e4 + 0.5) / 1e4 AS sim
       |FROM base a JOIN base b ON a.vec_id < b.vec_id
       |WHERE list_reduce(list_transform(range(1, 65),
       |      i -> a.v[i] * b.v[i]), (x, y) -> x + y) / sqrt(a.n2 * b.n2) >= 0.4
@@ -463,8 +463,8 @@ object VectorOps {
       |    list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b) AS n2
       |  FROM corpus)
       |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-      |  ROUND(list_reduce(list_transform(range(1, 65),
-      |      i -> a.v[i] * b.v[i]), (x, y) -> x + y) / sqrt(a.n2 * b.n2), 4) AS sim
+      |  FLOOR((list_reduce(list_transform(range(1, 65),
+      |      i -> a.v[i] * b.v[i]), (x, y) -> x + y) / sqrt(a.n2 * b.n2)) * 1e4 + 0.5) / 1e4 AS sim
       |FROM base a JOIN base b ON a.vec_id < b.vec_id
       |WHERE list_reduce(list_transform(range(1, 65),
       |      i -> a.v[i] * b.v[i]), (x, y) -> x + y) / sqrt(a.n2 * b.n2) >= 0.9
@@ -494,7 +494,7 @@ object VectorOps {
       .withColumn("sim", expr("cosine_sim(va, vb)"))
       .filter(col("sim") >= threshold)
       .groupBy(col("id_a"), col("id_b"))
-      .agg(round(first(col("sim")), 4).as("sim"))
+      .agg(Num.pround(first(col("sim")), 4).as("sim"))
       .orderBy(col("id_a"), col("id_b"))
   }
 
@@ -562,8 +562,8 @@ object VectorOps {
         max(when(col("label") =!= col("alabel"),
           struct(col("sim"), (-col("vec_id")).as("nid")))).as("neg"))
       .select(col("aid"),
-        (-col("pos.nid")).as("pos_id"), round(col("pos.sim"), 4).as("pos_sim"),
-        (-col("neg.nid")).as("neg_id"), round(col("neg.sim"), 4).as("neg_sim"))
+        (-col("pos.nid")).as("pos_id"), Num.pround(col("pos.sim"), 4).as("pos_sim"),
+        (-col("neg.nid")).as("neg_id"), Num.pround(col("neg.sim"), 4).as("neg_sim"))
       .orderBy(col("aid"))
   }
 
@@ -591,8 +591,8 @@ object VectorOps {
       |    SELECT aid, vec_id, sim,
       |      ROW_NUMBER() OVER (PARTITION BY aid ORDER BY sim DESC, vec_id ASC) AS rn
       |    FROM sims WHERE label <> alabel) WHERE rn = 1)
-      |SELECT aid, pos_id, ROUND(pos_sim, 4) AS pos_sim,
-      |       neg_id, ROUND(neg_sim, 4) AS neg_sim
+      |SELECT aid, pos_id, FLOOR((pos_sim) * 1e4 + 0.5) / 1e4 AS pos_sim,
+      |       neg_id, FLOOR((neg_sim) * 1e4 + 0.5) / 1e4 AS neg_sim
       |FROM pos JOIN neg USING (aid) ORDER BY aid""".stripMargin
 
   // --------------------------------------------------------------------------
@@ -633,7 +633,7 @@ object VectorOps {
       .join(broadcast(marg.select(col("i").as("j"), col("s").as("sj"))), Seq("j"))
       .crossJoin(broadcast(n))
       .select(col("i"), col("j"),
-        round(((col("sij").cast("double") - col("si").cast("double") * col("sj") / col("n"))
+        Num.pround(((col("sij").cast("double") - col("si").cast("double") * col("sj") / col("n"))
           / (col("n") - 1) / lit(1000000000000.0)), 8).as("cov"))
       .orderBy(col("i"), col("j"))
   }
@@ -650,8 +650,8 @@ object VectorOps {
       |marg AS (SELECT i, SUM(q) AS s FROM v GROUP BY i),
       |n AS (SELECT COUNT(*) AS n FROM embeddings)
       |SELECT p.i, p.j,
-      |  ROUND((CAST(sij AS DOUBLE) - CAST(ma.s AS DOUBLE) * mb.s / n)
-      |        / (n - 1) / 1000000000000.0, 8) AS cov
+      |  FLOOR(((CAST(sij AS DOUBLE) - CAST(ma.s AS DOUBLE) * mb.s / n)
+      |        / (n - 1) / 1000000000000.0) * 1e8 + 0.5) / 1e8 AS cov
       |FROM pairs p
       |JOIN marg ma ON ma.i = p.i
       |JOIN marg mb ON mb.i = p.j
@@ -767,8 +767,8 @@ object VectorOps {
       .select(col("cluster"), col("mean_s"), col("std_s"))
     assigned.join(broadcast(stats), Seq("cluster"))
       .withColumn("z", (col("sim") - col("mean_s")) / col("std_s"))
-      .select(col("vec_id"), col("cluster"), round(col("sim"), 6).as("sim"),
-        round(col("z"), 4).as("z"), (col("z") < -2.0).as("is_outlier"))
+      .select(col("vec_id"), col("cluster"), Num.pround(col("sim"), 6).as("sim"),
+        Num.pround(col("z"), 4).as("z"), (col("z") < -2.0).as("is_outlier"))
       .orderBy(col("vec_id"))
   }
 
@@ -798,8 +798,8 @@ object VectorOps {
       |    CASE WHEN n > 1
       |         THEN sqrt((ex2 - mean_s * mean_s) * n / (n - 1)) END AS std_s
       |  FROM stats)
-      |SELECT vec_id, cluster, ROUND(sim, 6) AS sim,
-      |  ROUND((sim - mean_s) / std_s, 4) AS z,
+      |SELECT vec_id, cluster, FLOOR((sim) * 1e6 + 0.5) / 1e6 AS sim,
+      |  FLOOR(((sim - mean_s) / std_s) * 1e4 + 0.5) / 1e4 AS z,
       |  (sim - mean_s) / std_s < -2.0 AS is_outlier
       |FROM assigned JOIN st USING (cluster)
       |ORDER BY vec_id""".stripMargin
@@ -819,7 +819,7 @@ object VectorOps {
   // rounded to 6 dp BEFORE ranking, ties break on vec_id — identical
   // ranking in both engines.
   def q229MatryoshkaEval(spark: SparkSession, dir: String): DataFrame = {
-    def cosAt(d: Int): org.apache.spark.sql.Column = round(
+    def cosAt(d: Int): org.apache.spark.sql.Column = Num.pround(
       expr(s"aggregate(zip_with(slice(v, 1, $d), slice(qv, 1, $d), (x, y) -> x * y), 0.0d, (a, x) -> a + x)") /
         sqrt(expr(s"aggregate(slice(v, 1, $d), 0.0d, (a, x) -> a + x * x)") *
           expr(s"aggregate(slice(qv, 1, $d), 0.0d, (a, x) -> a + x * x)")), 6)
@@ -841,16 +841,16 @@ object VectorOps {
       .join(overlap(16), Seq("qid"), "left")
       .join(overlap(32), Seq("qid"), "left")
       .select(col("qid"),
-        round(coalesce(col("n16"), lit(0L)).cast("double") / 4, 6).as("recall16"),
-        round(coalesce(col("n32"), lit(0L)).cast("double") / 4, 6).as("recall32"))
+        Num.pround(coalesce(col("n16"), lit(0L)).cast("double") / 4, 6).as("recall16"),
+        Num.pround(coalesce(col("n32"), lit(0L)).cast("double") / 4, 6).as("recall32"))
       .orderBy(col("qid"))
   }
 
   val q229Sql: String = {
     def cosAt(d: Int): String =
-      s"ROUND(list_reduce(list_transform(range(1, ${d + 1}), i -> v[i] * qv[i]), (a, b) -> a + b)" +
+      s"FLOOR((list_reduce(list_transform(range(1, ${d + 1}), i -> v[i] * qv[i]), (a, b) -> a + b)" +
         s" / sqrt(list_reduce(list_transform(range(1, ${d + 1}), i -> v[i] * v[i]), (a, b) -> a + b)" +
-        s" * list_reduce(list_transform(range(1, ${d + 1}), i -> qv[i] * qv[i]), (a, b) -> a + b)), 6)"
+        s" * list_reduce(list_transform(range(1, ${d + 1}), i -> qv[i] * qv[i]), (a, b) -> a + b))) * 1e6 + 0.5) / 1e6"
     s"""WITH base AS (
        |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        |q AS (SELECT vec_id AS qid, v AS qv FROM base WHERE vec_id < 4),
@@ -872,8 +872,8 @@ object VectorOps {
        |o32 AS (SELECT t64.qid, COUNT(*) AS n32 FROM t64
        |  JOIN t32 ON t64.qid = t32.qid AND t64.vec_id = t32.vec_id GROUP BY 1)
        |SELECT q.qid,
-       |  ROUND(COALESCE(n16, 0) / 4.0, 6) AS recall16,
-       |  ROUND(COALESCE(n32, 0) / 4.0, 6) AS recall32
+       |  FLOOR((COALESCE(n16, 0) / 4.0) * 1e6 + 0.5) / 1e6 AS recall16,
+       |  FLOOR((COALESCE(n32, 0) / 4.0) * 1e6 + 0.5) / 1e6 AS recall32
        |FROM q LEFT JOIN o16 ON q.qid = o16.qid LEFT JOIN o32 ON q.qid = o32.qid
        |ORDER BY q.qid""".stripMargin
   }
@@ -913,7 +913,7 @@ object VectorOps {
             .cast("long")))
       .groupBy(col("cluster"))
       .agg(count(lit(1)).as("n"),
-        round(sum(col("sq")).cast("double") / 1e9 / count(lit(1)), 6).as("mean_margin"))
+        Num.pround(sum(col("sq")).cast("double") / 1e9 / count(lit(1)), 6).as("mean_margin"))
       .orderBy(col("cluster"))
   }
 
@@ -942,7 +942,7 @@ object VectorOps {
       |         ELSE CAST(FLOOR((b - a) / GREATEST(a, b) * 1e9) AS BIGINT) END AS sq
       |  FROM sv)
       |SELECT cluster, COUNT(*) AS n,
-      |  ROUND(CAST(SUM(sq) AS DOUBLE) / 1e9 / COUNT(*), 6) AS mean_margin
+      |  FLOOR((CAST(SUM(sq) AS DOUBLE) / 1e9 / COUNT(*)) * 1e6 + 0.5) / 1e6 AS mean_margin
       |FROM q GROUP BY cluster ORDER BY cluster""".stripMargin
 
   // --------------------------------------------------------------------------
@@ -970,7 +970,7 @@ object VectorOps {
       .select(col("vec_id"), (-col("m.nc")).as("cluster"))
     val u = (conv(substring(md5(concat(lit("unc:"), col("vec_id").cast("string"))), 1, 13),
       16, 10).cast("long").cast("double") + 0.5) / lit(4503599627370496.0)
-    assigned.withColumn("unc", round(u, 6))
+    assigned.withColumn("unc", Num.pround(u, 6))
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("cluster")).orderBy(col("unc").desc, col("vec_id"))))
       .filter(col("rk") <= 2)
@@ -994,8 +994,8 @@ object VectorOps {
       |    FROM base b CROSS JOIN seeds s) WHERE rk = 1),
       |scored AS (
       |  SELECT vec_id, cluster,
-      |    ROUND((('0x' || substr(md5('unc:' || vec_id::VARCHAR), 1, 13))::BIGINT + 0.5)
-      |      / 4503599627370496.0, 6) AS unc
+      |    FLOOR(((('0x' || substr(md5('unc:' || vec_id::VARCHAR), 1, 13))::BIGINT + 0.5)
+      |      / 4503599627370496.0) * 1e6 + 0.5) / 1e6 AS unc
       |  FROM assigned),
       |rk AS (
       |  SELECT cluster, vec_id, unc,
@@ -1048,8 +1048,8 @@ object VectorOps {
             sqrt((col("va") + col("vb")) / 2.0))
           .otherwise(lit(0.0)))
       .select(col("dim"),
-        round(col("shift"), 6).as("mean_shift_sigma"),
-        when(col("vb") > 0.0, round(col("va") / col("vb"), 6)).as("var_ratio"),
+        Num.pround(col("shift"), 6).as("mean_shift_sigma"),
+        when(col("vb") > 0.0, Num.pround(col("va") / col("vb"), 6)).as("var_ratio"),
         (abs(col("shift")) > 0.1).as("drifted"))
       .orderBy(col("dim"))
   }
@@ -1076,9 +1076,9 @@ object VectorOps {
       |    a.n AS na, b.n AS nb
       |  FROM m a JOIN m b ON a.dim = b.dim AND a.cohort = 1 AND b.cohort = 0)
       |SELECT CAST(dim AS INT) AS dim,
-      |  ROUND(CASE WHEN va + vb > 0.0 THEN md / sqrt((va + vb) / 2.0)
-      |    ELSE 0.0 END, 6) AS mean_shift_sigma,
-      |  CASE WHEN vb > 0.0 THEN ROUND(va / vb, 6) END AS var_ratio,
+      |  FLOOR((CASE WHEN va + vb > 0.0 THEN md / sqrt((va + vb) / 2.0)
+      |    ELSE 0.0 END) * 1e6 + 0.5) / 1e6 AS mean_shift_sigma,
+      |  CASE WHEN vb > 0.0 THEN FLOOR((va / vb) * 1e6 + 0.5) / 1e6 END AS var_ratio,
       |  ABS(CASE WHEN va + vb > 0.0 THEN md / sqrt((va + vb) / 2.0)
       |    ELSE 0.0 END) > 0.1 AS drifted
       |FROM j ORDER BY dim""".stripMargin

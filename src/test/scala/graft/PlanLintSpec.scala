@@ -1,7 +1,8 @@
 package graft
 
-import org.apache.spark.sql.catalyst.expressions.{EqualNullSafe, EqualTo}
+import org.apache.spark.sql.catalyst.expressions.{Divide, EqualNullSafe, EqualTo, Expression, Round}
 import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan, Window}
+import org.apache.spark.sql.types.{DoubleType, FloatType}
 
 /** Catalog-wide plan lint: the whole-suite regression net for the class of
   * scale cliff the round-4 verdict flagged (q164/q107/q134 ran a global
@@ -161,6 +162,45 @@ class PlanLintSpec extends SparkSpec {
         }.filter(_ => !joinAllow.contains(name))
           .map(j => s"$name: no-equi-key join with both sides unbounded:\n  ${j.simpleString(3)}")
         badWindows ++ badJoins
+      } catch {
+        case e: Throwable => Seq(s"$name: failed to build plan: ${e.getMessage}")
+      }
+    }
+    assert(violations.isEmpty, violations.mkString("\n\n"))
+  }
+
+  // --------------------------------------------------------------------------
+  // Round-of-double lint (§8.4 portability policy). ROUND(x, n) of a
+  // DOUBLE is NOT portable across engines: Spark routes the double
+  // through BigDecimal HALF_UP while C-library engines round the scaled
+  // double, so when the true value sits within an ulp of a 10^-n·(k+½)
+  // boundary the two disagree on the last digit and the driver's hash
+  // flips. This class failed q136/q249/q263 in earlier rounds and
+  // q265/q266 in round 7 — four separate fixes later it becomes a
+  // compile gate: every hashed decimal-truncation must go through
+  // Num.pround (floor(x·10ⁿ+0.5)/10ⁿ — pure IEEE ops + floor, identical
+  // in every engine) or exact integer/decimal arithmetic. Round over
+  // DECIMAL input is exact decimal arithmetic and stays legal. The
+  // allowlist is EMPTY by design; a new entry needs a written proof that
+  // the rounded value grid is provably far from every boundary.
+
+  /** name → reason a Round-over-double output is still hash-stable. */
+  private val roundDoubleAllow: Map[String, String] = Map()
+
+  private def roundOfDouble(e: Expression): Boolean = e match {
+    case r: Round =>
+      r.child.dataType == DoubleType || r.child.dataType == FloatType
+    case _ => false
+  }
+
+  test("no catalog query ROUNDs a double into its output — Num.pround or exact arithmetic only (§8.4)") {
+    val violations = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      try {
+        val plan = fn(spark, dir).queryExecution.analyzed
+        plan.flatMap(node => node.expressions.flatMap(_.collect {
+          case e if roundOfDouble(e) => e
+        })).filter(_ => !roundDoubleAllow.contains(name))
+          .map(e => s"$name: ROUND of a double (engine-dependent last digit — use Num.pround):\n  ${e.sql}")
       } catch {
         case e: Throwable => Seq(s"$name: failed to build plan: ${e.getMessage}")
       }
