@@ -64,6 +64,41 @@ object ScaleProbe {
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
   }
 
+  /** Degenerate-axis twin of genDocuments: the token vocabulary does NOT
+    * grow with the corpus — 31 hash classes at every scale, the REAL
+    * sf0.1 documents table's shape (measured: 31-token vocab, 3-gram
+    * space 31³ ≈ 30k SATURATED at 27k types, max df 25). On this axis
+    * shingle df grows ∝ n and inverted-index pair mass ∝ n² — a property
+    * of the corpus (the true intersecting-pair set is itself quadratic),
+    * not of the join shape; the probe measures how q176/q183 degrade
+    * when the gram space saturates.
+    */
+  private def genDocumentsDegenerate(spark: SparkSession, dir: String, m: Int): Unit = {
+    val n = 5000L * m
+    val vocabCol = array(vocab.map(lit): _*)
+    val base = when(col("id") % 53 === 2 && col("id") >= 2, col("id") - 2)
+      .when(col("id") % 37 === 1 && col("id") >= 1, col("id") - 1)
+      .otherwise(col("id"))
+    val nTok = (pmod(xxhash64(base, lit(17)), lit(83)) + 8).cast("int")
+    // bare 31-word tokens — the REAL table's measured vocabulary (31
+    // types, no suffix classes), so 31³ ≈ 30k 3-gram space saturates
+    def tokAt(seed: org.apache.spark.sql.Column) =
+      element_at(vocabCol, (pmod(xxhash64(seed), lit(31)) + 1).cast("int"))
+    val toks = transform(sequence(lit(1), nTok), i => tokAt(xxhash64(base, i)))
+    val nearDup = col("id") % 37 === 1 && col("id") % 53 =!= 2 && col("id") >= 1
+    val text = concat_ws(" ",
+      when(nearDup, concat(toks, array(tokAt(xxhash64(col("id"), lit(99))))))
+        .otherwise(toks))
+    spark.range(n).select(
+      col("id").as("doc_id"),
+      text.as("text"),
+      element_at(array(Seq("en", "en", "de", "fr", "es", "zh").map(lit): _*),
+        (pmod(xxhash64(col("id"), lit(5)), lit(6)) + 1).cast("int")).as("lang"),
+      concat(lit("src"), pmod(xxhash64(col("id"), lit(11)), lit(20))).as("source"))
+      .withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+  }
+
   /** embeddings: 2000·m rows, 64-dim float vectors with a mild 10-cluster
     * structure (label = id%10); id%41==3 repeats id-1's vector with ~1%
     * noise — the near-identical pair q104/q49 hunt.
@@ -222,7 +257,10 @@ object ScaleProbe {
     // quantile-normalization bounded grids, v-optimal DP, two-hop
     // graph aggregation, scene-cut dHash stream
     "q257_split_leakage", "q249_quantile_normalize", "q266_voptimal_hist",
-    "q268_graph_aggregation", "q256_scene_cuts")
+    "q268_graph_aggregation", "q256_scene_cuts",
+    // round-8 addition: semantic dedup with scaled seed count + planner
+    // banding — the one dedup operator the round-7 verdict found unprobed
+    "q172_semantic_dedup")
 
   def main(args: Array[String]): Unit = {
     val scales = if (args.nonEmpty) args.map(_.toInt).toSeq else Seq(1, 2, 5, 10)
@@ -256,21 +294,45 @@ object ScaleProbe {
         .map(_.split(",").toSet).getOrElse(probeQueries.toSet)
       probeQueries.filter(only).foreach { name =>
         timed(name, m)(SparkEntry.queries(name)(spark, dir).count()) }
-      if (sys.env.contains("SPARK_GRAFT_PROBE_ONLY")) { /* filtered run: skip the fixed extras */ }
-      else {
+      // fixed extras: individually selectable through the same PROBE_ONLY
+      // filter (an unfiltered run executes all of them)
+      val filtered = sys.env.contains("SPARK_GRAFT_PROBE_ONLY")
+      def extra(name: String)(run: => Long): Unit =
+        if (!filtered || only(name)) timed(name, m)(run)
+      lazy val emb = Tables.embeddings(spark, dir)
       // the parameterized near-dup surface at a REALISTIC threshold: 0.9
       // with (16 bands × 8 planes) — per-pair miss ≈ 0.4%; only planted
       // jitter copies survive, so rows should track n/41 linearly while
       // the catalog's worst-case 0.4/(64×4) setting above grows with the
       // chance-pair quadratic
-      val emb = Tables.embeddings(spark, dir)
-      timed("neardup_t0.9_b16r8", m)(
+      extra("neardup_t0.9_b16r8")(
         ops.VectorOps.cosineNearDup(spark, emb, 0.9, 16, 8).count())
       // pre-threshold LSH candidate fan-out — the capacity-plan curve
-      timed("candidates_b64r4", m)(
+      extra("candidates_b64r4")(
         ops.VectorOps.bandCandidatePairs(spark, emb, 64, 4).count())
-      timed("candidates_b16r8", m)(
+      extra("candidates_b16r8")(
         ops.VectorOps.bandCandidatePairs(spark, emb, 16, 8).count())
+      // q172's within-cluster candidate mass — must stay ~linear now that
+      // seed count scales with the corpus (clusters ~256-bounded)
+      extra("semdedup_candidates")(
+        ops.VectorOps.semanticDedupCandidatePairs(spark, emb).count())
+      // the DEGENERATE corpus axis (round-8 verdict task): q176/q183 on a
+      // scaled corpus whose token vocab does NOT grow — the real sf0.1
+      // table's saturated-gram-space shape, where inverted-index pair
+      // mass is inherently ∝ n² (corpus semantics, not join shape)
+      if (!filtered || only("q176_degenerate") || only("q183_degenerate")) {
+        val dDeg = java.nio.file.Paths.get("target", "tmp", s"scaleprobe_deg_x$m")
+          .toAbsolutePath.toString
+        genDocumentsDegenerate(spark, dDeg, m)
+        extra("q176_degenerate")(
+          SparkEntry.queries("q176_containment")(spark, dDeg).count())
+        // the stop-shingle guard: pair mass ≤ 25·postings — must be the
+        // linear curve the exact twin above cannot have here
+        extra("q176_degenerate_capped")(
+          ops.PrepOps.containmentPairs(spark,
+            Tables.documents(spark, dDeg), Some(25)).count())
+        extra("q183_degenerate")(
+          SparkEntry.queries("q183_bpe_train")(spark, dDeg).count())
       }
     }
     spark.stop()

@@ -28,15 +28,43 @@ object PrepOps {
   // shingle, count intersections per pair; shingle-set sizes are row-local
   // so both direction ratios are computed in the aggregate with NO
   // join-back. Unlike Jaccard there is no size-ratio candidate prune
-  // (containment is size-asymmetric by design); at 100 TB the standard
-  // stop-shingle df cap bounds the per-shingle pair fan-out (TextOps
-  // shingleEdges note). Ratios are integer-ratio doubles (bit-identical
-  // cross-engine); filter on the RAW ratio, round only for display.
-  def q176Containment(spark: SparkSession, dir: String): DataFrame = {
-    val withN = TextOps.shingleArrays(Tables.documents(spark, dir))
+  // (containment is size-asymmetric by design). Ratios are integer-ratio
+  // doubles (bit-identical cross-engine); filter on the RAW ratio, round
+  // only for display.
+  //
+  // Degenerate-corpus guard (round-8 probe findings, SURVEY §8.18): the
+  // real documents table has a 31-token vocabulary, so the 3-gram space
+  // (31³ ≈ 30k types) SATURATES — df then grows ∝ n and the exact
+  // inverted-index pair mass ∝ n² (measured: 5.2 s at 5×, 21.6 s at 10×
+  // on the saturated-vocab decade probe; the true intersecting-pair SET
+  // is itself quadratic there, so no exact index shape can beat it —
+  // PPJoin prefix filtering was measured at 300k directed candidates
+  // vs ~1.27M pair events at sf0.1, no pair-level pruning). The
+  // production guard is `stopShingleDf`: drop shingles with df > cap
+  // from the index — pair mass ≤ cap·|postings|, linear at any scale. At
+  // cap = 25 (= the measured max df at sf0.1) the cap drops NOTHING at
+  // every driver SF, so the catalog query stays EXACT; on saturated
+  // corpora it is the standard stop-shingle approximation (capped twin
+  // measured linear on the same decade probe).
+  def q176Containment(spark: SparkSession, dir: String): DataFrame =
+    containmentPairs(spark, Tables.documents(spark, dir), stopShingleDf = None)
+
+  /** q176's library surface. `stopShingleDf` = the inverted-index
+    * stop-shingle guard (None = exact).
+    */
+  private[graft] def containmentPairs(spark: SparkSession, docs: DataFrame,
+      stopShingleDf: Option[Int]): DataFrame = {
+    val withN0 = TextOps.shingleArrays(docs)
       .select(col("doc_id"), size(col("sh")).cast("long").as("n_sh"),
         explode(col("sh")).as("s"))
       .filter(col("n_sh") > 0)
+    val withN = stopShingleDf match {
+      case Some(cap) =>
+        val dfS = withN0.groupBy(col("s")).agg(count(lit(1)).as("df_s"))
+        withN0.join(dfS.filter(col("df_s") <= cap), Seq("s"))
+          .select(col("doc_id"), col("n_sh"), col("s"))
+      case None => withN0
+    }
     val a = withN.as("a"); val b = withN.as("b")
     a.join(b, col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("ia"), col("b.doc_id").as("ib"),

@@ -126,7 +126,7 @@ class PlanLintSpec extends SparkSpec {
     "q72_fuzzy_match" ->
       "documented all-pairs BASELINE twin over the distinct-name vocabulary (broadcast side is the vocabulary, not the fact table); q105 is the blocked scale path with the same oracle",
     "q172_semantic_dedup" ->
-      "broadcast(8 seed centroids) cross join — k rows by construction (nearest-centroid assignment pass, q110's pattern); pair generation itself is the banded equi-join",
+      "broadcast(k = max(8, n div 256) seed centroids) cross joins — the 1-row count that derives k, then the seed set (~n/256 rows, 256-bounding every cluster); assignment is row-local dot products and pair generation itself is the banded equi-join keyed on (cluster, band, bucket)",
     "q212_embedding_outliers" ->
       "broadcast(8 seed centroids) cross join — k rows by construction (q172's assignment pass); the stats join-back is an equi-join on cluster",
     "q213_ivfpq_search" ->

@@ -71,6 +71,104 @@ class StreamStateSpec extends SparkSpec {
     assert(peak === users, s"state never exceeds |users|, got peak $peak")
   }
 
+  // ---------------------------------------------------------------------
+  // Crash/restart probes for the transformWithState store (round-8
+  // verdict task 7): q230 proved the file-source offset log + file-sink
+  // commit log give exactly-once across runs; these extend the same
+  // kill-between-micro-batches shape to the CUSTOM STATE surfaces —
+  // MapState (q252's top-k) and event-time timers (q231's sessions). Half
+  // the zone lands, an AvailableNow run drains it under a checkpoint, the
+  // rest lands, a second run resumes FROM THE CHECKPOINT; the merged
+  // output must equal the uninterrupted run bit-for-bit. A dropped or
+  // rebuilt state store cannot pass: top-k values that interleave across
+  // the split would regress, and boundary-spanning sessions would split.
+
+  private def splitZone(work: String): (Array[java.io.File], Array[java.io.File], String) = {
+    val staged = s"$work/zone"
+    java.nio.file.Files.createDirectories(java.nio.file.Path.of(staged))
+    val parts = new java.io.File(zone).listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      .sortBy(_.getName)
+    val (h1, h2) = parts.splitAt(parts.length / 2)
+    (h1, h2, staged)
+  }
+
+  private def land(files: Array[java.io.File], staged: String): Unit =
+    files.foreach { f =>
+      // preserve the zone's PINNED mod-times: the file source replays in
+      // (modTime, path) order, and a bare copy stamps "now" on every file,
+      // which scrambles the time-ordered replay the timer contract needs
+      val dst = java.nio.file.Path.of(staged, f.getName)
+      java.nio.file.Files.copy(f.toPath, dst)
+      dst.toFile.setLastModified(f.lastModified())
+    }
+
+  test("q252 MapState top-k survives a mid-stream restart from checkpoint") {
+    import org.apache.spark.sql.streaming.Trigger
+    val work = java.nio.file.Files.createTempDirectory("graft_q252_rst").toString
+    val (h1, h2, staged) = splitZone(work)
+    // foreachBatch → parquet: the sink that both accumulates across runs
+    // and supports checkpoint recovery (memory sink recovers nothing)
+    def drain(src: String, cp: String, out: String): Unit =
+      ops.StreamingOps.withRocksDb(spark) {
+        ops.StreamingOps.withStatePartitions(spark, 4) {
+          val q = ops.StreamingOps.topValuesUpdates(spark, src, 2)
+            .writeStream.foreachBatch {
+              (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+                batch.write.mode("append").parquet(out); ()
+            }
+            .option("checkpointLocation", cp)
+            .outputMode("update").trigger(Trigger.AvailableNow()).start()
+          q.awaitTermination()
+        }
+      }
+    land(h1, staged)
+    drain(staged, s"$work/cp", s"$work/out")     // run 1: first half
+    land(h2, staged)
+    drain(staged, s"$work/cp", s"$work/out")     // run 2: resumes state
+    drain(zone, s"$work/cp_solid", s"$work/out_solid") // uninterrupted twin
+    def reduced(path: String): Array[(Long, Long, Long, Long)] =
+      spark.read.parquet(path).groupBy(col("user_id"))
+        .agg(max(struct(col("v1"), col("v2"), col("v3"))).as("m"))
+        .select(col("user_id"), col("m.v1"), col("m.v2"), col("m.v3"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .sortBy(_._1)
+    val restarted = reduced(s"$work/out")
+    val solid = reduced(s"$work/out_solid")
+    assert(restarted.nonEmpty)
+    assert(restarted === solid,
+      "restarted MapState run diverged from the uninterrupted run — state not recovered")
+  }
+
+  test("q231 timer sessions survive a mid-stream restart from checkpoint") {
+    import org.apache.spark.sql.streaming.Trigger
+    val work = java.nio.file.Files.createTempDirectory("graft_q231_rst").toString
+    val (h1, h2, staged) = splitZone(work)
+    def drain(src: String, cp: String, out: String): Unit =
+      ops.StreamingOps.withRocksDb(spark) {
+        ops.StreamingOps.withStatePartitions(spark, 4) {
+          val q = ops.StreamingOps.timerSessionStream(spark, src, 2)
+            .writeStream.format("parquet")
+            .option("path", out).option("checkpointLocation", cp)
+            .outputMode("append").trigger(Trigger.AvailableNow()).start()
+          q.awaitTermination()
+        }
+      }
+    land(h1, staged)
+    drain(staged, s"$work/cp", s"$work/out")
+    land(h2, staged)
+    drain(staged, s"$work/cp", s"$work/out")
+    drain(zone, s"$work/cp_solid", s"$work/out_solid")
+    def sessions(path: String): Array[String] =
+      spark.read.parquet(path).collect()
+        .map(_.toSeq.map(String.valueOf).mkString("|")).sorted
+    val restarted = sessions(s"$work/out")
+    val solid = sessions(s"$work/out_solid")
+    assert(restarted.nonEmpty)
+    assert(restarted === solid,
+      "restarted timer-session run diverged from the uninterrupted run — timers/state not recovered")
+  }
+
   test("dropDuplicatesWithinWatermark evicts seen-key state behind the watermark") {
     val (_, peak, _) = runAndMeasure(
       ops.StreamingOps.dedupWithinWmStream(spark, zone, 2)

@@ -66,6 +66,21 @@ class PrepOpsSpec extends SparkSpec {
     assert(got.toSeq === Seq((1L, 2L, 1.0)))
   }
 
+  test("q176 stop-shingle cap at df<=25 is a no-op on the driver corpus (exact twin)") {
+    // the cap equals the measured max shingle df at sf0.1, so NOTHING is
+    // dropped at any driver SF — the catalog query stays exact while the
+    // guard bounds pair mass to 25·postings on saturated-vocab corpora
+    // (the decade-probe curve in SURVEY §8.18)
+    val dir = "/root/testdata/sf0.001"
+    val exact = PrepOps.q176Containment(spark, dir).collect()
+      .map(_.toSeq.map(String.valueOf).mkString("|")).sorted
+    val capped = PrepOps.containmentPairs(spark,
+        graft.Tables.documents(spark, dir), Some(25)).collect()
+      .map(_.toSeq.map(String.valueOf).mkString("|")).sorted
+    assert(exact.nonEmpty)
+    assert(capped === exact)
+  }
+
   test("q177 compaction bins split at exact cumulative-byte boundaries") {
     // target = 32768. Sizes 30000, 2768, 10, 40000: cumulative-before =
     // 0, 30000, 32768, 32778 → bins 0, 0, 1, 1. The third file starts

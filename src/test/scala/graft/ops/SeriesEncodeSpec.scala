@@ -141,6 +141,27 @@ class SeriesEncodeSpec extends SparkSpec {
       .forall(c => got(c) === ((1L, 0L))))
   }
 
+  test("q172 banding is the planner's pick: cheapest config with full recall at the dup regime") {
+    // q273's s-curve arithmetic, specialized to cosine LSH: per-band
+    // collision p(s) = (1 − θ/π)^r, any-band collision 1 − (1−p^r)^b.
+    // The dup regime: true semantic dups sit at s ≥ 0.9 (ScaleProbe's
+    // jitter twins measure ≈ 0.99996); a random pair costs b·2⁻ʳ
+    // expected band collisions. The shipped (b, r) must be the CHEAPEST
+    // of the planner's config grid whose collision at s = 0.9 is ≥ 99.5%.
+    val configs = Seq((64, 4), (32, 8), (16, 8), (8, 16))
+    def p(s: Double) = 1.0 - math.acos(s) / math.Pi
+    def collide(b: Int, r: Int, s: Double) =
+      1.0 - math.pow(1.0 - math.pow(p(s), r), b)
+    def randCost(b: Int, r: Int) = b * math.pow(0.5, r)
+    val eligible = configs.filter { case (b, r) => collide(b, r, 0.9) >= 0.995 }
+    val cheapest = eligible.minBy { case (b, r) => randCost(b, r) }
+    assert(cheapest === ((VectorOps.sdBands, VectorOps.sdPlanesPerBand)))
+    // at the measured jitter-twin sims the pick is effectively exact
+    assert(collide(VectorOps.sdBands, VectorOps.sdPlanesPerBand, 0.99) >= 1 - 1e-8)
+    // and 64× cheaper on random pairs than the demoted 64×4 stress setting
+    assert(randCost(64, 4) / randCost(VectorOps.sdBands, VectorOps.sdPlanesPerBand) === 64.0)
+  }
+
   test("q174 triangles: a planted 4-clique yields exactly 4 triangles") {
     import spark.implicits._
     // tokens a,b,c,d pairwise co-occur in 40 docs (the edge threshold);

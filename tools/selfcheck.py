@@ -38,6 +38,18 @@ def canon(df: pd.DataFrame) -> str:
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     only = set(sys.argv[3:])
+    # record the compare environment (SURVEY 8.4): hash mismatches against
+    # the driver are diagnosable only if we know WHICH duckdb/pandas this
+    # selfcheck ran — the round-7 q265/q266 flips were a driver-side
+    # DuckDB-build rounding difference invisible without this.
+    try:
+        os.makedirs("target", exist_ok=True)
+        with open("target/bench_env.json", "w") as f:
+            json.dump({"duckdb": duckdb.__version__,
+                       "pandas": pd.__version__,
+                       "python": sys.version.split()[0]}, f)
+    except OSError:
+        pass
     con = duckdb.connect()
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
