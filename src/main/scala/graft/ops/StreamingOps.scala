@@ -333,6 +333,49 @@ object StreamingOps {
       | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL '30 minutes'
       |GROUP BY c.user_id ORDER BY c.user_id""".stripMargin
 
+  // --------------------------------------------------------------------------
+  // q284 — STREAM-STREAM LEFT SEMI JOIN: which clicks converted (a
+  // matching purchase within 30 minutes), emitting each converting click
+  // ONCE — the existence-check join q157 (inner, one row per click×
+  // purchase pair) and q211 (outer) do not cover. Semi is the shape
+  // attribution feeds want: no pair fan-out, no dedup afterwards.
+  //
+  // Scale: same watermark-bounded state as q157 — both sides buffer only
+  // the 30-minute interval behind the user_id shuffle; the semi join
+  // additionally drops its probe-side buffer row as soon as one match
+  // confirms. Result aggregated per user for a bounded output.
+  def q284StreamSemiJoin(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val src = eventsZone(spark, dir)
+    val semi = sideStream(spark, src, "click", 2).alias("c")
+      .join(sideStream(spark, src, "purchase", 2).alias("p"),
+        expr("""c.user_id = p.user_id AND
+                p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTES"""),
+        "left_semi")
+      .select(col("event_id").as("click_id"), col("user_id"))
+    val qname = "graft_q284_result"
+    withStatePartitions(spark, 8) {
+      val query = semi.writeStream.format("memory").queryName(qname)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      query.awaitTermination()
+    }
+    spark.table(qname)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_converting_clicks"))
+      .orderBy(col("user_id"))
+  }
+
+  val q284Sql: String =
+    """WITH c AS (
+      |  SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'),
+      |p AS (
+      |  SELECT user_id, ts FROM events WHERE event_type = 'purchase')
+      |SELECT user_id, COUNT(*) AS n_converting_clicks
+      |FROM c WHERE EXISTS (
+      |  SELECT 1 FROM p WHERE p.user_id = c.user_id
+      |    AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL '30 minutes')
+      |GROUP BY user_id ORDER BY user_id""".stripMargin
+
   /** q184 — transformWithState END-TO-END (the Spark 4 arbitrary-stateful
     * API succeeding flatMapGroupsWithState): per-user running totals kept
     * in a typed ValueState by a [[UserTotalsProcessor]], executed over the
@@ -888,6 +931,7 @@ object StreamingOps {
     ("q63_stream_dedup", q63Dedup _, Some(q63Sql)),
     ("q122_file_stream", q122FileStream _, Some(q122Sql)),
     ("q157_stream_join", q157StreamJoin _, Some(q157Sql)),
+    ("q284_stream_semi_join", q284StreamSemiJoin _, Some(q284Sql)),
     ("q184_transform_with_state", q184TransformWithState _, Some(q184Sql)),
     ("q188_dedup_within_watermark", q188DedupWithinWatermark _, Some(q188Sql)),
     ("q226_dedup_then_window", q226DedupThenWindow _, Some(q226Sql)),
