@@ -18,7 +18,7 @@ object SparkEntry {
       ops.SeriesOps.catalog ++ ops.EncodeOps.catalog ++ ops.PrepOps.catalog ++
       ops.TokenizerOps.catalog ++ ops.CurateOps.catalog ++ ops.RagOps.catalog ++
       ops.PipelineOps.catalog ++ ops.Skew.catalog ++ ops.Metrics.catalog ++
-      ops.SpatialOps.catalog ++ ops.Round8Ops.catalog ++
+      ops.SpatialOps.catalog ++ ops.Round8Ops.catalog ++ ops.Round8bOps.catalog ++
       ops.StreamingOps.catalog ++ ops.Multimodal.catalog ++ Seq(
       ("q50_report_ingest", (s: SparkSession, _: String) => ingest.ReportPipeline.demoQuery(s),
         Some(ingest.ReportPipeline.q50Sql)))

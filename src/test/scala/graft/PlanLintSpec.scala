@@ -75,7 +75,9 @@ class PlanLintSpec extends SparkSpec {
     "q277_join_estimate" ->
       "worst-bucket rank over the 256-row key-range bucket grid — bounded by construction, not by either join side",
     "q266_voptimal_hist" ->
-      "rank + prefix sums over the distinct-quantity value grid — bounded by the 50-value feature domain, not lineitem")
+      "rank + prefix sums over the distinct-quantity value grid — bounded by the 50-value feature domain, not lineitem",
+    "q285_packed_blocks" ->
+      "q169's two-pass shape: exclusive prefix sum over the 257-row doc_id-range bucket grid only; the per-doc offset window is partitioned by bucket")
 
   /** name → reason a no-equi-key join is still scale-safe there. */
   private val joinAllow: Map[String, String] = Map(
