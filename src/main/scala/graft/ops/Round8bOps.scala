@@ -300,9 +300,81 @@ object Round8bOps {
       |SELECT item, CAST(rank AS INT) AS rank, nbr, cij, sim_ppm
       |FROM r WHERE rank <= 3 ORDER BY item, rank""".stripMargin
 
+  // --------------------------------------------------------------------------
+  // q289 — EXPONENTIALLY-DECAYED TRENDING LEADERBOARD: top-10 parts by
+  // half-life-decayed purchase mass (weight 2^-(age_weeks), 7-day
+  // half-life) — the "trending now" ranking every storefront serves,
+  // where yesterday's purchase outweighs last month's 16×.
+  //
+  // Scale: weight derives row-locally from the order date (broadcast
+  // 1-row max-date); one hash aggregate per part; the global top-10 is
+  // orderBy+limit → TakeOrderedAndProject (per-partition heaps + driver
+  // merge of 10-row tips — never a global sort).
+  //
+  // Determinism (§8.4): ages bucket to whole weeks, so the weight is an
+  // EXACT power of two — score_e12 = Σ 10¹² div 2^min(k,40) is pure
+  // BIGINT arithmetic; ranking ties break on part id.
+  def q289TrendingDecay(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), to_date(col("o_orderdate")).as("od"))
+    val mx = o.agg(max(col("od")).as("mxd"))
+    Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_partkey"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .crossJoin(broadcast(mx))
+      .withColumn("k", expr("least(datediff(mxd, od) div 7, 40)").cast("int"))
+      .withColumn("w_e12", expr("1000000000000L div shiftleft(1L, k)"))
+      .groupBy(col("l_partkey"))
+      .agg(count(lit(1)).as("n_items"), sum(col("w_e12")).as("score_e12"))
+      .orderBy(col("score_e12").desc, col("l_partkey"))
+      .limit(10)
+  }
+
+  val q289Sql: String =
+    """WITH mx AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS mxd FROM orders),
+      |s AS (
+      |  SELECT l_partkey,
+      |    LEAST(DATE_DIFF('day', CAST(o_orderdate AS DATE), mxd) // 7, 40) AS k
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey CROSS JOIN mx)
+      |SELECT l_partkey, COUNT(*) AS n_items,
+      |  CAST(SUM(1000000000000 // CAST(POWER(2, k) AS BIGINT)) AS BIGINT)
+      |    AS score_e12
+      |FROM s GROUP BY 1 ORDER BY score_e12 DESC, l_partkey LIMIT 10""".stripMargin
+
+  // --------------------------------------------------------------------------
+  // q290 — DSv2 SINK ROUND-TRIP: write the per-status order aggregate
+  // through the `graft-sink` V2 connector (stage-per-attempt → task
+  // commit messages → driver publish + _SUCCESS manifest — see
+  // sources/GraftSink.scala), then read the PUBLISHED files back and
+  // return them. The oracle recomputes the aggregate straight from
+  // orders, so the hash check proves the commit protocol published
+  // exactly the written rows — nothing lost, nothing doubled.
+  // Round8bOpsSpec drives the abort path (a poisoned task must leave no
+  // published files and no manifest).
+  def q290DsvSinkRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val out = java.nio.file.Files.createTempDirectory("graft_q290").toString
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        (sum(col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          * 100).cast("long").as("total_cents"))
+      .write.format("graft-sink").option("path", out).mode("append").save()
+    val schema = "o_orderstatus STRING, n BIGINT, total_cents BIGINT"
+    spark.read.schema(schema).option("sep", "|")
+      .csv(s"$out/*.part.csv")
+      .orderBy(col("o_orderstatus"))
+  }
+
+  val q290Sql: String =
+    """SELECT o_orderstatus, COUNT(*) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+      |    AS total_cents
+      |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q285_packed_blocks", q285PackedBlocks _, Some(q285Sql)),
     ("q286_topic_segments", q286TopicSegments _, Some(q286Sql)),
     ("q287_sequential_test", q287SequentialTest _, Some(q287Sql)),
-    ("q288_item_cf", q288ItemCf _, Some(q288Sql)))
+    ("q288_item_cf", q288ItemCf _, Some(q288Sql)),
+    ("q289_trending_decay", q289TrendingDecay _, Some(q289Sql)),
+    ("q290_dsv2_sink", q290DsvSinkRoundtrip _, Some(q290Sql)))
 }

@@ -76,6 +76,36 @@ class Round8bOpsSpec extends SparkSpec {
     assert(got(1) === ((20L, 5L, 20L, 5L, 0L, false)))
   }
 
+  test("q290 sink publishes exactly the written rows through the commit protocol") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft_r8b_sink").toString
+    Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "s")
+      .repartition(3)
+      .write.format("graft-sink").option("path", out).mode("append").save()
+    // manifest exists and lists the published parts; staging is gone
+    assert(new java.io.File(s"$out/_SUCCESS").exists())
+    assert(!new java.io.File(s"$out/_staging").exists())
+    val back = spark.read.schema("k LONG, s STRING").option("sep", "|")
+      .csv(s"$out/*.part.csv").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted
+    assert(back.toSeq === Seq((1L, "a"), (2L, "b"), (3L, "c")))
+  }
+
+  test("q290 sink abort: a poisoned job publishes nothing") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft_r8b_sinkab").toString
+    val poison = udf((x: Long) => {
+      if (x == 50) throw new RuntimeException("poison"); x
+    })
+    val df = spark.range(100).repartition(4).select(col("id"), poison(col("id")).as("v"))
+    intercept[Exception] {
+      df.write.format("graft-sink").option("path", out).mode("append").save()
+    }
+    // no published parts, no manifest, staging cleaned by job abort
+    val left = Option(new java.io.File(out).listFiles()).map(_.toSeq).getOrElse(Nil)
+    assert(left.isEmpty, s"abort left behind: ${left.mkString(",")}")
+  }
+
   test("q288 item CF recovers the exact co-occurrence cosine ranking") {
     import spark.implicits._
     val d = Files.createTempDirectory("graft_r8b_cf").toString
