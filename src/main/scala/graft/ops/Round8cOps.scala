@@ -1,0 +1,239 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-8 third operator batch: a one-pass multi-column data profiler,
+  * binary-segmentation changepoint detection on the exact-integer
+  * objective, and a storage-encoding advisor — the profile/layout
+  * tooling a warehouse runs over every new table. [EXT] north-star
+  * surface; §8.4-compliant (integer cells only).
+  */
+object Round8cOps {
+
+  /** orders columns unpivoted to (col_name, v) with every value in a
+    * PORTABLE canonical string form (ints and strings only — doubles ride
+    * as exact cents, so no engine-specific float formatting is hashed).
+    */
+  private def unpivoted(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir).select(explode(array(
+      struct(lit("o_orderstatus").as("col_name"),
+        col("o_orderstatus").cast("string").as("v")),
+      struct(lit("o_orderpriority").as("col_name"),
+        col("o_orderpriority").cast("string").as("v")),
+      struct(lit("o_custkey").as("col_name"),
+        col("o_custkey").cast("string").as("v")),
+      struct(lit("o_totalprice_cents").as("col_name"),
+        expr("cast(cast(floor(o_totalprice * 100 + 0.5d) as bigint) as string)").as("v"))))
+      .as("c")).select(col("c.col_name").as("col_name"), col("c.v").as("v"))
+
+  private val unpivotSql: String =
+    """SELECT col_name, v FROM (
+      |    SELECT 'o_orderstatus' AS col_name, o_orderstatus::VARCHAR AS v FROM orders
+      |    UNION ALL
+      |    SELECT 'o_orderpriority', o_orderpriority::VARCHAR FROM orders
+      |    UNION ALL
+      |    SELECT 'o_custkey', o_custkey::VARCHAR FROM orders
+      |    UNION ALL
+      |    SELECT 'o_totalprice_cents',
+      |      CAST(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS VARCHAR)
+      |    FROM orders)""".stripMargin
+
+  // --------------------------------------------------------------------------
+  // q291 — ONE-PASS DATA PROFILER: per-column row count, null count,
+  // exact distinct count, lexicographic min/max of the canonical string
+  // form, and total character mass — the Deequ-style profile a warehouse
+  // materializes for every landed table before anything else touches it.
+  //
+  // Scale: the unpivot is a row-local explode (4 rows per input row); the
+  // profile is one hash aggregate per (column, value) then per column —
+  // two shuffles on bounded-width keys, corpus-linear. At 100 TB swap the
+  // exact distinct for q24's HLL and the plan shape is unchanged.
+  //
+  // Determinism: counts and lengths are exact integers; min/max are
+  // ASCII-lexicographic on canonical integer/categorical strings —
+  // identical collation both engines.
+  def q291DataProfile(spark: SparkSession, dir: String): DataFrame =
+    unpivoted(spark, dir)
+      .groupBy(col("col_name"))
+      .agg(count(lit(1)).as("n_rows"),
+        count_if(col("v").isNull).as("n_null"),
+        countDistinct(col("v")).as("n_distinct"),
+        min(col("v")).as("min_v"), max(col("v")).as("max_v"),
+        sum(length(col("v"))).cast("long").as("total_chars"))
+      .orderBy(col("col_name"))
+
+  val q291Sql: String =
+    s"""WITH u AS ($unpivotSql)
+       |SELECT col_name, COUNT(*) AS n_rows,
+       |  CAST(COUNT(*) FILTER (v IS NULL) AS BIGINT) AS n_null,
+       |  CAST(COUNT(DISTINCT v) AS BIGINT) AS n_distinct,
+       |  MIN(v) AS min_v, MAX(v) AS max_v,
+       |  CAST(SUM(length(v)) AS BIGINT) AS total_chars
+       |FROM u GROUP BY col_name ORDER BY col_name""".stripMargin
+
+  // --------------------------------------------------------------------------
+  // q292 — CHANGEPOINT DETECTION via BINARY SEGMENTATION: find the two
+  // best mean-shift changepoints in the daily-revenue series by
+  // maximizing Σ S_j²/W_j over segments (equivalent to minimizing SSE —
+  // q167's CUSUM flags drift against a fixed mean; this finds the
+  // OPTIMAL split days). Step 1 picks the best single split; step 2 adds
+  // the best second split given the first — textbook binseg.
+  //
+  // Scale: the corpus collapses to the bounded calendar-day grid (≤ 730
+  // rows) in one aggregate; all candidate scans are grid×grid joins —
+  // corpus-size-independent planning, exactly q266's DP discipline.
+  //
+  // Determinism (§8.4): revenue quantizes to exact kilodollar units
+  // (floor(cents/1e5)); the objective is fixed-point BIGINT
+  // (10⁴·S²) div W summed over segments (magnitudes ≤ 5e16 at sf0.1);
+  // argmax ties break on the smaller split index.
+  def q292ChangepointBinseg(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(spark, dir)
+      .groupBy(to_date(col("o_orderdate")).as("d"))
+      .agg(expr("cast(floor(sum(cast(o_totalprice as decimal(18,2))) * 100 / 1e5) as long)")
+        .as("x"))
+    val grid = daily.withColumn("i", row_number().over(Window.orderBy(col("d"))))
+    val wCum = Window.orderBy(col("i"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pre = grid.withColumn("cs", sum(col("x")).over(wCum))
+      .select(col("i"), col("d"), col("cs"))
+    val tot = pre.agg(max(col("i")).as("n"), max(col("cs")).as("stot"))
+    // v(seg) = (1e4·S²) div W ; candidates carry their prefix sums
+    val cand = pre.crossJoin(broadcast(tot)).filter(col("i") < col("n"))
+      .withColumn("v1", expr("(10000L * cs * cs) div i"))
+      .withColumn("v2", expr("(10000L * (stot - cs) * (stot - cs)) div (n - i)"))
+      .withColumn("gain", col("v1") + col("v2"))
+    val cp1 = cand
+      .agg(max(struct(col("gain"), (-col("i")).as("ni"))).as("m"))
+      .select((-col("m.ni")).as("s1"), col("m.gain").as("obj1"))
+    // step 2: for each s2 != s1 the three segments are cut at
+    // lo = min(s1, s2), hi = max(s1, s2)
+    val cuts = pre.select(col("i").as("ci"), col("cs").as("ccs"))
+    val cand2 = pre.crossJoin(broadcast(tot)).crossJoin(broadcast(cp1))
+      .filter(col("i") < col("n") && col("i") =!= col("s1"))
+      .withColumn("lo", least(col("i"), col("s1")))
+      .withColumn("hi", greatest(col("i"), col("s1")))
+      .join(cuts.withColumnRenamed("ci", "lo").withColumnRenamed("ccs", "cs_lo"), Seq("lo"))
+      .join(cuts.withColumnRenamed("ci", "hi").withColumnRenamed("ccs", "cs_hi"), Seq("hi"))
+      .withColumn("v1", expr("(10000L * cs_lo * cs_lo) div lo"))
+      .withColumn("v2", expr("(10000L * (cs_hi - cs_lo) * (cs_hi - cs_lo)) div (hi - lo)"))
+      .withColumn("v3", expr("(10000L * (stot - cs_hi) * (stot - cs_hi)) div (n - hi)"))
+      .withColumn("obj", col("v1") + col("v2") + col("v3"))
+    val cp2 = cand2
+      .agg(max(struct(col("obj"), (-col("i")).as("ni"))).as("m"))
+      .select((-col("m.ni")).as("s2"), col("m.obj").as("obj2"))
+    val steps = cp1.crossJoin(cp2)
+      .select(explode(array(
+        struct(lit(1).as("step"), col("s1").as("split_i"), col("obj1").as("objective_e4")),
+        struct(lit(2).as("step"), col("s2").as("split_i"), col("obj2").as("objective_e4"))))
+        .as("r"))
+      .select(col("r.step").as("step"), col("r.split_i").as("split_i"),
+        col("r.objective_e4").as("objective_e4"))
+    steps.join(pre.select(col("i").as("split_i"), col("d").as("split_day")), Seq("split_i"))
+      .select(col("step"), col("split_day"), col("objective_e4"))
+      .orderBy(col("step"))
+  }
+
+  val q292Sql: String =
+    """WITH daily AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS d,
+      |    CAST(FLOOR(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 / 1e5) AS BIGINT)
+      |      AS x
+      |  FROM orders GROUP BY 1),
+      |grid AS (SELECT d, x, ROW_NUMBER() OVER (ORDER BY d) AS i FROM daily),
+      |pre AS (
+      |  SELECT i, d,
+      |    SUM(x) OVER (ORDER BY i ROWS UNBOUNDED PRECEDING) AS cs
+      |  FROM grid),
+      |tot AS (SELECT MAX(i) AS n, MAX(cs) AS stot FROM pre),
+      |cand AS (
+      |  SELECT i,
+      |    (10000 * cs * cs) // i + (10000 * (stot - cs) * (stot - cs)) // (n - i)
+      |      AS gain
+      |  FROM pre CROSS JOIN tot WHERE i < n),
+      |cp1 AS (
+      |  SELECT i AS s1, gain AS obj1 FROM cand
+      |  ORDER BY gain DESC, i LIMIT 1),
+      |cand2 AS (
+      |  SELECT p.i,
+      |    (10000 * plo.cs * plo.cs) // LEAST(p.i, s1)
+      |    + (10000 * (phi.cs - plo.cs) * (phi.cs - plo.cs))
+      |      // (GREATEST(p.i, s1) - LEAST(p.i, s1))
+      |    + (10000 * (stot - phi.cs) * (stot - phi.cs)) // (n - GREATEST(p.i, s1))
+      |      AS obj
+      |  FROM pre p CROSS JOIN tot CROSS JOIN cp1
+      |  JOIN pre plo ON plo.i = LEAST(p.i, s1)
+      |  JOIN pre phi ON phi.i = GREATEST(p.i, s1)
+      |  WHERE p.i < n AND p.i != s1),
+      |cp2 AS (
+      |  SELECT i AS s2, obj AS obj2 FROM cand2
+      |  ORDER BY obj DESC, i LIMIT 1),
+      |steps AS (
+      |  SELECT 1 AS step, s1 AS split_i, CAST(obj1 AS BIGINT) AS objective_e4
+      |  FROM cp1
+      |  UNION ALL
+      |  SELECT 2, s2, CAST(obj2 AS BIGINT) FROM cp2)
+      |SELECT step, pre.d AS split_day, objective_e4
+      |FROM steps JOIN pre ON pre.i = steps.split_i
+      |ORDER BY step""".stripMargin
+
+  // --------------------------------------------------------------------------
+  // q293 — STORAGE ENCODING ADVISOR: per column, estimate the byte cost
+  // of PLAIN vs DICTIONARY encoding from one stats pass — plain =
+  // total character mass; dict = distinct-value character mass +
+  // n·ceil(log2(distinct))/8 index bytes — and recommend the cheaper
+  // one. The decision a columnar writer (parquet's dictionary fallback)
+  // makes per page, surfaced as a layout-planning readout (q195/q196's
+  // zone-map family, applied to encoding choice).
+  //
+  // Determinism: bit width = length(bin(distinct − 1)) — exact integer
+  // arithmetic end to end, no log2 libm call.
+  def q293EncodingAdvisor(spark: SparkSession, dir: String): DataFrame = {
+    val perValue = unpivoted(spark, dir)
+      .groupBy(col("col_name"), col("v"))
+      .agg(count(lit(1)).as("cnt"))
+    perValue
+      .groupBy(col("col_name"))
+      .agg(sum(col("cnt")).as("n_rows"),
+        count(lit(1)).as("n_distinct"),
+        sum(length(col("v")) * col("cnt")).cast("long").as("plain_bytes"),
+        sum(length(col("v"))).cast("long").as("dict_value_bytes"))
+      .withColumn("bits", when(col("n_distinct") <= 1, lit(1))
+        .otherwise(length(expr("bin(n_distinct - 1)"))))
+      .withColumn("dict_bytes",
+        col("dict_value_bytes") + expr("(n_rows * bits + 7) div 8"))
+      .select(col("col_name"), col("n_rows"), col("n_distinct"),
+        col("plain_bytes"), col("dict_bytes").cast("long").as("dict_bytes"),
+        when(col("dict_bytes") < col("plain_bytes"), lit("DICT"))
+          .otherwise(lit("PLAIN")).as("encoding"))
+      .orderBy(col("col_name"))
+  }
+
+  val q293Sql: String =
+    s"""WITH u AS ($unpivotSql),
+       |pv AS (SELECT col_name, v, COUNT(*) AS cnt FROM u GROUP BY 1, 2),
+       |st AS (
+       |  SELECT col_name, SUM(cnt) AS n_rows, COUNT(*) AS n_distinct,
+       |    SUM(length(v) * cnt) AS plain_bytes,
+       |    SUM(length(v)) AS dict_value_bytes
+       |  FROM pv GROUP BY 1),
+       |b AS (
+       |  SELECT *, CASE WHEN n_distinct <= 1 THEN 1
+       |    ELSE length(bin(CAST(n_distinct - 1 AS BIGINT))) END AS bits
+       |  FROM st)
+       |SELECT col_name, CAST(n_rows AS BIGINT) AS n_rows,
+       |  CAST(n_distinct AS BIGINT) AS n_distinct,
+       |  CAST(plain_bytes AS BIGINT) AS plain_bytes,
+       |  CAST(dict_value_bytes + (n_rows * bits + 7) // 8 AS BIGINT) AS dict_bytes,
+       |  CASE WHEN dict_value_bytes + (n_rows * bits + 7) // 8 < plain_bytes
+       |    THEN 'DICT' ELSE 'PLAIN' END AS encoding
+       |FROM b ORDER BY col_name""".stripMargin
+
+  val catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
+    ("q291_data_profile", q291DataProfile _, Some(q291Sql)),
+    ("q292_changepoint_binseg", q292ChangepointBinseg _, Some(q292Sql)),
+    ("q293_encoding_advisor", q293EncodingAdvisor _, Some(q293Sql)))
+}

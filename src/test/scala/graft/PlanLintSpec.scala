@@ -77,7 +77,9 @@ class PlanLintSpec extends SparkSpec {
     "q266_voptimal_hist" ->
       "rank + prefix sums over the distinct-quantity value grid — bounded by the 50-value feature domain, not lineitem",
     "q285_packed_blocks" ->
-      "q169's two-pass shape: exclusive prefix sum over the 257-row doc_id-range bucket grid only; the per-doc offset window is partitioned by bucket")
+      "q169's two-pass shape: exclusive prefix sum over the 257-row doc_id-range bucket grid only; the per-doc offset window is partitioned by bucket",
+    "q292_changepoint_binseg" ->
+      "rank + prefix sum over the per-day revenue grid — bounded by the order-date calendar span (q167/q233's class); all candidate scans are grid-sized")
 
   /** name → reason a no-equi-key join is still scale-safe there. */
   private val joinAllow: Map[String, String] = Map(

@@ -1,0 +1,72 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+import java.sql.Timestamp
+
+/** Planted-fixture tests for the round-8c batch (q291-q293). */
+class Round8cOpsSpec extends SparkSpec {
+
+  private def ordersDir(rows: Seq[(Long, Long, String, Double, String, String)]): String = {
+    import spark.implicits._
+    val d = Files.createTempDirectory("graft_r8c_ord").toString
+    rows.map { case (ok, ck, st, tp, day, pr) =>
+      (ok, ck, st, tp, Timestamp.valueOf(s"$day 00:00:00"), pr)
+    }.toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+      "o_orderdate", "o_orderpriority")
+      .coalesce(1).write.parquet(s"$d/orders.parquet")
+    d
+  }
+
+  test("q291 profiler: counts, distincts, extremes, and char mass are exact") {
+    val d = ordersDir(Seq(
+      (1L, 10L, "O", 1.00, "2024-01-01", "1-URGENT"),
+      (2L, 10L, "F", 2.50, "2024-01-01", "1-URGENT"),
+      (3L, 20L, "O", 10.00, "2024-01-01", "5-LOW")))
+    val got = Round8cOps.q291DataProfile(spark, d).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4), r.getString(5), r.getLong(6)))).toMap
+    // statuses: O,F,O -> 2 distinct, min "F", max "O", 3 chars total
+    assert(got("o_orderstatus") === ((3L, 0L, 2L, "F", "O", 3L)))
+    // custkeys as strings: "10","10","20"
+    assert(got("o_custkey") === ((3L, 0L, 2L, "10", "20", 6L)))
+    // cents: 100, 250, 1000 -> lexicographic min "100", max "250"!
+    assert(got("o_totalprice_cents") === ((3L, 0L, 3L, "100", "250", 10L)))
+  }
+
+  test("q292 binseg finds the two planted mean shifts in order") {
+    // 30 days: days 1-10 revenue 10.00/day, 11-20 revenue 1000.00/day,
+    // 21-30 revenue 10.00/day. In kilodollar units the series is 0 / 1 /
+    // 0 — the best single split is at one shift, the second completes
+    // the step; both recovered exactly.
+    val rows = (1 to 30).map { day =>
+      val rev = if (day >= 11 && day <= 20) 1000000.00 else 10.00
+      (day.toLong, 1L, "O", rev, f"2024-01-$day%02d", "1-URGENT")
+    }
+    val d = ordersDir(rows)
+    val got = Round8cOps.q292ChangepointBinseg(spark, d).collect()
+      .map(r => (r.getInt(0), r.getDate(1).toString))
+    // x = floor(cents/1e5): 1000000.00 -> 1000 kilodollars; 10.00 -> 0.
+    // Step 1 must split at one edge of the plateau (day 10 or 20); step 2
+    // at the other.
+    val days = got.map(_._2).toSet
+    assert(got.map(_._1).toSeq === Seq(1, 2))
+    assert(days === Set("2024-01-10", "2024-01-20"))
+  }
+
+  test("q293 advisor recommends DICT for low-cardinality, PLAIN for unique columns") {
+    // 200 rows, 2 statuses (dict trivially wins), unique keys where the
+    // 8-bit dict index + value dictionary cannot beat plain storage
+    val rows = (1L to 200L).map { k =>
+      (k, k, if (k % 2 == 0) "O" else "F", 1.00, "2024-01-01", "1-URGENT")
+    }
+    val d = ordersDir(rows)
+    val got = Round8cOps.q293EncodingAdvisor(spark, d).collect()
+      .map(r => r.getString(0) -> ((r.getLong(2), r.getString(5)))).toMap
+    assert(got("o_orderstatus") === ((2L, "DICT")))
+    assert(got("o_orderpriority")._2 === "DICT")
+    // o_custkey: unique 1..200 -> dict stores every value PLUS indexes
+    assert(got("o_custkey") === ((200L, "PLAIN")))
+  }
+}
