@@ -260,7 +260,14 @@ object ScaleProbe {
     "q268_graph_aggregation", "q256_scene_cuts",
     // round-8 addition: semantic dedup with scaled seed count + planner
     // banding — the one dedup operator the round-7 verdict found unprobed
-    "q172_semantic_dedup")
+    "q172_semantic_dedup",
+    // round-8 batch: DSIR selection, packed-block manifest, TextTiling
+    // segmentation, weighted reservoir (documents); item CF and trending
+    // decay (lineitem/orders); profiler + encoding advisor + binseg
+    // (orders) — all claimed linear/bounded; the curves check the claims
+    "q279_dsir_weighting", "q285_packed_blocks", "q286_topic_segments",
+    "q283_weighted_reservoir", "q288_item_cf", "q289_trending_decay",
+    "q291_data_profile", "q293_encoding_advisor", "q292_changepoint_binseg")
 
   def main(args: Array[String]): Unit = {
     val scales = if (args.nonEmpty) args.map(_.toInt).toSeq else Seq(1, 2, 5, 10)

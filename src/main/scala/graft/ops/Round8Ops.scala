@@ -118,17 +118,22 @@ object Round8Ops {
     val unit = emb
       .withColumn("nrm", expr("sqrt(aggregate(v, 0d, (a, x) -> a + x * x))"))
       .select(col("vec_id"), expr("transform(v, x -> x / nrm)").as("vn"))
-    val dims = unit.select(col("vec_id"), posexplode(col("vn"))).toDF("vec_id", "d", "x")
-    val amax = dims.agg(max(abs(col("x"))).as("amax"))
-    val q8 = dims.crossJoin(broadcast(amax))
-      .select(col("vec_id"), col("d"),
-        floor(col("x") / col("amax") * 127.0 + 0.5).as("q"))
-    val qq = q8.filter(col("vec_id") < 4)
-      .select(col("vec_id").as("qid"), col("d"), col("q").as("qv"))
-    val s8 = q8.join(qq, Seq("d"))
+    val amax = unit
+      .agg(max(expr("aggregate(vn, 0d, (a, x) -> greatest(a, abs(x)))")).as("amax"))
+    // codes stay row-local arrays; the int8 score is a per-pair integer
+    // zip_with fold (order-free under integer addition — same value the
+    // per-dimension join shape computes, at 4n rows instead of 64·4n)
+    val codes = unit.crossJoin(broadcast(amax))
+      .select(col("vec_id"),
+        expr("transform(vn, x -> cast(floor(x / amax * 127.0d + 0.5d) as bigint))")
+          .as("qa"))
+    val qq = codes.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("qid"), col("qa").as("qb"))
+    val s8 = codes.crossJoin(broadcast(qq))
       .filter(col("vec_id") =!= col("qid"))
-      .groupBy(col("qid"), col("vec_id"))
-      .agg(sum(col("q") * col("qv")).as("score"))
+      .select(col("qid"), col("vec_id"),
+        expr("aggregate(zip_with(qa, qb, (a, b) -> a * b), 0L, (acc, x) -> acc + x)")
+          .as("score"))
     val qvec = emb.filter(col("vec_id") < 4)
       .select(col("vec_id").as("qid"), col("v").as("qvec"))
     val ex = emb.crossJoin(broadcast(qvec))

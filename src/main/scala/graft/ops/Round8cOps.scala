@@ -86,14 +86,15 @@ object Round8cOps {
   // rows) in one aggregate; all candidate scans are grid×grid joins —
   // corpus-size-independent planning, exactly q266's DP discipline.
   //
-  // Determinism (§8.4): revenue quantizes to exact kilodollar units
-  // (floor(cents/1e5)); the objective is fixed-point BIGINT
-  // (10⁴·S²) div W summed over segments (magnitudes ≤ 5e16 at sf0.1);
-  // argmax ties break on the smaller split index.
+  // Determinism (§8.4): revenue quantizes to exact hundred-kilodollar
+  // units (floor(cents/1e7) — S ≈ 2e5 at sf0.1, so the fixed-point
+  // objective (10⁴·S²) div W stays ≤ ~5e14, 4 orders of magnitude under
+  // 2⁶³ even at the 10× probe); argmax ties break on the smaller split
+  // index.
   def q292ChangepointBinseg(spark: SparkSession, dir: String): DataFrame = {
     val daily = Tables.orders(spark, dir)
       .groupBy(to_date(col("o_orderdate")).as("d"))
-      .agg(expr("cast(floor(sum(cast(o_totalprice as decimal(18,2))) * 100 / 1e5) as long)")
+      .agg(expr("cast(floor(sum(cast(o_totalprice as decimal(18,2))) * 100 / 1e7) as long)")
         .as("x"))
     val grid = daily.withColumn("i", row_number().over(Window.orderBy(col("d"))))
     val wCum = Window.orderBy(col("i"))
@@ -140,7 +141,7 @@ object Round8cOps {
   val q292Sql: String =
     """WITH daily AS (
       |  SELECT CAST(o_orderdate AS DATE) AS d,
-      |    CAST(FLOOR(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 / 1e5) AS BIGINT)
+      |    CAST(FLOOR(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 / 1e7) AS BIGINT)
       |      AS x
       |  FROM orders GROUP BY 1),
       |grid AS (SELECT d, x, ROW_NUMBER() OVER (ORDER BY d) AS i FROM daily),
@@ -232,8 +233,111 @@ object Round8cOps {
        |    THEN 'DICT' ELSE 'PLAIN' END AS encoding
        |FROM b ORDER BY col_name""".stripMargin
 
+  // --------------------------------------------------------------------------
+  // q294 — RATE-LIMIT AUDIT: per user, count events that exceed a
+  // 2-events-per-trailing-24h quota (RANGE frame on event time) — the
+  // throttling/abuse readout an API gateway logs, and the windowed-rate
+  // primitive q246's bot score approximates with fixed buckets. Emits
+  // per-user violation counts and the worst trailing-window burst. (The
+  // quota matches the synthetic feed's density — the operator is the
+  // RANGE-frame shape, the constant is config.)
+  //
+  // Scale: ONE range-frame window partitioned by user_id (a single
+  // shuffle); the frame is time-bounded so state per row is the 60-second
+  // slice, independent of history length. All cells exact integers.
+  def q294RateLimitAudit(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"))
+      .rangeBetween(-86400000000L, 0L)
+    Tables.events(spark, dir)
+      .select(col("user_id"), expr("unix_micros(ts)").as("us"))
+      .withColumn("in_window", count(lit(1)).over(w))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        count_if(col("in_window") > 2).as("n_violations"),
+        max(col("in_window")).as("worst_burst"))
+      .filter(col("n_violations") > 0)
+      .orderBy(col("user_id"))
+  }
+
+  val q294Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, epoch_us(ts) AS us FROM events),
+      |m AS (
+      |  SELECT user_id,
+      |    COUNT(*) OVER (PARTITION BY user_id ORDER BY us
+      |      RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW) AS in_window
+      |  FROM e)
+      |SELECT user_id, COUNT(*) AS n_events,
+      |  CAST(COUNT(*) FILTER (in_window > 2) AS BIGINT) AS n_violations,
+      |  CAST(MAX(in_window) AS BIGINT) AS worst_burst
+      |FROM m GROUP BY user_id HAVING COUNT(*) FILTER (in_window > 2) > 0
+      |ORDER BY user_id""".stripMargin
+
+  // --------------------------------------------------------------------------
+  // q295 — ONE-WAY ANOVA F-TEST across order priorities: does mean order
+  // value differ by priority class? F = (SSB/(k−1)) / (SSW/(N−k)) from
+  // exact sufficient statistics — completes the q118 (KS) / q261
+  // (Mann-Whitney) / q175 (moments) hypothesis-testing family with the
+  // k-group parametric test.
+  //
+  // Determinism (§8.4): per-group Σx rides as exact cent LONGs and Σx²
+  // as exact DECIMAL(38,0) cents² (money-grid inputs); each group's
+  // s²/n term is ONE double expression, summed in PINNED group order
+  // via the q273 sorted-fold rule; F ships floor-quantized at 1e-6.
+  //
+  // Scale: one hash aggregate to k rows, one broadcast total — nothing
+  // else touches the corpus.
+  def q295Anova(spark: SparkSession, dir: String): DataFrame = {
+    val dec0 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val g = Tables.orders(spark, dir)
+      .select(col("o_orderpriority").as("grp"),
+        expr("cast(floor(o_totalprice * 100 + 0.5d) as bigint)").as("c"))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n"), sum(col("c")).as("sc"),
+        sum((col("c").cast(dec0) * col("c"))).as("qc"))
+      .withColumn("term", (col("sc").cast("double") * col("sc").cast("double"))
+        / col("n"))
+    val tot = g.agg(sum(col("n")).as("nn"), sum(col("sc")).as("ssc"),
+      sum(col("qc")).cast(dec0).as("qqc"), count(lit(1)).as("k"),
+      expr("aggregate(sort_array(collect_list(struct(grp, term))), " +
+        "cast(0 as double), (a, x) -> a + x.term)").as("sb"))
+    tot
+      .withColumn("ssb", col("sb")
+        - col("ssc").cast("double") * col("ssc").cast("double") / col("nn"))
+      .withColumn("ssw", col("qqc").cast("double") - col("sb"))
+      .withColumn("f_e6", floor(
+        (col("ssb") / (col("k") - 1)) / (col("ssw") / (col("nn") - col("k")))
+          * 1e6 + 0.5))
+      .select(col("k").cast("int").as("k_groups"), col("nn").as("n_rows"),
+        col("f_e6").cast("long").as("f_e6"))
+  }
+
+  val q295Sql: String =
+    """WITH g AS (
+      |  SELECT o_orderpriority AS grp, COUNT(*) AS n,
+      |    SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS sc,
+      |    SUM(CAST(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS DECIMAL(38,0))
+      |      * CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS qc
+      |  FROM orders GROUP BY 1),
+      |t AS (
+      |  SELECT grp, n, sc, qc,
+      |    CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE) / n AS term
+      |  FROM g),
+      |tot AS (
+      |  SELECT SUM(n) AS nn, SUM(sc) AS ssc,
+      |    CAST(SUM(qc) AS DECIMAL(38,0)) AS qqc, COUNT(*) AS k,
+      |    list_reduce(list(term ORDER BY grp), (a, b) -> a + b) AS sb
+      |  FROM t)
+      |SELECT CAST(k AS INT) AS k_groups, CAST(nn AS BIGINT) AS n_rows,
+      |  CAST(FLOOR(((sb - CAST(ssc AS DOUBLE) * CAST(ssc AS DOUBLE) / nn) / (k - 1))
+      |    / ((CAST(qqc AS DOUBLE) - sb) / (nn - k))
+      |    * 1e6 + 0.5) AS BIGINT) AS f_e6
+      |FROM tot""".stripMargin
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q291_data_profile", q291DataProfile _, Some(q291Sql)),
     ("q292_changepoint_binseg", q292ChangepointBinseg _, Some(q292Sql)),
-    ("q293_encoding_advisor", q293EncodingAdvisor _, Some(q293Sql)))
+    ("q293_encoding_advisor", q293EncodingAdvisor _, Some(q293Sql)),
+    ("q294_rate_limit_audit", q294RateLimitAudit _, Some(q294Sql)),
+    ("q295_anova", q295Anova _, Some(q295Sql)))
 }

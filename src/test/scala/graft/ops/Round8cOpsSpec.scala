@@ -55,6 +55,41 @@ class Round8cOpsSpec extends SparkSpec {
     assert(days === Set("2024-01-10", "2024-01-20"))
   }
 
+  test("q294 rate-limit audit flags only the user whose burst exceeds the quota") {
+    import spark.implicits._
+    val d = Files.createTempDirectory("graft_r8c_rate").toString
+    val t = (h: Int, m: Int) => Timestamp.valueOf(f"2024-01-0${1 + h / 24}%d ${h % 24}%02d:$m%02d:00")
+    // user 1: three events inside one hour -> the third breaks the
+    // 2-per-24h quota (1 violation, worst burst 3)
+    // user 2: three events 48h apart -> never more than 1 in-window
+    val rows = Seq(
+      (1L, t(0, 0), 1L), (2L, t(0, 10), 1L), (3L, t(0, 20), 1L),
+      (4L, t(0, 0), 2L), (5L, t(48, 0), 2L), (6L, t(96, 0), 2L))
+      .map { case (id, ts, u) => (id, ts, u, "view", 1.0, "{}") }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.parquet(s"$d/events.parquet")
+    val got = Round8cOps.q294RateLimitAudit(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq === Seq((1L, 3L, 1L, 3L)))
+  }
+
+  test("q295 ANOVA recovers the exact F on two planted groups") {
+    // A = {1.00, 2.00, 3.00}, B = {11.00, 12.00, 13.00} dollars:
+    // SSB = 1.5e6 cents^2, SSW = 4e4 cents^2, F = (SSB/1)/(SSW/4) = 150
+    val rows = Seq(
+      (1L, 1L, "O", 1.00, "2024-01-01", "1-URGENT"),
+      (2L, 1L, "O", 2.00, "2024-01-01", "1-URGENT"),
+      (3L, 1L, "O", 3.00, "2024-01-01", "1-URGENT"),
+      (4L, 1L, "O", 11.00, "2024-01-01", "5-LOW"),
+      (5L, 1L, "O", 12.00, "2024-01-01", "5-LOW"),
+      (6L, 1L, "O", 13.00, "2024-01-01", "5-LOW"))
+    val d = ordersDir(rows)
+    val r = Round8cOps.q295Anova(spark, d).collect().head
+    assert(r.getInt(0) === 2)
+    assert(r.getLong(1) === 6L)
+    assert(r.getLong(2) === 150000000L)
+  }
+
   test("q293 advisor recommends DICT for low-cardinality, PLAIN for unique columns") {
     // 200 rows, 2 statuses (dict trivially wins), unique keys where the
     // 8-bit dict index + value dictionary cannot beat plain storage
