@@ -90,6 +90,48 @@ class Round8cOpsSpec extends SparkSpec {
     assert(r.getLong(2) === 150000000L)
   }
 
+  test("q296 as-of enrichment attributes each purchase to the version current at event time") {
+    import spark.implicits._
+    val d = Files.createTempDirectory("graft_r8c_asof").toString
+    val t = (hm: String) => Timestamp.valueOf(s"2024-01-01 $hm:00")
+    val rows = Seq(
+      (1L, t("10:00"), 1L, "view", 1.0, "{}"),     // opens version 1 (100c)
+      (2L, t("10:30"), 1L, "purchase", 1.0, "{}"), // same value: still v1
+      (3L, t("11:00"), 1L, "view", 2.0, "{}"),     // opens version 2 (200c)
+      (4L, t("11:30"), 1L, "purchase", 2.0, "{}"))
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.parquet(s"$d/events.parquet")
+    val got = Round8cOps.q296AsofEnrich(spark, d).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq === Seq((1L, 1, 100L, 1L), (1L, 2, 200L, 1L)))
+  }
+
+  test("q297 shares of region and total are exact ppm floor-divisions") {
+    import spark.implicits._
+    val d = Files.createTempDirectory("graft_r8c_share").toString
+    Seq((0L, "AMERICA"), (1L, "ASIA")).toDF("r_regionkey", "r_name")
+      .coalesce(1).write.parquet(s"$d/region.parquet")
+    Seq((0L, "BRAZIL", 0L), (1L, "CANADA", 0L), (2L, "JAPAN", 1L))
+      .toDF("n_nationkey", "n_name", "n_regionkey")
+      .coalesce(1).write.parquet(s"$d/nation.parquet")
+    Seq((10L, 0L), (11L, 1L), (12L, 2L))
+      .toDF("c_custkey", "c_nationkey")
+      .coalesce(1).write.parquet(s"$d/customer.parquet")
+    val ts = Timestamp.valueOf("2024-01-01 00:00:00")
+    Seq((1L, 10L, "O", 1.00, ts, "1-URGENT"), (2L, 11L, "O", 3.00, ts, "1-URGENT"),
+      (3L, 12L, "O", 6.00, ts, "1-URGENT"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .coalesce(1).write.parquet(s"$d/orders.parquet")
+    val got = Round8cOps.q297ShareOfParent(spark, d).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // AMERICA holds 100+300 of 1000 cents; ASIA 600
+    assert(got.toSeq === Seq(
+      ("AMERICA", "BRAZIL", 100L, 250000L, 400000L),
+      ("AMERICA", "CANADA", 300L, 750000L, 400000L),
+      ("ASIA", "JAPAN", 600L, 1000000L, 600000L)))
+  }
+
   test("q293 advisor recommends DICT for low-cardinality, PLAIN for unique columns") {
     // 200 rows, 2 statuses (dict trivially wins), unique keys where the
     // 8-bit dict index + value dictionary cannot beat plain storage
