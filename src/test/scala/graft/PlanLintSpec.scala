@@ -79,7 +79,9 @@ class PlanLintSpec extends SparkSpec {
     "q285_packed_blocks" ->
       "q169's two-pass shape: exclusive prefix sum over the 257-row doc_id-range bucket grid only; the per-doc offset window is partitioned by bucket",
     "q292_changepoint_binseg" ->
-      "rank + prefix sum over the per-day revenue grid — bounded by the order-date calendar span (q167/q233's class); all candidate scans are grid-sized")
+      "rank + prefix sum over the per-day revenue grid — bounded by the order-date calendar span (q167/q233's class); all candidate scans are grid-sized",
+    "q299_curation_v2" ->
+      "q169's two-pass shape (q285's instance): exclusive prefix sum over the 257-row doc_id-range bucket grid only; the per-doc offset window is partitioned by bucket")
 
   /** name → reason a no-equi-key join is still scale-safe there. */
   private val joinAllow: Map[String, String] = Map(

@@ -132,6 +132,44 @@ class Round8cOpsSpec extends SparkSpec {
       ("ASIA", "JAPAN", 600L, 1000000L, 600000L)))
   }
 
+  test("q298 nearest-rank percentiles pick the exact order statistics") {
+    import spark.implicits._
+    val d = Files.createTempDirectory("graft_r8c_pct").toString
+    val ts = Timestamp.valueOf("2024-01-01 00:00:00")
+    // 5×1.00 + 4×2.00 + 1×100.00: ranks -> P50 = 5th = 100c,
+    // P90 = 9th = 200c, P99 = 10th = 10000c
+    val rows = (1 to 10).map { k =>
+      val v = if (k <= 5) 1.00 else if (k <= 9) 2.00 else 100.00
+      (k.toLong, ts, k.toLong, "view", v, "{}")
+    }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.parquet(s"$d/events.parquet")
+    val r = Round8cOps.q298PercentileBands(spark, d).collect().head
+    assert((r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      === (("view", 10L, 100L, 200L, 10000L)))
+  }
+
+  test("q299 capstone: dedup, DSIR selection, and packing account exactly") {
+    import spark.implicits._
+    val d = Files.createTempDirectory("graft_r8c_cur").toString
+    // source s: en doc repeated twice (dedup to one), a second en doc,
+    // and a de doc with disjoint bigrams (DSIR must drop it)
+    val en1 = (1 to 30).map(_ => "alpha beta").mkString(" ")   // 60 tokens
+    val en2 = (1 to 20).map(_ => "alpha beta").mkString(" ")   // 40 tokens
+    val de1 = (1 to 25).map(_ => "gamma delta").mkString(" ")  // 50 tokens
+    Seq((1L, en1, "en", "s"), (2L, en1, "en", "s"),
+      (3L, en2, "en", "s"), (4L, de1, "de", "s"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")))
+      .coalesce(1).write.parquet(s"$d/documents.parquet")
+    val r = Round8cOps.q299CurationV2(spark, d).collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2), x.getLong(3),
+        x.getLong(4), x.getLong(5), x.getLong(6)))
+    // kept = docs 1 (60 toks) + 3 (40 toks) = 100 tokens -> 1 block;
+    // loss = (60 - 15) + (40 - 10) = 75
+    assert(r.toSeq === Seq(("s", 4L, 3L, 2L, 100L, 75L, 1L)))
+  }
+
   test("q293 advisor recommends DICT for low-cardinality, PLAIN for unique columns") {
     // 200 rows, 2 statuses (dict trivially wins), unique keys where the
     // 8-bit dict index + value dictionary cannot beat plain storage
