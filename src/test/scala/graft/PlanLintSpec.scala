@@ -81,7 +81,11 @@ class PlanLintSpec extends SparkSpec {
     "q292_changepoint_binseg" ->
       "rank + prefix sum over the per-day revenue grid — bounded by the order-date calendar span (q167/q233's class); all candidate scans are grid-sized",
     "q299_curation_v2" ->
-      "q169's two-pass shape (q285's instance): exclusive prefix sum over the 257-row doc_id-range bucket grid only; the per-doc offset window is partitioned by bucket")
+      "q169's two-pass shape (q285's instance): exclusive prefix sum over the 257-row doc_id-range bucket grid only; the per-doc offset window is partitioned by bucket",
+    "q303_acf" ->
+      "row_number over the per-day order-count grid — bounded by the order-date calendar span (q167/q233's class); the lag expansion is a 14-row broadcast with an equi-join on the day index",
+    "q305_sax_motifs" ->
+      "ntile over the per-day revenue grid — bounded by the order-date calendar span (q167/q233's class); everything downstream is grid-sized")
 
   /** name → reason a no-equi-key join is still scale-safe there. */
   private val joinAllow: Map[String, String] = Map(
