@@ -215,6 +215,16 @@ object ScaleProbe {
   /** supplier: 1000·m rows (sf0.1's customer:supplier ratio) — q225's
     * station side and q221's supplier nodes.
     */
+  /** nation: the fixed 25-row dimension (scale-independent, like the real
+    * table) — q304's grouping side.
+    */
+  private def genNation(spark: SparkSession, dir: String, m: Int): Unit =
+    spark.range(25).select(
+      col("id").cast("int").as("n_nationkey"),
+      format_string("NATION_%02d", col("id")).as("n_name"),
+      (col("id") % 5).cast("int").as("n_regionkey"))
+      .write.mode("overwrite").parquet(s"$dir/nation.parquet")
+
   private def genSupplier(spark: SparkSession, dir: String, m: Int): Unit =
     spark.range(1000L * m).select(
       (col("id") + 1).as("s_suppkey"),
@@ -267,7 +277,14 @@ object ScaleProbe {
     // (orders) — all claimed linear/bounded; the curves check the claims
     "q279_dsir_weighting", "q285_packed_blocks", "q286_topic_segments",
     "q283_weighted_reservoir", "q288_item_cf", "q289_trending_decay",
-    "q291_data_profile", "q293_encoding_advisor", "q292_changepoint_binseg")
+    "q291_data_profile", "q293_encoding_advisor", "q292_changepoint_binseg",
+    // round-8d batch: bounded-round k-core peel (per-round degree aggs +
+    // equi-joins over the purchase graph), the bounded-probe kNN label
+    // audit (cost ∝ corpus × 400), Good–Turing counts-of-counts, and the
+    // per-(nation, supplier) HHI rollup — all claimed linear; q303/q305
+    // collapse to the calendar grid and are flat by construction
+    "q300_kcore_peel", "q301_knn_label_audit", "q302_good_turing",
+    "q304_hhi")
 
   def main(args: Array[String]): Unit = {
     val scales = if (args.nonEmpty) args.map(_.toInt).toSeq else Seq(1, 2, 5, 10)
@@ -294,7 +311,7 @@ object ScaleProbe {
           genDocuments(spark, d, m); genEmbeddings(spark, d, m)
           genOrders(spark, d, m); genCustomer(spark, d, m)
           genLineitem(spark, d, m); genSupplier(spark, d, m)
-          genPart(spark, d, m)
+          genPart(spark, d, m); genNation(spark, d, m)
           d
         }
       val only = sys.env.get("SPARK_GRAFT_PROBE_ONLY")
