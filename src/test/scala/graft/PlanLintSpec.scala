@@ -85,7 +85,11 @@ class PlanLintSpec extends SparkSpec {
     "q303_acf" ->
       "row_number over the per-day order-count grid — bounded by the order-date calendar span (q167/q233's class); the lag expansion is a 14-row broadcast with an equi-join on the day index",
     "q305_sax_motifs" ->
-      "ntile over the per-day revenue grid — bounded by the order-date calendar span (q167/q233's class); everything downstream is grid-sized")
+      "ntile over the per-day revenue grid — bounded by the order-date calendar span (q167/q233's class); everything downstream is grid-sized",
+    "q307_neyman_allocation" ->
+      "largest-remainder rank over the market-segment stratum grid — bounded by the segment domain (5), not customers",
+    "q308_rr_debias" ->
+      "index rank over the distinct-language domain grid (q119's marginal class) — bounded by |langs|, not the corpus")
 
   /** name → reason a no-equi-key join is still scale-safe there. */
   private val joinAllow: Map[String, String] = Map(
