@@ -89,7 +89,11 @@ class PlanLintSpec extends SparkSpec {
     "q307_neyman_allocation" ->
       "largest-remainder rank over the market-segment stratum grid — bounded by the segment domain (5), not customers",
     "q308_rr_debias" ->
-      "index rank over the distinct-language domain grid (q119's marginal class) — bounded by |langs|, not the corpus")
+      "index rank over the distinct-language domain grid (q119's marginal class) — bounded by |langs|, not the corpus",
+    "q310_theil_sen" ->
+      "median rank over the calendar-grid pair set — ≤ 730²/2 rows by construction (the corpus collapses to the per-day grid first), corpus-size-independent",
+    "q311_mann_kendall" ->
+      "row_number over the per-day order-count grid (q303's window in the shared dailyPairs helper) — bounded by the order-date calendar span")
 
   /** name → reason a no-equi-key join is still scale-safe there. */
   private val joinAllow: Map[String, String] = Map(
@@ -148,7 +152,11 @@ class PlanLintSpec extends SparkSpec {
     "q217_rvq_encode" ->
       "broadcast(4-codeword codebook) cross joins per RVQ stage — k rows by construction (q110's Lloyd assignment pass); residual join-back is an equi-join on code/vec_id",
     "q220_source_similarity" ->
-      "pair expansion joins each source's 64-row KMV sketch against the broadcast distinct-source list (~|sources| rows, q119's marginal pattern) — corpus-size-independent after the one tokenize+distinct pass")
+      "pair expansion joins each source's 64-row KMV sketch against the broadcast distinct-source list (~|sources| rows, q119's marginal pattern) — corpus-size-independent after the one tokenize+distinct pass",
+    "q310_theil_sen" ->
+      "i<j self-join of the calendar-day grid — ≤ 730²/2 pairs by construction (q266's bounded-grid DP class), corpus-size-independent after the daily aggregate",
+    "q311_mann_kendall" ->
+      "q310's calendar-grid pair join (shared dailyPairs helper) — ≤ 730²/2 pairs by construction, corpus-size-independent after the daily aggregate")
 
   private def bounded(p: LogicalPlan): Boolean = p.maxRows.exists(_ <= boundedRows)
 
