@@ -93,7 +93,9 @@ class PlanLintSpec extends SparkSpec {
     "q310_theil_sen" ->
       "median rank over the calendar-grid pair set — ≤ 730²/2 rows by construction (the corpus collapses to the per-day grid first), corpus-size-independent",
     "q311_mann_kendall" ->
-      "row_number over the per-day order-count grid (q303's window in the shared dailyPairs helper) — bounded by the order-date calendar span")
+      "row_number over the per-day order-count grid (q303's window in the shared dailyPairs helper) — bounded by the order-date calendar span",
+    "q314_segmented_trend" ->
+      "rank + prefix sum over the per-day revenue grid — q292's exact class (calendar-bounded); candidate scans are grid-sized")
 
   /** name → reason a no-equi-key join is still scale-safe there. */
   private val joinAllow: Map[String, String] = Map(
