@@ -158,7 +158,9 @@ class PlanLintSpec extends SparkSpec {
     "q310_theil_sen" ->
       "i<j self-join of the calendar-day grid — ≤ 730²/2 pairs by construction (q266's bounded-grid DP class), corpus-size-independent after the daily aggregate",
     "q311_mann_kendall" ->
-      "q310's calendar-grid pair join (shared dailyPairs helper) — ≤ 730²/2 pairs by construction, corpus-size-independent after the daily aggregate")
+      "q310's calendar-grid pair join (shared dailyPairs helper) — ≤ 730²/2 pairs by construction, corpus-size-independent after the daily aggregate",
+    "q318_mrr_eval" ->
+      "broadcast(20 query vectors) cross join — q251's one-pass eval shape; the rank window is partitioned by query")
 
   private def bounded(p: LogicalPlan): Boolean = p.maxRows.exists(_ <= boundedRows)
 
