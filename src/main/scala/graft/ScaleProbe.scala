@@ -225,6 +225,22 @@ object ScaleProbe {
       (col("id") % 5).cast("int").as("n_regionkey"))
       .write.mode("overwrite").parquet(s"$dir/nation.parquet")
 
+  /** events: 100_000·m rows over the real table's fixed 30-day span —
+    * the decade axis is rows PER DAY (days don't grow with a corpus;
+    * volume does), exactly the load q313's per-user windows and q319's
+    * two-level (day, hour) sweep-line scan must absorb.
+    */
+  private def genEvents(spark: SparkSession, dir: String, m: Int): Unit = {
+    val n = 100000L * m
+    val dayUs = 86400000000L
+    spark.range(n).select(
+      col("id").as("event_id"),
+      timestamp_micros(lit(19723L * dayUs) +
+        pmod(xxhash64(col("id"), lit(23)), lit(30L * dayUs))).as("ts"),
+      pmod(xxhash64(col("id"), lit(29)), lit(1000L * m)).as("user_id"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+  }
+
   private def genSupplier(spark: SparkSession, dir: String, m: Int): Unit =
     spark.range(1000L * m).select(
       (col("id") + 1).as("s_suppkey"),
@@ -284,7 +300,14 @@ object ScaleProbe {
     // per-(nation, supplier) HHI rollup — all claimed linear; q303/q305
     // collapse to the calendar grid and are flat by construction
     "q300_kcore_peel", "q301_knn_label_audit", "q302_good_turing",
-    "q304_hhi")
+    "q304_hhi",
+    // round-8g/8h batch: 3-round bipartite LPA (q300's join/agg family),
+    // histogram-ranked Spearman, Apriori triple fan-out (C(basket,3)-
+    // bounded, downward-closure pruned), interval union and the two-level
+    // sweep-line peak — the last two on the generated events table whose
+    // decade axis is rows PER DAY
+    "q315_lpa_communities", "q316_spearman", "q317_apriori_triples",
+    "q313_interval_union", "q319_peak_concurrency")
 
   def main(args: Array[String]): Unit = {
     val scales = if (args.nonEmpty) args.map(_.toInt).toSeq else Seq(1, 2, 5, 10)
@@ -312,6 +335,7 @@ object ScaleProbe {
           genOrders(spark, d, m); genCustomer(spark, d, m)
           genLineitem(spark, d, m); genSupplier(spark, d, m)
           genPart(spark, d, m); genNation(spark, d, m)
+          genEvents(spark, d, m)
           d
         }
       val only = sys.env.get("SPARK_GRAFT_PROBE_ONLY")
