@@ -307,7 +307,11 @@ object ScaleProbe {
     // sweep-line peak — the last two on the generated events table whose
     // decade axis is rows PER DAY
     "q315_lpa_communities", "q316_spearman", "q317_apriori_triples",
-    "q313_interval_union", "q319_peak_concurrency")
+    "q313_interval_union", "q319_peak_concurrency",
+    // round-8i batch: the q169-two-pass systematic PPS prefix (suppliers
+    // via the lineitem fact scan) and the three explode+distinct
+    // diversity passes — both claimed linear
+    "q322_systematic_pps", "q323_distinct_n")
 
   def main(args: Array[String]): Unit = {
     val scales = if (args.nonEmpty) args.map(_.toInt).toSeq else Seq(1, 2, 5, 10)

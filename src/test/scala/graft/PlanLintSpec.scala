@@ -95,7 +95,11 @@ class PlanLintSpec extends SparkSpec {
     "q311_mann_kendall" ->
       "row_number over the per-day order-count grid (q303's window in the shared dailyPairs helper) — bounded by the order-date calendar span",
     "q314_segmented_trend" ->
-      "rank + prefix sum over the per-day revenue grid — q292's exact class (calendar-bounded); candidate scans are grid-sized")
+      "rank + prefix sum over the per-day revenue grid — q292's exact class (calendar-bounded); candidate scans are grid-sized",
+    "q320_kendall_tau" ->
+      "row_number over the per-day (count, avg-cent) grid — q303/q311's calendar-bounded class",
+    "q322_systematic_pps" ->
+      "q169's two-pass shape: exclusive prefix sum over the 257-row suppkey-range bucket grid only; the per-supplier cumulative window is partitioned by bucket")
 
   /** name → reason a no-equi-key join is still scale-safe there. */
   private val joinAllow: Map[String, String] = Map(
@@ -160,7 +164,9 @@ class PlanLintSpec extends SparkSpec {
     "q311_mann_kendall" ->
       "q310's calendar-grid pair join (shared dailyPairs helper) — ≤ 730²/2 pairs by construction, corpus-size-independent after the daily aggregate",
     "q318_mrr_eval" ->
-      "broadcast(20 query vectors) cross join — q251's one-pass eval shape; the rank window is partitioned by query")
+      "broadcast(20 query vectors) cross join — q251's one-pass eval shape; the rank window is partitioned by query",
+    "q320_kendall_tau" ->
+      "q310's calendar-grid pair join — ≤ 730²/2 pairs by construction, corpus-size-independent after the daily aggregate")
 
   private def bounded(p: LogicalPlan): Boolean = p.maxRows.exists(_ <= boundedRows)
 
