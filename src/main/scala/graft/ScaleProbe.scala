@@ -311,7 +311,10 @@ object ScaleProbe {
     // round-8i batch: the q169-two-pass systematic PPS prefix (suppliers
     // via the lineitem fact scan) and the three explode+distinct
     // diversity passes — both claimed linear
-    "q322_systematic_pps", "q323_distinct_n")
+    "q322_systematic_pps", "q323_distinct_n",
+    // round-8j batch: the row-local kappa labeling pass and the k-bounded
+    // rank-churn joins — both claimed linear-to-flat
+    "q324_cohen_kappa", "q325_topk_churn")
 
   def main(args: Array[String]): Unit = {
     val scales = if (args.nonEmpty) args.map(_.toInt).toSeq else Seq(1, 2, 5, 10)
