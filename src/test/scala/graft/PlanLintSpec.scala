@@ -99,7 +99,9 @@ class PlanLintSpec extends SparkSpec {
     "q320_kendall_tau" ->
       "row_number over the per-day (count, avg-cent) grid — q303/q311's calendar-bounded class",
     "q322_systematic_pps" ->
-      "q169's two-pass shape: exclusive prefix sum over the 257-row suppkey-range bucket grid only; the per-supplier cumulative window is partitioned by bucket")
+      "q169's two-pass shape: exclusive prefix sum over the 257-row suppkey-range bucket grid only; the per-supplier cumulative window is partitioned by bucket",
+    "q328_serpentine_shards" ->
+      "q169's two-pass shape on the VALUE histogram: exclusive prefix sum over the distinct-n_chars size grid (domain-bounded); the within-size rank window is partitioned by size")
 
   /** name → reason a no-equi-key join is still scale-safe there. */
   private val joinAllow: Map[String, String] = Map(
