@@ -28,6 +28,11 @@ object Round8gOps {
       .groupBy(to_date(col("o_orderdate")).as("d"))
       .agg(expr("cast(floor(sum(cast(o_totalprice as decimal(18,2))) * 100 / 1e7) as long)")
         .as("x"))
+    segmentedTrend(daily)
+  }
+
+  /** q314's core on an explicit (d, x) daily grid — property-testable. */
+  private[ops] def segmentedTrend(daily: DataFrame): DataFrame = {
     val grid = daily
       .withColumn("i", row_number().over(Window.orderBy(col("d"))).cast("long"))
       .select(col("i"), col("x"))
@@ -50,7 +55,9 @@ object Round8gOps {
         sum(col("i") * col("x")).as("siy"), sum(col("i") * col("i")).as("sii"))
       .withColumn("num", expr("n_days * siy - si * sy"))
       .withColumn("den", expr("n_days * sii - si * si"))
-      .withColumn("slope_ppm", expr("(1000000L * num) div den"))
+      // a 1-day segment has den = 0: undefined slope, not an error
+      .withColumn("slope_ppm",
+        expr("case when den = 0L then null else (1000000L * num) div den end"))
       .select(col("segment"), col("n_days"), col("split_day"),
         col("num"), col("den"), col("slope_ppm"))
       .orderBy(col("segment"))
@@ -86,8 +93,9 @@ object Round8gOps {
       |SELECT segment, n_days, CAST(split_day AS BIGINT) AS split_day,
       |  CAST(n_days * siy - si * sy AS BIGINT) AS num,
       |  CAST(n_days * sii - si * si AS BIGINT) AS den,
-      |  CAST((1000000 * (n_days * siy - si * sy)) // (n_days * sii - si * si)
-      |    AS BIGINT) AS slope_ppm
+      |  CASE WHEN n_days * sii - si * si = 0 THEN NULL
+      |    ELSE CAST((1000000 * (n_days * siy - si * sy))
+      |      // (n_days * sii - si * si) AS BIGINT) END AS slope_ppm
       |FROM st ORDER BY segment""".stripMargin
 
   // --------------------------------------------------------------------------
