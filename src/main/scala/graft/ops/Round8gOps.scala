@@ -115,9 +115,14 @@ object Round8gOps {
   // aggregate + one per-node argmax (struct-min, map-side partial) —
   // rounds bounded at 3, all shuffles on node ids; per-round stats are
   // 1-row convergence aggregates (the q300 eager-collect class).
-  def lpaCommunities(edges: DataFrame, rounds: Int): DataFrame = {
-    val spark = edges.sparkSession
+  def lpaCommunities(edges0: DataFrame, rounds: Int): DataFrame = {
+    val spark = edges0.sparkSession
     import spark.implicits._
+    // the edge list (a fact-table join + distinct upstream) feeds TWO
+    // joins per round plus the seed scans — materialize it once instead
+    // of re-running the scan+distinct 2·rounds+2 times (bench: 6.5 s →
+    // ~2.5 s at sf0.1)
+    val edges = edges0.persist()
     def half(msgs: DataFrame, node: String): DataFrame =
       msgs.groupBy(col(node), col("lbl")).agg(count(lit(1)).as("cnt"))
         .groupBy(col(node))
@@ -145,7 +150,7 @@ object Round8gOps {
       lc.unpersist(); lp.unpersist()
       lc = lc2; lp = lp2
     }
-    lc.unpersist(); lp.unpersist()
+    lc.unpersist(); lp.unpersist(); edges.unpersist()
     out.toSeq.toDF("round", "n_labels", "top_lbl", "top_size")
       .orderBy(col("round"))
   }
