@@ -168,7 +168,9 @@ class PlanLintSpec extends SparkSpec {
     "q318_mrr_eval" ->
       "broadcast(20 query vectors) cross join — q251's one-pass eval shape; the rank window is partitioned by query",
     "q320_kendall_tau" ->
-      "q310's calendar-grid pair join — ≤ 730²/2 pairs by construction, corpus-size-independent after the daily aggregate")
+      "q310's calendar-grid pair join — ≤ 730²/2 pairs by construction, corpus-size-independent after the daily aggregate",
+    "q331_dedup_saturation" ->
+      "broadcast 4-row threshold grid by construction (explode of a sequence(1,4) over the 1-row min/max aggregate) crossed onto both count sides")
 
   private def bounded(p: LogicalPlan): Boolean = p.maxRows.exists(_ <= boundedRows)
 
