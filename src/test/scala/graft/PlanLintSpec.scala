@@ -101,7 +101,11 @@ class PlanLintSpec extends SparkSpec {
     "q322_systematic_pps" ->
       "q169's two-pass shape: exclusive prefix sum over the 257-row suppkey-range bucket grid only; the per-supplier cumulative window is partitioned by bucket",
     "q328_serpentine_shards" ->
-      "q169's two-pass shape on the VALUE histogram: exclusive prefix sum over the distinct-n_chars size grid (domain-bounded); the within-size rank window is partitioned by size")
+      "q169's two-pass shape on the VALUE histogram: exclusive prefix sum over the distinct-n_chars size grid (domain-bounded); the within-size rank window is partitioned by size",
+    "q333_mase_backtest" ->
+      "row_number + lag windows over the per-day order-count grid — q167/q303's calendar-bounded class",
+    "q334_siegel_slope" ->
+      "row_number over the calendar-day grid and the outer median rank over ≤ 730 per-day medians — q310's calendar-bounded class; the inner median rank is partitioned by day")
 
   /** name → reason a no-equi-key join is still scale-safe there. */
   private val joinAllow: Map[String, String] = Map(
@@ -170,7 +174,9 @@ class PlanLintSpec extends SparkSpec {
     "q320_kendall_tau" ->
       "q310's calendar-grid pair join — ≤ 730²/2 pairs by construction, corpus-size-independent after the daily aggregate",
     "q331_dedup_saturation" ->
-      "broadcast 4-row threshold grid by construction (explode of a sequence(1,4) over the 1-row min/max aggregate) crossed onto both count sides")
+      "broadcast 4-row threshold grid by construction (explode of a sequence(1,4) over the 1-row min/max aggregate) crossed onto both count sides",
+    "q334_siegel_slope" ->
+      "q310's calendar-grid pair join (j ≠ i variant) — ≤ 730² pairs by construction, corpus-size-independent after the daily aggregate")
 
   private def bounded(p: LogicalPlan): Boolean = p.maxRows.exists(_ <= boundedRows)
 
