@@ -104,6 +104,8 @@ class PlanLintSpec extends SparkSpec {
       "q169's two-pass shape on the VALUE histogram: exclusive prefix sum over the distinct-n_chars size grid (domain-bounded); the within-size rank window is partitioned by size",
     "q333_mase_backtest" ->
       "row_number + lag windows over the per-day order-count grid — q167/q303's calendar-bounded class",
+    "q336_vocab_coverage" ->
+      "cum sums over the count-of-counts frequency grid — bounded far below the corpus (q302's class)",
     "q334_siegel_slope" ->
       "row_number over the calendar-day grid and the outer median rank over ≤ 730 per-day medians — q310's calendar-bounded class; the inner median rank is partitioned by day")
 
@@ -176,7 +178,9 @@ class PlanLintSpec extends SparkSpec {
     "q331_dedup_saturation" ->
       "broadcast 4-row threshold grid by construction (explode of a sequence(1,4) over the 1-row min/max aggregate) crossed onto both count sides",
     "q334_siegel_slope" ->
-      "q310's calendar-grid pair join (j ≠ i variant) — ≤ 730² pairs by construction, corpus-size-independent after the daily aggregate")
+      "q310's calendar-grid pair join (j ≠ i variant) — ≤ 730² pairs by construction, corpus-size-independent after the daily aggregate",
+    "q336_vocab_coverage" ->
+      "broadcast 3-row target grid by construction (explode over the 1-row token-total aggregate) crossed onto the count-of-counts grid — q331's class")
 
   private def bounded(p: LogicalPlan): Boolean = p.maxRows.exists(_ <= boundedRows)
 
