@@ -314,7 +314,16 @@ object ScaleProbe {
     "q322_systematic_pps", "q323_distinct_n",
     // round-8j batch: the row-local kappa labeling pass and the k-bounded
     // rank-churn joins — both claimed linear-to-flat
-    "q324_cohen_kappa", "q325_topk_churn")
+    "q324_cohen_kappa", "q325_topk_churn",
+    // round-8k..8o text/planning batches: contamination semi-joins,
+    // histogram-rank sharding, grid-math reweighting, LOO subtraction,
+    // saturation thresholds, row-local set keys, the 5-pass novelty
+    // curve and the count-of-counts coverage crossing — all claimed
+    // linear or better
+    "q327_eval_contamination", "q328_serpentine_shards",
+    "q329_mixture_reweight", "q330_loo_source_stats",
+    "q331_dedup_saturation", "q332_token_set_groups",
+    "q335_novelty_curve", "q336_vocab_coverage")
 
   def main(args: Array[String]): Unit = {
     val scales = if (args.nonEmpty) args.map(_.toInt).toSeq else Seq(1, 2, 5, 10)
