@@ -186,7 +186,11 @@ class PlanLintSpec extends SparkSpec {
     "q334_siegel_slope" ->
       "q310's calendar-grid pair join (j ≠ i variant) — ≤ 730² pairs by construction, corpus-size-independent after the daily aggregate",
     "q336_vocab_coverage" ->
-      "broadcast 3-row target grid by construction (explode over the 1-row token-total aggregate) crossed onto the count-of-counts grid — q331's class")
+      "broadcast 3-row target grid by construction (explode over the 1-row token-total aggregate) crossed onto the count-of-counts grid — q331's class",
+    "q347_friedman" ->
+      "day×type grid densification — distinct-calendar-days × broadcast distinct-event-types (q119's contingency class); the rank window is partitioned by day over k rows",
+    "q348_source_divergence" ->
+      "20-row source-totals marginal cross (q220's pattern) — both sides distinct-source aggregates, corpus-size-independent; the per-word pair expansion is an equi-join on the word")
 
   private def bounded(p: LogicalPlan): Boolean = p.maxRows.exists(_ <= boundedRows)
 
