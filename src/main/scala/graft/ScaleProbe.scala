@@ -237,7 +237,12 @@ object ScaleProbe {
       col("id").as("event_id"),
       timestamp_micros(lit(19723L * dayUs) +
         pmod(xxhash64(col("id"), lit(23)), lit(30L * dayUs))).as("ts"),
-      pmod(xxhash64(col("id"), lit(29)), lit(1000L * m)).as("user_id"))
+      pmod(xxhash64(col("id"), lit(29)), lit(1000L * m)).as("user_id"),
+      // 5-type Zipf-ish mix so the transition-chain probes (q340) see a
+      // realistic non-uniform matrix on the same rows-per-day axis
+      element_at(
+        array(lit("view"), lit("view"), lit("click"), lit("cart"), lit("buy")),
+        (pmod(xxhash64(col("id"), lit(31)), lit(5)) + 1).cast("int")).as("event_type"))
       .write.mode("overwrite").parquet(s"$dir/events.parquet")
   }
 
@@ -323,7 +328,16 @@ object ScaleProbe {
     "q327_eval_contamination", "q328_serpentine_shards",
     "q329_mixture_reweight", "q330_loo_source_stats",
     "q331_dedup_saturation", "q332_token_set_groups",
-    "q335_novelty_curve", "q336_vocab_coverage")
+    "q335_novelty_curve", "q336_vocab_coverage",
+    // round-8q..8u batches: the user-chain stationary mix (one lead
+    // window + k-grid power iterations), Adamic–Adar wedge fan-out
+    // (deg²-bounded by the 256 connector cap), the clipped-bigram
+    // pair audit (cost ∝ true pair set), the 190-pair per-word
+    // divergence equi-join, and the value-histogram rank test — all
+    // claimed linear; the rest of the new batches collapse to
+    // calendar/bounded grids
+    "q340_stationary_mix", "q343_adamic_adar", "q345_rouge2_pairs",
+    "q348_source_divergence", "q341_kruskal_wallis")
 
   def main(args: Array[String]): Unit = {
     val scales = if (args.nonEmpty) args.map(_.toInt).toSeq else Seq(1, 2, 5, 10)

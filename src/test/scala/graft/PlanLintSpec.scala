@@ -112,6 +112,8 @@ class PlanLintSpec extends SparkSpec {
       "q169's two-pass shape on the VALUE histogram: exclusive prefix sum over the distinct-balance-cents grid only (q328's class); ranks join back equi on the cent value",
     "q344_ewma_bands" ->
       "row_number over the per-day order-count grid — q167/q303's calendar-bounded class; both EWMA passes are the grid × a provably-23-row broadcast lag range",
+    "q349_granger_lite" ->
+      "row_number over the per-day (count, revenue) grid — q339's calendar-bounded class; the lag pairing is one equi-join on the shifted index",
     "q334_siegel_slope" ->
       "row_number over the calendar-day grid and the outer median rank over ≤ 730 per-day medians — q310's calendar-bounded class; the inner median rank is partitioned by day")
 
