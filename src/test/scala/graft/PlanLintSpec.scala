@@ -114,6 +114,8 @@ class PlanLintSpec extends SparkSpec {
       "row_number over the per-day order-count grid — q167/q303's calendar-bounded class; both EWMA passes are the grid × a provably-23-row broadcast lag range",
     "q349_granger_lite" ->
       "row_number over the per-day (count, revenue) grid — q339's calendar-bounded class; the lag pairing is one equi-join on the shifted index",
+    "q353_energy_distance" ->
+      "q169's two-pass shape on the VALUE histogram: four prefix sums over the distinct-balance-cents grid only (q341's class); everything else is hash aggregates",
     "q334_siegel_slope" ->
       "row_number over the calendar-day grid and the outer median rank over ≤ 730 per-day medians — q310's calendar-bounded class; the inner median rank is partitioned by day")
 
@@ -192,7 +194,9 @@ class PlanLintSpec extends SparkSpec {
     "q347_friedman" ->
       "day×type grid densification — distinct-calendar-days × broadcast distinct-event-types (q119's contingency class); the rank window is partitioned by day over k rows",
     "q348_source_divergence" ->
-      "20-row source-totals marginal cross (q220's pattern) — both sides distinct-source aggregates, corpus-size-independent; the per-word pair expansion is an equi-join on the word")
+      "20-row source-totals marginal cross (q220's pattern) — both sides distinct-source aggregates, corpus-size-independent; the per-word pair expansion is an equi-join on the word",
+    "q354_fano_dispersion" ->
+      "day×type grid densification — distinct-calendar-days × broadcast distinct-event-types (q347's class); two hash aggregates after")
 
   private def bounded(p: LogicalPlan): Boolean = p.maxRows.exists(_ <= boundedRows)
 
