@@ -116,6 +116,8 @@ class PlanLintSpec extends SparkSpec {
       "row_number over the per-day (count, revenue) grid — q339's calendar-bounded class; the lag pairing is one equi-join on the shifted index",
     "q353_energy_distance" ->
       "q169's two-pass shape on the VALUE histogram: four prefix sums over the distinct-balance-cents grid only (q341's class); everything else is hash aggregates",
+    "q356_median_ci" ->
+      "q169's two-pass shape on the VALUE histogram: one cumulative window over the distinct-balance-cents grid only (q341's class); the rank probes are a 4-row broadcast",
     "q334_siegel_slope" ->
       "row_number over the calendar-day grid and the outer median rank over ≤ 730 per-day medians — q310's calendar-bounded class; the inner median rank is partitioned by day")
 
@@ -196,7 +198,9 @@ class PlanLintSpec extends SparkSpec {
     "q348_source_divergence" ->
       "20-row source-totals marginal cross (q220's pattern) — both sides distinct-source aggregates, corpus-size-independent; the per-word pair expansion is an equi-join on the word",
     "q354_fano_dispersion" ->
-      "day×type grid densification — distinct-calendar-days × broadcast distinct-event-types (q347's class); two hash aggregates after")
+      "day×type grid densification — distinct-calendar-days × broadcast distinct-event-types (q347's class); two hash aggregates after",
+    "q356_median_ci" ->
+      "bounded-grid range lookup (q249/q331's class): a 4-row rank list (explode over the 1-row total aggregate) probed against the distinct-cents cumulative grid")
 
   private def bounded(p: LogicalPlan): Boolean = p.maxRows.exists(_ <= boundedRows)
 
