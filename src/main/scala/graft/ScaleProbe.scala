@@ -189,7 +189,11 @@ object ScaleProbe {
       (pmod(xxhash64(col("id"), lit(53)), lit(50)) + 1).cast("double").as("l_quantity"),
       round((pmod(xxhash64(col("id"), lit(53)), lit(50)) + 1).cast("double") *
         (pmod(xxhash64(col("id"), lit(59)), lit(500001)).cast("double") / 100.0 + 100.0), 2)
-        .as("l_extendedprice"))
+        .as("l_extendedprice"),
+      // hash-dated shipdate on the same 2-year axis as o_orderdate so the
+      // priority/latency probes (q363/q369) see a bounded ±730-day grid
+      to_timestamp(date_add(lit(java.sql.Date.valueOf("2023-01-01")),
+        pmod(xxhash64(col("id"), lit(71)), lit(760)).cast("int"))).as("l_shipdate"))
       .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
   }
 
@@ -337,7 +341,15 @@ object ScaleProbe {
     // claimed linear; the rest of the new batches collapse to
     // calendar/bounded grids
     "q340_stationary_mix", "q343_adamic_adar", "q345_rouge2_pairs",
-    "q348_source_divergence", "q341_kruskal_wallis")
+    "q348_source_divergence", "q341_kruskal_wallis",
+    // round-8aa..8ag batches: the (source, token) lexical panel, the
+    // priority-latency histogram join (JT), the per-order pair build
+    // feeding Bradley–Terry (fan-out bounded by lines/order), the
+    // multi-probe stitch join (7 keys/doc, df ≤ 1000 cap), and the
+    // count-of-counts extrapolation — the five non-grid shapes of the
+    // session; the rest collapse to calendar/QI/bin grids
+    "q360_lexical_diversity", "q363_jonckheere", "q368_bradley_terry",
+    "q371_stitch_census", "q372_good_toulmin")
 
   def main(args: Array[String]): Unit = {
     val scales = if (args.nonEmpty) args.map(_.toInt).toSeq else Seq(1, 2, 5, 10)
