@@ -125,7 +125,11 @@ class PlanLintSpec extends SparkSpec {
     "q364_t_closeness" ->
       "global cum window over the ≤11-row $1000 balance-band grid (cents div 100000 with acctbal in [-1000, 10000]) — domain-bounded; the per-group cum window is partitioned by QI group",
     "q373_cvm_test" ->
-      "two prefix sums over the 50-value quantity grid — q261's domain-bounded class; the corpus collapses to the histogram first")
+      "two prefix sums over the 50-value quantity grid — q261's domain-bounded class; the corpus collapses to the histogram first",
+    "q379_rank_stability" ->
+      "rank windows over the ≤2k-row union of two LIMIT-k supplier cuts (k = 100 by construction) — corpus-size-independent after the per-supplier aggregate",
+    "q380_pot_census" ->
+      "p90 rank probe + island lag/cum windows over the per-day order-count grid — q167/q303's calendar-bounded class")
 
   /** name → reason a no-equi-key join is still scale-safe there. */
   private val joinAllow: Map[String, String] = Map(
@@ -212,7 +216,11 @@ class PlanLintSpec extends SparkSpec {
     "q364_t_closeness" ->
       "125-row QI grid × ≤11-row band grid densification (q119's contingency class) plus broadcast 1-row totals — every no-equi side is a domain-bounded aggregate",
     "q367_isotonic" ->
-      "a<=b self-join of the ≤101-row score-bin grid and the ≤171k-row minimax range join onto it — all sides bounded by floor(p*100) in [0,100] by construction (q241/q266's bounded-grid DP class)")
+      "a<=b self-join of the ≤101-row score-bin grid and the ≤171k-row minimax range join onto it — all sides bounded by floor(p*100) in [0,100] by construction (q241/q266's bounded-grid DP class)",
+    "q379_rank_stability" ->
+      "sk<sk self-join of the ≤200-row top-k union grid (two LIMIT-100 cuts by construction) plus a broadcast 1-row midpoint aggregate — corpus-size-independent pair set",
+    "q380_pot_census" ->
+      "broadcast 1-row sides by construction: the day-count aggregate, the single p90 rank-probe row, and the final census × threshold join — all on the calendar grid")
 
   private def bounded(p: LogicalPlan): Boolean = p.maxRows.exists(_ <= boundedRows)
 
