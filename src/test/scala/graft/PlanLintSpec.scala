@@ -220,7 +220,9 @@ class PlanLintSpec extends SparkSpec {
     "q379_rank_stability" ->
       "sk<sk self-join of the ≤200-row top-k union grid (two LIMIT-100 cuts by construction) plus a broadcast 1-row midpoint aggregate — corpus-size-independent pair set",
     "q380_pot_census" ->
-      "broadcast 1-row sides by construction: the day-count aggregate, the single p90 rank-probe row, and the final census × threshold join — all on the calendar grid")
+      "broadcast 1-row sides by construction: the day-count aggregate, the single p90 rank-probe row, and the final census × threshold join — all on the calendar grid",
+    "q384_ring_balance" ->
+      "clockwise-next range join against the broadcast 128-row vnode ring (8 nodes × 16 vnodes by construction, data-independent) — ×128 candidate rows per key collapsed by the per-key min, linear in keys")
 
   private def bounded(p: LogicalPlan): Boolean = p.maxRows.exists(_ <= boundedRows)
 
