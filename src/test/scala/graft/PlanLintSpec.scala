@@ -129,7 +129,11 @@ class PlanLintSpec extends SparkSpec {
     "q379_rank_stability" ->
       "rank windows over the ≤2k-row union of two LIMIT-k supplier cuts (k = 100 by construction) — corpus-size-independent after the per-supplier aggregate",
     "q380_pot_census" ->
-      "p90 rank probe + island lag/cum windows over the per-day order-count grid — q167/q303's calendar-bounded class")
+      "p90 rank probe + island lag/cum windows over the per-day order-count grid — q167/q303's calendar-bounded class",
+    "q385_hampel_filter" ->
+      "±3-day collect_list window over the per-day order-count grid — q167/q303's calendar-bounded class; all scoring is row-local array sorting",
+    "q386_oov_audit" ->
+      "descending cum window over the count-of-counts frequency grid — bounded far below the corpus (q302/q336's class)")
 
   /** name → reason a no-equi-key join is still scale-safe there. */
   private val joinAllow: Map[String, String] = Map(
