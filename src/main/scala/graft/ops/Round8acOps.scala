@@ -73,6 +73,71 @@ object Round8acOps {
           / (lit(4.0) * sqrt(col("var_d"))), 6).as("z6"))
   }
 
+  /** JT via per-group prefix sums on the pooled value grid — the scale
+    * path for the fixed g ∈ 1..5 catalog query. The real latency grid
+    * carries ~24k (g, v) cells, so histJt's non-equi pair join would
+    * evaluate ~230M cell pairs; telescoping U_ij = Σ_v c_j(v)·(2·cum_i(<v)
+    * + c_i(v)) turns that into ONE window over the ≤~5k-value grid with a
+    * row-local 25-term dag (q353's prefix-sum collapse). Output and
+    * numerics identical to histJt (the spec pins equality on fixtures).
+    */
+  def pooledJt5(rows: DataFrame): DataFrame = {
+    def cg(i: Int) = count_if(col("g") === i.toLong).as(s"c$i")
+    val grid = rows.groupBy(col("v"))
+      .agg(cg(1), cg(2), cg(3), cg(4), cg(5))
+      .localCheckpoint()
+    val wlt = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = (1 to 5).foldLeft(grid) { (df, i) =>
+      df.withColumn(s"m$i", coalesce(sum(col(s"c$i")).over(wlt), lit(0L)))
+    }
+    val jtTerm = (2 to 5).map { j =>
+      val low = (1 until j).map(i => s"m$i").mkString(" + ")
+      val eq = (1 until j).map(i => s"c$i").mkString(" + ")
+      s"cast(c$j as decimal(38,0)) * (4L * ($low) + 2L * ($eq))"
+    }.mkString(" + ")
+    val jt = cum.agg(sum(expr(jtTerm)).as("jt_x4"))
+    val grp = grid.agg(sum(col("c1")).as("n1"),
+      (2 to 5).map(i => sum(col(s"c$i")).as(s"n$i")): _*)
+    val comps = grp.select(
+      expr((1 to 5).map(i => s"n$i").mkString(" + ")).as("n"),
+      expr((1 to 5).map(i => s"(case when n$i > 0 then 1L else 0L end)")
+        .mkString(" + ")).as("k"),
+      expr((1 to 5).map(i => s"n$i * n$i").mkString(" + ")).as("sum_ni2"),
+      expr((1 to 5).map(i =>
+        s"cast(n$i as decimal(38,0)) * (n$i - 1L) * (2L * n$i + 5L)")
+        .mkString(" + ")).as("b_comp"),
+      expr((1 to 5).map(i =>
+        s"cast(n$i as decimal(38,0)) * (n$i - 1L) * (n$i - 2L)")
+        .mkString(" + ")).as("d_comp"),
+      expr((1 to 5).map(i => s"cast(n$i as decimal(38,0)) * (n$i - 1L)")
+        .mkString(" + ")).as("f_comp"))
+    val ties = grid
+      .select(expr("c1 + c2 + c3 + c4 + c5").as("tv"))
+      .agg(sum(expr("cast(tv as decimal(38,0)) * (tv - 1L) * (2L * tv + 5L)"))
+          .as("c_comp"),
+        sum(expr("cast(tv as decimal(38,0)) * (tv - 1L) * (tv - 2L)"))
+          .as("e_comp"),
+        sum(expr("cast(tv as decimal(38,0)) * (tv - 1L)")).as("g_comp"))
+    jt.crossJoin(broadcast(comps)).crossJoin(broadcast(ties))
+      .withColumn("e_jt_x4",
+        expr("cast(n as decimal(38,0)) * n - sum_ni2"))
+      .withColumn("a_comp",
+        expr("cast(n as decimal(38,0)) * (n - 1L) * (2L * n + 5L)"))
+      .withColumn("var_d", expr(
+        """cast(a_comp - b_comp - c_comp as double) / 72.0d
+          | + cast(d_comp * e_comp as double)
+          |   / cast(36L * (cast(n as decimal(38,0)) * (n - 1L) * (n - 2L)) as double)
+          | + cast(f_comp * g_comp as double)
+          |   / cast(8L * (cast(n as decimal(38,0)) * (n - 1L)) as double)"""
+        .stripMargin))
+      .select(col("n").cast("long").as("n"), col("k").cast("long").as("n_groups"),
+        col("jt_x4").cast("long").as("jt_x4"),
+        col("e_jt_x4").cast("long").as("e_jt_x4"),
+        Num.pround(expr("cast(jt_x4 - e_jt_x4 as double)")
+          / (lit(4.0) * sqrt(col("var_d"))), 6).as("z6"))
+  }
+
   def q363Jonckheere(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(spark, dir)
       .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
@@ -83,45 +148,69 @@ object Round8acOps {
       .select(substring(col("o_orderpriority"), 1, 1).cast("long").as("g"),
         datediff(to_date(col("l_shipdate")), to_date(col("o_orderdate")))
           .cast("long").as("v"))
-    histJt(hist)
+    pooledJt5(hist)
   }
 
-  val q363Sql: String =
-    """WITH rows_ AS (
-      |  SELECT CAST(substring(o_orderpriority, 1, 1) AS BIGINT) AS g,
-      |    date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) AS v
-      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
-      |hist AS (SELECT g, v, COUNT(*) AS c FROM rows_ GROUP BY 1, 2),
-      |jt AS (
-      |  SELECT SUM(a.c::HUGEINT * b.c
-      |    * (2 * (CASE WHEN a.v < b.v THEN 2 WHEN a.v = b.v THEN 1 ELSE 0 END)))
-      |    AS jt_x4
-      |  FROM hist a JOIN hist b ON a.g < b.g),
-      |grp AS (
-      |  SELECT SUM(ni) AS n, COUNT(*) AS k, SUM(ni * ni) AS sum_ni2,
-      |    SUM(ni::HUGEINT * (ni - 1) * (2 * ni + 5)) AS b_comp,
-      |    SUM(ni::HUGEINT * (ni - 1) * (ni - 2)) AS d_comp,
-      |    SUM(ni::HUGEINT * (ni - 1)) AS f_comp
-      |  FROM (SELECT g, SUM(c) AS ni FROM hist GROUP BY 1)),
-      |ties AS (
-      |  SELECT SUM(tv::HUGEINT * (tv - 1) * (2 * tv + 5)) AS c_comp,
-      |    SUM(tv::HUGEINT * (tv - 1) * (tv - 2)) AS e_comp,
-      |    SUM(tv::HUGEINT * (tv - 1)) AS g_comp
-      |  FROM (SELECT v, SUM(c) AS tv FROM hist GROUP BY 1)),
-      |d AS (
-      |  SELECT n, k, jt_x4,
-      |    n::HUGEINT * n - sum_ni2 AS e_jt_x4,
-      |    CAST(n::HUGEINT * (n - 1) * (2 * n + 5) - b_comp - c_comp AS DOUBLE) / 72.0
-      |      + CAST(d_comp * e_comp AS DOUBLE)
-      |        / CAST(36 * (n::HUGEINT * (n - 1) * (n - 2)) AS DOUBLE)
-      |      + CAST(f_comp * g_comp AS DOUBLE)
-      |        / CAST(8 * (n::HUGEINT * (n - 1)) AS DOUBLE) AS var_d
-      |  FROM jt, grp, ties)
-      |SELECT CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS n_groups,
-      |  CAST(jt_x4 AS BIGINT) AS jt_x4, CAST(e_jt_x4 AS BIGINT) AS e_jt_x4,
-      |  FLOOR((CAST(jt_x4 - e_jt_x4 AS DOUBLE) / (4.0 * sqrt(var_d))) * 1e6 + 0.5)
-      |    / 1e6 AS z6
-      |FROM d""".stripMargin
+  val q363Sql: String = {
+    val cs = (1 to 5).map(i => s"COUNT(*) FILTER (g = $i) AS c$i")
+      .mkString(", ")
+    val ms = (1 to 5).map(i =>
+      s"""COALESCE(SUM(c$i) OVER (ORDER BY v
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS m$i"""
+        .stripMargin).mkString(",\n      |    ")
+    val jtTerm = (2 to 5).map { j =>
+      val low = (1 until j).map(i => s"m$i").mkString(" + ")
+      val eq = (1 until j).map(i => s"c$i").mkString(" + ")
+      s"c$j::HUGEINT * (4 * ($low) + 2 * ($eq))"
+    }.mkString("\n      |    + ")
+    s"""WITH rows_ AS (
+       |  SELECT CAST(substring(o_orderpriority, 1, 1) AS BIGINT) AS g,
+       |    date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) AS v
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       |grid AS (
+       |  SELECT v, $cs FROM rows_ GROUP BY 1),
+       |cum AS (
+       |  SELECT v, c1, c2, c3, c4, c5,
+       |    $ms
+       |  FROM grid),
+       |jt AS (
+       |  SELECT SUM($jtTerm) AS jt_x4
+       |  FROM cum),
+       |grp AS (
+       |  SELECT ${(1 to 5).map(i => s"SUM(c$i) AS n$i").mkString(", ")}
+       |  FROM grid),
+       |comps AS (
+       |  SELECT ${(1 to 5).map(i => s"n$i").mkString(" + ")} AS n,
+       |    ${(1 to 5).map(i => s"(CASE WHEN n$i > 0 THEN 1 ELSE 0 END)")
+            .mkString(" + ")} AS k,
+       |    ${(1 to 5).map(i => s"n$i * n$i").mkString(" + ")} AS sum_ni2,
+       |    ${(1 to 5).map(i => s"n$i::HUGEINT * (n$i - 1) * (2 * n$i + 5)")
+            .mkString(" + ")} AS b_comp,
+       |    ${(1 to 5).map(i => s"n$i::HUGEINT * (n$i - 1) * (n$i - 2)")
+            .mkString(" + ")} AS d_comp,
+       |    ${(1 to 5).map(i => s"n$i::HUGEINT * (n$i - 1)")
+            .mkString(" + ")} AS f_comp
+       |  FROM grp),
+       |ties AS (
+       |  SELECT SUM(tv::HUGEINT * (tv - 1) * (2 * tv + 5)) AS c_comp,
+       |    SUM(tv::HUGEINT * (tv - 1) * (tv - 2)) AS e_comp,
+       |    SUM(tv::HUGEINT * (tv - 1)) AS g_comp
+       |  FROM (SELECT c1 + c2 + c3 + c4 + c5 AS tv FROM grid)),
+       |d AS (
+       |  SELECT n, k, jt_x4,
+       |    n::HUGEINT * n - sum_ni2 AS e_jt_x4,
+       |    CAST(n::HUGEINT * (n - 1) * (2 * n + 5) - b_comp - c_comp AS DOUBLE) / 72.0
+       |      + CAST(d_comp * e_comp AS DOUBLE)
+       |        / CAST(36 * (n::HUGEINT * (n - 1) * (n - 2)) AS DOUBLE)
+       |      + CAST(f_comp * g_comp AS DOUBLE)
+       |        / CAST(8 * (n::HUGEINT * (n - 1)) AS DOUBLE) AS var_d
+       |  FROM jt, comps, ties)
+       |SELECT CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS n_groups,
+       |  CAST(jt_x4 AS BIGINT) AS jt_x4, CAST(e_jt_x4 AS BIGINT) AS e_jt_x4,
+       |  FLOOR((CAST(jt_x4 - e_jt_x4 AS DOUBLE) / (4.0 * sqrt(var_d))) * 1e6 + 0.5)
+       |    / 1e6 AS z6
+       |FROM d""".stripMargin
+  }
 
   // --------------------------------------------------------------------------
   // q364 — T-CLOSENESS AUDIT: q351's l-diversity counts distinct

@@ -122,6 +122,8 @@ class PlanLintSpec extends SparkSpec {
       "row_number over the calendar-day grid and the outer median rank over ≤ 730 per-day medians — q310's calendar-bounded class; the inner median rank is partitioned by day",
     "q359_runs_test" ->
       "median rank + sign-change lag over the per-day revenue grid — q167/q303's calendar-bounded class; orders collapse to the day grid before any window",
+    "q363_jonckheere" ->
+      "per-group strictly-less prefix sums over the pooled latency-day grid — bounded by the calendar-span latency domain, not rows (replaced the histogram pair join after the 24k-cell bench regression)",
     "q364_t_closeness" ->
       "global cum window over the ≤11-row $1000 balance-band grid (cents div 100000 with acctbal in [-1000, 10000]) — domain-bounded; the per-group cum window is partitioned by QI group",
     "q373_cvm_test" ->
@@ -215,8 +217,6 @@ class PlanLintSpec extends SparkSpec {
       "day×type grid densification — distinct-calendar-days × broadcast distinct-event-types (q347's class); two hash aggregates after",
     "q356_median_ci" ->
       "bounded-grid range lookup (q249/q331's class): a 4-row rank list (explode over the 1-row total aggregate) probed against the distinct-cents cumulative grid",
-    "q363_jonckheere" ->
-      "g<g self-join of the 5×~122 (priority, latency-day) histogram — both sides grid aggregates bounded by the priority × calendar-latency domain (q310's bounded-pair class), corpus-size-independent after the histogram",
     "q364_t_closeness" ->
       "125-row QI grid × ≤11-row band grid densification (q119's contingency class) plus broadcast 1-row totals — every no-equi side is a domain-bounded aggregate",
     "q367_isotonic" ->

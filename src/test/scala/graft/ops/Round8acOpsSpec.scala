@@ -17,6 +17,20 @@ class Round8acOpsSpec extends SparkSpec {
     assert(r.getDouble(4) === 1.224745)
   }
 
+  test("q363 pooled prefix-sum path equals histJt on fixtures") {
+    import spark.implicits._
+    val fixtures = Seq(
+      Seq((1L, 1L), (1L, 2L), (2L, 2L), (2L, 3L)),
+      (1 to 90).map(i => ((i % 3 + 1).toLong, ((i * 7) % 5).toLong)).toSeq,
+      (1 to 60).map(i => ((i % 5 + 1).toLong, ((i * 11) % 7).toLong)).toSeq)
+    fixtures.foreach { rows =>
+      val df = rows.toDF("g", "v")
+      val a = Round8acOps.histJt(df).collect()(0)
+      val b = Round8acOps.pooledJt5(df).collect()(0)
+      assert(a.toSeq === b.toSeq)
+    }
+  }
+
   test("q363 matches a brute-force pair count on generated rows") {
     import spark.implicits._
     val rows = (1 to 90).map(i => ((i % 3 + 1).toLong, ((i * 7) % 5).toLong))
