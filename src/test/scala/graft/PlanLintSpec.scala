@@ -135,7 +135,11 @@ class PlanLintSpec extends SparkSpec {
     "q385_hampel_filter" ->
       "±3-day collect_list window over the per-day order-count grid — q167/q303's calendar-bounded class; all scoring is row-local array sorting",
     "q386_oov_audit" ->
-      "descending cum window over the count-of-counts frequency grid — bounded far below the corpus (q302/q336's class)")
+      "descending cum window over the count-of-counts frequency grid — bounded far below the corpus (q302/q336's class)",
+    "q397_tail_amplification" ->
+      "one cum window over the latency-day grid — bounded by the calendar-span latency domain (q363's class); the squaring chain is row-local",
+    "q398_km_bands" ->
+      "q237's exact allowlisted shape: at-risk/survival/Greenwood cum windows over the distinct-duration DAY grid — calendar-bounded, not user- or event-bounded")
 
   /** name → reason a no-equi-key join is still scale-safe there. */
   private val joinAllow: Map[String, String] = Map(
