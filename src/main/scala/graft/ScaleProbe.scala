@@ -349,7 +349,13 @@ object ScaleProbe {
     // count-of-counts extrapolation — the five non-grid shapes of the
     // session; the rest collapse to calendar/QI/bin grids
     "q360_lexical_diversity", "q363_jonckheere", "q368_bradley_terry",
-    "q371_stitch_census", "q372_good_toulmin")
+    "q371_stitch_census", "q372_good_toulmin",
+    // round-8ah..8au batches: the vocabulary-keyed OOV/CMS/template
+    // shapes (token-count passes + bounded grids) and the q363 prefix-sum
+    // rewrite re-probed after the 24k-cell bench regression fix; the
+    // rest are single aggregates over bounded grids
+    "q386_oov_audit", "q394_cms_audit", "q399_template_census",
+    "q397_tail_amplification")
 
   def main(args: Array[String]): Unit = {
     val scales = if (args.nonEmpty) args.map(_.toInt).toSeq else Seq(1, 2, 5, 10)
