@@ -139,7 +139,9 @@ class PlanLintSpec extends SparkSpec {
     "q397_tail_amplification" ->
       "one cum window over the latency-day grid — bounded by the calendar-span latency domain (q363's class); the squaring chain is row-local",
     "q398_km_bands" ->
-      "q237's exact allowlisted shape: at-risk/survival/Greenwood cum windows over the distinct-duration DAY grid — calendar-bounded, not user- or event-bounded")
+      "q237's exact allowlisted shape: at-risk/survival/Greenwood cum windows over the distinct-duration DAY grid — calendar-bounded, not user- or event-bounded",
+    "q404_growth_accounting" ->
+      "one lag over the ~25-row month grid (calendar-bounded, q167's class); all customer-level work is hash joins/aggregates")
 
   /** name → reason a no-equi-key join is still scale-safe there. */
   private val joinAllow: Map[String, String] = Map(
