@@ -141,7 +141,9 @@ class PlanLintSpec extends SparkSpec {
     "q398_km_bands" ->
       "q237's exact allowlisted shape: at-risk/survival/Greenwood cum windows over the distinct-duration DAY grid — calendar-bounded, not user- or event-bounded",
     "q404_growth_accounting" ->
-      "one lag over the ~25-row month grid (calendar-bounded, q167's class); all customer-level work is hash joins/aggregates")
+      "one lag over the ~25-row month grid (calendar-bounded, q167's class); all customer-level work is hash joins/aggregates",
+    "q405_abc_classification" ->
+      "descending cum window over the $100 revenue-band grid — bounded by the price domain (q118's class), not by parts")
 
   /** name → reason a no-equi-key join is still scale-safe there. */
   private val joinAllow: Map[String, String] = Map(
