@@ -355,7 +355,14 @@ object ScaleProbe {
     // rewrite re-probed after the 24k-cell bench regression fix; the
     // rest are single aggregates over bounded grids
     "q386_oov_audit", "q394_cms_audit", "q399_template_census",
-    "q397_tail_amplification")
+    "q397_tail_amplification",
+    // round-9 additions (verdict task 5): the two top-5 bench queries
+    // without their own curves — HITS (8 bounded rounds of join+agg over
+    // the once-materialized supplier↔part edge list; per-round cost is
+    // claimed edge-linear) and Siegel repeated medians (calendar-grid
+    // pair expansion, ≤730² pairs at ANY corpus size; claimed flat by
+    // construction after the daily collapse)
+    "q350_hits", "q334_siegel_slope")
 
   def main(args: Array[String]): Unit = {
     val scales = if (args.nonEmpty) args.map(_.toInt).toSeq else Seq(1, 2, 5, 10)

@@ -78,7 +78,7 @@ object Round8tOps {
        |  JOIN grams a ON a.doc_id = id_a
        |  JOIN grams b ON b.doc_id = id_b AND a.g = b.g
        |  GROUP BY 1, 2)
-       |SELECT id_a, id_b, COALESCE(clip, 0) AS clip,
+       |SELECT id_a, id_b, CAST(COALESCE(clip, 0) AS BIGINT) AS clip,
        |  CAST(sa.tb AS BIGINT) AS tb_a, CAST(sb.tb AS BIGINT) AS tb_b,
        |  CAST((1000000 * COALESCE(clip, 0)) // sa.tb AS BIGINT) AS p_ppm,
        |  CAST((1000000 * COALESCE(clip, 0)) // sb.tb AS BIGINT) AS r_ppm,

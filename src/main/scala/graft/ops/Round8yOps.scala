@@ -156,7 +156,7 @@ object Round8yOps {
       |    CAST(CEIL(1.0 + (n + 1.959964 * sqrt(CAST(n AS DOUBLE))) / 2.0) AS BIGINT)
       |  FROM nn),
       |ranks AS (SELECT n, which, GREATEST(LEAST(r, n), 1) AS r FROM rraw)
-      |SELECT ANY_VALUE(n) AS n,
+      |SELECT CAST(ANY_VALUE(n) AS BIGINT) AS n,
       |  MIN(v) FILTER (which = 'ci_lo') AS ci_lo_cents,
       |  MIN(v) FILTER (which = 'med_lo') AS med_lo_cents,
       |  MIN(v) FILTER (which = 'med_hi') AS med_hi_cents,
