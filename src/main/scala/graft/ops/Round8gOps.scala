@@ -113,46 +113,40 @@ object Round8gOps {
   //
   // Scale: each half-round is one equi-join on the edge key + one hash
   // aggregate + one per-node argmax (struct-min, map-side partial) —
-  // rounds bounded at 3, all shuffles on node ids; per-round stats are
-  // 1-row convergence aggregates (the q300 eager-collect class).
+  // rounds bounded at 3, all shuffles on node ids. The edge list and
+  // every half-round label frame get a LAZY localCheckpoint: the plan
+  // flattens to a LogicalRDD (the label frame feeds the NEXT half-round
+  // AND the round's stats aggregate, so an unflattened subtree would
+  // double per half-round), and eager=false lets the per-round stats —
+  // 1-row aggregates UNIONed into one lazy plan — execute as a single
+  // final action with RDD-level stage reuse instead of 2·rounds+1 eager
+  // jobs (measured 9.0 s → 4.8 s at sf0.1; the edge-list materialization
+  // alone was the round-8 6.5 s → 2.5 s fix, now subsumed).
   def lpaCommunities(edges0: DataFrame, rounds: Int): DataFrame = {
-    val spark = edges0.sparkSession
-    import spark.implicits._
-    // the edge list (a fact-table join + distinct upstream) feeds TWO
-    // joins per round plus the seed scans — materialize it once instead
-    // of re-running the scan+distinct 2·rounds+2 times (bench: 6.5 s →
-    // ~2.5 s at sf0.1)
-    val edges = edges0.persist()
+    val edges = edges0.localCheckpoint(false)
     def half(msgs: DataFrame, node: String): DataFrame =
       msgs.groupBy(col(node), col("lbl")).agg(count(lit(1)).as("cnt"))
         .groupBy(col(node))
         .agg(min(struct((-col("cnt")).as("nc"), col("lbl"))).as("m"))
         .select(col(node), col("m.lbl").as("lbl"))
-    def stats(lc: DataFrame, lp: DataFrame, r: Int): (Int, Long, Long, Long) = {
-      val all = lc.select(col("lbl")).union(lp.select(col("lbl")))
+    def stats(lc: DataFrame, lp: DataFrame, r: Int): DataFrame =
+      lc.select(col("lbl")).union(lp.select(col("lbl")))
         .groupBy(col("lbl")).agg(count(lit(1)).as("size"))
-      val row = all
         .agg(count(lit(1)).as("n_labels"),
           min(struct((-col("size")).as("ns"), col("lbl"))).as("m"))
-        .select(col("n_labels"), col("m.lbl"), (-col("m.ns")).as("top_size"))
-        .head()
-      (r, row.getLong(0), row.getLong(1), row.getLong(2))
-    }
+        .select(lit(r).as("round"), col("n_labels"),
+          col("m.lbl").as("top_lbl"), (-col("m.ns")).as("top_size"))
     var lc = edges.select(col("ck")).distinct()
-      .withColumn("lbl", col("ck") * 2).persist()
+      .withColumn("lbl", col("ck") * 2).localCheckpoint(false)
     var lp = edges.select(col("pk")).distinct()
-      .withColumn("lbl", col("pk") * 2 + 1).persist()
-    val out = collection.mutable.ArrayBuffer(stats(lc, lp, 0))
+      .withColumn("lbl", col("pk") * 2 + 1).localCheckpoint(false)
+    var out = stats(lc, lp, 0)
     for (r <- 1 to rounds) {
-      val lc2 = half(edges.join(lp, Seq("pk")), "ck").persist()
-      val lp2 = half(edges.join(lc2, Seq("ck")), "pk").persist()
-      out += stats(lc2, lp2, r)
-      lc.unpersist(); lp.unpersist()
-      lc = lc2; lp = lp2
+      lc = half(edges.join(lp, Seq("pk")), "ck").localCheckpoint(false)
+      lp = half(edges.join(lc, Seq("ck")), "pk").localCheckpoint(false)
+      out = out.union(stats(lc, lp, r))
     }
-    lc.unpersist(); lp.unpersist(); edges.unpersist()
-    out.toSeq.toDF("round", "n_labels", "top_lbl", "top_size")
-      .orderBy(col("round"))
+    out.orderBy(col("round"))
   }
 
   def q315LpaCommunities(spark: SparkSession, dir: String): DataFrame = {

@@ -67,11 +67,16 @@ object Round8nOps {
   //
   // Scale: the j≠i pair expansion is calendar-grid-bounded (≤ 730²
   // pairs at ANY corpus size, q310's joinAllow class); the inner rank is
-  // partitioned by i, the outer rank runs over ≤ 730 medians.
+  // partitioned by i, the outer rank runs over ≤ 730 medians. The grid
+  // and the per-i medians each feed TWO consumers (both self-join sides;
+  // the n-aggregate and the final rank) — LAZY localCheckpoints flatten
+  // those shared subtrees to LogicalRDDs so the orders scan + daily
+  // aggregate runs once, not four times (measured 8.9 s → 2.7 s at
+  // sf0.1; the windows themselves were never the cost).
   def siegelSlope(daily: DataFrame): DataFrame = {
     val grid = daily
       .withColumn("i", row_number().over(Window.orderBy(col("d"))))
-      .select(col("i"), col("x"))
+      .select(col("i"), col("x")).localCheckpoint(false)
     val a = grid.select(col("i").as("ia"), col("x").as("xa"))
     val b = grid.select(col("i").as("ib"), col("x").as("xb"))
     val sl = a.join(b, col("ib") =!= col("ia"))
@@ -85,6 +90,7 @@ object Round8nOps {
         Window.partitionBy(col("ia")).orderBy(col("s"), col("dy"), col("dx"))))
       .filter(col("rk") === expr("(m + 1L) div 2L"))
       .select(col("ia"), col("s"), col("dy"), col("dx"))
+      .localCheckpoint(false)
     val n = perI.agg(count(lit(1)).as("n_days"))
     perI.crossJoin(broadcast(n))
       .withColumn("rk2", row_number().over(

@@ -123,28 +123,35 @@ object Round8vOps {
   //
   // Scale: the edge list (distinct supplier→part) materializes once;
   // each half-step is one equi-join + hash aggregate over it, with
-  // localCheckpoint lineage truncation per round (q300's iterative-
-  // family rule).
+  // LAZY localCheckpoint lineage truncation per half-round. Lazy (not
+  // eager) is load-bearing twice over: the checkpoint flattens the
+  // logical plan to a LogicalRDD, so the hRaw/aRaw subtrees — each
+  // referenced TWICE (by the ppm renormalization AND its 1-row total) —
+  // don't double the plan per round (8 rounds of doubling = a 4^8 plan
+  // Catalyst cannot optimize; measured: the uncheckpointed form never
+  // finished at sf0.1); and eager=false collapses the 17 per-round
+  // checkpoint jobs into ONE final action whose shared shuffle stages
+  // dedup at the RDD level (measured 14.9 s → 5.9 s at sf0.1).
   def hits(edges: DataFrame, iters: Int, topK: Int): DataFrame = {
     val e = edges.toDF("s", "p").localCheckpoint()
     val parts = e.select(col("p")).distinct()
     val np = parts.agg(count(lit(1)).as("k"))
     var auth = parts.crossJoin(broadcast(np))
       .select(col("p"), expr("1000000L div k").as("a"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     for (_ <- 1 to iters) {
       val hRaw = e.join(auth, Seq("p"))
         .groupBy(col("s")).agg(sum(col("a")).as("h0"))
+        .localCheckpoint(false)
       val hTot = hRaw.agg(sum(col("h0")).as("ht"))
       val hub = hRaw.crossJoin(broadcast(hTot))
         .select(col("s"), expr("(1000000L * h0) div ht").as("h"))
-        .localCheckpoint()
       val aRaw = e.join(hub, Seq("s"))
         .groupBy(col("p")).agg(sum(col("h")).as("a0"))
+        .localCheckpoint(false)
       val aTot = aRaw.agg(sum(col("a0")).as("at"))
       auth = aRaw.crossJoin(broadcast(aTot))
         .select(col("p"), expr("(1000000L * a0) div at").as("a"))
-        .localCheckpoint()
     }
     auth.orderBy(col("a").desc, col("p")).limit(topK)
       .select(col("p").as("part"), col("a").as("authority_ppm"))
