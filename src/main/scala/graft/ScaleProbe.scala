@@ -427,13 +427,16 @@ object ScaleProbe {
         val dDeg = java.nio.file.Paths.get("target", "tmp", s"scaleprobe_deg_x$m")
           .toAbsolutePath.toString
         genDocumentsDegenerate(spark, dDeg, m)
+        // the EXACT (uncapped) twin — spec-only since the round-9
+        // promotion of the capped form to the catalog; this row keeps
+        // measuring the documented n² pair-set curve
         extra("q176_degenerate")(
-          SparkEntry.queries("q176_containment")(spark, dDeg).count())
-        // the stop-shingle guard: pair mass ≤ 25·postings — must be the
-        // linear curve the exact twin above cannot have here
+          ops.PrepOps.q176ContainmentExact(spark, dDeg).count())
+        // the stop-shingle guard (the CATALOG shape since round 9):
+        // pair mass ≤ 25·postings — must be the linear curve the exact
+        // twin above cannot have here
         extra("q176_degenerate_capped")(
-          ops.PrepOps.containmentPairs(spark,
-            Tables.documents(spark, dDeg), Some(25)).count())
+          SparkEntry.queries("q176_containment")(spark, dDeg).count())
         extra("q183_degenerate")(
           SparkEntry.queries("q183_bpe_train")(spark, dDeg).count())
       }

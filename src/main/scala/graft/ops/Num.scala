@@ -27,6 +27,18 @@ object Num {
     * scaled-long policies). Values equal round() everywhere except cells
     * ON a boundary, where every engine now moves together.
     *
+    * NEGATIVE boundary direction (round-8 advice): floor(x·10ⁿ + 0.5)
+    * rounds half-way values toward +infinity on BOTH signs, so a negative
+    * boundary cell differs from ROUND's HALF_UP (away from zero) — e.g.
+    * pround(-0.0000005, 6) = 0.0 where HALF_UP gives -0.000001. Many
+    * migrated columns are signed (z-scores, slopes, SMD, PSI); the
+    * Scala and SQL twins share the identity so hashes agree, but anyone
+    * regenerating a baseline with a HALF_UP round must expect negative
+    * boundary cells to differ by one last-digit ulp. Kept as-is
+    * deliberately: toward-+inf is the one direction every engine's
+    * floor reproduces bit-identically; a sign-aware floor(abs)·sign
+    * would add two more IEEE ops per cell for no portability gain.
+    *
     * SQL oracle twin: `FLOOR((x) * 1eN + 0.5) / 1eN`.
     */
   def pround(c: Column, n: Int): Column = {

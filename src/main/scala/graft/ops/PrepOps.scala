@@ -43,10 +43,21 @@ object PrepOps {
   // production guard is `stopShingleDf`: drop shingles with df > cap
   // from the index — pair mass ≤ cap·|postings|, linear at any scale. At
   // cap = 25 (= the measured max df at sf0.1) the cap drops NOTHING at
-  // every driver SF, so the catalog query stays EXACT; on saturated
-  // corpora it is the standard stop-shingle approximation (capped twin
-  // measured linear on the same decade probe).
+  // every driver SF, so the shipped query stays EXACT (PrepOpsSpec pins
+  // capped ≡ exact; the DuckDB oracle replays the exact pair set); on
+  // saturated corpora it is the standard stop-shingle approximation
+  // (capped twin measured linear on the same decade probe). The CAPPED
+  // form IS the catalog entry since round 9 (round-8 verdict task 8) —
+  // the one documented n² is off the shipped surface entirely; the
+  // exact form stays as the spec-only twin below.
   def q176Containment(spark: SparkSession, dir: String): DataFrame =
+    containmentPairs(spark, Tables.documents(spark, dir), stopShingleDf = Some(25))
+
+  /** The exact (uncapped) twin — spec-only since round 9: proves the
+    * shipped cap drops nothing at driver SFs, and remains the reference
+    * semantics on corpora where the full quadratic pair set is wanted.
+    */
+  private[graft] def q176ContainmentExact(spark: SparkSession, dir: String): DataFrame =
     containmentPairs(spark, Tables.documents(spark, dir), stopShingleDf = None)
 
   /** q176's library surface. `stopShingleDf` = the inverted-index

@@ -343,24 +343,35 @@ object Round8bOps {
   // --------------------------------------------------------------------------
   // q290 — DSv2 SINK ROUND-TRIP: write the per-status order aggregate
   // through the `graft-sink` V2 connector (stage-per-attempt → task
-  // commit messages → driver publish + _SUCCESS manifest — see
-  // sources/GraftSink.scala), then read the PUBLISHED files back and
-  // return them. The oracle recomputes the aggregate straight from
-  // orders, so the hash check proves the commit protocol published
-  // exactly the written rows — nothing lost, nothing doubled.
+  // commit messages → driver publish + rename-atomic _SUCCESS manifest —
+  // see sources/GraftSink.scala), then read back EXACTLY the files the
+  // manifest names (the sink's reader contract: the dir accretes parts
+  // across jobs; the manifest is the pointer swap) and return them. The
+  // oracle recomputes the aggregate straight from orders, so the hash
+  // check proves the commit protocol published exactly the written rows
+  // — nothing lost, nothing doubled, and on repeat invocations (bench
+  // best-of-N) nothing double-read from the prior job's parts.
   // Round8bOpsSpec drives the abort path (a poisoned task must leave no
   // published files and no manifest).
+  //
+  // Output lands in the fixed Staging slot for (q290sink, dir) — the
+  // round-8 advice fix for the temp-dir-per-invocation leak; `clean`
+  // reclaims it. The slot is NOT ensure-once: the sink write IS the
+  // measured operator, so every invocation re-writes and re-publishes.
   def q290DsvSinkRoundtrip(spark: SparkSession, dir: String): DataFrame = {
-    val out = java.nio.file.Files.createTempDirectory("graft_q290").toString
+    val out = Staging.pathFor("q290sink", dir)
     Tables.orders(spark, dir)
       .groupBy(col("o_orderstatus"))
       .agg(count(lit(1)).as("n"),
         (sum(col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
           * 100).cast("long").as("total_cents"))
       .write.format("graft-sink").option("path", out).mode("append").save()
+    val manifest = java.nio.file.Path.of(out, "_SUCCESS")
+    val files = java.nio.file.Files.readString(manifest).split("\n")
+      .filter(_.nonEmpty).map(n => s"$out/$n").toSeq
     val schema = "o_orderstatus STRING, n BIGINT, total_cents BIGINT"
     spark.read.schema(schema).option("sep", "|")
-      .csv(s"$out/*.part.csv")
+      .csv(files: _*)
       .orderBy(col("o_orderstatus"))
   }
 

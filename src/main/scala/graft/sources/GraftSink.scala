@@ -17,15 +17,29 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *
   * `graft-sink` writes rows as CSV through the full V2 write contract:
   *
-  *   - each task's [[DataWriter]] streams rows to a STAGED file
-  *     (`_staging/<queryId>-p<partition>-a<attempt>.csv`); nothing is
-  *     visible to readers while any task is running;
+  *   - each task's [[DataWriter]] streams rows to a STAGED file under a
+  *     staging dir NAMESPACED BY JOB
+  *     (`_staging/<queryId>/p<partition>-a<attempt>.csv`); nothing is
+  *     visible to readers while any task is running, and two concurrent
+  *     jobs writing the same path can never touch each other's staged
+  *     files (round-8 advice: a shared _staging dir let one job's
+  *     commit/abort delete another's stage);
   *   - task commit closes the staged file and returns its name as the
   *     [[WriterCommitMessage]]; task abort deletes it — a failed or
   *     speculative attempt can never publish;
-  *   - job [[BatchWrite.commit]] atomically PUBLISHES exactly the staged
-  *     files named in the commit messages (move into the target dir +
-  *     `_SUCCESS` manifest); job abort deletes the whole staging dir.
+  *   - job [[BatchWrite.commit]] moves exactly the staged files named in
+  *     the commit messages into the target dir, then publishes the
+  *     `_SUCCESS` manifest via write-to-staging + ATOMIC_MOVE rename —
+  *     the manifest rename is the job's single atomic publish point;
+  *     job abort deletes only this job's staging subtree.
+  *
+  * READER CONTRACT: `_SUCCESS` lists exactly the files of the LATEST
+  * committed job; readers must select the files it names (as q290 does),
+  * never glob `*.part.csv` — the directory accretes parts across jobs
+  * (append-only data files; the manifest is the pointer swap). A driver
+  * crash between file moves and the manifest rename leaves orphan parts
+  * that no manifest names — invisible to manifest readers, reclaimed by
+  * the next job's publish of the same names.
   *
   * This is the same two-phase shape every production sink (file commit
   * protocols, Iceberg/Delta snapshot commits) implements: correctness
@@ -74,27 +88,41 @@ class SinkBatchWrite(schema: StructType, path: String, queryId: String)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val dir = java.nio.file.Path.of(path)
+    val staging = dir.resolve("_staging").resolve(queryId)
     java.nio.file.Files.createDirectories(dir)
     val published = messages.collect { case SinkStagedFile(n) =>
-      val from = dir.resolve("_staging").resolve(n)
-      val to = dir.resolve(n.replace(".csv", "") + ".part.csv")
-      java.nio.file.Files.move(from, to,
+      val to = dir.resolve(s"$queryId-${n.replace(".csv", "")}.part.csv")
+      java.nio.file.Files.move(staging.resolve(n), to,
         java.nio.file.StandardCopyOption.ATOMIC_MOVE)
       to.getFileName.toString
     }
-    java.nio.file.Files.writeString(dir.resolve("_SUCCESS"),
-      published.sorted.mkString("\n"))
+    // manifest-last, rename-atomic: stage the manifest beside the data
+    // files, then one ATOMIC_MOVE makes the whole job visible — readers
+    // that consume only manifest-listed files can never observe a torn
+    // commit (round-8 advice: per-file moves + non-atomic manifest write
+    // published "per file", not "per job")
+    val tmp = staging.resolve("_SUCCESS.tmp")
+    java.nio.file.Files.writeString(tmp, published.sorted.mkString("\n"))
+    java.nio.file.Files.move(tmp, dir.resolve("_SUCCESS"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     deleteStaging()
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = deleteStaging()
 
+  /** Deletes only THIS job's staging subtree — concurrent jobs on the
+    * same path keep theirs. */
   private def deleteStaging(): Unit = {
-    val st = java.nio.file.Path.of(path, "_staging")
+    val st = java.nio.file.Path.of(path, "_staging", queryId)
     if (java.nio.file.Files.exists(st)) {
       st.toFile.listFiles().foreach(_.delete())
       java.nio.file.Files.deleteIfExists(st)
     }
+    // drop the shared _staging parent when this was the last job in it
+    val parent = java.nio.file.Path.of(path, "_staging")
+    try java.nio.file.Files.deleteIfExists(parent)
+    catch { case _: java.nio.file.DirectoryNotEmptyException => () }
   }
 }
 
@@ -108,9 +136,10 @@ class SinkWriter(schema: StructType, path: String, queryId: String,
     partitionId: Int, taskId: Long) extends DataWriter[InternalRow] {
   // attempt-unique staged name: a speculative or retried attempt stages
   // its OWN file; only the attempt whose message reaches the driver is
-  // ever published
-  private val name = s"$queryId-p$partitionId-a$taskId.csv"
-  private val staging = java.nio.file.Path.of(path, "_staging")
+  // ever published. The dir is namespaced by job (queryId) so concurrent
+  // jobs on one path cannot stage over each other.
+  private val name = s"p$partitionId-a$taskId.csv"
+  private val staging = java.nio.file.Path.of(path, "_staging", queryId)
   java.nio.file.Files.createDirectories(staging)
   private val out = java.nio.file.Files.newBufferedWriter(staging.resolve(name))
 

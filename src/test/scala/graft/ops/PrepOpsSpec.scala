@@ -68,14 +68,14 @@ class PrepOpsSpec extends SparkSpec {
 
   test("q176 stop-shingle cap at df<=25 is a no-op on the driver corpus (exact twin)") {
     // the cap equals the measured max shingle df at sf0.1, so NOTHING is
-    // dropped at any driver SF — the catalog query stays exact while the
-    // guard bounds pair mass to 25·postings on saturated-vocab corpora
-    // (the decade-probe curve in SURVEY §8.18)
+    // dropped at any driver SF — since round 9 the CAPPED form is the
+    // catalog entry (the guard bounds pair mass to 25·postings on
+    // saturated-vocab corpora, SURVEY §8.18) and the exact form is the
+    // spec-only twin this test replays to prove the cap is lossless here
     val dir = "/root/testdata/sf0.001"
-    val exact = PrepOps.q176Containment(spark, dir).collect()
+    val exact = PrepOps.q176ContainmentExact(spark, dir).collect()
       .map(_.toSeq.map(String.valueOf).mkString("|")).sorted
-    val capped = PrepOps.containmentPairs(spark,
-        graft.Tables.documents(spark, dir), Some(25)).collect()
+    val capped = PrepOps.q176Containment(spark, dir).collect()
       .map(_.toSeq.map(String.valueOf).mkString("|")).sorted
     assert(exact.nonEmpty)
     assert(capped === exact)

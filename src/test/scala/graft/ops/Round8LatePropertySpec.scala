@@ -27,7 +27,7 @@ class Round8LatePropertySpec extends SparkSpec {
       } yield (g, v.toDouble))
     } yield rows
     check(Prop.forAll(gen) { rows =>
-      val got = Round8rOps.kruskalWallis(rows.toDF("g", "bal"), "bal", "g")
+      val got = InferenceTestOps.kruskalWallis(rows.toDF("g", "bal"), "bal", "g")
         .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
       // sequential doubled tie-averaged ranks
       val cents = rows.map { case (g, v) => (g, math.floor(v * 100 + 0.5).toLong) }
@@ -53,7 +53,7 @@ class Round8LatePropertySpec extends SparkSpec {
     } yield es.filter(e => e._1 != e._2).distinct
     check(Prop.forAll(gen) { es =>
       es.isEmpty || {
-        val got = Round8sOps.adamicAdar(es.toDF("p1", "p2"), degCap = 256, topK = 1000)
+        val got = GraphMiningOps.adamicAdar(es.toDF("p1", "p2"), degCap = 256, topK = 1000)
           .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3)))
           .toMap
         val nbr = (es ++ es.map(e => (e._2, e._1)))
@@ -82,7 +82,7 @@ class Round8LatePropertySpec extends SparkSpec {
       val rows = xs.zipWithIndex.flatMap { case (x, i) =>
         Seq.fill(x)(java.sql.Date.valueOf(LocalDate.of(2024, 1, 1).plusDays(i)))
       }
-      val got = Round8sOps.ewmaBands(rows.toDF("o_orderdate"), spark, topK = 1000)
+      val got = GraphMiningOps.ewmaBands(rows.toDF("o_orderdate"), spark, topK = 1000)
         .collect()
         .map(r => r.getDate(0).toString ->
           ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
@@ -128,7 +128,7 @@ class Round8LatePropertySpec extends SparkSpec {
       (srcs.size >= 2) ==> {
         val df = docs.zipWithIndex.map { case ((s, t), i) => (i.toLong, t, s) }
           .toDF("doc_id", "text", "source")
-        val got = Round8uOps.sourceDivergence(df).collect()
+        val got = InferenceTestOps.sourceDivergence(df).collect()
           .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getLong(3))))
           .toMap
         val cnt = docs.groupBy(_._1).view.mapValues { ds =>
@@ -170,7 +170,7 @@ class Round8LatePropertySpec extends SparkSpec {
             Seq.fill(x)(java.sql.Date.valueOf(LocalDate.of(2024, 1, 1).plusDays(i)))
           case (None, _) => Nil
         }
-        val got = Round8wOps.haarEnergy(rows.toDF("o_orderdate"), spark)
+        val got = EvalReplayOps.haarEnergy(rows.toDF("o_orderdate"), spark)
           .collect()
           .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
           .toMap
@@ -205,7 +205,7 @@ class Round8LatePropertySpec extends SparkSpec {
     } yield (as.map(_.toDouble), bs.map(_.toDouble))
     check(Prop.forAll(gen) { case (as, bs) =>
       val rows = (as.map(("A", _)) ++ bs.map(("B", _))).toDF("g", "bal")
-      val r = Round8xOps.energyDistance(rows, "bal", "g", "A", "B").collect()(0)
+      val r = InferenceTestOps.energyDistance(rows, "bal", "g", "A", "B").collect()(0)
       val ac = as.map(v => math.floor(v * 100 + 0.5).toLong)
       val bc = bs.map(v => math.floor(v * 100 + 0.5).toLong)
       val txy = (for (x <- ac; y <- bc) yield math.abs(x - y)).sum

@@ -28,7 +28,7 @@ class Round8NewPropertySpec extends SparkSpec {
       val daily = xs.zipWithIndex.map { case (x, i) =>
         (java.sql.Date.valueOf(LocalDate.of(2024, 1, 1).plusDays(i)), x)
       }.toDF("d", "x")
-      val got = Round8gOps.segmentedTrend(daily).collect()
+      val got = GraphMiningOps.segmentedTrend(daily).collect()
         .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
           r.getLong(4), if (r.isNullAt(5)) None else Some(r.getLong(5))))).toMap
       // brute-force: maximize the exact fixed-point gain, tie on min i
@@ -88,7 +88,7 @@ class Round8NewPropertySpec extends SparkSpec {
       out.toSeq
     }
     check(Prop.forAll(edgesGen) { es =>
-      val got = Round8gOps.lpaCommunities(es.toDF("ck", "pk"), rounds = 2).collect()
+      val got = GraphMiningOps.lpaCommunities(es.toDF("ck", "pk"), rounds = 2).collect()
         .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
       val want = ref(es, 2)
       (got == want) :| s"got $got want $want"
@@ -103,7 +103,7 @@ class Round8NewPropertySpec extends SparkSpec {
     } yield bs
     check(Prop.forAll(basketsGen) { bs =>
       val items = bs.zipWithIndex.flatMap { case (b, i) => b.map(p => (i.toLong, p)) }
-      val got = Round8hOps.aprioriTriples(items.toDF("ok", "p"), minsup = 2L)
+      val got = TrendStatOps.aprioriTriples(items.toDF("ok", "p"), minsup = 2L)
         .collect().map(r => ((r.getLong(0), r.getLong(1), r.getLong(2)),
           (r.getLong(3), r.getLong(4)))).toMap
       val nOrd = bs.size.toLong
@@ -125,7 +125,7 @@ class Round8NewPropertySpec extends SparkSpec {
       val events = ts.zipWithIndex
         .map { case (t, i) => (i.toLong, new java.sql.Timestamp(t * 1000L)) }
         .toDF("event_id", "ts")
-      val got = Round8hOps.peakConcurrency(events, lenSec = 1800L).collect()
+      val got = TrendStatOps.peakConcurrency(events, lenSec = 1800L).collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
       // reference: c(t) = #{i: s_i <= t < e_i}; per-day candidates are the
       // day-clipped piece starts (event start, or midnight for spills)
@@ -152,7 +152,7 @@ class Round8NewPropertySpec extends SparkSpec {
     check(Prop.forAll(wGen) { ws =>
       val df = ws.zipWithIndex.map { case (w, i) => ((i + 1).toLong, w) }.toDF("sk", "w")
       val k = 5L
-      val got = Round8iOps.systematicPps(df, k).collect()
+      val got = TrendStatOps.systematicPps(df, k).collect()
         .map(r => (r.getLong(0), r.getLong(3))).toSeq
       val wtot = ws.sum
       val step = wtot / k
@@ -176,7 +176,7 @@ class Round8NewPropertySpec extends SparkSpec {
       } yield (a, b))
     } yield ls
     check(Prop.forAll(labGen) { ls =>
-      val got = Round8jOps.cohenKappa(ls.toDF("a", "b")).collect()
+      val got = EvalReplayOps.cohenKappa(ls.toDF("a", "b")).collect()
       val nn = BigInt(ls.size)
       val dg = BigInt(ls.count(p => p._1 == p._2))
       val rs = (0L to 2L).map(c =>
@@ -201,7 +201,7 @@ class Round8NewPropertySpec extends SparkSpec {
       val docs = ss.zipWithIndex.map { case (s, i) => ((i + 1).toLong, s) }
         .toDF("doc_id", "n_chars")
       val shards = 4
-      val got = Round8kOps.serpentineShards(docs, shards).collect()
+      val got = CorpusStatOps.serpentineShards(docs, shards).collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
       val ranked = ss.zipWithIndex.map { case (s, i) => (s, (i + 1).toLong) }
         .sortBy { case (s, id) => (-s, id) }

@@ -14,7 +14,7 @@ class Round8aaOpsSpec extends SparkSpec {
       ("2024-01-04", 9.0), ("2024-01-05", 3.0), ("2024-01-06", 8.0),
       ("2024-01-07", 4.0))
       .toDF("o_orderdate", "o_totalprice")
-    val r = Round8aaOps.runsTest(orders).collect()
+    val r = InferenceTestOps.runsTest(orders).collect()
     assert(r.length === 1)
     val row = r(0)
     assert(row.getLong(0) === 3L)            // n_above
@@ -35,7 +35,7 @@ class Round8aaOpsSpec extends SparkSpec {
     // low block then high block: 2 runs after the median day drops
     val orders = (1 to 9).map(i => (f"2024-02-0$i", i * 1.0))
       .toDF("o_orderdate", "o_totalprice")
-    val row = Round8aaOps.runsTest(orders).collect()(0)
+    val row = InferenceTestOps.runsTest(orders).collect()(0)
     assert(row.getLong(2) === 2L)            // runs
     assert(row.getLong(0) === 4L && row.getLong(1) === 4L)
     assert(row.getDouble(7) < 0.0)           // z negative: too few runs
@@ -47,7 +47,7 @@ class Round8aaOpsSpec extends SparkSpec {
       (1L, "a a b c", "s1"),
       (2L, "x y", "s2"))
       .toDF("doc_id", "text", "source")
-    val got = Round8aaOps.lexicalDiversity(docs).collect()
+    val got = InferenceTestOps.lexicalDiversity(docs).collect()
       .map(r => r.getString(0) ->
         ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
           r.getLong(5), r.getLong(6)))).toMap
@@ -66,7 +66,7 @@ class Round8aaOpsSpec extends SparkSpec {
         .map(j => words(((i * 31 + j * 17) % 5).toInt)).mkString(" ")
       (i, body, if (i % 2 == 0) "even" else "odd")
     }
-    val got = Round8aaOps.lexicalDiversity(docs.toDF("doc_id", "text", "source"))
+    val got = InferenceTestOps.lexicalDiversity(docs.toDF("doc_id", "text", "source"))
       .collect()
       .map(r => r.getString(0) ->
         ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),

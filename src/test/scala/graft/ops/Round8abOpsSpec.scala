@@ -16,7 +16,7 @@ class Round8abOpsSpec extends SparkSpec {
       (2L, Seq.fill(10)("aaaaa").mkString(" ")),
       (3L, "a b"))
       .toDF("doc_id", "text")
-    val r = Round8abOps.cochranQ(docs).collect()(0)
+    val r = InferenceTestOps.cochranQ(docs).collect()(0)
     assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
       r.getLong(4), r.getLong(5)) === ((3L, 1L, 2L, 3L, 6L, 14L)))
     assert(r.getLong(6) === 3000000L)
@@ -27,7 +27,7 @@ class Round8abOpsSpec extends SparkSpec {
     val docs = Seq((1L, Seq.fill(60)("word").mkString(" ")),
       (2L, Seq.fill(70)("other").mkString(" ")))
       .toDF("doc_id", "text")
-    val r = Round8abOps.cochranQ(docs).collect()(0)
+    val r = InferenceTestOps.cochranQ(docs).collect()(0)
     assert(r.getLong(4) === 6L)      // both docs pass all 3 gates
     assert(r.isNullAt(6))
   }
@@ -36,7 +36,7 @@ class Round8abOpsSpec extends SparkSpec {
     import spark.implicits._
     val df = Seq(("b1", "m1"), ("b1", "m1"), ("b2", "m2"), ("b3", "m1"))
       .toDF("brand", "mfgr")
-    val r = Round8abOps.fdAudit(df, "t.brand->mfgr", "brand", "mfgr")
+    val r = InferenceTestOps.fdAudit(df, "t.brand->mfgr", "brand", "mfgr")
       .collect()(0)
     assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
       r.getLong(5), r.getBoolean(6)) === ((4L, 3L, 0L, 0L, 0L, true)))
@@ -48,7 +48,7 @@ class Round8abOpsSpec extends SparkSpec {
     val df = Seq(("a1", "x"), ("a1", "x"), ("a1", "x"), ("a1", "y"),
       ("a2", "x"), ("a2", "x"))
       .toDF("a", "b")
-    val r = Round8abOps.fdAudit(df, "t.a->b", "a", "b").collect()(0)
+    val r = InferenceTestOps.fdAudit(df, "t.a->b", "a", "b").collect()(0)
     assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
       === ((6L, 2L, 1L, 1L)))
     assert(r.getLong(5) === 166666L)      // (1e6*1) div 6
@@ -60,7 +60,7 @@ class Round8abOpsSpec extends SparkSpec {
     val rows = (1 to 200).map { i =>
       (s"a${i % 7}", s"b${(i * i) % 5}")
     }
-    val r = Round8abOps.fdAudit(rows.toDF("a", "b"), "gen", "a", "b")
+    val r = InferenceTestOps.fdAudit(rows.toDF("a", "b"), "gen", "a", "b")
       .collect()(0)
     val byA = rows.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
     val na = byA.view.mapValues(_.size.toLong).toMap

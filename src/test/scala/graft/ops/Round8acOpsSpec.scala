@@ -11,7 +11,7 @@ class Round8acOpsSpec extends SparkSpec {
     // E_x4 = 16 - 8 = 8; tie-corrected Var = 102/72 + 8/96 = 1.5
     // z = 6 / (4*sqrt(1.5)) = 1.224745
     val rows = Seq((1L, 1L), (1L, 2L), (2L, 2L), (2L, 3L)).toDF("g", "v")
-    val r = Round8acOps.histJt(rows).collect()(0)
+    val r = EvalReplayOps.histJt(rows).collect()(0)
     assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
       === ((4L, 2L, 14L, 8L)))
     assert(r.getDouble(4) === 1.224745)
@@ -25,8 +25,8 @@ class Round8acOpsSpec extends SparkSpec {
       (1 to 60).map(i => ((i % 5 + 1).toLong, ((i * 11) % 7).toLong)).toSeq)
     fixtures.foreach { rows =>
       val df = rows.toDF("g", "v")
-      val a = Round8acOps.histJt(df).collect()(0)
-      val b = Round8acOps.pooledJt5(df).collect()(0)
+      val a = EvalReplayOps.histJt(df).collect()(0)
+      val b = EvalReplayOps.pooledJt5(df).collect()(0)
       assert(a.toSeq === b.toSeq)
     }
   }
@@ -34,7 +34,7 @@ class Round8acOpsSpec extends SparkSpec {
   test("q363 matches a brute-force pair count on generated rows") {
     import spark.implicits._
     val rows = (1 to 90).map(i => ((i % 3 + 1).toLong, ((i * 7) % 5).toLong))
-    val r = Round8acOps.histJt(rows.toDF("g", "v")).collect()(0)
+    val r = EvalReplayOps.histJt(rows.toDF("g", "v")).collect()(0)
     val jtX4 = (for {
       (gi, vi) <- rows; (gj, vj) <- rows if gi < gj
     } yield 2L * (if (vi < vj) 2L else if (vi == vj) 1L else 0L)).sum
@@ -48,7 +48,7 @@ class Round8acOpsSpec extends SparkSpec {
     import spark.implicits._
     val cust = (1 to 30).map(i => (1L, "SEG", i * 37.0 % 5000))
       .toDF("c_nationkey", "c_mktsegment", "c_acctbal")
-    val r = Round8acOps.tCloseness(cust, 200000L).collect()
+    val r = EvalReplayOps.tCloseness(cust, 200000L).collect()
     assert(r.length === 1)
     assert(r(0).getLong(3) === 0L)
     assert(r(0).getBoolean(4))
@@ -61,7 +61,7 @@ class Round8acOpsSpec extends SparkSpec {
     val cust = ((1 to 10).map(_ => (1L, "A", 100.0)) ++
       (1 to 10).map(_ => (2L, "B", 1500.0)))
       .toDF("c_nationkey", "c_mktsegment", "c_acctbal")
-    val r = Round8acOps.tCloseness(cust, 200000L).collect()
+    val r = EvalReplayOps.tCloseness(cust, 200000L).collect()
     assert(r.length === 2)
     assert(r.forall(_.getLong(3) === 500000L))
     assert(r.forall(!_.getBoolean(4)))
@@ -72,7 +72,7 @@ class Round8acOpsSpec extends SparkSpec {
     val rows = (1 to 200).map { i =>
       ((i % 3).toLong, if (i % 2 == 0) "X" else "Y", (i * 131) % 4000 - 500.0)
     }
-    val got = Round8acOps.tCloseness(
+    val got = EvalReplayOps.tCloseness(
       rows.toDF("c_nationkey", "c_mktsegment", "c_acctbal"), 200000L)
       .collect()
       .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(3)).toMap

@@ -16,7 +16,7 @@ class Round8adOpsSpec extends SparkSpec {
       (2L, "aa bb"),
       (3L, ""))
       .toDF("doc_id", "text")
-    val r = Round8adOps.krippendorff(docs).collect()(0)
+    val r = InferenceTestOps.krippendorff(docs).collect()(0)
     assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
       r.getLong(4)) === ((2L, 6L, 2L, 4L, 2L)))
     assert(r.getLong(5) === 375000L)
@@ -27,7 +27,7 @@ class Round8adOpsSpec extends SparkSpec {
     val docs = Seq((1L, Seq.fill(60)("word").mkString(" ")),
       (2L, Seq.fill(55)("verse").mkString(" ")))
       .toDF("doc_id", "text")
-    val r = Round8adOps.krippendorff(docs).collect()(0)
+    val r = InferenceTestOps.krippendorff(docs).collect()(0)
     assert(r.getLong(2) === 0L)     // n_0 = 0
     assert(r.isNullAt(5))
   }
@@ -42,7 +42,7 @@ class Round8adOpsSpec extends SparkSpec {
       Seq.fill(i % 7 + 1)(d)
     }
     val orders = days.toDF("o_orderdate")
-    val r = Round8adOps.pageL(orders).collect()(0)
+    val r = InferenceTestOps.pageL(orders).collect()(0)
     assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
       === ((2L, 560L, 448L, 224L)))
     assert(r.getDouble(4) === 3.464102)
@@ -60,7 +60,7 @@ class Round8adOpsSpec extends SparkSpec {
     val wk3 = (14 until 17).map { i =>
       java.time.LocalDate.of(2024, 1, 1).plusDays(i).toString }
     val orders = (wk1 ++ wk2 ++ wk3).toDF("o_orderdate")
-    val r = Round8adOps.pageL(orders).collect()(0)
+    val r = InferenceTestOps.pageL(orders).collect()(0)
     assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
       === ((2L, 504L, 448L, 112L)))
     // z = 56 / sqrt(14/3 * 112) = 2.449490

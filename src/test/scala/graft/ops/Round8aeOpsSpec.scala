@@ -26,7 +26,7 @@ class Round8aeOpsSpec extends SparkSpec {
     import spark.implicits._
     val binned = Seq((0L, 10L, 8L), (1L, 10L, 2L), (2L, 10L, 5L))
       .toDF("bin", "n", "pos")
-    val got = Round8aeOps.isotonicFromBinned(binned).collect()
+    val got = EvalReplayOps.isotonicFromBinned(binned).collect()
       .map(r => (r.getLong(0), r.getLong(3), r.getLong(4)))
     assert(got.toSeq === Seq((0L, 800000L, 500000L), (1L, 200000L, 500000L),
       (2L, 500000L, 500000L)))
@@ -36,7 +36,7 @@ class Round8aeOpsSpec extends SparkSpec {
     import spark.implicits._
     val binned = Seq((0L, 10L, 2L), (1L, 10L, 5L), (2L, 10L, 8L))
       .toDF("bin", "n", "pos")
-    val got = Round8aeOps.isotonicFromBinned(binned).collect()
+    val got = EvalReplayOps.isotonicFromBinned(binned).collect()
     assert(got.forall(r => r.getLong(3) === r.getLong(4)))
   }
 
@@ -47,7 +47,7 @@ class Round8aeOpsSpec extends SparkSpec {
       val pos = (b * b * 13L) % (n + 1L)
       (b, n, pos)
     }
-    val got = Round8aeOps.isotonicFromBinned(bins.toDF("bin", "n", "pos"))
+    val got = EvalReplayOps.isotonicFromBinned(bins.toDF("bin", "n", "pos"))
       .collect().map(r => r.getLong(0) -> r.getLong(4)).toMap
     assert(got === pavaRef(bins))
     // monotone non-decreasing by construction
@@ -84,7 +84,7 @@ class Round8aeOpsSpec extends SparkSpec {
     import spark.implicits._
     val wins = Seq((1L, 2L, 3L), (2L, 1L, 1L), (2L, 3L, 2L), (3L, 2L, 2L),
       (1L, 3L, 4L))
-    val got = Round8aeOps.btFromWins(wins.toDF("w", "l", "c"), iters = 8)
+    val got = EvalReplayOps.btFromWins(wins.toDF("w", "l", "c"), iters = 8)
       .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
     assert(got === btRef(wins, 8))
   }
@@ -92,7 +92,7 @@ class Round8aeOpsSpec extends SparkSpec {
   test("q368 Bradley-Terry: dominant item strongest, never-winner at zero") {
     import spark.implicits._
     val wins = Seq((1L, 2L, 10L), (1L, 3L, 10L), (2L, 3L, 5L), (3L, 2L, 5L))
-    val got = Round8aeOps.btFromWins(wins.toDF("w", "l", "c"), iters = 8)
+    val got = EvalReplayOps.btFromWins(wins.toDF("w", "l", "c"), iters = 8)
       .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(3)))).toMap
     assert(got(1L)._2 > got(2L)._2 && got(1L)._2 > got(3L)._2)
     // item 3 never beats 1 but does beat 2 -> nonzero; all wins sum right

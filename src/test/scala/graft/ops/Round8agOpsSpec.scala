@@ -15,7 +15,7 @@ class Round8agOpsSpec extends SparkSpec {
       (2L, bToks.mkString(" ")),
       (3L, noise.mkString(" ")))
       .toDF("doc_id", "text")
-    val got = Round8agOps.stitchCensus(docs).collect()
+    val got = EvalReplayOps.stitchCensus(docs).collect()
     assert(got.length === 1)
     val r = got(0)
     assert((r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3))
@@ -31,7 +31,7 @@ class Round8agOpsSpec extends SparkSpec {
     } :+ (2000L, (Seq("end", "key") ++ (1 to 16).map(i => s"z$i"))
       .mkString(" ")))
       .toDF("doc_id", "text")
-    assert(Round8agOps.stitchCensus(docs).collect().isEmpty)
+    assert(EvalReplayOps.stitchCensus(docs).collect().isEmpty)
   }
 
   test("q372 Good-Toulmin: hand-computed count-of-counts fixture") {
@@ -39,7 +39,7 @@ class Round8agOpsSpec extends SparkSpec {
     // tokens a, b once; c twice; d three times:
     // V1=2 V2=1 V3=1 -> gt = 2-1+1 = 2; chao1 = 4 // 2 = 2
     val docs = Seq((1L, "a b c c d d d")).toDF("doc_id", "text")
-    val r = Round8agOps.goodToulmin(docs).collect()(0)
+    val r = EvalReplayOps.goodToulmin(docs).collect()(0)
     assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
       r.getLong(4), r.getLong(5), r.getLong(6))
       === ((7L, 4L, 2L, 1L, 2L, 2L, 2L)))
@@ -51,7 +51,7 @@ class Round8agOpsSpec extends SparkSpec {
     val docs = words.grouped(25).zipWithIndex
       .map { case (g, i) => (i.toLong, g.mkString(" ")) }.toSeq
       .toDF("doc_id", "text")
-    val r = Round8agOps.goodToulmin(docs).collect()(0)
+    val r = EvalReplayOps.goodToulmin(docs).collect()(0)
     val freq = words.groupBy(identity).view.mapValues(_.size.toLong).toMap
     val coc = freq.values.groupBy(identity).view
       .mapValues(_.size.toLong).toMap

@@ -12,7 +12,7 @@ class Round8ahOpsSpec extends SparkSpec {
     // T_ppm = (6*S) // (25*1e6) = 333332
     val rows = Seq(("A", 1L), ("A", 1L), ("A", 2L), ("B", 2L), ("B", 3L))
       .toDF("g", "v")
-    val r = Round8ahOps.cvmTest(rows).collect()(0)
+    val r = InferenceTestOps.cvmTest(rows).collect()(0)
     assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
       === ((3L, 2L, 3L, 333332L)))
   }
@@ -21,7 +21,7 @@ class Round8ahOpsSpec extends SparkSpec {
     import spark.implicits._
     val vals = Seq(1L, 2L, 2L, 5L, 9L)
     val rows = (vals.map(("A", _)) ++ vals.map(("B", _))).toDF("g", "v")
-    assert(Round8ahOps.cvmTest(rows).collect()(0).getLong(3) === 0L)
+    assert(InferenceTestOps.cvmTest(rows).collect()(0).getLong(3) === 0L)
   }
 
   test("q373 matches an independent BigInt reference") {
@@ -29,7 +29,7 @@ class Round8ahOpsSpec extends SparkSpec {
     val av = (1 to 120).map(i => (i * 7L) % 13L)
     val bv = (1 to 80).map(i => (i * 11L) % 17L)
     val rows = (av.map(("A", _)) ++ bv.map(("B", _))).toDF("g", "v")
-    val r = Round8ahOps.cvmTest(rows).collect()(0)
+    val r = InferenceTestOps.cvmTest(rows).collect()(0)
     val grid = (av ++ bv).distinct.sorted
     val n = av.size.toLong; val m = bv.size.toLong
     val s = grid.map { v =>
@@ -49,7 +49,7 @@ class Round8ahOpsSpec extends SparkSpec {
       (1L, "2024-01-01", 100.0), (1L, "2024-01-10", 50.0),
       (2L, "2024-01-02", 20.0), (2L, "2024-01-11", 20.0))
       .toDF("o_custkey", "o_orderdate", "o_totalprice")
-    val got = Round8ahOps.regressionToMean(orders).collect()
+    val got = InferenceTestOps.regressionToMean(orders).collect()
     assert(got.length === 2)
     val r1 = got(0); val r2 = got(1)
     assert((r1.getLong(0), r1.getLong(1), r1.getLong(2), r1.getLong(3))
@@ -65,7 +65,7 @@ class Round8ahOpsSpec extends SparkSpec {
     val orders = (1 to 30).map(i =>
       (i.toLong, "2024-01-01", 10.0)) ++ (1 to 30).map(i =>
       (i.toLong, "2024-03-01", 5.0))
-    val got = Round8ahOps.regressionToMean(orders.toDF(
+    val got = InferenceTestOps.regressionToMean(orders.toDF(
       "o_custkey", "o_orderdate", "o_totalprice")).collect()
     assert(got.length === 20)
     assert(got.map(_.getLong(0)).toSeq === (1L to 20L))

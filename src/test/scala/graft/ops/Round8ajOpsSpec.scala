@@ -17,7 +17,7 @@ class Round8ajOpsSpec extends SparkSpec {
         Seq.fill(10)((2L, "1-URGENT", 2.0)) ++
         Seq((2L, "5-LOW", 1.0)))
         .toDF("o_custkey", "o_orderpriority", "o_totalprice")
-    val got = Round8ajOps.simpsonDetector(orders, cust).collect()
+    val got = EvalReplayOps.simpsonDetector(orders, cust).collect()
     assert(got.length === 2)
     assert(got.forall(_.getLong(5) === 1L))      // dir_stratum: A wins
     assert(got.forall(_.getLong(6) === -1L))     // dir_pooled: B wins
@@ -32,7 +32,7 @@ class Round8ajOpsSpec extends SparkSpec {
     val cust = Seq((1L, "S1")).toDF("c_custkey", "c_mktsegment")
     val orders = Seq((1L, "1-URGENT", 10.0), (1L, "5-LOW", 5.0))
       .toDF("o_custkey", "o_orderpriority", "o_totalprice")
-    val got = Round8ajOps.simpsonDetector(orders, cust).collect()
+    val got = EvalReplayOps.simpsonDetector(orders, cust).collect()
     assert(got.length === 1 && !got(0).getBoolean(7))
   }
 
@@ -46,7 +46,7 @@ class Round8ajOpsSpec extends SparkSpec {
     import spark.implicits._
     val tasks = Seq((10L, 3L), (20L, 0L), (12L, 12L), (10L, 8L), (15L, 1L))
       .toDF("n", "c")
-    val r = Round8ajOps.passAtK(tasks).collect()(0)
+    val r = EvalReplayOps.passAtK(tasks).collect()(0)
     val per = Seq((10L, 3L), (20L, 0L), (12L, 12L), (10L, 8L), (15L, 1L))
     def mean(k: Int) = per.map { case (n, c) => teleRef(n, c, k) }.sum / 5L
     assert(r.getLong(0) === 5L)
@@ -59,7 +59,7 @@ class Round8ajOpsSpec extends SparkSpec {
     // n=10, c=8 -> n-c=2: pass@5 and pass@10 must be exactly 1e6;
     // all-correct task is 1e6 at every k; tasks under n=10 drop
     val tasks = Seq((10L, 8L), (11L, 11L), (9L, 9L)).toDF("n", "c")
-    val r = Round8ajOps.passAtK(tasks).collect()(0)
+    val r = EvalReplayOps.passAtK(tasks).collect()(0)
     assert(r.getLong(0) === 2L)
     assert(r.getLong(2) === 1000000L)
     assert(r.getLong(3) === 1000000L)

@@ -17,7 +17,7 @@ class Round8akOpsSpec extends SparkSpec {
       (1L, "2024-01-01"), (2L, "2024-01-02"), (3L, "2024-01-03"),
       (4L, "2024-03-01"), (5L, "2024-03-02"), (6L, "2024-03-03"))
       .toDF("o_orderkey", "o_orderdate")
-    val r = Round8akOps.rankStability(li, ord, k = 10).collect()(0)
+    val r = EvalReplayOps.rankStability(li, ord, k = 10).collect()(0)
     assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
       === ((3L, 3L, 3L, 1000000L)))
   }
@@ -32,7 +32,7 @@ class Round8akOpsSpec extends SparkSpec {
       (1L, "2024-01-01"), (2L, "2024-01-02"),
       (3L, "2024-03-01"), (4L, "2024-03-02"))
       .toDF("o_orderkey", "o_orderdate")
-    val r = Round8akOps.rankStability(li, ord, k = 10).collect()(0)
+    val r = EvalReplayOps.rankStability(li, ord, k = 10).collect()(0)
     assert(r.getLong(2) === 0L && r.getLong(3) === 0L)
   }
 
@@ -49,7 +49,7 @@ class Round8akOpsSpec extends SparkSpec {
         Seq(("2024-01-21", 7), ("2024-01-22", 8), ("2024-01-25", 9))
     val orders = days.flatMap { case (d, k) => Seq.fill(k)(d) }
       .toDF("o_orderdate")
-    val r = Round8akOps.potCensus(orders).collect()(0)
+    val r = EvalReplayOps.potCensus(orders).collect()(0)
     assert(r.getLong(0) === 7L)          // threshold_count
     assert(r.getLong(1) === 2L)          // episodes (day 22; day 25)
     assert(r.getLong(2) === 2L)          // exceed_days
@@ -64,7 +64,7 @@ class Round8akOpsSpec extends SparkSpec {
         Seq(("2024-02-19", 8), ("2024-02-20", 9), ("2024-02-21", 10))
     val orders = days.flatMap { case (d, k) => Seq.fill(k)(d) }
       .toDF("o_orderdate")
-    val r = Round8akOps.potCensus(orders).collect()(0)
+    val r = EvalReplayOps.potCensus(orders).collect()(0)
     // 21 days -> p90 rank (189+9)//10 = 19 -> 19th smallest = 8
     assert(r.getLong(0) === 8L)
     assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))

@@ -11,7 +11,7 @@ class Round8alOpsSpec extends SparkSpec {
     // 2 x 6 rows -> bucket 1 load 14, bucket 2 load 6
     val rows = (Seq.fill(10)(1L) ++ Seq.fill(4)(33L) ++ Seq.fill(6)(2L))
       .toDF("k")
-    val r = Round8alOps.taskSkewAudit(rows, "k", p = 32, rowBytes = 100L)
+    val r = CapacityAuditOps.taskSkewAudit(rows, "k", p = 32, rowBytes = 100L)
       .collect()(0)
     assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
       === ((32L, 20L, 3L, 2L)))
@@ -25,7 +25,7 @@ class Round8alOpsSpec extends SparkSpec {
   test("q381 task-skew audit: uniform keys sit near even") {
     import spark.implicits._
     val rows = (0L until 320L).map(i => i % 32L).toDF("k")
-    val r = Round8alOps.taskSkewAudit(rows, "k", p = 32, rowBytes = 8L)
+    val r = CapacityAuditOps.taskSkewAudit(rows, "k", p = 32, rowBytes = 8L)
       .collect()(0)
     assert(r.getLong(5) === 10L)
     assert(r.getLong(6) === 1000000L)        // perfectly even
@@ -36,7 +36,7 @@ class Round8alOpsSpec extends SparkSpec {
     val cust = ((1 to 25).map(i => (1L, "BIG", 100.0)) ++
       (1 to 3).map(i => (2L, "SMALL", 50.0)))
       .toDF("c_nationkey", "c_mktsegment", "c_acctbal")
-    val got = Round8alOps.suppressedRelease(cust, k = 20L).collect()
+    val got = CapacityAuditOps.suppressedRelease(cust, k = 20L).collect()
     assert(got.length === 2)
     val big = got.find(_.getString(1) == "BIG").get
     assert((big.getLong(2), big.getLong(3), big.getBoolean(4))

@@ -11,7 +11,7 @@ class Round8amOpsSpec extends SparkSpec {
       ((1 to 10).map(i => ("1-URGENT", i * 1.0)) ++
         (1 to 10).map(i => ("5-LOW", i * 1.0 + 5.0)))
         .toDF("o_orderpriority", "o_totalprice")
-    val got = Round8amOps.qteProfile(orders).collect()
+    val got = CapacityAuditOps.qteProfile(orders).collect()
     assert(got.length === 9)
     assert(got.forall(_.getLong(3) === 5L))
     assert(got.map(r => (r.getInt(0), r.getLong(1))).toSeq ===
@@ -24,7 +24,7 @@ class Round8amOpsSpec extends SparkSpec {
       ((1 to 9).map(i => ("1-URGENT", i * 1.0)) ++
         ((1 to 8).map(i => ("5-LOW", i * 1.0)) :+ (("5-LOW", 100.0))))
         .toDF("o_orderpriority", "o_totalprice")
-    val got = Round8amOps.qteProfile(orders).collect()
+    val got = CapacityAuditOps.qteProfile(orders).collect()
       .map(r => r.getInt(0) -> r.getLong(3)).toMap
     assert((1 to 8).forall(got(_) === 0L))
     assert(got(9) === 91L)
@@ -41,7 +41,7 @@ class Round8amOpsSpec extends SparkSpec {
     import spark.implicits._
     val nNodes = 2; val nV = 4
     val keys = (1L to 50L)
-    val got = Round8amOps.ringBalance(keys.toDF("k"), nNodes, nV)
+    val got = CapacityAuditOps.ringBalance(keys.toDF("k"), nNodes, nV)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val vnodes = (0 until nNodes * nV).map(i =>
       (i % nNodes, md5Pos(s"ring:$i") * 128 + i)).sortBy(_._2)

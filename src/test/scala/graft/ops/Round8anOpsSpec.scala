@@ -13,7 +13,7 @@ class Round8anOpsSpec extends SparkSpec {
     val days = (1 to 15).map(i => (f"2024-01-$i%02d", if (i == 8) 30 else 10))
     val orders = days.flatMap { case (d, k) => Seq.fill(k)(d) }
       .toDF("o_orderdate")
-    val got = Round8anOps.hampel(orders).collect()
+    val got = CorpusStatOps.hampel(orders).collect()
     val top = got(0)
     assert(top.getString(0) === "2024-01-08")
     assert((top.getLong(1), top.getLong(2), top.getLong(3), top.getLong(4),
@@ -27,7 +27,7 @@ class Round8anOpsSpec extends SparkSpec {
     val days = (1 to 14).map(i => (f"2024-02-$i%02d", 10 + i))
     val orders = days.flatMap { case (d, k) => Seq.fill(k)(d) }
       .toDF("o_orderdate")
-    val got = Round8anOps.hampel(orders).collect()
+    val got = CorpusStatOps.hampel(orders).collect()
     assert(got.nonEmpty && got.forall(!_.getBoolean(5)))
   }
 
@@ -41,7 +41,7 @@ class Round8anOpsSpec extends SparkSpec {
       (1L, ("common common common common common mid mid mid"), "s1"),
       (2L, "common common common rare1 rare2", "s2"))
       .toDF("doc_id", "text", "source")
-    val got = Round8anOps.oovAudit(docs, budget = 2L).collect()
+    val got = CorpusStatOps.oovAudit(docs, budget = 2L).collect()
       .map(r => r.getString(0) ->
         ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
           r.getLong(5)))).toMap
@@ -52,7 +52,7 @@ class Round8anOpsSpec extends SparkSpec {
   test("q386 OOV audit: a budget covering everything yields zero OOV") {
     import spark.implicits._
     val docs = Seq((1L, "a b c a", "s")).toDF("doc_id", "text", "source")
-    val r = Round8anOps.oovAudit(docs, budget = 100L).collect()(0)
+    val r = CorpusStatOps.oovAudit(docs, budget = 100L).collect()(0)
     assert(r.getLong(2) === 0L && r.getLong(5) === 0L)
     assert(r.getLong(4) === 3L)   // vocab covers all 3 types
   }

@@ -15,7 +15,7 @@ class Round8aoOpsSpec extends SparkSpec {
     val ord = Seq((1L, "2024-01-01"), (2L, "2024-03-01"))
       .toDF("o_orderkey", "o_orderdate")
     val part = Seq((1L, "B1")).toDF("p_partkey", "p_brand")
-    val r = Round8aoOps.varianceBridge(li, ord, part).collect()(0)
+    val r = CapacityAuditOps.varianceBridge(li, ord, part).collect()(0)
     assert((r.getLong(5), r.getLong(6), r.getLong(7), r.getLong(8))
       === ((1000L, 1000L, 0L, 0L)))
   }
@@ -32,7 +32,7 @@ class Round8aoOpsSpec extends SparkSpec {
     val ord = Seq((1L, "2024-01-01"), (2L, "2024-03-01"))
       .toDF("o_orderkey", "o_orderdate")
     val part = Seq((1L, "B1"), (2L, "B2")).toDF("p_partkey", "p_brand")
-    val got = Round8aoOps.varianceBridge(li, ord, part).collect()
+    val got = CapacityAuditOps.varianceBridge(li, ord, part).collect()
       .map(r => r.getString(0) ->
         ((r.getLong(5), r.getLong(6), r.getLong(7), r.getLong(8)))).toMap
     assert(got("B1") === ((2000L, 0L, 2000L, 0L)))
@@ -50,7 +50,7 @@ class Round8aoOpsSpec extends SparkSpec {
       ("2024-06-14", "P", 30.0),      // age 200 -> c_91_365
       ("2023-11-27", "O", 40.0))      // age 400 -> d_over_365
       .toDF("o_orderdate", "o_orderstatus", "o_totalprice")
-    val got = Round8aoOps.agingReport(orders).collect()
+    val got = CapacityAuditOps.agingReport(orders).collect()
       .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
       .toMap
     assert(got("a_0_30") === ((1L, 1000L, 100000L)))

@@ -29,7 +29,7 @@ class Round8apOpsSpec extends SparkSpec {
     val ord = Seq((1L, "2024-01-01", "P1"), (2L, "2024-01-01", "P1"),
       (3L, "2024-03-01", "P2"))
       .toDF("o_orderkey", "o_orderdate", "o_orderpriority")
-    val got = Round8apOps.slaAttainment(li, ord, slaDays = 60).collect()
+    val got = CapacityAuditOps.slaAttainment(li, ord, slaDays = 60).collect()
       .map(r => r.getString(0) ->
         ((r.getLong(1), r.getLong(2), r.getLong(3),
           r.getDouble(4), r.getDouble(5)))).toMap
@@ -51,7 +51,7 @@ class Round8apOpsSpec extends SparkSpec {
       (3L, "2024-01-03"), (4L, "2024-01-04"))
       .toDF("o_orderkey", "o_orderdate")
     val part = Seq((1L, "A"), (2L, "B")).toDF("p_partkey", "p_brand")
-    val got = Round8apOps.safetyStock(li, ord, part).collect()
+    val got = CapacityAuditOps.safetyStock(li, ord, part).collect()
       .map(r => r.getString(0) ->
         ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4),
           r.getDouble(5), r.getDouble(6)))).toMap

@@ -15,7 +15,7 @@ class Round8aqOpsSpec extends SparkSpec {
   test("q391 sampled join size matches an independent md5 reference") {
     import spark.implicits._
     val rows = (1 to 2000).map(i => (i % 97).toLong)
-    val r = Round8aqOps.sampledJoinSize(rows.toDF("k"), "k", invRate = 8)
+    val r = EvalReplayOps.sampledJoinSize(rows.toDF("k"), "k", invRate = 8)
       .collect()(0)
     val freq = rows.groupBy(identity).view.mapValues(_.size.toLong).toMap
     val truePairs = freq.values.map(f => f * f).sum
@@ -35,7 +35,7 @@ class Round8aqOpsSpec extends SparkSpec {
       val a = if (i % 4 == 0) "buy" else "view"
       (i, 8L, a, if (a == "buy") 100.0 else 1.0)
     }.toDF("event_id", "user_id", "event_type", "value")
-    val r = Round8aqOps.ipsReplay(events).collect()
+    val r = EvalReplayOps.ipsReplay(events).collect()
     assert(r.length === 1)
     val row = r(0)
     assert(row.getLong(0) === 0L)

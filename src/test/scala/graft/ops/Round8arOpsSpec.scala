@@ -16,7 +16,7 @@ class Round8arOpsSpec extends SparkSpec {
     import spark.implicits._
     val words = (1 to 40).map(i => s"tok$i")
     val docs = Seq((1L, words.mkString(" "))).toDF("doc_id", "text")
-    val got = Round8arOps.hashWidthAudit(docs, Seq(4, 64)).collect()
+    val got = CapacityAuditOps.hashWidthAudit(docs, Seq(4, 64)).collect()
       .map(r => r.getInt(0) ->
         ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
           r.getLong(5)))).toMap
@@ -34,7 +34,7 @@ class Round8arOpsSpec extends SparkSpec {
     // skewed corpus: 'hot' x 50, 30 singletons
     val words = Seq.fill(50)("hot") ++ (1 to 30).map(i => s"cold$i")
     val docs = Seq((1L, words.mkString(" "))).toDF("doc_id", "text")
-    val got = Round8arOps.cmsAudit(docs, depth = 4, width = 8, topK = 5)
+    val got = CapacityAuditOps.cmsAudit(docs, depth = 4, width = 8, topK = 5)
       .collect()
     assert(got.length === 5)
     // replicate the 4x8 sketch

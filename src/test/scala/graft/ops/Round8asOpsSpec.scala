@@ -18,7 +18,7 @@ class Round8asOpsSpec extends SparkSpec {
       val a = if (i % 4 == 0) "buy" else "view"
       (i, 8L, a, if (a == "buy") 100.0 else 1.0)
     }.toDF("event_id", "user_id", "event_type", "value")
-    val r = Round8asOps.drReplay(events).collect()(0)
+    val r = EvalReplayOps.drReplay(events).collect()(0)
     assert(r.getString(1) === "buy")
     // replicate
     val tagged = (1L to 400L).map { i =>
@@ -53,7 +53,7 @@ class Round8asOpsSpec extends SparkSpec {
       (5L, "B"), (6L, "A"),                 // cross A-B (order-insensitive)
       (7L, "A"), (8L, "C"))                 // cross A-C
       .toDF("doc_id", "source")
-    val got = Round8asOps.dupProvenance(pairs, docs).collect()
+    val got = EvalReplayOps.dupProvenance(pairs, docs).collect()
     assert(got.length === 2)
     val r0 = got(0)
     assert((r0.getString(0), r0.getString(1), r0.getLong(2)) === (("A", "B", 2L)))

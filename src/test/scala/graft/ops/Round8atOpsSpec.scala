@@ -9,7 +9,7 @@ class Round8atOpsSpec extends SparkSpec {
     import spark.implicits._
     // v = 1..100 uniform: r(v) = v*10000 ppm
     val rows = (1L to 100L).toDF("v")
-    val got = Round8atOps.tailAmplification(rows).collect()
+    val got = CapacityAuditOps.tailAmplification(rows).collect()
       .map(r => r.getLong(0) -> r.getLong(2)).toMap
     def chain(r0: Long, j: Int): Long = {
       var r = r0
@@ -38,7 +38,7 @@ class Round8atOpsSpec extends SparkSpec {
       (3L, "2024-01-01 00:00:00"), (3L, "2024-01-30 00:00:00"))
       .toDF("user_id", "ts")
       .selectExpr("user_id", "cast(ts as timestamp) as ts")
-    val got = Round8atOps.kmBands(events).collect()
+    val got = CapacityAuditOps.kmBands(events).collect()
       .map(r => r.getInt(0) ->
         ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4),
           r.getDouble(5), r.getDouble(6), r.getDouble(7)))).toMap

@@ -15,7 +15,7 @@ class Round8auOpsSpec extends SparkSpec {
       (4L, (1 to 9).map(i => s"u$i").mkString(" "), "s1"),
       (5L, "too short", "s1"))
       .toDF("doc_id", "text", "source")
-    val got = Round8auOps.templateCensus(docs, minFamily = 2L).collect()
+    val got = CorpusStatOps.templateCensus(docs, minFamily = 2L).collect()
     assert(got.length === 1)
     val r = got(0)
     assert(r.getString(0) === opening)
@@ -29,7 +29,7 @@ class Round8auOpsSpec extends SparkSpec {
     import spark.implicits._
     // endings: 99 x2, 50 x1, 25 x1 -> chi2 = (1e8*6)//4 - 4e6 = 146e6
     val orders = Seq(1.99, 2.99, 3.50, 4.25).toDF("o_totalprice")
-    val got = Round8auOps.priceEndings(orders).collect()
+    val got = CorpusStatOps.priceEndings(orders).collect()
     assert(got.length === 3)
     val top = got(0)
     assert((top.getLong(0), top.getLong(1), top.getLong(2))
@@ -41,7 +41,7 @@ class Round8auOpsSpec extends SparkSpec {
   test("q400 price endings: perfectly uniform endings give zero chi2") {
     import spark.implicits._
     val orders = (0 until 100).map(e => 10.0 + e / 100.0).toDF("o_totalprice")
-    val got = Round8auOps.priceEndings(orders).collect()
+    val got = CorpusStatOps.priceEndings(orders).collect()
     assert(got.forall(_.getLong(5) === 0L))
     assert(got.forall(_.getLong(1) === 1L))
   }

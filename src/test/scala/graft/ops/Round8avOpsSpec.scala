@@ -11,7 +11,7 @@ class Round8avOpsSpec extends SparkSpec {
       a <- Seq("a1", "a2"); b <- Seq("b1", "b2", "b3")
       c <- Seq("c1", "c2"); _ <- 1 to 5
     } yield (a, b, c)
-    val r = Round8avOps.threewayIndependence(rows.toDF("a", "b", "c"))
+    val r = CapacityAuditOps.threewayIndependence(rows.toDF("a", "b", "c"))
       .collect()(0)
     assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
       r.getLong(4)) === ((60L, 2L, 3L, 2L, 7L)))
@@ -22,7 +22,7 @@ class Round8avOpsSpec extends SparkSpec {
     import spark.implicits._
     val rows = (1 to 500).map(i =>
       (s"a${i % 3}", s"b${(i * i) % 2}", s"c${(i * 7) % 4}"))
-    val r = Round8avOps.threewayIndependence(rows.toDF("a", "b", "c"))
+    val r = CapacityAuditOps.threewayIndependence(rows.toDF("a", "b", "c"))
       .collect()(0)
     val cells = rows.groupBy(identity).view.mapValues(_.size.toLong).toMap
     val na = rows.groupBy(_._1).view.mapValues(_.size.toLong).toMap
@@ -43,7 +43,7 @@ class Round8avOpsSpec extends SparkSpec {
       (4L, 2L, "2024-02-01"), (5L, 2L, "2024-03-12"))
       .toDF("o_orderkey", "o_custkey", "o_orderdate")
     val cust = Seq((1L, "S"), (2L, "S")).toDF("c_custkey", "c_mktsegment")
-    val r = Round8avOps.repeatLatency(orders, cust).collect()(0)
+    val r = CapacityAuditOps.repeatLatency(orders, cust).collect()(0)
     // gaps: 10, 10, 40 -> q1 10, median 10, q3 40
     assert((r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
       r.getLong(4)) === (("S", 3L, 10L, 10L, 40L)))
@@ -55,7 +55,7 @@ class Round8avOpsSpec extends SparkSpec {
       (3L, 2L, "2024-01-08"))
       .toDF("o_orderkey", "o_custkey", "o_orderdate")
     val cust = Seq((1L, "A"), (2L, "B")).toDF("c_custkey", "c_mktsegment")
-    val got = Round8avOps.repeatLatency(orders, cust).collect()
+    val got = CapacityAuditOps.repeatLatency(orders, cust).collect()
     assert(got.length === 1)
     assert((got(0).getString(0), got(0).getLong(1), got(0).getLong(3))
       === (("B", 1L, 7L)))

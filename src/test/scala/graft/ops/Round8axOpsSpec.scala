@@ -12,7 +12,7 @@ class Round8axOpsSpec extends SparkSpec {
     // 950 (95% <= 95 -> B), 1000 (-> C)
     val li = Seq((1L, 800.0), (2L, 150.0), (3L, 50.0))
       .toDF("l_partkey", "l_extendedprice")
-    val got = Round8axOps.abcClassification(li).collect()
+    val got = CapacityAuditOps.abcClassification(li).collect()
       .map(r => r.getString(0) ->
         ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
     assert(got("A") === ((1L, 80000L, 800000L)))
@@ -28,7 +28,7 @@ class Round8axOpsSpec extends SparkSpec {
       (1L, 10L, 70.0), (1L, 20L, 30.0),
       (2L, 20L, 40.0))
       .toDF("l_partkey", "l_suppkey", "l_extendedprice")
-    val got = Round8axOps.supplyConcentration(li).collect()
+    val got = CapacityAuditOps.supplyConcentration(li).collect()
     assert(got.length === 2)
     val top = got(0)
     assert((top.getLong(0), top.getLong(1), top.getLong(2), top.getLong(3))

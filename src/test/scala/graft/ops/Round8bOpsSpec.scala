@@ -91,6 +91,30 @@ class Round8bOpsSpec extends SparkSpec {
     assert(back.toSeq === Seq((1L, "a"), (2L, "b"), (3L, "c")))
   }
 
+  test("q290 sink manifest: _SUCCESS names only the latest job's files (reader contract)") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft_r8b_sink2").toString
+    Seq((1L, "a")).toDF("k", "s").coalesce(1)
+      .write.format("graft-sink").option("path", out).mode("append").save()
+    Seq((2L, "b"), (3L, "c")).toDF("k", "s").repartition(2)
+      .write.format("graft-sink").option("path", out).mode("append").save()
+    // the dir accretes parts across jobs, but the manifest is the pointer
+    // swap: it must list exactly the SECOND job's files, and a manifest
+    // reader must see only the second job's rows
+    val listed = java.nio.file.Files.readString(
+      java.nio.file.Path.of(out, "_SUCCESS")).split("\n").filter(_.nonEmpty)
+    val onDisk = new java.io.File(out).listFiles().map(_.getName)
+      .filter(_.endsWith(".part.csv"))
+    assert(onDisk.length === 3, "parts accrete append-only across jobs")
+    assert(listed.length === 2, "manifest lists only the latest job")
+    assert(listed.forall(onDisk.contains))
+    val back = spark.read.schema("k LONG, s STRING").option("sep", "|")
+      .csv(listed.map(n => s"$out/$n").toIndexedSeq: _*).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted
+    assert(back.toSeq === Seq((2L, "b"), (3L, "c")))
+    assert(!new java.io.File(s"$out/_staging").exists())
+  }
+
   test("q290 sink abort: a poisoned job publishes nothing") {
     import spark.implicits._
     val out = Files.createTempDirectory("graft_r8b_sinkab").toString

@@ -15,7 +15,7 @@ class Round8dOpsSpec extends SparkSpec {
       (1L, 101L), (1L, 102L),
       (2L, 101L), (2L, 102L), (2L, 103L),
       (3L, 103L)).toDF("ck", "pk")
-    val got = Round8dOps.kcorePeel(edges, kc = 2, kp = 2, rounds = 4)
+    val got = GraphMiningOps.kcorePeel(edges, kc = 2, kp = 2, rounds = 4)
       .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     assert(got.toSeq === Seq(
       (0, 3L, 3L, 6L),
@@ -37,7 +37,7 @@ class Round8dOpsSpec extends SparkSpec {
       (0L, 0, v(0, 0.01f)), (1L, 0, v(0, 0.02f)), (2L, 0, v(0, 0.03f)),
       (3L, 1, v(1, 0.01f)), (4L, 1, v(1, 0.02f)), (5L, 1, v(1, 0.03f)),
       (6L, 0, v(1, 0.04f))).toDF("vec_id", "label", "embedding")
-    val got = Round8dOps.knnLabelAudit(emb, probeEvery = 1, probeCap = 100, k = 3)
+    val got = GraphMiningOps.knnLabelAudit(emb, probeEvery = 1, probeCap = 100, k = 3)
       .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
       .toMap
     assert(got(0) === ((4L, 1L, 250000L)))
@@ -49,7 +49,7 @@ class Round8dOpsSpec extends SparkSpec {
     // "a b c a b c" -> 3-grams: "a b c"(x2), "b c a", "c a b";
     // a 2-token doc contributes nothing (the descending-sequence guard).
     val docs = Seq("a b c a b c", "x y").toDF("text")
-    val got = Round8dOps.goodTuring(docs, maxR = 12)
+    val got = GraphMiningOps.goodTuring(docs, maxR = 12)
       .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
         if (r.isNullAt(3)) -1L else r.getLong(3)))).toMap
     // r=1: N_1=2, N_2=1 -> r* = 2*1/2 = 1.0 -> 1_000_000 ppm
@@ -65,7 +65,7 @@ class Round8dOpsSpec extends SparkSpec {
       (java.sql.Date.valueOf(f"2024-01-$i%02d"),
         if (i % 2 == 0) 20L else 10L)
     }.toDF("d", "x")
-    val got = Round8dOps.acf(daily, maxLag = 2)
+    val got = GraphMiningOps.acf(daily, maxLag = 2)
       .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(5)))).toMap
     assert(got(1) === ((19L, -1.0)))
     assert(got(2) === ((18L, 1.0)))
@@ -77,7 +77,7 @@ class Round8dOpsSpec extends SparkSpec {
       .toDF("l_suppkey", "l_extendedprice")
     val supp = Seq((1L, 10), (2L, 20), (3L, 20)).toDF("s_suppkey", "s_nationkey")
     val nat = Seq((10, "MONO"), (20, "DUO")).toDF("n_nationkey", "n_name")
-    val got = Round8dOps.hhi(li, supp, nat)
+    val got = GraphMiningOps.hhi(li, supp, nat)
       .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
         r.getLong(3), r.getLong(4)))).toMap
     assert(got("MONO") === ((1L, 1000000L, 1000000L, 100L)))
@@ -91,7 +91,7 @@ class Round8dOpsSpec extends SparkSpec {
     val daily = (1 to 14).map { i =>
       (java.sql.Date.valueOf(f"2024-01-$i%02d"), i * 100L)
     }.toDF("d", "cents")
-    val got = Round8dOps.saxMotifs(daily)
+    val got = GraphMiningOps.saxMotifs(daily)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(got === Map("aaaabbb" -> 1L, "bcccddd" -> 1L))
   }

@@ -39,7 +39,7 @@ class Round8dPropertySpec extends SparkSpec {
       out.toSeq
     }
     val prop = Prop.forAll(edgesGen) { es =>
-      val got = Round8dOps.kcorePeel(es.toDF("ck", "pk"), 2, 3, 3)
+      val got = GraphMiningOps.kcorePeel(es.toDF("ck", "pk"), 2, 3, 3)
         .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
       val want = ref(es, 2, 3, 3)
       (got == want) :| s"got $got want $want" &&
@@ -59,7 +59,7 @@ class Round8dPropertySpec extends SparkSpec {
       val daily = xs.zipWithIndex.map { case (x, i) =>
         (java.sql.Date.valueOf(LocalDate.of(2024, 1, 1).plusDays(i)), x)
       }.toDF("d", "x")
-      val got = Round8dOps.acf(daily, maxLag = 3).collect()
+      val got = GraphMiningOps.acf(daily, maxLag = 3).collect()
         .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
         .toMap
       (1 to 3).forall { lag =>
@@ -95,7 +95,7 @@ class Round8dPropertySpec extends SparkSpec {
         .toDF("l_suppkey", "l_extendedprice")
       val supp = (1L to 8L).map(k => (k, 1)).toDF("s_suppkey", "s_nationkey")
       val nat = Seq((1, "N1")).toDF("n_nationkey", "n_name")
-      val got = Round8dOps.hhi(li, supp, nat).collect()
+      val got = GraphMiningOps.hhi(li, supp, nat).collect()
         .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).head
       val bySupp = rows.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
       val tot = bySupp.values.sum
@@ -121,7 +121,7 @@ class Round8dPropertySpec extends SparkSpec {
       val days = cents.zipWithIndex.map { case (c, i) => (base.plusDays(i), c) }
       val daily = days.map { case (d, c) => (java.sql.Date.valueOf(d), c) }
         .toDF("d", "cents")
-      val got = Round8dOps.saxMotifs(daily).collect()
+      val got = GraphMiningOps.saxMotifs(daily).collect()
         .map(r => r.getString(0) -> r.getLong(1)).toMap
       // sequential ntile(4) over (cents, d): first (n mod 4) buckets take
       // the extra row, assigned in total (cents, d) order

@@ -12,7 +12,7 @@ class Round8eOpsSpec extends SparkSpec {
     // P(b|a) = (2-3/4)/2 + (3/4 * 1/2)*(1/2) = 0.8125
     // P(a|b) = (1-3/4)/1 + (3/4 * 1/1)*(1/2) = 0.625
     val docs = Seq("a b a b").toDF("text")
-    val got = Round8eOps.knBigrams(docs, topK = 10).collect()
+    val got = CorpusStatOps.knBigrams(docs, topK = 10).collect()
       .map(r => (r.getString(0), r.getString(1)) ->
         ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))))
       .toMap
@@ -28,7 +28,7 @@ class Round8eOpsSpec extends SparkSpec {
     // 1000 * (1/3, 2/3) -> bases 333/666, one remainder seat -> B (larger rem)
     val cust = Seq(("A", 0.00), ("A", 2.00), ("B", 0.00), ("B", 4.00))
       .toDF("c_mktsegment", "c_acctbal")
-    val got = Round8eOps.neymanAllocation(cust, budget = 1000).collect()
+    val got = CorpusStatOps.neymanAllocation(cust, budget = 1000).collect()
       .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
         r.getLong(4)))).toMap
     assert(got("A") === ((2L, 20000L, 333333L, 333L)))
@@ -40,7 +40,7 @@ class Round8eOpsSpec extends SparkSpec {
     import spark.implicits._
     val docs = (1L to 60L).map(i => (i, if (i % 3 == 0) "de" else "en"))
       .toDF("doc_id", "lang")
-    val rows = Round8eOps.rrDebias(docs).collect()
+    val rows = CorpusStatOps.rrDebias(docs).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
     val n = rows.map(_._2).sum
     assert(n === 60L)
@@ -51,7 +51,7 @@ class Round8eOpsSpec extends SparkSpec {
       assert(err === est - 100L * nTrue)
     }
     // determinism: the md5 mechanism is partition-invariant
-    val again = Round8eOps.rrDebias(docs.repartition(7)).collect()
+    val again = CorpusStatOps.rrDebias(docs.repartition(7)).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
     assert(rows.sortBy(_._1).toSeq === again.sortBy(_._1).toSeq)
   }
@@ -63,7 +63,7 @@ class Round8eOpsSpec extends SparkSpec {
       (1L, "O", "HI"), (61L, "O", "LO"), (62L, "O", "HI"),
       (63L, "F", "HI"), (124L, "F", "LO"), (125L, "O", "HI"))
       .toDF("o_orderkey", "o_orderstatus", "o_orderpriority")
-    val got = Round8eOps.bitmapIntersect(orders).collect()
+    val got = CorpusStatOps.bitmapIntersect(orders).collect()
       .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
     val want = orders.groupBy("o_orderstatus", "o_orderpriority").count()
       .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap

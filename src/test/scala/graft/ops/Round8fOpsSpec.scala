@@ -25,7 +25,7 @@ class Round8fOpsSpec extends SparkSpec {
     // day 10: x = 1000 (9 wild slopes). m = 45, rank 23 lands among the
     // 3-slopes sorted by (dy, dx): cum 8,15,21,26 -> (dy=12, dx=4).
     val d = ordersDir((1 to 9).map(i => (i, 3 * i + 2)) :+ ((10, 1000)))
-    val r = Round8fOps.q310TheilSen(spark, d).collect().head
+    val r = TrendStatOps.q310TheilSen(spark, d).collect().head
     assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)) ===
       ((45L, 12L, 4L, 3.0)))
   }
@@ -34,7 +34,7 @@ class Round8fOpsSpec extends SparkSpec {
     // 10 strictly increasing distinct counts: S = 45, no ties ->
     // var18 = 10*9*25 = 2250, z = 44/sqrt(125).
     val d = ordersDir((1 to 10).map(i => (i, 10 + 7 * i)))
-    val r = Round8fOps.q311MannKendall(spark, d).collect().head
+    val r = TrendStatOps.q311MannKendall(spark, d).collect().head
     assert(r.getLong(0) === 10L)
     assert(r.getLong(1) === 45L)
     assert(r.getLong(2) === 2250L)
@@ -56,7 +56,7 @@ class Round8fOpsSpec extends SparkSpec {
       .groupBy(_._2).view.mapValues { ids =>
         ids.map(_._1).sortBy(id => (h(id), id)).take(3).sum
       }.toMap
-    val got = Round8fOps.classRebalance(docs).collect()
+    val got = TrendStatOps.classRebalance(docs).collect()
       .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
       .toMap
     assert(got("a") === ((5L, 3L, want("a"))))
@@ -72,7 +72,7 @@ class Round8fOpsSpec extends SparkSpec {
     val events = Seq(
       (1L, ts(0L), 1L), (1L, ts(300L), 2L), (1L, ts(2000L), 3L),
       (2L, ts(50L), 4L)).toDF("user_id", "ts", "event_id")
-    val got = Round8fOps.intervalUnion(events, lenSec = 600L).collect()
+    val got = TrendStatOps.intervalUnion(events, lenSec = 600L).collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
     assert(got(1L) === ((2L, 1500L)))
     assert(got(2L) === ((1L, 600L)))

@@ -21,7 +21,7 @@ class Round8gOpsSpec extends SparkSpec {
       (day.toLong, units * 1e6, Timestamp.valueOf(f"2024-01-$day%02d 00:00:00"))
     }.toDF("o_orderkey", "o_totalprice", "o_orderdate")
       .coalesce(1).write.parquet(s"$d/orders.parquet")
-    val got = Round8gOps.q314SegmentedTrend(spark, d).collect()
+    val got = GraphMiningOps.q314SegmentedTrend(spark, d).collect()
       .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(5))))
       .toMap
     assert(got("before") === ((10L, 10L, 0L)))
@@ -34,7 +34,7 @@ class Round8gOpsSpec extends SparkSpec {
     val edges = Seq(
       (1L, 101L), (1L, 102L), (2L, 101L), (2L, 102L),
       (5L, 105L), (5L, 106L), (6L, 105L), (6L, 106L)).toDF("ck", "pk")
-    val got = Round8gOps.lpaCommunities(edges, rounds = 3).collect()
+    val got = GraphMiningOps.lpaCommunities(edges, rounds = 3).collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     // r0: 8 disjoint labels; r1 on: each biclique floods to its min part
     // label (2*101+1 = 203, 2*105+1 = 211) and stays there.

@@ -16,7 +16,7 @@ class Round8hOpsSpec extends SparkSpec {
     val base = Seq(
       ("A", 1L, 40L), ("A", 2L, 30L), ("A", 3L, 20L), ("A", 4L, 10L),
       ("B", 1L, 10L), ("B", 1L, 20L), ("B", 2L, 30L)).toDF("segment", "x", "y")
-    val got = Round8hOps.spearmanBySegment(base).collect()
+    val got = TrendStatOps.spearmanBySegment(base).collect()
       .map(r => r.getString(0) ->
         ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))))
       .toMap
@@ -34,7 +34,7 @@ class Round8hOpsSpec extends SparkSpec {
       (2L, 10L), (2L, 20L), (2L, 30L),
       (3L, 10L), (3L, 20L), (3L, 40L),
       (4L, 50L)).toDF("ok", "p")
-    val got = Round8hOps.aprioriTriples(items, minsup = 2L).collect()
+    val got = TrendStatOps.aprioriTriples(items, minsup = 2L).collect()
     assert(got.length === 1)
     val r = got.head
     assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
@@ -51,7 +51,7 @@ class Round8hOpsSpec extends SparkSpec {
       (100L, Seq(0.99f, 0.01f), 2),
       (101L, Seq(0.9f, 0.1f), 1),
       (102L, Seq(0.0f, 1.0f), 1)).toDF("vec_id", "embedding", "label")
-    val got = Round8hOps.mrrEval(emb, nQueries = 1).collect()
+    val got = TrendStatOps.mrrEval(emb, nQueries = 1).collect()
     assert(got.length === 1)
     val r = got.head
     assert((r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3),
@@ -70,7 +70,7 @@ class Round8hOpsSpec extends SparkSpec {
       (6L, ts(90000L)),  // [01:00, 01:30) day 1
       (7L, ts(91800L))   // [01:30, 02:00) touches e6's end: NOT concurrent
     ).toDF("event_id", "ts")
-    val got = Round8hOps.peakConcurrency(events, lenSec = 1800L).collect()
+    val got = TrendStatOps.peakConcurrency(events, lenSec = 1800L).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(got.toSeq === Seq(
       (0L, 3L, 1200000000L),

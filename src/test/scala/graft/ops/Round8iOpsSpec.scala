@@ -22,7 +22,7 @@ class Round8iOpsSpec extends SparkSpec {
     rows.map { case (k, p, day) => (k, p, Timestamp.valueOf(s"$day 00:00:00")) }
       .toDF("o_orderkey", "o_totalprice", "o_orderdate")
       .coalesce(1).write.parquet(s"$d/orders.parquet")
-    val got = Round8iOps.q320KendallTau(spark, d).collect()
+    val got = TrendStatOps.q320KendallTau(spark, d).collect()
     assert(got.length === 1)
     val r = got.head
     assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
@@ -36,7 +36,7 @@ class Round8iOpsSpec extends SparkSpec {
     (1L to 500L).map(i => (i, "view"))
       .toDF("event_id", "event_type")
       .coalesce(1).write.parquet(s"$d/events.parquet")
-    val got = Round8iOps.q321BrierDecomposition(spark, d).collect()
+    val got = TrendStatOps.q321BrierDecomposition(spark, d).collect()
     assert(got.nonEmpty)
     got.foreach { r =>
       assert(r.getLong(2) === 0L)            // n_pos
@@ -54,12 +54,12 @@ class Round8iOpsSpec extends SparkSpec {
     import spark.implicits._
     // equal weights, k=2: thresholds at 100 and 300 select units 2 and 4
     val w1 = Seq((1L, 100L), (2L, 100L), (3L, 100L), (4L, 100L)).toDF("sk", "w")
-    val got1 = Round8iOps.systematicPps(w1, k = 2L).collect()
+    val got1 = TrendStatOps.systematicPps(w1, k = 2L).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
     assert(got1.toSeq === Seq((2L, 100L, 200L, 1L, 250000L), (4L, 100L, 400L, 1L, 250000L)))
     // a dominant unit absorbs all 4 thresholds (PPS multiplicity)
     val w2 = Seq((1L, 100L), (2L, 1000L), (3L, 100L)).toDF("sk", "w")
-    val got2 = Round8iOps.systematicPps(w2, k = 4L).collect()
+    val got2 = TrendStatOps.systematicPps(w2, k = 4L).collect()
       .map(r => (r.getLong(0), r.getLong(3)))
     assert(got2.toSeq === Seq((2L, 4L)))
   }
@@ -70,7 +70,7 @@ class Round8iOpsSpec extends SparkSpec {
       ("srcA", "a a a a"),  // 4 unigrams 1 distinct; 3 bigrams 1; 2 trigrams 1
       ("srcB", "a b c")     // all distinct at every n
     ).toDF("source", "text")
-    val got = Round8iOps.distinctN(docs).collect()
+    val got = TrendStatOps.distinctN(docs).collect()
       .map(r => r.getString(0) -> r.toSeq.drop(1).map(_.asInstanceOf[Long]))
       .toMap
     assert(got("srcA") === Seq(4L, 1L, 250000L, 3L, 1L, 333333L, 2L, 1L, 500000L))

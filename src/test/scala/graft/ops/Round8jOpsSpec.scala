@@ -13,7 +13,7 @@ class Round8jOpsSpec extends SparkSpec {
     // contingency [[20,5],[10,15]]: po=0.7, pe=0.5 -> kappa = 0.4
     val labels = (Seq.fill(20)((0L, 0L)) ++ Seq.fill(5)((0L, 1L)) ++
       Seq.fill(10)((1L, 0L)) ++ Seq.fill(15)((1L, 1L))).toDF("a", "b")
-    val got = Round8jOps.cohenKappa(labels).collect()
+    val got = EvalReplayOps.cohenKappa(labels).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
     assert(got.toSeq === Seq(
       (0L, 0L, 20L, 50L, 400000L), (0L, 1L, 5L, 50L, 400000L),
@@ -32,7 +32,7 @@ class Round8jOpsSpec extends SparkSpec {
       .map { case (ok, p) => (ok, p, 1.00) }
       .toDF("l_orderkey", "l_partkey", "l_extendedprice")
       .coalesce(1).write.parquet(s"$d/lineitem.parquet")
-    val got = Round8jOps.q325TopkChurn(spark, d).collect()
+    val got = EvalReplayOps.q325TopkChurn(spark, d).collect()
       .map(r => (r.getTimestamp(0).toString.take(10), r.getLong(1), r.getLong(2),
         r.getLong(3), r.getLong(4)))
     assert(got.toSeq === Seq(
@@ -49,7 +49,7 @@ class Round8jOpsSpec extends SparkSpec {
       (3L, "zeta eta theta iota kappa lambda mu"))
       .toDF("doc_id", "text")
       .coalesce(1).write.parquet(s"$d/documents.parquet")
-    val got = Round8jOps.q326CaptureRecapture(spark, d).collect()
+    val got = EvalReplayOps.q326CaptureRecapture(spark, d).collect()
     assert(got.length === 1)
     val r = got.head
     // n1=n2=m=1 -> chapman = 4/2 - 1 = 1, nothing estimated missed

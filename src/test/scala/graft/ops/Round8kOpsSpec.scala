@@ -13,7 +13,7 @@ class Round8kOpsSpec extends SparkSpec {
       (0L, "a b c d"),
       (101L, "a b c x"),
       (102L, "p q r s t")).toDF("doc_id", "text")
-    val got = Round8kOps.evalContamination(docs, modulus = 50L).collect()
+    val got = CorpusStatOps.evalContamination(docs, modulus = 50L).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     assert(got.toSeq === Seq((5L, 1L, 1L, 500000L)))
   }
@@ -23,7 +23,7 @@ class Round8kOpsSpec extends SparkSpec {
     // size ranks 40,30,20,10 -> serpentine 0,1,1,0 -> both shards sum 50
     val docs = Seq((1L, 40L), (2L, 30L), (3L, 20L), (4L, 10L))
       .toDF("doc_id", "n_chars")
-    val got = Round8kOps.serpentineShards(docs, shards = 2).collect()
+    val got = CorpusStatOps.serpentineShards(docs, shards = 2).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     assert(got.toSeq === Seq((0L, 2L, 50L, 0L), (1L, 2L, 50L, 0L)))
   }

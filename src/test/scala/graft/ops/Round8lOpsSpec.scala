@@ -13,7 +13,7 @@ class Round8lOpsSpec extends SparkSpec {
     val docs = Seq(
       ("A", "x y"), ("A", "x z"),
       ("B", "a b c d e f"), ("B", "a b c d e g")).toDF("source", "text")
-    val got = Round8lOps.mixtureReweight(docs, rounds = 3).collect()
+    val got = CorpusStatOps.mixtureReweight(docs, rounds = 3).collect()
       .map(r => r.getString(0) ->
         ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))))
       .toMap
@@ -42,7 +42,7 @@ class Round8lOpsSpec extends SparkSpec {
     // A: "a b" (tok 2, sole type a); B: "b c c" (tok 3, sole type c);
     // gt=5, gv=3, d1 = 600000.
     val docs = Seq(("A", "a b"), ("B", "b c c")).toDF("source", "text")
-    val got = Round8lOps.looSourceStats(docs).collect()
+    val got = CorpusStatOps.looSourceStats(docs).collect()
       .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
         r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))).toMap
     assert(got("A") === ((1L, 2L, 1L, 3000000L, 600000L, 666666L, 66666L)))

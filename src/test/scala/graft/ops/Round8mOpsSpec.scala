@@ -13,7 +13,7 @@ class Round8mOpsSpec extends SparkSpec {
     val docs = (0L to 7L).map { i =>
       (i, if (i <= 4L) s"text $i" else "text 0")
     }.toDF("doc_id", "text")
-    val got = Round8mOps.dedupSaturation(docs).collect()
+    val got = CorpusStatOps.dedupSaturation(docs).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
     assert(got.toSeq === Seq(
       (1L, 1L, 2L, 2L, 0L),
@@ -32,7 +32,7 @@ class Round8mOpsSpec extends SparkSpec {
       (5L, "delta echo"),        // same SET as 3/4, different multiset
       (6L, "zeta unique")        // singleton -> filtered out
     ).toDF("doc_id", "text")
-    val got = Round8mOps.tokenSetGroups(docs).collect()
+    val got = CorpusStatOps.tokenSetGroups(docs).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     assert(got.toSeq === Seq(
       (1L, 2L, 2L, 1L),   // two texts, one bag: pure reorder

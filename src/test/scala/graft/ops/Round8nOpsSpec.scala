@@ -18,7 +18,7 @@ class Round8nOpsSpec extends SparkSpec {
     } yield ((day * 100 + k).toLong, Timestamp.valueOf(f"2024-01-$day%02d 00:00:00"))
     rows.toDF("o_orderkey", "o_orderdate")
       .coalesce(1).write.parquet(s"$d/orders.parquet")
-    val got = Round8nOps.q333MaseBacktest(spark, d).collect()
+    val got = TrendStatOps.q333MaseBacktest(spark, d).collect()
     assert(got.length === 1)
     assert(got.head.toSeq === Seq(7L, 7L, 49L, 142857L))
   }
@@ -32,7 +32,7 @@ class Round8nOpsSpec extends SparkSpec {
       (java.sql.Date.valueOf("2024-01-02"), 10L),
       (java.sql.Date.valueOf("2024-01-03"), 20L),
       (java.sql.Date.valueOf("2024-01-04"), 100L)).toDF("d", "x")
-    val got = Round8nOps.siegelSlope(daily).collect()
+    val got = TrendStatOps.siegelSlope(daily).collect()
     assert(got.length === 1)
     val r = got.head
     assert((r.getLong(0), r.getInt(1).toLong, r.getLong(2), r.getLong(3), r.getDouble(4)) ===

@@ -13,7 +13,7 @@ class Round8oOpsSpec extends SparkSpec {
       (0L, "a b c d e f"),
       (101L, "a b c x y z"),
       (102L, "d e f g h")).toDF("doc_id", "text")
-    val got = Round8oOps.noveltyCurve(docs, maxN = 5).collect()
+    val got = CorpusStatOps.noveltyCurve(docs, maxN = 5).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     assert(got.toSeq === Seq(
       (1L, 6L, 6L, 0L),
@@ -27,7 +27,7 @@ class Round8oOpsSpec extends SparkSpec {
     import spark.implicits._
     // freqs a:6, b:3, c:1 (T=10): 90% -> 2 types @900000; 95%/99% -> 3 @1e6
     val docs = Seq((1L, "a a a a a a b b b c")).toDF("doc_id", "text")
-    val got = Round8oOps.vocabCoverage(docs).collect()
+    val got = CorpusStatOps.vocabCoverage(docs).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     assert(got.toSeq === Seq(
       (90L, 3L, 2L, 900000L),

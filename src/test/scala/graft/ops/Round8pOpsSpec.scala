@@ -19,7 +19,7 @@ class Round8pOpsSpec extends SparkSpec {
     Seq((100L, 10L), (100L, 11L), (101L, 11L), (101L, 11L))
       .toDF("l_orderkey", "l_suppkey")
       .coalesce(1).write.parquet(s"$d/lineitem.parquet")
-    val got = Round8pOps.q337TradeHomophily(spark, d).collect()
+    val got = GraphMiningOps.q337TradeHomophily(spark, d).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
     assert(got.toSeq === Seq(
       (0L, 0L, 1L, 4L, 500000L),
@@ -31,13 +31,13 @@ class Round8pOpsSpec extends SparkSpec {
     import spark.implicits._
     val docs = Seq((1L, "a b c d e f g"), (2L, "x y")).toDF("doc_id", "text")
     // every position starts a span -> one merged island covering the doc
-    val full = Round8pOps.spanCorruptionPlan(docs, spanLen = 3, modulus = 1).collect()
+    val full = GraphMiningOps.spanCorruptionPlan(docs, spanLen = 3, modulus = 1).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
     assert(full.toSeq === Seq(
       (1L, 7L, 1L, 7L, 1000000L),
       (2L, 2L, 1L, 2L, 1000000L)))
     // hash-sparse plan: accounting invariants hold for every doc
-    val sparse = Round8pOps.spanCorruptionPlan(docs, spanLen = 3, modulus = 3).collect()
+    val sparse = GraphMiningOps.spanCorruptionPlan(docs, spanLen = 3, modulus = 3).collect()
     sparse.foreach { r =>
       val (m, spans, masked, ratio) =
         (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))

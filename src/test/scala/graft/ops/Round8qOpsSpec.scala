@@ -15,7 +15,7 @@ class Round8qOpsSpec extends SparkSpec {
       yield ((day * 10 + j).toLong, 1e6, Timestamp.valueOf(f"2024-02-0$day 00:00:00"))
     rows.toDF("o_orderkey", "o_totalprice", "o_orderdate")
       .coalesce(1).write.parquet(s"$d/orders.parquet")
-    val got = Round8qOps.q339CrossCorrelation(spark, d).collect()
+    val got = TrendStatOps.q339CrossCorrelation(spark, d).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
         if (r.isNullAt(5)) None else Some(r.getDouble(5))))
     assert(got.length === 4) // lags 0..3 have pairs
@@ -31,13 +31,13 @@ class Round8qOpsSpec extends SparkSpec {
     }
     val osc = ev(1L, Seq("A", "B", "A", "B", "A"))
       .toDF("event_id", "ts", "user_id", "event_type")
-    val g1 = Round8qOps.stationaryMix(osc, iters = 10).collect()
+    val g1 = TrendStatOps.stationaryMix(osc, iters = 10).collect()
       .map(r => (r.getString(0), r.getLong(1)))
     assert(g1.toSeq === Seq(("A", 500000L), ("B", 500000L)))
     // A->A x3, A->B, B->A: P = [[3/4, 1/4], [1, 0]] -> pi = (0.8, 0.2)
     val biased = ev(2L, Seq("A", "A", "A", "A", "B", "A"))
       .toDF("event_id", "ts", "user_id", "event_type")
-    val g2 = Round8qOps.stationaryMix(biased, iters = 10).collect()
+    val g2 = TrendStatOps.stationaryMix(biased, iters = 10).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(math.abs(g2("A") - 800000L) <= 5, g2)
     assert(math.abs(g2("B") - 200000L) <= 5, g2)

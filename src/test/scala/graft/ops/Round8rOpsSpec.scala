@@ -15,7 +15,7 @@ class Round8rOpsSpec extends SparkSpec {
     // C = 1 - 6/210; H = 1.7647...
     val rows = Seq(("A", 1.0), ("A", 2.0), ("A", 3.0),
       ("B", 4.0), ("B", 5.0), ("B", 2.0)).toDF("g", "bal")
-    val got = Round8rOps.kruskalWallis(rows, "bal", "g").collect()
+    val got = InferenceTestOps.kruskalWallis(rows, "bal", "g").collect()
     assert(got.length === 2)
     val a = got(0); val b = got(1)
     assert(a.getString(0) === "A" && a.getLong(1) === 3L && a.getLong(2) === 15L)
@@ -31,7 +31,7 @@ class Round8rOpsSpec extends SparkSpec {
     import spark.implicits._
     val rows = (1 to 40).flatMap(i => Seq(("A", i.toDouble), ("B", i.toDouble)))
       .toDF("g", "bal")
-    val got = Round8rOps.kruskalWallis(rows, "bal", "g").collect()
+    val got = InferenceTestOps.kruskalWallis(rows, "bal", "g").collect()
     assert(math.abs(got(0).getDouble(5)) < 1e-6)
   }
 
@@ -43,7 +43,7 @@ class Round8rOpsSpec extends SparkSpec {
     val bad = "xx"                                // 1 token len2 -> A fail, B fail? len 2 < 3 -> B fail
     val docs = (Seq.fill(3)(long) ++ Seq.fill(5)(short.trim) ++
       Seq.fill(2)(good) ++ Seq.fill(4)(bad)).toDF("text")
-    val r = Round8rOps.mcNemar(docs).collect()(0)
+    val r = InferenceTestOps.mcNemar(docs).collect()(0)
     assert(r.getLong(0) === 14L)
     assert(r.getLong(1) === 2L)  // both
     assert(r.getLong(2) === 3L)  // only A

@@ -9,7 +9,7 @@ class Round8sOpsSpec extends SparkSpec {
     import spark.implicits._
     // edges: 1-2, 1-3, 1-4, 2-3 (canonical p1<p2). deg: 1->3, 2->2, 3->2, 4->1
     val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L)).toDF("p1", "p2")
-    val got = Round8sOps.adamicAdar(edges, degCap = 256, topK = 20).collect()
+    val got = GraphMiningOps.adamicAdar(edges, degCap = 256, topK = 20).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     // wedges through center 1 propose (2,4) and (3,4) with w = floor(1e6/ln 3);
     // (2,3)/(1,3)/(1,2) are existing edges and must be excluded
@@ -21,7 +21,7 @@ class Round8sOpsSpec extends SparkSpec {
     import spark.implicits._
     // star center 1 with 5 leaves; cap 4 excludes it -> no predictions
     val edges = (2L to 6L).map(n => (1L, n)).toDF("p1", "p2")
-    assert(Round8sOps.adamicAdar(edges, degCap = 4, topK = 20).count() === 0L)
+    assert(GraphMiningOps.adamicAdar(edges, degCap = 4, topK = 20).count() === 0L)
   }
 
   test("q344 EWMA bands: a spike day tops the alert ranking") {
@@ -32,7 +32,7 @@ class Round8sOpsSpec extends SparkSpec {
       Seq.fill(x)(java.sql.Date.valueOf(java.time.LocalDate.of(2024, 1, 1).plusDays(i - 1).toString))
     }
     val orders = rows.toDF("o_orderdate")
-    val got = Round8sOps.ewmaBands(orders, spark, topK = 5).collect()
+    val got = GraphMiningOps.ewmaBands(orders, spark, topK = 5).collect()
     assert(got.nonEmpty)
     val top = got(0)
     assert(top.getDate(0).toString === "2024-02-10") // day 41
@@ -52,6 +52,6 @@ class Round8sOpsSpec extends SparkSpec {
     val rows = (1 to 30).flatMap { i =>
       Seq.fill(5)(java.sql.Date.valueOf(java.time.LocalDate.of(2024, 3, 1).plusDays(i - 1).toString))
     }
-    assert(Round8sOps.ewmaBands(rows.toDF("o_orderdate"), spark, topK = 5).count() === 0L)
+    assert(GraphMiningOps.ewmaBands(rows.toDF("o_orderdate"), spark, topK = 5).count() === 0L)
   }
 }

@@ -12,7 +12,7 @@ class Round8tOpsSpec extends SparkSpec {
     // clip = min(3,1)[a b] = 1; p = 1/5, r = 1/2, f1 = 2/7
     val docs = Seq((1L, "a b a b a b"), (2L, "a b c")).toDF("doc_id", "text")
     val pairs = Seq((1L, 2L)).toDF("id_a", "id_b")
-    val got = Round8tOps.rouge2Pairs(docs, pairs).collect()
+    val got = InferenceTestOps.rouge2Pairs(docs, pairs).collect()
     assert(got.length === 1)
     val r = got(0)
     assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
@@ -26,7 +26,7 @@ class Round8tOpsSpec extends SparkSpec {
     import spark.implicits._
     val docs = Seq((1L, "x y z"), (2L, "p q r")).toDF("doc_id", "text")
     val pairs = Seq((1L, 2L)).toDF("id_a", "id_b")
-    val r = Round8tOps.rouge2Pairs(docs, pairs).collect()(0)
+    val r = InferenceTestOps.rouge2Pairs(docs, pairs).collect()(0)
     assert(r.getLong(2) === 0L && r.getLong(7) === 0L)
   }
 
@@ -39,7 +39,7 @@ class Round8tOpsSpec extends SparkSpec {
     // df = 420000^2 / (3333.33^2/2 + 416666.67^2/3) = 1.764e11/(5.5556e6+5.787e10)
     val rows = (Seq(("A", 1.0), ("A", 2.0), ("A", 3.0)) ++
       Seq(("B", 10.0), ("B", 20.0), ("B", 30.0), ("B", 40.0))).toDF("g", "bal")
-    val r = Round8tOps.welchT(rows, "bal", "g", "A", "B").collect()(0)
+    val r = InferenceTestOps.welchT(rows, "bal", "g", "A", "B").collect()(0)
     assert(r.getLong(0) === 3L && r.getLong(1) === 4L)
     assert(r.getLong(2) === 200L && r.getLong(3) === 2500L)
     assert(math.abs(r.getDouble(4) - 100.0) < 0.01)      // sd_a = 100 cents

@@ -17,7 +17,7 @@ class Round8uOpsSpec extends SparkSpec {
       ev(2, "A", 2) ++ ev(2, "B", 3) ++ ev(2, "C", 4) ++
       ev(3, "B", 5) ++ ev(3, "C", 6))
       .toDF("event_id", "ts", "user_id", "event_type")
-    val got = Round8uOps.friedman(rows).collect()
+    val got = InferenceTestOps.friedman(rows).collect()
     assert(got.map(_.getString(0)).toSeq === Seq("A", "B", "C"))
     // doubled ranks 2/4/6 each day -> R2 = 6, 12, 18; T1 = 6 (= untied chi2)
     assert(got.map(_.getLong(1)).toSeq === Seq(6L, 12L, 18L))
@@ -31,7 +31,7 @@ class Round8uOpsSpec extends SparkSpec {
     val rows = (ev(1, "X", 1) ++ ev(1, "Y", 1) ++
       ev(2, "X", 1) ++ ev(2, "Y", 2))
       .toDF("event_id", "ts", "user_id", "event_type")
-    val got = Round8uOps.friedman(rows).collect()
+    val got = InferenceTestOps.friedman(rows).collect()
     // R2: X=5, Y=7; rr=74, a2=38; T1 = (74-72)/(38-36) = 1
     assert(got.map(_.getLong(1)).toSeq === Seq(5L, 7L))
     assert(got(0).getDouble(4) === 1.0)
@@ -44,7 +44,7 @@ class Round8uOpsSpec extends SparkSpec {
     // delta_ppm = 15e6 // 12 = 1250000
     val docs = Seq((1L, "a a b", "s1"), (2L, "a c c c", "s2"))
       .toDF("doc_id", "text", "source")
-    val got = Round8uOps.sourceDivergence(docs).collect()
+    val got = InferenceTestOps.sourceDivergence(docs).collect()
     assert(got.length === 1)
     val r = got(0)
     assert((r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))
@@ -55,7 +55,7 @@ class Round8uOpsSpec extends SparkSpec {
     import spark.implicits._
     val docs = Seq((1L, "a b c a", "s1"), (2L, "a b c a", "s2"))
       .toDF("doc_id", "text", "source")
-    val r = Round8uOps.sourceDivergence(docs).collect()(0)
+    val r = InferenceTestOps.sourceDivergence(docs).collect()(0)
     assert(r.getLong(3) === 0L)
   }
 }

@@ -15,7 +15,7 @@ class Round8vOpsSpec extends SparkSpec {
       val d = Date.valueOf(java.time.LocalDate.of(2024, 1, 1).plusDays(i))
       (1 to xs(i)).map(j => (d, if (j == 1) ys(i) * 1e5 else 0.0))
     }
-    val got = Round8vOps.grangerLite(rows.toDF("o_orderdate", "o_totalprice"))
+    val got = GraphMiningOps.grangerLite(rows.toDF("o_orderdate", "o_totalprice"))
       .collect()(0)
     // independent scalar computation over (y_t, y_{t-1}, x_{t-1})
     val tr = (1 until xs.length).map(t => (ys(t).toLong, ys(t - 1).toLong, xs(t - 1).toLong))
@@ -45,7 +45,7 @@ class Round8vOpsSpec extends SparkSpec {
   test("q350 HITS: matches an independent integer power-iteration trace") {
     import spark.implicits._
     val edges = Seq((1L, 10L), (1L, 11L), (2L, 10L), (3L, 10L), (3L, 12L))
-    val got = Round8vOps.hits(edges.toDF("s", "p"), iters = 8, topK = 10)
+    val got = GraphMiningOps.hits(edges.toDF("s", "p"), iters = 8, topK = 10)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     // independent trace of the exact integer recurrence
     val parts = edges.map(_._2).distinct.sorted

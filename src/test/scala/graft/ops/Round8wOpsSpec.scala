@@ -12,7 +12,7 @@ class Round8wOpsSpec extends SparkSpec {
       (1, "S", 100.0), (1, "S", 2100.0), (1, "S", 4100.0),   // bands 0,1,2
       (2, "S", 100.0), (2, "S", 150.0), (2, "S", 300.0))     // all band 0
       .toDF("c_nationkey", "c_mktsegment", "c_acctbal")
-    val got = Round8wOps.lDiversity(rows, l = 3).collect()
+    val got = EvalReplayOps.lDiversity(rows, l = 3).collect()
     assert(got.length === 2)
     val g1 = got(0); val g2 = got(1)
     assert((g1.getLong(0), g1.getLong(2), g1.getLong(3), g1.getLong(4), g1.getBoolean(5))
@@ -27,7 +27,7 @@ class Round8wOpsSpec extends SparkSpec {
     val rows = (1 to 8).flatMap { i =>
       Seq.fill(i)(Date.valueOf(java.time.LocalDate.of(2024, 1, 1).plusDays(i - 1)))
     }
-    val got = Round8wOps.haarEnergy(rows.toDF("o_orderdate"), spark).collect()
+    val got = EvalReplayOps.haarEnergy(rows.toDF("o_orderdate"), spark).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     // L1: four d=-1 blocks -> raw 4, ppm 2e6; L2: two d=-4 -> raw 32, ppm 8e6;
     // L3: one d=-16 -> raw 256, ppm 32e6
@@ -40,7 +40,7 @@ class Round8wOpsSpec extends SparkSpec {
     // days at offsets 0..3 and 5..8 (offset 4 missing)
     val offs = Seq(0, 1, 2, 3, 5, 6, 7, 8)
     val rows = offs.map(o => Date.valueOf(java.time.LocalDate.of(2024, 2, 1).plusDays(o)))
-    val got = Round8wOps.haarEnergy(rows.toDF("o_orderdate"), spark).collect()
+    val got = EvalReplayOps.haarEnergy(rows.toDF("o_orderdate"), spark).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
     // L1 keeps blocks {0,1},{2,3},{6,7}; L2 keeps {0..3}; L3 has no complete block
     assert(got.toSeq === Seq((1L, 3L), (2L, 1L)))

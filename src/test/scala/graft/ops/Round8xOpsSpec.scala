@@ -12,7 +12,7 @@ class Round8xOpsSpec extends SparkSpec {
     // ordered pairs); E = 300 - 50 - 100 = 150 cents
     val rows = Seq(("A", 1.0), ("A", 2.0), ("B", 2.0), ("B", 4.0))
       .toDF("g", "bal")
-    val r = Round8xOps.energyDistance(rows, "bal", "g", "A", "B").collect()(0)
+    val r = InferenceTestOps.energyDistance(rows, "bal", "g", "A", "B").collect()(0)
     assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
       === ((2L, 2L, 600L, 200L, 400L)))
     assert(r.getLong(5) === 150000000L)
@@ -24,7 +24,7 @@ class Round8xOpsSpec extends SparkSpec {
     import spark.implicits._
     val rows = Seq("A", "B").flatMap(g => Seq(1.0, 2.0, 3.0).map((g, _)))
       .toDF("g", "bal")
-    val r = Round8xOps.energyDistance(rows, "bal", "g", "A", "B").collect()(0)
+    val r = InferenceTestOps.energyDistance(rows, "bal", "g", "A", "B").collect()(0)
     assert(r.getLong(5) === 0L && r.getDouble(6) === 0.0)
   }
 
@@ -37,7 +37,7 @@ class Round8xOpsSpec extends SparkSpec {
     // Y: counts (2, 0 via grid fill) -> (2*4-4)/(1*2) = 2 -> overdispersed
     val rows = (ev(1, "X", 3) ++ ev(2, "X", 1) ++ ev(1, "Y", 2))
       .toDF("event_id", "ts", "user_id", "event_type")
-    val got = Round8xOps.fanoDispersion(rows).collect()
+    val got = InferenceTestOps.fanoDispersion(rows).collect()
     assert(got.map(r => (r.getString(0), r.getLong(1), r.getLong(2),
       r.getLong(3), r.getString(4))).toSeq ===
       Seq(("X", 2L, 4L, 1000000L, "poisson-like"),

@@ -9,7 +9,7 @@ class Round8zOpsSpec extends SparkSpec {
     import spark.implicits._
     val rows = (Seq.fill(250)(1L) ++ Seq.fill(100)(2L) ++ Seq.fill(10)(3L))
       .toDF("k")
-    val got = Round8zOps.saltPlanner(rows, "k", target = 100L, topK = 20)
+    val got = CapacityAuditOps.saltPlanner(rows, "k", target = 100L, topK = 20)
       .collect()
     assert(got.length === 3)
     val r = got.map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3)))
@@ -25,7 +25,7 @@ class Round8zOpsSpec extends SparkSpec {
     import spark.implicits._
     val docs = (1L to 200L).map(i => (i, s"text $i", "only"))
       .toDF("doc_id", "text", "source")
-    val got = Round8zOps.splitBalance(docs).collect()
+    val got = CapacityAuditOps.splitBalance(docs).collect()
     assert(got.nonEmpty)
     assert(got.forall(_.getLong(3) === 0L))
     assert(got.map(_.getLong(1)).sum === 200L)
@@ -34,7 +34,7 @@ class Round8zOpsSpec extends SparkSpec {
   test("q358 matches an independent JVM md5 + chi2 reference") {
     import spark.implicits._
     val docs = (1L to 300L).map(i => (i, "t", if (i % 3 == 0) "s1" else "s2"))
-    val got = Round8zOps.splitBalance(docs.toDF("doc_id", "text", "source"))
+    val got = CapacityAuditOps.splitBalance(docs.toDF("doc_id", "text", "source"))
       .collect()
       .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
       .toMap
