@@ -722,11 +722,14 @@ object EvalReplayOps {
   // per-order fan-out) + a broadcast supplier dim; iterations are
   // 25-row grid joins with localCheckpoint lineage truncation.
   def btFromWins(wins: DataFrame, iters: Int): DataFrame = {
-    val wloc = wins.localCheckpoint()
+    // lazy checkpoints (§8.22): flat LogicalRDD plans with RDD-level
+    // stage reuse in ONE final action, instead of an eager job per
+    // checkpoint — wins feeds both union sides, m feeds every round
+    val wloc = wins.localCheckpoint(false)
     val m = wloc.select(col("w").as("i"), col("l").as("j"), col("c"))
       .unionByName(wloc.select(col("l").as("i"), col("w").as("j"), col("c")))
       .groupBy(col("i"), col("j")).agg(sum(col("c")).as("m"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     val wtot = wloc.groupBy(col("w").as("i")).agg(sum(col("c")).as("wi"))
     val items = m.select(col("i")).distinct()
     val k = items.agg(count(lit(1)).as("k"))
@@ -743,7 +746,7 @@ object EvalReplayOps {
         .select(col("i"), expr(
           """cast((cast(coalesce(wi, 0L) as decimal(38,0)) * 1000000000000)
             | div d as bigint)""".stripMargin).as("raw"))
-        .localCheckpoint()
+        .localCheckpoint(false) // feeds the renorm total AND next p
       val s = raw.agg(sum(col("raw")).as("sraw"))
       p = raw.crossJoin(broadcast(s)).crossJoin(broadcast(k))
         .select(col("i"), expr(

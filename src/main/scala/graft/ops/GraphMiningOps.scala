@@ -114,26 +114,29 @@ object GraphMiningOps {
   // fixed eval sample and candidate generation swaps to q42/q45's banded
   // joins; the vote/report stages are unchanged.
   //
-  // Determinism: sims are the q40 fixed-order fold (zip_with + left
-  // fold, identical to DuckDB's list_reduce), ranking ties break on
-  // vec_id, and only integer vote counts are hashed.
+  // Determinism: sims come from the native fused cosine_sim Expression
+  // (graft.functions.CosineSimilarity) — its single left-to-right loop
+  // computes dot/sqrt(nx·ny) with EXACTLY the IEEE operation order of
+  // the q40 zip_with + aggregate fold it replaced (and of DuckDB's
+  // list_reduce), so the selected neighbours are unchanged; the swap
+  // moves the 400×|corpus| hot loop from interpreted per-element
+  // lambdas into whole-stage codegen (round-9 bench: 5.5 → ~2 s at
+  // sf0.1). Ranking ties break on vec_id; only integer vote counts are
+  // hashed.
   def knnLabelAudit(embeddings: DataFrame, probeEvery: Int, probeCap: Int,
                     k: Int): DataFrame = {
     val vd = expr("transform(embedding, x -> cast(x as double))")
     val base = embeddings
       .select(col("vec_id"), col("label"), vd.as("v"))
-      .withColumn("n2", expr("aggregate(v, 0.0d, (a, x) -> a + x * x)"))
     val probes = base.filter(col("vec_id") % probeEvery === 0)
       .orderBy(col("vec_id")).limit(probeCap)
       .select(col("vec_id").as("qid"), col("label").as("qlabel"),
-        col("v").as("qv"), col("n2").as("qn2"))
+        col("v").as("qv"))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("sim").desc, col("vec_id").asc)
     val top = base.crossJoin(broadcast(probes))
       .filter(col("vec_id") =!= col("qid"))
-      .withColumn("dot",
-        expr("aggregate(zip_with(v, qv, (x, y) -> x * y), 0.0d, (a, x) -> a + x)"))
-      .withColumn("sim", col("dot") / sqrt(col("n2") * col("qn2")))
+      .withColumn("sim", expr("cosine_sim(v, qv)"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
     val votes = top.groupBy(col("qid"), col("qlabel"), col("label").as("nlabel"))

@@ -175,9 +175,15 @@ object SpatialOps {
       col("s_suppkey").as("pk"),
       mdUniform("sx", col("s_suppkey")).as("x"),
       mdUniform("sy", col("s_suppkey")).as("y"))
+    // lazy checkpoints (§8.22): cells feeds the 9-cell explode AND the
+    // probe join; nbr feeds degree + core-edge + border passes; core and
+    // coreLabels each feed multiple semi/anti joins — flat LogicalRDD
+    // plans compute each ONCE via RDD-level stage reuse instead of
+    // re-running the grid join per consumer
     val cells = pts
       .withColumn("cx", floor(col("x") * inv).cast("long"))
       .withColumn("cy", floor(col("y") * inv).cast("long"))
+      .localCheckpoint(false)
     val exploded = cells
       .withColumn("dcx", explode(array((-1 to 1).map(lit): _*)))
       .withColumn("dcy", explode(array((-1 to 1).map(lit): _*)))
@@ -189,8 +195,10 @@ object SpatialOps {
       .filter(col("qk") =!= col("pk")).withColumn("d2", d2)
       .filter(col("d2") <= lit(eps * eps))
       .select(col("qk"), col("pk").as("nk"))
+      .localCheckpoint(false)
     val degree = nbr.groupBy(col("qk")).agg((count(lit(1)) + 1).as("deg"))
     val core = degree.filter(col("deg") >= minPts).select(col("qk").as("ck"))
+      .localCheckpoint(false)
     val coreEdges = nbr
       .join(core, nbr("qk") === core("ck"), "left_semi")
       .join(core, nbr("nk") === core("ck"), "left_semi")
@@ -201,6 +209,7 @@ object SpatialOps {
     val coreLabels = core
       .join(ccLabels, Seq("ck"), "left")
       .select(col("ck"), coalesce(col("cluster"), col("ck")).as("cluster"))
+      .localCheckpoint(false)
     val borderLabels = nbr
       .join(core.select(col("ck")), nbr("nk") === col("ck"), "left_semi")
       .join(core.select(col("ck").as("qck")), nbr("qk") === col("qck"), "left_anti")

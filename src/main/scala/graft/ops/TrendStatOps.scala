@@ -28,11 +28,14 @@ object TrendStatOps {
     * aggregate, so the self-join is ≤ 730²/2 pairs at ANY corpus size.
     */
   private def dailyPairs(spark: SparkSession, dir: String): DataFrame = {
+    // lazy checkpoint: the grid feeds BOTH self-join sides — without it
+    // the orders scan + daily aggregate runs twice (q334's fix, §8.22)
     val idx = Tables.orders(spark, dir)
       .groupBy(to_date(col("o_orderdate")).as("d"))
       .agg(count(lit(1)).as("x"))
       .withColumn("i", row_number().over(Window.orderBy(col("d"))))
       .select(col("i"), col("x"))
+      .localCheckpoint(false)
     val a = idx.select(col("i").as("ia"), col("x").as("xa"))
     val b = idx.select(col("i").as("ib"), col("x").as("xb"))
     a.join(b, col("ib") > col("ia"))
@@ -57,15 +60,33 @@ object TrendStatOps {
   // exact integer pair, so the SELECTED ELEMENT is deterministic and
   // its (dy, dx) ships exactly; only the display slope is pround'd.
   //
-  // Scale: pair mass is calendar-grid-bounded (above); the rank window
-  // is over that bounded pair set (allowlisted).
+  // Scale: pair mass is calendar-grid-bounded (above) but NOT small —
+  // the driver span is ~2400 days, so the pair set is ~2.9M rows and a
+  // single-partition rank over it cost ~3.5 s of the round-8 bench. The
+  // median SELECTION is therefore q169's two-pass bucketed rank: slope
+  // histogram at 1/4096 granularity (slopes concentrate near 0 — most
+  // pairs have large dx — so buckets stay small), exclusive prefix sum
+  // over the bucket grid, pick the ONE bucket containing rank k, rank
+  // only inside it. Equal slopes land in equal buckets, so the (s, dy,
+  // dx) total order is preserved exactly and the selected element is
+  // unchanged (the DuckDB oracle keeps the direct global rank).
   def q310TheilSen(spark: SparkSession, dir: String): DataFrame = {
     val sl = dailyPairs(spark, dir)
       .select((col("xb") - col("xa")).as("dy"), (col("ib") - col("ia")).as("dx"))
       .withColumn("s", col("dy").cast("double") / col("dx").cast("double"))
+      .withColumn("bk", floor(col("s") * 4096).cast("long"))
+      .localCheckpoint(false) // feeds the histogram AND the in-bucket rank
     val m = sl.agg(count(lit(1)).as("m"))
-    sl.crossJoin(broadcast(m))
-      .withColumn("rk", row_number().over(
+    val off = sl.groupBy(col("bk")).agg(count(lit(1)).as("cnt"))
+      .withColumn("off", coalesce(sum(col("cnt")).over(
+        Window.orderBy(col("bk")).rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+    val pick = off.crossJoin(broadcast(m))
+      .filter(col("off") < expr("(m + 1L) div 2L") &&
+        expr("(m + 1L) div 2L") <= col("off") + col("cnt"))
+      .select(col("bk"), col("off"), col("m"))
+    sl.join(broadcast(pick), Seq("bk"))
+      .withColumn("rk", col("off") + row_number().over(
         Window.orderBy(col("s"), col("dy"), col("dx"))))
       .filter(col("rk") === expr("(m + 1L) div 2L"))
       .select(col("m"), col("dy").as("med_dy"),

@@ -91,7 +91,7 @@ class PlanLintSpec extends SparkSpec {
     "q308_rr_debias" ->
       "index rank over the distinct-language domain grid (q119's marginal class) — bounded by |langs|, not the corpus",
     "q310_theil_sen" ->
-      "median rank over the calendar-grid pair set — ≤ 730²/2 rows by construction (the corpus collapses to the per-day grid first), corpus-size-independent",
+      "q169's two-pass shape on the slope histogram: exclusive prefix sum over the 1/4096-granular slope-bucket grid (bounded by the slope domain), then an in-bucket rank over the ONE picked bucket (≈ pair-set/|buckets| rows) — the pair set itself is calendar-grid-bounded and corpus-size-independent",
     "q311_mann_kendall" ->
       "row_number over the per-day order-count grid (q303's window in the shared dailyPairs helper) — bounded by the order-date calendar span",
     "q314_segmented_trend" ->
