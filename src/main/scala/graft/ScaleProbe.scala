@@ -356,6 +356,10 @@ object ScaleProbe {
     // rest are single aggregates over bounded grids
     "q386_oov_audit", "q394_cms_audit", "q399_template_census",
     "q397_tail_amplification",
+    // round-9 corpus-hygiene batch: non-distinct bigram expansion (q407),
+    // 5-gram distinct + semi-join contamination (q409), md5 dedup ledger
+    // (q410) — all claimed corpus-linear
+    "q407_repetition_audit", "q409_ngram_contamination", "q410_token_yield",
     // round-9 additions (verdict task 5): the two top-5 bench queries
     // without their own curves — HITS (8 bounded rounds of join+agg over
     // the once-materialized supplier↔part edge list; per-round cost is

@@ -1067,6 +1067,220 @@ object CorpusStatOps {
     ("q399_template_census", q399TemplateCensus _, Some(q399Sql)),
     ("q400_price_endings", q400PriceEndings _, Some(q400Sql)))
 
+  // ═════════════════ round-9 batch (q407–q410) ═════════════════
+  // Corpus-hygiene quartet a pre-training data pipeline runs before
+  // committing compute: intra-document repetition (the Gopher-class
+  // repetition filters), exact-duplicate token-mass inflation, n-gram
+  // eval contamination, and post-dedup marginal token yield per source.
+  // All integer-exact (counts and floor-div ppm shares), all one
+  // row-local n-gram expansion + hash aggregates — corpus-linear.
+
+  // --------------------------------------------------------------------------
+  // q407 — INTRA-DOCUMENT REPETITION AUDIT (Gopher-style): per document,
+  // the duplicated-bigram fraction (1 − distinct/total) and the top
+  // bigram's share of all bigram slots; reported per source as exact ppm
+  // plus the count of high-repetition documents (top share ≥ 20%) — the
+  // filter that drops boilerplate-looped documents before training.
+  //
+  // Scale: one row-local bigram expansion (non-distinct — repetition IS
+  // the signal), two hash aggregates ((doc, gram) then doc), one per
+  // source. Docs with < 2 tokens have no bigram slots and are excluded
+  // deterministically.
+  def repetitionAudit(docs: DataFrame): DataFrame = {
+    val bg = docs
+      .select(col("source"), col("doc_id"),
+        expr("filter(split(lower(text), ' '), t -> t != '')").as("t"))
+      .select(col("source"), col("doc_id"), explode(expr(
+        """if(size(t) >= 2,
+          |   transform(sequence(0, size(t) - 2),
+          |     i -> concat_ws(' ', t[i], t[i+1])),
+          |   array())""".stripMargin)).as("g"))
+    val perGram = bg.groupBy(col("source"), col("doc_id"), col("g"))
+      .agg(count(lit(1)).as("c"))
+    val perDoc = perGram.groupBy(col("source"), col("doc_id"))
+      .agg(sum(col("c")).as("n_bg"), count(lit(1)).as("d_bg"),
+        max(col("c")).as("top_c"))
+      .select(col("source"),
+        expr("1000000L - (1000000L * d_bg) div n_bg").as("dup_ppm"),
+        expr("(1000000L * top_c) div n_bg").as("top_ppm"))
+    perDoc.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        expr("sum(dup_ppm) div count(1)").as("avg_dup_ppm"),
+        expr("sum(top_ppm) div count(1)").as("avg_top_ppm"),
+        count_if(col("top_ppm") >= 200000L).as("high_rep_docs"))
+      .orderBy(col("source"))
+  }
+
+  def q407RepetitionAudit(spark: SparkSession, dir: String): DataFrame =
+    repetitionAudit(Tables.documents(spark, dir))
+
+  val q407Sql: String =
+    s"""WITH bg AS (
+       |  SELECT source, doc_id, t[i] || ' ' || t[i+1] AS g
+       |  FROM (SELECT source, doc_id, ${TextOps.toksSqlD} AS t FROM documents),
+       |       UNNEST(generate_series(1, len(t) - 1)) AS u(i)),
+       |pg AS (SELECT source, doc_id, g, COUNT(*) AS c FROM bg GROUP BY 1, 2, 3),
+       |pd AS (
+       |  SELECT source,
+       |    1000000 - (1000000 * COUNT(*)) // SUM(c) AS dup_ppm,
+       |    (1000000 * MAX(c)) // SUM(c) AS top_ppm
+       |  FROM pg GROUP BY source, doc_id)
+       |SELECT source, COUNT(*) AS n_docs,
+       |  CAST(SUM(dup_ppm) // COUNT(*) AS BIGINT) AS avg_dup_ppm,
+       |  CAST(SUM(top_ppm) // COUNT(*) AS BIGINT) AS avg_top_ppm,
+       |  CAST(COUNT(*) FILTER (top_ppm >= 200000) AS BIGINT) AS high_rep_docs
+       |FROM pd GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // --------------------------------------------------------------------------
+  // q408 — DUPLICATE TOKEN-MASS INFLATION: histogram of token mass by
+  // exact-duplicate multiplicity k — "how many tokens would training see
+  // k times", the compute-waste ledger exact dedup saves (complement of
+  // q331's saturation curve, which tracks doc counts over ingestion
+  // prefixes; this tracks TOKEN mass by copy depth). wasted = (k−1)/k of
+  // each class's mass; all exact integers.
+  //
+  // Scale: one md5 groupBy (hash, token count row-local), one aggregate
+  // over the multiplicity domain (tiny).
+  def dupInflation(docs: DataFrame): DataFrame = {
+    val perText = docs
+      .select(md5(col("text")).as("h"),
+        expr("size(filter(split(lower(text), ' '), t -> t != ''))")
+          .cast("long").as("ntok"))
+      .groupBy(col("h"))
+      .agg(count(lit(1)).as("k"), first(col("ntok")).as("ntok"))
+    perText.groupBy(col("k"))
+      .agg(count(lit(1)).as("n_texts"),
+        sum(col("ntok") * col("k")).as("token_mass"),
+        sum(col("ntok") * (col("k") - 1L)).as("wasted_tokens"))
+      .orderBy(col("k"))
+  }
+
+  def q408DupInflation(spark: SparkSession, dir: String): DataFrame =
+    dupInflation(Tables.documents(spark, dir))
+
+  val q408Sql: String =
+    s"""WITH pt AS (
+       |  SELECT md5(text) AS h, COUNT(*) AS k,
+       |    CAST(ANY_VALUE(len(${TextOps.toksSqlD})) AS BIGINT) AS ntok
+       |  FROM documents GROUP BY 1)
+       |SELECT CAST(k AS BIGINT) AS k, COUNT(*) AS n_texts,
+       |  CAST(SUM(ntok * k) AS BIGINT) AS token_mass,
+       |  CAST(SUM(ntok * (k - 1)) AS BIGINT) AS wasted_tokens
+       |FROM pt GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // --------------------------------------------------------------------------
+  // q409 — N-GRAM EVAL CONTAMINATION: the standard train/test overlap
+  // metric — what fraction of the eval split's distinct word-5-grams
+  // also appear anywhere in the train split (doc_id % 10 == 7 plays the
+  // eval split, the deterministic stand-in for a held-out set). Reported
+  // per eval language as exact ppm — doc-level dedup (q327's semi-join)
+  // misses partial copies; 5-gram overlap is the finer-grained audit.
+  //
+  // Scale: one row-local 5-gram expansion per side, distinct hash
+  // aggregates, one equi semi-join on the gram — corpus-linear.
+  def ngramContamination(docs: DataFrame): DataFrame = {
+    def grams(d: DataFrame) = d
+      .select(col("lang"), col("doc_id"),
+        expr("filter(split(lower(text), ' '), t -> t != '')").as("t"))
+      .select(col("lang"), explode(expr(
+        """if(size(t) >= 5,
+          |   transform(sequence(0, size(t) - 5),
+          |     i -> concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3], t[i+4])),
+          |   array())""".stripMargin)).as("g"))
+    val ev = grams(docs.filter(col("doc_id") % 10 === 7))
+      .select(col("lang"), col("g")).distinct()
+    val tr = grams(docs.filter(col("doc_id") % 10 =!= 7))
+      .select(col("g")).distinct()
+    val hits = ev.join(tr, Seq("g"), "left_semi")
+      .groupBy(col("lang")).agg(count(lit(1)).as("contaminated"))
+    ev.groupBy(col("lang")).agg(count(lit(1)).as("eval_grams"))
+      .join(hits, Seq("lang"), "left")
+      .select(col("lang"), col("eval_grams"),
+        coalesce(col("contaminated"), lit(0L)).as("contaminated"))
+      .withColumn("contamination_ppm",
+        expr("(1000000L * contaminated) div eval_grams"))
+      .orderBy(col("lang"))
+  }
+
+  def q409NgramContamination(spark: SparkSession, dir: String): DataFrame =
+    ngramContamination(Tables.documents(spark, dir))
+
+  val q409Sql: String =
+    s"""WITH g5 AS (
+       |  SELECT lang, doc_id,
+       |    t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+       |      || ' ' || t[i+4] AS g
+       |  FROM (SELECT lang, doc_id, ${TextOps.toksSqlD} AS t FROM documents),
+       |       UNNEST(generate_series(1, len(t) - 4)) AS u(i)),
+       |ev AS (SELECT DISTINCT lang, g FROM g5 WHERE doc_id % 10 = 7),
+       |tr AS (SELECT DISTINCT g FROM g5 WHERE doc_id % 10 <> 7),
+       |hits AS (
+       |  SELECT lang, COUNT(*) AS contaminated
+       |  FROM ev WHERE g IN (SELECT g FROM tr) GROUP BY 1)
+       |SELECT e.lang, COUNT(*) AS eval_grams,
+       |  CAST(COALESCE(ANY_VALUE(h.contaminated), 0) AS BIGINT) AS contaminated,
+       |  CAST((1000000 * COALESCE(ANY_VALUE(h.contaminated), 0)) // COUNT(*)
+       |    AS BIGINT) AS contamination_ppm
+       |FROM ev e LEFT JOIN hits h ON e.lang = h.lang
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // --------------------------------------------------------------------------
+  // q410 — POST-DEDUP TOKEN YIELD PER SOURCE: after exact dedup with a
+  // min-doc_id keep policy, how many of each source's tokens survive —
+  // "who contributes unique data vs re-crawls" (the survivor counts are
+  // q152's policy applied corpus-wide; the ledger here is token mass,
+  // the unit compute budgets are written in).
+  //
+  // Scale: one md5 groupBy for keepers, one equi semi-join back on
+  // (hash, doc_id), hash aggregates per source.
+  def tokenYield(docs: DataFrame): DataFrame = {
+    val base = docs.select(col("source"), col("doc_id"),
+      md5(col("text")).as("h"),
+      expr("size(filter(split(lower(text), ' '), t -> t != ''))")
+        .cast("long").as("ntok"))
+      .localCheckpoint(false) // feeds keeper derivation AND both ledgers
+    val keep = base.groupBy(col("h")).agg(min(col("doc_id")).as("doc_id"))
+    val kept = base.join(keep, Seq("h", "doc_id"), "left_semi")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("kept_docs"), sum(col("ntok")).as("kept_tokens"))
+    base.groupBy(col("source"))
+      .agg(count(lit(1)).as("docs"), sum(col("ntok")).as("tokens"))
+      .join(kept, Seq("source"), "left")
+      .select(col("source"), col("docs"), col("tokens"),
+        coalesce(col("kept_docs"), lit(0L)).as("kept_docs"),
+        coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"))
+      .withColumn("yield_ppm", expr("(1000000L * kept_tokens) div tokens"))
+      .orderBy(col("source"))
+  }
+
+  def q410TokenYield(spark: SparkSession, dir: String): DataFrame =
+    tokenYield(Tables.documents(spark, dir))
+
+  val q410Sql: String =
+    s"""WITH base AS (
+       |  SELECT source, doc_id, md5(text) AS h,
+       |    CAST(len(${TextOps.toksSqlD}) AS BIGINT) AS ntok
+       |  FROM documents),
+       |keep AS (SELECT h, MIN(doc_id) AS doc_id FROM base GROUP BY 1),
+       |kept AS (
+       |  SELECT source, COUNT(*) AS kept_docs, SUM(ntok) AS kept_tokens
+       |  FROM base JOIN keep USING (h, doc_id)
+       |  GROUP BY 1)
+       |SELECT b.source, COUNT(*) AS docs, CAST(SUM(b.ntok) AS BIGINT) AS tokens,
+       |  CAST(COALESCE(ANY_VALUE(k.kept_docs), 0) AS BIGINT) AS kept_docs,
+       |  CAST(COALESCE(ANY_VALUE(k.kept_tokens), 0) AS BIGINT) AS kept_tokens,
+       |  CAST((1000000 * COALESCE(ANY_VALUE(k.kept_tokens), 0)) // SUM(b.ntok)
+       |    AS BIGINT) AS yield_ppm
+       |FROM base b LEFT JOIN kept k ON b.source = k.source
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  private val catalogR9: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
+    ("q407_repetition_audit", q407RepetitionAudit _, Some(q407Sql)),
+    ("q408_dup_inflation", q408DupInflation _, Some(q408Sql)),
+    ("q409_ngram_contamination", q409NgramContamination _, Some(q409Sql)),
+    ("q410_token_yield", q410TokenYield _, Some(q410Sql)))
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
-    catalogE ++ catalogK ++ catalogL ++ catalogM ++ catalogO ++ catalogAn ++ catalogAu
+    catalogE ++ catalogK ++ catalogL ++ catalogM ++ catalogO ++ catalogAn ++
+      catalogAu ++ catalogR9
 }

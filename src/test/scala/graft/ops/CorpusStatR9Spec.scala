@@ -1,0 +1,81 @@
+package graft.ops
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+
+/** Planted-fixture tests for the round-9 corpus-hygiene batch
+  * (q407–q410): hand-computed repetition/duplication/contamination/yield
+  * ledgers on tiny corpora.
+  */
+class CorpusStatR9Spec extends SparkSpec {
+
+  private def docsDir(rows: Seq[(Long, String, String, String)]): String = {
+    import spark.implicits._
+    val d = Files.createTempDirectory("graft_r9_docs").toString
+    rows.map { case (id, text, lang, source) =>
+      (id, text, lang, source, text.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$d/documents.parquet")
+    d
+  }
+
+  test("q407 repetition audit: hand-computed bigram shares; 1-token docs excluded") {
+    // doc 1 "a b a b": bigrams (a b, b a, a b) -> n=3 d=2 top=2
+    //   dup_ppm = 1e6 - 2e6/3 = 333334, top_ppm = 666666
+    // doc 2 "x y z": n=2 d=2 top=1 -> dup 0, top 500000
+    // doc 3 "solo": no bigram slots, excluded
+    val d = docsDir(Seq(
+      (1L, "a b a b", "en", "s1"),
+      (2L, "x y z", "en", "s1"),
+      (3L, "solo", "en", "s1")))
+    val got = CorpusStatOps.q407RepetitionAudit(spark, d).collect()
+    assert(got.length === 1)
+    val r = got.head
+    assert(r.getAs[Long]("n_docs") === 2L)
+    assert(r.getAs[Long]("avg_dup_ppm") === (333334L + 0L) / 2)
+    assert(r.getAs[Long]("avg_top_ppm") === (666666L + 500000L) / 2)
+    assert(r.getAs[Long]("high_rep_docs") === 2L) // both tops >= 20%
+  }
+
+  test("q408 dup inflation: token mass by exact-copy multiplicity") {
+    // "a b" x3 (k=3, 2 tokens) and "c" x1 (k=1, 1 token)
+    val d = docsDir(Seq(
+      (1L, "a b", "en", "s1"), (2L, "a b", "en", "s1"),
+      (3L, "a b", "en", "s2"), (4L, "c", "en", "s1")))
+    val got = CorpusStatOps.q408DupInflation(spark, d).collect()
+      .map(r => (r.getAs[Long]("k"), r.getAs[Long]("n_texts"),
+        r.getAs[Long]("token_mass"), r.getAs[Long]("wasted_tokens")))
+    assert(got.toSeq === Seq((1L, 1L, 1L, 0L), (3L, 1L, 6L, 4L)))
+  }
+
+  test("q409 ngram contamination: one of two eval 5-grams appears in train") {
+    // eval = doc_id % 10 == 7; train doc shares the "a b c d e" 5-gram
+    val d = docsDir(Seq(
+      (1L, "a b c d e f", "en", "s1"),    // train: "a b c d e", "b c d e f"
+      (7L, "a b c d e x", "en", "s1"),    // eval:  "a b c d e", "b c d e x"
+      (17L, "p q r s t", "de", "s1")))    // eval de: "p q r s t", no train hit
+    val got = CorpusStatOps.q409NgramContamination(spark, d).collect()
+      .map(r => r.getAs[String]("lang") ->
+        ((r.getAs[Long]("eval_grams"), r.getAs[Long]("contaminated"),
+          r.getAs[Long]("contamination_ppm")))).toMap
+    assert(got("en") === ((2L, 1L, 500000L)))
+    assert(got("de") === ((1L, 0L, 0L)))
+  }
+
+  test("q410 token yield: min-doc_id keep policy charges re-crawls to their source") {
+    // s1 doc1 "a b" kept; s2 doc2 "a b" is the dup (loses the min race);
+    // s2 doc3 "c d e" unique
+    val d = docsDir(Seq(
+      (1L, "a b", "en", "s1"),
+      (2L, "a b", "en", "s2"),
+      (3L, "c d e", "en", "s2")))
+    val got = CorpusStatOps.q410TokenYield(spark, d).collect()
+      .map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("docs"), r.getAs[Long]("tokens"),
+          r.getAs[Long]("kept_docs"), r.getAs[Long]("kept_tokens"),
+          r.getAs[Long]("yield_ppm")))).toMap
+    assert(got("s1") === ((1L, 2L, 1L, 2L, 1000000L)))
+    assert(got("s2") === ((2L, 5L, 1L, 3L, 600000L)))
+  }
+}
