@@ -702,6 +702,9 @@ object CorpusOps {
       .join(splits.select(col("doc_id").as("id_b"), col("split").as("sb")), Seq("id_b"))
       .withColumn("split_a", least(col("sa"), col("sb")))
       .withColumn("split_b", greatest(col("sa"), col("sb")))
+      // lazy checkpoint (§8.22): the labeled pair set — a full near-dup
+      // pipeline upstream — feeds the total aggregate AND the cell counts
+      .localCheckpoint(false)
     val total = labeled.agg(count(lit(1)).as("tot"))
     labeled.groupBy(col("split_a"), col("split_b"))
       .agg(count(lit(1)).as("n_pairs"))

@@ -1574,7 +1574,7 @@ object EvalReplayOps {
         .withColumnRenamed("source", "src_b"), Seq("id_b"))
       .select(least(col("src_a"), col("src_b")).as("s1"),
         greatest(col("src_a"), col("src_b")).as("s2"))
-      .localCheckpoint()
+      .localCheckpoint(false) // the near-dup pair pipeline feeds census + top-10
     val census = tagged.agg(count(lit(1)).as("n_pairs"),
       count_if(col("s1") === col("s2")).as("same_source"),
       count_if(col("s1") =!= col("s2")).as("cross_source"))

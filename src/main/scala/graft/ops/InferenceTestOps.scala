@@ -201,7 +201,12 @@ object InferenceTestOps {
   // count tables are semi-joined down to paired docs before the
   // per-gram equi-join, so cost tracks the true pair set, never the
   // corpus square.
-  def rouge2Pairs(docs: DataFrame, pairs: DataFrame): DataFrame = {
+  def rouge2Pairs(docs: DataFrame, pairs0: DataFrame): DataFrame = {
+    // lazy checkpoint (§8.22): the pair set — itself a full near-dup
+    // pipeline (shingle + inverted-index join) — feeds FOUR consumers
+    // (both id sides, the clipped-overlap join, the final assembly);
+    // unflattened it recomputes q31 per consumer
+    val pairs = pairs0.localCheckpoint(false)
     val ids = pairs.select(col("id_a").as("doc_id"))
       .unionAll(pairs.select(col("id_b").as("doc_id"))).distinct()
     val grams = docs.join(ids, Seq("doc_id"), "left_semi")
@@ -212,7 +217,7 @@ object InferenceTestOps {
           |   transform(sequence(0, size(t) - 2), i -> concat(t[i], ' ', t[i+1])),
           |   array())""".stripMargin)).as("g"))
       .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     val sizes = grams.groupBy(col("doc_id")).agg(sum(col("c")).as("tb"))
     val inter = pairs
       .join(grams.select(col("doc_id").as("id_a"), col("g"), col("c").as("ca")),
