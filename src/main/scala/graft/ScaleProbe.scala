@@ -360,6 +360,9 @@ object ScaleProbe {
     // 5-gram distinct + semi-join contamination (q409), md5 dedup ledger
     // (q410) — all claimed corpus-linear
     "q407_repetition_audit", "q409_ngram_contamination", "q410_token_yield",
+    // second round-9 trio: broadcast-centroid assignment (q411, q212's
+    // class), q82-component census (q412), 3-row cut grid (q413)
+    "q411_label_margin", "q412_cluster_census", "q413_truncation_audit",
     // round-9 additions (verdict task 5): the two top-5 bench queries
     // without their own curves — HITS (8 bounded rounds of join+agg over
     // the once-materialized supplier↔part edge list; per-round cost is

@@ -1274,11 +1274,53 @@ object CorpusStatOps {
        |FROM base b LEFT JOIN kept k ON b.source = k.source
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // --------------------------------------------------------------------------
+  // q413 — CONTEXT-WINDOW TRUNCATION AUDIT: for candidate sequence caps
+  // L ∈ {16, 32, 64} tokens, how many documents exceed L and what share
+  // of the corpus token mass a hard truncation at L discards — the
+  // data-driven cap/packing decision (pair of q285's packer: that
+  // optimizes placement GIVEN a cap, this prices the cap itself).
+  // All exact integers: Σ min(ntok, L) per cut, loss in floor-div ppm.
+  //
+  // Scale: one row-local token count, one broadcast 3-row cut grid,
+  // one hash aggregate per cut.
+  def truncationAudit(docs: DataFrame, cuts: Seq[Long]): DataFrame = {
+    val t = docs.select(
+      expr("size(filter(split(lower(text), ' '), t -> t != ''))")
+        .cast("long").as("ntok"))
+    val grid = docs.sparkSession.range(1)
+      .select(explode(array(cuts.map(lit): _*)).as("cut"))
+    t.crossJoin(broadcast(grid))
+      .groupBy(col("cut"))
+      .agg(count(lit(1)).as("docs"), sum(col("ntok")).as("tokens"),
+        count_if(col("ntok") > col("cut")).as("docs_truncated"),
+        sum(least(col("ntok"), col("cut"))).as("tokens_kept"))
+      .withColumn("loss_ppm",
+        expr("1000000L - (1000000L * tokens_kept) div tokens"))
+      .orderBy(col("cut"))
+  }
+
+  def q413TruncationAudit(spark: SparkSession, dir: String): DataFrame =
+    truncationAudit(Tables.documents(spark, dir), Seq(16L, 32L, 64L))
+
+  val q413Sql: String =
+    s"""WITH t AS (
+       |  SELECT CAST(len(${TextOps.toksSqlD}) AS BIGINT) AS ntok FROM documents),
+       |g AS (SELECT UNNEST([16, 32, 64]) AS cut)
+       |SELECT CAST(cut AS BIGINT) AS cut, COUNT(*) AS docs,
+       |  CAST(SUM(ntok) AS BIGINT) AS tokens,
+       |  CAST(COUNT(*) FILTER (ntok > cut) AS BIGINT) AS docs_truncated,
+       |  CAST(SUM(LEAST(ntok, cut)) AS BIGINT) AS tokens_kept,
+       |  CAST(1000000 - (1000000 * SUM(LEAST(ntok, cut))) // SUM(ntok)
+       |    AS BIGINT) AS loss_ppm
+       |FROM t CROSS JOIN g GROUP BY 1 ORDER BY 1""".stripMargin
+
   private val catalogR9: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q407_repetition_audit", q407RepetitionAudit _, Some(q407Sql)),
     ("q408_dup_inflation", q408DupInflation _, Some(q408Sql)),
     ("q409_ngram_contamination", q409NgramContamination _, Some(q409Sql)),
-    ("q410_token_yield", q410TokenYield _, Some(q410Sql)))
+    ("q410_token_yield", q410TokenYield _, Some(q410Sql)),
+    ("q413_truncation_audit", q413TruncationAudit _, Some(q413Sql)))
 
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
     catalogE ++ catalogK ++ catalogL ++ catalogM ++ catalogO ++ catalogAn ++

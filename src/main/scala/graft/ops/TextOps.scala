@@ -1254,7 +1254,49 @@ object TextOps {
        |    / SUM(cnt)) * 1e6 + 0.5) / 1e6 AS est_recall
        |FROM c12 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // --------------------------------------------------------------------------
+  // q412 — NEAR-DUP CLUSTER-SIZE CENSUS (round 9): the size distribution
+  // of q82's connected components plus the unpaired singletons — the
+  // "shape of duplication" readout (is the corpus a few giant template
+  // families or many small re-posts?) that sizes the survivorship win
+  // before running it. Every labeled doc has ≥ 1 edge, so labeled
+  // clusters have k ≥ 2; the k = 1 row is exactly the docs no near-dup
+  // pair touches.
+  //
+  // Scale: q82's pipeline (probed) + two tiny aggregates over the
+  // cluster-size domain; the singleton count is corpus − paired.
+  def q412ClusterCensus(spark: SparkSession, dir: String): DataFrame = {
+    val labels = clusterPairs(
+      q31NgramJaccard(spark, dir).select(col("id_a"), col("id_b")))
+      .localCheckpoint(false) // feeds the histogram AND the paired count
+    val hist = labels.groupBy(col("cluster")).agg(count(lit(1)).as("k"))
+      .groupBy(col("k")).agg(count(lit(1)).as("n_clusters"))
+    val paired = labels.agg(count(lit(1)).as("paired"))
+    val total = Tables.documents(spark, dir).agg(count(lit(1)).as("total"))
+    val singles = total.crossJoin(paired)
+      .select(lit(1L).as("k"), (col("total") - col("paired")).as("n_clusters"))
+    hist.unionByName(singles)
+      .withColumn("n_docs", col("k") * col("n_clusters"))
+      .orderBy(col("k"))
+  }
+
+  val q412Sql: String =
+    s"""WITH lab AS ($q82Sql),
+       |hist AS (
+       |  SELECT k, COUNT(*) AS n_clusters FROM (
+       |    SELECT cluster, COUNT(*) AS k FROM lab GROUP BY 1)
+       |  GROUP BY 1),
+       |tot AS (SELECT COUNT(*) AS total FROM documents),
+       |pr AS (SELECT COUNT(*) AS paired FROM lab)
+       |SELECT CAST(k AS BIGINT) AS k, n_clusters,
+       |  CAST(k * n_clusters AS BIGINT) AS n_docs
+       |FROM hist
+       |UNION ALL
+       |SELECT 1, total - paired, total - paired FROM tot, pr
+       |ORDER BY k""".stripMargin
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
+    ("q412_cluster_census", q412ClusterCensus _, Some(q412Sql)),
     ("q30_exact_dedup", q30ExactDedup _, Some(q30Sql)),
     ("q273_lsh_planner", q273LshPlanner _, Some(q273Sql)),
     ("q218_unicode_normalize", q218UnicodeNormalize _, Some(q218Sql)),

@@ -1121,6 +1121,100 @@ object VectorOps {
       |    ELSE 0.0 END) > 0.1 AS drifted
       |FROM j ORDER BY dim""".stripMargin
 
+  // --------------------------------------------------------------------------
+  // q411 — LABEL CENTROID-MARGIN AUDIT (round 9): for every labeled
+  // vector, own-centroid cosine minus the best rival-centroid cosine;
+  // per label the confusable count (margin < 0 — the vector sits closer
+  // to another label's centroid) and the mean margin. The classifier-
+  // free separability readout an embedding pipeline checks before
+  // trusting labels for curriculum/filter decisions — q212 flags
+  // within-cluster outliers, this flags BETWEEN-label confusion.
+  //
+  // Determinism: centroid components go through q41's scaled-long mean
+  // (Σ floor(x·1e12+0.5) exact, one double division) so both engines
+  // build bit-identical centroid vectors; cosines are the fused
+  // cosine_sim chain (= DuckDB's independent left-to-right folds);
+  // margins are differences of identical doubles, so the margin<0 cut
+  // is engine-stable; the mean margin rides the scaled-long policy.
+  //
+  // Scale: one explode + hash agg for centroids (|labels|·dims rows),
+  // one broadcast(|labels|) cross join — q212's assignment class.
+  def q411LabelMargin(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.CosineSimilarity.register(spark)
+    val emb = Tables.embeddings(spark, dir)
+    val comp = emb.select(col("label"), posexplode(vd))
+      .withColumnRenamed("pos", "dim").withColumnRenamed("col", "v")
+      .withColumn("vq", expr("cast(floor(v * 1e12 + 0.5d) as long)"))
+      .groupBy(col("label"), col("dim"))
+      .agg(sum(col("vq")).as("sq"), count(lit(1)).as("n"))
+      .select(col("label"), col("dim"),
+        (col("sq").cast("double") / 1e12 / col("n")).as("c"))
+    val cents = comp.groupBy(col("label"))
+      .agg(expr("transform(array_sort(collect_list(struct(dim, c))), s -> s.c)")
+        .as("cv"))
+      .select(col("label").as("clabel"), col("cv"))
+    val assigned = emb.select(col("vec_id"), col("label"), vd.as("v"))
+      .crossJoin(broadcast(cents))
+      .withColumn("sim", expr("cosine_sim(v, cv)"))
+      .localCheckpoint(false) // feeds the own-sim AND rival-sim passes
+    val own = assigned.filter(col("label") === col("clabel"))
+      .select(col("vec_id"), col("label"), col("sim").as("own_sim"))
+    val rival = assigned.filter(col("label") =!= col("clabel"))
+      .groupBy(col("vec_id")).agg(max(col("sim")).as("rival_sim"))
+    own.join(rival, Seq("vec_id"))
+      .withColumn("mq",
+        expr("cast(floor((own_sim - rival_sim) * 1e12 + 0.5d) as long)"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        count_if(col("own_sim") < col("rival_sim")).as("confusable"),
+        sum(col("mq")).as("smq"))
+      .select(col("label"), col("n_vecs"), col("confusable"),
+        expr("(1000000L * confusable) div n_vecs").as("confusable_ppm"),
+        Num.pround(col("smq").cast("double") / 1e12 / col("n_vecs"), 6)
+          .as("avg_margin6"))
+      .orderBy(col("label"))
+  }
+
+  val q411Sql: String =
+    """WITH base AS (
+      |  SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS v,
+      |    list_reduce(list_transform(embedding, x -> x::DOUBLE * x),
+      |      (a, b) -> a + b) AS n2
+      |  FROM embeddings),
+      |comp AS (
+      |  SELECT label, dim, CAST(SUM(vq) AS DOUBLE) / 1e12 / COUNT(*) AS c
+      |  FROM (
+      |    SELECT label, generate_subscripts(embedding, 1) AS dim,
+      |      CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1e12 + 0.5)
+      |        AS BIGINT) AS vq
+      |    FROM embeddings)
+      |  GROUP BY 1, 2),
+      |cents AS (
+      |  SELECT label AS clabel, list(c ORDER BY dim) AS cv FROM comp GROUP BY 1),
+      |cent2 AS (
+      |  SELECT clabel, cv,
+      |    list_reduce(list_transform(cv, x -> x * x), (a, b) -> a + b) AS cn2
+      |  FROM cents),
+      |assigned AS (
+      |  SELECT b.vec_id, b.label, c.clabel,
+      |    list_reduce(list_transform(range(1, 65), i -> b.v[i] * c.cv[i]),
+      |      (x, y) -> x + y) / sqrt(b.n2 * c.cn2) AS sim
+      |  FROM base b CROSS JOIN cent2 c),
+      |own AS (
+      |  SELECT vec_id, label, sim AS own_sim FROM assigned WHERE label = clabel),
+      |riv AS (
+      |  SELECT vec_id, MAX(sim) AS rival_sim FROM assigned
+      |  WHERE label <> clabel GROUP BY 1)
+      |SELECT o.label, COUNT(*) AS n_vecs,
+      |  CAST(COUNT(*) FILTER (own_sim < rival_sim) AS BIGINT) AS confusable,
+      |  CAST((1000000 * COUNT(*) FILTER (own_sim < rival_sim)) // COUNT(*)
+      |    AS BIGINT) AS confusable_ppm,
+      |  FLOOR((CAST(SUM(CAST(FLOOR((own_sim - rival_sim) * 1e12 + 0.5)
+      |      AS BIGINT)) AS DOUBLE) / 1e12 / COUNT(*)) * 1e6 + 0.5) / 1e6
+      |    AS avg_margin6
+      |FROM own o JOIN riv r USING (vec_id)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q40_cosine_topk", q40CosineTopk _, Some(q40Sql)),
     ("q248_silhouette", q248Silhouette _, Some(q248Sql)),
@@ -1144,5 +1238,6 @@ object VectorOps {
     // 0.4/(64×4) stress setting lives in VectorOpsSpec only — its OUTPUT
     // is O(n²), so it has no place in the default query surface.
     ("q104_cosine_neardup_lsh", q104CosineNearDupLsh _, Some(q104Sql)),
-    ("q116_contrastive_pairs", q116ContrastivePairs _, Some(q116Sql)))
+    ("q116_contrastive_pairs", q116ContrastivePairs _, Some(q116Sql)),
+    ("q411_label_margin", q411LabelMargin _, Some(q411Sql)))
 }

@@ -233,6 +233,10 @@ class PlanLintSpec extends SparkSpec {
       "sk<sk self-join of the ≤200-row top-k union grid (two LIMIT-100 cuts by construction) plus a broadcast 1-row midpoint aggregate — corpus-size-independent pair set",
     "q380_pot_census" ->
       "broadcast 1-row sides by construction: the day-count aggregate, the single p90 rank-probe row, and the final census × threshold join — all on the calendar grid",
+    "q411_label_margin" ->
+      "broadcast(|labels| centroid vectors) cross join — the label domain by construction (q110/q212's assignment class); margins and aggregates are equi-keyed",
+    "q413_truncation_audit" ->
+      "broadcast 3-row cut grid by construction (explode of a 3-literal array — q331's threshold-grid class) crossed onto row-local token counts",
     "q384_ring_balance" ->
       "clockwise-next range join against the broadcast 128-row vnode ring (8 nodes × 16 vnodes by construction, data-independent) — ×128 candidate rows per key collapsed by the per-key min, linear in keys")
 

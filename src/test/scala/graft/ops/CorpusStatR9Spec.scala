@@ -78,4 +78,49 @@ class CorpusStatR9Spec extends SparkSpec {
     assert(got("s1") === ((1L, 2L, 1L, 2L, 1000000L)))
     assert(got("s2") === ((2L, 5L, 1L, 3L, 600000L)))
   }
+
+  test("q411 label margin: a traitor vector is the only confusable one") {
+    import spark.implicits._
+    // 64-dim vectors, only dims 0/1 non-zero. label 0: two copies of e0
+    // (centroid e0). label 1: e1 and a traitor e0 (centroid (.5,.5)).
+    // Margins: e0-own=1 vs rival .7071 (fine); e1-own .7071 vs rival 0
+    // (fine); traitor own .7071 vs rival 1 -> confusable.
+    val d = Files.createTempDirectory("graft_r9_emb").toString
+    def v(x: Float, y: Float): Array[Float] = Array(x, y) ++ Array.fill(62)(0f)
+    Seq((1L, v(1f, 0f), 0), (2L, v(1f, 0f), 0),
+        (3L, v(0f, 1f), 1), (4L, v(1f, 0f), 1))
+      .toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.parquet(s"$d/embeddings.parquet")
+    val got = VectorOps.q411LabelMargin(spark, d).collect()
+      .map(r => r.getInt(0) -> ((r.getAs[Long]("n_vecs"),
+        r.getAs[Long]("confusable"), r.getAs[Long]("confusable_ppm")))).toMap
+    assert(got(0) === ((2L, 0L, 0L)))
+    assert(got(1) === ((2L, 1L, 500000L)))
+  }
+
+  test("q412 cluster census: one exact-dup pair plus one singleton") {
+    val d = docsDir(Seq(
+      (1L, "a b c d", "en", "s1"),
+      (2L, "a b c d", "en", "s1"),   // jaccard 1 with doc 1 -> cluster of 2
+      (3L, "x y z w", "en", "s1")))  // untouched singleton
+    val got = TextOps.q412ClusterCensus(spark, d).collect()
+      .map(r => (r.getAs[Long]("k"), r.getAs[Long]("n_clusters"),
+        r.getAs[Long]("n_docs")))
+    assert(got.toSeq === Seq((1L, 1L, 1L), (2L, 1L, 2L)))
+  }
+
+  test("q413 truncation audit: hand-computed loss at each cut") {
+    // token counts 10, 20, 40 (total 70)
+    val d = docsDir(Seq(
+      (1L, Seq.fill(10)("w").mkString(" "), "en", "s1"),
+      (2L, Seq.fill(20)("w").mkString(" "), "en", "s1"),
+      (3L, Seq.fill(40)("w").mkString(" "), "en", "s1")))
+    val got = CorpusStatOps.q413TruncationAudit(spark, d).collect()
+      .map(r => r.getAs[Long]("cut") -> ((r.getAs[Long]("docs"),
+        r.getAs[Long]("tokens"), r.getAs[Long]("docs_truncated"),
+        r.getAs[Long]("tokens_kept"), r.getAs[Long]("loss_ppm")))).toMap
+    assert(got(16L) === ((3L, 70L, 2L, 42L, 400000L)))
+    assert(got(32L) === ((3L, 70L, 1L, 62L, 1000000L - 62000000L / 70L)))
+    assert(got(64L) === ((3L, 70L, 0L, 70L, 0L)))
+  }
 }
