@@ -363,6 +363,9 @@ object ScaleProbe {
     // second round-9 trio: broadcast-centroid assignment (q411, q212's
     // class), q82-component census (q412), 3-row cut grid (q413)
     "q411_label_margin", "q412_cluster_census", "q413_truncation_audit",
+    // dedup-stack pair: threshold grid over the q31 pair set (q414) and
+    // the incoming×existing restricted inverted-index join (q415)
+    "q414_threshold_sensitivity", "q415_incremental_dedup",
     // round-9 additions (verdict task 5): the two top-5 bench queries
     // without their own curves — HITS (8 bounded rounds of join+agg over
     // the once-materialized supplier↔part edge list; per-round cost is

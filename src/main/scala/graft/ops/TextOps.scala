@@ -1295,8 +1295,152 @@ object TextOps {
        |SELECT 1, total - paired, total - paired FROM tot, pr
        |ORDER BY k""".stripMargin
 
+  // --------------------------------------------------------------------------
+  // q414 — DEDUP THRESHOLD SENSITIVITY (round 9): how many of the
+  // verified ≥ 0.5 near-dup pairs survive at tighter Jaccard thresholds
+  // {0.5, 0.6, 0.7, 0.8, 0.9} — the planning curve that prices a
+  // threshold change BEFORE re-running the dedup sweep (tightening from
+  // 0.5 to 0.8 drops X% of the pair mass). Counts compare the pround6
+  // jaccard both engines already agree on, so the ≥-t cuts are
+  // engine-stable; shares in exact floor-div ppm of the 0.5 base.
+  //
+  // Scale: the pair set computes once (lazy checkpoint: it feeds all 5
+  // grid cells AND the base count) and each cell is a broadcast-grid
+  // filter + count.
+  def q414ThresholdSensitivity(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = q31NgramJaccard(spark, dir).select(col("jaccard"))
+      .localCheckpoint(false)
+    val base = pairs.agg(count(lit(1)).as("base_pairs"))
+    val grid = spark.range(1).select(
+      explode(expr("array(50L, 60L, 70L, 80L, 90L)")).as("t_pct"))
+    pairs.crossJoin(broadcast(grid))
+      .filter(col("jaccard") >= col("t_pct").cast("double") / 100.0)
+      .groupBy(col("t_pct")).agg(count(lit(1)).as("n_pairs"))
+      .crossJoin(broadcast(base))
+      .select(col("t_pct"), col("n_pairs"), col("base_pairs"),
+        expr("(1000000L * n_pairs) div base_pairs").as("share_ppm"))
+      .orderBy(col("t_pct"))
+  }
+
+  val q414Sql: String =
+    s"""WITH pairs AS (SELECT jaccard FROM ($q31Sql)),
+       |base AS (SELECT COUNT(*) AS base_pairs FROM pairs),
+       |g AS (SELECT UNNEST([50, 60, 70, 80, 90]) AS t_pct)
+       |SELECT CAST(t_pct AS BIGINT) AS t_pct, COUNT(*) AS n_pairs,
+       |  CAST(ANY_VALUE(base_pairs) AS BIGINT) AS base_pairs,
+       |  CAST((1000000 * COUNT(*)) // ANY_VALUE(base_pairs) AS BIGINT)
+       |    AS share_ppm
+       |FROM pairs CROSS JOIN g CROSS JOIN base
+       |WHERE jaccard >= CAST(t_pct AS DOUBLE) / 100.0
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // --------------------------------------------------------------------------
+  // q415 — INCREMENTAL INGEST DEDUP (round 9): classify an incoming
+  // batch (md5(doc_id) first hex digit < '2' — a deterministic ~12.5%
+  // sample DECORRELATED from source and content; a doc_id % 10 split
+  // would alias the generator's source assignment and collapse the
+  // per-source readout, and hashing the TEXT would put every exact dup
+  // on one side) against the EXISTING
+  // corpus — exact duplicate (md5 semi-join), near duplicate (directed
+  // shingle-Jaccard ≥ 0.5 against existing docs only), or novel — per
+  // incoming source. The drop-at-the-door decision every recurring
+  // ingestion runs; q331's saturation curve is the retrospective view,
+  // this is the operational one.
+  //
+  // Scale: the exact pass is one hash semi-join; the near pass is the
+  // q31 inverted-index join RESTRICTED to incoming×existing (the small
+  // batch side prunes the index — at 100 TB the incoming side is the
+  // broadcast/bloom side), with the same t=0.5 size-ratio prune.
+  def incrementalDedup(docs: DataFrame): DataFrame = {
+    val tagged = docs
+      .select(col("doc_id"), col("source"), col("text"),
+        (substring(md5(col("doc_id").cast("string")), 1, 1) < "2").as("incoming"))
+      .localCheckpoint(false) // feeds both sides of both passes
+    val inc = tagged.filter(col("incoming"))
+    val ex = tagged.filter(!col("incoming"))
+    val exactDup = inc.select(col("doc_id"), md5(col("text")).as("h"))
+      .join(ex.select(md5(col("text")).as("h")), Seq("h"), "left_semi")
+      .select(col("doc_id"))
+    val sh = shingleArrays(tagged)
+      .select(col("doc_id"), size(col("sh")).cast("long").as("n_sh"),
+        explode(col("sh")).as("s"))
+      .filter(col("n_sh") > 0)
+      .localCheckpoint(false)
+    val shInc = sh.join(inc.select(col("doc_id")), Seq("doc_id"), "left_semi")
+    val shEx = sh.join(ex.select(col("doc_id")), Seq("doc_id"), "left_semi")
+    val nearDup = shInc.as("a")
+      .join(shEx.as("b"),
+        col("a.s") === col("b.s") &&
+          col("a.n_sh") <= col("b.n_sh") * 2 && col("b.n_sh") <= col("a.n_sh") * 2)
+      .groupBy(col("a.doc_id").as("doc_id"), col("b.doc_id").as("id_ex"),
+        col("a.n_sh").as("na"), col("b.n_sh").as("nb"))
+      .agg(count(lit(1)).as("inter"))
+      .filter(col("inter").cast("double") /
+        (col("na") + col("nb") - col("inter")) >= 0.5)
+      .select(col("doc_id")).distinct()
+    inc
+      .join(exactDup.withColumn("is_exact", lit(1L)), Seq("doc_id"), "left")
+      .join(nearDup.withColumn("has_near", lit(1L)), Seq("doc_id"), "left")
+      .select(col("source"),
+        coalesce(col("is_exact"), lit(0L)).as("e"),
+        when(col("is_exact").isNull && col("has_near").isNotNull, 1L)
+          .otherwise(0L).as("n"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("incoming"), sum(col("e")).as("exact_dup"),
+        sum(col("n")).as("near_dup"),
+        (count(lit(1)) - sum(col("e")) - sum(col("n"))).as("novel"))
+      .withColumn("novel_ppm", expr("(1000000L * novel) div incoming"))
+      .orderBy(col("source"))
+  }
+
+  def q415IncrementalDedup(spark: SparkSession, dir: String): DataFrame =
+    incrementalDedup(Tables.documents(spark, dir))
+
+  val q415Sql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, source, text,
+       |    substr(md5(doc_id::VARCHAR), 1, 1) < '2' AS incoming
+       |  FROM documents),
+       |exact AS (
+       |  SELECT DISTINCT i.doc_id
+       |  FROM d i JOIN d e ON md5(i.text) = md5(e.text)
+       |    AND i.incoming AND NOT e.incoming),
+       |sh AS (
+       |  SELECT doc_id, s, n_sh FROM (
+       |    SELECT doc_id, s, COUNT(*) OVER (PARTITION BY doc_id) AS n_sh
+       |    FROM (
+       |      SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+       |      FROM (SELECT doc_id, ${TextOps.toksSqlD} AS t FROM documents),
+       |           UNNEST(generate_series(1, len(t) - 2)) AS u(i)))),
+       |near AS (
+       |  SELECT DISTINCT a.doc_id FROM sh a
+       |  JOIN d da ON da.doc_id = a.doc_id AND da.incoming
+       |  JOIN sh b ON a.s = b.s
+       |    AND a.n_sh <= b.n_sh * 2 AND b.n_sh <= a.n_sh * 2
+       |  JOIN d db ON db.doc_id = b.doc_id AND NOT db.incoming
+       |  GROUP BY a.doc_id, b.doc_id, a.n_sh, b.n_sh
+       |  HAVING CAST(COUNT(*) AS DOUBLE) / (a.n_sh + b.n_sh - COUNT(*)) >= 0.5),
+       |cls AS (
+       |  SELECT i.source,
+       |    CASE WHEN ex.doc_id IS NOT NULL THEN 1 ELSE 0 END AS e,
+       |    CASE WHEN ex.doc_id IS NULL AND ne.doc_id IS NOT NULL THEN 1
+       |      ELSE 0 END AS n
+       |  FROM d i
+       |  LEFT JOIN exact ex ON ex.doc_id = i.doc_id
+       |  LEFT JOIN near ne ON ne.doc_id = i.doc_id
+       |  WHERE i.incoming)
+       |SELECT source, COUNT(*) AS incoming,
+       |  CAST(SUM(e) AS BIGINT) AS exact_dup,
+       |  CAST(SUM(n) AS BIGINT) AS near_dup,
+       |  CAST(COUNT(*) - SUM(e) - SUM(n) AS BIGINT) AS novel,
+       |  CAST((1000000 * (COUNT(*) - SUM(e) - SUM(n))) // COUNT(*) AS BIGINT)
+       |    AS novel_ppm
+       |FROM cls GROUP BY 1 ORDER BY 1""".stripMargin
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q412_cluster_census", q412ClusterCensus _, Some(q412Sql)),
+    ("q414_threshold_sensitivity", q414ThresholdSensitivity _, Some(q414Sql)),
+    ("q415_incremental_dedup", q415IncrementalDedup _, Some(q415Sql)),
     ("q30_exact_dedup", q30ExactDedup _, Some(q30Sql)),
     ("q273_lsh_planner", q273LshPlanner _, Some(q273Sql)),
     ("q218_unicode_normalize", q218UnicodeNormalize _, Some(q218Sql)),

@@ -237,6 +237,8 @@ class PlanLintSpec extends SparkSpec {
       "broadcast(|labels| centroid vectors) cross join — the label domain by construction (q110/q212's assignment class); margins and aggregates are equi-keyed",
     "q413_truncation_audit" ->
       "broadcast 3-row cut grid by construction (explode of a 3-literal array — q331's threshold-grid class) crossed onto row-local token counts",
+    "q414_threshold_sensitivity" ->
+      "broadcast 5-row threshold grid (explode of a 5-literal array) and the broadcast 1-row base count — q331's threshold-grid class over the once-checkpointed pair set",
     "q384_ring_balance" ->
       "clockwise-next range join against the broadcast 128-row vnode ring (8 nodes × 16 vnodes by construction, data-independent) — ×128 candidate rows per key collapsed by the per-key min, linear in keys")
 

@@ -123,4 +123,40 @@ class CorpusStatR9Spec extends SparkSpec {
     assert(got(32L) === ((3L, 70L, 1L, 62L, 1000000L - 62000000L / 70L)))
     assert(got(64L) === ((3L, 70L, 0L, 70L, 0L)))
   }
+
+  test("q414 threshold sensitivity: exact-dup pair survives every cut, the 0.5 pairs only the base") {
+    // docs 1,2 identical (j=1 with each other); doc 3 shares 2 of its 3
+    // 3-gram shingles with each (j = 2/4 = 0.5). Pairs: (1,2)@1.0,
+    // (1,3)@0.5, (2,3)@0.5 -> base 3; >=0.6..0.9 keep only (1,2).
+    val d = docsDir(Seq(
+      (1L, "a b c d e", "en", "s1"),
+      (2L, "a b c d e", "en", "s1"),
+      (3L, "a b c d x", "en", "s1")))
+    val got = TextOps.q414ThresholdSensitivity(spark, d).collect()
+      .map(r => r.getAs[Long]("t_pct") -> ((r.getAs[Long]("n_pairs"),
+        r.getAs[Long]("base_pairs"), r.getAs[Long]("share_ppm")))).toMap
+    assert(got(50L) === ((3L, 3L, 1000000L)))
+    Seq(60L, 70L, 80L, 90L).foreach { t =>
+      assert(got(t) === ((1L, 3L, 333333L)), s"t=$t") }
+  }
+
+  test("q415 incremental dedup: exact, near, and novel incoming docs classified") {
+    // md5(doc_id) first hex < '2' marks ids 6, 19, 24 incoming; 1-5
+    // existing. 6 is an exact dup of existing 1; 19 a near dup (j=0.5)
+    // of existing 2; 24 novel.
+    val d = docsDir(Seq(
+      (1L, "a b c d e", "en", "s1"),
+      (2L, "p q r s t", "en", "s1"),
+      (6L, "a b c d e", "en", "s1"),   // incoming, exact dup of 1
+      (19L, "p q r s x", "en", "s1"),  // incoming, near dup of 2
+      (24L, "m n o k l", "en", "s1"))) // incoming, novel
+    val got = TextOps.q415IncrementalDedup(spark, d).collect()
+    assert(got.length === 1)
+    val r = got.head
+    assert(r.getAs[Long]("incoming") === 3L)
+    assert(r.getAs[Long]("exact_dup") === 1L)
+    assert(r.getAs[Long]("near_dup") === 1L)
+    assert(r.getAs[Long]("novel") === 1L)
+    assert(r.getAs[Long]("novel_ppm") === 333333L)
+  }
 }
