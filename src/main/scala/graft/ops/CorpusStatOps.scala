@@ -1315,12 +1315,53 @@ object CorpusStatOps {
        |    AS BIGINT) AS loss_ppm
        |FROM t CROSS JOIN g GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // --------------------------------------------------------------------------
+  // q416 — TOKEN-MASS CONCENTRATION (Gini) PER SOURCE: does 10% of a
+  // source's documents carry most of its token mass? Gini from the exact
+  // rank identity G_ppm = (2·Σ i·x_(i) − (n+1)·Σx) · 10⁶ div (n·Σx) over
+  // token counts sorted ascending (ties broken by doc_id so the rank
+  // assignment — and therefore Σ i·x_i — is identical in both engines
+  // even though Gini itself is tie-invariant). The skew readout that
+  // decides per-source sampling caps.
+  //
+  // Scale: the rank window is PARTITIONED by source (never global); all
+  // sums are exact BIGINTs; two hash aggregates after the window.
+  def tokenGini(docs: DataFrame): DataFrame = {
+    val t = docs.select(col("source"), col("doc_id"),
+      expr("size(filter(split(lower(text), ' '), t -> t != ''))")
+        .cast("long").as("ntok"))
+      .withColumn("i", row_number().over(
+        Window.partitionBy(col("source")).orderBy(col("ntok"), col("doc_id"))))
+    t.groupBy(col("source"))
+      .agg(count(lit(1)).as("docs"), sum(col("ntok")).as("tokens"),
+        sum(col("i") * col("ntok")).as("iwx"))
+      .withColumn("gini_ppm",
+        expr("((2L * iwx - (docs + 1L) * tokens) * 1000000L) div (docs * tokens)"))
+      .select(col("source"), col("docs"), col("tokens"), col("gini_ppm"))
+      .orderBy(col("source"))
+  }
+
+  def q416TokenGini(spark: SparkSession, dir: String): DataFrame =
+    tokenGini(Tables.documents(spark, dir))
+
+  val q416Sql: String =
+    s"""WITH t AS (
+       |  SELECT source, CAST(len(${TextOps.toksSqlD}) AS BIGINT) AS ntok,
+       |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY
+       |      len(${TextOps.toksSqlD}), doc_id) AS i
+       |  FROM documents)
+       |SELECT source, COUNT(*) AS docs, CAST(SUM(ntok) AS BIGINT) AS tokens,
+       |  CAST(((2 * SUM(i * ntok) - (COUNT(*) + 1) * SUM(ntok)) * 1000000)
+       |    // (COUNT(*) * SUM(ntok)) AS BIGINT) AS gini_ppm
+       |FROM t GROUP BY 1 ORDER BY 1""".stripMargin
+
   private val catalogR9: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q407_repetition_audit", q407RepetitionAudit _, Some(q407Sql)),
     ("q408_dup_inflation", q408DupInflation _, Some(q408Sql)),
     ("q409_ngram_contamination", q409NgramContamination _, Some(q409Sql)),
     ("q410_token_yield", q410TokenYield _, Some(q410Sql)),
-    ("q413_truncation_audit", q413TruncationAudit _, Some(q413Sql)))
+    ("q413_truncation_audit", q413TruncationAudit _, Some(q413Sql)),
+    ("q416_token_gini", q416TokenGini _, Some(q416Sql)))
 
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
     catalogE ++ catalogK ++ catalogL ++ catalogM ++ catalogO ++ catalogAn ++

@@ -159,4 +159,22 @@ class CorpusStatR9Spec extends SparkSpec {
     assert(r.getAs[Long]("novel") === 1L)
     assert(r.getAs[Long]("novel_ppm") === 333333L)
   }
+
+  test("q416 token gini: uniform source scores 0, one-doc-takes-all approaches max") {
+    // s1: three docs of 5 tokens each -> G = (2*(5+10+15) - 4*15)/(3*15) = 0
+    // s2: token counts 1,1,8 sorted -> 2*(1+2+24) - 4*10 = 14; /(3*10)
+    //   -> G_ppm = 14_000_000 div 30 = 466666
+    val d = docsDir(Seq(
+      (1L, Seq.fill(5)("w").mkString(" "), "en", "s1"),
+      (2L, Seq.fill(5)("w").mkString(" "), "en", "s1"),
+      (3L, Seq.fill(5)("w").mkString(" "), "en", "s1"),
+      (4L, "w", "en", "s2"),
+      (5L, "w", "en", "s2"),
+      (6L, Seq.fill(8)("w").mkString(" "), "en", "s2")))
+    val got = CorpusStatOps.q416TokenGini(spark, d).collect()
+      .map(r => r.getAs[String]("source") -> ((r.getAs[Long]("docs"),
+        r.getAs[Long]("tokens"), r.getAs[Long]("gini_ppm")))).toMap
+    assert(got("s1") === ((3L, 15L, 0L)))
+    assert(got("s2") === ((3L, 10L, 466666L)))
+  }
 }
