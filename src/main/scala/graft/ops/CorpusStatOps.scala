@@ -1324,8 +1324,13 @@ object CorpusStatOps {
   // even though Gini itself is tie-invariant). The skew readout that
   // decides per-source sampling caps.
   //
-  // Scale: the rank window is PARTITIONED by source (never global); all
-  // sums are exact BIGINTs; two hash aggregates after the window.
+  // Scale: the rank window is PARTITIONED by source (never global); the
+  // numerator (2·Σ i·x − (n+1)·Σx)·10⁶ rides DECIMAL(38,0) end-to-end —
+  // Σ i·x alone reaches ~n²·max(x), past a BIGINT at ~10⁹ docs/source,
+  // and the DuckDB oracle widens the same arithmetic to HUGEINT, so Long
+  // on the Spark side would silently wrap where the oracle stays exact
+  // (round-9 advice). `div` on decimals returns BIGINT — the output
+  // schema is unchanged and gini_ppm ≤ 10⁶ always fits.
   def tokenGini(docs: DataFrame): DataFrame = {
     val t = docs.select(col("source"), col("doc_id"),
       expr("size(filter(split(lower(text), ' '), t -> t != ''))")
@@ -1334,9 +1339,10 @@ object CorpusStatOps {
         Window.partitionBy(col("source")).orderBy(col("ntok"), col("doc_id"))))
     t.groupBy(col("source"))
       .agg(count(lit(1)).as("docs"), sum(col("ntok")).as("tokens"),
-        sum(col("i") * col("ntok")).as("iwx"))
+        sum((col("i") * col("ntok")).cast("decimal(38,0)")).as("iwx"))
       .withColumn("gini_ppm",
-        expr("((2L * iwx - (docs + 1L) * tokens) * 1000000L) div (docs * tokens)"))
+        expr("((2 * iwx - (cast(docs as decimal(38,0)) + 1) * tokens) * 1000000)" +
+          " div (cast(docs as decimal(38,0)) * tokens)"))
       .select(col("source"), col("docs"), col("tokens"), col("gini_ppm"))
       .orderBy(col("source"))
   }

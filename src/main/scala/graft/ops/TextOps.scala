@@ -111,12 +111,48 @@ object TextOps {
   // re-join outweigh the pruning on this small-vocabulary corpus. At a
   // web-scale vocabulary (shingle df ≪ |docs|, pair blowup quadratic)
   // prefix filtering is the right move; revisit when the corpus grows.
-  def q31NgramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-    val withN = shingleArrays(docs)
+  //
+  // Posting-list guard (round-10, q176's discipline promoted here): the
+  // SHIPPED form drops shingles with df > `stopShingleDf` from the index
+  // before the self-join — pair mass is then ≤ cap·|postings| (linear in
+  // the corpus) instead of Σ df² (quadratic on a templated/saturated
+  // corpus, where the length-band prune alone does not bound the hot
+  // posting lists — SURVEY §8.18's measured n²). At cap = 25 (= the
+  // measured max shingle df at sf0.1; 9 at sf0.001, 7 at sf0.01) the cap
+  // drops NOTHING at any driver SF, so the catalog entry stays EXACT and
+  // every downstream consumer (q82/q408/q412/q414) keeps its oracle hash;
+  // TextOpsSpec pins capped ≡ exact on real data AND proves the guard
+  // fires on a planted hot shingle. On capped corpora the semantics are
+  // the standard stop-shingle approximation: a pair whose only shared
+  // shingles are hot is not a candidate, and `inter` counts only uncapped
+  // shingles against the FULL set sizes (jaccard is underestimated, never
+  // overestimated — dedup stays conservative).
+  def q31NgramJaccard(spark: SparkSession, dir: String): DataFrame =
+    ngramJaccardPairs(Tables.documents(spark, dir), stopShingleDf = Some(25))
+
+  /** The exact (uncapped) twin — spec-only: proves the shipped cap drops
+    * nothing at driver SFs, and remains the reference semantics on
+    * corpora where the full quadratic pair set is wanted.
+    */
+  private[graft] def q31NgramJaccardExact(spark: SparkSession, dir: String): DataFrame =
+    ngramJaccardPairs(Tables.documents(spark, dir), stopShingleDf = None)
+
+  /** q31's library surface. `stopShingleDf` = the inverted-index
+    * stop-shingle guard (None = exact).
+    */
+  private[graft] def ngramJaccardPairs(docs: DataFrame,
+      stopShingleDf: Option[Int]): DataFrame = {
+    val withN0 = shingleArrays(docs)
       .select(col("doc_id"), size(col("sh")).cast("long").as("n_sh"),
         explode(col("sh")).as("s"))
       .filter(col("n_sh") > 0)
+    val withN = stopShingleDf match {
+      case Some(cap) =>
+        val dfS = withN0.groupBy(col("s")).agg(count(lit(1)).as("df_s"))
+        withN0.join(dfS.filter(col("df_s") <= cap), Seq("s"))
+          .select(col("doc_id"), col("n_sh"), col("s"))
+      case None => withN0
+    }
     val a = withN.as("a"); val b = withN.as("b")
     a.join(b,
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id") &&
@@ -1350,8 +1386,14 @@ object TextOps {
   // Scale: the exact pass is one hash semi-join; the near pass is the
   // q31 inverted-index join RESTRICTED to incoming×existing (the small
   // batch side prunes the index — at 100 TB the incoming side is the
-  // broadcast/bloom side), with the same t=0.5 size-ratio prune.
-  def incrementalDedup(docs: DataFrame): DataFrame = {
+  // broadcast/bloom side), with the same t=0.5 size-ratio prune AND the
+  // same df ≤ 25 stop-shingle guard as q31 (df measured over the FULL
+  // corpus, both sides — a shingle hot in the existing corpus must not
+  // re-enter through a cold incoming batch). Cap = 25 drops nothing at
+  // driver SFs (max df 25 at sf0.1), so the oracle stays the exact
+  // replay; the spec-only exact twin pins the parity.
+  def incrementalDedup(docs: DataFrame,
+      stopShingleDf: Option[Int] = Some(25)): DataFrame = {
     val tagged = docs
       .select(col("doc_id"), col("source"), col("text"),
         (substring(md5(col("doc_id").cast("string")), 1, 1) < "2").as("incoming"))
@@ -1361,11 +1403,18 @@ object TextOps {
     val exactDup = inc.select(col("doc_id"), md5(col("text")).as("h"))
       .join(ex.select(md5(col("text")).as("h")), Seq("h"), "left_semi")
       .select(col("doc_id"))
-    val sh = shingleArrays(tagged)
+    val sh0 = shingleArrays(tagged)
       .select(col("doc_id"), size(col("sh")).cast("long").as("n_sh"),
         explode(col("sh")).as("s"))
       .filter(col("n_sh") > 0)
-      .localCheckpoint(false)
+      .localCheckpoint(false) // feeds the df guard AND both join sides
+    val sh = stopShingleDf match {
+      case Some(cap) =>
+        val dfS = sh0.groupBy(col("s")).agg(count(lit(1)).as("df_s"))
+        sh0.join(dfS.filter(col("df_s") <= cap), Seq("s"))
+          .select(col("doc_id"), col("n_sh"), col("s"))
+      case None => sh0
+    }
     val shInc = sh.join(inc.select(col("doc_id")), Seq("doc_id"), "left_semi")
     val shEx = sh.join(ex.select(col("doc_id")), Seq("doc_id"), "left_semi")
     val nearDup = shInc.as("a")
@@ -1395,6 +1444,11 @@ object TextOps {
 
   def q415IncrementalDedup(spark: SparkSession, dir: String): DataFrame =
     incrementalDedup(Tables.documents(spark, dir))
+
+  /** Uncapped twin — spec-only, proves the df ≤ 25 guard is a no-op at
+    * driver SFs (same discipline as [[q31NgramJaccardExact]]). */
+  private[graft] def q415IncrementalDedupExact(spark: SparkSession, dir: String): DataFrame =
+    incrementalDedup(Tables.documents(spark, dir), stopShingleDf = None)
 
   val q415Sql: String =
     s"""WITH d AS (

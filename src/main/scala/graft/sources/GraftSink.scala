@@ -38,8 +38,13 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * never glob `*.part.csv` — the directory accretes parts across jobs
   * (append-only data files; the manifest is the pointer swap). A driver
   * crash between file moves and the manifest rename leaves orphan parts
-  * that no manifest names — invisible to manifest readers, reclaimed by
-  * the next job's publish of the same names.
+  * that no manifest names — invisible to manifest readers, but NOT
+  * self-reclaiming: published names embed the per-job queryId, so no
+  * later job ever overwrites them (round-9 advice). They are a pure
+  * disk leak until out-of-band maintenance deletes every `*.part.csv`
+  * absent from the current `_SUCCESS` while no job is in flight —
+  * in-commit GC is deliberately omitted because it would race a
+  * concurrent job between ITS file moves and ITS manifest rename.
   *
   * This is the same two-phase shape every production sink (file commit
   * protocols, Iceberg/Delta snapshot commits) implements: correctness
@@ -112,17 +117,19 @@ class SinkBatchWrite(schema: StructType, path: String, queryId: String)
   override def abort(messages: Array[WriterCommitMessage]): Unit = deleteStaging()
 
   /** Deletes only THIS job's staging subtree — concurrent jobs on the
-    * same path keep theirs. */
+    * same path keep theirs. The shared `_staging` parent is deliberately
+    * LEFT IN PLACE even when empty: deleting it races a concurrent job's
+    * `createDirectories` (parent created, momentarily empty before that
+    * job's own subdir lands, deleted here → its first staged-file write
+    * fails with NoSuchFileException). One empty marker dir is the price
+    * of a lock-free protocol (round-9 advice).
+    */
   private def deleteStaging(): Unit = {
     val st = java.nio.file.Path.of(path, "_staging", queryId)
     if (java.nio.file.Files.exists(st)) {
       st.toFile.listFiles().foreach(_.delete())
       java.nio.file.Files.deleteIfExists(st)
     }
-    // drop the shared _staging parent when this was the last job in it
-    val parent = java.nio.file.Path.of(path, "_staging")
-    try java.nio.file.Files.deleteIfExists(parent)
-    catch { case _: java.nio.file.DirectoryNotEmptyException => () }
   }
 }
 

@@ -45,6 +45,56 @@ class TextOpsSpec extends SparkSpec {
     assert(!keys.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("q31 stop-shingle cap at df<=25 is a no-op on the driver corpus (exact twin)") {
+    // the cap equals the measured max shingle df at sf0.1 (9 at sf0.001,
+    // 7 at sf0.01), so NOTHING is dropped at any driver SF — since round
+    // 10 the CAPPED form is the catalog entry (pair mass ≤ 25·|postings|
+    // on saturated-vocab corpora instead of Σ df², SURVEY §8.18) and the
+    // exact form is the spec-only twin this test replays to prove the
+    // cap is lossless here, q176's discipline applied to q31
+    val dir = "/root/testdata/sf0.001"
+    val exact = TextOps.q31NgramJaccardExact(spark, dir).collect()
+      .map(_.toSeq.map(String.valueOf).mkString("|")).sorted
+    val capped = TextOps.q31NgramJaccard(spark, dir).collect()
+      .map(_.toSeq.map(String.valueOf).mkString("|")).sorted
+    assert(exact.nonEmpty)
+    assert(capped === exact)
+  }
+
+  test("q31 stop-shingle guard fires on a planted hot shingle (capped ⊆ exact, conservative)") {
+    import spark.implicits._
+    // docs 1/2 are identical ("a b c d": shingles {a b c, b c d}); docs
+    // 3..6 all contain "a b c", pushing df("a b c") to 6. At cap = 2 the
+    // hot shingle leaves the index, the (1,2) intersection falls to 1 of
+    // 2 (jaccard 1/3 < 0.5) and the pair drops — underestimated, never
+    // overestimated, exactly the documented stop-shingle semantics.
+    val rows = Seq(
+      (1L, "a b c d"), (2L, "a b c d"),
+      (3L, "a b c z3"), (4L, "a b c z4"), (5L, "a b c z5"), (6L, "a b c z6"))
+    val dir = Files.createTempDirectory("graft_hot").toString
+    rows.map { case (i, t) => (i, t, "en", "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    val docs = graft.Tables.documents(spark, dir)
+    def pairSet(cap: Option[Int]) = TextOps.ngramJaccardPairs(docs, cap)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairSet(None)
+    val capped = pairSet(Some(2))
+    assert(exact.contains((1L, 2L)))
+    assert(!capped.contains((1L, 2L))) // the guard actually fired
+    assert(capped.subsetOf(exact))     // never invents a pair
+  }
+
+  test("q415 stop-shingle cap at df<=25 is a no-op on the driver corpus (exact twin)") {
+    val dir = "/root/testdata/sf0.001"
+    val exact = TextOps.q415IncrementalDedupExact(spark, dir).collect()
+      .map(_.toSeq.map(String.valueOf).mkString("|")).sorted
+    val capped = TextOps.q415IncrementalDedup(spark, dir).collect()
+      .map(_.toSeq.map(String.valueOf).mkString("|")).sorted
+    assert(exact.nonEmpty)
+    assert(capped === exact)
+  }
+
   test("MinHash-LSH recovers every exact-Jaccard pair on the corpus (full recall here)") {
     val exact = TextOps.q31NgramJaccard(spark, corpusDir)
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
