@@ -16,6 +16,9 @@ object Bench {
     String.format(java.util.Locale.ROOT, "%." + digits + "f", Double.box(v))
 
   def main(args: Array[String]): Unit = {
+    // optional dev-only name-prefix filter, like Verify's (driver passes
+    // no args and always times the full catalog)
+    val prefixes = args.toSeq
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     // the library session (extensions, AQE, nanosAsLong, UTC, timeout
@@ -38,7 +41,10 @@ object Bench {
     // JIT + codegen compilation, and the host VM adds noisy-neighbor
     // variance (measured total swinging 53→135s run to run); the min
     // reflects the steady-state cost of the plan itself.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) =>
+        prefixes.isEmpty || prefixes.exists(name.startsWith) }
+      .map { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() }

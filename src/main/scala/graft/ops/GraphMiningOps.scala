@@ -950,29 +950,95 @@ object GraphMiningOps {
   // finished at sf0.1); and eager=false collapses the 17 per-round
   // checkpoint jobs into ONE final action whose shared shuffle stages
   // dedup at the RDD level (measured 14.9 s → 5.9 s at sf0.1).
-  def hits(edges: DataFrame, iters: Int, topK: Int): DataFrame = {
+  /** Two execution regimes, identical results (the ppm fixed-point math
+    * is partition-invariant; GraphMiningSpec pins regime parity):
+    *
+    * `broadcastScores = true` (default — the grid-sized regime): score
+    * frames are |node|-row grids, so each half-step is ONE plan — e
+    * BHJ-joins the broadcast score frame (the edge list never shuffles),
+    * partial-aggregates map-side, and renormalizes via a window total
+    * over the grid — and the round costs exactly one broadcast-build job.
+    * Round-10 rebuild: the old equi-join form re-shuffled + re-sorted the
+    * edge list 16 times and ran 3 broadcast-total jobs per round — the
+    * decade probe showed the wall was round scheduling, not data
+    * (6.4 s → ~2 s at sf0.1).
+    *
+    * `broadcastScores = false` (the huge-node-set regime, ~1e8+ nodes
+    * where a score frame outgrows broadcast AND a single-partition window
+    * total): per-round equi-joins shuffled on the node key with 1-row
+    * broadcast totals — every structure stays distributed; slower per
+    * round, unbounded in |nodes|.
+    *
+    * The loop body plans under shuffle.partitions = `roundPartitions`
+    * (restored on return; lazy localCheckpoint pins each round's plan at
+    * creation): per-round frames are |nodes| rows, never |edges|, so 32
+    * reduce tasks × 17 rounds was pure scheduling overhead at local[32].
+    * A cluster deploy lifts it to ~2-3× its executor cores.
+    */
+  def hits(edges: DataFrame, iters: Int, topK: Int,
+      roundPartitions: Int = 4, broadcastScores: Boolean = true): DataFrame = {
+    val spark = edges.sparkSession
+    val key = "spark.sql.shuffle.partitions"
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val prev = spark.conf.get(key)
+    val prevAqe = spark.conf.get(aqeKey)
+    // the edge-list distinct + initial mass run BEFORE the scope at the
+    // session's full shuffle width (they are |edges|-sized, the one
+    // genuinely data-sized step here)
     val e = edges.toDF("s", "p").localCheckpoint()
     val parts = e.select(col("p")).distinct()
     val np = parts.agg(count(lit(1)).as("k"))
-    var auth = parts.crossJoin(broadcast(np))
-      .select(col("p"), expr("1000000L div k").as("a"))
-      .localCheckpoint(false)
-    for (_ <- 1 to iters) {
-      val hRaw = e.join(auth, Seq("p"))
-        .groupBy(col("s")).agg(sum(col("a")).as("h0"))
+    spark.conf.set(key, roundPartitions.toString)
+    // AQE re-plans at every materialized exchange — with ~3 stages ×
+    // 16 half-step jobs over grid-sized frames, that bookkeeping IS the
+    // bill (the partition counts are already pinned above; there is
+    // nothing for AQE to adapt). Restored on return like the partitions.
+    spark.conf.set(aqeKey, "false")
+    try {
+      // narrow (shuffle-free) merge down to the round width: 16 half-step
+      // scans at 32 tasks each was launch overhead, not parallelism — the
+      // whole edge list fits a handful of in-memory partitions here. The
+      // huge-|edges| regime keeps e's native width (broadcastScores=false).
+      val eLoop = if (broadcastScores) e.coalesce(roundPartitions * 2) else e
+      var auth = parts.crossJoin(broadcast(np))
+        .select(col("p"), expr("1000000L div k").as("a"))
         .localCheckpoint(false)
-      val hTot = hRaw.agg(sum(col("h0")).as("ht"))
-      val hub = hRaw.crossJoin(broadcast(hTot))
-        .select(col("s"), expr("(1000000L * h0) div ht").as("h"))
-      val aRaw = e.join(hub, Seq("s"))
-        .groupBy(col("p")).agg(sum(col("h")).as("a0"))
-        .localCheckpoint(false)
-      val aTot = aRaw.agg(sum(col("a0")).as("at"))
-      auth = aRaw.crossJoin(broadcast(aTot))
-        .select(col("p"), expr("(1000000L * a0) div at").as("a"))
+      for (_ <- 1 to iters) {
+        if (broadcastScores) {
+          // hub is deliberately NOT checkpointed: it is referenced exactly
+          // once (inside auth's broadcast build), and auth's own per-round
+          // checkpoint keeps the plan depth constant. (A fully lazy
+          // single-plan variant with shuffle-hash joins and no broadcasts
+          // was measured at 8.8 s — 16 re-shuffles of the edge list cost
+          // more than 16 grid-sized broadcast builds.)
+          val hub = eLoop.join(broadcast(auth), Seq("p"))
+            .groupBy(col("s")).agg(sum(col("a")).as("h0"))
+            .select(col("s"), expr("(1000000L * h0) div (sum(h0) over ())").as("h"))
+          auth = eLoop.join(broadcast(hub), Seq("s"))
+            .groupBy(col("p")).agg(sum(col("h")).as("a0"))
+            .select(col("p"), expr("(1000000L * a0) div (sum(a0) over ())").as("a"))
+            .localCheckpoint(false)
+        } else {
+          val hRaw = e.join(auth, Seq("p"))
+            .groupBy(col("s")).agg(sum(col("a")).as("h0"))
+            .localCheckpoint(false)
+          val hTot = hRaw.agg(sum(col("h0")).as("ht"))
+          val hub = hRaw.crossJoin(broadcast(hTot))
+            .select(col("s"), expr("(1000000L * h0) div ht").as("h"))
+          val aRaw = e.join(hub, Seq("s"))
+            .groupBy(col("p")).agg(sum(col("h")).as("a0"))
+            .localCheckpoint(false)
+          val aTot = aRaw.agg(sum(col("a0")).as("at"))
+          auth = aRaw.crossJoin(broadcast(aTot))
+            .select(col("p"), expr("(1000000L * a0) div at").as("a"))
+        }
+      }
+      auth.orderBy(col("a").desc, col("p")).limit(topK)
+        .select(col("p").as("part"), col("a").as("authority_ppm"))
+    } finally {
+      spark.conf.set(key, prev)
+      spark.conf.set(aqeKey, prevAqe)
     }
-    auth.orderBy(col("a").desc, col("p")).limit(topK)
-      .select(col("p").as("part"), col("a").as("authority_ppm"))
   }
 
   def q350Hits(spark: SparkSession, dir: String): DataFrame =

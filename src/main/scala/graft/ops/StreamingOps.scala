@@ -238,6 +238,22 @@ object StreamingOps {
     try body finally spark.conf.set(key, prev)
   }
 
+  /** Run a streaming query WITHOUT the trailing no-data micro-batch.
+    * That batch exists to let the advanced watermark evict state and emit
+    * eviction-driven results (outer-join nulls, timer fires) — queries
+    * whose output is match-driven (inner/semi joins: every row emits in
+    * the data batch where its match lands) pay it for nothing, and on a
+    * finite AvailableNow replay it is a whole extra state-store
+    * open/commit cycle. q211 (outer) and the timer topologies MUST NOT
+    * use this.
+    */
+  private[graft] def withoutNoDataBatch[T](spark: SparkSession)(body: => T): T = {
+    val key = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try body finally spark.conf.set(key, prev)
+  }
+
   def q122FileStream(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
     val src = eventsZone(spark, dir)
@@ -309,13 +325,21 @@ object StreamingOps {
   def q157StreamJoin(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
     val src = eventsZone(spark, dir) // shared with q122: same immutable zone
-    val joined = intervalJoined(spark, src, "inner", 2)
+    // one data micro-batch (trigger covers the whole zone) + the final
+    // no-data batch: inner matches are emission-order-independent and the
+    // per-batch state-store open/commit cycle was ~40% of wall time at 2
+    // files/trigger (round-9 verdict task 3)
+    val joined = intervalJoined(spark, src, "inner", 16)
     val qname = "graft_q157_result"
-    withStatePartitions(spark, 8) {
+    // 4 state partitions: a stream-stream join opens/commits 4 stores per
+    // partition per side per batch — at this topology's state volume
+    // (≤ tens of MB) fewer, fatter stores win; a cluster run sizes this
+    // to per-partition state, not cores (see withStatePartitions doc)
+    withStatePartitions(spark, 4) { withoutNoDataBatch(spark) {
       val query = joined.writeStream.format("memory").queryName(qname)
         .outputMode("append").trigger(Trigger.AvailableNow()).start()
       query.awaitTermination()
-    }
+    } }
     spark.table(qname)
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_pairs"), countDistinct(col("click_id")).as("n_clicks"))
@@ -347,18 +371,19 @@ object StreamingOps {
   def q284StreamSemiJoin(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
     val src = eventsZone(spark, dir)
-    val semi = sideStream(spark, src, "click", 2).alias("c")
-      .join(sideStream(spark, src, "purchase", 2).alias("p"),
+    val semi = sideStream(spark, src, "click", 16).alias("c")
+      .join(sideStream(spark, src, "purchase", 16).alias("p"),
         expr("""c.user_id = p.user_id AND
                 p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTES"""),
         "left_semi")
       .select(col("event_id").as("click_id"), col("user_id"))
     val qname = "graft_q284_result"
-    withStatePartitions(spark, 8) {
+    withStatePartitions(spark, 4) { withoutNoDataBatch(spark) {
+      // see q157 on the 4-partition / no-no-data-batch choices
       val query = semi.writeStream.format("memory").queryName(qname)
         .outputMode("append").trigger(Trigger.AvailableNow()).start()
       query.awaitTermination()
-    }
+    } }
     spark.table(qname)
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_converting_clicks"))
@@ -778,9 +803,12 @@ object StreamingOps {
   def q211StreamOuterJoin(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
     val src = eventsZone(spark, dir)
-    val joined = intervalJoined(spark, src, "leftOuter", 2)
+    // single data batch like q157: the null-closure rule depends only on
+    // the FINAL global watermark (slicing-independent), and the final
+    // no-data batch still runs the eviction pass that emits them
+    val joined = intervalJoined(spark, src, "leftOuter", 16)
     val qname = "graft_q211_result"
-    withStatePartitions(spark, 8) {
+    withStatePartitions(spark, 4) { // see q157 on the 4-partition choice
       val query = joined.writeStream.format("memory").queryName(qname)
         .outputMode("append").trigger(Trigger.AvailableNow()).start()
       query.awaitTermination()
