@@ -1686,6 +1686,127 @@ object CapacityAuditOps {
     ("q357_salt_planner", q357SaltPlanner _, Some(q357Sql)),
     ("q358_split_balance", q358SplitBalance _, Some(q358Sql)))
 
+  // ═════════════════ formerly Round8cOps (consolidated round 10) ═════════════════
+
+
+  /** orders columns unpivoted to (col_name, v) with every value in a
+    * PORTABLE canonical string form (ints and strings only — doubles ride
+    * as exact cents, so no engine-specific float formatting is hashed).
+    */
+  private def unpivoted(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir).select(explode(array(
+      struct(lit("o_orderstatus").as("col_name"),
+        col("o_orderstatus").cast("string").as("v")),
+      struct(lit("o_orderpriority").as("col_name"),
+        col("o_orderpriority").cast("string").as("v")),
+      struct(lit("o_custkey").as("col_name"),
+        col("o_custkey").cast("string").as("v")),
+      struct(lit("o_totalprice_cents").as("col_name"),
+        expr("cast(cast(floor(o_totalprice * 100 + 0.5d) as bigint) as string)").as("v"))))
+      .as("c")).select(col("c.col_name").as("col_name"), col("c.v").as("v"))
+
+  private val unpivotSql: String =
+    """SELECT col_name, v FROM (
+      |    SELECT 'o_orderstatus' AS col_name, o_orderstatus::VARCHAR AS v FROM orders
+      |    UNION ALL
+      |    SELECT 'o_orderpriority', o_orderpriority::VARCHAR FROM orders
+      |    UNION ALL
+      |    SELECT 'o_custkey', o_custkey::VARCHAR FROM orders
+      |    UNION ALL
+      |    SELECT 'o_totalprice_cents',
+      |      CAST(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS VARCHAR)
+      |    FROM orders)""".stripMargin
+
+  // --------------------------------------------------------------------------
+  // q291 — ONE-PASS DATA PROFILER: per-column row count, null count,
+  // exact distinct count, lexicographic min/max of the canonical string
+  // form, and total character mass — the Deequ-style profile a warehouse
+  // materializes for every landed table before anything else touches it.
+  //
+  // Scale: the unpivot is a row-local explode (4 rows per input row); the
+  // profile is one hash aggregate per (column, value) then per column —
+  // two shuffles on bounded-width keys, corpus-linear. At 100 TB swap the
+  // exact distinct for q24's HLL and the plan shape is unchanged.
+  //
+  // Determinism: counts and lengths are exact integers; min/max are
+  // ASCII-lexicographic on canonical integer/categorical strings —
+  // identical collation both engines.
+  def q291DataProfile(spark: SparkSession, dir: String): DataFrame =
+    unpivoted(spark, dir)
+      .groupBy(col("col_name"))
+      .agg(count(lit(1)).as("n_rows"),
+        count_if(col("v").isNull).as("n_null"),
+        countDistinct(col("v")).as("n_distinct"),
+        min(col("v")).as("min_v"), max(col("v")).as("max_v"),
+        sum(length(col("v"))).cast("long").as("total_chars"))
+      .orderBy(col("col_name"))
+
+  val q291Sql: String =
+    s"""WITH u AS ($unpivotSql)
+       |SELECT col_name, COUNT(*) AS n_rows,
+       |  CAST(COUNT(*) FILTER (v IS NULL) AS BIGINT) AS n_null,
+       |  CAST(COUNT(DISTINCT v) AS BIGINT) AS n_distinct,
+       |  MIN(v) AS min_v, MAX(v) AS max_v,
+       |  CAST(SUM(length(v)) AS BIGINT) AS total_chars
+       |FROM u GROUP BY col_name ORDER BY col_name""".stripMargin
+
+  // --------------------------------------------------------------------------
+  // q293 — STORAGE ENCODING ADVISOR: per column, estimate the byte cost
+  // of PLAIN vs DICTIONARY encoding from one stats pass — plain =
+  // total character mass; dict = distinct-value character mass +
+  // n·ceil(log2(distinct))/8 index bytes — and recommend the cheaper
+  // one. The decision a columnar writer (parquet's dictionary fallback)
+  // makes per page, surfaced as a layout-planning readout (q195/q196's
+  // zone-map family, applied to encoding choice).
+  //
+  // Determinism: bit width = length(bin(distinct − 1)) — exact integer
+  // arithmetic end to end, no log2 libm call.
+  def q293EncodingAdvisor(spark: SparkSession, dir: String): DataFrame = {
+    val perValue = unpivoted(spark, dir)
+      .groupBy(col("col_name"), col("v"))
+      .agg(count(lit(1)).as("cnt"))
+    perValue
+      .groupBy(col("col_name"))
+      .agg(sum(col("cnt")).as("n_rows"),
+        count(lit(1)).as("n_distinct"),
+        sum(length(col("v")) * col("cnt")).cast("long").as("plain_bytes"),
+        sum(length(col("v"))).cast("long").as("dict_value_bytes"))
+      .withColumn("bits", when(col("n_distinct") <= 1, lit(1))
+        .otherwise(length(expr("bin(n_distinct - 1)"))))
+      .withColumn("dict_bytes",
+        col("dict_value_bytes") + expr("(n_rows * bits + 7) div 8"))
+      .select(col("col_name"), col("n_rows"), col("n_distinct"),
+        col("plain_bytes"), col("dict_bytes").cast("long").as("dict_bytes"),
+        when(col("dict_bytes") < col("plain_bytes"), lit("DICT"))
+          .otherwise(lit("PLAIN")).as("encoding"))
+      .orderBy(col("col_name"))
+  }
+
+  val q293Sql: String =
+    s"""WITH u AS ($unpivotSql),
+       |pv AS (SELECT col_name, v, COUNT(*) AS cnt FROM u GROUP BY 1, 2),
+       |st AS (
+       |  SELECT col_name, SUM(cnt) AS n_rows, COUNT(*) AS n_distinct,
+       |    SUM(length(v) * cnt) AS plain_bytes,
+       |    SUM(length(v)) AS dict_value_bytes
+       |  FROM pv GROUP BY 1),
+       |b AS (
+       |  SELECT *, CASE WHEN n_distinct <= 1 THEN 1
+       |    ELSE length(bin(CAST(n_distinct - 1 AS BIGINT))) END AS bits
+       |  FROM st)
+       |SELECT col_name, CAST(n_rows AS BIGINT) AS n_rows,
+       |  CAST(n_distinct AS BIGINT) AS n_distinct,
+       |  CAST(plain_bytes AS BIGINT) AS plain_bytes,
+       |  CAST(dict_value_bytes + (n_rows * bits + 7) // 8 AS BIGINT) AS dict_bytes,
+       |  CASE WHEN dict_value_bytes + (n_rows * bits + 7) // 8 < plain_bytes
+       |    THEN 'DICT' ELSE 'PLAIN' END AS encoding
+       |FROM b ORDER BY col_name""".stripMargin
+
+
+  private val catalogR8: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
+    ("q291_data_profile", q291DataProfile _, Some(q291Sql)),
+    ("q293_encoding_advisor", q293EncodingAdvisor _, Some(q293Sql)))
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
-    catalogAi ++ catalogAl ++ catalogAm ++ catalogAo ++ catalogAp ++ catalogAr ++ catalogAt ++ catalogAv ++ catalogAw ++ catalogAx ++ catalogZ
+    catalogAi ++ catalogAl ++ catalogAm ++ catalogAo ++ catalogAp ++ catalogAr ++ catalogAt ++ catalogAv ++ catalogAw ++ catalogAx ++ catalogZ ++ catalogR8
 }

@@ -749,6 +749,92 @@ object CorpusOps {
        |    AS pct_of_pairs
        |FROM lab GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ═════════════════ formerly Round8bOps (consolidated round 10) ═════════════════
+
+  // --------------------------------------------------------------------------
+  // q285 — PACKED-BLOCK MANIFEST WITH LOSS-MASK ACCOUNTING: concatenate
+  // the corpus token stream in doc_id order, slice it into fixed
+  // 512-token training blocks, and account per block: how many documents
+  // touch it, how many tokens are loss-bearing (per instruction-tuning
+  // convention, the first ceil(len/4) tokens of each doc are "prompt" and
+  // masked out of the loss), and how much tail padding the final block
+  // carries. This is the manifest a packed-pretraining dataloader
+  // consumes — block boundaries NEVER re-tokenize; they come from pure
+  // integer interval arithmetic on the global offsets.
+  //
+  // Scale: the global token offset is q169's two-pass bucketed prefix
+  // (range-bucket doc_id → bounded-grid exclusive prefix sum → broadcast
+  // offsets back); each doc then explodes to the ≤ (len div 512 + 2)
+  // blocks it overlaps — linear, no corpus-sized window.
+  //
+  // Determinism: every cell is exact integer interval arithmetic.
+  def q285PackedBlocks(spark: SparkSession, dir: String): DataFrame = {
+    val block = 512L
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(expr("filter(split(lower(text), ' '), t -> t != '')")).cast("long").as("len"))
+      .filter(col("len") > 0)
+    val mx = docs.agg(max(col("doc_id")).as("mx"))
+    val bucketed = docs.crossJoin(broadcast(mx))
+      .withColumn("bucket", expr("doc_id div (mx div 256 + 1)")).drop("mx")
+    val offsets = bucketed.groupBy(col("bucket")).agg(sum(col("len")).as("btoks"))
+      .withColumn("boff",
+        coalesce(sum(col("btoks")).over(
+          Window.orderBy(col("bucket")).rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("bucket"), col("boff"))
+    val wIn = Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val spans = bucketed.join(broadcast(offsets), Seq("bucket"))
+      .withColumn("start", col("boff") + coalesce(sum(col("len")).over(wIn), lit(0L)))
+      // loss applies to tokens [start + ceil(len/4), start + len)
+      .withColumn("loss_start", col("start") + expr("(len + 3) div 4"))
+      .select(col("doc_id"), col("start"), (col("start") + col("len")).as("end"),
+        col("loss_start"))
+    val blocks = spans
+      .select(col("doc_id"), col("start"), col("end"), col("loss_start"),
+        explode(expr(s"sequence(start div $block, (end - 1) div $block)")).as("blk"))
+      .withColumn("blo", col("blk") * block)
+      .withColumn("bhi", col("blo") + block)
+      .withColumn("n_toks",
+        least(col("end"), col("bhi")) - greatest(col("start"), col("blo")))
+      .withColumn("n_loss",
+        greatest(least(col("end"), col("bhi")) - greatest(col("loss_start"), col("blo")),
+          lit(0L)))
+    blocks.groupBy(col("blk"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"),
+        sum(col("n_loss")).as("n_loss_tokens"))
+      .withColumn("n_pad", lit(block) - col("n_tokens"))
+      .orderBy(col("blk"))
+  }
+
+  val q285Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |    len(list_filter(string_split(lower(text), ' '), x -> x != ''))::BIGINT AS len
+      |  FROM documents),
+      |d2 AS (SELECT * FROM d WHERE len > 0),
+      |s AS (
+      |  SELECT doc_id, len,
+      |    COALESCE(SUM(len) OVER (ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
+      |  FROM d2),
+      |sp AS (
+      |  SELECT doc_id, start, start + len AS "end",
+      |    start + (len + 3) // 4 AS loss_start
+      |  FROM s),
+      |b AS (
+      |  SELECT doc_id, start, "end", loss_start, blk,
+      |    blk * 512 AS blo, blk * 512 + 512 AS bhi
+      |  FROM sp, UNNEST(generate_series(CAST(start // 512 AS BIGINT),
+      |    CAST(("end" - 1) // 512 AS BIGINT))) AS u(blk))
+      |SELECT blk, COUNT(*) AS n_docs,
+      |  CAST(SUM(LEAST("end", bhi) - GREATEST(start, blo)) AS BIGINT) AS n_tokens,
+      |  CAST(SUM(GREATEST(LEAST("end", bhi) - GREATEST(loss_start, blo), 0)) AS BIGINT)
+      |    AS n_loss_tokens,
+      |  CAST(512 - SUM(LEAST("end", bhi) - GREATEST(start, blo)) AS BIGINT) AS n_pad
+      |FROM b GROUP BY blk ORDER BY blk""".stripMargin
+
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q238_phrase_search", q238PhraseSearch _, Some(q238Sql)),
     ("q257_split_leakage", q257SplitLeakage _, Some(q257Sql)),
@@ -766,5 +852,7 @@ object CorpusOps {
     ("q97_unigram_lm", q97UnigramLm _, Some(q97Sql)),
     ("q98_length_band", q98LengthBand _, Some(q98Sql)),
     ("q100_pipeline", q100Pipeline _, Some(q100Sql)),
-    ("q103_token_entropy", q103TokenEntropy _, Some(q103Sql)))
+    ("q103_token_entropy", q103TokenEntropy _, Some(q103Sql)),
+    // formerly Round8bOps
+    ("q285_packed_blocks", q285PackedBlocks _, Some(q285Sql)))
 }

@@ -1369,7 +1369,85 @@ object CorpusStatOps {
     ("q413_truncation_audit", q413TruncationAudit _, Some(q413Sql)),
     ("q416_token_gini", q416TokenGini _, Some(q416Sql)))
 
+  // ═════════════════ formerly Round8Ops (consolidated round 10) ═════════════════
+
+  // --------------------------------------------------------------------------
+  // q279 — DSIR IMPORTANCE WEIGHTING (Data Selection via Importance
+  // Resampling, Xie et al. 2023): score every document by how much it
+  // looks like the TARGET distribution (here: the English slice) under
+  // hashed-bigram unigram LMs — log w(doc) = Σ_bigram [log p_tgt(b) −
+  // log p_src(b)] with add-1 smoothing over 1024 hash buckets. The
+  // standard cheap data-selection pass before pretraining: keep/resample
+  // docs with positive importance.
+  //
+  // Scale: two hash aggregates collapse the corpus to a 1024-row
+  // log-ratio table that BROADCASTS back; scoring is one map-side join +
+  // one per-doc aggregate — linear, shuffle only on doc_id.
+  //
+  // Determinism (§8.4): the per-bucket log-ratio is ONE libm ln of an
+  // exact-integer rational, quantized to a 1e-9-grid long; per-doc sums
+  // are exact BIGINT sums of those longs — order-free, no double output.
+  def q279DsirWeighting(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        expr("filter(split(lower(text), ' '), t -> t != '')").as("t"))
+      .filter(size(col("t")) >= 2)
+    val bigrams = toks.select(col("doc_id"), col("lang"),
+      explode(expr("zip_with(slice(t, 1, size(t) - 1), slice(t, 2, size(t) - 1)," +
+        " (a, b) -> concat(a, ' ', b))")).as("bg"))
+      .withColumn("b",
+        expr("cast(conv(substring(md5(bg), 1, 8), 16, 10) as bigint) % 1024"))
+    val tgt = bigrams.filter(col("lang") === "en")
+      .groupBy(col("b")).agg(count(lit(1)).as("ct"))
+    val src = bigrams.groupBy(col("b")).agg(count(lit(1)).as("cs"))
+    val tots = bigrams.agg(
+      count_if(col("lang") === "en").as("tot_t"), count(lit(1)).as("tot_s"))
+    val lr = src.join(tgt, Seq("b"), "left")
+      .na.fill(0L, Seq("ct"))
+      .crossJoin(broadcast(tots))
+      .withColumn("lr_q", expr(
+        "cast(floor(ln((ct + 1.0d) * (tot_s + 1024.0d) / ((cs + 1.0d) * (tot_t + 1024.0d)))" +
+          " * 1e9 + 0.5d) as long)"))
+      .select(col("b"), col("lr_q"))
+    bigrams.join(broadcast(lr), Seq("b"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("lr_q")).as("logw_e9"))
+      .select(col("doc_id"), col("n_bigrams"), col("logw_e9"),
+        (col("logw_e9") > 0).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q279Sql: String =
+    """WITH t AS (
+      |  SELECT doc_id, lang,
+      |    list_filter(string_split(lower(text), ' '), x -> x != '') AS t
+      |  FROM documents),
+      |bg AS (
+      |  SELECT doc_id, lang,
+      |    ('0x' || substr(md5(t[i] || ' ' || t[i+1]), 1, 8))::BIGINT % 1024 AS b
+      |  FROM t, UNNEST(generate_series(1, len(t) - 1)) AS u(i)
+      |  WHERE len(t) >= 2),
+      |ct AS (SELECT b, COUNT(*) AS ct FROM bg WHERE lang = 'en' GROUP BY b),
+      |cs AS (SELECT b, COUNT(*) AS cs FROM bg GROUP BY b),
+      |tot AS (SELECT
+      |  (SELECT COUNT(*) FROM bg WHERE lang = 'en') AS tot_t,
+      |  (SELECT COUNT(*) FROM bg) AS tot_s),
+      |lr AS (
+      |  SELECT cs.b,
+      |    CAST(FLOOR(ln((COALESCE(ct.ct, 0) + 1.0) * (tot_s + 1024.0)
+      |      / ((cs.cs + 1.0) * (tot_t + 1024.0))) * 1e9 + 0.5) AS BIGINT) AS lr_q
+      |  FROM cs LEFT JOIN ct ON ct.b = cs.b CROSS JOIN tot)
+      |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+      |  CAST(SUM(lr_q) AS BIGINT) AS logw_e9,
+      |  SUM(lr_q) > 0 AS keep
+      |FROM bg JOIN lr ON lr.b = bg.b
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+
+  private val catalogR8: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
+    ("q279_dsir_weighting", q279DsirWeighting _, Some(q279Sql)))
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
     catalogE ++ catalogK ++ catalogL ++ catalogM ++ catalogO ++ catalogAn ++
-      catalogAu ++ catalogR9
+      catalogAu ++ catalogR9 ++ catalogR8
 }

@@ -890,6 +890,153 @@ object CurateOps {
       |    * 1e6 + 0.5) / 1e6 AS assortativity
       |FROM m""".stripMargin
 
+  // ═════════════════ formerly Round8cOps (consolidated round 10) ═════════════════
+
+  // --------------------------------------------------------------------------
+  // q299 — CURATION PIPELINE v2 (round-8 capstone, q100's modern twin):
+  // canonicalize (q84's regex pair) → exact-dedup keeping the min doc_id
+  // per canonical hash (q30) → DSIR importance selection against the
+  // English target (q279's hashed-bigram LMs, built over the DEDUPED
+  // corpus IN the same plan) → pack survivors into 512-token training
+  // blocks (q285's global offsets) — reported per source: raw/dedup/kept
+  // doc counts, kept and loss-masked token mass, and blocks touched. ONE
+  // lazy Catalyst plan end to end; every stage reuses a proven shape.
+  //
+  // Scale: dedup and DSIR are hash aggregates + broadcast log-ratio
+  // lookups; packing offsets ride the q169 two-pass bucketed prefix —
+  // linear, no corpus-sized window.
+  //
+  // Determinism: hashes/counts/interval arithmetic exact; DSIR weights
+  // are 1e-9-grid quantized longs (q279's rule).
+  def q299CurationV2(spark: SparkSession, dir: String): DataFrame = {
+    val canon = Tables.documents(spark, dir).select(
+      col("doc_id"), col("source"), col("lang"),
+      regexp_replace(
+        regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " ").as("tc"))
+    val keepIds = canon.groupBy(md5(col("tc")).as("h"))
+      .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
+    val dedup = canon.join(keepIds, Seq("doc_id"))
+    val toks = dedup.select(col("doc_id"), col("source"), col("lang"),
+      expr("filter(split(tc, ' '), t -> t != '')").as("t"))
+      .filter(size(col("t")) >= 2)
+    val bigrams = toks.select(col("doc_id"), col("source"), col("lang"),
+      explode(expr("zip_with(slice(t, 1, size(t) - 1), slice(t, 2, size(t) - 1)," +
+        " (a, b) -> concat(a, ' ', b))")).as("bg"))
+      .withColumn("b",
+        expr("cast(conv(substring(md5(bg), 1, 8), 16, 10) as bigint) % 1024"))
+    val tgt = bigrams.filter(col("lang") === "en")
+      .groupBy(col("b")).agg(count(lit(1)).as("ct"))
+    val srcC = bigrams.groupBy(col("b")).agg(count(lit(1)).as("cs"))
+    val tots = bigrams.agg(
+      count_if(col("lang") === "en").as("tot_t"), count(lit(1)).as("tot_s"))
+    val lr = srcC.join(tgt, Seq("b"), "left")
+      .na.fill(0L, Seq("ct"))
+      .crossJoin(broadcast(tots))
+      .withColumn("lr_q", expr(
+        "cast(floor(ln((ct + 1.0d) * (tot_s + 1024.0d) / ((cs + 1.0d) * (tot_t + 1024.0d)))" +
+          " * 1e9 + 0.5d) as long)"))
+      .select(col("b"), col("lr_q"))
+    val kept = bigrams.join(broadcast(lr), Seq("b"))
+      .groupBy(col("doc_id")).agg(sum(col("lr_q")).as("lw"))
+      .filter(col("lw") > 0)
+      .join(toks.select(col("doc_id"), col("source"),
+        size(col("t")).cast("long").as("len")), Seq("doc_id"))
+    // q285's two-pass offsets over the kept stream, then blocks touched
+    val mx = kept.agg(max(col("doc_id")).as("mx"))
+    val bucketed = kept.crossJoin(broadcast(mx))
+      .withColumn("bucket", expr("doc_id div (mx div 256 + 1)")).drop("mx")
+    val offs = bucketed.groupBy(col("bucket")).agg(sum(col("len")).as("btoks"))
+      .withColumn("boff",
+        coalesce(sum(col("btoks")).over(
+          Window.orderBy(col("bucket")).rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select(col("bucket"), col("boff"))
+    val wIn = Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val spans = bucketed.join(broadcast(offs), Seq("bucket"))
+      .withColumn("start", col("boff") + coalesce(sum(col("len")).over(wIn), lit(0L)))
+    val blocksTouched = spans
+      .select(col("source"),
+        explode(expr("sequence(start div 512, (start + len - 1) div 512)")).as("blk"))
+      .groupBy(col("source")).agg(countDistinct(col("blk")).as("n_blocks"))
+    val raw = canon.groupBy(col("source")).agg(count(lit(1)).as("n_raw"))
+    val dd = dedup.groupBy(col("source")).agg(count(lit(1)).as("n_dedup"))
+    val ks = kept.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"), sum(col("len")).as("tokens_kept"),
+        sum(col("len") - expr("(len + 3) div 4")).as("loss_tokens"))
+    raw.join(dd, Seq("source"), "left")
+      .join(ks, Seq("source"), "left")
+      .join(blocksTouched, Seq("source"), "left")
+      .select(col("source"), col("n_raw"),
+        coalesce(col("n_dedup"), lit(0L)).as("n_dedup"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("tokens_kept"), lit(0L)).as("tokens_kept"),
+        coalesce(col("loss_tokens"), lit(0L)).as("loss_tokens"),
+        coalesce(col("n_blocks"), lit(0L)).as("n_blocks"))
+      .orderBy(col("source"))
+  }
+
+  val q299Sql: String =
+    """WITH canon AS (
+      |  SELECT doc_id, source, lang,
+      |    regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+      |      ' +', ' ', 'g') AS tc
+      |  FROM documents),
+      |keep AS (SELECT MIN(doc_id) AS doc_id FROM canon GROUP BY md5(tc)),
+      |dedup AS (SELECT c.* FROM canon c JOIN keep USING (doc_id)),
+      |t2 AS (
+      |  SELECT doc_id, source, lang,
+      |    list_filter(string_split(tc, ' '), x -> x != '') AS t
+      |  FROM dedup
+      |  WHERE len(list_filter(string_split(tc, ' '), x -> x != '')) >= 2),
+      |bg AS (
+      |  SELECT doc_id, source, lang,
+      |    ('0x' || substr(md5(t[i] || ' ' || t[i+1]), 1, 8))::BIGINT % 1024 AS b
+      |  FROM t2, UNNEST(generate_series(1, len(t) - 1)) AS u(i)),
+      |ct AS (SELECT b, COUNT(*) AS ct FROM bg WHERE lang = 'en' GROUP BY b),
+      |cs AS (SELECT b, COUNT(*) AS cs FROM bg GROUP BY b),
+      |tot AS (SELECT
+      |  (SELECT COUNT(*) FROM bg WHERE lang = 'en') AS tot_t,
+      |  (SELECT COUNT(*) FROM bg) AS tot_s),
+      |lr AS (
+      |  SELECT cs.b,
+      |    CAST(FLOOR(ln((COALESCE(ct.ct, 0) + 1.0) * (tot_s + 1024.0)
+      |      / ((cs.cs + 1.0) * (tot_t + 1024.0))) * 1e9 + 0.5) AS BIGINT) AS lr_q
+      |  FROM cs LEFT JOIN ct ON ct.b = cs.b CROSS JOIN tot),
+      |sc AS (
+      |  SELECT doc_id, SUM(lr_q) AS lw
+      |  FROM bg JOIN lr ON lr.b = bg.b GROUP BY 1),
+      |kept AS (
+      |  SELECT t2.doc_id, t2.source, len(t2.t)::BIGINT AS len
+      |  FROM sc JOIN t2 ON t2.doc_id = sc.doc_id WHERE lw > 0),
+      |sp AS (
+      |  SELECT doc_id, source, len,
+      |    COALESCE(SUM(len) OVER (ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
+      |  FROM kept),
+      |blk AS (
+      |  SELECT source, blk
+      |  FROM (SELECT source, start, start + len AS e FROM sp),
+      |    UNNEST(generate_series(CAST(start // 512 AS BIGINT),
+      |      CAST((e - 1) // 512 AS BIGINT))) AS u(blk)),
+      |raw AS (SELECT source, COUNT(*) AS n_raw FROM canon GROUP BY 1),
+      |dd AS (SELECT source, COUNT(*) AS n_dedup FROM dedup GROUP BY 1),
+      |ks AS (
+      |  SELECT source, COUNT(*) AS n_kept, SUM(len) AS tokens_kept,
+      |    SUM(len - (len + 3) // 4) AS loss_tokens
+      |  FROM kept GROUP BY 1),
+      |bl AS (SELECT source, COUNT(DISTINCT blk) AS n_blocks FROM blk GROUP BY 1)
+      |SELECT raw.source, CAST(n_raw AS BIGINT) AS n_raw,
+      |  CAST(COALESCE(n_dedup, 0) AS BIGINT) AS n_dedup,
+      |  CAST(COALESCE(n_kept, 0) AS BIGINT) AS n_kept,
+      |  CAST(COALESCE(tokens_kept, 0) AS BIGINT) AS tokens_kept,
+      |  CAST(COALESCE(loss_tokens, 0) AS BIGINT) AS loss_tokens,
+      |  CAST(COALESCE(n_blocks, 0) AS BIGINT) AS n_blocks
+      |FROM raw LEFT JOIN dd USING (source) LEFT JOIN ks USING (source)
+      |LEFT JOIN bl USING (source)
+      |ORDER BY raw.source""".stripMargin
+
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q268_graph_aggregation", q268GraphAggregation _, Some(q268Sql)),
     ("q270_assortativity", q270Assortativity _, Some(q270Sql)),
@@ -903,5 +1050,7 @@ object CurateOps {
     ("q201_decay_profile", q201DecayProfile _, Some(q201Sql)),
     ("q202_l_diversity", q202LDiversity _, Some(q202Sql)),
     ("q203_curation_funnel", q203CurationFunnel _, Some(q203Sql)),
-    ("q204_zipf_fit", q204ZipfFit _, Some(q204Sql)))
+    ("q204_zipf_fit", q204ZipfFit _, Some(q204Sql)),
+    // formerly Round8cOps
+    ("q299_curation_v2", q299CurationV2 _, Some(q299Sql)))
 }

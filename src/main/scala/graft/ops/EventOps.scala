@@ -1031,6 +1031,100 @@ object EventOps {
       |FROM w JOIN p ON w.dow = p.dow
       |ORDER BY w.dow, hr""".stripMargin
 
+  // ═════════════════ formerly Round8Ops (consolidated round 10) ═════════════════
+
+  // --------------------------------------------------------------------------
+  // q282 — SEQUENCE-PATTERN MATCH WITH NEGATION (MATCH_RECOGNIZE-lite):
+  // per user, count purchases preceded by a view within 30 minutes with
+  // NO error event between that view and the purchase — the "A then B
+  // within T, unless C intervenes" shape funnels (q165) and transition
+  // counts (q132) cannot express, because the negation needs the
+  // BETWEEN-events condition.
+  //
+  // Scale: two running-max windows partitioned by user_id over the same
+  // (ts, event_id) order — one shuffle, row-local predicate after.
+  // Determinism: all comparisons on integer epoch-micros; same-instant
+  // view/error collisions resolve identically in both engines (strict <).
+  def q282PatternFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+        expr("unix_micros(ts)").as("us"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    ev
+      .withColumn("last_view_us",
+        max(when(col("event_type") === "view", col("us"))).over(w))
+      .withColumn("last_err_us",
+        max(when(col("event_type") === "error", col("us"))).over(w))
+      .filter(col("event_type") === "purchase" &&
+        col("last_view_us").isNotNull &&
+        col("last_view_us") >= col("us") - lit(1800000000L) &&
+        (col("last_err_us").isNull || col("last_err_us") < col("last_view_us")))
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n_matches"))
+      .orderBy(col("user_id"))
+  }
+
+  val q282Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, ts, event_id, event_type, epoch_us(ts) AS us
+      |  FROM events),
+      |m AS (
+      |  SELECT user_id, event_type, us,
+      |    MAX(CASE WHEN event_type = 'view' THEN us END) OVER w AS last_view_us,
+      |    MAX(CASE WHEN event_type = 'error' THEN us END) OVER w AS last_err_us
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+      |SELECT user_id, COUNT(*) AS n_matches
+      |FROM m
+      |WHERE event_type = 'purchase' AND last_view_us IS NOT NULL
+      |  AND last_view_us >= us - 1800000000
+      |  AND (last_err_us IS NULL OR last_err_us < last_view_us)
+      |GROUP BY user_id ORDER BY user_id""".stripMargin
+
+
+  // ═════════════════ formerly Round8cOps (consolidated round 10) ═════════════════
+
+  // --------------------------------------------------------------------------
+  // q294 — RATE-LIMIT AUDIT: per user, count events that exceed a
+  // 2-events-per-trailing-24h quota (RANGE frame on event time) — the
+  // throttling/abuse readout an API gateway logs, and the windowed-rate
+  // primitive q246's bot score approximates with fixed buckets. Emits
+  // per-user violation counts and the worst trailing-window burst. (The
+  // quota matches the synthetic feed's density — the operator is the
+  // RANGE-frame shape, the constant is config.)
+  //
+  // Scale: ONE range-frame window partitioned by user_id (a single
+  // shuffle); the frame is time-bounded so state per row is the 60-second
+  // slice, independent of history length. All cells exact integers.
+  def q294RateLimitAudit(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"))
+      .rangeBetween(-86400000000L, 0L)
+    Tables.events(spark, dir)
+      .select(col("user_id"), expr("unix_micros(ts)").as("us"))
+      .withColumn("in_window", count(lit(1)).over(w))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        count_if(col("in_window") > 2).as("n_violations"),
+        max(col("in_window")).as("worst_burst"))
+      .filter(col("n_violations") > 0)
+      .orderBy(col("user_id"))
+  }
+
+  val q294Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, epoch_us(ts) AS us FROM events),
+      |m AS (
+      |  SELECT user_id,
+      |    COUNT(*) OVER (PARTITION BY user_id ORDER BY us
+      |      RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW) AS in_window
+      |  FROM e)
+      |SELECT user_id, COUNT(*) AS n_events,
+      |  CAST(COUNT(*) FILTER (in_window > 2) AS BIGINT) AS n_violations,
+      |  CAST(MAX(in_window) AS BIGINT) AS worst_burst
+      |FROM m GROUP BY user_id HAVING COUNT(*) FILTER (in_window > 2) > 0
+      |ORDER BY user_id""".stripMargin
+
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q237_kaplan_meier", q237KaplanMeier _, Some(q237Sql)),
     ("q246_bot_score", q246BotScore _, Some(q246Sql)),
@@ -1048,5 +1142,8 @@ object EventOps {
     ("q144_attribution", q144Attribution _, Some(q144Sql)),
     ("q154_event_paths", q154EventPaths _, Some(q154Sql)),
     ("q162_seasonality", q162Seasonality _, Some(q162Sql)),
-    ("q165_session_funnel", q165SessionFunnel _, Some(q165Sql)))
+    ("q165_session_funnel", q165SessionFunnel _, Some(q165Sql)),
+    // formerly Round8Ops / Round8cOps
+    ("q282_pattern_funnel", q282PatternFunnel _, Some(q282Sql)),
+    ("q294_rate_limit_audit", q294RateLimitAudit _, Some(q294Sql)))
 }

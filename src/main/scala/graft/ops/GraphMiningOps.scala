@@ -1218,6 +1218,73 @@ object GraphMiningOps {
     ("q337_trade_homophily", q337TradeHomophily _, Some(q337Sql)),
     ("q338_span_corruption", q338SpanCorruption _, Some(q338Sql)))
 
+  // ═════════════════ formerly Round8bOps (consolidated round 10) ═════════════════
+
+  // --------------------------------------------------------------------------
+  // q288 — ITEM-ITEM COLLABORATIVE FILTERING (co-occurrence cosine):
+  // sim(i, j) = c_ij / √(c_i·c_j) over order baskets, top-3 neighbors
+  // per part — the "customers also bought" serving artifact. q198 scores
+  // PAIRS by lift; this materializes the per-item neighbor LIST a
+  // recommender serves.
+  //
+  // Scale: pair generation is within-basket (≤ 4 items per order → ≤ 6
+  // pairs, linear); the neighbor rank is a window PARTITIONED by item
+  // over its bounded candidate set. At 100 TB the same plan holds as
+  // long as basket size is bounded — the DIMSUM-style sampling twin is
+  // only needed for mega-baskets.
+  //
+  // Determinism: ranking and output are on the ppm-floor integer
+  // similarity (c_ij, c_i, c_j exact counts; one sqrt + divide + floor),
+  // tie-broken by neighbor id.
+  def q288ItemCf(spark: SparkSession, dir: String): DataFrame = {
+    val baskets = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("item")).distinct()
+    val ci = baskets.groupBy(col("item")).agg(count(lit(1)).as("c"))
+    val pairs = baskets.toDF("ok", "i")
+      .join(baskets.toDF("ok", "j"), Seq("ok"))
+      .filter(col("i") < col("j"))
+      .groupBy(col("i"), col("j")).agg(count(lit(1)).as("cij"))
+    val sym = pairs.select(col("i").as("item"), col("j").as("nbr"), col("cij"))
+      .unionByName(pairs.select(col("j").as("item"), col("i").as("nbr"), col("cij")))
+    val scored = sym
+      .join(ci.toDF("item", "c_item"), Seq("item"))
+      .join(ci.toDF("nbr", "c_nbr"), Seq("nbr"))
+      .withColumn("sim_ppm",
+        floor(col("cij").cast("double") /
+          sqrt((col("c_item") * col("c_nbr")).cast("double")) * 1e6 + 0.5))
+    val w = Window.partitionBy(col("item")).orderBy(col("sim_ppm").desc, col("nbr"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= 3)
+      .select(col("item"), col("rank"), col("nbr"), col("cij"), col("sim_ppm"))
+      .orderBy(col("item"), col("rank"))
+  }
+
+  val q288Sql: String =
+    """WITH b AS (
+      |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS item FROM lineitem),
+      |ci AS (SELECT item, COUNT(*) AS c FROM b GROUP BY item),
+      |p AS (
+      |  SELECT a.item AS i, b2.item AS j, COUNT(*) AS cij
+      |  FROM b a JOIN b b2 ON a.ok = b2.ok AND a.item < b2.item
+      |  GROUP BY 1, 2),
+      |sym AS (
+      |  SELECT i AS item, j AS nbr, cij FROM p
+      |  UNION ALL SELECT j, i, cij FROM p),
+      |sc AS (
+      |  SELECT sym.item, nbr, cij,
+      |    CAST(FLOOR(CAST(cij AS DOUBLE)
+      |      / sqrt(CAST(ca.c * cb.c AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS sim_ppm
+      |  FROM sym JOIN ci ca ON ca.item = sym.item JOIN ci cb ON cb.item = nbr),
+      |r AS (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY item
+      |    ORDER BY sim_ppm DESC, nbr) AS rank
+      |  FROM sc)
+      |SELECT item, CAST(rank AS INT) AS rank, nbr, cij, sim_ppm
+      |FROM r WHERE rank <= 3 ORDER BY item, rank""".stripMargin
+
+
+  private val catalogR8: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
+    ("q288_item_cf", q288ItemCf _, Some(q288Sql)))
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
-    catalogD ++ catalogG ++ catalogS ++ catalogV ++ catalogP
+    catalogD ++ catalogG ++ catalogS ++ catalogV ++ catalogP ++ catalogR8
 }

@@ -1679,6 +1679,155 @@ object InferenceTestOps {
     ("q373_cvm_test", q373Cvm _, Some(q373Sql)),
     ("q374_regression_to_mean", q374RegressionToMean _, Some(q374Sql)))
 
+  // ═════════════════ formerly Round8bOps (consolidated round 10) ═════════════════
+
+  // --------------------------------------------------------------------------
+  // q287 — GROUP-SEQUENTIAL EXPERIMENT MONITOR: split users into A/B by
+  // user_id parity, accumulate conversions (purchase events) and trials
+  // (all events) day by day, and emit the running two-proportion z with
+  // a |z| ≥ 2.5 crossing flag — the daily peeking readout an
+  // experimentation platform renders (the fixed 2.5 boundary is the
+  // O'Brien-Fleming-flavored guard against peeking inflation).
+  //
+  // Scale: one hash aggregate to the (day, variant) grid; all cumulative
+  // windows run over the BOUNDED calendar-day grid (q167's allowlisted
+  // class). Determinism: counts are exact; z is one sqrt + divides on
+  // them, floor-quantized to a 1e-6 grid before output.
+  def q287SequentialTest(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .select(to_date(col("ts")).as("day"), pmod(col("user_id"), lit(2)).as("v"),
+        (col("event_type") === "purchase").as("conv"))
+      .groupBy(col("day"), col("v"))
+      .agg(count(lit(1)).as("n"), count_if(col("conv")).as("x"))
+    val wc = Window.partitionBy(col("v")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = daily
+      .withColumn("cn", sum(col("n")).over(wc))
+      .withColumn("cx", sum(col("x")).over(wc))
+      .groupBy(col("day"))
+      .agg(max(when(col("v") === 0, col("cn"))).as("na"),
+        max(when(col("v") === 0, col("cx"))).as("xa"),
+        max(when(col("v") === 1, col("cn"))).as("nb"),
+        max(when(col("v") === 1, col("cx"))).as("xb"))
+      .filter(col("na").isNotNull && col("nb").isNotNull)
+    val z = cum
+      .withColumn("p", (col("xa") + col("xb")).cast("double") / (col("na") + col("nb")))
+      .withColumn("se", sqrt(col("p") * (lit(1.0) - col("p")) *
+        (lit(1.0) / col("na") + lit(1.0) / col("nb"))))
+      .withColumn("z_e6", when(col("se") > 0,
+        floor((col("xa").cast("double") / col("na") - col("xb").cast("double") / col("nb"))
+          / col("se") * 1e6 + 0.5)))
+      .withColumn("crossed", coalesce(abs(col("z_e6")) >= 2500000L, lit(false)))
+    z.select(col("day"), col("na"), col("xa"), col("nb"), col("xb"),
+        col("z_e6"), col("crossed"))
+      .orderBy(col("day"))
+  }
+
+  val q287Sql: String =
+    """WITH daily AS (
+      |  SELECT CAST(ts AS DATE) AS day, user_id % 2 AS v,
+      |    COUNT(*) AS n,
+      |    COUNT(*) FILTER (event_type = 'purchase') AS x
+      |  FROM events GROUP BY 1, 2),
+      |cum AS (
+      |  SELECT day, v,
+      |    SUM(n) OVER (PARTITION BY v ORDER BY day
+      |      ROWS UNBOUNDED PRECEDING) AS cn,
+      |    SUM(x) OVER (PARTITION BY v ORDER BY day
+      |      ROWS UNBOUNDED PRECEDING) AS cx
+      |  FROM daily),
+      |piv AS (
+      |  SELECT day,
+      |    MAX(CASE WHEN v = 0 THEN cn END) AS na,
+      |    MAX(CASE WHEN v = 0 THEN cx END) AS xa,
+      |    MAX(CASE WHEN v = 1 THEN cn END) AS nb,
+      |    MAX(CASE WHEN v = 1 THEN cx END) AS xb
+      |  FROM cum GROUP BY day),
+      |z AS (
+      |  SELECT day, na, xa, nb, xb,
+      |    CAST(xa + xb AS DOUBLE) / (na + nb) AS p,
+      |    sqrt((CAST(xa + xb AS DOUBLE) / (na + nb))
+      |      * (1.0 - CAST(xa + xb AS DOUBLE) / (na + nb))
+      |      * (1.0 / na + 1.0 / nb)) AS se
+      |  FROM piv WHERE na IS NOT NULL AND nb IS NOT NULL)
+      |SELECT day, CAST(na AS BIGINT) AS na, CAST(xa AS BIGINT) AS xa,
+      |  CAST(nb AS BIGINT) AS nb, CAST(xb AS BIGINT) AS xb,
+      |  CASE WHEN se > 0 THEN CAST(FLOOR((CAST(xa AS DOUBLE) / na
+      |    - CAST(xb AS DOUBLE) / nb) / se * 1e6 + 0.5) AS BIGINT) END AS z_e6,
+      |  COALESCE(ABS(CASE WHEN se > 0 THEN CAST(FLOOR((CAST(xa AS DOUBLE) / na
+      |    - CAST(xb AS DOUBLE) / nb) / se * 1e6 + 0.5) AS BIGINT) END)
+      |    >= 2500000, FALSE) AS crossed
+      |FROM z ORDER BY day""".stripMargin
+
+
+  // ═════════════════ formerly Round8cOps (consolidated round 10) ═════════════════
+
+  // --------------------------------------------------------------------------
+  // q295 — ONE-WAY ANOVA F-TEST across order priorities: does mean order
+  // value differ by priority class? F = (SSB/(k−1)) / (SSW/(N−k)) from
+  // exact sufficient statistics — completes the q118 (KS) / q261
+  // (Mann-Whitney) / q175 (moments) hypothesis-testing family with the
+  // k-group parametric test.
+  //
+  // Determinism (§8.4): per-group Σx rides as exact cent LONGs and Σx²
+  // as exact DECIMAL(38,0) cents² (money-grid inputs); each group's
+  // s²/n term is ONE double expression, summed in PINNED group order
+  // via the q273 sorted-fold rule; F ships floor-quantized at 1e-6.
+  //
+  // Scale: one hash aggregate to k rows, one broadcast total — nothing
+  // else touches the corpus.
+  def q295Anova(spark: SparkSession, dir: String): DataFrame = {
+    val dec0 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val g = Tables.orders(spark, dir)
+      .select(col("o_orderpriority").as("grp"),
+        expr("cast(floor(o_totalprice * 100 + 0.5d) as bigint)").as("c"))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n"), sum(col("c")).as("sc"),
+        sum((col("c").cast(dec0) * col("c"))).as("qc"))
+      .withColumn("term", (col("sc").cast("double") * col("sc").cast("double"))
+        / col("n"))
+    val tot = g.agg(sum(col("n")).as("nn"), sum(col("sc")).as("ssc"),
+      sum(col("qc")).cast(dec0).as("qqc"), count(lit(1)).as("k"),
+      expr("aggregate(sort_array(collect_list(struct(grp, term))), " +
+        "cast(0 as double), (a, x) -> a + x.term)").as("sb"))
+    tot
+      .withColumn("ssb", col("sb")
+        - col("ssc").cast("double") * col("ssc").cast("double") / col("nn"))
+      .withColumn("ssw", col("qqc").cast("double") - col("sb"))
+      .withColumn("f_e6", floor(
+        (col("ssb") / (col("k") - 1)) / (col("ssw") / (col("nn") - col("k")))
+          * 1e6 + 0.5))
+      .select(col("k").cast("int").as("k_groups"), col("nn").as("n_rows"),
+        col("f_e6").cast("long").as("f_e6"))
+  }
+
+  val q295Sql: String =
+    """WITH g AS (
+      |  SELECT o_orderpriority AS grp, COUNT(*) AS n,
+      |    SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS sc,
+      |    SUM(CAST(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS DECIMAL(38,0))
+      |      * CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS qc
+      |  FROM orders GROUP BY 1),
+      |t AS (
+      |  SELECT grp, n, sc, qc,
+      |    CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE) / n AS term
+      |  FROM g),
+      |tot AS (
+      |  SELECT SUM(n) AS nn, SUM(sc) AS ssc,
+      |    CAST(SUM(qc) AS DECIMAL(38,0)) AS qqc, COUNT(*) AS k,
+      |    list_reduce(list(term ORDER BY grp), (a, b) -> a + b) AS sb
+      |  FROM t)
+      |SELECT CAST(k AS INT) AS k_groups, CAST(nn AS BIGINT) AS n_rows,
+      |  CAST(FLOOR(((sb - CAST(ssc AS DOUBLE) * CAST(ssc AS DOUBLE) / nn) / (k - 1))
+      |    / ((CAST(qqc AS DOUBLE) - sb) / (nn - k))
+      |    * 1e6 + 0.5) AS BIGINT) AS f_e6
+      |FROM tot""".stripMargin
+
+
+  private val catalogR8: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
+    ("q287_sequential_test", q287SequentialTest _, Some(q287Sql)),
+    ("q295_anova", q295Anova _, Some(q295Sql)))
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
-    catalogR ++ catalogT ++ catalogU ++ catalogX ++ catalogY ++ catalogAa ++ catalogAb ++ catalogAd ++ catalogAf ++ catalogAh
+    catalogR ++ catalogT ++ catalogU ++ catalogX ++ catalogY ++ catalogAa ++ catalogAb ++ catalogAd ++ catalogAf ++ catalogAh ++ catalogR8
 }

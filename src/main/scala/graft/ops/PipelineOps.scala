@@ -1155,6 +1155,56 @@ object PipelineOps {
       |  CASE WHEN sa = 'a' THEN idb ELSE ida END AS dirty_key
       |FROM pairs ORDER BY clean_key, dirty_key""".stripMargin
 
+  // ═════════════════ formerly Round8Ops (consolidated round 10) ═════════════════
+
+  // --------------------------------------------------------------------------
+  // q283 — WEIGHTED RESERVOIR SAMPLE (Efraimidis–Spirakis A-ES): a
+  // deterministic 5-doc sample per source weighted by document length —
+  // priority ln(u)/w with u a per-doc md5 uniform; the top-5 priorities
+  // per group ARE the weighted sample without replacement. The one-pass,
+  // merge-friendly sampler a 100 TB curation pipeline uses where q127's
+  // stratified sampler needs unweighted strata.
+  //
+  // Scale: the rank runs through the q169 two-pass bucketed top-k
+  // (per-(source, doc_id mod 64) partial rank, then ≤320 survivors per
+  // source) — no per-source corpus-sized window task.
+  //
+  // Determinism: u is the md5-dyadic uniform (exact in both engines); the
+  // priority is one ln + one divide on bit-identical doubles; md5
+  // distinctness makes ties impossible; output is (source, rank, doc_id)
+  // — integers and strings only.
+  def q283WeightedReservoir(spark: SparkSession, dir: String): DataFrame = {
+    val u = (conv(substring(md5(concat(lit("wr:"), col("doc_id").cast("string"))), 1, 13),
+      16, 10).cast("long").cast("double") + 0.5) / lit(4503599627370496.0)
+    val pri = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        greatest(col("n_chars").cast("double"), lit(1.0)).as("w"))
+      .withColumn("pri", log(u) / col("w"))
+    val w1 = Window.partitionBy(col("source"), pmod(col("doc_id"), lit(64)))
+      .orderBy(col("pri").desc, col("doc_id"))
+    val w2 = Window.partitionBy(col("source"))
+      .orderBy(col("pri").desc, col("doc_id"))
+    pri.withColumn("r1", row_number().over(w1)).filter(col("r1") <= 5)
+      .withColumn("rank", row_number().over(w2)).filter(col("rank") <= 5)
+      .select(col("source"), col("rank"), col("doc_id"))
+      .orderBy(col("source"), col("rank"))
+  }
+
+  val q283Sql: String =
+    """WITH p AS (
+      |  SELECT doc_id, source,
+      |    ln((('0x' || substr(md5('wr:' || doc_id::VARCHAR), 1, 13))::BIGINT + 0.5)
+      |        / 4503599627370496.0)
+      |      / GREATEST(CAST(n_chars AS DOUBLE), 1.0) AS pri
+      |  FROM documents),
+      |r AS (
+      |  SELECT source, doc_id,
+      |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY pri DESC, doc_id) AS rank
+      |  FROM p)
+      |SELECT source, CAST(rank AS INT) AS rank, doc_id
+      |FROM r WHERE rank <= 5 ORDER BY source, rank""".stripMargin
+
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q272_sorted_neighborhood", q272SortedNeighborhood _, Some(q272Sql)),
     ("q106_decontaminate", q106Decontaminate _, Some(q106Sql)),
@@ -1174,5 +1224,7 @@ object PipelineOps {
     ("q121_record_linkage", q121RecordLinkage _, Some(q121Sql)),
     ("q159_group_split", q159GroupSplit _, Some(q159Sql)),
     ("q160_temporal_split", q160TemporalSplit _, Some(q160Sql)),
-    ("q161_label_balance", q161LabelBalance _, Some(q161Sql)))
+    ("q161_label_balance", q161LabelBalance _, Some(q161Sql)),
+    // formerly Round8Ops
+    ("q283_weighted_reservoir", q283WeightedReservoir _, Some(q283Sql)))
 }

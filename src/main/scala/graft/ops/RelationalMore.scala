@@ -2346,6 +2346,231 @@ object RelationalMore {
       .orderBy(col("o_custkey"), col("rn"))
   }
 
+  // ═════════════════ formerly Round8Ops (consolidated round 10) ═════════════════
+
+  // --------------------------------------------------------------------------
+  // q281 — SCD TYPE-2 DIMENSION HISTORY from a change log: collapse each
+  // user's event stream to value-CHANGE rows, then version them with
+  // [effective_from, effective_to) validity ranges and an is_current
+  // flag — the slowly-changing-dimension build every warehouse runs on
+  // top of CDC feeds (q200 captures the deltas; this materializes the
+  // queryable history).
+  //
+  // Scale: two windows partitioned by user_id (one shuffle, reused by
+  // both via the same partitioning) — no global ordering anywhere.
+  // Determinism: money rides as exact cents; ordering is the (ts,
+  // event_id) total order; validity bounds are integer epoch-micros.
+  def q281Scd2History(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        expr("cast(floor(value * 100 + 0.5d) as bigint)").as("cents"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val changes = ev
+      .withColumn("prev", lag(col("cents"), 1).over(w))
+      .filter(col("prev").isNull || col("prev") =!= col("cents"))
+    val wv = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    changes
+      .withColumn("version", row_number().over(wv))
+      .withColumn("eff_from_us", expr("unix_micros(ts)"))
+      .withColumn("eff_to_us", lead(expr("unix_micros(ts)"), 1).over(wv))
+      .select(col("user_id"), col("version"), col("cents"),
+        col("eff_from_us"), col("eff_to_us"),
+        col("eff_to_us").isNull.as("is_current"))
+      .orderBy(col("user_id"), col("version"))
+  }
+
+  val q281Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, ts, event_id,
+      |    CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+      |  FROM events),
+      |c AS (
+      |  SELECT *, LAG(cents) OVER w AS prev FROM e
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |f AS (SELECT user_id, ts, event_id, cents FROM c
+      |      WHERE prev IS NULL OR prev != cents),
+      |v AS (
+      |  SELECT user_id, cents,
+      |    CAST(ROW_NUMBER() OVER w AS INT) AS version,
+      |    epoch_us(ts) AS eff_from_us,
+      |    LEAD(epoch_us(ts)) OVER w AS eff_to_us
+      |  FROM f WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+      |SELECT user_id, version, cents, eff_from_us, eff_to_us,
+      |  eff_to_us IS NULL AS is_current
+      |FROM v ORDER BY user_id, version""".stripMargin
+
+
+  // ═════════════════ formerly Round8cOps (consolidated round 10) ═════════════════
+
+  // --------------------------------------------------------------------------
+  // q296 — AS-OF DIMENSION ENRICHMENT: join each purchase event to the
+  // SCD2 version (q281's history) that was CURRENT at event time —
+  // effective_from ≤ ts < effective_to — the "fact joined to the
+  // dimension as it looked then" semantics every warehouse needs the
+  // moment a dimension changes (joining today's attributes to last
+  // year's facts misattributes everything). Reports events per (user,
+  // version) with the version's exact cents value.
+  //
+  // Scale: equi-join on user_id with the validity range as a residual
+  // predicate — one co-partitioned shuffle; at most one version matches
+  // per event by construction (validity ranges partition time).
+  def q296AsofEnrich(spark: SparkSession, dir: String): DataFrame = {
+    val hist = q281ScdHistoryFor(spark, dir)
+    val facts = Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), expr("unix_micros(ts)").as("us"))
+    facts.join(hist, Seq("user_id"))
+      .filter(col("us") >= col("eff_from_us") &&
+        (col("eff_to_us").isNull || col("us") < col("eff_to_us")))
+      .groupBy(col("user_id"), col("version"), col("cents"))
+      .agg(count(lit(1)).as("n_events"))
+      .orderBy(col("user_id"), col("version"))
+  }
+
+  /** q281's SCD2 history, rebuilt here for the enrichment join. */
+  private def q281ScdHistoryFor(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        expr("cast(floor(value * 100 + 0.5d) as bigint)").as("cents"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val changes = ev
+      .withColumn("prev", lag(col("cents"), 1).over(w))
+      .filter(col("prev").isNull || col("prev") =!= col("cents"))
+    changes
+      .withColumn("version", row_number().over(w))
+      .withColumn("eff_from_us", expr("unix_micros(ts)"))
+      .withColumn("eff_to_us", lead(expr("unix_micros(ts)"), 1).over(w))
+      .select(col("user_id"), col("version"), col("cents"),
+        col("eff_from_us"), col("eff_to_us"))
+  }
+
+  val q296Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, ts, event_id,
+      |    CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+      |  FROM events),
+      |c AS (
+      |  SELECT *, LAG(cents) OVER w AS prev FROM e
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |f AS (SELECT user_id, ts, event_id, cents FROM c
+      |      WHERE prev IS NULL OR prev != cents),
+      |v AS (
+      |  SELECT user_id, cents,
+      |    CAST(ROW_NUMBER() OVER w AS INT) AS version,
+      |    epoch_us(ts) AS eff_from_us,
+      |    LEAD(epoch_us(ts)) OVER w AS eff_to_us
+      |  FROM f WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |fact AS (
+      |  SELECT user_id, epoch_us(ts) AS us FROM events
+      |  WHERE event_type = 'purchase')
+      |SELECT fact.user_id, version, cents, COUNT(*) AS n_events
+      |FROM fact JOIN v ON v.user_id = fact.user_id
+      |  AND us >= eff_from_us AND (eff_to_us IS NULL OR us < eff_to_us)
+      |GROUP BY 1, 2, 3 ORDER BY fact.user_id, version""".stripMargin
+
+  // --------------------------------------------------------------------------
+  // q297 — HIERARCHICAL SHARE-OF-PARENT: revenue by nation with each
+  // nation's exact ppm share of its region and each region's share of
+  // the total — the drill-down readout every BI rollup renders next to
+  // the raw numbers (q14's ROLLUP gives the totals; this gives the
+  // RATIOS, integer-exact).
+  //
+  // Scale: fact aggregate to |nations| rows, two broadcast dimension
+  // joins, shares on the bounded grid. Determinism: revenue rides as
+  // exact cents; shares are BIGINT ppm floor-divisions.
+  def q297ShareOfParent(spark: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey").as("nationkey"))
+      .agg(expr("cast(sum(cast(o_totalprice as decimal(18,2))) * 100 as bigint)")
+        .as("cents"))
+    val dim = Tables.nation(spark, dir)
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+      .join(Tables.region(spark, dir)
+        .select(col("r_regionkey"), col("r_name")),
+        col("n_regionkey") === col("r_regionkey"))
+    val wReg = Window.partitionBy(col("r_name"))
+    val total = rev.agg(sum(col("cents")).as("total_cents"))
+    rev.join(broadcast(dim), col("nationkey") === col("n_nationkey"))
+      .withColumn("region_cents", sum(col("cents")).over(wReg))
+      .crossJoin(broadcast(total))
+      .select(col("r_name").as("region"), col("n_name").as("nation"),
+        col("cents"),
+        expr("(1000000L * cents) div region_cents").as("share_of_region_ppm"),
+        expr("(1000000L * region_cents) div total_cents").as("region_share_ppm"))
+      .orderBy(col("region"), col("nation"))
+  }
+
+  val q297Sql: String =
+    """WITH rev AS (
+      |  SELECT c_nationkey AS nationkey,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  GROUP BY 1),
+      |j AS (
+      |  SELECT r_name AS region, n_name AS nation, cents
+      |  FROM rev
+      |  JOIN nation ON n_nationkey = nationkey
+      |  JOIN region ON r_regionkey = n_regionkey),
+      |w AS (
+      |  SELECT region, nation, cents,
+      |    SUM(cents) OVER (PARTITION BY region) AS region_cents,
+      |    SUM(cents) OVER () AS total_cents
+      |  FROM j)
+      |SELECT region, nation, cents,
+      |  CAST((1000000 * cents) // region_cents AS BIGINT) AS share_of_region_ppm,
+      |  CAST((1000000 * region_cents) // total_cents AS BIGINT) AS region_share_ppm
+      |FROM w ORDER BY region, nation""".stripMargin
+
+  // --------------------------------------------------------------------------
+  // q298 — EXACT PERCENTILE BANDS PER GROUP (nearest-rank P50/P90/P99):
+  // the SLA-style latency table, computed as exact order statistics —
+  // q28 pins the INTERPOLATED percentile parity, q130 builds equi-depth
+  // buckets; this reports the ceil(p·n)-th smallest exact value per
+  // group, the definition SLO dashboards quote.
+  //
+  // Scale: the corpus collapses to the (group, cent-value) grid in one
+  // aggregate; the cumulative scan is a window over the bounded VALUE
+  // domain partitioned by group — never a corpus-sized task.
+  // Determinism: everything is integer counts and exact cents; the
+  // nearest-rank pick is min value with cum ≥ ceil(p·n) via exact
+  // integer comparison (100·cum ≥ p·n avoids any float rank).
+  def q298PercentileBands(spark: SparkSession, dir: String): DataFrame = {
+    val grid = Tables.events(spark, dir)
+      .select(col("event_type"),
+        expr("cast(floor(value * 100 + 0.5d) as bigint)").as("c"))
+      .groupBy(col("event_type"), col("c")).agg(count(lit(1)).as("cnt"))
+    val wCum = Window.partitionBy(col("event_type")).orderBy(col("c"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = grid
+      .withColumn("cum", sum(col("cnt")).over(wCum))
+      .withColumn("n", sum(col("cnt")).over(Window.partitionBy(col("event_type"))))
+    def pick(p: Int) = min(when(col("cum") * 100 >= col("n") * p, col("c")))
+    cum.groupBy(col("event_type"))
+      .agg(max(col("n")).as("n"),
+        pick(50).as("p50_cents"), pick(90).as("p90_cents"), pick(99).as("p99_cents"))
+      .orderBy(col("event_type"))
+  }
+
+  val q298Sql: String =
+    """WITH g AS (
+      |  SELECT event_type, CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS c,
+      |    COUNT(*) AS cnt
+      |  FROM events GROUP BY 1, 2),
+      |m AS (
+      |  SELECT event_type, c, cnt,
+      |    SUM(cnt) OVER (PARTITION BY event_type ORDER BY c
+      |      ROWS UNBOUNDED PRECEDING) AS cum,
+      |    SUM(cnt) OVER (PARTITION BY event_type) AS n
+      |  FROM g)
+      |SELECT event_type, CAST(MAX(n) AS BIGINT) AS n,
+      |  CAST(MIN(CASE WHEN cum * 100 >= n * 50 THEN c END) AS BIGINT) AS p50_cents,
+      |  CAST(MIN(CASE WHEN cum * 100 >= n * 90 THEN c END) AS BIGINT) AS p90_cents,
+      |  CAST(MIN(CASE WHEN cum * 100 >= n * 99 THEN c END) AS BIGINT) AS p99_cents
+      |FROM m GROUP BY event_type ORDER BY event_type""".stripMargin
+
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q234_groupwise_ols", q234GroupwiseOls _, Some(q234Sql)),
     ("q236_gini", q236Gini _, Some(q236Sql)),
@@ -2391,5 +2616,10 @@ object RelationalMore {
     ("q94_forward_fill", q94ForwardFill _, Some(q94Sql)),
     ("q96_asof_custom", q96AsofCustom _, Some(Relational.q21Sql)),
     ("q101_string_agg", q101StringAgg _, Some(q101Sql)),
-    ("q102_mode", q102Mode _, Some(q102Sql)))
+    ("q102_mode", q102Mode _, Some(q102Sql)),
+    // formerly Round8Ops / Round8cOps
+    ("q281_scd2_history", q281Scd2History _, Some(q281Sql)),
+    ("q296_asof_enrich", q296AsofEnrich _, Some(q296Sql)),
+    ("q297_share_of_parent", q297ShareOfParent _, Some(q297Sql)),
+    ("q298_percentile_bands", q298PercentileBands _, Some(q298Sql)))
 }

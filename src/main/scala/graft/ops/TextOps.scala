@@ -1491,6 +1491,72 @@ object TextOps {
        |    AS novel_ppm
        |FROM cls GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ═════════════════ formerly Round8bOps (consolidated round 10) ═════════════════
+
+  // --------------------------------------------------------------------------
+  // q286 — TOPIC SEGMENTATION (TextTiling-style block comparison): slide
+  // a boundary down each document every 10 tokens and score it by the L1
+  // distance between the hashed-unigram histograms (64 md5 buckets) of
+  // the 20 tokens before vs after; boundaries scoring ≥ 30 (of the 40
+  // max) are topic shifts. The segmentation pass long-document pipelines
+  // run before chunking, so splits land at topic shifts instead of
+  // arbitrary offsets (q88's fixed windows).
+  //
+  // Scale: ROW-LOCAL — each token joins the ≤ 4 boundaries whose ±20
+  // window covers it (an equi-join on doc_id with a range predicate), so
+  // the fan-out is ≤ 4·tokens regardless of corpus size; aggregates are
+  // partitioned by (doc, boundary).
+  //
+  // Determinism: histogram counts and L1 are exact integers.
+  def q286TopicSegments(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), expr("filter(split(lower(text), ' '), t -> t != '')").as("t"))
+      .filter(size(col("t")) >= 40)
+    val tok = toks.select(col("doc_id"), posexplode(col("t")))
+      .select(col("doc_id"), (col("pos") + 1).as("i"),
+        expr("cast(conv(substring(md5(col), 1, 4), 16, 10) as bigint) % 64").as("bk"))
+    val bnd = toks.select(col("doc_id"),
+      explode(expr("sequence(20L, size(t) - 20L, 10L)")).as("p"))
+    val sides = bnd.join(tok, Seq("doc_id"))
+      .filter(col("i") > col("p") - 20 && col("i") <= col("p") + 20)
+      .groupBy(col("doc_id"), col("p"), col("bk"))
+      .agg(count_if(col("i") <= col("p")).as("cl"),
+        count_if(col("i") > col("p")).as("cr"))
+    val scored = sides.groupBy(col("doc_id"), col("p"))
+      .agg(sum(abs(col("cl") - col("cr"))).as("l1"))
+    scored.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_boundaries"),
+        count_if(col("l1") >= 30).as("n_splits"),
+        max(col("l1")).as("max_l1"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q286Sql: String =
+    """WITH t AS (
+      |  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x != '') AS t
+      |  FROM documents),
+      |t2 AS (SELECT * FROM t WHERE len(t) >= 40),
+      |tok AS (
+      |  SELECT doc_id, i,
+      |    ('0x' || substr(md5(t[i]), 1, 4))::BIGINT % 64 AS bk
+      |  FROM t2, UNNEST(generate_series(1, len(t))) AS u(i)),
+      |bnd AS (
+      |  SELECT doc_id, p
+      |  FROM t2, UNNEST(generate_series(20, len(t) - 20, 10)) AS v(p)),
+      |sides AS (
+      |  SELECT b.doc_id, b.p, tok.bk,
+      |    COUNT(*) FILTER (i <= p) AS cl,
+      |    COUNT(*) FILTER (i > p) AS cr
+      |  FROM bnd b JOIN tok ON tok.doc_id = b.doc_id
+      |    AND tok.i > b.p - 20 AND tok.i <= b.p + 20
+      |  GROUP BY 1, 2, 3),
+      |s AS (SELECT doc_id, p, SUM(ABS(cl - cr)) AS l1 FROM sides GROUP BY 1, 2)
+      |SELECT doc_id, COUNT(*) AS n_boundaries,
+      |  CAST(COUNT(*) FILTER (l1 >= 30) AS BIGINT) AS n_splits,
+      |  CAST(MAX(l1) AS BIGINT) AS max_l1
+      |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q412_cluster_census", q412ClusterCensus _, Some(q412Sql)),
     ("q414_threshold_sensitivity", q414ThresholdSensitivity _, Some(q414Sql)),
@@ -1520,5 +1586,7 @@ object TextOps {
     ("q35_quality", q35Quality _, Some(q35Sql)),
     ("q36_token_counts", q36TokenCounts _, Some(q36Sql)),
     ("q37_fingerprint", q37Fingerprint _, Some(q37Sql)),
-    ("q39_winnowing", q39Winnowing _, Some(q39Sql)))
+    ("q39_winnowing", q39Winnowing _, Some(q39Sql)),
+    // formerly Round8bOps
+    ("q286_topic_segments", q286TopicSegments _, Some(q286Sql)))
 }

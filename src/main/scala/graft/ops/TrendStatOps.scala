@@ -1206,6 +1206,163 @@ object TrendStatOps {
     ("q339_cross_correlation", q339CrossCorrelation _, Some(q339Sql)),
     ("q340_stationary_mix", q340StationaryMix _, Some(q340Sql)))
 
+  // ═════════════════ formerly Round8bOps (consolidated round 10) ═════════════════
+
+  // --------------------------------------------------------------------------
+  // q289 — EXPONENTIALLY-DECAYED TRENDING LEADERBOARD: top-10 parts by
+  // half-life-decayed purchase mass (weight 2^-(age_weeks), 7-day
+  // half-life) — the "trending now" ranking every storefront serves,
+  // where yesterday's purchase outweighs last month's 16×.
+  //
+  // Scale: weight derives row-locally from the order date (broadcast
+  // 1-row max-date); one hash aggregate per part; the global top-10 is
+  // orderBy+limit → TakeOrderedAndProject (per-partition heaps + driver
+  // merge of 10-row tips — never a global sort).
+  //
+  // Determinism (§8.4): ages bucket to whole weeks, so the weight is an
+  // EXACT power of two — score_e12 = Σ 10¹² div 2^min(k,40) is pure
+  // BIGINT arithmetic; ranking ties break on part id.
+  def q289TrendingDecay(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), to_date(col("o_orderdate")).as("od"))
+    val mx = o.agg(max(col("od")).as("mxd"))
+    Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_partkey"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .crossJoin(broadcast(mx))
+      .withColumn("k", expr("least(datediff(mxd, od) div 7, 40)").cast("int"))
+      .withColumn("w_e12", expr("1000000000000L div shiftleft(1L, k)"))
+      .groupBy(col("l_partkey"))
+      .agg(count(lit(1)).as("n_items"), sum(col("w_e12")).as("score_e12"))
+      .orderBy(col("score_e12").desc, col("l_partkey"))
+      .limit(10)
+  }
+
+  val q289Sql: String =
+    """WITH mx AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS mxd FROM orders),
+      |s AS (
+      |  SELECT l_partkey,
+      |    LEAST(DATE_DIFF('day', CAST(o_orderdate AS DATE), mxd) // 7, 40) AS k
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey CROSS JOIN mx)
+      |SELECT l_partkey, COUNT(*) AS n_items,
+      |  CAST(SUM(1000000000000 // CAST(POWER(2, k) AS BIGINT)) AS BIGINT)
+      |    AS score_e12
+      |FROM s GROUP BY 1 ORDER BY score_e12 DESC, l_partkey LIMIT 10""".stripMargin
+
+
+  // ═════════════════ formerly Round8cOps (consolidated round 10) ═════════════════
+
+  // --------------------------------------------------------------------------
+  // q292 — CHANGEPOINT DETECTION via BINARY SEGMENTATION: find the two
+  // best mean-shift changepoints in the daily-revenue series by
+  // maximizing Σ S_j²/W_j over segments (equivalent to minimizing SSE —
+  // q167's CUSUM flags drift against a fixed mean; this finds the
+  // OPTIMAL split days). Step 1 picks the best single split; step 2 adds
+  // the best second split given the first — textbook binseg.
+  //
+  // Scale: the corpus collapses to the bounded calendar-day grid (≤ 730
+  // rows) in one aggregate; all candidate scans are grid×grid joins —
+  // corpus-size-independent planning, exactly q266's DP discipline.
+  //
+  // Determinism (§8.4): revenue quantizes to exact hundred-kilodollar
+  // units (floor(cents/1e7) — S ≈ 2e5 at sf0.1, so the fixed-point
+  // objective (10⁴·S²) div W stays ≤ ~5e14, 4 orders of magnitude under
+  // 2⁶³ even at the 10× probe); argmax ties break on the smaller split
+  // index.
+  def q292ChangepointBinseg(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(spark, dir)
+      .groupBy(to_date(col("o_orderdate")).as("d"))
+      .agg(expr("cast(floor(sum(cast(o_totalprice as decimal(18,2))) * 100 / 1e7) as long)")
+        .as("x"))
+    val grid = daily.withColumn("i", row_number().over(Window.orderBy(col("d"))))
+    val wCum = Window.orderBy(col("i"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pre = grid.withColumn("cs", sum(col("x")).over(wCum))
+      .select(col("i"), col("d"), col("cs"))
+    val tot = pre.agg(max(col("i")).as("n"), max(col("cs")).as("stot"))
+    // v(seg) = (1e4·S²) div W ; candidates carry their prefix sums
+    val cand = pre.crossJoin(broadcast(tot)).filter(col("i") < col("n"))
+      .withColumn("v1", expr("(10000L * cs * cs) div i"))
+      .withColumn("v2", expr("(10000L * (stot - cs) * (stot - cs)) div (n - i)"))
+      .withColumn("gain", col("v1") + col("v2"))
+    val cp1 = cand
+      .agg(max(struct(col("gain"), (-col("i")).as("ni"))).as("m"))
+      .select((-col("m.ni")).as("s1"), col("m.gain").as("obj1"))
+    // step 2: for each s2 != s1 the three segments are cut at
+    // lo = min(s1, s2), hi = max(s1, s2)
+    val cuts = pre.select(col("i").as("ci"), col("cs").as("ccs"))
+    val cand2 = pre.crossJoin(broadcast(tot)).crossJoin(broadcast(cp1))
+      .filter(col("i") < col("n") && col("i") =!= col("s1"))
+      .withColumn("lo", least(col("i"), col("s1")))
+      .withColumn("hi", greatest(col("i"), col("s1")))
+      .join(cuts.withColumnRenamed("ci", "lo").withColumnRenamed("ccs", "cs_lo"), Seq("lo"))
+      .join(cuts.withColumnRenamed("ci", "hi").withColumnRenamed("ccs", "cs_hi"), Seq("hi"))
+      .withColumn("v1", expr("(10000L * cs_lo * cs_lo) div lo"))
+      .withColumn("v2", expr("(10000L * (cs_hi - cs_lo) * (cs_hi - cs_lo)) div (hi - lo)"))
+      .withColumn("v3", expr("(10000L * (stot - cs_hi) * (stot - cs_hi)) div (n - hi)"))
+      .withColumn("obj", col("v1") + col("v2") + col("v3"))
+    val cp2 = cand2
+      .agg(max(struct(col("obj"), (-col("i")).as("ni"))).as("m"))
+      .select((-col("m.ni")).as("s2"), col("m.obj").as("obj2"))
+    val steps = cp1.crossJoin(cp2)
+      .select(explode(array(
+        struct(lit(1).as("step"), col("s1").as("split_i"), col("obj1").as("objective_e4")),
+        struct(lit(2).as("step"), col("s2").as("split_i"), col("obj2").as("objective_e4"))))
+        .as("r"))
+      .select(col("r.step").as("step"), col("r.split_i").as("split_i"),
+        col("r.objective_e4").as("objective_e4"))
+    steps.join(pre.select(col("i").as("split_i"), col("d").as("split_day")), Seq("split_i"))
+      .select(col("step"), col("split_day"), col("objective_e4"))
+      .orderBy(col("step"))
+  }
+
+  val q292Sql: String =
+    """WITH daily AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS d,
+      |    CAST(FLOOR(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 / 1e7) AS BIGINT)
+      |      AS x
+      |  FROM orders GROUP BY 1),
+      |grid AS (SELECT d, x, ROW_NUMBER() OVER (ORDER BY d) AS i FROM daily),
+      |pre AS (
+      |  SELECT i, d,
+      |    SUM(x) OVER (ORDER BY i ROWS UNBOUNDED PRECEDING) AS cs
+      |  FROM grid),
+      |tot AS (SELECT MAX(i) AS n, MAX(cs) AS stot FROM pre),
+      |cand AS (
+      |  SELECT i,
+      |    (10000 * cs * cs) // i + (10000 * (stot - cs) * (stot - cs)) // (n - i)
+      |      AS gain
+      |  FROM pre CROSS JOIN tot WHERE i < n),
+      |cp1 AS (
+      |  SELECT i AS s1, gain AS obj1 FROM cand
+      |  ORDER BY gain DESC, i LIMIT 1),
+      |cand2 AS (
+      |  SELECT p.i,
+      |    (10000 * plo.cs * plo.cs) // LEAST(p.i, s1)
+      |    + (10000 * (phi.cs - plo.cs) * (phi.cs - plo.cs))
+      |      // (GREATEST(p.i, s1) - LEAST(p.i, s1))
+      |    + (10000 * (stot - phi.cs) * (stot - phi.cs)) // (n - GREATEST(p.i, s1))
+      |      AS obj
+      |  FROM pre p CROSS JOIN tot CROSS JOIN cp1
+      |  JOIN pre plo ON plo.i = LEAST(p.i, s1)
+      |  JOIN pre phi ON phi.i = GREATEST(p.i, s1)
+      |  WHERE p.i < n AND p.i != s1),
+      |cp2 AS (
+      |  SELECT i AS s2, obj AS obj2 FROM cand2
+      |  ORDER BY obj DESC, i LIMIT 1),
+      |steps AS (
+      |  SELECT 1 AS step, s1 AS split_i, CAST(obj1 AS BIGINT) AS objective_e4
+      |  FROM cp1
+      |  UNION ALL
+      |  SELECT 2, s2, CAST(obj2 AS BIGINT) FROM cp2)
+      |SELECT step, pre.d AS split_day, objective_e4
+      |FROM steps JOIN pre ON pre.i = steps.split_i
+      |ORDER BY step""".stripMargin
+
+
+  private val catalogR8: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
+    ("q289_trending_decay", q289TrendingDecay _, Some(q289Sql)),
+    ("q292_changepoint_binseg", q292ChangepointBinseg _, Some(q292Sql)))
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
-    catalogF ++ catalogH ++ catalogI ++ catalogN ++ catalogQ
+    catalogF ++ catalogH ++ catalogI ++ catalogN ++ catalogQ ++ catalogR8
 }

@@ -1215,6 +1215,112 @@ object VectorOps {
       |FROM own o JOIN riv r USING (vec_id)
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ═════════════════ formerly Round8Ops (consolidated round 10) ═════════════════
+
+  // --------------------------------------------------------------------------
+  // q280 — INT8 SCALAR QUANTIZATION + RECALL READOUT: unit-normalize,
+  // then symmetric TENSOR-WIDE int8 codes q = floor(x/amax·127 + 0.5)
+  // (the sq8 storage tier every vector store ships — 4× smaller than
+  // float32, cheaper than q205's PQ), then recall@10 of the int8×int8
+  // integer dot-product ranking against exact float cosine for 4 probe
+  // queries. The scale is ONE global amax on purpose: per-dimension
+  // affine codes cannot be dot-producted without per-dim dequantization
+  // (Σ q·q′ would weight every dimension by 1/scale_d² — a different
+  // metric, not a quantization error), while a single scale preserves
+  // the inner product up to one constant.
+  //
+  // Scale: the quantizer is a broadcast 1-row global amax; encoding is
+  // map-side; the eval ranks through the q169 two-pass bucketed top-k
+  // (per-(query, id mod 32) partial rank, then the ≤320 survivors), so no
+  // window ever sees a corpus-sized partition.
+  //
+  // Determinism: codes are floor-quantized integers from bit-identical
+  // doubles; the int8 ranking is exact integer arithmetic; the exact-
+  // cosine side ranks the same fixed-order-fold doubles both engines
+  // produce (q104's argument), tie-broken by vec_id; the output is an
+  // integer overlap count.
+  def q280Int8Quant(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.CosineSimilarity.register(spark)
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v"))
+    val unit = emb
+      .withColumn("nrm", expr("sqrt(aggregate(v, 0d, (a, x) -> a + x * x))"))
+      .select(col("vec_id"), expr("transform(v, x -> x / nrm)").as("vn"))
+    val amax = unit
+      .agg(max(expr("aggregate(vn, 0d, (a, x) -> greatest(a, abs(x)))")).as("amax"))
+    // codes stay row-local arrays; the int8 score is a per-pair integer
+    // zip_with fold (order-free under integer addition — same value the
+    // per-dimension join shape computes, at 4n rows instead of 64·4n)
+    val codes = unit.crossJoin(broadcast(amax))
+      .select(col("vec_id"),
+        expr("transform(vn, x -> cast(floor(x / amax * 127.0d + 0.5d) as bigint))")
+          .as("qa"))
+    val qq = codes.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("qid"), col("qa").as("qb"))
+    val s8 = codes.crossJoin(broadcast(qq))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        expr("aggregate(zip_with(qa, qb, (a, b) -> a * b), 0L, (acc, x) -> acc + x)")
+          .as("score"))
+    val qvec = emb.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("qid"), col("v").as("qvec"))
+    val ex = emb.crossJoin(broadcast(qvec))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"), expr("cosine_sim(v, qvec)").as("score"))
+    def top10(df: DataFrame): DataFrame = {
+      val w1 = Window.partitionBy(col("qid"), pmod(col("vec_id"), lit(32)))
+        .orderBy(col("score").desc, col("vec_id"))
+      val w2 = Window.partitionBy(col("qid"))
+        .orderBy(col("score").desc, col("vec_id"))
+      df.withColumn("r1", row_number().over(w1)).filter(col("r1") <= 10)
+        .withColumn("r", row_number().over(w2)).filter(col("r") <= 10)
+        .select(col("qid"), col("vec_id"))
+    }
+    top10(ex).join(top10(s8), Seq("qid", "vec_id"))
+      .groupBy(col("qid")).agg(count(lit(1)).as("n_overlap_at10"))
+      .orderBy(col("qid"))
+  }
+
+  val q280Sql: String =
+    """WITH base AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS v,
+      |    list_reduce(list_transform(embedding::DOUBLE[], x -> x * x),
+      |      (a, b) -> a + b) AS n2
+      |  FROM embeddings),
+      |dims AS (
+      |  SELECT vec_id, i - 1 AS d, v[i] / sqrt(n2) AS x
+      |  FROM base, UNNEST(generate_series(1, len(v))) AS u(i)),
+      |am AS (SELECT MAX(ABS(x)) AS amax FROM dims),
+      |q8 AS (
+      |  SELECT vec_id, d,
+      |    CAST(FLOOR(x / amax * 127.0 + 0.5) AS BIGINT) AS q
+      |  FROM dims CROSS JOIN am),
+      |qq AS (SELECT vec_id AS qid, d, q AS qv FROM q8 WHERE vec_id < 4),
+      |s8 AS (
+      |  SELECT qid, q8.vec_id, SUM(q8.q * qv) AS score
+      |  FROM q8 JOIN qq ON qq.d = q8.d AND q8.vec_id != qid
+      |  GROUP BY 1, 2),
+      |r8 AS (
+      |  SELECT qid, vec_id,
+      |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS r
+      |  FROM s8),
+      |ex AS (
+      |  SELECT q.vec_id AS qid, b.vec_id,
+      |    list_reduce(list_transform(range(1, 65), i -> b.v[i] * q.v[i]),
+      |      (x, y) -> x + y) / sqrt(b.n2 * q.n2) AS score
+      |  FROM base b CROSS JOIN (SELECT * FROM base WHERE vec_id < 4) q
+      |  WHERE b.vec_id != q.vec_id),
+      |rex AS (
+      |  SELECT qid, vec_id,
+      |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS r
+      |  FROM ex)
+      |SELECT rex.qid, CAST(COUNT(*) AS BIGINT) AS n_overlap_at10
+      |FROM rex JOIN r8 ON r8.qid = rex.qid AND r8.vec_id = rex.vec_id
+      |  AND r8.r <= 10
+      |WHERE rex.r <= 10
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q40_cosine_topk", q40CosineTopk _, Some(q40Sql)),
     ("q248_silhouette", q248Silhouette _, Some(q248Sql)),
@@ -1239,5 +1345,7 @@ object VectorOps {
     // is O(n²), so it has no place in the default query surface.
     ("q104_cosine_neardup_lsh", q104CosineNearDupLsh _, Some(q104Sql)),
     ("q116_contrastive_pairs", q116ContrastivePairs _, Some(q116Sql)),
-    ("q411_label_margin", q411LabelMargin _, Some(q411Sql)))
+    ("q411_label_margin", q411LabelMargin _, Some(q411Sql)),
+    // formerly Round8Ops
+    ("q280_int8_quant", q280Int8Quant _, Some(q280Sql)))
 }

@@ -9,8 +9,7 @@ class CatalogCountSpec extends AnyFunSuite {
       ops.VectorOps.catalog, ops.SeriesOps.catalog, ops.EncodeOps.catalog,
       ops.PrepOps.catalog, ops.TokenizerOps.catalog, ops.CurateOps.catalog,
       ops.RagOps.catalog, ops.PipelineOps.catalog, ops.Skew.catalog,
-      ops.Metrics.catalog, ops.SpatialOps.catalog, ops.Round8Ops.catalog,
-      ops.Round8bOps.catalog, ops.Round8cOps.catalog,
+      ops.Metrics.catalog, ops.SpatialOps.catalog,
       ops.GraphMiningOps.catalog, ops.CorpusStatOps.catalog,
       ops.TrendStatOps.catalog, ops.EvalReplayOps.catalog,
       ops.InferenceTestOps.catalog, ops.CapacityAuditOps.catalog,

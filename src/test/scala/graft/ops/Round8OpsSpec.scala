@@ -32,7 +32,7 @@ class Round8OpsSpec extends SparkSpec {
     docs.toDF("doc_id", "text", "lang", "source")
       .withColumn("n_chars", length(col("text")))
       .coalesce(1).write.parquet(s"$d/documents.parquet")
-    val got = Round8Ops.q279DsirWeighting(spark, d).collect()
+    val got = CorpusStatOps.q279DsirWeighting(spark, d).collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
     assert(got.size === 6)
     val (_, enW, enKeep) = got(1L)
@@ -47,7 +47,7 @@ class Round8OpsSpec extends SparkSpec {
   }
 
   test("q280 int8 sq8 recall@10 is near-exact on the driver corpus") {
-    val rows = Round8Ops.q280Int8Quant(spark, "/root/testdata/sf0.001").collect()
+    val rows = VectorOps.q280Int8Quant(spark, "/root/testdata/sf0.001").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(rows.keySet === Set(0L, 1L, 2L, 3L))
     // symmetric tensor-wide int8 preserves the inner product up to one
@@ -63,14 +63,14 @@ class Round8OpsSpec extends SparkSpec {
       (2L, t(5), 7L, "view", 1.0, "{}"),     // same value: no new version
       (3L, t(10), 7L, "view", 2.0, "{}"),    // change -> v2
       (4L, t(20), 7L, "view", 1.0, "{}")))   // change back -> v3
-    val got = Round8Ops.q281Scd2History(spark, d).collect()
+    val got = RelationalMore.q281Scd2History(spark, d).collect()
       .map(r => (r.getInt(1), r.getLong(2), r.isNullAt(4), r.getBoolean(5)))
     assert(got.toSeq === Seq(
       (1, 100L, false, false),
       (2, 200L, false, false),
       (3, 100L, true, true)))
     // validity ranges chain: v1 ends where v2 begins
-    val rows = Round8Ops.q281Scd2History(spark, d).collect()
+    val rows = RelationalMore.q281Scd2History(spark, d).collect()
     assert(rows(0).getLong(4) === rows(1).getLong(3))
     assert(rows(1).getLong(4) === rows(2).getLong(3))
   }
@@ -92,14 +92,14 @@ class Round8OpsSpec extends SparkSpec {
       (8L, t(0), 4L, "error", 1.0, "{}"),
       (9L, t(5), 4L, "view", 1.0, "{}"),
       (10L, t(10), 4L, "purchase", 1.0, "{}")))
-    val got = Round8Ops.q282PatternFunnel(spark, d).collect()
+    val got = EventOps.q282PatternFunnel(spark, d).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got === Map(1L -> 1L, 4L -> 1L))
   }
 
   test("q283 weighted reservoir: 5 ranked distinct docs per source, deterministic") {
     val dir = "/root/testdata/sf0.001"
-    val got = Round8Ops.q283WeightedReservoir(spark, dir).collect()
+    val got = PipelineOps.q283WeightedReservoir(spark, dir).collect()
       .map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
     val bySource = got.groupBy(_._1)
     val sourceSizes = graft.Tables.documents(spark, dir)
@@ -111,7 +111,7 @@ class Round8OpsSpec extends SparkSpec {
       assert(rows.map(_._3).distinct.length === rows.length)
     }
     // fully deterministic: a second run reproduces the sample exactly
-    val again = Round8Ops.q283WeightedReservoir(spark, dir).collect()
+    val again = PipelineOps.q283WeightedReservoir(spark, dir).collect()
       .map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
     assert(again.toSeq === got.toSeq)
   }
@@ -125,7 +125,7 @@ class Round8OpsSpec extends SparkSpec {
     val docs = (1L to 40L).map(i => (i, "light", "s0", 1)) :+ (99L, "heavy", "s0", 1000000000)
     docs.toDF("doc_id", "text", "source", "n_chars")
       .coalesce(1).write.parquet(s"$d/documents.parquet")
-    val top = Round8Ops.q283WeightedReservoir(spark, d).collect()
+    val top = PipelineOps.q283WeightedReservoir(spark, d).collect()
       .filter(_.getInt(1) === 1).map(_.getLong(2))
     assert(top.toSeq === Seq(99L))
   }

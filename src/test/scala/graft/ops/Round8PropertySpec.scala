@@ -29,7 +29,7 @@ class Round8PropertySpec extends SparkSpec {
       lens <- Gen.listOfN(n, Gen.choose(1, 1200))
     } yield lens
     val prop = Prop.forAll(lensGen) { lens =>
-      val got = Round8bOps.q285PackedBlocks(spark, writeDocs(lens)).collect()
+      val got = CorpusOps.q285PackedBlocks(spark, writeDocs(lens)).collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
       val total = lens.map(_.toLong).sum
       val lossTotal = lens.map(l => l.toLong - (l + 3) / 4).sum
@@ -83,7 +83,7 @@ class Round8PropertySpec extends SparkSpec {
         "l_quantity", "l_extendedprice", "l_discount", "l_tax",
         "l_returnflag", "l_linestatus", "l_shipdate")
         .coalesce(1).write.parquet(s"$d/lineitem.parquet")
-      val got = Round8bOps.q288ItemCf(spark, d).collect()
+      val got = GraphMiningOps.q288ItemCf(spark, d).collect()
         .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4)))
         .toSeq
       got == refCf(baskets)
@@ -126,7 +126,7 @@ class Round8PropertySpec extends SparkSpec {
       }.toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
         "o_orderdate", "o_orderpriority")
         .coalesce(1).write.parquet(s"$d/orders.parquet")
-      val got = Round8cOps.q292ChangepointBinseg(spark, d).collect()
+      val got = TrendStatOps.q292ChangepointBinseg(spark, d).collect()
         .map(r => (r.getDate(1).toString, r.getLong(2)))
       val ref = refBinseg(xs).map { case (s, o) => (f"2024-01-$s%02d", o) }
       got.toSeq == ref
@@ -144,7 +144,7 @@ class Round8PropertySpec extends SparkSpec {
     val d1 = Files.createTempDirectory("graft_r8p_wr1").toString
     val d5 = Files.createTempDirectory("graft_r8p_wr5").toString
     write(d1, 1); write(d5, 5)
-    def run(d: String) = Round8Ops.q283WeightedReservoir(spark, d).collect()
+    def run(d: String) = PipelineOps.q283WeightedReservoir(spark, d).collect()
       .map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSeq
     assert(run(d1) === run(d5))
   }

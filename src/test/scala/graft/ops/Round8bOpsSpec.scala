@@ -27,7 +27,7 @@ class Round8bOpsSpec extends SparkSpec {
       (1L, Seq.fill(600)("w").mkString(" ")),
       (2L, Seq.fill(300)("w").mkString(" ")),
       (3L, Seq.fill(200)("w").mkString(" "))))
-    val got = Round8bOps.q285PackedBlocks(spark, d).collect()
+    val got = CorpusOps.q285PackedBlocks(spark, d).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
     // block 0: doc1 only, loss span [150,600) clipped to [0,512) = 362
     // block 1: doc1 tail 88 (all loss) + doc2 300 (loss 225) + doc3 head
@@ -46,7 +46,7 @@ class Round8bOpsSpec extends SparkSpec {
     val d = docsDir(Seq(
       (1L, (Seq.fill(20)("aaa") ++ Seq.fill(20)("bbb")).mkString(" ")),
       (2L, Seq.fill(40)("ccc").mkString(" "))))
-    val got = Round8bOps.q286TopicSegments(spark, d).collect()
+    val got = TextOps.q286TopicSegments(spark, d).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     assert(got.toSeq === Seq((1L, 1L, 1L, 40L), (2L, 1L, 0L, 0L)))
   }
@@ -65,7 +65,7 @@ class Round8bOpsSpec extends SparkSpec {
       (1 to 10).map { k => id += 1; (id, t(2, k), 1L, if (k <= 5) "purchase" else "view", 1.0, "{}") }
     rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
       .coalesce(1).write.parquet(s"$d/events.parquet")
-    val got = Round8bOps.q287SequentialTest(spark, d).collect()
+    val got = InferenceTestOps.q287SequentialTest(spark, d).collect()
       .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
         r.getLong(5), r.getBoolean(6)))
     val z1 = math.floor((0.5 - 0.0) /
@@ -82,9 +82,13 @@ class Round8bOpsSpec extends SparkSpec {
     Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "s")
       .repartition(3)
       .write.format("graft-sink").option("path", out).mode("append").save()
-    // manifest exists and lists the published parts; staging is gone
+    // manifest exists and lists the published parts; this job's staging
+    // subtree is gone (the shared _staging parent may remain, but EMPTY —
+    // deleting it would race a concurrent job's mkdir, round-9 advice)
     assert(new java.io.File(s"$out/_SUCCESS").exists())
-    assert(!new java.io.File(s"$out/_staging").exists())
+    val stagingLeft = Option(new java.io.File(s"$out/_staging").listFiles())
+      .map(_.toSeq).getOrElse(Nil)
+    assert(stagingLeft.isEmpty, s"staging not cleaned: $stagingLeft")
     val back = spark.read.schema("k LONG, s STRING").option("sep", "|")
       .csv(s"$out/*.part.csv").collect()
       .map(r => (r.getLong(0), r.getString(1))).sorted
@@ -112,7 +116,8 @@ class Round8bOpsSpec extends SparkSpec {
       .csv(listed.map(n => s"$out/$n").toIndexedSeq: _*).collect()
       .map(r => (r.getLong(0), r.getString(1))).sorted
     assert(back.toSeq === Seq((2L, "b"), (3L, "c")))
-    assert(!new java.io.File(s"$out/_staging").exists())
+    assert(Option(new java.io.File(s"$out/_staging").listFiles())
+      .map(_.toSeq).getOrElse(Nil).isEmpty) // job subtrees cleaned; empty parent OK
   }
 
   test("q290 sink abort: a poisoned job publishes nothing") {
@@ -125,8 +130,11 @@ class Round8bOpsSpec extends SparkSpec {
     intercept[Exception] {
       df.write.format("graft-sink").option("path", out).mode("append").save()
     }
-    // no published parts, no manifest, staging cleaned by job abort
+    // no published parts, no manifest; abort cleans this job's staging
+    // subtree (the empty shared _staging parent is the one allowed leftover)
     val left = Option(new java.io.File(out).listFiles()).map(_.toSeq).getOrElse(Nil)
+      .filterNot(f => f.getName == "_staging" &&
+        Option(f.listFiles()).map(_.isEmpty).getOrElse(true))
     assert(left.isEmpty, s"abort left behind: ${left.mkString(",")}")
   }
 
@@ -145,7 +153,7 @@ class Round8bOpsSpec extends SparkSpec {
       "l_quantity", "l_extendedprice", "l_discount", "l_tax",
       "l_returnflag", "l_linestatus", "l_shipdate")
       .coalesce(1).write.parquet(s"$d/lineitem.parquet")
-    val got = Round8bOps.q288ItemCf(spark, d).collect()
+    val got = GraphMiningOps.q288ItemCf(spark, d).collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4)))
     // sim(a,b) = 3/sqrt(3*3) = 1.0; sim(a,c) = 1/sqrt(3) = 0.577350;
     // sim(b,c) identical

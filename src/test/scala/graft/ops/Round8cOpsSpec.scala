@@ -24,7 +24,7 @@ class Round8cOpsSpec extends SparkSpec {
       (1L, 10L, "O", 1.00, "2024-01-01", "1-URGENT"),
       (2L, 10L, "F", 2.50, "2024-01-01", "1-URGENT"),
       (3L, 20L, "O", 10.00, "2024-01-01", "5-LOW")))
-    val got = Round8cOps.q291DataProfile(spark, d).collect()
+    val got = CapacityAuditOps.q291DataProfile(spark, d).collect()
       .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
         r.getString(4), r.getString(5), r.getLong(6)))).toMap
     // statuses: O,F,O -> 2 distinct, min "F", max "O", 3 chars total
@@ -45,7 +45,7 @@ class Round8cOpsSpec extends SparkSpec {
       (day.toLong, 1L, "O", rev, f"2024-01-$day%02d", "1-URGENT")
     }
     val d = ordersDir(rows)
-    val got = Round8cOps.q292ChangepointBinseg(spark, d).collect()
+    val got = TrendStatOps.q292ChangepointBinseg(spark, d).collect()
       .map(r => (r.getInt(0), r.getDate(1).toString))
     // x = floor(cents/1e5): 1000000.00 -> 1000 kilodollars; 10.00 -> 0.
     // Step 1 must split at one edge of the plateau (day 10 or 20); step 2
@@ -68,7 +68,7 @@ class Round8cOpsSpec extends SparkSpec {
       .map { case (id, ts, u) => (id, ts, u, "view", 1.0, "{}") }
     rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
       .coalesce(1).write.parquet(s"$d/events.parquet")
-    val got = Round8cOps.q294RateLimitAudit(spark, d).collect()
+    val got = EventOps.q294RateLimitAudit(spark, d).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     assert(got.toSeq === Seq((1L, 3L, 1L, 3L)))
   }
@@ -84,7 +84,7 @@ class Round8cOpsSpec extends SparkSpec {
       (5L, 1L, "O", 12.00, "2024-01-01", "5-LOW"),
       (6L, 1L, "O", 13.00, "2024-01-01", "5-LOW"))
     val d = ordersDir(rows)
-    val r = Round8cOps.q295Anova(spark, d).collect().head
+    val r = InferenceTestOps.q295Anova(spark, d).collect().head
     assert(r.getInt(0) === 2)
     assert(r.getLong(1) === 6L)
     assert(r.getLong(2) === 150000000L)
@@ -101,7 +101,7 @@ class Round8cOpsSpec extends SparkSpec {
       (4L, t("11:30"), 1L, "purchase", 2.0, "{}"))
     rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
       .coalesce(1).write.parquet(s"$d/events.parquet")
-    val got = Round8cOps.q296AsofEnrich(spark, d).collect()
+    val got = RelationalMore.q296AsofEnrich(spark, d).collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
     assert(got.toSeq === Seq((1L, 1, 100L, 1L), (1L, 2, 200L, 1L)))
   }
@@ -123,7 +123,7 @@ class Round8cOpsSpec extends SparkSpec {
       .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
         "o_orderdate", "o_orderpriority")
       .coalesce(1).write.parquet(s"$d/orders.parquet")
-    val got = Round8cOps.q297ShareOfParent(spark, d).collect()
+    val got = RelationalMore.q297ShareOfParent(spark, d).collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
     // AMERICA holds 100+300 of 1000 cents; ASIA 600
     assert(got.toSeq === Seq(
@@ -144,7 +144,7 @@ class Round8cOpsSpec extends SparkSpec {
     }
     rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
       .coalesce(1).write.parquet(s"$d/events.parquet")
-    val r = Round8cOps.q298PercentileBands(spark, d).collect().head
+    val r = RelationalMore.q298PercentileBands(spark, d).collect().head
     assert((r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
       === (("view", 10L, 100L, 200L, 10000L)))
   }
@@ -162,7 +162,7 @@ class Round8cOpsSpec extends SparkSpec {
       .toDF("doc_id", "text", "lang", "source")
       .withColumn("n_chars", length(col("text")))
       .coalesce(1).write.parquet(s"$d/documents.parquet")
-    val r = Round8cOps.q299CurationV2(spark, d).collect()
+    val r = CurateOps.q299CurationV2(spark, d).collect()
       .map(x => (x.getString(0), x.getLong(1), x.getLong(2), x.getLong(3),
         x.getLong(4), x.getLong(5), x.getLong(6)))
     // kept = docs 1 (60 toks) + 3 (40 toks) = 100 tokens -> 1 block;
@@ -177,7 +177,7 @@ class Round8cOpsSpec extends SparkSpec {
       (k, k, if (k % 2 == 0) "O" else "F", 1.00, "2024-01-01", "1-URGENT")
     }
     val d = ordersDir(rows)
-    val got = Round8cOps.q293EncodingAdvisor(spark, d).collect()
+    val got = CapacityAuditOps.q293EncodingAdvisor(spark, d).collect()
       .map(r => r.getString(0) -> ((r.getLong(2), r.getString(5)))).toMap
     assert(got("o_orderstatus") === ((2L, "DICT")))
     assert(got("o_orderpriority")._2 === "DICT")
