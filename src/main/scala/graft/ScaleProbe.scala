@@ -433,7 +433,10 @@ object ScaleProbe {
       // scaled corpus whose token vocab does NOT grow — the real sf0.1
       // table's saturated-gram-space shape, where inverted-index pair
       // mass is inherently ∝ n² (corpus semantics, not join shape)
-      if (!filtered || only("q176_degenerate") || only("q183_degenerate")) {
+      val degNames = Seq("q176_degenerate", "q176_degenerate_capped",
+        "q183_degenerate", "q31_degenerate", "q31_degenerate_capped",
+        "q415_degenerate_capped")
+      if (!filtered || degNames.exists(only)) {
         val dDeg = java.nio.file.Paths.get("target", "tmp", s"scaleprobe_deg_x$m")
           .toAbsolutePath.toString
         genDocumentsDegenerate(spark, dDeg, m)
@@ -449,6 +452,15 @@ object ScaleProbe {
           SparkEntry.queries("q176_containment")(spark, dDeg).count())
         extra("q183_degenerate")(
           SparkEntry.queries("q183_bpe_train")(spark, dDeg).count())
+        // round-10 (verdict task 1): q31 inherits q176's guard — measure
+        // the same exact-vs-capped twin pair on the saturated axis, plus
+        // the incremental-ingest consumer that rides the same index
+        extra("q31_degenerate")(
+          ops.TextOps.q31NgramJaccardExact(spark, dDeg).count())
+        extra("q31_degenerate_capped")(
+          SparkEntry.queries("q31_ngram_jaccard")(spark, dDeg).count())
+        extra("q415_degenerate_capped")(
+          SparkEntry.queries("q415_incremental_dedup")(spark, dDeg).count())
       }
     }
     spark.stop()

@@ -61,4 +61,40 @@ class OracleTypeLintSpec extends AnyFunSuite {
     assert(out.contains("q999_planted_hugeint") && out.contains("HUGEINT"), out)
     assert(!out.contains("q998_planted_cast:"), out)
   }
+
+  test("the RUNTIME dtype-class compare fires on a planted float64-vs-int64 pair") {
+    // the --typelint drill above proves the BIND-time net; this drill
+    // proves the second net — the per-column dtype-class compare in the
+    // main selfcheck loop — also fires, on exactly the pair the %.6g
+    // value canon collides: spark int64(82) vs oracle float64(82.0) hash
+    // IDENTICALLY, so only the dtype compare can catch the drift
+    // (round-9 verdict optional-hardening task).
+    assume(havePythonDuckdb, "driver-side python3+duckdb not available")
+    val outDir = Files.createTempDirectory("graft_drift")
+    Files.createDirectory(outDir.resolve("q997_planted_drift"))
+    Files.createDirectory(outDir.resolve("q996_planted_control"))
+    // stage the "Spark results" (both int64) via driver-side duckdb
+    val stage =
+      s"""import duckdb
+         |con = duckdb.connect()
+         |con.execute("COPY (SELECT CAST(82 AS BIGINT) AS v) TO '$outDir/q997_planted_drift/p.parquet' (FORMAT PARQUET)")
+         |con.execute("COPY (SELECT CAST(82 AS BIGINT) AS v) TO '$outDir/q996_planted_control/p.parquet' (FORMAT PARQUET)")
+         |""".stripMargin
+    assert(Process(Seq("python3", "-c", stage)).! == 0)
+    Files.writeString(outDir.resolve("oracle_sql.json"), Verify.oracleJson(Map(
+      "q997_planted_drift" -> "SELECT 82.0 AS v",             // float64 oracle
+      "q996_planted_control" -> "SELECT CAST(82 AS BIGINT) AS v")))
+    val out = new StringBuilder
+    val code = Process(
+      Seq("python3", "tools/selfcheck.py", sfDir, outDir.toString))
+      .!(ProcessLogger(l => out.append(l).append('\n'), l => out.append(l).append('\n')))
+    val o = out.toString
+    assert(code != 0, s"planted dtype drift did not fail the compare:\n$o")
+    // the drift line proves WHICH net fired: rows+schema+hash all match,
+    // only the dtype-class compare flags it
+    assert(o.contains("q997_planted_drift: MISMATCH") && o.contains("hash=true")
+      || o.contains("q997_planted_drift: MISMATCH") && o.contains("hash=True"), o)
+    assert(o.contains("dtype-class drift v: spark=int oracle=float"), o)
+    assert(o.contains("q996_planted_control: OK"), o)
+  }
 }
