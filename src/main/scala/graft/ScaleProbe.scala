@@ -366,6 +366,12 @@ object ScaleProbe {
     // dedup-stack pair: threshold grid over the q31 pair set (q414) and
     // the incoming×existing restricted inverted-index join (q415)
     "q414_threshold_sensitivity", "q415_incremental_dedup",
+    // round-10 planning quartet: the (hash, source)-combinatorics matrix
+    // + guarded-pair join (q417) and the pair-pipeline + component-loop
+    // transitivity audit (q418) — the two non-grid shapes; q419/q420
+    // are one token explode / row-local arithmetic over broadcast grids
+    "q417_source_copy_matrix", "q418_chain_audit",
+    "q419_vocab_growth", "q420_padding_audit",
     // round-9 additions (verdict task 5): the two top-5 bench queries
     // without their own curves — HITS (8 bounded rounds of join+agg over
     // the once-materialized supplier↔part edge list; per-round cost is

@@ -1361,7 +1361,112 @@ object CorpusStatOps {
        |    // (COUNT(*) * SUM(ntok)) AS BIGINT) AS gini_ppm
        |FROM t GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // --------------------------------------------------------------------------
+  // q419 — VOCABULARY GROWTH CURVE (round 10): distinct token types,
+  // token mass, and type-token ratio over nested id-range prefixes of
+  // the corpus (1/8, 1/4, 1/2, all of the doc_id span) — the Heaps-law
+  // readout that forecasts tokenizer vocab pressure and dedup headroom
+  // from a prefix before the full corpus lands (a vocab curve that has
+  // flattened means new data is re-combination, not new language).
+  // Prefixes are doc_id-RANGE cuts (lo + span·k/8), not rank cuts: exact
+  // integers, no global row_number window, ingest-order semantics when
+  // ids are assigned on arrival.
+  //
+  // Scale: one token explode + 4 grid-filtered aggregates; the distinct
+  // shuffles on the token itself. ttr rides DECIMAL(38,0) (10⁶·vocab
+  // wraps past ~9·10¹² types — q416's overflow class, closed the same
+  // way).
+  def vocabGrowth(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    val bounds = docs.agg(min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi"))
+    val grid = spark.range(1).select(explode(expr("array(1L, 2L, 4L, 8L)")).as("eighths"))
+    val cutoff = expr("lo + ((hi - lo + 1L) * eighths) div 8")
+    val tok = docs.select(col("doc_id"),
+      explode(expr("filter(split(lower(text), ' '), t -> t != '')")).as("w"))
+    val t = tok.crossJoin(broadcast(bounds)).crossJoin(broadcast(grid))
+      .filter(col("doc_id") < cutoff)
+      .groupBy(col("eighths"))
+      .agg(count(lit(1)).as("tokens"), countDistinct(col("w")).as("vocab"))
+    val d = docs.select(col("doc_id"))
+      .crossJoin(broadcast(bounds)).crossJoin(broadcast(grid))
+      .filter(col("doc_id") < cutoff)
+      .groupBy(col("eighths")).agg(count(lit(1)).as("docs"))
+    t.join(d, Seq("eighths"))
+      .withColumn("ttr_ppm",
+        expr("(1000000 * cast(vocab as decimal(38,0))) div cast(tokens as decimal(38,0))"))
+      .select(col("eighths"), col("docs"), col("tokens"), col("vocab"), col("ttr_ppm"))
+      .orderBy(col("eighths"))
+  }
+
+  def q419VocabGrowth(spark: SparkSession, dir: String): DataFrame =
+    vocabGrowth(Tables.documents(spark, dir))
+
+  val q419Sql: String =
+    s"""WITH b AS (SELECT MIN(doc_id) AS lo, MAX(doc_id) AS hi FROM documents),
+       |g AS (SELECT UNNEST([1, 2, 4, 8]) AS eighths),
+       |tok AS (
+       |  SELECT doc_id, UNNEST(${TextOps.toksSqlD}) AS w FROM documents),
+       |t AS (
+       |  SELECT eighths, COUNT(*) AS tokens, COUNT(DISTINCT w) AS vocab
+       |  FROM tok, b, g
+       |  WHERE doc_id < lo + ((hi - lo + 1) * eighths) // 8 GROUP BY 1),
+       |d AS (
+       |  SELECT eighths, COUNT(*) AS docs
+       |  FROM documents, b, g
+       |  WHERE doc_id < lo + ((hi - lo + 1) * eighths) // 8 GROUP BY 1)
+       |SELECT CAST(t.eighths AS BIGINT) AS eighths, d.docs, t.tokens, t.vocab,
+       |  CAST((1000000 * t.vocab) // t.tokens AS BIGINT) AS ttr_ppm
+       |FROM t JOIN d USING (eighths) ORDER BY eighths""".stripMargin
+
+  // --------------------------------------------------------------------------
+  // q420 — BLOCK-PADDING AUDIT (round 10): for context caps {16, 32, 64},
+  // the cost of the NO-cross-document-packing regime — each doc occupies
+  // ceil(ntok/cap) blocks and the tail block pads to cap. pad_ppm is the
+  // wasted-slot fraction; read with q413 (truncation loss at the same
+  // caps) and q285 (the cross-doc stream packing that eliminates the
+  // pad): the three together price the packing policy choice. Short-doc
+  // corpora waste most of their compute here — this is the number that
+  // justifies sequence packing before anyone trains.
+  //
+  // Scale: row-local arithmetic + one broadcast-grid aggregate; the ppm
+  // rides DECIMAL(38,0) (10⁶·token-mass wraps a BIGINT at ~9·10¹² —
+  // real at 100 TB; q416's class).
+  def paddingAudit(docs: DataFrame, caps: Seq[Long]): DataFrame = {
+    val spark = docs.sparkSession
+    val t = docs.select(
+      expr("size(filter(split(lower(text), ' '), t -> t != ''))")
+        .cast("long").as("ntok"))
+    val grid = spark.range(1)
+      .select(explode(array(caps.map(lit): _*)).as("cap"))
+    t.crossJoin(broadcast(grid))
+      .groupBy(col("cap"))
+      .agg(count(lit(1)).as("docs"), sum(col("ntok")).as("tokens"),
+        sum(expr("(ntok + cap - 1L) div cap")).as("blocks"))
+      .withColumn("slots", col("blocks") * col("cap"))
+      .withColumn("pad_ppm",
+        expr("1000000L - (1000000 * cast(tokens as decimal(38,0)))" +
+          " div cast(slots as decimal(38,0))"))
+      .orderBy(col("cap"))
+  }
+
+  def q420PaddingAudit(spark: SparkSession, dir: String): DataFrame =
+    paddingAudit(Tables.documents(spark, dir), Seq(16L, 32L, 64L))
+
+  val q420Sql: String =
+    s"""WITH t AS (
+       |  SELECT CAST(len(${TextOps.toksSqlD}) AS BIGINT) AS ntok FROM documents),
+       |g AS (SELECT UNNEST([16, 32, 64]) AS cap)
+       |SELECT CAST(cap AS BIGINT) AS cap, COUNT(*) AS docs,
+       |  CAST(SUM(ntok) AS BIGINT) AS tokens,
+       |  CAST(SUM((ntok + cap - 1) // cap) AS BIGINT) AS blocks,
+       |  CAST(SUM((ntok + cap - 1) // cap) * cap AS BIGINT) AS slots,
+       |  CAST(1000000 - (1000000 * SUM(ntok))
+       |    // (SUM((ntok + cap - 1) // cap) * cap) AS BIGINT) AS pad_ppm
+       |FROM t CROSS JOIN g GROUP BY g.cap ORDER BY 1""".stripMargin
+
   private val catalogR9: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
+    ("q419_vocab_growth", q419VocabGrowth _, Some(q419Sql)),
+    ("q420_padding_audit", q420PaddingAudit _, Some(q420Sql)),
     ("q407_repetition_audit", q407RepetitionAudit _, Some(q407Sql)),
     ("q408_dup_inflation", q408DupInflation _, Some(q408Sql)),
     ("q409_ngram_contamination", q409NgramContamination _, Some(q409Sql)),

@@ -1557,7 +1557,131 @@ object TextOps {
       |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
 
+  // --------------------------------------------------------------------------
+  // q417 — CROSS-SOURCE DUPLICATION MATRIX (round 10): who copies whom.
+  // Per unordered source pair (a ≤ b): exact-duplicate pairs (same
+  // md5(text)) and verified near-duplicate pairs (q31's jaccard ≥ 0.5).
+  // The provenance readout that decides which FEEDS to deduplicate
+  // against each other before a crawl merge — a high cross-source cell
+  // means two feeds mirror each other and one can be dropped at the
+  // door; q408 prices the global token mass, this locates it.
+  //
+  // Scale: the exact side never self-joins documents — it aggregates
+  // (hash, source) multiplicities and pairs THOSE (group sizes, not
+  // rows): within-source pairs are C(n,2), cross-source n_a·n_b, both
+  // exact integer combinatorics on a frame with ≤ |corpus| rows and
+  // tiny per-hash fan-out (duplicate groups). The near side rides the
+  // guarded q31 pipeline + two slim doc_id→source joins.
+  def q417SourceCopyMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val srcOf = docs.select(col("doc_id"), col("source")).localCheckpoint(false)
+    val hs = docs.groupBy(md5(col("text")).as("h"), col("source"))
+      .agg(count(lit(1)).as("n"))
+    val exact = hs.as("x")
+      .join(hs.as("y"), col("x.h") === col("y.h") && col("x.source") <= col("y.source"))
+      .select(col("x.source").as("source_a"), col("y.source").as("source_b"),
+        when(col("x.source") === col("y.source"), expr("x.n * (x.n - 1L) div 2"))
+          .otherwise(col("x.n") * col("y.n")).as("p"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(sum(col("p")).as("exact_pairs"))
+      .filter(col("exact_pairs") > 0)
+    val near = q31NgramJaccard(spark, dir)
+      .join(srcOf.select(col("doc_id").as("id_a"), col("source").as("sa")), Seq("id_a"))
+      .join(srcOf.select(col("doc_id").as("id_b"), col("source").as("sb")), Seq("id_b"))
+      .groupBy(least(col("sa"), col("sb")).as("source_a"),
+        greatest(col("sa"), col("sb")).as("source_b"))
+      .agg(count(lit(1)).as("near_pairs"))
+    exact.join(near, Seq("source_a", "source_b"), "full_outer")
+      .select(col("source_a"), col("source_b"),
+        coalesce(col("exact_pairs"), lit(0L)).as("exact_pairs"),
+        coalesce(col("near_pairs"), lit(0L)).as("near_pairs"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
+  val q417Sql: String =
+    s"""WITH hs AS (
+       |  SELECT md5(text) AS h, source, COUNT(*) AS n
+       |  FROM documents GROUP BY 1, 2),
+       |ex AS (
+       |  SELECT x.source AS source_a, y.source AS source_b,
+       |    CAST(SUM(CASE WHEN x.source = y.source THEN x.n * (x.n - 1) // 2
+       |             ELSE x.n * y.n END) AS BIGINT) AS exact_pairs
+       |  FROM hs x JOIN hs y ON x.h = y.h AND x.source <= y.source
+       |  GROUP BY 1, 2
+       |  HAVING SUM(CASE WHEN x.source = y.source THEN x.n * (x.n - 1) // 2
+       |             ELSE x.n * y.n END) > 0),
+       |nr AS (
+       |  SELECT LEAST(da.source, db.source) AS source_a,
+       |    GREATEST(da.source, db.source) AS source_b,
+       |    COUNT(*) AS near_pairs
+       |  FROM (SELECT id_a, id_b FROM ($q31Sql)) p
+       |  JOIN documents da ON da.doc_id = p.id_a
+       |  JOIN documents db ON db.doc_id = p.id_b
+       |  GROUP BY 1, 2)
+       |SELECT COALESCE(ex.source_a, nr.source_a) AS source_a,
+       |  COALESCE(ex.source_b, nr.source_b) AS source_b,
+       |  CAST(COALESCE(exact_pairs, 0) AS BIGINT) AS exact_pairs,
+       |  CAST(COALESCE(near_pairs, 0) AS BIGINT) AS near_pairs
+       |FROM ex FULL OUTER JOIN nr
+       |  ON ex.source_a = nr.source_a AND ex.source_b = nr.source_b
+       |ORDER BY 1, 2""".stripMargin
+
+  // --------------------------------------------------------------------------
+  // q418 — NEAR-DUP CHAIN (TRANSITIVITY) AUDIT (round 10): for each
+  // cluster size k, how much of the transitive pair closure k·(k−1)/2 is
+  // backed by a DIRECT verified pair vs implied through chains. A high
+  // chained share means clusters are glued by borderline links — the
+  // readout that decides whether a survivorship sweep at this threshold
+  // over-merges (drop one doc per chain-glued cluster and distinct
+  // near-identical documents die). q412 gives the size census; this
+  // gives the cluster QUALITY at the same threshold.
+  //
+  // Scale: one guarded pair pipeline (lazy checkpoint feeds the labels
+  // AND the direct count), the q82 component loop, then grid-sized
+  // aggregates over the cluster-size domain. The ppm ratio rides
+  // DECIMAL(38,0) — 10⁶·closure wraps a BIGINT past ~9·10¹² closure
+  // pairs, which a 100 TB template family can reach (q416's class).
+  def q418ChainAudit(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = q31NgramJaccard(spark, dir).select(col("id_a"), col("id_b"))
+      .localCheckpoint(false) // feeds clustering AND the direct count
+    val labels = clusterPairs(pairs)
+    val direct = pairs
+      .join(labels.select(col("doc_id").as("id_a"), col("cluster")), Seq("id_a"))
+      .groupBy(col("cluster")).agg(count(lit(1)).as("direct"))
+    labels.select(col("cluster"), col("cluster_size")).distinct()
+      .join(direct, Seq("cluster"))
+      .withColumn("closure", expr("cluster_size * (cluster_size - 1L) div 2"))
+      .groupBy(col("cluster_size").as("k"))
+      .agg(count(lit(1)).as("n_clusters"), sum(col("direct")).as("direct_pairs"),
+        sum(col("closure")).as("closure_pairs"))
+      .withColumn("chained_ppm",
+        expr("(1000000 * (cast(closure_pairs as decimal(38,0)) - direct_pairs))" +
+          " div cast(closure_pairs as decimal(38,0))"))
+      .orderBy(col("k"))
+  }
+
+  val q418Sql: String =
+    s"""WITH lab AS ($q82Sql),
+       |pairs AS (SELECT id_a, id_b FROM ($q31Sql)),
+       |direct AS (
+       |  SELECT l.cluster, COUNT(*) AS direct
+       |  FROM pairs p JOIN lab l ON l.doc_id = p.id_a
+       |  GROUP BY 1),
+       |per AS (
+       |  SELECT c.cluster, c.cluster_size, d.direct,
+       |    c.cluster_size * (c.cluster_size - 1) // 2 AS closure
+       |  FROM (SELECT DISTINCT cluster, cluster_size FROM lab) c
+       |  JOIN direct d USING (cluster))
+       |SELECT cluster_size AS k, COUNT(*) AS n_clusters,
+       |  CAST(SUM(direct) AS BIGINT) AS direct_pairs,
+       |  CAST(SUM(closure) AS BIGINT) AS closure_pairs,
+       |  CAST((1000000 * (SUM(closure) - SUM(direct))) // SUM(closure)
+       |    AS BIGINT) AS chained_ppm
+       |FROM per GROUP BY 1 ORDER BY 1""".stripMargin
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
+    ("q417_source_copy_matrix", q417SourceCopyMatrix _, Some(q417Sql)),
+    ("q418_chain_audit", q418ChainAudit _, Some(q418Sql)),
     ("q412_cluster_census", q412ClusterCensus _, Some(q412Sql)),
     ("q414_threshold_sensitivity", q414ThresholdSensitivity _, Some(q414Sql)),
     ("q415_incremental_dedup", q415IncrementalDedup _, Some(q415Sql)),

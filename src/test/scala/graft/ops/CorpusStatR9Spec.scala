@@ -177,4 +177,38 @@ class CorpusStatR9Spec extends SparkSpec {
     assert(got("s1") === ((3L, 15L, 0L)))
     assert(got("s2") === ((3L, 10L, 466666L)))
   }
+
+  test("q419 vocabulary growth: nested id-range prefixes count exact types") {
+    // doc_id 0..7 -> lo=0, hi=7, span 8; cutoff(e) = (8*e) div 8 = e,
+    // so prefixes are ids {0}, {0,1}, {0..3}, {0..7}. doc i carries
+    // tokens t0..t(i): vocab(prefix e) = e (types t0..t(e-1) from docs
+    // 0..e-1? no: doc i introduces type ti, so prefix of e docs has
+    // types t0..t(e-1) -> vocab = e) and tokens = 1+2+...+e = e(e+1)/2.
+    val d = docsDir((0L to 7L).map(i =>
+      (i, (0L to i).map(j => s"t$j").mkString(" "), "en", "s1")))
+    val got = CorpusStatOps.q419VocabGrowth(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    def row(e: Long) = {
+      val toks = e * (e + 1) / 2
+      (e, e, toks, e, 1000000L * e / toks)
+    }
+    assert(got.toSeq === Seq(row(1), row(2), row(4), row(8)))
+  }
+
+  test("q420 padding audit: hand-computed blocks and pad at each cap") {
+    // ntok 5, 16, 17. cap 16: blocks 1+1+2=4, slots 64, pad = 1e6 -
+    // (38e6 div 64) = 406250. cap 32: blocks 3, slots 96 -> 604167.
+    // cap 64: blocks 3, slots 192 -> 802084.
+    val d = docsDir(Seq(
+      (1L, (1 to 5).map(i => s"w$i").mkString(" "), "en", "s1"),
+      (2L, (1 to 16).map(i => s"w$i").mkString(" "), "en", "s1"),
+      (3L, (1 to 17).map(i => s"w$i").mkString(" "), "en", "s1")))
+    val got = CorpusStatOps.q420PaddingAudit(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(got.toSeq === Seq(
+      (16L, 3L, 38L, 4L, 64L, 406250L),
+      (32L, 3L, 38L, 3L, 96L, 604167L),
+      (64L, 3L, 38L, 3L, 192L, 802084L)))
+  }
 }

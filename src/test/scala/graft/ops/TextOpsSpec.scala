@@ -95,6 +95,52 @@ class TextOpsSpec extends SparkSpec {
     assert(capped === exact)
   }
 
+  test("q417 source copy matrix: exact combinatorics and near pairs per source pair") {
+    import spark.implicits._
+    // T appears 2x in s1 and 1x in s2: exact pairs = C(2,2)=1 within s1,
+    // 2x1=2 across s1-s2; the same trio is also pairwise near-dup
+    // (jaccard 1.0), and docs 4/5 add one cross-source near pair (one
+    // trailing-token edit on a 20-token base)
+    val t = (1 to 10).map(i => s"t$i").mkString(" ")
+    val base = (1 to 20).map(i => s"b$i").mkString(" ")
+    val edited = (1 to 19).map(i => s"b$i").mkString(" ") + " zz"
+    val rows = Seq(
+      (1L, t, "s1"), (2L, t, "s1"), (3L, t, "s2"),
+      (4L, base, "s1"), (5L, edited, "s2"))
+    val dir = Files.createTempDirectory("graft_matrix").toString
+    rows.map { case (i, x, s) => (i, x, "en", s, x.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    val got = TextOps.q417SourceCopyMatrix(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq === Seq(
+      ("s1", "s1", 1L, 1L),
+      ("s1", "s2", 2L, 3L)))
+  }
+
+  test("q418 chain audit: a 3-doc chain is 1/3 chained, an exact pair 0") {
+    import spark.implicits._
+    // A=a1..a5 m6..m20, B=m1..m20, C=m1..m15 c1..c5: 18 shingles each,
+    // A∩B = B∩C = 13 (jac 13/23 ≥ 0.5), A∩C = 8 (8/28 < 0.5) — a chain
+    // cluster {A,B,C} with direct=2 of closure=3 → chained_ppm 333333.
+    // Docs 4/5 are exact copies: k=2, direct=1=closure, chained 0.
+    val m = (1 to 20).map(i => s"m$i")
+    val a = ((1 to 5).map(i => s"a$i") ++ m.drop(5)).mkString(" ")
+    val b = m.mkString(" ")
+    val c = (m.take(15) ++ (1 to 5).map(i => s"c$i")).mkString(" ")
+    val t = (1 to 10).map(i => s"t$i").mkString(" ")
+    val rows = Seq((1L, a), (2L, b), (3L, c), (4L, t), (5L, t))
+    val dir = Files.createTempDirectory("graft_chain").toString
+    rows.map { case (i, x) => (i, x, "en", "s", x.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    val got = TextOps.q418ChainAudit(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq === Seq(
+      (2L, 1L, 1L, 1L, 0L),
+      (3L, 1L, 2L, 3L, 333333L)))
+  }
+
   test("MinHash-LSH recovers every exact-Jaccard pair on the corpus (full recall here)") {
     val exact = TextOps.q31NgramJaccard(spark, corpusDir)
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
