@@ -372,6 +372,7 @@ object ScaleProbe {
     // are one token explode / row-local arithmetic over broadcast grids
     "q417_source_copy_matrix", "q418_chain_audit",
     "q419_vocab_growth", "q420_padding_audit",
+    "q421_cap_pricing", "q422_length_drift",
     // round-9 additions (verdict task 5): the two top-5 bench queries
     // without their own curves — HITS (8 bounded rounds of join+agg over
     // the once-materialized supplier↔part edge list; per-round cost is

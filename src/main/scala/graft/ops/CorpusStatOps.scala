@@ -1464,9 +1464,130 @@ object CorpusStatOps {
        |    // (SUM((ntok + cap - 1) // cap) * cap) AS BIGINT) AS pad_ppm
        |FROM t CROSS JOIN g GROUP BY g.cap ORDER BY 1""".stripMargin
 
+  // --------------------------------------------------------------------------
+  // q421 — STOP-SHINGLE CAP PRICING (round 10): the cost model for the
+  // df-cap guard that q31/q176/q415 ship — per candidate cap {5, 10, 25,
+  // 50}: how many shingle types and postings survive, and how much
+  // inverted-index PAIR MASS (Σ C(df,2), the join's true cost driver)
+  // the cap keeps vs drops. The readout that picks the cap BEFORE a
+  // sweep: pair_mass_dropped is compute saved, postings_kept_ppm is
+  // recall surface retained. Prices the exact knob round 10 promoted.
+  //
+  // Scale: one df aggregate over the (doc_id, shingle) index + a
+  // broadcast cap grid; pair mass rides DECIMAL(38,0) (df² wraps a
+  // BIGINT once one shingle's df passes ~4.3e9 — exactly the hot-
+  // posting corpus this operator exists to detect; q416's class).
+  def capPricing(docs: DataFrame, caps: Seq[Long]): DataFrame = {
+    val spark = docs.sparkSession
+    val dfS = TextOps.shingleEdges(docs)
+      .groupBy(col("s")).agg(count(lit(1)).as("df"))
+      .select(col("df")).localCheckpoint(false) // feeds every grid cell
+    val grid = spark.range(1).select(explode(array(caps.map(lit): _*)).as("cap"))
+    dfS.crossJoin(broadcast(grid))
+      .groupBy(col("cap"))
+      .agg(count(lit(1)).as("types_total"),
+        count_if(col("df") <= col("cap")).as("types_kept"),
+        sum(col("df")).as("postings_total"),
+        sum(when(col("df") <= col("cap"), col("df")).otherwise(0L)).as("postings_kept"),
+        sum(expr("cast(df as decimal(38,0)) * (df - 1) div 2")).as("pair_mass_total"),
+        sum(expr("case when df <= cap then cast(df as decimal(38,0)) * (df - 1) div 2" +
+          " else 0 end")).as("pair_mass_kept"))
+      .select(col("cap"), col("types_kept"), col("types_total"),
+        expr("(1000000 * cast(postings_kept as decimal(38,0)))" +
+          " div cast(postings_total as decimal(38,0))").as("postings_kept_ppm"),
+        col("pair_mass_kept"),
+        (col("pair_mass_total") - col("pair_mass_kept")).as("pair_mass_dropped"))
+      .orderBy(col("cap"))
+  }
+
+  def q421CapPricing(spark: SparkSession, dir: String): DataFrame =
+    capPricing(Tables.documents(spark, dir), Seq(5L, 10L, 25L, 50L))
+
+  val q421Sql: String =
+    s"""WITH sh AS (
+       |  SELECT DISTINCT doc_id, s FROM (
+       |    SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+       |    FROM (SELECT doc_id, ${TextOps.toksSqlD} AS t FROM documents),
+       |         UNNEST(generate_series(1, len(t) - 2)) AS u(i))),
+       |d AS (SELECT s, COUNT(*) AS df FROM sh GROUP BY 1),
+       |g AS (SELECT UNNEST([5, 10, 25, 50]) AS cap)
+       |SELECT CAST(cap AS BIGINT) AS cap,
+       |  CAST(COUNT(*) FILTER (df <= cap) AS BIGINT) AS types_kept,
+       |  COUNT(*) AS types_total,
+       |  CAST((1000000 * SUM(df) FILTER (df <= cap)) // SUM(df) AS BIGINT)
+       |    AS postings_kept_ppm,
+       |  CAST(SUM(CASE WHEN df <= cap THEN df * (df - 1) // 2 ELSE 0 END)
+       |    AS BIGINT) AS pair_mass_kept,
+       |  CAST(SUM(df * (df - 1) // 2)
+       |    - SUM(CASE WHEN df <= cap THEN df * (df - 1) // 2 ELSE 0 END)
+       |    AS BIGINT) AS pair_mass_dropped
+       |FROM d CROSS JOIN g GROUP BY g.cap ORDER BY 1""".stripMargin
+
+  // --------------------------------------------------------------------------
+  // q422 — LENGTH-DISTRIBUTION DRIFT between corpus halves (round 10):
+  // per source, the L1 distance (in ppm) between the token-length
+  // histograms of the first and second doc_id-range half — the
+  // ingest-drift tripwire (a source whose documents suddenly shorten is
+  // a scraper change or truncation bug upstream; it shifts packing,
+  // quality filters, and mixture weights downstream). Buckets are
+  // ntok div 8 capped at 16 — a fixed 17-cell value grid, no quantiles.
+  //
+  // Scale: one row-local bucketing pass + per-(source, half, bucket)
+  // hash aggregate over a bounded grid; each half's share floors to ppm
+  // INDEPENDENTLY before the |a − b| sum, so the statistic is exact
+  // integer arithmetic end to end (no double sums, engine-stable).
+  def lengthDrift(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    val bounds = docs.agg(min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi"))
+    val bucketed = docs.select(col("source"), col("doc_id"),
+      least(expr("size(filter(split(lower(text), ' '), t -> t != '')) div 8"),
+        lit(16)).cast("long").as("bucket"))
+      .crossJoin(broadcast(bounds))
+      .withColumn("h",
+        when(col("doc_id") < expr("lo + (hi - lo + 1L) div 2"), "a").otherwise("b"))
+    val cells = bucketed.groupBy(col("source"), col("bucket"))
+      .agg(count_if(col("h") === "a").as("na"), count_if(col("h") === "b").as("nb"))
+    val totals = bucketed.groupBy(col("source"))
+      .agg(count_if(col("h") === "a").as("ta"), count_if(col("h") === "b").as("tb"))
+    cells.join(totals, Seq("source"))
+      .select(col("source"), col("ta"), col("tb"),
+        abs(expr("(1000000L * na) div ta") - expr("(1000000L * nb) div tb")).as("d"))
+      .groupBy(col("source"))
+      .agg(max(col("ta")).as("docs_a"), max(col("tb")).as("docs_b"),
+        sum(col("d")).as("l1_ppm"))
+      .orderBy(col("source"))
+  }
+
+  def q422LengthDrift(spark: SparkSession, dir: String): DataFrame =
+    lengthDrift(Tables.documents(spark, dir))
+
+  val q422Sql: String =
+    s"""WITH b AS (SELECT MIN(doc_id) AS lo, MAX(doc_id) AS hi FROM documents),
+       |d AS (
+       |  SELECT source,
+       |    LEAST(len(${TextOps.toksSqlD}) // 8, 16) AS bucket,
+       |    CASE WHEN doc_id < lo + (hi - lo + 1) // 2 THEN 'a' ELSE 'b' END AS h
+       |  FROM documents, b),
+       |cells AS (
+       |  SELECT source, bucket,
+       |    COUNT(*) FILTER (h = 'a') AS na, COUNT(*) FILTER (h = 'b') AS nb
+       |  FROM d GROUP BY 1, 2),
+       |tot AS (
+       |  SELECT source,
+       |    COUNT(*) FILTER (h = 'a') AS ta, COUNT(*) FILTER (h = 'b') AS tb
+       |  FROM d GROUP BY 1)
+       |SELECT source, CAST(MAX(ta) AS BIGINT) AS docs_a,
+       |  CAST(MAX(tb) AS BIGINT) AS docs_b,
+       |  CAST(SUM(ABS((1000000 * na) // ta - (1000000 * nb) // tb)) AS BIGINT)
+       |    AS l1_ppm
+       |FROM cells JOIN tot USING (source)
+       |GROUP BY source ORDER BY source""".stripMargin
+
   private val catalogR9: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q419_vocab_growth", q419VocabGrowth _, Some(q419Sql)),
     ("q420_padding_audit", q420PaddingAudit _, Some(q420Sql)),
+    ("q421_cap_pricing", q421CapPricing _, Some(q421Sql)),
+    ("q422_length_drift", q422LengthDrift _, Some(q422Sql)),
     ("q407_repetition_audit", q407RepetitionAudit _, Some(q407Sql)),
     ("q408_dup_inflation", q408DupInflation _, Some(q408Sql)),
     ("q409_ngram_contamination", q409NgramContamination _, Some(q409Sql)),

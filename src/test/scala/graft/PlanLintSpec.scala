@@ -243,6 +243,8 @@ class PlanLintSpec extends SparkSpec {
       "broadcast 4-row eighths grid (explode of a 4-literal array) × the broadcast 1-row id-bounds aggregate, range-filtered against the token stream — q413's cut-grid class; every no-equi side is ≤ 4 rows by construction",
     "q420_padding_audit" ->
       "broadcast 3-row cap grid (explode of a 3-literal array) against the per-doc token counts — q413's cut-grid class, ≤ 3 rows by construction",
+    "q421_cap_pricing" ->
+      "broadcast 4-row cap grid (explode of a 4-literal array) against the shingle-df histogram — q413's cut-grid class, ≤ 4 rows by construction",
     "q384_ring_balance" ->
       "clockwise-next range join against the broadcast 128-row vnode ring (8 nodes × 16 vnodes by construction, data-independent) — ×128 candidate rows per key collapsed by the per-key min, linear in keys")
 

@@ -211,4 +211,37 @@ class CorpusStatR9Spec extends SparkSpec {
       (32L, 3L, 38L, 3L, 96L, 604167L),
       (64L, 3L, 38L, 3L, 192L, 802084L)))
   }
+
+  test("q421 cap pricing: hand-computed df histogram mass at each cap") {
+    // three copies of "x y z" -> one shingle with df=3; "a b c d" -> two
+    // df=1 shingles. postings 5, pair mass C(3,2)=3.
+    // cap 1/2: keep the two df=1 types -> 2/5 postings (400000 ppm),
+    // pair mass kept 0 / dropped 3; cap 5: everything kept, incl. the
+    // df=3 shingle's C(3,2)=3 pair mass.
+    val d = docsDir(Seq(
+      (1L, "x y z", "en", "s1"), (2L, "x y z", "en", "s1"),
+      (3L, "x y z", "en", "s1"), (4L, "a b c d", "en", "s1")))
+    val got = CorpusStatOps.capPricing(
+      graft.Tables.documents(spark, d), Seq(1L, 2L, 5L)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(got.toSeq === Seq(
+      (1L, 2L, 3L, 400000L, 0L, 3L),
+      (2L, 2L, 3L, 400000L, 0L, 3L),
+      (5L, 3L, 3L, 1000000L, 3L, 0L)))
+  }
+
+  test("q422 length drift: disjoint tail buckets score the full L1") {
+    // lo=0, hi=3 -> half cut at doc_id 2. Half a: ntok 4 (bucket 0) and
+    // 20 (bucket 2); half b: ntok 5 (bucket 0) and 100 (bucket 12).
+    // Bucket 0 shares match (500000 each); buckets 2 and 12 are
+    // exclusive -> L1 = 500000 + 500000 = 1000000.
+    def words(n: Int) = (1 to n).map(i => s"w$i").mkString(" ")
+    val d = docsDir(Seq(
+      (0L, words(4), "en", "s1"), (1L, words(20), "en", "s1"),
+      (2L, words(5), "en", "s1"), (3L, words(100), "en", "s1")))
+    val got = CorpusStatOps.q422LengthDrift(spark, d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq === Seq(("s1", 2L, 2L, 1000000L)))
+  }
 }
