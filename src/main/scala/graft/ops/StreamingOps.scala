@@ -808,7 +808,12 @@ object StreamingOps {
     // no-data batch still runs the eviction pass that emits them
     val joined = intervalJoined(spark, src, "leftOuter", 16)
     val qname = "graft_q211_result"
-    withStatePartitions(spark, 4) { // see q157 on the 4-partition choice
+    // 2 state partitions (vs the inner/semi 4): the outer join is the one
+    // variant that must run the trailing no-data batch, so it pays 2
+    // batches x 4 stores x partitions of open/commit; at this state
+    // volume narrower is faster (2.6 -> 2.35 s). Its floor is the second
+    // batch itself - eviction-driven null emission is the semantics.
+    withStatePartitions(spark, 2) {
       val query = joined.writeStream.format("memory").queryName(qname)
         .outputMode("append").trigger(Trigger.AvailableNow()).start()
       query.awaitTermination()
