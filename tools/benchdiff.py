@@ -1,0 +1,54 @@
+#!/usr/bin/env python3
+"""Per-query regression diff between two BENCH_FULL_*.json artifacts.
+
+Usage:
+  python3 tools/benchdiff.py BENCH_FULL_r09.json BENCH_FULL_r10.json \
+      [--reg-ratio 1.5] [--reg-abs 0.5]
+
+Prints the common-query median ratio (the host-drift indicator: a
+uniform median shift is the machine, not the code), the regressions
+above BOTH thresholds (ratio AND absolute seconds — sub-second 2x
+swings are scheduler noise, not plans), the biggest improvements, and
+the queries present on only one side. Driver-side tooling like
+selfcheck.py; never linked by library code.
+"""
+import json, sys, statistics
+
+def main():
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    opts = dict(a.lstrip("-").split("=") for a in sys.argv[1:]
+                if a.startswith("--") and "=" in a)
+    reg_ratio = float(opts.get("reg-ratio", 1.5))
+    reg_abs = float(opts.get("reg-abs", 0.5))
+    if len(args) != 2:
+        print(__doc__)
+        return 2
+    a = json.load(open(args[0]))["queries"]
+    b = json.load(open(args[1]))["queries"]
+    common = sorted(set(a) & set(b))
+    ratios = {k: b[k] / a[k] for k in common if a[k] > 0}
+    med = statistics.median(ratios.values())
+    print(f"{args[0]}: {len(a)} queries, total {sum(a.values()):.1f}s")
+    print(f"{args[1]}: {len(b)} queries, total {sum(b.values()):.1f}s")
+    print(f"common {len(common)}  median ratio {med:.3f}"
+          f"  (uniform shift = host drift, not code)")
+    regs = [(ratios[k], k) for k in ratios
+            if ratios[k] > reg_ratio and b[k] > reg_abs]
+    print(f"\nregressions >{reg_ratio}x and >{reg_abs}s new-side:")
+    for r, k in sorted(regs, reverse=True):
+        print(f"  {k}: {a[k]:.2f} -> {b[k]:.2f}  ({r:.2f}x)")
+    if not regs:
+        print("  (none)")
+    imps = [(ratios[k], k) for k in ratios if a[k] > 1.0]
+    print("\nbiggest improvements on the old slow set (old >1s):")
+    for r, k in sorted(imps)[:10]:
+        print(f"  {k}: {a[k]:.2f} -> {b[k]:.2f}  ({r:.2f}x)")
+    only_a, only_b = sorted(set(a) - set(b)), sorted(set(b) - set(a))
+    if only_a:
+        print(f"\nonly in {args[0]}: {', '.join(only_a)}")
+    if only_b:
+        print(f"\nonly in {args[1]}: {', '.join(only_b)}")
+    return 0
+
+if __name__ == "__main__":
+    sys.exit(main())
