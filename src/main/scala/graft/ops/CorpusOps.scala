@@ -724,9 +724,14 @@ object CorpusOps {
        |    FROM (SELECT doc_id, ${TextOps.toksSqlD} AS t FROM documents),
        |         UNNEST(generate_series(1, len(t) - 2)) AS u(i))),
        |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+       |shc AS (
+       |  SELECT sh.doc_id, sh.s FROM sh
+       |  JOIN (SELECT s FROM sh GROUP BY s
+       |        HAVING COUNT(*) <= ${TextOps.StopShingleDf}) ok
+       |    USING (s)),
        |inter AS (
        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
-       |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  FROM shc a JOIN shc b ON a.s = b.s AND a.doc_id < b.doc_id
        |  GROUP BY 1, 2),
        |pairs AS (
        |  SELECT id_a, id_b FROM inter

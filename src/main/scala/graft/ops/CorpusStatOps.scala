@@ -1550,11 +1550,22 @@ object CorpusStatOps {
     val totals = bucketed.groupBy(col("source"))
       .agg(count_if(col("h") === "a").as("ta"), count_if(col("h") === "b").as("tb"))
     cells.join(totals, Seq("source"))
+      // CASE short-circuits, so the divisions never execute on a
+      // one-sided source (ANSI div-by-zero would throw, not null)
       .select(col("source"), col("ta"), col("tb"),
-        abs(expr("(1000000L * na) div ta") - expr("(1000000L * nb) div tb")).as("d"))
+        when(col("ta") === 0 || col("tb") === 0, lit(null).cast("long"))
+          .otherwise(abs(expr("(1000000L * na) div ta") -
+            expr("(1000000L * nb) div tb"))).as("d"))
       .groupBy(col("source"))
       .agg(max(col("ta")).as("docs_a"), max(col("tb")).as("docs_b"),
-        sum(col("d")).as("l1_ppm"))
+        sum(col("d")).as("l1_raw"))
+      // a fully one-sided source (every doc in one doc_id half) has an
+      // undefined per-half share (div-by-zero → null); read it as MAXIMAL
+      // drift (1e6 ppm = total variation bound), not null — the tripwire
+      // must fire loudest exactly when a source's ingest collapsed.
+      .select(col("source"), col("docs_a"), col("docs_b"),
+        when(col("docs_a") === 0 || col("docs_b") === 0, lit(1000000L))
+          .otherwise(col("l1_raw")).as("l1_ppm"))
       .orderBy(col("source"))
   }
 
@@ -1578,8 +1589,9 @@ object CorpusStatOps {
        |  FROM d GROUP BY 1)
        |SELECT source, CAST(MAX(ta) AS BIGINT) AS docs_a,
        |  CAST(MAX(tb) AS BIGINT) AS docs_b,
-       |  CAST(SUM(ABS((1000000 * na) // ta - (1000000 * nb) // tb)) AS BIGINT)
-       |    AS l1_ppm
+       |  CAST(CASE WHEN MAX(ta) = 0 OR MAX(tb) = 0 THEN 1000000
+       |    ELSE SUM(ABS((1000000 * na) // ta - (1000000 * nb) // tb))
+       |    END AS BIGINT) AS l1_ppm
        |FROM cells JOIN tot USING (source)
        |GROUP BY source ORDER BY source""".stripMargin
 

@@ -974,6 +974,15 @@ object GraphMiningOps {
     * creation): per-round frames are |nodes| rows, never |edges|, so 32
     * reduce tasks × 17 rounds was pure scheduling overhead at local[32].
     * A cluster deploy lifts it to ~2-3× its executor cores.
+    *
+    * NOT THREAD-SAFE across a shared SparkSession: the loop scopes
+    * session-global conf (`spark.sql.shuffle.partitions`,
+    * `spark.sql.adaptive.enabled`) around plan CONSTRUCTION, so any
+    * concurrent planning on the same session during the scope would be
+    * built at 4 partitions with AQE off (results unaffected — only split
+    * counts and re-plan behavior). Same contract as
+    * [[graft.ops.StreamingOps.withStatePartitions]]; for concurrent use,
+    * plan on `spark.newSession()` (shared catalog, isolated conf).
     */
   def hits(edges: DataFrame, iters: Int, topK: Int,
       roundPartitions: Int = 4, broadcastScores: Boolean = true): DataFrame = {

@@ -42,16 +42,18 @@ object PrepOps {
   // vs ~1.27M pair events at sf0.1, no pair-level pruning). The
   // production guard is `stopShingleDf`: drop shingles with df > cap
   // from the index — pair mass ≤ cap·|postings|, linear at any scale. At
-  // cap = 25 (= the measured max df at sf0.1) the cap drops NOTHING at
-  // every driver SF, so the shipped query stays EXACT (PrepOpsSpec pins
-  // capped ≡ exact; the DuckDB oracle replays the exact pair set); on
-  // saturated corpora it is the standard stop-shingle approximation
-  // (capped twin measured linear on the same decade probe). The CAPPED
-  // form IS the catalog entry since round 9 (round-8 verdict task 8) —
-  // the one documented n² is off the shipped surface entirely; the
-  // exact form stays as the spec-only twin below.
+  // cap = TextOps.StopShingleDf (= the measured max df at sf0.1) the cap
+  // drops NOTHING at every driver SF, so the shipped query stays EXACT
+  // (PrepOpsSpec pins capped ≡ exact); on saturated corpora it is the
+  // standard stop-shingle approximation (capped twin measured linear on
+  // the same decade probe). The CAPPED form IS the catalog entry since
+  // round 9 (round-8 verdict task 8) — the one documented n² is off the
+  // shipped surface entirely; the exact form stays as the spec-only twin
+  // below. Since round 11 the SQL oracle expresses the SAME cap (shared
+  // constant), so capped-corpus runs cannot silently diverge from it.
   def q176Containment(spark: SparkSession, dir: String): DataFrame =
-    containmentPairs(spark, Tables.documents(spark, dir), stopShingleDf = Some(25))
+    containmentPairs(spark, Tables.documents(spark, dir),
+      stopShingleDf = Some(TextOps.StopShingleDf))
 
   /** The exact (uncapped) twin — spec-only since round 9: proves the
     * shipped cap drops nothing at driver SFs, and remains the reference
@@ -99,9 +101,14 @@ object PrepOps {
        |    FROM (SELECT doc_id, ${TextOps.toksSqlD} AS t FROM documents),
        |         UNNEST(generate_series(1, len(t) - 2)) AS u(i))),
        |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+       |shc AS (
+       |  SELECT sh.doc_id, sh.s FROM sh
+       |  JOIN (SELECT s FROM sh GROUP BY s
+       |        HAVING COUNT(*) <= ${TextOps.StopShingleDf}) ok
+       |    USING (s)),
        |inter AS (
        |  SELECT a.doc_id AS ia, b.doc_id AS ib, COUNT(*) AS c
-       |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  FROM shc a JOIN shc b ON a.s = b.s AND a.doc_id < b.doc_id
        |  GROUP BY 1, 2),
        |dirs AS (
        |  SELECT ia AS id_sub, ib AS id_super, CAST(c AS DOUBLE) / sa.n_sh AS cont

@@ -230,6 +230,12 @@ object StreamingOps {
     * batches × 2 join sides on a small-state topology is pure overhead
     * (measured ~40% of q157's wall time at local[32]). Batch plans inside
     * the scope are unaffected in result, only in split count.
+    *
+    * NOT THREAD-SAFE across a shared SparkSession: the conf swap is
+    * session-global, so concurrent planning on the same session inside
+    * the scope picks up the narrow partition count (results unaffected).
+    * Fine for the serial driver; for concurrent use, plan on
+    * `spark.newSession()` (shared catalog, isolated conf).
     */
   private[graft] def withStatePartitions[T](spark: SparkSession, n: Int)(body: => T): T = {
     val key = "spark.sql.shuffle.partitions"

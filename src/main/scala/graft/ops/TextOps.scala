@@ -23,6 +23,17 @@ import org.apache.spark.sql.types.DecimalType
   */
 object TextOps {
 
+  /** Stop-shingle df cap shared by the capped near-dup family (q31, q415)
+    * AND their SQL oracles — the cap is expressed in `q31Sql`/`q415Sql`
+    * from this one constant, so a corpus with a shingle df above the cap
+    * cannot silently diverge Spark-vs-oracle: both engines drop the same
+    * hot postings. 25 = the measured max shingle df at sf0.1 (9 at
+    * sf0.001, 7 at sf0.01), so the cap drops nothing at any driver SF;
+    * TextOpsSpec pins capped ≡ exact on real data and proves the guard
+    * fires on a planted hot shingle.
+    */
+  val StopShingleDf = 25
+
   /** tokens: array<string> from `text`. */
   val toks: Column = expr("filter(split(lower(text), ' '), t -> t != '')")
   val toksSqlD = "list_filter(string_split(lower(text), ' '), t -> t != '')"
@@ -117,18 +128,21 @@ object TextOps {
   // before the self-join — pair mass is then ≤ cap·|postings| (linear in
   // the corpus) instead of Σ df² (quadratic on a templated/saturated
   // corpus, where the length-band prune alone does not bound the hot
-  // posting lists — SURVEY §8.18's measured n²). At cap = 25 (= the
-  // measured max shingle df at sf0.1; 9 at sf0.001, 7 at sf0.01) the cap
-  // drops NOTHING at any driver SF, so the catalog entry stays EXACT and
-  // every downstream consumer (q82/q408/q412/q414) keeps its oracle hash;
-  // TextOpsSpec pins capped ≡ exact on real data AND proves the guard
-  // fires on a planted hot shingle. On capped corpora the semantics are
-  // the standard stop-shingle approximation: a pair whose only shared
-  // shingles are hot is not a candidate, and `inter` counts only uncapped
-  // shingles against the FULL set sizes (jaccard is underestimated, never
-  // overestimated — dedup stays conservative).
+  // posting lists — SURVEY §8.18's measured n²). At cap = [[StopShingleDf]]
+  // (= the measured max shingle df at sf0.1; 9 at sf0.001, 7 at sf0.01)
+  // the cap drops NOTHING at any driver SF, so the catalog entry stays
+  // EXACT and every downstream consumer (q82/q408/q412/q414) keeps its
+  // oracle hash; TextOpsSpec pins capped ≡ exact on real data AND proves
+  // the guard fires on a planted hot shingle. On capped corpora the
+  // semantics are the standard stop-shingle approximation: a pair whose
+  // only shared shingles are hot is not a candidate, and `inter` counts
+  // only uncapped shingles against the FULL set sizes (jaccard is
+  // underestimated, never overestimated — dedup stays conservative).
+  // The SAME cap is expressed in `q31Sql` (round-11): Spark and oracle
+  // implement identical capped semantics on EVERY corpus, so the guard
+  // firing can never open a silent Spark-vs-oracle divergence.
   def q31NgramJaccard(spark: SparkSession, dir: String): DataFrame =
-    ngramJaccardPairs(Tables.documents(spark, dir), stopShingleDf = Some(25))
+    ngramJaccardPairs(Tables.documents(spark, dir), stopShingleDf = Some(StopShingleDf))
 
   /** The exact (uncapped) twin — spec-only: proves the shipped cap drops
     * nothing at driver SFs, and remains the reference semantics on
@@ -174,9 +188,13 @@ object TextOps {
        |    FROM (SELECT doc_id, $toksSqlD AS t FROM documents),
        |         UNNEST(generate_series(1, len(t) - 2)) AS u(i))),
        |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+       |shc AS (
+       |  SELECT sh.doc_id, sh.s FROM sh
+       |  JOIN (SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= $StopShingleDf) ok
+       |    USING (s)),
        |inter AS (
        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
-       |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  FROM shc a JOIN shc b ON a.s = b.s AND a.doc_id < b.doc_id
        |  GROUP BY 1, 2)
        |SELECT id_a, id_b,
        |  FLOOR((CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter)) * 1e6 + 0.5) / 1e6 AS jaccard
@@ -960,9 +978,13 @@ object TextOps {
        |    FROM (SELECT doc_id, $toksSqlD AS t FROM documents),
        |         UNNEST(generate_series(1, len(t) - 2)) AS u(i))),
        |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+       |shc AS (
+       |  SELECT sh.doc_id, sh.s FROM sh
+       |  JOIN (SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= $StopShingleDf) ok
+       |    USING (s)),
        |inter AS (
        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
-       |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  FROM shc a JOIN shc b ON a.s = b.s AND a.doc_id < b.doc_id
        |  GROUP BY 1, 2),
        |pairs AS (
        |  SELECT id_a, id_b FROM inter
@@ -1252,9 +1274,13 @@ object TextOps {
        |    FROM (SELECT doc_id, $toksSqlD AS t FROM documents),
        |         UNNEST(generate_series(1, len(t) - 2)) AS u(i))),
        |n AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+       |shc AS (
+       |  SELECT sh.doc_id, sh.s FROM sh
+       |  JOIN (SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= $StopShingleDf) ok
+       |    USING (s)),
        |inter AS (
        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
-       |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  FROM shc a JOIN shc b ON a.s = b.s AND a.doc_id < b.doc_id
        |  GROUP BY 1, 2),
        |pj AS (
        |  SELECT FLOOR((CAST(inter AS DOUBLE) / (na.n_sh + nb.n_sh - inter)) * 1e6 + 0.5) / 1e6 AS j
@@ -1393,7 +1419,7 @@ object TextOps {
   // driver SFs (max df 25 at sf0.1), so the oracle stays the exact
   // replay; the spec-only exact twin pins the parity.
   def incrementalDedup(docs: DataFrame,
-      stopShingleDf: Option[Int] = Some(25)): DataFrame = {
+      stopShingleDf: Option[Int] = Some(StopShingleDf)): DataFrame = {
     val tagged = docs
       .select(col("doc_id"), col("source"), col("text"),
         (substring(md5(col("doc_id").cast("string")), 1, 1) < "2").as("incoming"))
@@ -1466,10 +1492,14 @@ object TextOps {
        |      SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
        |      FROM (SELECT doc_id, ${TextOps.toksSqlD} AS t FROM documents),
        |           UNNEST(generate_series(1, len(t) - 2)) AS u(i)))),
+       |shc AS (
+       |  SELECT sh.doc_id, sh.s, sh.n_sh FROM sh
+       |  JOIN (SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= $StopShingleDf) ok
+       |    USING (s)),
        |near AS (
-       |  SELECT DISTINCT a.doc_id FROM sh a
+       |  SELECT DISTINCT a.doc_id FROM shc a
        |  JOIN d da ON da.doc_id = a.doc_id AND da.incoming
-       |  JOIN sh b ON a.s = b.s
+       |  JOIN shc b ON a.s = b.s
        |    AND a.n_sh <= b.n_sh * 2 AND b.n_sh <= a.n_sh * 2
        |  JOIN d db ON db.doc_id = b.doc_id AND NOT db.incoming
        |  GROUP BY a.doc_id, b.doc_id, a.n_sh, b.n_sh

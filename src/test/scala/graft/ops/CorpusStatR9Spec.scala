@@ -244,4 +244,19 @@ class CorpusStatR9Spec extends SparkSpec {
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     assert(got.toSeq === Seq(("s1", 2L, 2L, 1000000L)))
   }
+
+  test("q422 length drift: a fully one-sided source reads as maximal drift, not null") {
+    // lo=0, hi=3 -> half cut at doc_id 2. Source s2 lives entirely in
+    // half a: its per-half share is undefined (div by zero) — the guard
+    // must report the total-variation bound 1000000, never null.
+    def words(n: Int) = (1 to n).map(i => s"w$i").mkString(" ")
+    val d = docsDir(Seq(
+      (0L, words(4), "en", "s2"), (1L, words(20), "en", "s2"),
+      (2L, words(5), "en", "s1"), (3L, words(100), "en", "s1")))
+    val got = CorpusStatOps.q422LengthDrift(spark, d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.isNullAt(3), r.getLong(3)))
+    assert(got.toSeq === Seq(
+      ("s1", 0L, 2L, false, 1000000L), ("s2", 2L, 0L, false, 1000000L)))
+  }
 }

@@ -3,7 +3,7 @@
 
 Usage:
   python3 tools/benchdiff.py BENCH_FULL_r09.json BENCH_FULL_r10.json \
-      [--reg-ratio 1.5] [--reg-abs 0.5]
+      [--reg-ratio=1.5] [--reg-abs=0.5]
 
 Prints the common-query median ratio (the host-drift indicator: a
 uniform median shift is the machine, not the code), the regressions
@@ -12,17 +12,17 @@ swings are scheduler noise, not plans), the biggest improvements, and
 the queries present on only one side. Driver-side tooling like
 selfcheck.py; never linked by library code.
 """
-import json, sys, statistics
+import argparse, json, statistics, sys
 
 def main():
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    opts = dict(a.lstrip("-").split("=") for a in sys.argv[1:]
-                if a.startswith("--") and "=" in a)
-    reg_ratio = float(opts.get("reg-ratio", 1.5))
-    reg_abs = float(opts.get("reg-abs", 0.5))
-    if len(args) != 2:
-        print(__doc__)
-        return 2
+    p = argparse.ArgumentParser(
+        description=__doc__, formatter_class=argparse.RawDescriptionHelpFormatter)
+    p.add_argument("old"), p.add_argument("new")
+    p.add_argument("--reg-ratio", type=float, default=1.5)
+    p.add_argument("--reg-abs", type=float, default=0.5)
+    ns = p.parse_args()
+    args = [ns.old, ns.new]
+    reg_ratio, reg_abs = ns.reg_ratio, ns.reg_abs
     a = json.load(open(args[0]))["queries"]
     b = json.load(open(args[1]))["queries"]
     common = sorted(set(a) & set(b))
