@@ -1807,6 +1807,80 @@ object CapacityAuditOps {
     ("q291_data_profile", q291DataProfile _, Some(q291Sql)),
     ("q293_encoding_advisor", q293EncodingAdvisor _, Some(q293Sql)))
 
+  // --------------------------------------------------------------------------
+  // q428 — LSH BUCKET-SKEW FORECAST (round 11): before running the
+  // MinHash-LSH candidate join (q32) at 100 TB, what will the band
+  // buckets actually look like? Computes a PORTABLE 4-hash MinHash
+  // signature (md5 — both engines implement the same RFC, unlike q32's
+  // Spark-only xxhash64), bands it 2×2, and reports per band: bucket
+  // count, the largest bucket, and the candidate-pair mass Σ b·(b−1)/2 —
+  // the EXACT number of pair comparisons the banded equi-join will
+  // generate. q273 prices recall analytically from the similarity
+  // histogram; this prices the JOIN COST from the real bucket
+  // distribution, and a hot bucket here is the salting signal (q357)
+  // before the sweep, not an OOM during it.
+  //
+  // Scale: one shingle explode × 4 hash evaluations (row-local md5),
+  // one (doc, i) hash aggregate for the mins, one per-doc pivot to the
+  // 2-band signature, and a bounded groupBy on (band, sig) — linear end
+  // to end; nothing all-pairs anywhere.
+  def q428LshBucketForecast(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.WordShingles.register(spark)
+    val idx = spark.range(1).select(explode(expr("array(0, 1, 2, 3)")).as("i"))
+    val mins = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(expr(TextOps.shingles3Sql)).as("s"))
+      .crossJoin(broadcast(idx))
+      .select(col("doc_id"), col("i"),
+        md5(concat(col("s"), lit("#"), col("i").cast("string"))).as("h"))
+      .groupBy(col("doc_id"), col("i")).agg(min(col("h")).as("m"))
+    val sig = mins.groupBy(col("doc_id"))
+      .agg(max(when(col("i") === 0, col("m"))).as("m0"),
+        max(when(col("i") === 1, col("m"))).as("m1"),
+        max(when(col("i") === 2, col("m"))).as("m2"),
+        max(when(col("i") === 3, col("m"))).as("m3"))
+    val banded = sig.select(col("doc_id"), explode(array(
+      struct(lit(0).as("band"), md5(concat(col("m0"), col("m1"))).as("sig")),
+      struct(lit(1).as("band"), md5(concat(col("m2"), col("m3"))).as("sig")))).as("b"))
+      .select(col("doc_id"), col("b.band").as("band"), col("b.sig").as("sig"))
+    banded.groupBy(col("band"), col("sig")).agg(count(lit(1)).as("b"))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_buckets"), sum(col("b")).as("docs"),
+        max(col("b")).as("max_bucket"),
+        sum(expr("b * (b - 1L) div 2")).as("cand_pairs"))
+      .orderBy(col("band"))
+  }
+
+  val q428Sql: String =
+    s"""WITH sh AS (
+       |  SELECT DISTINCT doc_id, s FROM (
+       |    SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+       |    FROM (SELECT doc_id, ${TextOps.toksSqlD} AS t FROM documents),
+       |         UNNEST(generate_series(1, len(t) - 2)) AS u(i))),
+       |mins AS (
+       |  SELECT doc_id, i, MIN(md5(s || '#' || i)) AS m
+       |  FROM sh CROSS JOIN (SELECT UNNEST([0, 1, 2, 3]) AS i)
+       |  GROUP BY 1, 2),
+       |sig AS (
+       |  SELECT doc_id,
+       |    MAX(CASE WHEN i = 0 THEN m END) AS m0,
+       |    MAX(CASE WHEN i = 1 THEN m END) AS m1,
+       |    MAX(CASE WHEN i = 2 THEN m END) AS m2,
+       |    MAX(CASE WHEN i = 3 THEN m END) AS m3
+       |  FROM mins GROUP BY doc_id),
+       |banded AS (
+       |  SELECT doc_id, 0 AS band, md5(m0 || m1) AS sig FROM sig
+       |  UNION ALL
+       |  SELECT doc_id, 1, md5(m2 || m3) FROM sig),
+       |buckets AS (
+       |  SELECT band, sig, COUNT(*) AS b FROM banded GROUP BY 1, 2)
+       |SELECT band, COUNT(*) AS n_buckets, CAST(SUM(b) AS BIGINT) AS docs,
+       |  CAST(MAX(b) AS BIGINT) AS max_bucket,
+       |  CAST(SUM(b * (b - 1) // 2) AS BIGINT) AS cand_pairs
+       |FROM buckets GROUP BY band ORDER BY band""".stripMargin
+
+  private val catalogR11: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
+    ("q428_lsh_bucket_forecast", q428LshBucketForecast _, Some(q428Sql)))
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
-    catalogAi ++ catalogAl ++ catalogAm ++ catalogAo ++ catalogAp ++ catalogAr ++ catalogAt ++ catalogAv ++ catalogAw ++ catalogAx ++ catalogZ ++ catalogR8
+    catalogAi ++ catalogAl ++ catalogAm ++ catalogAo ++ catalogAp ++ catalogAr ++ catalogAt ++ catalogAv ++ catalogAw ++ catalogAx ++ catalogZ ++ catalogR8 ++ catalogR11
 }

@@ -1685,7 +1685,109 @@ object CorpusStatOps {
   private val catalogR8: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q279_dsir_weighting", q279DsirWeighting _, Some(q279Sql)))
 
+  // --------------------------------------------------------------------------
+  // q423 — METADATA-CONFLICT CENSUS over near-dup clusters (round 11):
+  // for every q82 dedup cluster, does the cluster agree on its metadata?
+  // A cluster whose members carry DIFFERENT lang or source labels is
+  // labeling noise — survivorship (q152) keeps ONE representative's
+  // metadata and silently discards the others, so this census is the
+  // audit an operator runs BEFORE trusting per-lang/per-source mixture
+  // weights (q210/q329) computed on the deduped corpus. Output: one row
+  // per (lang_conflict, source_conflict) cell with cluster and doc
+  // counts — the (false, false) cell is benign same-source re-posting;
+  // any true cell quantifies metadata the sweep will destroy.
+  //
+  // Scale: the shared (capped, probed) pair pipeline + one slim join of
+  // cluster labels to (lang, source) + two bounded hash aggregates
+  // (cluster domain, then a ≤ 4-cell census). Linear past the pipeline.
+  def q423LabelConflict(spark: SparkSession, dir: String): DataFrame =
+    TextOps.clusterPairs(
+      TextOps.q31NgramJaccard(spark, dir).select(col("id_a"), col("id_b")))
+      .join(Tables.documents(spark, dir)
+        .select(col("doc_id"), col("lang"), col("source")), "doc_id")
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("members"),
+        countDistinct(col("lang")).as("nl"),
+        countDistinct(col("source")).as("ns"))
+      .groupBy((col("nl") > 1).as("lang_conflict"), (col("ns") > 1).as("source_conflict"))
+      .agg(count(lit(1)).as("n_clusters"), sum(col("members")).as("n_docs"))
+      .orderBy(col("lang_conflict"), col("source_conflict"))
+
+  val q423Sql: String = {
+    val prefix = TextOps.q82Sql.substring(0, TextOps.q82Sql.indexOf("SELECT l.doc_id"))
+    prefix +
+      """,cl AS (
+        |  SELECT l.cluster, COUNT(*) AS members,
+        |    COUNT(DISTINCT d.lang) AS nl, COUNT(DISTINCT d.source) AS ns
+        |  FROM labels l JOIN documents d ON d.doc_id = l.doc_id
+        |  GROUP BY l.cluster)
+        |SELECT nl > 1 AS lang_conflict, ns > 1 AS source_conflict,
+        |  COUNT(*) AS n_clusters, CAST(SUM(members) AS BIGINT) AS n_docs
+        |FROM cl GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
+
+  // --------------------------------------------------------------------------
+  // q427 — SOURCE VOCABULARY-OVERLAP MATRIX (round 11): pairwise Jaccard
+  // over each source's shingle TYPE set — "how redundant are my sources
+  // at the vocabulary level" BEFORE any document-level dedup runs. The
+  // type-level view complements q417 (document copy matrix: instances)
+  // and q348 (unigram distribution divergence): two crawls can share no
+  // verbatim documents yet still contribute near-identical phrase
+  // inventories, which caps the marginal value of ingesting both.
+  //
+  // Scale: distinct (source, shingle) projection collapses the corpus to
+  // the type domain ONCE (hash aggregate, linear); the pair join is on
+  // the shingle key where each posting list is bounded by |sources| —
+  // pair mass ≤ |types|·|sources|²/2 with |sources| small and FIXED (a
+  // catalog dimension, not a data dimension), so the join is linear in
+  // types at any corpus scale. Jaccard on exact integer counts.
+  def q427SourceTypeOverlap(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.WordShingles.register(spark)
+    val types = Tables.documents(spark, dir)
+      .select(col("source"), explode(expr(TextOps.shingles3Sql)).as("s"))
+      .distinct()
+      .localCheckpoint(false) // feeds the per-source sizes AND the pair join
+    val sizes = types.groupBy(col("source")).agg(count(lit(1)).as("n_types"))
+    val inter = types.as("a")
+      .join(types.as("b"),
+        col("a.s") === col("b.s") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(broadcast(sizes).withColumnRenamed("source", "src_a")
+        .withColumnRenamed("n_types", "na"), Seq("src_a"))
+      .join(broadcast(sizes).withColumnRenamed("source", "src_b")
+        .withColumnRenamed("n_types", "nb"), Seq("src_b"))
+      .select(col("src_a"), col("src_b"), col("inter"), col("na"), col("nb"),
+        expr("(1000000L * inter) div (na + nb - inter)").as("jaccard_ppm"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
+  val q427Sql: String =
+    s"""WITH ty AS (
+       |  SELECT DISTINCT source, s FROM (
+       |    SELECT source, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+       |    FROM (SELECT source, ${TextOps.toksSqlD} AS t FROM documents),
+       |         UNNEST(generate_series(1, len(t) - 2)) AS u(i))),
+       |sz AS (SELECT source, COUNT(*) AS n_types FROM ty GROUP BY 1),
+       |pr AS (
+       |  SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS inter
+       |  FROM ty a JOIN ty b ON a.s = b.s AND a.source < b.source
+       |  GROUP BY 1, 2)
+       |SELECT src_a, src_b, inter,
+       |  sa.n_types AS na, sb.n_types AS nb,
+       |  CAST((1000000 * inter) // (sa.n_types + sb.n_types - inter) AS BIGINT)
+       |    AS jaccard_ppm
+       |FROM pr
+       |JOIN sz sa ON sa.source = src_a
+       |JOIN sz sb ON sb.source = src_b
+       |ORDER BY src_a, src_b""".stripMargin
+
+  private val catalogR11: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
+    ("q423_label_conflict", q423LabelConflict _, Some(q423Sql)),
+    ("q427_source_type_overlap", q427SourceTypeOverlap _, Some(q427Sql)))
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
     catalogE ++ catalogK ++ catalogL ++ catalogM ++ catalogO ++ catalogAn ++
-      catalogAu ++ catalogR9 ++ catalogR8
+      catalogAu ++ catalogR9 ++ catalogR8 ++ catalogR11
 }

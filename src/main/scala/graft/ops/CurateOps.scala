@@ -1052,5 +1052,64 @@ object CurateOps {
     ("q203_curation_funnel", q203CurationFunnel _, Some(q203Sql)),
     ("q204_zipf_fit", q204ZipfFit _, Some(q204Sql)),
     // formerly Round8cOps
-    ("q299_curation_v2", q299CurationV2 _, Some(q299Sql)))
+    ("q299_curation_v2", q299CurationV2 _, Some(q299Sql)),
+    ("q425_filter_overlap", q425FilterOverlap _, Some(q425Sql)))
+
+  // --------------------------------------------------------------------------
+  // q425 — QUALITY-GATE OVERLAP CENSUS (round 11): the Venn decomposition
+  // of three independent row-local curation gates — length (8 ≤ ntok ≤
+  // 512, the Gopher-style bound), stopword evidence (≥ 2 English
+  // stopwords, the C4-style natural-language signal), and symbol load
+  // (punctuation ≤ 20% of chars) — one row per pass/fail combination with
+  // doc count, token mass, and corpus doc share. q203's funnel prices the
+  // gates SEQUENTIALLY (each stage sees the survivors); this is the
+  // complementary readout: which gates are REDUNDANT (their fail sets
+  // nest) and which bite independently — the number that says whether
+  // running the expensive third gate changes the kept set at all.
+  //
+  // Scale: all three predicates are row-local integer arithmetic in one
+  // codegen'd pass; the census is a hash aggregate onto ≤ 8 cells and the
+  // share denominator is a window total over that bounded grid.
+  def q425FilterOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val stopSet = "array('the', 'a', 'of', 'and', 'to', 'is')"
+    val flags = Tables.documents(spark, dir)
+      .select(col("n_chars"), col("text"),
+        expr("filter(split(lower(text), ' '), t -> t != '')").as("toks"))
+      .select(
+        size(col("toks")).cast("long").as("ntok"),
+        expr(s"size(filter(toks, t -> array_contains($stopSet, t)))").as("stop_hits"),
+        length(regexp_replace(col("text"), "[^.!?,;:]", "")).cast("long").as("n_punct"),
+        col("n_chars"))
+      .select(
+        (col("ntok") >= 8 && col("ntok") <= 512).as("len_ok"),
+        (col("stop_hits") >= 2).as("stop_ok"),
+        (col("n_punct") * 5 <= col("n_chars")).as("sym_ok"),
+        col("ntok"))
+    flags.groupBy(col("len_ok"), col("stop_ok"), col("sym_ok"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("ntok")).as("tokens"))
+      .withColumn("docs_ppm",
+        expr("(1000000L * n_docs) div (sum(n_docs) over ())"))
+      .orderBy(col("len_ok"), col("stop_ok"), col("sym_ok"))
+  }
+
+  // lazy: referenced by the `catalog` val declared ABOVE this definition —
+  // a plain val would still be null at catalog-initialization time
+  lazy val q425Sql: String =
+    s"""WITH f AS (
+       |  SELECT
+       |    len(${graft.ops.TextOps.toksSqlD}) AS ntok,
+       |    len(list_filter(${graft.ops.TextOps.toksSqlD},
+       |        t -> list_contains(['the','a','of','and','to','is'], t))) AS stop_hits,
+       |    length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS n_punct,
+       |    n_chars
+       |  FROM documents),
+       |cells AS (
+       |  SELECT ntok BETWEEN 8 AND 512 AS len_ok, stop_hits >= 2 AS stop_ok,
+       |    n_punct * 5 <= n_chars AS sym_ok, ntok
+       |  FROM f)
+       |SELECT len_ok, stop_ok, sym_ok, COUNT(*) AS n_docs,
+       |  CAST(SUM(ntok) AS BIGINT) AS tokens,
+       |  CAST((1000000 * COUNT(*)) // (SUM(COUNT(*)) OVER ()) AS BIGINT)
+       |    AS docs_ppm
+       |FROM cells GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
 }

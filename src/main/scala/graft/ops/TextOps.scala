@@ -47,7 +47,7 @@ object TextOps {
     * the dominant cost of the near-dup family. The native expression
     * removes both.)
     */
-  private val shingles3Sql =
+  private[ops] val shingles3Sql =
     "word_shingles(filter(split(lower(text), ' '), t -> t != ''), 3)"
 
   /** (doc_id, sh: array<string>) distinct word-3-gram shingle sets —
@@ -1044,6 +1044,77 @@ object TextOps {
   }
 
   // --------------------------------------------------------------------------
+  // q426 — PER-SOURCE SURVIVOR RETENTION (round 11): what the full dedup
+  // sweep — near-dup detection (q31), clustering (q82), survivorship
+  // (q152) — actually COSTS each source: docs and token mass before vs
+  // after dropping every non-representative cluster member, with ppm
+  // retention rates. The post-sweep accounting every mixture plan
+  // (q210/q329) must be re-weighted by: a source that loses 40% of its
+  // token mass to dedup contributes 40% less than its raw share says,
+  // and this is the table that says so.
+  //
+  // Scale: the shared (capped) pair pipeline + q152's rep selection —
+  // one slim join of cluster labels to (doc_id, n_chars), one max_by per
+  // cluster, one anti-join-shaped flag join on doc_id, one per-source
+  // hash aggregate. The retention guard mirrors q422: a source whose
+  // every doc is empty (zero token mass) reads as fully retained, not a
+  // div-by-zero.
+  def q426SurvivorRetention(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        expr("size(filter(split(lower(text), ' '), t -> t != ''))")
+          .cast("long").as("ntok"))
+    val labeled = clusterPairs(
+      q31NgramJaccard(spark, dir).select(col("id_a"), col("id_b")))
+      .join(docs.select(col("doc_id"), col("n_chars")), "doc_id")
+    val reps = labeled.groupBy(col("cluster"))
+      .agg(max_by(col("doc_id"), expr("n_chars * 100000000 - doc_id")).as("rep"))
+    val dropped = labeled.join(reps, "cluster")
+      .filter(col("doc_id") =!= col("rep"))
+      .select(col("doc_id"), lit(1).as("is_dropped"))
+    docs.join(dropped, Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("docs_before"), sum(col("ntok")).as("tokens_before"),
+        count_if(col("is_dropped").isNull).as("docs_after"),
+        sum(when(col("is_dropped").isNull, col("ntok")).otherwise(0L)).as("tokens_after"))
+      .select(col("source"), col("docs_before"), col("tokens_before"),
+        col("docs_after"), col("tokens_after"),
+        expr("(1000000L * docs_after) div docs_before").as("docs_kept_ppm"),
+        when(col("tokens_before") === 0, lit(1000000L))
+          .otherwise(expr("(1000000L * tokens_after) div tokens_before"))
+          .as("tokens_kept_ppm"))
+      .orderBy(col("source"))
+  }
+
+  val q426Sql: String = {
+    val prefix = q82Sql.substring(0, q82Sql.indexOf("SELECT l.doc_id"))
+    prefix +
+      s""",reps AS (
+         |  SELECT cluster,
+         |    ARG_MAX(l.doc_id, d.n_chars * 100000000 - l.doc_id) AS rep
+         |  FROM labels l JOIN documents d ON d.doc_id = l.doc_id
+         |  GROUP BY cluster),
+         |dropped AS (
+         |  SELECT l.doc_id FROM labels l JOIN reps r USING (cluster)
+         |  WHERE l.doc_id <> r.rep),
+         |base AS (
+         |  SELECT doc_id, source, CAST(len($toksSqlD) AS BIGINT) AS ntok
+         |  FROM documents)
+         |SELECT source, COUNT(*) AS docs_before,
+         |  CAST(SUM(ntok) AS BIGINT) AS tokens_before,
+         |  CAST(COUNT(*) FILTER (dr.doc_id IS NULL) AS BIGINT) AS docs_after,
+         |  CAST(COALESCE(SUM(ntok) FILTER (dr.doc_id IS NULL), 0) AS BIGINT)
+         |    AS tokens_after,
+         |  CAST((1000000 * COUNT(*) FILTER (dr.doc_id IS NULL)) // COUNT(*)
+         |    AS BIGINT) AS docs_kept_ppm,
+         |  CAST(CASE WHEN SUM(ntok) = 0 THEN 1000000
+         |    ELSE (1000000 * COALESCE(SUM(ntok) FILTER (dr.doc_id IS NULL), 0))
+         |      // SUM(ntok) END AS BIGINT) AS tokens_kept_ppm
+         |FROM base b LEFT JOIN dropped dr ON dr.doc_id = b.doc_id
+         |GROUP BY source ORDER BY source""".stripMargin
+  }
+
+  // --------------------------------------------------------------------------
   // q84 — text normalization/cleaning: collapse whitespace runs, strip
   // non-alphanumerics, lowercase — the canonicalization step BEFORE exact
   // dedup hashing (q30) so formatting variants collapse to one hash.
@@ -1724,6 +1795,7 @@ object TextOps {
     ("q81_bm25", q81Bm25 _, Some(q81Sql)),
     ("q82_dedup_clusters", q82DedupClusters _, Some(q82Sql)),
     ("q152_cluster_reps", q152ClusterReps _, Some(q152Sql)),
+    ("q426_survivor_retention", q426SurvivorRetention _, Some(q426Sql)),
     ("q79_bpe_tokens", q79BpeTokens _, Some(q79Sql)),
     ("q72_fuzzy_match", q72FuzzyMatch _, Some(q72Sql)),
     // same oracle as q72: the blocked path must reproduce the exact

@@ -270,12 +270,13 @@ object VectorOps {
     * the q45 body, factored for spec-driven synthetic clusters (label
     * doubles as the coarse cell seed). Caller must have registered
     * cosine_sim. */
-  def annIvf(embeddings: DataFrame): DataFrame = {
-    val base = embeddings
-      .select(col("vec_id"), col("label"), vd.as("v"))
-    // codebook: exact per-label mean vectors (same scaled-long arithmetic
-    // as q41 — a raw double avg is order-dependent and could flip cell
-    // assignments between runs)
+  /** Every vector scored against every IVF cell centroid (broadcast
+    * codebook). The codebook is the exact per-label mean (same scaled-long
+    * arithmetic as q41 — a raw double avg is order-dependent and could
+    * flip cell assignments between runs). Shared by q45 (the search) and
+    * q424 (the nprobe planner). Caller must have registered cosine_sim.
+    */
+  private def ivfScored(base: DataFrame): DataFrame = {
     val codebook = base
       .select(col("label").as("cell"), posexplode(col("v")))
       .withColumn("vq", expr("cast(floor(col * 1e12 + 0.5d) as long)"))
@@ -284,8 +285,14 @@ object VectorOps {
       .groupBy(col("cell"))
       .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
       .select(col("cell"), expr("transform(pc, x -> x.c)").as("cv"))
-    val scored = base.crossJoin(broadcast(codebook))
+    base.crossJoin(broadcast(codebook))
       .withColumn("csim", expr("cosine_sim(v, cv)"))
+  }
+
+  def annIvf(embeddings: DataFrame): DataFrame = {
+    val base = embeddings
+      .select(col("vec_id"), col("label"), vd.as("v"))
+    val scored = ivfScored(base)
     // deterministic argmax: max(struct(sim, cell)) — ties break on cell id
     val assigned = scored
       .groupBy(col("vec_id"), col("label"), col("v"))
@@ -350,6 +357,134 @@ object VectorOps {
       |  FROM sims)
       |SELECT qid, CAST(rank AS INT) AS rank, vec_id, FLOOR((sim) * 1e4 + 0.5) / 1e4 AS sim
       |FROM ranked WHERE rank <= 10 ORDER BY qid, rank""".stripMargin
+
+  // --------------------------------------------------------------------------
+  // q424 — IVF NPROBE RECALL CURVE (round 11): before an ANN sweep over
+  // 100 TB of embeddings, which nprobe actually buys the recall the
+  // pipeline needs? For nprobe ∈ {1, 2, 4}, run the q45 IVF search and
+  // measure recall@10 against the exact brute-force top-10 ground truth
+  // (same query set, vec_id < 5) — the empirical cost/recall readout that
+  // prices the probe width the way q273 prices LSH band/row choices and
+  // q414 prices a Jaccard threshold. Candidate volume scales ~linearly
+  // with nprobe, so the curve's knee IS the compute decision.
+  //
+  // Scale: the codebook scoring and cell assignment are the q45 shapes
+  // (broadcast codebook, linear scan); ground truth is |queries| × n with
+  // a BOUNDED broadcast query set (the planner runs on a probe sample,
+  // never the full corpus); per-nprobe candidates ride one broadcast
+  // (nprobe, qid, cell) grid join — no re-scan per grid cell.
+  //
+  // Determinism: recall counts compare vec_id SETS selected by
+  // (sim DESC, vec_id ASC) rankings — the q45 contract; both engines run
+  // identical IEEE double dot products, so the rankings agree exactly.
+  def q424NprobeCurve(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.CosineSimilarity.register(spark)
+    val base = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"), vd.as("v"))
+    val scored = ivfScored(base)
+      .localCheckpoint(false) // feeds cell assignment AND probe ranking
+    val assigned = scored
+      .groupBy(col("vec_id"), col("v"))
+      .agg(max(struct(col("csim"), col("cell"))).as("best"))
+      .select(col("vec_id"), col("v"), col("best.cell").as("cell"))
+    val queries = base.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val wG = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id").asc)
+    val gt = base.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("sim", expr("cosine_sim(v, qv)"))
+      .withColumn("rank", row_number().over(wG)).filter(col("rank") <= 10)
+      .select(col("qid"), col("vec_id"))
+      .localCheckpoint(false) // feeds the per-nprobe hit join AND the denominator
+    val wCell = Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cell").asc)
+    val probes = scored.filter(col("vec_id") < 5)
+      .withColumn("rn", row_number().over(wCell)).filter(col("rn") <= 4)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("cell"), col("rn"))
+    val grid = spark.range(1).select(explode(expr("array(1, 2, 4)")).as("nprobe"))
+    val pg = probes.crossJoin(broadcast(grid)).filter(col("rn") <= col("nprobe"))
+      .select(col("nprobe"), col("qid"), col("qv"), col("cell"))
+    val wI = Window.partitionBy(col("nprobe"), col("qid"))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+    val ivf = assigned.join(broadcast(pg), Seq("cell"))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("sim", expr("cosine_sim(v, qv)"))
+      .withColumn("rank", row_number().over(wI)).filter(col("rank") <= 10)
+      .select(col("nprobe"), col("qid"), col("vec_id"))
+    val hits = ivf.join(gt, Seq("qid", "vec_id"))
+      .groupBy(col("nprobe")).agg(count(lit(1)).as("hits"))
+    val denom = gt.agg(count(lit(1)).as("gt_rows"))
+    grid.join(hits, Seq("nprobe"), "left").crossJoin(broadcast(denom))
+      .withColumn("hits", coalesce(col("hits"), lit(0L)))
+      .select(col("nprobe"), col("hits"), col("gt_rows"),
+        expr("(1000000L * hits) div gt_rows").as("recall_ppm"))
+      .orderBy(col("nprobe"))
+  }
+
+  /** q424 oracle: the q45 replay (exact codebook, csim assignment/probe
+    * tie-breaks) extended with a brute-force ground-truth CTE and the
+    * nprobe grid; recall counts are set intersections of deterministic
+    * rankings. */
+  val q424Sql: String =
+    """WITH base AS (
+      |  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+      |cb0 AS (
+      |  SELECT label AS cell, dim, CAST(SUM(vq) AS DOUBLE) / 1e12 / COUNT(*) AS c
+      |  FROM (
+      |    SELECT label, generate_subscripts(embedding, 1) - 1 AS dim,
+      |      CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1e12 + 0.5) AS BIGINT) AS vq
+      |    FROM embeddings)
+      |  GROUP BY label, dim),
+      |codebook AS (SELECT cell, list(c ORDER BY dim) AS cv FROM cb0 GROUP BY cell),
+      |scored AS (
+      |  SELECT b.vec_id, b.v, cb.cell,
+      |    list_reduce(list_transform(range(1, 65), d -> b.v[d] * cb.cv[d]), (x, y) -> x + y)
+      |      / sqrt(list_reduce(list_transform(b.v, x -> x * x), (x, y) -> x + y)
+      |           * list_reduce(list_transform(cb.cv, x -> x * x), (x, y) -> x + y)) AS csim
+      |  FROM base b CROSS JOIN codebook cb),
+      |assigned AS (
+      |  SELECT vec_id, v, cell FROM (
+      |    SELECT vec_id, v, cell,
+      |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell DESC) AS rn
+      |    FROM scored) WHERE rn = 1),
+      |probes AS (
+      |  SELECT vec_id AS qid, v AS qv, cell, rn FROM (
+      |    SELECT vec_id, v, cell,
+      |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell ASC) AS rn
+      |    FROM scored WHERE vec_id < 5) WHERE rn <= 4),
+      |g AS (SELECT UNNEST([1, 2, 4]) AS nprobe),
+      |pg AS (SELECT nprobe, qid, qv, cell FROM probes CROSS JOIN g WHERE rn <= nprobe),
+      |q AS (SELECT vec_id AS qid, v AS qv FROM base WHERE vec_id < 5),
+      |gt AS (
+      |  SELECT qid, vec_id FROM (
+      |    SELECT qid, vec_id,
+      |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id ASC) AS rank
+      |    FROM (
+      |      SELECT qid, b.vec_id,
+      |        list_reduce(list_transform(range(1, 65), d -> b.v[d] * qv[d]), (x, y) -> x + y)
+      |          / sqrt(list_reduce(list_transform(b.v, x -> x * x), (x, y) -> x + y)
+      |               * list_reduce(list_transform(qv, x -> x * x), (x, y) -> x + y)) AS sim
+      |      FROM base b CROSS JOIN q WHERE b.vec_id <> qid))
+      |  WHERE rank <= 10),
+      |sims AS (
+      |  SELECT nprobe, qid, a.vec_id,
+      |    list_reduce(list_transform(range(1, 65), d -> a.v[d] * qv[d]), (x, y) -> x + y)
+      |      / sqrt(list_reduce(list_transform(a.v, x -> x * x), (x, y) -> x + y)
+      |           * list_reduce(list_transform(qv, x -> x * x), (x, y) -> x + y)) AS sim
+      |  FROM assigned a JOIN pg USING (cell) WHERE a.vec_id <> qid),
+      |ivf AS (
+      |  SELECT nprobe, qid, vec_id FROM (
+      |    SELECT nprobe, qid, vec_id,
+      |      ROW_NUMBER() OVER (PARTITION BY nprobe, qid ORDER BY sim DESC, vec_id ASC) AS rank
+      |    FROM sims) WHERE rank <= 10),
+      |hits AS (
+      |  SELECT nprobe, COUNT(*) AS hits FROM ivf JOIN gt USING (qid, vec_id)
+      |  GROUP BY 1),
+      |den AS (SELECT COUNT(*) AS gt_rows FROM gt)
+      |SELECT g.nprobe, CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits,
+      |  CAST(gt_rows AS BIGINT) AS gt_rows,
+      |  CAST((1000000 * COALESCE(h.hits, 0)) // gt_rows AS BIGINT) AS recall_ppm
+      |FROM g LEFT JOIN hits h USING (nprobe) CROSS JOIN den
+      |ORDER BY g.nprobe""".stripMargin
 
   // --------------------------------------------------------------------------
   // q49 — embedding-cosine near-duplicate pairs (the dedup flavor of
@@ -1338,6 +1473,7 @@ object VectorOps {
     ("q42_ann_lsh", q42AnnLsh _, Some(q42Sql)),
     ("q43_centroid_agg", q43CentroidAgg _, Some(q43Sql)),
     ("q45_ann_ivf", q45AnnIvf _, Some(q45Sql)),
+    ("q424_nprobe_curve", q424NprobeCurve _, Some(q424Sql)),
     // the realistic-threshold (0.9, 16×8) entry over the planted-twin
     // corpus; the oracle is the exact all-pairs SQL over the same corpus
     // (full recall by construction of the band params). The adversarial

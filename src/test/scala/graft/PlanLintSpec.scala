@@ -34,6 +34,8 @@ class PlanLintSpec extends SparkSpec {
     * bounded input is still scale-safe there.
     */
   private val windowAllow: Map[String, String] = Map(
+    "q425_filter_overlap" ->
+      "share denominator runs over the ≤ 8-row gate-combination census (2³ boolean cells) — domain-bounded, corpus-size-independent",
     "q164_skyline" ->
       "window runs over the per-frequency max grid — bounded by |distinct order counts|, not customers",
     "q112_budget_select" ->
@@ -147,6 +149,10 @@ class PlanLintSpec extends SparkSpec {
 
   /** name → reason a no-equi-key join is still scale-safe there. */
   private val joinAllow: Map[String, String] = Map(
+    "q424_nprobe_curve" ->
+      "bounded-grid joins by construction: the probe frame is |queries| (vec_id < 5) × rn ≤ 4 cells crossed with the 3-row nprobe grid — every non-equi side is corpus-size-independent; candidate fan-out rides the equi-join on cell",
+    "q428_lsh_bucket_forecast" ->
+      "broadcast 4-row minhash-index grid crossed with the shingle stream — the grid is a fixed signature dimension (k = 4), corpus-size-independent",
     "q232_conformal" ->
       "broadcast 1-row sides by construction: the (n_cal, k, max) aggregate, the rank-k bucket row, and the single q-hat order statistic — q169's two-pass rank then joins back equi on bucket",
     "q237_kaplan_meier" ->

@@ -1,0 +1,124 @@
+package graft.ops
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+
+/** Planted-fixture tests for the round-11 planner/audit batch: metadata
+  * conflicts over near-dup clusters (q423), the IVF nprobe recall curve
+  * (q424), the quality-gate overlap census (q425), per-source survivor
+  * retention (q426), the source vocabulary-overlap matrix (q427), and the
+  * portable LSH bucket forecast (q428) — each on a hand-computed ledger.
+  */
+class CorpusPlannerSpec extends SparkSpec {
+
+  private def docsDir(rows: Seq[(Long, String, String, String)]): String = {
+    import spark.implicits._
+    val d = Files.createTempDirectory("graft_r11_docs").toString
+    rows.map { case (id, text, lang, source) =>
+      (id, text, lang, source, text.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$d/documents.parquet")
+    d
+  }
+
+  private def embDir(rows: Seq[(Long, Seq[Float], Int)]): String = {
+    import spark.implicits._
+    val d = Files.createTempDirectory("graft_r11_emb").toString
+    rows.toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.parquet(s"$d/embeddings.parquet")
+    d
+  }
+
+  test("q423 label conflict: a cross-lang cluster lands in the (true, false) cell") {
+    // docs 1+2 are exact near-dups (jaccard 1) but disagree on lang and
+    // agree on source; doc 3 is an untouched singleton (not censused).
+    val d = docsDir(Seq(
+      (1L, "a b c d", "en", "s1"),
+      (2L, "a b c d", "de", "s1"),
+      (3L, "x y z w", "en", "s1")))
+    val got = CorpusStatOps.q423LabelConflict(spark, d).collect()
+      .map(r => (r.getBoolean(0), r.getBoolean(1),
+        r.getAs[Long]("n_clusters"), r.getAs[Long]("n_docs")))
+    assert(got.toSeq === Seq((true, false, 1L, 2L)))
+  }
+
+  test("q424 nprobe curve: recall 1/2 at nprobe=1, exact at nprobe >= #cells") {
+    // Two well-separated cells. Query = vec 0 (the only vec_id < 5).
+    // Ground truth top-10 = all 4 other vectors. nprobe=1 probes only the
+    // query's own cell {10, 11} -> 2/4 hits; nprobe >= 2 covers both
+    // cells -> 4/4.
+    val d = embDir(Seq(
+      (0L, Seq(1f, 0f, 0f, 0f), 0),
+      (10L, Seq(0.9f, 0.1f, 0f, 0f), 0),
+      (11L, Seq(0.8f, 0.2f, 0f, 0f), 0),
+      (20L, Seq(0f, 1f, 0f, 0f), 1),
+      (21L, Seq(0.1f, 0.9f, 0f, 0f), 1)))
+    val got = VectorOps.q424NprobeCurve(spark, d).collect()
+      .map(r => (r.getInt(0), r.getAs[Long]("hits"),
+        r.getAs[Long]("gt_rows"), r.getAs[Long]("recall_ppm")))
+    assert(got.toSeq === Seq(
+      (1, 2L, 4L, 500000L), (2, 4L, 4L, 1000000L), (4, 4L, 4L, 1000000L)))
+  }
+
+  test("q425 filter overlap: hand-computed gate cells and shares") {
+    // doc A: 8 tokens, all stopwords, no punctuation -> (T, T, T)
+    // doc B: 2 tokens, no stopwords, no punctuation -> len fail, stop
+    // fail, sym ok -> (F, F, T)
+    val d = docsDir(Seq(
+      (1L, "the of and is a to the of", "en", "s1"),
+      (2L, "x y", "en", "s1")))
+    val got = CurateOps.q425FilterOverlap(spark, d).collect()
+      .map(r => (r.getBoolean(0), r.getBoolean(1), r.getBoolean(2),
+        r.getAs[Long]("n_docs"), r.getAs[Long]("tokens"),
+        r.getAs[Long]("docs_ppm")))
+    assert(got.toSeq === Seq(
+      (false, false, true, 1L, 2L, 500000L),
+      (true, true, true, 1L, 8L, 500000L)))
+  }
+
+  test("q426 survivor retention: the dropped cluster member bills its source") {
+    // docs 1+2 cluster (tie on n_chars -> key n_chars*1e8 - doc_id keeps
+    // doc 1); doc 3 is a singleton in s2 and fully retained.
+    val d = docsDir(Seq(
+      (1L, "a b c d", "en", "s1"),
+      (2L, "a b c d", "en", "s1"),
+      (3L, "x y z w", "en", "s2")))
+    val rows = TextOps.q426SurvivorRetention(spark, d).collect()
+      .map(r => (r.getString(0), r.getAs[Long]("docs_before"),
+        r.getAs[Long]("tokens_before"), r.getAs[Long]("docs_after"),
+        r.getAs[Long]("tokens_after"), r.getAs[Long]("docs_kept_ppm"),
+        r.getAs[Long]("tokens_kept_ppm")))
+    assert(rows.toSeq === Seq(
+      ("s1", 2L, 8L, 1L, 4L, 500000L, 500000L),
+      ("s2", 1L, 4L, 1L, 4L, 1000000L, 1000000L)))
+  }
+
+  test("q427 source type overlap: one shared shingle of two per side") {
+    // s1: {"a b c", "b c d"}; s2: {"a b c", "b c x"} -> inter 1, union 3
+    val d = docsDir(Seq(
+      (1L, "a b c d", "en", "s1"),
+      (2L, "a b c x", "en", "s2")))
+    val got = CorpusStatOps.q427SourceTypeOverlap(spark, d).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getAs[Long]("inter"),
+        r.getAs[Long]("na"), r.getAs[Long]("nb"),
+        r.getAs[Long]("jaccard_ppm")))
+    assert(got.toSeq === Seq(("s1", "s2", 1L, 2L, 2L, 333333L)))
+  }
+
+  test("q428 LSH bucket forecast: identical docs share every band bucket") {
+    // Three identical docs -> identical 4-hash signatures -> one bucket
+    // of 3 per band -> 3 candidate pairs per band. The 1-token doc has
+    // no shingles and stays out of the index entirely.
+    val d = docsDir(Seq(
+      (1L, "a b c d e", "en", "s1"),
+      (2L, "a b c d e", "en", "s1"),
+      (3L, "a b c d e", "en", "s2"),
+      (4L, "solo", "en", "s1")))
+    val got = CapacityAuditOps.q428LshBucketForecast(spark, d).collect()
+      .map(r => (r.getInt(0), r.getAs[Long]("n_buckets"),
+        r.getAs[Long]("docs"), r.getAs[Long]("max_bucket"),
+        r.getAs[Long]("cand_pairs")))
+    assert(got.toSeq === Seq((0, 1L, 3L, 3L, 3L), (1, 1L, 3L, 3L, 3L)))
+  }
+}
