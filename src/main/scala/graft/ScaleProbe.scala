@@ -379,7 +379,17 @@ object ScaleProbe {
     // claimed edge-linear) and Siegel repeated medians (calendar-grid
     // pair expansion, ≤730² pairs at ANY corpus size; claimed flat by
     // construction after the daily collapse)
-    "q350_hits", "q334_siegel_slope")
+    "q350_hits", "q334_siegel_slope",
+    // round-11 planner/audit batch: two new consumers of the guarded
+    // pair pipeline (q423 conflict census, q426 survivor retention — the
+    // pipeline itself is probed, these check the label joins stay slim),
+    // the broadcast-codebook nprobe curve (q424, |queries|-bounded GT),
+    // the row-local gate census (q425), the source-pair type join (q427,
+    // postings bounded by |sources|), and the portable 4-hash MinHash
+    // band census (q428, claimed shingle-linear)
+    "q423_label_conflict", "q424_nprobe_curve", "q425_filter_overlap",
+    "q426_survivor_retention", "q427_source_type_overlap",
+    "q428_lsh_bucket_forecast")
 
   def main(args: Array[String]): Unit = {
     val scales = if (args.nonEmpty) args.map(_.toInt).toSeq else Seq(1, 2, 5, 10)
