@@ -71,17 +71,38 @@ object PrepOps {
       .select(col("doc_id"), size(col("sh")).cast("long").as("n_sh"),
         explode(col("sh")).as("s"))
       .filter(col("n_sh") > 0)
-    val withN = stopShingleDf match {
+    // pair events: q31's round-11 shape — capped lists expand pairs
+    // row-locally from ONE groupBy(s) (2 exchanges total); the exact twin
+    // keeps the inverted-index self-join (unbounded lists can't collect).
+    // No band prune here: containment has no length-ratio bound.
+    val pairEvents = stopShingleDf match {
       case Some(cap) =>
-        val dfS = withN0.groupBy(col("s")).agg(count(lit(1)).as("df_s"))
-        withN0.join(dfS.filter(col("df_s") <= cap), Seq("s"))
-          .select(col("doc_id"), col("n_sh"), col("s"))
-      case None => withN0
+        // row_number prefix BEFORE collect_list — see ngramJaccardPairs:
+        // bounds the aggregation buffer at cap+1 postings on hot shingles
+        // (spill-safe sort), then the size filter drops capped lists whole
+        val wS = Window.partitionBy(col("s")).orderBy(col("doc_id"))
+        val posts = withN0
+          .withColumn("rn", row_number().over(wS))
+          .filter(col("rn") <= cap + 1)
+          .groupBy(col("s"))
+          .agg(collect_list(struct(col("doc_id").as("d"), col("n_sh").as("n"))).as("ps"))
+          .filter(size(col("ps")) >= 2 && size(col("ps")) <= cap)
+        posts.select(explode(expr(
+          """flatten(transform(ps, (x, i) ->
+            |  transform(slice(ps, i + 2, size(ps)), y ->
+            |    if(x.d < y.d,
+            |       named_struct('ia', x.d, 'ib', y.d, 'na', x.n, 'nb', y.n),
+            |       named_struct('ia', y.d, 'ib', x.d, 'na', y.n, 'nb', x.n)))))""".stripMargin)).as("p"))
+          .select(col("p.ia").as("ia"), col("p.ib").as("ib"),
+            col("p.na").as("na"), col("p.nb").as("nb"))
+      case None =>
+        val a = withN0.as("a"); val b = withN0.as("b")
+        a.join(b, col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("ia"), col("b.doc_id").as("ib"),
+            col("a.n_sh").as("na"), col("b.n_sh").as("nb"))
     }
-    val a = withN.as("a"); val b = withN.as("b")
-    a.join(b, col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("ia"), col("b.doc_id").as("ib"),
-        col("a.n_sh").as("na"), col("b.n_sh").as("nb"))
+    pairEvents
+      .groupBy(col("ia"), col("ib"), col("na"), col("nb"))
       .agg(count(lit(1)).as("inter"))
       .select(explode(array(
         struct(col("ia").as("id_sub"), col("ib").as("id_super"),

