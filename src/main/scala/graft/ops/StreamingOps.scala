@@ -462,7 +462,11 @@ object StreamingOps {
     withRocksDb(spark) {
       val updates = userTotalsUpdates(spark, src, 2)
       val qname = "graft_q184_result"
-      withStatePartitions(spark, 8) {
+      // 4 state partitions (round-11, q157's lesson): RocksDB opens and
+      // commits one store per partition per batch — at O(|users|) value
+      // state, fewer fatter stores win; results are slicing-independent
+      // (the final max_by state is the same under any batch count)
+      withStatePartitions(spark, 4) {
         val query = updates.writeStream.format("memory").queryName(qname)
           .outputMode("update").trigger(Trigger.AvailableNow()).start()
         query.awaitTermination()
@@ -511,11 +515,15 @@ object StreamingOps {
     val src = eventsZone(spark, dir)
     val deduped = dedupWithinWmStream(spark, src, 2)
     val qname = "graft_q188_result"
-    withStatePartitions(spark, 8) {
+    // 4 state partitions + no trailing no-data batch (round-11, q157's
+    // lesson): dedup emission is ARRIVAL-driven — every surviving row
+    // appends in the data batch it lands in; the no-data batch exists
+    // only to evict expired dedup state, which changes no output row
+    withStatePartitions(spark, 4) { withoutNoDataBatch(spark) {
       val query = deduped.writeStream.format("memory").queryName(qname)
         .outputMode("append").trigger(Trigger.AvailableNow()).start()
       query.awaitTermination()
-    }
+    } }
     spark.table(qname)
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"), moneySum(col("value")).as("sum_value"))
@@ -681,9 +689,15 @@ object StreamingOps {
       parts.zipWithIndex.foreach { case (f, i) => f.setLastModified(base + i * 1000L) }
     }
     withRocksDb(spark) {
-      val sessions = timerSessionStream(spark, src, 1)
+      // 2 files/trigger over the 4 time-ordered range files: two real
+      // watermark advances still exercise mid-stream timer fires, at half
+      // the RocksDB store-commit cycles; the emitted session set depends
+      // only on the FINAL watermark (range files don't overlap in ts, so
+      // no slicing-dependent late drops). Timers NEED the trailing
+      // no-data batch — kept.
+      val sessions = timerSessionStream(spark, src, 2)
       val qname = "graft_q231_result"
-      withStatePartitions(spark, 8) {
+      withStatePartitions(spark, 4) {
         val query = sessions.writeStream.format("memory").queryName(qname)
           .outputMode("append").trigger(Trigger.AvailableNow()).start()
         query.awaitTermination()
