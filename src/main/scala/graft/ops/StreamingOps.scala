@@ -275,7 +275,9 @@ object StreamingOps {
         date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
         col("event_type"), col("n"), col("sum_value"))
     val qname = "graft_q122_result"
-    withStatePartitions(spark, 8) {
+    // 4 state partitions (round-11): complete-mode window agg commits one
+    // store per partition per batch; the (window, type) grid is tiny
+    withStatePartitions(spark, 4) {
       val query = agg.writeStream.format("memory").queryName(qname)
         .outputMode("complete").trigger(Trigger.AvailableNow()).start()
       query.awaitTermination()
@@ -570,7 +572,11 @@ object StreamingOps {
     val src = eventsZone(spark, dir)
     val agg = dedupThenWindowStream(spark, src, 2)
     val qname = "graft_q226_result"
-    withStatePartitions(spark, 8) {
+    // 4 state partitions (round-11): TWO stateful operators each commit
+    // one store per partition per batch here; window emission is
+    // watermark-driven, so the trailing no-data batch stays (it flushes
+    // every window the final watermark passed)
+    withStatePartitions(spark, 4) {
       val query = agg.writeStream.format("memory").queryName(qname)
         .outputMode("append").trigger(Trigger.AvailableNow()).start()
       query.awaitTermination()
