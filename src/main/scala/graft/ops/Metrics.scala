@@ -201,6 +201,11 @@ object Metrics {
       (abs(expr("cast(cast(l_extendedprice as decimal(18,2)) * 100 as bigint)") -
         expr("cast(cast(l_quantity as decimal(18,2)) * 100 as bigint)") * 3000L)).as("r"),
       (u < 0.5).as("is_cal"))
+      // lazy checkpoint (§8.22): the md5-scored residual scan feeds the
+      // calibration count, the bucket pass, the in-bucket rank AND the
+      // test-coverage aggregate — one slim (long, boolean) materialization
+      // replaces four full scan+hash passes
+      .localCheckpoint(false)
     val calib = base.filter(col("is_cal")).select(col("r"))
     val kTbl = calib.agg(count(lit(1)).as("n_cal"),
       ceil(lit(0.75) * (count(lit(1)) + 1)).cast("long").as("k"),

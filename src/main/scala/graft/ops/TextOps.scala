@@ -1276,7 +1276,11 @@ object TextOps {
     val sets = shingleArrays(Tables.documents(spark, dir))
       .select(col("doc_id"), col("sh"), size(col("sh")).cast("long").as("n"))
       .filter(col("n") > 0)
+      // lazy checkpoint (§8.22): the shingle-set scan feeds the posting
+      // explode AND both exact-verification joins — parse once
+      .localCheckpoint(false)
     val postings = sets.select(col("doc_id"), col("n"), explode(col("sh")).as("s"))
+      .localCheckpoint(false) // feeds the global-df aggregate AND the rank join
     val freq = postings.groupBy(col("s")).agg(count(lit(1)).as("df"))
     val ranked = postings.join(freq, Seq("s"))
       .withColumn("rk", row_number().over(
