@@ -389,7 +389,11 @@ object ScaleProbe {
     // band census (q428, claimed shingle-linear)
     "q423_label_conflict", "q424_nprobe_curve", "q425_filter_overlap",
     "q426_survivor_retention", "q427_source_type_overlap",
-    "q428_lsh_bucket_forecast")
+    "q428_lsh_bucket_forecast",
+    // round-11 dataloader audits: both ride the 256-bucket two-pass
+    // global cumsum (claimed linear; the only unpartitioned window is
+    // the bounded bucket grid)
+    "q429_interleave_audit", "q430_pack_purity")
 
   def main(args: Array[String]): Unit = {
     val scales = if (args.nonEmpty) args.map(_.toInt).toSeq else Seq(1, 2, 5, 10)

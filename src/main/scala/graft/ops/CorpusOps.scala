@@ -840,7 +840,149 @@ object CorpusOps {
       |FROM b GROUP BY blk ORDER BY blk""".stripMargin
 
 
+  // --------------------------------------------------------------------------
+  // Global prefix sum WITHOUT a single-partition window — q169's two-pass
+  // bucketed shape, factored for the round-11 dataloader audits: bucket
+  // rows by the first byte of the md5 order key (256-cell grid in key
+  // order), take per-bucket totals, run the EXCLUSIVE prefix sum over the
+  // bounded grid only, broadcast the offsets back, and finish with a
+  // PARTITIONED in-bucket running sum. `cum` is the inclusive global
+  // prefix sum of `v` over ORDER BY `ord` — bit-identical to the
+  // single-partition window the oracle uses, at any scale.
+  private def globalCumsum(df: DataFrame, ord: String, v: String,
+      out: String): DataFrame = {
+    val b = df.withColumn("_b", conv(substring(col(ord), 1, 2), 16, 10).cast("long"))
+    val offsets = b.groupBy(col("_b")).agg(sum(col(v)).as("_t"))
+      .withColumn("_off", coalesce(sum(col("_t")).over(
+        Window.orderBy(col("_b")).rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("_b"), col("_off"))
+    b.join(broadcast(offsets), Seq("_b"))
+      .withColumn(out, col("_off") + sum(col(v)).over(
+        Window.partitionBy(col("_b")).orderBy(col(ord))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .drop("_b", "_off")
+  }
+
+  // --------------------------------------------------------------------------
+  // q429 — DATALOADER INTERLEAVING AUDIT (round 11): in the canonical
+  // training order (global md5(doc_id) shuffle — the same content-hash
+  // convention as q90's splits), how well are sources interleaved? Long
+  // same-source RUNS are what a bad shard layout or a skewed mixture
+  // sampler produce, and they show up as loss spikes mid-epoch. Per
+  // source: docs, number of runs, the longest run, and runs-per-doc ppm
+  // (1e6 = perfectly interleaved, small = clumped).
+  //
+  // Scale: the global order is materialized as a rank WITHOUT a global
+  // sort — two chained [[globalCumsum]] passes (rank, then run ids from
+  // run-start flags) plus one rank-shifted equi-join for the
+  // previous-row source; every window is partitioned by the 256-cell
+  // hash bucket and the only unpartitioned window runs over that bounded
+  // grid. The oracle replays with plain global windows.
+  def q429InterleaveAudit(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        md5(col("doc_id").cast("string")).as("h"), lit(1L).as("one"))
+    val ranked = globalCumsum(d, "h", "one", "rn")
+      .select(col("source"), col("h"), col("rn"))
+      .localCheckpoint(false) // feeds both sides of the prev-row join
+    val prev = ranked.select((col("rn") + 1).as("rn"), col("source").as("prev_src"))
+    val flagged = ranked.join(prev, Seq("rn"), "left")
+      .withColumn("st",
+        when(col("prev_src").isNull || col("prev_src") =!= col("source"), 1L)
+          .otherwise(0L))
+    val runs = globalCumsum(flagged, "h", "st", "run_id")
+      .groupBy(col("run_id"), col("source")).agg(count(lit(1)).as("len"))
+    runs.groupBy(col("source"))
+      .agg(sum(col("len")).as("n_docs"), count(lit(1)).as("n_runs"),
+        max(col("len")).as("max_run"))
+      .withColumn("runs_ppm", expr("(1000000L * n_runs) div n_docs"))
+      .orderBy(col("source"))
+  }
+
+  val q429Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id, source, md5(doc_id::VARCHAR) AS h FROM documents),
+      |s AS (
+      |  SELECT source, h,
+      |    CASE WHEN LAG(source) OVER (ORDER BY h) IS DISTINCT FROM source
+      |      THEN 1 ELSE 0 END AS st
+      |  FROM d),
+      |r AS (
+      |  SELECT source,
+      |    SUM(st) OVER (ORDER BY h ROWS UNBOUNDED PRECEDING) AS run_id
+      |  FROM s),
+      |runs AS (SELECT source, run_id, COUNT(*) AS len FROM r GROUP BY 1, 2)
+      |SELECT source, CAST(SUM(len) AS BIGINT) AS n_docs,
+      |  COUNT(*) AS n_runs, CAST(MAX(len) AS BIGINT) AS max_run,
+      |  CAST((1000000 * COUNT(*)) // SUM(len) AS BIGINT) AS runs_ppm
+      |FROM runs GROUP BY source ORDER BY source""".stripMargin
+
+  // --------------------------------------------------------------------------
+  // q430 — PACK-PURITY CENSUS (round 11): pack the md5-shuffled global
+  // order into 2048-token training blocks (q95's arithmetic, but over the
+  // DATALOADER order, not per-source) and count blocks whose documents
+  // mix sources or languages — the cross-document-attention contamination
+  // a packer without boundary masking feeds the model, and the number
+  // that decides whether attention masking / bin-per-source packing is
+  // worth its throughput cost.
+  //
+  // Scale: one [[globalCumsum]] for the token offsets, a row-local
+  // sequence() explode of each doc's touched-block range (bounded by
+  // ntok/2048 + 1 per doc), and a two-level hash aggregate. No sorts
+  // beyond the bucketed cumsum.
+  def q430PackPurity(spark: SparkSession, dir: String): DataFrame = {
+    val cap = 2048L
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("lang"),
+        size(TextOps.toks).cast("long").as("ntok"),
+        md5(col("doc_id").cast("string")).as("h"))
+      .filter(col("ntok") > 0)
+    val bins = globalCumsum(d, "h", "ntok", "cum")
+      .select(col("source"), col("lang"),
+        explode(expr(s"sequence((cum - ntok) div $cap, (cum - 1) div $cap)")).as("bin"))
+    val perBin = bins.groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("source")).as("ns"),
+        countDistinct(col("lang")).as("nl"))
+    perBin.agg(count(lit(1)).as("blocks"),
+        count_if(col("ns") === 1).as("pure_source_blocks"),
+        count_if(col("ns") > 1).as("multi_source_blocks"),
+        count_if(col("nl") > 1).as("multi_lang_blocks"),
+        max(col("n_docs")).as("max_docs_per_block"))
+      .withColumn("multi_source_ppm",
+        expr("(1000000L * multi_source_blocks) div blocks"))
+  }
+
+  val q430Sql: String =
+    s"""WITH d AS (
+       |  SELECT source, lang, CAST(len(${TextOps.toksSqlD}) AS BIGINT) AS ntok,
+       |    md5(doc_id::VARCHAR) AS h
+       |  FROM documents),
+       |c AS (
+       |  SELECT source, lang, ntok,
+       |    SUM(ntok) OVER (ORDER BY h ROWS UNBOUNDED PRECEDING) AS cum
+       |  FROM d WHERE ntok > 0),
+       |b AS (
+       |  SELECT source, lang,
+       |    UNNEST(generate_series(CAST((cum - ntok) // 2048 AS BIGINT),
+       |                           CAST((cum - 1) // 2048 AS BIGINT))) AS bin
+       |  FROM c),
+       |g AS (
+       |  SELECT bin, COUNT(*) AS n_docs, COUNT(DISTINCT source) AS ns,
+       |    COUNT(DISTINCT lang) AS nl
+       |  FROM b GROUP BY 1)
+       |SELECT COUNT(*) AS blocks,
+       |  CAST(COUNT(*) FILTER (ns = 1) AS BIGINT) AS pure_source_blocks,
+       |  CAST(COUNT(*) FILTER (ns > 1) AS BIGINT) AS multi_source_blocks,
+       |  CAST(COUNT(*) FILTER (nl > 1) AS BIGINT) AS multi_lang_blocks,
+       |  CAST(MAX(n_docs) AS BIGINT) AS max_docs_per_block,
+       |  CAST((1000000 * COUNT(*) FILTER (ns > 1)) // COUNT(*) AS BIGINT)
+       |    AS multi_source_ppm
+       |FROM g""".stripMargin
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
+    ("q429_interleave_audit", q429InterleaveAudit _, Some(q429Sql)),
+    ("q430_pack_purity", q430PackPurity _, Some(q430Sql)),
     ("q238_phrase_search", q238PhraseSearch _, Some(q238Sql)),
     ("q257_split_leakage", q257SplitLeakage _, Some(q257Sql)),
     ("q129_division", q129Division _, Some(q129Sql)),

@@ -34,6 +34,10 @@ class PlanLintSpec extends SparkSpec {
     * bounded input is still scale-safe there.
     */
   private val windowAllow: Map[String, String] = Map(
+    "q429_interleave_audit" ->
+      "q169's two-pass shape ×2: the exclusive prefix sums run over the 256-row md5-bucket total grids only; the per-row rank and run-id windows are partitioned by bucket",
+    "q430_pack_purity" ->
+      "q169's two-pass shape: the exclusive prefix sum runs over the 256-row md5-bucket token-total grid only; the per-row cumsum window is partitioned by bucket",
     "q425_filter_overlap" ->
       "share denominator runs over the ≤ 8-row gate-combination census (2³ boolean cells) — domain-bounded, corpus-size-independent",
     "q164_skyline" ->

@@ -106,6 +106,73 @@ class CorpusPlannerSpec extends SparkSpec {
     assert(got.toSeq === Seq(("s1", "s2", 1L, 2L, 2L, 333333L)))
   }
 
+  test("q429 interleave audit: runs computed against a JVM-side md5 replay") {
+    // Recompute the md5 global order here and derive the expected
+    // per-source run ledger independently of the two-pass cumsum.
+    val rows = Seq(
+      (1L, "w", "en", "s1"), (2L, "w", "en", "s1"), (3L, "w", "en", "s1"),
+      (4L, "w", "en", "s2"), (5L, "w", "en", "s2"), (6L, "w", "en", "s2"))
+    def md5hex(s: String): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+    val order = rows.map(_._1).sortBy(id => md5hex(id.toString))
+    val srcOf = rows.map(r => r._1 -> r._4).toMap
+    val runs = order.foldLeft(List.empty[(String, Long)]) { (acc, id) =>
+      val s = srcOf(id)
+      acc match {
+        case (ps, len) :: tail if ps == s => (ps, len + 1) :: tail
+        case _ => (s, 1L) :: acc
+      }
+    }.reverse
+    val expect = runs.groupBy(_._1).map { case (s, rs) =>
+      (s, rs.map(_._2).sum, rs.length.toLong, rs.map(_._2).max,
+        1000000L * rs.length / rs.map(_._2).sum)
+    }.toSeq.sortBy(_._1)
+    val d = docsDir(rows)
+    val got = CorpusOps.q429InterleaveAudit(spark, d).collect()
+      .map(r => (r.getString(0), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("n_runs"), r.getAs[Long]("max_run"),
+        r.getAs[Long]("runs_ppm")))
+    assert(got.toSeq === expect)
+  }
+
+  test("q430 pack purity: one straddling mixed block on a hand-packed corpus") {
+    // All docs are 1500 tokens -> cum 1500/3000/4500: doc A fills block 0
+    // into block 1 alone? No: blocks of 2048 — A spans [0,1500) block 0;
+    // B spans [1500,3000) blocks 0-1; C spans [3000,4500) blocks 1-2.
+    // Per block: b0 {A,B}, b1 {B,C}, b2 {C}. Expected purity depends on
+    // the md5 order of doc_ids — recompute it here the same way.
+    def words(n: Int) = (1 to n).map(_ => "w").mkString(" ")
+    val rows = Seq(
+      (1L, words(1500), "en", "s1"),
+      (2L, words(1500), "de", "s2"),
+      (3L, words(1500), "en", "s1"))
+    def md5hex(s: String): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+    val order = rows.sortBy(r => md5hex(r._1.toString))
+    val bins = scala.collection.mutable.Map
+      .empty[Long, scala.collection.mutable.Set[(String, String)]]
+    var cum = 0L
+    order.foreach { case (_, _, lang, src) =>
+      val lo = cum / 2048; cum += 1500; val hi = (cum - 1) / 2048
+      (lo to hi).foreach(b =>
+        bins.getOrElseUpdate(b, scala.collection.mutable.Set.empty) += ((src, lang)))
+    }
+    val blocks = bins.size.toLong
+    val multiSrc = bins.values.count(_.map(_._1).size > 1).toLong
+    val multiLang = bins.values.count(_.map(_._2).size > 1).toLong
+    val d = docsDir(rows)
+    val got = CorpusOps.q430PackPurity(spark, d).collect().head
+    assert(got.getAs[Long]("blocks") === blocks)
+    assert(got.getAs[Long]("multi_source_blocks") === multiSrc)
+    assert(got.getAs[Long]("multi_lang_blocks") === multiLang)
+    assert(got.getAs[Long]("pure_source_blocks") === blocks - multiSrc)
+    assert(got.getAs[Long]("multi_source_ppm") === 1000000L * multiSrc / blocks)
+  }
+
   test("q428 LSH bucket forecast: identical docs share every band bucket") {
     // Three identical docs -> identical 4-hash signatures -> one bucket
     // of 3 per band -> 3 candidate pairs per band. The 1-token doc has
