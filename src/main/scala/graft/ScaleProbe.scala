@@ -393,7 +393,18 @@ object ScaleProbe {
     // round-11 dataloader audits: both ride the 256-bucket two-pass
     // global cumsum (claimed linear; the only unpartitioned window is
     // the bounded bucket grid)
-    "q429_interleave_audit", "q430_pack_purity")
+    "q429_interleave_audit", "q430_pack_purity",
+    // round-11 sweep-governance batch: three more consumers of the
+    // guarded pair pipeline (q431 rule swing, q432 gap histogram, q437
+    // scope split — slim joins/aggregates on top of the probed pairs),
+    // the cumsum-riding block-size sweep (q433), the bounded-grid shard
+    // forecast (q434), the |S|-row epoch planner (q435), and the 16-hash
+    // minhash audit (q436 — one shingle explode × 16 md5s, pair-bounded
+    // joins; claimed shingle-linear)
+    "q431_survivor_rule_sensitivity", "q432_dup_ingest_gap",
+    "q433_block_size_sweep", "q434_shard_count_forecast",
+    "q435_epoch_budget", "q436_minhash_width_audit",
+    "q437_dedup_scope_planner")
 
   def main(args: Array[String]): Unit = {
     val scales = if (args.nonEmpty) args.map(_.toInt).toSeq else Seq(1, 2, 5, 10)

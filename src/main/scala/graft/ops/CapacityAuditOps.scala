@@ -1878,8 +1878,163 @@ object CapacityAuditOps {
        |  CAST(SUM(b * (b - 1) // 2) AS BIGINT) AS cand_pairs
        |FROM buckets GROUP BY band ORDER BY band""".stripMargin
 
+  // --------------------------------------------------------------------------
+  // q434 — SHARD-COUNT FORECAST (round 11): before writing the corpus out
+  // as N hash shards, what does the token-mass balance look like for
+  // N ∈ {64, 256, 1024}? Per N: non-empty shards, the hottest and coldest
+  // shard, and hot_ppm = max·N/total (1e6 = perfectly balanced; 2e6 = the
+  // straggler shard carries 2× its fair share — the tail task that gates
+  // every downstream full scan). Doc-count balance is guaranteed by the
+  // hash; TOKEN-mass balance is not (doc lengths are skewed), and token
+  // mass is what a trainer streams. The same 48-bit md5 key convention as
+  // q384's ring (portable to the oracle, unlike xxhash64).
+  //
+  // Scale: one row-local hash per doc × 3 shard counts, a (N, shard) hash
+  // aggregate bounded at 64+256+1024 groups, and a 3-group rollup —
+  // corpus-size-independent output.
+  def q434ShardCountForecast(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(size(TextOps.toks).cast("long").as("ntok"),
+        expr("cast(conv(substring(md5(concat('shard:', cast(doc_id as string))), 1, 13), 16, 10) as bigint)")
+          .as("hk"))
+      .select(col("ntok"), col("hk"),
+        explode(expr("array(64L, 256L, 1024L)")).as("n_shards"))
+      .groupBy(col("n_shards"), expr("hk % n_shards").as("shard"))
+      .agg(sum(col("ntok")).as("tok"))
+      .groupBy(col("n_shards"))
+      .agg(count(lit(1)).as("nonempty_shards"), sum(col("tok")).as("tokens_total"),
+        max(col("tok")).as("max_shard_tok"), min(col("tok")).as("min_shard_tok"))
+      .withColumn("hot_ppm",
+        when(col("tokens_total") === 0, lit(1000000L))
+          .otherwise(expr("(1000000L * max_shard_tok * n_shards) div tokens_total")))
+      .orderBy(col("n_shards"))
+
+  val q434Sql: String =
+    s"""WITH d AS (
+       |  SELECT CAST(len(${TextOps.toksSqlD}) AS BIGINT) AS ntok,
+       |    CAST(('0x' || substring(md5('shard:' || doc_id::VARCHAR), 1, 13))
+       |      AS BIGINT) AS hk
+       |  FROM documents),
+       |e AS (
+       |  SELECT ntok, hk % n_shards AS shard, n_shards
+       |  FROM d CROSS JOIN (SELECT UNNEST([64, 256, 1024]) AS n_shards)),
+       |g AS (
+       |  SELECT n_shards, shard, SUM(ntok) AS tok FROM e GROUP BY 1, 2)
+       |SELECT CAST(n_shards AS BIGINT) AS n_shards,
+       |  COUNT(*) AS nonempty_shards,
+       |  CAST(SUM(tok) AS BIGINT) AS tokens_total,
+       |  CAST(MAX(tok) AS BIGINT) AS max_shard_tok,
+       |  CAST(MIN(tok) AS BIGINT) AS min_shard_tok,
+       |  CAST(CASE WHEN SUM(tok) = 0 THEN 1000000
+       |    ELSE (1000000 * MAX(tok) * n_shards) // SUM(tok) END AS BIGINT)
+       |    AS hot_ppm
+       |FROM g GROUP BY n_shards ORDER BY n_shards""".stripMargin
+
+  // --------------------------------------------------------------------------
+  // q436 — MINHASH SIGNATURE-WIDTH AUDIT (round 11): how wrong is a
+  // k-hash MinHash Jaccard estimate on THIS corpus's real near-dup pairs,
+  // for k ∈ {4, 8, 16}? Computes the exact (capped) pair Jaccard and the
+  // k-prefix signature agreement rate side by side and reports per k the
+  // mean absolute error plus its over/under decomposition, in ppm. The
+  // empirical companion to q273's analytic band curve and q428's bucket
+  // census: σ ≈ √(J(1−J)/k) says k=4 is ±25% at J=0.5 — this measures it,
+  // and prices the signature width (storage + shuffle bytes scale with k)
+  // before a 100 TB sweep commits to one.
+  //
+  // Scale: one shingle explode × 16 row-local md5s, a (doc, i) min
+  // aggregate, a 16-column per-doc pivot, two slim joins onto the capped
+  // pair set (bounded by the pair pipeline's guard), a 3-group rollup.
+  def q436MinhashWidthAudit(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.WordShingles.register(spark)
+    val idx = spark.range(1).select(
+      explode(expr("array" + (0 until 16).mkString("(", ", ", ")"))).as("i"))
+    val mins = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(expr(TextOps.shingles3Sql)).as("s"))
+      .crossJoin(broadcast(idx))
+      .select(col("doc_id"), col("i"),
+        md5(concat(col("s"), lit("#"), col("i").cast("string"))).as("h"))
+      .groupBy(col("doc_id"), col("i")).agg(min(col("h")).as("m"))
+    val minCols = (0 until 16).map(i =>
+      max(when(col("i") === i, col("m"))).as(s"m$i"))
+    val sig = mins.groupBy(col("doc_id"))
+      .agg(minCols.head, minCols.tail: _*)
+    val sigA = sig.toDF(sig.columns.map(c => if (c == "doc_id") "id_a" else s"a_$c"): _*)
+    val sigB = sig.toDF(sig.columns.map(c => if (c == "doc_id") "id_b" else s"b_$c"): _*)
+    def matches(k: Int): String =
+      (0 until k).map(i => s"if(a_m$i = b_m$i, 1L, 0L)").mkString(" + ")
+    val paired = graft.ops.TextOps.q31NgramJaccard(spark, dir)
+      .select(col("id_a"), col("id_b"),
+        // exact half-up ppm (floor(x·1e6+0.5)) — same form as the oracle's
+        // FLOOR(...*1000000+0.5); ROUND-of-double is lint-banned (§8.4)
+        graft.ops.Num.pround(col("jaccard") * 1000000, 0).cast("long")
+          .as("exact_ppm"))
+      .join(sigA, "id_a").join(sigB, "id_b")
+      .select(col("exact_ppm"),
+        explode(array(
+          struct(lit(4L).as("k"), expr(matches(4)).as("c")),
+          struct(lit(8L).as("k"), expr(matches(8)).as("c")),
+          struct(lit(16L).as("k"), expr(matches(16)).as("c")))).as("e"))
+      .select(col("exact_ppm"), col("e.k").as("k"),
+        expr("(1000000L * e.c) div e.k").as("est_ppm"))
+    paired.groupBy(col("k"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(expr("abs(est_ppm - exact_ppm)")).as("sae"),
+        sum(expr("greatest(est_ppm - exact_ppm, 0L)")).as("sover"),
+        sum(expr("greatest(exact_ppm - est_ppm, 0L)")).as("sunder"))
+      .select(col("k"), col("n_pairs"),
+        expr("sae div n_pairs").as("mae_ppm"),
+        expr("sover div n_pairs").as("over_ppm"),
+        expr("sunder div n_pairs").as("under_ppm"))
+      .orderBy(col("k"))
+  }
+
+  val q436Sql: String = {
+    val prefix = graft.ops.TextOps.q82Sql.substring(
+      0, graft.ops.TextOps.q82Sql.indexOf("edges AS"))
+    prefix +
+      s"""midx AS (
+         |  SELECT doc_id, i, MIN(md5(s || '#' || i)) AS m
+         |  FROM sh CROSS JOIN (SELECT UNNEST(range(0, 16)) AS i)
+         |  GROUP BY 1, 2),
+         |pm AS (
+         |  SELECT p.id_a, p.id_b,
+         |    SUM(CASE WHEN a.m = b.m AND a.i < 4 THEN 1 ELSE 0 END) AS c4,
+         |    SUM(CASE WHEN a.m = b.m AND a.i < 8 THEN 1 ELSE 0 END) AS c8,
+         |    SUM(CASE WHEN a.m = b.m THEN 1 ELSE 0 END) AS c16
+         |  FROM pairs p
+         |  JOIN midx a ON a.doc_id = p.id_a
+         |  JOIN midx b ON b.doc_id = p.id_b AND b.i = a.i
+         |  GROUP BY 1, 2),
+         |ex AS (
+         |  SELECT id_a, id_b,
+         |    CAST(FLOOR(CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter)
+         |      * 1000000 + 0.5) AS BIGINT) AS exact_ppm
+         |  FROM inter
+         |  JOIN sizes sa ON sa.doc_id = id_a
+         |  JOIN sizes sb ON sb.doc_id = id_b
+         |  WHERE CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) >= 0.5),
+         |er AS (
+         |  SELECT 4 AS k, (1000000 * c4) // 4 AS est_ppm, exact_ppm
+         |  FROM pm JOIN ex USING (id_a, id_b)
+         |  UNION ALL
+         |  SELECT 8, (1000000 * c8) // 8, exact_ppm
+         |  FROM pm JOIN ex USING (id_a, id_b)
+         |  UNION ALL
+         |  SELECT 16, (1000000 * c16) // 16, exact_ppm
+         |  FROM pm JOIN ex USING (id_a, id_b))
+         |SELECT CAST(k AS BIGINT) AS k, COUNT(*) AS n_pairs,
+         |  CAST(SUM(ABS(est_ppm - exact_ppm)) // COUNT(*) AS BIGINT) AS mae_ppm,
+         |  CAST(SUM(GREATEST(est_ppm - exact_ppm, 0)) // COUNT(*) AS BIGINT)
+         |    AS over_ppm,
+         |  CAST(SUM(GREATEST(exact_ppm - est_ppm, 0)) // COUNT(*) AS BIGINT)
+         |    AS under_ppm
+         |FROM er GROUP BY k ORDER BY k""".stripMargin
+  }
+
   private val catalogR11: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
-    ("q428_lsh_bucket_forecast", q428LshBucketForecast _, Some(q428Sql)))
+    ("q428_lsh_bucket_forecast", q428LshBucketForecast _, Some(q428Sql)),
+    ("q434_shard_count_forecast", q434ShardCountForecast _, Some(q434Sql)),
+    ("q436_minhash_width_audit", q436MinhashWidthAudit _, Some(q436Sql)))
 
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
     catalogAi ++ catalogAl ++ catalogAm ++ catalogAo ++ catalogAp ++ catalogAr ++ catalogAt ++ catalogAv ++ catalogAw ++ catalogAx ++ catalogZ ++ catalogR8 ++ catalogR11

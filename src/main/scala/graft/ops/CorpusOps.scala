@@ -980,9 +980,73 @@ object CorpusOps {
        |    AS multi_source_ppm
        |FROM g""".stripMargin
 
+  // --------------------------------------------------------------------------
+  // q433 — BLOCK-SIZE SWEEP (round 11): q430 prices ONE packing block size
+  // (2048); this sweeps B ∈ {512, 1024, 2048, 4096} from the SAME single
+  // token-offset cumsum — per B: block count, docs split across a block
+  // boundary (their loss sees a mid-document truncation at train time),
+  // total boundary crossings, and docs-per-block density. The
+  // context-length tradeoff table: bigger blocks cut the split rate but
+  // raise per-block source mixing (q430's axis) and attention cost.
+  //
+  // Scale: one [[globalCumsum]] pass; the 4× explode is row-local
+  // arithmetic on (cum, ntok) only — text never leaves the scan — and the
+  // final aggregate has exactly 4 groups.
+  def q433BlockSizeSweep(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), size(TextOps.toks).cast("long").as("ntok"),
+        md5(col("doc_id").cast("string")).as("h"))
+      .filter(col("ntok") > 0)
+    globalCumsum(d, "h", "ntok", "cum")
+      .select(col("ntok"), col("cum"),
+        explode(expr("array(512L, 1024L, 2048L, 4096L)")).as("block_tokens"))
+      .groupBy(col("block_tokens"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("ntok")).as("tokens"),
+        max(col("cum")).as("tot"),
+        count_if(expr("(cum - ntok) div block_tokens < (cum - 1) div block_tokens"))
+          .as("split_docs"),
+        sum(expr("(cum - 1) div block_tokens - (cum - ntok) div block_tokens"))
+          .as("boundary_crossings"))
+      .withColumn("n_blocks", expr("(tot - 1) div block_tokens + 1"))
+      .select(col("block_tokens"), col("n_blocks"), col("n_docs"),
+        col("split_docs"),
+        expr("(1000000L * split_docs) div n_docs").as("split_ppm"),
+        col("boundary_crossings"),
+        expr("(1000000L * n_docs) div n_blocks").as("docs_per_block_ppm"))
+      .orderBy(col("block_tokens"))
+  }
+
+  val q433Sql: String =
+    s"""WITH d AS (
+       |  SELECT CAST(len(${TextOps.toksSqlD}) AS BIGINT) AS ntok,
+       |    md5(doc_id::VARCHAR) AS h
+       |  FROM documents),
+       |c AS (
+       |  SELECT ntok,
+       |    SUM(ntok) OVER (ORDER BY h ROWS UNBOUNDED PRECEDING) AS cum
+       |  FROM d WHERE ntok > 0),
+       |e AS (
+       |  SELECT ntok, cum, bsz FROM c
+       |  CROSS JOIN (SELECT UNNEST([512, 1024, 2048, 4096]) AS bsz)),
+       |g AS (
+       |  SELECT bsz AS block_tokens, COUNT(*) AS n_docs, MAX(cum) AS tot,
+       |    COUNT(*) FILTER ((cum - ntok) // bsz < (cum - 1) // bsz) AS split_docs,
+       |    SUM((cum - 1) // bsz - (cum - ntok) // bsz) AS boundary_crossings
+       |  FROM e GROUP BY 1)
+       |SELECT CAST(block_tokens AS BIGINT) AS block_tokens,
+       |  CAST((tot - 1) // block_tokens + 1 AS BIGINT) AS n_blocks,
+       |  CAST(n_docs AS BIGINT) AS n_docs,
+       |  CAST(split_docs AS BIGINT) AS split_docs,
+       |  CAST((1000000 * split_docs) // n_docs AS BIGINT) AS split_ppm,
+       |  CAST(boundary_crossings AS BIGINT) AS boundary_crossings,
+       |  CAST((1000000 * n_docs) // ((tot - 1) // block_tokens + 1) AS BIGINT)
+       |    AS docs_per_block_ppm
+       |FROM g ORDER BY block_tokens""".stripMargin
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q429_interleave_audit", q429InterleaveAudit _, Some(q429Sql)),
     ("q430_pack_purity", q430PackPurity _, Some(q430Sql)),
+    ("q433_block_size_sweep", q433BlockSizeSweep _, Some(q433Sql)),
     ("q238_phrase_search", q238PhraseSearch _, Some(q238Sql)),
     ("q257_split_leakage", q257SplitLeakage _, Some(q257Sql)),
     ("q129_division", q129Division _, Some(q129Sql)),

@@ -1783,9 +1783,54 @@ object CorpusStatOps {
        |JOIN sz sb ON sb.source = src_b
        |ORDER BY src_a, src_b""".stripMargin
 
+  // --------------------------------------------------------------------------
+  // q435 — EPOCH-BUDGET PLANNER (round 11): a uniform target mixture over
+  // |S| sources wants need = T/|S| tokens from each source per epoch of
+  // the total budget T — but a small source can only supply its mass m_i
+  // per pass, so it must REPEAT epochs_ppm = 1e6·need/m_i times. The
+  // data-constrained scaling literature puts the useful-repetition knee
+  // near 4 epochs; this clamps each source there, reports the achievable
+  // take and the deficit, and the bottom line every mixture plan
+  // (q210/q329 pick weights; this prices their FEASIBILITY) needs before
+  // promising a token budget. Integer fixed-point throughout.
+  //
+  // Scale: one per-source aggregate over the corpus, then |S|-row grid
+  // arithmetic with a broadcast 1-row total join.
+  def q435EpochBudget(spark: SparkSession, dir: String): DataFrame = {
+    val src = Tables.documents(spark, dir)
+      .select(col("source"), size(TextOps.toks).cast("long").as("ntok"))
+      .groupBy(col("source")).agg(sum(col("ntok")).as("tok"))
+    val tot = src.agg(sum(col("tok")).as("t"), count(lit(1)).as("ns"))
+    src.crossJoin(broadcast(tot))
+      .withColumn("need_tok", expr("t div ns"))
+      .withColumn("epochs_ppm",
+        when(col("tok") === 0, lit(4000000L))
+          .otherwise(least(expr("(1000000L * need_tok) div tok"), lit(4000000L))))
+      .withColumn("take_tok", least(col("need_tok"), expr("4L * tok")))
+      .withColumn("deficit_tok", col("need_tok") - col("take_tok"))
+      .select(col("source"), col("tok"), col("need_tok"), col("epochs_ppm"),
+        col("take_tok"), col("deficit_tok"))
+      .orderBy(col("source"))
+  }
+
+  val q435Sql: String =
+    s"""WITH src AS (
+       |  SELECT source, CAST(SUM(len(${TextOps.toksSqlD})) AS BIGINT) AS tok
+       |  FROM documents GROUP BY source),
+       |tot AS (SELECT SUM(tok) AS t, COUNT(*) AS ns FROM src)
+       |SELECT source, tok,
+       |  CAST(t // ns AS BIGINT) AS need_tok,
+       |  CAST(CASE WHEN tok = 0 THEN 4000000
+       |    ELSE LEAST((1000000 * (t // ns)) // tok, 4000000) END AS BIGINT)
+       |    AS epochs_ppm,
+       |  CAST(LEAST(t // ns, 4 * tok) AS BIGINT) AS take_tok,
+       |  CAST(t // ns - LEAST(t // ns, 4 * tok) AS BIGINT) AS deficit_tok
+       |FROM src CROSS JOIN tot ORDER BY source""".stripMargin
+
   private val catalogR11: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q423_label_conflict", q423LabelConflict _, Some(q423Sql)),
-    ("q427_source_type_overlap", q427SourceTypeOverlap _, Some(q427Sql)))
+    ("q427_source_type_overlap", q427SourceTypeOverlap _, Some(q427Sql)),
+    ("q435_epoch_budget", q435EpochBudget _, Some(q435Sql)))
 
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
     catalogE ++ catalogK ++ catalogL ++ catalogM ++ catalogO ++ catalogAn ++

@@ -1148,6 +1148,224 @@ object TextOps {
   }
 
   // --------------------------------------------------------------------------
+  // q431 — SURVIVOR-RULE SENSITIVITY (round 11): q426 prices ONE
+  // survivorship rule (keep-longest); this prices the CHOICE of rule.
+  // Per source: token mass kept under keep-first (min doc_id — what an
+  // incremental pipeline does for free), keep-longest (q152's shipped
+  // rule) and keep-stable-hash (min md5(doc_id) — order-independent
+  // random pick), plus the max-minus-min swing in ppm of the source's
+  // token mass. A source with a large swing is one whose mixture weight
+  // silently depends on a dedup implementation detail — the number to
+  // check BEFORE declaring per-source token budgets rule-independent.
+  //
+  // Scale: the shared capped pair pipeline + clustering; the rule
+  // comparison itself is three aggregates over the labeled docs (a tiny
+  // subset), one broadcast-sized rep join, one per-source hash aggregate.
+  def q431SurvivorRuleSensitivity(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        col("n_chars"), size(toks).cast("long").as("ntok"))
+    val labeled = clusterPairs(
+      q31NgramJaccard(spark, dir).select(col("id_a"), col("id_b")))
+      .join(docs.select(col("doc_id"), col("n_chars")), "doc_id")
+      .select(col("doc_id"), col("cluster"), col("n_chars"))
+      .localCheckpoint(false) // feeds the rep aggregate AND the flag join
+    val reps = labeled.groupBy(col("cluster")).agg(
+      min(col("doc_id")).as("rep_first"),
+      max_by(col("doc_id"), expr("n_chars * 100000000 - doc_id")).as("rep_longest"),
+      min_by(col("doc_id"), md5(col("doc_id").cast("string"))).as("rep_hash"))
+    val flags = labeled.join(reps, "cluster")
+      .select(col("doc_id"),
+        (col("doc_id") === col("rep_first")).as("k_first"),
+        (col("doc_id") === col("rep_longest")).as("k_longest"),
+        (col("doc_id") === col("rep_hash")).as("k_hash"))
+    docs.join(flags, Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("docs_before"), sum(col("ntok")).as("tokens_before"),
+        sum(when(col("k_first").isNull || col("k_first"), col("ntok"))
+          .otherwise(0L)).as("tok_first"),
+        sum(when(col("k_longest").isNull || col("k_longest"), col("ntok"))
+          .otherwise(0L)).as("tok_longest"),
+        sum(when(col("k_hash").isNull || col("k_hash"), col("ntok"))
+          .otherwise(0L)).as("tok_hash"))
+      .withColumn("swing_ppm",
+        when(col("tokens_before") === 0, lit(0L)).otherwise(expr(
+          """(1000000L * (greatest(tok_first, tok_longest, tok_hash)
+            |            - least(tok_first, tok_longest, tok_hash)))
+            |  div tokens_before""".stripMargin)))
+      .orderBy(col("source"))
+  }
+
+  val q431Sql: String = {
+    val prefix = q82Sql.substring(0, q82Sql.indexOf("SELECT l.doc_id"))
+    prefix +
+      s""",reps AS (
+         |  SELECT cluster,
+         |    MIN(l.doc_id) AS rep_first,
+         |    ARG_MAX(l.doc_id, d.n_chars * 100000000 - l.doc_id) AS rep_longest,
+         |    ARG_MIN(l.doc_id, md5(l.doc_id::VARCHAR)) AS rep_hash
+         |  FROM labels l JOIN documents d ON d.doc_id = l.doc_id
+         |  GROUP BY cluster),
+         |flags AS (
+         |  SELECT l.doc_id,
+         |    l.doc_id = r.rep_first AS k_first,
+         |    l.doc_id = r.rep_longest AS k_longest,
+         |    l.doc_id = r.rep_hash AS k_hash
+         |  FROM labels l JOIN reps r USING (cluster)),
+         |base AS (
+         |  SELECT doc_id, source, CAST(len($toksSqlD) AS BIGINT) AS ntok
+         |  FROM documents)
+         |SELECT source, COUNT(*) AS docs_before,
+         |  CAST(SUM(ntok) AS BIGINT) AS tokens_before,
+         |  CAST(SUM(CASE WHEN f.k_first IS NULL OR f.k_first THEN ntok ELSE 0 END)
+         |    AS BIGINT) AS tok_first,
+         |  CAST(SUM(CASE WHEN f.k_longest IS NULL OR f.k_longest THEN ntok ELSE 0 END)
+         |    AS BIGINT) AS tok_longest,
+         |  CAST(SUM(CASE WHEN f.k_hash IS NULL OR f.k_hash THEN ntok ELSE 0 END)
+         |    AS BIGINT) AS tok_hash,
+         |  CAST(CASE WHEN SUM(ntok) = 0 THEN 0 ELSE
+         |    (1000000 * (GREATEST(
+         |        SUM(CASE WHEN f.k_first IS NULL OR f.k_first THEN ntok ELSE 0 END),
+         |        SUM(CASE WHEN f.k_longest IS NULL OR f.k_longest THEN ntok ELSE 0 END),
+         |        SUM(CASE WHEN f.k_hash IS NULL OR f.k_hash THEN ntok ELSE 0 END))
+         |      - LEAST(
+         |        SUM(CASE WHEN f.k_first IS NULL OR f.k_first THEN ntok ELSE 0 END),
+         |        SUM(CASE WHEN f.k_longest IS NULL OR f.k_longest THEN ntok ELSE 0 END),
+         |        SUM(CASE WHEN f.k_hash IS NULL OR f.k_hash THEN ntok ELSE 0 END))))
+         |    // SUM(ntok) END AS BIGINT) AS swing_ppm
+         |FROM base b LEFT JOIN flags f ON f.doc_id = b.doc_id
+         |GROUP BY source ORDER BY source""".stripMargin
+  }
+
+  // --------------------------------------------------------------------------
+  // q432 — NEAR-DUP INGEST-GAP HISTOGRAM (round 11): how far apart (in
+  // ingest order = doc_id) do near-dup pairs land? The log2-bucketed gap
+  // distribution with a cumulative ppm prices the CACHE WINDOW an
+  // incremental dedup (q415's shape) must hold: if 99% of pair mass sits
+  // within gap < 2^k, a sliding index of the last 2^k docs catches 99%
+  // of dups without ever re-scanning the corpus. The bucket boundary is
+  // an exact-integer CASE chain (NOT float log2 — a power-of-two gap must
+  // land in one bucket on both engines).
+  //
+  // Scale: the shared capped pair pipeline; the histogram is a hash
+  // aggregate over ≤41 buckets and the cumulative window runs over that
+  // bounded grid only.
+  def q432DupIngestGap(spark: SparkSession, dir: String): DataFrame = {
+    val buckets = q31NgramJaccard(spark, dir)
+      .select(log2BucketCase("id_b - id_a").as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n_pairs"))
+    val total = buckets.agg(sum(col("n_pairs")).as("tot"))
+    buckets.crossJoin(broadcast(total))
+      .withColumn("cum_pairs", sum(col("n_pairs")).over(
+        Window.orderBy(col("bucket"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("cum_ppm", expr("(1000000L * cum_pairs) div tot"))
+      .select(col("bucket"), col("n_pairs"), col("cum_pairs"), col("cum_ppm"))
+      .orderBy(col("bucket"))
+  }
+
+  val q432Sql: String = {
+    val prefix = q82Sql.substring(0, q82Sql.indexOf("edges AS"))
+    prefix +
+      s"""hist AS (
+         |  SELECT ${log2BucketCaseSql("id_b - id_a")} AS bucket,
+         |    COUNT(*) AS n_pairs
+         |  FROM pairs GROUP BY 1)
+         |SELECT bucket, n_pairs,
+         |  CAST(SUM(n_pairs) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING)
+         |    AS BIGINT) AS cum_pairs,
+         |  CAST((1000000 * SUM(n_pairs) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING))
+         |    // (SUM(n_pairs) OVER ()) AS BIGINT) AS cum_ppm
+         |FROM hist ORDER BY bucket""".stripMargin
+  }
+
+  /** Exact-integer floor(log2(e)) for a positive BIGINT expression as a
+    * CASE chain over power-of-two boundaries — shared verbatim between the
+    * Spark plan and the DuckDB oracle so a boundary value (gap = 2^k)
+    * buckets identically on both engines (float log2 would not guarantee
+    * that). Covers gaps up to 2^40 (a trillion docs); larger lands in the
+    * terminal bucket.
+    */
+  private def log2BucketCaseStr(e: String): String =
+    (1 to 40).map(p => s"WHEN ($e) < ${1L << p} THEN ${p - 1}")
+      .mkString("CASE ", " ", " ELSE 40 END")
+  private def log2BucketCase(e: String): Column = expr(log2BucketCaseStr(e))
+  private def log2BucketCaseSql(e: String): String = log2BucketCaseStr(e)
+
+  // --------------------------------------------------------------------------
+  // q437 — DEDUP SCOPE PLANNER (round 11): does this corpus need a GLOBAL
+  // dedup sweep, or does per-source dedup (embarrassingly parallel, no
+  // cross-source shuffle, runs inside each ingest partition) capture most
+  // of the duplicate mass? Under the keep-first rule a doc is losable iff
+  // it has a near-dup partner with a smaller doc_id; restricting partners
+  // to the same source gives the per-source-only figure. capture_ppm =
+  // within-scope losable token mass over global losable token mass — the
+  // single number that decides the sweep topology (q417 shows WHERE the
+  // cross-source mass sits; this prices whether it matters).
+  //
+  // Scale: the shared capped pair pipeline re-used for both scopes (one
+  // localCheckpoint, two distinct-projections), two slim doc_id joins to
+  // the (doc_id, source, ntok) projection, one global aggregate.
+  def q437DedupScopePlanner(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), size(toks).cast("long").as("ntok"))
+    val pairs = q31NgramJaccard(spark, dir)
+      .select(col("id_a"), col("id_b"))
+      .localCheckpoint(false) // feeds both scope projections
+    val losGlobal = pairs.select(col("id_b").as("doc_id")).distinct()
+      .withColumn("g", lit(1))
+    val losWithin = pairs
+      .join(docs.select(col("doc_id").as("id_a"), col("source").as("sa")), "id_a")
+      .join(docs.select(col("doc_id").as("id_b"), col("source").as("sb")), "id_b")
+      .filter(col("sa") === col("sb"))
+      .select(col("id_b").as("doc_id")).distinct()
+      .withColumn("w", lit(1))
+    docs.join(losGlobal, Seq("doc_id"), "left")
+      .join(losWithin, Seq("doc_id"), "left")
+      .agg(count(lit(1)).as("docs_total"), sum(col("ntok")).as("tokens_total"),
+        count_if(col("g").isNotNull).as("global_losable_docs"),
+        sum(when(col("g").isNotNull, col("ntok")).otherwise(0L))
+          .as("global_losable_tok"),
+        count_if(col("w").isNotNull).as("within_losable_docs"),
+        sum(when(col("w").isNotNull, col("ntok")).otherwise(0L))
+          .as("within_losable_tok"))
+      .withColumn("capture_ppm",
+        when(col("global_losable_tok") === 0, lit(1000000L))
+          .otherwise(expr("(1000000L * within_losable_tok) div global_losable_tok")))
+  }
+
+  val q437Sql: String = {
+    val prefix = q82Sql.substring(0, q82Sql.indexOf("edges AS"))
+    prefix +
+      s"""base AS (
+         |  SELECT doc_id, source, CAST(len($toksSqlD) AS BIGINT) AS ntok
+         |  FROM documents),
+         |los_g AS (SELECT DISTINCT id_b AS doc_id FROM pairs),
+         |los_w AS (
+         |  SELECT DISTINCT p.id_b AS doc_id FROM pairs p
+         |  JOIN base a ON a.doc_id = p.id_a
+         |  JOIN base b ON b.doc_id = p.id_b
+         |  WHERE a.source = b.source)
+         |SELECT COUNT(*) AS docs_total, CAST(SUM(ntok) AS BIGINT) AS tokens_total,
+         |  CAST(COUNT(*) FILTER (g.doc_id IS NOT NULL) AS BIGINT)
+         |    AS global_losable_docs,
+         |  CAST(COALESCE(SUM(ntok) FILTER (g.doc_id IS NOT NULL), 0) AS BIGINT)
+         |    AS global_losable_tok,
+         |  CAST(COUNT(*) FILTER (w.doc_id IS NOT NULL) AS BIGINT)
+         |    AS within_losable_docs,
+         |  CAST(COALESCE(SUM(ntok) FILTER (w.doc_id IS NOT NULL), 0) AS BIGINT)
+         |    AS within_losable_tok,
+         |  CAST(CASE WHEN COALESCE(SUM(ntok) FILTER (g.doc_id IS NOT NULL), 0) = 0
+         |    THEN 1000000
+         |    ELSE (1000000 * COALESCE(SUM(ntok) FILTER (w.doc_id IS NOT NULL), 0))
+         |      // SUM(ntok) FILTER (g.doc_id IS NOT NULL) END AS BIGINT)
+         |    AS capture_ppm
+         |FROM base d
+         |LEFT JOIN los_g g ON g.doc_id = d.doc_id
+         |LEFT JOIN los_w w ON w.doc_id = d.doc_id""".stripMargin
+  }
+
+  // --------------------------------------------------------------------------
   // q84 — text normalization/cleaning: collapse whitespace runs, strip
   // non-alphanumerics, lowercase — the canonicalization step BEFORE exact
   // dedup hashing (q30) so formatting variants collapse to one hash.
@@ -1818,6 +2036,9 @@ object TextOps {
        |FROM per GROUP BY 1 ORDER BY 1""".stripMargin
 
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
+    ("q431_survivor_rule_sensitivity", q431SurvivorRuleSensitivity _, Some(q431Sql)),
+    ("q432_dup_ingest_gap", q432DupIngestGap _, Some(q432Sql)),
+    ("q437_dedup_scope_planner", q437DedupScopePlanner _, Some(q437Sql)),
     ("q417_source_copy_matrix", q417SourceCopyMatrix _, Some(q417Sql)),
     ("q418_chain_audit", q418ChainAudit _, Some(q418Sql)),
     ("q412_cluster_census", q412ClusterCensus _, Some(q412Sql)),

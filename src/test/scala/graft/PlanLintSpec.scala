@@ -38,6 +38,10 @@ class PlanLintSpec extends SparkSpec {
       "q169's two-pass shape ×2: the exclusive prefix sums run over the 256-row md5-bucket total grids only; the per-row rank and run-id windows are partitioned by bucket",
     "q430_pack_purity" ->
       "q169's two-pass shape: the exclusive prefix sum runs over the 256-row md5-bucket token-total grid only; the per-row cumsum window is partitioned by bucket",
+    "q432_dup_ingest_gap" ->
+      "cumulative window runs over the log2 gap-bucket histogram — the CASE chain caps it at 41 rows, corpus-size-independent",
+    "q433_block_size_sweep" ->
+      "q169's two-pass shape: the exclusive prefix sum runs over the 256-row md5-bucket token-total grid only; the per-row cumsum window is partitioned by bucket",
     "q425_filter_overlap" ->
       "share denominator runs over the ≤ 8-row gate-combination census (2³ boolean cells) — domain-bounded, corpus-size-independent",
     "q164_skyline" ->
@@ -157,6 +161,8 @@ class PlanLintSpec extends SparkSpec {
       "bounded-grid joins by construction: the probe frame is |queries| (vec_id < 5) × rn ≤ 4 cells crossed with the 3-row nprobe grid — every non-equi side is corpus-size-independent; candidate fan-out rides the equi-join on cell",
     "q428_lsh_bucket_forecast" ->
       "broadcast 4-row minhash-index grid crossed with the shingle stream — the grid is a fixed signature dimension (k = 4), corpus-size-independent",
+    "q436_minhash_width_audit" ->
+      "broadcast 16-row minhash-index grid crossed with the shingle stream (q428's shape at k = 16) plus the broadcast 1-row pair total — both non-equi sides are corpus-size-independent",
     "q232_conformal" ->
       "broadcast 1-row sides by construction: the (n_cal, k, max) aggregate, the rank-k bucket row, and the single q-hat order statistic — q169's two-pass rank then joins back equi on bucket",
     "q237_kaplan_meier" ->

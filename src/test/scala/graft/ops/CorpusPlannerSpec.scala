@@ -188,4 +188,142 @@ class CorpusPlannerSpec extends SparkSpec {
         r.getAs[Long]("cand_pairs")))
     assert(got.toSeq === Seq((0, 1L, 3L, 3L, 3L), (1, 1L, 3L, 3L, 3L)))
   }
+
+  private def md5hex(s: String): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  }
+
+  test("q431 survivor rules: first/longest/hash pick different reps, hand-computed swing") {
+    // Docs 1 and 4 are near-dups (jaccard 3/4): rep_first = 1 (min id),
+    // rep_longest = 4 (more chars), rep_hash = 4 (md5("4") = a87f... <
+    // md5("1") = c4ca...). Doc 7 is an untouched s2 singleton.
+    // s1 token masses: keep-first -> doc1 = 5; keep-longest/hash ->
+    // doc4 = 6; swing = 1e6 * (6 - 5) div 11 = 90909.
+    val d = docsDir(Seq(
+      (1L, "a b c d e", "en", "s1"),
+      (4L, "a b c d e f", "en", "s1"),
+      (7L, "x y z w", "en", "s2")))
+    val got = TextOps.q431SurvivorRuleSensitivity(spark, d).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("docs_before"),
+        r.getAs[Long]("tokens_before"), r.getAs[Long]("tok_first"),
+        r.getAs[Long]("tok_longest"), r.getAs[Long]("tok_hash"),
+        r.getAs[Long]("swing_ppm")))
+    assert(got.toSeq === Seq(
+      ("s1", 2L, 11L, 5L, 6L, 6L, 90909L),
+      ("s2", 1L, 4L, 4L, 4L, 4L, 0L)))
+  }
+
+  test("q432 ingest-gap histogram: gaps 1 and 3 land in log2 buckets 0 and 1") {
+    // Pair (10, 11): identical docs, gap 1 -> bucket 0. Pair (1, 4):
+    // jaccard 3/4, gap 3 -> bucket 1 (2 <= 3 < 4).
+    val d = docsDir(Seq(
+      (1L, "a b c d e", "en", "s1"),
+      (4L, "a b c d e f", "en", "s1"),
+      (10L, "p q r s t", "en", "s1"),
+      (11L, "p q r s t", "en", "s1")))
+    val got = TextOps.q432DupIngestGap(spark, d).collect()
+      .map(r => (r.getInt(0), r.getAs[Long]("n_pairs"),
+        r.getAs[Long]("cum_pairs"), r.getAs[Long]("cum_ppm")))
+    assert(got.toSeq === Seq((0, 1L, 1L, 500000L), (1, 1L, 2L, 1000000L)))
+  }
+
+  test("q433 block-size sweep: split/crossing counts replayed over the md5 order") {
+    // Two 600-token docs; md5("1") = c4ca... < md5("2") = c81e..., so the
+    // pack order is doc1 (offsets 0-599) then doc2 (600-1199).
+    // B=512: both docs cross one boundary (3 blocks); B=1024: only doc2
+    // does (2 blocks); B=2048/4096: one block, no splits.
+    def words(n: Int): String = (0 until n).map(i => s"w$i").mkString(" ")
+    val d = docsDir(Seq(
+      (1L, words(600), "en", "s1"),
+      (2L, words(600), "en", "s2")))
+    val got = CorpusOps.q433BlockSizeSweep(spark, d).collect()
+      .map(r => (r.getAs[Long]("block_tokens"), r.getAs[Long]("n_blocks"),
+        r.getAs[Long]("n_docs"), r.getAs[Long]("split_docs"),
+        r.getAs[Long]("split_ppm"), r.getAs[Long]("boundary_crossings"),
+        r.getAs[Long]("docs_per_block_ppm")))
+    assert(got.toSeq === Seq(
+      (512L, 3L, 2L, 2L, 1000000L, 2L, 666666L),
+      (1024L, 2L, 2L, 1L, 500000L, 1L, 1000000L),
+      (2048L, 1L, 2L, 0L, 0L, 0L, 2000000L),
+      (4096L, 1L, 2L, 0L, 0L, 0L, 2000000L)))
+  }
+
+  test("q434 shard forecast: JVM-side md5 replay of the token-mass balance") {
+    val rows = (1L to 40L).map(i =>
+      (i, (0 until (3 + (i % 5)).toInt).map(j => s"t$j").mkString(" "), "en", s"s${i % 3}"))
+    def hk(id: Long): Long =
+      java.lang.Long.parseLong(md5hex(s"shard:$id").substring(0, 13), 16)
+    val expected = Seq(64L, 256L, 1024L).map { n =>
+      val byShard = rows.groupBy(r => hk(r._1) % n)
+        .view.mapValues(_.map(_._2.split(" ").length.toLong).sum).toMap
+      val tot = byShard.values.sum
+      (n, byShard.size.toLong, tot, byShard.values.max, byShard.values.min,
+        1000000L * byShard.values.max * n / tot)
+    }
+    val d = docsDir(rows)
+    val got = CapacityAuditOps.q434ShardCountForecast(spark, d).collect()
+      .map(r => (r.getAs[Long]("n_shards"), r.getAs[Long]("nonempty_shards"),
+        r.getAs[Long]("tokens_total"), r.getAs[Long]("max_shard_tok"),
+        r.getAs[Long]("min_shard_tok"), r.getAs[Long]("hot_ppm")))
+    assert(got.toSeq === expected)
+  }
+
+  test("q435 epoch budget: the 4-epoch clamp fires on the starved source") {
+    // s1: 10 tokens, s2: 1 token. T = 11, need = 5 each. s2 wants 5
+    // epochs -> clamped at 4e6 ppm, take = 4, deficit = 1.
+    val d = docsDir(Seq(
+      (1L, "a b c d e f g h i j", "en", "s1"),
+      (2L, "k", "en", "s2")))
+    val got = CorpusStatOps.q435EpochBudget(spark, d).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("tok"),
+        r.getAs[Long]("need_tok"), r.getAs[Long]("epochs_ppm"),
+        r.getAs[Long]("take_tok"), r.getAs[Long]("deficit_tok")))
+    assert(got.toSeq === Seq(
+      ("s1", 10L, 5L, 500000L, 5L, 0L),
+      ("s2", 1L, 5L, 4000000L, 4L, 1L)))
+  }
+
+  test("q436 minhash width: JVM-side md5 replay of the k-prefix estimates") {
+    // One pair: shingle sets {abc,bcd,cde} vs {abc,bcd,cde,def} ->
+    // exact jaccard 3/4 -> 750000 ppm. Per hash index i the doc minhashes
+    // agree unless min lands on 'd e f'; replay the 16 mins in the JVM.
+    val shA = Seq("a b c", "b c d", "c d e")
+    val shB = shA :+ "d e f"
+    def minh(sh: Seq[String], i: Int): String = sh.map(s => md5hex(s"$s#$i")).min
+    def est(k: Int): Long =
+      1000000L * (0 until k).count(i => minh(shA, i) == minh(shB, i)) / k
+    val expected = Seq(4, 8, 16).map { k =>
+      val e = est(k)
+      val err = math.abs(e - 750000L)
+      (k.toLong, 1L, err, math.max(e - 750000L, 0L), math.max(750000L - e, 0L))
+    }
+    val d = docsDir(Seq(
+      (1L, "a b c d e", "en", "s1"),
+      (4L, "a b c d e f", "en", "s1")))
+    val got = CapacityAuditOps.q436MinhashWidthAudit(spark, d).collect()
+      .map(r => (r.getAs[Long]("k"), r.getAs[Long]("n_pairs"),
+        r.getAs[Long]("mae_ppm"), r.getAs[Long]("over_ppm"),
+        r.getAs[Long]("under_ppm")))
+    assert(got.toSeq === expected)
+  }
+
+  test("q437 dedup scope: within-source capture of the global losable mass") {
+    // Pairs: (1,4) within s1 (doc4 losable, 6 tok); (10,11) cross-source
+    // (doc11 losable, 5 tok). Global losable = {4, 11} = 11 tok; within-
+    // source losable = {4} = 6 tok; capture = 1e6*6 div 11 = 545454.
+    val d = docsDir(Seq(
+      (1L, "a b c d e", "en", "s1"),
+      (4L, "a b c d e f", "en", "s1"),
+      (10L, "p q r s t", "en", "s2"),
+      (11L, "p q r s t", "en", "s1")))
+    val got = TextOps.q437DedupScopePlanner(spark, d).collect().head
+    assert(got.getAs[Long]("docs_total") === 4L)
+    assert(got.getAs[Long]("tokens_total") === 21L)
+    assert(got.getAs[Long]("global_losable_docs") === 2L)
+    assert(got.getAs[Long]("global_losable_tok") === 11L)
+    assert(got.getAs[Long]("within_losable_docs") === 1L)
+    assert(got.getAs[Long]("within_losable_tok") === 6L)
+    assert(got.getAs[Long]("capture_ppm") === 545454L)
+  }
 }
