@@ -734,6 +734,12 @@ object EvalReplayOps {
     val items = m.select(col("i")).distinct()
     val k = items.agg(count(lit(1)).as("k"))
     var p = items.select(col("i"), lit(1000000L).as("p"))
+    // the MM rounds are |items|²-bounded grid joins (items = nations for
+    // q368 — a dimension at ANY corpus size), so they plan under the
+    // narrow-shuffle scope: full-width reduce tasks × 8 rounds × 3
+    // exchanges was pure scheduling overhead. The data-sized comparison
+    // build (wins/m/wtot) is checkpointed above, outside the scope.
+    LoopConf.withNarrowShuffle(wins.sparkSession, 4) {
     for (_ <- 1 to iters) {
       val d = m
         .join(p, Seq("i"))
@@ -752,6 +758,7 @@ object EvalReplayOps {
         .select(col("i"), expr(
           """cast((cast(raw as decimal(38,0)) * k * 1000000L)
             | div sraw as bigint)""".stripMargin).as("p"))
+    }
     }
     p.join(wtot, Seq("i"), "left")
       .join(m.groupBy(col("i")).agg(sum(col("m")).as("mi")), Seq("i"))

@@ -987,23 +987,18 @@ object GraphMiningOps {
   def hits(edges: DataFrame, iters: Int, topK: Int,
       roundPartitions: Int = 4, broadcastScores: Boolean = true): DataFrame = {
     val spark = edges.sparkSession
-    val key = "spark.sql.shuffle.partitions"
-    val aqeKey = "spark.sql.adaptive.enabled"
-    val prev = spark.conf.get(key)
-    val prevAqe = spark.conf.get(aqeKey)
     // the edge-list distinct + initial mass run BEFORE the scope at the
     // session's full shuffle width (they are |edges|-sized, the one
     // genuinely data-sized step here)
     val e = edges.toDF("s", "p").localCheckpoint()
     val parts = e.select(col("p")).distinct()
     val np = parts.agg(count(lit(1)).as("k"))
-    spark.conf.set(key, roundPartitions.toString)
     // AQE re-plans at every materialized exchange — with ~3 stages ×
     // 16 half-step jobs over grid-sized frames, that bookkeeping IS the
     // bill (the partition counts are already pinned above; there is
-    // nothing for AQE to adapt). Restored on return like the partitions.
-    spark.conf.set(aqeKey, "false")
-    try {
+    // nothing for AQE to adapt). [[LoopConf.withNarrowShuffle]] scopes
+    // both confs and restores them on return.
+    LoopConf.withNarrowShuffle(spark, roundPartitions) {
       // narrow (shuffle-free) merge down to the round width: 16 half-step
       // scans at 32 tasks each was launch overhead, not parallelism — the
       // whole edge list fits a handful of in-memory partitions here. The
@@ -1044,9 +1039,6 @@ object GraphMiningOps {
       }
       auth.orderBy(col("a").desc, col("p")).limit(topK)
         .select(col("p").as("part"), col("a").as("authority_ppm"))
-    } finally {
-      spark.conf.set(key, prev)
-      spark.conf.set(aqeKey, prevAqe)
     }
   }
 

@@ -204,7 +204,11 @@ object SpatialOps {
       .join(core, nbr("nk") === core("ck"), "left_semi")
       .filter(col("qk") < col("nk"))
       .select(col("qk").as("id_a"), col("nk").as("id_b"))
-    val ccLabels = TextOps.clusterPairs(coreEdges)
+    // narrow CC rounds (LoopConf contract): the core graph's vertex set is
+    // |suppliers|-bounded — a dimension, not the data — so the propagation
+    // rounds run at 4 partitions instead of full width (the grid join
+    // above is the data-sized step and keeps the session width)
+    val ccLabels = TextOps.clusterPairs(coreEdges, loopPartitions = Some(4))
       .select(col("doc_id").as("ck"), col("cluster"))
     val coreLabels = core
       .join(ccLabels, Seq("ck"), "left")

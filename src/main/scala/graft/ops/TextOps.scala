@@ -877,7 +877,8 @@ object TextOps {
     * loop abandons its labels and restarts on [[connectedComponentsStar]]
     * (O(log² n) rounds on any graph) — same (id, label) contract.
     */
-  def connectedComponents(edges: DataFrame, maxPropagationRounds: Int = 5): DataFrame = {
+  def connectedComponents(edges: DataFrame, maxPropagationRounds: Int = 5,
+      loopPartitions: Option[Int] = None): DataFrame = {
     val e = edges.toDF("a", "b")
     val sym = e.union(e.select(col("b"), col("a"))) // positional union = swap
       .distinct()
@@ -898,6 +899,15 @@ object TextOps {
     var prevSum = labelSum(labels)
     var converged = false
     var rounds = 0
+    // loopPartitions: opt-in [[LoopConf.withNarrowShuffle]] scope for the
+    // propagation rounds — per-round frames are |vertices|-sized, so a
+    // caller whose vertex set is DIMENSION-bounded (q255: suppliers) can
+    // stop paying full-width reduce tasks × rounds of scheduling overhead.
+    // Callers with data-sized vertex sets (q82: documents) keep the
+    // default None — narrow rounds would serialize real work there. The
+    // |edges|-sized sym/init frames above are eager-checkpointed BEFORE
+    // this scope, at full width.
+    def loop(): DataFrame = {
     while (!converged) {
       rounds += 1
       if (rounds > maxPropagationRounds) {
@@ -923,6 +933,11 @@ object TextOps {
       labels = next
     }
     labels
+    }
+    loopPartitions match {
+      case Some(n) => LoopConf.withNarrowShuffle(e.sparkSession, n)(loop())
+      case None => loop()
+    }
   }
 
   /** Connected components by alternating large-star / small-star
@@ -993,8 +1008,9 @@ object TextOps {
   /** pairs (id_a, id_b) → (doc_id, cluster, cluster_size): the q82 body,
     * factored out so specs can drive the full entry-point logic (incl. the
     * stalled-round escape to star contraction) with synthetic edge sets. */
-  def clusterPairs(pairs: DataFrame, maxPropagationRounds: Int = 5): DataFrame = {
-    val labels = connectedComponents(pairs, maxPropagationRounds)
+  def clusterPairs(pairs: DataFrame, maxPropagationRounds: Int = 5,
+      loopPartitions: Option[Int] = None): DataFrame = {
+    val labels = connectedComponents(pairs, maxPropagationRounds, loopPartitions)
     val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
     labels.join(broadcast(sizes), "label")
       .select(col("id").as("doc_id"), col("label").as("cluster"), col("cluster_size"))
