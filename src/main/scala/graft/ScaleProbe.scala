@@ -404,7 +404,11 @@ object ScaleProbe {
     "q431_survivor_rule_sensitivity", "q432_dup_ingest_gap",
     "q433_block_size_sweep", "q434_shard_count_forecast",
     "q435_epoch_budget", "q436_minhash_width_audit",
-    "q437_dedup_scope_planner")
+    "q437_dedup_scope_planner",
+    // the contamination worklist (q438: gram explode + semi-join, claimed
+    // corpus-linear) and the packed attention-pair mass (q439: cumsum +
+    // bounded block explode, q430's shape)
+    "q438_contamination_attribution", "q439_attention_contamination")
 
   def main(args: Array[String]): Unit = {
     val scales = if (args.nonEmpty) args.map(_.toInt).toSeq else Seq(1, 2, 5, 10)

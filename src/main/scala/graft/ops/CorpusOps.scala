@@ -1043,10 +1043,84 @@ object CorpusOps {
        |    AS docs_per_block_ppm
        |FROM g ORDER BY block_tokens""".stripMargin
 
+  // --------------------------------------------------------------------------
+  // q439 — ATTENTION-CONTAMINATION MASS (round 11): q430 counts blocks
+  // whose docs mix; this weighs HOW MUCH cross-document attention a
+  // packer without boundary masking feeds the model. Per 2048-token
+  // block with in-block segment lengths s_i: cross pair mass =
+  // (T² − Σ s_i²)/2 (T = Σ s_i) — zero for a pure block, maximal for
+  // many small segments. Reports the block census plus the mass-weighted
+  // cross fraction (ppm of Σ T²) and the worst block — the numbers that
+  // decide whether per-sequence attention masking is worth its
+  // throughput cost (a 2-doc block split 2047/1 is 0.1% contaminated;
+  // the census alone cannot tell it from 1024/1024 at 50%).
+  //
+  // Scale: the same [[globalCumsum]] + bounded touched-block explode as
+  // q430; segments are row-local min/max arithmetic; the block aggregate
+  // is two integer sums and the rollup is one row.
+  def q439AttentionContamination(spark: SparkSession, dir: String): DataFrame = {
+    val cap = 2048L
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), size(TextOps.toks).cast("long").as("ntok"),
+        md5(col("doc_id").cast("string")).as("h"))
+      .filter(col("ntok") > 0)
+    val segs = globalCumsum(d, "h", "ntok", "cum")
+      .select((col("cum") - col("ntok")).as("st"), (col("cum") - 1).as("en"))
+      .select(col("st"), col("en"),
+        explode(expr(s"sequence(st div $cap, en div $cap)")).as("bin"))
+      .select(col("bin"), expr(
+        s"least(en, (bin + 1) * $cap - 1) - greatest(st, bin * $cap) + 1").as("seg"))
+    val perBin = segs.groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_segs"), sum(col("seg")).as("t"),
+        sum(col("seg") * col("seg")).as("sumsq"))
+    perBin.agg(count(lit(1)).as("blocks"),
+        count_if(col("n_segs") > 1).as("multi_doc_blocks"),
+        sum(col("t")).as("tokens"),
+        sum(expr("(t * t - sumsq) div 2")).as("cross_pair_mass"),
+        sum(expr("t * t")).as("tsq_mass"),
+        max(expr("(1000000L * (t * t - sumsq)) div (t * t)")).as("max_block_cross_ppm"))
+      .select(col("blocks"), col("multi_doc_blocks"), col("tokens"),
+        col("cross_pair_mass"),
+        expr("(1000000L * (2L * cross_pair_mass)) div tsq_mass").as("cross_ppm"),
+        col("max_block_cross_ppm"))
+  }
+
+  val q439Sql: String =
+    s"""WITH d AS (
+       |  SELECT CAST(len(${TextOps.toksSqlD}) AS BIGINT) AS ntok,
+       |    md5(doc_id::VARCHAR) AS h
+       |  FROM documents),
+       |c AS (
+       |  SELECT ntok,
+       |    SUM(ntok) OVER (ORDER BY h ROWS UNBOUNDED PRECEDING) AS cum
+       |  FROM d WHERE ntok > 0),
+       |s AS (
+       |  SELECT bin,
+       |    LEAST(cum - 1, (bin + 1) * 2048 - 1)
+       |      - GREATEST(cum - ntok, bin * 2048) + 1 AS seg
+       |  FROM (SELECT ntok, cum,
+       |          UNNEST(generate_series(CAST((cum - ntok) // 2048 AS BIGINT),
+       |                                 CAST((cum - 1) // 2048 AS BIGINT))) AS bin
+       |        FROM c)),
+       |g AS (
+       |  SELECT bin, COUNT(*) AS n_segs, SUM(seg) AS t,
+       |    SUM(seg * seg) AS sumsq
+       |  FROM s GROUP BY 1)
+       |SELECT COUNT(*) AS blocks,
+       |  CAST(COUNT(*) FILTER (n_segs > 1) AS BIGINT) AS multi_doc_blocks,
+       |  CAST(SUM(t) AS BIGINT) AS tokens,
+       |  CAST(SUM((t * t - sumsq) // 2) AS BIGINT) AS cross_pair_mass,
+       |  CAST((1000000 * (2 * SUM((t * t - sumsq) // 2))) // SUM(t * t)
+       |    AS BIGINT) AS cross_ppm,
+       |  CAST(MAX((1000000 * (t * t - sumsq)) // (t * t)) AS BIGINT)
+       |    AS max_block_cross_ppm
+       |FROM g""".stripMargin
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q429_interleave_audit", q429InterleaveAudit _, Some(q429Sql)),
     ("q430_pack_purity", q430PackPurity _, Some(q430Sql)),
     ("q433_block_size_sweep", q433BlockSizeSweep _, Some(q433Sql)),
+    ("q439_attention_contamination", q439AttentionContamination _, Some(q439Sql)),
     ("q238_phrase_search", q238PhraseSearch _, Some(q238Sql)),
     ("q257_split_leakage", q257SplitLeakage _, Some(q257Sql)),
     ("q129_division", q129Division _, Some(q129Sql)),

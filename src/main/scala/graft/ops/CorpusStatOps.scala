@@ -1225,6 +1225,69 @@ object CorpusStatOps {
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
   // --------------------------------------------------------------------------
+  // q438 — CONTAMINATION SOURCE ATTRIBUTION (round 11): q409 reports THAT
+  // the eval split's 5-grams leak from the train split; this reports WHO
+  // carries them — per train source: distinct contaminated eval-grams it
+  // holds, train docs holding at least one, and coverage_ppm of the total
+  // contaminated gram set. The decontamination WORKLIST: a source
+  // covering 90% of the leakage is where the n-gram filter (q106's doc
+  // drop, or surgical span removal) pays for itself; coverage overlaps
+  // across sources by construction (the same gram can leak from several),
+  // so the column sums past 1e6 — it ranks, it does not partition.
+  //
+  // Scale: q409's row-local 5-gram expansion per side, one semi-join of
+  // the train gram stream against the (distinct, much smaller) eval gram
+  // set, two distinct aggregates keyed by source — corpus-linear, never
+  // a pair join.
+  def q438ContaminationAttribution(spark: SparkSession, dir: String): DataFrame = {
+    def grams(d: DataFrame) = d
+      .select(col("source"), col("doc_id"),
+        expr("filter(split(lower(text), ' '), t -> t != '')").as("t"))
+      .select(col("source"), col("doc_id"), explode(expr(
+        """if(size(t) >= 5,
+          |   transform(sequence(0, size(t) - 5),
+          |     i -> concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3], t[i+4])),
+          |   array())""".stripMargin)).as("g"))
+    val docs = Tables.documents(spark, dir)
+    val ev = grams(docs.filter(col("doc_id") % 10 === 7))
+      .select(col("g")).distinct()
+    val trHits = grams(docs.filter(col("doc_id") % 10 =!= 7))
+      .join(ev, Seq("g"), "left_semi")
+      .localCheckpoint(false) // feeds the per-source aggregate AND the total
+    val tot = trHits.agg(countDistinct(col("g")).as("contaminated_total"))
+    trHits.groupBy(col("source"))
+      .agg(countDistinct(col("g")).as("hit_grams"),
+        countDistinct(col("doc_id")).as("hit_docs"))
+      .crossJoin(broadcast(tot))
+      .withColumn("coverage_ppm",
+        expr("(1000000L * hit_grams) div contaminated_total"))
+      .select(col("source"), col("hit_grams"), col("hit_docs"),
+        col("contaminated_total"), col("coverage_ppm"))
+      .orderBy(col("source"))
+  }
+
+  val q438Sql: String =
+    s"""WITH g5 AS (
+       |  SELECT source, doc_id,
+       |    t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+       |      || ' ' || t[i+4] AS g
+       |  FROM (SELECT source, doc_id, ${TextOps.toksSqlD} AS t FROM documents),
+       |       UNNEST(generate_series(1, len(t) - 4)) AS u(i)),
+       |ev AS (SELECT DISTINCT g FROM g5 WHERE doc_id % 10 = 7),
+       |trh AS (
+       |  SELECT source, doc_id, g FROM g5
+       |  WHERE doc_id % 10 <> 7 AND g IN (SELECT g FROM ev)),
+       |tot AS (SELECT COUNT(DISTINCT g) AS contaminated_total FROM trh)
+       |SELECT source,
+       |  COUNT(DISTINCT g) AS hit_grams,
+       |  COUNT(DISTINCT doc_id) AS hit_docs,
+       |  CAST(ANY_VALUE(contaminated_total) AS BIGINT) AS contaminated_total,
+       |  CAST((1000000 * COUNT(DISTINCT g)) // ANY_VALUE(contaminated_total)
+       |    AS BIGINT) AS coverage_ppm
+       |FROM trh CROSS JOIN tot
+       |GROUP BY source ORDER BY source""".stripMargin
+
+  // --------------------------------------------------------------------------
   // q410 — POST-DEDUP TOKEN YIELD PER SOURCE: after exact dedup with a
   // min-doc_id keep policy, how many of each source's tokens survive —
   // "who contributes unique data vs re-crawls" (the survivor counts are
@@ -1830,7 +1893,8 @@ object CorpusStatOps {
   private val catalogR11: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q423_label_conflict", q423LabelConflict _, Some(q423Sql)),
     ("q427_source_type_overlap", q427SourceTypeOverlap _, Some(q427Sql)),
-    ("q435_epoch_budget", q435EpochBudget _, Some(q435Sql)))
+    ("q435_epoch_budget", q435EpochBudget _, Some(q435Sql)),
+    ("q438_contamination_attribution", q438ContaminationAttribution _, Some(q438Sql)))
 
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
     catalogE ++ catalogK ++ catalogL ++ catalogM ++ catalogO ++ catalogAn ++

@@ -42,6 +42,8 @@ class PlanLintSpec extends SparkSpec {
       "cumulative window runs over the log2 gap-bucket histogram — the CASE chain caps it at 41 rows, corpus-size-independent",
     "q433_block_size_sweep" ->
       "q169's two-pass shape: the exclusive prefix sum runs over the 256-row md5-bucket token-total grid only; the per-row cumsum window is partitioned by bucket",
+    "q439_attention_contamination" ->
+      "q169's two-pass shape: the exclusive prefix sum runs over the 256-row md5-bucket token-total grid only; the per-row cumsum window is partitioned by bucket",
     "q425_filter_overlap" ->
       "share denominator runs over the ≤ 8-row gate-combination census (2³ boolean cells) — domain-bounded, corpus-size-independent",
     "q164_skyline" ->

@@ -308,6 +308,60 @@ class CorpusPlannerSpec extends SparkSpec {
     assert(got.toSeq === expected)
   }
 
+  test("q438 contamination attribution: per-source gram coverage of the eval leak") {
+    // Eval doc 7 has 5-grams {"a b c d e", "b c d e f"}. Train: doc 1
+    // (s1) carries the first; docs 2 and 3 (s2) carry one each -> s2
+    // covers both. contaminated_total = 2.
+    val d = docsDir(Seq(
+      (7L, "a b c d e f", "en", "s9"),
+      (1L, "a b c d e x y", "en", "s1"),
+      (2L, "b c d e f", "en", "s2"),
+      (3L, "z a b c d e", "en", "s2"),
+      (4L, "no leak here at all", "en", "s3")))
+    val got = CorpusStatOps.q438ContaminationAttribution(spark, d).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("hit_grams"),
+        r.getAs[Long]("hit_docs"), r.getAs[Long]("contaminated_total"),
+        r.getAs[Long]("coverage_ppm")))
+    assert(got.toSeq === Seq(
+      ("s1", 1L, 1L, 2L, 500000L), ("s2", 2L, 2L, 2L, 1000000L)))
+  }
+
+  test("q439 attention contamination: JVM-side replay of the packed segment math") {
+    // md5 order: doc4 (a87f...) < doc1 (c4ca...) < doc2 (c81e...)? No —
+    // c4ca < c81e, so the order is 4, 1, 2. The replay recomputes it.
+    def words(n: Int): String = (0 until n).map(i => s"w$i").mkString(" ")
+    val rows = Seq((1L, 600L), (2L, 600L), (4L, 1500L))
+    val order = rows.sortBy(r => md5hex(r._1.toString))
+    var cum = 0L
+    val bins = scala.collection.mutable.Map.empty[Long, List[Long]]
+    order.foreach { case (_, n) =>
+      val st = cum; cum += n; val en = cum - 1
+      (st / 2048 to en / 2048).foreach { b =>
+        val seg = math.min(en, (b + 1) * 2048 - 1) - math.max(st, b * 2048) + 1
+        bins(b) = seg :: bins.getOrElse(b, Nil)
+      }
+    }
+    val stats = bins.values.map { segs =>
+      val t = segs.sum; val sumsq = segs.map(s => s * s).sum
+      (segs.length, t, sumsq)
+    }.toSeq
+    val expBlocks = stats.length.toLong
+    val expMulti = stats.count(_._1 > 1).toLong
+    val expTokens = stats.map(_._2).sum
+    val expCross = stats.map { case (_, t, sq) => (t * t - sq) / 2 }.sum
+    val expTsq = stats.map { case (_, t, _) => t * t }.sum
+    val expPpm = 1000000L * (2 * expCross) / expTsq
+    val expMax = stats.map { case (_, t, sq) => 1000000L * (t * t - sq) / (t * t) }.max
+    val d = docsDir(rows.map { case (id, n) => (id, words(n.toInt), "en", "s1") })
+    val got = CorpusOps.q439AttentionContamination(spark, d).collect().head
+    assert(got.getAs[Long]("blocks") === expBlocks)
+    assert(got.getAs[Long]("multi_doc_blocks") === expMulti)
+    assert(got.getAs[Long]("tokens") === expTokens)
+    assert(got.getAs[Long]("cross_pair_mass") === expCross)
+    assert(got.getAs[Long]("cross_ppm") === expPpm)
+    assert(got.getAs[Long]("max_block_cross_ppm") === expMax)
+  }
+
   test("q437 dedup scope: within-source capture of the global losable mass") {
     // Pairs: (1,4) within s1 (doc4 losable, 6 tok); (10,11) cross-source
     // (doc11 losable, 5 tok). Global losable = {4, 11} = 11 tok; within-
