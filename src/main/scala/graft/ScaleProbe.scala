@@ -408,7 +408,10 @@ object ScaleProbe {
     // the contamination worklist (q438: gram explode + semi-join, claimed
     // corpus-linear) and the packed attention-pair mass (q439: cumsum +
     // bounded block explode, q430's shape)
-    "q438_contamination_attribution", "q439_attention_contamination")
+    "q438_contamination_attribution", "q439_attention_contamination",
+    // the cap cost/recall frontier: ONE cap-50 pair-expansion pass with
+    // per-event df, smaller caps as conditional sums (q421's recall twin)
+    "q440_cap_recall_frontier")
 
   def main(args: Array[String]): Unit = {
     val scales = if (args.nonEmpty) args.map(_.toInt).toSeq else Seq(1, 2, 5, 10)

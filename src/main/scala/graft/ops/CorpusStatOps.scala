@@ -1894,7 +1894,96 @@ object CorpusStatOps {
     ("q423_label_conflict", q423LabelConflict _, Some(q423Sql)),
     ("q427_source_type_overlap", q427SourceTypeOverlap _, Some(q427Sql)),
     ("q435_epoch_budget", q435EpochBudget _, Some(q435Sql)),
-    ("q438_contamination_attribution", q438ContaminationAttribution _, Some(q438Sql)))
+    ("q438_contamination_attribution", q438ContaminationAttribution _, Some(q438Sql)),
+    ("q440_cap_recall_frontier", q440CapRecallFrontier _, Some(q440Sql)))
+
+  // --------------------------------------------------------------------------
+  // q440 — STOP-SHINGLE CAP RECALL FRONTIER (round 11): q421 prices what
+  // each df-cap candidate SAVES (pair mass dropped); this prices what it
+  // LOSES — per cap ∈ {5, 10, 25, 50}: candidate pairs surviving, pairs
+  // accepted at jaccard ≥ 0.5 under that cap's semantics (hot shingles
+  // dropped from the intersection, FULL set sizes in the union — exactly
+  // what q31 ships), and the accepted-pair loss vs the cap-50 reference.
+  // Together the two tables are the knob's full cost/recall frontier.
+  //
+  // Scale: ONE pass of the guarded pair expansion at the LARGEST cap
+  // with per-event df attached ([[TextOps.cappedPairEvents]]), then the
+  // smaller caps are conditional sums over the same events — never four
+  // pipelines, and the cap-50 guard's OOM bound is inherited. The
+  // reference row joins back as a broadcast 1-row frame.
+  def q440CapRecallFrontier(spark: SparkSession, dir: String): DataFrame = {
+    val caps = Seq(5L, 10L, 25L, 50L)
+    val events = TextOps.cappedPairEvents(
+      TextOps.shingleStream(Tables.documents(spark, dir)), cap = 50)
+    val interCols = caps.map(c =>
+      sum(when(col("df") <= c, 1L).otherwise(0L)).as(s"i$c"))
+    val perPair = events
+      .groupBy(col("id_a"), col("id_b"), col("na"), col("nb"))
+      .agg(interCols.head, interCols.tail: _*)
+    val g = perPair.select(col("na"), col("nb"),
+        explode(array(caps.map(c =>
+          struct(lit(c).as("cap"), col(s"i$c").as("inter"))): _*)).as("e"))
+      .select(col("e.cap").as("cap"), col("e.inter").as("inter"),
+        col("na"), col("nb"))
+      .filter(col("inter") >= 1)
+      .groupBy(col("cap"))
+      .agg(count(lit(1)).as("cand_pairs"),
+        count_if(expr("cast(inter as double) / (na + nb - inter) >= 0.5d"))
+          .as("accepted_pairs"))
+    val ref = g.filter(col("cap") === 50)
+      .select(col("accepted_pairs").as("acc_ref"))
+    g.crossJoin(broadcast(ref))
+      .select(col("cap"), col("cand_pairs"), col("accepted_pairs"),
+        (col("acc_ref") - col("accepted_pairs")).as("lost_vs_max"),
+        when(col("acc_ref") === 0, lit(0L))
+          .otherwise(expr("(1000000L * (acc_ref - accepted_pairs)) div acc_ref"))
+          .as("lost_ppm"))
+      .orderBy(col("cap"))
+  }
+
+  // lazy: referenced by catalogR11 ABOVE its definition — a plain val
+  // would be null at object init (§8.24's gotcha)
+  lazy val q440Sql: String =
+    s"""WITH sh AS (
+       |  SELECT DISTINCT doc_id, s FROM (
+       |    SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+       |    FROM (SELECT doc_id, ${TextOps.toksSqlD} AS t FROM documents),
+       |         UNNEST(generate_series(1, len(t) - 2)) AS u(i))),
+       |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+       |shd AS (
+       |  SELECT sh.doc_id, sh.s, d.df FROM sh
+       |  JOIN (SELECT s, COUNT(*) AS df FROM sh GROUP BY s
+       |        HAVING COUNT(*) <= 50) d USING (s)),
+       |pp AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, sa.n_sh AS na,
+       |    sb.n_sh AS nb,
+       |    SUM(CASE WHEN a.df <= 5 THEN 1 ELSE 0 END) AS i5,
+       |    SUM(CASE WHEN a.df <= 10 THEN 1 ELSE 0 END) AS i10,
+       |    SUM(CASE WHEN a.df <= 25 THEN 1 ELSE 0 END) AS i25,
+       |    COUNT(*) AS i50
+       |  FROM shd a JOIN shd b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  JOIN sizes sa ON sa.doc_id = a.doc_id
+       |  JOIN sizes sb ON sb.doc_id = b.doc_id
+       |  WHERE sa.n_sh <= sb.n_sh * 2 AND sb.n_sh <= sa.n_sh * 2
+       |  GROUP BY 1, 2, 3, 4),
+       |e AS (
+       |  SELECT 5 AS cap, i5 AS inter, na, nb FROM pp UNION ALL
+       |  SELECT 10, i10, na, nb FROM pp UNION ALL
+       |  SELECT 25, i25, na, nb FROM pp UNION ALL
+       |  SELECT 50, i50, na, nb FROM pp),
+       |g AS (
+       |  SELECT cap, COUNT(*) AS cand,
+       |    COUNT(*) FILTER (CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.5)
+       |      AS acc
+       |  FROM e WHERE inter >= 1 GROUP BY cap),
+       |ref AS (SELECT acc AS acc_ref FROM g WHERE cap = 50)
+       |SELECT CAST(cap AS BIGINT) AS cap, CAST(cand AS BIGINT) AS cand_pairs,
+       |  CAST(acc AS BIGINT) AS accepted_pairs,
+       |  CAST(acc_ref - acc AS BIGINT) AS lost_vs_max,
+       |  CAST(CASE WHEN acc_ref = 0 THEN 0
+       |    ELSE (1000000 * (acc_ref - acc)) // acc_ref END AS BIGINT)
+       |    AS lost_ppm
+       |FROM g CROSS JOIN ref ORDER BY cap""".stripMargin
 
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
     catalogE ++ catalogK ++ catalogL ++ catalogM ++ catalogO ++ catalogAn ++

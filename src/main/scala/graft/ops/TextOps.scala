@@ -156,44 +156,12 @@ object TextOps {
     */
   private[graft] def ngramJaccardPairs(docs: DataFrame,
       stopShingleDf: Option[Int]): DataFrame = {
-    val withN0 = shingleArrays(docs)
-      .select(col("doc_id"), size(col("sh")).cast("long").as("n_sh"),
-        explode(col("sh")).as("s"))
-      .filter(col("n_sh") > 0)
+    val withN0 = shingleStream(docs)
     // pair events (id_a < id_b, band-pruned, one row per shared shingle)
     val pairEvents = stopShingleDf match {
       case Some(cap) =>
-        // Posting-list pair expansion (round 11): the df guard bounds every
-        // posting list at `cap` entries, so the pairs can be generated
-        // ROW-LOCALLY from a per-shingle collected list — emit the C(df,2)
-        // ordered band-pruned pairs with a bounded nested transform instead
-        // of the inverted-index self-join. Buffer safety on HOT shingles:
-        // a row_number prefix keeps only cap+1 postings per shingle BEFORE
-        // collect_list ever buffers them (the sort is external/spill-safe;
-        // an unguarded collect would materialize the full hot list in the
-        // aggregation buffer — the exact OOM the guard exists to prevent),
-        // and any list that hits the cap+1 sentinel is dropped whole by
-        // the size filter — identical semantics to the df aggregate (a hot
-        // shingle contributes nothing either way). One exchange carries
-        // the posting stream (window + collect reuse its partitioning) and
-        // one carries the pair counts, vs four in the old guarded-join
-        // form — measured ~2x on the whole q31-consumer family at sf0.1.
-        val wS = Window.partitionBy(col("s")).orderBy(col("doc_id"))
-        val posts = withN0
-          .withColumn("rn", row_number().over(wS))
-          .filter(col("rn") <= cap + 1)
-          .groupBy(col("s"))
-          .agg(collect_list(struct(col("doc_id").as("d"), col("n_sh").as("n"))).as("ps"))
-          .filter(size(col("ps")) >= 2 && size(col("ps")) <= cap)
-        posts.select(explode(expr(
-          """flatten(transform(ps, (x, i) ->
-            |  filter(transform(slice(ps, i + 2, size(ps)), y ->
-            |    if(x.d < y.d,
-            |       named_struct('id_a', x.d, 'id_b', y.d, 'na', x.n, 'nb', y.n),
-            |       named_struct('id_a', y.d, 'id_b', x.d, 'na', y.n, 'nb', x.n))),
-            |    p -> p.na <= p.nb * 2L AND p.nb <= p.na * 2L)))""".stripMargin)).as("p"))
-          .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
-            col("p.na").as("na"), col("p.nb").as("nb"))
+        cappedPairEvents(withN0, cap)
+          .select(col("id_a"), col("id_b"), col("na"), col("nb"))
       case None =>
         // exact twin: posting lists are unbounded, so the inverted-index
         // self-join is the only safe shape (a hot shingle would OOM a
@@ -213,6 +181,56 @@ object TextOps {
       .select(col("id_a"), col("id_b"), Num.pround(col("jaccard"), 6).as("jaccard"))
       .orderBy(col("id_a"), col("id_b"))
   }
+
+  /** Capped pair-event stream shared by the near-dup family and the cap
+    * planners: one row per (ordered band-pruned pair, shared shingle),
+    * carrying the shingle's posting-list size as `df` so a consumer can
+    * re-evaluate ANY cap ≤ the one passed (q440's recall frontier).
+    *
+    * Posting-list pair expansion (round 11): the df guard bounds every
+    * posting list at `cap` entries, so the pairs can be generated
+    * ROW-LOCALLY from a per-shingle collected list — emit the C(df,2)
+    * ordered band-pruned pairs with a bounded nested transform instead
+    * of the inverted-index self-join. Buffer safety on HOT shingles:
+    * a row_number prefix keeps only cap+1 postings per shingle BEFORE
+    * collect_list ever buffers them (the sort is external/spill-safe;
+    * an unguarded collect would materialize the full hot list in the
+    * aggregation buffer — the exact OOM the guard exists to prevent),
+    * and any list that hits the cap+1 sentinel is dropped whole by
+    * the size filter — identical semantics to the df aggregate (a hot
+    * shingle contributes nothing either way). One exchange carries
+    * the posting stream (window + collect reuse its partitioning) and
+    * one carries the pair counts, vs four in the old guarded-join
+    * form — measured ~2x on the whole q31-consumer family at sf0.1.
+    *
+    * `withN0` = the (doc_id, n_sh, s) exploded shingle stream.
+    */
+  private[ops] def cappedPairEvents(withN0: DataFrame, cap: Int): DataFrame = {
+    val wS = Window.partitionBy(col("s")).orderBy(col("doc_id"))
+    val posts = withN0
+      .withColumn("rn", row_number().over(wS))
+      .filter(col("rn") <= cap + 1)
+      .groupBy(col("s"))
+      .agg(collect_list(struct(col("doc_id").as("d"), col("n_sh").as("n"))).as("ps"))
+      .filter(size(col("ps")) >= 2 && size(col("ps")) <= cap)
+    posts.select(size(col("ps")).cast("long").as("df"), explode(expr(
+      """flatten(transform(ps, (x, i) ->
+        |  filter(transform(slice(ps, i + 2, size(ps)), y ->
+        |    if(x.d < y.d,
+        |       named_struct('id_a', x.d, 'id_b', y.d, 'na', x.n, 'nb', y.n),
+        |       named_struct('id_a', y.d, 'id_b', x.d, 'na', y.n, 'nb', x.n))),
+        |    p -> p.na <= p.nb * 2L AND p.nb <= p.na * 2L)))""".stripMargin)).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
+        col("p.na").as("na"), col("p.nb").as("nb"), col("df"))
+  }
+
+  /** The exploded (doc_id, n_sh, s) shingle stream q31's family and the
+    * cap planners share. */
+  private[ops] def shingleStream(docs: DataFrame): DataFrame =
+    shingleArrays(docs)
+      .select(col("doc_id"), size(col("sh")).cast("long").as("n_sh"),
+        explode(col("sh")).as("s"))
+      .filter(col("n_sh") > 0)
 
   val q31Sql: String =
     s"""WITH sh AS (

@@ -163,6 +163,8 @@ class PlanLintSpec extends SparkSpec {
       "bounded-grid joins by construction: the probe frame is |queries| (vec_id < 5) × rn ≤ 4 cells crossed with the 3-row nprobe grid — every non-equi side is corpus-size-independent; candidate fan-out rides the equi-join on cell",
     "q428_lsh_bucket_forecast" ->
       "broadcast 4-row minhash-index grid crossed with the shingle stream — the grid is a fixed signature dimension (k = 4), corpus-size-independent",
+    "q440_cap_recall_frontier" ->
+      "broadcast 1-row reference side by construction: the cap-50 row filtered from the 4-row cap grid aggregate, crossed back onto that same 4-row grid",
     "q436_minhash_width_audit" ->
       "broadcast 16-row minhash-index grid crossed with the shingle stream (q428's shape at k = 16) plus the broadcast 1-row pair total — both non-equi sides are corpus-size-independent",
     "q232_conformal" ->

@@ -362,6 +362,24 @@ class CorpusPlannerSpec extends SparkSpec {
     assert(got.getAs[Long]("max_block_cross_ppm") === expMax)
   }
 
+  test("q440 cap recall frontier: a df-6 shingle's candidates vanish below cap 10") {
+    // Docs 1/4: near-dup pair via df-2 shingles -> candidate AND accepted
+    // at every cap. Docs 20-25 share ONLY the df-6 shingle "x y z": their
+    // C(6,2) = 15 pairs are candidates at cap >= 10 (inter = 1, jaccard
+    // 1/5 < 0.5 -> never accepted) and vanish entirely at cap 5.
+    val six = (20L to 25L).map(i => (i, s"x y z u$i v$i", "en", "s1"))
+    val d = docsDir(Seq(
+      (1L, "a b c d e", "en", "s1"),
+      (4L, "a b c d e f", "en", "s1")) ++ six)
+    val got = CorpusStatOps.q440CapRecallFrontier(spark, d).collect()
+      .map(r => (r.getAs[Long]("cap"), r.getAs[Long]("cand_pairs"),
+        r.getAs[Long]("accepted_pairs"), r.getAs[Long]("lost_vs_max"),
+        r.getAs[Long]("lost_ppm")))
+    assert(got.toSeq === Seq(
+      (5L, 1L, 1L, 0L, 0L), (10L, 16L, 1L, 0L, 0L),
+      (25L, 16L, 1L, 0L, 0L), (50L, 16L, 1L, 0L, 0L)))
+  }
+
   test("q437 dedup scope: within-source capture of the global losable mass") {
     // Pairs: (1,4) within s1 (doc4 losable, 6 tok); (10,11) cross-source
     // (doc11 losable, 5 tok). Global losable = {4, 11} = 11 tok; within-
