@@ -411,7 +411,10 @@ object ScaleProbe {
     "q438_contamination_attribution", "q439_attention_contamination",
     // the cap cost/recall frontier: ONE cap-50 pair-expansion pass with
     // per-event df, smaller caps as conditional sums (q421's recall twin)
-    "q440_cap_recall_frontier")
+    "q440_cap_recall_frontier",
+    // the edit-locus census: capped pairs + two token-array joins, the
+    // prefix/suffix scan row-local and doc-length-bounded
+    "q441_edit_locus")
 
   def main(args: Array[String]): Unit = {
     val scales = if (args.nonEmpty) args.map(_.toInt).toSeq else Seq(1, 2, 5, 10)

@@ -1400,6 +1400,93 @@ object TextOps {
   }
 
   // --------------------------------------------------------------------------
+  // q441 — NEAR-DUP EDIT-LOCUS CENSUS (round 11): WHERE do near-dup pairs
+  // differ? Per pair: common token prefix (cp) and suffix (cs, capped so
+  // cp + cs ≤ min length), and the census — end-only pairs (cp + cs
+  // covers the shorter doc: a header/footer/append variant that a
+  // prefix/suffix-trim normalizer would collapse into an EXACT dup,
+  // downgrading the shingle sweep to an md5 semi-join for them), full
+  // rewrites (no common ends), and the common-end token share. The
+  // number that prices a cheap trim normalizer (q84/q87's family)
+  // against the full near-dup pipeline.
+  //
+  // First-mismatch is computed as min-over-mismatch-INDICES (array_min /
+  // list_min skip NULLs in both engines, all-equal → NULL → coalesce to
+  // minl) — deliberately NOT array_position/list_position, whose
+  // not-found result (0 vs NULL) is an engine-version hazard.
+  //
+  // Scale: the capped pair set with two slim token-array joins; the
+  // prefix/suffix scan is row-local and bounded by doc length.
+  def q441EditLocus(spark: SparkSession, dir: String): DataFrame = {
+    val toksById = Tables.documents(spark, dir)
+      .select(col("doc_id"), toks.as("t"))
+    val pairs = q31NgramJaccard(spark, dir)
+      .select(col("id_a"), col("id_b"))
+      .join(toksById.select(col("doc_id").as("id_a"), col("t").as("ta")), "id_a")
+      .join(toksById.select(col("doc_id").as("id_b"), col("t").as("tb")), "id_b")
+      .withColumn("la", size(col("ta")).cast("long"))
+      .withColumn("lb", size(col("tb")).cast("long"))
+      .withColumn("minl", least(col("la"), col("lb")))
+      // reverse() hoisted OUT of the per-index lambda: inside it the
+      // interpreted HOF re-materializes the reversed array per element
+      // (O(len²) per pair)
+      .withColumn("ra", reverse(col("ta")))
+      .withColumn("rb", reverse(col("tb")))
+      .withColumn("cp", expr(
+        """coalesce(array_min(transform(sequence(1L, minl),
+          |  i -> if(element_at(ta, cast(i as int)) != element_at(tb, cast(i as int)), i, null))) - 1L, minl)""".stripMargin))
+      .withColumn("csr", expr(
+        """coalesce(array_min(transform(sequence(1L, minl),
+          |  i -> if(element_at(ra, cast(i as int)) != element_at(rb, cast(i as int)), i, null))) - 1L, minl)""".stripMargin))
+      .withColumn("cs", least(col("csr"), col("minl") - col("cp")))
+    pairs.agg(count(lit(1)).as("n_pairs"),
+        count_if(col("cp") + col("cs") >= col("minl")).as("end_only_pairs"),
+        count_if(col("cp") === 0 && col("cs") === 0).as("rewrite_pairs"),
+        coalesce(sum(col("cp")), lit(0L)).as("sum_cp"),
+        coalesce(sum(col("cs")), lit(0L)).as("sum_cs"),
+        coalesce(sum(col("minl")), lit(0L)).as("sum_minl"))
+      .select(col("n_pairs"), col("end_only_pairs"),
+        when(col("n_pairs") === 0, lit(0L))
+          .otherwise(expr("(1000000L * end_only_pairs) div n_pairs"))
+          .as("end_only_ppm"),
+        col("rewrite_pairs"), col("sum_cp"), col("sum_cs"),
+        when(col("sum_minl") === 0, lit(0L))
+          .otherwise(expr("(1000000L * (sum_cp + sum_cs)) div sum_minl"))
+          .as("common_end_share_ppm"))
+  }
+
+  lazy val q441Sql: String = {
+    val prefix = q82Sql.substring(0, q82Sql.indexOf("edges AS"))
+    prefix +
+      s"""base AS (SELECT doc_id, $toksSqlD AS t FROM documents),
+         |pe AS (
+         |  SELECT LEAST(len(a.t), len(b.t)) AS minl,
+         |    COALESCE(list_min(list_transform(generate_series(1, LEAST(len(a.t), len(b.t))),
+         |      i -> CASE WHEN a.t[i] <> b.t[i] THEN i END)) - 1,
+         |      LEAST(len(a.t), len(b.t))) AS cp,
+         |    COALESCE(list_min(list_transform(generate_series(1, LEAST(len(a.t), len(b.t))),
+         |      i -> CASE WHEN list_reverse(a.t)[i] <> list_reverse(b.t)[i] THEN i END)) - 1,
+         |      LEAST(len(a.t), len(b.t))) AS csr
+         |  FROM pairs p
+         |  JOIN base a ON a.doc_id = p.id_a
+         |  JOIN base b ON b.doc_id = p.id_b),
+         |pc AS (
+         |  SELECT minl, cp, LEAST(csr, minl - cp) AS cs FROM pe)
+         |SELECT COUNT(*) AS n_pairs,
+         |  CAST(COUNT(*) FILTER (cp + cs >= minl) AS BIGINT) AS end_only_pairs,
+         |  CAST(CASE WHEN COUNT(*) = 0 THEN 0
+         |    ELSE (1000000 * COUNT(*) FILTER (cp + cs >= minl)) // COUNT(*) END
+         |    AS BIGINT) AS end_only_ppm,
+         |  CAST(COUNT(*) FILTER (cp = 0 AND cs = 0) AS BIGINT) AS rewrite_pairs,
+         |  CAST(COALESCE(SUM(cp), 0) AS BIGINT) AS sum_cp,
+         |  CAST(COALESCE(SUM(cs), 0) AS BIGINT) AS sum_cs,
+         |  CAST(CASE WHEN COALESCE(SUM(minl), 0) = 0 THEN 0
+         |    ELSE (1000000 * (SUM(cp) + SUM(cs))) // SUM(minl) END AS BIGINT)
+         |    AS common_end_share_ppm
+         |FROM pc""".stripMargin
+  }
+
+  // --------------------------------------------------------------------------
   // q84 — text normalization/cleaning: collapse whitespace runs, strip
   // non-alphanumerics, lowercase — the canonicalization step BEFORE exact
   // dedup hashing (q30) so formatting variants collapse to one hash.
@@ -2071,6 +2158,7 @@ object TextOps {
 
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q431_survivor_rule_sensitivity", q431SurvivorRuleSensitivity _, Some(q431Sql)),
+    ("q441_edit_locus", q441EditLocus _, Some(q441Sql)),
     ("q432_dup_ingest_gap", q432DupIngestGap _, Some(q432Sql)),
     ("q437_dedup_scope_planner", q437DedupScopePlanner _, Some(q437Sql)),
     ("q417_source_copy_matrix", q417SourceCopyMatrix _, Some(q417Sql)),

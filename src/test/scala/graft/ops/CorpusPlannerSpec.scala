@@ -380,6 +380,31 @@ class CorpusPlannerSpec extends SparkSpec {
       (25L, 16L, 1L, 0L, 0L), (50L, 16L, 1L, 0L, 0L)))
   }
 
+  test("q441 edit locus: append vs interior edit vs identical, hand-computed ends") {
+    // Pair (1,4): append ("a b c d e" -> "+ f") -> cp=5, cs=0, end-only.
+    // Pair (10,11): identical -> cp=minl=5, end-only.
+    // Pair (20,21): 12 tokens, one interior swap at position 6 -> cp=5,
+    // cs=6 (jaccard 7/13 ~ 0.538 >= 0.5 keeps it a pair), NOT end-only.
+    val twelveA = "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10 t11 t12"
+    val twelveB = "t1 t2 t3 t4 t5 X t7 t8 t9 t10 t11 t12"
+    val d = docsDir(Seq(
+      (1L, "a b c d e", "en", "s1"),
+      (4L, "a b c d e f", "en", "s1"),
+      (10L, "p q r s t", "en", "s1"),
+      (11L, "p q r s t", "en", "s1"),
+      (20L, twelveA, "en", "s1"),
+      (21L, twelveB, "en", "s1")))
+    val got = TextOps.q441EditLocus(spark, d).collect().head
+    assert(got.getAs[Long]("n_pairs") === 3L)
+    assert(got.getAs[Long]("end_only_pairs") === 2L)
+    assert(got.getAs[Long]("end_only_ppm") === 666666L)
+    assert(got.getAs[Long]("rewrite_pairs") === 0L)
+    // sum_cp = 5 + 5 + 5; sum_cs = 0 + 0 + 6; sum_minl = 5 + 5 + 12
+    assert(got.getAs[Long]("sum_cp") === 15L)
+    assert(got.getAs[Long]("sum_cs") === 6L)
+    assert(got.getAs[Long]("common_end_share_ppm") === 1000000L * 21 / 22)
+  }
+
   test("q437 dedup scope: within-source capture of the global losable mass") {
     // Pairs: (1,4) within s1 (doc4 losable, 6 tok); (10,11) cross-source
     // (doc11 losable, 5 tok). Global losable = {4, 11} = 11 tok; within-
