@@ -10,6 +10,10 @@ import org.apache.spark.sql.functions._
   * from the footer and can push filters / prune columns into the scan.
   */
 object Tables {
+  /** Every driver-generated table (TESTDATA.md). */
+  val names: Seq[String] = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "events", "documents", "embeddings")
+
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 

@@ -23,6 +23,10 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // the write was the consuming action — free this query's
+      // localCheckpoint blocks so a full-catalog dump doesn't hold
+      // hundreds of pinned RDDs in the shared JVM
+      ops.Checkpoints.releaseAll(spark)
     }
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"),
       oracleJson(SparkEntry.oracleSql))

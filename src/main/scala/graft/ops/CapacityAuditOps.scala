@@ -1905,8 +1905,14 @@ object CapacityAuditOps {
       .agg(count(lit(1)).as("nonempty_shards"), sum(col("tok")).as("tokens_total"),
         max(col("tok")).as("max_shard_tok"), min(col("tok")).as("min_shard_tok"))
       .withColumn("hot_ppm",
+        // the ppm product runs in DECIMAL(38,0) (q421 discipline): at
+        // n_shards=1024 the BIGINT form overflows past ~9e12 total
+        // tokens — well under the sweep scales this audit targets —
+        // and ANSI arithmetic aborts instead of returning the table
         when(col("tokens_total") === 0, lit(1000000L))
-          .otherwise(expr("(1000000L * max_shard_tok * n_shards) div tokens_total")))
+          .otherwise(expr(
+            """cast((cast(max_shard_tok as decimal(38,0)) * n_shards
+              | * 1000000L) div tokens_total as bigint)""".stripMargin)))
       .orderBy(col("n_shards"))
 
   val q434Sql: String =
@@ -1926,8 +1932,8 @@ object CapacityAuditOps {
        |  CAST(MAX(tok) AS BIGINT) AS max_shard_tok,
        |  CAST(MIN(tok) AS BIGINT) AS min_shard_tok,
        |  CAST(CASE WHEN SUM(tok) = 0 THEN 1000000
-       |    ELSE (1000000 * MAX(tok) * n_shards) // SUM(tok) END AS BIGINT)
-       |    AS hot_ppm
+       |    ELSE (MAX(tok)::HUGEINT * n_shards * 1000000) // SUM(tok)
+       |    END AS BIGINT) AS hot_ppm
        |FROM g GROUP BY n_shards ORDER BY n_shards""".stripMargin
 
   // --------------------------------------------------------------------------

@@ -1241,8 +1241,10 @@ object CorpusStatOps {
   // a pair join.
   def q438ContaminationAttribution(spark: SparkSession, dir: String): DataFrame = {
     def grams(d: DataFrame) = d
-      .select(col("source"), col("doc_id"),
-        expr("filter(split(lower(text), ' '), t -> t != '')").as("t"))
+      // the SHARED tokenizer (TextOps.toks ↔ toksSqlD): inlining the
+      // expression here would silently diverge from the oracle if the
+      // shared tokenization ever changes
+      .select(col("source"), col("doc_id"), TextOps.toks.as("t"))
       .select(col("source"), col("doc_id"), explode(expr(
         """if(size(t) >= 5,
           |   transform(sequence(0, size(t) - 5),
@@ -1867,8 +1869,13 @@ object CorpusStatOps {
     src.crossJoin(broadcast(tot))
       .withColumn("need_tok", expr("t div ns"))
       .withColumn("epochs_ppm",
+        // DECIMAL(38,0) product (q421 discipline): need_tok = T/|S| on a
+        // multi-trillion-token corpus with few sources pushes 1e6·need
+        // past Int64, and ANSI arithmetic would abort the plan
         when(col("tok") === 0, lit(4000000L))
-          .otherwise(least(expr("(1000000L * need_tok) div tok"), lit(4000000L))))
+          .otherwise(least(
+            expr("cast((cast(need_tok as decimal(38,0)) * 1000000L) div tok as bigint)"),
+            lit(4000000L))))
       .withColumn("take_tok", least(col("need_tok"), expr("4L * tok")))
       .withColumn("deficit_tok", col("need_tok") - col("take_tok"))
       .select(col("source"), col("tok"), col("need_tok"), col("epochs_ppm"),
@@ -1884,8 +1891,8 @@ object CorpusStatOps {
        |SELECT source, tok,
        |  CAST(t // ns AS BIGINT) AS need_tok,
        |  CAST(CASE WHEN tok = 0 THEN 4000000
-       |    ELSE LEAST((1000000 * (t // ns)) // tok, 4000000) END AS BIGINT)
-       |    AS epochs_ppm,
+       |    ELSE LEAST(((t // ns)::HUGEINT * 1000000) // tok, 4000000)
+       |    END AS BIGINT) AS epochs_ppm,
        |  CAST(LEAST(t // ns, 4 * tok) AS BIGINT) AS take_tok,
        |  CAST(t // ns - LEAST(t // ns, 4 * tok) AS BIGINT) AS deficit_tok
        |FROM src CROSS JOIN tot ORDER BY source""".stripMargin

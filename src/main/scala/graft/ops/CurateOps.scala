@@ -404,7 +404,10 @@ object CurateOps {
       .withColumn("toks", TextOps.toks)
       .withColumn("h", md5(col("text").cast("binary")))
       .withColumn("n", size(col("toks")))
-      .withColumn("dr", size(array_distinct(col("toks"))).cast("double") / col("n"))
+      // 0-token docs: diversity is 0 by convention (they fail the length
+      // screen anyway) — the bare ratio would be an ANSI divide-by-zero
+      .withColumn("dr", when(col("n") === 0, lit(0.0))
+        .otherwise(size(array_distinct(col("toks"))).cast("double") / col("n")))
       .withColumn("sw", size(expr("filter(toks, x -> x = 'the' or x = 'a')")))
     // eval grams from the held-out slice of the FULL corpus (q106 contract);
     // the native WordShingles expression guards docs shorter than the gram

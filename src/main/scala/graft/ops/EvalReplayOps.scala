@@ -731,6 +731,10 @@ object EvalReplayOps {
       .groupBy(col("i"), col("j")).agg(sum(col("c")).as("m"))
       .localCheckpoint(false)
     val wtot = wloc.groupBy(col("w").as("i")).agg(sum(col("c")).as("wi"))
+      // checkpointed like m: otherwise this lazy aggregate is re-planned
+      // inside the narrow-shuffle scope on every MM round, violating
+      // LoopConf's materialize-data-sized-frames-first contract
+      .localCheckpoint(false)
     val items = m.select(col("i")).distinct()
     val k = items.agg(count(lit(1)).as("k"))
     var p = items.select(col("i"), lit(1000000L).as("p"))

@@ -43,8 +43,11 @@ object Metrics {
     val qe = observed.queryExecution
     qe.toRdd.foreach(_ => ()) // execute THIS plan; fills the metric accumulators
     val m = qe.observedMetrics("q124_quality")
+    // min/max over a 0-row scan observe as SQL NULL — carry them as
+    // Options so the encoder ships nullable doubles instead of failing
     Seq((m.getAs[Long]("n_rows"), m.getAs[Long]("n_null"),
-        m.getAs[Double]("min_v"), m.getAs[Double]("max_v")))
+        Option(m.getAs[java.lang.Double]("min_v")).map(_.toDouble),
+        Option(m.getAs[java.lang.Double]("max_v")).map(_.toDouble)))
       .toDF("n_rows", "n_null", "min_v", "max_v")
   }
 

@@ -559,12 +559,20 @@ object PipelineOps {
       when(col("parent") === col("node"), 0L).otherwise(1L).as("d"))
     var converged = false
     var rounds = 0
+    var prevRound: DataFrame = null
     while (!converged && rounds < 40) {
       val g = f.select(col("node").as("g_node"), col("anc").as("g_anc"),
         col("d").as("g_d"))
       val joined = f.join(g, f("anc") === g("g_node")).localCheckpoint()
+      // the new round is eagerly materialized — the superseded round's
+      // checkpoint (which this round's f/g derived from) is garbage now
+      if (prevRound != null) Checkpoints.release(prevRound)
+      prevRound = joined
       converged = joined
-        .agg(sum(when(col("anc") =!= col("g_anc"), 1L).otherwise(0L)).as("n"))
+        // coalesce: sum over an EMPTY forest is SQL NULL — 0 changed
+        // pointers, i.e. converged, not a driver-side getLong NPE
+        .agg(coalesce(sum(when(col("anc") =!= col("g_anc"), 1L).otherwise(0L)),
+          lit(0L)).as("n"))
         .head().getLong(0) == 0L
       f = joined
         .select(col("node"), col("g_anc").as("anc"), (col("d") + col("g_d")).as("d"))

@@ -654,7 +654,7 @@ object RelationalExt {
   // check proves the commit protocol published exactly the written rows
   // — nothing lost, nothing doubled, and on repeat invocations (bench
   // best-of-N) nothing double-read from the prior job's parts.
-  // Round8bOpsSpec drives the abort path (a poisoned task must leave no
+  // PackingTopicsItemCfSpec (formerly Round8bOpsSpec) drives the abort path (a poisoned task must leave no
   // published files and no manifest).
   //
   // Output lands in the fixed Staging slot for (q290sink, dir) — the

@@ -1426,8 +1426,10 @@ object RelationalMore {
         .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(tbl))
         .stats.getOrElse(sys.error(s"ANALYZE left no stats on $tbl"))
       val cs = st.colStats(c)
+      // min/max stats are absent on a 0-row table — surface SQL NULLs
+      // (matching the oracle's MIN/MAX over empty), never None.get
       (t, c, st.rowCount.get.toLong, cs.nullCount.get.toLong,
-        cs.min.get.toString.toDouble, cs.max.get.toString.toDouble)
+        cs.min.map(_.toString.toDouble), cs.max.map(_.toString.toDouble))
     }.toDF("tbl", "col", "row_cnt", "null_cnt", "min_v", "max_v")
       .orderBy(col("tbl"))
   }
@@ -2109,19 +2111,27 @@ object RelationalMore {
   // evidence (PartitionFilters on the scan node + a pruned file count);
   // the oracle checks the VALUES the pruned read produced.
   def q274PartitionPruning(spark: SparkSession, dir: String): DataFrame = {
+    val src = Tables.orders(spark, dir)
     val slot = Staging.ensure("q274_part", dir) { path =>
-      Tables.orders(spark, dir).write.mode("overwrite")
+      src.write.mode("overwrite")
         .partitionBy("o_orderpriority").parquet(path)
     }
-    prunedRead(spark, slot)
+    // the source schema rides along: a 0-row source stages ZERO partition
+    // directories, and a schema-less read of that empty layout cannot
+    // infer parquet schema — with the explicit schema it is an empty scan
+    prunedRead(spark, slot, Some(src.schema))
       .groupBy(col("o_orderstatus"))
       .agg(count(lit(1)).as("n"), Num.moneySum(col("o_totalprice")).as("total"))
       .orderBy(col("o_orderstatus"))
   }
 
   /** The pruned scan itself (spec asserts its plan's PartitionFilters). */
-  private[ops] def prunedRead(spark: SparkSession, slot: String): DataFrame =
-    spark.read.parquet(slot).filter(col("o_orderpriority") === "1-URGENT")
+  private[ops] def prunedRead(spark: SparkSession, slot: String,
+      schema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame = {
+    val r = spark.read
+    schema.foreach(r.schema)
+    r.parquet(slot).filter(col("o_orderpriority") === "1-URGENT")
+  }
 
   val q274Sql: String =
     """SELECT o_orderstatus, COUNT(*) AS n,

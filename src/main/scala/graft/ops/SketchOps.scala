@@ -246,11 +246,16 @@ object SketchOps {
     import spark.implicits._
     val eps = 0.0005; val confidence = 0.999
     val li = Tables.lineitem(spark, dir).select(col("l_suppkey").cast("long").as("k"))
-    val skBytes = li
+    val skBytes = Option(li
       .agg(expr(s"count_min_sketch(k, ${eps}d, ${confidence}d, 42)").as("sk"))
-      .head().getAs[Array[Byte]]("sk")
+      .head().getAs[Array[Byte]]("sk"))
+    // 0-row input: the sketch aggregate returns SQL NULL, and there are no
+    // keys to probe — the defined result is the empty top-10 table
+    if (skBytes.isEmpty)
+      return Seq.empty[(Long, Long, Boolean)]
+        .toDF("l_suppkey", "exact_n", "within_eps_bound")
     val cms = org.apache.spark.util.sketch.CountMinSketch
-      .readFrom(new java.io.ByteArrayInputStream(skBytes))
+      .readFrom(new java.io.ByteArrayInputStream(skBytes.get))
     val bound = math.ceil(eps * cms.totalCount()).toLong
     val top = li.groupBy(col("k")).agg(count(lit(1)).as("exact_n"))
       .orderBy(col("exact_n").desc, col("k"))

@@ -101,7 +101,10 @@ object Skew {
     */
   def bloomPruneJoin(fact: DataFrame, dim: DataFrame,
                      factKey: String, dimKey: String, fpp: Double): DataFrame = {
-    val nKeys = math.max(dim.select(dimKey).distinct().count(), 1L)
+    val nKeys = dim.select(dimKey).distinct().count()
+    // empty dim: the exact join result is empty and stat.bloomFilter NPEs
+    // on its null merged sketch — the sketch prunes nothing from nothing
+    if (nKeys == 0L) return fact.join(dim, col(factKey) === col(dimKey))
     val bf = dim.stat.bloomFilter(dimKey, nKeys, fpp)
     val bc = fact.sparkSession.sparkContext.broadcast(bf)
     val mightContain = udf((k: java.lang.Long) =>

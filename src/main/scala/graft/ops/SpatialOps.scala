@@ -184,17 +184,30 @@ object SpatialOps {
       .withColumn("cx", floor(col("x") * inv).cast("long"))
       .withColumn("cy", floor(col("y") * inv).cast("long"))
       .localCheckpoint(false)
+    // canonical HALF-neighborhood probe: the full 9-offset explode found
+    // every symmetric cell pair twice (A probing B's cell and B probing
+    // A's). Probing only the self cell + 4 forward offsets finds each
+    // unordered pair exactly once — same-cell pairs deduped by qk < pk,
+    // cross-cell pairs because the reverse offset is never probed — and
+    // the ε-surviving pairs are mirrored afterwards, so `nbr` is
+    // set-identical to the 9-offset form at 5/9 the probe stream and
+    // half the join output.
     val exploded = cells
-      .withColumn("dcx", explode(array((-1 to 1).map(lit): _*)))
-      .withColumn("dcy", explode(array((-1 to 1).map(lit): _*)))
+      .withColumn("off", explode(array(
+        Seq((0, 0), (1, 0), (0, 1), (1, 1), (1, -1)).map { case (dx, dy) =>
+          struct(lit(dx).as("dx"), lit(dy).as("dy")) }: _*)))
       .select(col("pk").as("qk"), col("x").as("qx"), col("y").as("qy"),
-        (col("cx") + col("dcx")).as("cx"), (col("cy") + col("dcy")).as("cy"))
+        (col("cx") + col("off.dx")).as("cx"), (col("cy") + col("off.dy")).as("cy"),
+        (col("off.dx") === 0 && col("off.dy") === 0).as("same_cell"))
     val d2 = (col("qx") - col("x")) * (col("qx") - col("x")) +
       (col("qy") - col("y")) * (col("qy") - col("y"))
-    val nbr = exploded.join(cells, Seq("cx", "cy"))
-      .filter(col("qk") =!= col("pk")).withColumn("d2", d2)
+    val half = exploded.join(cells, Seq("cx", "cy"))
+      .filter(when(col("same_cell"), col("qk") < col("pk")).otherwise(lit(true)))
+      .withColumn("d2", d2)
       .filter(col("d2") <= lit(eps * eps))
       .select(col("qk"), col("pk").as("nk"))
+    val nbr = half
+      .union(half.select(col("nk").as("qk"), col("qk").as("nk")))
       .localCheckpoint(false)
     val degree = nbr.groupBy(col("qk")).agg((count(lit(1)) + 1).as("deg"))
     val core = degree.filter(col("deg") >= minPts).select(col("qk").as("ck"))

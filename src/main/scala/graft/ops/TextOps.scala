@@ -260,25 +260,29 @@ object TextOps {
   // from equality joins on band signatures — no quadratic shingle blowup —
   // then only candidates pay the exact-Jaccard verification).
   // k=32 minhashes, 16 bands × r=2 → P(candidate | j=0.5) ≈ 0.99.
-  // Spark-only hash (xxhash64) → rows-only driver check; recall vs. the
-  // exact q31 result is asserted in TextOpsSpec.
+  // Hash family (round 12): md5 of (shingle '#' i) — q428's portable
+  // convention, both engines implement the same RFC — so the WHOLE query
+  // replays in DuckDB and q32 carries its own independent
+  // signature-replay oracle (previously xxhash64, checkable only by
+  // pair-set identity to q31). Recall vs exact q31 stays asserted in
+  // TextOpsSpec.
   def q32MinhashLsh(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    // Stay inside whole-stage codegen: explode shingles once, hash each
-    // string once, then the 32 minhash functions are 32 codegen'd MIN
-    // aggregates over cheap xxhash64(long, i) mixes. (The nested
-    // transform/array_min formulation evaluated ~14M interpreted lambdas
-    // at sf0.1 — 15s; this shape is sub-second.)
+    // Stay inside whole-stage codegen: explode shingles once, then the 32
+    // minhash functions are 32 codegen'd MIN aggregates over row-local
+    // md5 hex strings (lexicographic min — identical collation in both
+    // engines on ASCII hex). One shuffle of 32-string partial aggregates
+    // per doc; the hashing itself never hits the wire.
     // shingle arrays are row-local, so the verification side (base) is a
     // plain projection — no collect_list re-aggregation of exploded edges
     val base = shingleArrays(docs)
     val edges = base.select(col("doc_id"), explode(col("sh")).as("s"))
-      .withColumn("h", xxhash64(col("s")))
-    val minCols = Seq.tabulate(32)(i => min(xxhash64(col("h"), lit(i))).as(s"m$i"))
+    val minCols = Seq.tabulate(32)(i =>
+      min(md5(concat(col("s"), lit(s"#$i")))).as(s"m$i"))
     val sig = edges.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
     // 16 bands × r=2: band signature = hash of the band's two minhashes
     val bandCols = array(Seq.tabulate(16)(b =>
-      xxhash64(col(s"m${2 * b}"), col(s"m${2 * b + 1}"))): _*)
+      md5(concat(col(s"m${2 * b}"), col(s"m${2 * b + 1}")))): _*)
     val banded = sig.select(col("doc_id"), posexplode(bandCols))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_sig")
     val cand = banded.as("a")
@@ -300,14 +304,54 @@ object TextOps {
       .orderBy(col("id_a"), col("id_b"))
   }
 
-  /** q32's oracle IS q31's: LSH banding only prunes CANDIDATES, and the
-    * surviving pairs pay the same exact-Jaccard ≥ 0.5 verification over the
-    * same distinct-shingle sets, so at full recall (16 bands × r=2 ⇒
-    * P(candidate | j=0.5) ≈ 0.99; recall 1.0 asserted vs q31 in
-    * TextOpsSpec and observed at sf0.01/sf0.1) the outputs are identical
-    * column-for-column. A recall miss would surface as a hash mismatch —
-    * which is exactly the regression this oracle should catch. */
-  val q32Sql: String = q31Sql
+  /** q32's FULL independent replay (round 12): DuckDB rebuilds the same
+    * 32 md5 minhashes, the same 16 band signatures, the same banded
+    * candidate join, and the same exact-Jaccard verification — so the
+    * oracle now checks the signature pipeline itself, not just the final
+    * pair set's identity to q31. A hash/banding divergence OR a recall
+    * miss both surface as a hash mismatch. */
+  val q32Sql: String = {
+    val pivot = (0 until 32)
+      .map(i => s"MAX(CASE WHEN i = $i THEN m END) AS m$i")
+      .mkString(",\n       |    ")
+    val bands = (0 until 16).map { b =>
+      if (b == 0) s"SELECT doc_id, 0 AS band, md5(m0 || m1) AS bsig FROM sig"
+      else s"SELECT doc_id, $b, md5(m${2 * b} || m${2 * b + 1}) FROM sig"
+    }.mkString("\n       |  UNION ALL ")
+    s"""WITH sh AS (
+       |  SELECT DISTINCT doc_id, s FROM (
+       |    SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+       |    FROM (SELECT doc_id, $toksSqlD AS t FROM documents),
+       |         UNNEST(generate_series(1, len(t) - 2)) AS u(i))),
+       |mins AS (
+       |  SELECT doc_id, i, MIN(md5(s || '#' || i)) AS m
+       |  FROM sh CROSS JOIN (SELECT UNNEST(range(32)) AS i)
+       |  GROUP BY 1, 2),
+       |sig AS (
+       |  SELECT doc_id,
+       |    $pivot
+       |  FROM mins GROUP BY doc_id),
+       |banded AS (
+       |  $bands),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM banded a JOIN banded b
+       |    ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id),
+       |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT id_a, id_b, COUNT(*) AS inter
+       |  FROM cand
+       |  JOIN sh x ON x.doc_id = id_a
+       |  JOIN sh y ON y.doc_id = id_b AND y.s = x.s
+       |  GROUP BY 1, 2)
+       |SELECT id_a, id_b,
+       |  FLOOR((CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter)) * 1e6 + 0.5) / 1e6 AS jaccard
+       |FROM inter
+       |JOIN sizes sa ON sa.doc_id = id_a
+       |JOIN sizes sb ON sb.doc_id = id_b
+       |WHERE CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) >= 0.5
+       |ORDER BY id_a, id_b""".stripMargin
+  }
 
   // --------------------------------------------------------------------------
   // q33 — SimHash near-dup: 60-bit signature from unigram hash bit votes;
@@ -936,6 +980,7 @@ object TextOps {
         // own id). Caught by a ScalaCheck graph mixing a diameter-7 path
         // with self-loop-only vertices.
         val star = connectedComponentsStar(e)
+        Checkpoints.release(labels) // abandoned labels only pin memory now
         return sym.select(col("a").as("id")).distinct()
           .join(star, Seq("id"), "left")
           .select(col("id"), coalesce(col("label"), col("id")).as("label"))
@@ -948,6 +993,9 @@ object TextOps {
       val s = labelSum(next)
       converged = s == prevSum
       prevSum = s
+      // next is eagerly materialized, so round k-1's frame is garbage —
+      // free it now or the loop pins O(rounds) × |vertices| blocks
+      Checkpoints.release(labels)
       labels = next
     }
     labels
@@ -1014,6 +1062,9 @@ object TextOps {
         BigDecimal(row.getLong(1))
       converged = fp == fingerprint
       fingerprint = fp
+      // next is eagerly materialized — the superseded round's edge set
+      // is unreachable garbage; free it as the contraction advances
+      Checkpoints.release(e)
       e = next
     }
     // fixpoint: edges are (root, child) after least/greatest normalization —

@@ -23,8 +23,12 @@ def main():
     ns = p.parse_args()
     args = [ns.old, ns.new]
     reg_ratio, reg_abs = ns.reg_ratio, ns.reg_abs
-    a = json.load(open(args[0]))["queries"]
-    b = json.load(open(args[1]))["queries"]
+    aj, bj = json.load(open(args[0])), json.load(open(args[1]))
+    a, b = aj["queries"], bj["queries"]
+    # per-query run arrays (round 12+): "queries" is the min; "runs" is
+    # every timed execution, so a regression whose new-side runs straddle
+    # the old value is host noise, not a plan change
+    b_runs = bj.get("runs", {})
     common = sorted(set(a) & set(b))
     ratios = {k: b[k] / a[k] for k in common if a[k] > 0}
     med = statistics.median(ratios.values())
@@ -36,7 +40,11 @@ def main():
             if ratios[k] > reg_ratio and b[k] > reg_abs]
     print(f"\nregressions >{reg_ratio}x and >{reg_abs}s new-side:")
     for r, k in sorted(regs, reverse=True):
-        print(f"  {k}: {a[k]:.2f} -> {b[k]:.2f}  ({r:.2f}x)")
+        runs = b_runs.get(k)
+        spread = (f"  runs={['%.2f' % x for x in runs]}"
+                  f"{'  (spread>2x: likely host noise)' if min(runs) > 0 and max(runs) / min(runs) > 2 else ''}"
+                  if runs else "")
+        print(f"  {k}: {a[k]:.2f} -> {b[k]:.2f}  ({r:.2f}x){spread}")
     if not regs:
         print("  (none)")
     imps = [(ratios[k], k) for k in ratios if a[k] > 1.0]
