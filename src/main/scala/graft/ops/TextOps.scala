@@ -260,29 +260,46 @@ object TextOps {
   // from equality joins on band signatures — no quadratic shingle blowup —
   // then only candidates pay the exact-Jaccard verification).
   // k=32 minhashes, 16 bands × r=2 → P(candidate | j=0.5) ≈ 0.99.
-  // Hash family (round 12): md5 of (shingle '#' i) — q428's portable
-  // convention, both engines implement the same RFC — so the WHOLE query
-  // replays in DuckDB and q32 carries its own independent
-  // signature-replay oracle (previously xxhash64, checkable only by
-  // pair-set identity to q31). Recall vs exact q31 stays asserted in
-  // TextOpsSpec.
+  // Hash family (round 12): 32-bit slices of md5(s || '#0') ++ … ++
+  // md5(s || '#7') — portable (both engines implement the same RFC,
+  // unlike xxhash64) — so the WHOLE query replays in DuckDB and q32
+  // carries its own independent signature-replay oracle (previously
+  // checkable only by pair-set identity to q31). Recall vs exact q31
+  // stays asserted in TextOpsSpec.
   def q32MinhashLsh(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    // Stay inside whole-stage codegen: explode shingles once, then the 32
-    // minhash functions are 32 codegen'd MIN aggregates over row-local
-    // md5 hex strings (lexicographic min — identical collation in both
-    // engines on ASCII hex). One shuffle of 32-string partial aggregates
-    // per doc; the hashing itself never hits the wire.
+    // Stay inside whole-stage codegen: explode shingles once, hash each
+    // shingle EIGHT times (md5(s || '#k'), k = 0..7 → 8 × 32 hex chars =
+    // 1024 pseudorandom bits), then the 32 minhash functions are 32
+    // codegen'd MIN aggregates over disjoint 8-hex-char (32-bit) slices
+    // of that digest — the standard split-one-wide-hash minhash family
+    // at a quarter of the 32-md5-per-shingle hashing cost (which
+    // measured 3.4 s vs the old xxhash form's 0.8 s at sf0.1).
+    // Lexicographic min on fixed-length lowercase hex is identical in
+    // both engines. One shuffle of 32 8-char partial aggregates per
+    // doc; the hashes themselves never hit the wire.
     // shingle arrays are row-local, so the verification side (base) is a
-    // plain projection — no collect_list re-aggregation of exploded edges
-    val base = shingleArrays(docs)
-    val edges = base.select(col("doc_id"), explode(col("sh")).as("s"))
-    val minCols = Seq.tabulate(32)(i =>
-      min(md5(concat(col("s"), lit(s"#$i")))).as(s"m$i"))
-    val sig = edges.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
+    // plain projection — no collect_list re-aggregation of exploded edges.
+    // Lazy checkpoints (§8.22): base feeds the signature build AND both
+    // sides of the verification join, sig feeds both sides of the banded
+    // candidate self-join — without the flatten each consumer re-runs the
+    // shingle + 8-md5 pipeline (measured 9 s vs ~1.3 s at sf0.1). The
+    // The repartition spreads the row-local shingle + 8-md5 grind across
+    // the session width BEFORE the checkpoints materialize it (a single
+    // test-SF parquet file otherwise scans as ONE task and serializes
+    // the whole pass). The width is EXPLICIT: a column-only repartition
+    // is AQE-coalescible, and at ~10 MB of text AQE folds it back to one
+    // partition — re-serializing the grind it exists to spread
+    // (measured: the signature aggregate as a single 8 s task).
+    val width = docs.sparkSession.sparkContext.defaultParallelism
+    val base = shingleArrays(docs.repartition(width, col("doc_id")))
+      .localCheckpoint(true)
+    val sig = minhashSignatures(base).localCheckpoint(true)
     // 16 bands × r=2: band signature = hash of the band's two minhashes
+    // (longs rendered base-10 — identical in both engines, no padding)
     val bandCols = array(Seq.tabulate(16)(b =>
-      md5(concat(col(s"m${2 * b}"), col(s"m${2 * b + 1}")))): _*)
+      md5(concat(col(s"m${2 * b}").cast("string"), lit(":"),
+        col(s"m${2 * b + 1}").cast("string")))): _*)
     val banded = sig.select(col("doc_id"), posexplode(bandCols))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_sig")
     val cand = banded.as("a")
@@ -291,17 +308,51 @@ object TextOps {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
-    // exact-Jaccard verification only for the (few) candidates
-    val cands = cand
+    // exact-Jaccard verification only for the (few) candidates. The
+    // broadcast hints pin the BUILD side to the candidate-pair frames:
+    // left to itself the planner broadcast `base` — serializing every
+    // doc's shingle ARRAYS through one build thread (measured as an 8 s
+    // single-task stage at sf0.1) — where the candidate set is a few
+    // thousand slim rows on any corpus the banding is healthy on.
+    val cands = broadcast(cand)
       .join(base.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
+    val pairs = broadcast(cands)
       .join(base.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
-    cands
+    pairs
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("jaccard",
         col("inter").cast("double") / (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
       .filter(col("jaccard") >= 0.5)
       .select(col("id_a"), col("id_b"), Num.pround(col("jaccard"), 6).as("jaccard"))
       .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** (doc_id, m0..m31 BIGINT) — q32's 32-slice md5 minhash signature
+    * frame, factored out so MinhashSignatureSpec can pin non-degeneracy:
+    * every slice must be a real 32-bit value with cross-doc variation (a
+    * slice offset past the concatenated digest's length silently yields
+    * the same value for EVERY doc, collapsing its bands to one all-docs
+    * bucket and the candidate join to all-pairs — correctness survives
+    * the exact-Jaccard verify, but the 100 TB shape dies). */
+  private[graft] def minhashSignatures(base: DataFrame): DataFrame = {
+    // Each slice converts hex → BIGINT before the MIN (order-preserving
+    // for fixed-length hex): a StringType aggregation buffer is not
+    // UnsafeRow-mutable, so min-over-string silently planned as
+    // SortAggregate — a full sort of the 256-char digest stream per run
+    // (measured 6 s at sf0.1); long buffers keep all 32 mins in one
+    // codegen'd HashAggregate. No repartition here: the hash grind and
+    // the partial aggregate run on the CALLER's layout (q32 pre-spreads
+    // the single test-SF parquet partition), and map-side combine means
+    // the one exchange carries 32 longs per doc — never the exploded
+    // 256-hex-char digest stream (an exchange of that stream was the
+    // 3.6 s version of this aggregate).
+    val edges = base.select(col("doc_id"), explode(col("sh")).as("s"))
+      .select(col("doc_id"),
+        concat(Seq.tabulate(8)(k =>
+          md5(concat(col("s"), lit(s"#$k")))): _*).as("h"))
+    val minCols = Seq.tabulate(32)(i =>
+      min(conv(substring(col("h"), 8 * i + 1, 8), 16, 10).cast("long")).as(s"m$i"))
+    edges.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
   }
 
   /** q32's FULL independent replay (round 12): DuckDB rebuilds the same
@@ -312,25 +363,26 @@ object TextOps {
     * miss both surface as a hash mismatch. */
   val q32Sql: String = {
     val pivot = (0 until 32)
-      .map(i => s"MAX(CASE WHEN i = $i THEN m END) AS m$i")
+      .map(i => s"MIN(('0x' || substring(h, ${8 * i + 1}, 8))::BIGINT) AS m$i")
       .mkString(",\n       |    ")
     val bands = (0 until 16).map { b =>
-      if (b == 0) s"SELECT doc_id, 0 AS band, md5(m0 || m1) AS bsig FROM sig"
-      else s"SELECT doc_id, $b, md5(m${2 * b} || m${2 * b + 1}) FROM sig"
+      val expr = s"md5(m${2 * b}::VARCHAR || ':' || m${2 * b + 1}::VARCHAR)"
+      if (b == 0) s"SELECT doc_id, 0 AS band, $expr AS bsig FROM sig"
+      else s"SELECT doc_id, $b, $expr FROM sig"
     }.mkString("\n       |  UNION ALL ")
     s"""WITH sh AS (
        |  SELECT DISTINCT doc_id, s FROM (
        |    SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
        |    FROM (SELECT doc_id, $toksSqlD AS t FROM documents),
        |         UNNEST(generate_series(1, len(t) - 2)) AS u(i))),
-       |mins AS (
-       |  SELECT doc_id, i, MIN(md5(s || '#' || i)) AS m
-       |  FROM sh CROSS JOIN (SELECT UNNEST(range(32)) AS i)
-       |  GROUP BY 1, 2),
+       |hs AS (
+       |  SELECT doc_id,
+       |    ${(0 until 8).map(k => s"md5(s || '#$k')").mkString(" || ")} AS h
+       |  FROM sh),
        |sig AS (
        |  SELECT doc_id,
        |    $pivot
-       |  FROM mins GROUP BY doc_id),
+       |  FROM hs GROUP BY doc_id),
        |banded AS (
        |  $bands),
        |cand AS (
