@@ -206,6 +206,10 @@ object SpatialOps {
       .withColumn("d2", d2)
       .filter(col("d2") <= lit(eps * eps))
       .select(col("qk"), col("pk").as("nk"))
+      // checkpointed BEFORE the symmetrizing union: both union branches
+      // read this frame, and without the flatten each would re-run the
+      // grid join — paying 10/9 of the 9-offset work instead of 5/9
+      .localCheckpoint(false)
     val nbr = half
       .union(half.select(col("nk").as("qk"), col("qk").as("nk")))
       .localCheckpoint(false)
