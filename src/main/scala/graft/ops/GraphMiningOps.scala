@@ -1286,6 +1286,97 @@ object GraphMiningOps {
   private val catalogR8: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q288_item_cf", q288ItemCf _, Some(q288Sql)))
 
+  // --------------------------------------------------------------------------
+  // q442 — BIPARTITE BUTTERFLY CENSUS (round 12): butterflies (2×2
+  // bicliques, the bipartite analogue of triangles) over the
+  // customer–part purchase graph, the standard cohesion readout for
+  // bipartite networks (Sanei-Mehri et al., "Butterfly Counting in
+  // Bipartite Networks", KDD'18). Wedges (part pairs co-bought by one
+  // customer) come from a ROW-LOCAL per-customer pair expansion under a
+  // degree cap — the stop-shingle discipline (q31's cappedPairEvents)
+  // applied to graphs: a customer with more than `cap` distinct parts is
+  // dropped WHOLE (a row_number prefix bounds the collected list BEFORE
+  // collect_list buffers it), so wedge mass is ≤ C(cap,2)·|customers| —
+  // linear in the graph, never Σ deg² on a power-law hub. Butterflies
+  // per co-bought part pair (m shared customers) = C(m,2); the census
+  // row also reports the wedge count and the hub-drop tally so the cap's
+  // bite is visible, not silent.
+  //
+  // Determinism: exact BIGINT counts end to end.
+  private[ops] def butterflyCensus(edges: DataFrame, cap: Int): DataFrame = {
+    val e = edges.toDF("ck", "pk").distinct()
+    val wCk = Window.partitionBy(col("ck")).orderBy(col("pk"))
+    val lists = e
+      .withColumn("rn", row_number().over(wCk))
+      .filter(col("rn") <= cap + 1)
+      .groupBy(col("ck"))
+      .agg(collect_list(col("pk")).as("ps"))
+    // hub customers (> cap distinct parts) drop whole — the cap+1
+    // sentinel marks them without ever buffering the full hot list
+    val kept = lists.filter(size(col("ps")) <= cap && size(col("ps")) >= 2)
+    val dropped = lists.filter(size(col("ps")) > cap)
+      .agg(count(lit(1)).as("n_hubs_dropped"))
+    val wedges = kept.select(explode(expr(
+      """flatten(transform(ps, (x, i) ->
+        |  transform(slice(ps, i + 2, size(ps)), y ->
+        |    named_struct('pa', least(x, y), 'pb', greatest(x, y)))))""".stripMargin)).as("w"))
+      .select(col("w.pa").as("pa"), col("w.pb").as("pb"))
+    val m = wedges.groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("m"))
+    m.agg(
+      count(lit(1)).as("part_pairs"),
+      sum(col("m")).as("wedges"),
+      sum(expr("m * (m - 1L) div 2")).as("butterflies"),
+      max(col("m")).as("max_pair_support"))
+      .crossJoin(broadcast(dropped))
+      .select(
+        coalesce(col("wedges"), lit(0L)).as("wedges"),
+        coalesce(col("part_pairs"), lit(0L)).as("part_pairs"),
+        coalesce(col("butterflies"), lit(0L)).as("butterflies"),
+        coalesce(col("max_pair_support"), lit(0L)).as("max_pair_support"),
+        col("n_hubs_dropped"))
+  }
+
+  val ButterflyCap = 40
+
+  def q442ButterflyCensus(spark: SparkSession, dir: String): DataFrame =
+    butterflyCensus(
+      Tables.orders(spark, dir)
+        .join(Tables.lineitem(spark, dir), col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("ck"), col("l_partkey").as("pk")),
+      cap = ButterflyCap)
+
+  val q442Sql: String =
+    s"""WITH e AS (
+       |  SELECT DISTINCT o_custkey AS ck, l_partkey AS pk
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       |ranked AS (
+       |  SELECT ck, pk, ROW_NUMBER() OVER (PARTITION BY ck ORDER BY pk) AS rn
+       |  FROM e),
+       |capped AS (SELECT ck, pk FROM ranked WHERE rn <= $ButterflyCap + 1),
+       |degs AS (SELECT ck, COUNT(*) AS d FROM capped GROUP BY ck),
+       |kept AS (
+       |  SELECT c.ck, c.pk FROM capped c JOIN degs USING (ck)
+       |  WHERE d <= $ButterflyCap AND d >= 2),
+       |hubs AS (
+       |  SELECT COUNT(*) AS n_hubs_dropped FROM degs WHERE d > $ButterflyCap),
+       |m AS (
+       |  SELECT a.pk AS pa, b.pk AS pb, COUNT(*) AS m
+       |  FROM kept a JOIN kept b ON a.ck = b.ck AND a.pk < b.pk
+       |  GROUP BY 1, 2),
+       |agg AS (
+       |  SELECT COUNT(*) AS part_pairs, SUM(m) AS wedges,
+       |    SUM(m * (m - 1) // 2) AS butterflies, MAX(m) AS max_pair_support
+       |  FROM m)
+       |SELECT CAST(COALESCE(wedges, 0) AS BIGINT) AS wedges,
+       |  CAST(COALESCE(part_pairs, 0) AS BIGINT) AS part_pairs,
+       |  CAST(COALESCE(butterflies, 0) AS BIGINT) AS butterflies,
+       |  CAST(COALESCE(max_pair_support, 0) AS BIGINT) AS max_pair_support,
+       |  CAST(n_hubs_dropped AS BIGINT) AS n_hubs_dropped
+       |FROM agg CROSS JOIN hubs""".stripMargin
+
+  private val catalogR12: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
+    ("q442_butterfly_census", q442ButterflyCensus _, Some(q442Sql)))
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
-    catalogD ++ catalogG ++ catalogS ++ catalogV ++ catalogP ++ catalogR8
+    catalogD ++ catalogG ++ catalogS ++ catalogV ++ catalogP ++ catalogR8 ++ catalogR12
 }

@@ -1456,8 +1456,93 @@ object VectorOps {
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
 
+  // --------------------------------------------------------------------------
+  // q443 — LATE-INTERACTION MAXSIM RETRIEVAL (round 12; ColBERT-style,
+  // Khattab & Zaharia, SIGIR'20): treat each run of `TokensPerMsDoc`
+  // consecutive embedding rows as one DOCUMENT's token vectors; score a
+  // document against a query document as
+  //   MaxSim(q, d) = Σ_{qt ∈ q}  max_{dt ∈ d}  cosine(qt, dt)
+  // — per query token, the best-matching doc token, summed. This is the
+  // multi-vector retrieval operator single-vector q40/q42/q45 cannot
+  // express, and the standard quality/cost middle ground between
+  // bi-encoders and cross-encoders.
+  //
+  // Scale shape: the query side is a BOUNDED probe set (3 docs ×
+  // TokensPerMsDoc vectors, broadcast); the corpus streams through ONE
+  // pass scoring |corpus tokens| × |query tokens| row-locally, then two
+  // hash aggregates (per-query-token max over each doc, then the sum per
+  // doc) and a per-query top-k window — corpus-linear, never all-pairs.
+  // At 100 TB the candidate set comes from q42/q45's banded ANN first
+  // and this operator re-scores the survivors.
+  //
+  // Determinism (§8.4): cosines use q40's fold order, then collapse to
+  // floor(sim·1e6) BIGINTs BEFORE the max/sum aggregates — integers are
+  // order-free, so the whole score is engine-exact.
+  val TokensPerMsDoc = 8
+
+  def q443MaxsimRetrieval(spark: SparkSession, dir: String): DataFrame = {
+    val t = TokensPerMsDoc
+    val base = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), vd.as("v"))
+      .withColumn("doc", expr(s"vec_id div $t"))
+      .withColumn("n2", expr("aggregate(v, 0.0d, (a, x) -> a + x * x)"))
+    val qtok = base.filter(col("doc") < 3)
+      .select(col("doc").as("qdoc"), col("vec_id").as("qt"),
+        col("v").as("qv"), col("n2").as("qn2"))
+    base.crossJoin(broadcast(qtok))
+      .filter(col("doc") =!= col("qdoc"))
+      .withColumn("dot",
+        expr("aggregate(zip_with(v, qv, (x, y) -> x * y), 0.0d, (a, x) -> a + x)"))
+      .withColumn("sim_e6",
+        floor(col("dot") / sqrt(col("n2") * col("qn2")) * 1e6).cast("long"))
+      .groupBy(col("qdoc"), col("qt"), col("doc"))
+      .agg(max(col("sim_e6")).as("tok_max"))
+      .groupBy(col("qdoc"), col("doc"))
+      .agg(sum(col("tok_max")).as("maxsim_e6"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qdoc"))
+          .orderBy(col("maxsim_e6").desc, col("doc"))))
+      .filter(col("rank") <= 5)
+      .select(col("qdoc"), col("rank").cast("int").as("rank"),
+        col("doc").as("doc_id"), col("maxsim_e6"))
+      .orderBy(col("qdoc"), col("rank"))
+  }
+
+  val q443Sql: String = {
+    val t = TokensPerMsDoc
+    s"""WITH base AS (
+       |  SELECT vec_id, vec_id // $t AS doc, embedding::DOUBLE[] AS v,
+       |    list_reduce(list_transform(embedding::DOUBLE[], x -> x * x),
+       |      (a, b) -> a + b) AS n2
+       |  FROM embeddings),
+       |qtok AS (
+       |  SELECT doc AS qdoc, vec_id AS qt, v AS qv, n2 AS qn2
+       |  FROM base WHERE doc < 3),
+       |sims AS (
+       |  SELECT qdoc, qt, doc,
+       |    CAST(FLOOR(list_reduce(list_transform(range(1, 65),
+       |        i -> v[i] * qv[i]), (a, b) -> a + b)
+       |      / sqrt(n2 * qn2) * 1e6) AS BIGINT) AS sim_e6
+       |  FROM base CROSS JOIN qtok WHERE doc <> qdoc),
+       |tok AS (
+       |  SELECT qdoc, qt, doc, MAX(sim_e6) AS tok_max
+       |  FROM sims GROUP BY 1, 2, 3),
+       |score AS (
+       |  SELECT qdoc, doc, SUM(tok_max) AS maxsim_e6
+       |  FROM tok GROUP BY 1, 2),
+       |r AS (
+       |  SELECT qdoc, doc, maxsim_e6,
+       |    ROW_NUMBER() OVER (PARTITION BY qdoc
+       |      ORDER BY maxsim_e6 DESC, doc) AS rank
+       |  FROM score)
+       |SELECT qdoc, CAST(rank AS INT) AS rank, doc AS doc_id,
+       |  CAST(maxsim_e6 AS BIGINT) AS maxsim_e6
+       |FROM r WHERE rank <= 5 ORDER BY qdoc, rank""".stripMargin
+  }
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q40_cosine_topk", q40CosineTopk _, Some(q40Sql)),
+    ("q443_maxsim_retrieval", q443MaxsimRetrieval _, Some(q443Sql)),
     ("q248_silhouette", q248Silhouette _, Some(q248Sql)),
     ("q259_acquisition", q259Acquisition _, Some(q259Sql)),
     ("q263_embedding_drift", q263EmbeddingDrift _, Some(q263Sql)),

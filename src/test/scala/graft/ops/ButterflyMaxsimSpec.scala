@@ -1,0 +1,73 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** q442 butterfly census + q443 MaxSim retrieval — fixture-level truth. */
+class ButterflyMaxsimSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("butterfly census counts wedges, pairs, and butterflies exactly") {
+    // c1 buys {a,b,c}; c2 and c3 buy {a,b}:
+    //   m(a,b)=3, m(a,c)=1, m(b,c)=1 → wedges 5, pairs 3,
+    //   butterflies C(3,2)=3, max support 3, no hubs
+    val edges = Seq(
+      (1L, 1L), (1L, 2L), (1L, 3L),
+      (2L, 1L), (2L, 2L),
+      (3L, 1L), (3L, 2L)).toDF("ck", "pk")
+    val r = GraphMiningOps.butterflyCensus(edges, cap = 10).head()
+    assert(r.getAs[Long]("wedges") === 5L)
+    assert(r.getAs[Long]("part_pairs") === 3L)
+    assert(r.getAs[Long]("butterflies") === 3L)
+    assert(r.getAs[Long]("max_pair_support") === 3L)
+    assert(r.getAs[Long]("n_hubs_dropped") === 0L)
+  }
+
+  test("butterfly cap drops hub customers whole, never partially") {
+    // c1 is a hub (4 parts > cap 3): its wedges must vanish entirely —
+    // a PARTIAL expansion would bias the census toward the prefix parts
+    val edges = Seq(
+      (1L, 1L), (1L, 2L), (1L, 3L), (1L, 4L),
+      (2L, 1L), (2L, 2L),
+      (3L, 1L), (3L, 2L)).toDF("ck", "pk")
+    val r = GraphMiningOps.butterflyCensus(edges, cap = 3).head()
+    assert(r.getAs[Long]("n_hubs_dropped") === 1L)
+    assert(r.getAs[Long]("wedges") === 2L)       // only c2, c3
+    assert(r.getAs[Long]("butterflies") === 1L)  // m(1,2)=2 → C(2,2)=1
+  }
+
+  test("butterfly census is defined on an empty graph") {
+    val r = GraphMiningOps.butterflyCensus(
+      Seq.empty[(Long, Long)].toDF("ck", "pk"), cap = 5).head()
+    assert(r.getAs[Long]("butterflies") === 0L)
+    assert(r.getAs[Long]("n_hubs_dropped") === 0L)
+  }
+
+  test("maxsim ranks the doc sharing more query-token directions first") {
+    // 64-dim one-hot tokens; docs of TokensPerMsDoc=8 rows. Query docs are
+    // 0..2. Doc 3 repeats doc 0's first 4 directions (4 exact token hits),
+    // doc 4 repeats only 2 — for qdoc 0, doc 3 must outrank doc 4.
+    def oneHot(dim: Int): Seq[Float] =
+      Seq.tabulate(64)(i => if (i == dim) 1.0f else 0.0f)
+    val rows = (0 until 5).flatMap { d =>
+      (0 until 8).map { t =>
+        val dim = d match {
+          case 3 => if (t < 4) t else 32 + t       // 4 hits on qdoc 0
+          case 4 => if (t < 2) t else 40 + t       // 2 hits on qdoc 0
+          case q => q * 8 + t                      // qdocs: disjoint dims
+        }
+        (d * 8L + t, oneHot(dim), d)
+      }
+    }
+    val df = rows.toDF("vec_id", "embedding", "label")
+    val dir = java.nio.file.Files.createTempDirectory("graft_maxsim").toString
+    df.coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = VectorOps.q443MaxsimRetrieval(spark, dir)
+      .filter(col("qdoc") === 0).orderBy(col("rank")).collect()
+    assert(out.head.getAs[Long]("doc_id") === 3L)
+    assert(out(1).getAs[Long]("doc_id") === 4L)
+    // 4 exact hits × 1e6 plus 4 orthogonal zeros = 4_000_000
+    assert(out.head.getAs[Long]("maxsim_e6") === 4000000L)
+    assert(out(1).getAs[Long]("maxsim_e6") === 2000000L)
+  }
+}
