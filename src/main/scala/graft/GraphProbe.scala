@@ -78,6 +78,21 @@ object GraphProbe {
         Int.box(m), Long.box(edges.count()), Long.box(raw), Long.box(oriented),
         Long.box(maxDeg), Long.box(maxOd)))
 
+      // butterfly census on the same hub-heavy edge set read as bipartite
+      // (p1 = customer side): node 0 is a mega-hub whose raw wedge mass
+      // alone is ~C(hub_degree, 2) — the degree cap must drop it whole
+      // and keep census wall time near-linear in m
+      {
+        val bf = ops.GraphMiningOps.butterflyCensus(
+          edges.select(col("p1").as("ck"), col("p2").as("pk")), cap = 40)
+        val t0 = System.nanoTime()
+        val r = bf.head()
+        println(java.lang.String.format(java.util.Locale.ROOT,
+          """{"probe":"butterfly_zipf","scale_x":%d,"sec":%.2f,"wedges":%d,"butterflies":%d,"hubs_dropped":%d}""",
+          Int.box(m), Double.box((System.nanoTime() - t0) / 1e9),
+          Long.box(r.getAs[Long]("wedges")), Long.box(r.getAs[Long]("butterflies")),
+          Long.box(r.getAs[Long]("n_hubs_dropped"))))
+      }
       timed("triangle_zipf", m)(ops.CurateOps.triangleStats(edges).count())
       timed("cc_zipf", m)(ops.TextOps.connectedComponents(edges).count())
       timed("cc_star_zipf", m)(ops.TextOps.connectedComponentsStar(edges).count())

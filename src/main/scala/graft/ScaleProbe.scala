@@ -296,6 +296,10 @@ object ScaleProbe {
     // round-8 addition: semantic dedup with scaled seed count + planner
     // banding — the one dedup operator the round-7 verdict found unprobed
     "q172_semantic_dedup",
+    // round-12 addition: multi-vector MaxSim — one corpus-linear scoring
+    // pass against the bounded query side, so wall time must track the
+    // embedding row count
+    "q443_maxsim_retrieval",
     // round-8 batch: DSIR selection, packed-block manifest, TextTiling
     // segmentation, weighted reservoir (documents); item CF and trending
     // decay (lineitem/orders); profiler + encoding advisor + binseg

@@ -1303,7 +1303,7 @@ object GraphMiningOps {
   // bite is visible, not silent.
   //
   // Determinism: exact BIGINT counts end to end.
-  private[ops] def butterflyCensus(edges: DataFrame, cap: Int): DataFrame = {
+  private[graft] def butterflyCensus(edges: DataFrame, cap: Int): DataFrame = {
     val e = edges.toDF("ck", "pk").distinct()
     val wCk = Window.partitionBy(col("ck")).orderBy(col("pk"))
     val lists = e
