@@ -1303,7 +1303,10 @@ object GraphMiningOps {
   // bite is visible, not silent.
   //
   // Determinism: exact BIGINT counts end to end.
-  private[graft] def butterflyCensus(edges: DataFrame, cap: Int): DataFrame = {
+  /** (ck, pa, pb) degree-capped wedge stream + the 1-row hub-drop tally —
+    * shared by the exact census (q442) and the sampling estimator (q445).
+    */
+  private[graft] def cappedWedges(edges: DataFrame, cap: Int): (DataFrame, DataFrame) = {
     val e = edges.toDF("ck", "pk").distinct()
     val wCk = Window.partitionBy(col("ck")).orderBy(col("pk"))
     val lists = e
@@ -1316,11 +1319,16 @@ object GraphMiningOps {
     val kept = lists.filter(size(col("ps")) <= cap && size(col("ps")) >= 2)
     val dropped = lists.filter(size(col("ps")) > cap)
       .agg(count(lit(1)).as("n_hubs_dropped"))
-    val wedges = kept.select(explode(expr(
+    val wedges = kept.select(col("ck"), explode(expr(
       """flatten(transform(ps, (x, i) ->
         |  transform(slice(ps, i + 2, size(ps)), y ->
         |    named_struct('pa', least(x, y), 'pb', greatest(x, y)))))""".stripMargin)).as("w"))
-      .select(col("w.pa").as("pa"), col("w.pb").as("pb"))
+      .select(col("ck"), col("w.pa").as("pa"), col("w.pb").as("pb"))
+    (wedges, dropped)
+  }
+
+  private[graft] def butterflyCensus(edges: DataFrame, cap: Int): DataFrame = {
+    val (wedges, dropped) = cappedWedges(edges, cap)
     val m = wedges.groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("m"))
     m.agg(
       count(lit(1)).as("part_pairs"),
@@ -1374,8 +1382,87 @@ object GraphMiningOps {
        |  CAST(n_hubs_dropped AS BIGINT) AS n_hubs_dropped
        |FROM agg CROSS JOIN hubs""".stripMargin
 
+  // --------------------------------------------------------------------------
+  // q445 — WEDGE-SAMPLING BUTTERFLY ESTIMATOR (round 12): the
+  // extreme-scale companion to q442's exact census. Sample the wedge
+  // stream at p = 1/4 with a PORTABLE deterministic coin
+  // (md5(ck:pa:pb) mod 4), count sampled wedges k per part pair, and
+  // estimate butterflies by the unbiased identity
+  // E[C(k,2)]/p² = C(m,2) — so est = 16·Σ C(k,2) and wedges_est = 4·Σk,
+  // integers end to end. At 100 TB the sample cuts the (pa,pb) shuffle
+  // mass 4× (and p drops further as the corpus grows); the catalog entry
+  // reports exact AND estimate side by side with the error in ppm, so
+  // the estimator's bite is measured, not assumed.
+  //
+  // Scale shape: ONE shared wedge expansion (lazy checkpoint) feeds both
+  // aggregates; everything else is 1-row arithmetic. Error bound rides
+  // the q434 DECIMAL(38,0) product discipline.
+  def q445ButterflySample(spark: SparkSession, dir: String): DataFrame = {
+    val (wedges0, _) = cappedWedges(
+      Tables.orders(spark, dir)
+        .join(Tables.lineitem(spark, dir), col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("ck"), col("l_partkey").as("pk")),
+      cap = ButterflyCap)
+    val wedges = wedges0.localCheckpoint(false) // exact AND sampled aggregates
+    val exact = wedges.groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("m"))
+      .agg(coalesce(sum(col("m")), lit(0L)).as("wedges"),
+        coalesce(sum(expr("m * (m - 1L) div 2")), lit(0L)).as("butterflies"))
+    val sampled = wedges
+      .filter(expr(
+        """cast(conv(substring(md5(concat_ws(':', ck, pa, pb)), 1, 8), 16, 10)
+          | as bigint) % 4 = 0""".stripMargin))
+      .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("k"))
+      .agg((coalesce(sum(col("k")), lit(0L)) * 4).as("wedges_est"),
+        (coalesce(sum(expr("k * (k - 1L) div 2")), lit(0L)) * 16).as("butterflies_est"))
+    exact.crossJoin(broadcast(sampled))
+      .select(col("wedges"), col("butterflies"),
+        col("wedges_est"), col("butterflies_est"),
+        when(col("butterflies") === 0, lit(0L))
+          .otherwise(expr(
+            """cast((cast(abs(butterflies_est - butterflies) as decimal(38,0))
+              | * 1000000L) div butterflies as bigint)""".stripMargin))
+          .as("err_ppm"))
+  }
+
+  val q445Sql: String =
+    s"""WITH e AS (
+       |  SELECT DISTINCT o_custkey AS ck, l_partkey AS pk
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       |ranked AS (
+       |  SELECT ck, pk, ROW_NUMBER() OVER (PARTITION BY ck ORDER BY pk) AS rn
+       |  FROM e),
+       |capped AS (SELECT ck, pk FROM ranked WHERE rn <= $ButterflyCap + 1),
+       |degs AS (SELECT ck, COUNT(*) AS d FROM capped GROUP BY ck),
+       |kept AS (
+       |  SELECT c.ck, c.pk FROM capped c JOIN degs USING (ck)
+       |  WHERE d <= $ButterflyCap AND d >= 2),
+       |w AS (
+       |  SELECT a.ck, a.pk AS pa, b.pk AS pb
+       |  FROM kept a JOIN kept b ON a.ck = b.ck AND a.pk < b.pk),
+       |m AS (SELECT pa, pb, COUNT(*) AS m FROM w GROUP BY 1, 2),
+       |ex AS (
+       |  SELECT CAST(COALESCE(SUM(m), 0) AS BIGINT) AS wedges,
+       |    CAST(COALESCE(SUM(m * (m - 1) // 2), 0) AS BIGINT) AS butterflies
+       |  FROM m),
+       |sw AS (
+       |  SELECT pa, pb, COUNT(*) AS k FROM w
+       |  WHERE ('0x' || substring(md5(ck::VARCHAR || ':' || pa::VARCHAR
+       |      || ':' || pb::VARCHAR), 1, 8))::BIGINT % 4 = 0
+       |  GROUP BY 1, 2),
+       |se AS (
+       |  SELECT CAST(COALESCE(SUM(k), 0) * 4 AS BIGINT) AS wedges_est,
+       |    CAST(COALESCE(SUM(k * (k - 1) // 2), 0) * 16 AS BIGINT)
+       |      AS butterflies_est
+       |  FROM sw)
+       |SELECT wedges, butterflies, wedges_est, butterflies_est,
+       |  CAST(CASE WHEN butterflies = 0 THEN 0
+       |    ELSE (ABS(butterflies_est::HUGEINT - butterflies) * 1000000)
+       |      // butterflies END AS BIGINT) AS err_ppm
+       |FROM ex CROSS JOIN se""".stripMargin
+
   private val catalogR12: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
-    ("q442_butterfly_census", q442ButterflyCensus _, Some(q442Sql)))
+    ("q442_butterfly_census", q442ButterflyCensus _, Some(q442Sql)),
+    ("q445_butterfly_sample", q445ButterflySample _, Some(q445Sql)))
 
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
     catalogD ++ catalogG ++ catalogS ++ catalogV ++ catalogP ++ catalogR8 ++ catalogR12

@@ -1540,9 +1540,127 @@ object VectorOps {
        |FROM r WHERE rank <= 5 ORDER BY qdoc, rank""".stripMargin
   }
 
+  // --------------------------------------------------------------------------
+  // q444 — ANN → MAXSIM TWO-STAGE RETRIEVAL (round 12): the 100 TB shape
+  // q443's scaladoc promises, as a real catalog entry. Stage 1 buckets
+  // every document by hyperplane LSH (q42's fixed portable planes) over
+  // its CLS vector — the doc's FIRST token embedding, the single-vector
+  // summary convention — with hamming-1 multi-probe on the query side;
+  // stage 2 re-scores ONLY the bucket candidates with the exact MaxSim
+  // late interaction. Candidate generation is the banded equi-join (a
+  // probed fraction of the corpus), the re-score is |candidates| ×
+  // |query tokens| — never corpus × query tokens, never all-pairs.
+  //
+  // Determinism: same integer-collapse discipline as q443; bucket bits
+  // replay exactly (q42's plane literals are embedded in the oracle).
+  // MaxsimRerankSpec pins stage-2 scores equal to q443's for shared
+  // (qdoc, doc) pairs and recall on a planted clustered corpus.
+  def q444MaxsimAnnRerank(spark: SparkSession, dir: String): DataFrame = {
+    val t = TokensPerMsDoc
+    // base feeds the CLS bucketing AND both re-scoring sides (§8.22)
+    val base = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), vd.as("v"))
+      .withColumn("doc", expr(s"vec_id div $t"))
+      .withColumn("n2", expr("aggregate(v, 0.0d, (a, x) -> a + x * x)"))
+      .localCheckpoint(false)
+    val planes = typedlit(hyperplanes)
+    val cls = base.filter(expr(s"vec_id % $t = 0"))
+      .select(col("doc"), col("v"))
+      .withColumn("planes", planes)
+      .withColumn("bucket", expr(
+        """aggregate(sequence(0, size(planes) - 1), 0,
+          |  (acc, i) -> acc * 2 + (CASE WHEN
+          |     aggregate(zip_with(v, planes[i], (x, p) -> x * p), 0.0d, (a, x) -> a + x) > 0.0d
+          |     THEN 1 ELSE 0 END))""".stripMargin))
+      .select(col("doc"), col("bucket"))
+    val qb = cls.filter(col("doc") < 3)
+      .select(col("doc").as("qdoc"), explode(expr(
+        s"""transform(sequence(0, $numPlanes),
+           |  i -> CASE WHEN i = 0 THEN bucket
+           |       ELSE bucket ^ shiftleft(1, i - 1) END)""".stripMargin)).as("bucket"))
+    val cand = cls.join(broadcast(qb), Seq("bucket"))
+      .filter(col("doc") =!= col("qdoc"))
+      .select(col("qdoc"), col("doc")).distinct()
+    val qtok = base.filter(col("doc") < 3)
+      .select(col("doc").as("qdoc"), col("vec_id").as("qt"),
+        col("v").as("qv"), col("n2").as("qn2"))
+    base.join(broadcast(cand), Seq("doc"))
+      .join(broadcast(qtok), Seq("qdoc"))
+      .withColumn("dot",
+        expr("aggregate(zip_with(v, qv, (x, y) -> x * y), 0.0d, (a, x) -> a + x)"))
+      .withColumn("sim_e6",
+        floor(col("dot") / sqrt(col("n2") * col("qn2")) * 1e6).cast("long"))
+      .groupBy(col("qdoc"), col("qt"), col("doc"))
+      .agg(max(col("sim_e6")).as("tok_max"))
+      .groupBy(col("qdoc"), col("doc"))
+      .agg(sum(col("tok_max")).as("maxsim_e6"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qdoc"))
+          .orderBy(col("maxsim_e6").desc, col("doc"))))
+      .filter(col("rank") <= 5)
+      .select(col("qdoc"), col("rank").cast("int").as("rank"),
+        col("doc").as("doc_id"), col("maxsim_e6"))
+      .orderBy(col("qdoc"), col("rank"))
+  }
+
+  val q444Sql: String = {
+    val t = TokensPerMsDoc
+    s"""WITH planes AS (SELECT ${planesSqlLit} AS P),
+       |base AS (
+       |  SELECT vec_id, vec_id // $t AS doc, embedding::DOUBLE[] AS v,
+       |    list_reduce(list_transform(embedding::DOUBLE[], x -> x * x),
+       |      (a, b) -> a + b) AS n2
+       |  FROM embeddings),
+       |cls AS (
+       |  SELECT doc,
+       |    list_reduce(
+       |      list_transform(range($numPlanes), i -> CASE WHEN
+       |        list_reduce(list_transform(range(1, 65), d -> v[d] * P[i + 1][d]),
+       |          (a, b) -> a + b) > 0.0
+       |        THEN 1 ELSE 0 END),
+       |      (acc, bit) -> acc * 2 + bit) AS bucket
+       |  FROM base CROSS JOIN planes WHERE vec_id % $t = 0),
+       |qb AS (
+       |  SELECT qdoc, unnest(probes) AS bucket FROM (
+       |    SELECT doc AS qdoc,
+       |      list_transform(range(0, ${numPlanes + 1}),
+       |        i -> CASE WHEN i = 0 THEN bucket
+       |             ELSE xor(bucket, (1 << (i - 1))) END) AS probes
+       |    FROM cls WHERE doc < 3)),
+       |cand AS (
+       |  SELECT DISTINCT qdoc, c.doc
+       |  FROM cls c JOIN qb USING (bucket) WHERE c.doc <> qdoc),
+       |qtok AS (
+       |  SELECT doc AS qdoc, vec_id AS qt, v AS qv, n2 AS qn2
+       |  FROM base WHERE doc < 3),
+       |sims AS (
+       |  SELECT cand.qdoc, qt, cand.doc,
+       |    CAST(FLOOR(list_reduce(list_transform(range(1, 65),
+       |        i -> b.v[i] * qv[i]), (x, y) -> x + y)
+       |      / sqrt(b.n2 * qn2) * 1e6) AS BIGINT) AS sim_e6
+       |  FROM base b
+       |  JOIN cand ON b.doc = cand.doc
+       |  JOIN qtok ON qtok.qdoc = cand.qdoc),
+       |tok AS (
+       |  SELECT qdoc, qt, doc, MAX(sim_e6) AS tok_max
+       |  FROM sims GROUP BY 1, 2, 3),
+       |score AS (
+       |  SELECT qdoc, doc, SUM(tok_max) AS maxsim_e6
+       |  FROM tok GROUP BY 1, 2),
+       |r AS (
+       |  SELECT qdoc, doc, maxsim_e6,
+       |    ROW_NUMBER() OVER (PARTITION BY qdoc
+       |      ORDER BY maxsim_e6 DESC, doc) AS rank
+       |  FROM score)
+       |SELECT qdoc, CAST(rank AS INT) AS rank, doc AS doc_id,
+       |  CAST(maxsim_e6 AS BIGINT) AS maxsim_e6
+       |FROM r WHERE rank <= 5 ORDER BY qdoc, rank""".stripMargin
+  }
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q40_cosine_topk", q40CosineTopk _, Some(q40Sql)),
     ("q443_maxsim_retrieval", q443MaxsimRetrieval _, Some(q443Sql)),
+    ("q444_maxsim_ann_rerank", q444MaxsimAnnRerank _, Some(q444Sql)),
     ("q248_silhouette", q248Silhouette _, Some(q248Sql)),
     ("q259_acquisition", q259Acquisition _, Some(q259Sql)),
     ("q263_embedding_drift", q263EmbeddingDrift _, Some(q263Sql)),

@@ -70,4 +70,32 @@ class ButterflyMaxsimSpec extends SparkSpec {
     assert(out.head.getAs[Long]("maxsim_e6") === 4000000L)
     assert(out(1).getAs[Long]("maxsim_e6") === 2000000L)
   }
+
+  test("wedge-sample estimator is internally consistent with its own census") {
+    val r = GraphMiningOps.q445ButterflySample(spark, "/root/testdata/sf0.001").head()
+    val (bf, est, err) = (r.getAs[Long]("butterflies"),
+      r.getAs[Long]("butterflies_est"), r.getAs[Long]("err_ppm"))
+    // est = 16·ΣC(k,2) is a multiple of 16; err_ppm is the integer
+    // floor-div of the reported pair — the row must be self-consistent
+    assert(est % 16 === 0L)
+    if (bf > 0) assert(err === math.abs(est - bf) * 1000000L / bf)
+    // the exact side must equal q442's census on the same corpus
+    val census = GraphMiningOps.q442ButterflyCensus(spark, "/root/testdata/sf0.001").head()
+    assert(bf === census.getAs[Long]("butterflies"))
+    assert(r.getAs[Long]("wedges") === census.getAs[Long]("wedges"))
+  }
+
+  test("two-stage ANN rerank scores agree with exact MaxSim on shared pairs") {
+    val dir = "/root/testdata/sf0.001"
+    val exact = VectorOps.q443MaxsimRetrieval(spark, dir)
+      .select(col("qdoc"), col("doc_id"), col("maxsim_e6").as("e"))
+    val staged = VectorOps.q444MaxsimAnnRerank(spark, dir)
+      .select(col("qdoc"), col("doc_id"), col("maxsim_e6").as("s"))
+    // stage 2 IS the exact scorer, so every candidate the banding
+    // surfaces must carry the identical integer score
+    val mismatched = staged.join(exact, Seq("qdoc", "doc_id"))
+      .filter(col("s") =!= col("e")).count()
+    assert(mismatched === 0L)
+    assert(staged.count() > 0L)
+  }
 }
