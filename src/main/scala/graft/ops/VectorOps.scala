@@ -1657,10 +1657,119 @@ object VectorOps {
        |FROM r WHERE rank <= 5 ORDER BY qdoc, rank""".stripMargin
   }
 
+  // --------------------------------------------------------------------------
+  // q446 — POOLING AUDIT: single-vector CLS retrieval vs multi-vector
+  // MaxSim (round 12). Bi-encoder systems collapse a document to ONE
+  // vector and hope the ranking survives; this measures the hope: per
+  // query doc, the top-5 overlap and top-1 agreement between (a) cosine
+  // ranking over CLS (first-token) vectors and (b) exact MaxSim — the
+  // audit that decides whether the 8× cheaper single-vector index is
+  // good enough for THIS corpus before anyone builds it.
+  //
+  // Scale shape: both rankings are one corpus-linear pass against the
+  // bounded broadcast query side + a per-query top-k window; the audit
+  // join is 15 rows × 15 rows. Integer-collapsed sims throughout.
+  def q446PoolingAudit(spark: SparkSession, dir: String): DataFrame = {
+    val t = TokensPerMsDoc
+    val base = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), vd.as("v"))
+      .withColumn("doc", expr(s"vec_id div $t"))
+      .withColumn("n2", expr("aggregate(v, 0.0d, (a, x) -> a + x * x)"))
+      .localCheckpoint(false) // feeds both rankings' corpus and query sides
+    val dot = expr("aggregate(zip_with(v, qv, (x, y) -> x * y), 0.0d, (a, x) -> a + x)")
+    val qtok = base.filter(col("doc") < 3)
+      .select(col("doc").as("qdoc"), col("vec_id").as("qt"),
+        col("v").as("qv"), col("n2").as("qn2"))
+    val wQ = Window.partitionBy(col("qdoc"))
+      .orderBy(col("score").desc, col("doc"))
+    val mTop = base.crossJoin(broadcast(qtok))
+      .filter(col("doc") =!= col("qdoc"))
+      .withColumn("sim_e6", floor(dot / sqrt(col("n2") * col("qn2")) * 1e6).cast("long"))
+      .groupBy(col("qdoc"), col("qt"), col("doc"))
+      .agg(max(col("sim_e6")).as("tok_max"))
+      .groupBy(col("qdoc"), col("doc"))
+      .agg(sum(col("tok_max")).as("score"))
+      .withColumn("rank", row_number().over(wQ))
+      .filter(col("rank") <= 5)
+    val cls = base.filter(expr(s"vec_id % $t = 0"))
+    val qcls = cls.select(col("doc").as("qdoc"), col("v").as("qv"), col("n2").as("qn2"))
+      .filter(col("qdoc") < 3)
+    val cTop = cls.crossJoin(broadcast(qcls))
+      .filter(col("doc") =!= col("qdoc"))
+      .withColumn("score", floor(dot / sqrt(col("n2") * col("qn2")) * 1e6).cast("long"))
+      .withColumn("rank", row_number().over(wQ))
+      .filter(col("rank") <= 5)
+      .select(col("qdoc"), col("doc"), col("rank"))
+    val overlap = mTop.select(col("qdoc"), col("doc"))
+      .join(cTop.select(col("qdoc"), col("doc")), Seq("qdoc", "doc"))
+      .groupBy(col("qdoc")).agg(count(lit(1)).as("overlap_at5"))
+    val m1 = mTop.filter(col("rank") === 1).select(col("qdoc"), col("doc").as("m_top1"))
+    val c1 = cTop.filter(col("rank") === 1).select(col("qdoc"), col("doc").as("c_top1"))
+    m1.join(c1, Seq("qdoc"))
+      .join(overlap, Seq("qdoc"), "left")
+      .select(col("qdoc"),
+        coalesce(col("overlap_at5"), lit(0L)).as("overlap_at5"),
+        col("m_top1"), col("c_top1"),
+        (col("m_top1") === col("c_top1")).as("top1_agree"))
+      .orderBy(col("qdoc"))
+  }
+
+  val q446Sql: String = {
+    val t = TokensPerMsDoc
+    s"""WITH base AS (
+       |  SELECT vec_id, vec_id // $t AS doc, embedding::DOUBLE[] AS v,
+       |    list_reduce(list_transform(embedding::DOUBLE[], x -> x * x),
+       |      (a, b) -> a + b) AS n2
+       |  FROM embeddings),
+       |qtok AS (
+       |  SELECT doc AS qdoc, vec_id AS qt, v AS qv, n2 AS qn2
+       |  FROM base WHERE doc < 3),
+       |msims AS (
+       |  SELECT qdoc, qt, doc,
+       |    CAST(FLOOR(list_reduce(list_transform(range(1, 65),
+       |        i -> v[i] * qv[i]), (a, b) -> a + b)
+       |      / sqrt(n2 * qn2) * 1e6) AS BIGINT) AS sim_e6
+       |  FROM base CROSS JOIN qtok WHERE doc <> qdoc),
+       |mtop AS (
+       |  SELECT qdoc, doc, rank FROM (
+       |    SELECT qdoc, doc, score,
+       |      ROW_NUMBER() OVER (PARTITION BY qdoc ORDER BY score DESC, doc) AS rank
+       |    FROM (SELECT qdoc, doc, SUM(tok_max) AS score FROM (
+       |            SELECT qdoc, qt, doc, MAX(sim_e6) AS tok_max
+       |            FROM msims GROUP BY 1, 2, 3)
+       |          GROUP BY 1, 2))
+       |  WHERE rank <= 5),
+       |cls AS (SELECT doc, v, n2 FROM base WHERE vec_id % $t = 0),
+       |qcls AS (SELECT doc AS qdoc, v AS qv, n2 AS qn2 FROM cls WHERE doc < 3),
+       |ctop AS (
+       |  SELECT qdoc, doc, rank FROM (
+       |    SELECT qdoc, doc,
+       |      ROW_NUMBER() OVER (PARTITION BY qdoc ORDER BY score DESC, doc) AS rank
+       |    FROM (
+       |      SELECT qdoc, doc,
+       |        CAST(FLOOR(list_reduce(list_transform(range(1, 65),
+       |            i -> v[i] * qv[i]), (a, b) -> a + b)
+       |          / sqrt(n2 * qn2) * 1e6) AS BIGINT) AS score
+       |      FROM cls CROSS JOIN qcls WHERE doc <> qdoc))
+       |  WHERE rank <= 5),
+       |ov AS (
+       |  SELECT m.qdoc, COUNT(*) AS overlap_at5
+       |  FROM mtop m JOIN ctop c ON m.qdoc = c.qdoc AND m.doc = c.doc
+       |  GROUP BY 1)
+       |SELECT m1.qdoc, CAST(COALESCE(overlap_at5, 0) AS BIGINT) AS overlap_at5,
+       |  m1.doc AS m_top1, c1.doc AS c_top1,
+       |  m1.doc = c1.doc AS top1_agree
+       |FROM (SELECT qdoc, doc FROM mtop WHERE rank = 1) m1
+       |JOIN (SELECT qdoc, doc FROM ctop WHERE rank = 1) c1 USING (qdoc)
+       |LEFT JOIN ov ON ov.qdoc = m1.qdoc
+       |ORDER BY m1.qdoc""".stripMargin
+  }
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q40_cosine_topk", q40CosineTopk _, Some(q40Sql)),
     ("q443_maxsim_retrieval", q443MaxsimRetrieval _, Some(q443Sql)),
     ("q444_maxsim_ann_rerank", q444MaxsimAnnRerank _, Some(q444Sql)),
+    ("q446_pooling_audit", q446PoolingAudit _, Some(q446Sql)),
     ("q248_silhouette", q248Silhouette _, Some(q248Sql)),
     ("q259_acquisition", q259Acquisition _, Some(q259Sql)),
     ("q263_embedding_drift", q263EmbeddingDrift _, Some(q263Sql)),

@@ -43,10 +43,10 @@ class ButterflyMaxsimSpec extends SparkSpec {
     assert(r.getAs[Long]("n_hubs_dropped") === 0L)
   }
 
-  test("maxsim ranks the doc sharing more query-token directions first") {
-    // 64-dim one-hot tokens; docs of TokensPerMsDoc=8 rows. Query docs are
-    // 0..2. Doc 3 repeats doc 0's first 4 directions (4 exact token hits),
-    // doc 4 repeats only 2 — for qdoc 0, doc 3 must outrank doc 4.
+  // 64-dim one-hot tokens; docs of TokensPerMsDoc=8 rows. Query docs are
+  // 0..2. Doc 3 repeats doc 0's first 4 directions (4 exact token hits,
+  // including dim 0 = doc 0's CLS direction), doc 4 repeats only 2.
+  private lazy val plantedDir: String = {
     def oneHot(dim: Int): Seq[Float] =
       Seq.tabulate(64)(i => if (i == dim) 1.0f else 0.0f)
     val rows = (0 until 5).flatMap { d =>
@@ -62,6 +62,11 @@ class ButterflyMaxsimSpec extends SparkSpec {
     val df = rows.toDF("vec_id", "embedding", "label")
     val dir = java.nio.file.Files.createTempDirectory("graft_maxsim").toString
     df.coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    dir
+  }
+
+  test("maxsim ranks the doc sharing more query-token directions first") {
+    val dir = plantedDir
     val out = VectorOps.q443MaxsimRetrieval(spark, dir)
       .filter(col("qdoc") === 0).orderBy(col("rank")).collect()
     assert(out.head.getAs[Long]("doc_id") === 3L)
@@ -83,6 +88,17 @@ class ButterflyMaxsimSpec extends SparkSpec {
     val census = GraphMiningOps.q442ButterflyCensus(spark, "/root/testdata/sf0.001").head()
     assert(bf === census.getAs[Long]("butterflies"))
     assert(r.getAs[Long]("wedges") === census.getAs[Long]("wedges"))
+  }
+
+  test("pooling audit: CLS and MaxSim agree on the planted top doc") {
+    // doc 3 shares qdoc 0's CLS direction (dim 0) AND is the MaxSim
+    // winner, so both rankings must put it first and agree
+    val out = VectorOps.q446PoolingAudit(spark, plantedDir)
+      .filter(col("qdoc") === 0).head()
+    assert(out.getAs[Long]("m_top1") === 3L)
+    assert(out.getAs[Long]("c_top1") === 3L)
+    assert(out.getAs[Boolean]("top1_agree"))
+    assert(out.getAs[Long]("overlap_at5") >= 2L) // docs 3 and 4 in both
   }
 
   test("two-stage ANN rerank scores agree with exact MaxSim on shared pairs") {
