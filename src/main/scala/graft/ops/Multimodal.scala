@@ -34,9 +34,10 @@ object Multimodal {
   // ------------------------------------------------------------------ codec
 
   /** Deterministic grayscale pixels for a document: pixel i = UTF-8 text
-    * byte (i mod len); all-zero for empty text. */
+    * byte (i mod len); all-zero for empty OR NULL text (a null payload is
+    * a routine row at scale, not a reason to kill the partition). */
   private[ops] def pixelsFor(text: String, w: Int, h: Int): Array[Byte] = {
-    val tb = text.getBytes("UTF-8")
+    val tb = if (text == null) Array.empty[Byte] else text.getBytes("UTF-8")
     val px = Array.ofDim[Byte](w * h)
     if (tb.nonEmpty) {
       var i = 0
@@ -315,7 +316,8 @@ object Multimodal {
   /** Deterministic 16-bit PCM samples for a document: sample i =
     * (text byte (i mod len) − 128) · 256 — centered, full-scale-ish. */
   private[ops] def samplesFor(text: String, n: Int): Array[Short] = {
-    val tb = text.getBytes("UTF-8")
+    // null text = silence, like pixelsFor's all-zero contract
+    val tb = if (text == null) Array.empty[Byte] else text.getBytes("UTF-8")
     val s = Array.ofDim[Short](n)
     if (tb.nonEmpty) {
       var i = 0
@@ -556,7 +558,8 @@ object Multimodal {
       .mapPartitions { rows =>
         rows.flatMap { case (id, text, nChars) =>
           val ns = (nChars % 2000 + 100).toInt
-          val bytes = text.getBytes("UTF-8")
+          // null text = an all-zero frame stream (pixelsFor's contract)
+          val bytes = if (text == null) Array.empty[Byte] else text.getBytes("UTF-8")
           val plen = bytes.length
           def b(i: Int): Int = if (plen == 0) 0 else bytes(i % plen) & 0xff
           val nf = if (ns >= 9) (ns - 9) / 8 + 1 else 0

@@ -348,6 +348,9 @@ object RelationalExt {
   // the oracle checks the equivalent relational form.
   def q57MapOps(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
+      // a NULL event_type cannot be a map key (SQL maps reject null
+      // keys) — typeless events drop from the per-user type map
+      .filter(col("event_type").isNotNull)
       .groupBy(col("user_id"), col("event_type"))
       .agg(count(lit(1)).as("cnt"))
       .groupBy(col("user_id"))

@@ -451,6 +451,11 @@ object StreamingOps {
     val schema = spark.read.parquet(src).schema
     spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", filesPerTrigger).parquet(src)
+      // rows with NULL payload fields drop at the typed boundary
+      // (EventRow.value is a primitive; a null would kill the stream
+      // with NOT_NULL_ASSERT_VIOLATION — at scale, unparsed payloads
+      // are routine rows, not reasons to fail a stateful pipeline)
+      .na.drop(Seq("event_type", "value"))
       .as[EventRow]
       .groupByKey(_.user_id)
       .transformWithState(new UserTotalsProcessor,
@@ -674,6 +679,11 @@ object StreamingOps {
     spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", filesPerTrigger).parquet(src)
       .withWatermark("ts", "10 minutes")
+      // rows with NULL payload fields drop at the typed boundary
+      // (EventRow.value is a primitive; a null would kill the stream
+      // with NOT_NULL_ASSERT_VIOLATION — at scale, unparsed payloads
+      // are routine rows, not reasons to fail a stateful pipeline)
+      .na.drop(Seq("event_type", "value"))
       .as[EventRow]
       .groupByKey(_.user_id)
       .transformWithState(new SessionTimerProcessor(1800L * 1000000L),
@@ -941,6 +951,11 @@ object StreamingOps {
     val schema = spark.read.parquet(src).schema
     spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", filesPerTrigger).parquet(src)
+      // rows with NULL payload fields drop at the typed boundary
+      // (EventRow.value is a primitive; a null would kill the stream
+      // with NOT_NULL_ASSERT_VIOLATION — at scale, unparsed payloads
+      // are routine rows, not reasons to fail a stateful pipeline)
+      .na.drop(Seq("event_type", "value"))
       .as[EventRow]
       .groupByKey(_.user_id)
       .transformWithState(new TopValuesProcessor,

@@ -229,6 +229,10 @@ object VectorOps {
     import spark.implicits._
     Tables.embeddings(spark, dir)
       .select(col("label"), vd.as("v"))
+      // a NULL embedding contributes nothing to its label's centroid —
+      // exactly what the oracle's unnest does (0 rows) — instead of
+      // NPE-ing the Aggregator's reduce
+      .filter(col("v").isNotNull)
       .as[(Int, Array[Double])]
       .groupByKey(_._1)
       .agg(new CentroidAgg().toColumn.name("centroid"))
