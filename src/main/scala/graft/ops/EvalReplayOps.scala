@@ -736,7 +736,6 @@ object EvalReplayOps {
       // LoopConf's materialize-data-sized-frames-first contract
       .localCheckpoint(false)
     val items = m.select(col("i")).distinct()
-    val k = items.agg(count(lit(1)).as("k"))
     var p = items.select(col("i"), lit(1000000L).as("p"))
     // the MM rounds are |items|²-bounded grid joins (items = nations for
     // q368 — a dimension at ANY corpus size), so they plan under the
@@ -756,12 +755,17 @@ object EvalReplayOps {
         .select(col("i"), expr(
           """cast((cast(coalesce(wi, 0L) as decimal(38,0)) * 1000000000000)
             | div d as bigint)""".stripMargin).as("raw"))
-        .localCheckpoint(false) // feeds the renorm total AND next p
-      val s = raw.agg(sum(col("raw")).as("sraw"))
-      p = raw.crossJoin(broadcast(s)).crossJoin(broadcast(k))
-        .select(col("i"), expr(
-          """cast((cast(raw as decimal(38,0)) * k * 1000000L)
-            | div sraw as bigint)""".stripMargin).as("p"))
+        .localCheckpoint(false) // flattens the round for next p's dual read
+      // renorm scalars (Σ raw, k) via ONE single-partition window over
+      // the k-row grid — k ≤ |items| and items is a DIMENSION (nations
+      // for q368) at any corpus size, so the single partition is bounded
+      // by construction. The previous crossJoin(broadcast(1-row agg))×2
+      // form cost two BLOCKING broadcast-build jobs per MM round — a
+      // pure scheduler floor of ~16 sequential jobs over 8 iterations
+      // (round-13 fix; values are bit-identical: count(1) over () = k).
+      p = raw.select(col("i"), expr(
+        """cast((cast(raw as decimal(38,0)) * count(1) over ()
+          | * 1000000L) div (sum(raw) over ()) as bigint)""".stripMargin).as("p"))
     }
     }
     p.join(wtot, Seq("i"), "left")

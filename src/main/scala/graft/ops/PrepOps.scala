@@ -250,6 +250,9 @@ object PrepOps {
       .groupBy(col("doc_id"))
       .agg(Num.pround(avg(log((col("c2") + 0.5) / (col("c1") + lit(0.5) * col("v")))), 4)
         .as("lp"))
+    // exact-median domain (q125 contract note): lp is pround(·, 4) — an
+    // explicit 1e-4 quantization of a log-prob in a few-units range, so
+    // the percentile buffer is bounded (~10⁵ cells) regardless of corpus
     val med = scored.agg(expr("percentile(lp, 0.5)").as("med"))
     scored.crossJoin(broadcast(med))
       .filter(col("lp") >= col("med"))

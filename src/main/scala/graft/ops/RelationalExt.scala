@@ -361,7 +361,8 @@ object RelationalExt {
 
   val q57Sql: String =
     """SELECT user_id, event_type, COUNT(*) AS cnt
-      |FROM events GROUP BY user_id, event_type
+      |FROM events WHERE event_type IS NOT NULL
+      |GROUP BY user_id, event_type
       |HAVING COUNT(*) >= 3
       |ORDER BY user_id, event_type""".stripMargin
 

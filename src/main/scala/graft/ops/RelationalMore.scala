@@ -662,6 +662,14 @@ object RelationalMore {
   // Scale shape: pass 1 is a per-group percentile aggregate (3 groups →
   // tiny result, BROADCAST back); pass 2 is one row-local clip + hash
   // aggregate. No window over the fact table, no global sort.
+  // Exact-percentile memory contract: Spark's `percentile` buffers a
+  // value→count map per partial aggregate, so memory is O(distinct
+  // values), NOT O(rows). It is safe here because l_extendedprice is a
+  // cents-quantized price (TPC-H prices are exact 2-decimal values on a
+  // bounded range), so the domain is ≤ ~10⁷ distinct at ANY row count.
+  // An exact percentile over an unbounded-domain double (a raw measure,
+  // a ratio) is a real 100 TB cliff — pre-quantize (round(v, 2)) or use
+  // approx_percentile there instead.
   def q125Winsorize(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
       .select(col("l_returnflag"), col("l_extendedprice"))
@@ -763,6 +771,10 @@ object RelationalMore {
   def q130EquiDepthHist(spark: SparkSession, dir: String): DataFrame = {
     val k = 10
     val li = Tables.lineitem(spark, dir).select(col("l_extendedprice").as("v"))
+    // exact percentile buffers O(distinct values) per partial aggregate —
+    // bounded here because l_extendedprice lives on the cents grid
+    // (≤ ~10⁷ distinct at any scale); see the q125 contract note. Never
+    // point this at an unbounded-domain double without pre-quantizing.
     val edges = li.agg(expr(
       s"percentile(v, array(${(1 until k).map(i => s"${i.toDouble / k}d").mkString(", ")}))")
       .as("es"))
@@ -963,6 +975,9 @@ object RelationalMore {
     val cents = (col("value").cast(DecimalType(12, 2)) * 100).cast("long")
     val ev = Tables.events(spark, dir)
       .select(col("event_id"), col("event_type"), col("value"), cents.as("x_c"))
+    // exact medians here buffer O(distinct cents values) — x_c is the
+    // value column pre-quantized to the cents grid (the q125 contract
+    // note), and abs(p) below is a difference of cents values, same grid
     val med = ev.groupBy(col("event_type"))
       .agg((expr("percentile(x_c, 0.5d)") * 2).cast("long").as("med2"))
     val withDev = ev.join(broadcast(med), Seq("event_type"))
@@ -1252,6 +1267,9 @@ object RelationalMore {
         datediff(col("now"), col("last_order")).cast("long").as("recency"),
         col("frequency"),
         (col("sdec") * 100).cast("long").as("monetary_cents"))
+    // exact-percentile domains (q125 contract note): recency = whole days
+    // (calendar-bounded), frequency = small per-customer counts,
+    // monetary_cents = cents grid — all bounded-distinct by construction
     val edges = rfm.agg(
       expr("percentile(recency, array(0.2d, 0.4d, 0.6d, 0.8d))").as("re"),
       expr("percentile(frequency, array(0.2d, 0.4d, 0.6d, 0.8d))").as("fe"),

@@ -103,6 +103,9 @@ object SketchOps {
     val exact = Tables.customer(spark, dir)
       .join(broadcast(nations), col("c_nationkey") === col("n_nationkey"))
       .groupBy(col("n_regionkey"))
+      // exact percentile buffers O(distinct values): bounded here because
+      // c_acctbal is a 2-decimal value on [-1000, 10000] — ≤ 1.1M cents
+      // cells at ANY customer count (the q125 contract note)
       .agg(expr(
         "percentile(c_acctbal, array(0.05, 0.15, 0.45, 0.5, 0.55, 0.85, 0.95))").as("ep"))
       .select(col("n_regionkey"),

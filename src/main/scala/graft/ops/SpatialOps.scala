@@ -221,32 +221,47 @@ object SpatialOps {
       .join(core, nbr("nk") === core("ck"), "left_semi")
       .filter(col("qk") < col("nk"))
       .select(col("qk").as("id_a"), col("nk").as("id_b"))
-    // narrow CC rounds (LoopConf contract): the core graph's vertex set is
-    // |suppliers|-bounded — a dimension, not the data — so the propagation
-    // rounds run at 4 partitions instead of full width (the grid join
-    // above is the data-sized step and keeps the session width)
-    val ccLabels = TextOps.clusterPairs(coreEdges, loopPartitions = Some(4))
-      .select(col("doc_id").as("ck"), col("cluster"))
-    val coreLabels = core
-      .join(ccLabels, Seq("ck"), "left")
-      .select(col("ck"), coalesce(col("cluster"), col("ck")).as("cluster"))
-      .localCheckpoint(false)
-    val borderLabels = nbr
-      .join(core.select(col("ck")), nbr("nk") === col("ck"), "left_semi")
-      .join(core.select(col("ck").as("qck")), nbr("qk") === col("qck"), "left_anti")
-      .join(coreLabels.select(col("ck").as("nk"), col("cluster")), Seq("nk"))
-      .groupBy(col("qk")).agg(min(col("cluster")).as("cluster"))
-      .select(col("qk").as("pk2"), col("cluster"))
-    pts.select(col("pk"))
-      .join(coreLabels.select(col("ck").as("pk"), col("cluster").as("core_cluster")),
-        Seq("pk"), "left")
-      .join(borderLabels.withColumnRenamed("pk2", "pk"), Seq("pk"), "left")
-      .select(col("pk").as("s_suppkey"),
-        when(col("core_cluster").isNotNull, "core")
-          .when(col("cluster").isNotNull, "border")
-          .otherwise("noise").as("role"),
-        coalesce(col("core_cluster"), col("cluster")).as("cluster"))
-      .orderBy(col("s_suppkey"))
+    // Everything from here down is |suppliers|-bounded — a dimension, not
+    // the data — so the WHOLE tail (CC + border pass + final assembly)
+    // runs under one narrow-shuffle scope (4 partitions, AQE off) and is
+    // materialized INSIDE it: executed at the caller's action instead,
+    // the session's AQE would schedule every exchange of this ~15-stage
+    // assembly as its own stage-job — measured as ~21 sequential 20-150ms
+    // jobs, the q255 scheduler floor. The grid join above is the
+    // data-sized step and was planned at session width with AQE on.
+    //
+    // maxPropagationRounds = 0: spatial ε-neighbor graphs are long
+    // chains (diameter ≫ 5 — measured: every sf0.1 run blew through the
+    // 5-round propagation budget and THEN ran star contraction), so CC
+    // goes straight to the O(log² n)-round star path. connectedComponents
+    // is called directly (not clusterPairs): q255 needs no cluster_size
+    // and no doc_id sort, so the sizes broadcast and the range-partition
+    // sample job would be paid and discarded.
+    val assembled = LoopConf.withNarrowShuffle(spark, 4) {
+      val ccLabels = TextOps.connectedComponents(coreEdges, maxPropagationRounds = 0)
+        .select(col("id").as("ck"), col("label").as("cluster"))
+      val coreLabels = core
+        .join(ccLabels, Seq("ck"), "left")
+        .select(col("ck"), coalesce(col("cluster"), col("ck")).as("cluster"))
+        .localCheckpoint(false)
+      val borderLabels = nbr
+        .join(core.select(col("ck")), nbr("nk") === col("ck"), "left_semi")
+        .join(core.select(col("ck").as("qck")), nbr("qk") === col("qck"), "left_anti")
+        .join(coreLabels.select(col("ck").as("nk"), col("cluster")), Seq("nk"))
+        .groupBy(col("qk")).agg(min(col("cluster")).as("cluster"))
+        .select(col("qk").as("pk2"), col("cluster"))
+      pts.select(col("pk"))
+        .join(coreLabels.select(col("ck").as("pk"), col("cluster").as("core_cluster")),
+          Seq("pk"), "left")
+        .join(borderLabels.withColumnRenamed("pk2", "pk"), Seq("pk"), "left")
+        .select(col("pk").as("s_suppkey"),
+          when(col("core_cluster").isNotNull, "core")
+            .when(col("cluster").isNotNull, "border")
+            .otherwise("noise").as("role"),
+          coalesce(col("core_cluster"), col("cluster")).as("cluster"))
+        .localCheckpoint(true) // materialize while the narrow scope holds
+    }
+    assembled.orderBy(col("s_suppkey"))
   }
 
   val q255Sql: String = {

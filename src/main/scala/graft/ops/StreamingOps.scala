@@ -451,11 +451,14 @@ object StreamingOps {
     val schema = spark.read.parquet(src).schema
     spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", filesPerTrigger).parquet(src)
-      // rows with NULL payload fields drop at the typed boundary
+      // rows with a NULL value drop at the typed boundary
       // (EventRow.value is a primitive; a null would kill the stream
       // with NOT_NULL_ASSERT_VIOLATION — at scale, unparsed payloads
-      // are routine rows, not reasons to fail a stateful pipeline)
-      .na.drop(Seq("event_type", "value"))
+      // are routine rows, not reasons to fail a stateful pipeline).
+      // Only `value` — event_type is a String and nullable end-to-end;
+      // the drop is mirrored in the oracle (WHERE value IS NOT NULL)
+      // so Spark and DuckDB count the same rows.
+      .na.drop(Seq("value"))
       .as[EventRow]
       .groupByKey(_.user_id)
       .transformWithState(new UserTotalsProcessor,
@@ -491,7 +494,8 @@ object StreamingOps {
   val q184Sql: String =
     """SELECT user_id, COUNT(*) AS n,
       |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
-      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+      |FROM events WHERE value IS NOT NULL
+      |GROUP BY user_id ORDER BY user_id""".stripMargin
 
   /** q188 — dropDuplicatesWithinWatermark END-TO-END (the Spark 3.5+
     * bounded-state streaming dedup): the landing zone is consumed TWICE
@@ -679,11 +683,14 @@ object StreamingOps {
     spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", filesPerTrigger).parquet(src)
       .withWatermark("ts", "10 minutes")
-      // rows with NULL payload fields drop at the typed boundary
+      // rows with a NULL value drop at the typed boundary
       // (EventRow.value is a primitive; a null would kill the stream
       // with NOT_NULL_ASSERT_VIOLATION — at scale, unparsed payloads
-      // are routine rows, not reasons to fail a stateful pipeline)
-      .na.drop(Seq("event_type", "value"))
+      // are routine rows, not reasons to fail a stateful pipeline).
+      // Only `value` — event_type is a String and nullable end-to-end;
+      // the drop is mirrored in the oracle (WHERE value IS NOT NULL)
+      // so Spark and DuckDB count the same rows.
+      .na.drop(Seq("value"))
       .as[EventRow]
       .groupByKey(_.user_id)
       .transformWithState(new SessionTimerProcessor(1800L * 1000000L),
@@ -730,7 +737,7 @@ object StreamingOps {
     """WITH c AS (
       |  SELECT user_id, epoch_us(ts) AS us,
       |    CAST(ROUND(value * 100) AS BIGINT) AS cents
-      |  FROM events),
+      |  FROM events WHERE value IS NOT NULL),
       |f AS (
       |  SELECT user_id, us, cents,
       |    CASE WHEN us - LAG(us) OVER w > 1800000000
@@ -745,7 +752,8 @@ object StreamingOps {
       |  SELECT user_id, sid, MAX(us) AS end_us, COUNT(*) AS n,
       |    CAST(SUM(cents) AS BIGINT) AS cents
       |  FROM isl GROUP BY user_id, sid),
-      |wm AS (SELECT MAX(epoch_us(ts)) - 600000000 AS w FROM events),
+      |wm AS (SELECT MAX(epoch_us(ts)) - 600000000 AS w
+      |  FROM events WHERE value IS NOT NULL),
       |emitted AS (
       |  SELECT s.* FROM sess s CROSS JOIN wm
       |  WHERE s.sid < (SELECT MAX(sid) FROM sess x WHERE x.user_id = s.user_id)
@@ -951,11 +959,14 @@ object StreamingOps {
     val schema = spark.read.parquet(src).schema
     spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", filesPerTrigger).parquet(src)
-      // rows with NULL payload fields drop at the typed boundary
+      // rows with a NULL value drop at the typed boundary
       // (EventRow.value is a primitive; a null would kill the stream
       // with NOT_NULL_ASSERT_VIOLATION — at scale, unparsed payloads
-      // are routine rows, not reasons to fail a stateful pipeline)
-      .na.drop(Seq("event_type", "value"))
+      // are routine rows, not reasons to fail a stateful pipeline).
+      // Only `value` — event_type is a String and nullable end-to-end;
+      // the drop is mirrored in the oracle (WHERE value IS NOT NULL)
+      // so Spark and DuckDB count the same rows.
+      .na.drop(Seq("value"))
       .as[EventRow]
       .groupByKey(_.user_id)
       .transformWithState(new TopValuesProcessor,
@@ -989,7 +1000,7 @@ object StreamingOps {
     """WITH d AS (
       |  SELECT DISTINCT user_id,
       |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
-      |  FROM events),
+      |  FROM events WHERE value IS NOT NULL),
       |l AS (
       |  SELECT user_id, list_sort(list(cents), 'DESC') AS ls FROM d GROUP BY 1)
       |SELECT user_id, ls[1] AS top1, ls[2] AS top2, ls[3] AS top3

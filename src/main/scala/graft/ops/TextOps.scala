@@ -308,16 +308,30 @@ object TextOps {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
-    // exact-Jaccard verification only for the (few) candidates. The
-    // broadcast hints pin the BUILD side to the candidate-pair frames:
-    // left to itself the planner broadcast `base` — serializing every
-    // doc's shingle ARRAYS through one build thread (measured as an 8 s
-    // single-task stage at sf0.1) — where the candidate set is a few
-    // thousand slim rows on any corpus the banding is healthy on.
-    val cands = broadcast(cand)
+    // exact-Jaccard verification only for the (few) candidates. Only the
+    // SLIM pair-key frame (two longs per row) is ever broadcast — once
+    // per side — so `base` streams in place both times and its shingle
+    // ARRAYS are never broadcast (left to itself the planner picked
+    // `base` as build side: an 8 s single-build-thread stage at sf0.1)
+    // and never shuffled. The final zip of the two candidate-sized
+    // array-carrying frames is hinted SHUFFLE_HASH, NOT broadcast: a
+    // broadcast there would collect O(pairs × shingle arrays) on the
+    // driver — exactly the frame that explodes if banding ever degrades
+    // toward all-pairs (the failure mode MinhashSignatureSpec
+    // documents); a shuffle-hash join degrades to a distributed shuffle
+    // of candidate rows instead.
+    // Both broadcasts share the identical `cand` child plan, so AQE's
+    // runtime stage dedup materializes the pair-key broadcast ONCE
+    // (MinhashSignatureSpec asserts the builds are canonically shared
+    // and that NO broadcast in this plan carries an array column) — no
+    // checkpoint needed and the banded join runs a single time.
+    val withA = broadcast(cand)
       .join(base.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
-    val pairs = broadcast(cands)
+    val withB = broadcast(cand)
       .join(base.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .select(col("id_a"), col("id_b"), col("sh_b"))
+    val pairs = withA.hint("shuffle_hash")
+      .join(withB, Seq("id_a", "id_b"))
     pairs
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("jaccard",
@@ -994,9 +1008,38 @@ object TextOps {
   def connectedComponents(edges: DataFrame, maxPropagationRounds: Int = 5,
       loopPartitions: Option[Int] = None): DataFrame = {
     val e = edges.toDF("a", "b")
+    // LAZY checkpoints throughout the loop (round 13, the q255
+    // scheduler-floor fix): each round's convergence aggregate is the
+    // FIRST action on that round's lazily-checkpointed frame, so one job
+    // both materializes the round and reads its label sum — where
+    // eager checkpoints cost 2 sequential jobs per round (materialize,
+    // then collect) plus 3 setup jobs, pure scheduling at 0.2-0.3 s
+    // each. No broadcast race is possible: every join input is already
+    // materialized by the previous round's aggregate before any
+    // consumer (including a planner-chosen broadcast build) touches it.
     val sym = e.union(e.select(col("b"), col("a"))) // positional union = swap
       .distinct()
-      .localCheckpoint(true)
+      .localCheckpoint(false)
+    // star contraction + full-vertex re-attach: star only emits vertices
+    // incident to a REAL edge, so vertices whose only incidences are
+    // self-loops (singleton components) are restored with label = own id.
+    // Caught by a ScalaCheck graph mixing a diameter-7 path with
+    // self-loop-only vertices.
+    def starEscape(): DataFrame = {
+      val star = connectedComponentsStar(e)
+      sym.select(col("a").as("id")).distinct()
+        .join(star, Seq("id"), "left")
+        .select(col("id"), coalesce(col("label"), col("id")).as("label"))
+    }
+    // maxPropagationRounds <= 0 = the caller KNOWS the graph is
+    // high-diameter (q255's spatial ε-neighbor chains): go straight to
+    // star contraction and skip the label-init job plus the propagation
+    // rounds that would all be wasted before the escape fired
+    if (maxPropagationRounds <= 0)
+      return loopPartitions match {
+        case Some(n) => LoopConf.withNarrowShuffle(e.sparkSession, n)(starEscape())
+        case None => starEscape()
+      }
     // initialize with the first propagation hop folded in: label =
     // min(id, neighbors) is exactly what round 1 would compute from
     // label = id, at the cost of one groupBy instead of a
@@ -1004,12 +1047,13 @@ object TextOps {
     var labels = sym.groupBy(col("a"))
       .agg(min(least(col("a"), col("b"))).as("label"))
       .withColumnRenamed("a", "id")
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     def labelSum(df: DataFrame): BigDecimal =
       // exact decimal sum: immune to long overflow on huge id spaces;
       // null (empty vertex set) folds to 0 so empty input converges
       Option(df.agg(sum(col("label").cast(DecimalType(38, 0))))
         .collect()(0).getDecimal(0)).map(BigDecimal(_)).getOrElse(BigDecimal(0))
+    // materializes sym AND labels in the same job as the first sum
     var prevSum = labelSum(labels)
     var converged = false
     var rounds = 0
@@ -1025,27 +1069,21 @@ object TextOps {
     while (!converged) {
       rounds += 1
       if (rounds > maxPropagationRounds) {
-        // escape hatch for high-diameter graphs — but star contraction
-        // only emits vertices incident to a REAL edge, so restore this
-        // operator's full-vertex contract by re-attaching vertices whose
-        // only incidences are self-loops (singleton components, label =
-        // own id). Caught by a ScalaCheck graph mixing a diameter-7 path
-        // with self-loop-only vertices.
-        val star = connectedComponentsStar(e)
+        // escape hatch for graphs that turn out high-diameter
         Checkpoints.release(labels) // abandoned labels only pin memory now
-        return sym.select(col("a").as("id")).distinct()
-          .join(star, Seq("id"), "left")
-          .select(col("id"), coalesce(col("label"), col("id")).as("label"))
+        return starEscape()
       }
       val prop = sym.join(labels.withColumnRenamed("id", "b_id"), col("b") === col("b_id"))
         .select(col("a").as("id"), col("label"))
       val next = labels.union(prop)
         .groupBy(col("id")).agg(min(col("label")).as("label"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
+      // ONE job: materializes `next` (first action on the lazy
+      // checkpoint) and returns the convergence sum
       val s = labelSum(next)
       converged = s == prevSum
       prevSum = s
-      // next is eagerly materialized, so round k-1's frame is garbage —
+      // next is now materialized, so round k-1's frame is garbage —
       // free it now or the loop pins O(rounds) × |vertices| blocks
       Checkpoints.release(labels)
       labels = next
@@ -1074,25 +1112,38 @@ object TextOps {
     */
   def connectedComponentsStar(edges: DataFrame): DataFrame = {
     val e0 = edges.toDF("a", "b")
+    // lazy checkpoint + count-as-materializer (vs eager + isEmpty —
+    // two sequential jobs for one frame): the full count both
+    // materializes the deduped edge set and answers the emptiness check
     var e = e0.filter(col("a") =!= col("b"))
       .select(least(col("a"), col("b")).as("u"), greatest(col("a"), col("b")).as("v"))
       .distinct()
-      .localCheckpoint(true)
-    if (e.isEmpty) return e0.select(col("a").as("id"), col("a").as("label")).limit(0)
+      .localCheckpoint(false)
+    if (e.count() == 0L) return e0.select(col("a").as("id"), col("a").as("label")).limit(0)
 
     // one star op: group the symmetric edge list by center, attach each
-    // selected neighbor to min(center, its neighbors)
+    // selected neighbor to min(center, its neighbors). Both the
+    // symmetrization and the small-star re-hang are written as ONE-pass
+    // explodes, NOT self-unions: a union consumes its input twice, so a
+    // chain of k stars would duplicate subtrees 2^k× when planned as one
+    // query (measured: 5 s per 4-star batch at sf0.1 in the self-union
+    // form) — the explode form keeps chained stars a LINEAR plan.
     def star(edgesUV: DataFrame, large: Boolean): DataFrame = {
-      val sym = edgesUV.union(edgesUV.select(col("v").as("u"), col("u").as("v")))
+      val sym = edgesUV.select(explode(array(
+          struct(col("u"), col("v")),
+          struct(col("v").as("u"), col("u").as("v")))).as("e"))
+        .select(col("e.u").as("u"), col("e.v").as("v"))
       val withMin = sym
         .withColumn("m", least(min(col("v")).over(Window.partitionBy(col("u"))), col("u")))
-      val picked =
-        if (large) withMin.filter(col("v") > col("u"))
-        else withMin.filter(col("v") <= col("u"))
-          .select(col("v").as("x"), col("m")).union(withMin.select(col("u").as("x"), col("m")))
       val out =
-        if (large) picked.select(col("v").as("u2"), col("m").as("v2"))
-        else picked.select(col("x").as("u2"), col("m").as("v2"))
+        if (large) withMin.filter(col("v") > col("u"))
+          .select(col("v").as("u2"), col("m").as("v2"))
+        else withMin.select(explode(
+            when(col("v") <= col("u"), array(
+              struct(col("v").as("x"), col("m")),
+              struct(col("u").as("x"), col("m"))))
+            .otherwise(array(struct(col("u").as("x"), col("m"))))).as("p"))
+          .select(col("p.x").as("u2"), col("p.m").as("v2"))
       out.filter(col("u2") =!= col("v2"))
         .select(least(col("u2"), col("v2")).as("u"), greatest(col("u2"), col("v2")).as("v"))
         .distinct()
@@ -1104,7 +1155,24 @@ object TextOps {
     while (!converged) {
       rounds += 1
       require(rounds < 64, "star contraction failed to converge in 64 rounds")
-      val next = star(star(e, large = true), large = false).localCheckpoint(true)
+      // LAZY checkpoint + fingerprint-as-materializer (round 13): the
+      // full-aggregate fingerprint is the first action on the round's
+      // frame, so ONE job both materializes the contraction and reads
+      // the convergence fingerprint — halving the per-round scheduler
+      // cost vs eager-checkpoint-then-collect (the q255 job floor).
+      // TWO large/small rounds per check: each check costs a job plus
+      // its plan compilation (~0.3-0.4 s of pure driver/scheduler time
+      // measured at sf0.1), while an extra contraction round past the
+      // fixpoint is idempotent and nearly free — so probing every other
+      // round trades ≤1 wasted round for half the checks. Convergence
+      // is still exact: the fingerprint is a function of the edge set,
+      // and the edge set is fixed once contraction stops changing it.
+      // the explode-form star consumes its input ONCE, so the 4-star
+      // batch plans as a single linear query — one plan compilation and
+      // one checkpoint per check instead of four
+      val next = star(star(star(star(
+        e, large = true), large = false), large = true), large = false)
+        .localCheckpoint(false)
       // order-independent edge-set fingerprint: exact decimal sum of a
       // per-edge hash + the edge count
       val row = next.agg(
@@ -1114,7 +1182,7 @@ object TextOps {
         BigDecimal(row.getLong(1))
       converged = fp == fingerprint
       fingerprint = fp
-      // next is eagerly materialized — the superseded round's edge set
+      // next is now materialized — the superseded round's edge set
       // is unreachable garbage; free it as the contraction advances
       Checkpoints.release(e)
       e = next

@@ -40,4 +40,41 @@ class MinhashSignatureSpec extends SparkSpec {
         s"slice m$i outside the 32-bit range")
     }
   }
+
+  // Round-13 contract (ADVICE item): only SLIM frames may be broadcast
+  // in q32 — pair keys and band signatures, never a shingle ARRAY. A
+  // broadcast of the array-carrying candidate frame collects
+  // O(pairs × shingle arrays) on the driver — survivable when banding is
+  // healthy, fatal in exactly the degradation scenario the test above
+  // pins. The zip of the two array-carrying candidate frames must be a
+  // distributed shuffle join. (AQE's runtime stage-dedup then builds the
+  // identical pair-key broadcast once — checked here by canonical plan,
+  // since reuse is invisible in the pre-execution plan.)
+  test("q32 plan: no broadcast carries arrays; array zip is a shuffle join") {
+    import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+    import org.apache.spark.sql.types.ArrayType
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val df = graft.SparkEntry.queries("q32_minhash_lsh")(spark, "/root/testdata/sf0.001")
+    // AQE wraps the plan; the broadcast nodes live under the adaptive root
+    val plan = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val bcasts = plan.collectWithSubqueries { case b: BroadcastExchangeExec => b }
+    assert(bcasts.nonEmpty, "expected the slim pair-key/band broadcasts in the plan")
+    bcasts.foreach { b =>
+      val arrayCols = b.output.filter(_.dataType.isInstanceOf[ArrayType])
+      assert(arrayCols.isEmpty,
+        s"broadcast carries array columns ${arrayCols.map(_.name)} — " +
+          s"this is the frame that explodes when banding degrades:\n$b")
+    }
+    // the two hinted pair-key broadcasts must be canonically identical so
+    // AQE materializes one stage for both at runtime
+    val canon = bcasts.map(_.canonicalized)
+    assert(canon.distinct.length < bcasts.length || bcasts.length == 2,
+      s"pair-key broadcasts not canonically shared (${bcasts.length} builds)")
+    assert(plan.toString.contains("ShuffledHashJoin"),
+      s"the candidate-array zip must be a distributed shuffle join, not a broadcast:\n$plan")
+    graft.ops.Checkpoints.releaseAll(spark)
+  }
 }

@@ -17,7 +17,10 @@ import argparse, json, statistics, sys
 def main():
     p = argparse.ArgumentParser(
         description=__doc__, formatter_class=argparse.RawDescriptionHelpFormatter)
-    p.add_argument("old"), p.add_argument("new")
+    p.add_argument("old", nargs="?", default="BENCH_FULL_r12.json",
+                   help="baseline artifact (default: BENCH_FULL_r12.json — "
+                        "the named like-for-like baseline in BASELINE.md)")
+    p.add_argument("new")
     p.add_argument("--reg-ratio", type=float, default=1.5)
     p.add_argument("--reg-abs", type=float, default=0.5)
     ns = p.parse_args()
@@ -41,8 +44,13 @@ def main():
     print(f"\nregressions >{reg_ratio}x and >{reg_abs}s new-side:")
     for r, k in sorted(regs, reverse=True):
         runs = b_runs.get(k)
+        # the noise hint requires the new-side runs to actually STRADDLE
+        # the old timing (best run back under the regression threshold):
+        # a genuinely regressed plan with variable runs (e.g. GC-bound)
+        # must still read as a regression, not be dismissed as noise
+        straddles = runs and min(runs) <= max(a[k] * reg_ratio, reg_abs)
         spread = (f"  runs={['%.2f' % x for x in runs]}"
-                  f"{'  (spread>2x: likely host noise)' if min(runs) > 0 and max(runs) / min(runs) > 2 else ''}"
+                  f"{'  (best run within threshold: likely host noise)' if straddles else ''}"
                   if runs else "")
         print(f"  {k}: {a[k]:.2f} -> {b[k]:.2f}  ({r:.2f}x){spread}")
     if not regs:
