@@ -1957,8 +1957,16 @@ object CapacityAuditOps {
     val mins = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(expr(TextOps.shingles3Sql)).as("s"))
       .crossJoin(broadcast(idx))
+      // 60-bit digest prefix as BIGINT before the MIN (the q32 fix,
+      // promoted here by the PlanLint SortAggregate rule): a STRING min
+      // buffer is not UnsafeRow-mutable and silently demotes this
+      // raw-stream aggregate to a per-partition SORT of 16× the shingle
+      // stream. The hex prefix is fixed-length, so the conversion is
+      // order-preserving; downstream only tests EQUALITY of the mins,
+      // and the oracle applies the identical conversion.
       .select(col("doc_id"), col("i"),
-        md5(concat(col("s"), lit("#"), col("i").cast("string"))).as("h"))
+        expr("cast(conv(substring(md5(concat(s, '#', cast(i as string))), 1, 15), 16, 10) as bigint)")
+          .as("h"))
       .groupBy(col("doc_id"), col("i")).agg(min(col("h")).as("m"))
     val minCols = (0 until 16).map(i =>
       max(when(col("i") === i, col("m"))).as(s"m$i"))
@@ -1999,7 +2007,8 @@ object CapacityAuditOps {
       0, graft.ops.TextOps.q82Sql.indexOf("edges AS"))
     prefix +
       s"""midx AS (
-         |  SELECT doc_id, i, MIN(md5(s || '#' || i)) AS m
+         |  SELECT doc_id, i,
+         |    MIN(('0x' || substr(md5(s || '#' || i), 1, 15))::BIGINT) AS m
          |  FROM sh CROSS JOIN (SELECT UNNEST(range(0, 16)) AS i)
          |  GROUP BY 1, 2),
          |pm AS (

@@ -371,7 +371,14 @@ object Relational {
       .agg(
         count(lit(1)).as("n"),
         moneySum(col("o_totalprice")).as("sum_price"),
-        max(date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM-dd").cast("string")).as("month_start"))
+        // max over the DATE, formatted AFTER the aggregate: a string max
+        // buffer silently demotes this raw-orders aggregate to
+        // SortAggregate (the PlanLint SortAggregate rule); yyyy-MM-dd
+        // formatting is order-preserving, so max-then-format is
+        // value-identical to format-then-max
+        max(date_trunc("month", col("o_orderdate"))).as("ms"))
+      .select(col("yr"), col("mo"), col("n"), col("sum_price"),
+        date_format(col("ms"), "yyyy-MM-dd").cast("string").as("month_start"))
       .orderBy(col("yr"), col("mo"))
 
   val q16Sql: String =

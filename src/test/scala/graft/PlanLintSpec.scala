@@ -304,6 +304,81 @@ class PlanLintSpec extends SparkSpec {
   }
 
   // --------------------------------------------------------------------------
+  // SortAggregate-over-raw-scan lint (round-13 promotion of the PlanScan
+  // triage tool — the q32 post-mortem cliff, SURVEY §8.26): an aggregate
+  // whose buffer is var-length (STRING/STRUCT/ARRAY mins, collect_list)
+  // is not UnsafeRow-mutable, so Spark silently plans SortAggregate —
+  // a FULL SORT of the aggregate's input stream per partial. Over a
+  // bounded frame (a post-aggregate grid, a LIMIT cut) that is a chosen,
+  // cheap shape; over a raw-table-sized scan it is a measured multi-
+  // second cliff that nothing else reports (results stay correct). The
+  // rule: no SortAggregate may consume a file scan with no intervening
+  // aggregate/limit boundary. Allowlist BY NAME with a rationale a human
+  // can re-check, like the window/join lints above.
+
+  /** name → reason a SortAggregate directly over a raw scan is still
+    * scale-safe there. Context for every entry: a SortAggregate is a
+    * PER-PARTITION sort by the grouping key feeding a streaming
+    * aggregate — O(n log n) partition-local, NO extra shuffle — so it
+    * scales near-linearly; what made q32 a 6 s cliff was 32 separate
+    * wide-STRING min buffers over a 16×-exploded digest stream. The
+    * entries below are single-buffer shapes measured at ≤1.6 s total
+    * query time at sf0.1 (BENCH_FULL_r12), each with no cheaper
+    * equivalent: a one-pass argmax via min/max(struct) beats both a
+    * window (same sort PLUS a full shuffle) and a two-pass self-join.
+    */
+  private val sortAggAllow: Map[String, String] = Map(
+    "q110_kmeans" -> "one-pass nearest-centroid argmax: max(struct(csim, cluster)) per vector — the struct is 2 numerics; alternatives (window/join) cost a full shuffle of the same stream",
+    "q116_contrastive_pairs" -> "hard-positive/negative argmax per anchor: two max(struct) buffers over the candidate stream — same one-pass-argmax class as q110",
+    "q172_semantic_dedup" -> "nearest-centroid argmax per vector ×4 stages (iterative assignment) — q110's class",
+    "q196_cdc_apply" -> "last-writer-wins via max_by(struct(op, price), seq) per key — CDC apply is one pass by construction; the buffer is one op string + a decimal",
+    "q205_pq_encode" -> "per-(vector, subspace) nearest-codeword argmin via min(struct(d2, code)) — q110's class on the PQ grid",
+    "q212_embedding_outliers" -> "nearest-centroid argmax ×2 stages — q110's class",
+    "q213_ivfpq_search" -> "IVF cell argmin + per-subspace codeword argmin — q110's class; probing already cut the stream to the nprobe fraction",
+    "q259_acquisition" -> "nearest-centroid argmax — q110's class",
+    "q319_peak_concurrency" -> "argmax-of-cumsum via max(struct(cum, -t)) over the per-day delta stream — one pass over a calendar-keyed frame",
+    "q37_fingerprint" -> "ONE md5 min per doc where the hex digest IS the output fingerprint (contract with the oracle) — 0.27 s at sf0.1; q32's cliff was 32 such buffers over a 16×-wider stream",
+    "q384_ring_balance" -> "ring successor argmin via min(struct(pos, node)) per key position — one pass over the hash-ring grid",
+    "q38_profile" -> "column profiler: min/max over STRING columns is the operator's semantics (profiling l_linestatus etc.); one pass, no alternative without losing the string stats",
+    "q428_lsh_bucket_forecast" -> "4 minhash STRING mins whose hex values feed downstream md5 band signatures (oracle contract keeps them strings) — 0.36 s at sf0.1, 1/8 of q32's pre-fix buffer width",
+    "q45_ann_ivf" -> "nearest-cell argmax over the probe stream — q110's class",
+    "q63_stream_dedup" -> "first-value dedup semantics per event_id: first(event_type)/first(value) buffers — FIRST is the operator's contract (keep the earliest row), one pass",
+    "q68_argmax" -> "max_by/min_by(priority STRING, packed bigint) per customer — the argmax target is a string by contract; the packed-int ordering key already avoids a struct comparison",
+    "q93_scd2" -> "first(priority) per (customer, island) — SCD2 island collapse takes the first row's attributes by contract, one pass",
+    "q291_data_profile" -> "generic data profiler: min/max over every column INCLUDING strings is the semantics — q38's class")
+
+  test("no catalog query plans a SortAggregate directly over a raw file scan (the q32 buffer cliff)") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.aggregate.{HashAggregateExec, ObjectHashAggregateExec, SortAggregateExec}
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    import org.apache.spark.sql.execution.{FileSourceScanExec, GlobalLimitExec, LocalLimitExec, TakeOrderedAndProjectExec}
+    // walk down from a SortAggregate; an aggregate or limit boundary
+    // bounds the stream (its output is groups/k rows, not the raw data)
+    def rawScanReachable(p: SparkPlan): Boolean = p match {
+      case _: HashAggregateExec | _: ObjectHashAggregateExec | _: SortAggregateExec => false
+      case _: GlobalLimitExec | _: LocalLimitExec | _: TakeOrderedAndProjectExec => false
+      case _: FileSourceScanExec | _: BatchScanExec => true
+      case other => other.children.exists(rawScanReachable)
+    }
+    val violations = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      try {
+        val plan = fn(spark, dir).queryExecution.executedPlan match {
+          case a: AdaptiveSparkPlanExec => a.executedPlan
+          case p => p
+        }
+        plan.collectWithSubqueries {
+          case s: SortAggregateExec if s.children.exists(rawScanReachable) => s
+        }.filter(_ => !sortAggAllow.contains(name))
+          .map(s => s"$name: SortAggregate consumes a raw file scan (var-length buffer demoted the HashAggregate):\n  ${s.simpleString(3)}")
+      } catch {
+        case e: Throwable => Seq(s"$name: failed to build plan: ${e.getMessage}")
+      } finally ops.Checkpoints.releaseAll(spark)
+    }
+    assert(violations.isEmpty, violations.mkString("\n\n"))
+  }
+
+  // --------------------------------------------------------------------------
   // Round-of-double lint (§8.4 portability policy). ROUND(x, n) of a
   // DOUBLE is NOT portable across engines: Spark routes the double
   // through BigDecimal HALF_UP while C-library engines round the scaled
