@@ -31,11 +31,40 @@ object Checkpoints {
   def pinnedIds(df: DataFrame): Set[Int] =
     GraftRddBridge.checkpointRddIds(df).toSet
 
-  /** Unpersist the checkpointed RDDs backing `df` (see SAFETY above). */
+  /** anchor checkpoint-RDD id → feeder checkpoint-RDD ids that must be
+    * freed together with it (see [[link]]). Entries are tiny (int sets)
+    * and are pruned as their anchors are released.
+    */
+  private val linked =
+    scala.collection.concurrent.TrieMap.empty[Int, Set[Int]]
+
+  /** Register feeder checkpoints that are NOT reachable from a result's
+    * plan so a targeted [[release]](result) still frees them. The
+    * pattern: an iterative operator checkpoints an input (edge list,
+    * comparison matrix) that is then consumed only by per-round frames
+    * which are THEMSELVES checkpointed — the flat LogicalRDD rounds hide
+    * the feeder from the returned plan, so without a link only the
+    * harness-wide [[releaseAll]] sweep would ever free it. Operators
+    * whose scaladoc names the release-the-result caller contract
+    * (kcorePeel, lpaCommunities, hits, btFromWins) call this on return;
+    * CheckpointLifecycleSpec asserts release(result) drains them to 0.
+    */
+  def link(anchor: DataFrame, feeders: DataFrame*): Unit = {
+    val extra = feeders.flatMap(pinnedIds).toSet
+    val anchors = pinnedIds(anchor)
+    if (extra.nonEmpty && anchors.nonEmpty)
+      anchors.foreach { id =>
+        linked.updateWith(id)(s => Some(s.getOrElse(Set.empty) ++ extra))
+      }
+  }
+
+  /** Unpersist the checkpointed RDDs backing `df`, plus any feeders
+    * [[link]]ed to them (see SAFETY above). */
   def release(df: DataFrame): Unit = {
     val persistent = df.sparkSession.sparkContext.getPersistentRDDs
-    pinnedIds(df).foreach(id =>
-      persistent.get(id).foreach(_.unpersist(blocking = false)))
+    val direct = pinnedIds(df)
+    val all = direct ++ direct.flatMap(id => linked.remove(id).getOrElse(Set.empty))
+    all.foreach(id => persistent.get(id).foreach(_.unpersist(blocking = false)))
   }
 
   /** Post-action sweep: unpersist EVERY persistent RDD in the session
@@ -43,7 +72,7 @@ object Checkpoints {
   def releaseAllExcept(spark: SparkSession, keep: DataFrame*): Unit = {
     val keepIds = keep.flatMap(pinnedIds).toSet
     spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
-      if (!keepIds(id)) rdd.unpersist(blocking = false)
+      if (!keepIds(id)) { rdd.unpersist(blocking = false); linked.remove(id) }
     }
   }
 

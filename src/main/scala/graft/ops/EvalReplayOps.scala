@@ -721,11 +721,21 @@ object EvalReplayOps {
   // Scale: the comparison build is one orderkey self-join (bounded
   // per-order fan-out) + a broadcast supplier dim; iterations are
   // 25-row grid joins with localCheckpoint lineage truncation.
+  // Checkpoint lifecycle (CALLER contract): wins/m/wtot and each MM
+  // round's raw frame are lazily checkpointed and stay pinned after the
+  // consuming action — after reading the result, call
+  // `Checkpoints.release(result)` or the harness
+  // `Checkpoints.releaseAll(spark)` sweep, or a long-lived session
+  // accumulates pinned blocks per call. Pinned by CheckpointLifecycleSpec.
   def btFromWins(wins: DataFrame, iters: Int): DataFrame = {
     // lazy checkpoints (§8.22): flat LogicalRDD plans with RDD-level
     // stage reuse in ONE final action, instead of an eager job per
     // checkpoint — wins feeds both union sides, m feeds every round
     val wloc = wins.localCheckpoint(false)
+    // checkpointed frames the returned plan will NOT reference (wloc +
+    // superseded MM-round raws) — linked to the result on return so a
+    // caller's release(result) frees them without the harness sweep
+    val feeders = scala.collection.mutable.ListBuffer[DataFrame](wloc)
     val m = wloc.select(col("w").as("i"), col("l").as("j"), col("c"))
       .unionByName(wloc.select(col("l").as("i"), col("w").as("j"), col("c")))
       .groupBy(col("i"), col("j")).agg(sum(col("c")).as("m"))
@@ -756,6 +766,7 @@ object EvalReplayOps {
           """cast((cast(coalesce(wi, 0L) as decimal(38,0)) * 1000000000000)
             | div d as bigint)""".stripMargin).as("raw"))
         .localCheckpoint(false) // flattens the round for next p's dual read
+      feeders += raw
       // renorm scalars (Σ raw, k) via ONE single-partition window over
       // the k-row grid — k ≤ |items| and items is a DIMENSION (nations
       // for q368) at any corpus size, so the single partition is bounded
@@ -768,11 +779,13 @@ object EvalReplayOps {
           | * 1000000L) div (sum(raw) over ()) as bigint)""".stripMargin).as("p"))
     }
     }
-    p.join(wtot, Seq("i"), "left")
+    val result = p.join(wtot, Seq("i"), "left")
       .join(m.groupBy(col("i")).agg(sum(col("m")).as("mi")), Seq("i"))
       .select(col("i").as("item"), coalesce(col("wi"), lit(0L)).as("wins"),
         col("mi").as("comparisons"), col("p").as("strength_ppm"))
       .orderBy(col("item"))
+    Checkpoints.link(result, feeders.toSeq: _*)
+    result
   }
 
   def q368BradleyTerry(spark: SparkSession, dir: String): DataFrame = {

@@ -44,6 +44,14 @@ object GraphMiningOps {
   // The checkpointed RDDs stay MEMORY_AND_DISK-cached until session GC —
   // bounded by rounds × |edges|, same peak as the old persist() chain.
   //
+  // Checkpoint lifecycle (CALLER contract): per-round release is
+  // impossible by design — the returned stats plan references EVERY
+  // round's frame — so after consuming the result a long-lived session
+  // must free the pinned blocks itself: `Checkpoints.release(result)`
+  // (all rounds are reachable from the returned plan), or the
+  // harness-style `Checkpoints.releaseAll(spark)` sweep that Bench and
+  // Verify run between queries. Pinned by CheckpointLifecycleSpec.
+  //
   // Determinism: counts only.
   def kcorePeel(edges: DataFrame, kc: Int, kp: Int, rounds: Int): DataFrame = {
     def stats(e: DataFrame, r: Int): DataFrame =
@@ -563,6 +571,14 @@ object GraphMiningOps {
   // final action with RDD-level stage reuse instead of 2·rounds+1 eager
   // jobs (measured 9.0 s → 4.8 s at sf0.1; the edge-list materialization
   // alone was the round-8 6.5 s → 2.5 s fix, now subsumed).
+  //
+  // Checkpoint lifecycle (CALLER contract): the returned trajectory plan
+  // references every half-round's frame, so per-round release is
+  // impossible by design — after consuming the result, call
+  // `Checkpoints.release(result)` (frees all rounds reachable from the
+  // plan) or the harness `Checkpoints.releaseAll(spark)` sweep, or a
+  // long-lived session accumulates pinned blocks per call. Pinned by
+  // CheckpointLifecycleSpec.
   def lpaCommunities(edges0: DataFrame, rounds: Int): DataFrame = {
     val edges = edges0.localCheckpoint(false)
     def half(msgs: DataFrame, node: String): DataFrame =
@@ -587,7 +603,11 @@ object GraphMiningOps {
       lp = half(edges.join(lc, Seq("ck")), "pk").localCheckpoint(false)
       out = out.union(stats(lc, lp, r))
     }
-    out.orderBy(col("round"))
+    val result = out.orderBy(col("round"))
+    // the edge list feeds only already-checkpointed half-rounds, so it is
+    // invisible to the returned plan — link it so release(result) frees it
+    Checkpoints.link(result, edges)
+    result
   }
 
   def q315LpaCommunities(spark: SparkSession, dir: String): DataFrame = {
@@ -983,6 +1003,13 @@ object GraphMiningOps {
     * counts and re-plan behavior). Same contract as
     * [[graft.ops.StreamingOps.withStatePartitions]]; for concurrent use,
     * plan on `spark.newSession()` (shared catalog, isolated conf).
+    *
+    * Checkpoint lifecycle (CALLER contract): per-iteration frames are
+    * lazily checkpointed and all stay reachable from the returned plan —
+    * after consuming the result, call `Checkpoints.release(result)` or
+    * the harness `Checkpoints.releaseAll(spark)` sweep, or a long-lived
+    * session accumulates pinned blocks per call. Pinned by
+    * CheckpointLifecycleSpec.
     */
   def hits(edges: DataFrame, iters: Int, topK: Int,
       roundPartitions: Int = 4, broadcastScores: Boolean = true): DataFrame = {
@@ -991,6 +1018,10 @@ object GraphMiningOps {
     // session's full shuffle width (they are |edges|-sized, the one
     // genuinely data-sized step here)
     val e = edges.toDF("s", "p").localCheckpoint()
+    // checkpointed frames the returned plan will NOT reference (the edge
+    // list + superseded score rounds) — linked to the result on return so
+    // a caller's release(result) frees them without the harness sweep
+    val feeders = scala.collection.mutable.ListBuffer[DataFrame](e)
     val parts = e.select(col("p")).distinct()
     val np = parts.agg(count(lit(1)).as("k"))
     // AQE re-plans at every materialized exchange — with ~3 stages ×
@@ -1007,6 +1038,7 @@ object GraphMiningOps {
       var auth = parts.crossJoin(broadcast(np))
         .select(col("p"), expr("1000000L div k").as("a"))
         .localCheckpoint(false)
+      feeders += auth
       for (_ <- 1 to iters) {
         if (broadcastScores) {
           // hub is deliberately NOT checkpointed: it is referenced exactly
@@ -1022,23 +1054,28 @@ object GraphMiningOps {
             .groupBy(col("p")).agg(sum(col("h")).as("a0"))
             .select(col("p"), expr("(1000000L * a0) div (sum(a0) over ())").as("a"))
             .localCheckpoint(false)
+          feeders += auth
         } else {
           val hRaw = e.join(auth, Seq("p"))
             .groupBy(col("s")).agg(sum(col("a")).as("h0"))
             .localCheckpoint(false)
+          feeders += hRaw
           val hTot = hRaw.agg(sum(col("h0")).as("ht"))
           val hub = hRaw.crossJoin(broadcast(hTot))
             .select(col("s"), expr("(1000000L * h0) div ht").as("h"))
           val aRaw = e.join(hub, Seq("s"))
             .groupBy(col("p")).agg(sum(col("h")).as("a0"))
             .localCheckpoint(false)
+          feeders += aRaw
           val aTot = aRaw.agg(sum(col("a0")).as("at"))
           auth = aRaw.crossJoin(broadcast(aTot))
             .select(col("p"), expr("(1000000L * a0) div at").as("a"))
         }
       }
-      auth.orderBy(col("a").desc, col("p")).limit(topK)
+      val result = auth.orderBy(col("a").desc, col("p")).limit(topK)
         .select(col("p").as("part"), col("a").as("authority_ppm"))
+      Checkpoints.link(result, feeders.toSeq: _*)
+      result
     }
   }
 

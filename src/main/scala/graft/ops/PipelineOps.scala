@@ -690,7 +690,14 @@ object PipelineOps {
   }
 
   /** edges(src, dst) → top-k (node, rank) after `iters` damped power
-    * iterations on the 1e-12 integer grid. */
+    * iterations on the 1e-12 integer grid.
+    *
+    * Checkpoint lifecycle (CALLER contract): superseded rounds are freed
+    * in-loop (eager checkpoints make that safe); the final round and the
+    * edge list stay pinned after the consuming action — call
+    * `Checkpoints.release(result)` (the edge list is link()ed to the
+    * result) or the harness `Checkpoints.releaseAll(spark)` sweep.
+    * Pinned by CheckpointLifecycleSpec. */
   def pageRank(edgesIn: DataFrame, iters: Int, topK: Int): DataFrame = {
     // the edge list is read by outdeg, the node union, and every
     // iteration's join — materialize its (possibly expensive) lineage once
@@ -711,6 +718,7 @@ object PipelineOps {
       // the iteration count (measured 6.3s → ~1s at sf0.1)
       .localCheckpoint()
     for (_ <- 1 to iters) {
+      val prev = ranks
       val in = ranks.filter(col("deg") > 0)
         .join(edges, col("node") === col("src"))
         .select(col("dst"), expr("q div deg").as("c"))
@@ -725,9 +733,16 @@ object PipelineOps {
           "(15 * 1000000000000) div (100 * nn) + (85 * (coalesce(inq, 0) + dd div nn)) div 100"))
         .select(col("node"), col("deg"), col("nn"), col("q"))
         .localCheckpoint()
+      // the new ranks frame is EAGERLY materialized, so the superseded
+      // round is garbage — free it as the loop advances
+      Checkpoints.release(prev)
     }
-    ranks.orderBy(col("q").desc, col("node")).limit(topK)
+    val result = ranks.orderBy(col("q").desc, col("node")).limit(topK)
       .select(col("node"), Num.pround(col("q").cast("double") / 1e12, 8).as("rank"))
+    // the edge list feeds only already-checkpointed rounds, so it is
+    // invisible to the returned plan — link it so release(result) frees it
+    Checkpoints.link(result, edges)
+    result
   }
 
   val q120Sql: String = {

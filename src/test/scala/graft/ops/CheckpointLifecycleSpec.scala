@@ -50,6 +50,25 @@ class CheckpointLifecycleSpec extends SparkSpec {
     assert(pinned == 0, s"sweep left $pinned persistent RDDs pinned")
   }
 
+  // the caller contract documented on kcorePeel/lpaCommunities/hits/
+  // btFromWins/pageRank: every checkpoint a call pins is either
+  // reachable from the returned plan or [[Checkpoints.link]]ed to it,
+  // so a non-harness session (which has no releaseAll sweep between
+  // queries) frees everything with one targeted release of the frame
+  // it consumed
+  for (q <- Seq("q315_lpa_communities", "q300_kcore_peel", "q350_hits",
+      "q368_bradley_terry", "q120_pagerank")) {
+    test(s"library consumers: release(result) alone drains $q — no global sweep") {
+      Checkpoints.releaseAll(spark)
+      val df = graft.SparkEntry.queries(q)(spark, "/root/testdata/sf0.001")
+      assert(df.count() > 0)
+      assert(pinned > 0, s"expected $q's loop to have checkpointed frames")
+      Checkpoints.release(df)
+      assert(pinned == 0,
+        s"release(result) left $pinned persistent RDDs — a frame $q pinned is neither reachable from nor linked to the returned plan")
+    }
+  }
+
   test("releaseAllExcept keeps a frame the caller still needs") {
     Checkpoints.releaseAll(spark)
     val kept = (1 to 100).toDF("x").localCheckpoint(true)
