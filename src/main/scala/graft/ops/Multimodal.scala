@@ -126,6 +126,11 @@ object Multimodal {
   def mediaTable(spark: SparkSession, dir: String): Dataset[MediaRow] = {
     import spark.implicits._
     Tables.documents(spark, dir)
+      // null-KEY contract: doc_id is a primitive Long at the typed
+      // boundary — a media blob with no id is undeliverable, so such
+      // rows drop here, mirrored in every consumer's oracle
+      // (WHERE doc_id IS NOT NULL)
+      .filter(col("doc_id").isNotNull)
       .select(col("doc_id"), col("n_chars"), col("text"))
       .as[(Long, Long, String)]
       .map { case (id, nChars, text) =>
@@ -209,7 +214,8 @@ object Multimodal {
       |  CAST(n_chars % 64 + 1 AS INT) AS width,
       |  CAST(n_chars % 48 + 1 AS INT) AS height,
       |  CAST((n_chars % 64 + 1) * (n_chars % 48 + 1) AS INT) AS n_px
-      |FROM documents ORDER BY doc_id""".stripMargin
+      |FROM documents WHERE doc_id IS NOT NULL
+      |ORDER BY doc_id""".stripMargin
 
   /** Frame-sampling query. Decoded pixels are text bytes cycled to w×h, so
     * the kept-frame indices and sizes are pure arithmetic over n_chars —
@@ -225,7 +231,7 @@ object Multimodal {
     """WITH d AS (
       |  SELECT doc_id,
       |    CAST((n_chars % 64 + 1) * (n_chars % 48 + 1) AS BIGINT) AS len
-      |  FROM documents),
+      |  FROM documents WHERE doc_id IS NOT NULL),
       |f AS (
       |  SELECT doc_id, len, unnest(range((len + 31) // 32)) AS idx
       |  FROM d WHERE len > 0)
@@ -296,7 +302,7 @@ object Multimodal {
       |  SELECT doc_id, hex(encode(text)) AS hx,
       |    octet_length(encode(text)) AS plen,
       |    CAST((n_chars % 64 + 1) * (n_chars % 48 + 1) AS BIGINT) AS npx
-      |  FROM documents),
+      |  FROM documents WHERE doc_id IS NOT NULL),
       |px AS (
       |  SELECT doc_id, i,
       |    CASE WHEN plen = 0 THEN 0
@@ -368,6 +374,8 @@ object Multimodal {
   def audioTable(spark: SparkSession, dir: String): Dataset[AudioRow] = {
     import spark.implicits._
     Tables.documents(spark, dir)
+      // null-KEY contract: see mediaTable
+      .filter(col("doc_id").isNotNull)
       .select(col("doc_id"), col("n_chars"), col("text"))
       .as[(Long, Long, String)]
       .map { case (id, nChars, text) =>
@@ -405,7 +413,7 @@ object Multimodal {
       |  SELECT doc_id, hex(encode(text)) AS hx,
       |    octet_length(encode(text)) AS plen,
       |    CAST(n_chars % 2000 + 100 AS BIGINT) AS ns
-      |  FROM documents),
+      |  FROM documents WHERE doc_id IS NOT NULL),
       |sm AS (
       |  SELECT doc_id, i,
       |    CASE WHEN plen = 0 THEN 0
@@ -451,7 +459,7 @@ object Multimodal {
       |  SELECT doc_id, hex(encode(text)) AS hx,
       |    octet_length(encode(text)) AS plen,
       |    CAST(n_chars % 2000 + 100 AS BIGINT) AS ns
-      |  FROM documents),
+      |  FROM documents WHERE doc_id IS NOT NULL),
       |sm AS (
       |  SELECT doc_id, i,
       |    CASE WHEN plen = 0 THEN 0
@@ -514,7 +522,7 @@ object Multimodal {
       |  SELECT doc_id, hex(encode(text)) AS hx,
       |    octet_length(encode(text)) AS plen,
       |    CAST(n_chars % 2000 + 100 AS BIGINT) AS ns
-      |  FROM documents),
+      |  FROM documents WHERE doc_id IS NOT NULL),
       |sm AS (
       |  SELECT doc_id, i,
       |    CASE WHEN plen = 0 THEN 0
@@ -553,6 +561,8 @@ object Multimodal {
   def q256SceneCuts(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val frames = Tables.documents(spark, dir)
+      // null-KEY contract: see mediaTable
+      .filter(col("doc_id").isNotNull)
       .select(col("doc_id"), col("text"), col("n_chars"))
       .as[(Long, String, Long)]
       .mapPartitions { rows =>
@@ -596,7 +606,7 @@ object Multimodal {
       |  SELECT doc_id, hex(encode(text)) AS hx,
       |    octet_length(encode(text)) AS plen,
       |    CAST(n_chars % 2000 + 100 AS BIGINT) AS ns
-      |  FROM documents),
+      |  FROM documents WHERE doc_id IS NOT NULL),
       |fr AS (
       |  SELECT doc_id, hx, plen, unnest(range((ns - 9) // 8 + 1)) AS f
       |  FROM d WHERE ns >= 9),

@@ -323,6 +323,10 @@ object RelationalExt {
   def q48TypedDataset(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.lineitem(spark, dir)
+      // null-KEY contract: l_orderkey is a primitive Long in
+      // LineitemSlim — keyless rows drop at the typed boundary,
+      // mirrored in the oracle (WHERE l_orderkey IS NOT NULL)
+      .filter(col("l_orderkey").isNotNull)
       .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"), col("l_returnflag"))
       .as[LineitemSlim]
       .filter(r => r.l_quantity > 25.0 && r.l_returnflag != "N")
@@ -338,7 +342,8 @@ object RelationalExt {
     """SELECT l_returnflag,
       |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
       |  COUNT(*) AS n
-      |FROM lineitem WHERE l_quantity > 25.0 AND l_returnflag <> 'N'
+      |FROM lineitem WHERE l_orderkey IS NOT NULL
+      |  AND l_quantity > 25.0 AND l_returnflag <> 'N'
       |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
   // --------------------------------------------------------------------------

@@ -2347,8 +2347,14 @@ object RelationalMore {
   // its own partition), which the shared q07 oracle verifies by hash.
   def q275PartialTopk(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // null-KEY contract: this entry shares q07's oracle, and SQL window
+    // semantics give a NULL key its own partition — so null-key rows
+    // must SURVIVE the primitive-Long typed boundary. Sentinel-encode
+    // null as Long.MinValue across the combiner (custkeys are positive)
+    // and decode after; the group stays intact and ranks like any other.
     val pruned = Tables.orders(spark, dir)
-      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      .select(coalesce(col("o_custkey"), lit(Long.MinValue)).as("o_custkey"),
+        col("o_orderkey"), col("o_totalprice"))
       .as[(Long, Long, Double)]
       .mapPartitions { it =>
         // dequeues the WORST row under (price desc, key asc) ranking
@@ -2366,6 +2372,8 @@ object RelationalMore {
           q.iterator.map { case (p, o) => (c, o, p) }
         }
       }.toDF("o_custkey", "o_orderkey", "o_totalprice")
+      .withColumn("o_custkey", when(col("o_custkey") === Long.MinValue, lit(null))
+        .otherwise(col("o_custkey")))
     pruned
       .withColumn("rn", row_number().over(Window.partitionBy(col("o_custkey"))
         .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)))

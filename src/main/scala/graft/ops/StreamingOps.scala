@@ -451,14 +451,15 @@ object StreamingOps {
     val schema = spark.read.parquet(src).schema
     spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", filesPerTrigger).parquet(src)
-      // rows with a NULL value drop at the typed boundary
-      // (EventRow.value is a primitive; a null would kill the stream
-      // with NOT_NULL_ASSERT_VIOLATION — at scale, unparsed payloads
-      // are routine rows, not reasons to fail a stateful pipeline).
-      // Only `value` — event_type is a String and nullable end-to-end;
-      // the drop is mirrored in the oracle (WHERE value IS NOT NULL)
-      // so Spark and DuckDB count the same rows.
-      .na.drop(Seq("value"))
+      // rows with a NULL value or NULL user_id drop at the typed
+      // boundary (both are primitives in EventRow; a null would kill
+      // the stream with NOT_NULL_ASSERT_VIOLATION — at scale, unparsed
+      // payloads and keyless events are routine rows, not reasons to
+      // fail a stateful pipeline; a keyless event also has no state
+      // cell to land in). event_type stays nullable end-to-end. The
+      // drop is mirrored in the oracle (WHERE value IS NOT NULL AND
+      // user_id IS NOT NULL) so Spark and DuckDB count the same rows.
+      .na.drop(Seq("value", "user_id"))
       .as[EventRow]
       .groupByKey(_.user_id)
       .transformWithState(new UserTotalsProcessor,
@@ -494,7 +495,7 @@ object StreamingOps {
   val q184Sql: String =
     """SELECT user_id, COUNT(*) AS n,
       |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
-      |FROM events WHERE value IS NOT NULL
+      |FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL
       |GROUP BY user_id ORDER BY user_id""".stripMargin
 
   /** q188 — dropDuplicatesWithinWatermark END-TO-END (the Spark 3.5+
@@ -683,14 +684,15 @@ object StreamingOps {
     spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", filesPerTrigger).parquet(src)
       .withWatermark("ts", "10 minutes")
-      // rows with a NULL value drop at the typed boundary
-      // (EventRow.value is a primitive; a null would kill the stream
-      // with NOT_NULL_ASSERT_VIOLATION — at scale, unparsed payloads
-      // are routine rows, not reasons to fail a stateful pipeline).
-      // Only `value` — event_type is a String and nullable end-to-end;
-      // the drop is mirrored in the oracle (WHERE value IS NOT NULL)
-      // so Spark and DuckDB count the same rows.
-      .na.drop(Seq("value"))
+      // rows with a NULL value or NULL user_id drop at the typed
+      // boundary (both are primitives in EventRow; a null would kill
+      // the stream with NOT_NULL_ASSERT_VIOLATION — at scale, unparsed
+      // payloads and keyless events are routine rows, not reasons to
+      // fail a stateful pipeline; a keyless event also has no state
+      // cell to land in). event_type stays nullable end-to-end. The
+      // drop is mirrored in the oracle (WHERE value IS NOT NULL AND
+      // user_id IS NOT NULL) so Spark and DuckDB count the same rows.
+      .na.drop(Seq("value", "user_id"))
       .as[EventRow]
       .groupByKey(_.user_id)
       .transformWithState(new SessionTimerProcessor(1800L * 1000000L),
@@ -737,7 +739,8 @@ object StreamingOps {
     """WITH c AS (
       |  SELECT user_id, epoch_us(ts) AS us,
       |    CAST(ROUND(value * 100) AS BIGINT) AS cents
-      |  FROM events WHERE value IS NOT NULL),
+      |  FROM events
+      |    WHERE value IS NOT NULL AND user_id IS NOT NULL),
       |f AS (
       |  SELECT user_id, us, cents,
       |    CASE WHEN us - LAG(us) OVER w > 1800000000
@@ -753,7 +756,8 @@ object StreamingOps {
       |    CAST(SUM(cents) AS BIGINT) AS cents
       |  FROM isl GROUP BY user_id, sid),
       |wm AS (SELECT MAX(epoch_us(ts)) - 600000000 AS w
-      |  FROM events WHERE value IS NOT NULL),
+      |  FROM events
+      |    WHERE value IS NOT NULL AND user_id IS NOT NULL),
       |emitted AS (
       |  SELECT s.* FROM sess s CROSS JOIN wm
       |  WHERE s.sid < (SELECT MAX(sid) FROM sess x WHERE x.user_id = s.user_id)
@@ -959,14 +963,15 @@ object StreamingOps {
     val schema = spark.read.parquet(src).schema
     spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", filesPerTrigger).parquet(src)
-      // rows with a NULL value drop at the typed boundary
-      // (EventRow.value is a primitive; a null would kill the stream
-      // with NOT_NULL_ASSERT_VIOLATION — at scale, unparsed payloads
-      // are routine rows, not reasons to fail a stateful pipeline).
-      // Only `value` — event_type is a String and nullable end-to-end;
-      // the drop is mirrored in the oracle (WHERE value IS NOT NULL)
-      // so Spark and DuckDB count the same rows.
-      .na.drop(Seq("value"))
+      // rows with a NULL value or NULL user_id drop at the typed
+      // boundary (both are primitives in EventRow; a null would kill
+      // the stream with NOT_NULL_ASSERT_VIOLATION — at scale, unparsed
+      // payloads and keyless events are routine rows, not reasons to
+      // fail a stateful pipeline; a keyless event also has no state
+      // cell to land in). event_type stays nullable end-to-end. The
+      // drop is mirrored in the oracle (WHERE value IS NOT NULL AND
+      // user_id IS NOT NULL) so Spark and DuckDB count the same rows.
+      .na.drop(Seq("value", "user_id"))
       .as[EventRow]
       .groupByKey(_.user_id)
       .transformWithState(new TopValuesProcessor,
@@ -1000,7 +1005,8 @@ object StreamingOps {
     """WITH d AS (
       |  SELECT DISTINCT user_id,
       |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
-      |  FROM events WHERE value IS NOT NULL),
+      |  FROM events
+      |    WHERE value IS NOT NULL AND user_id IS NOT NULL),
       |l AS (
       |  SELECT user_id, list_sort(list(cents), 'DESC') AS ls FROM d GROUP BY 1)
       |SELECT user_id, ls[1] AS top1, ls[2] AS top2, ls[3] AS top3

@@ -369,6 +369,173 @@ object TextOps {
     edges.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
   }
 
+  /** (doc_id, band, band_sig) — q32's 16-band signature rows for a
+    * document frame, factored for the incremental index family (q447):
+    * the same 32-slice md5 minhash signatures, banded 16 × r=2. No
+    * checkpoints here — callers decide materialization. */
+  private[graft] def bandedSignatures(docs: DataFrame): DataFrame = {
+    val width = docs.sparkSession.sparkContext.defaultParallelism
+    val sig = minhashSignatures(
+      shingleArrays(docs.repartition(width, col("doc_id"))))
+    val bandCols = array(Seq.tabulate(16)(b =>
+      md5(concat(col(s"m${2 * b}").cast("string"), lit(":"),
+        col(s"m${2 * b + 1}").cast("string")))): _*)
+    sig.select(col("doc_id"), posexplode(bandCols))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_sig")
+  }
+
+  // --------------------------------------------------------------------------
+  // q447 — INCREMENTAL BANDED-INDEX INGEST: the maintenance shape a
+  // GROWING 100 TB corpus actually needs — q32's (band, band_sig,
+  // doc_id) signature index PERSISTED as a table, and each ingest batch
+  // deduped against the INDEX, not the corpus:
+  //   1. candidate generation = batch signatures ⋈ persisted index on
+  //      (band, band_sig) — O(batch × collisions), never O(corpus);
+  //   2. exact-Jaccard verification on candidate docs ONLY (shingles
+  //      recomputed for the candidate id set, not the corpus);
+  //   3. index UPSERT with q67's mergeByKey semantics on doc_id — so
+  //      re-ingesting a batch is IDEMPOTENT (IncrementalIndexSpec).
+  // Readout: per-batch incoming / near-dup / novel counts + the index
+  // doc-count growth curve. Batch assignment is a deterministic md5
+  // split (batch 0 seeds the index; 1..3 ingest in order).
+  //
+  // Oracle: DuckDB replays the identical signature family end-to-end;
+  // "index state before batch b" = seed ∪ batches < b (deterministic
+  // batches), so the sequential loop flattens into one query.
+  //
+  // Scale: per-batch cost is the batch's signature build + a key join
+  // against the index + candidate-only verification — O(batch) with
+  // corpus-independent constants (IndexProbe's batch-count decades).
+  def q447IncrementalBandIndex(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).withColumn("batch",
+      expr("cast(conv(substring(md5(concat('batch:', cast(doc_id as string))), 1, 4), 16, 10) as bigint) % 4"))
+    val idxRoot = java.nio.file.Files.createTempDirectory("graft_bandidx").toString
+    var idxPath = s"$idxRoot/seed"
+    bandedSignatures(docs.filter(col("batch") === 0)).write.parquet(idxPath)
+    val out = (1 to 3).map { b =>
+      val batchDocs = docs.filter(col("batch") === b)
+      val r = ingestBatch(spark, idxPath, s"$idxRoot/after_$b", batchDocs, docs)
+      idxPath = s"$idxRoot/after_$b"
+      (b.toLong, r.incoming, r.nearDup, r.incoming - r.nearDup, r.indexDocs)
+    }
+    import spark.implicits._
+    out.toDF("batch", "incoming", "near_dup", "novel", "index_docs")
+      .orderBy(col("batch"))
+  }
+
+  private[graft] case class IngestResult(incoming: Long, nearDup: Long, indexDocs: Long)
+
+  /** One incremental-ingest step: dedup `batchDocs` against the persisted
+    * index at `idxIn`, write the upserted index to `idxOut`.
+    * `allDocs` supplies text for the exact-Jaccard verification — only
+    * candidate ids are ever shingled from it. */
+  private[graft] def ingestBatch(spark: SparkSession, idxIn: String, idxOut: String,
+      batchDocs: DataFrame, allDocs: DataFrame): IngestResult = {
+    val idx = spark.read.parquet(idxIn)
+    // batch signatures feed the candidate join AND the upsert — one build
+    val bsig = bandedSignatures(batchDocs).localCheckpoint(true)
+    // candidates: batch × index band collisions (self excluded: on
+    // re-ingest the batch's own rows are already in the index)
+    val cand = bsig.join(idx.select(col("band"), col("band_sig"),
+        col("doc_id").as("id_ex")), Seq("band", "band_sig"))
+      .filter(col("doc_id") =!= col("id_ex"))
+      .select(col("doc_id"), col("id_ex")).dropDuplicates("doc_id", "id_ex")
+      .localCheckpoint(true)
+    // exact-Jaccard verification over CANDIDATE docs only: semi-join the
+    // raw docs to the candidate id set before shingling, so the verify
+    // grind is O(candidates) at any corpus size
+    val needIds = cand.select(col("doc_id").as("vid"))
+      .union(cand.select(col("id_ex").as("vid"))).distinct()
+    val vsh = shingleArrays(
+        allDocs.join(needIds, col("doc_id") === col("vid"), "left_semi"))
+      .localCheckpoint(true)
+    val pairs = broadcast(cand)
+      .join(vsh.select(col("doc_id"), col("sh").as("sh_a")), "doc_id")
+      .join(vsh.select(col("doc_id").as("id_ex"), col("sh").as("sh_b")), "id_ex")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .filter(col("inter").cast("double") /
+        (size(col("sh_a")) + size(col("sh_b")) - col("inter")) >= 0.5)
+    val nearDup = pairs.select(col("doc_id")).distinct().count()
+    val incoming = batchDocs.count()
+    // UPSERT (q67 mergeByKey on doc_id): drop any existing rows for the
+    // batch's docs, union the fresh signatures — idempotent re-ingest
+    val merged = idx
+      .join(bsig.select(col("doc_id")).distinct(), Seq("doc_id"), "left_anti")
+      .unionByName(bsig.select(col("doc_id"), col("band"), col("band_sig")))
+    merged.write.parquet(idxOut)
+    val indexDocs = spark.read.parquet(idxOut)
+      .select(col("doc_id")).distinct().count()
+    Checkpoints.release(bsig); Checkpoints.release(cand); Checkpoints.release(vsh)
+    IngestResult(incoming, nearDup, indexDocs)
+  }
+
+  val q447Sql: String = {
+    val pivot = (0 until 32)
+      .map(i => s"MIN(('0x' || substring(h, ${8 * i + 1}, 8))::BIGINT) AS m$i")
+      .mkString(",\n       |    ")
+    val bands = (0 until 16).map { b =>
+      val e = s"md5(m${2 * b}::VARCHAR || ':' || m${2 * b + 1}::VARCHAR)"
+      if (b == 0) s"SELECT doc_id, 0 AS band, $e AS bsig FROM sig"
+      else s"SELECT doc_id, $b, $e FROM sig"
+    }.mkString("\n       |  UNION ALL ")
+    s"""WITH d AS (
+       |  SELECT doc_id, text,
+       |    ('0x' || substr(md5('batch:' || doc_id::VARCHAR), 1, 4))::BIGINT % 4
+       |      AS batch
+       |  FROM documents),
+       |sh AS (
+       |  SELECT DISTINCT doc_id, s FROM (
+       |    SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+       |    FROM (SELECT doc_id, $toksSqlD AS t FROM d),
+       |         UNNEST(generate_series(1, len(t) - 2)) AS u(i))),
+       |hs AS (
+       |  SELECT doc_id,
+       |    ${(0 until 8).map(k => s"md5(s || '#$k')").mkString(" || ")} AS h
+       |  FROM sh),
+       |sig AS (
+       |  SELECT doc_id,
+       |    $pivot
+       |  FROM hs GROUP BY doc_id),
+       |banded AS (
+       |  $bands),
+       |cand AS (
+       |  SELECT DISTINCT da.batch, a.doc_id, b.doc_id AS id_ex
+       |  FROM banded a JOIN d da ON da.doc_id = a.doc_id
+       |  JOIN banded b ON a.band = b.band AND a.bsig = b.bsig
+       |    AND a.doc_id <> b.doc_id
+       |  JOIN d db ON db.doc_id = b.doc_id
+       |  WHERE da.batch >= 1 AND db.batch < da.batch),
+       |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+       |nears AS (
+       |  SELECT DISTINCT c.batch, c.doc_id FROM (
+       |    SELECT c.batch, c.doc_id, c.id_ex, COUNT(*) AS inter
+       |    FROM cand c
+       |    JOIN sh x ON x.doc_id = c.doc_id
+       |    JOIN sh y ON y.doc_id = c.id_ex AND y.s = x.s
+       |    GROUP BY 1, 2, 3) c
+       |  JOIN sizes sa ON sa.doc_id = c.doc_id
+       |  JOIN sizes sb ON sb.doc_id = c.id_ex
+       |  WHERE CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) >= 0.5),
+       |per AS (
+       |  SELECT batch, COUNT(*) AS incoming FROM d WHERE batch >= 1
+       |  GROUP BY batch),
+       |nd AS (SELECT batch, COUNT(*) AS near_dup FROM nears GROUP BY batch),
+       |ix AS (
+       |  SELECT p.batch, COUNT(DISTINCT s.doc_id) AS index_docs
+       |  FROM (SELECT DISTINCT batch FROM d WHERE batch >= 1) p
+       |  JOIN d dd ON dd.batch <= p.batch
+       |  JOIN sh s ON s.doc_id = dd.doc_id
+       |  GROUP BY p.batch)
+       |SELECT p.batch, p.incoming,
+       |  CAST(COALESCE(nd.near_dup, 0) AS BIGINT) AS near_dup,
+       |  CAST(p.incoming - COALESCE(nd.near_dup, 0) AS BIGINT) AS novel,
+       |  ix.index_docs
+       |FROM per p
+       |LEFT JOIN nd ON nd.batch = p.batch
+       |JOIN ix ON ix.batch = p.batch
+       |ORDER BY p.batch""".stripMargin
+  }
+
   /** q32's FULL independent replay (round 12): DuckDB rebuilds the same
     * 32 md5 minhashes, the same 16 band signatures, the same banded
     * candidate join, and the same exact-Jaccard verification — so the
@@ -2337,6 +2504,7 @@ object TextOps {
     ("q412_cluster_census", q412ClusterCensus _, Some(q412Sql)),
     ("q414_threshold_sensitivity", q414ThresholdSensitivity _, Some(q414Sql)),
     ("q415_incremental_dedup", q415IncrementalDedup _, Some(q415Sql)),
+    ("q447_incremental_band_index", q447IncrementalBandIndex _, Some(q447Sql)),
     ("q30_exact_dedup", q30ExactDedup _, Some(q30Sql)),
     ("q273_lsh_planner", q273LshPlanner _, Some(q273Sql)),
     ("q218_unicode_normalize", q218UnicodeNormalize _, Some(q218Sql)),
