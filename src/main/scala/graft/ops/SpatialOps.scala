@@ -303,8 +303,103 @@ object SpatialOps {
        |ORDER BY p.pk""".stripMargin
   }
 
+  // --------------------------------------------------------------------------
+  // q448 — EMBEDDING ε-SELF-JOIN via the 2D-projection grid (round-13
+  // spatial-family depth): project each 64-dim embedding onto two fixed
+  // md5-derived hyperplanes (portable weights — both engines rebuild the
+  // identical doubles), then find all pairs within ε in the projected
+  // plane with q255's grid pattern — ε-sized cells, HALF-neighborhood
+  // probe (self cell with qk < pk + 4 forward offsets → each unordered
+  // pair found exactly once), never all-pairs — and verify the survivors
+  // with the exact full-vector cosine, fetched for CANDIDATE ids only
+  // (q32's slim-broadcast discipline: pair keys broadcast, vectors never
+  // broadcast and never shuffled).
+  //
+  // This is the density-join complement to the ANN family: q42/q45
+  // answer "top-k for a query set"; this answers "ALL close pairs" — the
+  // shape embedding-dedup sweeps and collision audits need. Scale: the
+  // grid join is local-density × points; the cosine verify is
+  // O(surviving pairs); projections are one row-local pass.
+  // Oracle: all-pairs d2 + cosine replay (oracle scale only), fold order
+  // matching q40's list_reduce parity.
+  def q448EmbeddingEpsJoin(spark: SparkSession, dir: String): DataFrame = {
+    val eps = 0.05
+    val inv = 1.0 / eps
+    def wArr(tag: String): String =
+      s"transform(sequence(0, 63), i -> cast(conv(substring(md5(concat('$tag:', cast(i as string))), 1, 8), 16, 10) as double) / 2147483648.0d - 1.0d)"
+    // x/y fold in ascending index order from 0.0 — the same summation
+    // order DuckDB's list_reduce uses, so the doubles agree bit-for-bit
+    val base = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), expr("transform(embedding, t -> cast(t as double))").as("v"))
+      .withColumn("x", expr(
+        s"aggregate(zip_with(v, ${wArr("wx")}, (a, b) -> a * b), 0.0d, (acc, t) -> acc + t)"))
+      .withColumn("y", expr(
+        s"aggregate(zip_with(v, ${wArr("wy")}, (a, b) -> a * b), 0.0d, (acc, t) -> acc + t)"))
+      .withColumn("n2", expr("aggregate(v, 0.0d, (acc, t) -> acc + t * t)"))
+      .localCheckpoint(false) // feeds the slim grid AND the cosine verify
+    // the grid joins SLIM rows only — vectors stay out of the shuffle
+    val cells = base.select(col("vec_id"), col("x"), col("y"))
+      .withColumn("cx", floor(col("x") * inv).cast("long"))
+      .withColumn("cy", floor(col("y") * inv).cast("long"))
+      .localCheckpoint(false) // feeds the probe explode AND the build side
+    val exploded = cells
+      .withColumn("off", explode(array(
+        Seq((0, 0), (1, 0), (0, 1), (1, 1), (1, -1)).map { case (dx, dy) =>
+          struct(lit(dx).as("dx"), lit(dy).as("dy")) }: _*)))
+      .select(col("vec_id").as("qk"), col("x").as("qx"), col("y").as("qy"),
+        (col("cx") + col("off.dx")).as("cx"), (col("cy") + col("off.dy")).as("cy"),
+        (col("off.dx") === 0 && col("off.dy") === 0).as("same_cell"))
+    val d2 = (col("qx") - col("x")) * (col("qx") - col("x")) +
+      (col("qy") - col("y")) * (col("qy") - col("y"))
+    val cand = exploded.join(cells, Seq("cx", "cy"))
+      .filter(when(col("same_cell"), col("qk") < col("vec_id")).otherwise(lit(true)))
+      .withColumn("d2", d2)
+      .filter(col("d2") <= lit(eps * eps))
+      .select(least(col("qk"), col("vec_id")).as("id_a"),
+        greatest(col("qk"), col("vec_id")).as("id_b"), col("d2"))
+      .localCheckpoint(false) // feeds both sides of the vector fetch
+    // cosine verify for candidates only — q32's rule: broadcast the slim
+    // pair keys, never an array-carrying frame
+    val withA = broadcast(cand)
+      .join(base.select(col("vec_id").as("id_a"), col("v").as("va"), col("n2").as("na")), "id_a")
+    val pairs = withA.hint("shuffle_hash")
+      .join(base.select(col("vec_id").as("id_b"), col("v").as("vb"), col("n2").as("nb")), "id_b")
+    pairs
+      .withColumn("dot", expr(
+        "aggregate(zip_with(va, vb, (a, b) -> a * b), 0.0d, (acc, t) -> acc + t)"))
+      .select(col("id_a"), col("id_b"),
+        Num.pround(col("d2"), 8).as("d2_proj"),
+        Num.pround(col("dot") / sqrt(col("na") * col("nb")), 4).as("cos_sim"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  val q448Sql: String = {
+    def w(tag: String) =
+      s"((('0x' || substr(md5('$tag:' || (i-1)::VARCHAR), 1, 8))::BIGINT / 2147483648.0) - 1.0)"
+    s"""WITH base AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v,
+       |    list_reduce(list_transform(embedding::DOUBLE[], t -> t * t), (a, b) -> a + b) AS n2
+       |  FROM embeddings),
+       |proj AS (
+       |  SELECT vec_id, v, n2,
+       |    list_reduce(list_transform(range(1, 65), i -> v[i] * ${w("wx")}),
+       |      (a, b) -> a + b) AS x,
+       |    list_reduce(list_transform(range(1, 65), i -> v[i] * ${w("wy")}),
+       |      (a, b) -> a + b) AS y
+       |  FROM base)
+       |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |  FLOOR(((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)) * 1e8 + 0.5)
+       |    / 1e8 AS d2_proj,
+       |  FLOOR((list_reduce(list_transform(range(1, 65), i -> a.v[i] * b.v[i]),
+       |      (x, y) -> x + y) / sqrt(a.n2 * b.n2)) * 1e4 + 0.5) / 1e4 AS cos_sim
+       |FROM proj a JOIN proj b ON a.vec_id < b.vec_id
+       |  AND (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= 0.0025
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q247_geohash", q247Geohash _, Some(q247Sql)),
     ("q255_dbscan", q255Dbscan _, Some(q255Sql)),
-    ("q225_grid_eps_join", q225GridEpsJoin _, Some(q225Sql)))
+    ("q225_grid_eps_join", q225GridEpsJoin _, Some(q225Sql)),
+    ("q448_embedding_eps_join", q448EmbeddingEpsJoin _, Some(q448Sql)))
 }
