@@ -379,6 +379,75 @@ class PlanLintSpec extends SparkSpec {
   }
 
   // --------------------------------------------------------------------------
+  // Forced-array-broadcast lint (round-13 promotion of the q32 advice
+  // item to a catalog-wide rule): an EXPLICIT broadcast() hint on a
+  // frame that carries ARRAY columns (shingle sets, embeddings) AND is
+  // fed by a raw-table stream pins the build side regardless of runtime
+  // size — the frame that OOMs the driver exactly when an upstream
+  // pruning assumption degrades. A PLANNER-chosen broadcast is exempt:
+  // it adapts to statistics and simply stops broadcasting at scale.
+  // Healthy hinted plans broadcast slim keys (q32/q447/q448's pair-key
+  // discipline) or frames k-bounded by construction — the latter are
+  // allowlisted by name with the bound written down.
+
+  /** name → the construction bound that keeps a hinted array broadcast
+    * k-sized at any corpus size.
+    */
+  private val arrayBroadcastAllow: Map[String, String] = Map(
+    "q40_cosine_topk" -> "query side = vec_id < 5 (fixed 5-vector query set) — broadcasting the query set IS the brute-force-baseline design",
+    "q44_cosine_topk_native" -> "q40's query set (vec_id < 5) through the native expression path",
+    "q42_ann_lsh" -> "query side = vec_id < 5 exploded onto its multi-probe buckets — ≤ 5 × probes rows",
+    "q45_ann_ivf" -> "query side = vec_id < 5 with their nprobe cell probes",
+    "q104_cosine_neardup_lsh" -> "bucketed candidate key frame + the fixed (bands × planes) hyperplane matrix — both bounded by the LSH config, not the corpus",
+    "q116_contrastive_pairs" -> "anchor side = vec_id < 8 fixed anchor set",
+    "q172_semantic_dedup" -> "centroid frame = k seed/updated centroids (k fixed by the operator config)",
+    "q212_embedding_outliers" -> "centroid frame = k centroids",
+    "q213_ivfpq_search" -> "IVF cell centroids + PQ codebooks — (ncells + subspaces × 256) rows by config",
+    "q229_matryoshka_eval" -> "query side = vec_id < 5 at each prefix width",
+    "q248_silhouette" -> "per-label centroid frame — |labels|-bounded",
+    "q251_ndcg" -> "query side = vec_id < 5",
+    "q259_acquisition" -> "centroid frame = k centroids",
+    "q280_int8_quant" -> "query vector + quantization bounds frames — 1-row/k-row by construction",
+    "q318_mrr_eval" -> "query side = vec_id < 5",
+    "q443_maxsim_retrieval" -> "query side = 4 fixed multi-vector queries (doc_id < 4), each a bounded token matrix",
+    "q444_ann_maxsim_rerank" -> "q443's fixed query side through the two-stage path")
+
+  test("no catalog query FORCE-broadcasts an array-carrying raw-table stream (the q32 advice class)") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, GlobalLimit, LocalLimit, LogicalPlan}
+    import org.apache.spark.sql.types.ArrayType
+    def rawScanReachable(p: LogicalPlan): Boolean = p match {
+      case _: Aggregate | _: GlobalLimit | _: LocalLimit => false
+      case l if l.children.isEmpty =>
+        // file relations only — checkpointed LogicalRDDs are operator
+        // intermediates whose bounds the producing operator owns
+        l.getClass.getSimpleName.contains("Relation")
+      case other => other.children.exists(rawScanReachable)
+    }
+    val violations = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      try {
+        val plan = fn(spark, dir).queryExecution.optimizedPlan
+        plan.collect {
+          case j: Join =>
+            val sides = Seq(
+              (j.hint.leftHint, j.left), (j.hint.rightHint, j.right))
+            sides.collect {
+              case (Some(h), side)
+                if h.strategy.exists(_.toString.contains("broadcast")) &&
+                  side.output.exists(_.dataType.isInstanceOf[ArrayType]) &&
+                  rawScanReachable(side) => side
+            }
+        }.flatten
+          .filter(_ => !arrayBroadcastAllow.contains(name))
+          .map(s => s"$name: broadcast HINT on an array-carrying raw-table stream " +
+            s"(${s.output.filter(_.dataType.isInstanceOf[ArrayType]).map(_.name).mkString(",")}):\n  ${s.simpleString(3)}")
+      } catch {
+        case e: Throwable => Seq(s"$name: failed to build plan: ${e.getMessage}")
+      } finally ops.Checkpoints.releaseAll(spark)
+    }
+    assert(violations.isEmpty, violations.mkString("\n\n"))
+  }
+
+  // --------------------------------------------------------------------------
   // Round-of-double lint (§8.4 portability policy). ROUND(x, n) of a
   // DOUBLE is NOT portable across engines: Spark routes the double
   // through BigDecimal HALF_UP while C-library engines round the scaled
