@@ -1175,18 +1175,19 @@ object TextOps {
   def connectedComponents(edges: DataFrame, maxPropagationRounds: Int = 5,
       loopPartitions: Option[Int] = None): DataFrame = {
     val e = edges.toDF("a", "b")
-    // LAZY checkpoints throughout the loop (round 13, the q255
-    // scheduler-floor fix): each round's convergence aggregate is the
-    // FIRST action on that round's lazily-checkpointed frame, so one job
-    // both materializes the round and reads its label sum — where
-    // eager checkpoints cost 2 sequential jobs per round (materialize,
-    // then collect) plus 3 setup jobs, pure scheduling at 0.2-0.3 s
-    // each. No broadcast race is possible: every join input is already
-    // materialized by the previous round's aggregate before any
-    // consumer (including a planner-chosen broadcast build) touches it.
+    // EAGER checkpoints in the propagation loop — measured both ways in
+    // round 13: the lazy fuse-materialize-into-the-sum form saves one
+    // job per round, but a lazily-checkpointed frame is captured BEFORE
+    // the final AQE pass, so every round's |vertices|-sized frame stays
+    // at the full shuffle width instead of AQE-coalescing to a few
+    // right-sized partitions — and q82 (data-sized vertex set, AQE on)
+    // paid 4.7 s vs 3.0 s for it. Eager wins for DATA-SIZED loop frames
+    // under AQE; the lazy fusion wins only inside a narrow-shuffle
+    // AQE-off scope, which is exactly where the star loop (q255's path,
+    // below) runs.
     val sym = e.union(e.select(col("b"), col("a"))) // positional union = swap
       .distinct()
-      .localCheckpoint(false)
+      .localCheckpoint(true)
     // star contraction + full-vertex re-attach: star only emits vertices
     // incident to a REAL edge, so vertices whose only incidences are
     // self-loops (singleton components) are restored with label = own id.
@@ -1214,13 +1215,12 @@ object TextOps {
     var labels = sym.groupBy(col("a"))
       .agg(min(least(col("a"), col("b"))).as("label"))
       .withColumnRenamed("a", "id")
-      .localCheckpoint(false)
+      .localCheckpoint(true)
     def labelSum(df: DataFrame): BigDecimal =
       // exact decimal sum: immune to long overflow on huge id spaces;
       // null (empty vertex set) folds to 0 so empty input converges
       Option(df.agg(sum(col("label").cast(DecimalType(38, 0))))
         .collect()(0).getDecimal(0)).map(BigDecimal(_)).getOrElse(BigDecimal(0))
-    // materializes sym AND labels in the same job as the first sum
     var prevSum = labelSum(labels)
     var converged = false
     var rounds = 0
@@ -1244,9 +1244,7 @@ object TextOps {
         .select(col("a").as("id"), col("label"))
       val next = labels.union(prop)
         .groupBy(col("id")).agg(min(col("label")).as("label"))
-        .localCheckpoint(false)
-      // ONE job: materializes `next` (first action on the lazy
-      // checkpoint) and returns the convergence sum
+        .localCheckpoint(true) // eager: see the AQE-coalescing note above
       val s = labelSum(next)
       converged = s == prevSum
       prevSum = s
