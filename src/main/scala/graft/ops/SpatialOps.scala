@@ -2,6 +2,7 @@ package graft.ops
 
 import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Spatial operators — [EXT] north-star surface absent from the reference
@@ -397,9 +398,89 @@ object SpatialOps {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
+  // --------------------------------------------------------------------------
+  // q449 — TRAJECTORY SESSIONIZATION (trip segmentation): events become a
+  // per-user spatial RANDOM WALK (integer steps derived from portable
+  // md5 — each event moves ±100 grid units per axis, with a rare ×120
+  // "jump" that models a teleport/geo-discontinuity), and each user's
+  // event stream is cut into TRIPS wherever the time gap exceeds 30 min
+  // OR the spatial step exceeds the jump threshold — the standard
+  // trajectory-segmentation pass mobility pipelines run before
+  // map-matching or stay-point detection. Readout per (user, trip):
+  // event count, duration, and the integer path length (Σ⌊√step_d2⌋ over
+  // WITHIN-trip steps — per-step floor keeps every term a BIGINT, so the
+  // sum is exact and order-independent in both engines).
+  //
+  // Scale: two windows and one aggregate, all partitioned by user_id —
+  // ONE shuffle, never a global sort. Null user_id forms its own window
+  // partition in BOTH engines (the null-key contract: window semantics,
+  // not a drop). Integer-exact end to end.
+  def q449TrajectorySessions(spark: SparkSession, dir: String): DataFrame = {
+    def mdInt(tag: String, mod: Int): Column =
+      expr(s"cast(conv(substring(md5(concat('$tag:', cast(event_id as string))), 1, 8), 16, 10) as bigint) % $mod")
+    val gapUs = 1800L * 1000000L
+    val jumpD2 = 5000L * 5000L
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val stepped = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("jump", (mdInt("jmp", 13) === 0).cast("long"))
+      .withColumn("dx", (mdInt("dx", 201) - 100) * (lit(1L) + col("jump") * 119L))
+      .withColumn("dy", (mdInt("dy", 201) - 100) * (lit(1L) + col("jump") * 119L))
+      .withColumn("d2", col("dx") * col("dx") + col("dy") * col("dy"))
+      .withColumn("prev_us", lag(col("us"), 1).over(w))
+      .withColumn("new_trip",
+        (col("prev_us").isNull || col("us") - col("prev_us") > gapUs ||
+          col("d2") > jumpD2).cast("long"))
+    stepped
+      .withColumn("trip_id", sum(col("new_trip")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("trip_id"))
+      .agg(count(lit(1)).as("n_events"),
+        ((max(col("us")) - min(col("us"))) / lit(1000000L)).cast("long").as("duration_s"),
+        // within-trip steps only: the trip-opening step crosses the cut
+        sum(when(col("new_trip") === 0, floor(sqrt(col("d2").cast("double"))).cast("long"))
+          .otherwise(0L)).as("path_len"))
+      .orderBy(col("user_id"), col("trip_id"))
+  }
+
+  val q449Sql: String = {
+    def mdInt(tag: String, mod: Int): String =
+      s"(('0x' || substr(md5('$tag:' || event_id::VARCHAR), 1, 8))::BIGINT % $mod)"
+    s"""WITH st AS (
+       |  SELECT user_id, event_id, epoch_us(ts) AS us,
+       |    (${mdInt("dx", 201)} - 100)
+       |      * (1 + (CASE WHEN ${mdInt("jmp", 13)} = 0 THEN 1 ELSE 0 END) * 119) AS dx,
+       |    (${mdInt("dy", 201)} - 100)
+       |      * (1 + (CASE WHEN ${mdInt("jmp", 13)} = 0 THEN 1 ELSE 0 END) * 119) AS dy
+       |  FROM events),
+       |g AS (
+       |  SELECT user_id, event_id, us, dx * dx + dy * dy AS d2,
+       |    LAG(us) OVER w AS prev_us
+       |  FROM st WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+       |f AS (
+       |  SELECT user_id, event_id, us, d2,
+       |    CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
+       |      OR d2 > 25000000 THEN 1 ELSE 0 END AS new_trip
+       |  FROM g),
+       |t AS (
+       |  SELECT user_id, us, d2, new_trip,
+       |    SUM(new_trip) OVER (PARTITION BY user_id ORDER BY us, event_id
+       |      ROWS UNBOUNDED PRECEDING) AS trip_id
+       |  FROM f)
+       |SELECT user_id, CAST(trip_id AS BIGINT) AS trip_id,
+       |  COUNT(*) AS n_events,
+       |  CAST((MAX(us) - MIN(us)) // 1000000 AS BIGINT) AS duration_s,
+       |  CAST(SUM(CASE WHEN new_trip = 0
+       |    THEN CAST(FLOOR(sqrt(CAST(d2 AS DOUBLE))) AS BIGINT)
+       |    ELSE 0 END) AS BIGINT) AS path_len
+       |FROM t GROUP BY 1, 2 ORDER BY user_id, trip_id""".stripMargin
+  }
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q247_geohash", q247Geohash _, Some(q247Sql)),
     ("q255_dbscan", q255Dbscan _, Some(q255Sql)),
     ("q225_grid_eps_join", q225GridEpsJoin _, Some(q225Sql)),
-    ("q448_embedding_eps_join", q448EmbeddingEpsJoin _, Some(q448Sql)))
+    ("q448_embedding_eps_join", q448EmbeddingEpsJoin _, Some(q448Sql)),
+    ("q449_trajectory_sessions", q449TrajectorySessions _, Some(q449Sql)))
 }
