@@ -412,9 +412,15 @@ object TextOps {
     val idxRoot = java.nio.file.Files.createTempDirectory("graft_bandidx").toString
     var idxPath = s"$idxRoot/seed"
     bandedSignatures(docs.filter(col("batch") === 0)).write.parquet(idxPath)
+    // all three batch sizes in ONE aggregate up front — a count job per
+    // ingest step was pure scheduler floor
+    val incoming = docs.filter(col("batch") >= 1).groupBy(col("batch"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap.withDefaultValue(0L)
     val out = (1 to 3).map { b =>
       val batchDocs = docs.filter(col("batch") === b)
-      val r = ingestBatch(spark, idxPath, s"$idxRoot/after_$b", batchDocs, docs)
+      val r = ingestBatch(spark, idxPath, s"$idxRoot/after_$b", batchDocs, docs,
+        incomingHint = Some(incoming(b.toLong)))
       idxPath = s"$idxRoot/after_$b"
       (b.toLong, r.incoming, r.nearDup, r.incoming - r.nearDup, r.indexDocs)
     }
@@ -430,7 +436,8 @@ object TextOps {
     * `allDocs` supplies text for the exact-Jaccard verification — only
     * candidate ids are ever shingled from it. */
   private[graft] def ingestBatch(spark: SparkSession, idxIn: String, idxOut: String,
-      batchDocs: DataFrame, allDocs: DataFrame): IngestResult = {
+      batchDocs: DataFrame, allDocs: DataFrame,
+      incomingHint: Option[Long] = None): IngestResult = {
     val idx = spark.read.parquet(idxIn)
     // batch signatures feed the candidate join AND the upsert — one build
     val bsig = bandedSignatures(batchDocs).localCheckpoint(true)
@@ -456,7 +463,7 @@ object TextOps {
       .filter(col("inter").cast("double") /
         (size(col("sh_a")) + size(col("sh_b")) - col("inter")) >= 0.5)
     val nearDup = pairs.select(col("doc_id")).distinct().count()
-    val incoming = batchDocs.count()
+    val incoming = incomingHint.getOrElse(batchDocs.count())
     // UPSERT (q67 mergeByKey on doc_id): drop any existing rows for the
     // batch's docs, union the fresh signatures — idempotent re-ingest
     val merged = idx
