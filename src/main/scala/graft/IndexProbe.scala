@@ -3,55 +3,100 @@ package graft
 import org.apache.spark.sql.functions._
 
 /** Dev-side decade probe for the INCREMENTAL BAND-INDEX path (q447,
-  * SURVEY §8.27): the production claim is that dedup cost per ingest
+  * SURVEY §8.28): the production claim is that dedup cost per ingest
   * batch is O(batch) with corpus-independent constants — the candidate
   * join touches the persisted index by KEY, the verification shingles
-  * candidate docs only, and the upsert rewrites the index file set.
+  * candidate docs only, and the upsert APPENDS an O(batch) delta
+  * (BandIndex's LSM layout; the pre-r14 upsert rewrote the full index,
+  * which this probe's corpus axis would have exposed).
   *
-  * Probe: split the sf0.01 documents table into N ingest batches for
-  * N = 1, 10, 100 (decades of batch count → decades of per-batch size in
-  * the opposite direction) over a fixed seed, ingest them sequentially,
-  * and report total wall plus per-batch marginal. The curve should show
-  * total time roughly linear in N (per-batch floor = a handful of jobs ×
-  * scheduler constant, the same floor the report-ingest probe measures)
-  * with per-batch compute shrinking as batches shrink — i.e. the cost
-  * driver is the batch, not the corpus. Output: one JSON line per N.
-  * Not part of the driver contract.
+  * Two axes, one JSON line per point (not part of the driver contract):
+  *
+  *   - `batches` (default 1,10,100): split the non-seed docs into N
+  *     sequential ingest batches over a fixed corpus. Total wall should
+  *     be roughly linear in N (per-batch floor = scheduler constant ×
+  *     a handful of jobs) with per-batch compute shrinking as batches
+  *     shrink — the cost driver is the batch, not the corpus. Batch
+  *     assignment uses an INDEPENDENT md5 tag from the seed split (the
+  *     r13 probe's `slot % n` aliased with the `slot % 5` seed split,
+  *     leaving 1/5 of batches empty at n ∈ {10, 100} — ADVICE r13).
+  *   - `corpus` (multipliers 1,10,100): ingest the SAME fixed ~100-doc
+  *     batch 5 times against an index seeded at 500 / 5k / 50k docs
+  *     (real seed + synthetic collision-free md5-token filler, so the
+  *     candidate mass stays constant and the axis isolates index-size
+  *     IO). Flat per_batch_sec across the decades IS the sub-linear
+  *     upsert claim. A forced compaction is timed separately — that is
+  *     the O(corpus / compactEvery) amortized piece.
   */
 object IndexProbe {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.01")
-    val decades = args.lift(1).map(_.split(",").map(_.toInt).toSeq)
+    val mode = args.lift(1).getOrElse("batches")
+    val decades = args.lift(2).map(_.split(",").map(_.toInt).toSeq)
       .getOrElse(Seq(1, 10, 100))
     val spark = GraftSession.localBuilder(
       sys.env.get("SPARK_GRAFT_CPUS").map(_.toInt).getOrElse(8)).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
     val docs0 = Tables.documents(spark, dir)
-    for (n <- decades) {
+    val docs = docs0.withColumn("slot",
+      expr("cast(conv(substring(md5(concat('probe:', cast(doc_id as string))), 1, 6), 16, 10) as bigint)"))
+
+    if (mode == "batches") for (n <- decades) {
       val root = java.nio.file.Files.createTempDirectory(s"graft_idxprobe_$n").toString
-      // seed = a fixed ~20% slice; the rest splits into n batches
-      val docs = docs0.withColumn("slot",
-        expr("cast(conv(substring(md5(concat('probe:', cast(doc_id as string))), 1, 6), 16, 10) as bigint)"))
+      // seed = a fixed ~20% slice; the rest splits into n batches by an
+      // INDEPENDENT hash so no batch is empty (no slot%5 aliasing)
       val seed = docs.filter(col("slot") % 5 === 0)
-      val rest = docs.filter(col("slot") % 5 =!= 0)
-        .withColumn("batch", col("slot") % n)
-      var idx = s"$root/seed"
-      ops.TextOps.bandedSignatures(seed).write.parquet(idx)
+      val rest = docs.filter(col("slot") % 5 =!= 0).withColumn("batch",
+        expr(s"cast(conv(substring(md5(concat('bat:', cast(doc_id as string))), 1, 6), 16, 10) as bigint) % $n"))
+      var st = ops.BandIndex.seed(spark, root, seed)
       val t0 = System.nanoTime()
       var nears = 0L
       (0 until n).foreach { b =>
-        val out = s"$root/i$b"
-        val r = ops.TextOps.ingestBatch(spark, idx, out,
-          rest.filter(col("batch") === b), docs0)
+        val r = ops.BandIndex.ingest(spark, root,
+          rest.filter(col("batch") === b), docs0, prev = Some(st))
         nears += r.nearDup
-        idx = out
+        st = r.state
       }
       val total = (System.nanoTime() - t0) / 1e9
-      val idxDocs = spark.read.parquet(idx).select(col("doc_id")).distinct().count()
-      println(f"""{"probe":"band_index","batches":$n,"total_sec":$total%.3f,"""
-        + f""""per_batch_sec":${total / n}%.4f,"near_dups":$nears,"index_docs":$idxDocs}""")
+      println(f"""{"probe":"band_index","axis":"batches","batches":$n,"total_sec":$total%.3f,"""
+        + f""""per_batch_sec":${total / n}%.4f,"near_dups":$nears,"index_docs":${st.nDocs}}""")
       ops.Checkpoints.releaseAll(spark)
+      ops.BandIndex.deleteRoot(spark, root)
+    }
+
+    if (mode == "corpus") for (m <- decades) {
+      val root = java.nio.file.Files.createTempDirectory(s"graft_idxprobe_c$m").toString
+      // fixed batch: ~1/5 of the real docs, chosen by the seed-split hash
+      val batch = docs.filter(col("slot") % 5 === 1).drop("slot")
+      // corpus = the real remainder + synthetic collision-free filler so
+      // the index is m× bigger but the candidate mass is unchanged
+      val realSeed = docs.filter(col("slot") % 5 > 1).select("doc_id", "text")
+      val target = 500L * m
+      val synth = spark.range(target).select(
+        (col("id") + 10000000L).as("doc_id"),
+        concat_ws(" ", (0 until 40).map(i =>
+          substring(md5(concat(col("id").cast("string"), lit(s":tok$i"))), 1, 8)): _*)
+          .as("text"))
+      var st = ops.BandIndex.seed(spark, root, realSeed.unionByName(synth))
+      val rounds = 5
+      val t0 = System.nanoTime()
+      var nears = 0L
+      (0 until rounds).foreach { _ =>
+        val r = ops.BandIndex.ingest(spark, root, batch, docs0, prev = Some(st),
+          compactEvery = rounds + 1)
+        nears += r.nearDup
+        st = r.state
+      }
+      val ingestSec = (System.nanoTime() - t0) / 1e9
+      val tc = System.nanoTime()
+      ops.BandIndex.compact(spark, root, st)
+      val compactSec = (System.nanoTime() - tc) / 1e9
+      println(f"""{"probe":"band_index","axis":"corpus","multiplier":$m,"index_docs":${st.nDocs},"""
+        + f""""per_batch_sec":${ingestSec / rounds}%.4f,"ingest_sec":$ingestSec%.3f,"""
+        + f""""compact_sec":$compactSec%.3f,"near_dups":$nears}""")
+      ops.Checkpoints.releaseAll(spark)
+      ops.BandIndex.deleteRoot(spark, root)
     }
     spark.stop()
   }

@@ -420,7 +420,11 @@ object SpatialOps {
       expr(s"cast(conv(substring(md5(concat('$tag:', cast(event_id as string))), 1, 8), 16, 10) as bigint) % $mod")
     val gapUs = 1800L * 1000000L
     val jumpD2 = 5000L * 5000L
-    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    // ordering pinned NULLS LAST on BOTH engines: Spark's ASC default is
+    // NULLS FIRST, DuckDB's is NULLS LAST — left unpinned, a null ts
+    // would silently diverge the trip segmentation (ADVICE r13)
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us").asc_nulls_last, col("event_id").asc_nulls_last)
     val stepped = Tables.events(spark, dir)
       .select(col("user_id"), col("ts"), col("event_id"))
       .withColumn("us", unix_micros(col("ts")))
@@ -457,7 +461,8 @@ object SpatialOps {
        |g AS (
        |  SELECT user_id, event_id, us, dx * dx + dy * dy AS d2,
        |    LAG(us) OVER w AS prev_us
-       |  FROM st WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+       |  FROM st WINDOW w AS (PARTITION BY user_id
+       |    ORDER BY us NULLS LAST, event_id NULLS LAST)),
        |f AS (
        |  SELECT user_id, event_id, us, d2,
        |    CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
@@ -465,7 +470,8 @@ object SpatialOps {
        |  FROM g),
        |t AS (
        |  SELECT user_id, us, d2, new_trip,
-       |    SUM(new_trip) OVER (PARTITION BY user_id ORDER BY us, event_id
+       |    SUM(new_trip) OVER (PARTITION BY user_id
+       |      ORDER BY us NULLS LAST, event_id NULLS LAST
        |      ROWS UNBOUNDED PRECEDING) AS trip_id
        |  FROM f)
        |SELECT user_id, CAST(trip_id AS BIGINT) AS trip_id,

@@ -393,8 +393,9 @@ object TextOps {
   //      (band, band_sig) — O(batch × collisions), never O(corpus);
   //   2. exact-Jaccard verification on candidate docs ONLY (shingles
   //      recomputed for the candidate id set, not the corpus);
-  //   3. index UPSERT with q67's mergeByKey semantics on doc_id — so
-  //      re-ingesting a batch is IDEMPOTENT (IncrementalIndexSpec).
+  //   3. index UPSERT by APPEND + tombstone (BandIndex's LSM layout) —
+  //      O(batch) write IO, idempotent re-ingest (IncrementalIndexSpec),
+  //      census maintained incrementally, never by re-scanning.
   // Readout: per-batch incoming / near-dup / novel counts + the index
   // doc-count growth curve. Batch assignment is a deterministic md5
   // split (batch 0 seeds the index; 1..3 ingest in order).
@@ -404,76 +405,31 @@ object TextOps {
   // batches), so the sequential loop flattens into one query.
   //
   // Scale: per-batch cost is the batch's signature build + a key join
-  // against the index + candidate-only verification — O(batch) with
-  // corpus-independent constants (IndexProbe's batch-count decades).
+  // against the index + candidate-only verification + an O(batch) delta
+  // append (IndexProbe measures BOTH axes: batch-count decades AND a
+  // 1×/10×/100× corpus axis at fixed batch size). The temp index root is
+  // deleted after the readout is collected (ADVICE r13).
   def q447IncrementalBandIndex(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir).withColumn("batch",
       expr("cast(conv(substring(md5(concat('batch:', cast(doc_id as string))), 1, 4), 16, 10) as bigint) % 4"))
     val idxRoot = java.nio.file.Files.createTempDirectory("graft_bandidx").toString
-    var idxPath = s"$idxRoot/seed"
-    bandedSignatures(docs.filter(col("batch") === 0)).write.parquet(idxPath)
-    // all three batch sizes in ONE aggregate up front — a count job per
-    // ingest step was pure scheduler floor
-    val incoming = docs.filter(col("batch") >= 1).groupBy(col("batch"))
-      .agg(count(lit(1)).as("n")).collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap.withDefaultValue(0L)
-    val out = (1 to 3).map { b =>
-      val batchDocs = docs.filter(col("batch") === b)
-      val r = ingestBatch(spark, idxPath, s"$idxRoot/after_$b", batchDocs, docs,
-        incomingHint = Some(incoming(b.toLong)))
-      idxPath = s"$idxRoot/after_$b"
-      (b.toLong, r.incoming, r.nearDup, r.incoming - r.nearDup, r.indexDocs)
-    }
-    import spark.implicits._
-    out.toDF("batch", "incoming", "near_dup", "novel", "index_docs")
-      .orderBy(col("batch"))
-  }
-
-  private[graft] case class IngestResult(incoming: Long, nearDup: Long, indexDocs: Long)
-
-  /** One incremental-ingest step: dedup `batchDocs` against the persisted
-    * index at `idxIn`, write the upserted index to `idxOut`.
-    * `allDocs` supplies text for the exact-Jaccard verification — only
-    * candidate ids are ever shingled from it. */
-  private[graft] def ingestBatch(spark: SparkSession, idxIn: String, idxOut: String,
-      batchDocs: DataFrame, allDocs: DataFrame,
-      incomingHint: Option[Long] = None): IngestResult = {
-    val idx = spark.read.parquet(idxIn)
-    // batch signatures feed the candidate join AND the upsert — one build
-    val bsig = bandedSignatures(batchDocs).localCheckpoint(true)
-    // candidates: batch × index band collisions (self excluded: on
-    // re-ingest the batch's own rows are already in the index)
-    val cand = bsig.join(idx.select(col("band"), col("band_sig"),
-        col("doc_id").as("id_ex")), Seq("band", "band_sig"))
-      .filter(col("doc_id") =!= col("id_ex"))
-      .select(col("doc_id"), col("id_ex")).dropDuplicates("doc_id", "id_ex")
-      .localCheckpoint(true)
-    // exact-Jaccard verification over CANDIDATE docs only: semi-join the
-    // raw docs to the candidate id set before shingling, so the verify
-    // grind is O(candidates) at any corpus size
-    val needIds = cand.select(col("doc_id").as("vid"))
-      .union(cand.select(col("id_ex").as("vid"))).distinct()
-    val vsh = shingleArrays(
-        allDocs.join(needIds, col("doc_id") === col("vid"), "left_semi"))
-      .localCheckpoint(true)
-    val pairs = broadcast(cand)
-      .join(vsh.select(col("doc_id"), col("sh").as("sh_a")), "doc_id")
-      .join(vsh.select(col("doc_id").as("id_ex"), col("sh").as("sh_b")), "id_ex")
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
-      .filter(col("inter").cast("double") /
-        (size(col("sh_a")) + size(col("sh_b")) - col("inter")) >= 0.5)
-    val nearDup = pairs.select(col("doc_id")).distinct().count()
-    val incoming = incomingHint.getOrElse(batchDocs.count())
-    // UPSERT (q67 mergeByKey on doc_id): drop any existing rows for the
-    // batch's docs, union the fresh signatures — idempotent re-ingest
-    val merged = idx
-      .join(bsig.select(col("doc_id")).distinct(), Seq("doc_id"), "left_anti")
-      .unionByName(bsig.select(col("doc_id"), col("band"), col("band_sig")))
-    merged.write.parquet(idxOut)
-    val indexDocs = spark.read.parquet(idxOut)
-      .select(col("doc_id")).distinct().count()
-    Checkpoints.release(bsig); Checkpoints.release(cand); Checkpoints.release(vsh)
-    IngestResult(incoming, nearDup, indexDocs)
+    try {
+      var st = BandIndex.seed(spark, idxRoot, docs.filter(col("batch") === 0))
+      // all three batch sizes in ONE aggregate up front — a count job per
+      // ingest step was pure scheduler floor
+      val incoming = docs.filter(col("batch") >= 1).groupBy(col("batch"))
+        .agg(count(lit(1)).as("n")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap.withDefaultValue(0L)
+      val out = (1 to 3).map { b =>
+        val r = BandIndex.ingest(spark, idxRoot, docs.filter(col("batch") === b),
+          docs, prev = Some(st), incomingHint = Some(incoming(b.toLong)))
+        st = r.state
+        (b.toLong, r.incoming, r.nearDup, r.incoming - r.nearDup, r.indexDocs)
+      }
+      import spark.implicits._
+      out.toDF("batch", "incoming", "near_dup", "novel", "index_docs")
+        .orderBy(col("batch"))
+    } finally BandIndex.deleteRoot(spark, idxRoot)
   }
 
   val q447Sql: String = {

@@ -9,7 +9,11 @@ import org.apache.spark.sql.functions._
   * orphaned foreign key) is routine data, and its semantics are a
   * CONTRACT, not an accident. Fixture: sf0.001 with every 20th row's KEY
   * columns nulled — lineitem.l_orderkey, orders.o_custkey,
-  * documents.doc_id, events.user_id, embeddings.doc_id.
+  * documents.doc_id, events.user_id, embeddings.vec_id, and the
+  * dimension keys supplier.s_suppkey / part.p_partkey /
+  * customer.c_custkey (the graph/star-join families key on these, and
+  * the contract must not depend on which side of the join the null
+  * lands).
   *
   * Per-family contracts (what a null key MEANS, verified by this sweep
   * returning a defined result and by the hash-unchanged oracle runs on
@@ -54,7 +58,10 @@ class NullKeySpec extends SparkSpec {
       "orders" -> Seq("o_custkey"),
       "documents" -> Seq("doc_id"),
       "events" -> Seq("user_id"),
-      "embeddings" -> Seq("doc_id"))
+      "embeddings" -> Seq("vec_id"),
+      "supplier" -> Seq("s_suppkey"),
+      "part" -> Seq("p_partkey"),
+      "customer" -> Seq("c_custkey"))
     Tables.names.foreach { t =>
       val df = spark.read.parquet(s"$src/$t.parquet")
       // the victim key may BE the first column; salt the row hash with a
@@ -62,8 +69,10 @@ class NullKeySpec extends SparkSpec {
       // not aligned with the key's own value grid
       val hashCols = df.columns.take(2).map(col).toSeq
       val mutated = nullable.getOrElse(t, Nil).foldLeft(df) { (d, c) =>
-        if (!d.columns.contains(c)) d
-        else d.withColumn(c,
+        // fail LOUDLY on a key the table doesn't have — a silent skip
+        // here once excluded the whole embeddings family from the sweep
+        require(d.columns.contains(c), s"NullKeySpec fixture: $t has no column $c")
+        d.withColumn(c,
           when(abs(hash(hashCols: _*)) % 20 === 0, lit(null)).otherwise(col(c)))
       }
       mutated.write.mode(SaveMode.Overwrite).parquet(s"$out/$t.parquet")

@@ -69,10 +69,19 @@ class MinhashSignatureSpec extends SparkSpec {
           s"this is the frame that explodes when banding degrades:\n$b")
     }
     // the two hinted pair-key broadcasts must be canonically identical so
-    // AQE materializes one stage for both at runtime
+    // AQE materializes one stage for both at runtime: either the plan
+    // already shows a ReusedExchange over a broadcast, or at least two of
+    // the collected builds canonicalize to the same plan. (The earlier
+    // `|| bcasts.length == 2` escape made this vacuous in the expected
+    // 2-build case — ADVICE r13.)
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    val reused = plan.collectWithSubqueries {
+      case r: ReusedExchangeExec if r.child.isInstanceOf[BroadcastExchangeExec] => r
+    }
     val canon = bcasts.map(_.canonicalized)
-    assert(canon.distinct.length < bcasts.length || bcasts.length == 2,
-      s"pair-key broadcasts not canonically shared (${bcasts.length} builds)")
+    assert(reused.nonEmpty || canon.distinct.length < bcasts.length,
+      s"pair-key broadcasts not canonically shared: ${bcasts.length} builds, " +
+        s"${canon.distinct.length} distinct canonical forms, ${reused.length} reuses")
     assert(plan.toString.contains("ShuffledHashJoin"),
       s"the candidate-array zip must be a distributed shuffle join, not a broadcast:\n$plan")
     graft.ops.Checkpoints.releaseAll(spark)
