@@ -13,6 +13,44 @@ case class EventRow(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
 /** Per-user running aggregate state/output for flatMapGroupsWithState. */
 case class UserAgg(user_id: Long, n: Long, total: Double)
 
+/** Typed document row for the streaming band-index front door. */
+case class DocRow(doc_id: Long, text: String)
+
+/** Streaming front door for the persisted band-signature index (q447 /
+  * BandIndex): each micro-batch is ONE incremental ingest — near-dup'd
+  * against the PERSISTED index, then upserted as an O(batch) append
+  * delta. Generation/census state threads across micro-batches inside
+  * this writer, exactly as a production `foreachBatch` maintenance job
+  * would hold it; `docStore` is the corpus text store the pipeline
+  * maintains alongside the index (candidate verification shingles only
+  * candidate ids out of it; the current batch's own text is unioned in
+  * so in-flight docs resolve).
+  *
+  * Attach with `.writeStream.foreachBatch(ingestor.onBatch _)`.
+  * StreamingSpec proves stream/batch parity: the same three batches
+  * pushed through MemoryStream produce identical per-batch readouts AND
+  * a content-identical live index vs the sequential batch path.
+  */
+final class BandIndexStreamIngestor(spark: SparkSession, root: String,
+    docStore: DataFrame) {
+  @volatile private var st = BandIndex.readState(spark, root)
+  private val store = docStore.select("doc_id", "text")
+  private val buf = scala.collection.mutable.ArrayBuffer[BandIndex.IngestResult]()
+
+  /** Per-micro-batch readouts in arrival order. */
+  def results: Seq[BandIndex.IngestResult] = buf.synchronized { buf.toSeq }
+
+  def onBatch(batch: Dataset[org.apache.spark.sql.Row], batchId: Long): Unit = {
+    val b = batch.toDF()
+    if (!b.isEmpty) {
+      val r = BandIndex.ingest(b.sparkSession, root, b,
+        store.unionByName(b.select("doc_id", "text")), prev = Some(st))
+      st = r.state
+      buf.synchronized { buf += r; () }
+    }
+  }
+}
+
 /** Event-time windowing over the `events` table, written once against a
   * DataFrame so the SAME transform runs in batch (DuckDB-oracle-checkable)
   * and under Structured Streaming (StreamingSpec drives it through

@@ -327,4 +327,51 @@ class StreamingSpec extends SparkSpec {
     // a contiguous prefix of the even integers — nothing skipped, nothing odd
     assert(got === got.indices.map(_ * 2L))
   }
+
+  test("band-index foreachBatch ingest matches the batch path on identical batches") {
+    // the streaming front door for q447's persisted index (r13 verdict
+    // item 5): the SAME three md5-split batches, once ingested
+    // sequentially via BandIndex.ingest and once pushed through
+    // MemoryStream into BandIndexStreamIngestor's foreachBatch, must
+    // produce identical per-batch readouts AND a content-identical live
+    // index — micro-batch slicing is an execution detail, not a semantic.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .withColumn("batch",
+        expr("cast(conv(substring(md5(concat('batch:', cast(doc_id as string))), 1, 4), 16, 10) as bigint) % 4"))
+      .localCheckpoint(true)
+    val rootBatch = java.nio.file.Files.createTempDirectory("graft_bidx_b").toString
+    val rootStream = java.nio.file.Files.createTempDirectory("graft_bidx_s").toString
+    // batch path
+    var st = BandIndex.seed(spark, rootBatch, docs.filter(col("batch") === 0))
+    val batchResults = (1 to 3).map { b =>
+      val r = BandIndex.ingest(spark, rootBatch, docs.filter(col("batch") === b),
+        docs, prev = Some(st))
+      st = r.state; r
+    }
+    // streaming path: same seed, batches arrive as micro-batches
+    BandIndex.seed(spark, rootStream, docs.filter(col("batch") === 0))
+    val ingestor = new BandIndexStreamIngestor(spark, rootStream,
+      docs.select("doc_id", "text"))
+    val stream = MemoryStream[DocRow]
+    val q = stream.toDF().writeStream.foreachBatch(ingestor.onBatch _).start()
+    try {
+      (1 to 3).foreach { b =>
+        stream.addData(docs.filter(col("batch") === b)
+          .select("doc_id", "text").as[DocRow].collect().toSeq)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val sres = ingestor.results
+    assert(sres.map(r => (r.incoming, r.nearDup, r.novel, r.indexDocs)) ===
+      batchResults.map(r => (r.incoming, r.nearDup, r.novel, r.indexDocs)))
+    val liveB = BandIndex.read(spark, rootBatch).select("doc_id", "band", "band_sig")
+    val liveS = BandIndex.read(spark, rootStream).select("doc_id", "band", "band_sig")
+    assert(liveB.exceptAll(liveS).isEmpty && liveS.exceptAll(liveB).isEmpty,
+      "stream-built index content differs from the batch-built index")
+    Checkpoints.releaseAll(spark)
+    BandIndex.deleteRoot(spark, rootBatch)
+    BandIndex.deleteRoot(spark, rootStream)
+  }
 }
