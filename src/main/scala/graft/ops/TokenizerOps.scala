@@ -97,6 +97,123 @@ object TokenizerOps {
        |ORDER BY round""".stripMargin
 
   // --------------------------------------------------------------------------
+  // q450 — DEEP BPE MERGE LOOP (the trainer at REAL merge counts): q183
+  // proves 3 merge rounds unrolled in one lazy plan; an actual tokenizer
+  // fit runs tens-to-thousands of rounds, which needs the ITERATIVE-LOOP
+  // discipline (SURVEY §8.26): per-round state checkpointed every
+  // CKPT_EVERY rounds (a 32-deep lazy replace() chain is fine to
+  // COMPUTE but its per-round plan compilation grows linearly — the
+  // q255/q368 residual), superseded checkpoints released, and the
+  // argmax driven by a 1-row convergence collect whose pair is inlined
+  // as a LITERAL into the next round (no per-round 1-row
+  // broadcast-build job — the q368 lesson). Early-stops when no
+  // adjacent pair remains.
+  //
+  // Readout per round: the learned merge, its frequency-weighted count,
+  // and total_pairs — the frequency-weighted adjacent-pair mass of the
+  // PRE-merge state (= Σ f·|syms| − Σ f), i.e. the compression curve
+  // the trainer is buying, measured exactly and identically in both
+  // engines from the same aggregate that finds the argmax (one job per
+  // round: partial hash agg → global max(struct) + sum).
+  //
+  // Scale: state is the WORD-TYPE table (Heaps-bounded, corpus-size
+  // independent after the one token-stream scan); the merge apply is a
+  // row-local replace() (codegen'd, no shuffle); the per-round shuffle
+  // is the vocab-sized pair hash-agg. Tie-break (cnt DESC, x DESC,
+  // y DESC) is a total order over binary-collated strings — identical
+  // in Spark and DuckDB, so all 32 rounds are deterministic
+  // cross-engine (the oracle replays them as materialized chained CTEs).
+  private val bpeSymsExpr = "split(substring(seq, 2, length(seq) - 2), '><')"
+  private val bpePairsExpr =
+    "zip_with(slice(syms, 1, size(syms) - 1), slice(syms, 2, size(syms) - 1)," +
+      " (a, b) -> struct(a AS x, b AS y))"
+
+  def bpeMergeLoop(docs: DataFrame, rounds: Int, ckptEvery: Int = 6): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val words = docs.select(explode(TextOps.toks).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("f"))
+    var seqs = words.select(col("f"),
+      concat(lit("<"),
+        array_join(expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))"), "><"),
+        lit(">")).as("seq"))
+      .localCheckpoint(true)
+    var pinned = seqs
+    var sinceCkpt = 0
+    val out = Vector.newBuilder[(Int, String, Long, Long)]
+    var r = 1
+    var live = true
+    while (r <= rounds && live) {
+      // ONE job: vocab-sized pair hash-agg, then global (argmax, total)
+      val row = seqs.select(col("f"), expr(bpeSymsExpr).as("syms"))
+        .select(col("f"), explode(expr(bpePairsExpr)).as("p"))
+        .groupBy(col("p.x").as("x"), col("p.y").as("y"))
+        .agg(sum(col("f")).as("cnt"))
+        .agg(max(struct(col("cnt"), col("x"), col("y"))).as("m"),
+          sum(col("cnt")).as("total"))
+        .collect().head
+      if (row.isNullAt(0)) live = false
+      else {
+        val m = row.getStruct(0)
+        val (cnt, x, y) = (m.getLong(0), m.getString(1), m.getString(2))
+        out += ((r, s"$x $y", cnt, row.getLong(1)))
+        // lit() (not expr interpolation) — corpus-derived symbols must
+        // never be spliced into SQL text
+        seqs = seqs.withColumn("seq",
+          replace(col("seq"), lit(s"<$x><$y>"), lit(s"<$x$y>")))
+        sinceCkpt += 1
+        if (sinceCkpt >= ckptEvery && r < rounds) {
+          val next = seqs.localCheckpoint(true)
+          Checkpoints.release(pinned)
+          seqs = next; pinned = next; sinceCkpt = 0
+        }
+        r += 1
+      }
+    }
+    Checkpoints.release(pinned)
+    out.result().toDF("round", "pair", "cnt", "total_pairs")
+      .orderBy(col("round"))
+  }
+
+  def q450BpeMergeLoop(spark: SparkSession, dir: String): DataFrame =
+    bpeMergeLoop(Tables.documents(spark, dir), rounds = 32)
+
+  /** One round of the deep-loop replay: like [[bpeRoundSql]] but carries
+    * the pre-merge total pair mass and uses the (cnt DESC, x DESC,
+    * y DESC) total order. MATERIALIZED is load-bearing: v/p/m are each
+    * referenced more than once, and 32 inlined chained CTEs would blow
+    * up exponentially. */
+  private def bpeCurveRoundSql(r: Int): String =
+    s"""p$r AS MATERIALIZED (
+       |  SELECT syms[i] AS x, syms[i + 1] AS y, CAST(SUM(f) AS BIGINT) AS cnt
+       |  FROM (SELECT f, string_split(seq[2:-2], '><') AS syms FROM v${r - 1}),
+       |       UNNEST(generate_series(1, len(syms) - 1)) AS u(i)
+       |  GROUP BY 1, 2),
+       |m$r AS MATERIALIZED (
+       |  SELECT $r AS round, x, y, cnt,
+       |    (SELECT CAST(SUM(cnt) AS BIGINT) FROM p$r) AS total_pairs
+       |  FROM p$r ORDER BY cnt DESC, x DESC, y DESC LIMIT 1),
+       |v$r AS MATERIALIZED (
+       |  SELECT f, replace(seq, '<' || x || '><' || y || '>',
+       |                    '<' || x || y || '>') AS seq
+       |  FROM v${r - 1}, m$r)""".stripMargin
+
+  val q450Sql: String = {
+    val k = 32
+    s"""WITH words AS (
+       |  SELECT w, COUNT(*) AS f FROM (
+       |    SELECT unnest(${TextOps.toksSqlD}) AS w FROM documents) GROUP BY w),
+       |v0 AS MATERIALIZED (
+       |  SELECT f, '<' || array_to_string(
+       |    list_transform(range(1, len(w) + 1), i -> w[i]), '><') || '>' AS seq
+       |  FROM words),
+       |${(1 to k).map(bpeCurveRoundSql).mkString(",\n")}
+       |SELECT round, x || ' ' || y AS pair, cnt, total_pairs
+       |FROM (${(1 to k).map(r => s"SELECT * FROM m$r").mkString(" UNION ALL ")})
+       |ORDER BY round""".stripMargin
+  }
+
+  // --------------------------------------------------------------------------
   // q185 — FIRST-OCCURRENCE NOVELTY attribution: per document, the
   // fraction of its distinct 3-gram shingles already seen in an EARLIER
   // document (corpus order = doc_id) — the directional "who copied whom"
@@ -133,5 +250,6 @@ object TokenizerOps {
 
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q183_bpe_train", q183BpeTrain _, Some(q183Sql)),
-    ("q185_novelty", q185Novelty _, Some(q185Sql)))
+    ("q185_novelty", q185Novelty _, Some(q185Sql)),
+    ("q450_bpe_merge_loop", q450BpeMergeLoop _, Some(q450Sql)))
 }
