@@ -323,8 +323,11 @@ object SpatialOps {
   // O(surviving pairs); projections are one row-local pass.
   // Oracle: all-pairs d2 + cosine replay (oracle scale only), fold order
   // matching q40's list_reduce parity.
-  def q448EmbeddingEpsJoin(spark: SparkSession, dir: String): DataFrame = {
-    val eps = 0.05
+  /** Shared core of q448/q451: all embedding pairs within `eps` in the
+    * 2D projection, with the exact full-vector cosine — (id_a, id_b, d2,
+    * cos), cosine RAW (unrounded: q451 thresholds on it, and the fold
+    * order matches DuckDB bit-for-bit so the comparison is portable). */
+  private def epsCosPairs(spark: SparkSession, dir: String, eps: Double): DataFrame = {
     val inv = 1.0 / eps
     def wArr(tag: String): String =
       s"transform(sequence(0, 63), i -> cast(conv(substring(md5(concat('$tag:', cast(i as string))), 1, 8), 16, 10) as double) / 2147483648.0d - 1.0d)"
@@ -368,11 +371,16 @@ object SpatialOps {
     pairs
       .withColumn("dot", expr(
         "aggregate(zip_with(va, vb, (a, b) -> a * b), 0.0d, (acc, t) -> acc + t)"))
+      .select(col("id_a"), col("id_b"), col("d2"),
+        (col("dot") / sqrt(col("na") * col("nb"))).as("cos"))
+  }
+
+  def q448EmbeddingEpsJoin(spark: SparkSession, dir: String): DataFrame =
+    epsCosPairs(spark, dir, eps = 0.05)
       .select(col("id_a"), col("id_b"),
         Num.pround(col("d2"), 8).as("d2_proj"),
-        Num.pround(col("dot") / sqrt(col("na") * col("nb")), 4).as("cos_sim"))
+        Num.pround(col("cos"), 4).as("cos_sim"))
       .orderBy(col("id_a"), col("id_b"))
-  }
 
   val q448Sql: String = {
     def w(tag: String) =
@@ -483,10 +491,95 @@ object SpatialOps {
        |FROM t GROUP BY 1, 2 ORDER BY user_id, trip_id""".stripMargin
   }
 
+  // --------------------------------------------------------------------------
+  // q451 — END-TO-END SEMANTIC DEDUP (the SemDeDup-shaped sweep): ONE
+  // catalog entry composing the four pieces teams otherwise chain by
+  // hand — q448's grid ε-self-join over the embedding space (cos ≥ τ on
+  // the exact full-vector cosine = "semantic duplicate" edge), q82's
+  // connected-components clustering of those edges, q431's
+  // keep-stable-hash survivor rule (min md5(vec_id) per cluster —
+  // order-independent, so re-runs and re-shards pick the same
+  // representative), and q426's per-group retention readout (per label:
+  // vectors before/after, kept ppm).
+  //
+  // Scale: pair generation is the grid join (local-density × points,
+  // never all-pairs — PlanLint's cross-join rule covers it via q448's
+  // shared core), clustering goes STRAIGHT to star contraction
+  // (O(log² n) rounds — ε-neighbor graphs are chains of transitive
+  // near-neighbors, i.e. exactly the high-diameter shape that makes
+  // min-label propagation burn its round budget and escape anyway),
+  // and the survivor/retention tail is two hash aggregates and
+  // a broadcast-sized rep join over only the CLUSTERED vectors (a small
+  // subset). The cosine threshold compares the RAW double — both
+  // engines fold the dot product in the same order, so τ cuts
+  // identically bit-for-bit.
+  def q451SemanticDedup(spark: SparkSession, dir: String): DataFrame = {
+    val tau = 0.15
+    val edges = epsCosPairs(spark, dir, eps = 0.05)
+      .filter(col("cos") >= tau).select(col("id_a"), col("id_b"))
+    val labeled = TextOps.connectedComponentsStar(edges)
+      .select(col("id").as("doc_id"), col("label").as("cluster"))
+    val reps = labeled.groupBy(col("cluster"))
+      .agg(min_by(col("doc_id"), md5(col("doc_id").cast("string"))).as("rep"))
+    val dropped = labeled.join(broadcast(reps), "cluster")
+      .filter(col("doc_id") =!= col("rep"))
+      .select(col("doc_id").as("vec_id"), lit(1).as("is_dropped"))
+    Tables.embeddings(spark, dir).select(col("vec_id"), col("label"))
+      .join(dropped, Seq("vec_id"), "left")
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("vecs_before"),
+        count_if(col("is_dropped").isNull).as("vecs_after"))
+      .withColumn("kept_ppm", expr("(1000000L * vecs_after) div vecs_before"))
+      .orderBy(col("label"))
+  }
+
+  val q451Sql: String = {
+    def w(tag: String) =
+      s"((('0x' || substr(md5('$tag:' || (i-1)::VARCHAR), 1, 8))::BIGINT / 2147483648.0) - 1.0)"
+    s"""WITH RECURSIVE base AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v,
+       |    list_reduce(list_transform(embedding::DOUBLE[], t -> t * t), (a, b) -> a + b) AS n2
+       |  FROM embeddings),
+       |proj AS (
+       |  SELECT vec_id, v, n2,
+       |    list_reduce(list_transform(range(1, 65), i -> v[i] * ${w("wx")}),
+       |      (a, b) -> a + b) AS x,
+       |    list_reduce(list_transform(range(1, 65), i -> v[i] * ${w("wy")}),
+       |      (a, b) -> a + b) AS y
+       |  FROM base),
+       |prs AS (
+       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+       |  FROM proj a JOIN proj b ON a.vec_id < b.vec_id
+       |    AND (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= 0.0025
+       |  WHERE list_reduce(list_transform(range(1, 65), i -> a.v[i] * b.v[i]),
+       |      (x, y) -> x + y) / sqrt(a.n2 * b.n2) >= 0.15),
+       |edges AS (SELECT id_a AS a, id_b AS b FROM prs
+       |          UNION SELECT id_b, id_a FROM prs),
+       |reach(a, b) AS (
+       |  SELECT a, b FROM edges
+       |  UNION
+       |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+       |labels AS (
+       |  SELECT a AS vec_id, LEAST(a, MIN(b)) AS cluster FROM reach GROUP BY a),
+       |reps AS (
+       |  SELECT cluster, ARG_MIN(vec_id, md5(vec_id::VARCHAR)) AS rep
+       |  FROM labels GROUP BY cluster),
+       |dropped AS (
+       |  SELECT l.vec_id FROM labels l JOIN reps r USING (cluster)
+       |  WHERE l.vec_id <> r.rep)
+       |SELECT e.label, COUNT(*) AS vecs_before,
+       |  CAST(COUNT(*) FILTER (d.vec_id IS NULL) AS BIGINT) AS vecs_after,
+       |  CAST((1000000 * COUNT(*) FILTER (d.vec_id IS NULL)) // COUNT(*)
+       |    AS BIGINT) AS kept_ppm
+       |FROM embeddings e LEFT JOIN dropped d ON d.vec_id = e.vec_id
+       |GROUP BY e.label ORDER BY e.label""".stripMargin
+  }
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q247_geohash", q247Geohash _, Some(q247Sql)),
     ("q255_dbscan", q255Dbscan _, Some(q255Sql)),
     ("q225_grid_eps_join", q225GridEpsJoin _, Some(q225Sql)),
     ("q448_embedding_eps_join", q448EmbeddingEpsJoin _, Some(q448Sql)),
-    ("q449_trajectory_sessions", q449TrajectorySessions _, Some(q449Sql)))
+    ("q449_trajectory_sessions", q449TrajectorySessions _, Some(q449Sql)),
+    ("q451_semantic_dedup", q451SemanticDedup _, Some(q451Sql)))
 }
