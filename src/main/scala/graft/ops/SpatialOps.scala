@@ -231,15 +231,18 @@ object SpatialOps {
     // jobs, the q255 scheduler floor. The grid join above is the
     // data-sized step and was planned at session width with AQE on.
     //
-    // maxPropagationRounds = 0: spatial ε-neighbor graphs are long
-    // chains (diameter ≫ 5 — measured: every sf0.1 run blew through the
-    // 5-round propagation budget and THEN ran star contraction), so CC
-    // goes straight to the O(log² n)-round star path. connectedComponents
-    // is called directly (not clusterPairs): q255 needs no cluster_size
-    // and no doc_id sort, so the sizes broadcast and the range-partition
-    // sample job would be paid and discarded.
+    // Spatial ε-neighbor graphs are long chains (diameter ≫ 5 —
+    // measured: every sf0.1 run blew through the 5-round propagation
+    // budget and THEN ran star contraction), so CC goes straight to the
+    // star path — and since the vertex set here is dimension-bounded
+    // (|suppliers|) and the scope has AQE off, it uses the RDD inner
+    // loop, which skips the ~0.3-0.4 s/check Catalyst compilation the
+    // DataFrame loop pays (round-13 verdict item 2; A/B in SURVEY
+    // §8.28). Vertices with no core neighbor aren't labeled by the star
+    // (no edge) — the coalesce(cluster, ck) below restores them, which
+    // is why the starEscape singleton re-attach isn't needed here.
     val assembled = LoopConf.withNarrowShuffle(spark, 4) {
-      val ccLabels = TextOps.connectedComponents(coreEdges, maxPropagationRounds = 0)
+      val ccLabels = TextOps.connectedComponentsStarRdd(coreEdges, parts = 4)
         .select(col("id").as("ck"), col("label").as("cluster"))
       val coreLabels = core
         .join(ccLabels, Seq("ck"), "left")

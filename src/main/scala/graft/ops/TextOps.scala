@@ -1322,6 +1322,79 @@ object TextOps {
       .groupBy(col("id")).agg(min(col("label")).as("label"))
   }
 
+  /** [[connectedComponentsStar]] with the contraction loop on RAW RDDs —
+    * the iterative-tail lever the round-13 verdict named: inside a
+    * narrow-shuffle scope (AQE off, dimension-bounded frames) the
+    * DataFrame loop's residual cost is per-check Catalyst work (~0.3-0.4s
+    * of plan compilation per 4-star batch, SURVEY §8.27), which an RDD
+    * loop does not pay — the DAG is built directly, one action per
+    * check. Same star semantics op-for-op (m = min(center ∪ neighbors);
+    * large-star re-hangs the bigger neighbors, small-star the smaller
+    * ones + the center; normalize, dedup), same (id, label) contract,
+    * proven label-identical to the DataFrame form on every
+    * ConnectedComponentsSpec graph. Use ONLY where the vertex set is
+    * dimension-bounded: `groupByKey` materializes per-center neighbor
+    * lists, which is fine at |suppliers| and wrong at |documents| — the
+    * DataFrame form stays the default and the 100 TB path.
+    */
+  def connectedComponentsStarRdd(edges: DataFrame, parts: Int): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e0 = edges.toDF("a", "b")
+    val norm = e0
+      .filter(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).cast("long").as("u"),
+        greatest(col("a"), col("b")).cast("long").as("v"))
+      .distinct()
+    var e = norm.as[(Long, Long)].rdd.coalesce(parts, shuffle = true)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def star(in: org.apache.spark.rdd.RDD[(Long, Long)],
+        large: Boolean): org.apache.spark.rdd.RDD[(Long, Long)] = {
+      in.flatMap { case (u, v) => Iterator((u, v), (v, u)) }
+        .groupByKey(parts)
+        .flatMap { case (u, vs) =>
+          var m = u
+          vs.foreach(v => if (v < m) m = v)
+          val mm = m
+          if (large) vs.iterator.filter(_ > u).map(v => (mm, v))
+          else vs.iterator
+            .flatMap(v => if (v <= u) Iterator((mm, v), (mm, u)) else Iterator((mm, u)))
+            .filter(_._2 != mm)
+        }
+        .distinct(parts)
+    }
+    var fingerprint: (BigInt, Long) = (BigInt(-1), -1L)
+    var converged = false
+    var rounds = 0
+    while (!converged) {
+      rounds += 1
+      require(rounds < 64, "star contraction failed to converge in 64 rounds")
+      // same cadence as the DataFrame loop: 4 star ops per convergence
+      // check, the check's aggregate doubling as the materializer
+      val next = star(star(star(star(
+          e, large = true), large = false), large = true), large = false)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val fp = next.mapPartitions { it =>
+        var h = BigInt(0); var c = 0L
+        it.foreach { p =>
+          h += BigInt(scala.util.hashing.MurmurHash3.productHash(p)); c += 1
+        }
+        Iterator((h, c))
+      }.fold((BigInt(0), 0L)) { case ((h1, c1), (h2, c2)) => (h1 + h2, c1 + c2) }
+      converged = fp == fingerprint
+      fingerprint = fp
+      e.unpersist(blocking = false)
+      e = next
+    }
+    if (fingerprint._2 == 0L) {
+      e.unpersist(blocking = false)
+      return e0.select(col("a").cast("long").as("id"), col("a").cast("long").as("label")).limit(0)
+    }
+    e.flatMap { case (u, v) => Iterator((u, u), (v, u)) }
+      .reduceByKey(math.min(_, _), parts)
+      .toDF("id", "label")
+  }
+
   /** pairs (id_a, id_b) → (doc_id, cluster, cluster_size): the q82 body,
     * factored out so specs can drive the full entry-point logic (incl. the
     * stalled-round escape to star contraction) with synthetic edge sets. */

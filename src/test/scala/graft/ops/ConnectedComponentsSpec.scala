@@ -65,6 +65,33 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(result.passed, result.status.toString)
   }
 
+  test("RDD star loop == DataFrame star loop == union-find on random graphs") {
+    import spark.implicits._
+    // the narrow-scope RDD inner loop (q255's path) must be
+    // label-identical to the DataFrame contraction on every graph shape
+    val prop = Prop.forAll(edgesGen) { edges =>
+      val base = unionFind(edges).filter { case (id, _) =>
+        edges.exists(e => (e._1 == id || e._2 == id) && e._1 != e._2)
+      }
+      val got = TextOps.connectedComponentsStarRdd(edges.toDF("a", "b"), parts = 3)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      got == base
+    }
+    val result = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(8), prop)
+    assert(result.passed, result.status.toString)
+    Checkpoints.releaseAll(spark)
+  }
+
+  test("RDD star loop resolves a 24-node chain (diameter stress) to one component") {
+    import spark.implicits._
+    val chain = (0L until 23L).map(i => (i, i + 1))
+    val labels = TextOps.connectedComponentsStarRdd(chain.toDF("a", "b"), parts = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.size === 24)
+    assert(labels.values.toSet === Set(0L))
+    Checkpoints.releaseAll(spark)
+  }
+
   test("regression: round-cap escape keeps self-loop-only singletons (ScalaCheck find)") {
     import spark.implicits._
     // the shrunk ScalaCheck counterexample: a diameter-7 path (forces the
