@@ -58,8 +58,16 @@ object BandIndex {
   }
 
   /** Seed the index from an initial document set. */
-  def seed(spark: SparkSession, root: String, docs: DataFrame): State = {
-    val sig = TextOps.bandedSignatures(docs).withColumn("ver", lit(0L))
+  def seed(spark: SparkSession, root: String, docs: DataFrame): State =
+    seedSigs(spark, root, TextOps.bandedSignatures(docs))
+
+  /** Generic seed from a prebuilt (doc_id, band, band_sig) signature
+    * frame — the storage layer is signature-family-agnostic (tombstones,
+    * census, and compaction only ever touch doc_id/ver), so the SAME LSM
+    * index serves minhash-banded text (q447) and hyperplane-bucketed
+    * vectors (q452). */
+  def seedSigs(spark: SparkSession, root: String, sigs: DataFrame): State = {
+    val sig = sigs.withColumn("ver", lit(0L))
     sig.write.mode(SaveMode.Overwrite).parquet(s"$root/rows")
     spark.read.parquet(s"$root/rows").select("doc_id").distinct()
       .write.mode(SaveMode.Overwrite).parquet(s"$root/ids")
@@ -107,11 +115,42 @@ object BandIndex {
   def ingest(spark: SparkSession, root: String, batchDocs: DataFrame,
       allDocs: DataFrame, prev: Option[State] = None,
       incomingHint: Option[Long] = None, compactEvery: Int = 8): IngestResult = {
+    // exact-Jaccard verification over CANDIDATE docs only: semi-join the
+    // raw docs to the candidate id set before shingling, so the verify
+    // grind is O(candidates) at any corpus size
+    def verify(cand: DataFrame): DataFrame = {
+      val needIds = cand.select(col("doc_id").as("vid"))
+        .union(cand.select(col("id_ex").as("vid"))).distinct()
+      val vsh = TextOps.shingleArrays(
+          allDocs.join(needIds, col("doc_id") === col("vid"), "left_semi"))
+        .localCheckpoint(true)
+      broadcast(cand)
+        .join(vsh.select(col("doc_id"), col("sh").as("sh_a")), "doc_id")
+        .join(vsh.select(col("doc_id").as("id_ex"), col("sh").as("sh_b")), "id_ex")
+        .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+        .filter(col("inter").cast("double") /
+          (size(col("sh_a")) + size(col("sh_b")) - col("inter")) >= 0.5)
+    }
+    ingestSigs(spark, root, TextOps.bandedSignatures(batchDocs), verify,
+      incomingHint.getOrElse(batchDocs.count()), prev, compactEvery)
+  }
+
+  /** Generic incremental-ingest step from a prebuilt (doc_id, band,
+    * band_sig) signature frame. `verify` maps the band-collision
+    * candidate pairs (doc_id, id_ex) to the CONFIRMED near-dup pairs —
+    * exact Jaccard for text signatures, exact cosine for vector buckets
+    * — and must touch only candidate ids, never the corpus. The storage
+    * flow (append-only deltas, tombstones, incremental census,
+    * compaction) is identical for every signature family.
+    */
+  def ingestSigs(spark: SparkSession, root: String, batchSigs: DataFrame,
+      verify: DataFrame => DataFrame, incoming: Long,
+      prev: Option[State] = None, compactEvery: Int = 8): IngestResult = {
     val st = prev.getOrElse(readState(spark, root))
     val gen = st.gen + 1
     val idx = read(spark, root)
     // batch signatures feed the candidate join AND the delta — one build
-    val bsig = TextOps.bandedSignatures(batchDocs).localCheckpoint(true)
+    val bsig = batchSigs.localCheckpoint(true)
     // candidates: batch × index band collisions (self excluded: on
     // re-ingest the batch's own rows are already in the index)
     val cand = bsig.join(idx.select(col("band"), col("band_sig"),
@@ -119,20 +158,7 @@ object BandIndex {
       .filter(col("doc_id") =!= col("id_ex"))
       .select(col("doc_id"), col("id_ex")).dropDuplicates("doc_id", "id_ex")
       .localCheckpoint(true)
-    // exact-Jaccard verification over CANDIDATE docs only: semi-join the
-    // raw docs to the candidate id set before shingling, so the verify
-    // grind is O(candidates) at any corpus size
-    val needIds = cand.select(col("doc_id").as("vid"))
-      .union(cand.select(col("id_ex").as("vid"))).distinct()
-    val vsh = TextOps.shingleArrays(
-        allDocs.join(needIds, col("doc_id") === col("vid"), "left_semi"))
-      .localCheckpoint(true)
-    val pairs = broadcast(cand)
-      .join(vsh.select(col("doc_id"), col("sh").as("sh_a")), "doc_id")
-      .join(vsh.select(col("doc_id").as("id_ex"), col("sh").as("sh_b")), "id_ex")
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
-      .filter(col("inter").cast("double") /
-        (size(col("sh_a")) + size(col("sh_b")) - col("inter")) >= 0.5)
+    val pairs = verify(cand)
     // the three readout counts are INDEPENDENT jobs over already-
     // materialized (or slim) inputs — submit them concurrently so the
     // per-batch scheduler floor pays one latency, not three
@@ -171,11 +197,13 @@ object BandIndex {
     // census maintained incrementally — no full-index re-scan
     val novel = Await.result(batchDistinctF, Duration.Inf) - presentCnt
     val nearDup = Await.result(nearDupF, Duration.Inf)
-    val incoming = incomingHint.getOrElse(batchDocs.count())
     var next = State(gen, st.nDocs + novel, st.deltasSinceCompact + 1)
     if (next.deltasSinceCompact >= compactEvery) next = compact(spark, root, next)
     writeMeta(spark, root, next)
-    Checkpoints.release(bsig); Checkpoints.release(cand); Checkpoints.release(vsh)
+    // pairs' plan reaches every checkpoint the verify closure made (vsh
+    // for text, the candidate-vector fetch for vectors) — release via the
+    // plan so the closure needs no lifecycle protocol of its own
+    Checkpoints.release(pairs); Checkpoints.release(bsig); Checkpoints.release(cand)
     IngestResult(incoming, nearDup, novel, next.nDocs, next)
   }
 

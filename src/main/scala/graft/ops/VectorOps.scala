@@ -668,6 +668,112 @@ object VectorOps {
   }
 
   // --------------------------------------------------------------------------
+  // q452 — INCREMENTAL VECTOR INDEX: q447's LSM index discipline applied
+  // to the embedding space. The persisted index holds hyperplane-bucket
+  // signatures (band, band_sig) per vector — the SAME (doc_id, band,
+  // band_sig) key family as the minhash band index, so the storage layer
+  // (append-only deltas, tombstones, incremental census, compaction) is
+  // BandIndex verbatim via ingestSigs; only the signature function and
+  // the exact verification differ. Per ingest batch: signature build is
+  // O(batch); candidates = batch × index bucket collisions (an equi-join
+  // on (band, band_sig), never all-pairs); exact cosine runs over
+  // CANDIDATE ids only (vectors semi-join-fetched from the corpus, the
+  // wide arrays never broadcast — only the slim candidate pair keys);
+  // the upsert appends an O(batch) delta. Same corpus and (16, 8)/0.9
+  // setting as q104, whose oracle-checked exact-equality makes the
+  // DuckDB replay exact here too: per planted-twin pair the band-miss
+  // probability is (1 − 0.948⁸)¹⁶ ≈ 4e-8 and false candidates never
+  // survive the exact cosine, so the oracle can skip LSH and count
+  // exact cross-batch cosine ≥ 0.9 partners directly.
+  //
+  // Readout per batch (same shape as q447): incoming vectors, near-dups
+  // vs the index as of the previous generation, novel (= incoming −
+  // near-dup), and the incrementally maintained index census.
+  private[ops] val viBatchExpr =
+    "cast(conv(substring(md5(concat('vbatch:', cast(vec_id as string))), 1, 4), 16, 10) as bigint) % 4"
+
+  /** (vec_id, embedding) → one (doc_id, band, band_sig) row per band:
+    * the hyperplane-bucket signature family for [[BandIndex]] roots. */
+  private[ops] def vecSignatures(spark: SparkSession, vecs: DataFrame): DataFrame = {
+    val fn = s"lsh_bands_${ndRealBands}x$ndRealPlanesPerBand"
+    graft.functions.LshBands.register(spark, fn,
+      ndPlanesFor(ndRealBands, ndRealPlanesPerBand), ndRealPlanesPerBand)
+    vecs.select(col("vec_id"), posexplode(expr(s"$fn(embedding)")))
+      .toDF("doc_id", "band", "band_sig")
+  }
+
+  def q452IncrementalVectorIndex(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.CosineSimilarity.register(spark)
+    val corpus = plantedTwinCorpus(spark, dir).withColumn("batch", expr(viBatchExpr))
+    val idxRoot = java.nio.file.Files.createTempDirectory("graft_vecidx").toString
+    try {
+      var st = BandIndex.seedSigs(spark, idxRoot,
+        vecSignatures(spark, corpus.filter(col("batch") === 0)))
+      // all three batch sizes in ONE pre-loop aggregate (the q447 fold)
+      val incoming = corpus.filter(col("batch") >= 1).groupBy(col("batch"))
+        .agg(count(lit(1)).as("n")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap.withDefaultValue(0L)
+      // exact-cosine verification over CANDIDATE ids only; the fetched
+      // vector frame feeds both sides of the pair join (fanout checkpoint,
+      // released by ingestSigs via the pairs plan)
+      def verify(cand: DataFrame): DataFrame = {
+        val needIds = cand.select(col("doc_id").as("vid"))
+          .union(cand.select(col("id_ex").as("vid"))).distinct()
+        val vecs = corpus.join(needIds, col("vec_id") === col("vid"), "left_semi")
+          .select(col("vec_id"), col("embedding"))
+          .localCheckpoint(true)
+        broadcast(cand)
+          .join(vecs.select(col("vec_id").as("doc_id"), col("embedding").as("va")), "doc_id")
+          .join(vecs.select(col("vec_id").as("id_ex"), col("embedding").as("vb")), "id_ex")
+          .filter(expr("cosine_sim(va, vb)") >= ndRealThreshold)
+      }
+      val out = (1 to 3).map { b =>
+        val r = BandIndex.ingestSigs(spark, idxRoot,
+          vecSignatures(spark, corpus.filter(col("batch") === b)),
+          verify, incoming(b.toLong), prev = Some(st))
+        st = r.state
+        (b.toLong, r.incoming, r.nearDup, r.incoming - r.nearDup, r.indexDocs)
+      }
+      import spark.implicits._
+      out.toDF("batch", "incoming", "near_dup", "novel", "index_docs")
+        .orderBy(col("batch"))
+    } finally BandIndex.deleteRoot(spark, idxRoot)
+  }
+
+  val q452Sql: String =
+    """WITH corpus AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+      |  UNION ALL
+      |  SELECT vec_id + 10000000,
+      |    list_prepend(v[1] * 1.25, v[2:]) FROM (
+      |      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+      |  WHERE vec_id % 10 = 0),
+      |b AS (
+      |  SELECT vec_id, v,
+      |    ('0x' || substr(md5('vbatch:' || vec_id::VARCHAR), 1, 4))::BIGINT % 4
+      |      AS batch,
+      |    list_reduce(list_transform(v, x -> x * x), (xa, xb) -> xa + xb) AS n2
+      |  FROM corpus),
+      |nd AS (
+      |  SELECT a.batch, a.vec_id
+      |  FROM b a JOIN b ex ON ex.batch < a.batch AND a.batch >= 1
+      |  WHERE list_reduce(list_transform(range(1, 65),
+      |      i -> a.v[i] * ex.v[i]), (x, y) -> x + y) / sqrt(a.n2 * ex.n2) >= 0.9
+      |  GROUP BY 1, 2),
+      |sizes AS (SELECT batch, COUNT(*) AS n FROM b GROUP BY batch),
+      |cum AS (
+      |  SELECT batch,
+      |    CAST(SUM(n) OVER (ORDER BY batch) AS BIGINT) AS index_docs
+      |  FROM sizes),
+      |ndc AS (SELECT batch, COUNT(*) AS nd_n FROM nd GROUP BY batch)
+      |SELECT s.batch, CAST(s.n AS BIGINT) AS incoming,
+      |  CAST(COALESCE(d.nd_n, 0) AS BIGINT) AS near_dup,
+      |  CAST(s.n - COALESCE(d.nd_n, 0) AS BIGINT) AS novel,
+      |  c.index_docs
+      |FROM sizes s JOIN cum c USING (batch) LEFT JOIN ndc d USING (batch)
+      |WHERE s.batch >= 1 ORDER BY s.batch""".stripMargin
+
+  // --------------------------------------------------------------------------
   // q116 — contrastive pair mining for embedding training: for each anchor
   // (vec_id < 20), the POSITIVE is its most-similar same-label vector and
   // the HARD NEGATIVE its most-similar different-label vector — the
@@ -1796,6 +1902,7 @@ object VectorOps {
     // 0.4/(64×4) stress setting lives in VectorOpsSpec only — its OUTPUT
     // is O(n²), so it has no place in the default query surface.
     ("q104_cosine_neardup_lsh", q104CosineNearDupLsh _, Some(q104Sql)),
+    ("q452_incremental_vector_index", q452IncrementalVectorIndex _, Some(q452Sql)),
     ("q116_contrastive_pairs", q116ContrastivePairs _, Some(q116Sql)),
     ("q411_label_margin", q411LabelMargin _, Some(q411Sql)),
     // formerly Round8Ops

@@ -112,6 +112,62 @@ class IncrementalIndexSpec extends SparkSpec {
     }
   }
 
+  test("vector index (q452): readout equals the exact cross-batch cosine baseline") {
+    // the LSH candidate path + exact-cosine verify must reproduce what a
+    // brute-force per-batch sweep finds — same recall argument as q104's
+    // oracle, checked here in-engine over the full sf0.001 corpus
+    graft.functions.CosineSimilarity.register(spark)
+    val got = VectorOps.q452IncrementalVectorIndex(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(4)))
+    val corpus = VectorOps.plantedTwinCorpus(spark, dir)
+      .withColumn("batch", expr(VectorOps.viBatchExpr)).localCheckpoint(true)
+    val a = corpus.select(col("vec_id"), col("embedding").as("va"), col("batch"))
+    val ex = corpus.select(col("vec_id").as("id_ex"), col("embedding").as("vb"),
+      col("batch").as("batch_ex"))
+    val exact = a.filter(col("batch") >= 1).crossJoin(ex)
+      .filter(col("batch_ex") < col("batch"))
+      .filter(expr("cosine_sim(va, vb)") >= 0.9)
+      .select(col("batch"), col("vec_id")).distinct()
+      .groupBy(col("batch")).agg(count(lit(1)).as("nd"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap.withDefaultValue(0L)
+    val sizes = corpus.groupBy(col("batch")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    var cum = sizes(0L)
+    (1L to 3L).zip(got).foreach { case (b, (gb, gInc, gNd, gIdx)) =>
+      cum += sizes(b)
+      assert(gb == b)
+      assert(gInc == sizes(b), s"batch $b incoming: $gInc != ${sizes(b)}")
+      assert(gNd == exact(b), s"batch $b near_dup: LSH path $gNd != exact ${exact(b)}")
+      assert(gIdx == cum, s"batch $b census: $gIdx != $cum")
+    }
+    Checkpoints.releaseAll(spark)
+  }
+
+  test("vector index (q452): re-ingesting the same signature batch is idempotent") {
+    // the shared LSM storage must honor its contract under the vector
+    // signature schema too (int band_sig, no text verify)
+    val root = java.nio.file.Files.createTempDirectory("graft_vecidx_spec").toString
+    val corpus = VectorOps.plantedTwinCorpus(spark, dir)
+      .withColumn("batch", expr(VectorOps.viBatchExpr))
+    val noPairs = (cand: org.apache.spark.sql.DataFrame) => cand.filter(lit(false))
+    val st0 = BandIndex.seedSigs(spark, root,
+      VectorOps.vecSignatures(spark, corpus.filter(col("batch") === 0)))
+    val sig1 = VectorOps.vecSignatures(spark, corpus.filter(col("batch") === 1))
+    val r1 = BandIndex.ingestSigs(spark, root, sig1, noPairs, incoming = 0L, prev = Some(st0))
+    val live1 = BandIndex.read(spark, root)
+      .select("doc_id", "band", "band_sig").localCheckpoint(true)
+    val r2 = BandIndex.ingestSigs(spark, root, sig1, noPairs, incoming = 0L, prev = Some(r1.state))
+    assert(r2.novel == 0L, s"re-ingest reported ${r2.novel} novel vectors")
+    assert(r2.indexDocs == r1.indexDocs,
+      s"re-ingest grew the census: ${r1.indexDocs} -> ${r2.indexDocs}")
+    val live2 = BandIndex.read(spark, root).select("doc_id", "band", "band_sig")
+    assert(live2.exceptAll(live1).isEmpty && live1.exceptAll(live2).isEmpty,
+      "re-ingest changed live vector index rows")
+    assert(live2.select("doc_id").distinct().count() == r2.indexDocs)
+    Checkpoints.releaseAll(spark)
+    BandIndex.deleteRoot(spark, root)
+  }
+
   test("compaction preserves live content and clears tombstones") {
     val root = java.nio.file.Files.createTempDirectory("graft_idx_spec4").toString
     val docs = graft.Tables.documents(spark, dir).withColumn("batch",
