@@ -27,6 +27,19 @@ import org.apache.spark.sql.functions._
   *     IO). Flat per_batch_sec across the decades IS the sub-linear
   *     upsert claim. A forced compaction is timed separately — that is
   *     the O(corpus / compactEvery) amortized piece.
+  *   - `vec` (multipliers 1,4,16): the q452 VECTOR index — ingest the
+  *     same fixed embedding batch against an index seeded at m× size
+  *     (real seed + synthetic md5-derived near-orthogonal filler, so no
+  *     filler vector is ever a true near-dup). Unlike the text axis,
+  *     collision-FREE filler is impossible here: hyperplane buckets are
+  *     2^r per band, so ANY corpus occupies them and candidate mass
+  *     grows ~linearly with index size (random 64-dim pairs collide in
+  *     ≥1 of 16 bands w.p. ≈ 16/2^8 ≈ 6%). The probe therefore reports
+  *     candidates alongside per_batch_sec to ATTRIBUTE the slope: write
+  *     IO and near-dups stay flat (the LSM claim holds); the candidate
+  *     verify term is the intrinsic LSH cost, and the production lever
+  *     is raising planesPerBand with corpus size (collision 2^-r — the
+  *     q273 planner logic) or moving to the IVF route (q45/q213).
   */
 object IndexProbe {
   def main(args: Array[String]): Unit = {
@@ -95,6 +108,63 @@ object IndexProbe {
       println(f"""{"probe":"band_index","axis":"corpus","multiplier":$m,"index_docs":${st.nDocs},"""
         + f""""per_batch_sec":${ingestSec / rounds}%.4f,"ingest_sec":$ingestSec%.3f,"""
         + f""""compact_sec":$compactSec%.3f,"near_dups":$nears}""")
+      ops.Checkpoints.releaseAll(spark)
+      ops.BandIndex.deleteRoot(spark, root)
+    }
+    if (mode == "vec") for (m <- decades) {
+      val root = java.nio.file.Files.createTempDirectory(s"graft_idxprobe_v$m").toString
+      val emb = Tables.embeddings(spark, dir)
+        .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("embedding"))
+        .withColumn("slot",
+          expr("cast(conv(substring(md5(concat('vprobe:', cast(vec_id as string))), 1, 6), 16, 10) as bigint)"))
+      val batch = emb.filter(col("slot") % 5 === 1).drop("slot")
+      val realSeed = emb.filter(col("slot") % 5 =!= 1).drop("slot")
+      val baseN = realSeed.count()
+      // synthetic filler: 64 md5-derived components in [-1, 1] per vector
+      // — near-orthogonal to everything (cosine ~N(0, 1/64-ish)), so the
+      // filler adds bucket occupancy without adding true near-dups
+      val synth = spark.range(baseN * (m - 1).max(0)).select(
+        (col("id") + 10000000L).as("vec_id"),
+        expr("""transform(sequence(0, 63), i ->
+                cast(conv(substring(md5(concat(cast(id as string), ':', cast(i as string))), 1, 6), 16, 10) as double)
+                  / 8388608.0d - 1.0d)""").as("embedding"))
+      val corpus = realSeed.unionByName(synth)
+      graft.functions.CosineSimilarity.register(spark)
+      val verify = (cand: org.apache.spark.sql.DataFrame) => {
+        val needIds = cand.select(col("doc_id").as("vid"))
+          .union(cand.select(col("id_ex").as("vid"))).distinct()
+        val all = corpus.unionByName(batch)
+        val vecs = all.join(needIds, col("vec_id") === col("vid"), "left_semi")
+          .select(col("vec_id"), col("embedding")).localCheckpoint(true)
+        broadcast(cand)
+          .join(vecs.select(col("vec_id").as("doc_id"), col("embedding").as("va")), "doc_id")
+          .join(vecs.select(col("vec_id").as("id_ex"), col("embedding").as("vb")), "id_ex")
+          .filter(expr("cosine_sim(va, vb)") >= 0.9)
+      }
+      var st = ops.BandIndex.seedSigs(spark, root, ops.VectorOps.vecSignatures(spark, corpus))
+      // candidate mass, measured once per multiplier: the term that may
+      // legitimately scale with index size (bucket occupancy)
+      val cands = ops.VectorOps.vecSignatures(spark, batch)
+        .join(ops.BandIndex.read(spark, root)
+          .select(col("band"), col("band_sig"), col("doc_id").as("id_ex")),
+          Seq("band", "band_sig"))
+        .filter(col("doc_id") =!= col("id_ex"))
+        .select("doc_id", "id_ex").distinct().count()
+      val rounds = 5
+      val nBatch = batch.count()
+      val t0 = System.nanoTime()
+      var nears = 0L
+      (0 until rounds).foreach { _ =>
+        val r = ops.BandIndex.ingestSigs(spark, root,
+          ops.VectorOps.vecSignatures(spark, batch), verify, incoming = nBatch,
+          prev = Some(st), compactEvery = rounds + 1)
+        nears += r.nearDup
+        st = r.state
+      }
+      val ingestSec = (System.nanoTime() - t0) / 1e9
+      println(f"""{"probe":"vec_index","axis":"corpus","multiplier":$m,"index_docs":${st.nDocs},"""
+        + f""""per_batch_sec":${ingestSec / rounds}%.4f,"ingest_sec":$ingestSec%.3f,"""
+        + f""""candidates":$cands,"near_dups":$nears}""")
       ops.Checkpoints.releaseAll(spark)
       ops.BandIndex.deleteRoot(spark, root)
     }

@@ -526,14 +526,30 @@ object PipelineOps {
   // itself on the ancestor key + the scalar convergence check; rounds are
   // log₂(max depth), e.g. a 1M-deep pathological chain still converges in
   // 20 joins. The oracle is DuckDB's native WITH RECURSIVE.
-  def q114Hierarchy(spark: SparkSession, dir: String): DataFrame =
-    flattenParents(
-      Tables.customer(spark, dir).select(
+  def q114Hierarchy(spark: SparkSession, dir: String): DataFrame = {
+    // null-key contract (NullKeySpec caught both halves): a null custkey
+    // has no identity, so it cannot be a tree node — dropped at the
+    // boundary (oracle mirrored), matching what q146's recursive-CTE twin
+    // does implicitly (a null cur never satisfies either branch). And a
+    // node whose COMPUTED parent is one of the dropped keys is an
+    // orphaned foreign pointer — routine data under the sweep's fixture —
+    // so orphans are re-rooted to themselves (the unmatched-row
+    // convention the equi-join families use) BEFORE flattenParents, whose
+    // closure contract stays fail-fast for genuinely broken forests. On a
+    // closed forest (the real tables) the repair join matches every row,
+    // so oracle hashes are unchanged.
+    val raw = Tables.customer(spark, dir)
+      .filter(col("c_custkey").isNotNull).select(
         col("c_custkey").as("node"),
         when(col("c_custkey") < 7, col("c_custkey"))
-          .otherwise(expr("c_custkey div 7")).as("parent")))
+          .otherwise(expr("c_custkey div 7")).as("parent"))
+    val repaired = raw
+      .join(raw.select(col("node").as("__p")), col("parent") === col("__p"), "left")
+      .select(col("node"), coalesce(col("__p"), col("node")).as("parent"))
+    flattenParents(repaired)
       .select(col("node").as("custkey"), col("root"), col("depth"))
       .orderBy(col("custkey"))
+  }
 
   /** General hierarchy flatten: parents(node, parent) → (node, root, depth)
     * by pointer doubling. Convergence = a round that changes no ancestor
@@ -589,6 +605,7 @@ object PipelineOps {
   val q114Sql: String =
     """WITH RECURSIVE r(node, cur, depth) AS (
       |  SELECT c_custkey, c_custkey, 0 FROM customer
+      |    WHERE c_custkey IS NOT NULL
       |  UNION ALL
       |  SELECT node, cur // 7, depth + 1 FROM r WHERE cur >= 7)
       |SELECT node AS custkey, cur AS root, CAST(depth AS BIGINT) AS depth

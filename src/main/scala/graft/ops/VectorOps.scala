@@ -694,7 +694,7 @@ object VectorOps {
 
   /** (vec_id, embedding) → one (doc_id, band, band_sig) row per band:
     * the hyperplane-bucket signature family for [[BandIndex]] roots. */
-  private[ops] def vecSignatures(spark: SparkSession, vecs: DataFrame): DataFrame = {
+  private[graft] def vecSignatures(spark: SparkSession, vecs: DataFrame): DataFrame = {
     val fn = s"lsh_bands_${ndRealBands}x$ndRealPlanesPerBand"
     graft.functions.LshBands.register(spark, fn,
       ndPlanesFor(ndRealBands, ndRealPlanesPerBand), ndRealPlanesPerBand)
