@@ -51,6 +51,44 @@ final class BandIndexStreamIngestor(spark: SparkSession, root: String,
   }
 }
 
+/** Typed vector row for the streaming vector-index front door. */
+case class VecRow(vec_id: Long, embedding: Seq[Double])
+
+/** Streaming front door for the persisted VECTOR index (q452): each
+  * micro-batch of (vec_id, embedding) is one incremental
+  * [[BandIndex.ingestSigs]] — hyperplane signatures built per batch,
+  * near-dup'd against the PERSISTED index with exact cosine over
+  * candidate ids only, then upserted as an O(batch) append delta. Same
+  * state-threading contract as [[BandIndexStreamIngestor]]; `vecStore`
+  * is the vector store maintained alongside the index (the current
+  * batch is unioned in so in-flight ids resolve during verification).
+  * StreamingSpec proves stream/batch parity against the sequential
+  * ingestSigs path.
+  */
+final class VecIndexStreamIngestor(spark: SparkSession, root: String,
+    vecStore: DataFrame, threshold: Double = 0.9) {
+  graft.functions.CosineSimilarity.register(spark)
+  @volatile private var st = BandIndex.readState(spark, root)
+  private val store = vecStore.select("vec_id", "embedding")
+  private val buf = scala.collection.mutable.ArrayBuffer[BandIndex.IngestResult]()
+
+  /** Per-micro-batch readouts in arrival order. */
+  def results: Seq[BandIndex.IngestResult] = buf.synchronized { buf.toSeq }
+
+  def onBatch(batch: Dataset[org.apache.spark.sql.Row], batchId: Long): Unit = {
+    val b = batch.toDF().select("vec_id", "embedding")
+    val n = b.count()
+    if (n > 0) {
+      val all = store.unionByName(b)
+      val r = BandIndex.ingestSigs(b.sparkSession, root,
+        VectorOps.vecSignatures(b.sparkSession, b),
+        VectorOps.cosineVerify(all, threshold), incoming = n, prev = Some(st))
+      st = r.state
+      buf.synchronized { buf += r; () }
+    }
+  }
+}
+
 /** Event-time windowing over the `events` table, written once against a
   * DataFrame so the SAME transform runs in batch (DuckDB-oracle-checkable)
   * and under Structured Streaming (StreamingSpec drives it through

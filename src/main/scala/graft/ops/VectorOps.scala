@@ -702,6 +702,27 @@ object VectorOps {
       .toDF("doc_id", "band", "band_sig")
   }
 
+  /** Exact-cosine verification for [[BandIndex.ingestSigs]] candidate
+    * pairs, touching CANDIDATE ids only: vectors are semi-join-fetched
+    * from `corpus` (the fetched frame feeds both sides of the pair join —
+    * a fanout checkpoint, released by ingestSigs via the pairs plan), and
+    * only the slim pair keys broadcast, never arrays. `corpus` must hold
+    * (vec_id, embedding) for every id a candidate can name — callers
+    * union in-flight batches in (the streaming front door does). Callers
+    * register cosine_sim first. */
+  private[graft] def cosineVerify(corpus: DataFrame, threshold: Double)(
+      cand: DataFrame): DataFrame = {
+    val needIds = cand.select(col("doc_id").as("vid"))
+      .union(cand.select(col("id_ex").as("vid"))).distinct()
+    val vecs = corpus.join(needIds, col("vec_id") === col("vid"), "left_semi")
+      .select(col("vec_id"), col("embedding"))
+      .localCheckpoint(true)
+    broadcast(cand)
+      .join(vecs.select(col("vec_id").as("doc_id"), col("embedding").as("va")), "doc_id")
+      .join(vecs.select(col("vec_id").as("id_ex"), col("embedding").as("vb")), "id_ex")
+      .filter(expr("cosine_sim(va, vb)") >= threshold)
+  }
+
   def q452IncrementalVectorIndex(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.CosineSimilarity.register(spark)
     val corpus = plantedTwinCorpus(spark, dir).withColumn("batch", expr(viBatchExpr))
@@ -713,24 +734,10 @@ object VectorOps {
       val incoming = corpus.filter(col("batch") >= 1).groupBy(col("batch"))
         .agg(count(lit(1)).as("n")).collect()
         .map(r => r.getLong(0) -> r.getLong(1)).toMap.withDefaultValue(0L)
-      // exact-cosine verification over CANDIDATE ids only; the fetched
-      // vector frame feeds both sides of the pair join (fanout checkpoint,
-      // released by ingestSigs via the pairs plan)
-      def verify(cand: DataFrame): DataFrame = {
-        val needIds = cand.select(col("doc_id").as("vid"))
-          .union(cand.select(col("id_ex").as("vid"))).distinct()
-        val vecs = corpus.join(needIds, col("vec_id") === col("vid"), "left_semi")
-          .select(col("vec_id"), col("embedding"))
-          .localCheckpoint(true)
-        broadcast(cand)
-          .join(vecs.select(col("vec_id").as("doc_id"), col("embedding").as("va")), "doc_id")
-          .join(vecs.select(col("vec_id").as("id_ex"), col("embedding").as("vb")), "id_ex")
-          .filter(expr("cosine_sim(va, vb)") >= ndRealThreshold)
-      }
       val out = (1 to 3).map { b =>
         val r = BandIndex.ingestSigs(spark, idxRoot,
           vecSignatures(spark, corpus.filter(col("batch") === b)),
-          verify, incoming(b.toLong), prev = Some(st))
+          cosineVerify(corpus, ndRealThreshold), incoming(b.toLong), prev = Some(st))
         st = r.state
         (b.toLong, r.incoming, r.nearDup, r.incoming - r.nearDup, r.indexDocs)
       }

@@ -374,4 +374,53 @@ class StreamingSpec extends SparkSpec {
     BandIndex.deleteRoot(spark, rootBatch)
     BandIndex.deleteRoot(spark, rootStream)
   }
+
+  test("vector-index foreachBatch ingest matches the batch path on identical batches") {
+    // the q452 twin of the band-index parity case: the SAME three
+    // vbatch-split batches of the planted-twin corpus, once through
+    // sequential ingestSigs and once through MemoryStream into
+    // VecIndexStreamIngestor — identical per-batch readouts AND a
+    // content-identical live index.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    graft.functions.CosineSimilarity.register(spark)
+    val corpus = VectorOps.plantedTwinCorpus(spark, "/root/testdata/sf0.001")
+      .withColumn("batch", expr(VectorOps.viBatchExpr))
+      .localCheckpoint(true)
+    val rootBatch = java.nio.file.Files.createTempDirectory("graft_vidx_b").toString
+    val rootStream = java.nio.file.Files.createTempDirectory("graft_vidx_s").toString
+    var st = BandIndex.seedSigs(spark, rootBatch,
+      VectorOps.vecSignatures(spark, corpus.filter(col("batch") === 0)))
+    val batchResults = (1 to 3).map { b =>
+      val part = corpus.filter(col("batch") === b)
+      val r = BandIndex.ingestSigs(spark, rootBatch,
+        VectorOps.vecSignatures(spark, part),
+        VectorOps.cosineVerify(corpus, 0.9), incoming = part.count(), prev = Some(st))
+      st = r.state; r
+    }
+    BandIndex.seedSigs(spark, rootStream,
+      VectorOps.vecSignatures(spark, corpus.filter(col("batch") === 0)))
+    val ingestor = new VecIndexStreamIngestor(spark, rootStream,
+      corpus.select("vec_id", "embedding"))
+    val stream = MemoryStream[VecRow]
+    val q = stream.toDF().writeStream.foreachBatch(ingestor.onBatch _).start()
+    try {
+      (1 to 3).foreach { b =>
+        stream.addData(corpus.filter(col("batch") === b)
+          .select(col("vec_id"), col("embedding"))
+          .as[VecRow].collect().toSeq)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val sres = ingestor.results
+    assert(sres.map(r => (r.incoming, r.nearDup, r.novel, r.indexDocs)) ===
+      batchResults.map(r => (r.incoming, r.nearDup, r.novel, r.indexDocs)))
+    val liveB = BandIndex.read(spark, rootBatch).select("doc_id", "band", "band_sig")
+    val liveS = BandIndex.read(spark, rootStream).select("doc_id", "band", "band_sig")
+    assert(liveB.exceptAll(liveS).isEmpty && liveS.exceptAll(liveB).isEmpty,
+      "stream-built vector index content differs from the batch-built index")
+    Checkpoints.releaseAll(spark)
+    BandIndex.deleteRoot(spark, rootBatch)
+    BandIndex.deleteRoot(spark, rootStream)
+  }
 }
