@@ -610,12 +610,103 @@ object GraphMiningOps {
     result
   }
 
+  /** [[lpaCommunities]] with the Gauss–Seidel half-rounds on RAW RDDs —
+    * the q255 iterative-tail treatment tried on LPA, kept as a MEASURED
+    * NEGATIVE (SURVEY §8.28, the q82 eager-revert precedent): a
+    * same-JVM alternating A/B over the real sf0.1 edge list (~0.5M
+    * distinct (ck, pk) pairs, ~1.1M label messages per round) measured
+    * the fused DataFrame loop FASTER warm — 4.6-4.7 s vs 6.6-7.2 s for
+    * this loop — because per-round message volume is DATA-sized there,
+    * and Tungsten's codegen'd hash aggregate beats map-side HashMap
+    * combiners on real volume. The RDD-inner-loop lever pays only where
+    * the per-round frames are GRID-sized and the cost is Catalyst
+    * bookkeeping, as in q255's supplier-bounded star loop (hundreds of
+    * rows per round); q315 therefore stays on [[lpaCommunities]]. (Cold,
+    * this loop wins — 9.3 vs 18.1 s first run, no plan to compile — but
+    * the bench and any long-lived session are warm.)
+    *
+    * Mechanics, for the narrow-scope cases where it DOES apply: edge
+    * list hash-partitioned once per direction and persisted; each
+    * half-round is one map-side-combined `aggregateByKey` (label-count
+    * maps, then the (count DESC, label ASC) pick — identical tie-break
+    * to the DataFrame's min(struct(-cnt, lbl))); one reduce action per
+    * trajectory row; no Catalyst past the edge extraction. Null
+    * endpoints are filtered at the typed boundary (the graph-family
+    * contract). Trajectory-identity to the DataFrame form is
+    * ScalaCheck-proven on random bipartite graphs.
+    */
+  def lpaCommunitiesRdd(edges0: DataFrame, rounds: Int, parts: Int): DataFrame = {
+    val spark = edges0.sparkSession
+    import spark.implicits._
+    val part = new org.apache.spark.HashPartitioner(parts)
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val e = edges0.toDF("ck", "pk")
+      .filter(col("ck").isNotNull && col("pk").isNotNull)
+      .as[(Long, Long)].rdd
+    val byCk = e.partitionBy(part).persist(lvl)
+    val byPk = e.map(_.swap).partitionBy(part).persist(lvl)
+    // (node, incoming label) messages → (node, winning label): ONE
+    // shuffle via map-side-combined label-count maps, then a row-local
+    // (count DESC, label ASC) argmax — the DataFrame form's
+    // min(struct(-cnt, lbl)) tie-break, op-for-op
+    def half(msgs: org.apache.spark.rdd.RDD[(Long, Long)]) =
+      msgs.aggregateByKey(
+          scala.collection.mutable.HashMap.empty[Long, Long], part)(
+          (m, l) => { m.update(l, m.getOrElse(l, 0L) + 1L); m },
+          (a, b) => { b.foreach { case (l, c) => a.update(l, a.getOrElse(l, 0L) + c) }; a })
+        .mapValues { m =>
+          var bl = 0L; var bc = -1L
+          m.foreach { case (l, c) => if (c > bc || (c == bc && l < bl)) { bl = l; bc = c } }
+          bl
+        }
+    var lc = byCk.keys.distinct(parts).map(k => (k, k * 2)).partitionBy(part).persist(lvl)
+    var lp = byPk.keys.distinct(parts).map(k => (k, k * 2 + 1)).partitionBy(part).persist(lvl)
+    // one reduce action per trajectory row; empty partitions emit a
+    // neutral element so reduce() is total even on an empty graph
+    def stats(r: Int): (Int, Long, Option[Long], Option[Long]) = {
+      val sizes = lc.values.map((_, 1L)).union(lp.values.map((_, 1L)))
+        .reduceByKey(_ + _, parts)
+      val (n, top) = sizes.mapPartitions { it =>
+        var n = 0L; var best: (Long, Long) = null // (size, lbl): max size, then min lbl
+        it.foreach { case (l, s) =>
+          n += 1
+          if (best == null || s > best._1 || (s == best._1 && l < best._2)) best = (s, l)
+        }
+        Iterator((n, best))
+      }.reduce { case ((n1, b1), (n2, b2)) =>
+        val b = if (b1 == null) b2 else if (b2 == null) b1
+          else if (b1._1 > b2._1 || (b1._1 == b2._1 && b1._2 < b2._2)) b1 else b2
+        (n1 + n2, b)
+      }
+      (r, n, Option(top).map(_._2), Option(top).map(_._1))
+    }
+    val out = Vector.newBuilder[(Int, Long, Option[Long], Option[Long])]
+    out += stats(0)
+    for (r <- 1 to rounds) {
+      // Gauss–Seidel: the pk half-round consumes the ck half-round's NEW
+      // labels, mirroring the DataFrame loop's update order exactly
+      val lcNew = half(byPk.join(lp, part).values).persist(lvl)
+      val lpNew = half(byCk.join(lcNew, part).values).persist(lvl)
+      val (oldC, oldP) = (lc, lp)
+      lc = lcNew; lp = lpNew
+      out += stats(r) // the round's one action — materializes both halves
+      oldC.unpersist(blocking = false); oldP.unpersist(blocking = false)
+    }
+    byCk.unpersist(blocking = false); byPk.unpersist(blocking = false)
+    lc.unpersist(blocking = false); lp.unpersist(blocking = false)
+    out.result().toDF("round", "n_labels", "top_lbl", "top_size")
+      .orderBy(col("round"))
+  }
+
   def q315LpaCommunities(spark: SparkSession, dir: String): DataFrame = {
     val edges = Tables.orders(spark, dir)
       .join(Tables.lineitem(spark, dir),
         col("o_orderkey") === col("l_orderkey"))
       .select(col("o_custkey").as("ck"), col("l_partkey").as("pk"))
       .distinct()
+    // stays on the fused DataFrame loop: the per-round message volume is
+    // data-sized here, where the RDD inner loop measured SLOWER warm —
+    // see the A/B recorded on lpaCommunitiesRdd's scaladoc
     lpaCommunities(edges, rounds = 3)
   }
 

@@ -91,7 +91,13 @@ class TrendLpaAprioriPpsPropertySpec extends SparkSpec {
       val got = GraphMiningOps.lpaCommunities(es.toDF("ck", "pk"), rounds = 2).collect()
         .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
       val want = ref(es, 2)
-      (got == want) :| s"got $got want $want"
+      // q315's RDD inner loop (narrow-scope treatment) must be
+      // trajectory-identical to the DataFrame form on every graph shape
+      val gotRdd = GraphMiningOps.lpaCommunitiesRdd(es.toDF("ck", "pk"),
+          rounds = 2, parts = 3).collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+      ((got == want) :| s"got $got want $want") &&
+        ((gotRdd == want) :| s"rdd $gotRdd want $want")
     })
   }
 
