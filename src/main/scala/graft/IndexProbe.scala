@@ -150,6 +150,21 @@ object IndexProbe {
           Seq("band", "band_sig"))
         .filter(col("doc_id") =!= col("id_ex"))
         .select("doc_id", "id_ex").distinct().count()
+      // the documented production lever, demonstrated: doubling
+      // planesPerBand (16×16 vs the shipped 16×8) cuts per-band
+      // collision from 2^-8 toward 2^-16 — candidate mass should
+      // collapse by orders of magnitude on the same corpus
+      val fn16 = "lsh_bands_16x16_probe"
+      graft.functions.LshBands.register(spark, fn16,
+        ops.VectorOps.ndPlanesFor(16, 16), 16)
+      def sig16(df: org.apache.spark.sql.DataFrame) =
+        df.select(col("vec_id"), posexplode(expr(s"$fn16(embedding)")))
+          .toDF("doc_id", "band", "band_sig")
+      val cands16 = sig16(batch)
+        .join(sig16(corpus).select(col("band"), col("band_sig"),
+          col("doc_id").as("id_ex")), Seq("band", "band_sig"))
+        .filter(col("doc_id") =!= col("id_ex"))
+        .select("doc_id", "id_ex").distinct().count()
       val rounds = 5
       val nBatch = batch.count()
       val t0 = System.nanoTime()
@@ -164,7 +179,7 @@ object IndexProbe {
       val ingestSec = (System.nanoTime() - t0) / 1e9
       println(f"""{"probe":"vec_index","axis":"corpus","multiplier":$m,"index_docs":${st.nDocs},"""
         + f""""per_batch_sec":${ingestSec / rounds}%.4f,"ingest_sec":$ingestSec%.3f,"""
-        + f""""candidates":$cands,"near_dups":$nears}""")
+        + f""""candidates":$cands,"candidates_r16":$cands16,"near_dups":$nears}""")
       ops.Checkpoints.releaseAll(spark)
       ops.BandIndex.deleteRoot(spark, root)
     }

@@ -17,9 +17,11 @@ import argparse, json, statistics, sys
 def main():
     p = argparse.ArgumentParser(
         description=__doc__, formatter_class=argparse.RawDescriptionHelpFormatter)
-    p.add_argument("old", nargs="?", default="BENCH_FULL_r12.json",
-                   help="baseline artifact (default: BENCH_FULL_r12.json — "
-                        "the named like-for-like baseline in BASELINE.md)")
+    p.add_argument("old", nargs="?", default="BENCH_FULL_r13.json",
+                   help="baseline artifact (default: BENCH_FULL_r13.json — "
+                        "the named like-for-like baseline in BASELINE.md; "
+                        "r14's artifact is a slow-host run, see SURVEY §8.28 "
+                        "calibration before using it as a baseline)")
     p.add_argument("new")
     p.add_argument("--reg-ratio", type=float, default=1.5)
     p.add_argument("--reg-abs", type=float, default=0.5)
