@@ -1506,6 +1506,7 @@ object TextOps {
     val labeled = clusterPairs(
       q31NgramJaccard(spark, dir).select(col("id_a"), col("id_b")))
       .join(docs.select(col("doc_id"), col("n_chars")), "doc_id")
+      .localCheckpoint(false) // feeds the rep aggregate AND the drop join (q431's rule)
     val reps = labeled.groupBy(col("cluster"))
       .agg(max_by(col("doc_id"), expr("n_chars * 100000000 - doc_id")).as("rep"))
     val dropped = labeled.join(reps, "cluster")

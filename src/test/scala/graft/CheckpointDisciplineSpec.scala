@@ -57,6 +57,8 @@ class CheckpointDisciplineSpec extends AnyFunSuite {
       ("fanout-fusion", "feeds the per-source aggregate AND the total"),
     ("ops/CorpusStatOps.scala", "q438ContaminationAttribution") ->
       ("fanout-fusion", "df frame feeds every grid cell of the sweep"),
+    ("ops/EvalReplayOps.scala", "q326CaptureRecapture") ->
+      ("fanout-fusion", "each detector's pair set feeds its count AND the overlap join"),
     ("ops/EvalReplayOps.scala", "btFromWins") ->
       ("narrow-scope", "wins grid is model-pair-bounded; round frames live in the withNarrowShuffle scope at :755"),
     ("ops/EvalReplayOps.scala", "dupProvenance") ->
@@ -91,6 +93,8 @@ class CheckpointDisciplineSpec extends AnyFunSuite {
       ("fanout-fusion", "feeds the global-df aggregate AND the rank join"),
     ("ops/TextOps.scala", "q418ChainAudit") ->
       ("fanout-fusion", "feeds the histogram AND the paired count"),
+    ("ops/TextOps.scala", "q426SurvivorRetention") ->
+      ("fanout-fusion", "feeds the rep aggregate AND the drop join (q431's rule)"),
     ("ops/TextOps.scala", "q431SurvivorRuleSensitivity") ->
       ("fanout-fusion", "pair set feeds both passes' both sides + df guard"),
     ("ops/TextOps.scala", "q437DedupScopePlanner") ->
