@@ -66,14 +66,23 @@ object BandIndex {
     * census, and compaction only ever touch doc_id/ver), so the SAME LSM
     * index serves minhash-banded text (q447) and hyperplane-bucketed
     * vectors (q452). */
-  def seedSigs(spark: SparkSession, root: String, sigs: DataFrame): State = {
+  def seedSigs(spark: SparkSession, root: String, sigs: DataFrame): State =
+      LoopConf.withSizedCoalesce(spark) {
     val sig = sigs.withColumn("ver", lit(0L))
     sig.write.mode(SaveMode.Overwrite).parquet(s"$root/rows")
-    spark.read.parquet(s"$root/rows").select("doc_id").distinct()
-      .write.mode(SaveMode.Overwrite).parquet(s"$root/ids")
-    val n = spark.read.parquet(s"$root/ids").count()
-    val st = State(0L, n, 0L)
+    // one distinct over the written rows feeds the sidecar write AND the
+    // census count — checkpointed so the census is not a third pass, and
+    // the two consumers run as concurrent jobs (one scheduler latency)
+    val ids = spark.read.parquet(s"$root/rows").select("doc_id").distinct()
+      .localCheckpoint(true)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val nF = Future { ids.count() }
+    ids.write.mode(SaveMode.Overwrite).parquet(s"$root/ids")
+    val st = State(0L, Await.result(nF, Duration.Inf), 0L)
     writeMeta(spark, root, st)
+    Checkpoints.release(ids)
     st
   }
 
@@ -145,12 +154,28 @@ object BandIndex {
     */
   def ingestSigs(spark: SparkSession, root: String, batchSigs: DataFrame,
       verify: DataFrame => DataFrame, incoming: Long,
-      prev: Option[State] = None, compactEvery: Int = 8): IngestResult = {
+      prev: Option[State] = None, compactEvery: Int = 8): IngestResult =
+      LoopConf.withSizedCoalesce(spark) {
     val st = prev.getOrElse(readState(spark, root))
     val gen = st.gen + 1
     val idx = read(spark, root)
     // batch signatures feed the candidate join AND the delta — one build
     val bsig = batchSigs.localCheckpoint(true)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    // the delta append depends ONLY on the materialized bsig — start it
+    // now so its write IO overlaps the candidate/verify jobs below (the
+    // per-batch chain was 8 sequential job latencies; overlapping the
+    // independent ones cuts it to ~5).
+    // UPSERT = append-only: delta rows stamped with this generation; any
+    // REPLACED doc gets a tombstone killing its older generations. No
+    // index file is read or rewritten here (IncrementalIndexSpec asserts
+    // the delta plans scan nothing under the index root).
+    val rowsAppendF = Future {
+      bsig.withColumn("ver", lit(gen)).write.mode(SaveMode.Append)
+        .parquet(s"$root/rows")
+    }
     // candidates: batch × index band collisions (self excluded: on
     // re-ingest the batch's own rows are already in the index)
     val cand = bsig.join(idx.select(col("band"), col("band_sig"),
@@ -162,9 +187,6 @@ object BandIndex {
     // the three readout counts are INDEPENDENT jobs over already-
     // materialized (or slim) inputs — submit them concurrently so the
     // per-batch scheduler floor pays one latency, not three
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.ExecutionContext.Implicits.global
-    import scala.concurrent.duration.Duration
     val nearDupF = Future { pairs.select(col("doc_id")).distinct().count() }
     val batchIds = bsig.select("doc_id").distinct()
     // membership probe: batch ids (slim, broadcast) semi-join the ids
@@ -172,13 +194,8 @@ object BandIndex {
     val batchDistinctF = Future { batchIds.count() }
     val presentCnt = spark.read.parquet(s"$root/ids")
       .join(broadcast(batchIds), Seq("doc_id"), "left_semi").count()
-    // UPSERT = append-only: delta rows stamped with this generation; any
-    // REPLACED doc gets a tombstone killing its older generations. No
-    // index file is read or rewritten here (IncrementalIndexSpec asserts
-    // the delta plans scan nothing under the index root).
-    bsig.withColumn("ver", lit(gen)).write.mode(SaveMode.Append)
-      .parquet(s"$root/rows")
-    if (presentCnt > 0) {
+    Await.result(rowsAppendF, Duration.Inf)
+    val idsAppendF = if (presentCnt > 0) Future {
       // slow path (re-ingest): materialize the replaced ids once for the
       // tombstone delta and the novel-ids anti-join
       val presentIds = spark.read.parquet(s"$root/ids")
@@ -189,14 +206,17 @@ object BandIndex {
       batchIds.join(broadcast(presentIds), Seq("doc_id"), "left_anti")
         .write.mode(SaveMode.Append).parquet(s"$root/ids")
       Checkpoints.release(presentIds)
-    } else {
+    } else Future {
       // fast path (pure append — the common ingest case): every batch id
       // is novel, no tombstones
       batchIds.write.mode(SaveMode.Append).parquet(s"$root/ids")
     }
-    // census maintained incrementally — no full-index re-scan
+    // census maintained incrementally — no full-index re-scan. The
+    // sidecar/tombstone appends overlap these awaits; everything is
+    // joined before the meta row commits the generation.
     val novel = Await.result(batchDistinctF, Duration.Inf) - presentCnt
     val nearDup = Await.result(nearDupF, Duration.Inf)
+    Await.result(idsAppendF, Duration.Inf)
     var next = State(gen, st.nDocs + novel, st.deltasSinceCompact + 1)
     if (next.deltasSinceCompact >= compactEvery) next = compact(spark, root, next)
     writeMeta(spark, root, next)

@@ -39,4 +39,35 @@ private[ops] object LoopConf {
       spark.conf.set(aqeKey, prevAqe)
     }
   }
+
+  /** Size-based AQE partition coalescing scope (guide §2.2: size reduce
+    * partitions by BYTES, not by the core count): inside the scope AQE
+    * coalesces every post-shuffle stage down to `advisory`-sized
+    * partitions instead of stopping at the session parallelism
+    * (`parallelismFirst=false`). This is the right default for
+    * MULTI-ACTION operator chains over moderate frames — each action's
+    * reduce stages stop paying parallelism-many near-empty tasks of
+    * scheduling overhead (measured on the BandIndex ingest loop: q447
+    * 7.85 → 6.43 s warm-min at sf0.1), and at production sizes the same
+    * setting yields the guide's 64 MB-plus partitions. It is NOT set
+    * session-wide because iterative DataFrame loops with per-round
+    * actions (q82's CC propagation) measurably lose: their tiny round
+    * frames coalesce to one task and the rounds serialize (4.27 vs
+    * 2.10 s same-JVM). Same session-global thread-safety contract as
+    * [[withNarrowShuffle]].
+    */
+  def withSizedCoalesce[T](spark: SparkSession,
+      advisory: String = "64m")(body: => T): T = {
+    val pfKey = "spark.sql.adaptive.coalescePartitions.parallelismFirst"
+    val adKey = "spark.sql.adaptive.advisoryPartitionSizeInBytes"
+    val prevPf = spark.conf.get(pfKey)
+    val prevAd = spark.conf.get(adKey)
+    spark.conf.set(pfKey, "false")
+    spark.conf.set(adKey, advisory)
+    try body
+    finally {
+      spark.conf.set(pfKey, prevPf)
+      spark.conf.set(adKey, prevAd)
+    }
+  }
 }
