@@ -86,17 +86,30 @@ object BandIndex {
     st
   }
 
+  // The generation metadata is THREE LONGS — writing it through a Spark
+  // parquet job cost one full job latency per generation (and reading it
+  // back another); it is now one plain filesystem file per generation
+  // (`meta/gen-<n>`, content "gen nDocs deltasSinceCompact"), written
+  // and read with Hadoop FS calls only. Still one immutable file per
+  // generation (same append-only discipline as `rows/`), no Spark job.
   private def writeMeta(spark: SparkSession, root: String, st: State): Unit = {
-    import spark.implicits._
-    Seq((st.gen, st.nDocs, st.deltasSinceCompact))
-      .toDF("gen", "n_docs", "deltas_since_compact")
-      .write.mode(SaveMode.Append).parquet(s"$root/meta")
+    val f = fs(spark, root)
+    val out = f.create(new Path(s"$root/meta/gen-${st.gen}"), true)
+    try out.write(s"${st.gen} ${st.nDocs} ${st.deltasSinceCompact}\n"
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
   }
 
   def readState(spark: SparkSession, root: String): State = {
-    val r = spark.read.parquet(s"$root/meta")
-      .orderBy(col("gen").desc).limit(1).collect().head
-    State(r.getLong(0), r.getLong(1), r.getLong(2))
+    val f = fs(spark, root)
+    val latest = f.listStatus(new Path(s"$root/meta"))
+      .filter(_.getPath.getName.startsWith("gen-"))
+      .maxBy(_.getPath.getName.stripPrefix("gen-").toLong)
+    val in = f.open(latest.getPath)
+    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    val Array(g, n, d) = txt.trim.split(" ").map(_.toLong)
+    State(g, n, d)
   }
 
   /** Live index rows: union of deltas with tombstoned generations
