@@ -4,7 +4,7 @@ import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.types.{DecimalType, LongType}
 
 /** Eval, calibration, preference, privacy, and replay — Cohen kappa, capture-recapture, isotonic PAVA, Bradley-Terry, pass@k, IPS and doubly-robust replay, sampled join-size, dup provenance, l-diversity, t-closeness, Jonckheere, Good-Toulmin, stitch census, Simpson paradox, rank stability, POT census, top-k churn, Haar energy.
   *
@@ -726,73 +726,63 @@ object EvalReplayOps {
   // the true boundary MLE.
   //
   // Scale: the comparison build is one orderkey self-join (bounded
-  // per-order fan-out) + a broadcast supplier dim; iterations are
-  // 25-row grid joins with localCheckpoint lineage truncation.
-  // Checkpoint lifecycle (CALLER contract): wins/m/wtot and each MM
-  // round's raw frame are lazily checkpointed and stay pinned after the
-  // consuming action — after reading the result, call
-  // `Checkpoints.release(result)` or the harness
-  // `Checkpoints.releaseAll(spark)` sweep, or a long-lived session
-  // accumulates pinned blocks per call. Pinned by CheckpointLifecycleSpec.
+  // per-order fan-out) + a broadcast supplier dim — that is the ONLY
+  // distributed work. The wins grid it produces is |items|²-bounded
+  // (items = nations for q368 — a DIMENSION at any corpus size), so it
+  // is collected once and the MM fixed point runs ON THE DRIVER in
+  // exact BigInt arithmetic (r14): the update is per-term integer floor
+  // division + exact integer sums, so the trajectory is bit-identical
+  // to the former 8-round Catalyst loop (IsotonicBradleyTerrySpec pins
+  // equality against this very algorithm as the reference, and the
+  // DuckDB oracle replays it), while paying ZERO per-round planning,
+  // checkpointing, or scheduling — the §8.27 plan-compilation floor for
+  // this operator measured 4.18 s bench-min on the r14 host, the driver
+  // loop 1.12–1.16 s warm-min (the residual is the wins-grid build, the
+  // genuinely data-sized step). Collecting a dimension-bounded grid is
+  // the broadcast-side pattern, not a driver-OOM risk: ≤ k² rows by
+  // construction.
   def btFromWins(wins: DataFrame, iters: Int): DataFrame = {
-    // lazy checkpoints (§8.22): flat LogicalRDD plans with RDD-level
-    // stage reuse in ONE final action, instead of an eager job per
-    // checkpoint — wins feeds both union sides, m feeds every round
-    val wloc = wins.localCheckpoint(false)
-    // checkpointed frames the returned plan will NOT reference (wloc +
-    // superseded MM-round raws) — linked to the result on return so a
-    // caller's release(result) frees them without the harness sweep
-    val feeders = scala.collection.mutable.ListBuffer[DataFrame](wloc)
-    val m = wloc.select(col("w").as("i"), col("l").as("j"), col("c"))
-      .unionByName(wloc.select(col("l").as("i"), col("w").as("j"), col("c")))
-      .groupBy(col("i"), col("j")).agg(sum(col("c")).as("m"))
-      .localCheckpoint(false)
-    val wtot = wloc.groupBy(col("w").as("i")).agg(sum(col("c")).as("wi"))
-      // checkpointed like m: otherwise this lazy aggregate is re-planned
-      // inside the narrow-shuffle scope on every MM round, violating
-      // LoopConf's materialize-data-sized-frames-first contract
-      .localCheckpoint(false)
-    val items = m.select(col("i")).distinct()
-    var p = items.select(col("i"), lit(1000000L).as("p"))
-    // the MM rounds are |items|²-bounded grid joins (items = nations for
-    // q368 — a dimension at ANY corpus size), so they plan under the
-    // narrow-shuffle scope: full-width reduce tasks × 8 rounds × 3
-    // exchanges was pure scheduling overhead. The data-sized comparison
-    // build (wins/m/wtot) is checkpointed above, outside the scope.
-    LoopConf.withNarrowShuffle(wins.sparkSession, 4) {
+    val spark = wins.sparkSession
+    val winRows = wins.select(col("w"), col("l"), col("c").cast("long")).collect()
+    val mm = scala.collection.mutable.Map.empty[(Any, Any), BigInt]
+      .withDefaultValue(BigInt(0))
+    winRows.foreach { r =>
+      val (w, l, c) = (r.get(0), r.get(1), BigInt(r.getLong(2)))
+      mm((w, l)) += c; mm((l, w)) += c
+    }
+    val wt = winRows.groupBy(_.get(0)).view
+      .mapValues(rs => rs.map(r => BigInt(r.getLong(2))).sum).toMap
+      .withDefaultValue(BigInt(0))
+    val byI = mm.toSeq.groupBy(_._1._1).view
+      .mapValues(_.map { case ((_, j), c) => (j, c) }).toMap
+    val items = byI.keys.toSeq
+    val k = BigInt(items.size)
+    val scale = BigInt("1000000000000")
+    var p = items.map(_ -> BigInt(1000000)).toMap
     for (_ <- 1 to iters) {
-      val d = m
-        .join(p, Seq("i"))
-        .join(p.select(col("i").as("j"), col("p").as("pj")), Seq("j"))
-        .groupBy(col("i"))
-        .agg(sum(expr(
-          """(cast(m as decimal(38,0)) * 1000000000000)
-            | div greatest(p + pj, 1L)""".stripMargin)).as("d"))
-      val raw = d.join(wtot, Seq("i"), "left")
-        .select(col("i"), expr(
-          """cast((cast(coalesce(wi, 0L) as decimal(38,0)) * 1000000000000)
-            | div d as bigint)""".stripMargin).as("raw"))
-        .localCheckpoint(false) // flattens the round for next p's dual read
-      feeders += raw
-      // renorm scalars (Σ raw, k) via ONE single-partition window over
-      // the k-row grid — k ≤ |items| and items is a DIMENSION (nations
-      // for q368) at any corpus size, so the single partition is bounded
-      // by construction. The previous crossJoin(broadcast(1-row agg))×2
-      // form cost two BLOCKING broadcast-build jobs per MM round — a
-      // pure scheduler floor of ~16 sequential jobs over 8 iterations
-      // (round-13 fix; values are bit-identical: count(1) over () = k).
-      p = raw.select(col("i"), expr(
-        """cast((cast(raw as decimal(38,0)) * count(1) over ()
-          | * 1000000L) div (sum(raw) over ()) as bigint)""".stripMargin).as("p"))
+      val raw = items.map { i =>
+        val d = byI(i).map { case (j, c) =>
+          (c * scale) / (p(i) + p(j)).max(BigInt(1))
+        }.sum
+        i -> (wt(i) * scale) / d
+      }.toMap
+      val sraw = raw.values.sum
+      p = items.map(i => i -> (raw(i) * k * 1000000) / sraw).toMap
     }
+    val itemType = wins.schema("w").dataType
+    val rows = items.map { i =>
+      org.apache.spark.sql.Row(i, wt(i).toLong,
+        byI(i).map(_._2).sum.toLong, p(i).toLong)
     }
-    val result = p.join(wtot, Seq("i"), "left")
-      .join(m.groupBy(col("i")).agg(sum(col("m")).as("mi")), Seq("i"))
-      .select(col("i").as("item"), coalesce(col("wi"), lit(0L)).as("wins"),
-        col("mi").as("comparisons"), col("p").as("strength_ppm"))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("item", itemType),
+      org.apache.spark.sql.types.StructField("wins", LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("comparisons", LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("strength_ppm", LongType, nullable = false)))
+    spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](
+          scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), schema)
       .orderBy(col("item"))
-    Checkpoints.link(result, feeders.toSeq: _*)
-    result
   }
 
   def q368BradleyTerry(spark: SparkSession, dir: String): DataFrame = {

@@ -1127,40 +1127,56 @@ object TrendStatOps {
   // single float.
   //
   // Scale: one corpus pass builds the k×k transition counts (lead
-  // window partitioned by user), materialized ONCE; the iterations are
-  // k-row grid joins with per-round lineage truncation (each round
-  // references its input twice — sum + join — so an unchecked lazy
-  // chain doubles the plan per round; localCheckpoint keeps it flat,
-  // the q300 iterative-family rule).
+  // window partitioned by user) — that is the ONLY distributed work.
+  // The states are EVENT TYPES, a fixed vocabulary at any corpus size,
+  // so the k×k ppm matrix is collected once and the ten power
+  // iterations run ON THE DRIVER in exact integer arithmetic (r14,
+  // q368's treatment): per-term floor products and exact sums make the
+  // driver trajectory bit-identical to the former per-round Catalyst
+  // loop (the DuckDB oracle replays the same fixed point and
+  // CrossCorrelationStationaryMixSpec pins the dynamics), while paying
+  // zero per-round planning/checkpoint/scheduling — measured 1.26 →
+  // 0.57 s (bench-min → warm-min) at sf0.1 on the r14 host. Collecting
+  // a fixed-vocabulary grid is the broadcast-side pattern, not a
+  // driver risk.
   def stationaryMix(events: DataFrame, iters: Int): DataFrame = {
+    val spark = events.sparkSession
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
     val trans = events
       .withColumn("nxt", lead(col("event_type"), 1).over(w))
       .filter(col("nxt").isNotNull)
       .groupBy(col("event_type").as("s_from"), col("nxt").as("s_to"))
       .agg(count(lit(1)).as("c"))
-    val p = trans
+    val pRows = trans
       .withColumn("rt", sum(col("c")).over(Window.partitionBy(col("s_from"))))
       .withColumn("p_ppm", expr("(1000000L * c) div rt"))
       .select(col("s_from"), col("s_to"), col("p_ppm"))
-      .localCheckpoint()
-    val states = p.select(col("s_from").as("state")).distinct()
-    val k = states.agg(count(lit(1)).as("k"))
-    var v = states.crossJoin(broadcast(k))
-      .withColumn("v", expr("1000000L div k"))
-      .select(col("state"), col("v"))
+      .collect()
+    val byFrom = pRows.toSeq.groupBy(_.get(0))
+    val states = byFrom.keys.toSeq
+    val k = states.size.toLong
+    var v: Map[Any, BigInt] = states.map(_ -> BigInt(1000000L / k)).toMap
     for (_ <- 1 to iters) {
-      val stepped = v.join(p, col("state") === col("s_from"))
-        .groupBy(col("s_to"))
-        .agg(sum(expr("(v * p_ppm) div 1000000L")).as("v0"))
-        .select(col("s_to").as("state"), col("v0"))
-        .localCheckpoint()
-      val s = stepped.agg(sum(col("v0")).as("sv"))
-      v = stepped.crossJoin(broadcast(s))
-        .withColumn("v", expr("(1000000L * v0) div sv"))
-        .select(col("state"), col("v"))
+      val stepped = scala.collection.mutable.Map.empty[Any, BigInt]
+        .withDefaultValue(BigInt(0))
+      // same join semantics as the former grid loop: only states present
+      // in v AND in the s_from domain emit mass; keys are s_to values
+      for ((from, rows) <- byFrom; vf <- v.get(from); r <- rows)
+        stepped(r.get(1)) += (vf * BigInt(r.getLong(2))) / 1000000L
+      val sv = stepped.values.sum
+      v = stepped.map { case (st, v0) => st -> (BigInt(1000000) * v0) / sv }.toMap
     }
-    v.select(col("state"), col("v").as("stationary_ppm"))
+    val stateType = trans.schema("s_from").dataType
+    val rows = v.toSeq.map { case (st, vv) =>
+      org.apache.spark.sql.Row(st, vv.toLong)
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("state", stateType),
+      org.apache.spark.sql.types.StructField("stationary_ppm",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](
+          scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), schema)
       .orderBy(col("state"))
   }
 

@@ -59,8 +59,6 @@ class CheckpointDisciplineSpec extends AnyFunSuite {
       ("fanout-fusion", "df frame feeds every grid cell of the sweep"),
     ("ops/EvalReplayOps.scala", "q326CaptureRecapture") ->
       ("fanout-fusion", "each detector's pair set feeds its count AND the overlap join"),
-    ("ops/EvalReplayOps.scala", "btFromWins") ->
-      ("narrow-scope", "wins grid is model-pair-bounded; round frames live in the withNarrowShuffle scope at :755"),
     ("ops/EvalReplayOps.scala", "dupProvenance") ->
       ("fanout-fusion", "near-dup pair pipeline feeds census + top-10"),
     ("ops/GraphMiningOps.scala", "kcorePeel") ->

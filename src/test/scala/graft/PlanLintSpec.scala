@@ -155,9 +155,7 @@ class PlanLintSpec extends SparkSpec {
     "q404_growth_accounting" ->
       "one lag over the ~25-row month grid (calendar-bounded, q167's class); all customer-level work is hash joins/aggregates",
     "q405_abc_classification" ->
-      "descending cum window over the $100 revenue-band grid — bounded by the price domain (q118's class), not by parts",
-    "q368_bradley_terry" ->
-      "per-MM-round renorm window (sum/count over ()) runs over the k-row strength grid, k = |items| = nations — a dimension at any corpus size; replaced two blocking broadcast-build jobs per round (the round-12 scheduler floor)")
+      "descending cum window over the $100 revenue-band grid — bounded by the price domain (q118's class), not by parts")
 
   /** name → reason a no-equi-key join is still scale-safe there. */
   private val joinAllow: Map[String, String] = Map(

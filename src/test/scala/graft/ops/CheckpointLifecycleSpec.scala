@@ -56,8 +56,10 @@ class CheckpointLifecycleSpec extends SparkSpec {
   // so a non-harness session (which has no releaseAll sweep between
   // queries) frees everything with one targeted release of the frame
   // it consumed
+  // q368 left this list in r14: its MM fixed point runs driver-locally
+  // over the dimension-bounded wins grid and pins no checkpoints at all
   for (q <- Seq("q315_lpa_communities", "q300_kcore_peel", "q350_hits",
-      "q368_bradley_terry", "q120_pagerank")) {
+      "q120_pagerank")) {
     test(s"library consumers: release(result) alone drains $q — no global sweep") {
       Checkpoints.releaseAll(spark)
       val df = graft.SparkEntry.queries(q)(spark, "/root/testdata/sf0.001")
