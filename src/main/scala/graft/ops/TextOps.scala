@@ -2150,14 +2150,22 @@ object TextOps {
   def q412ClusterCensus(spark: SparkSession, dir: String): DataFrame = {
     val labels = clusterPairs(
       q31NgramJaccard(spark, dir).select(col("id_a"), col("id_b")))
-      .localCheckpoint(false) // feeds the histogram AND the paired count
-    val hist = labels.groupBy(col("cluster")).agg(count(lit(1)).as("k"))
-      .groupBy(col("k")).agg(count(lit(1)).as("n_clusters"))
-    val paired = labels.agg(count(lit(1)).as("paired"))
-    val total = Tables.documents(spark, dir).agg(count(lit(1)).as("total"))
-    val singles = total.crossJoin(paired)
-      .select(lit(1L).as("k"), (col("total") - col("paired")).as("n_clusters"))
-    hist.unionByName(singles)
+    // the size histogram is a count-of-counts grid — bounded far below
+    // the corpus (distinct cluster sizes; q302/q386's lint class) — so
+    // the census tail assembles ON THE DRIVER (r14): paired docs fall
+    // out of the collected histogram (Σ k·n_clusters) instead of a
+    // second pass over labels, and the singles row is plain integer
+    // arithmetic — 2 jobs (histogram collect + corpus count) where the
+    // union-plan form paid 4 plus a union/sort plan. Exact integers
+    // throughout; the DuckDB oracle is unchanged.
+    val histRows = labels.groupBy(col("cluster")).agg(count(lit(1)).as("k"))
+      .groupBy(col("k")).agg(count(lit(1)).as("n_clusters")).collect()
+    val total = Tables.documents(spark, dir).count()
+    val paired = histRows.map(r => r.getLong(0) * r.getLong(1)).sum
+    val rows = histRows.map(r => (r.getLong(0), r.getLong(1))).toSeq :+
+      ((1L, total - paired))
+    import spark.implicits._
+    rows.toDF("k", "n_clusters")
       .withColumn("n_docs", col("k") * col("n_clusters"))
       .orderBy(col("k"))
   }

@@ -83,8 +83,6 @@ class CheckpointDisciplineSpec extends AnyFunSuite {
       ("fanout-fusion", "new-batch signatures feed the corpus join AND the batch self-join"),
     ("ops/TextOps.scala", "q242PrefixFilterJoin") ->
       ("fanout-fusion", "token prefixes feed both join sides"),
-    ("ops/TextOps.scala", "q412ClusterCensus") ->
-      ("fanout-fusion", "feeds the rep aggregate AND the flag join"),
     ("ops/TextOps.scala", "q414ThresholdSensitivity") ->
       ("fanout-fusion", "feeds both scope projections"),
     ("ops/TextOps.scala", "q417SourceCopyMatrix") ->
